@@ -1,0 +1,274 @@
+package graft
+
+/**
+ * DuckDB oracle SQL for SparkEntry.queries (driver correctness gate).
+ *
+ * Every statement mirrors its Spark query exactly: same column names,
+ * same total ORDER BY, decimal-then-double aggregation, BIGINT casts on
+ * computed ints, and fold-order-identical float math (so doubles are
+ * bit-identical across engines). Approximate / hash-seeded queries
+ * (hll, distinct_random, minhash, simhash, embed-LSH, IVF) are omitted
+ * → the driver records a rows-only check for them.
+ */
+object OracleSql {
+
+  private val rev = "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))"
+
+  private val toks =
+    "list_filter(regexp_split_to_array(lower(text), '[^\\p{L}\\p{Nd}]+'), x -> length(x) > 0)"
+
+  /** en/de/fr/es/zh marker scores over padded lower text `p` (mirrors TextAnalysis.langScore). */
+  private def score(words: Seq[String]): String =
+    words.map(w => s"(CASE WHEN instr(p, ' $w ') > 0 THEN 1 ELSE 0 END)").mkString(" + ")
+
+  private val sEn = score(Seq("the", "and", "of", "to", "a"))
+  private val sDe = score(Seq("der", "die", "und", "das", "ist"))
+  private val sFr = score(Seq("le", "la", "et", "les", "des"))
+  private val sEs = score(Seq("el", "los", "que", "una", "y"))
+  private val sZh = score(Seq("的", "了", "是", "我", "不"))
+
+  val all: Map[String, String] = Map(
+    "q_agg_sum_min_max" ->
+      """SELECT l_returnflag, l_linestatus,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+         MIN(l_extendedprice) AS min_price,
+         MAX(l_extendedprice) AS max_price,
+         COUNT(*) AS cnt
+         FROM lineitem GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+    "q_agg_avg" ->
+      """SELECT l_returnflag,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_agg_distinct_count" ->
+      """SELECT l_returnflag,
+         COUNT(DISTINCT l_partkey) AS nd_part,
+         COUNT(DISTINCT l_suppkey) AS nd_supp
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_window_lag" ->
+      """SELECT event_id, user_id, value,
+         LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value
+         FROM events ORDER BY event_id""",
+    "q_time_trunc" ->
+      """SELECT event_id,
+         date_trunc('year', ts) AS t_year,
+         date_trunc('quarter', ts) AS t_quarter,
+         date_trunc('month', ts) AS t_month,
+         date_trunc('week', ts) AS t_week,
+         date_trunc('day', ts) AS t_day,
+         date_trunc('hour', ts) AS t_hour,
+         date_trunc('minute', ts) AS t_minute,
+         date_trunc('second', ts) AS t_second
+         FROM events WHERE event_id < 500 ORDER BY event_id""",
+    "q_time_extract" ->
+      """SELECT event_id,
+         CAST(year(ts) AS BIGINT) AS e_year,
+         CAST(quarter(ts) AS BIGINT) AS e_quarter,
+         CAST(month(ts) AS BIGINT) AS e_month,
+         CAST(dayofmonth(ts) AS BIGINT) AS e_day,
+         CAST(hour(ts) AS BIGINT) AS e_hour,
+         CAST(minute(ts) AS BIGINT) AS e_minute,
+         CAST(CAST(floor(second(ts)) AS BIGINT) AS BIGINT) AS e_second
+         FROM events WHERE event_id < 500 ORDER BY event_id""",
+    "q_str_funcs" ->
+      """SELECT c_custkey,
+         CAST(length(c_name) AS BIGINT) AS name_len,
+         lower(c_name) AS name_lower,
+         upper(c_mktsegment) AS seg_upper
+         FROM customer ORDER BY c_custkey""",
+    "q_tokens" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents)
+         SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens, tk[1:5] AS head_tokens
+         FROM t ORDER BY doc_id""",
+    "q_split" ->
+      """WITH t AS (SELECT p_partkey,
+           list_filter(regexp_split_to_array(p_type, '[^\p{L}\p{Nd}]+'), x -> length(x) > 0) AS tw
+           FROM part)
+         SELECT p_partkey, tw AS type_words, CAST(len(tw) AS BIGINT) AS n_words
+         FROM t ORDER BY p_partkey""",
+    "q_arith" ->
+      s"""SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+         -l_quantity AS neg_qty,
+         abs(l_quantity - 25.0) AS abs_dev,
+         CAST($rev AS DOUBLE) AS revenue,
+         l_partkey % 7 AS pk_mod,
+         l_quantity / 2.0 AS half_qty
+         FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+    "q_is_null" ->
+      """SELECT c_custkey,
+         nullif(c_mktsegment, 'BUILDING') IS NULL AS seg_is_null,
+         nullif(c_mktsegment, 'BUILDING') IS NOT NULL AS seg_is_not_null,
+         coalesce(nullif(c_mktsegment, 'BUILDING'), 'NONE') AS seg_or_none
+         FROM customer ORDER BY c_custkey""",
+    "q_cmp_logic" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+         (l_quantity >= 45.0) AS big_qty,
+         (l_returnflag <> 'N') AS returned_or_na,
+         (l_extendedprice < 10000.0) AS cheap
+         FROM lineitem
+         WHERE (l_quantity > 30 AND l_discount <= 0.05) OR NOT (l_returnflag = 'N')
+         ORDER BY l_orderkey, l_linenumber""",
+    "q_in_notin" ->
+      """SELECT l_returnflag, COUNT(*) AS cnt,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+         FROM lineitem
+         WHERE l_returnflag IN ('A','R') AND l_linenumber NOT IN (1,2)
+         GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_case" ->
+      s"""SELECT CASE WHEN l_quantity < 10 THEN 'low'
+                     WHEN l_quantity < 30 THEN 'mid'
+                     ELSE 'high' END AS band,
+         COUNT(*) AS cnt,
+         CAST(SUM($rev) AS DOUBLE) AS sum_rev
+         FROM lineitem GROUP BY band ORDER BY band""",
+    "q_array_ops" ->
+      s"""WITH t AS (SELECT doc_id, ($toks)[1:8] AS tk FROM documents)
+         SELECT doc_id,
+         list_contains(tk, 'the') AS has_the,
+         list_has_all(tk, ['the','data']) AS has_all,
+         list_has_any(tk, ['spark','table']) AS has_any,
+         array_to_string(tk, ', ') AS joined,
+         CAST(len(tk) AS BIGINT) AS arr_len
+         FROM t ORDER BY doc_id""",
+    "q_filter_range" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+         l_quantity, l_extendedprice
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1994-01-01' AND l_shipdate < TIMESTAMP '1995-01-01'
+           AND l_returnflag = 'R'
+         ORDER BY l_orderkey, l_linenumber""",
+    "q_postfilter" ->
+      """SELECT l_suppkey,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+         COUNT(*) AS cnt
+         FROM lineitem GROUP BY l_suppkey
+         HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) > 300.0
+         ORDER BY l_suppkey""",
+    "q_limit" ->
+      """SELECT o_orderkey, o_totalprice, o_orderstatus
+         FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+    "q_join_link" ->
+      s"""SELECT r_name, n_name,
+         CAST(SUM($rev) AS DOUBLE) AS sum_rev,
+         COUNT(*) AS cnt
+         FROM lineitem
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name, n_name ORDER BY r_name, n_name""",
+    "q_rollup" ->
+      """WITH daily AS (
+           SELECT date_trunc('day', ts) AS rollup_time, event_type,
+                  COUNT(*) AS c,
+                  SUM(CAST(value AS DECIMAL(18,4))) AS v
+           FROM events GROUP BY rollup_time, event_type)
+         SELECT date_trunc('month', rollup_time) AS month, event_type,
+                SUM(c) AS n_events, CAST(SUM(v) AS DOUBLE) AS sum_value
+         FROM daily GROUP BY month, event_type ORDER BY month, event_type""",
+    "q_topk" ->
+      s"""SELECT l_partkey, CAST(SUM($rev) AS DOUBLE) AS part_rev
+         FROM lineitem GROUP BY l_partkey
+         ORDER BY part_rev DESC, l_partkey LIMIT 10""",
+    "q_type_convs" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+         CAST(l_linenumber AS VARCHAR) AS ln_str,
+         CAST(l_extendedprice AS DECIMAL(18,2)) AS price_currency,
+         CAST(FLOOR(l_quantity) AS BIGINT) AS qty_long,
+         CAST(l_partkey AS DOUBLE) AS pk_double
+         FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+    "q_stream_ingest" ->
+      """SELECT event_id, ts, user_id, event_type, value
+         FROM events ORDER BY event_id""",
+    "q_stream_window" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+         COUNT(*) AS n_events,
+         CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY window_start, event_type
+         ORDER BY window_start, event_type""",
+    "q_dedup_exact" ->
+      """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
+         FROM documents GROUP BY text ORDER BY keep_id""",
+    "q_dedup_ngram_jaccard" ->
+      """WITH g AS (
+           SELECT doc_id, lang, source,
+             list_distinct(list_transform(
+               generate_series(1, greatest(length(lower(text)) - 3, 1)),
+               i -> substr(lower(text), i, 4))) AS grams
+           FROM documents)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+           CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE) AS jac
+         FROM g a JOIN g b
+           ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+         WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+               CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE) >= 0.35
+         ORDER BY id_a, id_b""",
+    "q_ann_bruteforce" ->
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+                    FROM embeddings WHERE vec_id < 8),
+              c AS (SELECT vec_id AS item_id, CAST(embedding AS DOUBLE[]) AS iv
+                    FROM embeddings),
+              s AS (SELECT query_id, item_id,
+                list_reduce(list_prepend(0.0, list_transform(generate_series(1, len(qv)), i -> qv[i] * iv[i])), (a, x) -> a + x) /
+                (sqrt(list_reduce(list_prepend(0.0, list_transform(generate_series(1, len(qv)), i -> qv[i] * qv[i])), (a, x) -> a + x)) *
+                 sqrt(list_reduce(list_prepend(0.0, list_transform(generate_series(1, len(iv)), i -> iv[i] * iv[i])), (a, x) -> a + x))) AS cos
+              FROM q CROSS JOIN c WHERE query_id <> item_id),
+              r AS (SELECT query_id, item_id, cos,
+                CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, item_id) AS INT) AS rank
+              FROM s)
+         SELECT query_id, item_id, cos, rank FROM r WHERE rank <= 5
+         ORDER BY query_id, rank""",
+    "q_text_langid" ->
+      s"""WITH t AS (SELECT doc_id, ' ' || lower(text) || ' ' AS p FROM documents),
+              sc AS (SELECT doc_id, $sEn AS s_en, $sDe AS s_de, $sFr AS s_fr, $sEs AS s_es, $sZh AS s_zh FROM t),
+              m AS (SELECT doc_id, s_en, s_de, s_fr, s_es, s_zh,
+                    greatest(s_en, s_de, s_fr, s_es, s_zh) AS best FROM sc)
+         SELECT doc_id,
+           CASE WHEN s_en > 0 AND s_en = best THEN 'en'
+                WHEN s_de > 0 AND s_de = best THEN 'de'
+                WHEN s_fr > 0 AND s_fr = best THEN 'fr'
+                WHEN s_es > 0 AND s_es = best THEN 'es'
+                WHEN s_zh > 0 AND s_zh = best THEN 'zh'
+                ELSE 'und' END AS lang_pred
+         FROM m ORDER BY doc_id""",
+    "q_text_quality" ->
+      s"""WITH t AS (SELECT doc_id, text, ' ' || lower(text) || ' ' AS p,
+             CAST(length(text) AS BIGINT) AS nc,
+             CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS words,
+             CAST(len(regexp_extract_all(text, '[.,;:!?''"()\\[\\]{}-]')) AS BIGINT) AS punct
+           FROM documents),
+           f AS (SELECT doc_id, nc, words,
+             CASE WHEN nc >= 100 AND nc <= 10000 THEN 1.0
+                  WHEN nc < 100 THEN CAST(nc AS DOUBLE) / 100.0
+                  ELSE 10000.0 / CAST(nc AS DOUBLE) END AS len_score,
+             CAST($sEn AS DOUBLE) / 5.0 AS stop_score,
+             CASE WHEN words > 0 THEN least(CAST(punct AS DOUBLE) / CAST(words AS DOUBLE), 1.0) ELSE 1.0 END AS punct_penalty
+           FROM t)
+         SELECT doc_id, nc AS n_chars_actual, words AS n_words,
+           (len_score * 0.5) + (stop_score * 0.3) + ((1.0 - punct_penalty) * 0.2) AS quality
+         FROM f ORDER BY doc_id""",
+    "q_text_tokencount" ->
+      """SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS ws_tokens,
+         CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]+')) AS BIGINT) AS bpe_tokens
+         FROM documents ORDER BY doc_id""",
+    "q_text_fingerprint" ->
+      """WITH t AS (SELECT doc_id,
+           substr(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), 1, 128) AS norm
+           FROM documents)
+         SELECT doc_id,
+           CAST(list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(list_filter(string_split(norm, ''), c -> length(c) > 0),
+                 c -> CAST(ascii(c) AS BIGINT))),
+             (a, c) -> (a * 131 + c) % 2147483647) AS BIGINT) AS fp
+         FROM t ORDER BY doc_id""",
+    "q_multimodal_meta" ->
+      """SELECT doc_id,
+         CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'img' WHEN 1 THEN 'audio' ELSE 'video' END AS fmt,
+         CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+         CAST(octet_length(encode(text)) AS BIGINT) // 256 + 1 AS frame_count
+         FROM documents ORDER BY doc_id"""
+  )
+}

@@ -1,13 +1,495 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.F
+import graft.operators.{Ann, Dedup, Multimodal, TextAnalysis}
+import graft.schema.TestSchema
+import graft.core.QueryBuilder
+import graft.sources.{Rollup, TsLayout}
+import graft.streaming.Ingest
+
+/**
+ * Driver contract — SURVEY.md §2 is the inventory these keys cover.
+ *
+ * Cross-engine determinism rules (SURVEY.md §6): every query carries a
+ * total ORDER BY; double aggregation goes through DECIMAL then casts
+ * back to double (exact + associative on both engines); computed int
+ * columns are cast to BIGINT on both sides; approximate/hash-seeded
+ * operators are declared without oracle SQL (rows-only check).
+ */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def ld(s: SparkSession, dir: String, name: String): DataFrame = {
+    if (name == "events") {
+      // events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
+      // reader rejects; read ns-as-long and convert (values are µs-aligned).
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val df = s.read.parquet(s"$dir/$name.parquet")
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    } else s.read.parquet(s"$dir/$name.parquet")
+  }
+
+  /** Exact double aggregation: sum in DECIMAL(18,4), back to double. */
+  private def dsum(c: Column): Column = sum(c.cast("decimal(18,4)")).cast("double")
+
+  /** Exact money arithmetic: 2-dp fixed point (reference Currency). */
+  private def money(c: Column): Column = c.cast("decimal(18,2)")
+
+  /** revenue = extendedprice * (1 - discount), exact decimal algebra. */
+  private def revenue: Column =
+    money(col("l_extendedprice")) * (lit(1) - col("l_discount").cast("decimal(4,2)"))
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q_join_link")(spark, "/root/testdata/sf0.001")
+
+  // ==================================================================
+  // §2.1 aggregations
+  // ==================================================================
+
+  private def qAggSumMinMax(s: SparkSession, dir: String): DataFrame =
+    ld(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        min(col("l_extendedprice")).as("min_price"),
+        max(col("l_extendedprice")).as("max_price"),
+        count(lit(1)).as("cnt")
+      )
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  private def qAggAvg(s: SparkSession, dir: String): DataFrame =
+    ld(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        (dsum(col("l_quantity")) / count(col("l_quantity"))).as("avg_qty"),
+        (dsum(col("l_extendedprice")) / count(col("l_extendedprice"))).as("avg_price")
+      )
+      .orderBy(col("l_returnflag"))
+
+  private def qAggDistinctCount(s: SparkSession, dir: String): DataFrame =
+    ld(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("nd_part"),
+        countDistinct(col("l_suppkey")).as("nd_supp")
+      )
+      .orderBy(col("l_returnflag"))
+
+  /** HLL++ approximate distinct (reference HLLCountExpr) — rows-only oracle. */
+  private def qAggHllCount(s: SparkSession, dir: String): DataFrame =
+    ld(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey"), 0.02).as("hll_part"))
+      .orderBy(col("l_returnflag"))
+
+  /**
+   * Reference DistinctRandomExpr: an arbitrary element of the distinct
+   * set. graft picks the min-xxhash element — "random" but stable.
+   * Rows-only oracle (hash-seeded choice).
+   */
+  private def qAggDistinctRandom(s: SparkSession, dir: String): DataFrame =
+    ld(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(min_by(col("l_partkey"), xxhash64(col("l_partkey"))).as("random_part"))
+      .orderBy(col("l_returnflag"))
+
+  // ==================================================================
+  // §2.2 window
+  // ==================================================================
+
+  private def qWindowLag(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    ld(s, dir, "events")
+      .select(
+        col("event_id"),
+        col("user_id"),
+        col("value"),
+        lag(col("value"), 1).over(w).as("prev_value")
+      )
+      .orderBy(col("event_id"))
+  }
+
+  // ==================================================================
+  // §2.3 time functions
+  // ==================================================================
+
+  private def qTimeTrunc(s: SparkSession, dir: String): DataFrame =
+    ld(s, dir, "events")
+      .filter(col("event_id") < 500)
+      .select(
+        col("event_id"),
+        F.truncYear(col("ts")).as("t_year"),
+        F.truncQuarter(col("ts")).as("t_quarter"),
+        F.truncMonth(col("ts")).as("t_month"),
+        F.truncWeek(col("ts")).as("t_week"),
+        F.truncDay(col("ts")).as("t_day"),
+        F.truncHour(col("ts")).as("t_hour"),
+        F.truncMinute(col("ts")).as("t_minute"),
+        F.truncSecond(col("ts")).as("t_second")
+      )
+      .orderBy(col("event_id"))
+
+  private def qTimeExtract(s: SparkSession, dir: String): DataFrame =
+    ld(s, dir, "events")
+      .filter(col("event_id") < 500)
+      .select(
+        col("event_id"),
+        F.extractYear(col("ts")).cast("long").as("e_year"),
+        F.extractQuarter(col("ts")).cast("long").as("e_quarter"),
+        F.extractMonth(col("ts")).cast("long").as("e_month"),
+        F.extractDay(col("ts")).cast("long").as("e_day"),
+        F.extractHour(col("ts")).cast("long").as("e_hour"),
+        F.extractMinute(col("ts")).cast("long").as("e_minute"),
+        F.extractSecond(col("ts")).cast("long").as("e_second")
+      )
+      .orderBy(col("event_id"))
+
+  // ==================================================================
+  // §2.4 unary / string ops
+  // ==================================================================
+
+  private def qStrFuncs(s: SparkSession, dir: String): DataFrame =
+    ld(s, dir, "customer")
+      .select(
+        col("c_custkey"),
+        length(col("c_name")).cast("long").as("name_len"),
+        lower(col("c_name")).as("name_lower"),
+        upper(col("c_mktsegment")).as("seg_upper")
+      )
+      .orderBy(col("c_custkey"))
+
+  private def qTokens(s: SparkSession, dir: String): DataFrame =
+    ld(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        size(F.tokens(col("text"))).cast("long").as("n_tokens"),
+        slice(F.tokens(col("text")), 1, 5).as("head_tokens")
+      )
+      .orderBy(col("doc_id"))
+
+  private def qSplit(s: SparkSession, dir: String): DataFrame =
+    ld(s, dir, "part")
+      .select(
+        col("p_partkey"),
+        F.splitWords(col("p_type")).as("type_words"),
+        size(F.splitWords(col("p_type"))).cast("long").as("n_words")
+      )
+      .orderBy(col("p_partkey"))
+
+  private def qArith(s: SparkSession, dir: String): DataFrame =
+    ld(s, dir, "lineitem")
+      .select(
+        col("l_orderkey"),
+        col("l_linenumber").cast("long").as("l_linenumber"),
+        (-col("l_quantity")).as("neg_qty"),
+        abs(col("l_quantity") - lit(25.0)).as("abs_dev"),
+        revenue.cast("double").as("revenue"),
+        (col("l_partkey") % 7).as("pk_mod"),
+        (col("l_quantity") / lit(2.0)).as("half_qty")
+      )
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  private def qIsNull(s: SparkSession, dir: String): DataFrame = {
+    val seg = nullif(col("c_mktsegment"), lit("BUILDING"))
+    ld(s, dir, "customer")
+      .select(
+        col("c_custkey"),
+        isnull(seg).as("seg_is_null"),
+        (!isnull(seg)).as("seg_is_not_null"),
+        coalesce(seg, lit("NONE")).as("seg_or_none")
+      )
+      .orderBy(col("c_custkey"))
+  }
+
+  // ==================================================================
+  // §2.5 conditions
+  // ==================================================================
+
+  private def qCmpLogic(s: SparkSession, dir: String): DataFrame =
+    ld(s, dir, "lineitem")
+      .filter((col("l_quantity") > 30 && col("l_discount") <= 0.05) || !(col("l_returnflag") === "N"))
+      .select(
+        col("l_orderkey"),
+        col("l_linenumber").cast("long").as("l_linenumber"),
+        (col("l_quantity") >= lit(45.0)).as("big_qty"),
+        (col("l_returnflag") =!= "N").as("returned_or_na"),
+        (col("l_extendedprice") < lit(10000.0)).as("cheap")
+      )
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  private def qInNotin(s: SparkSession, dir: String): DataFrame =
+    ld(s, dir, "lineitem")
+      .filter(col("l_returnflag").isin("A", "R") && !col("l_linenumber").isin(1, 2))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("cnt"), dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("l_returnflag"))
+
+  private def qCase(s: SparkSession, dir: String): DataFrame =
+    ld(s, dir, "lineitem")
+      .select(
+        when(col("l_quantity") < 10, "low")
+          .when(col("l_quantity") < 30, "mid")
+          .otherwise("high")
+          .as("band"),
+        revenue.as("rev")
+      )
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("cnt"), sum(col("rev")).cast("double").as("sum_rev"))
+      .orderBy(col("band"))
+
+  private def qArrayOps(s: SparkSession, dir: String): DataFrame = {
+    val toks = slice(F.tokens(col("text")), 1, 8)
+    ld(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        array_contains(toks, "the").as("has_the"),
+        F.containsAll(toks, array(lit("the"), lit("data"))).as("has_all"),
+        F.containsAny(toks, array(lit("spark"), lit("table"))).as("has_any"),
+        F.arrayToString(toks).as("joined"),
+        size(toks).cast("long").as("arr_len")
+      )
+      .orderBy(col("doc_id"))
+  }
+
+  // ==================================================================
+  // §2.6 query shapes (QueryBuilder — the reference Query model)
+  // ==================================================================
+
+  private def qFilterRange(s: SparkSession, dir: String): DataFrame =
+    QueryBuilder(s, TestSchema.schema, n => ld(s, dir, n), "lineitem")
+      .timeRange("1994-01-01", "1995-01-01")
+      .where(col("l_returnflag") === "R")
+      .select(
+        col("l_orderkey"),
+        col("l_linenumber").cast("long").as("l_linenumber"),
+        col("l_quantity"),
+        col("l_extendedprice")
+      )
+      .build()
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  private def qPostfilter(s: SparkSession, dir: String): DataFrame =
+    QueryBuilder(s, TestSchema.schema, n => ld(s, dir, n), "lineitem")
+      .groupBy(col("l_suppkey"))
+      .select(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("cnt"))
+      .having(col("sum_qty") > 300.0)
+      .build()
+      .orderBy(col("l_suppkey"))
+
+  private def qLimit(s: SparkSession, dir: String): DataFrame =
+    ld(s, dir, "orders")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+
+  /** External-link enrichment: fact → supplier → nation → region, all broadcast. */
+  private def qJoinLink(s: SparkSession, dir: String): DataFrame = {
+    val li = ld(s, dir, "lineitem")
+    val sup = broadcast(ld(s, dir, "supplier"))
+    val nat = broadcast(ld(s, dir, "nation"))
+    val reg = broadcast(ld(s, dir, "region"))
+    li.join(sup, li("l_suppkey") === sup("s_suppkey"))
+      .join(nat, sup("s_nationkey") === nat("n_nationkey"))
+      .join(reg, nat("n_regionkey") === reg("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(sum(revenue).cast("double").as("sum_rev"), count(lit(1)).as("cnt"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  /** Rollup to day grain, then month-grain query over the rollup. */
+  private def qRollup(s: SparkSession, dir: String): DataFrame = {
+    val roll = Rollup(
+      name = "events_by_day",
+      timeExpr = F.truncDay(col("ts")),
+      groupBy = Seq(col("event_type")),
+      aggregates = Seq(count(lit(1)).as("c"), sum(col("value").cast("decimal(18,4)")).as("v"))
+    )
+    roll(ld(s, dir, "events"))
+      .groupBy(F.truncMonth(col("rollup_time")).as("month"), col("event_type"))
+      .agg(sum(col("c")).as("n_events"), sum(col("v")).cast("double").as("sum_value"))
+      .orderBy(col("month"), col("event_type"))
+  }
+
+  private def qTopk(s: SparkSession, dir: String): DataFrame =
+    ld(s, dir, "lineitem")
+      .groupBy(col("l_partkey"))
+      .agg(sum(revenue).cast("double").as("part_rev"))
+      .orderBy(col("part_rev").desc, col("l_partkey"))
+      .limit(10)
+
+  // ==================================================================
+  // §2.7 type conversions
+  // ==================================================================
+
+  private def qTypeConvs(s: SparkSession, dir: String): DataFrame =
+    ld(s, dir, "lineitem")
+      .select(
+        col("l_orderkey"),
+        col("l_linenumber").cast("long").as("l_linenumber"),
+        col("l_linenumber").cast("string").as("ln_str"),
+        money(col("l_extendedprice")).as("price_currency"),
+        floor(col("l_quantity")).cast("long").as("qty_long"),
+        col("l_partkey").cast("double").as("pk_double")
+      )
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  // ==================================================================
+  // §2.8 streaming (batch-parity forms; streaming runs in the specs)
+  // ==================================================================
+
+  /** Ingest round-trip through the time-bucketed TsLayout. */
+  private def qStreamIngest(s: SparkSession, dir: String): DataFrame = {
+    val path = s"/tmp/graft_layout/${dir.replaceAll("[^a-zA-Z0-9]", "_")}/events"
+    TsLayout.write(ld(s, dir, "events"), TestSchema.events, path)
+    TsLayout
+      .read(s, path)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Tumbling-window event-time aggregation (batch parity of the stream). */
+  private def qStreamWindow(s: SparkSession, dir: String): DataFrame =
+    Ingest
+      .windowedAgg(ld(s, dir, "events"))
+      .orderBy(col("window_start"), col("event_type"))
+
+  // ==================================================================
+  // §2.9 dedup
+  // ==================================================================
+
+  private def qDedupExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exact(ld(s, dir, "documents"), "doc_id", "text").orderBy(col("keep_id"))
+
+  private def qDedupMinhash(s: SparkSession, dir: String): DataFrame =
+    Dedup
+      .minhashPairs(ld(s, dir, "documents"), "doc_id", "text", numHashes = 64, bands = 16, threshold = 0.3)
+      .orderBy(col("id_a"), col("id_b"))
+
+  private def qDedupSimhash(s: SparkSession, dir: String): DataFrame =
+    Dedup
+      .simhashPairs(ld(s, dir, "documents"), "doc_id", "text", maxHamming = 8)
+      .orderBy(col("id_a"), col("id_b"))
+
+  private def qDedupNgramJaccard(s: SparkSession, dir: String): DataFrame =
+    Dedup
+      .ngramJaccardPairs(ld(s, dir, "documents"), "doc_id", "text", groupCols = Seq("lang", "source"), n = 4, threshold = 0.35)
+      .orderBy(col("id_a"), col("id_b"))
+
+  private def qDedupEmbed(s: SparkSession, dir: String): DataFrame =
+    Dedup
+      .embeddingPairs(ld(s, dir, "embeddings"), "vec_id", "embedding", threshold = 0.4)
+      .orderBy(col("id_a"), col("id_b"))
+
+  // ==================================================================
+  // §2.10 similarity search
+  // ==================================================================
+
+  private def qAnnBruteforce(s: SparkSession, dir: String): DataFrame = {
+    val emb = ld(s, dir, "embeddings")
+    Ann
+      .bruteForceTopK(emb, emb.filter(col("vec_id") < 8), k = 5)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private def qAnnIvf(s: SparkSession, dir: String): DataFrame = {
+    val emb = ld(s, dir, "embeddings")
+    Ann
+      .ivfTopK(s, emb, emb.filter(col("vec_id") < 8), k = 5, numCells = 16, probes = 4)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  // ==================================================================
+  // §2.11 text analysis
+  // ==================================================================
+
+  private def qTextLangid(s: SparkSession, dir: String): DataFrame =
+    ld(s, dir, "documents")
+      .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
+      .orderBy(col("doc_id"))
+
+  private def qTextQuality(s: SparkSession, dir: String): DataFrame =
+    ld(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_chars_actual"),
+        TextAnalysis.wsTokenCount(col("text")).cast("long").as("n_words"),
+        TextAnalysis.qualityScore(col("text")).as("quality")
+      )
+      .orderBy(col("doc_id"))
+
+  private def qTextTokencount(s: SparkSession, dir: String): DataFrame =
+    ld(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        TextAnalysis.wsTokenCount(col("text")).cast("long").as("ws_tokens"),
+        TextAnalysis.bpeTokenCount(col("text")).cast("long").as("bpe_tokens")
+      )
+      .orderBy(col("doc_id"))
+
+  private def qTextFingerprint(s: SparkSession, dir: String): DataFrame =
+    ld(s, dir, "documents")
+      .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+      .orderBy(col("doc_id"))
+
+  // ==================================================================
+  // §2.12 multimodal
+  // ==================================================================
+
+  private def qMultimodalMeta(s: SparkSession, dir: String): DataFrame =
+    Multimodal
+      .extractFeatures(s, Multimodal.asMediaTable(ld(s, dir, "documents")))
+      .toDF()
+      .select(col("doc_id"), col("fmt"), col("byte_len"), col("frame_count"))
+      .orderBy(col("doc_id"))
+
+  // ==================================================================
+  // registry
+  // ==================================================================
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_agg_sum_min_max" -> (qAggSumMinMax _),
+    "q_agg_avg" -> (qAggAvg _),
+    "q_agg_distinct_count" -> (qAggDistinctCount _),
+    "q_agg_hll_count" -> (qAggHllCount _),
+    "q_agg_distinct_random" -> (qAggDistinctRandom _),
+    "q_window_lag" -> (qWindowLag _),
+    "q_time_trunc" -> (qTimeTrunc _),
+    "q_time_extract" -> (qTimeExtract _),
+    "q_str_funcs" -> (qStrFuncs _),
+    "q_tokens" -> (qTokens _),
+    "q_split" -> (qSplit _),
+    "q_arith" -> (qArith _),
+    "q_is_null" -> (qIsNull _),
+    "q_cmp_logic" -> (qCmpLogic _),
+    "q_in_notin" -> (qInNotin _),
+    "q_case" -> (qCase _),
+    "q_array_ops" -> (qArrayOps _),
+    "q_filter_range" -> (qFilterRange _),
+    "q_postfilter" -> (qPostfilter _),
+    "q_limit" -> (qLimit _),
+    "q_join_link" -> (qJoinLink _),
+    "q_rollup" -> (qRollup _),
+    "q_topk" -> (qTopk _),
+    "q_type_convs" -> (qTypeConvs _),
+    "q_stream_ingest" -> (qStreamIngest _),
+    "q_stream_window" -> (qStreamWindow _),
+    "q_dedup_exact" -> (qDedupExact _),
+    "q_dedup_minhash" -> (qDedupMinhash _),
+    "q_dedup_simhash" -> (qDedupSimhash _),
+    "q_dedup_ngram_jaccard" -> (qDedupNgramJaccard _),
+    "q_dedup_embed" -> (qDedupEmbed _),
+    "q_ann_bruteforce" -> (qAnnBruteforce _),
+    "q_ann_ivf" -> (qAnnIvf _),
+    "q_text_langid" -> (qTextLangid _),
+    "q_text_quality" -> (qTextQuality _),
+    "q_text_tokencount" -> (qTextTokencount _),
+    "q_text_fingerprint" -> (qTextFingerprint _),
+    "q_multimodal_meta" -> (qMultimodalMeta _)
+  )
+
+  def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.F
+
+/**
+ * Text-analysis operators for corpus curation (SURVEY.md §2.11).
+ * All pure column algebra — whole-stage-codegen'd, no UDFs, so each is
+ * a single narrow pass over the corpus (no shuffle at any scale).
+ */
+object TextAnalysis {
+
+  /** Marker stopwords per language for the n-gram/stopword language-ID heuristic. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "a"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "fr" -> Seq("le", "la", "et", "les", "des"),
+    "es" -> Seq("el", "los", "que", "una", "y"),
+    "zh" -> Seq("的", "了", "是", "我", "不")
+  )
+
+  private def padded(textCol: Column): Column = concat(lit(" "), lower(textCol), lit(" "))
+
+  /** Number of a language's marker words present in the text. */
+  def langScore(textCol: Column, markers: Seq[String]): Column =
+    markers
+      .map(m => when(instr(padded(textCol), s" $m ") > 0, 1).otherwise(0))
+      .reduce[Column](_ + _)
+
+  /**
+   * Heuristic language ID: argmax of marker-word hit counts, first
+   * language in `langMarkers` order wins ties; "und" when nothing hits.
+   */
+  def langId(textCol: Column): Column = {
+    val scores = langMarkers.map { case (lang, ms) => lang -> langScore(textCol, ms) }
+    val best = scores.map(_._2).reduce[Column]((a, b) => greatest(a, b))
+    scores.foldRight(lit("und"): Column) { case ((lang, s), e) =>
+      when(s > 0 && s === best, lit(lang)).otherwise(e)
+    }
+  }
+
+  /** Whitespace-delimited token count. */
+  def wsTokenCount(textCol: Column): Column = size(regexp_extract_all(textCol, lit("\\S+"), lit(0)))
+
+  /** BPE-ish pre-tokenizer count: letter runs, single digits, punct runs. */
+  def bpeTokenCount(textCol: Column): Column =
+    size(regexp_extract_all(textCol, lit("[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\\s]+"), lit(0)))
+
+  /** Punctuation-character count. */
+  def punctCount(textCol: Column): Column =
+    size(regexp_extract_all(textCol, lit("[.,;:!?'\"()\\[\\]{}-]"), lit(0)))
+
+  /**
+   * Quality score in [0,1]: blends length band, stopword hit ratio and
+   * punctuation density — the usual cheap pre-filter in corpus pipelines.
+   */
+  def qualityScore(textCol: Column): Column = {
+    val nChars = length(textCol).cast("double")
+    val words = wsTokenCount(textCol).cast("double")
+    val stop = langScore(textCol, langMarkers.head._2).cast("double")
+    val punct = punctCount(textCol).cast("double")
+    val lenScore = when(nChars >= 100 && nChars <= 10000, lit(1.0))
+      .otherwise(when(nChars < 100, nChars / lit(100.0)).otherwise(lit(10000.0) / nChars))
+    val stopScore = stop / lit(5.0)
+    val punctPenalty = when(words > 0, least(punct / words, lit(1.0))).otherwise(lit(1.0))
+    (lenScore * lit(0.5)) + (stopScore * lit(0.3)) + ((lit(1.0) - punctPenalty) * lit(0.2))
+  }
+
+  /**
+   * Content fingerprint: polynomial rolling hash (base 131, mod 2^31-1)
+   * over the code points of the normalized text ([a-z0-9 ] of the first
+   * 128 chars) — cross-engine deterministic, unlike xxhash.
+   */
+  def fingerprint(textCol: Column): Column = {
+    val norm = substring(regexp_replace(lower(textCol), "[^a-z0-9 ]", ""), 1, 128)
+    val codes = transform(filter(split(norm, ""), ch => length(ch) > 0), ch => ascii(ch).cast("long"))
+    aggregate(codes, lit(0L), (acc, c) => (acc * lit(131L) + c) % lit(2147483647L))
+  }
+
+  /** Full per-document analysis frame. */
+  def analyze(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(
+      col(idCol),
+      langId(col(textCol)).as("lang_pred"),
+      wsTokenCount(col(textCol)).as("ws_tokens"),
+      bpeTokenCount(col(textCol)).as("bpe_tokens"),
+      qualityScore(col(textCol)).as("quality"),
+      fingerprint(col(textCol)).as("fp")
+    )
+}

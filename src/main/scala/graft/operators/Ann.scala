@@ -19,13 +19,17 @@ import graft.functions.F
  */
 object Ann {
 
-  /** Exact cosine top-k: every query vector against the whole corpus. */
+  /** Exact cosine top-k: every query vector against the whole corpus.
+    * Norms are precomputed per side so the per-candidate work is one dot
+    * product (same IEEE result as inline cosine: identical op order). */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val joined = corpus
-      .select(col("vec_id").as("item_id"), col("embedding").as("item_vec"))
-      .crossJoin(broadcast(queries.select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))))
+      .select(col("vec_id").as("item_id"), col("embedding").as("item_vec"), F.l2norm(col("embedding")).as("item_nrm"))
+      .crossJoin(broadcast(
+        queries.select(col("vec_id").as("query_id"), col("embedding").as("query_vec"), F.l2norm(col("embedding")).as("query_nrm"))
+      ))
       .filter(col("query_id") =!= col("item_id"))
-      .withColumn("cos", F.cosine(col("query_vec"), col("item_vec")))
+      .withColumn("cos", F.dot(col("query_vec"), col("item_vec")) / (col("query_nrm") * col("item_nrm")))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("item_id").asc)
     joined
       .withColumn("rank", row_number().over(w))

@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+import graft.functions.F
+
+class DedupSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank tonight"), // near-dup of 0
+    (2L, "completely different content about spark catalyst optimizer and tungsten"),
+    (3L, "the quick brown fox jumps over the lazy dog near the river bank today"), // exact dup of 0
+    (4L, "yet another unrelated text mentioning columnar storage formats and parquet")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts and keeps min id") {
+    val out = Dedup.exact(docs, "doc_id", "text").orderBy("keep_id").as[(Long, Long)].collect().toSeq
+    assert(out == Seq((0L, 2L), (1L, 1L), (2L, 1L), (4L, 1L)))
+  }
+
+  test("minhash LSH finds the exact and near duplicates, not the unrelated pairs") {
+    val pairs = Dedup
+      .minhashPairs(docs, "doc_id", "text", numHashes = 64, bands = 16, threshold = 0.3)
+      .select("id_a", "id_b")
+      .as[(Long, Long)]
+      .collect()
+      .toSet
+    assert(pairs.contains((0L, 3L))) // exact dup: est jaccard 1.0
+    assert(pairs.contains((0L, 1L)) && pairs.contains((1L, 3L))) // near dup
+    assert(!pairs.exists { case (a, b) => Set(a, b).contains(2L) || Set(a, b).contains(4L) })
+  }
+
+  test("minhash estimated jaccard tracks true shingle jaccard") {
+    val sh = docs.select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh"))
+    val a = sh.filter(col("doc_id") === 0).select(col("sh").as("sa"))
+    val b = sh.filter(col("doc_id") === 1).select(col("sh").as("sb"))
+    val trueJac = a.crossJoin(b).select(F.jaccard(col("sa"), col("sb"))).as[Double].head()
+    val est = Dedup
+      .minhashPairs(docs, "doc_id", "text", threshold = 0.0)
+      .filter(col("id_a") === 0 && col("id_b") === 1)
+      .select("est_jaccard")
+      .as[Double]
+      .head()
+    assert(math.abs(trueJac - est) < 0.2, s"true=$trueJac est=$est")
+  }
+
+  test("simhash: identical texts have hamming 0 and are paired") {
+    val sigs = Dedup.simhashSigs(docs, "doc_id", "text", 3)
+    val s0 = sigs.filter(col("id") === 0).select("sig").as[Long].head()
+    val s3 = sigs.filter(col("id") === 3).select("sig").as[Long].head()
+    assert(s0 == s3)
+    val pairs = Dedup
+      .simhashPairs(docs, "doc_id", "text", maxHamming = 3)
+      .select("id_a", "id_b")
+      .as[(Long, Long)]
+      .collect()
+      .toSet
+    assert(pairs.contains((0L, 3L)))
+  }
+
+  test("embedding LSH pairs agree with brute-force cosine at the same threshold on real data") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val lsh = Dedup
+      .embeddingPairs(emb, "vec_id", "embedding", threshold = 0.4)
+      .select("id_a", "id_b")
+      .as[(Long, Long)]
+      .collect()
+      .toSet
+    val a = emb.select(col("vec_id").as("ia"), col("embedding").as("va"))
+    val b = emb.select(col("vec_id").as("ib"), col("embedding").as("vb"))
+    val brute = a
+      .crossJoin(b)
+      .filter(col("ia") < col("ib"))
+      .withColumn("cos", F.cosine(col("va"), col("vb")))
+      .filter(col("cos") >= 0.4)
+      .select("ia", "ib")
+      .as[(Long, Long)]
+      .collect()
+      .toSet
+    assert(lsh.subsetOf(brute), "LSH must not produce false positives after exact verification")
+    assert(brute.isEmpty || lsh.nonEmpty, "LSH should recall some true pairs")
+  }
+}

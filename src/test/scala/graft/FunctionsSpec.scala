@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.F
+import graft.operators.TextAnalysis
+
+class FunctionsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("tokens: lowercase, split on non-alphanumeric, drop empties") {
+    val out = Seq("Hello, World!  42x").toDF("t").select(F.tokens(col("t"))).as[Seq[String]].head()
+    assert(out == Seq("hello", "world", "42x"))
+  }
+
+  test("splitWords keeps case") {
+    val out = Seq("PROMO BURNISHED-COPPER").toDF("t").select(F.splitWords(col("t"))).as[Seq[String]].head()
+    assert(out == Seq("PROMO", "BURNISHED", "COPPER"))
+  }
+
+  test("contains_all / contains_any / contains_same") {
+    val df = Seq((Seq("a", "b", "c"), Seq("c", "a"))).toDF("x", "y")
+    val r = df
+      .select(
+        F.containsAll(col("x"), col("y")),
+        F.containsAny(col("x"), array(lit("z"), lit("b"))),
+        F.containsSame(col("x"), array(lit("c"), lit("b"), lit("a"))),
+        F.containsSame(col("x"), col("y"))
+      )
+      .as[(Boolean, Boolean, Boolean, Boolean)]
+      .head()
+    assert(r == ((true, true, true, false)))
+  }
+
+  test("charNgrams produces distinct sliding n-grams") {
+    val out = Seq("abcd").toDF("t").select(F.charNgrams(col("t"), 3)).as[Seq[String]].head()
+    assert(out == Seq("abc", "bcd"))
+  }
+
+  test("jaccard on arrays-as-sets") {
+    val df = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("x", "y")
+    val j = df.select(F.jaccard(col("x"), col("y"))).as[Double].head()
+    assert(math.abs(j - 0.5) < 1e-12)
+  }
+
+  test("hamming of longs") {
+    val d = Seq((0L, 7L)).toDF("a", "b").select(F.hamming(col("a"), col("b"))).as[Int].head()
+    assert(d == 3)
+  }
+
+  test("cosine of identical vectors is 1, orthogonal is 0") {
+    val df = Seq(
+      (Seq(1.0f, 0.0f), Seq(1.0f, 0.0f)),
+      (Seq(1.0f, 0.0f), Seq(0.0f, 1.0f))
+    ).toDF("a", "b")
+    val cs = df.select(F.cosine(col("a"), col("b"))).as[Double].collect()
+    assert(math.abs(cs(0) - 1.0) < 1e-12 && math.abs(cs(1)) < 1e-12)
+  }
+
+  test("fingerprint matches the reference polynomial computed in plain Scala") {
+    val text = "Key agg ROW scan 42!"
+    val norm = text.toLowerCase.replaceAll("[^a-z0-9 ]", "").take(128)
+    val expected = norm.foldLeft(0L)((acc, c) => (acc * 131L + c.toLong) % 2147483647L)
+    val got = Seq(text).toDF("text").select(TextAnalysis.fingerprint(col("text"))).as[Long].head()
+    assert(got == expected)
+  }
+
+  test("langId picks the max-marker language, und when none") {
+    val df = Seq("the cat and the dog of a", "der hund und die katze ist", "xyzzy").toDF("text")
+    val out = df.select(TextAnalysis.langId(col("text"))).as[String].collect().toSeq
+    assert(out == Seq("en", "de", "und"))
+  }
+
+  test("time trunc family matches expected boundaries") {
+    val df = Seq("2024-05-15 13:45:30.5").toDF("s").select(col("s").cast("timestamp").as("ts"))
+    val r = df
+      .select(
+        F.truncYear(col("ts")).cast("string"),
+        F.truncQuarter(col("ts")).cast("string"),
+        F.truncWeek(col("ts")).cast("string"),
+        F.truncHour(col("ts")).cast("string")
+      )
+      .as[(String, String, String, String)]
+      .head()
+    assert(r._1 == "2024-01-01 00:00:00")
+    assert(r._2 == "2024-04-01 00:00:00")
+    assert(r._3 == "2024-05-13 00:00:00") // Monday of that ISO week
+    assert(r._4 == "2024-05-15 13:00:00")
+  }
+}

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.SparkPlan
+
+/**
+ * Plan audits: the scale contract from SURVEY.md §5 — filters reach the
+ * parquet scan, projections prune columns, catalog joins broadcast.
+ * These are the properties that decide whether a query survives 100 TB,
+ * so they are asserted, not eyeballed.
+ */
+class PlanSpec extends SparkSpecBase {
+
+  private def planOf(name: String, execute: Boolean = false): String = {
+    val df = SparkEntry.queries(name)(spark, sfDir)
+    if (execute) df.collect() // AQE: codegen stages only appear in the final plan of THIS execution
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q_filter_range pushes time-range + dim filters into the parquet scan") {
+    val p = planOf("q_filter_range")
+    assert(p.contains("PushedFilters:"), p.take(2000))
+    assert(p.contains("GreaterThanOrEqual(l_shipdate") && p.contains("EqualTo(l_returnflag,R)"), p.take(2000))
+  }
+
+  test("q_str_funcs prunes to the referenced columns only") {
+    val p = planOf("q_str_funcs")
+    assert(p.contains("ReadSchema"))
+    assert(!p.contains("c_acctbal") && !p.contains("c_nationkey"), "scan must not read unused columns")
+  }
+
+  test("q_join_link uses broadcast joins for all three catalog joins") {
+    val p = planOf("q_join_link")
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(broadcasts == 3, s"expected 3 broadcast joins, plan:\n${p.take(3000)}")
+    assert(!p.contains("SortMergeJoin"), "catalog joins must not shuffle the fact side")
+  }
+
+  test("q_agg_sum_min_max does partial (map-side) aggregation before the shuffle") {
+    val p = planOf("q_agg_sum_min_max")
+    assert(p.contains("partial_sum") || p.contains("HashAggregate"), p.take(2000))
+    // one shuffle for the groupBy, one for the global orderBy — no more
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(exchanges <= 3, s"too many shuffles ($exchanges):\n${p.take(3000)}")
+  }
+
+  test("whole-stage codegen covers the aggregation pipeline") {
+    val p = planOf("q_agg_sum_min_max", execute = true)
+    // codegen'd operators carry the "*(n)" stage marker in the final plan
+    assert(p.contains("*(1)") && p.contains("*(2)"), p.take(2000))
+  }
+
+  test("TsLayout time-range read prunes partitions") {
+    val path = "/tmp/graft_spec_layout/events"
+    val events = SparkEntry.queries("q_stream_ingest")(spark, sfDir) // writes + reads the layout
+    events.count() // materialize the layout
+    val df = spark.read.parquet(s"/tmp/graft_layout/_root_testdata_sf0_001/events")
+      .filter(col("ts_bucket") === "2024-01")
+    val scan = df.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("ts_bucket"), scan.take(2000))
+  }
+}

@@ -1,0 +1,72 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.Ingest
+
+/**
+ * Structured-streaming parity: the same windowedAgg over a real
+ * MemoryStream (with watermark) must produce the batch result once the
+ * stream is drained — the reference's online/batch ingest equivalence
+ * (yupana-spark ETLFunctions processes both DStream and RDD paths).
+ */
+class StreamingSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("windowedAgg over a stream equals the batch computation") {
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 00:05:00"), 10L, "click", 1.5),
+      (2L, Timestamp.valueOf("2024-01-01 00:45:00"), 11L, "click", 2.5),
+      (3L, Timestamp.valueOf("2024-01-01 01:05:00"), 10L, "view", 4.0),
+      (4L, Timestamp.valueOf("2024-01-01 00:59:59"), 12L, "view", 8.0),
+      (5L, Timestamp.valueOf("2024-01-01 02:00:00"), 13L, "click", 16.0)
+    )
+    val stream = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    stream.addData(rows: _*)
+    val streamDf = stream
+      .toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = Ingest
+      .windowedAgg(streamDf)
+      .writeStream
+      .format("memory")
+      .queryName("win_out")
+      .outputMode("complete")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark
+      .table("win_out")
+      .orderBy("window_start", "event_type")
+      .as[(Timestamp, String, Long, Double)]
+      .collect()
+      .toSeq
+    val batch = Ingest
+      .windowedAgg(rows.toDF("event_id", "ts", "user_id", "event_type", "value"))
+      .orderBy("window_start", "event_type")
+      .as[(Timestamp, String, Long, Double)]
+      .collect()
+      .toSeq
+    assert(streamed == batch)
+    assert(batch.map(r => (r._1.toString, r._2, r._3, r._4)) == Seq(
+      ("2024-01-01 00:00:00.0", "click", 2L, 4.0),
+      ("2024-01-01 00:00:00.0", "view", 1L, 8.0),
+      ("2024-01-01 01:00:00.0", "view", 1L, 4.0),
+      ("2024-01-01 02:00:00.0", "click", 1L, 16.0)
+    ))
+  }
+
+  test("DataPoint ingest flattens into the events row shape") {
+    val pts = Seq(
+      Ingest.DataPoint("events", Timestamp.valueOf("2024-01-01 00:00:01"),
+        Map("user_id" -> "7", "event_type" -> "click"), Map("event_id" -> 1.0, "value" -> 3.5)),
+      Ingest.DataPoint("other_table", Timestamp.valueOf("2024-01-01 00:00:02"), Map(), Map())
+    )
+    val df = Ingest.eventsFromDataPoints(spark, pts)
+    val r = df.as[(Long, Timestamp, Long, String, Double)].collect().toSeq
+    assert(r == Seq((1L, Timestamp.valueOf("2024-01-01 00:00:01"), 7L, "click", 3.5)))
+  }
+}

@@ -71,6 +71,32 @@ object OracleSql {
          CAST(minute(ts) AS BIGINT) AS e_minute,
          CAST(CAST(floor(second(ts)) AS BIGINT) AS BIGINT) AS e_second
          FROM events WHERE event_id < 500 ORDER BY event_id""",
+    "q_time_interval" ->
+      """SELECT event_id,
+         ts + INTERVAL 1 DAY AS ts_plus_day,
+         ts - INTERVAL 2 HOUR AS ts_minus_2h,
+         ts + INTERVAL 90 MINUTE AS ts_plus_90m
+         FROM events WHERE event_id < 500 ORDER BY event_id""",
+    "q_sql_agg" ->
+      """SELECT date_trunc('month', l_shipdate) AS month, l_returnflag,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+         COUNT(*) AS cnt
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1993-01-01' AND l_shipdate < TIMESTAMP '1995-01-01'
+         GROUP BY month, l_returnflag
+         ORDER BY month, l_returnflag""",
+    "q_sql_topn" ->
+      """SELECT o_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS spend,
+         COUNT(*) AS n_orders
+         FROM orders
+         GROUP BY o_custkey
+         HAVING COUNT(*) >= 2
+         ORDER BY spend DESC, o_custkey
+         LIMIT 20""",
+    "q_upsert" ->
+      """SELECT event_id, ts, user_id, event_type,
+         CASE WHEN event_id < 100 THEN value * 2.0 ELSE value END AS value
+         FROM events ORDER BY event_id""",
     "q_str_funcs" ->
       """SELECT c_custkey,
          CAST(length(c_name) AS BIGINT) AS name_len,

@@ -148,6 +148,18 @@ object SparkEntry {
       )
       .orderBy(col("event_id"))
 
+  /** Interval arithmetic on the time axis (reference PeriodDuration consts). */
+  private def qTimeInterval(s: SparkSession, dir: String): DataFrame =
+    ld(s, dir, "events")
+      .filter(col("event_id") < 500)
+      .select(
+        col("event_id"),
+        (col("ts") + expr("INTERVAL 1 DAY")).as("ts_plus_day"),
+        (col("ts") - expr("INTERVAL 2 HOUR")).as("ts_minus_2h"),
+        (col("ts") + expr("INTERVAL 90 MINUTE")).as("ts_plus_90m")
+      )
+      .orderBy(col("event_id"))
+
   // ==================================================================
   // §2.4 unary / string ops
   // ==================================================================
@@ -321,6 +333,37 @@ object SparkEntry {
       .orderBy(col("part_rev").desc, col("l_partkey"))
       .limit(10)
 
+  /**
+   * The SQL surface: graft's query language IS Spark SQL over the
+   * registered schema (the reference parses its own SQL dialect —
+   * yupana-core sql/SqlQueryProcessor — into the same query shapes).
+   */
+  private def qSqlAgg(s: SparkSession, dir: String): DataFrame = {
+    graft.sql.GraftFunctions.registerTables(s, n => ld(s, dir, n))
+    s.sql("""
+      SELECT date_trunc('month', l_shipdate) AS month, l_returnflag,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+             COUNT(*) AS cnt
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1993-01-01' AND l_shipdate < TIMESTAMP '1995-01-01'
+      GROUP BY month, l_returnflag
+      ORDER BY month, l_returnflag
+    """)
+  }
+
+  private def qSqlTopn(s: SparkSession, dir: String): DataFrame = {
+    graft.sql.GraftFunctions.registerTables(s, n => ld(s, dir, n))
+    s.sql("""
+      SELECT o_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS spend,
+             COUNT(*) AS n_orders
+      FROM orders
+      GROUP BY o_custkey
+      HAVING COUNT(*) >= 2
+      ORDER BY spend DESC, o_custkey
+      LIMIT 20
+    """)
+  }
+
   // ==================================================================
   // §2.7 type conversions
   // ==================================================================
@@ -356,6 +399,15 @@ object SparkEntry {
     Ingest
       .windowedAgg(ld(s, dir, "events"))
       .orderBy(col("window_start"), col("event_type"))
+
+  /** UPSERT: re-put rows replace metric values at the same key. */
+  private def qUpsert(s: SparkSession, dir: String): DataFrame = {
+    val base = ld(s, dir, "events")
+    val updates = base.filter(col("event_id") < 100).withColumn("value", col("value") * 2.0)
+    graft.sources.Upsert(base, updates, keys = Seq("event_id"))
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .orderBy(col("event_id"))
+  }
 
   // ==================================================================
   // §2.9 dedup
@@ -459,6 +511,10 @@ object SparkEntry {
     "q_window_lag" -> (qWindowLag _),
     "q_time_trunc" -> (qTimeTrunc _),
     "q_time_extract" -> (qTimeExtract _),
+    "q_time_interval" -> (qTimeInterval _),
+    "q_sql_agg" -> (qSqlAgg _),
+    "q_sql_topn" -> (qSqlTopn _),
+    "q_upsert" -> (qUpsert _),
     "q_str_funcs" -> (qStrFuncs _),
     "q_tokens" -> (qTokens _),
     "q_split" -> (qSplit _),

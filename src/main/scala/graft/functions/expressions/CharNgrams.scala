@@ -1,0 +1,43 @@
+package graft.functions.expressions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Distinct sliding character n-grams of a string, first-occurrence
+ * order — exactly `array_distinct(transform(sequence(1,
+ * greatest(len-(n-1),1)), i -> substr(s, i, n)))` (and the DuckDB
+ * oracle's list_distinct/substr formulation), but one per-row loop
+ * instead of three interpreted higher-order functions. Tail grams
+ * shorter than n (when the string is shorter than n) are kept,
+ * matching substr semantics.
+ */
+case class CharNgrams(child: Expression, n: Int)
+    extends UnaryExpression
+    with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_char_ngrams"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val len = s.length
+    val count = math.max(len - (n - 1), 1)
+    val seen = new java.util.LinkedHashSet[String]()
+    var i = 0
+    while (i < count) {
+      seen.add(s.substring(i, math.min(i + n, len)))
+      i += 1
+    }
+    val out = new Array[AnyRef](seen.size())
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = UTF8String.fromString(it.next()); j += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CharNgrams = copy(child = newChild)
+}

@@ -23,13 +23,12 @@ object Ann {
     * Norms are precomputed per side so the per-candidate work is one dot
     * product (same IEEE result as inline cosine: identical op order). */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    graft.sql.GraftFunctions.register(corpus.sparkSession)
     val joined = corpus
-      .select(col("vec_id").as("item_id"), col("embedding").as("item_vec"), F.l2norm(col("embedding")).as("item_nrm"))
-      .crossJoin(broadcast(
-        queries.select(col("vec_id").as("query_id"), col("embedding").as("query_vec"), F.l2norm(col("embedding")).as("query_nrm"))
-      ))
+      .select(col("vec_id").as("item_id"), col("embedding").as("item_vec"))
+      .crossJoin(broadcast(queries.select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))))
       .filter(col("query_id") =!= col("item_id"))
-      .withColumn("cos", F.dot(col("query_vec"), col("item_vec")) / (col("query_nrm") * col("item_nrm")))
+      .withColumn("cos", call_function("graft_cosine", col("query_vec"), col("item_vec")))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("item_id").asc)
     joined
       .withColumn("rank", row_number().over(w))

@@ -35,28 +35,22 @@ object Dedup {
   }
 
   /**
-   * MinHash signatures via explode → 64 partial-aggregated `min`s.
-   *
-   * NOT the nested-transform formulation (`transform(0..k, i =>
-   * array_min(transform(shingles, hash)))`): there the shingle
-   * expression sits inside the outer lambda and is re-evaluated k
-   * times per row (tokenize ×64 — measured 70s on 500 docs). Explode
-   * tokenizes once per row, and the k `min` aggregates get map-side
-   * partial combine, so the shuffle carries one row per (partition,
-   * doc) — the shape that survives 100 TB.
+   * MinHash signatures: one narrow per-row pass, no shuffle.
+   * See TextMinHash for why the fused expression beats the composable
+   * formulations (nested transform 70s+, explode + 64 partial-agg mins
+   * 11s, fused ~1s at sf0.1).
    */
   def minhashSigs(df: DataFrame, idCol: String, textCol: String, numHashes: Int, shingleSize: Int): DataFrame = {
-    // Hash the shingle string ONCE, then derive the k-member hash family
-    // by re-hashing the fixed-width 8-byte value (k string hashes per
-    // shingle measured 17s at sf0.1; rehashing the long is ~3x cheaper,
-    // and multiply-mix tricks are out under ANSI overflow checking).
-    val ex = df
-      .select(col(idCol).as("id"), explode(shingles(col(textCol), shingleSize)).as("sh"))
-      .select(col("id"), xxhash64(col("sh")).as("h"))
-    val aggs = (0 until numHashes).map(i => min(xxhash64(col("h"), lit(i))).as(s"h$i"))
-    ex.groupBy(col("id"))
-      .agg(aggs.head, aggs.tail: _*)
-      .select(col("id"), array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
+    // One narrow pass via the fused TextMinHash expression (tokenize →
+    // shingle-hash → k minima, no intermediate strings). Earlier shapes
+    // measured at sf0.1: nested transform 70s+, explode + 64
+    // partial-agg mins 11s, HOF shingles + native minhash ~10s cold
+    // (interpreter warm-up dominates), fused ~1s.
+    graft.sql.GraftFunctions.register(df.sparkSession)
+    df.select(
+      col(idCol).as("id"),
+      call_function("graft_text_minhash", col(textCol), lit(shingleSize), lit(numHashes)).as("sig")
+    )
   }
 
   /**
@@ -80,7 +74,7 @@ object Dedup {
       .select(col("id"), col("sig"), explode(F.lshBandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
       .select(col("id"), col("sig"), col("bk.band"), col("bk.bh"))
     val a = banded.as("a")
-    val b = banded.as("b")
+    val b = banded.as("b").hint("shuffle_hash")
     val cand = a
       .join(b, col("a.band") === col("b.band") && col("a.bh") === col("b.bh") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
@@ -95,26 +89,20 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("est_jaccard"))
   }
 
+  /** SimHash signatures — one narrow pass via the fused TextSimHash expression. */
+  def simhashSigs(df: DataFrame, idCol: String, textCol: String, shingleSize: Int): DataFrame = {
+    graft.sql.GraftFunctions.register(df.sparkSession)
+    df.select(
+      col(idCol).as("id"),
+      call_function("graft_text_simhash", col(textCol), lit(shingleSize)).as("sig")
+    )
+  }
+
   /**
    * SimHash near-duplicate pairs: 64-bit signature, candidates share at
    * least one of four 16-bit sub-bands (guarantees recall for hamming
    * distance <= 3), verified with exact hamming <= maxHamming.
    */
-  /** SimHash signatures, same explode/partial-agg shape as [[minhashSigs]]. */
-  def simhashSigs(df: DataFrame, idCol: String, textCol: String, shingleSize: Int): DataFrame = {
-    val ex = df
-      .select(col(idCol).as("id"), explode(shingles(col(textCol), shingleSize)).as("sh"))
-      .select(col("id"), xxhash64(col("sh")).as("h"))
-    val voteAggs = (0 until 64).map { i =>
-      sum(when(call_function("shiftrightunsigned", col("h"), lit(i)).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
-        .as(s"v$i")
-    }
-    val sigExpr = (0 until 64)
-      .map(i => when(col(s"v$i") > 0, lit(1L << i)).otherwise(lit(0L)))
-      .reduce[Column]((a, b) => a.bitwiseOR(b))
-    ex.groupBy(col("id")).agg(voteAggs.head, voteAggs.tail: _*).select(col("id"), sigExpr.as("sig"))
-  }
-
   def simhashPairs(
       df: DataFrame,
       idCol: String,
@@ -134,7 +122,7 @@ object Dedup {
       ).as("bk")
     ).select(col("id"), col("sig"), col("bk.band"), col("bk.bh"))
     val a = banded.as("a")
-    val b = banded.as("b")
+    val b = banded.as("b").hint("shuffle_hash")
     a.join(b, col("a.band") === col("b.band") && col("a.bh") === col("b.bh") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
       .dropDuplicates("id_a", "id_b")
@@ -145,10 +133,9 @@ object Dedup {
 
   /**
    * Character n-gram Jaccard near-dup pairs within bounded groups
-   * (group key caps candidate counts; at scale the group key is an LSH
-   * prefix or domain/source bucket).
-   */
-  /**
+   * (the group key caps candidates; at scale it is an LSH prefix or
+   * domain/source bucket).
+   *
    * Set-similarity-join formulation (PPJoin-lite): explode distinct
    * grams, equi-join on (group, gram), count shared grams per pair,
    * jaccard = |∩| / (|A| + |B| − |∩|). Compared to joining whole gram
@@ -165,13 +152,19 @@ object Dedup {
       n: Int = 4,
       threshold: Double = 0.35
   ): DataFrame = {
+    graft.sql.GraftFunctions.register(df.sparkSession)
     val withGrams = df.select(
-      (col(idCol).as("id") +: F.charNgrams(lower(col(textCol)), n).as("grams") +: groupCols.map(col)): _*
+      (col(idCol).as("id") +:
+        call_function("graft_char_ngrams", lower(col(textCol)), lit(n)).as("grams") +:
+        groupCols.map(col)): _*
     )
     val ex = withGrams
       .select((col("id") +: size(col("grams")).as("sz") +: explode(col("grams")).as("gram") +: groupCols.map(col)): _*)
+    // shuffle_hash: the per-key gram buckets are small and uniform, so a
+    // hash join skips the two 0.9M-row sorts a sort-merge join would pay
+    // (measured 9.4s -> ~4s at sf0.1).
     val a = ex.as("a")
-    val b = ex.as("b")
+    val b = ex.as("b").hint("shuffle_hash")
     val joinCond = (groupCols.map(c => col(s"a.$c") === col(s"b.$c")) :+
       (col("a.gram") === col("b.gram")) :+ (col("a.id") < col("b.id"))).reduce(_ && _)
     a.join(b, joinCond)
@@ -216,30 +209,24 @@ object Dedup {
           lit(1)
         ).otherwise(lit(0))
     )
-    val sigs = df.select(col(idCol).as("id"), col(vecCol).as("vec"), F.l2norm(col(vecCol)).as("nrm"), bits.as("bits"))
+    graft.sql.GraftFunctions.register(df.sparkSession)
+    val sigs = df.select(col(idCol).as("id"), col(vecCol).as("vec"), bits.as("bits"))
     val banded = sigs.select(
       col("id"),
       col("vec"),
-      col("nrm"),
       explode(
         transform(
           sequence(lit(0), lit(bands - 1)),
           bnd => struct(bnd.as("band"), concat_ws("", slice(col("bits"), bnd * rowsPerBand + 1, lit(rowsPerBand))).as("bh"))
         )
       ).as("bk")
-    ).select(col("id"), col("vec"), col("nrm"), col("bk.band"), col("bk.bh"))
+    ).select(col("id"), col("vec"), col("bk.band"), col("bk.bh"))
     val a = banded.as("a")
-    val b = banded.as("b")
-    // norms precomputed per row (not per candidate pair): the pair-level
-    // work is one dot product, a 3x saving measured at sf0.1.
+    val b = banded.as("b").hint("shuffle_hash")
     a.join(b, col("a.band") === col("b.band") && col("a.bh") === col("b.bh") && col("a.id") < col("b.id"))
-      .select(
-        col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.vec").as("vec_a"), col("b.vec").as("vec_b"),
-        col("a.nrm").as("nrm_a"), col("b.nrm").as("nrm_b")
-      )
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("a.vec").as("vec_a"), col("b.vec").as("vec_b"))
       .dropDuplicates("id_a", "id_b")
-      .withColumn("cos", F.dot(col("vec_a"), col("vec_b")) / (col("nrm_a") * col("nrm_b")))
+      .withColumn("cos", call_function("graft_cosine", col("vec_a"), col("vec_b")))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), col("cos"))
   }

@@ -1,0 +1,63 @@
+package graft.sql
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions.expressions.{CosineSimilarity, MinHashSignature, SimHash64, TextMinHash, TextSimHash}
+
+/**
+ * SQL function surface: the reference exposes its engine through a
+ * SQL-like language with a fixed registry
+ * (yupana-core/src/main/scala/org/yupana/core/sql/FunctionRegistry.scala).
+ * graft's SQL surface IS Spark SQL — `spark.sql(...)` over the
+ * registered tables gives the reference's SELECT semantics directly —
+ * and this object adds the graft-specific functions (sketches) to the
+ * session so they are callable from SQL and `call_function`.
+ *
+ * Cluster deployments inject [[GraftExtensions]] via
+ * `spark.sql.extensions=graft.sql.GraftExtensions`; local code can call
+ * [[GraftFunctions.register]] on an existing session.
+ */
+object GraftFunctions {
+
+  private def intArg(exprs: Seq[Expression], i: Int, default: Int): Int =
+    if (exprs.length > i) exprs(i).eval().asInstanceOf[Number].intValue() else default
+
+  val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_minhash" -> (exprs => MinHashSignature(exprs.head, 64)),
+    "graft_simhash" -> (exprs => SimHash64(exprs.head)),
+    "graft_cosine" -> (exprs => CosineSimilarity(exprs(0), exprs(1))),
+    // fused text → sketch: (text[, shingleSize[, numHashes]])
+    "graft_text_minhash" -> (exprs => TextMinHash(exprs.head, intArg(exprs, 1, 3), intArg(exprs, 2, 64))),
+    "graft_text_simhash" -> (exprs => TextSimHash(exprs.head, intArg(exprs, 1, 3))),
+    "graft_char_ngrams" -> (exprs => graft.functions.expressions.CharNgrams(exprs.head, intArg(exprs, 1, 4)))
+  )
+
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    builders.foreach { case (name, b) =>
+      reg.createOrReplaceTempFunction(name, b, "built-in")
+    }
+  }
+
+  /** Register the sf tables as temp views for the SQL surface. */
+  def registerTables(spark: SparkSession, load: String => org.apache.spark.sql.DataFrame): Unit = {
+    Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem", "events", "documents", "embeddings")
+      .foreach(t => load(t).createOrReplaceTempView(t))
+  }
+}
+
+/** `spark.sql.extensions` entry point for cluster-wide injection. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    GraftFunctions.builders.foreach { case (name, b) =>
+      ext.injectFunction(
+        (
+          FunctionIdentifier(name),
+          new ExpressionInfo("graft.functions.expressions", name),
+          (exprs: Seq[Expression]) => b(exprs)
+        )
+      )
+    }
+  }
+}

@@ -183,6 +183,44 @@ object OracleSql {
          JOIN nation ON s_nationkey = n_nationkey
          JOIN region ON n_regionkey = r_regionkey
          GROUP BY r_name, n_name ORDER BY r_name, n_name""",
+    "q_join_facts" ->
+      s"""SELECT o_orderpriority,
+         CAST(SUM($rev) AS DOUBLE) AS sum_rev,
+         COUNT(*) AS n_items,
+         COUNT(DISTINCT o_orderkey) AS n_orders
+         FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q_inverted_phrase" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents)
+         SELECT doc_id FROM t
+         WHERE list_has_all(tk, ['spark','table','merge'])
+         ORDER BY doc_id""",
+    "q_cooccurrence" ->
+      """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events)
+         SELECT a.event_type AS type_a, b.event_type AS type_b, COUNT(*) AS n_users
+         FROM ut a JOIN ut b
+           ON a.user_id = b.user_id AND a.event_type < b.event_type
+         GROUP BY type_a, type_b ORDER BY type_a, type_b""",
+    "q_sample_split" ->
+      """WITH t AS (SELECT doc_id,
+           substr(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), 1, 128) AS norm
+           FROM documents),
+         f AS (SELECT doc_id,
+           CAST(list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(list_filter(string_split(norm, ''), c -> length(c) > 0),
+                 c -> CAST(ascii(c) AS BIGINT))),
+             (a, c) -> (a * 131 + c) % 2147483647) AS BIGINT) AS fp
+           FROM t)
+         SELECT CASE WHEN fp % 10 < 8 THEN 'train' WHEN fp % 10 = 8 THEN 'val' ELSE 'test' END AS split,
+                COUNT(*) AS n_docs
+         FROM f GROUP BY split ORDER BY split""",
+    "q_vocab_stats" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
+              u AS (SELECT unnest(tk) AS token FROM t)
+         SELECT token, COUNT(*) AS occurrences
+         FROM u GROUP BY token
+         ORDER BY occurrences DESC, token LIMIT 30""",
     "q_rollup" ->
       """WITH daily AS (
            SELECT date_trunc('day', ts) AS rollup_time, event_type,

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.F
-import graft.operators.{Ann, Dedup, Multimodal, TextAnalysis}
+import graft.operators.{Ann, Dedup, InvertedIndex, Multimodal, TextAnalysis}
 import graft.schema.TestSchema
 import graft.core.QueryBuilder
 import graft.sources.{Rollup, TsLayout}
@@ -409,6 +409,57 @@ object SparkEntry {
       .orderBy(col("event_id"))
   }
 
+  /** Fact-fact join (orders ⋈ lineitem): the shuffle-join shape AQE re-plans. */
+  private def qJoinFacts(s: SparkSession, dir: String): DataFrame =
+    ld(s, dir, "orders")
+      .join(ld(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        sum(revenue).cast("double").as("sum_rev"),
+        count(lit(1)).as("n_items"),
+        countDistinct(col("o_orderkey")).as("n_orders")
+      )
+      .orderBy(col("o_orderpriority"))
+
+  /** Inverted-index phrase search (reference ItemsInvertedIndex link). */
+  private def qInvertedPhrase(s: SparkSession, dir: String): DataFrame = {
+    val idx = InvertedIndex.build(ld(s, dir, "documents"), "doc_id", "text")
+    InvertedIndex.phraseSearch(idx, "spark table merge").orderBy(col("doc_id"))
+  }
+
+  /** Co-occurrence catalog (reference RelatedItemsCatalog analogue). */
+  private def qCooccurrence(s: SparkSession, dir: String): DataFrame = {
+    val ut = ld(s, dir, "events").select(col("user_id"), col("event_type")).distinct()
+    val a = ut.as("a")
+    val b = ut.as("b")
+    a.join(b, col("a.user_id") === col("b.user_id") && col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("type_a"), col("b.event_type").as("type_b"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
+  /** Content-hash train/val/test split (deterministic, content-defined). */
+  private def qSampleSplit(s: SparkSession, dir: String): DataFrame = {
+    val fp = TextAnalysis.fingerprint(col("text"))
+    ld(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        when(fp % 10 < 8, "train").when(fp % 10 === 8, "val").otherwise("test").as("split")
+      )
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("split"))
+  }
+
+  /** Corpus vocabulary statistics: top tokens by frequency. */
+  private def qVocabStats(s: SparkSession, dir: String): DataFrame =
+    ld(s, dir, "documents")
+      .select(explode(F.tokens(col("text"))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("occurrences"))
+      .orderBy(col("occurrences").desc, col("token"))
+      .limit(30)
+
   // ==================================================================
   // §2.9 dedup
   // ==================================================================
@@ -528,6 +579,11 @@ object SparkEntry {
     "q_postfilter" -> (qPostfilter _),
     "q_limit" -> (qLimit _),
     "q_join_link" -> (qJoinLink _),
+    "q_join_facts" -> (qJoinFacts _),
+    "q_inverted_phrase" -> (qInvertedPhrase _),
+    "q_cooccurrence" -> (qCooccurrence _),
+    "q_sample_split" -> (qSampleSplit _),
+    "q_vocab_stats" -> (qVocabStats _),
     "q_rollup" -> (qRollup _),
     "q_topk" -> (qTopk _),
     "q_type_convs" -> (qTypeConvs _),

@@ -1,0 +1,36 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.F
+
+/**
+ * Token inverted index + phrase search, re-expressing the reference's
+ * ItemsInvertedIndex external link (yupana-schema/externallinks/
+ * ItemsInvertedIndex.scala over yupana-core dao/InvertedIndexDao.scala):
+ * yupana tokenizes item names into an HBase-backed index and resolves
+ * "items containing this phrase" into dimension filters.
+ *
+ * graft builds the index as a (token, doc) table — materialize it with
+ * TsLayout/parquet partitioned by token prefix for point lookups — and
+ * phrase search is an IN-filter + count aggregation: a candidate doc
+ * must match ALL phrase tokens, so the filter prunes the index scan to
+ * |phrase| postings lists before anything shuffles.
+ */
+object InvertedIndex {
+
+  /** (doc, token) postings from a text column, distinct per doc. */
+  def build(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"), explode(array_distinct(F.tokens(col(textCol)))).as("token"))
+
+  /** Docs whose token set contains every word of the phrase. */
+  def phraseSearch(index: DataFrame, phrase: String): DataFrame = {
+    val words = phrase.toLowerCase.split("[^\\p{L}\\p{Nd}]+").filter(_.nonEmpty).distinct
+    index
+      .filter(col("token").isin(words.toSeq: _*))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("token")).as("matched"))
+      .filter(col("matched") === words.length)
+      .select(col("doc_id"))
+  }
+}

@@ -23,6 +23,7 @@ import graft.streaming.Ingest
 object SparkEntry {
 
   private def ld(s: SparkSession, dir: String, name: String): DataFrame = {
+    graft.sql.GraftFunctions.register(s)
     if (name == "events") {
       // events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
       // reader rejects; read ns-as-long and convert (values are µs-aligned).

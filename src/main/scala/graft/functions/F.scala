@@ -46,13 +46,15 @@ object F {
    * lowercase, keep letter/digit runs, drop empties. Stemming is
    * locale-specific in the reference (RussianLightStemmer); graft keeps
    * the language-neutral normalization (identity stem).
+   *
+   * Resolves to the native Tokens expression (graft_tokens must be
+   * registered on the session — graft.sql.GraftFunctions.register;
+   * SparkEntry/specs do this automatically).
    */
-  def tokens(c: Column): Column =
-    filter(split(lower(c), "[^\\p{L}\\p{Nd}]+"), t => length(t) > lit(0))
+  def tokens(c: Column): Column = call_function("graft_tokens", c)
 
   /** Reference SplitExpr (Expression.scala:322): split on non-letter/digit, no lowercasing. */
-  def splitWords(c: Column): Column =
-    filter(split(c, "[^\\p{L}\\p{Nd}]+"), t => length(t) > lit(0))
+  def splitWords(c: Column): Column = call_function("graft_split_words", c)
 
   def arrayToString[T](c: Column): Column = array_join(c, ", ")
 

@@ -1,9 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.functions.F
 
 /**
  * Approximate-nearest-neighbor search over an embedding column
@@ -11,17 +10,18 @@ import graft.functions.F
  *
  * Scale design: the query set is broadcast (queries << corpus); the
  * corpus is scanned once. Brute force is the exact baseline; IVF
- * restricts each query to `probes` coarse cells so the per-query
- * candidate set shrinks by ~numCells/probes, which is what makes top-k
- * tractable when the corpus is 100 TB: cell assignment is a narrow
- * per-row computation, and the only wide operation is the final
- * per-query top-k (a partial top-k under AQE on (query) keys).
+ * restricts each query to `probes` coarse cells, shrinking the
+ * candidate set by ~numCells/probes. The centroid table is bounded
+ * metadata (numCells × dim floats): it is computed with exact-decimal
+ * means (deterministic across partition orders), collected once, and
+ * shipped inside a native expression — cell assignment is a narrow map,
+ * never a crossJoin, so the only wide operations are the final
+ * per-query top-k and the (tiny) mean aggregations.
  */
 object Ann {
 
   /** Exact cosine top-k: every query vector against the whole corpus.
-    * Norms are precomputed per side so the per-candidate work is one dot
-    * product (same IEEE result as inline cosine: identical op order). */
+    * Per-candidate work is one fused codegen'd cosine (graft_cosine). */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     graft.sql.GraftFunctions.register(corpus.sparkSession)
     val joined = corpus
@@ -36,10 +36,32 @@ object Ann {
       .select(col("query_id"), col("item_id"), col("cos"), col("rank"))
   }
 
+  /** Mean vector per cell with exact decimal averaging (deterministic), collected as the centroid table. */
+  private def centroidTable(assigned: DataFrame, numCells: Int, vecCol: String): Array[Array[Float]] = {
+    val rows: Array[Row] = assigned
+      .select(col("cell"), posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .groupBy(col("cell"), col("pos"))
+      .agg(avg(col("v").cast("decimal(28,10)")).cast("float").as("mv"))
+      .groupBy(col("cell"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("mv")))).as("pairs"))
+      .select(col("cell"), col("pairs"))
+      .collect()
+    val byCell = rows.map { r =>
+      val cell = r.getInt(0)
+      val vec = r.getSeq[Row](1).map(p => p.getFloat(1)).toArray
+      cell -> vec
+    }.toMap
+    // dense table in cell order; empty cells (possible at tiny SF) get a zero vector
+    val dim = byCell.values.headOption.map(_.length).getOrElse(0)
+    Array.tabulate(numCells)(c => byCell.getOrElse(c, Array.fill(dim)(0.0f)))
+  }
+
+  private def centroidsLit(cents: Array[Array[Float]]) =
+    typedlit[Seq[Seq[Float]]](cents.map(_.toSeq).toSeq)
+
   /**
-   * IVF-lite: deterministic coarse quantizer (centroids = mean of
-   * hash-bucketed vectors, one Lloyd refinement), probe-limited search.
-   * Centroid table is tiny (numCells rows) and broadcast everywhere.
+   * IVF-lite: deterministic coarse quantizer (hash-bucket seed means +
+   * one Lloyd refinement), probe-limited search.
    */
   def ivfTopK(
       spark: SparkSession,
@@ -49,63 +71,25 @@ object Ann {
       numCells: Int = 16,
       probes: Int = 4
   ): DataFrame = {
-    import spark.implicits._
-
+    graft.sql.GraftFunctions.register(spark)
     val base = corpus.select(col("vec_id").as("item_id"), col("embedding").as("item_vec"))
 
-    // Deterministic seed centroids: mean vector of each hash bucket.
-    def meanVec(df: DataFrame, keyCol: String, vecCol: String): DataFrame =
-      df.select(col(keyCol), posexplode(col(vecCol)).as(Seq("pos", "v")))
-        .groupBy(col(keyCol), col("pos"))
-        .agg(avg(col("v")).as("mv"))
-        .groupBy(col(keyCol))
-        .agg(array_sort(collect_list(struct(col("pos"), col("mv")))).as("pairs"))
-        .select(col(keyCol), transform(col("pairs"), p => p.getField("mv").cast("float")).as("centroid"))
-
+    // seed centroids: means of hash buckets; one Lloyd step to refine
     val seeded = base.withColumn("cell", pmod(xxhash64(col("item_id")), lit(numCells)).cast("int"))
-    var centroids = meanVec(seeded, "cell", "item_vec")
+    val c0 = centroidTable(seeded, numCells, "item_vec")
+    val reassigned = base.withColumn("cell", call_function("graft_nearest_centroid", col("item_vec"), centroidsLit(c0)))
+    val c1 = centroidTable(reassigned, numCells, "item_vec")
 
-    // One Lloyd iteration: re-assign to nearest seed centroid, re-average.
-    val assignW = Window.partitionBy(col("item_id")).orderBy(col("d2").asc, col("cell").asc)
-    val reassigned = base
-      .crossJoin(broadcast(centroids))
-      .withColumn(
-        "d2",
-        aggregate(zip_with(col("item_vec"), col("centroid"), (x, y) => (x - y) * (x - y)), lit(0.0), _ + _)
-      )
-      .withColumn("rn", row_number().over(assignW))
-      .filter(col("rn") === 1)
-      .select(col("item_id"), col("item_vec"), col("cell"))
-    centroids = meanVec(reassigned, "cell", "item_vec")
-
-    // Final cell assignment for corpus and probe list for queries.
-    val assigned = base
-      .crossJoin(broadcast(centroids))
-      .withColumn(
-        "d2",
-        aggregate(zip_with(col("item_vec"), col("centroid"), (x, y) => (x - y) * (x - y)), lit(0.0), _ + _)
-      )
-      .withColumn("rn", row_number().over(assignW))
-      .filter(col("rn") === 1)
-      .select(col("item_id"), col("item_vec"), col("cell"))
-
-    val probeW = Window.partitionBy(col("query_id")).orderBy(col("d2").asc, col("cell").asc)
+    val assigned = base.withColumn("cell", call_function("graft_nearest_centroid", col("item_vec"), centroidsLit(c1)))
     val queryProbes = queries
       .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
-      .crossJoin(broadcast(centroids))
-      .withColumn(
-        "d2",
-        aggregate(zip_with(col("query_vec"), col("centroid"), (x, y) => (x - y) * (x - y)), lit(0.0), _ + _)
-      )
-      .withColumn("rn", row_number().over(probeW))
-      .filter(col("rn") <= probes)
-      .select(col("query_id"), col("query_vec"), col("cell"))
+      .withColumn("cell", explode(call_function("graft_nearest_centroids", col("query_vec"), centroidsLit(c1), lit(probes))))
 
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("item_id").asc)
     assigned
       .join(broadcast(queryProbes), Seq("cell"))
       .filter(col("query_id") =!= col("item_id"))
-      .withColumn("cos", F.cosine(col("query_vec"), col("item_vec")))
+      .withColumn("cos", call_function("graft_cosine", col("query_vec"), col("item_vec")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("item_id"), col("cos"), col("rank"))

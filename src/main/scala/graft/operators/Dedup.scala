@@ -193,31 +193,23 @@ object Dedup {
       threshold: Double = 0.97
   ): DataFrame = {
     val rowsPerBand = planes / bands
-    // deterministic hyperplane component p_{j,i} in [-1,1): hash of (j,i)
-    def planeComponent(j: Column, i: Column): Column =
-      (xxhash64(j, i).cast("double") / lit(Long.MaxValue.toDouble))
-    val dim = size(col(vecCol))
-    val bits = transform(
-      sequence(lit(0), lit(planes - 1)),
-      j =>
-        when(
-          aggregate(
-            zip_with(col(vecCol), sequence(lit(0), dim - 1), (v, i) => v.cast("double") * planeComponent(j, i)),
-            lit(0.0),
-            _ + _
-          ) > 0,
-          lit(1)
-        ).otherwise(lit(0))
-    )
     graft.sql.GraftFunctions.register(df.sparkSession)
-    val sigs = df.select(col(idCol).as("id"), col(vecCol).as("vec"), bits.as("bits"))
+    // sign bits against deterministic hyperplanes, packed in a long
+    // (native expression — one per-row loop instead of planes×dim lambdas)
+    val sigs = df.select(
+      col(idCol).as("id"),
+      col(vecCol).as("vec"),
+      call_function("graft_hyperplane_bits", col(vecCol), lit(planes)).as("bits")
+    )
+    val mask = (1L << rowsPerBand) - 1L
     val banded = sigs.select(
       col("id"),
       col("vec"),
       explode(
         transform(
           sequence(lit(0), lit(bands - 1)),
-          bnd => struct(bnd.as("band"), concat_ws("", slice(col("bits"), bnd * rowsPerBand + 1, lit(rowsPerBand))).as("bh"))
+          bnd => struct(bnd.as("band"),
+            call_function("shiftrightunsigned", col("bits"), bnd * rowsPerBand).bitwiseAND(lit(mask)).as("bh"))
         )
       ).as("bk")
     ).select(col("id"), col("vec"), col("bk.band"), col("bk.bh"))

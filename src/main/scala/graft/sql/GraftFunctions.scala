@@ -3,7 +3,8 @@ package graft.sql
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.expressions.{CosineSimilarity, MinHashSignature, SimHash64, TextMinHash, TextSimHash}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import graft.functions.expressions.{CosineSimilarity, HyperplaneBits, MinHashSignature, NearestCentroid, NearestCentroids, SimHash64, TextMinHash, TextSimHash}
 
 /**
  * SQL function surface: the reference exposes its engine through a
@@ -30,8 +31,23 @@ object GraftFunctions {
     // fused text → sketch: (text[, shingleSize[, numHashes]])
     "graft_text_minhash" -> (exprs => TextMinHash(exprs.head, intArg(exprs, 1, 3), intArg(exprs, 2, 64))),
     "graft_text_simhash" -> (exprs => TextSimHash(exprs.head, intArg(exprs, 1, 3))),
-    "graft_char_ngrams" -> (exprs => graft.functions.expressions.CharNgrams(exprs.head, intArg(exprs, 1, 4)))
+    "graft_char_ngrams" -> (exprs => graft.functions.expressions.CharNgrams(exprs.head, intArg(exprs, 1, 4))),
+    // vector-index ops: centroid tables ride as a foldable literal argument
+    "graft_nearest_centroid" -> (exprs => NearestCentroid(exprs.head, centroidsArg(exprs(1)))),
+    "graft_nearest_centroids" -> (exprs => NearestCentroids(exprs.head, centroidsArg(exprs(1)), intArg(exprs, 2, 4))),
+    "graft_hyperplane_bits" -> (exprs => HyperplaneBits(exprs.head, intArg(exprs, 1, 16))),
+    "graft_tokens" -> (exprs => graft.functions.expressions.Tokens(exprs.head, lowercase = true)),
+    "graft_split_words" -> (exprs => graft.functions.expressions.Tokens(exprs.head, lowercase = false))
   )
+
+  /** Decode a foldable array<array<float>> literal into the centroid table. */
+  private def centroidsArg(e: Expression): Array[Array[Float]] = {
+    val outer = e.eval().asInstanceOf[ArrayData]
+    Array.tabulate(outer.numElements()) { i =>
+      val inner = outer.getArray(i)
+      Array.tabulate(inner.numElements())(j => inner.getFloat(j))
+    }
+  }
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

@@ -23,6 +23,7 @@ object SparkSpecBase {
       .config("spark.sql.maxMetadataStringLength", "2000")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    graft.sql.GraftFunctions.register(s)
     s
   }
 }

@@ -250,6 +250,25 @@ object OracleSql {
          CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
          FROM events GROUP BY window_start, event_type
          ORDER BY window_start, event_type""",
+    "q_sessionize" ->
+      """WITH o AS (
+           SELECT user_id, ts, value, event_id,
+                  LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+           FROM events),
+         f AS (
+           SELECT user_id, ts, value, event_id,
+                  CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > 1800000000 THEN 1 ELSE 0 END AS is_new
+           FROM o),
+         s AS (
+           SELECT user_id, ts, value,
+                  SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+           FROM f)
+         SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+                COUNT(*) AS n_events,
+                CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+         FROM s GROUP BY user_id, sid
+         ORDER BY user_id, session_start""",
     "q_dedup_exact" ->
       """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
          FROM documents GROUP BY text ORDER BY keep_id""",

@@ -401,6 +401,12 @@ object SparkEntry {
       .windowedAgg(ld(s, dir, "events"))
       .orderBy(col("window_start"), col("event_type"))
 
+  /** Gap-based sessionization (batch parity of the flatMapGroupsWithState stream). */
+  private def qSessionize(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.Sessionize
+      .batch(ld(s, dir, "events"), gapMinutes = 30)
+      .orderBy(col("user_id"), col("session_start"))
+
   /** UPSERT: re-put rows replace metric values at the same key. */
   private def qUpsert(s: SparkSession, dir: String): DataFrame = {
     val base = ld(s, dir, "events")
@@ -567,6 +573,7 @@ object SparkEntry {
     "q_sql_agg" -> (qSqlAgg _),
     "q_sql_topn" -> (qSqlTopn _),
     "q_upsert" -> (qUpsert _),
+    "q_sessionize" -> (qSessionize _),
     "q_str_funcs" -> (qStrFuncs _),
     "q_tokens" -> (qTokens _),
     "q_split" -> (qSplit _),

@@ -59,6 +59,53 @@ class StreamingSpec extends SparkSpecBase {
     ))
   }
 
+  test("flatMapGroupsWithState sessionization matches the batch formulation for closed sessions") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.Sessionize
+    import graft.streaming.Sessionize.Ev
+    // two users; user 10 has two sessions split by a 40-min gap
+    val evs = Seq(
+      Ev(10L, Timestamp.valueOf("2024-01-01 00:00:00"), 1.0, 1L),
+      Ev(10L, Timestamp.valueOf("2024-01-01 00:10:00"), 2.0, 2L),
+      Ev(10L, Timestamp.valueOf("2024-01-01 00:50:00"), 4.0, 3L),
+      Ev(11L, Timestamp.valueOf("2024-01-01 00:05:00"), 8.0, 4L)
+    )
+    val stream = MemoryStream[Ev]
+    stream.addData(evs: _*)
+    val q = Sessionize
+      .streaming(spark, stream.toDS(), gapMinutes = 30, watermark = "0 seconds")
+      .writeStream
+      .format("memory")
+      .queryName("sessions_out")
+      .outputMode("append")
+      .start()
+    q.processAllAvailable()
+    // advance the watermark far past every open session's timeout
+    stream.addData(Ev(99L, Timestamp.valueOf("2024-01-02 12:00:00"), 0.0, 5L))
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark
+      .table("sessions_out")
+      .filter($"user_id" =!= 99L)
+      .orderBy("user_id", "session_start")
+      .as[(Long, Timestamp, Timestamp, Long, Double)]
+      .collect()
+      .toSeq
+    val batch = Sessionize
+      .batch(
+        evs.toDF("user_id", "ts", "value", "event_id"),
+        gapMinutes = 30
+      )
+      .orderBy("user_id", "session_start")
+      .as[(Long, Timestamp, Timestamp, Long, Double)]
+      .collect()
+      .toSeq
+    assert(streamed == batch)
+    assert(batch.length == 3) // user 10: 2 sessions, user 11: 1
+    assert(batch.head._4 == 2L && batch.head._5 == 3.0)
+  }
+
   test("DataPoint ingest flattens into the events row shape") {
     val pts = Seq(
       Ingest.DataPoint("events", Timestamp.valueOf("2024-01-01 00:00:01"),

@@ -46,6 +46,32 @@ object OracleSql {
          COUNT(DISTINCT l_partkey) AS nd_part,
          COUNT(DISTINCT l_suppkey) AS nd_supp
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_grouping_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+         COUNT(*) AS cnt
+         FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+         ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+    "q_grouping_cube" ->
+      """SELECT event_type, user_id % 10 AS user_bucket,
+         COUNT(*) AS cnt,
+         CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY CUBE(event_type, user_bucket)
+         ORDER BY event_type NULLS FIRST, user_bucket NULLS FIRST""",
+    "q_window_funcs" ->
+      """SELECT event_id, user_id,
+         LEAD(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_value,
+         CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS rn,
+         CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS moving_sum3,
+         COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_cnt
+         FROM events WHERE event_id < 2000 ORDER BY event_id""",
+    "q_agg_percentile" ->
+      """SELECT l_returnflag,
+         quantile_cont(l_quantity, 0.5) AS p50_qty,
+         quantile_cont(l_extendedprice, 0.9) AS p90_price
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q_window_lag" ->
       """SELECT event_id, user_id, value,
          LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value

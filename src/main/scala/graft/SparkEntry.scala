@@ -98,6 +98,20 @@ object SparkEntry {
       .agg(min_by(col("l_partkey"), xxhash64(col("l_partkey"))).as("random_part"))
       .orderBy(col("l_returnflag"))
 
+  /** GROUP BY ROLLUP: subtotal + grand-total rows (OLAP drill-down). */
+  private def qGroupingRollup(s: SparkSession, dir: String): DataFrame =
+    ld(s, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("cnt"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  /** GROUP BY CUBE: all grouping-set combinations. */
+  private def qGroupingCube(s: SparkSession, dir: String): DataFrame =
+    ld(s, dir, "events")
+      .cube(col("event_type"), (col("user_id") % 10).as("user_bucket"))
+      .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("sum_value"))
+      .orderBy(col("event_type").asc_nulls_first, col("user_bucket").asc_nulls_first)
+
   // ==================================================================
   // §2.2 window
   // ==================================================================
@@ -113,6 +127,33 @@ object SparkEntry {
       )
       .orderBy(col("event_id"))
   }
+
+  /** Window-function family beyond lag: lead/row_number/rank/moving sum. */
+  private def qWindowFuncs(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val moving = w.rowsBetween(-2, Window.currentRow)
+    ld(s, dir, "events")
+      .filter(col("event_id") < 2000)
+      .select(
+        col("event_id"),
+        col("user_id"),
+        lead(col("value"), 1).over(w).as("next_value"),
+        row_number().over(w).cast("long").as("rn"),
+        sum(col("value").cast("decimal(18,4)")).over(moving).cast("double").as("moving_sum3"),
+        (count(lit(1)).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))).as("running_cnt")
+      )
+      .orderBy(col("event_id"))
+  }
+
+  /** Exact percentiles / median (OLAP distribution analysis). */
+  private def qAggPercentile(s: SparkSession, dir: String): DataFrame =
+    ld(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        percentile(col("l_quantity"), lit(0.5)).as("p50_qty"),
+        percentile(col("l_extendedprice"), lit(0.9)).as("p90_price")
+      )
+      .orderBy(col("l_returnflag"))
 
   // ==================================================================
   // §2.3 time functions
@@ -567,6 +608,10 @@ object SparkEntry {
     "q_agg_hll_count" -> (qAggHllCount _),
     "q_agg_distinct_random" -> (qAggDistinctRandom _),
     "q_window_lag" -> (qWindowLag _),
+    "q_window_funcs" -> (qWindowFuncs _),
+    "q_grouping_rollup" -> (qGroupingRollup _),
+    "q_grouping_cube" -> (qGroupingCube _),
+    "q_agg_percentile" -> (qAggPercentile _),
     "q_time_trunc" -> (qTimeTrunc _),
     "q_time_extract" -> (qTimeExtract _),
     "q_time_interval" -> (qTimeInterval _),

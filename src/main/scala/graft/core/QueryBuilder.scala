@@ -61,6 +61,20 @@ final class QueryBuilder private (
   def withLink(link: GExternalLink): QueryBuilder = copy(linkJoins = linkJoins :+ link)
 
   def build(): DataFrame = {
+    try buildUnchecked()
+    catch {
+      case e: org.apache.spark.sql.AnalysisException =>
+        // reference QueryValidator parity: resolve errors surface with the
+        // table's schema so a bad field name is immediately diagnosable
+        val cols = (table.columnNames ++ linkJoins.flatMap(_.fields)).mkString(", ")
+        throw new IllegalArgumentException(
+          s"invalid query against table '${table.name}' (available columns: $cols): ${e.getMessage}",
+          e
+        )
+    }
+  }
+
+  private def buildUnchecked(): DataFrame = {
     var df = loadTable(table.name)
     for (l <- linkJoins) {
       val cat = broadcast(loadTable(l.catalogTable).select((l.catalogKey +: l.fields).map(col): _*))

@@ -1,0 +1,47 @@
+package graft.core
+
+import java.util.concurrent.ConcurrentLinkedQueue
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.QueryExecution
+import org.apache.spark.sql.util.QueryExecutionListener
+
+/**
+ * Query execution metrics, re-expressing the reference's query metric
+ * collection (yupana-core dao/TsdbQueryMetricsDao.scala + metrics in
+ * TsdbBase): per-query wall time, row counts and state, persisted for
+ * operational analysis.
+ *
+ * graft hooks Spark's QueryExecutionListener: every successful/failed
+ * action is recorded with its duration and the physical plan's row
+ * metric. Records accumulate in memory and can be dumped as a
+ * DataFrame for persistence via TsLayout (the reference writes them to
+ * a metrics table).
+ */
+final class QueryMetrics private (spark: SparkSession) {
+
+  final case class Record(funcName: String, durationNs: Long, outputRows: Long, failed: Boolean)
+
+  private val records = new ConcurrentLinkedQueue[Record]()
+
+  private val listener = new QueryExecutionListener {
+    override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit = {
+      val rows = qe.executedPlan.metrics.get("numOutputRows").map(_.value).getOrElse(-1L)
+      records.add(Record(funcName, durationNs, rows, failed = false))
+    }
+    override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit =
+      records.add(Record(funcName, -1L, -1L, failed = true))
+  }
+
+  spark.listenerManager.register(listener)
+
+  def snapshot(): Seq[Record] = records.asScala.toSeq
+
+  def clear(): Unit = records.clear()
+
+  def close(): Unit = spark.listenerManager.unregister(listener)
+}
+
+object QueryMetrics {
+  def attach(spark: SparkSession): QueryMetrics = new QueryMetrics(spark)
+}

@@ -38,4 +38,20 @@ object TsLayout {
   /** Read the layout back; time filters on `timeColumn` prune via ts_bucket. */
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path).drop("ts_bucket")
+
+  /**
+   * Bucketed variant for fact tables that join each other (e.g.
+   * orders ⋈ lineitem on the order key): both sides bucketed and
+   * sorted by the join key into the same bucket count join WITHOUT a
+   * shuffle — at 100 TB that's the difference between moving both
+   * fact tables across the network per query and a local merge join.
+   * Bucketing requires the table catalog (saveAsTable).
+   */
+  def writeBucketed(df: DataFrame, tableName: String, bucketCol: String, numBuckets: Int): Unit =
+    df.write
+      .mode("overwrite")
+      .bucketBy(numBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .format("parquet")
+      .saveAsTable(tableName)
 }

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core.{QueryBuilder, QueryMetrics}
+import graft.schema.TestSchema
+import graft.sources.TsLayout
+
+class PlatformSpec extends SparkSpecBase {
+
+  private def load(name: String) = spark.read.parquet(s"$sfDir/$name.parquet")
+
+  test("QueryBuilder surfaces unknown columns with the table schema (QueryValidator parity)") {
+    val e = intercept[IllegalArgumentException] {
+      QueryBuilder(spark, TestSchema.schema, load, "lineitem")
+        .where(col("no_such_column") === 1)
+        .select(col("l_orderkey"))
+        .build()
+        .collect()
+    }
+    assert(e.getMessage.contains("lineitem") && e.getMessage.contains("l_quantity"))
+  }
+
+  test("QueryMetrics records duration and row counts per action") {
+    val m = QueryMetrics.attach(spark)
+    try {
+      m.clear()
+      load("region").count()
+      // listener callbacks are async; poll briefly
+      val deadline = System.currentTimeMillis() + 5000
+      while (m.snapshot().isEmpty && System.currentTimeMillis() < deadline) Thread.sleep(50)
+      val recs = m.snapshot()
+      assert(recs.nonEmpty)
+      assert(recs.forall(!_.failed))
+      assert(recs.exists(_.durationNs > 0))
+    } finally m.close()
+  }
+
+  test("bucketed fact tables join without an exchange (co-located join)") {
+    spark.sql("DROP TABLE IF EXISTS orders_b")
+    spark.sql("DROP TABLE IF EXISTS lineitem_b")
+    // clear any orphaned managed-table locations from prior runs
+    Seq("orders_b", "lineitem_b").foreach { t =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"/tmp/graft_warehouse/$t"))
+    }
+    TsLayout.writeBucketed(load("orders"), "orders_b", "o_orderkey", 8)
+    TsLayout.writeBucketed(
+      load("lineitem").withColumnRenamed("l_orderkey", "o_orderkey"),
+      "lineitem_b",
+      "o_orderkey",
+      8
+    )
+    // force the merge join (tiny test tables would broadcast); at fact
+    // scale SMJ is what the planner picks and bucketing must feed it
+    // without a shuffle or sort
+    val joined = spark.table("orders_b").hint("merge").join(spark.table("lineitem_b"), "o_orderkey")
+    joined.collect()
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), plan.take(2000))
+    assert(!plan.contains("Exchange"), s"bucketed join must not shuffle:\n${plan.take(3000)}")
+  }
+}

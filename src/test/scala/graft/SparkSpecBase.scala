@@ -21,6 +21,7 @@ object SparkSpecBase {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.maxMetadataStringLength", "2000")
+      .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     graft.sql.GraftFunctions.register(s)

@@ -1,0 +1,33 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Skew handling for joins whose key distribution is heavy-tailed
+ * (hot users, hot items): classic salting. AQE's skew-join split
+ * handles sort-merge skew at runtime; salting is the static
+ * counterpart that also works for hash joins and pre-partitioned
+ * writes, and it is the tool the brief's 100 TB design calls for when
+ * one key holds a double-digit percentage of the fact table.
+ *
+ * The build side is replicated `saltFactor` times (one copy per salt
+ * value); the probe side scatters each row to one salt pseudo-randomly
+ * but deterministically (hash of the row's key) — every probe row
+ * still meets exactly one copy of its build row, so the join result is
+ * identical while the hot key's rows spread over `saltFactor`
+ * partitions.
+ */
+object Skew {
+
+  /**
+   * Inner equi-join `probe ⋈ build` on `key`, salted. `build` must be
+   * the smaller side (it is replicated ×saltFactor).
+   */
+  def saltedJoin(probe: DataFrame, build: DataFrame, key: String, saltFactor: Int): DataFrame = {
+    // salt varies per ROW (not per key) — that is what spreads a hot key
+    val salted = probe.withColumn("__salt", pmod(xxhash64(monotonically_increasing_id()), lit(saltFactor)).cast("int"))
+    val replicated = build.withColumn("__salt", explode(sequence(lit(0), lit(saltFactor - 1))))
+    salted.join(replicated, Seq(key, "__salt")).drop("__salt")
+  }
+}

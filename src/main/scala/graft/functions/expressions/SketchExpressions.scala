@@ -110,6 +110,37 @@ case class SimHash64(child: Expression)
 }
 
 /**
+ * Dot product of two numeric arrays (sequential index-order summation —
+ * bit-identical to the `aggregate(zip_with(...))` fold it replaces).
+ * Accepts float or double arrays; result is double.
+ */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_dot"
+
+  private def get(a: ArrayData, isFloat: Boolean, i: Int): Double =
+    if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val xf = left.dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType == org.apache.spark.sql.types.FloatType
+    val yf = right.dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType == org.apache.spark.sql.types.FloatType
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0
+    var i = 0
+    while (i < n) { dot += get(x, xf, i) * get(y, yf, i); i += 1 }
+    dot
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+/**
  * Cosine similarity of two float arrays with full codegen: one fused
  * loop accumulating dot, |a|² and |b|² — bit-identical to the
  * fold-based formulation (`dot/(sqrt(na)*sqrt(nb))`, per-accumulator

@@ -75,5 +75,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         )
       )
     }
+    ext.injectOptimizerRule(_ => SketchFusionRule)
   }
 }

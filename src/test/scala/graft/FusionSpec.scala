@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core.Skew
+import graft.functions.F
+import graft.sql.SketchFusionRule
+
+class FusionSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("SketchFusionRule rewrites the fold-based dot product to the native expression") {
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ SketchFusionRule
+    try {
+      val df = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val q = df.select(F.dot(col("embedding"), col("embedding")).as("d"))
+      val optimized = q.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("graft_dot"), optimized)
+      assert(!optimized.contains("aggregate("), optimized)
+      val viaNative = q.as[Double].collect().toSeq
+      val viaFold = df.select(
+        aggregate(zip_with(col("embedding"), col("embedding"), (x, y) => x.cast("double") * y.cast("double")),
+          lit(0.0), (acc, v) => acc + v).as("d")
+      ).as[Double].collect().toSeq
+      assert(viaNative == viaFold)
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ == SketchFusionRule)
+    }
+  }
+
+  test("fused dot product is bit-identical to the fold formulation on real embeddings") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").limit(50)
+    val pairs = emb.select(col("vec_id").as("ia"), col("embedding").as("va"))
+      .crossJoin(emb.select(col("vec_id").as("ib"), col("embedding").as("vb")))
+      .filter(col("ia") < col("ib"))
+    val fold = pairs.select(F.dot(col("va"), col("vb"))).as[Double].collect()
+    val fused = pairs.select(
+      call_function("graft_cosine", col("va"), col("vb")) *
+        (F.l2norm(col("va")) * F.l2norm(col("vb")))
+    ).as[Double].collect()
+    // cosine*norms reconstructs dot up to one rounding; compare the direct kernels instead
+    val native = {
+      graft.sql.GraftFunctions.register(spark)
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ SketchFusionRule
+      try pairs.select(F.dot(col("va"), col("vb"))).as[Double].collect()
+      finally spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ == SketchFusionRule)
+    }
+    assert(fold.toSeq == native.toSeq) // bit-identical
+    fused.zip(fold).foreach { case (f, d) => assert(math.abs(f - d) < 1e-9) }
+  }
+
+  test("salted join returns exactly the plain join's rows and spreads a hot key") {
+    val probe = (1L to 1000L).map(i => (if (i <= 900) 1L else i, i)).toDF("k", "payload")
+    val build = Seq((1L, "hot"), (950L, "cold")).toDF("k", "name")
+    val plain = probe.join(build, "k").select("k", "payload", "name")
+      .as[(Long, Long, String)].collect().toSeq.sorted
+    val salted = Skew.saltedJoin(probe, build, "k", saltFactor = 8)
+      .select("k", "payload", "name").as[(Long, Long, String)].collect().toSeq.sorted
+    assert(salted == plain)
+    assert(plain.count(_._3 == "hot") == 900)
+  }
+}

@@ -44,6 +44,17 @@ object Ingest {
   }
 
   /**
+   * Streaming exact dedup: drop re-delivered rows by key within the
+   * watermark horizon (`dropDuplicatesWithinWatermark` keeps state
+   * bounded — the streaming counterpart of Dedup.exact, and the
+   * idempotency guard the reference's online ingest needs for at-least-
+   * once delivery). Near-dup sketches (minhash/simhash signatures) are
+   * stateless narrow maps, so they run unchanged on a stream.
+   */
+  def dedupStream(events: DataFrame, keyCols: Seq[String], watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keyCols)
+
+  /**
    * The standing streaming aggregation: tumbling event-time windows per
    * event_type with a watermark for late data. Works identically on a
    * batch frame (for oracle checks) and a streaming frame (readStream),

@@ -106,6 +106,37 @@ class StreamingSpec extends SparkSpecBase {
     assert(batch.head._4 == 2L && batch.head._5 == 3.0)
   }
 
+  test("streaming exact dedup drops re-delivered events; sketches run stateless on streams") {
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 00:05:00"), 10L, "click", 1.5),
+      (1L, Timestamp.valueOf("2024-01-01 00:05:00"), 10L, "click", 1.5), // duplicate delivery
+      (2L, Timestamp.valueOf("2024-01-01 00:06:00"), 11L, "view", 2.5)
+    )
+    val stream = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    stream.addData(rows: _*)
+    val deduped = Ingest.dedupStream(
+      stream.toDF().toDF("event_id", "ts", "user_id", "event_type", "value"),
+      keyCols = Seq("event_id")
+    )
+    val q = deduped.writeStream.format("memory").queryName("dedup_out").outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.table("dedup_out").count() == 2)
+
+    // minhash signatures are a stateless narrow map — run on a stream
+    val stream2 = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    stream2.addData(rows: _*)
+    val sigs = graft.operators.Dedup.minhashSigs(
+      stream2.toDF().toDF("event_id", "ts", "user_id", "event_type", "value"),
+      "event_id", "event_type", 16, 2
+    )
+    val q2 = sigs.writeStream.format("memory").queryName("sig_out").outputMode("append").start()
+    q2.processAllAvailable()
+    q2.stop()
+    assert(spark.table("sig_out").count() == 3)
+  }
+
   test("DataPoint ingest flattens into the events row shape") {
     val pts = Seq(
       Ingest.DataPoint("events", Timestamp.valueOf("2024-01-01 00:00:01"),

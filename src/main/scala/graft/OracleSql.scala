@@ -46,6 +46,33 @@ object OracleSql {
          COUNT(DISTINCT l_partkey) AS nd_part,
          COUNT(DISTINCT l_suppkey) AS nd_supp
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_agg_stats" ->
+      """WITH t AS (
+           SELECT l_returnflag,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_q,
+             CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(24,8))) AS DOUBLE) AS sumsq_q,
+             COUNT(l_quantity) AS n
+           FROM lineitem GROUP BY l_returnflag)
+         SELECT l_returnflag,
+           (sumsq_q - (sum_q * sum_q) / n) / (n - 1) AS var_qty,
+           sqrt((sumsq_q - (sum_q * sum_q) / n) / (n - 1)) AS std_qty
+         FROM t ORDER BY l_returnflag""",
+    "q_semi_anti" ->
+      """WITH w AS (SELECT 'with_orders' AS kind, c_custkey FROM customer
+                    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)),
+              n AS (SELECT 'no_orders' AS kind, c_custkey FROM customer
+                    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey))
+         SELECT kind, COUNT(*) AS n_customers FROM (SELECT * FROM w UNION ALL SELECT * FROM n)
+         GROUP BY kind ORDER BY kind""",
+    "q_set_ops" ->
+      """WITH c AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+              b AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+              u AS (SELECT 'union' AS op, user_id FROM (SELECT user_id FROM c UNION SELECT user_id FROM b)),
+              i AS (SELECT 'intersect' AS op, user_id FROM (SELECT user_id FROM c INTERSECT SELECT user_id FROM b)),
+              e AS (SELECT 'except' AS op, user_id FROM (SELECT user_id FROM c EXCEPT SELECT user_id FROM b))
+         SELECT op, COUNT(*) AS n_users
+         FROM (SELECT * FROM u UNION ALL SELECT * FROM i UNION ALL SELECT * FROM e)
+         GROUP BY op ORDER BY op""",
     "q_grouping_rollup" ->
       """SELECT l_returnflag, l_linestatus,
          CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,

@@ -98,6 +98,51 @@ object SparkEntry {
       .agg(min_by(col("l_partkey"), xxhash64(col("l_partkey"))).as("random_part"))
       .orderBy(col("l_returnflag"))
 
+  /** Sample stddev/variance via explicit decimal-sum formula (engine-portable). */
+  private def qAggStats(s: SparkSession, dir: String): DataFrame =
+    ld(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_q"),
+        sum((col("l_quantity") * col("l_quantity")).cast("decimal(24,8)")).cast("double").as("sumsq_q"),
+        count(col("l_quantity")).as("n")
+      )
+      .select(
+        col("l_returnflag"),
+        ((col("sumsq_q") - (col("sum_q") * col("sum_q")) / col("n")) / (col("n") - 1)).as("var_qty"),
+        sqrt((col("sumsq_q") - (col("sum_q") * col("sum_q")) / col("n")) / (col("n") - 1)).as("std_qty")
+      )
+      .orderBy(col("l_returnflag"))
+
+  /** Left-semi / left-anti joins (EXISTS / NOT EXISTS). */
+  private def qSemiAnti(s: SparkSession, dir: String): DataFrame = {
+    val cust = ld(s, dir, "customer")
+    val orders = ld(s, dir, "orders")
+    val withOrders = cust
+      .join(orders, cust("c_custkey") === orders("o_custkey"), "leftsemi")
+      .select(lit("with_orders").as("kind"), col("c_custkey"))
+    val withoutOrders = cust
+      .join(orders, cust("c_custkey") === orders("o_custkey"), "leftanti")
+      .select(lit("no_orders").as("kind"), col("c_custkey"))
+    withOrders.unionByName(withoutOrders)
+      .groupBy(col("kind"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("kind"))
+  }
+
+  /** Set operations: UNION / INTERSECT / EXCEPT semantics. */
+  private def qSetOps(s: SparkSession, dir: String): DataFrame = {
+    val clickers = ld(s, dir, "events").filter(col("event_type") === "click").select(col("user_id")).distinct()
+    val buyers = ld(s, dir, "events").filter(col("event_type") === "purchase").select(col("user_id")).distinct()
+    val u = clickers.union(buyers).distinct().select(lit("union").as("op"), col("user_id"))
+    val i = clickers.intersect(buyers).select(lit("intersect").as("op"), col("user_id"))
+    val e = clickers.except(buyers).select(lit("except").as("op"), col("user_id"))
+    u.unionByName(i).unionByName(e)
+      .groupBy(col("op"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("op"))
+  }
+
   /** GROUP BY ROLLUP: subtotal + grand-total rows (OLAP drill-down). */
   private def qGroupingRollup(s: SparkSession, dir: String): DataFrame =
     ld(s, dir, "lineitem")
@@ -612,6 +657,9 @@ object SparkEntry {
     "q_grouping_rollup" -> (qGroupingRollup _),
     "q_grouping_cube" -> (qGroupingCube _),
     "q_agg_percentile" -> (qAggPercentile _),
+    "q_agg_stats" -> (qAggStats _),
+    "q_semi_anti" -> (qSemiAnti _),
+    "q_set_ops" -> (qSetOps _),
     "q_time_trunc" -> (qTimeTrunc _),
     "q_time_extract" -> (qTimeExtract _),
     "q_time_interval" -> (qTimeInterval _),

@@ -274,6 +274,12 @@ object OracleSql {
          SELECT token, COUNT(*) AS occurrences
          FROM u GROUP BY token
          ORDER BY occurrences DESC, token LIMIT 30""",
+    "q_heavy_hitters" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
+              u AS (SELECT unnest(tk) AS token FROM t)
+         SELECT token, COUNT(*) AS occurrences
+         FROM u GROUP BY token
+         ORDER BY occurrences DESC, token LIMIT 20""",
     "q_rollup" ->
       """WITH daily AS (
            SELECT date_trunc('day', ts) AS rollup_time, event_type,

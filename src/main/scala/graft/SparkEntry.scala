@@ -544,6 +544,53 @@ object SparkEntry {
       .orderBy(col("split"))
   }
 
+  /**
+   * Heavy hitters via the Misra-Gries typed Aggregator. With k above
+   * the distinct-token count the sketch degenerates to exact counts,
+   * so this shares q_vocab_stats' oracle — the aggregator path itself
+   * is what's under test.
+   */
+  private def qHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = ld(s, dir, "documents")
+      .select(explode(F.tokens(col("text"))).as("token"))
+      .as[String]
+    val hh = new graft.functions.Aggregators.HeavyHitters(100).toColumn
+    toks
+      .select(hh)
+      .flatMap(identity)
+      .toDF("token", "occurrences")
+      .orderBy(col("occurrences").desc, col("token"))
+      .limit(20)
+  }
+
+  /**
+   * Similarity BETWEEN sources via the mergeable MinHashUnion
+   * aggregator: one signature per source, pairwise estimated Jaccard.
+   * Rows-only oracle (hash-seeded); accuracy spec in OperatorSpec.
+   */
+  private def qSourceSimilarity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = ld(s, dir, "documents")
+    val sigs = Dedup
+      .minhashSigs(docs, "doc_id", "text", 64, 3)
+      .join(docs.select(col("doc_id").as("id"), col("source")), "id")
+      .select(col("source"), col("sig"))
+      .as[(String, Seq[Long])]
+    val union = new graft.functions.Aggregators.MinHashUnion(64).toColumn
+    val bySource = sigs.groupByKey(_._1).mapValues(_._2).agg(union).toDF("source", "sig")
+    val a = bySource.as("a")
+    val b = bySource.as("b")
+    a.join(b, col("a.source") < col("b.source"))
+      .select(
+        col("a.source").as("source_a"),
+        col("b.source").as("source_b"),
+        (aggregate(zip_with(col("a.sig"), col("b.sig"), (x, y) => when(x === y, 1).otherwise(0)), lit(0), _ + _)
+          .cast("double") / lit(64.0)).as("est_jaccard")
+      )
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
   /** Corpus vocabulary statistics: top tokens by frequency. */
   private def qVocabStats(s: SparkSession, dir: String): DataFrame =
     ld(s, dir, "documents")
@@ -685,6 +732,8 @@ object SparkEntry {
     "q_cooccurrence" -> (qCooccurrence _),
     "q_sample_split" -> (qSampleSplit _),
     "q_vocab_stats" -> (qVocabStats _),
+    "q_heavy_hitters" -> (qHeavyHitters _),
+    "q_source_similarity" -> (qSourceSimilarity _),
     "q_rollup" -> (qRollup _),
     "q_topk" -> (qTopk _),
     "q_type_convs" -> (qTypeConvs _),

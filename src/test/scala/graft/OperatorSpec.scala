@@ -33,6 +33,38 @@ class OperatorSpec extends SparkSpecBase {
     assert(run() == run())
   }
 
+  test("Misra-Gries heavy hitters: guaranteed frequent items survive with small k") {
+    val words = Seq.fill(60)("hot") ++ Seq.fill(25)("warm") ++ (1 to 15).map(i => s"rare$i")
+    val ds = words.toDS()
+    val hh = new graft.functions.Aggregators.HeavyHitters(5).toColumn
+    val result = ds.select(hh).head()
+    // items with freq > n/k = 100/5 = 20 are guaranteed present
+    val kept = result.map(_._1).toSet
+    assert(kept.contains("hot") && kept.contains("warm"))
+    assert(result.size <= 5)
+  }
+
+  test("MinHashUnion group signature tracks the exact group-token-set jaccard") {
+    import graft.operators.Dedup
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val est = SparkEntry
+      .queries("q_source_similarity")(spark, sfDir)
+      .as[(String, String, Double)]
+      .collect()
+      .map { case (a, b, j) => (a, b) -> j }
+      .toMap
+    // exact jaccard between the union shingle sets of two sources
+    val sh = docs
+      .select(col("source"), explode(Dedup.shingles(col("text"), 3)).as("s"))
+      .distinct()
+    val sets = sh.as[(String, String)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val srcs = sets.keys.toSeq.sorted.take(5)
+    for (a <- srcs; b <- srcs if a < b) {
+      val exact = (sets(a) & sets(b)).size.toDouble / (sets(a) | sets(b)).size
+      assert(math.abs(est((a, b)) - exact) < 0.25, s"($a,$b): est=${est((a, b))} exact=$exact")
+    }
+  }
+
   test("multimodal feature extraction: checksum matches plain-Scala reference") {
     val media = Multimodal.asMediaTable(spark.read.parquet(s"$sfDir/documents.parquet"))
     val feats = Multimodal.extractFeatures(spark, media, batchSize = 64)

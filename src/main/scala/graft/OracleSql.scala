@@ -243,6 +243,31 @@ object OracleSql {
          COUNT(DISTINCT o_orderkey) AS n_orders
          FROM orders JOIN lineitem ON o_orderkey = l_orderkey
          GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q_asof_attribution" ->
+      """WITH cl AS (SELECT user_id, ts, MIN(event_id) AS asof_event_id
+                     FROM events WHERE event_type = 'click' GROUP BY user_id, ts),
+              u AS (SELECT event_id, user_id, ts, value, 1 AS side
+                    FROM events WHERE event_type = 'purchase'
+                    UNION ALL
+                    SELECT asof_event_id, user_id, ts, NULL, 0 FROM cl),
+              c AS (SELECT *,
+                      MAX(CASE WHEN side = 0 THEN ts END) OVER (
+                        PARTITION BY user_id ORDER BY ts, side
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lrt
+                    FROM u),
+              p AS (SELECT event_id, user_id, ts, value,
+                      CASE WHEN epoch_us(ts) - epoch_us(lrt) <= 7200000000 THEN lrt END AS lrt
+                    FROM c WHERE side = 1)
+         SELECT p.event_id, p.user_id, p.ts, p.value, cl.asof_event_id AS click_id
+         FROM p LEFT JOIN cl ON cl.user_id = p.user_id AND cl.ts = p.lrt
+         ORDER BY p.event_id""",
+    "q_range_join" ->
+      """SELECT p.event_id AS purchase_id, e.event_id AS error_id, p.user_id
+         FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+         JOIN (SELECT * FROM events WHERE event_type = 'error') e
+           ON p.user_id = e.user_id
+          AND e.ts >= p.ts AND e.ts <= p.ts + INTERVAL 5 MINUTE
+         ORDER BY purchase_id, error_id""",
     "q_inverted_phrase" ->
       s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents)
          SELECT doc_id FROM t

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.F
-import graft.operators.{Ann, Dedup, InvertedIndex, Multimodal, TextAnalysis}
+import graft.operators.{Ann, AsOf, Dedup, InvertedIndex, Multimodal, TextAnalysis}
 import graft.schema.TestSchema
 import graft.core.QueryBuilder
 import graft.sources.{Rollup, TsLayout}
@@ -502,6 +502,34 @@ object SparkEntry {
       .orderBy(col("event_id"))
   }
 
+  /**
+   * As-of attribution: each purchase joined to the user's latest click
+   * at-or-before it, within a 2-hour lookback (AsOf operator).
+   */
+  private def qAsofAttribution(s: SparkSession, dir: String): DataFrame = {
+    val ev = ld(s, dir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val clicks = AsOf.dedupRight(
+      ev.filter(col("event_type") === "click"), "user_id", "ts", "event_id")
+    AsOf.join(purchases, clicks, "user_id", "ts", tolerance = Some(7200L))
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"), col("asof_event_id").as("click_id"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Range join: error events within 5 minutes after a purchase, same user. */
+  private def qRangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = ld(s, dir, "events")
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("ts").as("pts"), col("event_id").as("purchase_id"))
+    val e = ev.filter(col("event_type") === "error")
+      .select(col("user_id").as("eu"), col("ts").as("ets"), col("event_id").as("error_id"))
+    p.join(e, col("pu") === col("eu") && col("ets") >= col("pts") &&
+        col("ets") <= col("pts") + expr("INTERVAL 5 MINUTE"))
+      .select(col("purchase_id"), col("error_id"), col("pu").as("user_id"))
+      .orderBy(col("purchase_id"), col("error_id"))
+  }
+
   /** Fact-fact join (orders ⋈ lineitem): the shuffle-join shape AQE re-plans. */
   private def qJoinFacts(s: SparkSession, dir: String): DataFrame =
     ld(s, dir, "orders")
@@ -728,6 +756,8 @@ object SparkEntry {
     "q_limit" -> (qLimit _),
     "q_join_link" -> (qJoinLink _),
     "q_join_facts" -> (qJoinFacts _),
+    "q_asof_attribution" -> (qAsofAttribution _),
+    "q_range_join" -> (qRangeJoin _),
     "q_inverted_phrase" -> (qInvertedPhrase _),
     "q_cooccurrence" -> (qCooccurrence _),
     "q_sample_split" -> (qSampleSplit _),

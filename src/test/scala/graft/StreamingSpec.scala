@@ -137,6 +137,38 @@ class StreamingSpec extends SparkSpecBase {
     assert(spark.table("sig_out").count() == 3)
   }
 
+  test("stream-stream interval join matches the batch range join") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val purchases = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 00:10:00"), 10L),
+      (2L, Timestamp.valueOf("2024-01-01 01:00:00"), 11L)
+    )
+    val errors = Seq(
+      (5L, Timestamp.valueOf("2024-01-01 00:12:00"), 10L), // within 5 min of purchase 1
+      (6L, Timestamp.valueOf("2024-01-01 00:30:00"), 10L), // outside
+      (7L, Timestamp.valueOf("2024-01-01 01:02:00"), 11L) // within for purchase 2
+    )
+    val ps = MemoryStream[(Long, Timestamp, Long)]
+    val es = MemoryStream[(Long, Timestamp, Long)]
+    ps.addData(purchases: _*)
+    es.addData(errors: _*)
+    val p = ps.toDF().toDF("purchase_id", "pts", "pu").withWatermark("pts", "1 hour")
+    val e = es.toDF().toDF("error_id", "ets", "eu").withWatermark("ets", "1 hour")
+    val joined = p.join(
+      e,
+      col("pu") === col("eu") && col("ets") >= col("pts") &&
+        col("ets") <= col("pts") + expr("INTERVAL 5 MINUTE")
+    )
+    val q = joined
+      .select("purchase_id", "error_id")
+      .writeStream.format("memory").queryName("ssj_out").outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("ssj_out").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 5L), (2L, 7L)))
+  }
+
   test("DataPoint ingest flattens into the events row shape") {
     val pts = Seq(
       Ingest.DataPoint("events", Timestamp.valueOf("2024-01-01 00:00:01"),

@@ -54,6 +54,9 @@ object GraftFunctions {
     builders.foreach { case (name, b) =>
       reg.createOrReplaceTempFunction(name, b, "built-in")
     }
+    if (!spark.experimental.extraStrategies.exists(_.isInstanceOf[graft.plans.TopKPerKeyStrategy]))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.TopKPerKeyStrategy(spark)
   }
 
   /** Register the sf tables as temp views for the SQL surface. */
@@ -76,5 +79,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       )
     }
     ext.injectOptimizerRule(_ => SketchFusionRule)
+    ext.injectPlannerStrategy(spark => graft.plans.TopKPerKeyStrategy(spark))
   }
 }

@@ -169,6 +169,25 @@ class StreamingSpec extends SparkSpecBase {
     assert(got == Set((1L, 5L), (2L, 7L)))
   }
 
+  test("TsLayout is readable as a file stream (continuous ingest tailing the table)") {
+    import org.apache.spark.sql.functions._
+    val layout = "/tmp/graft_stream_layout/events"
+    val events = spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    graft.sources.TsLayout.write(events, graft.schema.TestSchema.events, layout)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(layout).schema)
+      .parquet(layout)
+    val q = stream
+      .groupBy(col("event_type")).count()
+      .writeStream.format("memory").queryName("tail_out").outputMode("complete").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("tail_out").as[(String, Long)].collect().toMap
+    val batch = events.groupBy("event_type").count().as[(String, Long)].collect().toMap
+    assert(streamed == batch)
+  }
+
   test("DataPoint ingest flattens into the events row shape") {
     val pts = Seq(
       Ingest.DataPoint("events", Timestamp.valueOf("2024-01-01 00:00:01"),

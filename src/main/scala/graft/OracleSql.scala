@@ -431,6 +431,19 @@ object OracleSql {
                  c -> CAST(ascii(c) AS BIGINT))),
              (a, c) -> (a * 131 + c) % 2147483647) AS BIGINT) AS fp
          FROM t ORDER BY doc_id""",
+    "q_multimodal_frames" ->
+      """WITH m AS (
+           SELECT doc_id,
+             CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'img' WHEN 1 THEN 'audio' ELSE 'video' END AS fmt,
+             CAST(octet_length(encode(text)) AS BIGINT) AS len
+           FROM documents WHERE doc_id < 100),
+         f AS (
+           SELECT doc_id, fmt, len, unnest(generate_series(0, len // 256)) AS frame_idx
+           FROM m)
+         SELECT doc_id, fmt, CAST(frame_idx AS BIGINT) AS frame_idx,
+                CAST(frame_idx * 256 AS BIGINT) AS byte_offset,
+                CAST(least(256, len - frame_idx * 256) AS BIGINT) AS frame_bytes
+         FROM f ORDER BY doc_id, frame_idx""",
     "q_multimodal_meta" ->
       """SELECT doc_id,
          CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'img' WHEN 1 THEN 'audio' ELSE 'video' END AS fmt,

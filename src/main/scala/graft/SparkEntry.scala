@@ -717,6 +717,13 @@ object SparkEntry {
       .select(col("doc_id"), col("fmt"), col("byte_len"), col("frame_count"))
       .orderBy(col("doc_id"))
 
+  /** One-to-many frame sampling over the media table (decode fan-out plumbing). */
+  private def qMultimodalFrames(s: SparkSession, dir: String): DataFrame =
+    Multimodal
+      .sampleFrames(s, Multimodal.asMediaTable(ld(s, dir, "documents").filter(col("doc_id") < 100)))
+      .toDF()
+      .orderBy(col("doc_id"), col("frame_idx"))
+
   // ==================================================================
   // registry
   // ==================================================================
@@ -780,7 +787,8 @@ object SparkEntry {
     "q_text_quality" -> (qTextQuality _),
     "q_text_tokencount" -> (qTextTokencount _),
     "q_text_fingerprint" -> (qTextFingerprint _),
-    "q_multimodal_meta" -> (qMultimodalMeta _)
+    "q_multimodal_meta" -> (qMultimodalMeta _),
+    "q_multimodal_frames" -> (qMultimodalFrames _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

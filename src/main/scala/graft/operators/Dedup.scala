@@ -179,6 +179,75 @@ object Dedup {
   }
 
   /**
+   * Prefix-filtered variant of [[ngramJaccardPairs]] (PPJoin): a pair
+   * with jaccard >= t must share a gram inside each document's
+   * "prefix" — the first |g| - ceil(t·|g|) + 1 grams when grams are
+   * ordered by global rarity. Candidate generation joins ONLY prefix
+   * postings (a ~t fraction of the index, and rare-gram postings are
+   * short), then candidates are verified exactly with the full counting
+   * join. Same results as the unfiltered operator (spec-proven).
+   *
+   * Pick by data shape: the filter pays a frequency aggregation and a
+   * per-doc window; it wins when gram frequencies are heavy-tailed and
+   * the full posting self-join dominates (real web corpora at scale),
+   * and loses on small dense-vocabulary corpora where nearly every
+   * pair is a candidate anyway (measured 10s vs 2s on the synthetic
+   * sf0.1 docs — hence `ngramJaccardPairs` stays the default).
+   */
+  def ngramJaccardPairsPrefix(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      groupCols: Seq[String],
+      n: Int = 4,
+      threshold: Double = 0.35
+  ): DataFrame = {
+    graft.sql.GraftFunctions.register(df.sparkSession)
+    val withGrams = df.select(
+      (col(idCol).as("id") +:
+        call_function("graft_char_ngrams", lower(col(textCol)), lit(n)).as("grams") +:
+        groupCols.map(col)): _*
+    )
+    val ex = withGrams
+      .select((col("id") +: size(col("grams")).as("sz") +: explode(col("grams")).as("gram") +: groupCols.map(col)): _*)
+    // global gram rarity within each group
+    val freq = ex.groupBy((groupCols.map(col) :+ col("gram")): _*).agg(count(lit(1)).as("gf"))
+    val ranked = ex
+      .join(freq, groupCols :+ "gram")
+      .withColumn(
+        "rnk",
+        row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("id"))
+            .orderBy(col("gf").asc, col("gram").asc)
+        )
+      )
+    val prefix = ranked.filter(col("rnk") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
+    val cands = prefix.as("a")
+      .join(
+        prefix.as("b").hint("shuffle_hash"),
+        (groupCols.map(c => col(s"a.$c") === col(s"b.$c")) :+
+          (col("a.gram") === col("b.gram")) :+ (col("a.id") < col("b.id"))).reduce(_ && _)
+      )
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    // exact verification: counting join restricted to candidate pairs
+    val ea = ex.select(col("id").as("id_a"), col("sz").as("sz_a"), col("gram"))
+    val eb = ex.select(col("id").as("rid"), col("sz").as("sz_b"), col("gram").as("gram_b"))
+    cands
+      .join(ea, "id_a")
+      .join(eb.hint("shuffle_hash"), col("id_b") === col("rid") && col("gram") === col("gram_b"))
+      .groupBy(col("id_a"), col("sz_a"), col("id_b"), col("sz_b"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn(
+        "jac",
+        col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")).cast("double")
+      )
+      .filter(col("jac") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jac"))
+  }
+
+  /**
    * Embedding near-duplicate pairs via random-hyperplane LSH: sign-bit
    * signature over `planes` pseudo-random hyperplanes (deterministic,
    * hash-generated — no RNG state to ship), banded for candidates, then

@@ -52,6 +52,29 @@ object Multimodal {
       encode(col("text"), "UTF-8").as("payload")
     )
 
+  /** One sampled frame of a media payload (decode stub: fixed-stride offsets). */
+  case class Frame(doc_id: Long, fmt: String, frame_idx: Long, byte_offset: Long, frame_bytes: Long)
+
+  /**
+   * Frame sampling: the one-to-many decode shape (a video row explodes
+   * into frame rows). The real frame grab is stubbed (fixed 256-byte
+   * stride); the Spark-side plumbing — flatMap fan-out, partition-local
+   * decode, deterministic frame addressing — is real. At scale this is
+   * a narrow map whose output cardinality is data-dependent, which is
+   * why it must NOT buffer whole groups (flatMap streams frames out).
+   */
+  def sampleFrames(spark: SparkSession, media: DataFrame): Dataset[Frame] = {
+    import spark.implicits._
+    media.as[MediaRow].flatMap { r =>
+      val len = r.payload.length.toLong
+      val frames = len / 256L + 1L
+      (0L until frames).iterator.map { i =>
+        val off = i * 256L
+        Frame(r.doc_id, r.fmt, i, off, math.min(256L, len - off))
+      }
+    }
+  }
+
   /**
    * Batched decode pass: partition-local, processes rows in fixed-size
    * buffers (the `mapInPandas` batch shape) so a real codec can

@@ -22,6 +22,8 @@ object ProfileNgram {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     time("ngram run 1")(Dedup.ngramJaccardPairs(docs, "doc_id", "text", Seq("lang", "source")).count())
     time("ngram run 2")(Dedup.ngramJaccardPairs(docs, "doc_id", "text", Seq("lang", "source")).count())
+    time("prefix run 1")(Dedup.ngramJaccardPairsPrefix(docs, "doc_id", "text", Seq("lang", "source")).count())
+    time("prefix run 2")(Dedup.ngramJaccardPairsPrefix(docs, "doc_id", "text", Seq("lang", "source")).count())
     spark.stop()
   }
 }

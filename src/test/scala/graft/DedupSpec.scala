@@ -60,6 +60,17 @@ class DedupSpec extends SparkSpecBase {
     assert(pairs.contains((0L, 3L)))
   }
 
+  test("prefix-filtered ngram jaccard returns exactly the unfiltered result") {
+    val real = spark.read.parquet(s"$sfDir/documents.parquet")
+    val full = Dedup
+      .ngramJaccardPairs(real, "doc_id", "text", Seq("lang", "source"), n = 4, threshold = 0.35)
+      .as[(Long, Long, Double)].collect().toSeq.sorted
+    val prefixed = Dedup
+      .ngramJaccardPairsPrefix(real, "doc_id", "text", Seq("lang", "source"), n = 4, threshold = 0.35)
+      .as[(Long, Long, Double)].collect().toSeq.sorted
+    assert(prefixed == full)
+  }
+
   test("embedding LSH pairs agree with brute-force cosine at the same threshold on real data") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val lsh = Dedup

@@ -35,6 +35,17 @@ class PlatformSpec extends SparkSpecBase {
     } finally m.close()
   }
 
+  test("catalog metadata surface: SHOW TABLES / COLUMNS / FUNCTIONS") {
+    import graft.sql.Catalog
+    val tables = Catalog.showTables(spark, TestSchema.schema).collect().map(_.getString(0)).toSet
+    assert(tables == Set("lineitem", "events"))
+    val cols = Catalog.showColumns(spark, TestSchema.schema, "events").collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(cols("ts") == "time" && cols("event_type") == "dimension" && cols("value") == "metric")
+    val fns = Catalog.showFunctions(spark).collect().map(_.getString(0)).toSet
+    assert(fns.contains("graft_cosine") && fns.contains("graft_text_minhash"))
+  }
+
   test("bucketed fact tables join without an exchange (co-located join)") {
     spark.sql("DROP TABLE IF EXISTS orders_b")
     spark.sql("DROP TABLE IF EXISTS lineitem_b")

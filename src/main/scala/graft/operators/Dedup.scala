@@ -75,18 +75,19 @@ object Dedup {
       .select(col("id"), col("sig"), col("bk.band"), col("bk.bh"))
     val a = banded.as("a")
     val b = banded.as("b").hint("shuffle_hash")
-    val cand = a
-      .join(b, col("a.band") === col("b.band") && col("a.bh") === col("b.bh") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
-      .dropDuplicates("id_a", "id_b")
-    cand
-      .withColumn(
-        "est_jaccard",
-        aggregate(zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)), lit(0), _ + _)
-          .cast("double") / lit(numHashes.toDouble)
+    // est_jaccard is computed BEFORE the pair dedup so the dedup shuffle
+    // carries (id, id, double) rows, not two 64-long signatures per row
+    // (~1KB/row × |candidates| otherwise; the re-computation per extra
+    // band collision is cheaper than shipping the signatures).
+    a.join(b, col("a.band") === col("b.band") && col("a.bh") === col("b.bh") && col("a.id") < col("b.id"))
+      .select(
+        col("a.id").as("id_a"),
+        col("b.id").as("id_b"),
+        (aggregate(zip_with(col("a.sig"), col("b.sig"), (x, y) => when(x === y, 1).otherwise(0)), lit(0), _ + _)
+          .cast("double") / lit(numHashes.toDouble)).as("est_jaccard")
       )
       .filter(col("est_jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("est_jaccard"))
+      .dropDuplicates("id_a", "id_b")
   }
 
   /** SimHash signatures — one narrow pass via the fused TextSimHash expression. */
@@ -124,11 +125,10 @@ object Dedup {
     val a = banded.as("a")
     val b = banded.as("b").hint("shuffle_hash")
     a.join(b, col("a.band") === col("b.band") && col("a.bh") === col("b.bh") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
-      .dropDuplicates("id_a", "id_b")
-      .withColumn("hamming", F.hamming(col("sig_a"), col("sig_b")))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        F.hamming(col("a.sig"), col("b.sig")).as("hamming"))
       .filter(col("hamming") <= maxHamming)
-      .select(col("id_a"), col("id_b"), col("hamming"))
+      .dropDuplicates("id_a", "id_b")
   }
 
   /**
@@ -284,11 +284,13 @@ object Dedup {
     ).select(col("id"), col("vec"), col("bk.band"), col("bk.bh"))
     val a = banded.as("a")
     val b = banded.as("b").hint("shuffle_hash")
+    // cosine before the pair dedup: the dedup shuffle carries three
+    // scalars per row instead of two 64-float vectors (fused cosine is
+    // cheaper than shipping the vectors through the exchange)
     a.join(b, col("a.band") === col("b.band") && col("a.bh") === col("b.bh") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("a.vec").as("vec_a"), col("b.vec").as("vec_b"))
-      .dropDuplicates("id_a", "id_b")
-      .withColumn("cos", call_function("graft_cosine", col("vec_a"), col("vec_b")))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        call_function("graft_cosine", col("a.vec"), col("b.vec")).as("cos"))
       .filter(col("cos") >= threshold)
-      .select(col("id_a"), col("id_b"), col("cos"))
+      .dropDuplicates("id_a", "id_b")
   }
 }

@@ -70,24 +70,28 @@ object Dedup {
   ): DataFrame = {
     val rowsPerBand = numHashes / bands
     val sigs = minhashSigs(df, idCol, textCol, numHashes, shingleSize)
+    // candidate generation joins (id, band, bandhash) ONLY — the band
+    // join and pair dedup never ship the 64-long signatures; signatures
+    // re-attach to the (far smaller) distinct candidate set afterwards.
     val banded = sigs
-      .select(col("id"), col("sig"), explode(F.lshBandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
-      .select(col("id"), col("sig"), col("bk.band"), col("bk.bh"))
+      .select(col("id"), explode(F.lshBandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
+      .select(col("id"), col("bk.band"), col("bk.bh"))
     val a = banded.as("a")
     val b = banded.as("b").hint("shuffle_hash")
-    // est_jaccard is computed BEFORE the pair dedup so the dedup shuffle
-    // carries (id, id, double) rows, not two 64-long signatures per row
-    // (~1KB/row × |candidates| otherwise; the re-computation per extra
-    // band collision is cheaper than shipping the signatures).
-    a.join(b, col("a.band") === col("b.band") && col("a.bh") === col("b.bh") && col("a.id") < col("b.id"))
+    val cand = a
+      .join(b, col("a.band") === col("b.band") && col("a.bh") === col("b.bh") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    cand
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
       .select(
-        col("a.id").as("id_a"),
-        col("b.id").as("id_b"),
-        (aggregate(zip_with(col("a.sig"), col("b.sig"), (x, y) => when(x === y, 1).otherwise(0)), lit(0), _ + _)
+        col("id_a"),
+        col("id_b"),
+        (aggregate(zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)), lit(0), _ + _)
           .cast("double") / lit(numHashes.toDouble)).as("est_jaccard")
       )
       .filter(col("est_jaccard") >= threshold)
-      .dropDuplicates("id_a", "id_b")
   }
 
   /** SimHash signatures — one narrow pass via the fused TextSimHash expression. */
@@ -265,15 +269,14 @@ object Dedup {
     graft.sql.GraftFunctions.register(df.sparkSession)
     // sign bits against deterministic hyperplanes, packed in a long
     // (native expression — one per-row loop instead of planes×dim lambdas)
-    val sigs = df.select(
-      col(idCol).as("id"),
-      col(vecCol).as("vec"),
-      call_function("graft_hyperplane_bits", col(vecCol), lit(planes)).as("bits")
-    )
+    val vecs = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val sigs = vecs.select(col("id"), call_function("graft_hyperplane_bits", col("vec"), lit(planes)).as("bits"))
     val mask = (1L << rowsPerBand) - 1L
+    // candidate generation ships (id, band, bandhash) only; vectors
+    // re-attach to the (far smaller) distinct candidate set for the
+    // exact cosine verification.
     val banded = sigs.select(
       col("id"),
-      col("vec"),
       explode(
         transform(
           sequence(lit(0), lit(bands - 1)),
@@ -281,16 +284,16 @@ object Dedup {
             call_function("shiftrightunsigned", col("bits"), bnd * rowsPerBand).bitwiseAND(lit(mask)).as("bh"))
         )
       ).as("bk")
-    ).select(col("id"), col("vec"), col("bk.band"), col("bk.bh"))
+    ).select(col("id"), col("bk.band"), col("bk.bh"))
     val a = banded.as("a")
     val b = banded.as("b").hint("shuffle_hash")
-    // cosine before the pair dedup: the dedup shuffle carries three
-    // scalars per row instead of two 64-float vectors (fused cosine is
-    // cheaper than shipping the vectors through the exchange)
     a.join(b, col("a.band") === col("b.band") && col("a.bh") === col("b.bh") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        call_function("graft_cosine", col("a.vec"), col("b.vec")).as("cos"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+      .join(vecs.select(col("id").as("id_a"), col("vec").as("vec_a")), "id_a")
+      .join(vecs.select(col("id").as("id_b"), col("vec").as("vec_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        call_function("graft_cosine", col("vec_a"), col("vec_b")).as("cos"))
       .filter(col("cos") >= threshold)
-      .dropDuplicates("id_a", "id_b")
   }
 }

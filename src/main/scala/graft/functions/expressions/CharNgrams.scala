@@ -1,8 +1,8 @@
 package graft.functions.expressions
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -13,17 +13,26 @@ import org.apache.spark.unsafe.types.UTF8String
  * oracle's list_distinct/substr formulation), but one per-row loop
  * instead of three interpreted higher-order functions. Tail grams
  * shorter than n (when the string is shorter than n) are kept,
- * matching substr semantics.
+ * matching substr semantics. Codegen-capable via the static kernel.
  */
-case class CharNgrams(child: Expression, n: Int)
-    extends UnaryExpression
-    with CodegenFallback {
+case class CharNgrams(child: Expression, n: Int) extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "graft_char_ngrams"
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String].toString
+  override protected def nullSafeEval(input: Any): Any =
+    CharNgrams.ngrams(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = graft.functions.expressions.CharNgrams.ngrams($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): CharNgrams = copy(child = newChild)
+}
+
+object CharNgrams {
+  /** Static kernel, callable from generated Java. */
+  def ngrams(u: UTF8String, n: Int): ArrayData = {
+    val s = u.toString
     val len = s.length
     val count = math.max(len - (n - 1), 1)
     val seen = new java.util.LinkedHashSet[String]()
@@ -38,6 +47,4 @@ case class CharNgrams(child: Expression, n: Int)
     while (it.hasNext) { out(j) = UTF8String.fromString(it.next()); j += 1 }
     new GenericArrayData(out)
   }
-
-  override protected def withNewChildInternal(newChild: Expression): CharNgrams = copy(child = newChild)
 }

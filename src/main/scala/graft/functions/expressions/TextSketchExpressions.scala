@@ -1,8 +1,8 @@
 package graft.functions.expressions
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -73,17 +73,28 @@ object TextSketch {
   }
 }
 
-/** MinHash signature straight from text: k minima over distinct shingle hashes. */
-case class TextMinHash(child: Expression, shingleSize: Int, k: Int)
-    extends UnaryExpression
-    with CodegenFallback {
+/** MinHash signature straight from text: k minima over distinct shingle
+  * hashes. Codegen-capable via the static kernel. */
+case class TextMinHash(child: Expression, shingleSize: Int, k: Int) extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_text_minhash"
 
-  override protected def nullSafeEval(input: Any): Any = {
+  override protected def nullSafeEval(input: Any): Any =
+    TextMinHash.signature(input.asInstanceOf[UTF8String], shingleSize, k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.expressions.TextMinHash.signature($c, $shingleSize, $k);")
+
+  override protected def withNewChildInternal(newChild: Expression): TextMinHash = copy(child = newChild)
+}
+
+object TextMinHash {
+  /** Static kernel, callable from generated Java. */
+  def signature(u: UTF8String, shingleSize: Int, k: Int): ArrayData = {
     val mins = Array.fill(k)(Long.MaxValue)
-    TextSketch.forEachDistinctShingleHash(input.asInstanceOf[UTF8String], shingleSize) { h =>
+    TextSketch.forEachDistinctShingleHash(u, shingleSize) { h =>
       var j = 0
       while (j < k) {
         val m = Mix.splitmix64(h ^ (j.toLong * 0xC2B2AE3D27D4EB4FL))
@@ -93,21 +104,30 @@ case class TextMinHash(child: Expression, shingleSize: Int, k: Int)
     }
     new GenericArrayData(mins)
   }
-
-  override protected def withNewChildInternal(newChild: Expression): TextMinHash = copy(child = newChild)
 }
 
-/** 64-bit SimHash straight from text, over distinct shingle hashes. */
-case class TextSimHash(child: Expression, shingleSize: Int)
-    extends UnaryExpression
-    with CodegenFallback {
+/** 64-bit SimHash straight from text, over distinct shingle hashes.
+  * Codegen-capable via the static kernel. */
+case class TextSimHash(child: Expression, shingleSize: Int) extends UnaryExpression {
 
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_text_simhash"
 
-  override protected def nullSafeEval(input: Any): Any = {
+  override protected def nullSafeEval(input: Any): Any =
+    TextSimHash.signature(input.asInstanceOf[UTF8String], shingleSize)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.expressions.TextSimHash.signature($c, $shingleSize);")
+
+  override protected def withNewChildInternal(newChild: Expression): TextSimHash = copy(child = newChild)
+}
+
+object TextSimHash {
+  /** Static kernel, callable from generated Java. */
+  def signature(u: UTF8String, shingleSize: Int): Long = {
     val votes = new Array[Int](64)
-    TextSketch.forEachDistinctShingleHash(input.asInstanceOf[UTF8String], shingleSize) { h =>
+    TextSketch.forEachDistinctShingleHash(u, shingleSize) { h =>
       var j = 0
       while (j < 64) {
         if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
@@ -122,6 +142,4 @@ case class TextSimHash(child: Expression, shingleSize: Int)
     }
     sig
   }
-
-  override protected def withNewChildInternal(newChild: Expression): TextSimHash = copy(child = newChild)
 }

@@ -426,7 +426,7 @@ object SparkEntry {
    * yupana-core sql/SqlQueryProcessor — into the same query shapes).
    */
   private def qSqlAgg(s: SparkSession, dir: String): DataFrame = {
-    graft.sql.GraftFunctions.registerTables(s, n => ld(s, dir, n))
+    graft.sql.GraftFunctions.registerTables(s, n => ld(s, dir, n), Seq("lineitem"))
     s.sql("""
       SELECT date_trunc('month', l_shipdate) AS month, l_returnflag,
              CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
@@ -439,7 +439,7 @@ object SparkEntry {
   }
 
   private def qSqlTopn(s: SparkSession, dir: String): DataFrame = {
-    graft.sql.GraftFunctions.registerTables(s, n => ld(s, dir, n))
+    graft.sql.GraftFunctions.registerTables(s, n => ld(s, dir, n), Seq("orders"))
     s.sql("""
       SELECT o_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS spend,
              COUNT(*) AS n_orders

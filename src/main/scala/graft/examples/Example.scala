@@ -1,0 +1,58 @@
+package graft.examples
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.core.QueryBuilder
+import graft.operators.{Dedup, TextAnalysis}
+import graft.schema.TestSchema
+import graft.sql.GraftFunctions
+
+/**
+ * End-to-end walkthrough of the library (the reference ships
+ * yupana-examples as the starting point for users — this is graft's):
+ * schema-driven OLAP query, SQL surface with graft functions, and a
+ * corpus-curation pass. Run:
+ *   sbt "runMain graft.examples.Example /root/testdata/sf0.001"
+ */
+object Example {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-example")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    GraftFunctions.register(spark)
+    def load(n: String) = spark.read.parquet(s"$dir/$n.parquet")
+
+    println("== OLAP: quantity shipped per supplier in 1994, suppliers over 100 units ==")
+    QueryBuilder(spark, TestSchema.schema, load, "lineitem")
+      .timeRange("1994-01-01", "1995-01-01")
+      .groupBy(col("l_suppkey"))
+      .select(sum(col("l_quantity").cast("decimal(18,4)")).cast("double").as("qty"))
+      .having(col("qty") > 100.0)
+      .build()
+      .orderBy(col("qty").desc)
+      .show(5)
+
+    println("== SQL surface with graft functions ==")
+    GraftFunctions.registerTables(spark, load, Seq("documents"))
+    spark.sql(
+      "SELECT doc_id, graft_text_simhash(text) AS sig FROM documents ORDER BY doc_id LIMIT 5"
+    ).show(false)
+
+    println("== Corpus curation: near-duplicate pairs + quality scores ==")
+    Dedup.minhashPairs(load("documents"), "doc_id", "text", threshold = 0.3).show(5)
+    load("documents")
+      .select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("quality"))
+      .orderBy(col("quality").desc)
+      .show(5)
+
+    spark.stop()
+  }
+}

@@ -59,11 +59,16 @@ object GraftFunctions {
         spark.experimental.extraStrategies :+ graft.plans.TopKPerKeyStrategy(spark)
   }
 
-  /** Register the sf tables as temp views for the SQL surface. */
-  def registerTables(spark: SparkSession, load: String => org.apache.spark.sql.DataFrame): Unit = {
+  val allTables: Seq[String] =
     Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem", "events", "documents", "embeddings")
-      .foreach(t => load(t).createOrReplaceTempView(t))
-  }
+
+  /** Register tables as temp views for the SQL surface (default: all). */
+  def registerTables(
+      spark: SparkSession,
+      load: String => org.apache.spark.sql.DataFrame,
+      tables: Seq[String] = allTables
+  ): Unit =
+    tables.foreach(t => load(t).createOrReplaceTempView(t))
 }
 
 /** `spark.sql.extensions` entry point for cluster-wide injection. */

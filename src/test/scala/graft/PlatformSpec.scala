@@ -35,6 +35,26 @@ class PlatformSpec extends SparkSpecBase {
     } finally m.close()
   }
 
+  test("Rollup.materialize persists the pre-aggregate and queries over it match the source") {
+    import spark.implicits._
+    import graft.sources.Rollup
+    import graft.functions.F
+    val events = spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val roll = Rollup(
+      name = "events_by_day",
+      timeExpr = F.truncDay(col("ts")),
+      groupBy = Seq(col("event_type")),
+      aggregates = Seq(count(lit(1)).as("c"), sum(col("value").cast("decimal(18,4)")).as("v"))
+    )
+    val path = "/tmp/graft_rollup_spec/events_by_day"
+    roll.materialize(events, path)
+    val fromRollup = spark.read.parquet(path)
+      .groupBy("event_type").agg(sum("c").as("n")).as[(String, Long)].collect().toMap
+    val fromSource = events.groupBy("event_type").count().as[(String, Long)].collect().toMap
+    assert(fromRollup == fromSource)
+  }
+
   test("catalog metadata surface: SHOW TABLES / COLUMNS / FUNCTIONS") {
     import graft.sql.Catalog
     val tables = Catalog.showTables(spark, TestSchema.schema).collect().map(_.getString(0)).toSet

@@ -26,6 +26,12 @@ import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
  *
  * Same planning story as Spark's own TakeOrderedAndProject (the global
  * top-k specialization); this is the per-key generalization.
+ *
+ * Memory: O(distinct keys in partition × k) rows held on-heap, with no
+ * spill — the right trade when k is small and keys per partition are
+ * bounded (the rank-filter pattern's normal shape). For huge key
+ * cardinality per partition prefer the window operator (sorts spill);
+ * remove the strategy from extraStrategies to opt out per session.
  */
 case class TopKPerKeyExec(
     k: Int,

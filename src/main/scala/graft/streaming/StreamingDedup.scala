@@ -1,0 +1,78 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.functions.F
+import graft.operators.Dedup
+
+/**
+ * Incremental near-duplicate detection over a document stream: the
+ * production shape for deduping NEW data against an existing corpus.
+ *
+ * Per micro-batch (foreachBatch):
+ *  1. compute minhash signatures for the batch (stateless narrow map);
+ *  2. LSH-band join the batch against the PERSISTED signature index —
+ *     work is |batch| × collision rate, never |corpus|²;
+ *  3. emit (new_id, existing_id, est_jaccard) matches to the sink;
+ *  4. append the batch's signatures to the index.
+ *
+ * The index is the time-honored parquet-append layout; at scale it is
+ * partitioned by band hash prefix so step 2 prunes to the batch's
+ * buckets. Batch-vs-batch duplicates inside one micro-batch are caught
+ * by including the batch itself in the probe (id ordering dedups).
+ */
+object StreamingDedup {
+
+  def run(
+      spark: SparkSession,
+      docs: DataFrame, // streaming: (doc_id long, text string)
+      indexPath: String,
+      matchesPath: String,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.5,
+      checkpoint: String = "/tmp/graft_streaming_dedup_ckpt"
+  ): StreamingQuery = {
+    val rowsPerBand = numHashes / bands
+
+    def banded(sigs: DataFrame): DataFrame =
+      sigs
+        .select(col("id"), col("sig"), explode(F.lshBandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
+        .select(col("id"), col("sig"), col("bk.band"), col("bk.bh"))
+
+    docs.writeStream
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime(0L))
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val s = batch.sparkSession
+          val sigs = Dedup.minhashSigs(batch, "doc_id", "text", numHashes, 3).cache()
+          val probe = banded(sigs)
+          val haveIndex = Files.exists(Paths.get(indexPath))
+          // existing index + this batch — id ordering (a < b) dedups
+          val target =
+            if (haveIndex) banded(s.read.parquet(indexPath)).unionByName(probe) else probe
+          val matches = probe.as("a")
+            .join(
+              target.as("b"),
+              col("a.band") === col("b.band") && col("a.bh") === col("b.bh") && col("a.id") > col("b.id")
+            )
+            .select(col("a.id").as("new_id"), col("b.id").as("existing_id"),
+              (aggregate(
+                zip_with(col("a.sig"), col("b.sig"), (x, y) => when(x === y, 1).otherwise(0)),
+                lit(0), _ + _
+              ).cast("double") / lit(numHashes.toDouble)).as("est_jaccard"))
+            .filter(col("est_jaccard") >= threshold)
+            .distinct()
+          matches.write.mode("append").parquet(matchesPath)
+          sigs.write.mode("append").parquet(indexPath)
+          sigs.unpersist()
+        }
+        ()
+      }
+      .start()
+  }
+}

@@ -188,6 +188,39 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamed == batch)
   }
 
+  test("incremental streaming dedup finds near-dups across micro-batches via the persisted index") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = "/tmp/graft_sdedup_" + System.nanoTime()
+    val stream = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingDedup.run(
+      spark,
+      stream.toDF().toDF("doc_id", "text"),
+      indexPath = s"$base/index",
+      matchesPath = s"$base/matches",
+      threshold = 0.5,
+      checkpoint = s"$base/ckpt"
+    )
+    // batch 1: two distinct docs
+    stream.addData(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (2L, "completely different content about catalyst optimizer internals")
+    )
+    q.processAllAvailable()
+    // batch 2: a near-dup of doc 1 plus a fresh doc
+    stream.addData(
+      (3L, "the quick brown fox jumps over the lazy dog near the river bend"),
+      (4L, "yet another unrelated piece mentioning columnar storage formats")
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    val matches = spark.read.parquet(s"$base/matches")
+      .select("new_id", "existing_id").as[(Long, Long)].collect().toSet
+    assert(matches.contains((3L, 1L)), s"expected (3,1) in $matches")
+    assert(!matches.exists { case (a, b) => Set(a, b).intersect(Set(2L, 4L)).nonEmpty })
+    assert(spark.read.parquet(s"$base/index").count() == 4) // all docs indexed
+  }
+
   test("DataPoint ingest flattens into the events row shape") {
     val pts = Seq(
       Ingest.DataPoint("events", Timestamp.valueOf("2024-01-01 00:00:01"),

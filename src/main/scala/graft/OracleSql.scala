@@ -46,6 +46,28 @@ object OracleSql {
          COUNT(DISTINCT l_partkey) AS nd_part,
          COUNT(DISTINCT l_suppkey) AS nd_supp
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_profile" ->
+      """SELECT * FROM (
+           SELECT 'l_quantity' AS column_name, COUNT(*) AS cnt,
+                  SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+                  CAST(MIN(l_quantity) AS DOUBLE) AS min_d, CAST(MAX(l_quantity) AS DOUBLE) AS max_d,
+                  COUNT(DISTINCT l_quantity) AS ndv FROM lineitem
+           UNION ALL
+           SELECT 'l_extendedprice', COUNT(*),
+                  SUM(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END),
+                  CAST(MIN(l_extendedprice) AS DOUBLE), CAST(MAX(l_extendedprice) AS DOUBLE),
+                  COUNT(DISTINCT l_extendedprice) FROM lineitem
+           UNION ALL
+           SELECT 'l_discount', COUNT(*),
+                  SUM(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END),
+                  CAST(MIN(l_discount) AS DOUBLE), CAST(MAX(l_discount) AS DOUBLE),
+                  COUNT(DISTINCT l_discount) FROM lineitem
+           UNION ALL
+           SELECT 'l_partkey', COUNT(*),
+                  SUM(CASE WHEN l_partkey IS NULL THEN 1 ELSE 0 END),
+                  CAST(MIN(l_partkey) AS DOUBLE), CAST(MAX(l_partkey) AS DOUBLE),
+                  COUNT(DISTINCT l_partkey) FROM lineitem
+         ) ORDER BY column_name""",
     "q_agg_stats" ->
       """WITH t AS (
            SELECT l_returnflag,

@@ -143,6 +143,24 @@ object SparkEntry {
       .orderBy(col("op"))
   }
 
+  /** Data profiling: per-column stats in one pass (corpus QA / data contracts). */
+  private def qProfile(s: SparkSession, dir: String): DataFrame = {
+    val li = ld(s, dir, "lineitem")
+    def prof(c: String) =
+      li.agg(
+        lit(c).as("column_name"),
+        count(lit(1)).as("cnt"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_nulls"),
+        min(col(c)).cast("double").as("min_d"),
+        max(col(c)).cast("double").as("max_d"),
+        countDistinct(col(c)).as("ndv")
+      )
+    Seq("l_quantity", "l_extendedprice", "l_discount", "l_partkey")
+      .map(prof)
+      .reduce(_ unionByName _)
+      .orderBy(col("column_name"))
+  }
+
   /** GROUP BY ROLLUP: subtotal + grand-total rows (OLAP drill-down). */
   private def qGroupingRollup(s: SparkSession, dir: String): DataFrame =
     ld(s, dir, "lineitem")
@@ -740,6 +758,7 @@ object SparkEntry {
     "q_grouping_cube" -> (qGroupingCube _),
     "q_agg_percentile" -> (qAggPercentile _),
     "q_agg_stats" -> (qAggStats _),
+    "q_profile" -> (qProfile _),
     "q_semi_anti" -> (qSemiAnti _),
     "q_set_ops" -> (qSetOps _),
     "q_time_trunc" -> (qTimeTrunc _),

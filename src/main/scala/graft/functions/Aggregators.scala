@@ -17,30 +17,39 @@ object Aggregators {
    * finds hot vocabulary / hot keys in one pass over 100 TB without a
    * full groupBy.
    */
-  final class HeavyHitters(k: Int) extends Aggregator[String, Map[String, Long], Seq[(String, Long)]] {
-    override def zero: Map[String, Long] = Map.empty
+  final class HeavyHitters(k: Int)
+      extends Aggregator[String, scala.collection.mutable.HashMap[String, Long], Seq[(String, Long)]] {
+    type Buf = scala.collection.mutable.HashMap[String, Long]
 
-    override def reduce(acc: Map[String, Long], item: String): Map[String, Long] =
-      addCount(acc, item, 1L)
+    override def zero: Buf = scala.collection.mutable.HashMap.empty
 
-    private def addCount(acc: Map[String, Long], item: String, w: Long): Map[String, Long] = {
-      if (acc.contains(item)) acc.updated(item, acc(item) + w)
-      else if (acc.size < k) acc.updated(item, w)
-      else {
-        // decrement all by the new item's weight; drop non-positive
-        val dec = math.min(w, acc.values.min)
-        val cut = acc.view.mapValues(_ - dec).filter(_._2 > 0).toMap
-        if (w - dec > 0) cut.updated(item, w - dec) else cut
+    override def reduce(acc: Buf, item: String): Buf = addCount(acc, item, 1L)
+
+    // mutates in place: the immutable-Map formulation rebuilt the whole
+    // counter table on every decrement row (O(rows × k) allocation)
+    private def addCount(acc: Buf, item: String, w: Long): Buf = {
+      acc.get(item) match {
+        case Some(c) => acc.update(item, c + w)
+        case None if acc.size < k => acc.update(item, w)
+        case None =>
+          val dec = math.min(w, acc.values.min)
+          val dead = scala.collection.mutable.ArrayBuffer.empty[String]
+          for ((t, c) <- acc) { if (c - dec > 0) acc.update(t, c - dec) else dead += t }
+          dead.foreach(acc.remove)
+          if (w - dec > 0) acc.update(item, w - dec)
       }
+      acc
     }
 
-    override def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] =
-      b.foldLeft(a) { case (acc, (item, w)) => addCount(acc, item, w) }
+    override def merge(a: Buf, b: Buf): Buf = {
+      for ((item, w) <- b) addCount(a, item, w)
+      a
+    }
 
-    override def finish(acc: Map[String, Long]): Seq[(String, Long)] =
+    override def finish(acc: Buf): Seq[(String, Long)] =
       acc.toSeq.sortBy { case (t, c) => (-c, t) }
 
-    override def bufferEncoder: Encoder[Map[String, Long]] = Encoders.kryo[Map[String, Long]]
+    override def bufferEncoder: Encoder[Buf] = Encoders.kryo[Buf]
     override def outputEncoder: Encoder[Seq[(String, Long)]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(String, Long)]]()
   }

@@ -49,22 +49,22 @@ object OracleSql {
     "q_profile" ->
       """SELECT * FROM (
            SELECT 'l_quantity' AS column_name, COUNT(*) AS cnt,
-                  SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+                  CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
                   CAST(MIN(l_quantity) AS DOUBLE) AS min_d, CAST(MAX(l_quantity) AS DOUBLE) AS max_d,
                   COUNT(DISTINCT l_quantity) AS ndv FROM lineitem
            UNION ALL
            SELECT 'l_extendedprice', COUNT(*),
-                  SUM(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END),
+                  CAST(SUM(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
                   CAST(MIN(l_extendedprice) AS DOUBLE), CAST(MAX(l_extendedprice) AS DOUBLE),
                   COUNT(DISTINCT l_extendedprice) FROM lineitem
            UNION ALL
            SELECT 'l_discount', COUNT(*),
-                  SUM(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END),
+                  CAST(SUM(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS BIGINT),
                   CAST(MIN(l_discount) AS DOUBLE), CAST(MAX(l_discount) AS DOUBLE),
                   COUNT(DISTINCT l_discount) FROM lineitem
            UNION ALL
            SELECT 'l_partkey', COUNT(*),
-                  SUM(CASE WHEN l_partkey IS NULL THEN 1 ELSE 0 END),
+                  CAST(SUM(CASE WHEN l_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
                   CAST(MIN(l_partkey) AS DOUBLE), CAST(MAX(l_partkey) AS DOUBLE),
                   COUNT(DISTINCT l_partkey) FROM lineitem
          ) ORDER BY column_name""",
@@ -180,13 +180,14 @@ object OracleSql {
          FROM customer ORDER BY c_custkey""",
     "q_tokens" ->
       s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents)
-         SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens, tk[1:5] AS head_tokens
+         SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+                array_to_string(tk[1:5], '|') AS head_tokens
          FROM t ORDER BY doc_id""",
     "q_split" ->
       """WITH t AS (SELECT p_partkey,
            list_filter(regexp_split_to_array(p_type, '[^\p{L}\p{Nd}]+'), x -> length(x) > 0) AS tw
            FROM part)
-         SELECT p_partkey, tw AS type_words, CAST(len(tw) AS BIGINT) AS n_words
+         SELECT p_partkey, array_to_string(tw, '|') AS type_words, CAST(len(tw) AS BIGINT) AS n_words
          FROM t ORDER BY p_partkey""",
     "q_arith" ->
       s"""SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
@@ -334,7 +335,7 @@ object OracleSql {
                   SUM(CAST(value AS DECIMAL(18,4))) AS v
            FROM events GROUP BY rollup_time, event_type)
          SELECT date_trunc('month', rollup_time) AS month, event_type,
-                SUM(c) AS n_events, CAST(SUM(v) AS DOUBLE) AS sum_value
+                CAST(SUM(c) AS BIGINT) AS n_events, CAST(SUM(v) AS DOUBLE) AS sum_value
          FROM daily GROUP BY month, event_type ORDER BY month, event_type""",
     "q_topk" ->
       s"""SELECT l_partkey, CAST(SUM($rev) AS DOUBLE) AS part_rev
@@ -343,7 +344,8 @@ object OracleSql {
     "q_type_convs" ->
       """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
          CAST(l_linenumber AS VARCHAR) AS ln_str,
-         CAST(l_extendedprice AS DECIMAL(18,2)) AS price_currency,
+         CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS price_cents,
+         CAST(l_linenumber AS DECIMAL(18,2)) AS ln_currency,
          CAST(FLOOR(l_quantity) AS BIGINT) AS qty_long,
          CAST(l_partkey AS DOUBLE) AS pk_double
          FROM lineitem ORDER BY l_orderkey, l_linenumber""",

@@ -24,6 +24,7 @@ object SparkEntry {
 
   private def ld(s: SparkSession, dir: String, name: String): DataFrame = {
     graft.sql.GraftFunctions.register(s)
+    graft.sql.GraftFunctions.installTopKStrategy(s)
     if (name == "events") {
       // events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
       // reader rejects; read ns-as-long and convert (values are µs-aligned).
@@ -284,7 +285,9 @@ object SparkEntry {
       .select(
         col("doc_id"),
         size(F.tokens(col("text"))).cast("long").as("n_tokens"),
-        slice(F.tokens(col("text")), 1, 5).as("head_tokens")
+        // String, not array<string>: the driver's pandas comparator cannot
+        // sort/hash array cells (array semantics stay covered by q_array_ops).
+        concat_ws("|", slice(F.tokens(col("text")), 1, 5)).as("head_tokens")
       )
       .orderBy(col("doc_id"))
 
@@ -292,7 +295,7 @@ object SparkEntry {
     ld(s, dir, "part")
       .select(
         col("p_partkey"),
-        F.splitWords(col("p_type")).as("type_words"),
+        concat_ws("|", F.splitWords(col("p_type"))).as("type_words"),
         size(F.splitWords(col("p_type"))).cast("long").as("n_words")
       )
       .orderBy(col("p_partkey"))
@@ -479,7 +482,13 @@ object SparkEntry {
         col("l_orderkey"),
         col("l_linenumber").cast("long").as("l_linenumber"),
         col("l_linenumber").cast("string").as("ln_str"),
-        money(col("l_extendedprice")).as("price_currency"),
+        // Money as integer cents: floor(x*100 + 0.5) is the same IEEE op
+        // sequence in Spark and DuckDB (a direct double→DECIMAL cast is not:
+        // Spark rounds HALF_UP, DuckDB HALF_EVEN → hash mismatch at
+        // half-cent boundaries). DECIMAL cast coverage stays on an exact
+        // integer source (ln_currency).
+        floor(col("l_extendedprice") * lit(100.0) + lit(0.5)).cast("long").as("price_cents"),
+        money(col("l_linenumber")).as("ln_currency"),
         floor(col("l_quantity")).cast("long").as("qty_long"),
         col("l_partkey").cast("double").as("pk_double")
       )

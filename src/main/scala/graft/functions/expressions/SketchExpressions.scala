@@ -112,11 +112,15 @@ case class SimHash64(child: Expression)
 /**
  * Dot product of two numeric arrays (sequential index-order summation —
  * bit-identical to the `aggregate(zip_with(...))` fold it replaces).
- * Accepts float or double arrays; result is double.
+ * Accepts float or double arrays; result is double. Null semantics match
+ * the zip_with formulation exactly, so the fusion rule can substitute it
+ * unconditionally: NULL on length mismatch (zip_with pads with null) and
+ * NULL when any element is null (the fold's acc + NULL).
  */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression
     with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def nullable: Boolean = true
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_dot"
@@ -129,11 +133,18 @@ case class DotProduct(left: Expression, right: Expression)
     val y = b.asInstanceOf[ArrayData]
     val xf = left.dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType == org.apache.spark.sql.types.FloatType
     val yf = right.dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType == org.apache.spark.sql.types.FloatType
-    val n = math.min(x.numElements(), y.numElements())
-    var dot = 0.0
-    var i = 0
-    while (i < n) { dot += get(x, xf, i) * get(y, yf, i); i += 1 }
-    dot
+    val n = x.numElements()
+    if (n != y.numElements()) null
+    else {
+      var dot = 0.0
+      var i = 0
+      var anyNull = false
+      while (i < n && !anyNull) {
+        if (x.isNullAt(i) || y.isNullAt(i)) anyNull = true
+        else { dot += get(x, xf, i) * get(y, yf, i); i += 1 }
+      }
+      if (anyNull) null else dot
+    }
   }
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): DotProduct =
@@ -153,6 +164,19 @@ case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_cosine"
+
+  // The eval/codegen bodies read elements with getFloat; reject anything
+  // that is not array<float> at analysis time instead of silently
+  // misreading the buffer (e.g. array<double> built from SQL literals).
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(org.apache.spark.sql.types.FloatType, _),
+            ArrayType(org.apache.spark.sql.types.FloatType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires two array<float> arguments, got ${l.catalogString} and ${r.catalogString}")
+    }
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]

@@ -70,6 +70,19 @@ object TextSketch {
       i += 1
     }
     endToken()
+    // Documents shorter than the shingle size still get one shingle built
+    // from whatever tokens exist — mirroring Dedup.shingles' greatest(.., 1)
+    // floor. Without this, every short doc kept an all-MaxValue signature
+    // and LSH-banded as a near-duplicate of every other short doc.
+    if (tokenCount < shingleSize) {
+      var sh = 0L
+      var j = 0
+      while (j < tokenCount) {
+        sh = sh * 1000003L + window(j)
+        j += 1
+      }
+      consume(Mix.splitmix64(sh))
+    }
   }
 }
 

@@ -24,6 +24,10 @@ object Ann {
     * Per-candidate work is one fused codegen'd cosine (graft_cosine). */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     graft.sql.GraftFunctions.register(corpus.sparkSession)
+    // deliberate physical-plan choice: per-query key cardinality is the
+    // (bounded) query set, so the heap operator is strictly better than
+    // the sort-based window — and it spills past the configured bound.
+    graft.sql.GraftFunctions.installTopKStrategy(corpus.sparkSession)
     val joined = corpus
       .select(col("vec_id").as("item_id"), col("embedding").as("item_vec"))
       .crossJoin(broadcast(queries.select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))))
@@ -72,6 +76,7 @@ object Ann {
       probes: Int = 4
   ): DataFrame = {
     graft.sql.GraftFunctions.register(spark)
+    graft.sql.GraftFunctions.installTopKStrategy(spark)
     val base = corpus.select(col("vec_id").as("item_id"), col("embedding").as("item_vec"))
 
     // seed centroids: means of hash buckets; one Lloyd step to refine

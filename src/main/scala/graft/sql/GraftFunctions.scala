@@ -49,15 +49,24 @@ object GraftFunctions {
     }
   }
 
+  /** Register the graft function surface. Function registration ONLY — the
+    * TopKPerKey planner strategy is a whole-session re-plan and is installed
+    * explicitly ([[installTopKStrategy]] or GraftExtensions), never as a
+    * side effect of making functions callable. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     builders.foreach { case (name, b) =>
       reg.createOrReplaceTempFunction(name, b, "built-in")
     }
+  }
+
+  /** Opt in to heap-based top-k-per-key planning for this session
+    * (idempotent). Memory-safe at any key cardinality: TopKPerKeyExec
+    * spills past `spark.graft.topk.maxRowsInMemory` retained rows. */
+  def installTopKStrategy(spark: SparkSession): Unit =
     if (!spark.experimental.extraStrategies.exists(_.isInstanceOf[graft.plans.TopKPerKeyStrategy]))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ graft.plans.TopKPerKeyStrategy(spark)
-  }
 
   val allTables: Seq[String] =
     Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem", "events", "documents", "embeddings")

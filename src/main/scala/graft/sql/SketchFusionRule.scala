@@ -20,6 +20,9 @@ import graft.functions.expressions.DotProduct
  */
 object SketchFusionRule extends Rule[LogicalPlan] {
 
+  // Safe for nullable arrays: DotProduct mirrors the fold's null semantics
+  // exactly (NULL on length mismatch — zip_with's padding — and NULL when
+  // any element is null — the fold's acc + NULL).
   private def isFloatOrDoubleArray(e: Expression): Boolean = e.dataType match {
     case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
     case _ => false

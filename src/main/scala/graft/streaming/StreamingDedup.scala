@@ -67,8 +67,14 @@ object StreamingDedup {
               ).cast("double") / lit(numHashes.toDouble)).as("est_jaccard"))
             .filter(col("est_jaccard") >= threshold)
             .distinct()
-          matches.write.mode("append").parquet(matchesPath)
-          sigs.write.mode("append").parquet(indexPath)
+          // Idempotent per micro-batch: foreachBatch replays a batch after a
+          // failure, so blind appends would double both the matches and the
+          // signature index (and duplicated index rows multiply all future
+          // match output). Writing each batch to its own batch_id=… partition
+          // with overwrite makes replays converge; partition discovery on
+          // read reassembles the full index/matches set.
+          matches.write.mode("overwrite").parquet(s"$matchesPath/batch_id=$batchId")
+          sigs.write.mode("overwrite").parquet(s"$indexPath/batch_id=$batchId")
           sigs.unpersist()
         }
         ()

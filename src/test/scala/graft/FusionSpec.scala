@@ -67,7 +67,19 @@ class FusionSpec extends SparkSpecBase {
       assert(spark.sessionState.functionRegistry.functionExists(
         org.apache.spark.sql.catalyst.FunctionIdentifier(name)), name)
     }
-    assert(spark.experimental.extraStrategies.exists(_.isInstanceOf[graft.plans.TopKPerKeyStrategy]))
+    // strategy injection is decoupled from function registration (opt-in);
+    // the session is shared across suites, so establish a clean slate first
+    spark.experimental.extraStrategies =
+      spark.experimental.extraStrategies.filterNot(_.isInstanceOf[graft.plans.TopKPerKeyStrategy])
+    graft.sql.GraftFunctions.register(spark)
+    assert(!spark.experimental.extraStrategies.exists(_.isInstanceOf[graft.plans.TopKPerKeyStrategy]),
+      "register() must not install planner strategies")
+    graft.sql.GraftFunctions.installTopKStrategy(spark)
+    graft.sql.GraftFunctions.installTopKStrategy(spark) // idempotent
+    try {
+      assert(spark.experimental.extraStrategies.count(_.isInstanceOf[graft.plans.TopKPerKeyStrategy]) == 1)
+    } finally spark.experimental.extraStrategies =
+      spark.experimental.extraStrategies.filterNot(_.isInstanceOf[graft.plans.TopKPerKeyStrategy])
   }
 
   test("salted join returns exactly the plain join's rows and spreads a hot key") {

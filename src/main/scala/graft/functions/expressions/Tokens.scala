@@ -53,3 +53,51 @@ object Tokens {
     new GenericArrayData(out.toArray)
   }
 }
+
+/**
+ * Word n-gram shingles as a native expression: tokenize (lowercase
+ * letter/digit runs) and emit the distinct n-token shingle strings in
+ * one pass — semantically identical to
+ * `array_distinct(transform(sequence(1, greatest(size(toks)-n+1, 1)),
+ * i -> concat_ws(" ", slice(toks, i, n))))` over [[Tokens]] output
+ * (short docs yield ONE shingle of whatever tokens exist; empty docs
+ * the "" shingle), but without the interpreted per-element lambdas.
+ */
+case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_word_shingles"
+
+  override protected def nullSafeEval(input: Any): Any =
+    WordShingles.shingle(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = graft.functions.expressions.WordShingles.shingle($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): WordShingles = copy(child = newChild)
+}
+
+object WordShingles {
+  /** Static kernel, callable from generated Java. */
+  def shingle(u: UTF8String, n: Int): ArrayData = {
+    val toks = Tokens.tokenize(u, lowercase = true)
+    val cnt = toks.numElements()
+    val out = new java.util.LinkedHashSet[AnyRef]()
+    val limit = math.max(cnt - n + 1, 1)
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (i < limit) {
+      sb.setLength(0)
+      var j = i
+      val hi = math.min(i + n, cnt)
+      while (j < hi) {
+        if (j > i) sb.append(' ')
+        sb.append(toks.getUTF8String(j).toString)
+        j += 1
+      }
+      out.add(UTF8String.fromString(sb.toString))
+      i += 1
+    }
+    new GenericArrayData(out.toArray(new Array[AnyRef](out.size())))
+  }
+}

@@ -37,7 +37,8 @@ object GraftFunctions {
     "graft_nearest_centroids" -> (exprs => NearestCentroids(exprs.head, centroidsArg(exprs(1)), intArg(exprs, 2, 4))),
     "graft_hyperplane_bits" -> (exprs => HyperplaneBits(exprs.head, intArg(exprs, 1, 16))),
     "graft_tokens" -> (exprs => graft.functions.expressions.Tokens(exprs.head, lowercase = true)),
-    "graft_split_words" -> (exprs => graft.functions.expressions.Tokens(exprs.head, lowercase = false))
+    "graft_split_words" -> (exprs => graft.functions.expressions.Tokens(exprs.head, lowercase = false)),
+    "graft_word_shingles" -> (exprs => graft.functions.expressions.WordShingles(exprs.head, intArg(exprs, 1, 3)))
   )
 
   /** Decode a foldable array<array<float>> literal into the centroid table. */

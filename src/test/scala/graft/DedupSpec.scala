@@ -60,6 +60,36 @@ class DedupSpec extends SparkSpecBase {
     assert(pairs.contains((0L, 3L)))
   }
 
+  test("exact-verified LSH dedups equal brute-force jaccard/cosine ground truth on real data") {
+    val real = spark.read.parquet(s"$sfDir/documents.parquet")
+    val sh = real.select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh"))
+    val brute = sh.select(col("doc_id").as("ia"), col("sh").as("sa"))
+      .crossJoin(sh.select(col("doc_id").as("ib"), col("sh").as("sb")))
+      .filter(col("ia") < col("ib"))
+      .select(col("ia"), col("ib"),
+        (size(array_intersect(col("sa"), col("sb"))).cast("double") /
+          size(array_union(col("sa"), col("sb"))).cast("double")).as("jac"))
+      .filter(col("jac") >= 0.5)
+      .as[(Long, Long, Double)].collect().toSeq.sorted
+    val viaMinhash = Dedup.minhashJaccardPairs(real, "doc_id", "text", threshold = 0.5)
+      .as[(Long, Long, Double)].collect().toSeq.sorted
+    val viaSimhash = Dedup.simhashJaccardPairs(real, "doc_id", "text", maxHamming = 12, threshold = 0.5)
+      .as[(Long, Long, Double)].collect().toSeq.sorted
+    assert(viaMinhash == brute, s"minhash candidates missed a true pair: ${brute.diff(viaMinhash)}")
+    assert(viaSimhash == brute, s"simhash candidates missed a true pair: ${brute.diff(viaSimhash)}")
+
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val ve = emb.select(col("vec_id").as("ia"), col("embedding").as("va"))
+      .crossJoin(emb.select(col("vec_id").as("ib"), col("embedding").as("vb")))
+      .filter(col("ia") < col("ib"))
+      .select(col("ia"), col("ib"), call_function("graft_cosine", col("va"), col("vb")).as("cos"))
+      .filter(col("cos") >= 0.5)
+      .as[(Long, Long, Double)].collect().toSeq.sorted
+    val viaLsh = Dedup.embeddingPairs(emb, "vec_id", "embedding", threshold = 0.5)
+      .as[(Long, Long, Double)].collect().toSeq.sorted
+    assert(viaLsh == ve, s"embedding LSH missed a true pair: ${ve.diff(viaLsh)}")
+  }
+
   test("prefix-filtered ngram jaccard returns exactly the unfiltered result") {
     val real = spark.read.parquet(s"$sfDir/documents.parquet")
     val full = Dedup

@@ -261,6 +261,13 @@ object OracleSql {
          JOIN nation ON s_nationkey = n_nationkey
          JOIN region ON n_regionkey = r_regionkey
          GROUP BY r_name, n_name ORDER BY r_name, n_name""",
+    "q_join_link_filtered" ->
+      """SELECT s_nationkey,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+         COUNT(*) AS cnt
+         FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+         WHERE s_acctbal > 4000.0
+         GROUP BY s_nationkey ORDER BY s_nationkey""",
     "q_join_facts" ->
       s"""SELECT o_orderpriority,
          CAST(SUM($rev) AS DOUBLE) AS sum_rev,

@@ -420,6 +420,24 @@ object SparkEntry {
       .orderBy(col("r_name"), col("n_name"))
   }
 
+  /**
+   * Link-field condition pushdown (reference ExternalLinkService
+   * `transformCondition`): the predicate on supplier attributes is
+   * resolved to an `IN` set over `l_suppkey` BEFORE the fact scan, so
+   * the scan itself prunes (PushedFilters shows the In) instead of
+   * joining all facts and post-filtering. Asserted in PlanSpec.
+   */
+  private def qJoinLinkFiltered(s: SparkSession, dir: String): DataFrame = {
+    val link = TestSchema.schema.links.find(_.linkName == "supplier_link").get
+    QueryBuilder(s, TestSchema.schema, n => ld(s, dir, n), "lineitem")
+      .whereLink(link, col("s_acctbal") > 4000.0)
+      .withLink(link)
+      .groupBy(col("s_nationkey"))
+      .select(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("cnt"))
+      .build()
+      .orderBy(col("s_nationkey"))
+  }
+
   /** Rollup to day grain, then month-grain query over the rollup. */
   private def qRollup(s: SparkSession, dir: String): DataFrame = {
     val roll = Rollup(
@@ -802,6 +820,7 @@ object SparkEntry {
     "q_postfilter" -> (qPostfilter _),
     "q_limit" -> (qLimit _),
     "q_join_link" -> (qJoinLink _),
+    "q_join_link_filtered" -> (qJoinLinkFiltered _),
     "q_join_facts" -> (qJoinFacts _),
     "q_asof_attribution" -> (qAsofAttribution _),
     "q_range_join" -> (qRangeJoin _),

@@ -25,7 +25,8 @@ final class QueryBuilder private (
     groupings: Seq[Column],
     postFilters: Seq[Column],
     limitN: Option[Int],
-    linkJoins: Seq[GExternalLink]
+    linkJoins: Seq[GExternalLink],
+    linkFilters: Seq[(GExternalLink, Column, Boolean)]
 ) {
 
   private def copy(
@@ -34,8 +35,10 @@ final class QueryBuilder private (
       groupings: Seq[Column] = groupings,
       postFilters: Seq[Column] = postFilters,
       limitN: Option[Int] = limitN,
-      linkJoins: Seq[GExternalLink] = linkJoins
-  ) = new QueryBuilder(spark, schema, loadTable, table, filters, fields, groupings, postFilters, limitN, linkJoins)
+      linkJoins: Seq[GExternalLink] = linkJoins,
+      linkFilters: Seq[(GExternalLink, Column, Boolean)] = linkFilters
+  ) = new QueryBuilder(
+    spark, schema, loadTable, table, filters, fields, groupings, postFilters, limitN, linkJoins, linkFilters)
 
   /** Mandatory time-range filter (reference queries always carry one). */
   def timeRange(from: String, to: String): QueryBuilder =
@@ -60,6 +63,32 @@ final class QueryBuilder private (
    */
   def withLink(link: GExternalLink): QueryBuilder = copy(linkJoins = linkJoins :+ link)
 
+  /**
+   * Condition on external-link (catalog) fields, pushed down to the
+   * FACT SCAN as a dimension filter — the reference's single biggest
+   * scan-volume optimization (yupana-core ExternalLinkService.scala:73
+   * `transformCondition`, yupana-api ConditionTransformation.scala:37:
+   * a link-field predicate becomes `DimIdIn`/`DimIdNotIn` sets before
+   * the scan). Spark realization: evaluate the predicate on the (small)
+   * catalog, and if the matching key set is bounded turn it into a
+   * literal `IN` on the dimension column — Catalyst pushes that into
+   * the parquet scan (`PushedFilters: In(dim, ...)`), pruning row
+   * groups / partitions instead of post-filtering joined rows. Past
+   * the bound it degrades to a broadcast semi-join (still no fact
+   * shuffle, no driver blow-up).
+   *
+   * @param exclude true = reference `NotIn` transformation (rows whose
+   *                dimension matches the predicate are dropped)
+   */
+  def whereLink(link: GExternalLink, condition: Column, exclude: Boolean = false): QueryBuilder =
+    copy(linkFilters = linkFilters :+ ((link, condition, exclude)))
+
+  /** Keys at or below this bound become a literal IN-set; above it, a
+    * broadcast semi/anti join. Catalog cardinality is bounded metadata
+    * (same class as broadcast thresholds), so the cap guards the plan
+    * size, not correctness. */
+  private val maxInSetKeys = 10000
+
   def build(): DataFrame = {
     try buildUnchecked()
     catch {
@@ -76,6 +105,20 @@ final class QueryBuilder private (
 
   private def buildUnchecked(): DataFrame = {
     var df = loadTable(table.name)
+    for ((link, cond, exclude) <- linkFilters) {
+      val keys = loadTable(link.catalogTable).filter(cond).select(col(link.catalogKey)).distinct()
+      // Bounded probe: take cap+1 — if it overflows, never collect the rest.
+      val sample = keys.limit(maxInSetKeys + 1).collect().map(_.get(0))
+      if (sample.length <= maxInSetKeys) {
+        val in = col(link.dimensionName).isin(sample.toIndexedSeq: _*)
+        df = df.filter(if (exclude) !in || col(link.dimensionName).isNull else in)
+      } else {
+        df = df.join(
+          broadcast(keys.withColumnRenamed(link.catalogKey, link.dimensionName)),
+          Seq(link.dimensionName),
+          if (exclude) "left_anti" else "left_semi")
+      }
+    }
     for (l <- linkJoins) {
       val cat = broadcast(loadTable(l.catalogTable).select((l.catalogKey +: l.fields).map(col): _*))
       df = df.join(cat, df(l.dimensionName) === cat(l.catalogKey), "left").drop(l.catalogKey)
@@ -92,5 +135,5 @@ final class QueryBuilder private (
 
 object QueryBuilder {
   def apply(spark: SparkSession, schema: GSchema, loadTable: String => DataFrame, tableName: String): QueryBuilder =
-    new QueryBuilder(spark, schema, loadTable, schema.table(tableName), Nil, Nil, Nil, Nil, None, Nil)
+    new QueryBuilder(spark, schema, loadTable, schema.table(tableName), Nil, Nil, Nil, Nil, None, Nil, Nil)
 }

@@ -36,6 +36,11 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("SortMergeJoin"), "catalog joins must not shuffle the fact side")
   }
 
+  test("q_join_link_filtered pushes the link-derived dimension IN-set into the fact scan") {
+    val p = planOf("q_join_link_filtered")
+    assert(p.contains("PushedFilters: [In(l_suppkey"), s"link condition must reach the scan as In(l_suppkey,...):\n${p.take(3000)}")
+  }
+
   test("q_agg_sum_min_max does partial (map-side) aggregation before the shuffle") {
     val p = planOf("q_agg_sum_min_max")
     assert(p.contains("partial_sum") || p.contains("HashAggregate"), p.take(2000))

@@ -19,6 +19,21 @@ object OracleSql {
   private val toks =
     "list_filter(regexp_split_to_array(lower(text), '[^\\p{L}\\p{Nd}]+'), x -> length(x) > 0)"
 
+  /** Harman S-stemmer (EnglishLightStemmer) — the same three ordered
+    * rules as the Scala kernel, change both together. */
+  private val stem =
+    """t -> CASE
+         WHEN len(t) > 3 AND t LIKE '%ies' THEN
+           CASE WHEN t NOT LIKE '%eies' AND t NOT LIKE '%aies'
+                THEN substr(t, 1, len(t) - 3) || 'y' ELSE t END
+         WHEN len(t) > 3 AND t LIKE '%es' THEN
+           CASE WHEN t NOT LIKE '%aes' AND t NOT LIKE '%ees' AND t NOT LIKE '%oes'
+                THEN substr(t, 1, len(t) - 1) ELSE t END
+         WHEN len(t) > 2 AND t LIKE '%s' THEN
+           CASE WHEN t NOT LIKE '%us' AND t NOT LIKE '%ss'
+                THEN substr(t, 1, len(t) - 1) ELSE t END
+         ELSE t END"""
+
   /** en/de/fr/es/zh marker scores over padded lower text `p` (mirrors TextAnalysis.langScore). */
   private def score(words: Seq[String]): String =
     words.map(w => s"(CASE WHEN instr(p, ' $w ') > 0 THEN 1 ELSE 0 END)").mkString(" + ")
@@ -184,6 +199,11 @@ object OracleSql {
       s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents)
          SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
                 array_to_string(tk[1:5], '|') AS head_tokens
+         FROM t ORDER BY doc_id""",
+    "q_stemmed_tokens" ->
+      s"""WITH t AS (SELECT doc_id, list_transform($toks, $stem) AS tk FROM documents)
+         SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+                array_to_string(tk[1:8], '|') AS head_stems
          FROM t ORDER BY doc_id""",
     "q_split" ->
       """WITH t AS (SELECT p_partkey,

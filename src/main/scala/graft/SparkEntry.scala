@@ -291,6 +291,18 @@ object SparkEntry {
       )
       .orderBy(col("doc_id"))
 
+  /** Stemmed tokens (reference TokenizerBase.stemmedTokens with the
+    * locale's stemmer; here 'en' = Harman S-stemmer). The oracle SQL
+    * mirrors the three S-stemmer rules token-for-token in DuckDB. */
+  private def qStemmedTokens(s: SparkSession, dir: String): DataFrame =
+    ld(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        size(F.stemmedTokens(col("text"))).cast("long").as("n_tokens"),
+        concat_ws("|", slice(F.stemmedTokens(col("text")), 1, 8)).as("head_stems")
+      )
+      .orderBy(col("doc_id"))
+
   private def qSplit(s: SparkSession, dir: String): DataFrame =
     ld(s, dir, "part")
       .select(
@@ -809,6 +821,7 @@ object SparkEntry {
     "q_sessionize" -> (qSessionize _),
     "q_str_funcs" -> (qStrFuncs _),
     "q_tokens" -> (qTokens _),
+    "q_stemmed_tokens" -> (qStemmedTokens _),
     "q_split" -> (qSplit _),
     "q_arith" -> (qArith _),
     "q_is_null" -> (qIsNull _),

@@ -53,6 +53,12 @@ object F {
    */
   def tokens(c: Column): Column = call_function("graft_tokens", c)
 
+  /** Reference stemmedTokens: tokens with the locale's registered stemmer
+    * applied per token (TokenizerBase.stemmedTokens; 'en' = Harman
+    * S-stemmer English light stem). */
+  def stemmedTokens(c: Column, locale: String = "en"): Column =
+    call_function("graft_stemmed_tokens", c, lit(locale))
+
   /** Reference SplitExpr (Expression.scala:322): split on non-letter/digit, no lowercasing. */
   def splitWords(c: Column): Column = call_function("graft_split_words", c)
 

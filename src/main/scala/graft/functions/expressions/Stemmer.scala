@@ -1,0 +1,60 @@
+package graft.functions.expressions
+
+/**
+ * Pluggable per-token stemmer hook for [[Tokens]], mirroring the
+ * reference tokenizer's stem step (yupana-utils TokenizerBase.scala:28
+ * `stem` / RussianTokenizer.scala:49 `stemArray` — the reference plugs
+ * a locale-specific light stemmer into the shared tokenizer). graft
+ * ships an English light stemmer (the Harman 1991 "S-stemmer" plural
+ * reduction — a published algorithm) and identity for other locales;
+ * any `Stemmer` can be registered per-query.
+ *
+ * Stemmers must be deterministic, pure, and serializable: they run
+ * inside codegen'd expressions on executors.
+ */
+trait Stemmer extends Serializable {
+  def stem(word: String): String
+}
+
+object IdentityStemmer extends Stemmer {
+  override def stem(word: String): String = word
+}
+
+/**
+ * Harman S-stemmer (Donna Harman, "How Effective Is Suffixing?",
+ * JASIS 1991): three ordered plural-reduction rules. Deliberately
+ * mirrored token-for-token by the DuckDB oracle SQL in OracleSql —
+ * change both together.
+ *
+ *  - `-ies` → `-y` unless preceded by `e`/`a` (len > 3)
+ *  - `-es`  → `-e` unless preceded by `a`/`e`/`o` (len > 3)
+ *  - `-s`   dropped unless preceded by `u`/`s` (len > 2)
+ */
+object EnglishLightStemmer extends Stemmer {
+  override def stem(word: String): String = {
+    val n = word.length
+    if (n > 3 && word.endsWith("ies")) {
+      val p = word.charAt(n - 4)
+      if (p != 'e' && p != 'a') word.substring(0, n - 3) + "y" else word
+    } else if (n > 3 && word.endsWith("es")) {
+      val p = word.charAt(n - 3)
+      if (p != 'a' && p != 'e' && p != 'o') word.substring(0, n - 1) else word
+    } else if (n > 2 && word.charAt(n - 1) == 's') {
+      val p = word.charAt(n - 2)
+      if (p != 'u' && p != 's') word.substring(0, n - 1) else word
+    } else word
+  }
+}
+
+/** Locale → stemmer registry (reference: one TokenizerBase object per
+  * locale). Extensible: `register` before building queries. */
+object Stemmers {
+  @volatile private var byId: Map[String, Stemmer] =
+    Map("none" -> IdentityStemmer, "en" -> EnglishLightStemmer)
+
+  def register(id: String, s: Stemmer): Unit = synchronized { byId = byId + (id -> s) }
+
+  def forId(id: String): Stemmer =
+    byId.getOrElse(id, throw new IllegalArgumentException(
+      s"unknown stemmer '$id' (registered: ${byId.keys.toSeq.sorted.mkString(", ")})"))
+}

@@ -17,41 +17,61 @@ import org.apache.spark.unsafe.types.UTF8String
  * Codegen-capable: the generated code calls the static [[Tokens.tokenize]]
  * kernel, so the surrounding operators stay inside one whole-stage
  * codegen span (no interpreter fallback per row).
+ *
+ * `stemmer` is the reference's per-locale stem hook
+ * (TokenizerBase.stemArray): each emitted token is stemmed by the
+ * [[Stemmers]]-registered stemmer. "none" (identity) is the default;
+ * the stemmer object is resolved ONCE (codegen reference object), not
+ * per row.
  */
-case class Tokens(child: Expression, lowercase: Boolean) extends UnaryExpression {
+case class Tokens(child: Expression, lowercase: Boolean, stemmer: String = "none")
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "graft_tokens"
 
-  override protected def nullSafeEval(input: Any): Any =
-    Tokens.tokenize(input.asInstanceOf[UTF8String], lowercase)
+  @transient private lazy val stemmerObj: Stemmer = Stemmers.forId(stemmer)
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = graft.functions.expressions.Tokens.tokenize($c, $lowercase);")
+  override protected def nullSafeEval(input: Any): Any =
+    Tokens.tokenize(input.asInstanceOf[UTF8String], lowercase, stemmerObj)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val stemRef = ctx.addReferenceObj("stemmer", stemmerObj, classOf[Stemmer].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.expressions.Tokens.tokenize($c, $lowercase, $stemRef);")
+  }
 
   override protected def withNewChildInternal(newChild: Expression): Tokens = copy(child = newChild)
 }
 
 object Tokens {
   /** Static kernel, callable from generated Java. */
-  def tokenize(u: UTF8String, lowercase: Boolean): ArrayData = {
+  def tokenize(u: UTF8String, lowercase: Boolean, stemmer: Stemmer): ArrayData = {
     val s = u.toString
+    val identity = stemmer eq IdentityStemmer
     val out = new java.util.ArrayList[AnyRef]()
     val sb = new java.lang.StringBuilder()
+    def flush(): Unit = if (sb.length > 0) {
+      val w = sb.toString
+      out.add(UTF8String.fromString(if (identity) w else stemmer.stem(w)))
+      sb.setLength(0)
+    }
     var i = 0
     val len = s.length
     while (i < len) {
       val c0 = s.charAt(i)
       if (Character.isLetterOrDigit(c0)) {
         sb.append(if (lowercase) Character.toLowerCase(c0) else c0)
-      } else if (sb.length > 0) {
-        out.add(UTF8String.fromString(sb.toString)); sb.setLength(0)
-      }
+      } else flush()
       i += 1
     }
-    if (sb.length > 0) out.add(UTF8String.fromString(sb.toString))
+    flush()
     new GenericArrayData(out.toArray)
   }
+
+  /** Back-compat kernel entry (WordShingles and older codegen sites). */
+  def tokenize(u: UTF8String, lowercase: Boolean): ArrayData =
+    tokenize(u, lowercase, IdentityStemmer)
 }
 
 /**

@@ -24,6 +24,9 @@ object GraftFunctions {
   private def intArg(exprs: Seq[Expression], i: Int, default: Int): Int =
     if (exprs.length > i) exprs(i).eval().asInstanceOf[Number].intValue() else default
 
+  private def strArg(exprs: Seq[Expression], i: Int, default: String): String =
+    if (exprs.length > i) exprs(i).eval().toString else default
+
   val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_minhash" -> (exprs => MinHashSignature(exprs.head, 64)),
     "graft_simhash" -> (exprs => SimHash64(exprs.head)),
@@ -38,6 +41,10 @@ object GraftFunctions {
     "graft_hyperplane_bits" -> (exprs => HyperplaneBits(exprs.head, intArg(exprs, 1, 16))),
     "graft_tokens" -> (exprs => graft.functions.expressions.Tokens(exprs.head, lowercase = true)),
     "graft_split_words" -> (exprs => graft.functions.expressions.Tokens(exprs.head, lowercase = false)),
+    // reference stemmedTokens (yupana-utils TokenizerBase.scala:38): (text[, locale]) — locale
+    // picks the registered Stemmer ('en' = English light / Harman S-stemmer)
+    "graft_stemmed_tokens" -> (exprs =>
+      graft.functions.expressions.Tokens(exprs.head, lowercase = true, stemmer = strArg(exprs, 1, "en"))),
     "graft_word_shingles" -> (exprs => graft.functions.expressions.WordShingles(exprs.head, intArg(exprs, 1, 3)))
   )
 

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.F
+import graft.functions.expressions.{EnglishLightStemmer, Stemmer, Stemmers}
+
+/**
+ * Stemmed tokenization, mirroring the shape of the reference's
+ * tokenizer tests (yupana-utils RussianTokenizerTest.scala: phrase →
+ * expected stemmed token list; the locale stemmer plugs into the shared
+ * tokenizer via TokenizerBase.stemArray — here via [[Stemmers]]).
+ */
+class StemmerSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def stemmed(phrase: String): Seq[String] =
+    Seq(phrase).toDF("text")
+      .select(F.stemmedTokens(col("text")).as("tk"))
+      .as[Seq[String]].head()
+
+  test("stemmer splits numbers-and-words text and stems each token") {
+    assert(stemmed("95 pulsars and 12 galaxies") ===
+      Seq("95", "pulsar", "and", "12", "galaxy"))
+    assert(stemmed("TRK-1 (atum-92) runs 1.25x faster") ===
+      Seq("trk", "1", "atum", "92", "run", "1", "25x", "faster"))
+  }
+
+  test("English light stemmer applies the three S-stemmer rules in order") {
+    // -ies → -y (unless e/a precedes)
+    assert(EnglishLightStemmer.stem("ponies") === "pony")
+    assert(EnglishLightStemmer.stem("ties") === "ty")
+    assert(EnglishLightStemmer.stem("bodies") === "body")
+    // -es → -e (unless a/e/o precedes)
+    assert(EnglishLightStemmer.stem("classes") === "classe")
+    assert(EnglishLightStemmer.stem("shoes") === "shoes")
+    // -s dropped (unless u/s precedes)
+    assert(EnglishLightStemmer.stem("cats") === "cat")
+    assert(EnglishLightStemmer.stem("corpus") === "corpus")
+    assert(EnglishLightStemmer.stem("glass") === "glass")
+    // short words untouched
+    assert(EnglishLightStemmer.stem("is") === "is")
+  }
+
+  test("identity stemmer is the default tokens() path; stemmers are pluggable") {
+    val raw = Seq("galaxies").toDF("text").select(F.tokens(col("text"))).as[Seq[String]].head()
+    assert(raw === Seq("galaxies"))
+
+    object Shouty extends Stemmer { def stem(w: String): String = w.toUpperCase }
+    Stemmers.register("shout", Shouty)
+    val shouted = Seq("hello world").toDF("text")
+      .select(F.stemmedTokens(col("text"), "shout")).as[Seq[String]].head()
+    assert(shouted === Seq("HELLO", "WORLD"))
+  }
+
+  test("unknown stemmer id fails with the registered set named") {
+    val e = intercept[Exception] {
+      Seq("x").toDF("text").select(F.stemmedTokens(col("text"), "xx")).as[Seq[String]].head()
+    }
+    assert(e.getMessage.contains("unknown stemmer") || e.getCause.getMessage.contains("unknown stemmer"))
+  }
+}

@@ -37,4 +37,75 @@ final case class Rollup(
   /** Materialize to parquet at `path` (the persistent rollup table). */
   def materialize(fact: DataFrame, path: String): Unit =
     apply(fact).write.mode("overwrite").parquet(path)
+
+  /** Multi-output materialize (reference Rollup.toTables,
+    * yupana-api schema/Rollup.scala:28: one rollup feeding several
+    * destination tables): compute once, write each. */
+  def materializeAll(fact: DataFrame, paths: Seq[String]): Unit = {
+    val out = apply(fact)
+    out.persist()
+    try paths.foreach(p => out.write.mode("overwrite").parquet(p))
+    finally out.unpersist()
+  }
+
+  /**
+   * Incremental recomputation (reference ChangelogDaoHBase flow: ingest
+   * records invalidated intervals; the rollup recomputes ONLY those).
+   * At 100 TB re-materializing all history per run is untenable — this
+   * recomputes just the dirty time buckets:
+   *
+   *  1. read the dirty bucket set from the [[Changelog]] (bounded
+   *     metadata — time buckets, not data);
+   *  2. scan only those buckets of the fact (`sourceBucket` is the fact
+   *     layout's partition scheme, so the filter prunes files before
+   *     IO — asserted via the returned `inputFiles`);
+   *  3. overwrite only the matching output partitions (dynamic
+   *     partition overwrite on `p_bucket`, derived from `rollup_time`
+   *     with `outputBucket` — must be the same bucketing function, so
+   *     every output row lands in its source's bucket);
+   *  4. mark the buckets clean at the seq watermark read in (1) — a
+   *     concurrent ingest stays pending for the next run.
+   *
+   * @return the recomputed bucket keys and the fact files actually read
+   */
+  def materializeIncremental(
+      fact: DataFrame,
+      path: String,
+      changelogDir: String,
+      sourceBucket: Column,
+      outputBucket: Column => Column
+  ): RollupRun = {
+    val spark = fact.sparkSession
+    val dirty = Changelog.dirtyBuckets(spark, changelogDir)
+    if (dirty.isEmpty) RollupRun(Nil, Nil)
+    else {
+      val keys = dirty.map(_._1)
+      val src = fact.filter(sourceBucket.cast("string").isin(keys: _*))
+      apply(src)
+        .withColumn("p_bucket", outputBucket(col("rollup_time")).cast("string"))
+        .write
+        .mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("p_bucket")
+        .parquet(path)
+      Changelog.markClean(spark, changelogDir, dirty)
+      RollupRun(keys, Rollup.scannedFiles(src))
+    }
+  }
 }
+
+object Rollup {
+  /** Files the query would actually scan AFTER partition pruning
+    * (`DataFrame.inputFiles` lists the whole relation, pre-pruning). */
+  private[sources] def scannedFiles(df: DataFrame): Seq[String] =
+    df.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.relation.location
+          .listFiles(s.partitionFilters, s.dataFilters)
+          .flatMap(_.files.map(_.fileStatus.getPath.toString))
+    }.flatten
+}
+
+/** Result of an incremental rollup run: which buckets were recomputed
+  * and which fact files were actually scanned (pruning evidence). */
+final case class RollupRun(recomputed: Seq[String], inputFiles: Seq[String])

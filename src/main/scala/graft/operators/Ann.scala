@@ -65,7 +65,16 @@ object Ann {
 
   /**
    * IVF-lite: deterministic coarse quantizer (hash-bucket seed means +
-   * one Lloyd refinement), probe-limited search.
+   * Lloyd refinement under a fixed iteration budget), probe-limited
+   * search.
+   *
+   * `lloydIters` is the training budget: each round is one narrow
+   * assignment pass over the corpus plus a numCells×dim mean
+   * aggregation (bounded metadata), so cost is linear in the budget
+   * and the loop short-circuits when centroids stop moving. Exact
+   * decimal means keep every round deterministic across partition
+   * orders. Recall@k vs brute force is asserted (and reported) in
+   * OperatorSpec.
    */
   def ivfTopK(
       spark: SparkSession,
@@ -73,22 +82,32 @@ object Ann {
       queries: DataFrame,
       k: Int,
       numCells: Int = 16,
-      probes: Int = 4
+      probes: Int = 4,
+      lloydIters: Int = 5
   ): DataFrame = {
     graft.sql.GraftFunctions.register(spark)
     graft.sql.GraftFunctions.installTopKStrategy(spark)
     val base = corpus.select(col("vec_id").as("item_id"), col("embedding").as("item_vec"))
 
-    // seed centroids: means of hash buckets; one Lloyd step to refine
+    // seed centroids: means of hash buckets; Lloyd rounds to refine
     val seeded = base.withColumn("cell", pmod(xxhash64(col("item_id")), lit(numCells)).cast("int"))
-    val c0 = centroidTable(seeded, numCells, "item_vec")
-    val reassigned = base.withColumn("cell", call_function("graft_nearest_centroid", col("item_vec"), centroidsLit(c0)))
-    val c1 = centroidTable(reassigned, numCells, "item_vec")
+    var cents = centroidTable(seeded, numCells, "item_vec")
+    var iter = 0
+    var converged = false
+    while (iter < lloydIters && !converged) {
+      val reassigned =
+        base.withColumn("cell", call_function("graft_nearest_centroid", col("item_vec"), centroidsLit(cents)))
+      val next = centroidTable(reassigned, numCells, "item_vec")
+      converged = java.util.Arrays.deepEquals(
+        cents.asInstanceOf[Array[AnyRef]], next.asInstanceOf[Array[AnyRef]])
+      cents = next
+      iter += 1
+    }
 
-    val assigned = base.withColumn("cell", call_function("graft_nearest_centroid", col("item_vec"), centroidsLit(c1)))
+    val assigned = base.withColumn("cell", call_function("graft_nearest_centroid", col("item_vec"), centroidsLit(cents)))
     val queryProbes = queries
       .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
-      .withColumn("cell", explode(call_function("graft_nearest_centroids", col("query_vec"), centroidsLit(c1), lit(probes))))
+      .withColumn("cell", explode(call_function("graft_nearest_centroids", col("query_vec"), centroidsLit(cents), lit(probes))))
 
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("item_id").asc)
     assigned

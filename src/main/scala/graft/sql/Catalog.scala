@@ -31,4 +31,50 @@ object Catalog {
     import spark.implicits._
     GraftFunctions.builders.map(_._1).sorted.toDF("function_name")
   }
+
+  /**
+   * SHOW QUERY METRICS (reference QueryEngineRouter.scala:91
+   * `ShowQueryMetrics(filter, limit)` over TsdbQueryMetricsDao): the
+   * recorded per-query durations/row counts as a queryable DataFrame,
+   * most recent first.
+   */
+  def showQueryMetrics(spark: SparkSession, metrics: graft.core.QueryMetrics, limit: Int = 100): DataFrame = {
+    import spark.implicits._
+    metrics
+      .snapshot()
+      .map(r => (r.funcName, r.durationNs / 1e6, r.outputRows, if (r.failed) "FAILED" else "FINISHED"))
+      .takeRight(limit)
+      .reverse
+      .toDF("query", "duration_ms", "output_rows", "state")
+  }
+
+  /** DELETE QUERY METRICS (reference `DeleteQueryMetrics`): clears the
+    * recorded metrics, returning how many were dropped. */
+  def deleteQueryMetrics(spark: SparkSession, metrics: graft.core.QueryMetrics): DataFrame = {
+    import spark.implicits._
+    val n = metrics.snapshot().size
+    metrics.clear()
+    Seq(n.toLong).toDF("deleted")
+  }
+
+  /**
+   * KILL QUERY (reference QueryEngineRouter.scala:96 `KillQuery`):
+   * queries run under a job group (`SparkContext.setJobGroup`); killing
+   * the group cancels every running Spark job in it. Returns one status
+   * row, mirroring the reference's "1" response.
+   */
+  def killQuery(spark: SparkSession, jobGroup: String): DataFrame = {
+    import spark.implicits._
+    spark.sparkContext.cancelJobGroup(jobGroup)
+    Seq((jobGroup, "CANCELLED")).toDF("job_group", "status")
+  }
+
+  /** SHOW UPDATES_INTERVALS (reference QueryEngineRouter.scala:106):
+    * the rollup changelog's invalidated-and-not-yet-recomputed buckets. */
+  def showUpdatesIntervals(spark: SparkSession, changelogDir: String): DataFrame = {
+    import spark.implicits._
+    graft.sources.Changelog
+      .dirtyBuckets(spark, changelogDir)
+      .toDF("bucket", "pending_seq")
+  }
 }

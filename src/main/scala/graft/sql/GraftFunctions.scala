@@ -45,7 +45,14 @@ object GraftFunctions {
     // picks the registered Stemmer ('en' = English light / Harman S-stemmer)
     "graft_stemmed_tokens" -> (exprs =>
       graft.functions.expressions.Tokens(exprs.head, lowercase = true, stemmer = strArg(exprs, 1, "en"))),
-    "graft_word_shingles" -> (exprs => graft.functions.expressions.WordShingles(exprs.head, intArg(exprs, 1, 3)))
+    "graft_word_shingles" -> (exprs => graft.functions.expressions.WordShingles(exprs.head, intArg(exprs, 1, 3))),
+    // registry-completeness parity with the reference FunctionRegistry
+    // (yupana-core sql/FunctionRegistry.scala:70-71 nullary now/database,
+    // :173 id — the dimension's storage id; dims here are not
+    // dictionary-encoded, so the stable-id analogue is a 64-bit hash)
+    "graft_now" -> (_ => org.apache.spark.sql.catalyst.expressions.Now()),
+    "graft_database" -> (_ => org.apache.spark.sql.catalyst.expressions.Literal("graft")),
+    "graft_id" -> (exprs => org.apache.spark.sql.catalyst.expressions.XxHash64(exprs, 42L))
   )
 
   /** Decode a foldable array<array<float>> literal into the centroid table. */

@@ -66,6 +66,63 @@ class PlatformSpec extends SparkSpecBase {
     assert(fns.contains("graft_cosine") && fns.contains("graft_text_minhash"))
   }
 
+  test("admin surface: SHOW/DELETE QUERY METRICS, KILL QUERY, SHOW UPDATES_INTERVALS") {
+    import graft.sql.Catalog
+    val m = QueryMetrics.attach(spark)
+    try {
+      m.clear()
+      load("region").count()
+      val deadline = System.currentTimeMillis() + 5000
+      while (m.snapshot().isEmpty && System.currentTimeMillis() < deadline) Thread.sleep(50)
+
+      val shown = Catalog.showQueryMetrics(spark, m)
+      assert(shown.columns.toSeq === Seq("query", "duration_ms", "output_rows", "state"))
+      assert(shown.count() >= 1)
+      assert(shown.collect().forall(_.getString(3) == "FINISHED"))
+
+      // (no isEmpty check after delete: the delete's own .head() action
+      // lands in the listener queue asynchronously)
+      val deleted = Catalog.deleteQueryMetrics(spark, m).head().getLong(0)
+      assert(deleted >= 1)
+
+      // KILL QUERY: cancel a slow query running under a job group
+      @volatile var failure: Option[Throwable] = None
+      val t = new Thread(() => {
+        try {
+          spark.sparkContext.setJobGroup("victim", "slow query", interruptOnCancel = true)
+          spark.range(Long.MaxValue / 4).selectExpr("sum(id * id)").collect()
+        } catch { case e: Throwable => failure = Some(e) }
+        finally spark.sparkContext.clearJobGroup()
+      })
+      t.start()
+      val jobDeadline = System.currentTimeMillis() + 15000
+      while (spark.sparkContext.statusTracker.getJobIdsForGroup("victim").isEmpty &&
+        System.currentTimeMillis() < jobDeadline) Thread.sleep(50)
+      val killed = Catalog.killQuery(spark, "victim").head()
+      assert(killed.getString(1) == "CANCELLED")
+      t.join(30000)
+      assert(!t.isAlive, "victim query should have been cancelled")
+      assert(failure.exists(_.getMessage.toLowerCase.contains("cancel")), s"got: $failure")
+
+      // SHOW UPDATES_INTERVALS over the rollup changelog
+      import graft.sources.Changelog
+      val cl = "/tmp/graft_admin_cl"
+      val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(cl), true)
+      Changelog.markDirty(load("region").limit(1).select(lit("2024-01").as("b")), col("b"), cl)
+      val intervals = Catalog.showUpdatesIntervals(spark, cl).collect()
+      assert(intervals.map(_.getString(0)).toSeq === Seq("2024-01"))
+    } finally m.close()
+  }
+
+  test("registry completeness: now/database/id functions") {
+    val r = spark.sql(
+      "SELECT graft_now() AS t, graft_database() AS db, graft_id('region_A') AS id1, graft_id('region_A') AS id2").head()
+    assert(r.getAs[java.sql.Timestamp]("t") != null)
+    assert(r.getAs[String]("db") == "graft")
+    assert(r.getAs[Long]("id1") == r.getAs[Long]("id2"))
+  }
+
   test("bucketed fact tables join without an exchange (co-located join)") {
     spark.sql("DROP TABLE IF EXISTS orders_b")
     spark.sql("DROP TABLE IF EXISTS lineitem_b")

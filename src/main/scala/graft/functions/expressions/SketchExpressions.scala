@@ -45,14 +45,23 @@ object Mix {
  * in one pass (hash each element once, derive the k-member family by
  * splitmix-mixing with the member index).
  */
-case class MinHashSignature(child: Expression, k: Int)
-    extends UnaryExpression
-    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+case class MinHashSignature(child: Expression, k: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_minhash"
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  override protected def nullSafeEval(input: Any): Any =
+    MinHashSignature.compute(input.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.expressions.MinHashSignature.compute($c, $k);")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSignature = copy(child = newChild)
+}
+
+object MinHashSignature {
+  /** Static kernel, callable from generated Java. */
+  def compute(arr: ArrayData, k: Int): ArrayData = {
     val mins = Array.fill(k)(Long.MaxValue)
     var i = 0
     val n = arr.numElements()
@@ -68,8 +77,6 @@ case class MinHashSignature(child: Expression, k: Int)
     }
     new GenericArrayData(mins)
   }
-
-  override protected def withNewChildInternal(newChild: Expression): MinHashSignature = copy(child = newChild)
 }
 
 /**
@@ -77,14 +84,23 @@ case class MinHashSignature(child: Expression, k: Int)
  * position; bit set where the vote sum is positive. One pass, no state
  * beyond 64 ints.
  */
-case class SimHash64(child: Expression)
-    extends UnaryExpression
-    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+case class SimHash64(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_simhash"
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  override protected def nullSafeEval(input: Any): Any =
+    SimHash64.compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.expressions.SimHash64.compute($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 = copy(child = newChild)
+}
+
+object SimHash64 {
+  /** Static kernel, callable from generated Java. */
+  def compute(arr: ArrayData): Long = {
     val votes = new Array[Int](64)
     var i = 0
     val n = arr.numElements()
@@ -105,8 +121,6 @@ case class SimHash64(child: Expression)
     }
     sig
   }
-
-  override protected def withNewChildInternal(newChild: Expression): SimHash64 = copy(child = newChild)
 }
 
 /**
@@ -117,22 +131,39 @@ case class SimHash64(child: Expression)
  * unconditionally: NULL on length mismatch (zip_with pads with null) and
  * NULL when any element is null (the fold's acc + NULL).
  */
-case class DotProduct(left: Expression, right: Expression)
-    extends BinaryExpression
-    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
   override def nullable: Boolean = true
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_dot"
 
-  private def get(a: ArrayData, isFloat: Boolean, i: Int): Double =
-    if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+  private def isFloat(e: Expression): Boolean =
+    e.dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType ==
+      org.apache.spark.sql.types.FloatType
 
-  override protected def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData]
-    val y = b.asInstanceOf[ArrayData]
-    val xf = left.dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType == org.apache.spark.sql.types.FloatType
-    val yf = right.dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType == org.apache.spark.sql.types.FloatType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    DotProduct.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], isFloat(left), isFloat(right))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val tmp = ctx.freshName("dotRes")
+      s"""
+         |java.lang.Double $tmp =
+         |  graft.functions.expressions.DotProduct.compute($x, $y, ${isFloat(left)}, ${isFloat(right)});
+         |if ($tmp == null) { ${ev.isNull} = true; } else { ${ev.value} = $tmp.doubleValue(); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+object DotProduct {
+  /** Static kernel; boxed null = SQL NULL (length mismatch / null element),
+    * preserving the zip_with-fold semantics the fusion rule substitutes. */
+  def compute(x: ArrayData, y: ArrayData, xf: Boolean, yf: Boolean): java.lang.Double = {
+    @inline def get(a: ArrayData, isFloat: Boolean, i: Int): Double =
+      if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
     val n = x.numElements()
     if (n != y.numElements()) null
     else {
@@ -143,12 +174,9 @@ case class DotProduct(left: Expression, right: Expression)
         if (x.isNullAt(i) || y.isNullAt(i)) anyNull = true
         else { dot += get(x, xf, i) * get(y, yf, i); i += 1 }
       }
-      if (anyNull) null else dot
+      if (anyNull) null else java.lang.Double.valueOf(dot)
     }
   }
-
-  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): DotProduct =
-    copy(left = newLeft, right = newRight)
 }
 
 /**

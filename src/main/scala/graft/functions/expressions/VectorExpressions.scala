@@ -1,7 +1,7 @@
 package graft.functions.expressions
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
 
@@ -13,6 +13,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
  * is a narrow per-row argmin instead of a crossJoin + window
  * row_number over |corpus| × numCells rows (two shuffles and a sort
  * saved per pass at any scale).
+ *
+ * All three expressions are codegen-capable: generated code calls the
+ * static [[VectorOps]] kernels with the centroid table attached as a
+ * codegen reference object, so scans stay inside one whole-stage span.
  */
 object VectorOps {
   /** Squared L2 distance between an ArrayData float vector and a centroid. */
@@ -27,64 +31,29 @@ object VectorOps {
     }
     d
   }
-}
 
-/** Index of the nearest centroid (ties → lowest index). */
-case class NearestCentroid(child: Expression, centroids: Array[Array[Float]])
-    extends UnaryExpression
-    with CodegenFallback {
-
-  override def dataType: DataType = IntegerType
-  override def prettyName: String = "graft_nearest_centroid"
-
-  override protected def nullSafeEval(input: Any): Any = {
-    val v = input.asInstanceOf[ArrayData]
+  /** Static kernel: index of the nearest centroid (ties → lowest index). */
+  def nearest(v: ArrayData, centroids: Array[Array[Float]]): Int = {
     var best = 0
     var bestD = Double.MaxValue
     var c = 0
     while (c < centroids.length) {
-      val d = VectorOps.dist2(v, centroids(c))
+      val d = dist2(v, centroids(c))
       if (d < bestD) { bestD = d; best = c }
       c += 1
     }
     best
   }
 
-  override protected def withNewChildInternal(newChild: Expression): NearestCentroid = copy(child = newChild)
-}
-
-/** Indices of the `probes` nearest centroids, ascending by distance (ties → lower index). */
-case class NearestCentroids(child: Expression, centroids: Array[Array[Float]], probes: Int)
-    extends UnaryExpression
-    with CodegenFallback {
-
-  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
-  override def prettyName: String = "graft_nearest_centroids"
-
-  override protected def nullSafeEval(input: Any): Any = {
-    val v = input.asInstanceOf[ArrayData]
-    val ds = Array.tabulate(centroids.length)(c => (VectorOps.dist2(v, centroids(c)), c))
+  /** Static kernel: `probes` nearest centroid indices, ascending by (distance, index). */
+  def nearestK(v: ArrayData, centroids: Array[Array[Float]], probes: Int): ArrayData = {
+    val ds = Array.tabulate(centroids.length)(c => (dist2(v, centroids(c)), c))
     val top = ds.sortBy(t => (t._1, t._2)).take(math.min(probes, ds.length)).map(_._2)
     new GenericArrayData(top)
   }
 
-  override protected def withNewChildInternal(newChild: Expression): NearestCentroids = copy(child = newChild)
-}
-
-/**
- * Sign bits against `planes` deterministic pseudo-random hyperplanes
- * (component (j,i) = splitmix-derived value in [-1,1)), packed into a
- * long. Replaces a planes×dim interpreted lambda pipeline per row.
- */
-case class HyperplaneBits(child: Expression, planes: Int)
-    extends UnaryExpression
-    with CodegenFallback {
-
-  override def dataType: DataType = LongType
-  override def prettyName: String = "graft_hyperplane_bits"
-
-  override protected def nullSafeEval(input: Any): Any = {
-    val v = input.asInstanceOf[ArrayData]
+  /** Static kernel: sign bits against `planes` deterministic hyperplanes, packed into a long. */
+  def hyperplaneBits(v: ArrayData, planes: Int): Long = {
     val n = v.numElements()
     var bits = 0L
     var j = 0
@@ -101,6 +70,61 @@ case class HyperplaneBits(child: Expression, planes: Int)
     }
     bits
   }
+}
+
+/** Index of the nearest centroid (ties → lowest index). */
+case class NearestCentroid(child: Expression, centroids: Array[Array[Float]]) extends UnaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_nearest_centroid"
+
+  override protected def nullSafeEval(input: Any): Any =
+    VectorOps.nearest(input.asInstanceOf[ArrayData], centroids)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cents = ctx.addReferenceObj("centroids", centroids, "float[][]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.expressions.VectorOps.nearest($c, $cents);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroid = copy(child = newChild)
+}
+
+/** Indices of the `probes` nearest centroids, ascending by distance (ties → lower index). */
+case class NearestCentroids(child: Expression, centroids: Array[Array[Float]], probes: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "graft_nearest_centroids"
+
+  override protected def nullSafeEval(input: Any): Any =
+    VectorOps.nearestK(input.asInstanceOf[ArrayData], centroids, probes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cents = ctx.addReferenceObj("centroids", centroids, "float[][]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.expressions.VectorOps.nearestK($c, $cents, $probes);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroids = copy(child = newChild)
+}
+
+/**
+ * Sign bits against `planes` deterministic pseudo-random hyperplanes
+ * (component (j,i) = splitmix-derived value in [-1,1)), packed into a
+ * long. Replaces a planes×dim interpreted lambda pipeline per row.
+ */
+case class HyperplaneBits(child: Expression, planes: Int) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_hyperplane_bits"
+
+  override protected def nullSafeEval(input: Any): Any =
+    VectorOps.hyperplaneBits(input.asInstanceOf[ArrayData], planes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.expressions.VectorOps.hyperplaneBits($c, $planes);")
 
   override protected def withNewChildInternal(newChild: Expression): HyperplaneBits = copy(child = newChild)
 }

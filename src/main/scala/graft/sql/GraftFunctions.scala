@@ -31,6 +31,7 @@ object GraftFunctions {
     "graft_minhash" -> (exprs => MinHashSignature(exprs.head, 64)),
     "graft_simhash" -> (exprs => SimHash64(exprs.head)),
     "graft_cosine" -> (exprs => CosineSimilarity(exprs(0), exprs(1))),
+    "graft_dot" -> (exprs => graft.functions.expressions.DotProduct(exprs(0), exprs(1))),
     // fused text → sketch: (text[, shingleSize[, numHashes]])
     "graft_text_minhash" -> (exprs => TextMinHash(exprs.head, intArg(exprs, 1, 3), intArg(exprs, 2, 64))),
     "graft_text_simhash" -> (exprs => TextSimHash(exprs.head, intArg(exprs, 1, 3))),

@@ -86,4 +86,44 @@ class FunctionsSpec extends SparkSpecBase {
     assert(r._3 == "2024-05-13 00:00:00") // Monday of that ISO week
     assert(r._4 == "2024-05-15 13:00:00")
   }
+
+  test("native expressions generate compilable code (no silent interpreter fallback)") {
+    // codegen.fallback=false turns a broken doGenCode into a hard error
+    // instead of a quiet per-row interpreter downgrade
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val df = Seq(
+        (Seq("a", "b", "c"), Seq(1.0f, 2.0f, 3.0f), Seq(1.0f, 2.0f, 3.0f))
+      ).toDF("toks", "v1", "v2")
+      val cents = typedlit[Seq[Seq[Float]]](Seq(Seq(0.0f, 0.0f, 0.0f), Seq(1.0f, 2.0f, 3.0f)))
+      val r = df.select(
+        call_function("graft_minhash", col("toks")).as("mh"),
+        call_function("graft_simhash", col("toks")).as("sh"),
+        call_function("graft_cosine", col("v1"), col("v2")).as("cos"),
+        call_function("graft_nearest_centroid", col("v1"), cents).as("cell"),
+        call_function("graft_nearest_centroids", col("v1"), cents, lit(2)).as("cells"),
+        call_function("graft_hyperplane_bits", col("v1"), lit(16)).as("bits"),
+        call_function("graft_tokens", lit("A b!c")).as("tk"),
+        call_function("graft_stemmed_tokens", lit("many ponies")).as("st"),
+        call_function("graft_word_shingles", lit("a b c d"), lit(2)).as("ws")
+      ).head()
+      assert(r.getAs[scala.collection.Seq[Long]]("mh").length == 64)
+      assert(math.abs(r.getAs[Double]("cos") - 1.0) < 1e-12)
+      assert(r.getAs[Int]("cell") == 1)
+      assert(r.getAs[scala.collection.Seq[Int]]("cells").toSeq == Seq(1, 0))
+      assert(r.getAs[scala.collection.Seq[String]]("tk").toSeq == Seq("a", "b", "c"))
+      assert(r.getAs[scala.collection.Seq[String]]("st").toSeq == Seq("many", "pony"))
+      assert(r.getAs[scala.collection.Seq[String]]("ws").toSeq == Seq("a b", "b c", "c d"))
+
+      // DotProduct (the fusion rule's target) under codegen, incl. null semantics
+      val dots = Seq(
+        (Seq(1.0, 2.0), Seq(3.0, 4.0)),
+        (Seq(1.0, 2.0), Seq(3.0, 4.0, 5.0)) // length mismatch -> NULL
+      ).toDF("a", "b")
+        .select(call_function("graft_dot", col("a"), col("b")).as("d"))
+        .collect()
+      assert(dots(0).getDouble(0) == 11.0)
+      assert(dots(1).isNullAt(0))
+    } finally spark.conf.unset("spark.sql.codegen.fallback")
+  }
 }

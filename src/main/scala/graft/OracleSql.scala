@@ -409,6 +409,27 @@ object OracleSql {
     "q_dedup_exact" ->
       """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
          FROM documents GROUP BY text ORDER BY keep_id""",
+    // transitive closure over the exact >=0.5-jaccard pair set (the same
+    // ground truth the minhash query emits), min id per component
+    "q_dedup_cluster" ->
+      s"""WITH RECURSIVE
+              t AS (SELECT doc_id, $toks AS tk FROM documents),
+              s AS (SELECT doc_id, list_distinct(list_transform(
+                      range(1, greatest(len(tk) - 2, 1) + 1),
+                      i -> array_to_string(tk[i:i+2], ' '))) AS sh FROM t),
+              j AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                    FROM s a JOIN s b ON a.doc_id < b.doc_id
+                    WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                          CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.5),
+              e AS (SELECT id_a AS a, id_b AS b FROM j
+                    UNION SELECT id_b, id_a FROM j),
+              reach(id, r) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT e.a, reach.r FROM e JOIN reach ON reach.id = e.b
+              )
+         SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS canonical_id
+         FROM reach GROUP BY id ORDER BY doc_id""",
     "q_dedup_ngram_jaccard" ->
       """WITH g AS (
            SELECT doc_id, lang, source,

@@ -724,6 +724,18 @@ object SparkEntry {
       .embeddingPairs(ld(s, dir, "embeddings"), "vec_id", "embedding", threshold = 0.5)
       .orderBy(col("id_a"), col("id_b"))
 
+  /**
+   * Pair list → deduplicated corpus: connected components (alternating
+   * large-star/small-star) over the exact-verified minhash pairs, every
+   * doc mapped to its cluster's canonical (min) id. The oracle computes
+   * the same closure with a recursive CTE over the brute-force pair set.
+   */
+  private def qDedupCluster(s: SparkSession, dir: String): DataFrame = {
+    val docs = ld(s, dir, "documents")
+    val pairs = Dedup.minhashJaccardPairs(docs, "doc_id", "text", numHashes = 64, bands = 32, threshold = 0.5)
+    Dedup.dedupClusters(docs, "doc_id", pairs).orderBy(col("doc_id"))
+  }
+
   // ==================================================================
   // §2.10 similarity search
   // ==================================================================
@@ -852,6 +864,7 @@ object SparkEntry {
     "q_dedup_minhash" -> (qDedupMinhash _),
     "q_dedup_simhash" -> (qDedupSimhash _),
     "q_dedup_ngram_jaccard" -> (qDedupNgramJaccard _),
+    "q_dedup_cluster" -> (qDedupCluster _),
     "q_dedup_embed" -> (qDedupEmbed _),
     "q_ann_bruteforce" -> (qAnnBruteforce _),
     "q_ann_ivf" -> (qAnnIvf _),

@@ -433,4 +433,96 @@ object Dedup {
         call_function("graft_cosine", col("vec_a"), col("vec_b")).as("cos"))
       .filter(col("cos") >= threshold)
   }
+
+  /**
+   * Connected components over a near-dup pair list: (id, component_min).
+   * Alternating large-star/small-star (Kiveris et al., "Connected
+   * Components in MapReduce and Beyond", SoCC'14) — the scale-correct
+   * shape: each round is a per-node min aggregation plus a join
+   * co-partitioned on the node key (edges only, never vertex state ×
+   * neighbors), and the round count is logarithmic in component size,
+   * not linear in chain length like naive label propagation.
+   * `localCheckpoint` truncates the iterative lineage so plans stay
+   * flat. Input: (id_a, id_b) pairs (any extra columns ignored);
+   * output: one row per node appearing in any pair.
+   */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    val init = pairs
+      .select(col("id_a").cast("long").as("u"), col("id_b").cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+
+    def sym(e: DataFrame): DataFrame =
+      e.unionByName(e.select(col("v").as("u"), col("u").as("v"))).distinct()
+
+    def mins(s: DataFrame): DataFrame =
+      s.groupBy("u").agg(least(min(col("v")), col("u")).as("m"))
+
+    // Large-star(u): every neighbor v > u re-attaches to min(Γ(u) ∪ {u}).
+    def largeStar(e: DataFrame): DataFrame = {
+      val s = sym(e)
+      s.filter(col("v") > col("u"))
+        .join(mins(s), "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+
+    // Small-star(u): every neighbor v < u re-attaches to the min, and u
+    // keeps an edge to it.
+    def smallStar(e: DataFrame): DataFrame = {
+      val s = sym(e)
+      val m = mins(s)
+      s.filter(col("v") < col("u"))
+        .join(m, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .unionByName(m.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+
+    // fingerprint for convergence: order-insensitive (count, hash-sum);
+    // decimal sum cannot overflow under ANSI
+    def sig(e: DataFrame): (Long, String) = {
+      val r = e.agg(
+        count(lit(1)),
+        coalesce(sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)")), lit(0).cast("decimal(38,0)"))).head()
+      (r.getLong(0), r.getDecimal(1).toString)
+    }
+
+    var edges = init.localCheckpoint(true)
+    var converged = false
+    var iter = 0
+    while (iter < maxIter && !converged) {
+      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      converged = sig(next) == sig(edges)
+      edges = next
+      iter += 1
+    }
+    // star graphs: every node points at its component min; members = all
+    // nodes, each mapped to its root (roots map to themselves)
+    val bySrc = edges.select(col("u").as("id"), col("v").as("component"))
+    val roots = edges.select(col("v").as("id")).distinct()
+      .join(bySrc.select(col("id")), Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("component"))
+    bySrc.groupBy("id").agg(min(col("component")).as("component"))
+      .unionByName(roots)
+  }
+
+  /**
+   * Corpus dedup driven by near-dup pairs: every document mapped to the
+   * canonical (minimum) id of its near-duplicate cluster — docs in no
+   * pair are their own canonical. This is the step that turns a pair
+   * list into an actually-deduplicated corpus (`keep = id ==
+   * canonical_id`).
+   */
+  def dedupClusters(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val comp = connectedComponents(pairs)
+      .select(col("id").as(idCol), col("component").as("canonical_id"))
+    df.select(col(idCol))
+      .join(comp, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        coalesce(col("canonical_id"), col(idCol)).as("canonical_id")
+      )
+  }
 }

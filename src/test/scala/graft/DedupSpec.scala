@@ -90,6 +90,30 @@ class DedupSpec extends SparkSpecBase {
     assert(viaLsh == ve, s"embedding LSH missed a true pair: ${ve.diff(viaLsh)}")
   }
 
+  test("connected components: chains, separate components, canonical mapping") {
+    // component {1..6} as a pure chain (worst case for naive propagation),
+    // component {10,11,12} as a triangle, 20-21 pair, 30 singleton
+    val pairs = Seq(
+      (2L, 1L), (2L, 3L), (4L, 3L), (5L, 4L), (6L, 5L),
+      (10L, 11L), (11L, 12L), (10L, 12L),
+      (21L, 20L)
+    ).toDF("id_a", "id_b")
+    val comp = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert((1L to 6L).forall(comp(_) == 1L), s"chain must collapse to 1: $comp")
+    assert(Seq(10L, 11L, 12L).forall(comp(_) == 10L))
+    assert(comp(20L) == 20L && comp(21L) == 20L)
+    assert(!comp.contains(30L)) // not in any pair -> not in component output
+
+    val docs = (Seq(1L, 2L, 3L, 4L, 5L, 6L, 10L, 11L, 12L, 20L, 21L, 30L)).toDF("doc_id")
+    val clusters = Dedup.dedupClusters(docs, "doc_id", pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(clusters(30L) == 30L) // singleton is its own canonical
+    assert(clusters(6L) == 1L && clusters(12L) == 10L && clusters(21L) == 20L)
+    val kept = clusters.filter { case (id, canon) => id == canon }.keySet
+    assert(kept === Set(1L, 10L, 20L, 30L))
+  }
+
   test("prefix-filtered ngram jaccard returns exactly the unfiltered result") {
     val real = spark.read.parquet(s"$sfDir/documents.parquet")
     val full = Dedup

@@ -55,6 +55,48 @@ object Ingest {
     events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keyCols)
 
   /**
+   * Streaming ingest into the time-bucketed layout WITH rollup-changelog
+   * bookkeeping — the reference's full online flow (yupana-spark
+   * ETLFunctions.processTransactions writes points AND records the
+   * invalidated periods via ChangelogDao), so incremental rollups
+   * recompute exactly the periods this stream touched.
+   *
+   * Idempotent under micro-batch replay: each batch writes
+   * (ts_bucket, batch_id)-keyed partitions with dynamic overwrite, so a
+   * replayed batch replaces its own files instead of duplicating rows.
+   * Re-marking a bucket dirty on replay is harmless (the rollup
+   * recomputes dirty buckets from the full layout state).
+   * Readers use [[graft.sources.TsLayout.read]]-style access ignoring
+   * the bookkeeping columns.
+   */
+  def streamToLayout(
+      events: DataFrame,
+      table: graft.schema.GTable,
+      path: String,
+      changelogDir: String,
+      checkpoint: String
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val bucketed = batch
+          .withColumn("ts_bucket", date_format(col(table.timeColumn), "yyyy-MM"))
+          .withColumn("batch_id", lit(batchId))
+        bucketed
+          .repartition(col("ts_bucket"))
+          .sortWithinPartitions(table.dimensionNames.map(col): _*)
+          .write
+          .mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("ts_bucket", "batch_id")
+          .parquet(path)
+        graft.sources.Changelog.markDirty(
+          batch, date_format(col(table.timeColumn), "yyyy-MM"), changelogDir)
+        ()
+      }
+      .start()
+
+  /**
    * The standing streaming aggregation: tumbling event-time windows per
    * event_type with a watermark for late data. Works identically on a
    * batch frame (for oracle checks) and a streaming frame (readStream),

@@ -221,6 +221,46 @@ class StreamingSpec extends SparkSpecBase {
     assert(spark.read.parquet(s"$base/index").count() == 4) // all docs indexed
   }
 
+  test("streaming ingest feeds the layout AND the rollup changelog end-to-end") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.schema.TestSchema
+    import graft.sources.{Changelog, Rollup}
+    import graft.functions.F
+    val base = "/tmp/graft_stream_layout"
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+
+    val stream = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val q = Ingest.streamToLayout(
+      stream.toDF().toDF("event_id", "ts", "user_id", "event_type", "value"),
+      TestSchema.events, s"$base/fact", s"$base/cl", s"$base/ckpt")
+    stream.addData(
+      (1L, Timestamp.valueOf("2024-01-05 10:00:00"), 1L, "click", 1.0),
+      (2L, Timestamp.valueOf("2024-02-06 10:00:00"), 2L, "view", 2.0))
+    q.processAllAvailable()
+    stream.addData((3L, Timestamp.valueOf("2024-02-07 10:00:00"), 1L, "click", 3.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val fact = spark.read.parquet(s"$base/fact")
+    assert(fact.count() == 3)
+    // both micro-batches marked their touched buckets dirty
+    val dirty = Changelog.dirtyBuckets(spark, s"$base/cl").map(_._1).toSet
+    assert(dirty == Set("2024-01", "2024-02"))
+
+    // the incremental rollup consumes exactly those buckets
+    val roll = Rollup(
+      name = "events_by_day",
+      timeExpr = F.truncDay(col("ts")),
+      groupBy = Seq(col("event_type")),
+      aggregates = Seq(count(lit(1)).as("c")))
+    val run = roll.materializeIncremental(
+      fact, s"$base/rollup", s"$base/cl", col("ts_bucket"), c => date_format(c, "yyyy-MM"))
+    assert(run.recomputed.toSet == Set("2024-01", "2024-02"))
+    assert(Changelog.dirtyBuckets(spark, s"$base/cl").isEmpty)
+    assert(spark.read.parquet(s"$base/rollup").agg(sum("c")).head().getLong(0) == 3L)
+  }
+
   test("DataPoint ingest flattens into the events row shape") {
     val pts = Seq(
       Ingest.DataPoint("events", Timestamp.valueOf("2024-01-01 00:00:01"),

@@ -46,11 +46,41 @@ object EnglishLightStemmer extends Stemmer {
   }
 }
 
+/**
+ * Transliteration step composed after stemming, mirroring the
+ * reference's `transliteratedTokens` (yupana-utils TokenizerBase
+ * .scala:34: stemmedTokens.map(transliterate); RussianTransliterator
+ * maps Cyrillic→Latin). The shipped transliterator ASCII-folds Latin
+ * diacritics via Unicode NFD decomposition + combining-mark strip —
+ * the locale-neutral analogue; locale tables register like stemmers.
+ */
+final case class TransliteratingStemmer(base: Stemmer, transliterate: String => String)
+    extends Stemmer {
+  override def stem(word: String): String = transliterate(base.stem(word))
+}
+
+object AsciiFold extends (String => String) with Serializable {
+  private val marks = "\\p{M}+".r
+  override def apply(s: String): String = {
+    var hasNonAscii = false
+    var i = 0
+    while (i < s.length && !hasNonAscii) { if (s.charAt(i) > 127) hasNonAscii = true; i += 1 }
+    if (!hasNonAscii) s
+    else marks.replaceAllIn(java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFD), "")
+  }
+}
+
 /** Locale → stemmer registry (reference: one TokenizerBase object per
   * locale). Extensible: `register` before building queries. */
 object Stemmers {
   @volatile private var byId: Map[String, Stemmer] =
-    Map("none" -> IdentityStemmer, "en" -> EnglishLightStemmer)
+    Map(
+      "none" -> IdentityStemmer,
+      "en" -> EnglishLightStemmer,
+      // reference transliteratedTokens analogues
+      "ascii" -> TransliteratingStemmer(IdentityStemmer, AsciiFold),
+      "en-ascii" -> TransliteratingStemmer(EnglishLightStemmer, AsciiFold)
+    )
 
   def register(id: String, s: Stemmer): Unit = synchronized { byId = byId + (id -> s) }
 

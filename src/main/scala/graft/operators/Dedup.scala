@@ -17,9 +17,21 @@ import graft.functions.F
  */
 object Dedup {
 
-  /** Exact dedup: canonical row per identical text + duplicate count. */
+  /**
+   * Exact dedup: canonical row per identical text + duplicate count.
+   * Groups on a 128-bit content hash (two independently-seeded 64-bit
+   * halves), NOT the text itself: the shuffle ships 24 bytes per row
+   * instead of whole documents — at corpus scale that is the difference
+   * between shuffling kilobytes/doc and a fixed-width key. Collision
+   * probability at 10^11 docs is ~10^-17 (birthday bound on 128 bits),
+   * the standard content-hash dedup practice for training corpora.
+   */
   def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.groupBy(col(textCol))
+    df.select(
+        col(idCol),
+        xxhash64(col(textCol)).as("h1"),
+        xxhash64(lit("graft-seed-2"), col(textCol)).as("h2"))
+      .groupBy(col("h1"), col("h2"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
       .select(col("keep_id"), col("dup_count"))
 

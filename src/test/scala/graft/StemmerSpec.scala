@@ -52,6 +52,18 @@ class StemmerSpec extends SparkSpecBase {
     assert(shouted === Seq("HELLO", "WORLD"))
   }
 
+  test("transliterated tokens: stem then ASCII-fold (reference transliteratedTokens shape)") {
+    assert(stemmed("café ünïcode naïve") === Seq("café", "ünïcode", "naïve")) // en: no translit
+    val folded = Seq("Café ÜNÏCODE naïve piñatas").toDF("text")
+      .select(F.stemmedTokens(col("text"), "en-ascii").as("tk"))
+      .as[Seq[String]].head()
+    assert(folded === Seq("cafe", "unicode", "naive", "pinata"))
+    val noStem = Seq("piñatas").toDF("text")
+      .select(F.stemmedTokens(col("text"), "ascii").as("tk"))
+      .as[Seq[String]].head()
+    assert(noStem === Seq("pinatas"))
+  }
+
   test("unknown stemmer id fails with the registered set named") {
     val e = intercept[Exception] {
       Seq("x").toDF("text").select(F.stemmedTokens(col("text"), "xx")).as[Seq[String]].head()

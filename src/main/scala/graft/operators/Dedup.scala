@@ -111,6 +111,27 @@ object Dedup {
     )
   }
 
+  /**
+   * Degenerate-bucket guard for LSH band joins. A band bucket of size m
+   * yields m²/2 candidate pairs — on real corpora buckets are small,
+   * but degenerate content (millions of empty or boilerplate documents
+   * sharing one signature) turns a single bucket quadratic. With
+   * `maxBucket = Some(n)`, buckets larger than n are dropped from
+   * candidate generation (one extra aggregation on the banded rows —
+   * linear, same key partitioning). Dropped buckets are near-identical
+   * content: route those through [[exact]] dedup, which handles them in
+   * linear time. Default None = exact recall (the oracle-checked
+   * queries keep it).
+   */
+  private def capBuckets(banded: DataFrame, maxBucket: Option[Int]): DataFrame =
+    maxBucket match {
+      case None => banded
+      case Some(n) =>
+        val sizes = banded.groupBy(col("band"), col("bh")).agg(count(lit(1)).as("bsz"))
+        banded.join(sizes.filter(col("bsz") <= n).hint("shuffle_hash"), Seq("band", "bh"))
+          .drop("bsz")
+    }
+
   /** Block decomposition of the 64-bit simhash: maxHamming+1 contiguous
     * blocks. By pigeonhole, any pair within hamming <= maxHamming agrees
     * on at least one whole block (the Manku/Jain/Sarma WWW'07 near-dup
@@ -142,9 +163,11 @@ object Dedup {
       idCol: String,
       textCol: String,
       shingleSize: Int = 3,
-      maxHamming: Int = 3
+      maxHamming: Int = 3,
+      maxBucket: Option[Int] = None
   ): DataFrame = {
-    val banded = simhashBanded(simhashSigs(df, idCol, textCol, shingleSize), maxHamming)
+    val banded = capBuckets(
+      simhashBanded(simhashSigs(df, idCol, textCol, shingleSize), maxHamming), maxBucket)
     val a = banded.as("a")
     val b = banded.as("b").hint("shuffle_hash")
     a.join(b, col("a.band") === col("b.band") && col("a.bh") === col("b.bh") && col("a.id") < col("b.id"))
@@ -181,11 +204,14 @@ object Dedup {
   /** MinHash band-collision candidate pairs (id-only). */
   private def minhashCandidates(
       df: DataFrame, idCol: String, textCol: String,
-      numHashes: Int, bands: Int, shingleSize: Int): DataFrame = {
+      numHashes: Int, bands: Int, shingleSize: Int,
+      maxBucket: Option[Int] = None): DataFrame = {
     val sigs = minhashSigs(df, idCol, textCol, numHashes, shingleSize)
-    val banded = sigs
-      .select(col("id"), explode(F.lshBandKeys(col("sig"), bands, numHashes / bands)).as("bk"))
-      .select(col("id"), col("bk.band"), col("bk.bh"))
+    val banded = capBuckets(
+      sigs
+        .select(col("id"), explode(F.lshBandKeys(col("sig"), bands, numHashes / bands)).as("bk"))
+        .select(col("id"), col("bk.band"), col("bk.bh")),
+      maxBucket)
     banded.as("a")
       .join(banded.as("b").hint("shuffle_hash"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") && col("a.id") < col("b.id"))
@@ -200,10 +226,11 @@ object Dedup {
       numHashes: Int = 64,
       bands: Int = 32,
       shingleSize: Int = 3,
-      threshold: Double = 0.5
+      threshold: Double = 0.5,
+      maxBucket: Option[Int] = None
   ): DataFrame =
     exactJaccardVerify(
-      minhashCandidates(df, idCol, textCol, numHashes, bands, shingleSize),
+      minhashCandidates(df, idCol, textCol, numHashes, bands, shingleSize, maxBucket),
       df, idCol, textCol, shingleSize)
       .filter(col("jac") >= threshold)
 

@@ -90,6 +90,23 @@ class DedupSpec extends SparkSpecBase {
     assert(viaLsh == ve, s"embedding LSH missed a true pair: ${ve.diff(viaLsh)}")
   }
 
+  test("maxBucket caps degenerate LSH buckets without touching distinct-content pairs") {
+    // 40 identical boilerplate docs (one quadratic bucket) + 2 distinct near-dups
+    val docs = ((1L to 40L).map(i => (i, "empty boilerplate page nothing here")) ++ Seq(
+      (100L, "the quick brown fox jumps over the lazy dog by the river"),
+      (101L, "the quick brown fox jumps over the lazy dog by the riverbank")
+    )).toDF("doc_id", "text")
+    val uncapped = Dedup.minhashJaccardPairs(docs, "doc_id", "text", threshold = 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(uncapped.count { case (a, b, _) => a < 100 && b < 100 } == 40 * 39 / 2)
+    val capped = Dedup.minhashJaccardPairs(docs, "doc_id", "text", threshold = 0.5, maxBucket = Some(10))
+      .as[(Long, Long, Double)].collect().toSet
+    // boilerplate bucket dropped (route via exact dedup instead)...
+    assert(!capped.exists { case (a, b, _) => a < 100 && b < 100 })
+    // ...while the genuinely-distinct near-dup pair survives
+    assert(capped.exists { case (a, b, _) => a == 100L && b == 101L })
+  }
+
   test("connected components: chains, separate components, canonical mapping") {
     // component {1..6} as a pure chain (worst case for naive propagation),
     // component {10,11,12} as a triangle, 20-21 pair, 30 singleton

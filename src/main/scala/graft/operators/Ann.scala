@@ -68,12 +68,15 @@ object Ann {
    * Lloyd refinement under a fixed iteration budget), probe-limited
    * search.
    *
-   * `lloydIters` is the training budget: each round is one narrow
-   * assignment pass over the corpus plus a numCells×dim mean
-   * aggregation (bounded metadata), so cost is linear in the budget
-   * and the loop short-circuits when centroids stop moving. Exact
-   * decimal means keep every round deterministic across partition
-   * orders. Recall@k vs brute force is asserted (and reported) in
+   * `lloydIters` is the training budget. Training runs on a BOUNDED
+   * DETERMINISTIC SAMPLE (hash-filtered — partition-order-independent,
+   * no RNG state), persisted for the rounds, so the FULL corpus is
+   * scanned exactly once for the final assignment no matter the
+   * budget — the production IVF shape (train on sample, assign all).
+   * Each round is one narrow assignment pass over the sample plus a
+   * numCells×dim exact-decimal mean (bounded metadata, deterministic
+   * across partition orders); the loop short-circuits when centroids
+   * stop moving. Recall@k vs brute force is asserted (and reported) in
    * OperatorSpec.
    */
   def ivfTopK(
@@ -83,27 +86,50 @@ object Ann {
       k: Int,
       numCells: Int = 16,
       probes: Int = 4,
-      lloydIters: Int = 5
+      lloydIters: Int = 5,
+      trainSample: Long = 100000L
   ): DataFrame = {
     graft.sql.GraftFunctions.register(spark)
     graft.sql.GraftFunctions.installTopKStrategy(spark)
     val base = corpus.select(col("vec_id").as("item_id"), col("embedding").as("item_vec"))
 
-    // seed centroids: means of hash buckets; Lloyd rounds to refine
-    val seeded = base.withColumn("cell", pmod(xxhash64(col("item_id")), lit(numCells)).cast("int"))
-    var cents = centroidTable(seeded, numCells, "item_vec")
-    var iter = 0
-    var converged = false
-    while (iter < lloydIters && !converged) {
-      val reassigned =
-        base.withColumn("cell", call_function("graft_nearest_centroid", col("item_vec"), centroidsLit(cents)))
-      val next = centroidTable(reassigned, numCells, "item_vec")
-      converged = java.util.Arrays.deepEquals(
-        cents.asInstanceOf[Array[AnyRef]], next.asInstanceOf[Array[AnyRef]])
-      cents = next
-      iter += 1
-    }
+    // bounded training set: hash-filter to ~trainSample vectors
+    val n = base.count()
+    val train =
+      if (n <= trainSample) base
+      else {
+        val permille = math.max(1L, 10000L * trainSample / n)
+        base.filter(pmod(xxhash64(col("item_id"), lit(7)), lit(10000L)) < lit(permille))
+      }
+    train.persist()
+    try {
+      // seed centroids: means of hash buckets; Lloyd rounds to refine
+      val seeded = train.withColumn("cell", pmod(xxhash64(col("item_id")), lit(numCells)).cast("int"))
+      var cents = centroidTable(seeded, numCells, "item_vec")
+      var iter = 0
+      var converged = false
+      while (iter < lloydIters && !converged) {
+        val reassigned =
+          train.withColumn("cell", call_function("graft_nearest_centroid", col("item_vec"), centroidsLit(cents)))
+        val next = centroidTable(reassigned, numCells, "item_vec")
+        converged = java.util.Arrays.deepEquals(
+          cents.asInstanceOf[Array[AnyRef]], next.asInstanceOf[Array[AnyRef]])
+        cents = next
+        iter += 1
+      }
+      ivfSearch(base, queries, cents, k, probes)
+    } finally train.unpersist()
+  }
 
+  /** Probe-limited search against a trained centroid table: one full
+    * corpus assignment pass + per-query candidate top-k. */
+  private def ivfSearch(
+      base: DataFrame,
+      queries: DataFrame,
+      cents: Array[Array[Float]],
+      k: Int,
+      probes: Int
+  ): DataFrame = {
     val assigned = base.withColumn("cell", call_function("graft_nearest_centroid", col("item_vec"), centroidsLit(cents)))
     val queryProbes = queries
       .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))

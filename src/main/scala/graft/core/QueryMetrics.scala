@@ -44,4 +44,18 @@ final class QueryMetrics private (spark: SparkSession) {
 
 object QueryMetrics {
   def attach(spark: SparkSession): QueryMetrics = new QueryMetrics(spark)
+
+  private val bySession =
+    java.util.Collections.synchronizedMap(new java.util.WeakHashMap[SparkSession, QueryMetrics]())
+
+  /** Session-scoped metrics instance (attached on first use) — the
+    * store behind the SHOW/DELETE QUERY METRICS SQL statements. */
+  def forSession(spark: SparkSession): QueryMetrics =
+    bySession.synchronized {
+      Option(bySession.get(spark)).getOrElse {
+        val m = attach(spark)
+        bySession.put(spark, m)
+        m
+      }
+    }
 }

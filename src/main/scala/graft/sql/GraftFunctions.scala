@@ -110,5 +110,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
     ext.injectOptimizerRule(_ => SketchFusionRule)
     ext.injectPlannerStrategy(spark => graft.plans.TopKPerKeyStrategy(spark))
+    // reference admin SQL statements (SHOW/DELETE QUERY METRICS, KILL
+    // QUERY, SHOW UPDATES_INTERVALS); everything else delegates to
+    // Spark's parser
+    ext.injectParser((session, delegate) => new GraftSqlParser(session, delegate))
   }
 }

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/**
+ * The injected SQL statement surface (GraftSqlParser via
+ * SparkSessionExtensions.injectParser): the reference's admin
+ * statements parse and run as first-class SQL, and the rest of the
+ * language still routes to Spark's parser.
+ */
+class AdminSqlSpec extends SparkSpecBase {
+
+  test("admin SQL statements run through the injected parser") {
+    spark // force base session init first
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s2 = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.sql.GraftExtensions().apply(_))
+      .getOrCreate()
+    try {
+      // extension-injected functions resolve in plain SQL
+      assert(s2.sql("SELECT graft_database() AS db").head().getString(0) == "graft")
+
+      // attach the session metrics store, run a query, then SHOW it
+      graft.core.QueryMetrics.forSession(s2)
+      s2.range(100).agg(sum(col("id"))).collect()
+      val deadline = System.currentTimeMillis() + 5000
+      while (graft.core.QueryMetrics.forSession(s2).snapshot().isEmpty &&
+        System.currentTimeMillis() < deadline) Thread.sleep(50)
+
+      val shown = s2.sql("SHOW QUERY METRICS LIMIT 5")
+      assert(shown.columns.toSeq == Seq("query", "duration_ms", "output_rows", "state"))
+      assert(shown.count() >= 1)
+
+      val deleted = s2.sql("DELETE QUERY METRICS").head().getLong(0)
+      assert(deleted >= 1)
+
+      assert(s2.sql("KILL QUERY 'no-such-group'").head().getString(1) == "CANCELLED")
+
+      val cl = "/tmp/graft_adminsql_cl"
+      val fs = org.apache.hadoop.fs.FileSystem.get(s2.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(cl), true)
+      graft.sources.Changelog.markDirty(
+        s2.range(1).select(lit("2024-03").as("b")), col("b"), cl)
+      val rows = s2.sql(s"SHOW UPDATES_INTERVALS '$cl'").collect()
+      assert(rows.map(_.getString(0)).toSeq == Seq("2024-03"))
+
+      // everything else still parses as Spark SQL
+      assert(s2.sql("SELECT 1 + 1 AS x").head().getInt(0) == 2)
+    } finally {
+      SparkSession.setActiveSession(spark)
+      SparkSession.setDefaultSession(spark)
+    }
+  }
+}

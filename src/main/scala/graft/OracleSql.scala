@@ -351,6 +351,20 @@ object OracleSql {
          SELECT token, COUNT(*) AS occurrences
          FROM u GROUP BY token
          ORDER BY occurrences DESC, token LIMIT 30""",
+    "q_tfidf" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
+              n AS (SELECT COUNT(*) AS nd FROM documents),
+              u AS (SELECT doc_id, unnest(tk) AS term FROM t),
+              tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM u GROUP BY doc_id, term),
+              df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+              sc AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+                       CAST(tf.tf * (n.nd + 1) AS DOUBLE) / CAST(df.df + 1 AS DOUBLE) AS score
+                     FROM tf JOIN df USING (term) CROSS JOIN n),
+              r AS (SELECT doc_id, term, tf, df,
+                      ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rank
+                    FROM sc)
+         SELECT doc_id, term, tf, df, CAST(rank AS INT) AS rank
+         FROM r WHERE rank <= 3 ORDER BY doc_id, rank""",
     "q_heavy_hitters" ->
       s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
               u AS (SELECT unnest(tk) AS token FROM t)

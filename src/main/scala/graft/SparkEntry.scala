@@ -685,6 +685,32 @@ object SparkEntry {
       .orderBy(col("occurrences").desc, col("token"))
       .limit(30)
 
+  /**
+   * Per-document top TF-IDF terms: token explode → per-(doc, term)
+   * counts (map-side combined) → document-frequency join → windowed
+   * top-3. Cross-engine determinism: the score is tf·(N+1)/(df+1) —
+   * exact integer products and ONE IEEE division, bit-identical in both
+   * engines — with (score, term) as the total window order; outputs are
+   * ints/strings only.
+   */
+  private def qTfidf(s: SparkSession, dir: String): DataFrame = {
+    val docs = ld(s, dir, "documents")
+    val nDocs = docs.count()
+    val terms = docs
+      .select(col("doc_id"), explode(F.tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = terms.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    terms
+      .join(dfreq, "term")
+      .withColumn("score", (col("tf") * lit(nDocs + 1L)).cast("double") / (col("df") + lit(1L)).cast("double"))
+      .withColumn("rank",
+        row_number().over(Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("term").asc)))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("rank"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
   // ==================================================================
   // §2.9 dedup
   // ==================================================================
@@ -853,6 +879,7 @@ object SparkEntry {
     "q_cooccurrence" -> (qCooccurrence _),
     "q_sample_split" -> (qSampleSplit _),
     "q_vocab_stats" -> (qVocabStats _),
+    "q_tfidf" -> (qTfidf _),
     "q_heavy_hitters" -> (qHeavyHitters _),
     "q_source_similarity" -> (qSourceSimilarity _),
     "q_rollup" -> (qRollup _),

@@ -87,7 +87,7 @@ object Ann {
       numCells: Int = 16,
       probes: Int = 4,
       lloydIters: Int = 5,
-      trainSample: Long = 100000L
+      trainSample: Long = 20000L
   ): DataFrame = {
     graft.sql.GraftFunctions.register(spark)
     graft.sql.GraftFunctions.installTopKStrategy(spark)

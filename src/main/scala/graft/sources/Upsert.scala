@@ -26,4 +26,68 @@ object Upsert {
       .filter(col("__rn") === 1)
       .drop("__prio", "__rn")
   }
+
+  // ------------------------------------------------------------------
+  // Log-structured continuous upsert (the shape TSDB.put needs when the
+  // store is immutable parquet): appends are O(batch) versioned writes,
+  // reads merge-on-read with latest-version-wins, and compaction bounds
+  // read amplification. The reference gets in-place puts from HBase;
+  // on object storage this log+compact cycle is the standard
+  // equivalent.
+  // ------------------------------------------------------------------
+
+  /** Append one update batch as version `seq` — O(batch) write, no read
+    * of existing data. Idempotent per seq: the version directory is
+    * overwritten, so replaying a failed batch cannot duplicate rows. */
+  def appendVersion(updates: DataFrame, path: String, seq: Long): Unit =
+    updates
+      .withColumn("__seq", lit(seq))
+      .write
+      .mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("__seq")
+      .parquet(path)
+
+  /** Merge-on-read: latest version per key wins (ties impossible — one
+    * version per seq). The window shuffles on the key, the same cost a
+    * groupBy-latest would pay. */
+  def readLatest(spark: org.apache.spark.sql.SparkSession, path: String, keys: Seq[String]): DataFrame = {
+    val log = spark.read.parquet(path)
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("__seq").desc)
+    log
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__seq", "__rn")
+  }
+
+  /** Compact the version log to a single latest-state version (read
+    * amplification back to 1; run periodically, like the reference's
+    * HBase compactions run underneath it). Keeps the log contract: the
+    * result is version `throughSeq`, older versions are removed. */
+  def compact(spark: org.apache.spark.sql.SparkSession, path: String, keys: Seq[String]): Unit = {
+    val log = spark.read.parquet(path)
+    // partition-column inference reads __seq back as int
+    val maxSeq = log.agg(max(col("__seq"))).head().get(0).asInstanceOf[Number].longValue()
+    val latest = readLatest(spark, path, keys)
+    val tmp = path + "__compact"
+    latest.withColumn("__seq", lit(maxSeq)).write.mode("overwrite").partitionBy("__seq").parquet(tmp)
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(path))
+  }
+
+  /** Streaming continuous upsert: each micro-batch appends one version
+    * (batchId = seq, replay-idempotent). Readers use [[readLatest]]. */
+  def streamUpsert(
+      updates: DataFrame,
+      path: String,
+      checkpoint: String
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    updates.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        appendVersion(batch, path, batchId)
+        ()
+      }
+      .start()
 }

@@ -261,6 +261,33 @@ class StreamingSpec extends SparkSpecBase {
     assert(spark.read.parquet(s"$base/rollup").agg(sum("c")).head().getLong(0) == 3L)
   }
 
+  test("log-structured streaming upsert: latest version wins, compaction preserves state") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.sources.Upsert
+    val base = "/tmp/graft_upsert_log"
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+
+    val stream = MemoryStream[(Long, String, Double)]
+    val q = Upsert.streamUpsert(
+      stream.toDF().toDF("key", "status", "amount"), s"$base/log", s"$base/ckpt")
+    stream.addData((1L, "new", 10.0), (2L, "new", 20.0))
+    q.processAllAvailable()
+    stream.addData((1L, "paid", 11.0), (3L, "new", 30.0)) // re-put key 1
+    q.processAllAvailable()
+    q.stop()
+
+    def latest() = Upsert.readLatest(spark, s"$base/log", Seq("key"))
+      .as[(Long, String, Double)].collect().toSet
+    val expected = Set((1L, "paid", 11.0), (2L, "new", 20.0), (3L, "new", 30.0))
+    assert(latest() === expected)
+
+    // compaction: one version left, same state
+    Upsert.compact(spark, s"$base/log", Seq("key"))
+    assert(spark.read.parquet(s"$base/log").select("__seq").distinct().count() == 1)
+    assert(latest() === expected)
+  }
+
   test("DataPoint ingest flattens into the events row shape") {
     val pts = Seq(
       Ingest.DataPoint("events", Timestamp.valueOf("2024-01-01 00:00:01"),

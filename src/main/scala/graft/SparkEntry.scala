@@ -635,19 +635,18 @@ object SparkEntry {
    * so this shares q_vocab_stats' oracle — the aggregator path itself
    * is what's under test.
    */
-  private def qHeavyHitters(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val toks = ld(s, dir, "documents")
+  /** Native TypedImperativeAggregate Misra-Gries (no Dataset-encoder
+    * boundary); k=100 > |vocab| here, so counts are exact and the
+    * DuckDB frequency oracle applies. The typed-Aggregator variant
+    * (Aggregators.HeavyHitters) stays spec-covered. */
+  private def qHeavyHitters(s: SparkSession, dir: String): DataFrame =
+    ld(s, dir, "documents")
       .select(explode(F.tokens(col("text"))).as("token"))
-      .as[String]
-    val hh = new graft.functions.Aggregators.HeavyHitters(100).toColumn
-    toks
-      .select(hh)
-      .flatMap(identity)
-      .toDF("token", "occurrences")
+      .agg(call_function("graft_heavy_hitters", col("token"), lit(100)).as("hh"))
+      .select(explode(col("hh")).as("e"))
+      .select(col("e.token").as("token"), col("e.count").as("occurrences"))
       .orderBy(col("occurrences").desc, col("token"))
       .limit(20)
-  }
 
   /**
    * Similarity BETWEEN sources via the mergeable MinHashUnion

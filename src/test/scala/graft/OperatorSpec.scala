@@ -39,6 +39,21 @@ class OperatorSpec extends SparkSpecBase {
     assert(run() == run())
   }
 
+  test("native Misra-Gries aggregate: bounded state, frequent items guaranteed, SQL-callable") {
+    val words = (Seq.fill(60)("hot") ++ Seq.fill(25)("warm") ++ (1 to 15).map(i => s"rare$i")).toDF("w")
+      .repartition(4) // exercise partial buffers + binary serialize/merge
+    val r = words.agg(call_function("graft_heavy_hitters", col("w"), lit(5)).as("hh"))
+      .select(explode(col("hh")).as("e")).select("e.token", "e.count")
+      .as[(String, Long)].collect()
+    assert(r.length <= 5)
+    val kept = r.map(_._1).toSet
+    assert(kept.contains("hot") && kept.contains("warm")) // freq > n/k = 20 guaranteed
+    words.createOrReplaceTempView("hh_words")
+    val viaSql = spark.sql(
+      "SELECT graft_heavy_hitters(w, 5) FROM hh_words").head().getSeq[Any](0)
+    assert(viaSql.nonEmpty)
+  }
+
   test("Misra-Gries heavy hitters: guaranteed frequent items survive with small k") {
     val words = Seq.fill(60)("hot") ++ Seq.fill(25)("warm") ++ (1 to 15).map(i => s"rare$i")
     val ds = words.toDS()

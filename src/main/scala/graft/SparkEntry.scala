@@ -654,15 +654,12 @@ object SparkEntry {
    * Rows-only oracle (hash-seeded); accuracy spec in OperatorSpec.
    */
   private def qSourceSimilarity(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
     val docs = ld(s, dir, "documents")
-    val sigs = Dedup
+    val bySource = Dedup
       .minhashSigs(docs, "doc_id", "text", 64, 3)
       .join(docs.select(col("doc_id").as("id"), col("source")), "id")
-      .select(col("source"), col("sig"))
-      .as[(String, Seq[Long])]
-    val union = new graft.functions.Aggregators.MinHashUnion(64).toColumn
-    val bySource = sigs.groupByKey(_._1).mapValues(_._2).agg(union).toDF("source", "sig")
+      .groupBy(col("source"))
+      .agg(call_function("graft_minhash_union", col("sig"), lit(64)).as("sig"))
     val a = bySource.as("a")
     val b = bySource.as("b")
     a.join(b, col("a.source") < col("b.source"))

@@ -1,0 +1,72 @@
+package graft.functions.expressions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/**
+ * MinHash-union as a native TypedImperativeAggregate (SQL:
+ * `graft_minhash_union(sig[, k])`): element-wise minimum over
+ * signatures — minhash is a mergeable sketch, so one aggregation turns
+ * per-document signatures into a whole-group signature (per source /
+ * domain / shard) and group-vs-group similarity costs an agg instead of
+ * a cross-document comparison. Fixed Array[Long] state, byte-buffer
+ * serialization; same semantics as Aggregators.MinHashUnion (the
+ * Aggregator-tier example, spec-covered).
+ */
+case class MinHashUnionAgg(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0
+) extends TypedImperativeAggregate[Array[Long]] {
+
+  require(k > 0, s"k must be positive, got $k")
+
+  override def children: Seq[Expression] = Seq(child)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): MinHashUnionAgg =
+    copy(child = newChildren.head)
+
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash_union"
+
+  override def createAggregationBuffer(): Array[Long] = Array.fill(k)(Long.MaxValue)
+
+  override def update(buffer: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val arr = v.asInstanceOf[ArrayData]
+      val n = math.min(k, arr.numElements())
+      var i = 0
+      while (i < n) { val x = arr.getLong(i); if (x < buffer(i)) buffer(i) = x; i += 1 }
+    }
+    buffer
+  }
+
+  override def merge(buffer: Array[Long], other: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < k) { if (other(i) < buffer(i)) buffer(i) = other(i); i += 1 }
+    buffer
+  }
+
+  override def eval(buffer: Array[Long]): Any = new GenericArrayData(buffer.clone())
+
+  override def serialize(buffer: Array[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(k * 8)
+    buffer.foreach(bb.putLong)
+    bb.array()
+  }
+
+  override def deserialize(storageFormat: Array[Byte]): Array[Long] = {
+    val bb = java.nio.ByteBuffer.wrap(storageFormat)
+    Array.fill(k)(bb.getLong())
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): MinHashUnionAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): MinHashUnionAgg =
+    copy(inputAggBufferOffset = newOffset)
+}

@@ -49,6 +49,7 @@ object GraftFunctions {
     "graft_word_shingles" -> (exprs => graft.functions.expressions.WordShingles(exprs.head, intArg(exprs, 1, 3))),
     // native aggregate tier: Misra-Gries heavy hitters (token[, k])
     "graft_heavy_hitters" -> (exprs => graft.functions.expressions.MisraGries(exprs.head, intArg(exprs, 1, 100))),
+    "graft_minhash_union" -> (exprs => graft.functions.expressions.MinHashUnionAgg(exprs.head, intArg(exprs, 1, 64))),
     // registry-completeness parity with the reference FunctionRegistry
     // (yupana-core sql/FunctionRegistry.scala:70-71 nullary now/database,
     // :173 id — the dimension's storage id; dims here are not

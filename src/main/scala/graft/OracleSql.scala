@@ -423,6 +423,76 @@ object OracleSql {
     "q_dedup_exact" ->
       """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
          FROM documents GROUP BY text ORDER BY keep_id""",
+    // full curation pipeline: composes the verified fragments (exact-dup
+    // groups, recursive-CTE near-dup closure, langid, quality, split) in
+    // the operator's gate order
+    "q_curate" ->
+      s"""WITH RECURSIVE
+              t AS (SELECT doc_id, text, $toks AS tk, ' ' || lower(text) || ' ' AS p FROM documents),
+              ex AS (SELECT doc_id, MIN(doc_id) OVER (PARTITION BY text) AS exact_canon FROM documents),
+              s AS (SELECT doc_id, list_distinct(list_transform(
+                      range(1, greatest(len(tk) - 2, 1) + 1),
+                      i -> array_to_string(tk[i:i+2], ' '))) AS sh FROM t),
+              j AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                    FROM s a JOIN s b ON a.doc_id < b.doc_id
+                    WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                          CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.5),
+              e AS (SELECT id_a AS a, id_b AS b FROM j UNION SELECT id_b, id_a FROM j),
+              reach(id, r) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT e.a, reach.r FROM e JOIN reach ON reach.id = e.b),
+              comp AS (SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS canonical_id FROM reach GROUP BY id),
+              sc AS (SELECT doc_id, $sEn AS s_en, $sDe AS s_de, $sFr AS s_fr, $sEs AS s_es, $sZh AS s_zh FROM t),
+              m AS (SELECT doc_id, s_en, s_de, s_fr, s_es, s_zh,
+                    greatest(s_en, s_de, s_fr, s_es, s_zh) AS best FROM sc),
+              lang AS (SELECT doc_id,
+                CASE WHEN s_en > 0 AND s_en = best THEN 'en'
+                     WHEN s_de > 0 AND s_de = best THEN 'de'
+                     WHEN s_fr > 0 AND s_fr = best THEN 'fr'
+                     WHEN s_es > 0 AND s_es = best THEN 'es'
+                     WHEN s_zh > 0 AND s_zh = best THEN 'zh'
+                     ELSE 'und' END AS lang FROM m),
+              qt AS (SELECT doc_id, text, p,
+                       CAST(length(text) AS BIGINT) AS nc,
+                       CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS words,
+                       CAST(len(regexp_extract_all(text, '[.,;:!?''"()\\[\\]{}-]')) AS BIGINT) AS punct
+                     FROM t),
+              qf AS (SELECT doc_id,
+                       CASE WHEN nc >= 100 AND nc <= 10000 THEN 1.0
+                            WHEN nc < 100 THEN CAST(nc AS DOUBLE) / 100.0
+                            ELSE 10000.0 / CAST(nc AS DOUBLE) END AS len_score,
+                       CAST($sEn AS DOUBLE) / 5.0 AS stop_score,
+                       CASE WHEN words > 0 THEN least(CAST(punct AS DOUBLE) / CAST(words AS DOUBLE), 1.0) ELSE 1.0 END AS punct_penalty
+                     FROM qt),
+              q AS (SELECT doc_id,
+                      (len_score * 0.5) + (stop_score * 0.3) + ((1.0 - punct_penalty) * 0.2) AS quality
+                    FROM qf),
+              fpn AS (SELECT doc_id,
+                        substr(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), 1, 128) AS norm
+                      FROM documents),
+              fp AS (SELECT doc_id,
+                       CAST(list_reduce(
+                         list_prepend(CAST(0 AS BIGINT),
+                           list_transform(list_filter(string_split(norm, ''), c -> length(c) > 0),
+                             c -> CAST(ascii(c) AS BIGINT))),
+                         (a, c) -> (a * 131 + c) % 2147483647) AS BIGINT) AS fp
+                     FROM fpn),
+              dec AS (SELECT d.doc_id, comp.canonical_id, lang.lang, q.quality, fp.fp,
+                        CASE WHEN d.doc_id <> ex.exact_canon THEN 'exact_dup'
+                             WHEN comp.canonical_id <> d.doc_id THEN 'near_dup'
+                             WHEN lang.lang NOT IN ('en') THEN 'lang'
+                             WHEN q.quality < 0.3 THEN 'quality'
+                             END AS reason
+                      FROM documents d
+                      JOIN ex USING (doc_id) JOIN comp USING (doc_id)
+                      JOIN lang USING (doc_id) JOIN q USING (doc_id) JOIN fp USING (doc_id))
+         SELECT doc_id, canonical_id, lang, quality,
+                (reason IS NULL) AS keep, reason,
+                CASE WHEN reason IS NULL THEN
+                  CASE WHEN fp % 10 < 8 THEN 'train' WHEN fp % 10 = 8 THEN 'val' ELSE 'test' END
+                END AS split
+         FROM dec ORDER BY doc_id""",
     // transitive closure over the exact >=0.5-jaccard pair set (the same
     // ground truth the minhash query emits), min id per component
     "q_dedup_cluster" ->

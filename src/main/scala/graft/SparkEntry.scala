@@ -707,6 +707,16 @@ object SparkEntry {
       .orderBy(col("doc_id"), col("rank"))
   }
 
+  /** The full curation pipeline in one pass: exact dedup → near-dup
+    * canonicalization → language/quality gates → deterministic split,
+    * one auditable row per input doc. Oracle composes the already-
+    * verified fragments (hash groups, recursive-CTE closure, langid,
+    * quality, fingerprint split) in the same gate order. */
+  private def qCurate(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Curation
+      .curate(ld(s, dir, "documents"), languages = Seq("en"), minQuality = 0.3)
+      .orderBy(col("doc_id"))
+
   // ==================================================================
   // §2.9 dedup
   // ==================================================================
@@ -888,6 +898,7 @@ object SparkEntry {
     "q_dedup_simhash" -> (qDedupSimhash _),
     "q_dedup_ngram_jaccard" -> (qDedupNgramJaccard _),
     "q_dedup_cluster" -> (qDedupCluster _),
+    "q_curate" -> (qCurate _),
     "q_dedup_embed" -> (qDedupEmbed _),
     "q_ann_bruteforce" -> (qAnnBruteforce _),
     "q_ann_ivf" -> (qAnnIvf _),

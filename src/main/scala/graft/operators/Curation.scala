@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * End-to-end corpus curation: the composition a training-data pipeline
+ * actually runs, as one operator. Per input document, gates are
+ * evaluated in a fixed order and the FIRST failing gate is recorded:
+ *
+ *  1. `exact_dup` — not the minimum id of its identical-text group
+ *     (128-bit content-hash grouping, 24-byte shuffle keys);
+ *  2. `near_dup` — not the canonical (minimum) id of its near-duplicate
+ *     cluster (exact-verified LSH pairs → connected components);
+ *  3. `lang` — language-ID not in the accepted set;
+ *  4. `quality` — quality score below the floor;
+ *  5. otherwise kept, with a deterministic content-hash train/val/test
+ *     split.
+ *
+ * Every stage is bucket-local or a fixed-width-key shuffle — the whole
+ * pass is a constant number of shuffles independent of corpus size.
+ * Output: one row per input doc (doc_id, canonical_id, lang, quality,
+ * keep, reason, split) — reason/split are null where not applicable,
+ * so the decision is auditable (the pipeline never silently drops).
+ */
+object Curation {
+
+  def curate(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      languages: Seq[String] = Seq("en"),
+      minQuality: Double = 0.3,
+      nearDupThreshold: Double = 0.5
+  ): DataFrame = {
+    val id = col(idCol)
+
+    val base = docs.select(
+      id,
+      col(textCol).as("__text"),
+      xxhash64(col(textCol)).as("__h1"),
+      xxhash64(lit("graft-seed-2"), col(textCol)).as("__h2"),
+      TextAnalysis.langId(col(textCol)).as("lang"),
+      TextAnalysis.qualityScore(col(textCol)).as("quality"),
+      TextAnalysis.fingerprint(col(textCol)).as("__fp")
+    )
+
+    // gate 1: exact-duplicate canonical per identical text
+    val wExact = Window.partitionBy(col("__h1"), col("__h2"))
+    val withExact = base.withColumn("__exact_canon", min(id).over(wExact))
+
+    // gate 2: near-dup cluster canonical (exact-verified pairs → CC)
+    val pairs = Dedup.minhashJaccardPairs(docs, idCol, textCol, threshold = nearDupThreshold)
+    val comp = Dedup.connectedComponents(pairs)
+      .select(col("id").as(idCol), col("component").as("__near_canon"))
+
+    val reason = when(id =!= col("__exact_canon"), "exact_dup")
+      .when(col("canonical_id") =!= id, "near_dup")
+      .when(!col("lang").isin(languages: _*), "lang")
+      .when(col("quality") < minQuality, "quality")
+
+    withExact
+      .join(comp, Seq(idCol), "left")
+      .withColumn("canonical_id", coalesce(col("__near_canon"), id))
+      .withColumn("reason", reason)
+      .withColumn("keep", col("reason").isNull)
+      .withColumn(
+        "split",
+        when(
+          col("keep"),
+          when(col("__fp") % 10 < 8, "train").when(col("__fp") % 10 === 8, "val").otherwise("test"))
+      )
+      .select(id, col("canonical_id"), col("lang"), col("quality"), col("keep"), col("reason"), col("split"))
+  }
+}

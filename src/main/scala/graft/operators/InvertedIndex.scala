@@ -19,13 +19,22 @@ import graft.functions.F
  */
 object InvertedIndex {
 
-  /** (doc, token) postings from a text column, distinct per doc. */
-  def build(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(col(idCol).as("doc_id"), explode(array_distinct(F.tokens(col(textCol)))).as("token"))
+  /** (doc, token) postings from a text column, distinct per doc.
+    * `stemmer` mirrors the reference, which indexes STEMMED tokens
+    * (ItemsInvertedIndex uses the locale tokenizer's stemmedTokens) —
+    * pass a [[graft.functions.expressions.Stemmers]] id; queries must
+    * stem with the same id ([[phraseSearch]] does). */
+  def build(docs: DataFrame, idCol: String, textCol: String, stemmer: String = "none"): DataFrame = {
+    val toks = if (stemmer == "none") F.tokens(col(textCol)) else F.stemmedTokens(col(textCol), stemmer)
+    docs.select(col(idCol).as("doc_id"), explode(array_distinct(toks)).as("token"))
+  }
 
-  /** Docs whose token set contains every word of the phrase. */
-  def phraseSearch(index: DataFrame, phrase: String): DataFrame = {
-    val words = phrase.toLowerCase.split("[^\\p{L}\\p{Nd}]+").filter(_.nonEmpty).distinct
+  /** Docs whose token set contains every word of the phrase (stemmed
+    * with the same stemmer the index was built with). */
+  def phraseSearch(index: DataFrame, phrase: String, stemmer: String = "none"): DataFrame = {
+    val stem = graft.functions.expressions.Stemmers.forId(stemmer)
+    val words = phrase.toLowerCase.split("[^\\p{L}\\p{Nd}]+")
+      .filter(_.nonEmpty).map(stem.stem).distinct
     index
       .filter(col("token").isin(words.toSeq: _*))
       .groupBy(col("doc_id"))

@@ -64,6 +64,25 @@ class StemmerSpec extends SparkSpecBase {
     assert(noStem === Seq("pinatas"))
   }
 
+  test("stemmed inverted index matches inflected phrase forms (reference ItemsInvertedIndex shape)") {
+    import graft.operators.InvertedIndex
+    val docs = Seq(
+      (1L, "the pony jumps over fences"),
+      (2L, "many ponies jumped over a fence"),
+      (3L, "a completely different document")
+    ).toDF("doc_id", "text")
+    val idx = InvertedIndex.build(docs, "doc_id", "text", stemmer = "en")
+    // query uses a different inflection than either doc
+    val hits = InvertedIndex.phraseSearch(idx, "ponies fences", stemmer = "en")
+      .as[Long].collect().toSet
+    assert(hits === Set(1L, 2L), s"stemmed index should match both inflections, got $hits")
+    // identity index misses the inflected forms
+    val rawHits = InvertedIndex.phraseSearch(
+      InvertedIndex.build(docs, "doc_id", "text"), "ponies fences")
+      .as[Long].collect().toSet
+    assert(rawHits === Set.empty)
+  }
+
   test("unknown stemmer id fails with the registered set named") {
     val e = intercept[Exception] {
       Seq("x").toDF("text").select(F.stemmedTokens(col("text"), "xx")).as[Seq[String]].head()

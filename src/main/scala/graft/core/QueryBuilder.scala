@@ -106,7 +106,12 @@ final class QueryBuilder private (
   private def buildUnchecked(): DataFrame = {
     var df = loadTable(table.name)
     for ((link, cond, exclude) <- linkFilters) {
-      val keys = loadTable(link.catalogTable).filter(cond).select(col(link.catalogKey)).distinct()
+      // drop NULL catalog keys: a NULL inside an IN-list makes the
+      // predicate NULL (row dropped) for every non-matching row, which
+      // would turn the exclude path into drop-almost-everything
+      val keys = loadTable(link.catalogTable)
+        .filter(cond && col(link.catalogKey).isNotNull)
+        .select(col(link.catalogKey)).distinct()
       // Bounded probe: take cap+1 — if it overflows, never collect the rest.
       val sample = keys.limit(maxInSetKeys + 1).collect().map(_.get(0))
       if (sample.length <= maxInSetKeys) {

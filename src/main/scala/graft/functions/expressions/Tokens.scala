@@ -30,7 +30,12 @@ case class Tokens(child: Expression, lowercase: Boolean, stemmer: String = "none
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "graft_tokens"
 
-  @transient private lazy val stemmerObj: Stemmer = Stemmers.forId(stemmer)
+  // Resolved EAGERLY on the driver and serialized with the expression:
+  // a lazy/transient field would re-resolve from the Stemmers registry
+  // inside executor JVMs, where driver-registered custom stemmers don't
+  // exist (the codegen path already ships the object via addReferenceObj;
+  // this keeps the interpreted path consistent with it).
+  private val stemmerObj: Stemmer = Stemmers.forId(stemmer)
 
   override protected def nullSafeEval(input: Any): Any =
     Tokens.tokenize(input.asInstanceOf[UTF8String], lowercase, stemmerObj)

@@ -183,6 +183,7 @@ object Dedup {
     * LSH candidates, never all pairs. */
   private def exactJaccardVerify(
       cands: DataFrame, df: DataFrame, idCol: String, textCol: String, shingleSize: Int): DataFrame = {
+    graft.sql.GraftFunctions.register(df.sparkSession) // shingles() resolves graft_word_shingles
     val sh = df.select(col(idCol).as("id"), shingles(col(textCol), shingleSize).as("sh"))
     cands
       .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
@@ -321,17 +322,20 @@ object Dedup {
       maxExpansion: Double = 256.0
   ): DataFrame = {
     val ex = gramPostings(df, idCol, textCol, groupCols, n)
-    val probe = ex
-      .groupBy((groupCols.map(col) :+ col("gram")): _*)
-      .agg(count(lit(1)).as("gf"))
+    // the probe aggregate IS the frequency table the prefix variant
+    // needs — both variants then consume the same `ex`/`freq` frames,
+    // so the shared shuffle subtrees dedupe via exchange reuse instead
+    // of re-deriving the postings per variant
+    val freq = ex.groupBy((groupCols.map(col) :+ col("gram")): _*).agg(count(lit(1)).as("gf"))
+    val probe = freq
       .agg(sum(col("gf")).as("postings"), sum(col("gf") * col("gf")).as("joinrows"), max(col("gf")).as("maxgf"))
       .head()
     val heavyTailed = !probe.isNullAt(0) && {
       val expansion = probe.getLong(1).toDouble / probe.getLong(0).toDouble
       expansion > maxExpansion || probe.getLong(2) > (1L << 16)
     }
-    if (heavyTailed) ngramJaccardPairsPrefix(df, idCol, textCol, groupCols, n, threshold)
-    else ngramJaccardPairsDense(df, idCol, textCol, groupCols, n, threshold)
+    if (heavyTailed) prefixFromPostings(ex, freq, groupCols, threshold)
+    else denseFromPostings(ex, groupCols, threshold)
   }
 
   /** Direct posting self-join variant: fastest when gram frequencies are
@@ -344,8 +348,9 @@ object Dedup {
       groupCols: Seq[String],
       n: Int = 4,
       threshold: Double = 0.35
-  ): DataFrame = {
-    val ex = gramPostings(df, idCol, textCol, groupCols, n)
+  ): DataFrame = denseFromPostings(gramPostings(df, idCol, textCol, groupCols, n), groupCols, threshold)
+
+  private def denseFromPostings(ex: DataFrame, groupCols: Seq[String], threshold: Double): DataFrame = {
     // shuffle_hash: the per-key gram buckets are small and uniform, so a
     // hash join skips the two 0.9M-row sorts a sort-merge join would pay
     // (measured 9.4s -> ~4s at sf0.1).
@@ -390,8 +395,14 @@ object Dedup {
       threshold: Double = 0.35
   ): DataFrame = {
     val ex = gramPostings(df, idCol, textCol, groupCols, n)
-    // global gram rarity within each group
     val freq = ex.groupBy((groupCols.map(col) :+ col("gram")): _*).agg(count(lit(1)).as("gf"))
+    prefixFromPostings(ex, freq, groupCols, threshold)
+  }
+
+  /** `freq` = per-(group, gram) frequency over `ex` (global gram rarity
+    * within each group) — shared with the dispatch probe. */
+  private def prefixFromPostings(
+      ex: DataFrame, freq: DataFrame, groupCols: Seq[String], threshold: Double): DataFrame = {
     val ranked = ex
       .join(freq, groupCols :+ "gram")
       .withColumn(
@@ -486,9 +497,12 @@ object Dedup {
    * output: one row per node appearing in any pair.
    */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    // ids keep their native type: star contraction only needs an
+    // ordering (min/</>), which every orderable Spark type has — a
+    // cast would silently NULL string/UUID ids and drop every edge
     val init = pairs
-      .select(col("id_a").cast("long").as("u"), col("id_b").cast("long").as("v"))
-      .filter(col("u") =!= col("v"))
+      .select(col("id_a").as("u"), col("id_b").as("v"))
+      .filter(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
 
     def sym(e: DataFrame): DataFrame =
       e.unionByName(e.select(col("v").as("u"), col("u").as("v"))).distinct()

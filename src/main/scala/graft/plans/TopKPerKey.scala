@@ -107,9 +107,13 @@ case class TopKPerKeyExec(
       while (iter.hasNext) {
         val row = iter.next()
         val key = keyProj(row)
+        // Threshold checked per retained row (not only on new-key
+        // creation): rows filling EXISTING heaps grow memory too, and
+        // interleaved key order would otherwise retain up to k× the
+        // bound before any spill fired.
+        if (retained >= spillThreshold) spill()
         var heap = heaps.get(key)
         if (heap == null) {
-          if (retained + kk > spillThreshold) spill()
           heap = mutable.PriorityQueue.empty[InternalRow](rowOrdering)
           heaps.put(key.copy(), heap)
         }

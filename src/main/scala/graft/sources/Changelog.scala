@@ -28,12 +28,21 @@ object Changelog {
     else spark.emptyDataFrame.select(lit("").as("bucket"), lit(0L).as("seq")).limit(0)
   }
 
-  /** Next sequence number (max over both logs + 1). */
+  /**
+   * Next sequence number: strictly above both every recorded seq and
+   * the wall clock in millis. The clock component makes concurrent
+   * same-seq collisions require two writers inside the same
+   * millisecond — but the read-then-append is still not atomic, so the
+   * changelog contract is ONE ingest writer per changelog directory
+   * (the reference gets atomicity from HBase increments; plain
+   * filesystems offer none). Multiple tables → one changelog dir each.
+   */
   def nextSeq(spark: SparkSession, changelogDir: String): Long = {
     val m = readLog(spark, s"$changelogDir/pending")
       .unionByName(readLog(spark, s"$changelogDir/done"))
       .agg(max(col("seq"))).head()
-    (if (m.isNullAt(0)) 0L else m.getLong(0)) + 1L
+    val recorded = if (m.isNullAt(0)) 0L else m.getLong(0)
+    math.max(recorded, System.currentTimeMillis()) + 1L
   }
 
   /**

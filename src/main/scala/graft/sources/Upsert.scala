@@ -60,20 +60,48 @@ object Upsert {
       .drop("__seq", "__rn")
   }
 
-  /** Compact the version log to a single latest-state version (read
-    * amplification back to 1; run periodically, like the reference's
-    * HBase compactions run underneath it). Keeps the log contract: the
-    * result is version `throughSeq`, older versions are removed. */
+  /**
+   * Compact versions ≤ the max seq visible at start into that single
+   * version (read amplification back toward 1; run periodically, like
+   * the reference's HBase compactions run underneath it).
+   *
+   * Safe against concurrent appends and crashes: only versions ≤ maxSeq
+   * are touched — a batch committed at a newer seq during compaction
+   * survives, because (1) the merged ≤maxSeq state is first written
+   * INTO the maxSeq partition (dynamic partition overwrite — nothing
+   * else replaced), then (2) strictly-older version partitions are
+   * deleted. A crash between the steps leaves older versions in place,
+   * which is only redundant data: readLatest stays correct because the
+   * maxSeq partition already holds the full merged state and wins every
+   * key it shares with older versions.
+   */
   def compact(spark: org.apache.spark.sql.SparkSession, path: String, keys: Seq[String]): Unit = {
     val log = spark.read.parquet(path)
     // partition-column inference reads __seq back as int
     val maxSeq = log.agg(max(col("__seq"))).head().get(0).asInstanceOf[Number].longValue()
-    val latest = readLatest(spark, path, keys)
-    val tmp = path + "__compact"
-    latest.withColumn("__seq", lit(maxSeq)).write.mode("overwrite").partitionBy("__seq").parquet(tmp)
+    val merged = {
+      val w = Window.partitionBy(keys.map(col): _*).orderBy(col("__seq").desc)
+      log.filter(col("__seq") <= maxSeq)
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .drop("__seq", "__rn")
+    }
+    merged
+      .localCheckpoint(true) // materialize before overwriting a path we read from
+      .withColumn("__seq", lit(maxSeq))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("__seq")
+      .parquet(path)
     val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(path), true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(path))
+    val it = fs.listStatus(new org.apache.hadoop.fs.Path(path))
+    it.foreach { st =>
+      val name = st.getPath.getName
+      if (name.startsWith("__seq=")) {
+        val seq = name.stripPrefix("__seq=").toLong
+        if (seq < maxSeq) fs.delete(st.getPath, true)
+      }
+    }
   }
 
   /** Streaming continuous upsert: each micro-batch appends one version

@@ -59,39 +59,33 @@ object GraftSqlParser {
   private[sql] def attr(name: String, dt: DataType): Attribute = AttributeReference(name, dt, nullable = true)()
 }
 
+// The commands delegate to the graft.sql.Catalog helpers (the
+// programmatic admin surface) so the SQL statements and the Scala API
+// cannot drift apart — one row-shaping implementation each.
+
 /** SHOW QUERY METRICS [LIMIT n] — recorded query durations/rows/state. */
 case class ShowQueryMetricsCommand(limit: Int) extends LeafRunnableCommand {
   import GraftSqlParser.attr
   override val output: Seq[Attribute] =
     Seq(attr("query", StringType), attr("duration_ms", DoubleType), attr("output_rows", LongType), attr("state", StringType))
   override def run(spark: SparkSession): Seq[Row] =
-    graft.core.QueryMetrics.forSession(spark)
-      .snapshot()
-      .map(r => Row(r.funcName, r.durationNs / 1e6, r.outputRows, if (r.failed) "FAILED" else "FINISHED"))
-      .takeRight(limit)
-      .reverse
+    Catalog.showQueryMetrics(spark, graft.core.QueryMetrics.forSession(spark), limit).collect().toSeq
 }
 
 /** DELETE QUERY METRICS — clear the recorded metrics. */
 case class DeleteQueryMetricsCommand() extends LeafRunnableCommand {
   import GraftSqlParser.attr
   override val output: Seq[Attribute] = Seq(attr("deleted", LongType))
-  override def run(spark: SparkSession): Seq[Row] = {
-    val m = graft.core.QueryMetrics.forSession(spark)
-    val n = m.snapshot().size.toLong
-    m.clear()
-    Seq(Row(n))
-  }
+  override def run(spark: SparkSession): Seq[Row] =
+    Catalog.deleteQueryMetrics(spark, graft.core.QueryMetrics.forSession(spark)).collect().toSeq
 }
 
 /** KILL QUERY '<job-group>' — cancel all running jobs in the group. */
 case class KillQueryCommand(jobGroup: String) extends LeafRunnableCommand {
   import GraftSqlParser.attr
   override val output: Seq[Attribute] = Seq(attr("job_group", StringType), attr("status", StringType))
-  override def run(spark: SparkSession): Seq[Row] = {
-    spark.sparkContext.cancelJobGroup(jobGroup)
-    Seq(Row(jobGroup, "CANCELLED"))
-  }
+  override def run(spark: SparkSession): Seq[Row] =
+    Catalog.killQuery(spark, jobGroup).collect().toSeq
 }
 
 /** SHOW UPDATES_INTERVALS '<changelog-dir>' — dirty rollup buckets. */
@@ -99,5 +93,5 @@ case class ShowUpdatesIntervalsCommand(changelogDir: String) extends LeafRunnabl
   import GraftSqlParser.attr
   override val output: Seq[Attribute] = Seq(attr("bucket", StringType), attr("pending_seq", LongType))
   override def run(spark: SparkSession): Seq[Row] =
-    graft.sources.Changelog.dirtyBuckets(spark, changelogDir).map { case (b, s) => Row(b, s) }
+    Catalog.showUpdatesIntervals(spark, changelogDir).collect().toSeq
 }

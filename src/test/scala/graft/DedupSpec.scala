@@ -129,6 +129,11 @@ class DedupSpec extends SparkSpecBase {
     assert(clusters(6L) == 1L && clusters(12L) == 10L && clusters(21L) == 20L)
     val kept = clusters.filter { case (id, canon) => id == canon }.keySet
     assert(kept === Set(1L, 10L, 20L, 30L))
+
+    // ids keep their native type: string ids must not be nulled away
+    val sPairs = Seq(("doc-b", "doc-a"), ("doc-b", "doc-c")).toDF("id_a", "id_b")
+    val sComp = Dedup.connectedComponents(sPairs).as[(String, String)].collect().toMap
+    assert(sComp === Map("doc-a" -> "doc-a", "doc-b" -> "doc-a", "doc-c" -> "doc-a"))
   }
 
   test("prefix-filtered ngram jaccard returns exactly the unfiltered result") {

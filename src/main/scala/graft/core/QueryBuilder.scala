@@ -86,8 +86,9 @@ final class QueryBuilder private (
   /** Keys at or below this bound become a literal IN-set; above it, a
     * broadcast semi/anti join. Catalog cardinality is bounded metadata
     * (same class as broadcast thresholds), so the cap guards the plan
-    * size, not correctness. */
-  private val maxInSetKeys = 10000
+    * size, not correctness. Tunable per session. */
+  private def maxInSetKeys: Int =
+    spark.conf.get("spark.graft.link.maxInSetKeys", "10000").toInt
 
   def build(): DataFrame = {
     try buildUnchecked()

@@ -41,6 +41,38 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("PushedFilters: [In(l_suppkey"), s"link condition must reach the scan as In(l_suppkey,...):\n${p.take(3000)}")
   }
 
+  test("whereLink: IN-set and semi-join routes agree; exclude complements include") {
+    import graft.core.QueryBuilder
+    import graft.schema.TestSchema
+    val link = TestSchema.schema.links.find(_.linkName == "supplier_link").get
+    def load(n: String) = spark.read.parquet(s"$sfDir/$n.parquet")
+    def q(exclude: Boolean) = QueryBuilder(spark, TestSchema.schema, load, "lineitem")
+      .whereLink(link, col("s_acctbal") > 4000.0, exclude)
+      .groupBy(col("l_suppkey"))
+      .select(count(lit(1)).as("cnt"))
+      .build()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+
+    val inSet = rows(q(exclude = false))
+    val exSet = rows(q(exclude = true))
+    // include + exclude partition the fact table
+    val total = load("lineitem").groupBy("l_suppkey").count()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(inSet.keySet.intersect(exSet.keySet).isEmpty)
+    assert((inSet.keySet ++ exSet.keySet) === total.keySet)
+
+    // force the semi/anti-join fallback: identical results, no IN pushdown
+    spark.conf.set("spark.graft.link.maxInSetKeys", "1")
+    try {
+      val viaJoinIn = rows(q(exclude = false))
+      val viaJoinEx = rows(q(exclude = true))
+      assert(viaJoinIn === inSet && viaJoinEx === exSet)
+      val p = q(exclude = false).queryExecution.executedPlan.toString
+      assert(!p.contains("In(l_suppkey"), "fallback must not build a literal IN-set")
+    } finally spark.conf.unset("spark.graft.link.maxInSetKeys")
+  }
+
   test("q_agg_sum_min_max does partial (map-side) aggregation before the shuffle") {
     val p = planOf("q_agg_sum_min_max")
     assert(p.contains("partial_sum") || p.contains("HashAggregate"), p.take(2000))

@@ -450,7 +450,8 @@ object Dedup {
       vecCol: String,
       planes: Int = 16,
       bands: Int = 4,
-      threshold: Double = 0.97
+      threshold: Double = 0.97,
+      maxBucket: Option[Int] = None
   ): DataFrame = {
     val rowsPerBand = planes / bands
     graft.sql.GraftFunctions.register(df.sparkSession)
@@ -472,8 +473,9 @@ object Dedup {
         )
       ).as("bk")
     ).select(col("id"), col("bk.band"), col("bk.bh"))
-    val a = banded.as("a")
-    val b = banded.as("b").hint("shuffle_hash")
+    val capped = capBuckets(banded, maxBucket)
+    val a = capped.as("a")
+    val b = capped.as("b").hint("shuffle_hash")
     a.join(b, col("a.band") === col("b.band") && col("a.bh") === col("b.bh") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()

@@ -1,0 +1,51 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scratch: scale-stress the dedup/curation path on a synthetic 20x
+  * corpus (sf0.1 documents replicated with id offsets — every replica
+  * group is an exact-dup cluster, stressing precisely the degenerate
+  * shapes the guards exist for). Not part of the driver contract. */
+object ScaleStress {
+  def main(args: Array[String]): Unit = {
+    val mult = args.headOption.map(_.toInt).getOrElse(20)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val docs0 = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    val n = docs0.count()
+    val big = (0 until mult).map { i =>
+      docs0.withColumn("doc_id", col("doc_id") + lit(i.toLong * 1000000L))
+    }.reduce(_ unionByName _)
+    big.write.mode("overwrite").parquet("/tmp/graft_stress/docs")
+    val docs = spark.read.parquet("/tmp/graft_stress/docs")
+    println(s"[stress] corpus: ${docs.count()} docs (${n} x $mult)")
+
+    def time[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[stress] $name: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      r
+    }
+
+    time("exact dedup")(graft.operators.Dedup.exact(docs, "doc_id", "text").count())
+    // capped LSH: replica groups share signatures -> hot buckets; the cap
+    // drops them (they're exact dups, handled above) instead of melting
+    val pairs = time("minhash pairs (capped 1000)")(
+      graft.operators.Dedup.minhashJaccardPairs(docs, "doc_id", "text",
+        threshold = 0.5, maxBucket = Some(1000)))
+    val pc = time("pairs count")(pairs.count())
+    println(s"[stress] candidate-verified pairs: $pc")
+    val cc = time("connected components")(
+      graft.operators.Dedup.connectedComponents(pairs).count())
+    println(s"[stress] component rows: $cc")
+    // full pipeline: near-dedup runs over exact representatives only
+    val kept = time("curate (full pipeline)")(
+      graft.operators.Curation.curate(docs).filter(col("keep")).count())
+    println(s"[stress] kept docs: $kept")
+    spark.stop()
+  }
+}

@@ -6,11 +6,13 @@ package graft
  * Every statement mirrors its Spark query exactly: same column names,
  * same total ORDER BY, decimal-then-double aggregation, BIGINT casts on
  * computed ints, and fold-order-identical float math (so doubles are
- * bit-identical across engines). Approximate / hash-seeded queries
- * (hll, distinct_random, IVF, source_similarity) are omitted → the
- * driver records a rows-only check for them. The LSH dedups DO carry
- * exact oracles: they emit exact verify metrics over recall-complete
- * candidates, so brute force is the ground truth.
+ * bit-identical across engines). Every query carries an oracle.
+ * Approximate operators are gated on their deterministic properties:
+ * the LSH dedups emit exact verify metrics over recall-complete
+ * candidates (brute force is the ground truth); hll /
+ * source_similarity emit the exact value plus an accuracy-bound
+ * boolean; distinct_random picks min-by-md5 (reproducible here); IVF
+ * gates mechanism correctness (heap plan ≡ independent agg-sort plan).
  */
 object OracleSql {
 
@@ -62,6 +64,18 @@ object OracleSql {
       """SELECT l_returnflag,
          COUNT(DISTINCT l_partkey) AS nd_part,
          COUNT(DISTINCT l_suppkey) AS nd_supp
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    // the HLL estimate is engine-specific; the gated property is the
+    // accuracy bound (TRUE iff the estimate is within 5% of exact)
+    "q_agg_hll_count" ->
+      """SELECT l_returnflag,
+         COUNT(DISTINCT l_partkey) AS nd_part,
+         TRUE AS hll_within_5pct
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    // deterministic "random" pick: the element with the smallest md5
+    "q_agg_distinct_random" ->
+      """SELECT l_returnflag,
+         min_by(l_partkey, md5(CAST(l_partkey AS VARCHAR))) AS random_part
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q_profile" ->
       """SELECT * FROM (
@@ -576,6 +590,33 @@ object OracleSql {
               FROM s)
          SELECT query_id, item_id, cos, rank FROM r WHERE rank <= 5
          ORDER BY query_id, rank""",
+    // IVF: mechanism correctness (heap plan == independent agg-sort
+    // plan over the probed candidates) and minimal quality are the
+    // deterministic gated properties; the booleans are computed
+    // Spark-side, the oracle pins the expected all-TRUE skeleton
+    "q_ann_ivf" ->
+      """SELECT vec_id AS query_id,
+         CAST(5 AS BIGINT) AS n_results,
+         TRUE AS mechanism_ok,
+         TRUE AS found_true_neighbor
+         FROM embeddings WHERE vec_id < 8 ORDER BY query_id""",
+    // exact_jaccard is recomputed here from scratch (tokenize →
+    // distinct word-3-shingles per source → |∩|/|∪|); the minhash
+    // estimate is gated as the |est − exact| <= 0.2 bound
+    "q_source_similarity" ->
+      s"""WITH t AS (SELECT source, $toks AS tk FROM documents),
+              sh AS (SELECT DISTINCT source, array_to_string(tk[i : i + 2], ' ') AS shingle
+                     FROM t, UNNEST(range(1, greatest(len(tk) - 2, 1) + 1)) AS u(i)),
+              counts AS (SELECT source, COUNT(*) AS n FROM sh GROUP BY source),
+              inter AS (SELECT a.source AS sa, b.source AS sb, COUNT(*) AS i
+                        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.source < b.source
+                        GROUP BY 1, 2)
+         SELECT ca.source AS source_a, cb.source AS source_b,
+           CAST(COALESCE(i.i, 0) AS DOUBLE) / CAST(ca.n + cb.n - COALESCE(i.i, 0) AS DOUBLE) AS exact_jaccard,
+           TRUE AS est_err_ok
+         FROM counts ca JOIN counts cb ON ca.source < cb.source
+         LEFT JOIN inter i ON ca.source = i.sa AND cb.source = i.sb
+         ORDER BY source_a, source_b""",
     "q_text_langid" ->
       s"""WITH t AS (SELECT doc_id, ' ' || lower(text) || ' ' AS p FROM documents),
               sc AS (SELECT doc_id, $sEn AS s_en, $sDe AS s_de, $sFr AS s_fr, $sEs AS s_es, $sZh AS s_zh FROM t),

@@ -81,22 +81,36 @@ object SparkEntry {
       )
       .orderBy(col("l_returnflag"))
 
-  /** HLL++ approximate distinct (reference HLLCountExpr) — rows-only oracle. */
+  /**
+   * HLL++ approximate distinct (reference HLLCountExpr). The estimate
+   * itself is engine-specific, so the gate checks the property that
+   * matters: the HLL estimate lands within 5% of the exact distinct
+   * count (rsd is configured at 2%; measured error at sf0.01/0.1 is
+   * ~1%). The exact count cross-checks DuckDB; the boolean turns an
+   * unverifiable approximation into a driver-hashable accuracy bound.
+   */
   private def qAggHllCount(s: SparkSession, dir: String): DataFrame =
     ld(s, dir, "lineitem")
       .groupBy(col("l_returnflag"))
-      .agg(approx_count_distinct(col("l_partkey"), 0.02).as("hll_part"))
+      .agg(
+        countDistinct(col("l_partkey")).as("nd_part"),
+        approx_count_distinct(col("l_partkey"), 0.02).as("hll"))
+      .select(
+        col("l_returnflag"),
+        col("nd_part"),
+        (abs(col("hll") - col("nd_part")).cast("double") / col("nd_part") <= lit(0.05)).as("hll_within_5pct"))
       .orderBy(col("l_returnflag"))
 
   /**
    * Reference DistinctRandomExpr: an arbitrary element of the distinct
-   * set. graft picks the min-xxhash element — "random" but stable.
-   * Rows-only oracle (hash-seeded choice).
+   * set. graft picks the element with the smallest md5 — "random" in
+   * distribution but deterministic, so the choice is exactly
+   * reproducible in the oracle (DuckDB min_by over the same md5 hex).
    */
   private def qAggDistinctRandom(s: SparkSession, dir: String): DataFrame =
     ld(s, dir, "lineitem")
       .groupBy(col("l_returnflag"))
-      .agg(min_by(col("l_partkey"), xxhash64(col("l_partkey"))).as("random_part"))
+      .agg(min_by(col("l_partkey"), md5(col("l_partkey").cast("string"))).as("random_part"))
       .orderBy(col("l_returnflag"))
 
   /** Sample stddev/variance via explicit decimal-sum formula (engine-portable). */
@@ -651,7 +665,15 @@ object SparkEntry {
   /**
    * Similarity BETWEEN sources via the mergeable MinHashUnion
    * aggregator: one signature per source, pairwise estimated Jaccard.
-   * Rows-only oracle (hash-seeded); accuracy spec in OperatorSpec.
+   *
+   * Gate shape: `exact_jaccard` (distinct word-3-shingle sets per
+   * source, |∩|/|∪|) is recomputed independently by the DuckDB oracle
+   * — an exact cross-engine check of tokenize→shingle→set-Jaccard.
+   * The minhash-union estimate itself is hash-seeded, so it is gated
+   * as an accuracy bound: |est − exact| ≤ 0.2 (64 hashes; measured
+   * max error 0.074 at sf0.01, 0.117 at sf0.1). The exact join is the
+   * verification path only — the operator under test stays the
+   * one-signature-per-source aggregate.
    */
   private def qSourceSimilarity(s: SparkSession, dir: String): DataFrame = {
     val docs = ld(s, dir, "documents")
@@ -662,13 +684,32 @@ object SparkEntry {
       .agg(call_function("graft_minhash_union", col("sig"), lit(64)).as("sig"))
     val a = bySource.as("a")
     val b = bySource.as("b")
-    a.join(b, col("a.source") < col("b.source"))
+    val est = a.join(b, col("a.source") < col("b.source"))
       .select(
         col("a.source").as("source_a"),
         col("b.source").as("source_b"),
         (aggregate(zip_with(col("a.sig"), col("b.sig"), (x, y) => when(x === y, 1).otherwise(0)), lit(0), _ + _)
           .cast("double") / lit(64.0)).as("est_jaccard")
       )
+    val sh = docs
+      .select(col("source"), explode(Dedup.shingles(col("text"), 3)).as("shingle"))
+      .distinct()
+    val counts = sh.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val inter = sh.as("x")
+      .join(sh.as("y"), col("x.shingle") === col("y.shingle") && col("x.source") < col("y.source"))
+      .groupBy(col("x.source").as("sa"), col("y.source").as("sb"))
+      .agg(count(lit(1)).as("i"))
+    val exact = counts.as("ca").join(counts.as("cb"), col("ca.source") < col("cb.source"))
+      .join(inter, col("ca.source") === col("sa") && col("cb.source") === col("sb"), "left")
+      .select(
+        col("ca.source").as("source_a"),
+        col("cb.source").as("source_b"),
+        (coalesce(col("i"), lit(0L)).cast("double") /
+          (col("ca.n") + col("cb.n") - coalesce(col("i"), lit(0L))).cast("double")).as("exact_jaccard"))
+    est.join(exact, Seq("source_a", "source_b"))
+      .select(
+        col("source_a"), col("source_b"), col("exact_jaccard"),
+        (abs(col("est_jaccard") - col("exact_jaccard")) <= lit(0.2)).as("est_err_ok"))
       .orderBy(col("source_a"), col("source_b"))
   }
 
@@ -779,11 +820,45 @@ object SparkEntry {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /**
+   * IVF gate shape: recall quality is data-dependent (probe-limited
+   * search on near-uniform synthetic vectors), so the driver-hashed
+   * properties are the deterministic ones —
+   *  - `mechanism_ok`: the IVF search (ranked-window / TopKPerKeyExec
+   *    plan) returns EXACTLY the top-k of its probed-cell candidate
+   *    set, cross-checked against an independent agg-sort plan;
+   *  - `n_results`: every query fills its k slots;
+   *  - `found_true_neighbor`: at least one true (brute-force) top-k
+   *    neighbor survives probing.
+   * Recall@k magnitude is asserted and reported in OperatorSpec.
+   */
   private def qAnnIvf(s: SparkSession, dir: String): DataFrame = {
     val emb = ld(s, dir, "embeddings")
-    Ann
-      .ivfTopK(s, emb, emb.filter(col("vec_id") < 8), k = 5, numCells = 16, probes = 4)
-      .orderBy(col("query_id"), col("rank"))
+    val queries = emb.filter(col("vec_id") < 8)
+    val k = 5
+    val cents = Ann.ivfTrain(s, emb, numCells = 16, lloydIters = 5)
+    val ivf = Ann.ivfSearch(emb, queries, cents, k, probes = 4)
+    val truth = Ann.ivfProbedTruth(emb, queries, cents, k, probes = 4)
+      .select(col("query_id"), col("item_id"), col("rank"), col("cos").as("cos_t"))
+    val bf = Ann.bruteForceTopK(emb, queries, k)
+      .select(col("query_id"), col("item_id"))
+    val perQuery = ivf
+      .join(truth, Seq("query_id", "item_id", "rank"), "full_outer")
+      .groupBy(col("query_id"))
+      .agg(
+        count(lit(1)).as("total"),
+        sum(when(col("cos").isNotNull && col("cos") === col("cos_t"), 1L).otherwise(0L)).as("matched"))
+    val hits = ivf.select(col("query_id"), col("item_id"))
+      .join(bf, Seq("query_id", "item_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("hits"))
+    perQuery
+      .join(hits, Seq("query_id"), "left")
+      .select(
+        col("query_id"),
+        col("matched").as("n_results"),
+        (col("total") === col("matched") && col("total") === lit(k.toLong)).as("mechanism_ok"),
+        (coalesce(col("hits"), lit(0L)) >= lit(1L)).as("found_true_neighbor"))
+      .orderBy(col("query_id"))
   }
 
   // ==================================================================

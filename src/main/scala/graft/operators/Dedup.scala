@@ -17,6 +17,20 @@ import graft.functions.F
  */
 object Dedup {
 
+  /** Driver-side ordering matching Spark's `min()` for the id types the
+    * small-graph union-find accepts (numeric, string, date/time —
+    * anything Comparable). Keeps the collected path's canonical choice
+    * identical to the distributed star contraction's. */
+  private object CanonicalOrdering extends Ordering[Any] {
+    def compare(a: Any, b: Any): Int = (a, b) match {
+      case (x: java.lang.Long, y: java.lang.Long)       => java.lang.Long.compare(x, y)
+      case (x: java.lang.Integer, y: java.lang.Integer) => java.lang.Integer.compare(x, y)
+      case (x: String, y: String)                       => x.compareTo(y)
+      case (x: java.lang.Comparable[_], _) => x.asInstanceOf[java.lang.Comparable[Any]].compareTo(b)
+      case _ => throw new IllegalArgumentException(s"unorderable id type: ${a.getClass}")
+    }
+  }
+
   /**
    * Exact dedup: canonical row per identical text + duplicate count.
    * Groups on a 128-bit content hash (two independently-seeded 64-bit
@@ -356,8 +370,13 @@ object Dedup {
     // (measured 9.4s -> ~4s at sf0.1).
     val a = ex.as("a")
     val b = ex.as("b").hint("shuffle_hash")
+    // PPJoin length filter, result-identical: jac >= t forces
+    // t·|a| <= |b| and t·|b| <= |a| (inter <= min, union >= max), so
+    // size-mismatched pairs leave the join before the counting shuffle
     val joinCond = (groupCols.map(c => col(s"a.$c") === col(s"b.$c")) :+
-      (col("a.gram") === col("b.gram")) :+ (col("a.id") < col("b.id"))).reduce(_ && _)
+      (col("a.gram") === col("b.gram")) :+ (col("a.id") < col("b.id")) :+
+      (col("b.sz").cast("double") >= lit(threshold) * col("a.sz")) :+
+      (col("a.sz").cast("double") >= lit(threshold) * col("b.sz"))).reduce(_ && _)
     a.join(b, joinCond)
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"), col("a.sz").as("sz_a"), col("b.sz").as("sz_b"))
       .agg(count(lit(1)).as("inter"))
@@ -418,7 +437,11 @@ object Dedup {
       .join(
         prefix.as("b").hint("shuffle_hash"),
         (groupCols.map(c => col(s"a.$c") === col(s"b.$c")) :+
-          (col("a.gram") === col("b.gram")) :+ (col("a.id") < col("b.id"))).reduce(_ && _)
+          (col("a.gram") === col("b.gram")) :+ (col("a.id") < col("b.id")) :+
+          // PPJoin length filter (see denseFromPostings) — sub-threshold
+          // size-mismatched candidates never reach the verify join
+          (col("b.sz").cast("double") >= lit(threshold) * col("a.sz")) :+
+          (col("a.sz").cast("double") >= lit(threshold) * col("b.sz"))).reduce(_ && _)
       )
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
@@ -498,7 +521,7 @@ object Dedup {
    * flat. Input: (id_a, id_b) pairs (any extra columns ignored);
    * output: one row per node appearing in any pair.
    */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 25, smallGraphEdges: Long = 1L << 20): DataFrame = {
     // ids keep their native type: star contraction only needs an
     // ordering (min/</>), which every orderable Spark type has — a
     // cast would silently NULL string/UUID ids and drop every edge
@@ -506,8 +529,54 @@ object Dedup {
       .select(col("id_a").as("u"), col("id_b").as("v"))
       .filter(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
 
+    // Adaptive small-graph path (the AQE-broadcast-join pattern): a
+    // near-dup edge list that fits comfortably on the driver is solved
+    // with one union-find pass instead of O(log n) iterative shuffle
+    // rounds — at gate scale the star-contraction loop is pure
+    // fixed-cost Spark-job overhead (~2s for a few hundred edges). The
+    // bound check collects AT MOST bound+1 edges in the same pass that
+    // would feed union-find, so the (possibly expensive) upstream pair
+    // pipeline runs once, not count()-then-collect() twice; past the
+    // bound the distributed contraction below runs unchanged, so a
+    // 100 TB corpus whose duplicate graph is genuinely huge never
+    // ships its edges to the driver.
+    lazy val probe =
+      if (smallGraphEdges > 0 && smallGraphEdges < Int.MaxValue)
+        init.limit(smallGraphEdges.toInt + 1).collect()
+      else Array.empty[org.apache.spark.sql.Row]
+    if (smallGraphEdges > 0 && smallGraphEdges < Int.MaxValue && probe.length <= smallGraphEdges) {
+      val spark = pairs.sparkSession
+      val rows = probe
+      val parent = scala.collection.mutable.HashMap.empty[Any, Any]
+      def find(x: Any): Any = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      val ord = CanonicalOrdering
+      rows.foreach { r =>
+        val (ru, rv) = (find(r.get(0)), find(r.get(1)))
+        if (ru != rv) {
+          // union by id order so every root is its component minimum
+          if (ord.lt(ru, rv)) parent(rv) = ru else parent(ru) = rv
+        }
+      }
+      val members = (rows.iterator.map(_.get(0)) ++ rows.iterator.map(_.get(1))).toSet
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", pairs.schema("id_a").dataType),
+        org.apache.spark.sql.types.StructField("component", pairs.schema("id_a").dataType)))
+      val out = members.toSeq.map(m => org.apache.spark.sql.Row(m, find(m)))
+      return spark.createDataFrame(spark.sparkContext.parallelize(out, 1), schema)
+    }
+
+    // sym() precondition: `e` is duplicate-free and direction-normalized
+    // (input pairs have id_a < id_b; every star round emits high→low
+    // edges then distincts), so union-with-reverse cannot create
+    // duplicates and needs no shuffle of its own.
     def sym(e: DataFrame): DataFrame =
-      e.unionByName(e.select(col("v").as("u"), col("u").as("v"))).distinct()
+      e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
 
     def mins(s: DataFrame): DataFrame =
       s.groupBy("u").agg(least(min(col("v")), col("u")).as("m"))
@@ -545,11 +614,14 @@ object Dedup {
     }
 
     var edges = init.localCheckpoint(true)
+    var prevSig = sig(edges)
     var converged = false
     var iter = 0
     while (iter < maxIter && !converged) {
       val next = smallStar(largeStar(edges)).localCheckpoint(true)
-      converged = sig(next) == sig(edges)
+      val nextSig = sig(next)
+      converged = nextSig == prevSig
+      prevSig = nextSig
       edges = next
       iter += 1
     }

@@ -39,8 +39,10 @@ object ScaleStress {
         threshold = 0.5, maxBucket = Some(1000)))
     val pc = time("pairs count")(pairs.count())
     println(s"[stress] candidate-verified pairs: $pc")
-    val cc = time("connected components")(
-      graft.operators.Dedup.connectedComponents(pairs).count())
+    // smallGraphEdges = 0 forces the distributed star-contraction path —
+    // this tool exists to prove THAT path's behavior at scale
+    val cc = time("connected components (distributed path)")(
+      graft.operators.Dedup.connectedComponents(pairs, smallGraphEdges = 0L).count())
     println(s"[stress] component rows: $cc")
     // full pipeline: near-dedup runs over exact representatives only
     val kept = time("curate (full pipeline)")(

@@ -402,7 +402,7 @@ object OracleSql {
       """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
          CAST(l_linenumber AS VARCHAR) AS ln_str,
          CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS price_cents,
-         CAST(l_linenumber AS DECIMAL(18,2)) AS ln_currency,
+         CAST(CAST(l_linenumber AS DECIMAL(18,2)) AS DOUBLE) AS ln_currency,
          CAST(FLOOR(l_quantity) AS BIGINT) AS qty_long,
          CAST(l_partkey AS DOUBLE) AS pk_double
          FROM lineitem ORDER BY l_orderkey, l_linenumber""",

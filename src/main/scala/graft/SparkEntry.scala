@@ -532,7 +532,11 @@ object SparkEntry {
         // half-cent boundaries). DECIMAL cast coverage stays on an exact
         // integer source (ln_currency).
         floor(col("l_extendedprice") * lit(100.0) + lit(0.5)).cast("long").as("price_cents"),
-        money(col("l_linenumber")).as("ln_currency"),
+        // The DECIMAL(18,2) cast stays in the plan, but the emitted column is
+        // DOUBLE: a raw decimal output reaches the driver as parquet decimal
+        // (python Decimal, "1.00") vs DuckDB decimal (float64, "1.0") — equal
+        // values, different hash representation.
+        money(col("l_linenumber")).cast("double").as("ln_currency"),
         floor(col("l_quantity")).cast("long").as("qty_long"),
         col("l_partkey").cast("double").as("pk_double")
       )

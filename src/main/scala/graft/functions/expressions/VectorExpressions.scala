@@ -32,6 +32,28 @@ object VectorOps {
     d
   }
 
+  /** [[nearest]] over a plain float array — same math and tie-break, for
+    * driver-local quantizer training on a bounded sample. */
+  def nearestLocal(v: Array[Float], centroids: Array[Array[Float]]): Int = {
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < centroids.length) {
+      val cent = centroids(c)
+      val n = math.min(v.length, cent.length)
+      var d = 0.0
+      var i = 0
+      while (i < n) {
+        val diff = v(i).toDouble - cent(i).toDouble
+        d += diff * diff
+        i += 1
+      }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
   /** Static kernel: index of the nearest centroid (ties → lowest index). */
   def nearest(v: ArrayData, centroids: Array[Array[Float]]): Int = {
     var best = 0

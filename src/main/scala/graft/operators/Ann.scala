@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -41,34 +41,42 @@ object Ann {
   }
 
   /**
-   * Per-cell mean vectors, collected as the centroid table.
+   * Per-cell mean vectors over a driver-local sample.
    *
    * Determinism across partition orders is what matters (the quantizer
    * must train identically on every run), not exactness: components
    * are fixed-point-scaled to LONG and summed — integer addition is
-   * associative, so the sum is partition-order-independent, at ~2^-20
-   * quantization (irrelevant to cluster geometry) and a fraction of
-   * the Decimal-sum cost. One shuffle; the numCells × dim (cell, pos,
-   * sum, n) rows are bounded metadata assembled on the driver.
+   * associative and commutative, so the mean is independent of the
+   * order the sample was collected in, at ~2^-20 quantization
+   * (irrelevant to cluster geometry).
    */
   private val MeanScale = 1L << 20
 
-  private def centroidTable(assigned: DataFrame, numCells: Int, vecCol: String): Array[Array[Float]] = {
-    val rows: Array[Row] = assigned
-      .select(col("cell"), posexplode(col(vecCol)).as(Seq("pos", "v")))
-      .groupBy(col("cell"), col("pos"))
-      .agg(
-        sum((col("v").cast("double") * lit(MeanScale.toDouble)).cast("long")).as("s"),
-        count(lit(1)).as("n"))
-      .collect()
-    val dim = if (rows.isEmpty) 0 else rows.iterator.map(_.getInt(1)).max + 1
-    // dense table in cell order; empty cells (possible at tiny SF) keep a zero vector
-    val table = Array.fill(numCells)(Array.fill(dim)(0.0f))
-    rows.foreach { r =>
-      val mean = r.getLong(2).toDouble / MeanScale.toDouble / r.getLong(3).toDouble
-      table(r.getInt(0))(r.getInt(1)) = mean.toFloat
+  private def localMeans(
+      sample: Array[(Long, Array[Float])],
+      cells: Array[Int],
+      numCells: Int
+  ): Array[Array[Float]] = {
+    val dim = sample.iterator.map(_._2.length).foldLeft(0)(math.max)
+    val sums = Array.fill(numCells)(Array.fill(dim)(0L))
+    val counts = Array.fill(numCells)(0L)
+    var r = 0
+    while (r < sample.length) {
+      val vec = sample(r)._2
+      val s = sums(cells(r))
+      var i = 0
+      while (i < vec.length) {
+        s(i) += (vec(i).toDouble * MeanScale.toDouble).toLong
+        i += 1
+      }
+      counts(cells(r)) += 1L
+      r += 1
     }
-    table
+    // dense table in cell order; empty cells (possible at tiny SF) keep a zero vector
+    Array.tabulate(numCells) { c =>
+      if (counts(c) == 0L) Array.fill(dim)(0.0f)
+      else sums(c).map(s => (s.toDouble / MeanScale.toDouble / counts(c).toDouble).toFloat)
+    }
   }
 
   private def centroidsLit(cents: Array[Array[Float]]) =
@@ -115,7 +123,12 @@ object Ann {
     graft.sql.GraftFunctions.register(spark)
     val base = corpus.select(col("vec_id").as("item_id"), col("embedding").as("item_vec"))
 
-    // bounded training set: hash-filter to ~trainSample vectors
+    // bounded training set: hash-filter to ~trainSample vectors, then
+    // collect it ONCE — the sample is bounded metadata (trainSample ×
+    // dim floats, ~5 MB at the default), so the Lloyd loop runs on the
+    // driver instead of paying one cluster job per round. The full
+    // corpus is never collected and is scanned only by the final
+    // assignment pass in ivfSearch.
     val n = base.count()
     val train =
       if (n <= trainSample) base
@@ -123,24 +136,32 @@ object Ann {
         val permille = math.max(1L, 10000L * trainSample / n)
         base.filter(pmod(xxhash64(col("item_id"), lit(7)), lit(10000L)) < lit(permille))
       }
-    train.persist()
-    try {
-      // seed centroids: means of hash buckets; Lloyd rounds to refine
-      val seeded = train.withColumn("cell", pmod(xxhash64(col("item_id")), lit(numCells)).cast("int"))
-      var cents = centroidTable(seeded, numCells, "item_vec")
-      var iter = 0
-      var converged = false
-      while (iter < lloydIters && !converged) {
-        val reassigned =
-          train.withColumn("cell", call_function("graft_nearest_centroid", col("item_vec"), centroidsLit(cents)))
-        val next = centroidTable(reassigned, numCells, "item_vec")
-        converged = java.util.Arrays.deepEquals(
-          cents.asInstanceOf[Array[AnyRef]], next.asInstanceOf[Array[AnyRef]])
-        cents = next
-        iter += 1
-      }
-      cents
-    } finally train.unpersist()
+    val sample: Array[(Long, Array[Float])] = train
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    // fixed-point sums make the means collect-order-independent anyway;
+    // sorting pins the iteration order for anything order-sensitive later
+    java.util.Arrays.sort(sample, Ordering.by((t: (Long, Array[Float])) => t._1))
+
+    // seed centroids: means of hash buckets (same XXH64(seed=42) pmod as
+    // the SQL xxhash64 expression); Lloyd rounds to refine, short-
+    // circuiting once assignments stop moving
+    val seedCells = sample.map { case (id, _) =>
+      val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(id, 42L)
+      (((h % numCells) + numCells) % numCells).toInt
+    }
+    var cents = localMeans(sample, seedCells, numCells)
+    var iter = 0
+    var converged = false
+    while (iter < lloydIters && !converged) {
+      val cells = sample.map { case (_, v) => graft.functions.expressions.VectorOps.nearestLocal(v, cents) }
+      val next = localMeans(sample, cells, numCells)
+      converged = java.util.Arrays.deepEquals(
+        cents.asInstanceOf[Array[AnyRef]], next.asInstanceOf[Array[AnyRef]])
+      cents = next
+      iter += 1
+    }
+    cents
   }
 
   /** Probe-limited search against a trained centroid table: one full

@@ -680,6 +680,87 @@ object OracleSql {
          CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'img' WHEN 1 THEN 'audio' ELSE 'video' END AS fmt,
          CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
          CAST(octet_length(encode(text)) AS BIGINT) // 256 + 1 AS frame_count
-         FROM documents ORDER BY doc_id"""
+         FROM documents ORDER BY doc_id""",
+    // BM25: same exact-rational term factor + micro-nat-quantized IDF as
+    // graft.operators.Retrieval (change both together). k1=1.2 b=0.75.
+    "q_bm25" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
+              lens AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS len FROM t),
+              stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, CAST(COALESCE(SUM(len), 0) AS DOUBLE) AS l FROM lens),
+              u AS (SELECT doc_id, unnest(tk) AS term FROM t),
+              tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM u GROUP BY doc_id, term),
+              dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+              q(query_id, term) AS (VALUES
+                ('q_hash_join', 'hash'), ('q_hash_join', 'join'),
+                ('q_fast_scan', 'scan'), ('q_fast_scan', 'filter'), ('q_fast_scan', 'fast'),
+                ('q_vector_data', 'vector'), ('q_vector_data', 'data')),
+              contrib AS (
+                SELECT q.query_id, tf.doc_id,
+                  CAST(CAST(FLOOR(ln((2.0 * s.n - 2.0 * dfq.df + 1.0) / (2.0 * dfq.df + 1.0) + 1.0) * 1000000.0) AS BIGINT) AS DOUBLE)
+                    * ((22.0 * s.l * tf.tf) / (10.0 * s.l * tf.tf + 3.0 * s.l + 9.0 * s.n * lens.len)) AS contrib
+                FROM q JOIN tf USING (term) JOIN dfq USING (term)
+                     JOIN lens ON tf.doc_id = lens.doc_id CROSS JOIN stats s),
+              sc AS (SELECT query_id, doc_id,
+                       CAST(SUM(CAST(FLOOR(contrib * 100000000.0 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 100000000.0 AS score
+                     FROM contrib GROUP BY query_id, doc_id),
+              r AS (SELECT query_id, doc_id, score,
+                      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+                    FROM sc)
+         SELECT query_id, doc_id, score, CAST(rank AS INT) AS rank
+         FROM r WHERE rank <= 10 ORDER BY query_id, rank""",
+    "q_text_repetition" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
+              u AS (SELECT doc_id, unnest(tk) AS token FROM t),
+              tc AS (SELECT doc_id, token, COUNT(*) AS c FROM u GROUP BY doc_id, token),
+              ts AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+                            COUNT(*) AS n_distinct, CAST(MAX(c) AS BIGINT) AS top_token_n
+                     FROM tc GROUP BY doc_id),
+              b AS (SELECT doc_id,
+                      unnest(list_filter(
+                        list_transform(tk, (x, i) -> CASE WHEN i < len(tk) THEN x || ' ' || tk[i + 1] END),
+                        g -> g IS NOT NULL)) AS bigram
+                    FROM t),
+              bc AS (SELECT doc_id, bigram, COUNT(*) AS c FROM b GROUP BY doc_id, bigram),
+              bs AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams, CAST(MAX(c) AS BIGINT) AS top_bigram_n
+                     FROM bc GROUP BY doc_id)
+         SELECT ts.doc_id, ts.n_tokens, ts.n_distinct, ts.top_token_n,
+                COALESCE(bs.n_bigrams, 0) AS n_bigrams,
+                COALESCE(bs.top_bigram_n, 0) AS top_bigram_n,
+                CAST(ts.n_distinct AS DOUBLE) / CAST(ts.n_tokens AS DOUBLE) AS distinct_frac,
+                CAST(ts.top_token_n AS DOUBLE) / CAST(ts.n_tokens AS DOUBLE) AS top_token_frac
+         FROM ts LEFT JOIN bs ON ts.doc_id = bs.doc_id
+         ORDER BY ts.doc_id""",
+    "q_pack_shards" ->
+      s"""WITH d AS (SELECT doc_id, CAST(len($toks) AS BIGINT) AS w,
+                       md5(CAST(doc_id AS VARCHAR)) AS ok
+                     FROM documents),
+              c AS (SELECT doc_id, w,
+                      CAST(SUM(w) OVER (ORDER BY ok, doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+                    FROM d)
+         SELECT doc_id, w, cum,
+                (cum - w) // 512 AS shard_id,
+                cum - w - ((cum - w) // 512) * 512 AS shard_offset
+         FROM c ORDER BY doc_id""",
+    "q_stratified_sample" ->
+      """WITH r AS (
+           SELECT lang, doc_id,
+                  ROW_NUMBER() OVER (PARTITION BY lang
+                    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+           FROM documents)
+         SELECT lang, doc_id, CAST(rn AS INT) AS rn
+         FROM r WHERE rn <= 40 ORDER BY lang, rn""",
+    "q_embed_quant" ->
+      """WITH s AS (
+           SELECT vec_id, embedding,
+                  CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE) / 127.0 AS scale
+           FROM embeddings)
+         SELECT vec_id, scale,
+                array_to_string(list_transform(embedding,
+                  x -> CAST(COALESCE(FLOOR(CAST(x AS DOUBLE) / nullif(scale, 0.0) + 0.5), 0.0) AS INT)), ',') AS q8_csv,
+                CAST(len(list_filter(list_transform(embedding,
+                  x -> CAST(COALESCE(FLOOR(CAST(x AS DOUBLE) / nullif(scale, 0.0) + 0.5), 0.0) AS INT)),
+                  q -> abs(q) = 127)) AS BIGINT) AS n_saturated
+         FROM s ORDER BY vec_id"""
   )
 }

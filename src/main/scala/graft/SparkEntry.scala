@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.F
-import graft.operators.{Ann, AsOf, Dedup, InvertedIndex, Multimodal, TextAnalysis}
+import graft.operators.{Ann, AsOf, Dedup, InvertedIndex, Multimodal, Packing, Retrieval, TextAnalysis}
 import graft.schema.TestSchema
 import graft.core.QueryBuilder
 import graft.sources.{Rollup, TsLayout}
@@ -899,6 +899,106 @@ object SparkEntry {
       .orderBy(col("doc_id"))
 
   // ==================================================================
+  // §2.11b retrieval / curation extensions (round 3)
+  // ==================================================================
+
+  /** BM25 ranked retrieval over the corpus (graft.operators.Retrieval):
+    * exact-rational term factor + micro-nat-quantized IDF, so both
+    * engines rank bit-identically (see Retrieval scaladoc). */
+  private def qBm25(s: SparkSession, dir: String): DataFrame =
+    Retrieval
+      .bm25TopK(s, ld(s, dir, "documents"), "doc_id", "text", k = 10)
+      .orderBy(col("query_id"), col("rank"))
+
+  /**
+   * Gopher-style repetition signals per document: distinct-token and
+   * top-token/top-bigram concentration — the standard quality gates a
+   * training corpus applies before sampling. Counts are exact ints;
+   * each frac is ONE IEEE division (identical both engines).
+   */
+  private def qTextRepetition(s: SparkSession, dir: String): DataFrame = {
+    val docs = ld(s, dir, "documents").select(col("doc_id"), F.tokens(col("text")).as("tk"))
+    val tokStats = docs
+      .select(col("doc_id"), explode(col("tk")).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("n_distinct"), max(col("c")).as("top_token_n"))
+    val biStats = docs
+      .select(
+        col("doc_id"),
+        explode(expr(
+          "transform(slice(tk, 1, greatest(size(tk) - 1, 0)), (x, i) -> concat(x, ' ', element_at(tk, i + 2)))"))
+          .as("bigram"))
+      .groupBy(col("doc_id"), col("bigram"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_bigrams"), max(col("c")).as("top_bigram_n"))
+    tokStats
+      .join(biStats, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        col("n_distinct"),
+        col("top_token_n"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("top_bigram_n"), lit(0L)).as("top_bigram_n"),
+        (col("n_distinct").cast("double") / col("n_tokens").cast("double")).as("distinct_frac"),
+        (col("top_token_n").cast("double") / col("n_tokens").cast("double")).as("top_token_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Token-budget shard packing (graft.operators.Packing): exact global
+    * running sum via range-repartition + per-partition offsets — never a
+    * single-partition window. Pack order is md5(doc_id): shuffled but
+    * reproducible. */
+  private def qPackShards(s: SparkSession, dir: String): DataFrame = {
+    val docs = ld(s, dir, "documents")
+      .select(col("doc_id"), size(F.tokens(col("text"))).cast("long").as("n_tokens"))
+    Packing
+      .packShards(docs, "doc_id", "n_tokens", budget = 512L,
+        orderCol = md5(col("doc_id").cast("string").cast("binary")))
+      .select(col("doc_id"), col("w"), col("cum"), col("shard_id"), col("shard_offset"))
+      .orderBy(col("doc_id"))
+  }
+
+  /**
+   * Stratified (per-language quota) sampling: deterministic md5 order
+   * within each stratum, quota 40 — balancing a training mix. The
+   * rank-window form is rewritten to the bounded-heap TopKPerKeyExec
+   * (installed by ld), so no per-stratum sort materializes at scale.
+   */
+  private def qStratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    val h = md5(col("doc_id").cast("string").cast("binary"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))
+    ld(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), h.as("h"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 40)
+      .select(col("lang"), col("doc_id"), col("rn"))
+      .orderBy(col("lang"), col("rn"))
+  }
+
+  /**
+   * Symmetric int8 embedding quantization: per-vector scale = max|x|/127,
+   * components → floor(x/scale + ½) (explicit half-up — identical IEEE
+   * ops both engines, unlike round()'s per-engine tie mode). Emitted as
+   * an exact integer CSV string; saturation count closes the loop.
+   */
+  private def qEmbedQuant(s: SparkSession, dir: String): DataFrame =
+    ld(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("scale", expr("CAST(array_max(transform(embedding, x -> abs(x))) AS DOUBLE) / 127.0"))
+      .withColumn("q8",
+        expr("transform(embedding, x -> CAST(coalesce(floor(CAST(x AS DOUBLE) / nullif(scale, 0.0) + 0.5), 0.0) AS INT))"))
+      .select(
+        col("vec_id"),
+        col("scale"),
+        concat_ws(",", col("q8").cast("array<string>")).as("q8_csv"),
+        expr("CAST(size(filter(q8, q -> abs(q) = 127)) AS BIGINT)").as("n_saturated"))
+      .orderBy(col("vec_id"))
+
+  // ==================================================================
   // §2.12 multimodal
   // ==================================================================
 
@@ -986,7 +1086,12 @@ object SparkEntry {
     "q_text_tokencount" -> (qTextTokencount _),
     "q_text_fingerprint" -> (qTextFingerprint _),
     "q_multimodal_meta" -> (qMultimodalMeta _),
-    "q_multimodal_frames" -> (qMultimodalFrames _)
+    "q_multimodal_frames" -> (qMultimodalFrames _),
+    "q_bm25" -> (qBm25 _),
+    "q_text_repetition" -> (qTextRepetition _),
+    "q_pack_shards" -> (qPackShards _),
+    "q_stratified_sample" -> (qStratifiedSample _),
+    "q_embed_quant" -> (qEmbedQuant _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

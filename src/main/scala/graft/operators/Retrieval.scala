@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.F
+
+/**
+ * BM25 ranked retrieval over the token postings table — the ranking
+ * layer on top of [[InvertedIndex]] (reference ItemsInvertedIndex
+ * resolves boolean phrase containment, yupana-schema/externallinks/
+ * ItemsInvertedIndex.scala; training-data pipelines additionally need
+ * scored retrieval for quality filtering and query-based curation).
+ *
+ * Scale design: the query set is tiny and broadcast; everything per-doc
+ * is computed with one token explode + map-side-combined (doc, term)
+ * counts, the document-frequency table is |vocab|-bounded, and the
+ * final top-k per query runs through the rank-window pattern that
+ * TopKPerKeyStrategy rewrites to a bounded heap (no per-query sort).
+ * Corpus constants (N, total token length) are two scalar aggregates.
+ *
+ * Cross-engine determinism (SURVEY.md §6): with k1 = 1.2, b = 0.75 the
+ * BM25 term factor is exactly rational —
+ *
+ *   tf·(k1+1) / (tf + k1·(1 − b + b·len/avgdl))
+ *     = (22·L·tf) / (10·L·tf + 3·L + 9·N·len),  avgdl = L/N
+ *
+ * so it is integer products and ONE IEEE division. The IDF
+ * ln((N − df + ½)/(df + ½) + 1) is quantized to integer micro-nats
+ * (floor(·1e6)) so a sub-ulp ln() difference between engines cannot
+ * move the score, and each per-term contribution is quantized to an
+ * exact integer (floor(·1e8 + ½) — floor is rounding-mode-neutral,
+ * unlike a double→DECIMAL cast, which ties HALF_UP in Spark vs
+ * HALF_EVEN in DuckDB and a dyadic term factor like j/512 CAN tie)
+ * before an exact integer sum, making the total independent of both
+ * engine and aggregation order.
+ */
+object Retrieval {
+
+  /** Default benchmark query set (terms from the corpus vocabulary). */
+  val defaultQueries: Seq[(String, Seq[String])] = Seq(
+    "q_hash_join"   -> Seq("hash", "join"),
+    "q_fast_scan"   -> Seq("scan", "filter", "fast"),
+    "q_vector_data" -> Seq("vector", "data")
+  )
+
+  def bm25TopK(
+      spark: SparkSession,
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      queries: Seq[(String, Seq[String])] = defaultQueries,
+      k: Int = 10
+  ): DataFrame = {
+    graft.sql.GraftFunctions.register(spark)
+    graft.sql.GraftFunctions.installTopKStrategy(spark)
+    import spark.implicits._
+
+    val toks = docs.select(col(idCol).as("doc_id"), F.tokens(col(textCol)).as("tk"))
+    val lens = toks.select(col("doc_id"), size(col("tk")).cast("long").as("len"))
+    // corpus constants: bounded driver metadata (two scalars)
+    val (nDocs, totLen) = {
+      val r = lens.agg(count(lit(1)), coalesce(sum(col("len")), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    // len rides along through the explode (constant per doc) so the
+    // per-(doc, term) aggregate already carries it — no |docs| join later
+    val tf = toks
+      .select(col("doc_id"), size(col("tk")).cast("long").as("len"), explode(col("tk")).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"), max(col("len")).as("len"))
+    val queryTerms = queries
+      .flatMap { case (qid, terms) => terms.distinct.map(t => (qid, t)) }
+      .toDF("query_id", "term")
+    // document frequencies only for the query terms: |vocab| is unbounded
+    // on a real corpus, so never broadcast the full table
+    val dfreq = tf
+      .join(broadcast(queryTerms.select(col("term")).distinct()), "term")
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("df"))
+
+    // idf in integer micro-nats; ln argument is one division of exact ints
+    val idfMicro = floor(
+      log((lit(2.0 * nDocs) - lit(2.0) * col("df") + lit(1.0)) / (lit(2.0) * col("df") + lit(1.0)) + lit(1.0)) *
+        lit(1e6)).cast("long")
+    // rational BM25 term factor: integer products, one IEEE division
+    val tfPart =
+      (lit(22.0) * lit(totLen.toDouble) * col("tf")) /
+        (lit(10.0) * lit(totLen.toDouble) * col("tf") + lit(3.0) * lit(totLen.toDouble) +
+          lit(9.0) * lit(nDocs.toDouble) * col("len"))
+
+    val scored = broadcast(queryTerms)
+      .join(tf, "term")
+      .join(broadcast(dfreq), "term")
+      .withColumn("contrib", idfMicro.cast("double") * tfPart)
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg((sum(floor(col("contrib") * lit(1e8) + lit(0.5)).cast("decimal(38,0)")).cast("double") / lit(1e8))
+        .as("score"))
+
+    val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("doc_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("doc_id"), col("score"), col("rank"))
+  }
+}

@@ -47,6 +47,45 @@ object EnglishLightStemmer extends Stemmer {
 }
 
 /**
+ * Russian light stemmer in the Savoy light-stemming tradition (Dolamic
+ * & Savoy, "Indexing and stemming approaches for the Russian language",
+ * JASIST 2009 — strip frequent adjectival/nominal case endings, no
+ * dictionary): the locale the reference ships a stemmer for
+ * (yupana-utils RussianTokenizer.scala; implemented here from the
+ * published algorithm family, not from the reference's code).
+ *
+ * Rules: fold ё→е; then for words of ≥ 5 letters strip the LONGEST
+ * matching inflectional ending that leaves a stem of ≥ 3 letters.
+ * Light = case/gender/number reduction only; derivational suffixes stay.
+ */
+object RussianLightStemmer extends Stemmer {
+  // ordered longest-first so the longest match wins
+  private val endings: Array[String] = Array(
+    // adjectival (incl. superlative -ейш- forms)
+    "ейшими", "ейшего", "ейшему", "ейшую", "ейшая", "ейшими", "ейших", "ейшим", "ейшей", "ейшее",
+    "иями", "ями", "ами", "ого", "его", "ому", "ему", "ыми", "ими",
+    "иях", "ях", "ах", "ией", "ием", "иям", "ям", "ам", "ию", "ью",
+    "ая", "яя", "ую", "юю", "ое", "ее", "ие", "ые", "ой", "ей", "ий", "ый",
+    "ом", "ем", "им", "ым", "их", "ых", "ов", "ев", "еи", "ии", "ия", "ья",
+    "а", "е", "и", "й", "о", "у", "ы", "ь", "ю", "я"
+  ).distinct.sortBy(-_.length)
+
+  override def stem(word: String): String = {
+    val w = word.replace('ё', 'е')
+    if (w.length < 5) w
+    else {
+      var i = 0
+      while (i < endings.length) {
+        val e = endings(i)
+        if (w.length - e.length >= 3 && w.endsWith(e)) return w.substring(0, w.length - e.length)
+        i += 1
+      }
+      w
+    }
+  }
+}
+
+/**
  * Transliteration step composed after stemming, mirroring the
  * reference's `transliteratedTokens` (yupana-utils TokenizerBase
  * .scala:34: stemmedTokens.map(transliterate); RussianTransliterator
@@ -57,6 +96,31 @@ object EnglishLightStemmer extends Stemmer {
 final case class TransliteratingStemmer(base: Stemmer, transliterate: String => String)
     extends Stemmer {
   override def stem(word: String): String = transliterate(base.stem(word))
+}
+
+/** Cyrillic→Latin romanization (standard BGN/PCGN-style digraph table —
+  * the common public scheme; reference RussianTransliterator is the
+  * same idea with its own table). Non-Cyrillic chars pass through. */
+object CyrillicTranslit extends (String => String) with Serializable {
+  private val table: Map[Char, String] = Map(
+    'а' -> "a", 'б' -> "b", 'в' -> "v", 'г' -> "g", 'д' -> "d", 'е' -> "e", 'ё' -> "e",
+    'ж' -> "zh", 'з' -> "z", 'и' -> "i", 'й' -> "j", 'к' -> "k", 'л' -> "l", 'м' -> "m",
+    'н' -> "n", 'о' -> "o", 'п' -> "p", 'р' -> "r", 'с' -> "s", 'т' -> "t", 'у' -> "u",
+    'ф' -> "f", 'х' -> "h", 'ц' -> "c", 'ч' -> "ch", 'ш' -> "sh", 'щ' -> "sch",
+    'ъ' -> "", 'ы' -> "y", 'ь' -> "", 'э' -> "e", 'ю' -> "yu", 'я' -> "ya"
+  )
+  override def apply(s: String): String = {
+    var hasCyrillic = false
+    var i = 0
+    while (i < s.length && !hasCyrillic) { if (table.contains(s.charAt(i))) hasCyrillic = true; i += 1 }
+    if (!hasCyrillic) s
+    else {
+      val b = new java.lang.StringBuilder(s.length + 4)
+      i = 0
+      while (i < s.length) { b.append(table.getOrElse(s.charAt(i), s.charAt(i).toString)); i += 1 }
+      b.toString
+    }
+  }
 }
 
 object AsciiFold extends (String => String) with Serializable {
@@ -77,9 +141,12 @@ object Stemmers {
     Map(
       "none" -> IdentityStemmer,
       "en" -> EnglishLightStemmer,
+      "ru" -> RussianLightStemmer,
       // reference transliteratedTokens analogues
       "ascii" -> TransliteratingStemmer(IdentityStemmer, AsciiFold),
-      "en-ascii" -> TransliteratingStemmer(EnglishLightStemmer, AsciiFold)
+      "en-ascii" -> TransliteratingStemmer(EnglishLightStemmer, AsciiFold),
+      // the reference's full Russian pipeline: stem, then romanize
+      "ru-translit" -> TransliteratingStemmer(RussianLightStemmer, CyrillicTranslit)
     )
 
   def register(id: String, s: Stemmer): Unit = synchronized { byId = byId + (id -> s) }

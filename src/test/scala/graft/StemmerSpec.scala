@@ -83,6 +83,30 @@ class StemmerSpec extends SparkSpecBase {
     assert(rawHits === Set.empty)
   }
 
+  test("Russian light stemmer conflates case/number inflections (reference RussianTokenizer locale)") {
+    import graft.functions.expressions.RussianLightStemmer
+    // the same lemma under different case endings maps to one stem
+    val cases = Seq("книга", "книги", "книгу", "книгой", "книгами", "книгах")
+    assert(cases.map(RussianLightStemmer.stem).distinct.size == 1)
+    val adj = Seq("красивый", "красивая", "красивое", "красивые", "красивыми")
+    assert(adj.map(RussianLightStemmer.stem).distinct.size == 1)
+    // ё folds to е; short words pass through untouched
+    assert(RussianLightStemmer.stem("ёлка") == "елка")
+    assert(RussianLightStemmer.stem("дом") == "дом")
+    // stems never shrink below 3 letters
+    assert(Seq("окно", "мама", "сила").map(RussianLightStemmer.stem).forall(_.length >= 3))
+  }
+
+  test("ru-translit romanizes stemmed Cyrillic tokens (reference transliteratedTokens)") {
+    val out = Seq("Книгами про Ёжика и ascii")
+      .toDF("text")
+      .select(F.stemmedTokens(col("text"), "ru-translit"))
+      .as[Seq[String]].head()
+    assert(out.forall(_.forall(_ < 128.toChar)), s"expected pure ASCII, got $out")
+    assert(out.contains("knig")) // книгами → книг → knig
+    assert(out.contains("ascii"))
+  }
+
   test("unknown stemmer id fails with the registered set named") {
     val e = intercept[Exception] {
       Seq("x").toDF("text").select(F.stemmedTokens(col("text"), "xx")).as[Seq[String]].head()

@@ -761,6 +761,21 @@ object OracleSql {
                 CAST(len(list_filter(list_transform(embedding,
                   x -> CAST(COALESCE(FLOOR(CAST(x AS DOUBLE) / nullif(scale, 0.0) + 0.5), 0.0) AS INT)),
                   q -> abs(q) = 127)) AS BIGINT) AS n_saturated
-         FROM s ORDER BY vec_id"""
+         FROM s ORDER BY vec_id""",
+    "q_contamination" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
+              g AS (SELECT doc_id, unnest(list_distinct(list_filter(
+                      list_transform(tk, (x, i) -> CASE WHEN i + 4 <= len(tk)
+                        THEN x || ' ' || tk[i + 1] || ' ' || tk[i + 2] || ' ' || tk[i + 3] || ' ' || tk[i + 4] END),
+                      v -> v IS NOT NULL))) AS gram
+                    FROM t),
+              e AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+              c AS (SELECT g.doc_id, COUNT(*) AS n_grams,
+                           CAST(SUM(CASE WHEN e.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+                    FROM g LEFT JOIN e ON g.gram = e.gram
+                    WHERE g.doc_id % 97 <> 0 GROUP BY g.doc_id)
+         SELECT doc_id, n_grams, n_hit,
+                CAST(n_hit AS DOUBLE) / CAST(n_grams AS DOUBLE) AS contamination_frac
+         FROM c ORDER BY doc_id"""
   )
 }

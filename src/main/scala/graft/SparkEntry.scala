@@ -998,6 +998,37 @@ object SparkEntry {
         expr("CAST(size(filter(q8, q -> abs(q) = 127)) AS BIGINT)").as("n_saturated"))
       .orderBy(col("vec_id"))
 
+  /**
+   * Benchmark-contamination check: fraction of each corpus doc's
+   * distinct word 5-grams that appear in the eval set (docs with
+   * doc_id % 97 == 0 stand in for a benchmark). The eval n-gram set is
+   * tiny relative to the corpus — it is broadcast, so the corpus side
+   * never shuffles except the per-doc aggregation (map-side combined).
+   */
+  private def qContamination(s: SparkSession, dir: String): DataFrame = {
+    val gramExpr = expr(
+      """transform(slice(tk, 1, greatest(size(tk) - 4, 0)),
+        |  (x, i) -> concat_ws(' ', x, element_at(tk, i + 2), element_at(tk, i + 3),
+        |                      element_at(tk, i + 4), element_at(tk, i + 5)))""".stripMargin)
+    val grams = ld(s, dir, "documents")
+      .select(col("doc_id"), F.tokens(col("text")).as("tk"))
+      .select(col("doc_id"), explode(array_distinct(gramExpr)).as("gram"))
+    val evalGrams = grams
+      .filter(col("doc_id") % 97 === 0)
+      .select(col("gram"))
+      .distinct()
+      .withColumn("hit", lit(1))
+    grams
+      .filter(col("doc_id") % 97 =!= 0)
+      .join(broadcast(evalGrams), Seq("gram"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(coalesce(col("hit"), lit(0))).as("n_hit"))
+      .withColumn("contamination_frac", col("n_hit").cast("double") / col("n_grams").cast("double"))
+      .orderBy(col("doc_id"))
+  }
+
   // ==================================================================
   // §2.12 multimodal
   // ==================================================================
@@ -1091,7 +1122,8 @@ object SparkEntry {
     "q_text_repetition" -> (qTextRepetition _),
     "q_pack_shards" -> (qPackShards _),
     "q_stratified_sample" -> (qStratifiedSample _),
-    "q_embed_quant" -> (qEmbedQuant _)
+    "q_embed_quant" -> (qEmbedQuant _),
+    "q_contamination" -> (qContamination _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

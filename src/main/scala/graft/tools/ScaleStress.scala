@@ -48,6 +48,16 @@ object ScaleStress {
     val kept = time("curate (full pipeline)")(
       graft.operators.Curation.curate(docs).filter(col("keep")).count())
     println(s"[stress] kept docs: $kept")
+    // round-3 operators on the same inflated corpus
+    val bm = time("bm25 top-10 (3 queries)")(
+      graft.operators.Retrieval.bm25TopK(spark, docs, "doc_id", "text", k = 10).count())
+    println(s"[stress] bm25 rows: $bm")
+    val packed = time("pack shards (budget 4096)")(
+      graft.operators.Packing.packShards(
+        docs.select(col("doc_id"), size(graft.functions.F.tokens(col("text"))).cast("long").as("w")),
+        "doc_id", "w", budget = 4096L,
+        orderCol = md5(col("doc_id").cast("string").cast("binary"))).count())
+    println(s"[stress] packed rows: $packed")
     spark.stop()
   }
 }

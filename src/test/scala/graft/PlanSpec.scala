@@ -87,6 +87,31 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("*(1)") && p.contains("*(2)"), p.take(2000))
   }
 
+  test("q_bm25 broadcasts query terms + restricted df and ends in the heap top-k") {
+    val p = planOf("q_bm25")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2, p.take(3000))
+    assert(p.contains("TopKPerKey"), "rank filter should rewrite to the bounded heap:\n" + p.take(3000))
+    // the postings aggregate is map-side combined before its exchange
+    assert(p.contains("partial_count"), p.take(3000))
+  }
+
+  test("q_pack_shards never materializes a single-partition global window") {
+    val p = planOf("q_pack_shards")
+    assert(p.contains("rangepartitioning"), p.take(2000))
+    assert(!p.contains("SinglePartition"), "global running sum must stay distributed:\n" + p.take(3000))
+  }
+
+  test("q_stratified_sample runs each stratum through the bounded heap, not a sort") {
+    val p = planOf("q_stratified_sample")
+    assert(p.contains("TopKPerKey"), p.take(2000))
+  }
+
+  test("q_contamination broadcasts the eval gram set") {
+    val p = planOf("q_contamination")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), "corpus grams must not shuffle for the eval join")
+  }
+
   test("TsLayout time-range read prunes partitions") {
     val path = "/tmp/graft_spec_layout/events"
     val events = SparkEntry.queries("q_stream_ingest")(spark, sfDir) // writes + reads the layout

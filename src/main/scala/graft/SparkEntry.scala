@@ -1006,13 +1006,9 @@ object SparkEntry {
    * never shuffles except the per-doc aggregation (map-side combined).
    */
   private def qContamination(s: SparkSession, dir: String): DataFrame = {
-    val gramExpr = expr(
-      """transform(slice(tk, 1, greatest(size(tk) - 4, 0)),
-        |  (x, i) -> concat_ws(' ', x, element_at(tk, i + 2), element_at(tk, i + 3),
-        |                      element_at(tk, i + 4), element_at(tk, i + 5)))""".stripMargin)
     val grams = ld(s, dir, "documents")
       .select(col("doc_id"), F.tokens(col("text")).as("tk"))
-      .select(col("doc_id"), explode(array_distinct(gramExpr)).as("gram"))
+      .select(col("doc_id"), explode(TextAnalysis.wordNgrams(col("tk"), 5)).as("gram"))
     val evalGrams = grams
       .filter(col("doc_id") % 97 === 0)
       .select(col("gram"))

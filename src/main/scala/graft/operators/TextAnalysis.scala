@@ -22,6 +22,17 @@ object TextAnalysis {
 
   private def padded(textCol: Column): Column = concat(lit(" "), lower(textCol), lit(" "))
 
+  /** Distinct word n-grams of a token-array column as space-joined
+    * strings (contamination check, batch and streaming). Pass a BOUND
+    * attribute (select the token array first), not a computed
+    * expression — `tk` is referenced n times per gram and a computed
+    * expression would be re-evaluated each time. */
+  def wordNgrams(tk: Column, n: Int): Column =
+    array_distinct(
+      transform(
+        slice(tk, lit(1), greatest(size(tk) - (n - 1), lit(0))),
+        (x, i) => concat_ws(" ", (x +: (2 to n).map(j => element_at(tk, i + lit(j)))): _*)))
+
   /** Number of a language's marker words present in the text. */
   def langScore(textCol: Column, markers: Seq[String]): Column =
     markers

@@ -221,6 +221,39 @@ class StreamingSpec extends SparkSpecBase {
     assert(spark.read.parquet(s"$base/index").count() == 4) // all docs indexed
   }
 
+  test("streaming contamination screens micro-batches against the static eval gram set") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = "/tmp/graft_scontam_" + System.nanoTime()
+    val eval = graft.streaming.StreamingContamination.evalGramSet(
+      Seq((100L, "alpha beta gamma delta epsilon zeta eta theta")).toDF("doc_id", "text"),
+      "doc_id", "text", n = 5)
+    val stream = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingContamination.run(
+      spark,
+      stream.toDF().toDF("doc_id", "text"),
+      eval,
+      reportPath = s"$base/report",
+      n = 5,
+      checkpoint = s"$base/ckpt")
+    // batch 1: one verbatim eval overlap, one clean doc
+    stream.addData(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "totally clean document with no benchmark overlap at all here"))
+    q.processAllAvailable()
+    // batch 2: partial overlap (shares a 5-gram window with the eval doc)
+    stream.addData((3L, "alpha beta gamma delta epsilon and then novel words follow"))
+    q.processAllAvailable()
+    q.stop()
+
+    val rep = spark.read.parquet(s"$base/report")
+      .select("doc_id", "contamination_frac").as[(Long, Double)].collect().toMap
+    assert(rep(1L) == 1.0, s"verbatim eval doc must be fully contaminated: $rep")
+    assert(rep(2L) == 0.0, s"clean doc must be zero: $rep")
+    assert(rep(3L) > 0.0 && rep(3L) < 1.0, s"partial overlap must be fractional: $rep")
+    // replays write to batch_id partitions: report covers every doc exactly once
+    assert(spark.read.parquet(s"$base/report").count() == 3)
+  }
+
   test("streaming ingest feeds the layout AND the rollup changelog end-to-end") {
     implicit val sqlCtx = spark.sqlContext
     import graft.schema.TestSchema

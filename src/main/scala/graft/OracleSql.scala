@@ -172,6 +172,7 @@ object OracleSql {
          CAST(year(ts) AS BIGINT) AS e_year,
          CAST(quarter(ts) AS BIGINT) AS e_quarter,
          CAST(month(ts) AS BIGINT) AS e_month,
+         CAST(weekofyear(ts) AS BIGINT) AS e_week,
          CAST(dayofmonth(ts) AS BIGINT) AS e_day,
          CAST(hour(ts) AS BIGINT) AS e_hour,
          CAST(minute(ts) AS BIGINT) AS e_minute,
@@ -776,6 +777,37 @@ object OracleSql {
                     WHERE g.doc_id % 97 <> 0 GROUP BY g.doc_id)
          SELECT doc_id, n_grams, n_hit,
                 CAST(n_hit AS DOUBLE) / CAST(n_grams AS DOUBLE) AS contamination_frac
-         FROM c ORDER BY doc_id"""
+         FROM c ORDER BY doc_id""",
+    // composes the verified q_text_quality and q_text_fingerprint fragments:
+    // keep-probability = quality, uniform draw = fingerprint / 2^31-1
+    "q_weighted_sample" ->
+      s"""WITH t AS (SELECT doc_id, text, ' ' || lower(text) || ' ' AS p,
+             CAST(length(text) AS BIGINT) AS nc,
+             CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS words,
+             CAST(len(regexp_extract_all(text, '[.,;:!?''"()\\[\\]{}-]')) AS BIGINT) AS punct
+           FROM documents),
+           f AS (SELECT doc_id,
+             CASE WHEN nc >= 100 AND nc <= 10000 THEN 1.0
+                  WHEN nc < 100 THEN CAST(nc AS DOUBLE) / 100.0
+                  ELSE 10000.0 / CAST(nc AS DOUBLE) END AS len_score,
+             CAST($sEn AS DOUBLE) / 5.0 AS stop_score,
+             CASE WHEN words > 0 THEN least(CAST(punct AS DOUBLE) / CAST(words AS DOUBLE), 1.0) ELSE 1.0 END AS punct_penalty
+           FROM t),
+           q AS (SELECT doc_id,
+             (len_score * 0.5) + (stop_score * 0.3) + ((1.0 - punct_penalty) * 0.2) AS quality
+           FROM f),
+           n AS (SELECT doc_id,
+             substr(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), 1, 128) AS norm
+           FROM documents),
+           fp AS (SELECT doc_id,
+             CAST(list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                 list_transform(list_filter(string_split(norm, ''), c -> length(c) > 0),
+                   c -> CAST(ascii(c) AS BIGINT))),
+               (a, c) -> (a * 131 + c) % 2147483647) AS DOUBLE) / 2147483647.0 AS u
+           FROM n)
+         SELECT q.doc_id, q.quality, fp.u, fp.u < q.quality AS kept
+         FROM q JOIN fp ON q.doc_id = fp.doc_id
+         ORDER BY q.doc_id"""
   )
 }

@@ -261,6 +261,7 @@ object SparkEntry {
         F.extractYear(col("ts")).cast("long").as("e_year"),
         F.extractQuarter(col("ts")).cast("long").as("e_quarter"),
         F.extractMonth(col("ts")).cast("long").as("e_month"),
+        F.extractWeek(col("ts")).cast("long").as("e_week"),
         F.extractDay(col("ts")).cast("long").as("e_day"),
         F.extractHour(col("ts")).cast("long").as("e_hour"),
         F.extractMinute(col("ts")).cast("long").as("e_minute"),
@@ -1025,6 +1026,23 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /**
+   * Quality-weighted (importance) sampling: keep a doc with probability
+   * equal to its quality score, decided by the deterministic content
+   * fingerprint as the uniform draw (u = fp / 2^31-1) — reproducible
+   * across runs and engines, no RNG state. The data-mixing primitive a
+   * training pipeline uses to upsample clean text. For production,
+   * salt the fingerprint if it also keys dedup, to decorrelate draws.
+   */
+  private def qWeightedSample(s: SparkSession, dir: String): DataFrame =
+    ld(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        TextAnalysis.qualityScore(col("text")).as("quality"),
+        (TextAnalysis.fingerprint(col("text")).cast("double") / lit(2147483647.0)).as("u"))
+      .withColumn("kept", col("u") < col("quality"))
+      .orderBy(col("doc_id"))
+
   // ==================================================================
   // §2.12 multimodal
   // ==================================================================
@@ -1119,7 +1137,8 @@ object SparkEntry {
     "q_pack_shards" -> (qPackShards _),
     "q_stratified_sample" -> (qStratifiedSample _),
     "q_embed_quant" -> (qEmbedQuant _),
-    "q_contamination" -> (qContamination _)
+    "q_contamination" -> (qContamination _),
+    "q_weighted_sample" -> (qWeightedSample _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

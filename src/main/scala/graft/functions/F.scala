@@ -32,6 +32,8 @@ object F {
   def truncSecond(c: Column): Column = date_trunc("second", c)
 
   def extractYear(c: Column): Column = year(c)
+  /** ISO week-of-year — reference registry `week` (FunctionRegistry unary time ops). */
+  def extractWeek(c: Column): Column = weekofyear(c)
   def extractQuarter(c: Column): Column = quarter(c)
   def extractMonth(c: Column): Column = month(c)
   def extractDay(c: Column): Column = dayofmonth(c)

@@ -44,7 +44,10 @@ def main(sf_dir, out_dir):
         if not files:
             results[name] = "NO_OUTPUT"
             continue
-        spark_df = con.execute(f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df()
+        # read the Spark output with pyarrow (like the driver), NOT through
+        # DuckDB: DuckDB coerces parquet DECIMAL to float64, which masked the
+        # round-2 q_type_convs decimal-vs-float representation mismatch
+        spark_df = pd.concat([pd.read_parquet(f) for f in sorted(files)], ignore_index=True)
         if name not in oracle:
             results[name] = f"rows-only ({len(spark_df)} rows)" + (" EMPTY!" if len(spark_df)==0 else "")
             continue

@@ -18,21 +18,11 @@ import org.apache.spark.sql.functions._
  * per query — exactly the reference's receiptByDay/ItemRollups design
  * (yupana-schema ReceiptRollups.scala).
  */
-final case class Rollup(
-    name: String,
-    timeExpr: Column,
-    groupBy: Seq[Column],
-    aggregates: Seq[Column],
-    filter: Option[Column] = None
-) {
+trait RollupBase {
 
-  /** Compute the rollup DataFrame from the source fact table. */
-  def apply(fact: DataFrame): DataFrame = {
-    val src = filter.map(fact.filter).getOrElse(fact)
-    src
-      .groupBy((timeExpr.as("rollup_time") +: groupBy): _*)
-      .agg(aggregates.head, aggregates.tail: _*)
-  }
+  /** Compute the rollup DataFrame from the source fact table. Must
+    * emit a `rollup_time` column (the incremental path buckets on it). */
+  def apply(fact: DataFrame): DataFrame
 
   /** Materialize to parquet at `path` (the persistent rollup table). */
   def materialize(fact: DataFrame, path: String): Unit =
@@ -92,6 +82,37 @@ final case class Rollup(
       RollupRun(keys, Rollup.scannedFiles(src))
     }
   }
+}
+
+/** Declarative rollup: filter → groupBy(time, dims) → aggregates. */
+final case class Rollup(
+    name: String,
+    timeExpr: Column,
+    groupBy: Seq[Column],
+    aggregates: Seq[Column],
+    filter: Option[Column] = None
+) extends RollupBase {
+
+  def apply(fact: DataFrame): DataFrame = {
+    val src = filter.map(fact.filter).getOrElse(fact)
+    src
+      .groupBy((timeExpr.as("rollup_time") +: groupBy): _*)
+      .agg(aggregates.head, aggregates.tail: _*)
+  }
+}
+
+/**
+ * Arbitrary-computation rollup (reference yupana-spark
+ * CustomRollup.scala:29 — `doRollup` runs whatever queries it needs):
+ * the caller supplies the whole fact→rollup transformation; the
+ * one-shot, multi-output, and incremental dirty-bucket mechanics are
+ * inherited unchanged. `compute` must emit `rollup_time`, and for
+ * incremental use it must be TIME-BUCKET-LOCAL (its result for a bucket
+ * depends only on that bucket's fact rows — the same contract the
+ * reference's interval-recompute flow imposes on its rollups).
+ */
+final case class CustomRollup(name: String, compute: DataFrame => DataFrame) extends RollupBase {
+  def apply(fact: DataFrame): DataFrame = compute(fact)
 }
 
 object Rollup {

@@ -104,4 +104,56 @@ class IncrementalRollupSpec extends SparkSpecBase {
     assert(spark.read.parquet(outA).count() === spark.read.parquet(outB).count())
     assert(spark.read.parquet(outA).count() === full.size)
   }
+
+  test("custom rollup (arbitrary computation) runs the same incremental dirty-bucket path") {
+    import graft.sources.CustomRollup
+    val cbase = s"$base/custom"
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(cbase), true)
+
+    def ev(id: Long, day: String, typ: String, v: Double) =
+      (id, java.sql.Timestamp.valueOf(s"$day 10:00:00"), 1L, typ, v)
+
+    // not expressible as one groupBy/agg: per-day DISTINCT user count of
+    // above-median-value events (a window + two aggregations)
+    val custom = CustomRollup("busy_users_by_day", { fact =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(F.truncDay(col("ts")))
+      fact
+        .withColumn("day_avg", avg(col("value")).over(w))
+        .filter(col("value") >= col("day_avg"))
+        .groupBy(F.truncDay(col("ts")).as("rollup_time"))
+        .agg(countDistinct(col("user_id")).as("busy_users"))
+    })
+
+    val batch = Seq(
+      ev(1, "2024-01-03", "click", 1.0), ev(2, "2024-01-03", "click", 9.0),
+      ev(3, "2024-02-04", "view", 5.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    batch.withColumn("b", monthBucket(col("ts")))
+      .write.partitionBy("b").mode("append").parquet(s"$cbase/fact")
+    Changelog.markDirty(batch, monthBucket(col("ts")), s"$cbase/cl")
+
+    val fact = spark.read.parquet(s"$cbase/fact")
+    val run = custom.materializeIncremental(fact, s"$cbase/roll", s"$cbase/cl", col("b"), monthBucket)
+    assert(run.recomputed.toSet === Set("2024-01", "2024-02"))
+
+    // a second batch touching only February rescans only February
+    val batch2 = Seq(ev(4, "2024-02-05", "click", 2.0)).toDF("event_id", "ts", "user_id", "event_type", "value")
+    batch2.withColumn("b", monthBucket(col("ts")))
+      .write.partitionBy("b").mode("append").parquet(s"$cbase/fact")
+    Changelog.markDirty(batch2, monthBucket(col("ts")), s"$cbase/cl")
+    val run2 = custom.materializeIncremental(
+      spark.read.parquet(s"$cbase/fact"), s"$cbase/roll", s"$cbase/cl", col("b"), monthBucket)
+    assert(run2.recomputed === Seq("2024-02"))
+    assert(run2.inputFiles.nonEmpty && run2.inputFiles.forall(_.contains("b=2024-02")))
+
+    // incremental custom result == full custom recompute
+    val full = custom(spark.read.parquet(s"$cbase/fact").drop("b"))
+      .as[(java.sql.Timestamp, Long)].collect().toSet
+    val incr = spark.read.parquet(s"$cbase/roll")
+      .select(col("rollup_time"), col("busy_users"))
+      .as[(java.sql.Timestamp, Long)].collect().toSet
+    assert(incr === full)
+  }
 }

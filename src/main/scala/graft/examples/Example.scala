@@ -53,6 +53,23 @@ object Example {
       .orderBy(col("quality").desc)
       .show(5)
 
+    println("== BM25 retrieval: top docs for 'hash join' ==")
+    graft.operators.Retrieval
+      .bm25TopK(spark, load("documents"), "doc_id", "text",
+        queries = Seq("q" -> Seq("hash", "join")), k = 5)
+      .show(5)
+
+    println("== Training shards: pack docs into 512-token shards ==")
+    graft.operators.Packing
+      .packShards(
+        load("documents").select(col("doc_id"),
+          size(graft.functions.F.tokens(col("text"))).cast("long").as("w")),
+        "doc_id", "w", budget = 512L,
+        orderCol = md5(col("doc_id").cast("string").cast("binary")))
+      .groupBy(col("shard_id")).agg(count(lit(1)).as("docs"), sum(col("w")).as("tokens"))
+      .orderBy(col("shard_id"))
+      .show(5)
+
     spark.stop()
   }
 }

@@ -14,24 +14,32 @@ import org.apache.spark.sql.functions._
  * global window, i.e. every row through ONE partition: correct at test
  * scale, dead at 100 TB. This is the scalable exact equivalent:
  *
- *  1. range-repartition by the global order key (so partition i holds
- *     a contiguous key range, all of it < partition i+1's range);
- *  2. one per-partition weight sum → numPartitions rows collected,
- *     exclusive-prefixed on the driver (bounded metadata);
- *  3. broadcast the per-partition base offsets back and add a
- *     WITHIN-partition running sum (window partitioned by the range
- *     partition id — never a global window).
+ *  1. assign every row an ORDER-PRESERVING VALUE-DERIVED bucket (a
+ *     prefix of the order key): bucket boundaries are a pure function
+ *     of row values, never of the physical partitioning — so no
+ *     cross-job consistency assumption on partition ids survives AQE
+ *     coalescing or recomputation;
+ *  2. one per-bucket weight sum → numBuckets rows collected,
+ *     exclusive-prefixed on the driver in bucket order (bounded
+ *     metadata);
+ *  3. broadcast the per-bucket base offsets back and add a
+ *     WITHIN-bucket running sum (window partitioned by bucket — never
+ *     a global window).
  *
- * The result — cum = base(partition) + running-sum-within — equals the
- * global running sum in (orderCol, idCol) order whatever boundaries the
- * range partitioner sampled, so the output is deterministic even though
- * the partitioning isn't.
+ * cum = base(bucket) + running-sum-within-bucket equals the global
+ * running sum in (orderCol, idCol) order because the bucket is a
+ * monotone coarsening of orderCol.
  */
 object Packing {
 
   /**
    * @param orderCol deterministic global pack order (e.g. md5 of the id
    *                 for a shuffled-but-reproducible curriculum)
+   * @param bucketOf order-preserving coarsening of `orderCol` (must be
+   *                 monotone: a ≤ b ⇒ bucketOf(a) ≤ bucketOf(b)). The
+   *                 default takes the first 2 chars — 256 balanced
+   *                 buckets for a hex order key; pass a longer prefix
+   *                 for bigger clusters.
    * @return one row per doc: cum (inclusive running weight), shard_id
    *         (floor((cum-w)/budget) — the shard the doc STARTS in),
    *         shard_offset (weight offset within that shard)
@@ -41,32 +49,33 @@ object Packing {
       idCol: String,
       weightCol: String,
       budget: Long,
-      orderCol: Column
+      orderCol: Column,
+      bucketOf: Column => Column = c => substring(c, 1, 2)
   ): DataFrame = {
     val keyed = docs
       .select(col(idCol).as("doc_id"), col(weightCol).cast("long").as("w"), orderCol.as("ok"))
-      .repartitionByRange(col("ok"), col("doc_id"))
-      .withColumn("pid", spark_partition_id())
+      .withColumn("bk", bucketOf(col("ok")).cast("string"))
 
-    // per-partition totals: bounded driver metadata (numPartitions rows)
-    val totals = keyed.groupBy(col("pid")).agg(sum(col("w")).as("psum")).collect()
+    // per-bucket totals: bounded driver metadata (numBuckets rows);
+    // exclusive prefix in bucket order = each bucket's base offset
+    val totals = keyed.groupBy(col("bk")).agg(sum(col("w")).as("bsum")).collect()
     val bases = totals
-      .map(r => (r.getInt(0), r.getLong(1)))
+      .map(r => (r.getString(0), r.getLong(1)))
       .sortBy(_._1)
-      .scanLeft((Int.MinValue, 0L, 0L)) { case ((_, _, acc), (pid, psum)) => (pid, acc, acc + psum) }
+      .scanLeft(("", 0L, 0L)) { case ((_, _, acc), (bk, bsum)) => (bk, acc, acc + bsum) }
       .drop(1)
-      .map { case (pid, base, _) => (pid, base) }
+      .map { case (bk, base, _) => (bk, base) }
     val spark = docs.sparkSession
     import spark.implicits._
-    val baseDf = bases.toSeq.toDF("pid", "base")
+    val baseDf = bases.toSeq.toDF("bk", "base")
 
     val wWithin = Window
-      .partitionBy(col("pid"))
+      .partitionBy(col("bk"))
       .orderBy(col("ok"), col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     keyed
-      .join(broadcast(baseDf), "pid")
+      .join(broadcast(baseDf), "bk")
       .withColumn("cum", col("base") + sum(col("w")).over(wWithin))
       .withColumn("shard_id", expr(s"(cum - w) div ${budget}L"))
       .withColumn("shard_offset", col("cum") - col("w") - col("shard_id") * lit(budget))

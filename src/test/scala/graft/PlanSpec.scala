@@ -97,7 +97,9 @@ class PlanSpec extends SparkSpecBase {
 
   test("q_pack_shards never materializes a single-partition global window") {
     val p = planOf("q_pack_shards")
-    assert(p.contains("rangepartitioning"), p.take(2000))
+    // the running sum distributes over value-derived buckets (hash exchange
+    // on bk), with only the final presentation ORDER BY ranging
+    assert(p.contains("hashpartitioning(bk"), p.take(3000))
     assert(!p.contains("SinglePartition"), "global running sum must stay distributed:\n" + p.take(3000))
   }
 

@@ -54,7 +54,10 @@ class RetrievalSpec extends SparkSpecBase {
 
   test("packShards shard sizes respect the budget for docs smaller than it") {
     val d = docs.select(col("doc_id"), size(graft.functions.F.tokens(col("text"))).cast("long").as("w"))
-    val packed = Packing.packShards(d, "doc_id", "w", budget = 512L, orderCol = col("doc_id"))
+    // numeric pack order: bucketize via a zero-padded prefix (monotone for non-negative longs)
+    val packed = Packing.packShards(d, "doc_id", "w", budget = 512L,
+      orderCol = format_string("%020d", col("doc_id")),
+      bucketOf = c => substring(c, 1, 18))
     // every doc starts inside its shard's budget window
     assert(packed.filter(col("shard_offset") >= 512L || col("shard_offset") < 0L).isEmpty)
     // cum is strictly increasing in pack order => shard ids are monotone

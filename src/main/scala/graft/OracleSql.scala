@@ -808,6 +808,14 @@ object OracleSql {
            FROM n)
          SELECT q.doc_id, q.quality, fp.u, fp.u < q.quality AS kept
          FROM q JOIN fp ON q.doc_id = fp.doc_id
-         ORDER BY q.doc_id"""
+         ORDER BY q.doc_id""",
+    // Spark answers this from the ROUTED day-grain rollup (RollupRewriteRule);
+    // the oracle recomputes from the raw fact — equality proves the rewrite
+    "q_rollup_routed" ->
+      """SELECT date_trunc('month', ts) AS month, event_type,
+                COUNT(*) AS n_events,
+                CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY month, event_type
+         ORDER BY month, event_type"""
   )
 }

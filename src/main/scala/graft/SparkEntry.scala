@@ -479,6 +479,35 @@ object SparkEntry {
       .orderBy(col("month"), col("event_type"))
   }
 
+  /**
+   * Query-over-rollup ROUTING (graft.sql.RollupRewriteRule): the month
+   * aggregate below is written against the FACT layout, but the
+   * registered route rewrites it onto the day-grain rollup — the oracle
+   * recomputes from the raw fact in DuckDB, so the driver's hash gate
+   * proves the rewrite is semantics-preserving. RollupRoutingSpec
+   * additionally asserts the plan reads only the rollup files.
+   */
+  private def qRollupRouted(s: SparkSession, dir: String): DataFrame = {
+    val key = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val layout = s"/tmp/graft_routed/$key/events"
+    val rollPath = s"/tmp/graft_routed/$key/events_by_day"
+    TsLayout.write(ld(s, dir, "events"), TestSchema.events, layout)
+    val facts = TsLayout.read(s, layout)
+    Rollup("events_by_day", F.truncDay(col("ts")), Seq(col("event_type")),
+      Seq(count(lit(1)).as("c"), sum(col("value").cast("decimal(18,4)")).as("v")))
+      .materialize(facts, rollPath)
+    graft.sql.GraftFunctions.installRollupRouting(s)
+    graft.sql.RollupRoutes.register(graft.sql.RollupRoute(
+      factPathContains = layout, rollupPath = rollPath, timeCol = "ts", grain = "day",
+      dims = Seq("event_type"), sums = Map("value" -> "v"), countCol = Some("c")))
+    facts
+      .groupBy(F.truncMonth(col("ts")).as("month"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
+      .orderBy(col("month"), col("event_type"))
+  }
+
   private def qTopk(s: SparkSession, dir: String): DataFrame =
     ld(s, dir, "lineitem")
       .groupBy(col("l_partkey"))
@@ -1138,7 +1167,8 @@ object SparkEntry {
     "q_stratified_sample" -> (qStratifiedSample _),
     "q_embed_quant" -> (qEmbedQuant _),
     "q_contamination" -> (qContamination _),
-    "q_weighted_sample" -> (qWeightedSample _)
+    "q_weighted_sample" -> (qWeightedSample _),
+    "q_rollup_routed" -> (qRollupRouted _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -87,6 +87,14 @@ object GraftFunctions {
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ graft.plans.TopKPerKeyStrategy(spark)
 
+  /** Opt in to automatic query-over-rollup routing for this session
+    * (idempotent): aggregates covered by a registered [[RollupRoute]]
+    * read the materialized rollup instead of the fact. */
+  def installRollupRouting(spark: SparkSession): Unit =
+    if (!spark.experimental.extraOptimizations.exists(_.isInstanceOf[RollupRewriteRule]))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ RollupRewriteRule(spark)
+
   val allTables: Seq[String] =
     Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem", "events", "documents", "embeddings")
 
@@ -112,6 +120,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       )
     }
     ext.injectOptimizerRule(_ => SketchFusionRule)
+    ext.injectOptimizerRule(session => RollupRewriteRule(session))
     ext.injectPlannerStrategy(spark => graft.plans.TopKPerKeyStrategy(spark))
     // reference admin SQL statements (SHOW/DELETE QUERY METRICS, KILL
     // QUERY, SHOW UPDATES_INTERVALS); everything else delegates to

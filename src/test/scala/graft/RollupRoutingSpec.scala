@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.F
+import graft.sources.{Rollup, TsLayout}
+import graft.sql.{GraftFunctions, RollupRoute, RollupRoutes}
+
+/**
+ * Automatic query-over-rollup routing: covered aggregates over the
+ * fact scan are rewritten onto the materialized rollup — asserted on
+ * the files the plan actually reads AND on result identity; uncovered
+ * aggregates stay on the fact.
+ */
+class RollupRoutingSpec extends SparkSpecBase {
+
+  private val base = "/tmp/graft_routing_spec"
+  private lazy val factPath = s"$base/fact"
+  private lazy val rollPath = s"$base/events_by_day"
+
+  private def scanPaths(df: DataFrame): String = {
+    df.collect() // finalize AQE
+    df.queryExecution.executedPlan.toString
+  }
+
+  private lazy val facts: DataFrame = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    TsLayout.write(raw, graft.schema.TestSchema.events, factPath)
+    val f = TsLayout.read(spark, factPath)
+    Rollup(
+      "events_by_day",
+      F.truncDay(col("ts")),
+      Seq(col("event_type")),
+      Seq(count(lit(1)).as("c"), sum(col("value").cast("decimal(18,4)")).as("v"),
+        min(col("value")).as("vmin"), max(col("value")).as("vmax"))
+    ).materialize(f, rollPath)
+    GraftFunctions.installRollupRouting(spark)
+    RollupRoutes.register(RollupRoute(
+      factPathContains = factPath, rollupPath = rollPath,
+      timeCol = "ts", grain = "day", dims = Seq("event_type"),
+      sums = Map("value" -> "v"), countCol = Some("c"),
+      mins = Map("value" -> "vmin"), maxs = Map("value" -> "vmax")))
+    f
+  }
+
+  private def monthAgg(src: DataFrame): DataFrame =
+    src
+      .groupBy(F.truncMonth(col("ts")).as("month"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("sv"),
+        min(col("value")).as("mn"),
+        max(col("value")).as("mx"))
+      .orderBy(col("month"), col("event_type"))
+
+  test("covered month-grain aggregate reads the rollup, not the fact, with identical results") {
+    val routed = monthAgg(facts)
+    val paths = scanPaths(routed)
+    assert(paths.contains(rollPath), s"expected rollup scan, got:\n$paths")
+    assert(!paths.contains(factPath), s"fact must not be scanned, got:\n$paths")
+
+    RollupRoutes.clear()
+    try {
+      val direct = monthAgg(facts)
+      assert(scanPaths(direct).contains(factPath))
+      assert(routed.collect().toSeq == direct.collect().toSeq)
+    } finally RollupRoutes.register(RollupRoute(
+      factPathContains = factPath, rollupPath = rollPath,
+      timeCol = "ts", grain = "day", dims = Seq("event_type"),
+      sums = Map("value" -> "v"), countCol = Some("c"),
+      mins = Map("value" -> "vmin"), maxs = Map("value" -> "vmax")))
+  }
+
+  test("same-grain group with a dim filter routes; the filter carries to the rollup") {
+    val routed = facts
+      .filter(col("event_type") === "click")
+      .groupBy(F.truncDay(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("day"))
+    assert(scanPaths(routed).contains(rollPath))
+
+    RollupRoutes.clear()
+    val direct = facts
+      .filter(col("event_type") === "click")
+      .groupBy(F.truncDay(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("day"))
+    val same = routed.collect().toSeq == direct.collect().toSeq
+    RollupRoutes.register(RollupRoute(
+      factPathContains = factPath, rollupPath = rollPath,
+      timeCol = "ts", grain = "day", dims = Seq("event_type"),
+      sums = Map("value" -> "v"), countCol = Some("c")))
+    assert(same)
+  }
+
+  test("uncovered aggregates stay on the fact: finer grain, non-dim group, avg, distinct") {
+    facts // force init + route registration
+    val finer = facts.groupBy(F.truncHour(col("ts"))).agg(count(lit(1)))
+    assert(scanPaths(finer).contains(factPath), "hour < day grain must not route")
+    val nonDim = facts.groupBy(col("user_id")).agg(count(lit(1)))
+    assert(scanPaths(nonDim).contains(factPath), "non-dim group must not route")
+    val avgQ = facts.groupBy(F.truncDay(col("ts"))).agg(avg(col("value")))
+    assert(scanPaths(avgQ).contains(factPath), "avg is not decomposable from these partials")
+    val dist = facts.groupBy(F.truncDay(col("ts"))).agg(countDistinct(col("user_id")))
+    assert(scanPaths(dist).contains(factPath), "distinct must not route")
+  }
+}

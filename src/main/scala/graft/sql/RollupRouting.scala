@@ -193,12 +193,35 @@ case class RollupRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
           }
         case _ => None
       }
-      // dim-only filters carry over; anything else blocks the route
-      val newConds = conds.map { c =>
-        if (c.deterministic && c.references.forall(r => dimAttrIds.contains(r.exprId)))
+      // a time literal is routable when truncating it at the rollup grain
+      // is a no-op — then every fact row in [lo, hi) maps to a rollup_time
+      // in the same range and the comparison is exact on the rollup
+      def grainAligned(l: Literal): Boolean =
+        l.value != null && l.dataType == org.apache.spark.sql.types.TimestampType &&
+          (try {
+            TruncTimestamp(Literal(UTF8String.fromString(route.grain)), l,
+              Some(spark.sessionState.conf.sessionLocalTimeZone)).eval() == l.value
+          } catch { case scala.util.control.NonFatal(_) => false })
+
+      // dim-only filters and grain-aligned time-range bounds carry over;
+      // anything else blocks the route
+      def mapCond(c: Expression): Option[Expression] = c match {
+        case And(l, r) => for (nl <- mapCond(l); nr <- mapCond(r)) yield And(nl, nr)
+        // inferred null guard: null-ts rows land in the null rollup_time group
+        case IsNotNull(a: AttributeReference) if isFactTime(a) => Some(IsNotNull(rollupTime))
+        case GreaterThanOrEqual(a: AttributeReference, l: Literal) if isFactTime(a) && grainAligned(l) =>
+          Some(GreaterThanOrEqual(rollupTime, l))
+        case LessThan(a: AttributeReference, l: Literal) if isFactTime(a) && grainAligned(l) =>
+          Some(LessThan(rollupTime, l))
+        case GreaterThan(l: Literal, a: AttributeReference) if isFactTime(a) && grainAligned(l) =>
+          Some(GreaterThan(l, rollupTime))
+        case LessThanOrEqual(l: Literal, a: AttributeReference) if isFactTime(a) && grainAligned(l) =>
+          Some(LessThanOrEqual(l, rollupTime))
+        case _ if c.deterministic && c.references.forall(r => dimAttrIds.contains(r.exprId)) =>
           Some(c.transform { case a: AttributeReference if dimAttrIds.contains(a.exprId) => rAttr(a.name) })
-        else None
+        case _ => None
       }
+      val newConds = conds.map(mapCond)
 
       if (newGroups.exists(_.isEmpty) || newAggs.exists(_.isEmpty) || newConds.exists(_.isEmpty)) None
       else {

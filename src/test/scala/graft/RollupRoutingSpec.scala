@@ -97,6 +97,33 @@ class RollupRoutingSpec extends SparkSpecBase {
     assert(same)
   }
 
+  test("grain-aligned time range routes exactly; misaligned bounds stay on the fact") {
+    facts // force init + route registration
+    def ranged(src: DataFrame, lo: String, hi: String): DataFrame =
+      src
+        .filter(col("ts") >= lit(java.sql.Timestamp.valueOf(lo)) &&
+          col("ts") < lit(java.sql.Timestamp.valueOf(hi)))
+        .groupBy(F.truncDay(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"), sum(col("value").cast("decimal(18,4)")).cast("double").as("sv"))
+        .orderBy(col("day"))
+
+    // day-aligned bounds: routed
+    val routed = ranged(facts, "2024-01-05 00:00:00", "2024-02-01 00:00:00")
+    assert(scanPaths(routed).contains(rollPath), scanPaths(routed))
+    RollupRoutes.clear()
+    val direct = ranged(facts, "2024-01-05 00:00:00", "2024-02-01 00:00:00")
+    val same = routed.collect().toSeq == direct.collect().toSeq
+    RollupRoutes.register(RollupRoute(
+      factPathContains = factPath, rollupPath = rollPath,
+      timeCol = "ts", grain = "day", dims = Seq("event_type"),
+      sums = Map("value" -> "v"), countCol = Some("c")))
+    assert(same)
+
+    // mid-day bound: a day-grain rollup cannot answer it exactly
+    val misaligned = ranged(facts, "2024-01-05 12:00:00", "2024-02-01 00:00:00")
+    assert(scanPaths(misaligned).contains(factPath), "misaligned time bound must not route")
+  }
+
   test("uncovered aggregates stay on the fact: finer grain, non-dim group, avg, distinct") {
     facts // force init + route registration
     val finer = facts.groupBy(F.truncHour(col("ts"))).agg(count(lit(1)))

@@ -54,6 +54,9 @@ object RollupRoutes {
   def register(r: RollupRoute): Unit = synchronized {
     routes = routes.filterNot(_.rollupPath == r.rollupPath) :+ r
   }
+  def unregister(rollupPath: String): Unit = synchronized {
+    routes = routes.filterNot(_.rollupPath == rollupPath)
+  }
   def clear(): Unit = synchronized { routes = Nil }
   def all: Seq[RollupRoute] = routes
 }
@@ -72,11 +75,15 @@ case class RollupRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = {
     val routes = RollupRoutes.all
     if (routes.isEmpty) plan
-    else
+    else {
+      // among covering rollups prefer the coarsest grain — it is the
+      // smallest table (each coarsening step collapses groups)
+      val ordered = routes.sortBy(r => -grainRank.getOrElse(r.grain, -1))
       plan.transformUp {
         case agg: Aggregate =>
-          routes.view.flatMap(r => tryRewrite(agg, r)).headOption.getOrElse(agg)
+          ordered.view.flatMap(r => tryRewrite(agg, r)).headOption.getOrElse(agg)
       }
+    }
   }
 
   private def tryRewrite(agg: Aggregate, route: RollupRoute): Option[LogicalPlan] = {

@@ -124,6 +124,32 @@ class RollupRoutingSpec extends SparkSpecBase {
     assert(scanPaths(misaligned).contains(factPath), "misaligned time bound must not route")
   }
 
+  test("with day and month rollups registered, a month query picks the coarser (smaller) one") {
+    facts // init + day route
+    val monthRoll = s"$base/events_by_month"
+    Rollup("events_by_month", F.truncMonth(col("ts")), Seq(col("event_type")),
+      Seq(count(lit(1)).as("c"), sum(col("value").cast("decimal(18,4)")).as("v")))
+      .materialize(facts, monthRoll)
+    RollupRoutes.register(RollupRoute(
+      factPathContains = factPath, rollupPath = monthRoll,
+      timeCol = "ts", grain = "month", dims = Seq("event_type"),
+      sums = Map("value" -> "v"), countCol = Some("c")))
+    try {
+      val routed = facts
+        .groupBy(F.truncMonth(col("ts")).as("month"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("month"))
+      assert(scanPaths(routed).contains(monthRoll), "month query should hit the month rollup")
+      // a day query can only use the day rollup
+      val dayQ = facts
+        .groupBy(F.truncDay(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("day"))
+      val p = scanPaths(dayQ)
+      assert(p.contains(rollPath) && !p.contains(monthRoll))
+    } finally RollupRoutes.unregister(monthRoll)
+  }
+
   test("uncovered aggregates stay on the fact: finer grain, non-dim group, avg, distinct") {
     facts // force init + route registration
     val finer = facts.groupBy(F.truncHour(col("ts"))).agg(count(lit(1)))

@@ -150,6 +150,27 @@ class RollupRoutingSpec extends SparkSpecBase {
     } finally RollupRoutes.unregister(monthRoll)
   }
 
+  test("routing composes under HAVING / ORDER BY / LIMIT parents") {
+    facts
+    def havingQ(src: DataFrame): DataFrame =
+      src
+        .groupBy(F.truncMonth(col("ts")).as("month"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") > 5) // HAVING over the (preserved) output attr
+        .orderBy(col("n").desc, col("month"), col("event_type"))
+        .limit(3)
+    val routed = havingQ(facts)
+    assert(scanPaths(routed).contains(rollPath))
+    RollupRoutes.clear()
+    val direct = havingQ(facts)
+    val same = routed.collect().toSeq == direct.collect().toSeq
+    RollupRoutes.register(RollupRoute(
+      factPathContains = factPath, rollupPath = rollPath,
+      timeCol = "ts", grain = "day", dims = Seq("event_type"),
+      sums = Map("value" -> "v"), countCol = Some("c")))
+    assert(same)
+  }
+
   test("uncovered aggregates stay on the fact: finer grain, non-dim group, avg, distinct") {
     facts // force init + route registration
     val finer = facts.groupBy(F.truncHour(col("ts"))).agg(count(lit(1)))

@@ -816,6 +816,11 @@ object OracleSql {
                 COUNT(*) AS n_events,
                 CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
          FROM events GROUP BY month, event_type
+         ORDER BY month, event_type""",
+    "q_rollup_routed_avg" ->
+      """SELECT date_trunc('month', ts) AS month, event_type,
+                CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(value) AS avg_value
+         FROM events GROUP BY month, event_type
          ORDER BY month, event_type"""
   )
 }

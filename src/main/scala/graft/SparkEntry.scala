@@ -487,12 +487,13 @@ object SparkEntry {
    * proves the rewrite is semantics-preserving. RollupRoutingSpec
    * additionally asserts the plan reads only the rollup files.
    */
-  private def qRollupRouted(s: SparkSession, dir: String): DataFrame = {
+  /** One-time layout + rollup materialization and route registration for
+    * the routed queries (source data per dir is immutable, so repeat runs
+    * time the ROUTED QUERY, not the one-time ETL). Returns the fact scan. */
+  private def routedFacts(s: SparkSession, dir: String): DataFrame = {
     val key = dir.replaceAll("[^a-zA-Z0-9]", "_")
     val layout = s"/tmp/graft_routed/$key/events"
-    val rollPath = s"/tmp/graft_routed/$key/events_by_day"
-    // source data per dir is immutable: materialize layout + rollup once,
-    // so repeat runs time the ROUTED QUERY, not the one-time ETL
+    val rollPath = s"/tmp/graft_routed/$key/events_by_day_v2"
     def done(p: String) = {
       val hp = new org.apache.hadoop.fs.Path(s"$p/_SUCCESS")
       hp.getFileSystem(s.sparkContext.hadoopConfiguration).exists(hp)
@@ -501,19 +502,35 @@ object SparkEntry {
     val facts = TsLayout.read(s, layout)
     if (!done(rollPath))
       Rollup("events_by_day", F.truncDay(col("ts")), Seq(col("event_type")),
-        Seq(count(lit(1)).as("c"), sum(col("value").cast("decimal(18,4)")).as("v")))
+        Seq(count(lit(1)).as("c"), sum(col("value").cast("decimal(18,4)")).as("v"),
+          count(col("value")).as("cv")))
         .materialize(facts, rollPath)
     graft.sql.GraftFunctions.installRollupRouting(s)
     graft.sql.RollupRoutes.register(graft.sql.RollupRoute(
       factPathContains = layout, rollupPath = rollPath, timeCol = "ts", grain = "day",
-      dims = Seq("event_type"), sums = Map("value" -> "v"), countCol = Some("c")))
+      dims = Seq("event_type"), sums = Map("value" -> "v"), countCol = Some("c"),
+      counts = Map("value" -> "cv"),
+      sumCasts = Map("value" -> org.apache.spark.sql.types.DecimalType(18, 4))))
     facts
+  }
+
+  private def qRollupRouted(s: SparkSession, dir: String): DataFrame =
+    routedFacts(s, dir)
       .groupBy(F.truncMonth(col("ts")).as("month"), col("event_type"))
       .agg(
         count(lit(1)).as("n_events"),
         sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
       .orderBy(col("month"), col("event_type"))
-  }
+
+  /** avg routed onto the rollup: the exact-average form (decimal sum /
+    * non-null count, one IEEE division) decomposes into the routable
+    * sum and count(m) pieces, so the whole quotient is answered from
+    * the day rollup while the oracle recomputes from the raw fact. */
+  private def qRollupRoutedAvg(s: SparkSession, dir: String): DataFrame =
+    routedFacts(s, dir)
+      .groupBy(F.truncMonth(col("ts")).as("month"), col("event_type"))
+      .agg((dsum(col("value")) / count(col("value"))).as("avg_value"))
+      .orderBy(col("month"), col("event_type"))
 
   private def qTopk(s: SparkSession, dir: String): DataFrame =
     ld(s, dir, "lineitem")
@@ -1175,7 +1192,8 @@ object SparkEntry {
     "q_embed_quant" -> (qEmbedQuant _),
     "q_contamination" -> (qContamination _),
     "q_weighted_sample" -> (qWeightedSample _),
-    "q_rollup_routed" -> (qRollupRouted _)
+    "q_rollup_routed" -> (qRollupRouted _),
+    "q_rollup_routed_avg" -> (qRollupRoutedAvg _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -23,11 +23,23 @@ import org.apache.spark.unsafe.types.UTF8String
  *   - GROUP BY date_trunc(G, ts) with G at-or-coarser-than the rollup
  *     grain (grain-aligned: day→month/quarter/year, hour→day, …,
  *     week only from ≤day grains), plus any subset of rollup dims;
- *   - sum(m) / sum(cast(m as decimal)) → sum(rollup_sum_col),
- *     count(*)/count(1) → sum(rollup_count_col), min/max → min/max —
- *     re-aggregation is exact because sum/count/min/max are
- *     decomposable; avg/distinct are NOT matched (not decomposable
- *     from these partials) and leave the query on the fact;
+ *   - sum(m) / sum(cast(m as T)) → sum(rollup_sum_col) — routed ONLY
+ *     when the query-side cast T is exactly the cast the rollup's sum
+ *     column was materialized under (route.sumCasts): sum-then-cast is
+ *     not cast-then-sum for lossy casts, so a mismatched cast blocks
+ *     the route rather than silently changing the answer;
+ *     count(*)/count(1) → sum(rollup_count_col), count(m) →
+ *     sum(rollup_per_metric_count_col) (bare column only — a cast can
+ *     turn non-null into null), min/max → min/max (casts stripped only
+ *     when total and monotone, where min∘cast = cast∘min);
+ *   - avg(m) for INTEGRAL bare m → sum(sum_col)/sum(count_col) with a
+ *     zero-count null guard — exact because both engines accumulate
+ *     integer-valued sums exactly (< 2^53) and divide once in IEEE
+ *     double. avg over fractional metrics does NOT route (re-ordered
+ *     floating-point partial sums are not bit-stable); the exact
+ *     fractional-avg form sum(cast(m as decimal))/count(m) routes
+ *     compositionally through the sum and count rules above.
+ *     distinct aggregates are never matched (not decomposable);
  *   - WHERE conditions referencing only rollup dims are carried over.
  *
  * The rewrite preserves output names, exprIds, and types (casting the
@@ -45,7 +57,14 @@ final case class RollupRoute(
     sums: Map[String, String],
     countCol: Option[String] = None,
     mins: Map[String, String] = Map.empty,
-    maxs: Map[String, String] = Map.empty
+    maxs: Map[String, String] = Map.empty,
+    /** metric → rollup column holding count(metric), the NON-NULL count
+      * (count(*) lives in countCol). Enables count(m) and avg routing. */
+    counts: Map[String, String] = Map.empty,
+    /** metric → the exact cast type its `sums` column was materialized
+      * under (absent = materialized as sum(m) with no cast). A query-side
+      * sum routes only under the identical cast. */
+    sumCasts: Map[String, org.apache.spark.sql.types.DataType] = Map.empty
 )
 
 /** Session-wide route registry (rollupPath is the identity). */
@@ -148,29 +167,110 @@ case class RollupRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
         case _ => None
       }
 
-      def metricName(e: Expression): Option[String] = e match {
-        case a: AttributeReference if factAttr.get(a.name).exists(_.exprId == a.exprId) => Some(a.name)
-        case c: Cast => metricName(c.child)
+      def factMetric(e: Expression): Option[AttributeReference] = e match {
+        case a: AttributeReference if factAttr.get(a.name).exists(_.exprId == a.exprId) => Some(a)
         case _ => None
+      }
+
+      // a cast that is total (never maps a non-null value to null) and
+      // monotone — the only kind min/max may be stripped through
+      // (min∘cast = cast∘min needs monotonicity; totality keeps the
+      // null sets identical)
+      def totalMonotoneCast(from: org.apache.spark.sql.types.DataType,
+          to: org.apache.spark.sql.types.DataType): Boolean = {
+        import org.apache.spark.sql.types._
+        def intDigits(t: DataType): Int = t match {
+          case ByteType => 3; case ShortType => 5; case IntegerType => 10; case LongType => 19
+          case _ => Int.MaxValue
+        }
+        (from, to) match {
+          case (f, t) if f == t => true
+          case (ByteType, ShortType | IntegerType | LongType) => true
+          case (ShortType, IntegerType | LongType) => true
+          case (IntegerType, LongType) => true
+          // integral → float/double: total and monotone (may round, order kept)
+          case (ByteType | ShortType | IntegerType | LongType, FloatType | DoubleType) => true
+          case (f @ (ByteType | ShortType | IntegerType | LongType), d: DecimalType) =>
+            d.precision - d.scale >= intDigits(f)
+          case (f: DecimalType, d: DecimalType) => d.precision - d.scale >= f.precision - f.scale
+          case (_: DecimalType, DoubleType) => true
+          // fractional sources are excluded: NaN/Infinity → null under
+          // non-ANSI decimal/integral casts breaks totality
+          case _ => false
+        }
+      }
+
+      // min/max: strip a (possibly chained) total monotone cast
+      def metricNameMono(e: Expression): Option[String] = e match {
+        case a: AttributeReference => factMetric(a).map(_.name)
+        case c: Cast if totalMonotoneCast(c.child.dataType, c.dataType) => metricNameMono(c.child)
+        case _ => None
+      }
+
+      // sum: the query-side cast (or its absence) must equal the cast the
+      // rollup sum column was materialized under
+      def sumMetric(e: Expression): Option[String] = e match {
+        case a: AttributeReference =>
+          factMetric(a).map(_.name).filter(n => !route.sumCasts.contains(n))
+        case c: Cast =>
+          factMetric(c.child).map(_.name).filter(n => route.sumCasts.get(n).contains(c.dataType))
+        case _ => None
+      }
+
+      def isIntegral(t: org.apache.spark.sql.types.DataType): Boolean = t match {
+        case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+            org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
+        case _ => false
       }
 
       def mapAgg(ae: AggregateExpression): Option[Expression] = {
         if (ae.isDistinct || ae.filter.isDefined || ae.mode != Complete) return None
-        val rolled: Option[AggregateFunction] = ae.aggregateFunction match {
-          case s: Sum => metricName(s.child).flatMap(route.sums.get).flatMap(rAttr.get).map(Sum(_))
-          case Count(Seq(l: Literal)) if l.foldable => route.countCol.flatMap(rAttr.get).map(Sum(_))
-          case m: Min => metricName(m.child).flatMap(route.mins.get).flatMap(rAttr.get).map(Min(_))
-          case m: Max => metricName(m.child).flatMap(route.maxs.get).flatMap(rAttr.get).map(Max(_))
-          case _ => None
-        }
-        rolled.map { nf =>
-          val nae = AggregateExpression(nf, Complete, isDistinct = false)
-          val typed: Expression = if (nae.dataType == ae.dataType) nae else Cast(nae, ae.dataType)
-          // count(*) is non-nullable but sum(count_col) is nullable; the
-          // value can't actually be null for an existing group, so pin
-          // the static type back with a zero fallback
-          if (!ae.nullable && typed.nullable) Coalesce(Seq(typed, Literal.default(ae.dataType)))
-          else typed
+        import org.apache.spark.sql.types.{DoubleType, LongType}
+        ae.aggregateFunction match {
+          // avg over an integral bare metric: both the fact-side Average
+          // (double-accumulated integer sum) and sum(sum_col)/sum(cnt_col)
+          // are exact while |sum| < 2^53, and past that the routed form is
+          // the more accurate one (exact integer partials)
+          case a: Average if a.evalMode != EvalMode.TRY && ae.dataType == DoubleType =>
+            for {
+              attr <- factMetric(a.child)
+              if isIntegral(attr.dataType)
+              n = attr.name
+              if !route.sumCasts.contains(n)
+              sCol <- route.sums.get(n).flatMap(rAttr.get)
+              cCol <- route.counts.get(n).flatMap(rAttr.get)
+            } yield {
+              val sumAE = AggregateExpression(Sum(sCol), Complete, isDistinct = false)
+              val cntAE = AggregateExpression(Sum(cCol), Complete, isDistinct = false)
+              val cnt = Coalesce(Seq(Cast(cntAE, LongType), Literal(0L)))
+              If(EqualTo(cnt, Literal(0L)), Literal(null, DoubleType),
+                Divide(Cast(sumAE, DoubleType), Cast(cnt, DoubleType), EvalMode.LEGACY))
+            }
+          case _ =>
+            val rolled: Option[AggregateFunction] = ae.aggregateFunction match {
+              case s: Sum => sumMetric(s.child).flatMap(route.sums.get).flatMap(rAttr.get).map(Sum(_))
+              case Count(Seq(l: Literal)) if l.foldable => route.countCol.flatMap(rAttr.get).map(Sum(_))
+              // count(m): bare column only — count(cast(m)) can differ when
+              // the cast maps non-null values to null
+              case c: Count if c.children.sizeIs == 1 =>
+                c.children.head match {
+                  case a: AttributeReference =>
+                    factMetric(a).flatMap(m => route.counts.get(m.name)).flatMap(rAttr.get).map(Sum(_))
+                  case _ => None
+                }
+              case m: Min => metricNameMono(m.child).flatMap(route.mins.get).flatMap(rAttr.get).map(Min(_))
+              case m: Max => metricNameMono(m.child).flatMap(route.maxs.get).flatMap(rAttr.get).map(Max(_))
+              case _ => None
+            }
+            rolled.map { nf =>
+              val nae = AggregateExpression(nf, Complete, isDistinct = false)
+              val typed: Expression = if (nae.dataType == ae.dataType) nae else Cast(nae, ae.dataType)
+              // count(*) is non-nullable but sum(count_col) is nullable; the
+              // value can't actually be null for an existing group, so pin
+              // the static type back with a zero fallback
+              if (!ae.nullable && typed.nullable) Coalesce(Seq(typed, Literal.default(ae.dataType)))
+              else typed
+            }
         }
       }
 

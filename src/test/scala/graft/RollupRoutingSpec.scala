@@ -23,6 +23,15 @@ class RollupRoutingSpec extends SparkSpecBase {
     df.queryExecution.executedPlan.toString
   }
 
+  private def registerDayRoute(): Unit =
+    RollupRoutes.register(RollupRoute(
+      factPathContains = factPath, rollupPath = rollPath,
+      timeCol = "ts", grain = "day", dims = Seq("event_type"),
+      sums = Map("value" -> "v", "user_id" -> "su"), countCol = Some("c"),
+      mins = Map("value" -> "vmin"), maxs = Map("value" -> "vmax"),
+      counts = Map("value" -> "cv", "user_id" -> "cu"),
+      sumCasts = Map("value" -> org.apache.spark.sql.types.DecimalType(18, 4))))
+
   private lazy val facts: DataFrame = {
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(base), true)
@@ -36,14 +45,12 @@ class RollupRoutingSpec extends SparkSpecBase {
       F.truncDay(col("ts")),
       Seq(col("event_type")),
       Seq(count(lit(1)).as("c"), sum(col("value").cast("decimal(18,4)")).as("v"),
-        min(col("value")).as("vmin"), max(col("value")).as("vmax"))
+        min(col("value")).as("vmin"), max(col("value")).as("vmax"),
+        count(col("value")).as("cv"),
+        sum(col("user_id")).as("su"), count(col("user_id")).as("cu"))
     ).materialize(f, rollPath)
     GraftFunctions.installRollupRouting(spark)
-    RollupRoutes.register(RollupRoute(
-      factPathContains = factPath, rollupPath = rollPath,
-      timeCol = "ts", grain = "day", dims = Seq("event_type"),
-      sums = Map("value" -> "v"), countCol = Some("c"),
-      mins = Map("value" -> "vmin"), maxs = Map("value" -> "vmax")))
+    registerDayRoute()
     f
   }
 
@@ -68,11 +75,7 @@ class RollupRoutingSpec extends SparkSpecBase {
       val direct = monthAgg(facts)
       assert(scanPaths(direct).contains(factPath))
       assert(routed.collect().toSeq == direct.collect().toSeq)
-    } finally RollupRoutes.register(RollupRoute(
-      factPathContains = factPath, rollupPath = rollPath,
-      timeCol = "ts", grain = "day", dims = Seq("event_type"),
-      sums = Map("value" -> "v"), countCol = Some("c"),
-      mins = Map("value" -> "vmin"), maxs = Map("value" -> "vmax")))
+    } finally registerDayRoute()
   }
 
   test("same-grain group with a dim filter routes; the filter carries to the rollup") {
@@ -90,10 +93,7 @@ class RollupRoutingSpec extends SparkSpecBase {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("day"))
     val same = routed.collect().toSeq == direct.collect().toSeq
-    RollupRoutes.register(RollupRoute(
-      factPathContains = factPath, rollupPath = rollPath,
-      timeCol = "ts", grain = "day", dims = Seq("event_type"),
-      sums = Map("value" -> "v"), countCol = Some("c")))
+    registerDayRoute()
     assert(same)
   }
 
@@ -113,10 +113,7 @@ class RollupRoutingSpec extends SparkSpecBase {
     RollupRoutes.clear()
     val direct = ranged(facts, "2024-01-05 00:00:00", "2024-02-01 00:00:00")
     val same = routed.collect().toSeq == direct.collect().toSeq
-    RollupRoutes.register(RollupRoute(
-      factPathContains = factPath, rollupPath = rollPath,
-      timeCol = "ts", grain = "day", dims = Seq("event_type"),
-      sums = Map("value" -> "v"), countCol = Some("c")))
+    registerDayRoute()
     assert(same)
 
     // mid-day bound: a day-grain rollup cannot answer it exactly
@@ -164,11 +161,55 @@ class RollupRoutingSpec extends SparkSpecBase {
     RollupRoutes.clear()
     val direct = havingQ(facts)
     val same = routed.collect().toSeq == direct.collect().toSeq
-    RollupRoutes.register(RollupRoute(
-      factPathContains = factPath, rollupPath = rollPath,
-      timeCol = "ts", grain = "day", dims = Seq("event_type"),
-      sums = Map("value" -> "v"), countCol = Some("c")))
+    registerDayRoute()
     assert(same)
+  }
+
+  test("count(m) and the exact-average quotient route; native avg routes for integral metrics") {
+    facts // force init + route registration
+    def avgQ(src: DataFrame): DataFrame =
+      src
+        .groupBy(F.truncMonth(col("ts")).as("month"), col("event_type"))
+        .agg(
+          count(col("value")).as("nn"),
+          (sum(col("value").cast("decimal(18,4)")).cast("double") / count(col("value"))).as("av"),
+          avg(col("user_id")).as("au"))
+        .orderBy(col("month"), col("event_type"))
+    val routed = avgQ(facts)
+    val p = scanPaths(routed)
+    assert(p.contains(rollPath) && !p.contains(factPath), s"expected rollup-only scan:\n$p")
+    RollupRoutes.clear()
+    val direct = avgQ(facts)
+    val same = routed.collect().toSeq == direct.collect().toSeq
+    registerDayRoute()
+    assert(same)
+  }
+
+  test("lossy or mismatched casts block the route instead of changing the answer") {
+    facts // force init + route registration
+    // sum under a DIFFERENT cast than the rollup materialized: cast-then-sum
+    // ≠ sum-then-cast for lossy casts, so this must stay on the fact
+    val lossySum = facts
+      .groupBy(F.truncDay(col("ts")).as("day"))
+      .agg(sum(col("value").cast("long")).as("sv"))
+    assert(scanPaths(lossySum).contains(factPath), "sum under a mismatched cast must not route")
+    // min through a non-monotone cast (numeric → string orders "10" < "9")
+    val strMin = facts
+      .groupBy(F.truncDay(col("ts")).as("day"))
+      .agg(min(col("value").cast("string")).as("m"))
+    assert(scanPaths(strMin).contains(factPath), "min through a non-monotone cast must not route")
+    // avg over the fractional metric: floating partial sums are not
+    // bit-stable under re-association, so native avg(double) must not route
+    val avgDouble = facts
+      .groupBy(F.truncDay(col("ts")).as("day"))
+      .agg(avg(col("value")).as("a"))
+    assert(scanPaths(avgDouble).contains(factPath), "avg(double) must not route")
+    // count(cast(m)): a cast can turn non-null into null, so only the
+    // bare column matches — any cast must leave the query on the fact
+    val castCount = facts
+      .groupBy(F.truncDay(col("ts")).as("day"))
+      .agg(count(col("value").cast("int")).as("n"))
+    assert(scanPaths(castCount).contains(factPath), "count over a cast must not route")
   }
 
   test("uncovered aggregates stay on the fact: finer grain, non-dim group, avg, distinct") {

@@ -317,14 +317,20 @@ object Dedup {
    * the direct self-join wins (measured 2s vs 10s at sf0.1, E≈29); on
    * heavy-tailed real corpora stop-grams give gf ∝ corpus size, E grows
    * without bound and the direct join melts — prefix filtering
-   * (PPJoin) is the only shape that survives. The probe is one linear
-   * aggregate + a 1-row collect: negligible against either join, and
-   * exactly the frequency table the prefix variant needs anyway.
+   * (PPJoin) is the only shape that survives. The probe runs on a
+   * deterministic ~10% hash-sample of documents (doc sampling at rate p
+   * scales every gram frequency binomially to ~p·gf, so E scales by p
+   * and the per-list cap by p — the decision thresholds are rescaled,
+   * not the data): a dispatch heuristic between two result-identical
+   * plans doesn't need exact counts, and at corpus scale a probe that
+   * reads 10% of the text instead of 100% is the difference between
+   * "free" and "another full pass".
    *
    * Dispatch: prefix when E > maxExpansion (default 256 ≈ the measured
    * crossover extrapolated to ~sf1) or any single posting list exceeds
    * 1<<16 (one melting key is enough). Both variants are result-identical
-   * (spec-proven).
+   * (spec-proven), so a sampling-noise flip near the boundary can only
+   * cost speed, never correctness.
    */
   def ngramJaccardPairs(
       df: DataFrame,
@@ -333,23 +339,27 @@ object Dedup {
       groupCols: Seq[String],
       n: Int = 4,
       threshold: Double = 0.35,
-      maxExpansion: Double = 256.0
+      maxExpansion: Double = 256.0,
+      probeFraction: Double = 0.1
   ): DataFrame = {
     val ex = gramPostings(df, idCol, textCol, groupCols, n)
-    // the probe aggregate IS the frequency table the prefix variant
-    // needs — both variants then consume the same `ex`/`freq` frames,
-    // so the shared shuffle subtrees dedupe via exchange reuse instead
-    // of re-deriving the postings per variant
-    val freq = ex.groupBy((groupCols.map(col) :+ col("gram")): _*).agg(count(lit(1)).as("gf"))
-    val probe = freq
+    val p = math.min(math.max(probeFraction, 0.001), 1.0)
+    // deterministic doc sample: stable across runs/retries (no RNG state)
+    val sampled =
+      if (p >= 1.0) ex
+      else ex.filter(pmod(xxhash64(col("id"), lit(77)), lit(1000)) < lit((p * 1000).toInt))
+    val probe = sampled
+      .groupBy((groupCols.map(col) :+ col("gram")): _*).agg(count(lit(1)).as("gf"))
       .agg(sum(col("gf")).as("postings"), sum(col("gf") * col("gf")).as("joinrows"), max(col("gf")).as("maxgf"))
       .head()
     val heavyTailed = !probe.isNullAt(0) && {
       val expansion = probe.getLong(1).toDouble / probe.getLong(0).toDouble
-      expansion > maxExpansion || probe.getLong(2) > (1L << 16)
+      expansion > maxExpansion * p || probe.getLong(2) > ((1L << 16) * p).toLong
     }
-    if (heavyTailed) prefixFromPostings(ex, freq, groupCols, threshold)
-    else denseFromPostings(ex, groupCols, threshold)
+    if (heavyTailed) {
+      val freq = ex.groupBy((groupCols.map(col) :+ col("gram")): _*).agg(count(lit(1)).as("gf"))
+      prefixFromPostings(ex, freq, groupCols, threshold)
+    } else denseFromPostings(ex, groupCols, threshold)
   }
 
   /** Direct posting self-join variant: fastest when gram frequencies are
@@ -419,7 +429,7 @@ object Dedup {
   }
 
   /** `freq` = per-(group, gram) frequency over `ex` (global gram rarity
-    * within each group) — shared with the dispatch probe. */
+    * within each group). */
   private def prefixFromPostings(
       ex: DataFrame, freq: DataFrame, groupCols: Seq[String], threshold: Double): DataFrame = {
     val ranked = ex

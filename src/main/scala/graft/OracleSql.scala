@@ -821,6 +821,42 @@ object OracleSql {
       """SELECT date_trunc('month', ts) AS month, event_type,
                 CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(value) AS avg_value
          FROM events GROUP BY month, event_type
-         ORDER BY month, event_type"""
+         ORDER BY month, event_type""",
+    // brute-force all-pairs cosine + recursive-CTE transitive closure —
+    // the ground truth for the LSH-candidate + CC semantic dedup
+    "q_semdedup" ->
+      """WITH RECURSIVE
+              e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+              j AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+                    FROM e0 a JOIN e0 b ON a.vec_id < b.vec_id
+                    WHERE list_reduce(list_prepend(0.0, list_transform(generate_series(1, len(a.v)), i -> a.v[i] * b.v[i])), (x, y) -> x + y) /
+                          (sqrt(list_reduce(list_prepend(0.0, list_transform(generate_series(1, len(a.v)), i -> a.v[i] * a.v[i])), (x, y) -> x + y)) *
+                           sqrt(list_reduce(list_prepend(0.0, list_transform(generate_series(1, len(b.v)), i -> b.v[i] * b.v[i])), (x, y) -> x + y))) >= 0.5),
+              e AS (SELECT id_a AS a, id_b AS b FROM j
+                    UNION SELECT id_b, id_a FROM j),
+              reach(id, r) AS (
+                SELECT vec_id, vec_id FROM embeddings
+                UNION
+                SELECT e.a, reach.r FROM e JOIN reach ON reach.id = e.b
+              )
+         SELECT id AS vec_id, CAST(min(r) AS BIGINT) AS canonical_id,
+                (id = min(r)) AS keep
+         FROM reach GROUP BY id ORDER BY vec_id""",
+    "q_boilerplate" ->
+      s"""WITH t AS (SELECT doc_id, source, $toks AS tk FROM documents),
+              g AS (SELECT doc_id, source, unnest(list_distinct(list_filter(
+                      list_transform(tk, (x, i) -> CASE WHEN i + 4 <= len(tk)
+                        THEN x || ' ' || tk[i + 1] || ' ' || tk[i + 2] || ' ' || tk[i + 3] || ' ' || tk[i + 4] END),
+                      v -> v IS NOT NULL))) AS gram
+                    FROM t),
+              f AS (SELECT source, gram, COUNT(*) AS df FROM g GROUP BY source, gram),
+              b AS (SELECT source, gram FROM f WHERE df >= 2),
+              c AS (SELECT g.doc_id, COUNT(*) AS n_grams,
+                           CAST(SUM(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler
+                    FROM g LEFT JOIN b ON g.source = b.source AND g.gram = b.gram
+                    GROUP BY g.doc_id)
+         SELECT doc_id, n_grams, n_boiler,
+                CAST(n_boiler AS DOUBLE) / CAST(n_grams AS DOUBLE) AS boiler_frac
+         FROM c ORDER BY doc_id"""
   )
 }

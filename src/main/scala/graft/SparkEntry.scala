@@ -856,6 +856,17 @@ object SparkEntry {
       .orderBy(col("id_a"), col("id_b"))
 
   /**
+   * Semantic dedup end-to-end (Dedup.semanticDedup): verified cosine
+   * pairs → connected components → min-id representative with a `keep`
+   * flag; the oracle recomputes the closure from brute-force all-pairs
+   * cosine with a recursive CTE.
+   */
+  private def qSemdedup(s: SparkSession, dir: String): DataFrame =
+    Dedup
+      .semanticDedup(ld(s, dir, "embeddings"), "vec_id", "embedding", threshold = 0.5)
+      .orderBy(col("vec_id"))
+
+  /**
    * Pair list → deduplicated corpus: connected components (alternating
    * large-star/small-star) over the exact-verified minhash pairs, every
    * doc mapped to its cluster's canonical (min) id. The oracle computes
@@ -1080,6 +1091,18 @@ object SparkEntry {
   }
 
   /**
+   * Corpus-internal boilerplate signal (TextAnalysis.boilerplate):
+   * word 5-grams shared by >= 2 documents of the same source are
+   * boilerplate; per doc, the fraction of its grams that are. The gram
+   * table shuffles once — frequency aggregate and join back share the
+   * (source, gram) hash partitioning.
+   */
+  private def qBoilerplate(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis
+      .boilerplate(ld(s, dir, "documents"), "doc_id", "text", "source", n = 5, minDf = 2)
+      .orderBy(col("doc_id"))
+
+  /**
    * Quality-weighted (importance) sampling: keep a doc with probability
    * equal to its quality score, decided by the deterministic content
    * fingerprint as the uniform draw (u = fp / 2^31-1) — reproducible
@@ -1193,7 +1216,9 @@ object SparkEntry {
     "q_contamination" -> (qContamination _),
     "q_weighted_sample" -> (qWeightedSample _),
     "q_rollup_routed" -> (qRollupRouted _),
-    "q_rollup_routed_avg" -> (qRollupRoutedAvg _)
+    "q_rollup_routed_avg" -> (qRollupRoutedAvg _),
+    "q_semdedup" -> (qSemdedup _),
+    "q_boilerplate" -> (qBoilerplate _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

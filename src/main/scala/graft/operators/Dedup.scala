@@ -662,4 +662,30 @@ object Dedup {
         coalesce(col("canonical_id"), col(idCol)).as("canonical_id")
       )
   }
+
+  /**
+   * Semantic dedup (SemDeDup-shaped): documents whose EMBEDDINGS are
+   * near-identical collapse to one representative — paraphrases and
+   * template rewrites that text-level dedup misses. Composition of two
+   * verified pieces: exact-verified cosine pairs (hyperplane-LSH
+   * candidates — never all-pairs; [[embeddingPairs]]) → connected
+   * components in logarithmic rounds → canonical (min-id)
+   * representative per cluster ([[dedupClusters]]). `keep` marks the
+   * one row per cluster a training pipeline retains. Deterministic end
+   * to end (hash-generated hyperplanes, min-id tie-break), so reruns
+   * and engines agree.
+   */
+  def semanticDedup(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      planes: Int = 16,
+      bands: Int = 4
+  ): DataFrame = {
+    val pairs = embeddingPairs(df, idCol, vecCol, planes, bands, threshold)
+      .select(col("id_a"), col("id_b"))
+    dedupClusters(df, idCol, pairs)
+      .withColumn("keep", col(idCol) === col("canonical_id"))
+  }
 }

@@ -33,6 +33,45 @@ object TextAnalysis {
         slice(tk, lit(1), greatest(size(tk) - (n - 1), lit(0))),
         (x, i) => concat_ws(" ", (x +: (2 to n).map(j => element_at(tk, i + lit(j)))): _*)))
 
+  /**
+   * Corpus-internal boilerplate signal (C4/CCNet-shaped): a word n-gram
+   * shared by >= minDf documents of the same group (site, source,
+   * domain) is boilerplate — navigation text, headers, license footers
+   * — and per document we report the fraction of its distinct grams
+   * that are boilerplate, the signal a cleaning pipeline thresholds on.
+   *
+   * Scale shape: the corpus is tokenized and the gram table shuffled
+   * exactly ONCE — per-(group, gram) doc frequency comes from a
+   * whole-partition count window over the single (group, gram)
+   * shuffle, not from an aggregate-then-join-back (which would
+   * tokenize and shuffle the corpus twice: the aggregated side and the
+   * probe side don't canonicalize equal, so Spark cannot reuse the
+   * exchange). The per-doc rollup then combines map-side. No broadcast
+   * assumption: unlike the contamination check the boilerplate set is
+   * not bounded a priori.
+   */
+  def boilerplate(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      groupCol: String,
+      n: Int = 5,
+      minDf: Long = 2
+  ): DataFrame = {
+    graft.sql.GraftFunctions.register(df.sparkSession)
+    val grams = df
+      .select(col(idCol), col(groupCol), F.tokens(col(textCol)).as("tk"))
+      .select(col(idCol), col(groupCol), explode(wordNgrams(col("tk"), n)).as("gram"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol), col("gram"))
+    grams
+      .withColumn("df", count(lit(1)).over(w))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(when(col("df") >= minDf, 1L).otherwise(0L)).as("n_boiler"))
+      .withColumn("boiler_frac", col("n_boiler").cast("double") / col("n_grams").cast("double"))
+  }
+
   /** Number of a language's marker words present in the text. */
   def langScore(textCol: Column, markers: Seq[String]): Column =
     markers

@@ -30,4 +30,31 @@ class CurationSpec extends SparkSpecBase {
     // every input doc has exactly one decision row
     assert(out.size == 5)
   }
+
+  test("boilerplate flags grams shared across a source's docs, not cross-source or unique text") {
+    val header = "this site uses cookies to improve your experience always"
+    val docs = Seq(
+      (1L, s"$header alpha beta gamma delta epsilon zeta eta theta", "siteA"),
+      (2L, s"$header iota kappa lambda mu nu xi omicron pi", "siteA"),
+      // same header on ANOTHER source: must not count toward siteA's df,
+      // and alone on siteB it stays under minDf
+      (3L, s"$header rho sigma tau upsilon phi chi psi omega", "siteB"),
+      (4L, "entirely unique prose with no repeated navigation fragments at all", "siteA")
+    ).toDF("doc_id", "text", "source")
+
+    val out = graft.operators.TextAnalysis
+      .boilerplate(docs, "doc_id", "text", "source", n = 5, minDf = 2)
+      .orderBy("doc_id")
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> (r.getAs[Long]("n_boiler"), r.getAs[Long]("n_grams")))
+      .toMap
+
+    // the 9-token header contributes 5 shared 5-grams to docs 1 and 2
+    assert(out(1L)._1 == 5L, s"doc1 boiler grams: ${out(1L)}")
+    assert(out(2L)._1 == 5L, s"doc2 boiler grams: ${out(2L)}")
+    assert(out(3L)._1 == 0L, "siteB's single doc has nothing repeated within its source")
+    assert(out(4L)._1 == 0L, "unique prose has no boilerplate")
+    // 17 tokens per doc -> 13 distinct 5-grams
+    assert(out(1L)._2 == 13L)
+  }
 }

@@ -187,4 +187,23 @@ class DedupSpec extends SparkSpecBase {
     assert(lsh.subsetOf(brute), "LSH must not produce false positives after exact verification")
     assert(brute.isEmpty || lsh.nonEmpty, "LSH should recall some true pairs")
   }
+
+  test("semantic dedup collapses embedding clusters to min-id representatives") {
+    // two tight clusters (0,1) and (2,3) plus a singleton 4: vectors in a
+    // cluster are small perturbations, cross-cluster cosine ~ 0
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.01f, 0.0f, 0.0f)),
+      (1L, Array(0.99f, 0.0f, 0.01f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.01f, 0.0f)),
+      (3L, Array(0.01f, 0.99f, 0.0f, 0.0f)),
+      (4L, Array(0.0f, 0.0f, 0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Dedup
+      .semanticDedup(vecs, "vec_id", "embedding", threshold = 0.9)
+      .orderBy("vec_id")
+      .as[(Long, Long, Boolean)]
+      .collect()
+      .toSeq
+    assert(out == Seq((0L, 0L, true), (1L, 0L, false), (2L, 2L, true), (3L, 2L, false), (4L, 4L, true)))
+  }
 }

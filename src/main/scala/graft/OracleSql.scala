@@ -857,6 +857,16 @@ object OracleSql {
                     GROUP BY g.doc_id)
          SELECT doc_id, n_grams, n_boiler,
                 CAST(n_boiler AS DOUBLE) / CAST(n_grams AS DOUBLE) AS boiler_frac
-         FROM c ORDER BY doc_id"""
+         FROM c ORDER BY doc_id""",
+    "q_mix_weights" ->
+      """WITH s AS (SELECT lang, source, COUNT(*) AS n_docs,
+                           CAST(SUM(CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT)) AS BIGINT) AS n_tokens
+                    FROM documents GROUP BY lang, source),
+              t AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot_tokens,
+                           CAST(COUNT(*) AS BIGINT) AS n_groups FROM s)
+         SELECT lang, source, n_docs, n_tokens,
+                CAST(n_tokens AS DOUBLE) / CAST(tot_tokens AS DOUBLE) AS actual_share,
+                CAST(tot_tokens AS DOUBLE) / CAST(n_groups * n_tokens AS DOUBLE) AS weight
+         FROM s CROSS JOIN t ORDER BY lang, source"""
   )
 }

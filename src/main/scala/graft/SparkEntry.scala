@@ -1103,6 +1103,32 @@ object SparkEntry {
       .orderBy(col("doc_id"))
 
   /**
+   * Data-mixing weights (DoReMi-lite static mix): per-(lang, source)
+   * token totals, each domain's share of the corpus, and the
+   * uniform-target reweighting factor weight = target_share /
+   * actual_share = tot / (n_groups · n_tokens) — the numbers a
+   * training pipeline feeds into per-domain sampling. One
+   * map-side-combined aggregate over the corpus; the totals side is a
+   * 1-row broadcast, and every share/weight is exact integer sums +
+   * one IEEE division so both engines agree bitwise.
+   */
+  private def qMixWeights(s: SparkSession, dir: String): DataFrame = {
+    val perSrc = ld(s, dir, "documents")
+      .groupBy(col("lang"), col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(TextAnalysis.wsTokenCount(col("text")).cast("long")).as("n_tokens"))
+    val tot = perSrc.agg(sum(col("n_tokens")).as("tot_tokens"), count(lit(1)).as("n_groups"))
+    perSrc
+      .crossJoin(broadcast(tot))
+      .select(
+        col("lang"), col("source"), col("n_docs"), col("n_tokens"),
+        (col("n_tokens").cast("double") / col("tot_tokens").cast("double")).as("actual_share"),
+        (col("tot_tokens").cast("double") / (col("n_groups") * col("n_tokens")).cast("double")).as("weight"))
+      .orderBy(col("lang"), col("source"))
+  }
+
+  /**
    * Quality-weighted (importance) sampling: keep a doc with probability
    * equal to its quality score, decided by the deterministic content
    * fingerprint as the uniform draw (u = fp / 2^31-1) — reproducible
@@ -1218,7 +1244,8 @@ object SparkEntry {
     "q_rollup_routed" -> (qRollupRouted _),
     "q_rollup_routed_avg" -> (qRollupRoutedAvg _),
     "q_semdedup" -> (qSemdedup _),
-    "q_boilerplate" -> (qBoilerplate _)
+    "q_boilerplate" -> (qBoilerplate _),
+    "q_mix_weights" -> (qMixWeights _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -77,4 +77,19 @@ object Catalog {
       .dirtyBuckets(spark, changelogDir)
       .toDF("bucket", "pending_seq")
   }
+
+  /** Registered query-over-rollup routes (RollupRewriteRule targets):
+    * which fact each rollup answers for, at what grain, and the
+    * aggregate columns it can substitute. */
+  def showRollupRoutes(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    RollupRoutes.all
+      .map(r => (
+        r.factPathContains, r.rollupPath, r.timeCol, r.grain,
+        r.dims.mkString(","),
+        r.sums.map { case (m, c) => s"$m->$c" }.mkString(","),
+        r.countCol.getOrElse(""),
+        r.counts.map { case (m, c) => s"$m->$c" }.mkString(",")))
+      .toDF("fact", "rollup", "time_col", "grain", "dims", "sums", "count_col", "metric_counts")
+  }
 }

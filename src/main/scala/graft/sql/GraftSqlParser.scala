@@ -23,6 +23,7 @@ import org.apache.spark.sql.types.{DataType, DoubleType, LongType, StringType, S
  *   DELETE QUERY METRICS
  *   KILL QUERY '<job-group>'
  *   SHOW UPDATES_INTERVALS '<changelog-dir>'
+ *   SHOW ROLLUP ROUTES
  */
 class GraftSqlParser(session: SparkSession, delegate: ParserInterface) extends ParserInterface {
 
@@ -36,6 +37,7 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface) extends P
       case DeleteMetricsRe() => DeleteQueryMetricsCommand()
       case KillQueryRe(group) => KillQueryCommand(group)
       case ShowUpdatesRe(dir) => ShowUpdatesIntervalsCommand(dir)
+      case ShowRoutesRe() => ShowRollupRoutesCommand()
       case _ => delegate.parsePlan(sqlText)
     }
   }
@@ -55,6 +57,7 @@ object GraftSqlParser {
   private val DeleteMetricsRe = """(?is)DELETE\s+QUERY\s+METRICS\s*;?""".r
   private val KillQueryRe = """(?is)KILL\s+QUERY\s+'([^']+)'\s*;?""".r
   private val ShowUpdatesRe = """(?is)SHOW\s+UPDATES_INTERVALS\s+'([^']+)'\s*;?""".r
+  private val ShowRoutesRe = """(?is)SHOW\s+ROLLUP\s+ROUTES\s*;?""".r
 
   private[sql] def attr(name: String, dt: DataType): Attribute = AttributeReference(name, dt, nullable = true)()
 }
@@ -94,4 +97,15 @@ case class ShowUpdatesIntervalsCommand(changelogDir: String) extends LeafRunnabl
   override val output: Seq[Attribute] = Seq(attr("bucket", StringType), attr("pending_seq", LongType))
   override def run(spark: SparkSession): Seq[Row] =
     Catalog.showUpdatesIntervals(spark, changelogDir).collect().toSeq
+}
+
+/** SHOW ROLLUP ROUTES — the registered query-over-rollup rewrites. */
+case class ShowRollupRoutesCommand() extends LeafRunnableCommand {
+  import GraftSqlParser.attr
+  override val output: Seq[Attribute] = Seq(
+    attr("fact", StringType), attr("rollup", StringType), attr("time_col", StringType),
+    attr("grain", StringType), attr("dims", StringType), attr("sums", StringType),
+    attr("count_col", StringType), attr("metric_counts", StringType))
+  override def run(spark: SparkSession): Seq[Row] =
+    Catalog.showRollupRoutes(spark).collect().toSeq
 }

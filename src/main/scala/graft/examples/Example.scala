@@ -70,6 +70,18 @@ object Example {
       .orderBy(col("shard_id"))
       .show(5)
 
+    println("== Semantic dedup: collapse near-identical embeddings, keep representatives ==")
+    Dedup
+      .semanticDedup(load("embeddings"), "vec_id", "embedding", threshold = 0.9)
+      .filter(!col("keep"))
+      .show(5)
+
+    println("== Boilerplate: grams repeated across a source's documents ==")
+    TextAnalysis
+      .boilerplate(load("documents"), "doc_id", "text", "source", n = 5, minDf = 2)
+      .orderBy(col("boiler_frac").desc, col("doc_id"))
+      .show(5)
+
     spark.stop()
   }
 }

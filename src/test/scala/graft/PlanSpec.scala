@@ -114,6 +114,26 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("SortMergeJoin"), "corpus grams must not shuffle for the eval join")
   }
 
+  test("q_boilerplate shuffles the gram table exactly once (count window, no join-back)") {
+    val p = planOf("q_boilerplate")
+    // one exchange on (source, gram) for the window, one on doc_id for the
+    // per-doc rollup, one range for ORDER BY — and no second gram shuffle
+    // from an aggregate-then-join-back formulation
+    val gramExchanges = "hashpartitioning\\(source[#0-9]*, gram".r.findAllIn(p).length
+    assert(gramExchanges == 1, s"expected exactly one (source, gram) exchange, got $gramExchanges:\n${p.take(3000)}")
+    assert(!p.contains("Join"), "boilerplate must not join the corpus back on itself:\n" + p.take(3000))
+  }
+
+  test("q_rollup_routed_avg answers entirely from the rollup") {
+    val df = SparkEntry.queries("q_rollup_routed_avg")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("events_by_day_v2"), "avg quotient must read the rollup:\n" + p.take(3000))
+    // with the rollup path masked, any remaining /events scan is the fact
+    val scrubbed = p.replace("events_by_day_v2", "ROLLUP")
+    assert(!scrubbed.contains("/events"), "fact layout must not be scanned:\n" + p.take(3000))
+  }
+
   test("TsLayout time-range read prunes partitions") {
     val path = "/tmp/graft_spec_layout/events"
     val events = SparkEntry.queries("q_stream_ingest")(spark, sfDir) // writes + reads the layout

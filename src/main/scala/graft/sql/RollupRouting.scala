@@ -64,7 +64,16 @@ final case class RollupRoute(
     /** metric → the exact cast type its `sums` column was materialized
       * under (absent = materialized as sum(m) with no cast). A query-side
       * sum routes only under the identical cast. */
-    sumCasts: Map[String, org.apache.spark.sql.types.DataType] = Map.empty
+    sumCasts: Map[String, org.apache.spark.sql.types.DataType] = Map.empty,
+    /** metric → rollup column holding hll_sketch_agg(metric, lgK) binary
+      * partials. hll_sketch_estimate(hll_sketch_agg(m, lgK)) then routes
+      * to hll_sketch_estimate(hll_union_agg(col)) — value-identical, the
+      * HLL register-max merge is exactly how Spark already combines
+      * per-partition partials of a single-pass sketch. */
+    sketches: Map[String, String] = Map.empty,
+    /** metric → the lgConfK its sketch column was materialized with; a
+      * query sketching at a different precision must not route. */
+    sketchLgK: Map[String, Int] = Map.empty
 )
 
 /** Session-wide route registry (rollupPath is the identity). */
@@ -260,6 +269,19 @@ case class RollupRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
                 }
               case m: Min => metricNameMono(m.child).flatMap(route.mins.get).flatMap(rAttr.get).map(Min(_))
               case m: Max => metricNameMono(m.child).flatMap(route.maxs.get).flatMap(rAttr.get).map(Max(_))
+              // hll sketch over a bare metric at the materialized lgK:
+              // union of the stored per-bucket sketches (register-max
+              // merge) is the same sketch a single pass would build
+              case h: HllSketchAgg =>
+                (h.right, h.left) match {
+                  case (Literal(k: Int, org.apache.spark.sql.types.IntegerType), a: AttributeReference) =>
+                    factMetric(a)
+                      .filter(m => route.sketchLgK.get(m.name).contains(k))
+                      .flatMap(m => route.sketches.get(m.name))
+                      .flatMap(rAttr.get)
+                      .map(c => new HllUnionAgg(c, Literal(false)))
+                  case _ => None
+                }
               case _ => None
             }
             rolled.map { nf =>

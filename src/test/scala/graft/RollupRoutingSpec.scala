@@ -30,7 +30,8 @@ class RollupRoutingSpec extends SparkSpecBase {
       sums = Map("value" -> "v", "user_id" -> "su"), countCol = Some("c"),
       mins = Map("value" -> "vmin"), maxs = Map("value" -> "vmax"),
       counts = Map("value" -> "cv", "user_id" -> "cu"),
-      sumCasts = Map("value" -> org.apache.spark.sql.types.DecimalType(18, 4))))
+      sumCasts = Map("value" -> org.apache.spark.sql.types.DecimalType(18, 4)),
+      sketches = Map("user_id" -> "hu"), sketchLgK = Map("user_id" -> 12)))
 
   private lazy val facts: DataFrame = {
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
@@ -47,7 +48,8 @@ class RollupRoutingSpec extends SparkSpecBase {
       Seq(count(lit(1)).as("c"), sum(col("value").cast("decimal(18,4)")).as("v"),
         min(col("value")).as("vmin"), max(col("value")).as("vmax"),
         count(col("value")).as("cv"),
-        sum(col("user_id")).as("su"), count(col("user_id")).as("cu"))
+        sum(col("user_id")).as("su"), count(col("user_id")).as("cu"),
+        hll_sketch_agg(col("user_id"), 12).as("hu"))
     ).materialize(f, rollPath)
     GraftFunctions.installRollupRouting(spark)
     registerDayRoute()
@@ -183,6 +185,30 @@ class RollupRoutingSpec extends SparkSpecBase {
     val same = routed.collect().toSeq == direct.collect().toSeq
     registerDayRoute()
     assert(same)
+  }
+
+  test("hll sketch estimate routes via union of the stored partials at the same lgK only") {
+    facts // force init + route registration
+    def hllQ(src: DataFrame, lgK: Int): DataFrame =
+      src
+        .groupBy(F.truncMonth(col("ts")).as("month"), col("event_type"))
+        .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"), lgK)).as("approx_users"))
+        .orderBy(col("month"), col("event_type"))
+    val routed = hllQ(facts, 12)
+    val p = scanPaths(routed)
+    assert(p.contains(rollPath) && !p.contains(factPath), s"expected rollup-only scan:\n$p")
+    RollupRoutes.clear()
+    val direct = hllQ(facts, 12)
+    val same = routed.collect().toSeq == direct.collect().toSeq
+    registerDayRoute()
+    assert(same, "union of per-bucket sketches must estimate identically to the single pass")
+    // a different precision cannot be answered by the stored sketches
+    assert(scanPaths(hllQ(facts, 13)).contains(factPath), "mismatched lgK must not route")
+    // a sketch over a column with no stored partials stays on the fact
+    val other = facts
+      .groupBy(F.truncMonth(col("ts")).as("month"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("props"), 12)).as("a"))
+    assert(scanPaths(other).contains(factPath), "unsketched metric must not route")
   }
 
   test("lossy or mismatched casts block the route instead of changing the answer") {

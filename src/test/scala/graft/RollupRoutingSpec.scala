@@ -187,6 +187,30 @@ class RollupRoutingSpec extends SparkSpecBase {
     assert(same)
   }
 
+  test("week grain, dim-only groups, and global aggregates all route") {
+    facts // force init + route registration
+    // week boundaries are day-aligned, so a day rollup answers week groups
+    def weekQ(src: DataFrame) = src
+      .groupBy(F.truncWeek(col("ts")).as("wk"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("wk"))
+    // no time grouping at all: full-history rollup re-aggregation
+    def dimQ(src: DataFrame) = src
+      .groupBy(col("event_type"))
+      .agg(sum(col("value").cast("decimal(18,4)")).cast("double").as("sv"))
+      .orderBy(col("event_type"))
+    def globalQ(src: DataFrame) = src.agg(count(lit(1)).as("n"))
+    for ((q, label) <- Seq(weekQ _ -> "week", dimQ _ -> "dim-only", globalQ _ -> "global")) {
+      val routed = q(facts)
+      assert(scanPaths(routed).contains(rollPath), s"$label query should route")
+      RollupRoutes.clear()
+      val direct = q(facts)
+      val same = routed.collect().toSeq == direct.collect().toSeq
+      registerDayRoute()
+      assert(same, s"$label routed result must equal the fact-side result")
+    }
+  }
+
   test("hll sketch estimate routes via union of the stored partials at the same lgK only") {
     facts // force init + route registration
     def hllQ(src: DataFrame, lgK: Int): DataFrame =

@@ -867,6 +867,17 @@ object OracleSql {
          SELECT lang, source, n_docs, n_tokens,
                 CAST(n_tokens AS DOUBLE) / CAST(tot_tokens AS DOUBLE) AS actual_share,
                 CAST(tot_tokens AS DOUBLE) / CAST(n_groups * n_tokens AS DOUBLE) AS weight
-         FROM s CROSS JOIN t ORDER BY lang, source"""
+         FROM s CROSS JOIN t ORDER BY lang, source""",
+    // same three patterns as TextAnalysis.piiScrub, same email->ip->phone order
+    "q_pii_scrub" ->
+      """SELECT doc_id,
+                CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+                CAST(len(regexp_extract_all(text, '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS BIGINT) AS n_ips,
+                CAST(len(regexp_extract_all(text, '\+?[0-9][0-9()\- ]{7,}[0-9]')) AS BIGINT) AS n_phones,
+                regexp_replace(regexp_replace(regexp_replace(text,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                  '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g'),
+                  '\+?[0-9][0-9()\- ]{7,}[0-9]', '<PHONE>', 'g') AS scrubbed
+         FROM documents ORDER BY doc_id"""
   )
 }

@@ -958,6 +958,14 @@ object SparkEntry {
       )
       .orderBy(col("doc_id"))
 
+  /** PII scrub over the corpus (TextAnalysis.piiScrub): span counts per
+    * class + the masked text; patterns restricted to syntax with
+    * identical Java-regex/RE2 semantics so the oracle agrees exactly. */
+  private def qPiiScrub(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis
+      .piiScrub(ld(s, dir, "documents"), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
   private def qTextFingerprint(s: SparkSession, dir: String): DataFrame =
     ld(s, dir, "documents")
       .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
@@ -1245,7 +1253,8 @@ object SparkEntry {
     "q_rollup_routed_avg" -> (qRollupRoutedAvg _),
     "q_semdedup" -> (qSemdedup _),
     "q_boilerplate" -> (qBoilerplate _),
-    "q_mix_weights" -> (qMixWeights _)
+    "q_mix_weights" -> (qMixWeights _),
+    "q_pii_scrub" -> (qPiiScrub _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

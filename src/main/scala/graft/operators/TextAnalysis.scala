@@ -72,6 +72,33 @@ object TextAnalysis {
       .withColumn("boiler_frac", col("n_boiler").cast("double") / col("n_grams").cast("double"))
   }
 
+  /** PII patterns shared by the scrub operator and its oracle — kept to
+    * syntax with identical semantics in Java regex and RE2 (no
+    * backrefs/lookaround), so both engines find the same spans. */
+  val piiEmail = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val piiIp = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+  val piiPhone = "\\+?[0-9][0-9()\\- ]{7,}[0-9]"
+
+  /**
+   * PII scrubbing (corpus-cleaning step): per document, counts of
+   * email / IPv4 / phone-shaped spans and the text with each replaced
+   * by a type tag, applied email → ip → phone so the classes cannot
+   * shadow each other differently across engines. Pure per-row column
+   * algebra — codegen'd, no shuffle at any scale.
+   */
+  def piiScrub(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(
+      col(idCol),
+      size(regexp_extract_all(col(textCol), lit(piiEmail), lit(0))).cast("long").as("n_emails"),
+      size(regexp_extract_all(col(textCol), lit(piiIp), lit(0))).cast("long").as("n_ips"),
+      size(regexp_extract_all(col(textCol), lit(piiPhone), lit(0))).cast("long").as("n_phones"),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col(textCol), piiEmail, "<EMAIL>"),
+          piiIp, "<IP>"),
+        piiPhone, "<PHONE>").as("scrubbed")
+    )
+
   /** Number of a language's marker words present in the text. */
   def langScore(textCol: Column, markers: Seq[String]): Column =
     markers

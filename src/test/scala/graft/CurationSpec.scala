@@ -57,4 +57,18 @@ class CurationSpec extends SparkSpecBase {
     // 17 tokens per doc -> 13 distinct 5-grams
     assert(out(1L)._2 == 13L)
   }
+
+  test("pii scrub masks email, IP, and phone spans with exact counts") {
+    val docs = Seq(
+      (1L, "contact john.doe+x@example.co.uk or 192.168.1.254 ; call +1-415-555-0199 today"),
+      (2L, "no sensitive content here at all")
+    ).toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis.piiScrub(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out(0).getAs[Long]("n_emails") == 1 &&
+      out(0).getAs[Long]("n_ips") == 1 && out(0).getAs[Long]("n_phones") == 1)
+    assert(out(0).getAs[String]("scrubbed") == "contact <EMAIL> or <IP> ; call <PHONE> today")
+    assert(out(1).getAs[Long]("n_emails") == 0 &&
+      out(1).getAs[String]("scrubbed") == "no sensitive content here at all")
+  }
 }

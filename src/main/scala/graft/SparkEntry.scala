@@ -500,17 +500,14 @@ object SparkEntry {
     }
     if (!done(layout)) TsLayout.write(ld(s, dir, "events"), TestSchema.events, layout)
     val facts = TsLayout.read(s, layout)
-    if (!done(rollPath))
-      Rollup("events_by_day", F.truncDay(col("ts")), Seq(col("event_type")),
-        Seq(count(lit(1)).as("c"), sum(col("value").cast("decimal(18,4)")).as("v"),
-          count(col("value")).as("cv")))
-        .materialize(facts, rollPath)
+    val roll = Rollup("events_by_day", F.truncDay(col("ts")), Seq(col("event_type")),
+      Seq(count(lit(1)).as("c"), sum(col("value").cast("decimal(18,4)")).as("v"),
+        count(col("value")).as("cv")))
+    if (!done(rollPath)) roll.materialize(facts, rollPath)
     graft.sql.GraftFunctions.installRollupRouting(s)
-    graft.sql.RollupRoutes.register(graft.sql.RollupRoute(
-      factPathContains = layout, rollupPath = rollPath, timeCol = "ts", grain = "day",
-      dims = Seq("event_type"), sums = Map("value" -> "v"), countCol = Some("c"),
-      counts = Map("value" -> "cv"),
-      sumCasts = Map("value" -> org.apache.spark.sql.types.DecimalType(18, 4))))
+    // the route is DERIVED from the rollup's own aggregate expressions,
+    // so the declaration cannot drift from the materialized table
+    graft.sql.RollupRoutes.register(roll.deriveRoute(facts, layout, rollPath).get)
     facts
   }
 

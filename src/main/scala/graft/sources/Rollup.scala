@@ -99,6 +99,83 @@ final case class Rollup(
       .groupBy((timeExpr.as("rollup_time") +: groupBy): _*)
       .agg(aggregates.head, aggregates.tail: _*)
   }
+
+  /**
+   * Derive the [[graft.sql.RollupRoute]] this rollup can answer, read
+   * off the ANALYZED aggregate expressions themselves — so the
+   * metric→column mapping, the exact sum casts, and the sketch
+   * precision can never drift from what was actually materialized
+   * (hand-declared routes can silently disagree with the table).
+   * Recognized per output column: sum(m) / sum(cast(m as T)),
+   * count(1), count(m), min(m), max(m), hll_sketch_agg(m, lgK); other
+   * aggregates are simply not declared (queries using them stay on the
+   * fact). Returns None when the rollup cannot answer unrestricted
+   * queries at all: a row filter, or a non-date_trunc time expression.
+   */
+  def deriveRoute(fact: DataFrame, factPathContains: String, rollupPath: String): Option[graft.sql.RollupRoute] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.catalyst.expressions.aggregate._
+    import org.apache.spark.unsafe.types.UTF8String
+    if (filter.nonEmpty) return None // a filtered rollup misses rows
+    val aggNode = apply(fact).queryExecution.analyzed.collectFirst {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }
+    aggNode.flatMap { a =>
+      var time: Option[(String, String)] = None // (fact time col, grain)
+      val dims = scala.collection.mutable.ListBuffer.empty[String]
+      var countCol: Option[String] = None
+      val sums = scala.collection.mutable.LinkedHashMap.empty[String, String]
+      val mins = scala.collection.mutable.LinkedHashMap.empty[String, String]
+      val maxs = scala.collection.mutable.LinkedHashMap.empty[String, String]
+      val counts = scala.collection.mutable.LinkedHashMap.empty[String, String]
+      val sketches = scala.collection.mutable.LinkedHashMap.empty[String, String]
+      val sumCasts = scala.collection.mutable.LinkedHashMap.empty[String, org.apache.spark.sql.types.DataType]
+      val sketchLgK = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+      a.aggregateExpressions.foreach {
+        case Alias(TruncTimestamp(Literal(fmt: UTF8String, _), attr: AttributeReference, _), "rollup_time") =>
+          time = Some((attr.name, fmt.toString.toLowerCase))
+        case attr: AttributeReference => dims += attr.name
+        case Alias(ae: AggregateExpression, outName)
+            if ae.mode == Complete && !ae.isDistinct && ae.filter.isEmpty =>
+          ae.aggregateFunction match {
+            case s: Sum =>
+              s.child match {
+                case attr: AttributeReference => sums(attr.name) = outName
+                case Cast(attr: AttributeReference, t, _, _) =>
+                  sums(attr.name) = outName; sumCasts(attr.name) = t
+                case _ => ()
+              }
+            case c: Count if c.children.sizeIs == 1 =>
+              c.children.head match {
+                case _: Literal => countCol = countCol.orElse(Some(outName))
+                case attr: AttributeReference => counts(attr.name) = outName
+                case _ => ()
+              }
+            case m: Min =>
+              m.child match { case attr: AttributeReference => mins(attr.name) = outName; case _ => () }
+            case m: Max =>
+              m.child match { case attr: AttributeReference => maxs(attr.name) = outName; case _ => () }
+            case h: HllSketchAgg =>
+              (h.left, h.right) match {
+                case (attr: AttributeReference, Literal(k: Int, org.apache.spark.sql.types.IntegerType)) =>
+                  sketches(attr.name) = outName; sketchLgK(attr.name) = k
+                case _ => ()
+              }
+            case _ => () // not re-aggregable from partials: not declared
+          }
+        case _ => () // computed output: queries over it stay on the fact
+      }
+      time.map { case (tc, grain) =>
+        graft.sql.RollupRoute(
+          factPathContains = factPathContains, rollupPath = rollupPath,
+          timeCol = tc, grain = grain, dims = dims.toList,
+          sums = sums.toMap, countCol = countCol,
+          mins = mins.toMap, maxs = maxs.toMap,
+          counts = counts.toMap, sumCasts = sumCasts.toMap,
+          sketches = sketches.toMap, sketchLgK = sketchLgK.toMap)
+      }
+    }
+  }
 }
 
 /**

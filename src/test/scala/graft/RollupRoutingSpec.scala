@@ -187,6 +187,32 @@ class RollupRoutingSpec extends SparkSpecBase {
     assert(same)
   }
 
+  test("deriveRoute reads the exact hand-written route off the rollup's own aggregates") {
+    facts // force init (materializes the rollup below)
+    val roll = Rollup(
+      "events_by_day",
+      F.truncDay(col("ts")),
+      Seq(col("event_type")),
+      Seq(count(lit(1)).as("c"), sum(col("value").cast("decimal(18,4)")).as("v"),
+        min(col("value")).as("vmin"), max(col("value")).as("vmax"),
+        count(col("value")).as("cv"),
+        sum(col("user_id")).as("su"), count(col("user_id")).as("cu"),
+        hll_sketch_agg(col("user_id"), 12).as("hu")))
+    val derived = roll.deriveRoute(facts, factPath, rollPath)
+    val handWritten = RollupRoute(
+      factPathContains = factPath, rollupPath = rollPath,
+      timeCol = "ts", grain = "day", dims = Seq("event_type"),
+      sums = Map("value" -> "v", "user_id" -> "su"), countCol = Some("c"),
+      mins = Map("value" -> "vmin"), maxs = Map("value" -> "vmax"),
+      counts = Map("value" -> "cv", "user_id" -> "cu"),
+      sumCasts = Map("value" -> org.apache.spark.sql.types.DecimalType(18, 4)),
+      sketches = Map("user_id" -> "hu"), sketchLgK = Map("user_id" -> 12))
+    assert(derived.contains(handWritten))
+    // a filtered rollup misses rows -> it must not derive a route
+    assert(roll.copy(filter = Some(col("event_type") === "click"))
+      .deriveRoute(facts, factPath, rollPath).isEmpty)
+  }
+
   test("week grain, dim-only groups, and global aggregates all route") {
     facts // force init + route registration
     // week boundaries are day-aligned, so a day rollup answers week groups

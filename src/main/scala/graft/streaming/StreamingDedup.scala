@@ -81,4 +81,74 @@ object StreamingDedup {
       }
       .start()
   }
+
+  /**
+   * Streaming semantic dedup: screen NEW embeddings against the
+   * persisted vector index — the batch counterpart is
+   * [[graft.operators.Dedup.semanticDedup]]. Per micro-batch:
+   * hyperplane sign bits (stateless narrow map), band-probe the index
+   * plus the batch itself, exact cosine verification of the (id-only)
+   * candidates, then idempotent batch_id-partitioned appends of both
+   * matches and (id, bits, vec) index rows. Per-batch work is
+   * |batch| × collision rate, never |corpus|².
+   */
+  def runEmbeddings(
+      spark: SparkSession,
+      vecs: DataFrame, // streaming: (vec_id long, embedding array<float>)
+      indexPath: String,
+      matchesPath: String,
+      planes: Int = 16,
+      bands: Int = 4,
+      threshold: Double = 0.97,
+      checkpoint: String = "/tmp/graft_streaming_semdedup_ckpt"
+  ): StreamingQuery = {
+    val rowsPerBand = planes / bands
+    val mask = (1L << rowsPerBand) - 1L
+
+    def banded(sigs: DataFrame): DataFrame =
+      sigs.select(
+        col("id"), col("vec"),
+        explode(
+          transform(
+            sequence(lit(0), lit(bands - 1)),
+            bnd => struct(bnd.as("band"),
+              call_function("shiftrightunsigned", col("bits"), bnd * rowsPerBand)
+                .bitwiseAND(lit(mask)).as("bh"))
+          )
+        ).as("bk")
+      ).select(col("id"), col("vec"), col("bk.band"), col("bk.bh"))
+
+    vecs.writeStream
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime(0L))
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val s = batch.sparkSession
+          graft.sql.GraftFunctions.register(s)
+          val sigs = batch
+            .select(col("vec_id").as("id"), col("embedding").as("vec"))
+            .withColumn("bits", call_function("graft_hyperplane_bits", col("vec"), lit(planes)))
+            .cache()
+          val probe = banded(sigs)
+          val haveIndex = Files.exists(Paths.get(indexPath))
+          val target =
+            if (haveIndex) banded(s.read.parquet(indexPath)).unionByName(probe) else probe
+          val matches = probe.as("a")
+            .join(
+              target.as("b"),
+              col("a.band") === col("b.band") && col("a.bh") === col("b.bh") && col("a.id") > col("b.id"))
+            .select(col("a.id").as("new_id"), col("b.id").as("existing_id"),
+              call_function("graft_cosine", col("a.vec"), col("b.vec")).as("cos"))
+            .filter(col("cos") >= threshold)
+            .distinct()
+          // replay-safe: see the batch_id-partition note in run() above
+          matches.write.mode("overwrite").parquet(s"$matchesPath/batch_id=$batchId")
+          sigs.write.mode("overwrite").parquet(s"$indexPath/batch_id=$batchId")
+          sigs.unpersist()
+        }
+        ()
+      }
+      .start()
+  }
 }

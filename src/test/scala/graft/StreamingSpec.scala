@@ -221,6 +221,37 @@ class StreamingSpec extends SparkSpecBase {
     assert(spark.read.parquet(s"$base/index").count() == 4) // all docs indexed
   }
 
+  test("streaming semantic dedup screens new embeddings against the persisted vector index") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = "/tmp/graft_ssemdedup_" + System.nanoTime()
+    val stream = MemoryStream[(Long, Array[Float])]
+    val q = graft.streaming.StreamingDedup.runEmbeddings(
+      spark,
+      stream.toDF().toDF("vec_id", "embedding"),
+      indexPath = s"$base/index",
+      matchesPath = s"$base/matches",
+      threshold = 0.9,
+      checkpoint = s"$base/ckpt"
+    )
+    // batch 1: two orthogonal vectors
+    stream.addData(
+      (1L, Array(1.0f, 0.01f, 0.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.01f, 0.0f)))
+    q.processAllAvailable()
+    // batch 2: a near-dup of vector 1 plus a fresh direction
+    stream.addData(
+      (3L, Array(0.99f, 0.0f, 0.01f, 0.0f)),
+      (4L, Array(0.0f, 0.0f, 0.0f, 1.0f)))
+    q.processAllAvailable()
+    q.stop()
+
+    val matches = spark.read.parquet(s"$base/matches")
+      .select("new_id", "existing_id").as[(Long, Long)].collect().toSet
+    assert(matches.contains((3L, 1L)), s"expected (3,1) in $matches")
+    assert(!matches.exists { case (a, b) => Set(a, b).intersect(Set(2L, 4L)).nonEmpty })
+    assert(spark.read.parquet(s"$base/index").count() == 4) // all vectors indexed
+  }
+
   test("streaming contamination screens micro-batches against the static eval gram set") {
     implicit val sqlCtx = spark.sqlContext
     val base = "/tmp/graft_scontam_" + System.nanoTime()

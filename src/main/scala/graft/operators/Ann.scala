@@ -175,11 +175,82 @@ object Ann {
   ): DataFrame = {
     graft.sql.GraftFunctions.register(corpus.sparkSession)
     graft.sql.GraftFunctions.installTopKStrategy(corpus.sparkSession)
+    rankTopK(probedCandidates(corpus, queries, cents, probes), k)
+  }
+
+  private def rankTopK(cands: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("item_id").asc)
-    probedCandidates(corpus, queries, cents, probes)
+    cands
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("item_id"), col("cos"), col("rank"))
+  }
+
+  /**
+   * Persist the IVF index: the trained centroid table (bounded
+   * metadata, one tiny parquet) plus the full corpus assignment
+   * PARTITIONED BY CELL. Search against the stored index then reads
+   * only the probed cells' files — at corpus scale the difference
+   * between scanning probes/numCells of the data and all of it, and
+   * the assignment pass (the expensive full scan) runs once per corpus
+   * version instead of once per query batch.
+   */
+  def buildIvfIndex(
+      spark: SparkSession,
+      corpus: DataFrame,
+      path: String,
+      numCells: Int = 16,
+      lloydIters: Int = 5,
+      trainSample: Long = 20000L
+  ): Unit = {
+    import spark.implicits._
+    graft.sql.GraftFunctions.register(spark)
+    val cents = ivfTrain(spark, corpus, numCells, lloydIters, trainSample)
+    cents.zipWithIndex.toSeq
+      .map { case (v, i) => (i, v) }
+      .toDF("cell", "centroid")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/centroids")
+    corpus
+      .select(col("vec_id").as("item_id"), col("embedding").as("item_vec"))
+      .withColumn("cell", call_function("graft_nearest_centroid", col("item_vec"), centroidsLit(cents)))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/assignments")
+  }
+
+  /** The stored centroid table of [[buildIvfIndex]], cell-ordered. */
+  def loadIvfCentroids(spark: SparkSession, path: String): Array[Array[Float]] =
+    spark.read.parquet(s"$path/centroids")
+      .orderBy(col("cell"))
+      .collect()
+      .map(_.getSeq[Float](1).toArray)
+
+  /**
+   * Probe-limited search against a PERSISTED index: the probed cell
+   * set is resolved first (queries are bounded, so it is driver-side
+   * metadata) and applied as a static partition filter — the scan
+   * reads only those cells' files, verified in OperatorSpec via the
+   * files the plan actually lists.
+   */
+  def searchIvfIndex(
+      spark: SparkSession,
+      path: String,
+      queries: DataFrame,
+      k: Int,
+      probes: Int = 4
+  ): DataFrame = {
+    graft.sql.GraftFunctions.register(spark)
+    graft.sql.GraftFunctions.installTopKStrategy(spark)
+    val cents = loadIvfCentroids(spark, path)
+    val queryProbes = queries
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      .withColumn("cell", explode(call_function("graft_nearest_centroids", col("query_vec"), centroidsLit(cents), lit(probes))))
+    val probeCells = queryProbes.select(col("cell")).distinct().collect().map(_.getInt(0))
+    val cands = spark.read.parquet(s"$path/assignments")
+      .filter(col("cell").isin(probeCells.map(Integer.valueOf): _*))
+      .join(broadcast(queryProbes), Seq("cell"))
+      .filter(col("query_id") =!= col("item_id"))
+      .withColumn("cos", call_function("graft_cosine", col("query_vec"), col("item_vec")))
+    rankTopK(cands, k)
   }
 
   /**

@@ -31,6 +31,42 @@ class OperatorSpec extends SparkSpecBase {
     assert(r5 >= r1 - 0.1, s"more Lloyd budget must not collapse recall: $r1 -> $r5")
   }
 
+  test("persisted IVF index: search equals the in-memory path and reads only probed cells") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 4)
+    val path = "/tmp/graft_ivf_index_spec"
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    Ann.buildIvfIndex(spark, emb, path, numCells = 16, lloydIters = 5)
+
+    val fromIndex = Ann.searchIvfIndex(spark, path, queries, k = 5, probes = 4)
+    val cents = Ann.loadIvfCentroids(spark, path)
+    val direct = Ann.ivfSearch(emb, queries, cents, k = 5, probes = 4)
+    assert(fromIndex.orderBy("query_id", "rank").collect().toSeq ==
+      direct.orderBy("query_id", "rank").collect().toSeq,
+      "stored-index search must equal the in-memory assignment path")
+
+    // partition pruning: the scan lists files only under the probed cells
+    val probed = queries
+      .withColumn("cell", explode(call_function("graft_nearest_centroids",
+        col("embedding"), typedlit[Seq[Seq[Float]]](cents.map(_.toSeq).toSeq), lit(4))))
+      .select("cell").distinct().as[Int].collect().toSet
+    val scanned = fromIndex.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+          if s.relation.location.rootPaths.exists(_.toString.contains("assignments")) =>
+        // keep only the static partition filters: Spark layers a dynamic-
+        // pruning subquery on top (unevaluable outside execution), and the
+        // static isin list is exactly what this test asserts
+        val static = s.partitionFilters.filterNot(
+          _.exists(_.isInstanceOf[org.apache.spark.sql.catalyst.expressions.DynamicPruningSubquery]))
+        s.relation.location.listFiles(static, s.dataFilters)
+          .flatMap(_.files.map(_.fileStatus.getPath.toString))
+    }.flatten
+    assert(scanned.nonEmpty)
+    val cellsRead = scanned.flatMap(f => "cell=(\\d+)".r.findFirstMatchIn(f).map(_.group(1).toInt)).toSet
+    assert(cellsRead.subsetOf(probed), s"scan read cells $cellsRead beyond the probed $probed")
+  }
+
   test("IVF output is deterministic across runs (exact-decimal centroids)") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val q = emb.filter(col("vec_id") < 4)

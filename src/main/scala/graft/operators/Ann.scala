@@ -246,7 +246,7 @@ object Ann {
       .withColumn("cell", explode(call_function("graft_nearest_centroids", col("query_vec"), centroidsLit(cents), lit(probes))))
     val probeCells = queryProbes.select(col("cell")).distinct().collect().map(_.getInt(0))
     val cands = spark.read.parquet(s"$path/assignments")
-      .filter(col("cell").isin(probeCells.map(Integer.valueOf): _*))
+      .filter(col("cell").isin(probeCells.toIndexedSeq.map(Integer.valueOf): _*))
       .join(broadcast(queryProbes), Seq("cell"))
       .filter(col("query_id") =!= col("item_id"))
       .withColumn("cos", call_function("graft_cosine", col("query_vec"), col("item_vec")))

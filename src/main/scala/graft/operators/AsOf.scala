@@ -50,7 +50,7 @@ object AsOf {
     val carried = unioned
       .withColumn("__last_right_time", max(when(col("__side") === 0, col(timeCol))).over(w))
       .filter(col("__side") === 1)
-      .select((left.columns.map(col) :+ col("__last_right_time")): _*)
+      .select((left.columns.toIndexedSeq.map(col) :+ col("__last_right_time")): _*)
     val bounded = tolerance match {
       case Some(sec) =>
         carried.withColumn(

@@ -472,19 +472,87 @@ object Dedup {
   }
 
   /**
+   * Sign-LSH banding sized for a cosine threshold: the LARGEST
+   * bits-per-band r (fewest background collisions) whose band count
+   * still drives the at-threshold miss probability below `missTarget`
+   * within one 64-bit signature. A pair at cosine t agrees on a random
+   * hyperplane's sign with p = 1 − acos(t)/π, collides in an r-bit
+   * band with p^r, and escapes all b bands with (1 − p^r)^b — the same
+   * bound discipline as the minhash 32×2 banding. Pairs ABOVE the
+   * threshold miss strictly less. Note the honest LSH tradeoff: when
+   * the corpus' background similarity approaches t, band collisions
+   * approach all-pairs and the exact verify (correct regardless) does
+   * the work — sign-LSH prunes by SEPARATION, not by threshold alone.
+   */
+  def signBanding(threshold: Double, missTarget: Double = 1e-6, bitBudget: Int = 64): (Int, Int) = {
+    val t = math.min(math.max(threshold, -1.0), 1.0)
+    val p = 1.0 - math.acos(t) / math.Pi
+    val fit = (bitBudget to 1 by -1).iterator.flatMap { r =>
+      val pr = math.pow(p, r)
+      if (pr >= 1.0) None // t ≈ 1: identical signs, any banding catches
+      else {
+        // stay in double domain: for large r the band count explodes and
+        // an Int cast would overflow straight past the budget check
+        val bD = math.max(1.0, math.ceil(math.log(missTarget) / math.log1p(-pr)))
+        if (bD * r <= bitBudget) { val b = bD.toInt; Some((r * b, b)) } else None
+      }
+    }
+    fit.nextOption().getOrElse((bitBudget, bitBudget / 2))
+  }
+
+  /**
    * Embedding near-duplicate pairs via random-hyperplane LSH: sign-bit
    * signature over `planes` pseudo-random hyperplanes (deterministic,
    * hash-generated — no RNG state to ship), banded for candidates, then
-   * exact cosine >= threshold.
+   * exact cosine >= threshold. With `planes`/`bands` ≤ 0 (the default)
+   * the banding is sized from the threshold via [[signBanding]], so the
+   * "every ≥-threshold pair is found" claim holds to the declared miss
+   * bound on ANY data instead of depending on the corpus' luck with a
+   * fixed 16×4 layout.
    */
   def embeddingPairs(
       df: DataFrame,
       idCol: String,
       vecCol: String,
-      planes: Int = 16,
-      bands: Int = 4,
+      planes: Int = 0,
+      bands: Int = 0,
       threshold: Double = 0.97,
       maxBucket: Option[Int] = None
+  ): DataFrame = {
+    val (planes1, bands1) =
+      if (planes > 0 && bands > 0) (planes, bands) else signBanding(threshold)
+    // Dispatch on whether the banding can prune AT ALL (the ngram skew
+    // probe's sibling): with r ≤ 2 bits per band, even orthogonal pairs
+    // collide in some band w.p. ≥ 1-(3/4)^b ≈ 1 — the "candidates" are
+    // all pairs, duplicated per band. Running the exact verify directly
+    // is the same result for a fraction of the work. Thresholds low
+    // enough to force r ≤ 2 (t ≲ 0.6) have no sub-quadratic exact path
+    // under sign-LSH — that is a property of the problem, not the plan.
+    if (planes1 / bands1 <= 2) embeddingPairsBrute(df, idCol, vecCol, threshold)
+    else embeddingPairsSized(df, idCol, vecCol, planes1, bands1, threshold, maxBucket)
+  }
+
+  /** Exact all-pairs cosine verify — the degenerate-banding path. */
+  private def embeddingPairsBrute(
+      df: DataFrame, idCol: String, vecCol: String, threshold: Double): DataFrame = {
+    graft.sql.GraftFunctions.register(df.sparkSession)
+    val vecs = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    vecs.as("a")
+      .crossJoin(vecs.as("b"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        call_function("graft_cosine", col("a.vec"), col("b.vec")).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
+  private def embeddingPairsSized(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      planes: Int,
+      bands: Int,
+      threshold: Double,
+      maxBucket: Option[Int]
   ): DataFrame = {
     val rowsPerBand = planes / bands
     graft.sql.GraftFunctions.register(df.sparkSession)
@@ -692,8 +760,8 @@ object Dedup {
       idCol: String,
       vecCol: String,
       threshold: Double,
-      planes: Int = 16,
-      bands: Int = 4,
+      planes: Int = 0, // ≤0 = sized from the threshold (signBanding)
+      bands: Int = 0,
       maxBucket: Option[Int] = None
   ): DataFrame = {
     val norm2 = F.dot(col(vecCol), col(vecCol))

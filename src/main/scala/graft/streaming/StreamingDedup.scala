@@ -97,12 +97,14 @@ object StreamingDedup {
       vecs: DataFrame, // streaming: (vec_id long, embedding array<float>)
       indexPath: String,
       matchesPath: String,
-      planes: Int = 16,
-      bands: Int = 4,
+      planes: Int = 0, // ≤0 = sized from the threshold (Dedup.signBanding)
+      bands: Int = 0,
       threshold: Double = 0.97,
       checkpoint: String = "/tmp/graft_streaming_semdedup_ckpt"
   ): StreamingQuery = {
-    val rowsPerBand = planes / bands
+    val (planes1, bands1) =
+      if (planes > 0 && bands > 0) (planes, bands) else Dedup.signBanding(threshold)
+    val rowsPerBand = planes1 / bands1
     val mask = (1L << rowsPerBand) - 1L
 
     def banded(sigs: DataFrame): DataFrame =
@@ -110,7 +112,7 @@ object StreamingDedup {
         col("id"), col("vec"),
         explode(
           transform(
-            sequence(lit(0), lit(bands - 1)),
+            sequence(lit(0), lit(bands1 - 1)),
             bnd => struct(bnd.as("band"),
               call_function("shiftrightunsigned", col("bits"), bnd * rowsPerBand)
                 .bitwiseAND(lit(mask)).as("bh"))
@@ -128,7 +130,7 @@ object StreamingDedup {
           graft.sql.GraftFunctions.register(s)
           val sigs = batch
             .select(col("vec_id").as("id"), col("embedding").as("vec"))
-            .withColumn("bits", call_function("graft_hyperplane_bits", col("vec"), lit(planes)))
+            .withColumn("bits", call_function("graft_hyperplane_bits", col("vec"), lit(planes1)))
             .cache()
           val probe = banded(sigs)
           val haveIndex = Files.exists(Paths.get(indexPath))

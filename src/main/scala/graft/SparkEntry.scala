@@ -825,8 +825,7 @@ object SparkEntry {
     * the LSH part under test is the candidate generator. */
   private def qDedupMinhash(s: SparkSession, dir: String): DataFrame =
     Dedup
-      .minhashJaccardPairs(ld(s, dir, "documents"), "doc_id", "text",
-        numHashes = 64, bands = 32, threshold = 0.5)
+      .minhashJaccardPairs(ld(s, dir, "documents"), "doc_id", "text", threshold = 0.5)
       .orderBy(col("id_a"), col("id_b"))
 
   /** SimHash block candidates (scale-honest radius 3) + minhash-band
@@ -871,7 +870,7 @@ object SparkEntry {
    */
   private def qDedupCluster(s: SparkSession, dir: String): DataFrame = {
     val docs = ld(s, dir, "documents")
-    val pairs = Dedup.minhashJaccardPairs(docs, "doc_id", "text", numHashes = 64, bands = 32, threshold = 0.5)
+    val pairs = Dedup.minhashJaccardPairs(docs, "doc_id", "text", threshold = 0.5)
     Dedup.dedupClusters(docs, "doc_id", pairs).orderBy(col("doc_id"))
   }
 

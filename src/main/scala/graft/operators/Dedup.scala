@@ -234,20 +234,52 @@ object Dedup {
       .distinct()
   }
 
+  /**
+   * Minhash banding sized for a jaccard threshold: a pair at jaccard t
+   * matches one minhash with probability t, an r-hash band with t^r,
+   * and escapes all b bands with (1 − t^r)^b ≤ missTarget. Picks the
+   * LARGEST r whose band count fits the hash budget (fewest background
+   * collisions). Unlike sign-LSH, the background rate (j^r at corpus
+   * jaccard j ≈ 0) vanishes with r, so minhash banding keeps pruning
+   * at low thresholds — the fitting r just shrinks.
+   */
+  def minhashBanding(threshold: Double, missTarget: Double = 1e-6, hashBudget: Int = 128): (Int, Int) = {
+    val t = math.min(math.max(threshold, 0.0), 1.0)
+    val fit = (hashBudget to 1 by -1).iterator.flatMap { r =>
+      val tr = math.pow(t, r)
+      if (tr >= 1.0) None // t = 1: exact dups match every band
+      else if (tr <= 0.0) None
+      else {
+        val bD = math.max(1.0, math.ceil(math.log(missTarget) / math.log1p(-tr)))
+        if (bD * r <= hashBudget) { val b = bD.toInt; Some((r * b, b)) } else None
+      }
+    }
+    fit.nextOption().getOrElse((hashBudget, hashBudget / 2))
+  }
+
+  /** Exact-verified minhash near-dup pairs: LSH-banded candidates,
+    * then true shingle-jaccard ≥ threshold. With `numHashes`/`bands`
+    * ≤ 0 (the default) the banding is sized from the threshold via
+    * [[minhashBanding]] so the at-threshold miss probability is below
+    * 1e-6 on any corpus (a fixed 32×2 layout's bound is only ~1e-4 at
+    * t = 0.5 and degrades fast below it). */
   def minhashJaccardPairs(
       df: DataFrame,
       idCol: String,
       textCol: String,
-      numHashes: Int = 64,
-      bands: Int = 32,
+      numHashes: Int = 0,
+      bands: Int = 0,
       shingleSize: Int = 3,
       threshold: Double = 0.5,
       maxBucket: Option[Int] = None
-  ): DataFrame =
+  ): DataFrame = {
+    val (nh, b) =
+      if (numHashes > 0 && bands > 0) (numHashes, bands) else minhashBanding(threshold)
     exactJaccardVerify(
-      minhashCandidates(df, idCol, textCol, numHashes, bands, shingleSize, maxBucket),
+      minhashCandidates(df, idCol, textCol, nh, b, shingleSize, maxBucket),
       df, idCol, textCol, shingleSize)
       .filter(col("jac") >= threshold)
+  }
 
   /**
    * SimHash candidates + a minhash-band backstop, verified with EXACT

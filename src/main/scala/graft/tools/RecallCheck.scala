@@ -29,7 +29,7 @@ object RecallCheck {
       s"missed=${(brute -- lsh).size} falsePos=${(lsh -- brute).size}")
 
     val docs = spark.read.parquet(s"$dir/documents.parquet")
-    val mh = Dedup.minhashJaccardPairs(docs, "doc_id", "text", numHashes = 64, bands = 32, threshold = 0.5)
+    val mh = Dedup.minhashJaccardPairs(docs, "doc_id", "text", threshold = 0.5)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     val sh = docs.select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh"))
     val bruteJ = sh.as("x").crossJoin(sh.as("y"))

@@ -188,6 +188,26 @@ class DedupSpec extends SparkSpecBase {
     assert(brute.isEmpty || lsh.nonEmpty, "LSH should recall some true pairs")
   }
 
+  test("threshold-sized bandings satisfy the miss bound inside their bit budgets") {
+    def missSign(t: Double, planes: Int, bands: Int): Double = {
+      val p = 1.0 - math.acos(t) / math.Pi
+      math.pow(1.0 - math.pow(p, planes / bands), bands)
+    }
+    def missMinhash(t: Double, hashes: Int, bands: Int): Double =
+      math.pow(1.0 - math.pow(t, hashes / bands), bands)
+    for (t <- Seq(0.3, 0.5, 0.7, 0.8, 0.9, 0.97)) {
+      val (pl, bs) = Dedup.signBanding(t)
+      assert(pl <= 64 && bs >= 1 && pl % bs == 0, s"sign t=$t -> ($pl,$bs)")
+      assert(missSign(t, pl, bs) <= 1e-6, s"sign miss bound violated at t=$t: ($pl,$bs)")
+      val (nh, nb) = Dedup.minhashBanding(t)
+      assert(nh <= 128 && nb >= 1 && nh % nb == 0, s"minhash t=$t -> ($nh,$nb)")
+      assert(missMinhash(t, nh, nb) <= 1e-6, s"minhash miss bound violated at t=$t: ($nh,$nb)")
+    }
+    // the known layouts the gate queries rely on
+    assert(Dedup.signBanding(0.5) == (48, 24))
+    assert(Dedup.minhashBanding(0.5) == (98, 49))
+  }
+
   test("semantic dedup collapses embedding clusters to min-id representatives") {
     // two tight clusters (0,1) and (2,3) plus a singleton 4: vectors in a
     // cluster are small perturbations, cross-cluster cosine ~ 0

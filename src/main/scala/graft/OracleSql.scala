@@ -575,7 +575,8 @@ object OracleSql {
                 (sqrt(list_reduce(list_prepend(0.0, list_transform(generate_series(1, len(a.v)), i -> a.v[i] * a.v[i])), (x, y) -> x + y)) *
                  sqrt(list_reduce(list_prepend(0.0, list_transform(generate_series(1, len(b.v)), i -> b.v[i] * b.v[i])), (x, y) -> x + y))) AS cos
               FROM e a JOIN e b ON a.vec_id < b.vec_id)
-         SELECT id_a, id_b, cos FROM p WHERE cos >= 0.5 ORDER BY id_a, id_b""",
+         SELECT id_a, id_b, cos FROM p WHERE cos >= 0.5 AND NOT isnan(cos)
+         ORDER BY id_a, id_b""",
     "q_ann_bruteforce" ->
       """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
                     FROM embeddings WHERE vec_id < 8),
@@ -588,7 +589,7 @@ object OracleSql {
               FROM q CROSS JOIN c WHERE query_id <> item_id),
               r AS (SELECT query_id, item_id, cos,
                 CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, item_id) AS INT) AS rank
-              FROM s)
+              FROM s WHERE NOT isnan(cos))
          SELECT query_id, item_id, cos, rank FROM r WHERE rank <= 5
          ORDER BY query_id, rank""",
     // IVF: mechanism correctness (heap plan == independent agg-sort
@@ -827,11 +828,12 @@ object OracleSql {
     "q_semdedup" ->
       """WITH RECURSIVE
               e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-              j AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
-                    FROM e0 a JOIN e0 b ON a.vec_id < b.vec_id
-                    WHERE list_reduce(list_prepend(0.0, list_transform(generate_series(1, len(a.v)), i -> a.v[i] * b.v[i])), (x, y) -> x + y) /
-                          (sqrt(list_reduce(list_prepend(0.0, list_transform(generate_series(1, len(a.v)), i -> a.v[i] * a.v[i])), (x, y) -> x + y)) *
-                           sqrt(list_reduce(list_prepend(0.0, list_transform(generate_series(1, len(b.v)), i -> b.v[i] * b.v[i])), (x, y) -> x + y))) >= 0.5),
+              j0 AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                           list_reduce(list_prepend(0.0, list_transform(generate_series(1, len(a.v)), i -> a.v[i] * b.v[i])), (x, y) -> x + y) /
+                           (sqrt(list_reduce(list_prepend(0.0, list_transform(generate_series(1, len(a.v)), i -> a.v[i] * a.v[i])), (x, y) -> x + y)) *
+                            sqrt(list_reduce(list_prepend(0.0, list_transform(generate_series(1, len(b.v)), i -> b.v[i] * b.v[i])), (x, y) -> x + y))) AS cos
+                     FROM e0 a JOIN e0 b ON a.vec_id < b.vec_id),
+              j AS (SELECT id_a, id_b FROM j0 WHERE cos >= 0.5 AND NOT isnan(cos)),
               e AS (SELECT id_a AS a, id_b AS b FROM j
                     UNION SELECT id_b, id_a FROM j),
               reach(id, r) AS (

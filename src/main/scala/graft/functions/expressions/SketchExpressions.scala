@@ -187,9 +187,20 @@ object DotProduct {
  * oracle arithmetic, but ~10x cheaper than the interpreted
  * zip_with/aggregate path and it keeps the surrounding operators
  * inside whole-stage codegen.
+ *
+ * Degenerate vectors: cosine is UNDEFINED for a zero-norm vector
+ * (IEEE 0/0 = NaN) and for vectors carrying NaN elements, so any NaN
+ * result is returned as SQL NULL. This is load-bearing for every
+ * `cos >= threshold` dedup filter downstream: Spark (and DuckDB) order
+ * NaN ABOVE every number, so a NaN cosine would silently satisfy any
+ * threshold and pair a degenerate vector with the whole corpus —
+ * connected components would then collapse the corpus into one
+ * cluster. NULL `>= t` is never true, so degenerate vectors simply
+ * never pair. (Oracle SQL mirrors this with a `NOT isnan(cos)` guard.)
  */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
+  override def nullable: Boolean = true
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_cosine"
 
@@ -218,7 +229,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
       dot += xv * yv; na += xv * xv; nb += yv * yv
       i += 1
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    val res = dot / (math.sqrt(na) * math.sqrt(nb))
+    if (java.lang.Double.isNaN(res)) null else java.lang.Double.valueOf(res)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -239,6 +251,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |  $dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
          |}
          |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |if (java.lang.Double.isNaN(${ev.value})) { ${ev.isNull} = true; }
        """.stripMargin
     })
 

@@ -33,6 +33,9 @@ object Ann {
       .crossJoin(broadcast(queries.select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))))
       .filter(col("query_id") =!= col("item_id"))
       .withColumn("cos", call_function("graft_cosine", col("query_vec"), col("item_vec")))
+      // zero-norm vectors have no defined cosine (graft_cosine → NULL);
+      // exclude them so the heap and sort physical paths rank identically
+      .filter(col("cos").isNotNull)
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("item_id").asc)
     joined
       .withColumn("rank", row_number().over(w))
@@ -250,6 +253,7 @@ object Ann {
       .join(broadcast(queryProbes), Seq("cell"))
       .filter(col("query_id") =!= col("item_id"))
       .withColumn("cos", call_function("graft_cosine", col("query_vec"), col("item_vec")))
+      .filter(col("cos").isNotNull) // undefined cosine (zero-norm) never ranks
     rankTopK(cands, k)
   }
 
@@ -298,5 +302,10 @@ object Ann {
       .join(broadcast(queryProbes), Seq("cell"))
       .filter(col("query_id") =!= col("item_id"))
       .withColumn("cos", call_function("graft_cosine", col("query_vec"), col("item_vec")))
+      // zero-norm vectors have no defined cosine (graft_cosine → NULL);
+      // drop them here so ivfSearch (heap) and ivfProbedTruth (sort)
+      // stay row-identical — a NULL would sort differently in the two
+      // physical paths (nulls-last window vs nulls-first struct sort)
+      .filter(col("cos").isNotNull)
   }
 }

@@ -783,9 +783,11 @@ object Dedup {
    * their representative's candidates and cosines, and the min-id
    * canonical of a cluster is the min over ALL members because each
    * group's representative already is its min id. Zero-norm or NaN
-   * vectors stay uncollapsed (brute-force cosine would NOT pair them —
-   * NaN ≥ t is false — so merging identical degenerate vectors would
-   * invent pairs).
+   * vectors stay uncollapsed (graft_cosine returns NULL for them, and
+   * NULL ≥ t is never true, so they never pair; note Spark orders NaN
+   * ABOVE every number, so emitting the IEEE 0/0 = NaN instead would
+   * pair a degenerate vector with the entire corpus and collapse it —
+   * and merging identical degenerate vectors would invent pairs).
    */
   def semanticDedup(
       df: DataFrame,

@@ -52,13 +52,24 @@ object StreamingDedup {
           val sigs = Dedup.minhashSigs(batch, "doc_id", "text", numHashes, 3).cache()
           val probe = banded(sigs)
           val haveIndex = Files.exists(Paths.get(indexPath))
-          // existing index + this batch — id ordering (a < b) dedups
+          // existing index + this batch. Index rows are tagged: a new
+          // document must match an indexed duplicate REGARDLESS of id
+          // order (ids carry no arrival-order guarantee — requiring
+          // a.id > b.id would silently drop the pair whenever the new
+          // id happens to be smaller). The ordering constraint applies
+          // only WITHIN the batch, where both directions of a pair are
+          // present and one must be canonical.
           val target =
-            if (haveIndex) banded(s.read.parquet(indexPath)).unionByName(probe) else probe
+            if (haveIndex)
+              banded(s.read.parquet(indexPath)).withColumn("from_index", lit(true))
+                .unionByName(probe.withColumn("from_index", lit(false)))
+            else probe.withColumn("from_index", lit(false))
           val matches = probe.as("a")
             .join(
               target.as("b"),
-              col("a.band") === col("b.band") && col("a.bh") === col("b.bh") && col("a.id") > col("b.id")
+              col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+                when(col("b.from_index"), col("a.id") =!= col("b.id"))
+                  .otherwise(col("a.id") > col("b.id"))
             )
             .select(col("a.id").as("new_id"), col("b.id").as("existing_id"),
               (aggregate(
@@ -134,12 +145,19 @@ object StreamingDedup {
             .cache()
           val probe = banded(sigs)
           val haveIndex = Files.exists(Paths.get(indexPath))
+          // index rows match in either id direction; id ordering only
+          // dedups within-batch pairs (see the note in run() above)
           val target =
-            if (haveIndex) banded(s.read.parquet(indexPath)).unionByName(probe) else probe
+            if (haveIndex)
+              banded(s.read.parquet(indexPath)).withColumn("from_index", lit(true))
+                .unionByName(probe.withColumn("from_index", lit(false)))
+            else probe.withColumn("from_index", lit(false))
           val matches = probe.as("a")
             .join(
               target.as("b"),
-              col("a.band") === col("b.band") && col("a.bh") === col("b.bh") && col("a.id") > col("b.id"))
+              col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+                when(col("b.from_index"), col("a.id") =!= col("b.id"))
+                  .otherwise(col("a.id") > col("b.id")))
             .select(col("a.id").as("new_id"), col("b.id").as("existing_id"),
               call_function("graft_cosine", col("a.vec"), col("b.vec")).as("cos"))
             .filter(col("cos") >= threshold)

@@ -208,6 +208,41 @@ class DedupSpec extends SparkSpecBase {
     assert(Dedup.minhashBanding(0.5) == (98, 49))
   }
 
+  test("degenerate vectors never pair: graft_cosine is NULL, the corpus does not collapse") {
+    // Spark orders NaN ABOVE every number, so a NaN cosine (IEEE 0/0 for
+    // zero-norm vectors) would satisfy ANY `cos >= t` filter, pair the
+    // degenerate vector with the whole corpus, and connected components
+    // would collapse everything into one cluster. graft_cosine must
+    // return SQL NULL for undefined cosines instead.
+    graft.sql.GraftFunctions.register(spark)
+    val cs = Seq(
+      (Seq(0.0f, 0.0f), Seq(1.0f, 1.0f)),      // zero-norm left
+      (Seq(1.0f, 1.0f), Seq(0.0f, 0.0f)),      // zero-norm right
+      (Seq(Float.NaN, 1.0f), Seq(1.0f, 1.0f)), // NaN element
+      (Seq(1.0f, 0.0f), Seq(1.0f, 0.0f))       // well-defined control
+    ).toDF("a", "b").select(call_function("graft_cosine", col("a"), col("b")).as("cos")).collect()
+    assert(cs(0).isNullAt(0) && cs(1).isNullAt(0) && cs(2).isNullAt(0))
+    assert(math.abs(cs(3).getDouble(0) - 1.0) < 1e-12)
+
+    // t=0.5 dispatches to the all-pairs brute path — the one the NaN
+    // semantics would poison. Zero-norm vectors must stay singletons.
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.01f, 0.0f, 0.0f)),
+      (1L, Array(0.99f, 0.0f, 0.01f, 0.0f)), // near-dup of 0
+      (2L, Array(0.0f, 0.0f, 0.0f, 0.0f)),   // zero-norm
+      (3L, Array(0.0f, 0.0f, 0.0f, 0.0f)),   // identical zero-norm
+      (4L, Array(0.0f, 1.0f, 0.0f, 0.0f))    // orthogonal singleton
+    ).toDF("vec_id", "embedding")
+    val out = Dedup
+      .semanticDedup(vecs, "vec_id", "embedding", threshold = 0.5)
+      .orderBy("vec_id")
+      .as[(Long, Long, Boolean)]
+      .collect()
+      .toSeq
+    assert(out == Seq((0L, 0L, true), (1L, 0L, false), (2L, 2L, true), (3L, 3L, true), (4L, 4L, true)),
+      s"degenerate vectors must not pair: $out")
+  }
+
   test("semantic dedup collapses embedding clusters to min-id representatives") {
     // two tight clusters (0,1) and (2,3) plus a singleton 4: vectors in a
     // cluster are small perturbations, cross-cluster cosine ~ 0

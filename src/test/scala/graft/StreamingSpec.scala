@@ -221,6 +221,51 @@ class StreamingSpec extends SparkSpecBase {
     assert(spark.read.parquet(s"$base/index").count() == 4) // all docs indexed
   }
 
+  test("streaming dedup matches an indexed duplicate even when the new id is smaller") {
+    // ids carry no arrival-order guarantee: a new document whose id is
+    // SMALLER than its already-indexed duplicate's id must still match
+    // (an a.id > b.id join against the index would silently drop it)
+    implicit val sqlCtx = spark.sqlContext
+    val base = "/tmp/graft_sdedup_idorder_" + System.nanoTime()
+    val stream = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingDedup.run(
+      spark,
+      stream.toDF().toDF("doc_id", "text"),
+      indexPath = s"$base/index",
+      matchesPath = s"$base/matches",
+      threshold = 0.5,
+      checkpoint = s"$base/ckpt"
+    )
+    stream.addData((100L, "the quick brown fox jumps over the lazy dog near the river bank"))
+    q.processAllAvailable()
+    stream.addData((5L, "the quick brown fox jumps over the lazy dog near the river bend"))
+    q.processAllAvailable()
+    q.stop()
+    val matches = spark.read.parquet(s"$base/matches")
+      .select("new_id", "existing_id").as[(Long, Long)].collect().toSet
+    assert(matches == Set((5L, 100L)), s"smaller-id arrival must match the index: $matches")
+
+    // same property for the embeddings path
+    val ebase = "/tmp/graft_ssem_idorder_" + System.nanoTime()
+    val estream = MemoryStream[(Long, Array[Float])]
+    val eq = graft.streaming.StreamingDedup.runEmbeddings(
+      spark,
+      estream.toDF().toDF("vec_id", "embedding"),
+      indexPath = s"$ebase/index",
+      matchesPath = s"$ebase/matches",
+      threshold = 0.9,
+      checkpoint = s"$ebase/ckpt"
+    )
+    estream.addData((100L, Array(1.0f, 0.01f, 0.0f, 0.0f)))
+    eq.processAllAvailable()
+    estream.addData((5L, Array(0.99f, 0.0f, 0.01f, 0.0f)))
+    eq.processAllAvailable()
+    eq.stop()
+    val ematches = spark.read.parquet(s"$ebase/matches")
+      .select("new_id", "existing_id").as[(Long, Long)].collect().toSet
+    assert(ematches == Set((5L, 100L)), s"smaller-id vector must match the index: $ematches")
+  }
+
   test("streaming semantic dedup screens new embeddings against the persisted vector index") {
     implicit val sqlCtx = spark.sqlContext
     val base = "/tmp/graft_ssemdedup_" + System.nanoTime()

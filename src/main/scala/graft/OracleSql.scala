@@ -688,9 +688,13 @@ object OracleSql {
     "q_bm25" ->
       s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
               lens AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS len FROM t),
-              stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, CAST(COALESCE(SUM(len), 0) AS DOUBLE) AS l FROM lens),
               u AS (SELECT doc_id, unnest(tk) AS term FROM t),
               tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM u GROUP BY doc_id, term),
+              -- corpus stats over TOKENIZED docs (mirrors the engine: a
+              -- zero-token doc can never be retrieved, so it does not
+              -- count toward N or avgdl)
+              stats AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n,
+                               CAST(COALESCE(SUM(tf), 0) AS DOUBLE) AS l FROM tf),
               dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
               q(query_id, term) AS (VALUES
                 ('q_hash_join', 'hash'), ('q_hash_join', 'join'),

@@ -787,7 +787,10 @@ object SparkEntry {
    */
   private def qTfidf(s: SparkSession, dir: String): DataFrame = {
     val docs = ld(s, dir, "documents")
-    val nDocs = docs.count()
+    // N as a lazy 1-row broadcast (the q_mix_weights shape), not a
+    // blocking docs.count(): the count's scan prunes to zero columns
+    // and rides in the same job instead of a separate driver action
+    val nd = docs.agg(count(lit(1)).as("n_docs"))
     val terms = docs
       .select(col("doc_id"), explode(F.tokens(col("text"))).as("term"))
       .groupBy(col("doc_id"), col("term"))
@@ -795,7 +798,8 @@ object SparkEntry {
     val dfreq = terms.groupBy(col("term")).agg(count(lit(1)).as("df"))
     terms
       .join(dfreq, "term")
-      .withColumn("score", (col("tf") * lit(nDocs + 1L)).cast("double") / (col("df") + lit(1L)).cast("double"))
+      .crossJoin(broadcast(nd))
+      .withColumn("score", (col("tf") * (col("n_docs") + lit(1L))).cast("double") / (col("df") + lit(1L)).cast("double"))
       .withColumn("rank",
         row_number().over(Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("term").asc)))
       .filter(col("rank") <= 3)
@@ -1073,6 +1077,19 @@ object SparkEntry {
    * doc_id % 97 == 0 stand in for a benchmark). The eval n-gram set is
    * tiny relative to the corpus — it is broadcast, so the corpus side
    * never shuffles except the per-doc aggregation (map-side combined).
+   *
+   * Pass audit (the `grams` subtree feeds both join sides, which LOOKS
+   * like a double tokenize): Catalyst pushes each side's doc_id filter
+   * below the Generate, so the eval scan tokenizes ONLY eval docs and
+   * the corpus scan ONLY the rest — verified in the physical plan, each
+   * document is tokenized+exploded exactly once per run. What IS read
+   * twice is the text column (a modulo predicate cannot prune parquet
+   * row groups). The one-scan alternative — tag grams with is_eval and
+   * window-max over gram partitions — would shuffle the full posting
+   * table (~5× the text bytes for 5-grams) instead: strictly worse. In
+   * production the eval gram set is static across corpus versions and
+   * built once ([[graft.streaming.StreamingContamination.evalGramSet]]),
+   * which removes the second scan entirely.
    */
   private def qContamination(s: SparkSession, dir: String): DataFrame = {
     val grams = ld(s, dir, "documents")

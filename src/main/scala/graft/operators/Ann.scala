@@ -82,7 +82,7 @@ object Ann {
     }
   }
 
-  private def centroidsLit(cents: Array[Array[Float]]) =
+  private[operators] def centroidsLit(cents: Array[Array[Float]]) =
     typedlit[Seq[Seq[Float]]](cents.map(_.toSeq).toSeq)
 
   /**

@@ -532,6 +532,15 @@ object Dedup {
     fit.nextOption().getOrElse((bitBudget, bitBudget / 2))
   }
 
+  /** Corpus-size bound under which the low-threshold embedding path
+    * stays on the EXACT all-pairs verify: 2^14 vectors is ~134M pairs —
+    * trivially affordable, and it keeps every validation-scale run
+    * (sf0.01 gate, sf0.1 recall checks) bit-exact against brute force.
+    * Past the bound the all-pairs plan is the one shape that cannot
+    * survive a 100 TB corpus, so the dispatch switches to the
+    * IVF-cell-partitioned variant ([[embeddingPairsIvf]]). */
+  val LowThresholdBruteBound: Long = 1L << 14
+
   /**
    * Embedding near-duplicate pairs via random-hyperplane LSH: sign-bit
    * signature over `planes` pseudo-random hyperplanes (deterministic,
@@ -541,6 +550,15 @@ object Dedup {
    * "every ≥-threshold pair is found" claim holds to the declared miss
    * bound on ANY data instead of depending on the corpus' luck with a
    * fixed 16×4 layout.
+   *
+   * Low-threshold dispatch: thresholds low enough to force r ≤ 2 bits
+   * per band (t ≲ 0.6) have NO sub-quadratic exact path under sign-LSH
+   * — that is a property of the problem, not the plan. Below
+   * `bruteBound` vectors the exact all-pairs verify runs (bit-exact,
+   * affordable); above it the IVF-cell-partitioned variant runs
+   * instead (sub-quadratic, recall measured — see
+   * [[embeddingPairsIvf]]). `bruteBound ≤ 0` forces the IVF path;
+   * `Long.MaxValue` forces brute.
    */
   def embeddingPairs(
       df: DataFrame,
@@ -549,19 +567,96 @@ object Dedup {
       planes: Int = 0,
       bands: Int = 0,
       threshold: Double = 0.97,
-      maxBucket: Option[Int] = None
+      maxBucket: Option[Int] = None,
+      bruteBound: Long = LowThresholdBruteBound
   ): DataFrame = {
     val (planes1, bands1) =
       if (planes > 0 && bands > 0) (planes, bands) else signBanding(threshold)
     // Dispatch on whether the banding can prune AT ALL (the ngram skew
     // probe's sibling): with r ≤ 2 bits per band, even orthogonal pairs
     // collide in some band w.p. ≥ 1-(3/4)^b ≈ 1 — the "candidates" are
-    // all pairs, duplicated per band. Running the exact verify directly
-    // is the same result for a fraction of the work. Thresholds low
-    // enough to force r ≤ 2 (t ≲ 0.6) have no sub-quadratic exact path
-    // under sign-LSH — that is a property of the problem, not the plan.
-    if (planes1 / bands1 <= 2) embeddingPairsBrute(df, idCol, vecCol, threshold)
-    else embeddingPairsSized(df, idCol, vecCol, planes1, bands1, threshold, maxBucket)
+    // all pairs, duplicated per band. Exact verify handles the small
+    // corpus; the IVF cell decomposition handles the large one.
+    if (planes1 / bands1 <= 2) {
+      // bounded size probe: scans at most bruteBound+1 ids, never the corpus
+      val small = bruteBound > 0 &&
+        (bruteBound >= Int.MaxValue ||
+          df.select(col(idCol)).limit(bruteBound.toInt + 1).count() <= bruteBound)
+      if (small) embeddingPairsBrute(df, idCol, vecCol, threshold)
+      else embeddingPairsIvf(df, idCol, vecCol, threshold)
+    } else embeddingPairsSized(df, idCol, vecCol, planes1, bands1, threshold, maxBucket)
+  }
+
+  /**
+   * IVF-cell-partitioned embedding near-dup pairs — the scale path for
+   * LOW cosine thresholds, where sign-LSH banding cannot prune (the
+   * SemDeDup construction: coarse-quantize, then pair only within
+   * cells). The corpus is coarse-quantized with the [[Ann.ivfTrain]]
+   * k-means machinery (bounded driver-side Lloyd on a deterministic
+   * hash sample); every vector lands in its `probes` nearest cells
+   * (multi-probe recovers most cell-boundary pairs), candidates are
+   * generated by a WITHIN-CELL self-join on (cell, id) only — id-only
+   * shuffles, never all-pairs — and each candidate is exact-cosine
+   * verified, so false positives are structurally impossible. Work is
+   * Σ_cells |cell|²/2 ≈ N²·probes²/(2·numCells) — a numCells/probes²
+   * reduction over brute force that holds at any corpus size because
+   * `numCells` is sized from the corpus (at ~2048 vectors per cell).
+   *
+   * APPROXIMATE at cell boundaries: a ≥-threshold pair whose members
+   * quantize to disjoint probe sets is missed. Recall vs brute force
+   * is measured (RecallCheck at sf0.1, DedupSpec at spec scale) rather
+   * than bounded analytically — the honest trade for sub-quadratic
+   * low-threshold dedup; raise `probes` to buy recall with candidate
+   * volume (∝ probes²). Measured at sf0.1, t=0.5, 16 cells: probes=2
+   * recall 0.857, probes=3 recall 0.929, probes=4 no further gain —
+   * the default is the knee. Output is always a deterministic SUBSET
+   * of the brute result (hash-seeded training, exact verification).
+   */
+  def embeddingPairsIvf(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      numCells: Int = 0,
+      probes: Int = 3,
+      trainSample: Long = 20000L
+  ): DataFrame = {
+    val spark = df.sparkSession
+    graft.sql.GraftFunctions.register(spark)
+    val vecs = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val cells =
+      if (numCells > 0) numCells
+      else {
+        // ~2048 vectors/cell keeps within-cell work bounded; the cap
+        // keeps the centroid table honest driver metadata (4096 × dim
+        // floats ≈ 2 MB at dim=128). Past ~8M vectors the cells grow
+        // with the corpus again — recurse (re-quantize oversized
+        // cells) if within-cell volume ever dominates.
+        val n = vecs.count()
+        math.min(4096L, math.max(16L, n / 2048L)).toInt
+      }
+    // xxhash64(id) as the training id: ivfTrain's sampling/seeding wants
+    // a long key, this keeps the operator id-type-agnostic and just as
+    // deterministic (training only uses ids to pick/seed the sample)
+    val cents = Ann.ivfTrain(
+      spark, vecs.select(xxhash64(col("id")).as("vec_id"), col("vec").as("embedding")),
+      numCells = cells, trainSample = trainSample)
+    // candidate generation ships (id, cell) only; vectors re-attach to
+    // the (far smaller) distinct candidate set for the exact verify
+    val assigned = vecs.select(
+      col("id"),
+      explode(call_function("graft_nearest_centroids", col("vec"), Ann.centroidsLit(cents), lit(probes))).as("cell"))
+    val cands = assigned.as("a")
+      .join(assigned.as("b").hint("shuffle_hash"),
+        col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    cands
+      .join(vecs.select(col("id").as("id_a"), col("vec").as("vec_a")), "id_a")
+      .join(vecs.select(col("id").as("id_b"), col("vec").as("vec_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        call_function("graft_cosine", col("vec_a"), col("vec_b")).as("cos"))
+      .filter(col("cos") >= threshold)
   }
 
   /** Exact all-pairs cosine verify — the degenerate-banding path. */
@@ -796,7 +891,8 @@ object Dedup {
       threshold: Double,
       planes: Int = 0, // ≤0 = sized from the threshold (signBanding)
       bands: Int = 0,
-      maxBucket: Option[Int] = None
+      maxBucket: Option[Int] = None,
+      bruteBound: Long = LowThresholdBruteBound // low-t dispatch, see embeddingPairs
   ): DataFrame = {
     val norm2 = F.dot(col(vecCol), col(vecCol))
     val collapsible = norm2 > lit(0.0) && !isnan(norm2)
@@ -808,7 +904,7 @@ object Dedup {
           min(col(idCol)).over(org.apache.spark.sql.expressions.Window.partitionBy(col(vecCol))))
           .otherwise(col(idCol)))
     val reps = withRep.filter(col(idCol) === col("rep_id")).select(col(idCol), col(vecCol))
-    val pairs = embeddingPairs(reps, idCol, vecCol, planes, bands, threshold, maxBucket)
+    val pairs = embeddingPairs(reps, idCol, vecCol, planes, bands, threshold, maxBucket, bruteBound)
       .select(col("id_a"), col("id_b"))
     val comp = dedupClusters(reps, idCol, pairs)
       .select(col(idCol).as("rep_id"), col("canonical_id"))

@@ -13,11 +13,21 @@ import graft.functions.F
  * scored retrieval for quality filtering and query-based curation).
  *
  * Scale design: the query set is tiny and broadcast; everything per-doc
- * is computed with one token explode + map-side-combined (doc, term)
+ * is computed with ONE token explode + map-side-combined (doc, term)
  * counts, the document-frequency table is |vocab|-bounded, and the
  * final top-k per query runs through the rank-window pattern that
  * TopKPerKeyStrategy rewrites to a bounded heap (no per-query sort).
- * Corpus constants (N, total token length) are two scalar aggregates.
+ * Corpus constants (N, total token length) are DERIVED from the
+ * postings table — N = count of tokenized docs, L = Σ tf — and ride
+ * along as a lazy 1-row broadcast instead of a blocking
+ * `lens.agg(...).head()` pass over a second tokenize subtree.
+ * Consequence: documents with zero tokens do not count toward N or
+ * avgdl — they can never be retrieved, so defining the stats over the
+ * retrievable corpus is the honest choice (mirrored in the oracle).
+ * Single-tokenize at scale: build [[Retrieval.tokenPostings]] once per
+ * corpus version, persist it, and query via [[Retrieval.bm25TopKFromPostings]]
+ * — the consumers then share the stored postings instead of each
+ * pruning its own tokenize subtree out of the inline plan.
  *
  * Cross-engine determinism (SURVEY.md §6): with k1 = 1.2, b = 0.75 the
  * BM25 term factor is exactly rational —
@@ -44,6 +54,28 @@ object Retrieval {
     "q_vector_data" -> Seq("vector", "data")
   )
 
+  /**
+   * Token postings (doc_id, term, tf, len) — the BM25 index table. One
+   * tokenize + explode + map-side-combined aggregate over the corpus.
+   * At scale this is built ONCE per corpus version and persisted (the
+   * inverted-index discipline): every downstream consumer — tf lookup,
+   * document frequencies, corpus stats — then reads the postings table
+   * instead of re-tokenizing text. [[bm25TopKFromPostings]] consumes it
+   * directly; the ad-hoc [[bm25TopK]] derives it inline (where Catalyst
+   * column-pruning specializes each consumer's subtree — the inline
+   * form re-tokenizes per consumer, which is exactly why the persisted
+   * form exists).
+   */
+  def tokenPostings(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"), F.tokens(col(textCol)).as("tk"))
+      // len rides along through the explode (constant per doc) so the
+      // per-(doc, term) aggregate already carries it — no |docs| join later
+      .select(col("doc_id"), size(col("tk")).cast("long").as("len"), explode(col("tk")).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"), max(col("len")).as("len"))
+
+  /** Ad-hoc BM25 over raw text: derives [[tokenPostings]] inline. */
   def bm25TopK(
       spark: SparkSession,
       docs: DataFrame,
@@ -51,24 +83,34 @@ object Retrieval {
       textCol: String,
       queries: Seq[(String, Seq[String])] = defaultQueries,
       k: Int = 10
+  ): DataFrame =
+    bm25TopKFromPostings(spark, tokenPostings(docs, idCol, textCol), queries, k)
+
+  /**
+   * BM25 top-k against a (possibly persisted) postings table — see
+   * [[tokenPostings]] for the schema and the build-once discipline.
+   */
+  def bm25TopKFromPostings(
+      spark: SparkSession,
+      tf: DataFrame,
+      queries: Seq[(String, Seq[String])] = defaultQueries,
+      k: Int = 10
   ): DataFrame = {
     graft.sql.GraftFunctions.register(spark)
     graft.sql.GraftFunctions.installTopKStrategy(spark)
     import spark.implicits._
 
-    val toks = docs.select(col(idCol).as("doc_id"), F.tokens(col(textCol)).as("tk"))
-    val lens = toks.select(col("doc_id"), size(col("tk")).cast("long").as("len"))
-    // corpus constants: bounded driver metadata (two scalars)
-    val (nDocs, totLen) = {
-      val r = lens.agg(count(lit(1)), coalesce(sum(col("len")), lit(0L))).head()
-      (r.getLong(0), r.getLong(1))
-    }
-    // len rides along through the explode (constant per doc) so the
-    // per-(doc, term) aggregate already carries it — no |docs| join later
-    val tf = toks
-      .select(col("doc_id"), size(col("tk")).cast("long").as("len"), explode(col("tk")).as("term"))
-      .groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).as("tf"), max(col("len")).as("len"))
+    // corpus constants derived from the postings themselves — NOT a
+    // separate tokenize pass: Σ tf over a doc's terms is its token
+    // count, so N and L fall out of a per-doc re-aggregate. 1-row
+    // broadcast, lazy (no head() blocking the driver). Consequence:
+    // N counts tokenized docs only (a zero-token doc can never be
+    // retrieved), mirrored in the oracle.
+    val stats = tf
+      .groupBy(col("doc_id")).agg(sum(col("tf")).as("len"))
+      .agg(
+        count(lit(1)).cast("double").as("n_docs"),
+        coalesce(sum(col("len")), lit(0L)).cast("double").as("tot_len"))
     val queryTerms = queries
       .flatMap { case (qid, terms) => terms.distinct.map(t => (qid, t)) }
       .toDF("query_id", "term")
@@ -81,17 +123,18 @@ object Retrieval {
 
     // idf in integer micro-nats; ln argument is one division of exact ints
     val idfMicro = floor(
-      log((lit(2.0 * nDocs) - lit(2.0) * col("df") + lit(1.0)) / (lit(2.0) * col("df") + lit(1.0)) + lit(1.0)) *
+      log((lit(2.0) * col("n_docs") - lit(2.0) * col("df") + lit(1.0)) / (lit(2.0) * col("df") + lit(1.0)) + lit(1.0)) *
         lit(1e6)).cast("long")
     // rational BM25 term factor: integer products, one IEEE division
     val tfPart =
-      (lit(22.0) * lit(totLen.toDouble) * col("tf")) /
-        (lit(10.0) * lit(totLen.toDouble) * col("tf") + lit(3.0) * lit(totLen.toDouble) +
-          lit(9.0) * lit(nDocs.toDouble) * col("len"))
+      (lit(22.0) * col("tot_len") * col("tf")) /
+        (lit(10.0) * col("tot_len") * col("tf") + lit(3.0) * col("tot_len") +
+          lit(9.0) * col("n_docs") * col("len"))
 
     val scored = broadcast(queryTerms)
       .join(tf, "term")
       .join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
       .withColumn("contrib", idfMicro.cast("double") * tfPart)
       .groupBy(col("query_id"), col("doc_id"))
       .agg((sum(floor(col("contrib") * lit(1e8) + lit(0.5)).cast("decimal(38,0)")).cast("double") / lit(1e8))

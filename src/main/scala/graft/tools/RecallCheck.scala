@@ -28,6 +28,18 @@ object RecallCheck {
     println(s"[recall] embed: lsh=${lsh.size} brute=${brute.size} " +
       s"missed=${(brute -- lsh).size} falsePos=${(lsh -- brute).size}")
 
+    // the scale path for low thresholds: IVF cell decomposition —
+    // approximate at cell boundaries, so its recall is the number the
+    // dispatch bound trades on. falsePos must always be 0 (exact verify).
+    for (probes <- Seq(2, 3, 4)) {
+      val ivf = Dedup.embeddingPairsIvf(emb, "vec_id", "embedding", threshold = 0.5, probes = probes)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      val recall = if (brute.isEmpty) 1.0 else (brute & ivf).size.toDouble / brute.size
+      println(f"[recall] embed-ivf(probes=$probes): ivf=${ivf.size} brute=${brute.size} " +
+        s"missed=${(brute -- ivf).size} falsePos=${(ivf -- brute).size} " +
+        f"recall=$recall%.3f")
+    }
+
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val mh = Dedup.minhashJaccardPairs(docs, "doc_id", "text", threshold = 0.5)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet

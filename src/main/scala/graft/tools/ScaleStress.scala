@@ -75,6 +75,15 @@ object ScaleStress {
       graft.operators.Dedup.semanticDedup(bigEmb, "vec_id", "embedding", threshold = 0.97)
         .filter(col("keep")).count())
     println(s"[stress] semantic-dedup kept: $sd")
+    // LOW threshold at scale: t=0.5 degenerates sign-LSH banding, so
+    // past the brute bound the dispatch must take the IVF cell path —
+    // bruteBound=0 forces it here to prove the sub-quadratic shape
+    // (the identical-vector collapse first shrinks the corpus to the
+    // distinct vectors, then cells bound the pair generation).
+    val sdLow = time("semantic dedup (t=0.5, forced IVF cell path)")(
+      graft.operators.Dedup.semanticDedup(bigEmb, "vec_id", "embedding", threshold = 0.5,
+        bruteBound = 0L).filter(col("keep")).count())
+    println(s"[stress] low-threshold semantic-dedup kept: $sdLow")
     spark.stop()
   }
 }

@@ -208,6 +208,35 @@ class DedupSpec extends SparkSpecBase {
     assert(Dedup.minhashBanding(0.5) == (98, 49))
   }
 
+  test("IVF cell-partitioned embedding pairs: exact subset of brute force with measured recall") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val a = emb.select(col("vec_id").as("ia"), col("embedding").as("va"))
+    val b = emb.select(col("vec_id").as("ib"), col("embedding").as("vb"))
+    val brute = a.crossJoin(b).filter(col("ia") < col("ib"))
+      .select(col("ia"), col("ib"), call_function("graft_cosine", col("va"), col("vb")).as("cos"))
+      .filter(col("cos") >= 0.5)
+      .select("ia", "ib").as[(Long, Long)].collect().toSet
+    val ivf = Dedup.embeddingPairsIvf(emb, "vec_id", "embedding", threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // exact verification makes false positives structurally impossible
+    assert((ivf -- brute).isEmpty, s"IVF produced non-pairs: ${ivf -- brute}")
+    // recall is the measured quantity the scale dispatch trades on;
+    // near-dup pairs are close vectors, which coarse k-means cells
+    // keep together — multi-probe covers most boundary splits
+    val recall = if (brute.isEmpty) 1.0 else (brute & ivf).size.toDouble / brute.size
+    info(f"IVF within-cell recall vs brute at t=0.5: $recall%.3f (${ivf.size}/${brute.size} pairs)")
+    assert(recall >= 0.9, f"IVF recall $recall%.3f below floor: missed ${(brute -- ivf)}")
+
+    // the low-threshold dispatch: past the brute bound embeddingPairs
+    // must route to the IVF path (a subset), below it to brute (exact)
+    val viaDispatchBrute = Dedup.embeddingPairs(emb, "vec_id", "embedding", threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(viaDispatchBrute == brute, "below the bound the dispatch must stay exact")
+    val viaDispatchIvf = Dedup.embeddingPairs(emb, "vec_id", "embedding", threshold = 0.5,
+      bruteBound = 0L).select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(viaDispatchIvf == ivf, "past the bound the dispatch must take the IVF cell path")
+  }
+
   test("degenerate vectors never pair: graft_cosine is NULL, the corpus does not collapse") {
     // Spark orders NaN ABOVE every number, so a NaN cosine (IEEE 0/0 for
     // zero-norm vectors) would satisfy ANY `cos >= t` filter, pair the

@@ -36,6 +36,18 @@ class RetrievalSpec extends SparkSpecBase {
     }
   }
 
+  test("BM25 over a persisted postings table equals the ad-hoc form row for row") {
+    // the build-once index discipline: tokenPostings persisted to
+    // parquet, then ranked from storage — no re-tokenize, same result
+    val path = "/tmp/graft_bm25_postings_" + System.nanoTime()
+    Retrieval.tokenPostings(docs, "doc_id", "text").write.parquet(path)
+    val fromIndex = Retrieval.bm25TopKFromPostings(spark, spark.read.parquet(path))
+      .orderBy("query_id", "rank").collect().toSeq
+    val adHoc = Retrieval.bm25TopK(spark, docs, "doc_id", "text")
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(fromIndex == adHoc)
+  }
+
   test("packShards matches the single-partition global window formulation exactly") {
     import org.apache.spark.sql.expressions.Window
     val d = docs.select(col("doc_id"), size(graft.functions.F.tokens(col("text"))).cast("long").as("w"))

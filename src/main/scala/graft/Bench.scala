@@ -39,16 +39,45 @@ object Bench {
     // ordering noise), and steady-state per-query time is the number that
     // predicts cluster throughput.
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
-    val results = ordered.map { case (name, fn) =>
+    val looped = ordered.map { case (name, fn) =>
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () } // warm: plan + JIT + page cache
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    // routed-vs-disabled pair: the RollupRewriteRule's win as a recorded
+    // number, not an inference. SYMMETRIC measurement: both sides time a
+    // prebuilt DataFrame's first action (plan + execute), differing only
+    // in whether the route registry is populated when the optimizer runs
+    // — the in-loop q_rollup_routed number additionally pays the
+    // layout/rollup setup checks, so it is not the comparison baseline.
+    val routedPair = try {
+      val fn = SparkEntry.queries("q_rollup_routed")
+      fn(spark, sfDir).count() // warm: ETL, registration, page cache
+      val onDf = fn(spark, sfDir)
+      val t1 = System.nanoTime()
+      onDf.count()
+      val on = (System.nanoTime() - t1) / 1e9
+      val offDf = fn(spark, sfDir)
+      graft.sql.RollupRoutes.clear()
+      val t2 = System.nanoTime()
+      offDf.count()
+      val off = (System.nanoTime() - t2) / 1e9
+      Seq("q_rollup_routed_on" -> on, "q_rollup_routed_off" -> off)
+    } catch { case _: Throwable => Seq.empty }
+
+    // values rounded to ms so the single JSON line stays small (a
+    // full-precision 79-query line was truncated by the driver's
+    // capture, losing the tail and the total); 1-minute load average
+    // records machine state with the run (concurrent driver jobs have
+    // inflated totals ~2x before)
+    val results = looped ++ routedPair
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = looped.map(_._2).sum
+    val load = java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","load":$load%.1f,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

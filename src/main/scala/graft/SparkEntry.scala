@@ -506,8 +506,13 @@ object SparkEntry {
     if (!done(rollPath)) roll.materialize(facts, rollPath)
     graft.sql.GraftFunctions.installRollupRouting(s)
     // the route is DERIVED from the rollup's own aggregate expressions,
-    // so the declaration cannot drift from the materialized table
-    graft.sql.RollupRoutes.register(roll.deriveRoute(facts, layout, rollPath).get)
+    // so the declaration cannot drift from the materialized table.
+    // Registration is skipped when the identical route is already live:
+    // register() invalidates the cached rollup relation (file listing),
+    // and the data here is immutable per dir — re-registering per query
+    // invocation would re-list the rollup files on every planning pass.
+    val route = roll.deriveRoute(facts, layout, rollPath).get
+    if (!graft.sql.RollupRoutes.all.contains(route)) graft.sql.RollupRoutes.register(route)
     facts
   }
 

@@ -261,8 +261,16 @@ object Dedup {
     * then true shingle-jaccard ≥ threshold. With `numHashes`/`bands`
     * ≤ 0 (the default) the banding is sized from the threshold via
     * [[minhashBanding]] so the at-threshold miss probability is below
-    * 1e-6 on any corpus (a fixed 32×2 layout's bound is only ~1e-4 at
-    * t = 0.5 and degrades fast below it). */
+    * `missTarget` on any corpus (a fixed 32×2 layout's bound is only
+    * ~1e-4 at t = 0.5 and degrades fast below it).
+    *
+    * `missTarget` is the recall/cost dial: tightening the bound grows
+    * the banding and with it the candidate volume — measured at sf0.1
+    * the move from the 32×2 layout (~1e-4) to the 1e-6-sized 98×49
+    * roughly ~1.5×'d candidates (q_dedup_cluster 1.07s → 2.33s,
+    * q_curate 1.83s → 2.66s). Loosen it on corpora where near-dup
+    * clusters are redundant evidence anyway; tighten it when a single
+    * missed pair is costly. */
   def minhashJaccardPairs(
       df: DataFrame,
       idCol: String,
@@ -271,10 +279,11 @@ object Dedup {
       bands: Int = 0,
       shingleSize: Int = 3,
       threshold: Double = 0.5,
-      maxBucket: Option[Int] = None
+      maxBucket: Option[Int] = None,
+      missTarget: Double = 1e-6
   ): DataFrame = {
     val (nh, b) =
-      if (numHashes > 0 && bands > 0) (numHashes, bands) else minhashBanding(threshold)
+      if (numHashes > 0 && bands > 0) (numHashes, bands) else minhashBanding(threshold, missTarget)
     exactJaccardVerify(
       minhashCandidates(df, idCol, textCol, nh, b, shingleSize, maxBucket),
       df, idCol, textCol, shingleSize)
@@ -568,10 +577,11 @@ object Dedup {
       bands: Int = 0,
       threshold: Double = 0.97,
       maxBucket: Option[Int] = None,
-      bruteBound: Long = LowThresholdBruteBound
+      bruteBound: Long = LowThresholdBruteBound,
+      missTarget: Double = 1e-6 // recall/cost dial, see minhashJaccardPairs
   ): DataFrame = {
     val (planes1, bands1) =
-      if (planes > 0 && bands > 0) (planes, bands) else signBanding(threshold)
+      if (planes > 0 && bands > 0) (planes, bands) else signBanding(threshold, missTarget)
     // Dispatch on whether the banding can prune AT ALL (the ngram skew
     // probe's sibling): with r ≤ 2 bits per band, even orthogonal pairs
     // collide in some band w.p. ≥ 1-(3/4)^b ≈ 1 — the "candidates" are
@@ -896,12 +906,19 @@ object Dedup {
   ): DataFrame = {
     val norm2 = F.dot(col(vecCol), col(vecCol))
     val collapsible = norm2 > lit(0.0) && !isnan(norm2)
+    // collapse key: a 128-bit hash pair of the vector, NOT the raw
+    // array — the window's shuffle/sort keys are then 16 bytes instead
+    // of the multi-KB embedding (the [[exact]] content-hash discipline;
+    // collision odds at 10^11 rows ~ 10^-17, the same birthday bound
+    // the oracle-gated exact dedup already accepts). Degenerate vectors
+    // keep rep_id = id, so hashing them is irrelevant.
     val withRep = df
       .select(col(idCol), col(vecCol))
       .withColumn(
         "rep_id",
         when(collapsible,
-          min(col(idCol)).over(org.apache.spark.sql.expressions.Window.partitionBy(col(vecCol))))
+          min(col(idCol)).over(org.apache.spark.sql.expressions.Window
+            .partitionBy(xxhash64(col(vecCol)), xxhash64(lit("graft-seed-2"), col(vecCol)))))
           .otherwise(col(idCol)))
     val reps = withRep.filter(col(idCol) === col("rep_id")).select(col(idCol), col(vecCol))
     val pairs = embeddingPairs(reps, idCol, vecCol, planes, bands, threshold, maxBucket, bruteBound)

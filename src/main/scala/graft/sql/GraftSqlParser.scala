@@ -24,6 +24,22 @@ import org.apache.spark.sql.types.{DataType, DoubleType, LongType, StringType, S
  *   KILL QUERY '<job-group>'
  *   SHOW UPDATES_INTERVALS '<changelog-dir>'
  *   SHOW ROLLUP ROUTES
+ *   SHOW VERSION
+ *   UPSERT INTO <table> (col, ...) VALUES (v, ...), ...
+ *
+ * UPSERT (reference SqlParser.scala:331, Statement.scala:30 — put
+ * semantics keyed by (time, dimensions)) targets a table registered in
+ * [[UpsertTables]]: the batch appends one version to the table's
+ * log-structured store ([[graft.sources.Upsert.appendVersion]] — O(batch),
+ * no read of existing data) and refreshes the table's merge-on-read
+ * view, so a follow-up SELECT sees latest-version-wins rows. The VALUES
+ * tail is parsed by Spark's own `SELECT * FROM VALUES ...` grammar —
+ * full literal syntax, no hand tokenizer.
+ *
+ * SET is deliberately NOT intercepted: the reference's `SET key = value`
+ * session-parameter statement (SqlParser.scala:375) is Spark's native
+ * SET — identical syntax and semantics (`SET graft.x=1` round-trips via
+ * `SET graft.x`), so aliasing would only shadow the real implementation.
  */
 class GraftSqlParser(session: SparkSession, delegate: ParserInterface) extends ParserInterface {
 
@@ -38,6 +54,9 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface) extends P
       case KillQueryRe(group) => KillQueryCommand(group)
       case ShowUpdatesRe(dir) => ShowUpdatesIntervalsCommand(dir)
       case ShowRoutesRe() => ShowRollupRoutesCommand()
+      case ShowVersionRe() => ShowVersionCommand()
+      case UpsertRe(table, cols, values) =>
+        UpsertCommand(table, cols.split(',').map(_.trim).toSeq.filter(_.nonEmpty), values)
       case _ => delegate.parsePlan(sqlText)
     }
   }
@@ -58,8 +77,55 @@ object GraftSqlParser {
   private val KillQueryRe = """(?is)KILL\s+QUERY\s+'([^']+)'\s*;?""".r
   private val ShowUpdatesRe = """(?is)SHOW\s+UPDATES_INTERVALS\s+'([^']+)'\s*;?""".r
   private val ShowRoutesRe = """(?is)SHOW\s+ROLLUP\s+ROUTES\s*;?""".r
+  private val ShowVersionRe = """(?is)SHOW\s+VERSION\s*;?""".r
+  private val UpsertRe =
+    """(?is)UPSERT\s+INTO\s+([A-Za-z_][A-Za-z0-9_.]*)\s*\(([^)]*)\)\s+VALUES\s+(.+?)\s*;?\s*""".r
+
+  /** Library version (build.sbt ThisBuild / version). */
+  val Version = "0.1.0"
 
   private[sql] def attr(name: String, dt: DataType): Attribute = AttributeReference(name, dt, nullable = true)()
+}
+
+/**
+ * Registry of UPSERT-able tables: name → (schema table, log path). A
+ * registered table gets a merge-on-read temp view under its name
+ * (latest version per (time, dims) key wins), refreshed after every
+ * UPSERT batch — the reader surface of the log-structured store.
+ */
+object UpsertTables {
+  final case class Entry(table: graft.schema.GTable, logPath: String) {
+    def keys: Seq[String] = table.timeColumn +: table.dimensionNames
+  }
+  private val entries = new java.util.concurrent.ConcurrentHashMap[String, Entry]()
+
+  def register(spark: SparkSession, table: graft.schema.GTable, logPath: String): Unit = {
+    entries.put(table.name, Entry(table, logPath))
+    refreshView(spark, table.name)
+  }
+  def unregister(name: String): Unit = entries.remove(name)
+  def get(name: String): Option[Entry] = Option(entries.get(name))
+
+  /** (Re)create the table's merge-on-read view if its log exists. */
+  def refreshView(spark: SparkSession, name: String): Unit =
+    get(name).foreach { e =>
+      val p = new org.apache.hadoop.fs.Path(e.logPath)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p))
+        graft.sources.Upsert.readLatest(spark, e.logPath, e.keys).createOrReplaceTempView(name)
+    }
+
+  /** Next version seq for the log (max existing + 1; 0 for a new log). */
+  def nextSeq(spark: SparkSession, logPath: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(logPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) 0L
+    else
+      fs.listStatus(p).iterator.map(_.getPath.getName)
+        .filter(_.startsWith("__seq="))
+        .map(_.stripPrefix("__seq=").toLong)
+        .foldLeft(-1L)(math.max) + 1L
+  }
 }
 
 // The commands delegate to the graft.sql.Catalog helpers (the
@@ -97,6 +163,64 @@ case class ShowUpdatesIntervalsCommand(changelogDir: String) extends LeafRunnabl
   override val output: Seq[Attribute] = Seq(attr("bucket", StringType), attr("pending_seq", LongType))
   override def run(spark: SparkSession): Seq[Row] =
     Catalog.showUpdatesIntervals(spark, changelogDir).collect().toSeq
+}
+
+/** SHOW VERSION — engine + Spark versions (reference
+  * QueryEngineRouter.scala:83). */
+case class ShowVersionCommand() extends LeafRunnableCommand {
+  import GraftSqlParser.attr
+  override val output: Seq[Attribute] =
+    Seq(attr("component", StringType), attr("version", StringType))
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row("graft", GraftSqlParser.Version), Row("spark", spark.version))
+}
+
+/**
+ * UPSERT INTO t (cols) VALUES ... — put semantics on a registered
+ * log-structured table: key columns (time + dimensions) must all be
+ * present, omitted metrics become null, values are cast to the
+ * declared column types (the time axis is timestamp — the reference's
+ * Time type). The batch lands as ONE new version
+ * ([[graft.sources.Upsert.appendVersion]]); re-putting a key shadows
+ * the old row on read, never rewrites it in place.
+ */
+case class UpsertCommand(table: String, cols: Seq[String], valuesSql: String)
+    extends LeafRunnableCommand {
+  import GraftSqlParser.attr
+  override val output: Seq[Attribute] =
+    Seq(attr("table", StringType), attr("rows_upserted", LongType), attr("version", LongType))
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val entry = UpsertTables.get(table).getOrElse(
+      throw new IllegalArgumentException(
+        s"UPSERT target '$table' is not a registered upsert table (UpsertTables.register)"))
+    val t = entry.table
+    val missingKeys = entry.keys.filterNot(cols.contains)
+    require(missingKeys.isEmpty,
+      s"UPSERT into '$table' must supply every key column; missing: ${missingKeys.mkString(", ")}")
+    val unknown = cols.filterNot(t.columnNames.contains)
+    require(unknown.isEmpty, s"unknown columns for '$table': ${unknown.mkString(", ")}")
+
+    // Spark's own VALUES grammar parses the literal tuples
+    val parsed = spark.sql(s"SELECT * FROM VALUES $valuesSql")
+    require(parsed.columns.length == cols.length,
+      s"UPSERT column list has ${cols.length} names but VALUES rows have ${parsed.columns.length}")
+    val named = parsed.toDF(cols: _*)
+    val declared =
+      (t.dimensions.map(d => d.name -> d.dataType) ++ t.metrics.map(m => m.name -> m.dataType)).toMap +
+        (t.timeColumn -> org.apache.spark.sql.types.TimestampType)
+    val full = t.columnNames.map { c =>
+      val typed = declared(c)
+      if (cols.contains(c)) org.apache.spark.sql.functions.col(c).cast(typed).as(c)
+      else org.apache.spark.sql.functions.lit(null).cast(typed).as(c)
+    }
+    val batch = named.select(full: _*)
+    val n = batch.count()
+    val seq = UpsertTables.nextSeq(spark, entry.logPath)
+    graft.sources.Upsert.appendVersion(batch, entry.logPath, seq)
+    UpsertTables.refreshView(spark, table)
+    Seq(Row(table, n, seq))
+  }
 }
 
 /** SHOW ROLLUP ROUTES — the registered query-over-rollup rewrites. */

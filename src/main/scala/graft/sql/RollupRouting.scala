@@ -79,14 +79,40 @@ final case class RollupRoute(
 /** Session-wide route registry (rollupPath is the identity). */
 object RollupRoutes {
   @volatile private var routes: Seq[RollupRoute] = Nil
+  private val relations =
+    new java.util.concurrent.ConcurrentHashMap[String, LogicalPlan]()
   def register(r: RollupRoute): Unit = synchronized {
     routes = routes.filterNot(_.rollupPath == r.rollupPath) :+ r
+    relations.remove(r.rollupPath)
   }
   def unregister(rollupPath: String): Unit = synchronized {
     routes = routes.filterNot(_.rollupPath == rollupPath)
+    relations.remove(rollupPath)
   }
-  def clear(): Unit = synchronized { routes = Nil }
+  def clear(): Unit = synchronized { routes = Nil; relations.clear() }
   def all: Seq[RollupRoute] = routes
+
+  /**
+   * Analyzed scan of a registered rollup, resolved ONCE per
+   * registration and cached: resolving inside the rewrite rule would
+   * pay a driver-side file listing per Aggregate node × registered
+   * route on every query planned — seconds of planning latency on an
+   * object store with many routes. Each call returns a fresh-exprId
+   * instance (MultiInstanceRelation.newInstance) over the SAME cached
+   * file index, so two rewrites inside one query cannot collide on
+   * attribute ids. Consequence: files appended to the rollup path
+   * after registration are invisible to routing until the route is
+   * re-registered — re-register after each materialize/update (the
+   * register call is the natural end of that flow, and it invalidates
+   * this cache).
+   */
+  private[sql] def analyzedRelation(spark: SparkSession, rollupPath: String): LogicalPlan = {
+    val canonical = relations.computeIfAbsent(
+      rollupPath, p => spark.read.parquet(p).queryExecution.analyzed)
+    canonical.transformUp {
+      case m: org.apache.spark.sql.catalyst.analysis.MultiInstanceRelation => m.newInstance()
+    }
+  }
 }
 
 case class RollupRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
@@ -158,8 +184,10 @@ case class RollupRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       val factAttr: Map[String, AttributeReference] = fact.output.map(a => a.name -> a).toMap
       val dimAttrIds = route.dims.flatMap(factAttr.get).map(_.exprId).toSet
 
-      // 2. resolve the rollup relation (fresh analyzed scan; attr lookups by name)
-      val rollupPlan = spark.read.parquet(route.rollupPath).queryExecution.analyzed
+      // 2. resolve the rollup relation: cached per registration (one
+      //    file listing per register, not per planning attempt), fresh
+      //    attribute ids per use
+      val rollupPlan = RollupRoutes.analyzedRelation(spark, route.rollupPath)
       val rAttr: Map[String, Attribute] = rollupPlan.output.map(a => a.name -> a).toMap
       rAttr.get("rollup_time").flatMap { rollupTime =>
 

@@ -60,6 +60,45 @@ class AdminSqlSpec extends SparkSpecBase {
           r.getString(3) == "day" && r.getString(5) == "m->sm" && r.getString(7) == "m->cm"))
       } finally graft.sql.RollupRoutes.unregister("/tmp/adminsql_roll")
 
+      // SHOW VERSION: engine + spark rows
+      val ver = s2.sql("SHOW VERSION").collect()
+      assert(ver.map(_.getString(0)).toSet == Set("graft", "spark"))
+      assert(ver.find(_.getString(0) == "spark").get.getString(1) == s2.version)
+
+      // UPSERT round-trip: register a log-structured table, put rows,
+      // re-put one key with a new value, and read the merged view
+      val upBase = "/tmp/graft_adminsql_upsert_" + System.nanoTime()
+      val gt = graft.schema.GTable(
+        "metrics_t", timeColumn = "ts",
+        dimensions = Seq(graft.schema.GDimension("dim", org.apache.spark.sql.types.StringType)),
+        metrics = Seq(graft.schema.GMetric("m", org.apache.spark.sql.types.DoubleType)))
+      graft.sql.UpsertTables.register(s2, gt, upBase)
+      try {
+        val r1 = s2.sql(
+          "UPSERT INTO metrics_t (ts, dim, m) VALUES " +
+            "(TIMESTAMP '2024-01-01 00:00:00', 'a', 1.0), " +
+            "(TIMESTAMP '2024-01-01 00:00:00', 'b', 2.0)").head()
+        assert(r1.getLong(1) == 2L && r1.getLong(2) == 0L)
+        // re-put key (ts, 'a') with a new metric value -> version 1
+        val r2 = s2.sql(
+          "UPSERT INTO metrics_t (ts, dim, m) VALUES " +
+            "(TIMESTAMP '2024-01-01 00:00:00', 'a', 9.5)").head()
+        assert(r2.getLong(2) == 1L)
+        // a follow-up query sees latest-version-wins rows
+        val seen = s2.sql("SELECT dim, m FROM metrics_t ORDER BY dim")
+          .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+        assert(seen == Seq(("a", 9.5), ("b", 2.0)), s"merge-on-read must show the re-put value: $seen")
+        // omitted metrics become null, keys are mandatory
+        s2.sql("UPSERT INTO metrics_t (ts, dim) VALUES (TIMESTAMP '2024-01-02 00:00:00', 'c')")
+        assert(s2.sql("SELECT m FROM metrics_t WHERE dim = 'c'").head().isNullAt(0))
+        intercept[Exception](
+          s2.sql("UPSERT INTO metrics_t (dim, m) VALUES ('x', 1.0)"))
+      } finally graft.sql.UpsertTables.unregister("metrics_t")
+
+      // SET stays Spark-native (the reference's session-parameter surface)
+      s2.sql("SET graft.custom.flag=42")
+      assert(s2.sql("SET graft.custom.flag").head().getString(1) == "42")
+
       // everything else still parses as Spark SQL
       assert(s2.sql("SELECT 1 + 1 AS x").head().getInt(0) == 2)
     } finally {

@@ -206,6 +206,11 @@ class DedupSpec extends SparkSpecBase {
     // the known layouts the gate queries rely on
     assert(Dedup.signBanding(0.5) == (48, 24))
     assert(Dedup.minhashBanding(0.5) == (98, 49))
+    // missTarget is the recall/cost dial: loosening it shrinks the
+    // banding (fewer bands => fewer candidates), still within bound
+    val (nhL, nbL) = Dedup.minhashBanding(0.5, missTarget = 1e-3)
+    assert(nhL < 98, s"looser bound must shrink the layout, got ($nhL,$nbL)")
+    assert(missMinhash(0.5, nhL, nbL) <= 1e-3)
   }
 
   test("IVF cell-partitioned embedding pairs: exact subset of brute force with measured recall") {
@@ -270,6 +275,30 @@ class DedupSpec extends SparkSpecBase {
       .toSeq
     assert(out == Seq((0L, 0L, true), (1L, 0L, false), (2L, 2L, true), (3L, 3L, true), (4L, 4L, true)),
       s"degenerate vectors must not pair: $out")
+  }
+
+  test("hash-pair collapse key gives the same semantic dedup as raw-vector grouping") {
+    // replica-heavy corpus: every vector appears 5x under distinct ids
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val replicated = (0 until 5)
+      .map(i => emb.withColumn("vec_id", col("vec_id") + lit(i.toLong * 1000000L)))
+      .reduce(_ unionByName _)
+    val out = Dedup.semanticDedup(replicated, "vec_id", "embedding", threshold = 0.5)
+      .as[(Long, Long, Boolean)].collect().toSeq.sorted
+    // ground truth for the collapse stage computed over the RAW vector
+    // (the formulation the 16-byte hash-pair window key replaced)
+    val rawRep = replicated
+      .withColumn("rep_id",
+        min(col("vec_id")).over(org.apache.spark.sql.expressions.Window.partitionBy(col("embedding"))))
+    // every replica must inherit its representative's canonical id
+    val canon = out.map { case (id, c, _) => id -> c }.toMap
+    val repOf = rawRep.select("vec_id", "rep_id").as[(Long, Long)].collect().toMap
+    assert(replicated.select("vec_id").as[Long].collect()
+      .forall(id => canon(id) == canon(repOf(id))), "replicas must share their representative's cluster")
+    // and cluster count equals the base corpus' (replicas add no clusters)
+    val baseKept = Dedup.semanticDedup(emb, "vec_id", "embedding", threshold = 0.5)
+      .filter(col("keep")).count()
+    assert(out.count(_._3) == baseKept)
   }
 
   test("semantic dedup collapses embedding clusters to min-id representatives") {

@@ -288,6 +288,27 @@ class RollupRoutingSpec extends SparkSpecBase {
     assert(scanPaths(castCount).contains(factPath), "count over a cast must not route")
   }
 
+  test("rollup relation resolves once per registration, not once per planned query") {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    facts // force init + route registration
+    def rollupLocation(df: DataFrame): AnyRef = {
+      df.collect()
+      df.queryExecution.optimizedPlan.collect {
+        case lr: LogicalRelation => lr.relation
+      }.collectFirst {
+        case fs: HadoopFsRelation if fs.location.rootPaths.exists(_.toString.contains(rollPath)) =>
+          fs.location
+      }.getOrElse(fail("query did not route to the rollup"))
+    }
+    registerDayRoute() // fresh registration = fresh file index
+    val l1 = rollupLocation(monthAgg(facts))
+    val l2 = rollupLocation(monthAgg(facts))
+    assert(l1 eq l2, "queries after one registration must share the cached file index")
+    registerDayRoute() // re-registration invalidates the cached relation
+    val l3 = rollupLocation(monthAgg(facts))
+    assert(!(l1 eq l3), "re-registration must re-list the rollup files")
+  }
+
   test("uncovered aggregates stay on the fact: finer grain, non-dim group, avg, distinct") {
     facts // force init + route registration
     val finer = facts.groupBy(F.truncHour(col("ts"))).agg(count(lit(1)))

@@ -861,9 +861,14 @@ object OracleSql {
                            CAST(SUM(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler
                     FROM g LEFT JOIN b ON g.source = b.source AND g.gram = b.gram
                     GROUP BY g.doc_id)
-         SELECT doc_id, n_grams, n_boiler,
-                CAST(n_boiler AS DOUBLE) / CAST(n_grams AS DOUBLE) AS boiler_frac
-         FROM c ORDER BY doc_id""",
+         -- every corpus doc gets a row: sub-n-token docs have no grams
+         -- (n_grams 0, boiler_frac null), mirroring explode_outer
+         SELECT d.doc_id,
+                CAST(COALESCE(c.n_grams, 0) AS BIGINT) AS n_grams,
+                CAST(COALESCE(c.n_boiler, 0) AS BIGINT) AS n_boiler,
+                CASE WHEN COALESCE(c.n_grams, 0) > 0
+                     THEN CAST(c.n_boiler AS DOUBLE) / CAST(c.n_grams AS DOUBLE) END AS boiler_frac
+         FROM documents d LEFT JOIN c ON d.doc_id = c.doc_id ORDER BY d.doc_id""",
     "q_mix_weights" ->
       """WITH s AS (SELECT lang, source, COUNT(*) AS n_docs,
                            CAST(SUM(CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT)) AS BIGINT) AS n_tokens

@@ -59,17 +59,25 @@ object TextAnalysis {
       minDf: Long = 2
   ): DataFrame = {
     graft.sql.GraftFunctions.register(df.sparkSession)
+    // explode_outer: a document with fewer than n tokens has an EMPTY
+    // gram array, and a plain explode would drop it from the output
+    // entirely — a caller joining decisions back to the corpus would
+    // silently lose those docs. They surface as (n_grams=0, n_boiler=0,
+    // boiler_frac=null); their null-gram rows are excluded from every
+    // count (count(gram) skips nulls) so they cannot pollute the
+    // per-(group, gram) frequencies.
     val grams = df
       .select(col(idCol), col(groupCol), F.tokens(col(textCol)).as("tk"))
-      .select(col(idCol), col(groupCol), explode(wordNgrams(col("tk"), n)).as("gram"))
+      .select(col(idCol), col(groupCol), explode_outer(wordNgrams(col("tk"), n)).as("gram"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol), col("gram"))
     grams
-      .withColumn("df", count(lit(1)).over(w))
+      .withColumn("df", count(col("gram")).over(w))
       .groupBy(col(idCol))
       .agg(
-        count(lit(1)).as("n_grams"),
-        sum(when(col("df") >= minDf, 1L).otherwise(0L)).as("n_boiler"))
-      .withColumn("boiler_frac", col("n_boiler").cast("double") / col("n_grams").cast("double"))
+        count(col("gram")).as("n_grams"),
+        sum(when(col("gram").isNotNull && col("df") >= minDf, 1L).otherwise(0L)).as("n_boiler"))
+      .withColumn("boiler_frac",
+        when(col("n_grams") > 0, col("n_boiler").cast("double") / col("n_grams").cast("double")))
   }
 
   /** PII patterns shared by the scrub operator and its oracle — kept to

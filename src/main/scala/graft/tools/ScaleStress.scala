@@ -64,6 +64,24 @@ object ScaleStress {
     val bp = time("boilerplate (5-gram window)")(
       graft.operators.TextAnalysis.boilerplate(docs, "doc_id", "text", "source").count())
     println(s"[stress] boilerplate rows: $bp")
+    // the alternative shape the window form was chosen over: aggregate
+    // per-(source, gram) df, then join the posting table back — two
+    // evaluations of the tokenize+explode subtree (the sides don't
+    // canonicalize equal, so no exchange reuse) but no whole-partition
+    // sort. Timed here at replica-skewed gram distributions so the
+    // trade is a recorded number, not an assumption.
+    val bpAlt = time("boilerplate (agg + join-back)") {
+      val grams = docs
+        .select(col("doc_id"), col("source"), graft.functions.F.tokens(col("text")).as("tk"))
+        .select(col("doc_id"), col("source"),
+          explode(graft.operators.TextAnalysis.wordNgrams(col("tk"), 5)).as("gram"))
+      val freq = grams.groupBy(col("source"), col("gram")).agg(count(lit(1)).as("df"))
+      grams.join(freq, Seq("source", "gram"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"), sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_boiler"))
+        .count()
+    }
+    println(s"[stress] boilerplate join-back rows: $bpAlt")
     // semantic dedup on an inflated embeddings table: replica vectors are
     // bit-identical -> every LSH bucket is mult-deep (degenerate hot
     // buckets by construction), then CC over the pair list

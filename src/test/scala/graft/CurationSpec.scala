@@ -39,13 +39,18 @@ class CurationSpec extends SparkSpecBase {
       // same header on ANOTHER source: must not count toward siteA's df,
       // and alone on siteB it stays under minDf
       (3L, s"$header rho sigma tau upsilon phi chi psi omega", "siteB"),
-      (4L, "entirely unique prose with no repeated navigation fragments at all", "siteA")
+      (4L, "entirely unique prose with no repeated navigation fragments at all", "siteA"),
+      // fewer than n tokens: no 5-grams exist, but the doc must STILL
+      // get an output row (explode_outer) — a pipeline joining
+      // decisions back to the corpus must not lose it
+      (5L, "too short", "siteA")
     ).toDF("doc_id", "text", "source")
 
-    val out = graft.operators.TextAnalysis
+    val rows = graft.operators.TextAnalysis
       .boilerplate(docs, "doc_id", "text", "source", n = 5, minDf = 2)
       .orderBy("doc_id")
       .collect()
+    val out = rows
       .map(r => r.getAs[Long]("doc_id") -> (r.getAs[Long]("n_boiler"), r.getAs[Long]("n_grams")))
       .toMap
 
@@ -56,6 +61,10 @@ class CurationSpec extends SparkSpecBase {
     assert(out(4L)._1 == 0L, "unique prose has no boilerplate")
     // 17 tokens per doc -> 13 distinct 5-grams
     assert(out(1L)._2 == 13L)
+    // the short doc: present, zero grams, null fraction
+    assert(out(5L) == (0L, 0L), s"sub-n-token doc must surface with zero counts: ${out.get(5L)}")
+    assert(rows.find(_.getAs[Long]("doc_id") == 5L).get.isNullAt(3),
+      "boiler_frac must be null (not NaN) when no grams exist")
   }
 
   test("pii scrub masks email, IP, and phone spans with exact counts") {

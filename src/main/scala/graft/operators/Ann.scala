@@ -82,7 +82,7 @@ object Ann {
     }
   }
 
-  private[operators] def centroidsLit(cents: Array[Array[Float]]) =
+  private[graft] def centroidsLit(cents: Array[Array[Float]]) =
     typedlit[Seq[Seq[Float]]](cents.map(_.toSeq).toSeq)
 
   /**
@@ -121,7 +121,8 @@ object Ann {
       corpus: DataFrame,
       numCells: Int = 16,
       lloydIters: Int = 5,
-      trainSample: Long = 20000L
+      trainSample: Long = 20000L,
+      knownCount: Long = -1L // corpus size if the caller already counted (skips a pass)
   ): Array[Array[Float]] = {
     graft.sql.GraftFunctions.register(spark)
     val base = corpus.select(col("vec_id").as("item_id"), col("embedding").as("item_vec"))
@@ -132,7 +133,7 @@ object Ann {
     // driver instead of paying one cluster job per round. The full
     // corpus is never collected and is scanned only by the final
     // assignment pass in ivfSearch.
-    val n = base.count()
+    val n = if (knownCount >= 0L) knownCount else base.count()
     val train =
       if (n <= trainSample) base
       else {

@@ -634,23 +634,24 @@ object Dedup {
     val spark = df.sparkSession
     graft.sql.GraftFunctions.register(spark)
     val vecs = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    // one narrow counting pass sizes the cells AND feeds the trainer
+    // (ivfTrain would otherwise count again for its sampling rate)
+    val n = vecs.count()
     val cells =
       if (numCells > 0) numCells
-      else {
+      else
         // ~2048 vectors/cell keeps within-cell work bounded; the cap
         // keeps the centroid table honest driver metadata (4096 × dim
         // floats ≈ 2 MB at dim=128). Past ~8M vectors the cells grow
         // with the corpus again — recurse (re-quantize oversized
         // cells) if within-cell volume ever dominates.
-        val n = vecs.count()
         math.min(4096L, math.max(16L, n / 2048L)).toInt
-      }
     // xxhash64(id) as the training id: ivfTrain's sampling/seeding wants
     // a long key, this keeps the operator id-type-agnostic and just as
     // deterministic (training only uses ids to pick/seed the sample)
     val cents = Ann.ivfTrain(
       spark, vecs.select(xxhash64(col("id")).as("vec_id"), col("vec").as("embedding")),
-      numCells = cells, trainSample = trainSample)
+      numCells = cells, trainSample = trainSample, knownCount = n)
     // candidate generation ships (id, cell) only; vectors re-attach to
     // the (far smaller) distinct candidate set for the exact verify
     val assigned = vecs.select(

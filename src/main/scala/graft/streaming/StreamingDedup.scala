@@ -102,6 +102,21 @@ object StreamingDedup {
    * candidates, then idempotent batch_id-partitioned appends of both
    * matches and (id, bits, vec) index rows. Per-batch work is
    * |batch| × collision rate, never |corpus|².
+   *
+   * LOW thresholds (t ≲ 0.6): threshold-sized sign banding degenerates
+   * to r ≤ 2 bits per band, where band collisions approach all-pairs —
+   * per-batch work would creep toward |batch| × |index| as the index
+   * grows. The streaming twin of the batch dispatch kicks in instead:
+   * an IVF coarse quantizer is trained ONCE on the first non-empty
+   * batch (deterministic, so failure replays retrain identically),
+   * persisted under `indexPath/_centroids` (underscore-prefixed —
+   * invisible to the index read), and every batch probes by nearest
+   * cells (`ivfProbes`-way multi-probe). Candidates stay cell-local;
+   * the exact cosine verify is unchanged, so false positives remain
+   * impossible and recall has the same measured cell-boundary trade as
+   * [[graft.operators.Dedup.embeddingPairsIvf]]. Re-train (delete
+   * `_centroids`) when the corpus distribution drifts from the first
+   * batch — the natural moment is index compaction.
    */
   def runEmbeddings(
       spark: SparkSession,
@@ -111,12 +126,15 @@ object StreamingDedup {
       planes: Int = 0, // ≤0 = sized from the threshold (Dedup.signBanding)
       bands: Int = 0,
       threshold: Double = 0.97,
-      checkpoint: String = "/tmp/graft_streaming_semdedup_ckpt"
+      checkpoint: String = "/tmp/graft_streaming_semdedup_ckpt",
+      ivfCells: Int = 64,
+      ivfProbes: Int = 3
   ): StreamingQuery = {
     val (planes1, bands1) =
       if (planes > 0 && bands > 0) (planes, bands) else Dedup.signBanding(threshold)
     val rowsPerBand = planes1 / bands1
     val mask = (1L << rowsPerBand) - 1L
+    val lowThreshold = rowsPerBand <= 2
 
     def banded(sigs: DataFrame): DataFrame =
       sigs.select(
@@ -131,6 +149,32 @@ object StreamingDedup {
         ).as("bk")
       ).select(col("id"), col("vec"), col("bk.band"), col("bk.bh"))
 
+    // IVF-cell keys in the same (band, bh) column shape, so the join
+    // below is identical for both candidate generators
+    def cellKeyed(d: DataFrame, cents: Array[Array[Float]]): DataFrame =
+      d.select(
+        col("id"), col("vec"),
+        explode(call_function("graft_nearest_centroids", col("vec"),
+          graft.operators.Ann.centroidsLit(cents), lit(ivfProbes))).as("cell"))
+        .select(col("id"), col("vec"), lit(0).as("band"), col("cell").cast("long").as("bh"))
+
+    def loadOrTrainCentroids(s: SparkSession, batch: DataFrame): Array[Array[Float]] = {
+      val centsPath = new org.apache.hadoop.fs.Path(s"$indexPath/_centroids")
+      val fs = centsPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(centsPath))
+        s.read.parquet(centsPath.toString).orderBy(col("cell")).collect()
+          .map(_.getSeq[Float](1).toArray)
+      else {
+        import s.implicits._
+        val cents = graft.operators.Ann.ivfTrain(
+          s, batch.select(col("vec_id"), col("embedding")), numCells = ivfCells)
+        cents.zipWithIndex.map { case (v, i) => (i, v.toSeq) }.toSeq
+          .toDF("cell", "centroid").coalesce(1)
+          .write.mode("overwrite").parquet(centsPath.toString)
+        cents
+      }
+    }
+
     vecs.writeStream
       .outputMode("append")
       .trigger(Trigger.ProcessingTime(0L))
@@ -139,17 +183,27 @@ object StreamingDedup {
         if (!batch.isEmpty) {
           val s = batch.sparkSession
           graft.sql.GraftFunctions.register(s)
+          val cents: Array[Array[Float]] =
+            if (lowThreshold) loadOrTrainCentroids(s, batch) else Array.empty
           val sigs = batch
             .select(col("vec_id").as("id"), col("embedding").as("vec"))
             .withColumn("bits", call_function("graft_hyperplane_bits", col("vec"), lit(planes1)))
             .cache()
-          val probe = banded(sigs)
-          val haveIndex = Files.exists(Paths.get(indexPath))
+          def keyed(d: DataFrame): DataFrame =
+            if (lowThreshold) cellKeyed(d, cents) else banded(d)
+          val probe = keyed(sigs)
+          // index presence = at least one batch_id partition: the
+          // _centroids dir written above must not read as an index
+          val haveIndex = {
+            val p = new org.apache.hadoop.fs.Path(indexPath)
+            val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+            fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.startsWith("batch_id="))
+          }
           // index rows match in either id direction; id ordering only
           // dedups within-batch pairs (see the note in run() above)
           val target =
             if (haveIndex)
-              banded(s.read.parquet(indexPath)).withColumn("from_index", lit(true))
+              keyed(s.read.parquet(indexPath)).withColumn("from_index", lit(true))
                 .unionByName(probe.withColumn("from_index", lit(false)))
             else probe.withColumn("from_index", lit(false))
           val matches = probe.as("a")

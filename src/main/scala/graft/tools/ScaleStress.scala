@@ -102,6 +102,34 @@ object ScaleStress {
       graft.operators.Dedup.semanticDedup(bigEmb, "vec_id", "embedding", threshold = 0.5,
         bruteBound = 0L).filter(col("keep")).count())
     println(s"[stress] low-threshold semantic-dedup kept: $sdLow")
+    // Sub-quadratic GROWTH evidence for the IVF cell path: perturbed
+    // replicas (every copy shifted by a replica-dependent offset, so
+    // the identical-vector collapse cannot shrink the corpus) at 1x
+    // and 2x, timed through embeddingPairsIvf directly. All-pairs
+    // work would grow 4x for 2x data; cells sized from the corpus
+    // (~2048/cell) keep the growth ~2x (within-cell volume constant
+    // per vector).
+    def perturbedEmb(m: Int) = (0 until m).map { i =>
+      emb0.select(
+        (col("vec_id") + lit(i.toLong * 1000000L)).as("vec_id"),
+        expr(s"transform(embedding, x -> CAST(x + ${0.003 * (i + 1)} AS FLOAT))").as("embedding"))
+    }.reduce(_ unionByName _)
+    // explicit n/512 cell sizing keeps BOTH sizes in the regime where
+    // cell count scales with the corpus (the default auto-sizing floors
+    // at 16 cells below ~33k vectors to avoid over-sharding tiny
+    // corpora, which would make this comparison quadratic by floor)
+    val tIvf = Seq(2, 4).map { m =>
+      val corpus = perturbedEmb(m)
+      val cells = (n * m / 512L).toInt
+      val t0 = System.nanoTime()
+      val pairs = graft.operators.Dedup
+        .embeddingPairsIvf(corpus, "vec_id", "embedding", threshold = 0.5, numCells = cells)
+        .count()
+      val t = (System.nanoTime() - t0) / 1e9
+      println(f"[stress] ivf pairs at ${m}x distinct vectors ($cells cells): $t%.1f s ($pairs pairs)")
+      t
+    }
+    println(f"[stress] ivf growth for 2x data: ${tIvf(1) / tIvf(0)}%.2f x (all-pairs would be ~4x)")
     spark.stop()
   }
 }

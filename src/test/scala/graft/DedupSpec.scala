@@ -214,30 +214,54 @@ class DedupSpec extends SparkSpecBase {
   }
 
   test("IVF cell-partitioned embedding pairs: exact subset of brute force with measured recall") {
-    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
-    val a = emb.select(col("vec_id").as("ia"), col("embedding").as("va"))
-    val b = emb.select(col("vec_id").as("ib"), col("embedding").as("vb"))
+    // synthetic clustered corpus with KNOWN ≥-threshold structure (the
+    // sf0.001 embeddings have zero t≥0.5 pairs, which would make the
+    // recall assertion vacuous): 40 cluster centers on deterministic
+    // pseudo-random directions, 6 members each = small perturbations of
+    // the center (within-cluster cosine ≈ 0.98 ≥ 0.5), plus 160 lone
+    // noise vectors. Every number derives from xxhash-style mixing of
+    // the index — no RNG state, identical corpus every run.
+    def mix(i: Long, j: Long): Double = {
+      var h = i * 0x9E3779B97F4A7C15L + j * 0xC2B2AE3D27D4EB4FL
+      h ^= h >>> 33; h *= 0xFF51AFD7ED558CCDL; h ^= h >>> 33
+      (h >>> 11).toDouble / (1L << 53).toDouble - 0.5
+    }
+    val dim = 16
+    val vecs = ((0 until 40).flatMap { c =>
+      val center = Array.tabulate(dim)(d => mix(c, d))
+      (0 until 6).map { m =>
+        val id = (c * 6 + m).toLong
+        id -> Array.tabulate(dim)(d => (center(d) + 0.02 * mix(id + 1000, d)).toFloat)
+      }
+    } ++ (0 until 160).map { n =>
+      val id = (1000 + n).toLong
+      id -> Array.tabulate(dim)(d => mix(id + 5000, d).toFloat)
+    }).toDF("vec_id", "embedding")
+
+    val a = vecs.select(col("vec_id").as("ia"), col("embedding").as("va"))
+    val b = vecs.select(col("vec_id").as("ib"), col("embedding").as("vb"))
     val brute = a.crossJoin(b).filter(col("ia") < col("ib"))
       .select(col("ia"), col("ib"), call_function("graft_cosine", col("va"), col("vb")).as("cos"))
       .filter(col("cos") >= 0.5)
       .select("ia", "ib").as[(Long, Long)].collect().toSet
-    val ivf = Dedup.embeddingPairsIvf(emb, "vec_id", "embedding", threshold = 0.5)
+    assert(brute.size >= 40 * 15, s"corpus must contain real ≥0.5 pairs, got ${brute.size}")
+    val ivf = Dedup.embeddingPairsIvf(vecs, "vec_id", "embedding", threshold = 0.5)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     // exact verification makes false positives structurally impossible
     assert((ivf -- brute).isEmpty, s"IVF produced non-pairs: ${ivf -- brute}")
     // recall is the measured quantity the scale dispatch trades on;
     // near-dup pairs are close vectors, which coarse k-means cells
     // keep together — multi-probe covers most boundary splits
-    val recall = if (brute.isEmpty) 1.0 else (brute & ivf).size.toDouble / brute.size
+    val recall = (brute & ivf).size.toDouble / brute.size
     info(f"IVF within-cell recall vs brute at t=0.5: $recall%.3f (${ivf.size}/${brute.size} pairs)")
-    assert(recall >= 0.9, f"IVF recall $recall%.3f below floor: missed ${(brute -- ivf)}")
+    assert(recall >= 0.9, f"IVF recall $recall%.3f below floor: missed ${(brute -- ivf).size} pairs")
 
     // the low-threshold dispatch: past the brute bound embeddingPairs
     // must route to the IVF path (a subset), below it to brute (exact)
-    val viaDispatchBrute = Dedup.embeddingPairs(emb, "vec_id", "embedding", threshold = 0.5)
+    val viaDispatchBrute = Dedup.embeddingPairs(vecs, "vec_id", "embedding", threshold = 0.5)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(viaDispatchBrute == brute, "below the bound the dispatch must stay exact")
-    val viaDispatchIvf = Dedup.embeddingPairs(emb, "vec_id", "embedding", threshold = 0.5,
+    val viaDispatchIvf = Dedup.embeddingPairs(vecs, "vec_id", "embedding", threshold = 0.5,
       bruteBound = 0L).select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(viaDispatchIvf == ivf, "past the bound the dispatch must take the IVF cell path")
   }

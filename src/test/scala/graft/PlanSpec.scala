@@ -114,6 +114,23 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("SortMergeJoin"), "corpus grams must not shuffle for the eval join")
   }
 
+  test("IVF embedding-pair plan is cell-bucketed: no cartesian product anywhere") {
+    // the whole point of the low-threshold IVF path is replacing the
+    // all-pairs crossJoin — the physical plan must prove it
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val df = graft.operators.Dedup.embeddingPairsIvf(emb, "vec_id", "embedding", threshold = 0.5)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "IVF path must never degrade to an all-pairs join:\n" + p.take(3000))
+    // and the forced dispatch (past the brute bound) takes the same shape
+    val d2 = graft.operators.Dedup.embeddingPairs(emb, "vec_id", "embedding",
+      threshold = 0.5, bruteBound = 0L)
+    d2.collect()
+    val p2 = d2.queryExecution.executedPlan.toString
+    assert(!p2.contains("CartesianProduct") && !p2.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("q_boilerplate shuffles the gram table exactly once (count window, no join-back)") {
     val p = planOf("q_boilerplate")
     // one exchange on (source, gram) for the window, one on doc_id for the

@@ -297,6 +297,45 @@ class StreamingSpec extends SparkSpecBase {
     assert(spark.read.parquet(s"$base/index").count() == 4) // all vectors indexed
   }
 
+  test("streaming semantic dedup at a LOW threshold probes IVF cells, not degenerate bands") {
+    // t=0.5 forces r <= 2 sign banding where band collisions approach
+    // all-pairs — the streaming dispatch must switch to the persisted
+    // IVF quantizer (trained once on the first batch) and still find
+    // cross-batch and within-batch duplicates via cell-local probes
+    implicit val sqlCtx = spark.sqlContext
+    val base = "/tmp/graft_ssem_lowt_" + System.nanoTime()
+    val stream = MemoryStream[(Long, Array[Float])]
+    val q = graft.streaming.StreamingDedup.runEmbeddings(
+      spark,
+      stream.toDF().toDF("vec_id", "embedding"),
+      indexPath = s"$base/index",
+      matchesPath = s"$base/matches",
+      threshold = 0.5,
+      checkpoint = s"$base/ckpt",
+      ivfCells = 4
+    )
+    stream.addData(
+      (1L, Array(1.0f, 0.05f, 0.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.05f, 0.0f)))
+    q.processAllAvailable()
+    // batch 2: near-dup of 1 (cosine ~0.999 >= 0.5) + an in-batch pair
+    stream.addData(
+      (3L, Array(0.99f, 0.04f, 0.01f, 0.0f)),
+      (10L, Array(0.0f, 0.0f, 1.0f, 0.06f)),
+      (11L, Array(0.0f, 0.01f, 0.99f, 0.05f)))
+    q.processAllAvailable()
+    q.stop()
+    val matches = spark.read.parquet(s"$base/matches")
+      .select("new_id", "existing_id").as[(Long, Long)].collect().toSet
+    assert(matches.contains((3L, 1L)), s"cross-batch near-dup must match via its cell: $matches")
+    assert(matches.contains((11L, 10L)), s"within-batch pair must match: $matches")
+    assert(!matches.exists { case (a, b) => Set(a, b).contains(2L) },
+      s"orthogonal vector must not pair: $matches")
+    // the quantizer is persisted once, invisible to the index read
+    assert(new java.io.File(s"$base/index/_centroids").exists())
+    assert(spark.read.parquet(s"$base/index").count() == 5)
+  }
+
   test("streaming contamination screens micro-batches against the static eval gram set") {
     implicit val sqlCtx = spark.sqlContext
     val base = "/tmp/graft_scontam_" + System.nanoTime()

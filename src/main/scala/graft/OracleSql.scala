@@ -714,6 +714,28 @@ object OracleSql {
                     FROM sc)
          SELECT query_id, doc_id, score, CAST(rank AS INT) AS rank
          FROM r WHERE rank <= 10 ORDER BY query_id, rank""",
+    // positional k=10 spans (NOT distinct — every position counts), gram
+    // occurrence counts corpus-wide, per-doc duplicated-position stats;
+    // grouped by the span STRING (the engine groups 128-bit
+    // fingerprints — a collision would hash-mismatch here and be caught)
+    "q_substring_dup" -> {
+      val tail = (1 to 9).map(j => s"|| ' ' || tk[i + $j]").mkString(" ")
+      s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
+              g AS (SELECT doc_id, unnest(list_filter(
+                      list_transform(tk, (x, i) -> CASE WHEN i + 9 <= len(tk)
+                        THEN x $tail END),
+                      v -> v IS NOT NULL)) AS gram
+                    FROM t),
+              c AS (SELECT gram, COUNT(*) AS occ FROM g GROUP BY gram),
+              d AS (SELECT g.doc_id, COUNT(*) AS n_spans,
+                           CAST(SUM(CASE WHEN c.occ >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+                    FROM g JOIN c USING (gram) GROUP BY g.doc_id)
+         SELECT dd.doc_id,
+                CAST(COALESCE(d.n_spans, 0) AS BIGINT) AS n_spans,
+                CAST(COALESCE(d.n_dup, 0) AS BIGINT) AS n_dup,
+                CASE WHEN COALESCE(d.n_spans, 0) > 0
+                     THEN CAST(d.n_dup AS DOUBLE) / CAST(d.n_spans AS DOUBLE) END AS dup_frac
+         FROM documents dd LEFT JOIN d ON dd.doc_id = d.doc_id ORDER BY dd.doc_id""" },
     "q_text_repetition" ->
       s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
               u AS (SELECT doc_id, unnest(tk) AS token FROM t),

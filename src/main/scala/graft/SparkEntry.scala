@@ -989,6 +989,20 @@ object SparkEntry {
       .orderBy(col("query_id"), col("rank"))
 
   /**
+   * Exact-substring duplication signal (Lee et al. 2022 construction
+   * at fixed span length k=10): fraction of each doc's k-token span
+   * positions whose span occurs anywhere else in the corpus —
+   * memorization-prone text that document-level dedup misses. The
+   * posting shuffle ships 128-bit span fingerprints, never span text
+   * (TextAnalysis.substringDuplication; oracle groups the span strings
+   * themselves, so a fingerprint collision would be caught).
+   */
+  private def qSubstringDup(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextAnalysis
+      .substringDuplication(ld(s, dir, "documents"), "doc_id", "text", k = 10)
+      .orderBy(col("doc_id"))
+
+  /**
    * Gopher-style repetition signals per document: distinct-token and
    * top-token/top-bigram concentration — the standard quality gates a
    * training corpus applies before sampling. Counts are exact ints;
@@ -1262,6 +1276,7 @@ object SparkEntry {
     "q_multimodal_frames" -> (qMultimodalFrames _),
     "q_bm25" -> (qBm25 _),
     "q_text_repetition" -> (qTextRepetition _),
+    "q_substring_dup" -> (qSubstringDup _),
     "q_pack_shards" -> (qPackShards _),
     "q_stratified_sample" -> (qStratifiedSample _),
     "q_embed_quant" -> (qEmbedQuant _),

@@ -80,6 +80,58 @@ object TextAnalysis {
         when(col("n_grams") > 0, col("n_boiler").cast("double") / col("n_grams").cast("double")))
   }
 
+  /** POSITIONAL word n-grams (no dedup): one entry per token position —
+    * the substring-duplication operator needs every occurrence, not the
+    * distinct set. */
+  def positionalNgrams(tk: Column, n: Int): Column =
+    transform(
+      slice(tk, lit(1), greatest(size(tk) - (n - 1), lit(0))),
+      (x, i) => concat_ws(" ", (x +: (2 to n).map(j => element_at(tk, i + lit(j)))): _*))
+
+  /**
+   * Exact-substring duplication signal (the "Deduplicating Training
+   * Data Makes Language Models Better" construction, Lee et al. 2022,
+   * at fixed span length instead of a suffix array): a token position
+   * is DUPLICATED when its k-token span occurs anywhere else in the
+   * corpus (another document or another position of the same one) —
+   * memorization-prone boilerplate that survives document-level dedup
+   * because the containing documents differ. Output per document:
+   * span-position count, duplicated-position count, duplicated
+   * fraction (null when the doc has < k tokens — explode_outer keeps
+   * the row).
+   *
+   * Scale shape: the span posting table ships (id, 128-bit fingerprint)
+   * — 24-byte fixed-width rows, never the span TEXT (a k=20 span is
+   * ~100+ bytes; hashing before the shuffle is a 5-10× byte reduction
+   * on the corpus-sized posting table, the same content-hash
+   * discipline as exact dedup, same birthday bound). Occurrence counts
+   * come from one count window over the single fingerprint shuffle
+   * (the boilerplate shape); the per-doc rollup combines map-side.
+   */
+  def substringDuplication(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 20
+  ): DataFrame = {
+    graft.sql.GraftFunctions.register(df.sparkSession)
+    val spans = df
+      .select(col(idCol), F.tokens(col(textCol)).as("tk"))
+      .select(col(idCol), explode_outer(positionalNgrams(col("tk"), k)).as("gram"))
+      .select(col(idCol),
+        when(col("gram").isNotNull, xxhash64(col("gram"))).as("h1"),
+        when(col("gram").isNotNull, xxhash64(lit("graft-seed-2"), col("gram"))).as("h2"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("h1"), col("h2"))
+    spans
+      .withColumn("occ", count(col("h1")).over(w))
+      .groupBy(col(idCol))
+      .agg(
+        count(col("h1")).as("n_spans"),
+        sum(when(col("h1").isNotNull && col("occ") >= 2, 1L).otherwise(0L)).as("n_dup"))
+      .withColumn("dup_frac",
+        when(col("n_spans") > 0, col("n_dup").cast("double") / col("n_spans").cast("double")))
+  }
+
   /** PII patterns shared by the scrub operator and its oracle — kept to
     * syntax with identical semantics in Java regex and RE2 (no
     * backrefs/lookaround), so both engines find the same spans. */

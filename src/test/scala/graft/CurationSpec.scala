@@ -67,6 +67,28 @@ class CurationSpec extends SparkSpecBase {
       "boiler_frac must be null (not NaN) when no grams exist")
   }
 
+  test("substring duplication flags positions whose k-token span recurs anywhere in the corpus") {
+    val shared = "one two three four five six seven eight nine ten eleven twelve" // 12 tokens
+    val docs = Seq(
+      (1L, s"$shared alpha beta gamma"),          // shares a 12-token prefix with doc 2
+      (2L, s"$shared delta epsilon zeta"),
+      (3L, "totally different words making a unique fifteen token document nothing shared here at all"),
+      (4L, "too short for any span")              // < k tokens: row kept, zero spans
+    ).toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis
+      .substringDuplication(docs, "doc_id", "text", k = 10)
+      .orderBy("doc_id")
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> (r.getAs[Long]("n_spans"), r.getAs[Long]("n_dup")))
+      .toMap
+    // doc 1: 15 tokens -> 6 span positions; positions 0..2 lie inside the
+    // shared 12-token run (a 10-token span fits at offsets 0,1,2), so 3 dup
+    assert(out(1L) == (6L, 3L), s"doc1: ${out(1L)}")
+    assert(out(2L) == (6L, 3L), s"doc2: ${out(2L)}")
+    assert(out(3L)._2 == 0L, "unique doc has no duplicated spans")
+    assert(out(4L) == (0L, 0L), "sub-k doc must still get a row with zero spans")
+  }
+
   test("pii scrub masks email, IP, and phone spans with exact counts") {
     val docs = Seq(
       (1L, "contact john.doe+x@example.co.uk or 192.168.1.254 ; call +1-415-555-0199 today"),

@@ -891,6 +891,20 @@ object OracleSql {
                 CASE WHEN COALESCE(c.n_grams, 0) > 0
                      THEN CAST(c.n_boiler AS DOUBLE) / CAST(c.n_grams AS DOUBLE) END AS boiler_frac
          FROM documents d LEFT JOIN c ON d.doc_id = c.doc_id ORDER BY d.doc_id""",
+    // α=0.5 temperature weights: sqrt is correctly rounded in IEEE 754
+    // (pow is not), quantized to integers before the exact
+    // normalization sum, one division per row — bit-stable both engines
+    "q_mix_alpha" ->
+      """WITH s AS (SELECT lang, source,
+                           CAST(SUM(CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT)) AS BIGINT) AS n_tokens
+                    FROM documents GROUP BY lang, source),
+              q AS (SELECT lang, source, n_tokens,
+                           CAST(FLOOR(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS sq_micro
+                    FROM s),
+              t AS (SELECT CAST(SUM(CAST(sq_micro AS DECIMAL(38,0))) AS DOUBLE) AS tot_sq FROM q)
+         SELECT lang, source, n_tokens,
+                CAST(sq_micro AS DOUBLE) / t.tot_sq AS p_alpha
+         FROM q CROSS JOIN t ORDER BY lang, source""",
     "q_mix_weights" ->
       """WITH s AS (SELECT lang, source, COUNT(*) AS n_docs,
                            CAST(SUM(CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT)) AS BIGINT) AS n_tokens

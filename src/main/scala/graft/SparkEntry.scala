@@ -1152,6 +1152,31 @@ object SparkEntry {
    * 1-row broadcast, and every share/weight is exact integer sums +
    * one IEEE division so both engines agree bitwise.
    */
+  /**
+   * Temperature-scaled sampling weights — the multilingual upsampling
+   * standard: p_i ∝ n_i^α at α = 0.5, so low-resource domains are
+   * sampled above their raw token share (α=1 is proportional, α→0
+   * uniform). Exactness: α=0.5 is sqrt, which IEEE 754 requires
+   * correctly rounded (unlike pow — engines may differ sub-ulp), each
+   * sqrt is quantized to an exact integer (floor(·1e6 + ½)) BEFORE the
+   * normalization sum (exact, order-independent), and each probability
+   * is ONE IEEE division — bit-identical in both engines.
+   */
+  private def qMixAlpha(s: SparkSession, dir: String): DataFrame = {
+    val perSrc = ld(s, dir, "documents")
+      .groupBy(col("lang"), col("source"))
+      .agg(sum(TextAnalysis.wsTokenCount(col("text")).cast("long")).as("n_tokens"))
+      .withColumn("sq_micro",
+        floor(sqrt(col("n_tokens").cast("double")) * lit(1e6) + lit(0.5)).cast("long"))
+    val tot = perSrc.agg(sum(col("sq_micro").cast("decimal(38,0)")).as("tot_sq"))
+    perSrc
+      .crossJoin(broadcast(tot))
+      .select(
+        col("lang"), col("source"), col("n_tokens"),
+        (col("sq_micro").cast("double") / col("tot_sq").cast("double")).as("p_alpha"))
+      .orderBy(col("lang"), col("source"))
+  }
+
   private def qMixWeights(s: SparkSession, dir: String): DataFrame = {
     val perSrc = ld(s, dir, "documents")
       .groupBy(col("lang"), col("source"))
@@ -1277,6 +1302,7 @@ object SparkEntry {
     "q_bm25" -> (qBm25 _),
     "q_text_repetition" -> (qTextRepetition _),
     "q_substring_dup" -> (qSubstringDup _),
+    "q_mix_alpha" -> (qMixAlpha _),
     "q_pack_shards" -> (qPackShards _),
     "q_stratified_sample" -> (qStratifiedSample _),
     "q_embed_quant" -> (qEmbedQuant _),

@@ -67,17 +67,23 @@ object Bench {
       Seq("q_rollup_routed_on" -> on, "q_rollup_routed_off" -> off)
     } catch { case _: Throwable => Seq.empty }
 
-    // values rounded to ms so the single JSON line stays small (a
-    // full-precision 79-query line was truncated by the driver's
-    // capture, losing the tail and the total); 1-minute load average
-    // records machine state with the run (concurrent driver jobs have
-    // inflated totals ~2x before)
+    // The driver keeps only the LAST 2000 chars of output and sbt's
+    // epilogue line (~75 chars) lands after ours, so the whole JSON
+    // line must fit in ~1900 chars or its HEAD gets cut and the parse
+    // fails (BENCH_r03: full-precision values pushed the line to
+    // ~2600 and `parsed` came back null). Two decimals keeps ~82
+    // queries near 1860 chars. 1-minute load average records machine
+    // state with the run (concurrent driver jobs have inflated totals
+    // ~2x before).
     val results = looped ++ routedPair
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }
       .mkString("{", ",", "}")
     val total = looped.map(_._2).sum
     val load = java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","load":$load%.1f,"queries":$qs,"sf":"$sfDir"}""")
+    val line = f"""{"metric":"total","value":$total%.2f,"unit":"sec","load":$load%.1f,"queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    if (line.length > 1900)
+      Console.err.println(s"[bench] WARNING: JSON line ${line.length} chars — driver tail capture may clip it")
     spark.stop()
   }
 }

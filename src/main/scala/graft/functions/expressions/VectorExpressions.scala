@@ -74,6 +74,43 @@ object VectorOps {
     new GenericArrayData(top)
   }
 
+  /**
+   * Static kernel: `p1 × p2` global cell ids from a TWO-LEVEL quantizer
+   * — the p1 nearest coarse (L1) cells, and within each the p2 nearest
+   * fine (L2) cells of that coarse cell's own table. Global id =
+   * c1 * C2 + c2. Per-row cost is (C1 + p1·C2)·dim instead of the flat
+   * table's (C1·C2)·dim — what makes ≥10^5-cell quantizers affordable
+   * as a narrow map.
+   */
+  def nearestCellsHier(
+      v: ArrayData,
+      l1: Array[Array[Float]],
+      l2: Array[Array[Array[Float]]],
+      p1: Int,
+      p2: Int
+  ): ArrayData = {
+    val d1 = Array.tabulate(l1.length)(c => (dist2(v, l1(c)), c))
+    val coarse = d1.sortBy(t => (t._1, t._2)).take(math.min(p1, d1.length)).map(_._2)
+    val c2n = if (l2.length == 0) 0 else l2(0).length
+    val out = new Array[Int](coarse.length * math.min(p2, math.max(c2n, 0)))
+    var k = 0
+    var ci = 0
+    while (ci < coarse.length) {
+      val c1 = coarse(ci)
+      val fine = l2(c1)
+      val d2 = Array.tabulate(fine.length)(c => (dist2(v, fine(c)), c))
+      val picks = d2.sortBy(t => (t._1, t._2)).take(math.min(p2, d2.length))
+      var pi = 0
+      while (pi < picks.length) {
+        out(k) = c1 * c2n + picks(pi)._2
+        k += 1
+        pi += 1
+      }
+      ci += 1
+    }
+    new GenericArrayData(if (k == out.length) out else out.take(k))
+  }
+
   /** Static kernel: sign bits against `planes` deterministic hyperplanes, packed into a long. */
   def hyperplaneBits(v: ArrayData, planes: Int): Long = {
     val n = v.numElements()
@@ -129,6 +166,34 @@ case class NearestCentroids(child: Expression, centroids: Array[Array[Float]], p
   }
 
   override protected def withNewChildInternal(newChild: Expression): NearestCentroids = copy(child = newChild)
+}
+
+/** Global cell ids from a two-level quantizer (see
+  * [[VectorOps.nearestCellsHier]]); both centroid tables ride as codegen
+  * reference objects, so huge-cell-count quantizers never become SQL
+  * literals. */
+case class NearestCellsHier(
+    child: Expression,
+    l1: Array[Array[Float]],
+    l2: Array[Array[Array[Float]]],
+    p1: Int,
+    p2: Int
+) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "graft_nearest_cells_hier"
+
+  override protected def nullSafeEval(input: Any): Any =
+    VectorOps.nearestCellsHier(input.asInstanceOf[ArrayData], l1, l2, p1, p2)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val l1r = ctx.addReferenceObj("l1", l1, "float[][]")
+    val l2r = ctx.addReferenceObj("l2", l2, "float[][][]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.expressions.VectorOps.nearestCellsHier($c, $l1r, $l2r, $p1, $p2);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCellsHier = copy(child = newChild)
 }
 
 /**

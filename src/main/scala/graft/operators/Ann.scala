@@ -126,13 +126,53 @@ object Ann {
   ): Array[Array[Float]] = {
     graft.sql.GraftFunctions.register(spark)
     val base = corpus.select(col("vec_id").as("item_id"), col("embedding").as("item_vec"))
+    lloydOn(collectSample(base, trainSample, knownCount), numCells, lloydIters)
+  }
 
-    // bounded training set: hash-filter to ~trainSample vectors, then
-    // collect it ONCE — the sample is bounded metadata (trainSample ×
-    // dim floats, ~5 MB at the default), so the Lloyd loop runs on the
-    // driver instead of paying one cluster job per round. The full
-    // corpus is never collected and is scanned only by the final
-    // assignment pass in ivfSearch.
+  /**
+   * TWO-LEVEL quantizer: a coarse table of `c1` cells plus, per coarse
+   * cell, a fine table of `c2` cells trained on that cell's share of
+   * the sample — c1·c2 effective cells at (c1 + p1·c2)·dim per-row
+   * assignment cost instead of the flat table's (c1·c2)·dim. This is
+   * what keeps ≥10^5-cell quantizers a narrow map: a flat 65k-cell
+   * table costs 65k·dim multiply-adds per row, the 256×256 two-level
+   * equivalent ~512·dim. Same bounded driver-side training discipline
+   * as [[ivfTrain]] (one sample collect, local Lloyd); empty coarse
+   * cells get zero-vector fine tables (they win no assignments that
+   * matter — their coarse cell was never nearest for the sample).
+   */
+  def ivfTrainHier(
+      spark: SparkSession,
+      corpus: DataFrame,
+      c1: Int,
+      c2: Int,
+      lloydIters: Int = 5,
+      trainSample: Long = 20000L,
+      knownCount: Long = -1L
+  ): (Array[Array[Float]], Array[Array[Array[Float]]]) = {
+    graft.sql.GraftFunctions.register(spark)
+    val base = corpus.select(col("vec_id").as("item_id"), col("embedding").as("item_vec"))
+    val sample = collectSample(base, trainSample, knownCount)
+    val l1 = lloydOn(sample, c1, lloydIters)
+    val dim = sample.iterator.map(_._2.length).foldLeft(0)(math.max)
+    val byCell = sample.groupBy { case (_, v) =>
+      graft.functions.expressions.VectorOps.nearestLocal(v, l1)
+    }
+    val l2 = Array.tabulate(c1) { c =>
+      byCell.get(c) match {
+        case Some(members) if members.nonEmpty => lloydOn(members, c2, lloydIters)
+        case _ => Array.fill(c2)(Array.fill(dim)(0.0f))
+      }
+    }
+    (l1, l2)
+  }
+
+  /** Bounded deterministic training sample: hash-filter to ~trainSample
+    * vectors, collect ONCE (trainSample × dim floats, ~5 MB at the
+    * default) so the Lloyd loop runs on the driver instead of paying
+    * one cluster job per round. The full corpus is never collected. */
+  private def collectSample(
+      base: DataFrame, trainSample: Long, knownCount: Long): Array[(Long, Array[Float])] = {
     val n = if (knownCount >= 0L) knownCount else base.count()
     val train =
       if (n <= trainSample) base
@@ -146,10 +186,15 @@ object Ann {
     // fixed-point sums make the means collect-order-independent anyway;
     // sorting pins the iteration order for anything order-sensitive later
     java.util.Arrays.sort(sample, Ordering.by((t: (Long, Array[Float])) => t._1))
+    sample
+  }
 
+  /** Hash-seeded Lloyd refinement on a driver-local sample, short-
+    * circuiting once centroids stop moving. */
+  private def lloydOn(
+      sample: Array[(Long, Array[Float])], numCells: Int, lloydIters: Int): Array[Array[Float]] = {
     // seed centroids: means of hash buckets (same XXH64(seed=42) pmod as
-    // the SQL xxhash64 expression); Lloyd rounds to refine, short-
-    // circuiting once assignments stop moving
+    // the SQL xxhash64 expression)
     val seedCells = sample.map { case (id, _) =>
       val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(id, 42L)
       (((h % numCells) + numCells) % numCells).toInt
@@ -167,6 +212,10 @@ object Ann {
     }
     cents
   }
+
+  /** 3-level literal for the per-coarse-cell fine tables. */
+  private[graft] def centroidsLit3(l2: Array[Array[Array[Float]]]) =
+    typedlit[Seq[Seq[Seq[Float]]]](l2.map(_.map(_.toSeq).toSeq).toSeq)
 
   /** Probe-limited search against a trained centroid table: one full
     * corpus assignment pass + per-query candidate top-k. */

@@ -637,15 +637,20 @@ object Dedup {
     // one narrow counting pass sizes the cells AND feeds the trainer
     // (ivfTrain would otherwise count again for its sampling rate)
     val n = vecs.count()
-    val cells =
-      if (numCells > 0) numCells
-      else
-        // ~2048 vectors/cell keeps within-cell work bounded; the cap
-        // keeps the centroid table honest driver metadata (4096 × dim
-        // floats ≈ 2 MB at dim=128). Past ~8M vectors the cells grow
-        // with the corpus again — recurse (re-quantize oversized
-        // cells) if within-cell volume ever dominates.
-        math.min(4096L, math.max(16L, n / 2048L)).toInt
+    // ~2048 vectors/cell keeps within-cell work bounded. A FLAT table
+    // caps at 4096 cells (per-row assignment is numCells·dim
+    // multiply-adds; the table itself stays ~2 MB driver metadata at
+    // dim=128) — past that (~8M vectors) the TWO-LEVEL quantizer takes
+    // over: √cells coarse × √cells fine keeps per-row cost at
+    // (c1 + p1·c2)·dim while the effective cell count keeps scaling
+    // with the corpus.
+    val wanted = math.max(16L, n / 2048L)
+    if (numCells <= 0 && wanted > 4096L) {
+      val side = math.ceil(math.sqrt(wanted.toDouble)).toInt
+      return embeddingPairsIvfHier(df, idCol, vecCol, threshold, c1 = side, c2 = side,
+        trainSample = trainSample)
+    }
+    val cells = if (numCells > 0) numCells else math.min(4096L, wanted).toInt
     // xxhash64(id) as the training id: ivfTrain's sampling/seeding wants
     // a long key, this keeps the operator id-type-agnostic and just as
     // deterministic (training only uses ids to pick/seed the sample)
@@ -657,6 +662,47 @@ object Dedup {
     val assigned = vecs.select(
       col("id"),
       explode(call_function("graft_nearest_centroids", col("vec"), Ann.centroidsLit(cents), lit(probes))).as("cell"))
+    withinCellPairs(vecs, assigned, threshold)
+  }
+
+  /**
+   * Two-level variant of [[embeddingPairsIvf]] for corpora whose cell
+   * count outgrows a flat table: c1·c2 effective cells at
+   * (c1 + p1·c2)·dim per-row assignment cost ([[Ann.ivfTrainHier]]).
+   * Multi-probe is p1 coarse × p2 fine cells per vector. Same
+   * exact-verify guarantee (subset of brute force, no false
+   * positives); boundary recall now has two levels of cell edges —
+   * measured in DedupSpec alongside the flat path. [[embeddingPairs]]
+   * auto-routes here when the corpus would need > 4096 flat cells
+   * (~8M vectors at the 2048/cell target).
+   */
+  def embeddingPairsIvfHier(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      c1: Int,
+      c2: Int,
+      p1: Int = 2,
+      p2: Int = 2,
+      trainSample: Long = 20000L
+  ): DataFrame = {
+    val spark = df.sparkSession
+    graft.sql.GraftFunctions.register(spark)
+    val vecs = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val (l1, l2) = Ann.ivfTrainHier(
+      spark, vecs.select(xxhash64(col("id")).as("vec_id"), col("vec").as("embedding")),
+      c1, c2, trainSample = trainSample)
+    val assigned = vecs.select(
+      col("id"),
+      explode(call_function("graft_nearest_cells_hier", col("vec"),
+        Ann.centroidsLit(l1), Ann.centroidsLit3(l2), lit(p1), lit(p2))).as("cell"))
+    withinCellPairs(vecs, assigned, threshold)
+  }
+
+  /** Shared IVF tail: within-cell id-only candidate join + exact cosine
+    * verify (vectors re-attach to the small distinct candidate set). */
+  private def withinCellPairs(vecs: DataFrame, assigned: DataFrame, threshold: Double): DataFrame = {
     val cands = assigned.as("a")
       .join(assigned.as("b").hint("shuffle_hash"),
         col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))

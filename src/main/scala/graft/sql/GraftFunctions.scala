@@ -39,6 +39,10 @@ object GraftFunctions {
     // vector-index ops: centroid tables ride as a foldable literal argument
     "graft_nearest_centroid" -> (exprs => NearestCentroid(exprs.head, centroidsArg(exprs(1)))),
     "graft_nearest_centroids" -> (exprs => NearestCentroids(exprs.head, centroidsArg(exprs(1)), intArg(exprs, 2, 4))),
+    // two-level quantizer: (vec, l1_lit, l2_lit[, p1[, p2]]) → global cell ids
+    "graft_nearest_cells_hier" -> (exprs =>
+      graft.functions.expressions.NearestCellsHier(
+        exprs.head, centroidsArg(exprs(1)), centroids3Arg(exprs(2)), intArg(exprs, 3, 2), intArg(exprs, 4, 2))),
     "graft_hyperplane_bits" -> (exprs => HyperplaneBits(exprs.head, intArg(exprs, 1, 16))),
     "graft_tokens" -> (exprs => graft.functions.expressions.Tokens(exprs.head, lowercase = true)),
     "graft_split_words" -> (exprs => graft.functions.expressions.Tokens(exprs.head, lowercase = false)),
@@ -65,6 +69,19 @@ object GraftFunctions {
     Array.tabulate(outer.numElements()) { i =>
       val inner = outer.getArray(i)
       Array.tabulate(inner.numElements())(j => inner.getFloat(j))
+    }
+  }
+
+  /** Decode a foldable array<array<array<float>>> literal (per-L1-cell
+    * L2 centroid tables of the two-level quantizer). */
+  private def centroids3Arg(e: Expression): Array[Array[Array[Float]]] = {
+    val outer = e.eval().asInstanceOf[ArrayData]
+    Array.tabulate(outer.numElements()) { i =>
+      val mid = outer.getArray(i)
+      Array.tabulate(mid.numElements()) { j =>
+        val inner = mid.getArray(j)
+        Array.tabulate(inner.numElements())(k => inner.getFloat(k))
+      }
     }
   }
 

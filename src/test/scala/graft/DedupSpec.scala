@@ -264,6 +264,15 @@ class DedupSpec extends SparkSpecBase {
     val viaDispatchIvf = Dedup.embeddingPairs(vecs, "vec_id", "embedding", threshold = 0.5,
       bruteBound = 0L).select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(viaDispatchIvf == ivf, "past the bound the dispatch must take the IVF cell path")
+
+    // the TWO-LEVEL quantizer (the >4096-cell scale path): same subset
+    // guarantee, recall measured across both levels of cell boundaries
+    val hier = Dedup.embeddingPairsIvfHier(vecs, "vec_id", "embedding", threshold = 0.5,
+      c1 = 5, c2 = 5).select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert((hier -- brute).isEmpty, s"hier IVF produced non-pairs: ${hier -- brute}")
+    val hierRecall = (brute & hier).size.toDouble / brute.size
+    info(f"two-level IVF recall vs brute at t=0.5 (5x5 cells, 2x2 probes): $hierRecall%.3f")
+    assert(hierRecall >= 0.85, f"hier recall $hierRecall%.3f below floor")
   }
 
   test("degenerate vectors never pair: graft_cosine is NULL, the corpus does not collapse") {

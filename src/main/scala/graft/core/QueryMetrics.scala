@@ -39,6 +39,15 @@ final class QueryMetrics private (spark: SparkSession) {
 
   def clear(): Unit = records.clear()
 
+  /** Remove the records matching the predicate, returning how many —
+    * the reference's filtered DELETE QUERY METRICS (MetricsFilter). */
+  def removeWhere(p: Record => Boolean): Long = {
+    var n = 0L
+    val it = records.iterator()
+    while (it.hasNext) if (p(it.next())) { it.remove(); n += 1 }
+    n
+  }
+
   def close(): Unit = spark.listenerManager.unregister(listener)
 }
 

@@ -38,23 +38,38 @@ object Catalog {
    * recorded per-query durations/row counts as a queryable DataFrame,
    * most recent first.
    */
-  def showQueryMetrics(spark: SparkSession, metrics: graft.core.QueryMetrics, limit: Int = 100): DataFrame = {
+  def showQueryMetrics(
+      spark: SparkSession,
+      metrics: graft.core.QueryMetrics,
+      limit: Int = 100,
+      queryId: Option[String] = None, // reference MetricsFilter.queryId
+      state: Option[String] = None    // reference MetricsFilter.state
+  ): DataFrame = {
     import spark.implicits._
     metrics
       .snapshot()
+      .filter(r => queryId.forall(_ == r.funcName))
+      .filter(r => state.forall(_.equalsIgnoreCase(if (r.failed) "FAILED" else "FINISHED")))
       .map(r => (r.funcName, r.durationNs / 1e6, r.outputRows, if (r.failed) "FAILED" else "FINISHED"))
       .takeRight(limit)
       .reverse
       .toDF("query", "duration_ms", "output_rows", "state")
   }
 
-  /** DELETE QUERY METRICS (reference `DeleteQueryMetrics`): clears the
-    * recorded metrics, returning how many were dropped. */
-  def deleteQueryMetrics(spark: SparkSession, metrics: graft.core.QueryMetrics): DataFrame = {
+  /** DELETE QUERY METRICS (reference `DeleteQueryMetrics(filter)`):
+    * clears the matching records (all, when no filter), returning how
+    * many were dropped. */
+  def deleteQueryMetrics(
+      spark: SparkSession,
+      metrics: graft.core.QueryMetrics,
+      queryId: Option[String] = None,
+      state: Option[String] = None
+  ): DataFrame = {
     import spark.implicits._
-    val n = metrics.snapshot().size
-    metrics.clear()
-    Seq(n.toLong).toDF("deleted")
+    val n = metrics.removeWhere(r =>
+      queryId.forall(_ == r.funcName) &&
+        state.forall(_.equalsIgnoreCase(if (r.failed) "FAILED" else "FINISHED")))
+    Seq(n).toDF("deleted")
   }
 
   /**

@@ -19,13 +19,16 @@ import org.apache.spark.sql.types.{DataType, DoubleType, LongType, StringType, S
  * untouched.
  *
  * Grammar (case-insensitive):
- *   SHOW QUERY METRICS [LIMIT n]
- *   DELETE QUERY METRICS
- *   KILL QUERY '<job-group>'
+ *   SHOW QUERY METRICS [WHERE QUERY_ID = '…' | STATE = '…'] [LIMIT n]
+ *   DELETE QUERY METRICS [WHERE QUERY_ID = '…' | STATE = '…']
+ *   KILL QUERY '<job-group>' | KILL QUERY WHERE QUERY_ID = '<job-group>'
  *   SHOW UPDATES_INTERVALS '<changelog-dir>'
  *   SHOW ROLLUP ROUTES
  *   SHOW VERSION
  *   UPSERT INTO <table> (col, ...) VALUES (v, ...), ...
+ *
+ * The WHERE filters are the reference's MetricsFilter
+ * (SqlParser.scala:301-303 — queryId / state equality).
  *
  * UPSERT (reference SqlParser.scala:331, Statement.scala:30 — put
  * semantics keyed by (time, dimensions)) targets a table registered in
@@ -47,10 +50,19 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface) extends P
 
   override def parsePlan(sqlText: String): LogicalPlan = {
     val t = sqlText.trim
+    def filt(key: String, value: String): (Option[String], Option[String]) =
+      Option(key).map(_.toUpperCase) match {
+        case Some("QUERY_ID") => (Some(value), None)
+        case Some("STATE") => (None, Some(value))
+        case _ => (None, None)
+      }
     t match {
-      case ShowMetricsRe(limit) =>
-        ShowQueryMetricsCommand(Option(limit).map(_.toInt).getOrElse(100))
-      case DeleteMetricsRe() => DeleteQueryMetricsCommand()
+      case ShowMetricsRe(key, value, limit) =>
+        val (q, st) = filt(key, value)
+        ShowQueryMetricsCommand(Option(limit).map(_.toInt).getOrElse(100), q, st)
+      case DeleteMetricsRe(key, value) =>
+        val (q, st) = filt(key, value)
+        DeleteQueryMetricsCommand(q, st)
       case KillQueryRe(group) => KillQueryCommand(group)
       case ShowUpdatesRe(dir) => ShowUpdatesIntervalsCommand(dir)
       case ShowRoutesRe() => ShowRollupRoutesCommand()
@@ -72,9 +84,12 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface) extends P
 }
 
 object GraftSqlParser {
-  private val ShowMetricsRe = """(?is)SHOW\s+QUERY\s+METRICS(?:\s+LIMIT\s+(\d+))?\s*;?""".r
-  private val DeleteMetricsRe = """(?is)DELETE\s+QUERY\s+METRICS\s*;?""".r
-  private val KillQueryRe = """(?is)KILL\s+QUERY\s+'([^']+)'\s*;?""".r
+  private val ShowMetricsRe =
+    """(?is)SHOW\s+QUERY\s+METRICS(?:\s+WHERE\s+(QUERY_ID|STATE)\s*=\s*'([^']*)')?(?:\s+LIMIT\s+(\d+))?\s*;?""".r
+  private val DeleteMetricsRe =
+    """(?is)DELETE\s+QUERY\s+METRICS(?:\s+WHERE\s+(QUERY_ID|STATE)\s*=\s*'([^']*)')?\s*;?""".r
+  private val KillQueryRe =
+    """(?is)KILL\s+QUERY\s+(?:WHERE\s+QUERY_ID\s*=\s*)?'([^']+)'\s*;?""".r
   private val ShowUpdatesRe = """(?is)SHOW\s+UPDATES_INTERVALS\s+'([^']+)'\s*;?""".r
   private val ShowRoutesRe = """(?is)SHOW\s+ROLLUP\s+ROUTES\s*;?""".r
   private val ShowVersionRe = """(?is)SHOW\s+VERSION\s*;?""".r
@@ -132,21 +147,31 @@ object UpsertTables {
 // programmatic admin surface) so the SQL statements and the Scala API
 // cannot drift apart — one row-shaping implementation each.
 
-/** SHOW QUERY METRICS [LIMIT n] — recorded query durations/rows/state. */
-case class ShowQueryMetricsCommand(limit: Int) extends LeafRunnableCommand {
+/** SHOW QUERY METRICS [WHERE ...] [LIMIT n] — recorded query
+  * durations/rows/state, optionally filtered (reference MetricsFilter). */
+case class ShowQueryMetricsCommand(
+    limit: Int,
+    queryId: Option[String] = None,
+    state: Option[String] = None
+) extends LeafRunnableCommand {
   import GraftSqlParser.attr
   override val output: Seq[Attribute] =
     Seq(attr("query", StringType), attr("duration_ms", DoubleType), attr("output_rows", LongType), attr("state", StringType))
   override def run(spark: SparkSession): Seq[Row] =
-    Catalog.showQueryMetrics(spark, graft.core.QueryMetrics.forSession(spark), limit).collect().toSeq
+    Catalog.showQueryMetrics(spark, graft.core.QueryMetrics.forSession(spark), limit, queryId, state)
+      .collect().toSeq
 }
 
-/** DELETE QUERY METRICS — clear the recorded metrics. */
-case class DeleteQueryMetricsCommand() extends LeafRunnableCommand {
+/** DELETE QUERY METRICS [WHERE ...] — clear the matching metrics. */
+case class DeleteQueryMetricsCommand(
+    queryId: Option[String] = None,
+    state: Option[String] = None
+) extends LeafRunnableCommand {
   import GraftSqlParser.attr
   override val output: Seq[Attribute] = Seq(attr("deleted", LongType))
   override def run(spark: SparkSession): Seq[Row] =
-    Catalog.deleteQueryMetrics(spark, graft.core.QueryMetrics.forSession(spark)).collect().toSeq
+    Catalog.deleteQueryMetrics(spark, graft.core.QueryMetrics.forSession(spark), queryId, state)
+      .collect().toSeq
 }
 
 /** KILL QUERY '<job-group>' — cancel all running jobs in the group. */

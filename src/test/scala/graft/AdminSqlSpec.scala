@@ -36,10 +36,16 @@ class AdminSqlSpec extends SparkSpecBase {
       assert(shown.columns.toSeq == Seq("query", "duration_ms", "output_rows", "state"))
       assert(shown.count() >= 1)
 
+      // the reference's MetricsFilter forms: state / query_id equality
+      assert(s2.sql("SHOW QUERY METRICS WHERE STATE = 'FINISHED' LIMIT 5").count() >= 1)
+      assert(s2.sql("SHOW QUERY METRICS WHERE QUERY_ID = 'no-such-query'").count() == 0)
+      assert(s2.sql("DELETE QUERY METRICS WHERE QUERY_ID = 'no-such-query'").head().getLong(0) == 0)
+
       val deleted = s2.sql("DELETE QUERY METRICS").head().getLong(0)
       assert(deleted >= 1)
 
       assert(s2.sql("KILL QUERY 'no-such-group'").head().getString(1) == "CANCELLED")
+      assert(s2.sql("KILL QUERY WHERE QUERY_ID = 'no-such-group'").head().getString(1) == "CANCELLED")
 
       val cl = "/tmp/graft_adminsql_cl"
       val fs = org.apache.hadoop.fs.FileSystem.get(s2.sparkContext.hadoopConfiguration)

@@ -75,12 +75,16 @@ object Bench {
     // queries near 1860 chars. 1-minute load average records machine
     // state with the run (concurrent driver jobs have inflated totals
     // ~2x before).
+    // Locale.ROOT formatting: the f interpolator follows the JVM default
+    // locale, and a decimal-comma locale would emit invalid JSON — the
+    // exact parse failure this block exists to prevent
+    def num(v: Double, dp: Int): String = String.format(java.util.Locale.ROOT, s"%.${dp}f", Double.box(v))
     val results = looped ++ routedPair
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + num(v, 2) }
       .mkString("{", ",", "}")
     val total = looped.map(_._2).sum
     val load = java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
-    val line = f"""{"metric":"total","value":$total%.2f,"unit":"sec","load":$load%.1f,"queries":$qs,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${num(total, 2)},"unit":"sec","load":${num(load, 1)},"queries":$qs,"sf":"$sfDir"}"""
     println(line)
     if (line.length > 1900)
       Console.err.println(s"[bench] WARNING: JSON line ${line.length} chars — driver tail capture may clip it")

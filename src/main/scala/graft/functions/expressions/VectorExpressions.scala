@@ -180,6 +180,15 @@ case class NearestCellsHier(
     p2: Int
 ) extends UnaryExpression {
 
+  // global cell arithmetic (c1 * C2 + c2) and output sizing both assume
+  // a UNIFORM fine-table width — a ragged l2 would overrun the output
+  // buffer or collide cell ids across coarse cells, so reject it at
+  // construction instead of mid-query
+  require(l2.length == l1.length,
+    s"l2 must hold one fine table per coarse cell: ${l2.length} != ${l1.length}")
+  require(l2.isEmpty || l2.forall(_.length == l2(0).length),
+    s"fine tables must be uniform width, got ${l2.map(_.length).distinct.toSeq}")
+
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def prettyName: String = "graft_nearest_cells_hier"
 

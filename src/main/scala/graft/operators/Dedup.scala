@@ -648,7 +648,7 @@ object Dedup {
     if (numCells <= 0 && wanted > 4096L) {
       val side = math.ceil(math.sqrt(wanted.toDouble)).toInt
       return embeddingPairsIvfHier(df, idCol, vecCol, threshold, c1 = side, c2 = side,
-        trainSample = trainSample)
+        trainSample = trainSample, knownCount = n)
     }
     val cells = if (numCells > 0) numCells else math.min(4096L, wanted).toInt
     // xxhash64(id) as the training id: ivfTrain's sampling/seeding wants
@@ -685,14 +685,15 @@ object Dedup {
       c2: Int,
       p1: Int = 2,
       p2: Int = 2,
-      trainSample: Long = 20000L
+      trainSample: Long = 20000L,
+      knownCount: Long = -1L // corpus size if already counted (skips a pass)
   ): DataFrame = {
     val spark = df.sparkSession
     graft.sql.GraftFunctions.register(spark)
     val vecs = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
     val (l1, l2) = Ann.ivfTrainHier(
       spark, vecs.select(xxhash64(col("id")).as("vec_id"), col("vec").as("embedding")),
-      c1, c2, trainSample = trainSample)
+      c1, c2, trainSample = trainSample, knownCount = knownCount)
     val assigned = vecs.select(
       col("id"),
       explode(call_function("graft_nearest_cells_hier", col("vec"),

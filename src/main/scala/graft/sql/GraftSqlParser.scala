@@ -130,7 +130,13 @@ object UpsertTables {
         graft.sources.Upsert.readLatest(spark, e.logPath, e.keys).createOrReplaceTempView(name)
     }
 
-  /** Next version seq for the log (max existing + 1; 0 for a new log). */
+  /** Next version seq for the log (max existing + 1; 0 for a new log).
+    * List-then-write is NOT atomic across writers: [[UpsertCommand]]
+    * serializes statements within this JVM (per-table lock), and the
+    * parquet log assumes a SINGLE WRITER per table across processes —
+    * the standard contract for file logs without a transaction
+    * manager (concurrent external writers computing the same seq would
+    * silently overwrite each other's version partition). */
   def nextSeq(spark: SparkSession, logPath: String): Long = {
     val p = new org.apache.hadoop.fs.Path(logPath)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -141,6 +147,10 @@ object UpsertTables {
         .map(_.stripPrefix("__seq=").toLong)
         .foldLeft(-1L)(math.max) + 1L
   }
+
+  private val tableLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private[sql] def lockFor(name: String): Object =
+    tableLocks.computeIfAbsent(name, _ => new Object)
 }
 
 // The commands delegate to the graft.sql.Catalog helpers (the
@@ -239,10 +249,27 @@ case class UpsertCommand(table: String, cols: Seq[String], valuesSql: String)
       if (cols.contains(c)) org.apache.spark.sql.functions.col(c).cast(typed).as(c)
       else org.apache.spark.sql.functions.lit(null).cast(typed).as(c)
     }
+    // within-batch put semantics must be deterministic: all rows of one
+    // statement share a version, and readLatest's tie-break within a
+    // version is arbitrary — so keep only the LAST occurrence of each
+    // key (VALUES order), the same winner sequential puts would leave
+    import org.apache.spark.sql.functions.{col => fcol, monotonically_increasing_id, row_number}
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(entry.keys.map(fcol): _*)
+      .orderBy(fcol("__ord").desc)
     val batch = named.select(full: _*)
+      .withColumn("__ord", monotonically_increasing_id())
+      .withColumn("__rn", row_number().over(w))
+      .filter(fcol("__rn") === 1)
+      .drop("__ord", "__rn")
     val n = batch.count()
-    val seq = UpsertTables.nextSeq(spark, entry.logPath)
-    graft.sources.Upsert.appendVersion(batch, entry.logPath, seq)
+    // statements on one table serialize within this JVM; see nextSeq for
+    // the cross-process single-writer contract
+    val seq = UpsertTables.lockFor(table).synchronized {
+      val s = UpsertTables.nextSeq(spark, entry.logPath)
+      graft.sources.Upsert.appendVersion(batch, entry.logPath, s)
+      s
+    }
     UpsertTables.refreshView(spark, table)
     Seq(Row(table, n, seq))
   }

@@ -58,10 +58,17 @@ object StreamingDedup {
           // a.id > b.id would silently drop the pair whenever the new
           // id happens to be smaller). The ordering constraint applies
           // only WITHIN the batch, where both directions of a pair are
-          // present and one must be canonical.
+          // present and one must be canonical. Index copies of ids that
+          // are IN this batch are excluded (broadcast anti-join on the
+          // small batch id set): a replayed or re-sent batch otherwise
+          // matches its members against their own index copies in BOTH
+          // directions, and the replayed matches partition would not
+          // converge to the clean run's content.
+          val batchIds = sigs.select(col("id"))
           val target =
             if (haveIndex)
-              banded(s.read.parquet(indexPath)).withColumn("from_index", lit(true))
+              banded(s.read.parquet(indexPath).join(broadcast(batchIds), Seq("id"), "left_anti"))
+                .withColumn("from_index", lit(true))
                 .unionByName(probe.withColumn("from_index", lit(false)))
             else probe.withColumn("from_index", lit(false))
           val matches = probe.as("a")
@@ -185,10 +192,17 @@ object StreamingDedup {
           graft.sql.GraftFunctions.register(s)
           val cents: Array[Array[Float]] =
             if (lowThreshold) loadOrTrainCentroids(s, batch) else Array.empty
-          val sigs = batch
-            .select(col("vec_id").as("id"), col("embedding").as("vec"))
-            .withColumn("bits", call_function("graft_hyperplane_bits", col("vec"), lit(planes1)))
-            .cache()
+          // hyperplane bits are the BAND-mode signature only — the cell
+          // mode keys by quantizer cell and never reads them, so the
+          // low-threshold index stores (id, vec) without paying a
+          // planes×dim pass per row. Consequence: an index is keyed by
+          // the mode (threshold regime) that wrote it.
+          val sigs = {
+            val base = batch.select(col("vec_id").as("id"), col("embedding").as("vec"))
+            (if (lowThreshold) base
+             else base.withColumn("bits", call_function("graft_hyperplane_bits", col("vec"), lit(planes1))))
+              .cache()
+          }
           def keyed(d: DataFrame): DataFrame =
             if (lowThreshold) cellKeyed(d, cents) else banded(d)
           val probe = keyed(sigs)
@@ -200,10 +214,13 @@ object StreamingDedup {
             fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.startsWith("batch_id="))
           }
           // index rows match in either id direction; id ordering only
-          // dedups within-batch pairs (see the note in run() above)
+          // dedups within-batch pairs, and index copies of this batch's
+          // ids are excluded (replay convergence — see run() above)
+          val batchIds = sigs.select(col("id"))
           val target =
             if (haveIndex)
-              keyed(s.read.parquet(indexPath)).withColumn("from_index", lit(true))
+              keyed(s.read.parquet(indexPath).join(broadcast(batchIds), Seq("id"), "left_anti"))
+                .withColumn("from_index", lit(true))
                 .unionByName(probe.withColumn("from_index", lit(false)))
             else probe.withColumn("from_index", lit(false))
           val matches = probe.as("a")

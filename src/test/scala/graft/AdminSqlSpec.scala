@@ -97,6 +97,14 @@ class AdminSqlSpec extends SparkSpecBase {
         // omitted metrics become null, keys are mandatory
         s2.sql("UPSERT INTO metrics_t (ts, dim) VALUES (TIMESTAMP '2024-01-02 00:00:00', 'c')")
         assert(s2.sql("SELECT m FROM metrics_t WHERE dim = 'c'").head().isNullAt(0))
+        // the same key twice in ONE statement: last VALUES row wins,
+        // deterministically (sequential-put semantics)
+        val rd = s2.sql(
+          "UPSERT INTO metrics_t (ts, dim, m) VALUES " +
+            "(TIMESTAMP '2024-01-03 00:00:00', 'd', 1.0), " +
+            "(TIMESTAMP '2024-01-03 00:00:00', 'd', 7.25)").head()
+        assert(rd.getLong(1) == 1L, "within-batch duplicate keys must collapse")
+        assert(s2.sql("SELECT m FROM metrics_t WHERE dim = 'd'").head().getDouble(0) == 7.25)
         intercept[Exception](
           s2.sql("UPSERT INTO metrics_t (dim, m) VALUES ('x', 1.0)"))
       } finally graft.sql.UpsertTables.unregister("metrics_t")

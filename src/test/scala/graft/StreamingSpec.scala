@@ -221,6 +221,36 @@ class StreamingSpec extends SparkSpecBase {
     assert(spark.read.parquet(s"$base/index").count() == 4) // all docs indexed
   }
 
+  test("re-sending an already-indexed near-dup pair emits one direction, not both") {
+    // a replayed or re-sent batch whose members are already in the index
+    // must not match its docs against their own index copies in both
+    // directions — the within-batch ordering stays the only source of
+    // same-batch pairs (index copies of batch ids are anti-joined away)
+    implicit val sqlCtx = spark.sqlContext
+    val base = "/tmp/graft_sdedup_resend_" + System.nanoTime()
+    val stream = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingDedup.run(
+      spark,
+      stream.toDF().toDF("doc_id", "text"),
+      indexPath = s"$base/index",
+      matchesPath = s"$base/matches",
+      threshold = 0.5,
+      checkpoint = s"$base/ckpt"
+    )
+    val d5 = "the quick brown fox jumps over the lazy dog near the river bank"
+    val d100 = "the quick brown fox jumps over the lazy dog near the river bend"
+    stream.addData((5L, d5), (100L, d100))
+    q.processAllAvailable()
+    stream.addData((5L, d5), (100L, d100)) // same ids re-sent, now also indexed
+    q.processAllAvailable()
+    q.stop()
+    val matches = spark.read.parquet(s"$base/matches")
+      .select("new_id", "existing_id").as[(Long, Long)].collect().toSet
+    assert(!matches.exists { case (a, b) => matches.contains((b, a)) },
+      s"a pair must never appear in both directions: $matches")
+    assert(matches == Set((100L, 5L)), s"only the canonical within-batch direction: $matches")
+  }
+
   test("streaming dedup matches an indexed duplicate even when the new id is smaller") {
     // ids carry no arrival-order guarantee: a new document whose id is
     // SMALLER than its already-indexed duplicate's id must still match

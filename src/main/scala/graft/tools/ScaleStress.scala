@@ -118,9 +118,10 @@ object ScaleStress {
     // cell count scales with the corpus (the default auto-sizing floors
     // at 16 cells below ~33k vectors to avoid over-sharding tiny
     // corpora, which would make this comparison quadratic by floor)
+    val nEmb = emb0.count() // embeddings table size, NOT the doc count
     val tIvf = Seq(2, 4).map { m =>
       val corpus = perturbedEmb(m)
-      val cells = (n * m / 512L).toInt
+      val cells = (nEmb * m / 512L).toInt
       val t0 = System.nanoTime()
       val pairs = graft.operators.Dedup
         .embeddingPairsIvf(corpus, "vec_id", "embedding", threshold = 0.5, numCells = cells)

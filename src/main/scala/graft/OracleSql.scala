@@ -925,6 +925,103 @@ object OracleSql {
                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
                   '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g'),
                   '\+?[0-9][0-9()\- ]{7,}[0-9]', '<PHONE>', 'g') AS scrubbed
-         FROM documents ORDER BY doc_id"""
+         FROM documents ORDER BY doc_id""",
+    // self k-NN: at gate scale the dispatch is the exact all-pairs path,
+    // so brute force IS the ground truth (same fold-order cosine as
+    // q_ann_bruteforce — sequential i = 1..len accumulation)
+    "q_knn_join" ->
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+                    FROM embeddings),
+              c AS (SELECT vec_id AS item_id, CAST(embedding AS DOUBLE[]) AS iv
+                    FROM embeddings),
+              s AS (SELECT query_id, item_id,
+                list_reduce(list_prepend(0.0, list_transform(generate_series(1, len(qv)), i -> qv[i] * iv[i])), (a, x) -> a + x) /
+                (sqrt(list_reduce(list_prepend(0.0, list_transform(generate_series(1, len(qv)), i -> qv[i] * qv[i])), (a, x) -> a + x)) *
+                 sqrt(list_reduce(list_prepend(0.0, list_transform(generate_series(1, len(iv)), i -> iv[i] * iv[i])), (a, x) -> a + x))) AS cos
+              FROM q CROSS JOIN c WHERE query_id <> item_id),
+              r AS (SELECT query_id, item_id, cos,
+                CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, item_id) AS INT) AS rank
+              FROM s WHERE NOT isnan(cos))
+         SELECT query_id, item_id, cos, rank FROM r WHERE rank <= 3
+         ORDER BY query_id, rank""",
+    // near-dup clusters (recursive-CTE closure, as q_dedup_cluster) keep
+    // the highest-quality member, min-id tie-break
+    "q_dedup_keep_best" -> {
+      val quality =
+        s"""(CASE WHEN nc >= 100 AND nc <= 10000 THEN 1.0
+                  WHEN nc < 100 THEN CAST(nc AS DOUBLE) / 100.0
+                  ELSE 10000.0 / CAST(nc AS DOUBLE) END * 0.5)
+           + (CAST($sEn AS DOUBLE) / 5.0 * 0.3)
+           + ((1.0 - CASE WHEN words > 0 THEN least(CAST(punct AS DOUBLE) / CAST(words AS DOUBLE), 1.0) ELSE 1.0 END) * 0.2)"""
+      s"""WITH RECURSIVE
+              t AS (SELECT doc_id, $toks AS tk FROM documents),
+              s AS (SELECT doc_id, list_distinct(list_transform(
+                      range(1, greatest(len(tk) - 2, 1) + 1),
+                      i -> array_to_string(tk[i:i+2], ' '))) AS sh FROM t),
+              j AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                    FROM s a JOIN s b ON a.doc_id < b.doc_id
+                    WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                          CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.5),
+              e AS (SELECT id_a AS a, id_b AS b FROM j
+                    UNION SELECT id_b, id_a FROM j),
+              reach(id, r) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT e.a, reach.r FROM e JOIN reach ON reach.id = e.b
+              ),
+              comp AS (SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+                       FROM reach GROUP BY id),
+              qual AS (SELECT doc_id, $quality AS q FROM (
+                         SELECT doc_id, ' ' || lower(text) || ' ' AS p,
+                                CAST(length(text) AS BIGINT) AS nc,
+                                CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS words,
+                                CAST(len(regexp_extract_all(text, '[.,;:!?''"()\\[\\]{}-]')) AS BIGINT) AS punct
+                         FROM documents)),
+              m AS (SELECT comp.cluster_id, MAX(qual.q) AS best
+                    FROM comp JOIN qual USING (doc_id) GROUP BY comp.cluster_id),
+              kp AS (SELECT comp.cluster_id, MIN(comp.doc_id) AS keep_id
+                     FROM comp JOIN qual USING (doc_id) JOIN m ON comp.cluster_id = m.cluster_id
+                     WHERE qual.q = m.best GROUP BY comp.cluster_id)
+         SELECT comp.doc_id, comp.cluster_id, kp.keep_id,
+                comp.doc_id = kp.keep_id AS keep
+         FROM comp JOIN kp USING (cluster_id) ORDER BY comp.doc_id""" },
+    // lift = c_xy·n/(c_x·c_y): doubles before multiplying (both engines),
+    // one IEEE mul/div chain — deterministic without logs
+    "q_collocations" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
+              b AS (SELECT unnest(list_filter(
+                      list_transform(tk, (x, i) -> CASE WHEN i < len(tk) THEN struct_pack(w1 := x, w2 := tk[i + 1]) END),
+                      g -> g IS NOT NULL)) AS bg
+                    FROM t),
+              p AS (SELECT bg.w1 AS w1, bg.w2 AS w2, COUNT(*) AS c_xy FROM b GROUP BY 1, 2
+                    HAVING COUNT(*) >= 5),
+              u AS (SELECT unnest(tk) AS w FROM t),
+              uc AS (SELECT w, COUNT(*) AS c_w FROM u GROUP BY w),
+              n AS (SELECT CAST(SUM(c_w) AS BIGINT) AS n_tokens FROM uc)
+         SELECT p.w1, p.w2, p.c_xy, x.c_w AS c_x, y.c_w AS c_y,
+                (CAST(p.c_xy AS DOUBLE) * CAST(n.n_tokens AS DOUBLE)) /
+                (CAST(x.c_w AS DOUBLE) * CAST(y.c_w AS DOUBLE)) AS lift
+         FROM p JOIN uc x ON p.w1 = x.w JOIN uc y ON p.w2 = y.w CROSS JOIN n
+         ORDER BY lift DESC, w1 ASC, w2 ASC LIMIT 20""",
+    // quantized-log surprisal (floor(ln·10^6) BIGINT — the BM25
+    // discipline): exact integer sums, one final IEEE division
+    "q_lm_perplexity" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
+              u AS (SELECT doc_id, unnest(tk) AS w FROM t),
+              uc AS (SELECT w, COUNT(*) AS c_w FROM u GROUP BY w),
+              st AS (SELECT CAST(COALESCE(SUM(c_w), 0) AS BIGINT) AS n_tokens,
+                            CAST(COUNT(*) AS BIGINT) AS vocab FROM uc),
+              tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM u GROUP BY doc_id, w),
+              sc AS (SELECT tf.doc_id,
+                       CAST(SUM(tf.tf) AS BIGINT) AS doc_tokens,
+                       CAST(SUM(tf.tf * (CAST(FLOOR(ln(CAST(st.n_tokens + st.vocab AS DOUBLE)) * 1000000.0) AS BIGINT)
+                                       - CAST(FLOOR(ln(CAST(uc.c_w + 1 AS DOUBLE)) * 1000000.0) AS BIGINT))) AS BIGINT) AS nll_q
+                     FROM tf JOIN uc USING (w) CROSS JOIN st GROUP BY tf.doc_id)
+         SELECT d.doc_id,
+                CAST(COALESCE(sc.doc_tokens, 0) AS BIGINT) AS doc_tokens,
+                CAST(sc.nll_q AS DOUBLE) / CAST(sc.doc_tokens * 1000000 AS DOUBLE) AS nll,
+                COALESCE(CAST(sc.nll_q AS DOUBLE) / CAST(sc.doc_tokens * 1000000 AS DOUBLE) <= 4.0, FALSE) AS keep
+         FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+         ORDER BY d.doc_id"""
   )
 }

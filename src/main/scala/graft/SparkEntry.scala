@@ -883,6 +883,20 @@ object SparkEntry {
     Dedup.dedupClusters(docs, "doc_id", pairs).orderBy(col("doc_id"))
   }
 
+  /** Quality-aware dedup: each near-dup cluster keeps its highest-
+    * quality member (TextAnalysis.qualityScore, min-id tie-break)
+    * instead of the minimum id — the retention policy production
+    * pipelines run. Same exact-verified pair list as q_dedup_cluster;
+    * the oracle recomputes clusters with a recursive CTE and the
+    * quality formula. */
+  private def qDedupKeepBest(s: SparkSession, dir: String): DataFrame = {
+    val docs = ld(s, dir, "documents")
+    val pairs = Dedup.minhashJaccardPairs(docs, "doc_id", "text", threshold = 0.5)
+    Dedup.dedupKeepBest(docs, "doc_id", TextAnalysis.qualityScore(col("text")), pairs)
+      .select(col("doc_id"), col("cluster_id"), col("keep_id"), col("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   // ==================================================================
   // §2.10 similarity search
   // ==================================================================
@@ -893,6 +907,15 @@ object SparkEntry {
       .bruteForceTopK(emb, emb.filter(col("vec_id") < 8), k = 5)
       .orderBy(col("query_id"), col("rank"))
   }
+
+  /** Self k-NN join: every vector's 3 nearest neighbors. At gate scale
+    * the size dispatch lands on the exact all-pairs path (oracle =
+    * brute-force ground truth); past 2^14 vectors the same call runs
+    * the IVF-cell shuffle join (Ann.knnJoinIvf — recall spec'd in
+    * OperatorSpec, never a corpus-sized broadcast). */
+  private def qKnnJoin(s: SparkSession, dir: String): DataFrame =
+    Ann.knnJoin(ld(s, dir, "embeddings"), "vec_id", "embedding", k = 3)
+      .orderBy(col("query_id"), col("rank"))
 
   /**
    * IVF gate shape: recall quality is data-dependent (probe-limited
@@ -1008,6 +1031,19 @@ object SparkEntry {
    * training corpus applies before sampling. Counts are exact ints;
    * each frac is ONE IEEE division (identical both engines).
    */
+  /** Top collocations (adjacent-pair lift = the log-free monotone
+    * transform of PMI) over the corpus — see CorpusStats.collocations
+    * for the determinism and scale story. */
+  private def qCollocations(s: SparkSession, dir: String): DataFrame =
+    graft.operators.CorpusStats.collocations(ld(s, dir, "documents"), "text", minCount = 5L, topK = 20)
+
+  /** Corpus-trained unigram-LM quality gate (CCNet/Gopher perplexity
+    * filter shape): per-doc mean smoothed surprisal in quantized-log
+    * nats, keep = nll under the threshold. */
+  private def qLmPerplexity(s: SparkSession, dir: String): DataFrame =
+    graft.operators.CorpusStats.lmPerplexity(ld(s, dir, "documents"), "doc_id", "text", maxNll = 4.0)
+      .orderBy(col("doc_id"))
+
   private def qTextRepetition(s: SparkSession, dir: String): DataFrame = {
     val docs = ld(s, dir, "documents").select(col("doc_id"), F.tokens(col("text")).as("tk"))
     val tokStats = docs
@@ -1311,6 +1347,10 @@ object SparkEntry {
     "q_rollup_routed" -> (qRollupRouted _),
     "q_rollup_routed_avg" -> (qRollupRoutedAvg _),
     "q_semdedup" -> (qSemdedup _),
+    "q_knn_join" -> (qKnnJoin _),
+    "q_dedup_keep_best" -> (qDedupKeepBest _),
+    "q_collocations" -> (qCollocations _),
+    "q_lm_perplexity" -> (qLmPerplexity _),
     "q_boilerplate" -> (qBoilerplate _),
     "q_mix_weights" -> (qMixWeights _),
     "q_pii_scrub" -> (qPiiScrub _)

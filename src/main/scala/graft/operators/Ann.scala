@@ -240,6 +240,107 @@ object Ann {
   }
 
   /**
+   * Self k-NN join: every vector's k nearest neighbors (cosine) within
+   * the SAME table — the all-to-all sibling of [[bruteForceTopK]]
+   * (whose query side is bounded and broadcast). Used for building
+   * similarity graphs over a whole corpus: semantic clustering,
+   * diversity sampling, graph-based curation.
+   *
+   * Dispatch mirrors [[Dedup.embeddingPairs]]: up to `bruteBound`
+   * vectors the exact all-pairs plan runs (bit-exact, affordable —
+   * the size probe scans at most bruteBound+1 ids, never the corpus);
+   * past it the IVF-cell-partitioned variant ([[knnJoinIvf]]) runs
+   * instead — sub-quadratic, recall measured in OperatorSpec, never a
+   * corpus-sized broadcast.
+   */
+  def knnJoin(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      probes: Int = 3,
+      bruteBound: Long = graft.operators.Dedup.LowThresholdBruteBound,
+      trainSample: Long = 20000L
+  ): DataFrame = {
+    val vecs = df.select(col(idCol).as("vec_id"), col(vecCol).as("embedding"))
+    val small = bruteBound > 0 &&
+      (bruteBound >= Int.MaxValue ||
+        df.select(col(idCol)).limit(bruteBound.toInt + 1).count() <= bruteBound)
+    if (small) bruteForceTopK(vecs, vecs, k)
+    else knnJoinIvf(df, idCol, vecCol, k, probes = probes, trainSample = trainSample)
+  }
+
+  /**
+   * IVF-cell-partitioned self k-NN join — the scale path. Unlike
+   * [[ivfSearch]] the query side IS the corpus, so nothing is
+   * broadcast: items carry their single nearest cell, queries explode
+   * their `probes` nearest cells, and candidates come from a SHUFFLE
+   * hash join on the cell key — both sides partition by cell, work is
+   * Σ_cells |cell|·|probers(cell)| ≈ N·probes·cellSize, a
+   * numCells/probes reduction over the N² brute join that holds at any
+   * corpus size because the cell count is sized from the corpus
+   * (~2048 vectors/cell, two-level quantizer past 4096 flat cells —
+   * the [[Dedup.embeddingPairsIvf]] discipline). The per-query top-k
+   * runs on the heap operator (TopKPerKeyExec — no partition-wide
+   * sort), keyed by query id.
+   *
+   * APPROXIMATE at cell boundaries: a true neighbor quantized to a
+   * cell the query does not probe is replaced by the next-best probed
+   * candidate. Recall@k vs brute force is measured (OperatorSpec), and
+   * `probes` buys recall with candidate volume (∝ probes).
+   */
+  def knnJoinIvf(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      numCells: Int = 0,
+      probes: Int = 3,
+      trainSample: Long = 20000L
+  ): DataFrame = {
+    val spark = df.sparkSession
+    graft.sql.GraftFunctions.register(spark)
+    graft.sql.GraftFunctions.installTopKStrategy(spark)
+    val vecs = df.select(col(idCol).as("vec_id"), col(vecCol).as("embedding"))
+    val n = vecs.count()
+    val wanted = math.max(16L, n / 2048L)
+    val cands =
+      if (numCells <= 0 && wanted > 4096L) {
+        val side = math.ceil(math.sqrt(wanted.toDouble)).toInt
+        val (l1, l2) = ivfTrainHier(spark,
+          vecs.select(xxhash64(col("vec_id")).as("vec_id"), col("embedding")),
+          side, side, trainSample = trainSample, knownCount = n)
+        val items = vecs.select(col("vec_id").as("item_id"), col("embedding").as("item_vec"))
+          .withColumn("cell", element_at(call_function("graft_nearest_cells_hier",
+            col("item_vec"), centroidsLit(l1), centroidsLit3(l2), lit(1), lit(1)), 1))
+        val queries = vecs.select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+          .withColumn("cell", explode(call_function("graft_nearest_cells_hier",
+            col("query_vec"), centroidsLit(l1), centroidsLit3(l2), lit(probes), lit(probes))))
+        items.join(queries.hint("shuffle_hash"), Seq("cell"))
+      } else {
+        val cells = if (numCells > 0) numCells else math.min(4096L, wanted).toInt
+        val cents = ivfTrain(spark,
+          vecs.select(xxhash64(col("vec_id")).as("vec_id"), col("embedding")),
+          numCells = cells, trainSample = trainSample, knownCount = n)
+        val items = vecs.select(col("vec_id").as("item_id"), col("embedding").as("item_vec"))
+          .withColumn("cell", call_function("graft_nearest_centroid", col("item_vec"), centroidsLit(cents)))
+        val queries = vecs.select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+          .withColumn("cell", explode(call_function("graft_nearest_centroids",
+            col("query_vec"), centroidsLit(cents), lit(probes))))
+        items.join(queries.hint("shuffle_hash"), Seq("cell"))
+      }
+    val scored = cands
+      .filter(col("query_id") =!= col("item_id"))
+      .withColumn("cos", call_function("graft_cosine", col("query_vec"), col("item_vec")))
+      .filter(col("cos").isNotNull) // zero-norm vectors never rank
+      // a query probing p cells can meet the same item at most once per
+      // cell only when the item sits in one cell — it does (items keep
+      // their single nearest cell), so no distinct is needed
+      .select(col("query_id"), col("item_id"), col("cos"))
+    rankTopK(scored, k)
+  }
+
+  /**
    * Persist the IVF index: the trained centroid table (bounded
    * metadata, one tiny parquet) plus the full corpus assignment
    * PARTITIONED BY CELL. Search against the stored index then reads

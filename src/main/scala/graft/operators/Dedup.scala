@@ -917,6 +917,54 @@ object Dedup {
   }
 
   /**
+   * Quality-aware canonical selection: like [[dedupClusters]], but the
+   * kept member of each near-dup cluster is the HIGHEST-SCORING one
+   * (ties broken by minimum id), not the minimum id — what production
+   * pipelines actually retain (the longest / cleanest / highest-LM
+   * copy of a template family), with `scoreCol` any per-doc quality
+   * signal (TextAnalysis.qualityScore, an LM score, length).
+   *
+   * Scale shape: the cluster assignment is [[connectedComponents]]
+   * (log-round star contraction); picking the best member is one
+   * max_by aggregation over (cluster → (score, id)) — a fixed-width
+   * shuffle key, map-side combined, no window sort. Docs in no pair
+   * form singleton clusters and keep themselves.
+   */
+  def dedupKeepBest(
+      df: DataFrame,
+      idCol: String,
+      scoreCol: Column,
+      pairs: DataFrame
+  ): DataFrame = {
+    val scored = df.select(col(idCol), scoreCol.as("__score"))
+    val clustered = dedupClusters(scored, idCol, pairs)
+      .withColumnRenamed("canonical_id", "cluster_id")
+      .join(scored, Seq(idCol))
+    // Spark's max_by has no tie-break contract and a nondeterministic
+    // pick would flap the gate, so the winner is fixed in two exact
+    // aggregations: best score per cluster, then min id among the
+    // best-score members (score equality is equality of identically
+    // computed doubles — safe)
+    val best = clustered.groupBy(col("cluster_id")).agg(max(col("__score")).as("__best_score"))
+    val keep = clustered
+      .join(best, Seq("cluster_id"))
+      // null-safe: a cluster whose every score is NULL (max → NULL)
+      // still keeps its min-id member instead of vanishing from the
+      // output; NULL scores lose to any non-NULL score as usual
+      .filter(col("__score") <=> col("__best_score"))
+      .groupBy(col("cluster_id"))
+      .agg(min(col(idCol)).as("keep_id"))
+    clustered
+      .join(keep, Seq("cluster_id"))
+      .select(
+        col(idCol),
+        col("cluster_id"),
+        col("keep_id"),
+        (col(idCol) === col("keep_id")).as("keep"),
+        col("__score").as("score"))
+  }
+
+  /**
    * Semantic dedup (SemDeDup-shaped): documents whose EMBEDDINGS are
    * near-identical collapse to one representative — paraphrases and
    * template rewrites that text-level dedup misses. Composition of two

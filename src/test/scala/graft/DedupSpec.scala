@@ -352,4 +352,34 @@ class DedupSpec extends SparkSpecBase {
       .toSeq
     assert(out == Seq((0L, 0L, true), (1L, 0L, false), (2L, 2L, true), (3L, 2L, false), (4L, 4L, true)))
   }
+
+  test("keep-best dedup retains the highest-scoring cluster member, min-id tie-break") {
+    val docs = Seq(
+      (1L, 0.5), (2L, 0.9), (3L, 0.9), // one cluster via pairs; 2 and 3 tie on score
+      (4L, 0.2), // singleton: keeps itself regardless of score
+      (5L, Double.NaN), // NaN scores: max picks NaN (orders above all); both members NaN -> min id
+      (6L, Double.NaN)
+    ).toDF("id", "q")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val out = Dedup.dedupKeepBest(docs, "id", col("q"), pairs)
+      .select("id", "cluster_id", "keep_id", "keep")
+      .orderBy("id")
+      .as[(Long, Long, Long, Boolean)]
+      .collect()
+      .toSeq
+    assert(out == Seq(
+      (1L, 1L, 2L, false), (2L, 1L, 2L, true), (3L, 1L, 2L, false),
+      (4L, 4L, 4L, true),
+      (5L, 5L, 5L, true), (6L, 5L, 5L, false)))
+  }
+
+  test("keep-best dedup: clusters whose every score is NULL keep the min id") {
+    val docs = Seq((1L, Option.empty[Double]), (2L, Option.empty[Double]))
+      .toDF("id", "q")
+    val pairs = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val out = Dedup.dedupKeepBest(docs, "id", col("q"), pairs)
+      .select("id", "keep_id", "keep").orderBy("id")
+      .as[(Long, Long, Boolean)].collect().toSeq
+    assert(out == Seq((1L, 1L, true), (2L, 1L, false)))
+  }
 }

@@ -142,4 +142,33 @@ class OperatorSpec extends SparkSpecBase {
     val n = spark.read.parquet(s"$sfDir/documents.parquet").count()
     assert(Multimodal.extractFeatures(spark, media, batchSize = 7).count() == n)
   }
+
+  test("self kNN join: small-corpus dispatch is exactly the all-pairs ground truth") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val joined = Ann.knnJoin(emb, "vec_id", "embedding", k = 3)
+    val direct = Ann.bruteForceTopK(emb, emb, 3)
+    assert(joined.orderBy("query_id", "rank").collect().toSeq ==
+      direct.orderBy("query_id", "rank").collect().toSeq,
+      "brute dispatch must equal bruteForceTopK with queries = corpus")
+    // every query with a defined cosine to >= 3 others fills its slots
+    val counts = joined.groupBy("query_id").count().select("count").as[Long].collect()
+    assert(counts.forall(_ == 3L))
+  }
+
+  test("self kNN join: IVF shuffle path recalls most brute neighbors, no corpus broadcast") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val brute = Ann.knnJoin(emb, "vec_id", "embedding", k = 3)
+      .select("query_id", "item_id").as[(Long, Long)].collect().toSet
+    val ivf = Ann.knnJoinIvf(emb, "vec_id", "embedding", k = 3, numCells = 8, probes = 3)
+    val got = ivf.select("query_id", "item_id").as[(Long, Long)].collect().toSet
+    val recall = (brute intersect got).size.toDouble / brute.size
+    info(f"self-kNN IVF recall@3 (8 cells, 3 probes): $recall%.3f")
+    assert(recall >= 0.6, s"IVF self-kNN recall too low: $recall")
+    // the scale claim: the corpus-sized query side is NEVER broadcast —
+    // candidates come from a shuffle join on the cell key (the
+    // shuffle_hash hint rides the logical plan, so AQE re-planning
+    // keeps the choice too)
+    val plan = ivf.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastExchange"), s"self-kNN IVF must not broadcast:\n$plan")
+  }
 }

@@ -26,5 +26,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g default: the 8g heap GC-thrashed local[32] runs into >150s
+  // stalls (heartbeat death); the machine has 128 GiB
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // a long session generates one codegen class per plan fragment; the
+  // 240m default code cache fills mid-suite and flips hot loops back
+  // to the interpreter
+  "-XX:ReservedCodeCacheSize=512m",
 )

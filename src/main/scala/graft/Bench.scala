@@ -8,6 +8,13 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // a long full-GC pause must not kill the run: with the default
+      // 120s heartbeat timeout a measured 153s stall got the (local!)
+      // executor "removed" and the whole bench died rpc-less — the
+      // driver round then records no bench at all, which is worse than
+      // a slow one
+      .config("spark.network.timeout", "600s")
+      .config("spark.executor.heartbeatInterval", "60s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -17,12 +24,17 @@ object Bench {
     // a cold sort-merge join was measured 14x slower than warm.
     {
       import org.apache.spark.sql.functions._
-      val w = spark.range(2000000).select(col("id"), (col("id") % 1000).as("k"), (col("id") % 7).as("v"))
+      // JIT-warm the operator machinery with the same SHAPES the suite
+      // uses but small outputs: the old 2M-row/1000-key self-join
+      // counted ~2e9 joined rows and its GC pressure once froze the
+      // driver past the heartbeat timeout — warm-up needs compiled
+      // code paths, not big data
+      val w = spark.range(500000).select(col("id"), (col("id") % 5000).as("k"), (col("id") % 7).as("v"))
       w.groupBy("k").agg(sum("v"), countDistinct("v")).count()
       w.as("a").join(w.as("b"), col("a.k") === col("b.k") && col("a.id") < col("b.id")).count()
       w.orderBy(col("v").desc, col("id")).limit(10).count()
       // string-keyed shuffled hash join + multi-column hash agg (the dedup join shape)
-      val sk = w.limit(300000).select(concat(lit("k"), col("k")).as("ks"), col("id"), col("v"))
+      val sk = w.limit(100000).select(concat(lit("k"), col("k") % 1000).as("ks"), col("id"), col("v"))
       sk.as("a").join(sk.as("b").hint("shuffle_hash"), col("a.ks") === col("b.ks") && col("a.id") < col("b.id"))
         .groupBy(col("a.id"), col("b.id")).agg(count(lit(1))).count()
       // interpreted higher-order-function path (zip_with/aggregate lambdas)
@@ -78,13 +90,26 @@ object Bench {
     // Locale.ROOT formatting: the f interpolator follows the JVM default
     // locale, and a decimal-comma locale would emit invalid JSON — the
     // exact parse failure this block exists to prevent
-    def num(v: Double, dp: Int): String = String.format(java.util.Locale.ROOT, s"%.${dp}f", Double.box(v))
+    // trailing zeros trimmed ("0.50"→"0.5", "3.00"→"3"): ~1 char/query,
+    // which is what keeps 85+ queries inside the budget
+    def num(v: Double, dp: Int): String = {
+      val s = String.format(java.util.Locale.ROOT, s"%.${dp}f", Double.box(v))
+      if (s.contains('.')) s.reverse.dropWhile(_ == '0').reverse.stripSuffix(".") else s
+    }
     val results = looped ++ routedPair
     val qs = results.map { case (k, v) => "\"" + k + "\":" + num(v, 2) }
       .mkString("{", ",", "}")
     val total = looped.map(_._2).sum
     val load = java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
-    val line = s"""{"metric":"total","value":${num(total, 2)},"unit":"sec","load":${num(load, 1)},"queries":$qs,"sf":"$sfDir"}"""
+    val sfName = sfDir.split('/').last // basename: the path prefix is line budget
+    def mkLine(withLoad: Boolean) = {
+      val loadField = if (withLoad) s""""load":${num(load, 1)},""" else ""
+      s"""{"metric":"total","value":${num(total, 2)},"unit":"sec",$loadField"queries":$qs,"sf":"$sfName"}"""
+    }
+    // a clean run fits with the load diagnostic; a contended one (big
+    // per-query values = more digits) sheds it rather than risk the
+    // driver's 2000-char tail clipping the line's HEAD
+    val line = { val l = mkLine(withLoad = true); if (l.length <= 1880) l else mkLine(withLoad = false) }
     println(line)
     if (line.length > 1900)
       Console.err.println(s"[bench] WARNING: JSON line ${line.length} chars — driver tail capture may clip it")

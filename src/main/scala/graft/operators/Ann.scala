@@ -263,10 +263,7 @@ object Ann {
       trainSample: Long = 20000L
   ): DataFrame = {
     val vecs = df.select(col(idCol).as("vec_id"), col(vecCol).as("embedding"))
-    val small = bruteBound > 0 &&
-      (bruteBound >= Int.MaxValue ||
-        df.select(col(idCol)).limit(bruteBound.toInt + 1).count() <= bruteBound)
-    if (small) bruteForceTopK(vecs, vecs, k)
+    if (graft.operators.Dedup.smallCorpus(df, idCol, bruteBound)) bruteForceTopK(vecs, vecs, k)
     else knnJoinIvf(df, idCol, vecCol, k, probes = probes, trainSample = trainSample)
   }
 
@@ -288,6 +285,12 @@ object Ann {
    * cell the query does not probe is replaced by the next-best probed
    * candidate. Recall@k vs brute force is measured (OperatorSpec), and
    * `probes` buys recall with candidate volume (∝ probes).
+   *
+   * On the TWO-LEVEL branch (auto past 4096 flat cells) queries probe
+   * `hierP1` coarse × `hierP2` fine cells — hierP1·hierP2 effective
+   * cells per query, the [[ivfTrainHier]] cost split — NOT `probes`
+   * (which only drives the flat branch): the two dials are separate
+   * because a level's probe count multiplies, not adds.
    */
   def knnJoinIvf(
       df: DataFrame,
@@ -296,6 +299,8 @@ object Ann {
       k: Int,
       numCells: Int = 0,
       probes: Int = 3,
+      hierP1: Int = 2,
+      hierP2: Int = 2,
       trainSample: Long = 20000L
   ): DataFrame = {
     val spark = df.sparkSession
@@ -315,7 +320,7 @@ object Ann {
             col("item_vec"), centroidsLit(l1), centroidsLit3(l2), lit(1), lit(1)), 1))
         val queries = vecs.select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
           .withColumn("cell", explode(call_function("graft_nearest_cells_hier",
-            col("query_vec"), centroidsLit(l1), centroidsLit3(l2), lit(probes), lit(probes))))
+            col("query_vec"), centroidsLit(l1), centroidsLit3(l2), lit(hierP1), lit(hierP2))))
         items.join(queries.hint("shuffle_hash"), Seq("cell"))
       } else {
         val cells = if (numCells > 0) numCells else math.min(4096L, wanted).toInt

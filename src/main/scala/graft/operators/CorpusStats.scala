@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.F
 
@@ -31,11 +30,16 @@ object CorpusStats {
    * where ln would not be). `minCount` drops hapax noise, the classic
    * collocation-mining guard.
    *
-   * Scale shape: one tokenize pass feeds both the bigram and unigram
-   * counts (Spark schedules the exchange-reuse; each aggregate
-   * combines map-side). The unigram table is vocab-sized, NOT assumed
-   * broadcastable — bigrams join it by word key (two shuffles on word
-   * keys whose cardinality grows with the vocabulary). The total-token
+   * Scale shape: ONE tokenize pass. Every token position becomes a
+   * (w1, w2) row — w2 NULL for the last token of a document — and the
+   * per-(w1, w2) count aggregate is the single corpus-wide shuffle.
+   * Unigram counts DERIVE from that table (every occurrence appears
+   * exactly once as w1, so c_w = Σ_w2 c_(w, w2)): an aggregate over
+   * the aggregate, and because both consumers hang off the same
+   * (w1, w2) exchange, ReuseExchange computes the scan + tokenize
+   * once — where separate bigram/unigram aggregates would shuffle on
+   * different keys and re-scan. The unigram table is vocab-sized, NOT
+   * assumed broadcastable — pairs join it by word key. The total-token
    * count rides as a 1-row broadcast. Final top-k is a global
    * TakeOrdered, never a full sort.
    */
@@ -46,17 +50,18 @@ object CorpusStats {
       topK: Int = 20
   ): DataFrame = {
     graft.sql.GraftFunctions.register(df.sparkSession)
-    val toks = df.select(F.tokens(col(textCol)).as("tk"))
-    val pairs = toks
+    val pairCounts = df
+      .select(F.tokens(col(textCol)).as("tk"))
       .select(posexplode(col("tk")).as(Seq("i", "w1")), col("tk"))
-      .filter(col("i") < size(col("tk")) - 1)
-      .select(col("w1"), element_at(col("tk"), col("i") + 2).as("w2"))
+      .select(col("w1"),
+        when(col("i") < size(col("tk")) - 1, element_at(col("tk"), col("i") + 2)).as("w2"))
       .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_xy"))
-      .filter(col("c_xy") >= minCount)
-    val uni = toks
-      .select(explode(col("tk")).as("w"))
-      .groupBy(col("w")).agg(count(lit(1)).as("c_w"))
-    val total = uni.agg(sum(col("c_w")).as("n_tokens"))
+    val pairs = pairCounts
+      .filter(col("w2").isNotNull && col("c_xy") >= minCount)
+    val uni = pairCounts
+      .groupBy(col("w1")).agg(sum(col("c_xy")).as("c_w"))
+      .select(col("w1").as("w"), col("c_w"))
+    val total = uni.agg(coalesce(sum(col("c_w")), lit(0L)).as("n_tokens"))
     pairs
       .join(uni.select(col("w").as("w1"), col("c_w").as("c_x")), "w1")
       .join(uni.select(col("w").as("w2"), col("c_w").as("c_y")), "w2")

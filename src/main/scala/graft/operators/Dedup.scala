@@ -550,6 +550,15 @@ object Dedup {
     * IVF-cell-partitioned variant ([[embeddingPairsIvf]]). */
   val LowThresholdBruteBound: Long = 1L << 14
 
+  /** Bounded corpus-size probe shared by the brute-vs-IVF dispatchers
+    * (embeddingPairs, Ann.knnJoin): scans at most bound+1 ids, never
+    * the corpus; `bound ≥ Int.MaxValue` skips the probe (forced
+    * small), `bound ≤ 0` is forced large. */
+  private[operators] def smallCorpus(df: DataFrame, idCol: String, bound: Long): Boolean =
+    bound > 0 &&
+      (bound >= Int.MaxValue ||
+        df.select(col(idCol)).limit(bound.toInt + 1).count() <= bound)
+
   /**
    * Embedding near-duplicate pairs via random-hyperplane LSH: sign-bit
    * signature over `planes` pseudo-random hyperplanes (deterministic,
@@ -588,11 +597,7 @@ object Dedup {
     // all pairs, duplicated per band. Exact verify handles the small
     // corpus; the IVF cell decomposition handles the large one.
     if (planes1 / bands1 <= 2) {
-      // bounded size probe: scans at most bruteBound+1 ids, never the corpus
-      val small = bruteBound > 0 &&
-        (bruteBound >= Int.MaxValue ||
-          df.select(col(idCol)).limit(bruteBound.toInt + 1).count() <= bruteBound)
-      if (small) embeddingPairsBrute(df, idCol, vecCol, threshold)
+      if (smallCorpus(df, idCol, bruteBound)) embeddingPairsBrute(df, idCol, vecCol, threshold)
       else embeddingPairsIvf(df, idCol, vecCol, threshold)
     } else embeddingPairsSized(df, idCol, vecCol, planes1, bands1, threshold, maxBucket)
   }
@@ -925,10 +930,18 @@ object Dedup {
    * signal (TextAnalysis.qualityScore, an LM score, length).
    *
    * Scale shape: the cluster assignment is [[connectedComponents]]
-   * (log-round star contraction); picking the best member is one
-   * max_by aggregation over (cluster → (score, id)) — a fixed-width
-   * shuffle key, map-side combined, no window sort. Docs in no pair
-   * form singleton clusters and keep themselves.
+   * (log-round star contraction); picking the winner is two exact
+   * aggregations on the cluster key (best score, then min id among
+   * the best-score members — Spark's max_by has no tie-break
+   * contract) — fixed-width shuffle keys, map-side combined, no
+   * window sort. Docs in no pair form singleton clusters and keep
+   * themselves.
+   *
+   * NaN scores are normalized to NULL before ranking: Spark's max()
+   * orders NaN ABOVE every number (the semanticDedup trap), so a
+   * single degenerate 0/0 score in a cluster would otherwise beat
+   * every clean member and invert the retention policy. NULL loses to
+   * any real score; all-degenerate clusters keep their min id.
    */
   def dedupKeepBest(
       df: DataFrame,
@@ -936,7 +949,9 @@ object Dedup {
       scoreCol: Column,
       pairs: DataFrame
   ): DataFrame = {
-    val scored = df.select(col(idCol), scoreCol.as("__score"))
+    val scored = df.select(
+      col(idCol),
+      when(!isnan(scoreCol.cast("double")), scoreCol).as("__score"))
     val clustered = dedupClusters(scored, idCol, pairs)
       .withColumnRenamed("canonical_id", "cluster_id")
       .join(scored, Seq(idCol))

@@ -357,10 +357,11 @@ class DedupSpec extends SparkSpecBase {
     val docs = Seq(
       (1L, 0.5), (2L, 0.9), (3L, 0.9), // one cluster via pairs; 2 and 3 tie on score
       (4L, 0.2), // singleton: keeps itself regardless of score
-      (5L, Double.NaN), // NaN scores: max picks NaN (orders above all); both members NaN -> min id
-      (6L, Double.NaN)
+      (5L, Double.NaN), // all-NaN cluster: normalized to NULL -> min id kept
+      (6L, Double.NaN),
+      (7L, 0.4), (8L, Double.NaN) // mixed: NaN must NOT outrank the real score
     ).toDF("id", "q")
-    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (7L, 8L)).toDF("id_a", "id_b")
     val out = Dedup.dedupKeepBest(docs, "id", col("q"), pairs)
       .select("id", "cluster_id", "keep_id", "keep")
       .orderBy("id")
@@ -370,7 +371,8 @@ class DedupSpec extends SparkSpecBase {
     assert(out == Seq(
       (1L, 1L, 2L, false), (2L, 1L, 2L, true), (3L, 1L, 2L, false),
       (4L, 4L, 4L, true),
-      (5L, 5L, 5L, true), (6L, 5L, 5L, false)))
+      (5L, 5L, 5L, true), (6L, 5L, 5L, false),
+      (7L, 7L, 7L, true), (8L, 7L, 7L, false)))
   }
 
   test("keep-best dedup: clusters whose every score is NULL keep the min id") {

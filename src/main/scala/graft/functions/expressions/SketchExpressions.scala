@@ -217,6 +217,11 @@ case class CosineSimilarity(left: Expression, right: Expression)
           s"$prettyName requires two array<float> arguments, got ${l.catalogString} and ${r.catalogString}")
     }
 
+  // Null ELEMENTS (containsNull arrays) return SQL NULL, matching
+  // DotProduct: the interpreted path would otherwise NPE unboxing a
+  // null from GenericArrayData while the unsafe path silently read
+  // 0.0f — a crash on one physical layout and a wrong answer on the
+  // other, for the same row.
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
@@ -224,6 +229,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xv = x.getFloat(i).toDouble
       val yv = y.getFloat(i).toDouble
       dot += xv * yv; na += xv * xv; nb += yv * yv
@@ -242,16 +248,23 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val nb = ctx.freshName("nb")
       val xv = ctx.freshName("xv")
       val yv = ctx.freshName("yv")
+      val anyNull = ctx.freshName("anyNull")
       s"""
          |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
          |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |boolean $anyNull = false;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($x.isNullAt($i) || $y.isNullAt($i)) { $anyNull = true; break; }
          |  double $xv = (double) $x.getFloat($i);
          |  double $yv = (double) $y.getFloat($i);
          |  $dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
          |}
-         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
-         |if (java.lang.Double.isNaN(${ev.value})) { ${ev.isNull} = true; }
+         |if ($anyNull) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |  if (java.lang.Double.isNaN(${ev.value})) { ${ev.isNull} = true; }
+         |}
        """.stripMargin
     })
 

@@ -50,9 +50,20 @@ case class Tokens(child: Expression, lowercase: Boolean, stemmer: String = "none
 }
 
 object Tokens {
-  /** Static kernel, callable from generated Java. */
+  /** Static kernel, callable from generated Java.
+    *
+    * Parity discipline: lowercase FIRST through UTF8String.toLowerCase
+    * — the exact kernel Spark's `lower()` uses, including 1:N special
+    * mappings — then segment by CODE POINT. A per-UTF-16-char loop
+    * (the original shape) silently split every supplementary-plane
+    * letter (mathematical alphanumerics, CJK Ext-B, Gothic: surrogate
+    * halves are not letterOrDigit) and lowercased İ differently than
+    * `lower()`, so the native path and the composable
+    * `filter(split(lower(s), "[^\p{L}\p{Nd}]+"), ...)` formulation —
+    * and the DuckDB oracle that mirrors it — disagreed exactly on the
+    * corpora where cross-engine determinism is hardest to audit. */
   def tokenize(u: UTF8String, lowercase: Boolean, stemmer: Stemmer): ArrayData = {
-    val s = u.toString
+    val s = (if (lowercase) u.toLowerCase else u).toString
     val identity = stemmer eq IdentityStemmer
     val out = new java.util.ArrayList[AnyRef]()
     val sb = new java.lang.StringBuilder()
@@ -64,11 +75,9 @@ object Tokens {
     var i = 0
     val len = s.length
     while (i < len) {
-      val c0 = s.charAt(i)
-      if (Character.isLetterOrDigit(c0)) {
-        sb.append(if (lowercase) Character.toLowerCase(c0) else c0)
-      } else flush()
-      i += 1
+      val cp = s.codePointAt(i)
+      if (Character.isLetterOrDigit(cp)) sb.appendCodePoint(cp) else flush()
+      i += Character.charCount(cp)
     }
     flush()
     new GenericArrayData(out.toArray)

@@ -750,7 +750,10 @@ object Dedup {
     // (native expression — one per-row loop instead of planes×dim lambdas)
     val vecs = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
     val sigs = vecs.select(col("id"), call_function("graft_hyperplane_bits", col("vec"), lit(planes)).as("bits"))
-    val mask = (1L << rowsPerBand) - 1L
+    // shifts mod 64: one 64-bit band (near-1 thresholds) needs -1L, not
+    // (1L << 64) - 1 = 0 — a zero mask hashes every row to bh=0 and the
+    // band join degenerates to all-pairs
+    val mask = if (rowsPerBand >= 64) -1L else (1L << rowsPerBand) - 1L
     // candidate generation ships (id, band, bandhash) only; vectors
     // re-attach to the (far smaller) distinct candidate set for the
     // exact cosine verification.

@@ -21,6 +21,16 @@ import org.apache.spark.sql.functions._
  */
 object Changelog {
 
+  /** Canonical key for rows whose bucket expression is NULL (e.g. a
+    * null timestamp). A raw NULL key would break the pending⋈done
+    * equi-join (SQL NULL never equals NULL), so the bucket could be
+    * marked clean forever without ever MATCHING clean — every
+    * subsequent run would see it dirty, recompute, re-mark, and loop;
+    * meanwhile an isin(keys) source filter (NULL for null rows) would
+    * never actually rescan those rows. Canonicalizing at the edges
+    * keeps the whole cycle null-safe. */
+  val NullBucket = "__null__"
+
   private def readLog(spark: SparkSession, dir: String): DataFrame = {
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -54,7 +64,7 @@ object Changelog {
   def markDirty(batch: DataFrame, bucketExpr: org.apache.spark.sql.Column, changelogDir: String): Long = {
     val seq = nextSeq(batch.sparkSession, changelogDir)
     batch
-      .select(bucketExpr.cast("string").as("bucket")).distinct()
+      .select(coalesce(bucketExpr.cast("string"), lit(NullBucket)).as("bucket")).distinct()
       .withColumn("seq", lit(seq))
       .coalesce(1)
       .write.mode("append").parquet(s"$changelogDir/pending")

@@ -70,9 +70,17 @@ trait RollupBase {
     if (dirty.isEmpty) RollupRun(Nil, Nil)
     else {
       val keys = dirty.map(_._1)
-      val src = fact.filter(sourceBucket.cast("string").isin(keys: _*))
+      // coalesce to the changelog's null sentinel on BOTH sides: rows
+      // with a null bucket (null ts) are marked dirty as
+      // Changelog.NullBucket, and a plain isin would be NULL for them —
+      // never rescanned, permanently stale (partition pruning still
+      // applies: coalesce of a partition column is a deterministic
+      // partition predicate)
+      val src = fact.filter(
+        coalesce(sourceBucket.cast("string"), lit(Changelog.NullBucket)).isin(keys: _*))
       apply(src)
-        .withColumn("p_bucket", outputBucket(col("rollup_time")).cast("string"))
+        .withColumn("p_bucket",
+          coalesce(outputBucket(col("rollup_time")).cast("string"), lit(Changelog.NullBucket)))
         .write
         .mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
@@ -172,7 +180,10 @@ final case class Rollup(
           sums = sums.toMap, countCol = countCol,
           mins = mins.toMap, maxs = maxs.toMap,
           counts = counts.toMap, sumCasts = sumCasts.toMap,
-          sketches = sketches.toMap, sketchLgK = sketchLgK.toMap)
+          sketches = sketches.toMap, sketchLgK = sketchLgK.toMap,
+          // date_trunc buckets are tz-dependent: stamp the session tz
+          // the rollup materializes under so routing can fence on it
+          timeZone = Some(fact.sparkSession.sessionState.conf.sessionLocalTimeZone))
       }
     }
   }

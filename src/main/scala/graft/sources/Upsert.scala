@@ -18,9 +18,19 @@ import org.apache.spark.sql.functions._
  */
 object Upsert {
 
+  /** Content-hash tie-break for rows sharing a key at the same
+    * priority/version (e.g. duplicate keys WITHIN one update batch):
+    * row_number alone would pick an arbitrary, run-dependent winner.
+    * Hashing the whole row makes the pick a pure function of content —
+    * replays and engines agree — without assuming the value columns
+    * are orderable types. */
+  private def rowTieBreak(df: DataFrame, exclude: Set[String]) =
+    xxhash64(df.columns.filterNot(exclude).map(col).toIndexedSeq: _*)
+
   def apply(base: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame = {
     val tagged = base.withColumn("__prio", lit(0)).unionByName(updates.withColumn("__prio", lit(1)))
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("__prio").desc)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__prio").desc, rowTieBreak(tagged, Set("__prio")).asc)
     tagged
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
@@ -48,12 +58,16 @@ object Upsert {
       .partitionBy("__seq")
       .parquet(path)
 
-  /** Merge-on-read: latest version per key wins (ties impossible — one
-    * version per seq). The window shuffles on the key, the same cost a
-    * groupBy-latest would pay. */
+  /** Merge-on-read: latest version per key wins. Versions never tie
+    * (one per seq), but a key duplicated WITHIN one appended batch
+    * shares its seq — the content-hash tie-break keeps the winner
+    * deterministic across replays (streamUpsert appends micro-batches
+    * verbatim, so within-batch duplicates are the caller's data
+    * arriving, not a bug to reject). */
   def readLatest(spark: org.apache.spark.sql.SparkSession, path: String, keys: Seq[String]): DataFrame = {
     val log = spark.read.parquet(path)
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("__seq").desc)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__seq").desc, rowTieBreak(log, Set("__seq")).asc)
     log
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
@@ -80,7 +94,10 @@ object Upsert {
     // partition-column inference reads __seq back as int
     val maxSeq = log.agg(max(col("__seq"))).head().get(0).asInstanceOf[Number].longValue()
     val merged = {
-      val w = Window.partitionBy(keys.map(col): _*).orderBy(col("__seq").desc)
+      // same deterministic tie-break as readLatest: compaction must
+      // materialize exactly the row readLatest would have returned
+      val w = Window.partitionBy(keys.map(col): _*)
+        .orderBy(col("__seq").desc, rowTieBreak(log, Set("__seq")).asc)
       log.filter(col("__seq") <= maxSeq)
         .withColumn("__rn", row_number().over(w))
         .filter(col("__rn") === 1)

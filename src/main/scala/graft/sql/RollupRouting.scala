@@ -73,7 +73,15 @@ final case class RollupRoute(
     sketches: Map[String, String] = Map.empty,
     /** metric → the lgConfK its sketch column was materialized with; a
       * query sketching at a different precision must not route. */
-    sketchLgK: Map[String, Int] = Map.empty
+    sketchLgK: Map[String, Int] = Map.empty,
+    /** Session timezone the rollup was MATERIALIZED under (None =
+      * registered by a legacy caller — routes unconditionally, the
+      * pre-fix behavior). date_trunc buckets are timezone-dependent:
+      * a day-grain rollup built under UTC holds UTC day buckets, and
+      * substituting them into a query planned under America/New_York
+      * would silently answer with the wrong days — so tryRewrite
+      * refuses to route when the planning session's timezone differs. */
+    timeZone: Option[String] = None
 )
 
 /** Session-wide route registry (rollupPath is the identity). */
@@ -141,6 +149,11 @@ case class RollupRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
   }
 
   private def tryRewrite(agg: Aggregate, route: RollupRoute): Option[LogicalPlan] = {
+    // 0. timezone fence: the rollup's date_trunc buckets were computed
+    //    under the MATERIALIZATION session's timezone; planning under a
+    //    different one must stay on the fact (see RollupRoute.timeZone)
+    if (route.timeZone.exists(_ != spark.sessionState.conf.sessionLocalTimeZone))
+      return None
     // 1. the aggregate's child must be the fact scan, modulo dim-only
     //    filters and projections. Projections may carry aliases — the
     //    optimizer's PullOutGroupingExpressions extracts date_trunc into
@@ -286,7 +299,10 @@ case class RollupRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
           case _ =>
             val rolled: Option[AggregateFunction] = ae.aggregateFunction match {
               case s: Sum => sumMetric(s.child).flatMap(route.sums.get).flatMap(rAttr.get).map(Sum(_))
-              case Count(Seq(l: Literal)) if l.foldable => route.countCol.flatMap(rAttr.get).map(Sum(_))
+              // l.value != null: count(NULL) is 0 per group, NOT the
+              // row count the rollup's count partial would give
+              case Count(Seq(l: Literal)) if l.foldable && l.value != null =>
+                route.countCol.flatMap(rAttr.get).map(Sum(_))
               // count(m): bare column only — count(cast(m)) can differ when
               // the cast maps non-null values to null
               case c: Count if c.children.sizeIs == 1 =>

@@ -28,34 +28,52 @@ object SketchFusionRule extends Rule[LogicalPlan] {
     case _ => false
   }
 
-  private object MultiplyOfVars {
-    def unapply(e: Expression): Boolean = e match {
+  /** `body` is `x * y` (modulo double casts) where x and y are EXACTLY
+    * the two given lambda arguments, one each, in either order —
+    * `x * x` (a sum of squares) or a captured outer variable must NOT
+    * match: rewriting those to DotProduct(a, b) would be silently
+    * wrong, the worst failure mode an optimizer rule can have. */
+  private def isCrossMultiply(body: Expression, args: Seq[NamedLambdaVariable]): Boolean =
+    body match {
       case Multiply(l, r, _) =>
-        def isVarOrCastVar(x: Expression): Boolean = x match {
-          case _: NamedLambdaVariable => true
-          case Cast(_: NamedLambdaVariable, DoubleType, _, _) => true
+        def asVar(x: Expression): Option[NamedLambdaVariable] = x match {
+          case v: NamedLambdaVariable => Some(v)
+          case Cast(v: NamedLambdaVariable, DoubleType, _, _) => Some(v)
+          case _ => None
+        }
+        (asVar(l), asVar(r)) match {
+          case (Some(a), Some(b)) if args.length == 2 =>
+            // identity (exprId), not name equality: shadowed/renamed
+            // variables with equal names must not fool the matcher
+            val Seq(x, y) = args
+            (a.exprId == x.exprId && b.exprId == y.exprId) ||
+              (a.exprId == y.exprId && b.exprId == x.exprId)
           case _ => false
         }
-        isVarOrCastVar(l) && isVarOrCastVar(r)
       case _ => false
     }
-  }
 
-  private object AddOfVars {
-    def unapply(e: Expression): Boolean = e match {
-      case Add(_: NamedLambdaVariable, _: NamedLambdaVariable, _) => true
+  /** `body` is `acc + v` with acc and v exactly the fold lambda's two
+    * distinct arguments (either order — addition commutes). */
+  private def isAccPlusVar(body: Expression, args: Seq[NamedLambdaVariable]): Boolean =
+    body match {
+      case Add(l: NamedLambdaVariable, r: NamedLambdaVariable, _) if args.length == 2 =>
+        val Seq(acc, v) = args
+        (l.exprId == acc.exprId && r.exprId == v.exprId) ||
+          (l.exprId == v.exprId && r.exprId == acc.exprId)
       case _ => false
     }
-  }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
     case ArrayAggregate(
-          ZipWith(left, right, LambdaFunction(mulBody, _, _)),
+          ZipWith(left, right, LambdaFunction(mulBody, mulArgs, _)),
           Literal(0.0, DoubleType),
-          LambdaFunction(addBody, _, _),
-          LambdaFunction(finish: NamedLambdaVariable, _, _)
+          LambdaFunction(addBody, addArgs, _),
+          LambdaFunction(finish: NamedLambdaVariable, finishArgs, _)
         )
-        if MultiplyOfVars.unapply(mulBody) && AddOfVars.unapply(addBody) &&
+        if isCrossMultiply(mulBody, mulArgs.collect { case v: NamedLambdaVariable => v }) &&
+          isAccPlusVar(addBody, addArgs.collect { case v: NamedLambdaVariable => v }) &&
+          finishArgs.exists { case v: NamedLambdaVariable => v.exprId == finish.exprId; case _ => false } &&
           isFloatOrDoubleArray(left) && isFloatOrDoubleArray(right) =>
       DotProduct(left, right)
   }

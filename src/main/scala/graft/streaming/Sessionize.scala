@@ -56,6 +56,15 @@ object Sessionize extends Serializable {
       .select(col("user_id"), col("session_start"), col("session_end"), col("n_events"), col("sum_value"))
   }
 
+  /** Exact micros↔Timestamp conversions (Spark's own): `getTime` /
+    * `new Timestamp(ms)` truncate to milliseconds, which both shifts
+    * gap decisions at sub-ms boundaries and degrades emitted
+    * session_start/end vs batch's min(ts)/max(ts). */
+  private def micros(ts: Timestamp): Long =
+    org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaTimestamp(ts)
+  private def timestamp(us: Long): Timestamp =
+    org.apache.spark.sql.catalyst.util.DateTimeUtils.toJavaTimestamp(us)
+
   /** Split a user's accumulated events into gap-separated sessions. */
   private def toSessions(userId: Long, evs: Seq[(Long, Double, Long)], gapMicros: Long): List[Session] = {
     val sorted = evs.sortBy(e => (e._1, e._3))
@@ -64,11 +73,11 @@ object Sessionize extends Serializable {
     for ((us, v, _) <- sorted) {
       if (n == 0L) { start = us; last = us; n = 1; sum = BigDecimal(v) }
       else if (us - last > gapMicros) {
-        out += Session(userId, new Timestamp(start / 1000), new Timestamp(last / 1000), n, sum.toDouble)
+        out += Session(userId, timestamp(start), timestamp(last), n, sum.toDouble)
         start = us; last = us; n = 1; sum = BigDecimal(v)
       } else { last = us; n += 1; sum += BigDecimal(v) }
     }
-    if (n > 0) out += Session(userId, new Timestamp(start / 1000), new Timestamp(last / 1000), n, sum.toDouble)
+    if (n > 0) out += Session(userId, timestamp(start), timestamp(last), n, sum.toDouble)
     out.toList
   }
 
@@ -88,7 +97,7 @@ object Sessionize extends Serializable {
         toSessions(userId, acc.events, gapMicros).iterator
       } else {
         val existing = state.getOption.getOrElse(SessionAcc(Nil)).events
-        val added = in.map(e => (e.ts.getTime * 1000L, e.value, e.event_id)).toList
+        val added = in.map(e => (micros(e.ts), e.value, e.event_id)).toList
         val all = existing ++ added
         state.update(SessionAcc(all))
         val lastUs = all.map(_._1).max

@@ -1,6 +1,5 @@
 package graft.streaming
 
-import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
@@ -51,7 +50,15 @@ object StreamingDedup {
           val s = batch.sparkSession
           val sigs = Dedup.minhashSigs(batch, "doc_id", "text", numHashes, 3).cache()
           val probe = banded(sigs)
-          val haveIndex = Files.exists(Paths.get(indexPath))
+          // Hadoop FS, not java.nio: the index is written through Spark,
+          // so on a cluster whose default FS is HDFS/S3 a local-POSIX
+          // Files.exists() is ALWAYS false — haveIndex would silently
+          // never flip and no cross-batch duplicate would ever be found
+          val haveIndex = {
+            val p = new org.apache.hadoop.fs.Path(indexPath)
+            val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+            fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.startsWith("batch_id="))
+          }
           // existing index + this batch. Index rows are tagged: a new
           // document must match an indexed duplicate REGARDLESS of id
           // order (ids carry no arrival-order guarantee — requiring
@@ -140,7 +147,11 @@ object StreamingDedup {
     val (planes1, bands1) =
       if (planes > 0 && bands > 0) (planes, bands) else Dedup.signBanding(threshold)
     val rowsPerBand = planes1 / bands1
-    val mask = (1L << rowsPerBand) - 1L
+    // Java shifts mod 64: (1L << 64) - 1 is 0, so a single 64-bit band
+    // (legal at near-1 thresholds) would hash every row to bh=0 and the
+    // band join would degenerate to all-pairs — exactly what banding
+    // exists to prevent (simhashBanded guards the same way)
+    val mask = if (rowsPerBand >= 64) -1L else (1L << rowsPerBand) - 1L
     val lowThreshold = rowsPerBand <= 2
 
     def banded(sigs: DataFrame): DataFrame =

@@ -12,6 +12,31 @@ class FunctionsSpec extends SparkSpecBase {
     assert(out == Seq("hello", "world", "42x"))
   }
 
+  test("tokens: supplementary-plane letters survive as whole code points, matching the regex form") {
+    // U+1D400 MATHEMATICAL BOLD CAPITAL A etc. — two UTF-16 chars each;
+    // a per-char kernel split every one of them (surrogates are not
+    // letterOrDigit) while the regex formulation kept them
+    val text = "𝐀𝐁 plain 𝐂x"
+    val native = Seq(text).toDF("t").select(F.tokens(col("t"))).as[Seq[String]].head()
+    val viaRegex = Seq(text).toDF("t")
+      .select(filter(split(lower(col("t")), "[^\\p{L}\\p{Nd}]+"), x => length(x) > 0))
+      .as[Seq[String]].head()
+    assert(native == viaRegex, s"native $native != regex $viaRegex")
+    // math alphanumerics have no case mapping — they must survive WHOLE
+    assert(native.contains("𝐀𝐁"), s"expected intact surrogate-pair token in $native")
+  }
+
+  test("graft_cosine: a null ELEMENT yields SQL NULL on both eval paths, never an NPE or 0-read") {
+    val df = Seq(
+      (Seq(Some(1.0f), None, Some(2.0f)), Seq(Some(1.0f), Some(1.0f), Some(1.0f))),
+      (Seq(Some(1.0f), Some(0.0f)), Seq(Some(1.0f), Some(0.0f)))
+    ).toDF("a", "b")
+    val out = df.select(call_function("graft_cosine", col("a"), col("b")).as("c"))
+      .as[Option[Double]].collect().toSeq
+    assert(out.head.isEmpty, "null element must give NULL cosine")
+    assert(out(1).contains(1.0))
+  }
+
   test("splitWords keeps case") {
     val out = Seq("PROMO BURNISHED-COPPER").toDF("t").select(F.splitWords(col("t"))).as[Seq[String]].head()
     assert(out == Seq("PROMO", "BURNISHED", "COPPER"))

@@ -29,6 +29,30 @@ class FusionSpec extends SparkSpecBase {
     }
   }
 
+  test("SketchFusionRule must NOT fuse folds that are not cross-products of the two lambda args") {
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ SketchFusionRule
+    try {
+      val df = spark.read.parquet(s"$sfDir/embeddings.parquet").limit(20)
+        .select(col("embedding").as("a"), col("embedding").as("b"))
+      // x * x is a sum of SQUARES over a — rewriting it to DotProduct(a, b)
+      // would silently return Σ a_i·b_i
+      val squares = df.select(
+        aggregate(zip_with(col("a"), col("b"), (x, _) => x.cast("double") * x.cast("double")),
+          lit(0.0), (acc, v) => acc + v).as("d"))
+      assert(!squares.queryExecution.optimizedPlan.toString.contains("graft_dot"),
+        "sum-of-squares lambda must not fuse")
+      val viaRule = squares.as[Double].collect().toSeq
+      val expected = df.select(
+        aggregate(transform(col("a"), x => x.cast("double") * x.cast("double")),
+          lit(0.0), (acc, v) => acc + v).as("d")).as[Double].collect().toSeq
+      assert(viaRule == expected)
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ == SketchFusionRule)
+    }
+  }
+
   test("fused dot product is bit-identical to the fold formulation on real embeddings") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").limit(50)
     val pairs = emb.select(col("vec_id").as("ia"), col("embedding").as("va"))

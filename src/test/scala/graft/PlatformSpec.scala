@@ -146,4 +146,40 @@ class PlatformSpec extends SparkSpecBase {
     assert(plan.contains("SortMergeJoin"), plan.take(2000))
     assert(!plan.contains("Exchange"), s"bucketed join must not shuffle:\n${plan.take(3000)}")
   }
+
+  test("upsert picks a deterministic winner for duplicate keys within one batch") {
+    import spark.implicits._
+    import graft.sources.Upsert
+    val base = Seq((1L, "old")).toDF("key", "v")
+    // two updates for key 1 arrive in the SAME batch (same __prio/__seq):
+    // the content-hash tie-break must pick the same row on every run
+    // and under any partitioning — not whichever the shuffle delivered first
+    val updates = Seq((1L, "a"), (1L, "b"), (2L, "x")).toDF("key", "v")
+    val winners = (1 to 3).map { i =>
+      Upsert(base, updates.repartition(i), Seq("key"))
+        .orderBy("key").as[(Long, String)].collect().toSeq
+    }
+    assert(winners.distinct.size == 1, s"nondeterministic upsert winners: $winners")
+    assert(winners.head.map(_._1) == Seq(1L, 2L))
+    assert(winners.head.head._2 != "old", "an update must win over base")
+  }
+
+  test("changelog: a null bucket key cycles dirty -> clean instead of looping forever") {
+    import graft.sources.Changelog
+    import spark.implicits._
+    val dir = "/tmp/graft_nullbucket_spec"
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    val batch = Seq(
+      (Some(java.sql.Timestamp.valueOf("2024-01-01 10:00:00")), 1.0),
+      (Option.empty[java.sql.Timestamp], 2.0) // null ts -> null bucket
+    ).toDF("ts", "value")
+    Changelog.markDirty(batch, date_format(col("ts"), "yyyy-MM"), s"$dir/changelog")
+    val dirty = Changelog.dirtyBuckets(spark, s"$dir/changelog")
+    assert(dirty.map(_._1).toSet == Set("2024-01", Changelog.NullBucket),
+      s"null key must surface as the sentinel: $dirty")
+    Changelog.markClean(spark, s"$dir/changelog", dirty)
+    assert(Changelog.dirtyBuckets(spark, s"$dir/changelog").isEmpty,
+      "a cleaned null bucket must not stay dirty forever")
+  }
 }

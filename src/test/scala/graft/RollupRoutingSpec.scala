@@ -206,7 +206,8 @@ class RollupRoutingSpec extends SparkSpecBase {
       mins = Map("value" -> "vmin"), maxs = Map("value" -> "vmax"),
       counts = Map("value" -> "cv", "user_id" -> "cu"),
       sumCasts = Map("value" -> org.apache.spark.sql.types.DecimalType(18, 4)),
-      sketches = Map("user_id" -> "hu"), sketchLgK = Map("user_id" -> 12))
+      sketches = Map("user_id" -> "hu"), sketchLgK = Map("user_id" -> 12),
+      timeZone = Some("UTC")) // derivation stamps the materializing session's tz
     assert(derived.contains(handWritten))
     // a filtered rollup misses rows -> it must not derive a route
     assert(roll.copy(filter = Some(col("event_type") === "click"))
@@ -319,5 +320,35 @@ class RollupRoutingSpec extends SparkSpecBase {
     assert(scanPaths(avgQ).contains(factPath), "avg is not decomposable from these partials")
     val dist = facts.groupBy(F.truncDay(col("ts"))).agg(countDistinct(col("user_id")))
     assert(scanPaths(dist).contains(factPath), "distinct must not route")
+  }
+
+  test("count(NULL) answers 0 per group, never the rollup's row count") {
+    facts
+    // Spark's own constant folding usually neutralizes count(NULL)
+    // before the rewrite rule runs (the agg routes grouping-keys-only,
+    // which is valid); the rule's l.value != null guard is the backstop
+    // for shapes that survive folding. Either way the VALUES must be 0,
+    // not the per-group row counts a sum(count_col) rewrite would give.
+    val q = facts.groupBy(F.truncDay(col("ts"))).agg(count(lit(null)).as("c"))
+    val rows = q.collect()
+    assert(rows.nonEmpty && rows.forall(_.getLong(1) == 0L),
+      s"count(NULL) must be 0 per group: ${rows.take(3).toSeq}")
+  }
+
+  test("a route stamped with a different session timezone refuses to fire") {
+    facts // registers the (tz-less, legacy-style) route used by other tests
+    val tzRoute = RollupRoutes.all.find(_.rollupPath == rollPath).get
+      .copy(timeZone = Some("America/New_York"))
+    RollupRoutes.register(tzRoute)
+    try {
+      // session is UTC (SparkSpecBase): date_trunc buckets materialized
+      // under New York time would be wrong answers here
+      val q = facts.groupBy(F.truncDay(col("ts"))).agg(count(lit(1)).as("c"))
+      assert(scanPaths(q).contains(factPath), "tz-mismatched route must stay on the fact")
+      // matching tz routes again
+      RollupRoutes.register(tzRoute.copy(timeZone = Some("UTC")))
+      val q2 = facts.groupBy(F.truncDay(col("ts"))).agg(count(lit(1)).as("c"))
+      assert(scanPaths(q2).contains(rollPath), "utc-stamped route must fire under UTC session")
+    } finally RollupRoutes.register(tzRoute.copy(timeZone = None))
   }
 }

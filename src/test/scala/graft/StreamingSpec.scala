@@ -106,6 +106,38 @@ class StreamingSpec extends SparkSpecBase {
     assert(batch.head._4 == 2L && batch.head._5 == 3.0)
   }
 
+  test("streaming sessionization keeps microsecond precision at gap boundaries (batch parity)") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.Sessionize
+    import graft.streaming.Sessionize.Ev
+    // 300.0001s apart at a 5-min gap, with both timestamps inside the
+    // SAME millisecond offset: micros say TWO sessions; the old
+    // ms-truncating state update measured exactly 300s and said one
+    val evs = Seq(
+      Ev(10L, Timestamp.valueOf("2024-01-01 00:00:00.000600"), 1.0, 1L),
+      Ev(10L, Timestamp.valueOf("2024-01-01 00:05:00.000700"), 2.0, 2L)
+    )
+    val stream = MemoryStream[Ev]
+    stream.addData(evs: _*)
+    val q = Sessionize
+      .streaming(spark, stream.toDS(), gapMinutes = 5, watermark = "0 seconds")
+      .writeStream.format("memory").queryName("sessions_us").outputMode("append").start()
+    q.processAllAvailable()
+    stream.addData(Ev(99L, Timestamp.valueOf("2024-01-02 12:00:00"), 0.0, 3L))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("sessions_us").filter($"user_id" =!= 99L)
+      .orderBy("session_start")
+      .as[(Long, Timestamp, Timestamp, Long, Double)].collect().toSeq
+    val batch = Sessionize.batch(evs.toDF("user_id", "ts", "value", "event_id"), gapMinutes = 5)
+      .orderBy("session_start")
+      .as[(Long, Timestamp, Timestamp, Long, Double)].collect().toSeq
+    assert(streamed == batch, s"streamed $streamed != batch $batch")
+    assert(batch.length == 2, "micros must split the sessions")
+    assert(batch.head._2 == Timestamp.valueOf("2024-01-01 00:00:00.000600"),
+      "emitted session bounds must keep sub-ms precision")
+  }
+
   test("streaming exact dedup drops re-delivered events; sketches run stateless on streams") {
     implicit val sqlCtx = spark.sqlContext
     val rows = Seq(

@@ -667,21 +667,23 @@ object OracleSql {
     "q_multimodal_frames" ->
       """WITH m AS (
            SELECT doc_id,
-             CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'img' WHEN 1 THEN 'audio' ELSE 'video' END AS fmt,
+             CASE CAST(((doc_id % 3) + 3) % 3 AS INT) WHEN 0 THEN 'img' WHEN 1 THEN 'audio' ELSE 'video' END AS fmt,
              CAST(octet_length(encode(text)) AS BIGINT) AS len
            FROM documents WHERE doc_id < 100),
          f AS (
-           SELECT doc_id, fmt, len, unnest(generate_series(0, len // 256)) AS frame_idx
+           SELECT doc_id, fmt, len, unnest(generate_series(0, (len + 255) // 256 - 1)) AS frame_idx
            FROM m)
          SELECT doc_id, fmt, CAST(frame_idx AS BIGINT) AS frame_idx,
                 CAST(frame_idx * 256 AS BIGINT) AS byte_offset,
                 CAST(least(256, len - frame_idx * 256) AS BIGINT) AS frame_bytes
          FROM f ORDER BY doc_id, frame_idx""",
+    // pmod fmt index and ceil frame count, mirroring Multimodal (a
+    // payload of exactly k*256 bytes has k frames, not k+1)
     "q_multimodal_meta" ->
       """SELECT doc_id,
-         CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'img' WHEN 1 THEN 'audio' ELSE 'video' END AS fmt,
+         CASE CAST(((doc_id % 3) + 3) % 3 AS INT) WHEN 0 THEN 'img' WHEN 1 THEN 'audio' ELSE 'video' END AS fmt,
          CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
-         CAST(octet_length(encode(text)) AS BIGINT) // 256 + 1 AS frame_count
+         (CAST(octet_length(encode(text)) AS BIGINT) + 255) // 256 AS frame_count
          FROM documents ORDER BY doc_id""",
     // BM25: same exact-rational term factor + micro-nat-quantized IDF as
     // graft.operators.Retrieval (change both together). k1=1.2 b=0.75.

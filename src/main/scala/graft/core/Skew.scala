@@ -25,8 +25,20 @@ object Skew {
    * the smaller side (it is replicated ×saltFactor).
    */
   def saltedJoin(probe: DataFrame, build: DataFrame, key: String, saltFactor: Int): DataFrame = {
-    // salt varies per ROW (not per key) — that is what spreads a hot key
-    val salted = probe.withColumn("__salt", pmod(xxhash64(monotonically_increasing_id()), lit(saltFactor)).cast("int"))
+    // Salt varies per ROW (not per key) — that is what spreads a hot
+    // key — but it must be a DETERMINISTIC function of row CONTENT:
+    // monotonically_increasing_id depends on partition layout and
+    // in-partition order, so a fetch-failure recompute of the probe map
+    // stage re-salts rows differently than the shuffle blocks already
+    // fetched — silently duplicating or dropping probe rows (the
+    // SPARK-23207 nondeterministic-repartition class). Hashing the full
+    // row spreads identical hot-key rows only as far as their other
+    // columns differ — for a fact table that is every row; fully
+    // identical duplicate rows hash together, which only returns the
+    // skew to the degree the input itself is one repeated row.
+    val salted = probe.withColumn(
+      "__salt",
+      pmod(xxhash64(probe.columns.map(col).toIndexedSeq: _*), lit(saltFactor)).cast("int"))
     val replicated = build.withColumn("__salt", explode(sequence(lit(0), lit(saltFactor - 1))))
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")
   }

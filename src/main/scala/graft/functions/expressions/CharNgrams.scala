@@ -30,15 +30,22 @@ case class CharNgrams(child: Expression, n: Int) extends UnaryExpression {
 }
 
 object CharNgrams {
-  /** Static kernel, callable from generated Java. */
+  /** Static kernel, callable from generated Java.
+    *
+    * Windows are CODE POINTS, not UTF-16 chars: `substr` in both
+    * engines (and the composable formulation this kernel replaces)
+    * counts code points, and a char-indexed window both slices
+    * surrogate pairs into lone-surrogate grams (mangled to U+FFFD in
+    * UTF-8) and produces a different gram count on astral text. */
   def ngrams(u: UTF8String, n: Int): ArrayData = {
     val s = u.toString
-    val len = s.length
+    val cps = s.codePoints().toArray
+    val len = cps.length
     val count = math.max(len - (n - 1), 1)
     val seen = new java.util.LinkedHashSet[String]()
     var i = 0
     while (i < count) {
-      seen.add(s.substring(i, math.min(i + n, len)))
+      seen.add(new String(cps, i, math.min(n, len - i)))
       i += 1
     }
     val out = new Array[AnyRef](seen.size())

@@ -41,7 +41,15 @@ case class MinHashUnionAgg(
       val arr = v.asInstanceOf[ArrayData]
       val n = math.min(k, arr.numElements())
       var i = 0
-      while (i < n) { val x = arr.getLong(i); if (x < buffer(i)) buffer(i) = x; i += 1 }
+      while (i < n) {
+        // a NULL slot (e.g. array_min over an empty token set in the
+        // composable signature) contributes NOTHING — getLong would
+        // read it as 0, an impossible "minimum" that permanently
+        // poisons the union toward all-zeros (est_jaccard 1.0 against
+        // every other poisoned group)
+        if (!arr.isNullAt(i)) { val x = arr.getLong(i); if (x < buffer(i)) buffer(i) = x }
+        i += 1
+      }
     }
     buffer
   }

@@ -46,6 +46,7 @@ object Mix {
  * splitmix-mixing with the member index).
  */
 case class MinHashSignature(child: Expression, k: Int) extends UnaryExpression {
+  override def nullable: Boolean = true
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_minhash"
 
@@ -54,17 +55,26 @@ case class MinHashSignature(child: Expression, k: Int) extends UnaryExpression {
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.functions.expressions.MinHashSignature.compute($c, $k);")
+      s"""${ev.value} = graft.functions.expressions.MinHashSignature.compute($c, $k);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }""".stripMargin)
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSignature = copy(child = newChild)
 }
 
 object MinHashSignature {
-  /** Static kernel, callable from generated Java. */
+  /** Static kernel, callable from generated Java.
+    *
+    * An EMPTY input set has no signature: returning the all-MaxValue
+    * initial state would give every empty-set doc the same signature —
+    * they band together, form a quadratic LSH bucket, and estimate
+    * jaccard 1.0 against each other (the exact all-MaxValue collision
+    * TextSketch's short-doc floor exists to prevent). NULL instead:
+    * band keys explode to no rows, so empty docs simply never pair. */
   def compute(arr: ArrayData, k: Int): ArrayData = {
+    val n = arr.numElements()
+    if (n == 0) return null
     val mins = Array.fill(k)(Long.MaxValue)
     var i = 0
-    val n = arr.numElements()
     while (i < n) {
       val h = Mix.hashString(arr.getUTF8String(i))
       var j = 0
@@ -225,7 +235,12 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    // dimension mismatch has no defined cosine: truncating to the
+    // common prefix (the old behavior) could score a corrupted vector
+    // ABOVE a dedup threshold — NULL matches DotProduct, the fold
+    // formulation (zip_with pads with null), and the oracle
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
@@ -250,10 +265,10 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val yv = ctx.freshName("yv")
       val anyNull = ctx.freshName("anyNull")
       s"""
-         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |int $n = $x.numElements();
          |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
-         |boolean $anyNull = false;
-         |for (int $i = 0; $i < $n; $i++) {
+         |boolean $anyNull = ($y.numElements() != $n);
+         |for (int $i = 0; !$anyNull && $i < $n; $i++) {
          |  if ($x.isNullAt($i) || $y.isNullAt($i)) { $anyNull = true; break; }
          |  double $xv = (double) $x.getFloat($i);
          |  double $yv = (double) $y.getFloat($i);

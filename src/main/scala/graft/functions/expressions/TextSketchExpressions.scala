@@ -27,9 +27,17 @@ import org.apache.spark.unsafe.types.UTF8String
  */
 object TextSketch {
 
-  /** Iterate distinct shingle hashes of `s` and feed them to `consume`. */
+  /** Iterate distinct shingle hashes of `s` and feed them to `consume`.
+    *
+    * Token boundaries MUST match [[Tokens.tokenize]] (lowercase through
+    * UTF8String.toLowerCase — the `lower()` kernel — then segment by
+    * CODE POINT): the fused sketches generate LSH candidates that an
+    * exact verify over [[WordShingles]] output then checks, and a
+    * per-UTF-16-char loop split every supplementary-plane letter into
+    * different tokens than the verify side — near-dup pairs on such
+    * corpora were silently missed before they could be verified. */
   @inline final def forEachDistinctShingleHash(s0: UTF8String, shingleSize: Int)(consume: Long => Unit): Unit = {
-    val s = s0.toString
+    val s = s0.toLowerCase.toString
     val len = s.length
     // rolling window of the last `shingleSize` token hashes
     val window = new Array[Long](shingleSize)
@@ -60,14 +68,14 @@ object TextSketch {
     }
 
     while (i < len) {
-      val c = Character.toLowerCase(s.charAt(i))
-      if (Character.isLetterOrDigit(c)) {
-        tokenHash = tokenHash * 131L + c.toLong
+      val cp = s.codePointAt(i)
+      if (Character.isLetterOrDigit(cp)) {
+        tokenHash = tokenHash * 131L + cp.toLong
         inToken = true
       } else {
         endToken()
       }
-      i += 1
+      i += Character.charCount(cp)
     }
     endToken()
     // Documents shorter than the shingle size still get one shingle built

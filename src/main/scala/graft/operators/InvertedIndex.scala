@@ -32,9 +32,15 @@ object InvertedIndex {
   /** Docs whose token set contains every word of the phrase (stemmed
     * with the same stemmer the index was built with). */
   def phraseSearch(index: DataFrame, phrase: String, stemmer: String = "none"): DataFrame = {
+    // tokenize the phrase through the SAME kernel that built the index:
+    // String.toLowerCase is default-locale-sensitive (tr_TR: "ITEM" →
+    // "ıtem", matching nothing) and regex-split diverges from the
+    // code-point tokenizer on special casings — query-side tokens must
+    // be index-side tokens or phrases silently return zero docs
     val stem = graft.functions.expressions.Stemmers.forId(stemmer)
-    val words = phrase.toLowerCase.split("[^\\p{L}\\p{Nd}]+")
-      .filter(_.nonEmpty).map(stem.stem).distinct
+    val arr = graft.functions.expressions.Tokens.tokenize(
+      org.apache.spark.unsafe.types.UTF8String.fromString(phrase), lowercase = true, stem)
+    val words = (0 until arr.numElements()).map(arr.getUTF8String(_).toString).distinct
     index
       .filter(col("token").isin(words.toSeq: _*))
       .groupBy(col("doc_id"))

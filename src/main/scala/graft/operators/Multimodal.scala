@@ -31,8 +31,10 @@ object Multimodal {
    */
   def decodeStub(r: MediaRow): MediaFeatures = {
     val len = r.payload.length.toLong
-    // fake "frame count": one frame per 256-byte block
-    val frames = len / 256L + 1L
+    // fake "frame count": one frame per STARTED 256-byte block — ceil,
+    // not len/256+1, which emitted a phantom zero-byte frame for every
+    // payload whose length is an exact multiple of 256
+    val frames = (len + 255L) / 256L
     // cheap rolling checksum standing in for decoded-content features
     var cs = 0L
     var i = 0
@@ -48,7 +50,10 @@ object Multimodal {
   def asMediaTable(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id"),
-      element_at(array(lit("img"), lit("audio"), lit("video")), (col("doc_id") % 3 + 1).cast("int")).as("fmt"),
+      // pmod, not %: a negative doc_id (signed-hash ids) makes % yield
+      // 0/-1/-2 — index 0 is a runtime error and negatives silently
+      // select from the array TAIL
+      element_at(array(lit("img"), lit("audio"), lit("video")), (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("fmt"),
       encode(col("text"), "UTF-8").as("payload")
     )
 
@@ -67,7 +72,7 @@ object Multimodal {
     import spark.implicits._
     media.as[MediaRow].flatMap { r =>
       val len = r.payload.length.toLong
-      val frames = len / 256L + 1L
+      val frames = (len + 255L) / 256L // ceil — see decodeStub
       (0L until frames).iterator.map { i =>
         val off = i * 256L
         Frame(r.doc_id, r.fmt, i, off, math.min(256L, len - off))

@@ -233,7 +233,9 @@ case class TopKPerKeyStrategy(spark: SparkSession) extends org.apache.spark.sql.
   private object RankLimit {
     def unapply(cond: Expression): Option[(Attribute, Int)] = cond match {
       case LessThanOrEqual(a: Attribute, Literal(v: Int, _)) => Some((a, v))
-      case LessThan(a: Attribute, Literal(v: Int, _)) => Some((a, v - 1))
+      // v - 1 would wrap rank < Int.MinValue to k = Int.MaxValue —
+      // an always-false filter silently becoming keep-everything
+      case LessThan(a: Attribute, Literal(v: Int, _)) if v > Int.MinValue => Some((a, v - 1))
       case GreaterThanOrEqual(Literal(v: Int, _), a: Attribute) => Some((a, v))
       case _ => None
     }

@@ -132,7 +132,7 @@ class OperatorSpec extends SparkSpecBase {
     val bytes = text.getBytes("UTF-8")
     val expected = bytes.foldLeft(0L)((cs, b) => (cs * 131L + (b & 0xffL)) % 2147483647L)
     assert(one.byte_len == bytes.length.toLong)
-    assert(one.frame_count == bytes.length / 256L + 1L)
+    assert(one.frame_count == (bytes.length + 255L) / 256L)
     assert(one.checksum == expected)
     assert(one.fmt == "img") // doc_id 0 % 3 == 0
   }

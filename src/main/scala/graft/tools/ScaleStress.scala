@@ -131,6 +131,40 @@ object ScaleStress {
       t
     }
     println(f"[stress] ivf growth for 2x data: ${tIvf(1) / tIvf(0)}%.2f x (all-pairs would be ~4x)")
+
+    // Round-5 operators on the inflated corpora.
+    // Self k-NN growth on perturbed (non-collapsible) vectors through
+    // the IVF shuffle-join path: all-pairs would grow 4x for 2x data.
+    val tKnn = Seq(2, 4).map { m =>
+      val corpus = perturbedEmb(m)
+      val cells = (nEmb * m / 512L).toInt
+      val t0 = System.nanoTime()
+      val rows = graft.operators.Ann
+        .knnJoinIvf(corpus, "vec_id", "embedding", k = 5, numCells = cells)
+        .count()
+      val t = (System.nanoTime() - t0) / 1e9
+      println(f"[stress] knn-join at ${m}x vectors ($cells cells): $t%.1f s ($rows rows)")
+      t
+    }
+    println(f"[stress] knn growth for 2x data: ${tKnn(1) / tKnn(0)}%.2f x (all-pairs would be ~4x)")
+    // Keep-best over replica clusters: the minhash cap handles the
+    // replica-deep buckets, CC + two aggregations pick winners.
+    val kb = time("keep-best dedup (capped pairs)")(
+      graft.operators.Dedup.dedupKeepBest(docs, "doc_id",
+        graft.operators.TextAnalysis.qualityScore(col("text")),
+        graft.operators.Dedup.minhashJaccardPairs(docs, "doc_id", "text",
+          threshold = 0.5, maxBucket = Some(1000)))
+        .filter(col("keep")).count())
+    println(s"[stress] keep-best kept: $kb")
+    // Corpus-stat passes at 20x: both are one-tokenize single-shuffle
+    // shapes — wall time should grow ~linearly with the corpus.
+    val colloc = time("collocations (top 20)")(
+      graft.operators.CorpusStats.collocations(docs, "text").count())
+    println(s"[stress] collocation rows: $colloc")
+    val lm = time("lm perplexity gate")(
+      graft.operators.CorpusStats.lmPerplexity(docs, "doc_id", "text", maxNll = 4.0)
+        .filter(col("keep")).count())
+    println(s"[stress] lm-kept docs: $lm")
     spark.stop()
   }
 }

@@ -107,8 +107,8 @@ object OracleSql {
              COUNT(l_quantity) AS n
            FROM lineitem GROUP BY l_returnflag)
          SELECT l_returnflag,
-           (sumsq_q - (sum_q * sum_q) / n) / (n - 1) AS var_qty,
-           sqrt((sumsq_q - (sum_q * sum_q) / n) / (n - 1)) AS std_qty
+           CASE WHEN n > 1 THEN (sumsq_q - (sum_q * sum_q) / n) / (n - 1) END AS var_qty,
+           CASE WHEN n > 1 THEN sqrt((sumsq_q - (sum_q * sum_q) / n) / (n - 1)) END AS std_qty
          FROM t ORDER BY l_returnflag""",
     "q_semi_anti" ->
       """WITH w AS (SELECT 'with_orders' AS kind, c_custkey FROM customer
@@ -200,6 +200,11 @@ object OracleSql {
          HAVING COUNT(*) >= 2
          ORDER BY spend DESC, o_custkey
          LIMIT 20""",
+    // Data contract: event_id is unique in the events table (its PK in
+    // the generator). Upsert.apply keeps one row per key while this
+    // per-row CASE keeps all rows — a duplicated event_id would
+    // row-count-mismatch, surfacing the contract violation rather than
+    // silently agreeing.
     "q_upsert" ->
       """SELECT event_id, ts, user_id, event_type,
          CASE WHEN event_id < 100 THEN value * 2.0 ELSE value END AS value
@@ -915,7 +920,8 @@ object OracleSql {
                            CAST(COUNT(*) AS BIGINT) AS n_groups FROM s)
          SELECT lang, source, n_docs, n_tokens,
                 CAST(n_tokens AS DOUBLE) / CAST(tot_tokens AS DOUBLE) AS actual_share,
-                CAST(tot_tokens AS DOUBLE) / CAST(n_groups * n_tokens AS DOUBLE) AS weight
+                CASE WHEN n_tokens > 0
+                     THEN CAST(tot_tokens AS DOUBLE) / CAST(n_groups * n_tokens AS DOUBLE) END AS weight
          FROM s CROSS JOIN t ORDER BY lang, source""",
     // same three patterns as TextAnalysis.piiScrub, same email->ip->phone order
     "q_pii_scrub" ->

@@ -124,8 +124,15 @@ object SparkEntry {
       )
       .select(
         col("l_returnflag"),
-        ((col("sumsq_q") - (col("sum_q") * col("sum_q")) / col("n")) / (col("n") - 1)).as("var_qty"),
-        sqrt((col("sumsq_q") - (col("sum_q") * col("sum_q")) / col("n")) / (col("n") - 1)).as("std_qty")
+        // explicit n > 1 guard: sample variance is undefined for a
+        // single-row group, and the engines disagree on the raw /0
+        // (Spark non-ANSI Divide → NULL, DuckDB IEEE → Inf/NaN) — the
+        // guard makes NULL the answer on BOTH engines for any corpus,
+        // not just ones where every group happens to have ≥ 2 rows
+        when(col("n") > 1,
+          (col("sumsq_q") - (col("sum_q") * col("sum_q")) / col("n")) / (col("n") - 1)).as("var_qty"),
+        when(col("n") > 1,
+          sqrt((col("sumsq_q") - (col("sum_q") * col("sum_q")) / col("n")) / (col("n") - 1))).as("std_qty")
       )
       .orderBy(col("l_returnflag"))
 
@@ -491,7 +498,15 @@ object SparkEntry {
     * the routed queries (source data per dir is immutable, so repeat runs
     * time the ROUTED QUERY, not the one-time ETL). Returns the fact scan. */
   private def routedFacts(s: SparkSession, dir: String): DataFrame = {
-    val key = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    // sanitized name + full-path hash: sanitization alone is not
+    // injective (/data/sf0.001 and /data/sf0_001 both collide onto
+    // data_sf0_001 and the second dataset would silently serve the
+    // first's cached layout/rollup)
+    val key = dir.replaceAll("[^a-zA-Z0-9]", "_") + "_" +
+      java.lang.Long.toHexString(
+        org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+          dir.getBytes("UTF-8"), org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+          dir.getBytes("UTF-8").length, 42L))
     val layout = s"/tmp/graft_routed/$key/events"
     val rollPath = s"/tmp/graft_routed/$key/events_by_day_v2"
     def done(p: String) = {
@@ -1225,7 +1240,11 @@ object SparkEntry {
       .select(
         col("lang"), col("source"), col("n_docs"), col("n_tokens"),
         (col("n_tokens").cast("double") / col("tot_tokens").cast("double")).as("actual_share"),
-        (col("tot_tokens").cast("double") / (col("n_groups") * col("n_tokens")).cast("double")).as("weight"))
+        // n_tokens = 0 (a group of empty docs) has no defined weight:
+        // guard so both engines answer NULL instead of Spark-NULL vs
+        // DuckDB-Infinity on the raw division
+        when(col("n_tokens") > 0,
+          col("tot_tokens").cast("double") / (col("n_groups") * col("n_tokens")).cast("double")).as("weight"))
       .orderBy(col("lang"), col("source"))
   }
 

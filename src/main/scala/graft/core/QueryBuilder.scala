@@ -40,10 +40,24 @@ final class QueryBuilder private (
   ) = new QueryBuilder(
     spark, schema, loadTable, table, filters, fields, groupings, postFilters, limitN, linkJoins, linkFilters)
 
-  /** Mandatory time-range filter (reference queries always carry one). */
-  def timeRange(from: String, to: String): QueryBuilder =
+  /** Mandatory time-range filter (reference queries always carry one).
+    * Bounds are validated HERE: under non-ANSI semantics a malformed
+    * date casts to NULL, the filter is NULL for every row, and the
+    * query silently returns nothing — the reference's validator
+    * rejects bad literals, so this surface must too. */
+  def timeRange(from: String, to: String): QueryBuilder = {
+    def check(s: String): Unit =
+      require(
+        org.apache.spark.sql.catalyst.util.DateTimeUtils
+          .stringToTimestamp(
+            org.apache.spark.unsafe.types.UTF8String.fromString(s),
+            java.time.ZoneOffset.UTC)
+          .isDefined,
+        s"timeRange bound '$s' is not a valid date/timestamp")
+    check(from); check(to)
     copy(filters = filters :+ (col(table.timeColumn) >= lit(from).cast("timestamp") &&
       col(table.timeColumn) < lit(to).cast("timestamp")))
+  }
 
   def where(c: Column): QueryBuilder = copy(filters = filters :+ c)
 

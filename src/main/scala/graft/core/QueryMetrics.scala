@@ -26,7 +26,21 @@ final class QueryMetrics private (spark: SparkSession) {
 
   private val listener = new QueryExecutionListener {
     override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit = {
-      val rows = qe.executedPlan.metrics.get("numOutputRows").map(_.value).getOrElse(-1L)
+      // the ROOT node under AQE is AdaptiveSparkPlanExec (and otherwise
+      // often WholeStageCodegenExec), neither of which carries
+      // numOutputRows — walk into the executed tree and take the
+      // topmost node that has the metric, else the record is -1 for
+      // virtually every query
+      def rowsOf(p: org.apache.spark.sql.execution.SparkPlan): Option[Long] = {
+        val tree = p match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+          case other => other
+        }
+        tree.collectFirst {
+          case n if n.metrics.contains("numOutputRows") => n.metrics("numOutputRows").value
+        }
+      }
+      val rows = rowsOf(qe.executedPlan).getOrElse(-1L)
       records.add(Record(funcName, durationNs, rows, failed = false))
     }
     override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit =

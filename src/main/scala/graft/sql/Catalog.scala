@@ -42,6 +42,12 @@ object Catalog {
       spark: SparkSession,
       metrics: graft.core.QueryMetrics,
       limit: Int = 100,
+      // Matches the recorded ACTION name ('collect', 'save', …) — the
+      // identifier QueryMetrics.Record carries. NOTE this is not the
+      // job-group id KILL QUERY takes: Spark's QueryExecutionListener
+      // fires on the listener bus thread, where the submitting thread's
+      // job-group local property is not visible, so a per-query id
+      // cannot be recovered here. The admin doc states both contracts.
       queryId: Option[String] = None, // reference MetricsFilter.queryId
       state: Option[String] = None    // reference MetricsFilter.state
   ): DataFrame = {

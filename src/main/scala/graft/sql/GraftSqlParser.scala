@@ -230,23 +230,55 @@ case class UpsertCommand(table: String, cols: Seq[String], valuesSql: String)
       throw new IllegalArgumentException(
         s"UPSERT target '$table' is not a registered upsert table (UpsertTables.register)"))
     val t = entry.table
-    val missingKeys = entry.keys.filterNot(cols.contains)
+    // identifier comparison is case-insensitive, like the dialect's
+    // keywords (and Spark's default resolver): UPSERT INTO t (TS, ...)
+    // must find the declared 'ts'
+    val colsLower = cols.map(_.toLowerCase(java.util.Locale.ROOT))
+    val missingKeys = entry.keys.filterNot(k => colsLower.contains(k.toLowerCase(java.util.Locale.ROOT)))
     require(missingKeys.isEmpty,
       s"UPSERT into '$table' must supply every key column; missing: ${missingKeys.mkString(", ")}")
-    val unknown = cols.filterNot(t.columnNames.contains)
+    val declaredLower = t.columnNames.map(_.toLowerCase(java.util.Locale.ROOT))
+    val unknown = cols.filterNot(c => declaredLower.contains(c.toLowerCase(java.util.Locale.ROOT)))
     require(unknown.isEmpty, s"unknown columns for '$table': ${unknown.mkString(", ")}")
 
-    // Spark's own VALUES grammar parses the literal tuples
+    // Spark's own VALUES grammar parses the literal tuples — but the
+    // captured tail is raw SQL text, so FIRST prove it is nothing but
+    // an inline table of foldable literals: "VALUES (...) UNION ALL
+    // SELECT ... FROM t" parses fine and would silently execute the
+    // injected query, writing its rows into the upsert log through a
+    // statement documented as literal-only
+    {
+      import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan => LP, Project => LProject, SubqueryAlias => LAlias}
+      def strip(p: LP): LP = p match {
+        case LProject(_, c) => strip(c)
+        case LAlias(_, c) => strip(c)
+        case other => other
+      }
+      strip(spark.sessionState.sqlParser.parsePlan(s"SELECT * FROM VALUES $valuesSql")) match {
+        // the parser eagerly evaluates all-literal inline tables into a
+        // LocalRelation (already-materialized rows — literal-only by
+        // construction); non-literal rows stay UnresolvedInlineTable
+        case _: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => ()
+        case it: org.apache.spark.sql.catalyst.analysis.UnresolvedInlineTable
+            if it.rows.forall(_.forall(_.foldable)) => ()
+        case other => throw new IllegalArgumentException(
+          s"UPSERT VALUES must be literal tuples only, got: ${other.nodeName}")
+      }
+    }
     val parsed = spark.sql(s"SELECT * FROM VALUES $valuesSql")
     require(parsed.columns.length == cols.length,
       s"UPSERT column list has ${cols.length} names but VALUES rows have ${parsed.columns.length}")
-    val named = parsed.toDF(cols: _*)
+    // canonicalize the (case-insensitively matched) names to the
+    // declared spelling so the downstream exact contains()/col() logic
+    // sees declared names
+    val canonCols = cols.map(c => t.columnNames.find(_.equalsIgnoreCase(c)).getOrElse(c))
+    val named = parsed.toDF(canonCols: _*)
     val declared =
       (t.dimensions.map(d => d.name -> d.dataType) ++ t.metrics.map(m => m.name -> m.dataType)).toMap +
         (t.timeColumn -> org.apache.spark.sql.types.TimestampType)
     val full = t.columnNames.map { c =>
       val typed = declared(c)
-      if (cols.contains(c)) org.apache.spark.sql.functions.col(c).cast(typed).as(c)
+      if (canonCols.contains(c)) org.apache.spark.sql.functions.col(c).cast(typed).as(c)
       else org.apache.spark.sql.functions.lit(null).cast(typed).as(c)
     }
     // within-batch put semantics must be deterministic: all rows of one

@@ -33,7 +33,13 @@ object Ingest {
       .filter(_.table == "events")
       .map(p =>
         (
-          p.metrics.getOrElse("event_id", 0.0).toLong,
+          // identity comes from DIMS (exact strings), not the Double
+          // metric map: a long id above 2^53 loses low bits through a
+          // double and two distinct upstream events silently collide on
+          // the key that dedupStream/Upsert key on (metric fallback
+          // kept for old callers, with the documented precision caveat)
+          p.dims.get("event_id").map(_.toLong)
+            .getOrElse(p.metrics.getOrElse("event_id", 0.0).toLong),
           p.time,
           p.dims.getOrElse("user_id", "0").toLong,
           p.dims.getOrElse("event_type", ""),

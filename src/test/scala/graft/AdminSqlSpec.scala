@@ -107,6 +107,16 @@ class AdminSqlSpec extends SparkSpecBase {
         assert(s2.sql("SELECT m FROM metrics_t WHERE dim = 'd'").head().getDouble(0) == 7.25)
         intercept[Exception](
           s2.sql("UPSERT INTO metrics_t (dim, m) VALUES ('x', 1.0)"))
+        // identifier case is insensitive like the keywords
+        s2.sql("UPSERT INTO metrics_t (TS, DIM, M) VALUES (TIMESTAMP '2024-01-04 00:00:00', 'e', 3.5)")
+        assert(s2.sql("SELECT m FROM metrics_t WHERE dim = 'e'").head().getDouble(0) == 3.5)
+        // the literal-only contract is ENFORCED: a VALUES tail smuggling
+        // a query must be rejected, not silently executed and written
+        val inj = intercept[Exception](
+          s2.sql("UPSERT INTO metrics_t (ts, dim, m) VALUES " +
+            "(TIMESTAMP '2024-01-05 00:00:00', 'z', 0.0) " +
+            "UNION ALL SELECT ts, dim, m FROM metrics_t"))
+        assert(inj.getMessage.contains("literal tuples"), inj.getMessage)
       } finally graft.sql.UpsertTables.unregister("metrics_t")
 
       // SET stays Spark-native (the reference's session-parameter surface)

@@ -96,20 +96,22 @@ object Bench {
       val s = String.format(java.util.Locale.ROOT, s"%.${dp}f", Double.box(v))
       if (s.contains('.')) s.reverse.dropWhile(_ == '0').reverse.stripSuffix(".") else s
     }
-    val results = looped ++ routedPair
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + num(v, 2) }
-      .mkString("{", ",", "}")
     val total = looped.map(_._2).sum
     val load = java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
     val sfName = sfDir.split('/').last // basename: the path prefix is line budget
-    def mkLine(withLoad: Boolean) = {
+    def mkLine(withLoad: Boolean, withPair: Boolean) = {
+      val results = if (withPair) looped ++ routedPair else looped
+      val qs = results.map { case (k, v) => "\"" + k + "\":" + num(v, 2) }
+        .mkString("{", ",", "}")
       val loadField = if (withLoad) s""""load":${num(load, 1)},""" else ""
       s"""{"metric":"total","value":${num(total, 2)},"unit":"sec",$loadField"queries":$qs,"sf":"$sfName"}"""
     }
-    // a clean run fits with the load diagnostic; a contended one (big
-    // per-query values = more digits) sheds it rather than risk the
-    // driver's 2000-char tail clipping the line's HEAD
-    val line = { val l = mkLine(withLoad = true); if (l.length <= 1880) l else mkLine(withLoad = false) }
+    // tiered shedding against the driver's 2000-char tail capture (a
+    // clipped line loses EVERYTHING): first the load diagnostic, then
+    // the routed-pair entries (still recorded in SURVEY/README) — the
+    // per-query map itself is the payload and is never dropped
+    val line = Seq(mkLine(true, true), mkLine(false, true), mkLine(false, false))
+      .find(_.length <= 1880).getOrElse(mkLine(false, false))
     println(line)
     if (line.length > 1900)
       Console.err.println(s"[bench] WARNING: JSON line ${line.length} chars — driver tail capture may clip it")

@@ -952,6 +952,34 @@ object OracleSql {
               FROM s WHERE NOT isnan(cos))
          SELECT query_id, item_id, cos, rank FROM r WHERE rank <= 3
          ORDER BY query_id, rank""",
+    // mutual-kNN clusters: brute ranked pairs in BOTH directions, an
+    // edge where each end ranks the other <= 3, recursive-CTE closure
+    // seeded from every vector (singletons label themselves)
+    "q_knn_clusters" ->
+      """WITH RECURSIVE
+              q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+                    FROM embeddings),
+              c AS (SELECT vec_id AS item_id, CAST(embedding AS DOUBLE[]) AS iv
+                    FROM embeddings),
+              s AS (SELECT query_id, item_id,
+                list_reduce(list_prepend(0.0, list_transform(generate_series(1, len(qv)), i -> qv[i] * iv[i])), (a, x) -> a + x) /
+                (sqrt(list_reduce(list_prepend(0.0, list_transform(generate_series(1, len(qv)), i -> qv[i] * qv[i])), (a, x) -> a + x)) *
+                 sqrt(list_reduce(list_prepend(0.0, list_transform(generate_series(1, len(iv)), i -> iv[i] * iv[i])), (a, x) -> a + x))) AS cos
+              FROM q CROSS JOIN c WHERE query_id <> item_id),
+              r AS (SELECT query_id, item_id,
+                CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, item_id) AS INT) AS rank
+              FROM s WHERE NOT isnan(cos)),
+              e0 AS (SELECT a.query_id AS a, a.item_id AS b
+                     FROM r a JOIN r b ON a.query_id = b.item_id AND a.item_id = b.query_id
+                     WHERE a.rank <= 3 AND b.rank <= 3 AND a.query_id < a.item_id),
+              e AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+              reach(id, rt) AS (
+                SELECT vec_id, vec_id FROM embeddings
+                UNION
+                SELECT e.a, reach.rt FROM e JOIN reach ON reach.id = e.b
+              )
+         SELECT id AS vec_id, CAST(MIN(rt) AS BIGINT) AS cluster_id
+         FROM reach GROUP BY id ORDER BY vec_id""",
     // near-dup clusters (recursive-CTE closure, as q_dedup_cluster) keep
     // the highest-quality member, min-id tie-break
     "q_dedup_keep_best" -> {

@@ -932,6 +932,15 @@ object SparkEntry {
     Ann.knnJoin(ld(s, dir, "embeddings"), "vec_id", "embedding", k = 3)
       .orderBy(col("query_id"), col("rank"))
 
+  /** Semantic clusters = connected components of the mutual-kNN graph
+    * (each side in the other's top-3): min-id labels, singletons label
+    * themselves. At gate scale the underlying kNN is the exact
+    * all-pairs dispatch, so the DuckDB closure over mutual brute-kNN
+    * pairs is the exact oracle. */
+  private def qKnnClusters(s: SparkSession, dir: String): DataFrame =
+    Ann.mutualKnnClusters(ld(s, dir, "embeddings"), "vec_id", "embedding", k = 3)
+      .orderBy(col("vec_id"))
+
   /**
    * IVF gate shape: recall quality is data-dependent (probe-limited
    * search on near-uniform synthetic vectors), so the driver-hashed
@@ -1367,6 +1376,7 @@ object SparkEntry {
     "q_rollup_routed_avg" -> (qRollupRoutedAvg _),
     "q_semdedup" -> (qSemdedup _),
     "q_knn_join" -> (qKnnJoin _),
+    "q_knn_clusters" -> (qKnnClusters _),
     "q_dedup_keep_best" -> (qDedupKeepBest _),
     "q_collocations" -> (qCollocations _),
     "q_lm_perplexity" -> (qLmPerplexity _),

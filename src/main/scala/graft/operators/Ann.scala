@@ -346,6 +346,45 @@ object Ann {
   }
 
   /**
+   * Semantic clustering over the mutual-kNN graph: two vectors are
+   * linked when EACH is in the other's k nearest neighbors (the
+   * mutual filter is the standard hub guard — a hub vector near
+   * everything links only the neighbors that reciprocate), and
+   * clusters are the connected components of that graph — min-id
+   * labels, singletons label themselves. The corpus-level structure
+   * report a curation pipeline builds on top of [[knnJoin]]:
+   * over-represented semantic clusters, diversity sampling strata.
+   *
+   * Scale shape: [[knnJoin]]'s dispatch (exact under the brute bound,
+   * IVF shuffle join above — nothing corpus-sized broadcast), one
+   * self-join of the k·N directed edge list on the reversed pair
+   * (fixed-width id keys) for mutuality, then log-round star
+   * contraction ([[Dedup.connectedComponents]]).
+   */
+  def mutualKnnClusters(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      probes: Int = 3,
+      bruteBound: Long = graft.operators.Dedup.LowThresholdBruteBound
+  ): DataFrame = {
+    val edges = knnJoin(df, idCol, vecCol, k, probes = probes, bruteBound = bruteBound)
+      .select(col("query_id"), col("item_id"))
+    // mutual + canonical direction in one pass: keep a < b, require b→a
+    val directed = edges.filter(col("query_id") < col("item_id"))
+      .select(col("query_id").as("id_a"), col("item_id").as("id_b"))
+    val reverse = edges.filter(col("query_id") > col("item_id"))
+      .select(col("item_id").as("id_a"), col("query_id").as("id_b"))
+    val mutual = directed.join(reverse.hint("shuffle_hash"), Seq("id_a", "id_b"), "left_semi")
+    val comp = Dedup.connectedComponents(mutual)
+      .select(col("id").as(idCol), col("component").as("cluster_id"))
+    df.select(col(idCol))
+      .join(comp, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("cluster_id"), col(idCol)).as("cluster_id"))
+  }
+
+  /**
    * Persist the IVF index: the trained centroid table (bounded
    * metadata, one tiny parquet) plus the full corpus assignment
    * PARTITIONED BY CELL. Search against the stored index then reads

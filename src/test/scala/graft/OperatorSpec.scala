@@ -155,6 +155,23 @@ class OperatorSpec extends SparkSpecBase {
     assert(counts.forall(_ == 3L))
   }
 
+  test("mutual-kNN clustering links only reciprocated neighbors; singletons label themselves") {
+    // two tight clusters plus an isolated vector: k=1 links each tight
+    // pair mutually; the isolated vector's nearest neighbor does NOT
+    // reciprocate (its own cluster-mate ranks first), so mutuality
+    // keeps it a singleton — the hub guard this operator exists for
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.01f, 0.0f)),
+      (1L, Array(0.99f, 0.0f, 0.0f, 0.01f)),
+      (2L, Array(0.0f, 1.0f, 0.0f, 0.01f)),
+      (3L, Array(0.01f, 0.99f, 0.0f, 0.0f)),
+      (4L, Array(0.5f, 0.5f, 0.7f, 0.0f)) // nearest to cluster A, unreciprocated at k=1
+    ).toDF("vec_id", "embedding")
+    val out = Ann.mutualKnnClusters(vecs, "vec_id", "embedding", k = 1)
+      .orderBy("vec_id").as[(Long, Long)].collect().toSeq
+    assert(out == Seq((0L, 0L), (1L, 0L), (2L, 2L), (3L, 2L), (4L, 4L)))
+  }
+
   test("self kNN join: IVF shuffle path recalls most brute neighbors, no corpus broadcast") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val brute = Ann.knnJoin(emb, "vec_id", "embedding", k = 3)

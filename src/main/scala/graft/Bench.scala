@@ -99,19 +99,28 @@ object Bench {
     val total = looped.map(_._2).sum
     val load = java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
     val sfName = sfDir.split('/').last // basename: the path prefix is line budget
-    def mkLine(withLoad: Boolean, withPair: Boolean) = {
+    def mkLine(withLoad: Boolean, withPair: Boolean, dp: Int = 2) = {
       val results = if (withPair) looped ++ routedPair else looped
-      val qs = results.map { case (k, v) => "\"" + k + "\":" + num(v, 2) }
+      val qs = results.map { case (k, v) => "\"" + k + "\":" + num(v, dp) }
         .mkString("{", ",", "}")
-      val loadField = if (withLoad) s""""load":${num(load, 1)},""" else ""
+      // "L": 1-min load average rounded to int — 6 chars total, so the
+      // machine-state diagnostic survives every shedding tier (the r5
+      // line shed the full load field and left the driver-bench
+      // regressions unattributable). ~0 means an idle machine; >= cpus/4
+      // under local[32] has historically meant 1.5-4x inflated numbers.
+      val loadField = if (withLoad) s""""L":${math.max(0L, math.round(load))},""" else ""
       s"""{"metric":"total","value":${num(total, 2)},"unit":"sec",$loadField"queries":$qs,"sf":"$sfName"}"""
     }
     // tiered shedding against the driver's 2000-char tail capture (a
-    // clipped line loses EVERYTHING): first the load diagnostic, then
-    // the routed-pair entries (still recorded in SURVEY/README) — the
-    // per-query map itself is the payload and is never dropped
-    val line = Seq(mkLine(true, true), mkLine(false, true), mkLine(false, false))
-      .find(_.length <= 1880).getOrElse(mkLine(false, false))
+    // clipped line loses EVERYTHING): first the routed-pair entries
+    // (still recorded in SURVEY/README), then per-query precision drops
+    // to 1 decimal (88 queries at 2dp is ~1930 chars — already over),
+    // then the load flag — the per-query map itself is the payload and
+    // is never dropped
+    val line = Seq(
+      mkLine(true, true), mkLine(true, false),
+      mkLine(true, true, dp = 1), mkLine(true, false, dp = 1), mkLine(false, false, dp = 1))
+      .find(_.length <= 1880).getOrElse(mkLine(false, false, dp = 1))
     println(line)
     if (line.length > 1900)
       Console.err.println(s"[bench] WARNING: JSON line ${line.length} chars — driver tail capture may clip it")

@@ -582,6 +582,21 @@ object OracleSql {
               FROM e a JOIN e b ON a.vec_id < b.vec_id)
          SELECT id_a, id_b, cos FROM p WHERE cos >= 0.5 AND NOT isnan(cos)
          ORDER BY id_a, id_b""",
+    // forced-IVF embedding dedup: the Spark side runs the IVF machinery
+    // with EXHAUSTIVE probing (probes = numCells), whose output provably
+    // equals the brute >=-threshold set — so brute force re-verifies
+    // every emitted pair; the probe-limited subset property is computed
+    // Spark-side and the oracle pins the expected TRUE
+    "q_dedup_embed_ivf" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+              p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                list_reduce(list_prepend(0.0, list_transform(generate_series(1, len(a.v)), i -> a.v[i] * b.v[i])), (x, y) -> x + y) /
+                (sqrt(list_reduce(list_prepend(0.0, list_transform(generate_series(1, len(a.v)), i -> a.v[i] * a.v[i])), (x, y) -> x + y)) *
+                 sqrt(list_reduce(list_prepend(0.0, list_transform(generate_series(1, len(b.v)), i -> b.v[i] * b.v[i])), (x, y) -> x + y))) AS cos
+              FROM e a JOIN e b ON a.vec_id < b.vec_id)
+         SELECT id_a, id_b, cos, TRUE AS limited_subset_ok
+         FROM p WHERE cos >= 0.4 AND NOT isnan(cos)
+         ORDER BY id_a, id_b""",
     "q_ann_bruteforce" ->
       """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
                     FROM embeddings WHERE vec_id < 8),
@@ -951,6 +966,26 @@ object OracleSql {
                 CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, item_id) AS INT) AS rank
               FROM s WHERE NOT isnan(cos))
          SELECT query_id, item_id, cos, rank FROM r WHERE rank <= 3
+         ORDER BY query_id, rank""",
+    // forced-IVF self k-NN: exhaustive probing (probes = numCells) makes
+    // the cell-join candidate set complete, so the Spark result equals
+    // brute kNN — every neighbor/cosine/rank re-verified here; the
+    // probe-limited well-formedness invariant is computed Spark-side
+    "q_knn_join_ivf" ->
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+                    FROM embeddings),
+              c AS (SELECT vec_id AS item_id, CAST(embedding AS DOUBLE[]) AS iv
+                    FROM embeddings),
+              s AS (SELECT query_id, item_id,
+                list_reduce(list_prepend(0.0, list_transform(generate_series(1, len(qv)), i -> qv[i] * iv[i])), (a, x) -> a + x) /
+                (sqrt(list_reduce(list_prepend(0.0, list_transform(generate_series(1, len(qv)), i -> qv[i] * qv[i])), (a, x) -> a + x)) *
+                 sqrt(list_reduce(list_prepend(0.0, list_transform(generate_series(1, len(iv)), i -> iv[i] * iv[i])), (a, x) -> a + x))) AS cos
+              FROM q CROSS JOIN c WHERE query_id <> item_id),
+              r AS (SELECT query_id, item_id, cos,
+                CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, item_id) AS INT) AS rank
+              FROM s WHERE NOT isnan(cos))
+         SELECT query_id, item_id, cos, rank, TRUE AS limited_wellformed_ok
+         FROM r WHERE rank <= 3
          ORDER BY query_id, rank""",
     // mutual-kNN clusters: brute ranked pairs in BOTH directions, an
     // edge where each end ranks the other <= 3, recursive-CTE closure

@@ -942,6 +942,87 @@ object SparkEntry {
       .orderBy(col("vec_id"))
 
   /**
+   * FORCED-IVF embedding dedup under the exact hash gate: the size
+   * dispatch never routes here at gate scale, so this query calls
+   * `Dedup.embeddingPairsIvf` DIRECTLY — the code path a 100 TB corpus
+   * actually runs (quantizer training, multi-probe cell assignment,
+   * within-cell id-only candidate join, exact-cosine verify).
+   *
+   * Gate discipline:
+   *  - the hashed row set comes from an EXHAUSTIVE-probe run
+   *    (probes = numCells ⇒ every vector probes every cell ⇒ candidate
+   *    generation provably covers all pairs), so the IVF output EQUALS
+   *    the brute ≥-threshold set and DuckDB re-verifies every emitted
+   *    pair's exact cosine — a regression anywhere in the IVF machinery
+   *    (assignment expression, join, distinct, verify) turns the row red;
+   *  - a PROBE-LIMITED run (probes < numCells — the true scale shape,
+   *    recall measured in DedupSpec/RecallCheck) executes under the same
+   *    gate and its structural guarantee is hashed: probe-limiting can
+   *    only LOSE pairs, never invent them (`limited_subset_ok`).
+   * Threshold 0.4 (vs q_dedup_embed's 0.5) so the gated pair set is
+   * ~60 rows instead of 1 at sf0.01 — a hash over real volume.
+   */
+  private def qDedupEmbedIvf(s: SparkSession, dir: String): DataFrame = {
+    val emb = ld(s, dir, "embeddings")
+    val t = 0.4
+    val exhaustive = Dedup.embeddingPairsIvf(emb, "vec_id", "embedding", threshold = t,
+      numCells = 4, probes = 4)
+    val limited = Dedup.embeddingPairsIvf(emb, "vec_id", "embedding", threshold = t,
+      numCells = 4, probes = 2)
+    val viol = limited
+      .join(exhaustive.select(col("id_a"), col("id_b")), Seq("id_a", "id_b"), "left_anti")
+      .agg(count(lit(1)).as("n_viol"))
+    exhaustive
+      .crossJoin(broadcast(viol))
+      .select(col("id_a"), col("id_b"), col("cos"),
+        (col("n_viol") === 0L).as("limited_subset_ok"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /**
+   * FORCED-IVF self k-NN join under the exact hash gate — the
+   * `Ann.knnJoinIvf` sibling of [[qDedupEmbedIvf]] (same rationale: the
+   * gate-scale dispatch runs brute, so the scale path needs its own
+   * daily-red-able row). Exhaustive probing (probes = numCells) makes
+   * the cell shuffle join's candidate set provably complete, so the
+   * heap-ranked output EQUALS brute-force kNN and DuckDB re-verifies
+   * every emitted neighbor, cosine, and rank. The probe-limited run
+   * (probes = 2 of 4) executes under the same gate with its structural
+   * invariants hashed: every query that appears in the exhaustive
+   * result still fills exactly k descending-(cos, item_id) slots
+   * (`limited_wellformed_ok`) — probe-limiting degrades WHICH neighbors
+   * rank, never the ranking mechanism.
+   */
+  private def qKnnJoinIvf(s: SparkSession, dir: String): DataFrame = {
+    val emb = ld(s, dir, "embeddings")
+    val k = 3
+    val exhaustive = Ann.knnJoinIvf(emb, "vec_id", "embedding", k = k, numCells = 4, probes = 4)
+    val limited = Ann.knnJoinIvf(emb, "vec_id", "embedding", k = k, numCells = 4, probes = 2)
+    val w = Window.partitionBy(col("query_id")).orderBy(col("rank"))
+    val perQuery = limited
+      .withColumn("prev_cos", lag(col("cos"), 1).over(w))
+      .groupBy(col("query_id"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("rank")).as("rmin"),
+        max(col("rank")).as("rmax"),
+        sum(when(col("prev_cos").isNotNull && col("prev_cos") < col("cos"), 1L)
+          .otherwise(0L)).as("inversions"))
+    // a query missing from the limited run entirely (left join → null n)
+    // lands in the otherwise(1) branch and flags the invariant
+    val bad = exhaustive.select(col("query_id")).distinct()
+      .join(perQuery, Seq("query_id"), "left")
+      .agg(sum(when(
+        col("n") === k.toLong && col("rmin") === 1 && col("rmax") === k &&
+          col("inversions") === 0L, 0L).otherwise(1L)).as("n_bad"))
+    exhaustive
+      .crossJoin(broadcast(bad))
+      .select(col("query_id"), col("item_id"), col("cos"), col("rank"),
+        (coalesce(col("n_bad"), lit(0L)) === 0L).as("limited_wellformed_ok"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /**
    * IVF gate shape: recall quality is data-dependent (probe-limited
    * search on near-uniform synthetic vectors), so the driver-hashed
    * properties are the deterministic ones —
@@ -1355,6 +1436,7 @@ object SparkEntry {
     "q_dedup_cluster" -> (qDedupCluster _),
     "q_curate" -> (qCurate _),
     "q_dedup_embed" -> (qDedupEmbed _),
+    "q_dedup_embed_ivf" -> (qDedupEmbedIvf _),
     "q_ann_bruteforce" -> (qAnnBruteforce _),
     "q_ann_ivf" -> (qAnnIvf _),
     "q_text_langid" -> (qTextLangid _),
@@ -1376,6 +1458,7 @@ object SparkEntry {
     "q_rollup_routed_avg" -> (qRollupRoutedAvg _),
     "q_semdedup" -> (qSemdedup _),
     "q_knn_join" -> (qKnnJoin _),
+    "q_knn_join_ivf" -> (qKnnJoinIvf _),
     "q_knn_clusters" -> (qKnnClusters _),
     "q_dedup_keep_best" -> (qDedupKeepBest _),
     "q_collocations" -> (qCollocations _),

@@ -263,8 +263,15 @@ object Ann {
       trainSample: Long = 20000L
   ): DataFrame = {
     val vecs = df.select(col(idCol).as("vec_id"), col(vecCol).as("embedding"))
-    if (graft.operators.Dedup.smallCorpus(df, idCol, bruteBound)) bruteForceTopK(vecs, vecs, k)
-    else knnJoinIvf(df, idCol, vecCol, k, probes = probes, trainSample = trainSample)
+    // the bounded probe doubles as the exact count when the corpus is
+    // small; on the large branch it short-circuits at bound+1 rows and
+    // the one full count lives inside knnJoinIvf (reused for cell
+    // sizing AND the trainer's sampling rate — a single corpus-metadata
+    // job, never two)
+    graft.operators.Dedup.probedCount(df, idCol, bruteBound) match {
+      case Some(_) => bruteForceTopK(vecs, vecs, k)
+      case None => knnJoinIvf(df, idCol, vecCol, k, probes = probes, trainSample = trainSample)
+    }
   }
 
   /**
@@ -301,13 +308,14 @@ object Ann {
       probes: Int = 3,
       hierP1: Int = 2,
       hierP2: Int = 2,
-      trainSample: Long = 20000L
+      trainSample: Long = 20000L,
+      knownCount: Long = -1L // corpus size if the caller already counted (skips a pass)
   ): DataFrame = {
     val spark = df.sparkSession
     graft.sql.GraftFunctions.register(spark)
     graft.sql.GraftFunctions.installTopKStrategy(spark)
     val vecs = df.select(col(idCol).as("vec_id"), col(vecCol).as("embedding"))
-    val n = vecs.count()
+    val n = if (knownCount >= 0L) knownCount else vecs.count()
     val wanted = math.max(16L, n / 2048L)
     val cands =
       if (numCells <= 0 && wanted > 4096L) {

@@ -552,12 +552,23 @@ object Dedup {
 
   /** Bounded corpus-size probe shared by the brute-vs-IVF dispatchers
     * (embeddingPairs, Ann.knnJoin): scans at most bound+1 ids, never
-    * the corpus; `bound ≥ Int.MaxValue` skips the probe (forced
-    * small), `bound ≤ 0` is forced large. */
+    * the corpus. Returns `Some(n)` — the EXACT corpus size, free for
+    * the IVF machinery's `knownCount` — when the corpus fits under
+    * `bound`, `None` when it doesn't (the limit short-circuited, so n
+    * is unknown). `bound ≥ Int.MaxValue` skips the probe (forced
+    * small, size reported unknown-but-small as Some(-1) is unsafe —
+    * callers on that branch never need n), `bound ≤ 0` is forced
+    * large. */
+  private[operators] def probedCount(df: DataFrame, idCol: String, bound: Long): Option[Long] =
+    if (bound <= 0) None
+    else if (bound >= Int.MaxValue) Some(Long.MaxValue)
+    else {
+      val c = df.select(col(idCol)).limit(bound.toInt + 1).count()
+      if (c <= bound) Some(c) else None
+    }
+
   private[operators] def smallCorpus(df: DataFrame, idCol: String, bound: Long): Boolean =
-    bound > 0 &&
-      (bound >= Int.MaxValue ||
-        df.select(col(idCol)).limit(bound.toInt + 1).count() <= bound)
+    probedCount(df, idCol, bound).isDefined
 
   /**
    * Embedding near-duplicate pairs via random-hyperplane LSH: sign-bit
@@ -600,6 +611,8 @@ object Dedup {
       if (smallCorpus(df, idCol, bruteBound)) embeddingPairsBrute(df, idCol, vecCol, threshold)
       else embeddingPairsIvf(df, idCol, vecCol, threshold)
     } else embeddingPairsSized(df, idCol, vecCol, planes1, bands1, threshold, maxBucket)
+    // (the large branch's one full count lives inside embeddingPairsIvf,
+    // reused for cell sizing and the trainer's sampling rate)
   }
 
   /**
@@ -634,14 +647,15 @@ object Dedup {
       threshold: Double,
       numCells: Int = 0,
       probes: Int = 3,
-      trainSample: Long = 20000L
+      trainSample: Long = 20000L,
+      knownCount: Long = -1L // corpus size if the caller already counted (skips a pass)
   ): DataFrame = {
     val spark = df.sparkSession
     graft.sql.GraftFunctions.register(spark)
     val vecs = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
     // one narrow counting pass sizes the cells AND feeds the trainer
     // (ivfTrain would otherwise count again for its sampling rate)
-    val n = vecs.count()
+    val n = if (knownCount >= 0L) knownCount else vecs.count()
     // ~2048 vectors/cell keeps within-cell work bounded. A FLAT table
     // caps at 4096 cells (per-row assignment is numCells·dim
     // multiply-adds; the table itself stays ~2 MB driver metadata at

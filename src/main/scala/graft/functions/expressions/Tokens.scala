@@ -89,6 +89,58 @@ object Tokens {
 }
 
 /**
+ * `tokens` over an array column — the reference registers the
+ * tokenizer for both string and array<string> input (yupana-core
+ * sql/FunctionRegistry.scala:171 `uTyped("tokens", ArrayTokensExpr)`;
+ * ConstantCalculator.scala:142 evaluates it as
+ * `a.flatMap(tokenizer.transliteratedTokens)`): each element is
+ * tokenized with the SAME kernel as [[Tokens]] and the results are
+ * concatenated in element order. NULL elements contribute no tokens
+ * (the flatMap shape); a NULL array is NULL.
+ */
+case class ArrayTokens(child: Expression, lowercase: Boolean, stemmer: String = "none")
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_tokens"
+
+  // eager resolve — same executor-registry discipline as Tokens
+  private val stemmerObj: Stemmer = Stemmers.forId(stemmer)
+
+  override protected def nullSafeEval(input: Any): Any =
+    ArrayTokens.tokenizeAll(input.asInstanceOf[ArrayData], lowercase, stemmerObj)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val stemRef = ctx.addReferenceObj("stemmer", stemmerObj, classOf[Stemmer].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.expressions.ArrayTokens.tokenizeAll($c, $lowercase, $stemRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ArrayTokens =
+    copy(child = newChild)
+}
+
+object ArrayTokens {
+  /** Static kernel, callable from generated Java: flatMap of
+    * [[Tokens.tokenize]] over the elements. */
+  def tokenizeAll(arr: ArrayData, lowercase: Boolean, stemmer: Stemmer): ArrayData = {
+    val out = new java.util.ArrayList[AnyRef]()
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val toks = Tokens.tokenize(arr.getUTF8String(i), lowercase, stemmer)
+        var j = 0
+        val m = toks.numElements()
+        while (j < m) { out.add(toks.getUTF8String(j)); j += 1 }
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+}
+
+/**
  * Word n-gram shingles as a native expression: tokenize (lowercase
  * letter/digit runs) and emit the distinct n-token shingle strings in
  * one pass — semantically identical to

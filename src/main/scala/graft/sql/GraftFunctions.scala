@@ -27,6 +27,17 @@ object GraftFunctions {
   private def strArg(exprs: Seq[Expression], i: Int, default: String): String =
     if (exprs.length > i) exprs(i).eval().toString else default
 
+  /** tokens/split dispatch on input type — the reference registers the
+    * tokenizer for BOTH string and array<string>
+    * (FunctionRegistry.scala:155,171); safe to inspect dataType here
+    * because UnresolvedFunction only resolves once its children have. */
+  private def tokensFor(e: Expression, lowercase: Boolean, stemmer: String = "none"): Expression =
+    e.dataType match {
+      case org.apache.spark.sql.types.ArrayType(_, _) =>
+        graft.functions.expressions.ArrayTokens(e, lowercase, stemmer)
+      case _ => graft.functions.expressions.Tokens(e, lowercase, stemmer)
+    }
+
   val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_minhash" -> (exprs => MinHashSignature(exprs.head, 64)),
     "graft_simhash" -> (exprs => SimHash64(exprs.head)),
@@ -44,12 +55,44 @@ object GraftFunctions {
       graft.functions.expressions.NearestCellsHier(
         exprs.head, centroidsArg(exprs(1)), centroids3Arg(exprs(2)), intArg(exprs, 3, 2), intArg(exprs, 4, 2))),
     "graft_hyperplane_bits" -> (exprs => HyperplaneBits(exprs.head, intArg(exprs, 1, 16))),
-    "graft_tokens" -> (exprs => graft.functions.expressions.Tokens(exprs.head, lowercase = true)),
-    "graft_split_words" -> (exprs => graft.functions.expressions.Tokens(exprs.head, lowercase = false)),
+    "graft_tokens" -> (exprs => tokensFor(exprs.head, lowercase = true)),
+    "graft_split_words" -> (exprs => tokensFor(exprs.head, lowercase = false)),
     // reference stemmedTokens (yupana-utils TokenizerBase.scala:38): (text[, locale]) — locale
     // picks the registered Stemmer ('en' = English light / Harman S-stemmer)
     "graft_stemmed_tokens" -> (exprs =>
-      graft.functions.expressions.Tokens(exprs.head, lowercase = true, stemmer = strArg(exprs, 1, "en"))),
+      tokensFor(exprs.head, lowercase = true, stemmer = strArg(exprs, 1, "en"))),
+    // reference hll_count(x, std_err) (FunctionRegistry.scala:276-291):
+    // the std-err parameter form, validated to the reference's range,
+    // mapped to the TIGHTEST DataSketches lgK meeting the requested
+    // error (std_err ~ 1.04/sqrt(2^lgK)) and evaluated as
+    // hll_sketch_estimate(hll_sketch_agg(x, lgK)) — mergeable
+    // byte-register sketch state, map-side combined. NOT HLL++ with
+    // relativeSD=std_err: HLL++ materializes 2^p/6 LONG buffer
+    // attributes, so the reference's smallest legal std_err (3e-5 →
+    // p=30) would demand a gigabyte-scale per-group buffer and a plan
+    // with 10^8 attributes; DataSketches saturates at lgK=21 (~0.0007
+    // actual error) — the tightest the engine offers.
+    "graft_hll_count" -> (exprs => {
+      // SQL numeric literals eval as Decimal, DataFrame lit() as
+      // java.lang Number — accept both
+      val stdErr =
+        if (exprs.length <= 1) 0.05
+        else exprs(1).eval() match {
+          case d: org.apache.spark.sql.types.Decimal => d.toDouble
+          case n: Number => n.doubleValue()
+          case other =>
+            throw new IllegalArgumentException(s"std_err must be a numeric constant, got: $other")
+        }
+      if (stdErr < 0.00003 || stdErr > 0.367)
+        throw new IllegalArgumentException(
+          s"std_err must be in range (0.00003, 0.367), but: std_err=$stdErr")
+      val lgK = math.min(21, math.max(4,
+        math.ceil(2.0 * math.log(1.04 / stdErr) / math.log(2.0)).toInt))
+      val sketch = new org.apache.spark.sql.catalyst.expressions.aggregate.HllSketchAgg(
+        exprs.head, org.apache.spark.sql.catalyst.expressions.Literal(lgK))
+      new org.apache.spark.sql.catalyst.expressions.HllSketchEstimate(
+        sketch.toAggregateExpression())
+    }),
     "graft_word_shingles" -> (exprs => graft.functions.expressions.WordShingles(exprs.head, intArg(exprs, 1, 3))),
     // native aggregate tier: Misra-Gries heavy hitters (token[, k])
     "graft_heavy_hitters" -> (exprs => graft.functions.expressions.MisraGries(exprs.head, intArg(exprs, 1, 100))),

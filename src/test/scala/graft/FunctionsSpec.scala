@@ -112,6 +112,54 @@ class FunctionsSpec extends SparkSpecBase {
     assert(r._4 == "2024-05-15 13:00:00")
   }
 
+  test("dialect parity: graft_tokens over array<string> (reference ArrayTokensExpr)") {
+    graft.sql.GraftFunctions.register(spark)
+    // flatMap of the same kernel, element order preserved
+    // (FunctionRegistry.scala:171; ConstantCalculator.scala:142)
+    val out = Seq(Seq("Red Apple!", "salt WATER"))
+      .toDF("arr")
+      .select(call_function("graft_tokens", col("arr")).as("tk"))
+      .as[Seq[String]].head()
+    assert(out == Seq("red", "apple", "salt", "water"))
+    // null elements contribute no tokens; a null array stays null
+    val r = spark.sql(
+      "SELECT graft_tokens(array('a b', CAST(NULL AS STRING), 'c')) AS tk, " +
+        "graft_tokens(CAST(NULL AS ARRAY<STRING>)) AS tn, " +
+        "graft_stemmed_tokens(array('many ponies')) AS st").head()
+    assert(r.getAs[scala.collection.Seq[String]]("tk").toSeq == Seq("a", "b", "c"))
+    assert(r.isNullAt(1))
+    assert(r.getAs[scala.collection.Seq[String]]("st").toSeq == Seq("many", "pony"))
+  }
+
+  test("dialect parity: graft_hll_count(x, std_err) — reference range validation") {
+    graft.sql.GraftFunctions.register(spark)
+    val docs = (1 to 2000).map(i => ("k", s"v$i")).toDF("k", "v")
+    docs.createOrReplaceTempView("hll_docs")
+    // relativeSD IS the requested standard error; estimate lands within
+    // a generous 6-sigma of the true distinct count
+    val est = spark.sql("SELECT graft_hll_count(v, 0.02) AS e FROM hll_docs GROUP BY k")
+      .head().getLong(0)
+    assert(math.abs(est - 2000L) <= (2000 * 0.02 * 6).toLong, s"estimate $est too far from 2000")
+    // default form (no std_err) and the reference's validated extremes
+    // (0.00003, 0.367) both build and run
+    for (q <- Seq(
+        "SELECT graft_hll_count(v) AS e FROM hll_docs GROUP BY k",
+        "SELECT graft_hll_count(v, 0.00004) AS e FROM hll_docs GROUP BY k",
+        "SELECT graft_hll_count(v, 0.366) AS e FROM hll_docs GROUP BY k"))
+      assert(spark.sql(q).head().getLong(0) > 0L)
+    // out-of-range std_err rejected with the reference's message
+    // (yupana-core sql/FunctionRegistry.scala:276-291)
+    for (bad <- Seq("0.5", "0.00001")) {
+      val e = intercept[Exception] {
+        spark.sql(s"SELECT graft_hll_count(v, $bad) FROM hll_docs GROUP BY k").head()
+      }
+      assert(e.getMessage.contains("std_err"), s"unexpected error for $bad: ${e.getMessage}")
+    }
+    // listed on the metadata surface
+    val fns = graft.sql.Catalog.showFunctions(spark).as[String].collect()
+    assert(fns.contains("graft_hll_count"))
+  }
+
   test("native expressions generate compilable code (no silent interpreter fallback)") {
     // codegen.fallback=false turns a broken doGenCode into a hard error
     // instead of a quiet per-row interpreter downgrade

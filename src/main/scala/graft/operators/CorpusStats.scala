@@ -30,6 +30,16 @@ object CorpusStats {
    * where ln would not be). `minCount` drops hapax noise, the classic
    * collocation-mining guard.
    *
+   * Denominator convention: the joint probability uses the TOKEN total
+   * n, not the bigram total (n minus one per document, the textbook
+   * P(x,y) normalizer). The two differ by a corpus-wide constant
+   * factor, so every ranking and ratio between pairs is identical;
+   * only the absolute lift values are inflated by ~n/(n - n_docs). The
+   * oracle mirrors the same convention. If absolute lift is ever
+   * surfaced as a calibrated statistic, derive the bigram total from
+   * this same pairCounts aggregate (Σ of non-null-w2 counts) — no
+   * extra scan needed.
+   *
    * Scale shape: ONE tokenize pass. Every token position becomes a
    * (w1, w2) row — w2 NULL for the last token of a document — and the
    * per-(w1, w2) count aggregate is the single corpus-wide shuffle.

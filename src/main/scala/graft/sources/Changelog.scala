@@ -28,8 +28,15 @@ object Changelog {
     * subsequent run would see it dirty, recompute, re-mark, and loop;
     * meanwhile an isin(keys) source filter (NULL for null rows) would
     * never actually rescan those rows. Canonicalizing at the edges
-    * keeps the whole cycle null-safe. */
-  val NullBucket = "__null__"
+    * keeps the whole cycle null-safe.
+    *
+    * The sentinel starts with U+0000, which no genuine bucket value
+    * reaches: buckets are cast-to-string timestamps/dates/numbers
+    * (never contain NUL), and even a pathological string-typed bucket
+    * column would need an embedded NUL prefix to collide — unlike the
+    * old bare "__null__", which a string bucket could legitimately
+    * equal and silently share a dirty/clean lifecycle with null rows. */
+  val NullBucket = "\u0000null"
 
   private def readLog(spark: SparkSession, dir: String): DataFrame = {
     val path = new org.apache.hadoop.fs.Path(dir)

@@ -23,9 +23,12 @@ object Upsert {
     * row_number alone would pick an arbitrary, run-dependent winner.
     * Hashing the whole row makes the pick a pure function of content —
     * replays and engines agree — without assuming the value columns
-    * are orderable types. */
+    * are orderable types. Restricted to hashable column types (a map
+    * column would fail xxhash64 analysis); rows differing only in map
+    * columns tie arbitrarily — same class as the documented
+    * duplicate-row caveat. */
   private def rowTieBreak(df: DataFrame, exclude: Set[String]) =
-    xxhash64(df.columns.filterNot(exclude).map(col).toIndexedSeq: _*)
+    xxhash64(graft.core.Skew.hashableCols(df, exclude): _*)
 
   def apply(base: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame = {
     val tagged = base.withColumn("__prio", lit(0)).unionByName(updates.withColumn("__prio", lit(1)))

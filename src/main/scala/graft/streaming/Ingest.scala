@@ -38,10 +38,12 @@ object Ingest {
           // double and two distinct upstream events silently collide on
           // the key that dedupStream/Upsert key on (metric fallback
           // kept for old callers, with the documented precision caveat)
-          p.dims.get("event_id").map(_.toLong)
+          // malformed/non-numeric dim strings fall through to the
+          // metric fallback instead of crashing the ingest batch
+          p.dims.get("event_id").flatMap(s => scala.util.Try(s.toLong).toOption)
             .getOrElse(p.metrics.getOrElse("event_id", 0.0).toLong),
           p.time,
-          p.dims.getOrElse("user_id", "0").toLong,
+          p.dims.get("user_id").flatMap(s => scala.util.Try(s.toLong).toOption).getOrElse(0L),
           p.dims.getOrElse("event_type", ""),
           p.metrics.getOrElse("value", 0.0)
         )

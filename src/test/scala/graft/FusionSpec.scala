@@ -116,4 +116,21 @@ class FusionSpec extends SparkSpecBase {
     assert(salted == plain)
     assert(plain.count(_._3 == "hot") == 900)
   }
+
+  test("salted join tolerates unhashable (map) probe columns") {
+    // xxhash64 over a MapType column fails analysis — the salt must
+    // restrict itself to hashable columns and still return exactly the
+    // plain join's rows
+    val probe = (1L to 100L).map(i => (1L, i, Map("a" -> i)))
+      .toDF("k", "payload", "attrs")
+    val build = Seq((1L, "hot")).toDF("k", "name")
+    val salted = Skew.saltedJoin(probe, build, "k", saltFactor = 4)
+      .select("k", "payload", "name").as[(Long, Long, String)].collect().toSeq.sorted
+    assert(salted.size == 100 && salted.forall(_._3 == "hot"))
+    // rows differing in the non-map payload still spread across salts
+    val saltSpread = probe
+      .withColumn("s", pmod(xxhash64(Skew.hashableCols(probe): _*), lit(4)))
+      .select("s").distinct().count()
+    assert(saltSpread > 1, "hashable columns must still drive salt spread")
+  }
 }

@@ -508,4 +508,15 @@ class StreamingSpec extends SparkSpecBase {
     val r = df.as[(Long, Timestamp, Long, String, Double)].collect().toSeq
     assert(r == Seq((1L, Timestamp.valueOf("2024-01-01 00:00:01"), 7L, "click", 3.5)))
   }
+
+  test("DataPoint ingest survives malformed numeric dims (metric fallback, not a crash)") {
+    val pts = Seq(
+      Ingest.DataPoint("events", Timestamp.valueOf("2024-01-01 00:00:01"),
+        Map("event_id" -> "not-a-number", "user_id" -> "x7", "event_type" -> "click"),
+        Map("event_id" -> 42.0, "value" -> 1.0)))
+    val r = Ingest.eventsFromDataPoints(spark, pts)
+      .as[(Long, Timestamp, Long, String, Double)].collect().toSeq
+    // event_id falls through to the metric map; user_id to the 0 default
+    assert(r == Seq((42L, Timestamp.valueOf("2024-01-01 00:00:01"), 0L, "click", 1.0)))
+  }
 }

@@ -3,7 +3,7 @@ package graft.functions.expressions
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType}
 
 /**
  * Native vector-index expressions.
@@ -65,6 +65,20 @@ object VectorOps {
       c += 1
     }
     best
+  }
+
+  /** Static kernel: squared-L2 distance to the nearest centroid — the
+    * quantization error the cell assignment minimizes; the drift
+    * statistic for persisted-index re-train triggers. */
+  def nearestDist2(v: ArrayData, centroids: Array[Array[Float]]): Double = {
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < centroids.length) {
+      val d = dist2(v, centroids(c))
+      if (d < bestD) bestD = d
+      c += 1
+    }
+    bestD
   }
 
   /** Static kernel: `probes` nearest centroid indices, ascending by (distance, index). */
@@ -147,6 +161,27 @@ case class NearestCentroid(child: Expression, centroids: Array[Array[Float]]) ex
   }
 
   override protected def withNewChildInternal(newChild: Expression): NearestCentroid = copy(child = newChild)
+}
+
+/** Squared-L2 distance to the nearest centroid (the quantization
+  * error) — what index-drift checks threshold against. */
+case class NearestCentroidDist(child: Expression, centroids: Array[Array[Float]])
+    extends UnaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_nearest_centroid_dist"
+
+  override protected def nullSafeEval(input: Any): Any =
+    VectorOps.nearestDist2(input.asInstanceOf[ArrayData], centroids)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cents = ctx.addReferenceObj("centroids", centroids, "float[][]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.expressions.VectorOps.nearestDist2($c, $cents);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroidDist =
+    copy(child = newChild)
 }
 
 /** Indices of the `probes` nearest centroids, ascending by distance (ties → lower index). */

@@ -421,6 +421,61 @@ object Ann {
       .select(col("vec_id").as("item_id"), col("embedding").as("item_vec"))
       .withColumn("cell", call_function("graft_nearest_centroid", col("item_vec"), centroidsLit(cents)))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/assignments")
+    // train-time dispersion: the p95 quantization error over the corpus
+    // (approx_percentile — one mergeable pass; a heuristic threshold,
+    // not a gated value). New vectors landing mostly beyond it mean the
+    // quantizer no longer describes the data — the re-train trigger
+    // ivfDriftFraction thresholds against.
+    corpus
+      .select(call_function("graft_nearest_centroid_dist",
+        col("embedding"), centroidsLit(cents)).as("d"))
+      .agg(expr("approx_percentile(d, 0.95)").as("p95_dist"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/stats")
+  }
+
+  /**
+   * Index-drift probe: the fraction of `newVecs` whose quantization
+   * error (squared-L2 distance to their nearest stored centroid)
+   * exceeds the index's train-time p95. By construction ~0.05 on
+   * same-distribution data; a batch from a shifted distribution pushes
+   * it toward 1. One narrow pass over the NEW vectors only — bounded
+   * by the batch, never the corpus.
+   */
+  def ivfDriftFraction(spark: SparkSession, path: String, newVecs: DataFrame): Double = {
+    graft.sql.GraftFunctions.register(spark)
+    val cents = loadIvfCentroids(spark, path)
+    val p95 = spark.read.parquet(s"$path/stats").head().getDouble(0)
+    val r = newVecs
+      .select((call_function("graft_nearest_centroid_dist",
+        col("embedding"), centroidsLit(cents)) > p95).cast("double").as("over"))
+      .agg(avg(col("over"))).head()
+    if (r.isNullAt(0)) 0.0 else r.getDouble(0)
+  }
+
+  /**
+   * The re-train condition, as an operation: if the combined corpus's
+   * NEW portion has drifted past `driftFraction` (see
+   * [[ivfDriftFraction]]), re-quantize — rebuild the whole index from
+   * `corpus` (train + assign + stats, one corpus pass exactly like the
+   * original build) and return true; otherwise leave the index
+   * untouched (false). Streaming ingest calls this at its natural
+   * maintenance point (compaction / every N batches) so probe recall
+   * cannot silently degrade as the distribution moves.
+   */
+  def refreshIvfIndexIfDrifted(
+      spark: SparkSession,
+      corpus: DataFrame,
+      newVecs: DataFrame,
+      path: String,
+      driftFraction: Double = 0.5,
+      numCells: Int = 16,
+      lloydIters: Int = 5,
+      trainSample: Long = 20000L
+  ): Boolean = {
+    val drifted = ivfDriftFraction(spark, path, newVecs) > driftFraction
+    if (drifted) buildIvfIndex(spark, corpus, path, numCells, lloydIters, trainSample)
+    drifted
   }
 
   /** The stored centroid table of [[buildIvfIndex]], cell-ordered. */

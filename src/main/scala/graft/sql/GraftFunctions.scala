@@ -49,6 +49,8 @@ object GraftFunctions {
     "graft_char_ngrams" -> (exprs => graft.functions.expressions.CharNgrams(exprs.head, intArg(exprs, 1, 4))),
     // vector-index ops: centroid tables ride as a foldable literal argument
     "graft_nearest_centroid" -> (exprs => NearestCentroid(exprs.head, centroidsArg(exprs(1)))),
+    "graft_nearest_centroid_dist" -> (exprs =>
+      graft.functions.expressions.NearestCentroidDist(exprs.head, centroidsArg(exprs(1)))),
     "graft_nearest_centroids" -> (exprs => NearestCentroids(exprs.head, centroidsArg(exprs(1)), intArg(exprs, 2, 4))),
     // two-level quantizer: (vec, l1_lit, l2_lit[, p1[, p2]]) → global cell ids
     "graft_nearest_cells_hier" -> (exprs =>

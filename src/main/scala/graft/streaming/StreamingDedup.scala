@@ -128,9 +128,14 @@ object StreamingDedup {
    * cells (`ivfProbes`-way multi-probe). Candidates stay cell-local;
    * the exact cosine verify is unchanged, so false positives remain
    * impossible and recall has the same measured cell-boundary trade as
-   * [[graft.operators.Dedup.embeddingPairsIvf]]. Re-train (delete
-   * `_centroids`) when the corpus distribution drifts from the first
-   * batch — the natural moment is index compaction.
+   * [[graft.operators.Dedup.embeddingPairsIvf]]. DRIFT: the train-time
+   * p95 quantization error persists beside the centroids, every batch
+   * measures the fraction of its vectors landing beyond it, and past
+   * `driftRetrainFraction` the quantizer re-trains on that batch
+   * automatically (centroid swap is mid-stream-safe — index rows are
+   * re-keyed every batch; see loadOrTrainCentroids) — so ingest cannot
+   * silently degrade probe recall or melt a cell as the distribution
+   * moves. Manual re-train (delete `_centroids`) still works.
    */
   def runEmbeddings(
       spark: SparkSession,
@@ -142,7 +147,10 @@ object StreamingDedup {
       threshold: Double = 0.97,
       checkpoint: String = "/tmp/graft_streaming_semdedup_ckpt",
       ivfCells: Int = 64,
-      ivfProbes: Int = 3
+      ivfProbes: Int = 3,
+      // re-train when this fraction of a batch quantizes worse than the
+      // train-time p95 error (same-distribution batches sit near 0.05)
+      driftRetrainFraction: Double = 0.5
   ): StreamingQuery = {
     val (planes1, bands1) =
       if (planes > 0 && bands > 0) (planes, bands) else Dedup.signBanding(threshold)
@@ -176,20 +184,55 @@ object StreamingDedup {
           graft.operators.Ann.centroidsLit(cents), lit(ivfProbes))).as("cell"))
         .select(col("id"), col("vec"), lit(0).as("band"), col("cell").cast("long").as("bh"))
 
+    def trainAndPersist(s: SparkSession, batch: DataFrame,
+        centsPath: org.apache.hadoop.fs.Path): Array[Array[Float]] = {
+      import s.implicits._
+      val cents = graft.operators.Ann.ivfTrain(
+        s, batch.select(col("vec_id"), col("embedding")), numCells = ivfCells)
+      cents.zipWithIndex.map { case (v, i) => (i, v.toSeq) }.toSeq
+        .toDF("cell", "centroid").coalesce(1)
+        .write.mode("overwrite").parquet(centsPath.toString)
+      // train-time dispersion (p95 quantization error of the training
+      // batch) — the threshold the per-batch drift probe compares to
+      batch
+        .select(call_function("graft_nearest_centroid_dist",
+          col("embedding"), graft.operators.Ann.centroidsLit(cents)).as("d"))
+        .agg(expr("approx_percentile(d, 0.95)").as("p95_dist"))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$indexPath/_centroids_stats")
+      cents
+    }
+
+    // Quantizer lifecycle with a DRIFT TRIGGER: centroids train on the
+    // first non-empty batch; every later batch pays one narrow pass
+    // computing the fraction of its vectors whose quantization error
+    // exceeds the train-time p95. Past `driftRetrainFraction` the batch
+    // re-trains and overwrites `_centroids` — safe mid-stream because
+    // the low-threshold index stores raw (id, vec) rows that are
+    // RE-KEYED by the current quantizer on every batch, so a centroid
+    // swap changes candidate generation only; the exact-cosine verify
+    // (and with it the no-false-positives guarantee) is untouched.
+    // Replay-safe: a re-run of the batch sees the already-swapped
+    // centroids, measures low drift, and proceeds — outputs converge
+    // through the batch_id-partitioned overwrite either way.
     def loadOrTrainCentroids(s: SparkSession, batch: DataFrame): Array[Array[Float]] = {
       val centsPath = new org.apache.hadoop.fs.Path(s"$indexPath/_centroids")
       val fs = centsPath.getFileSystem(s.sparkContext.hadoopConfiguration)
-      if (fs.exists(centsPath))
-        s.read.parquet(centsPath.toString).orderBy(col("cell")).collect()
-          .map(_.getSeq[Float](1).toArray)
+      if (!fs.exists(centsPath)) trainAndPersist(s, batch, centsPath)
       else {
-        import s.implicits._
-        val cents = graft.operators.Ann.ivfTrain(
-          s, batch.select(col("vec_id"), col("embedding")), numCells = ivfCells)
-        cents.zipWithIndex.map { case (v, i) => (i, v.toSeq) }.toSeq
-          .toDF("cell", "centroid").coalesce(1)
-          .write.mode("overwrite").parquet(centsPath.toString)
-        cents
+        val cents = s.read.parquet(centsPath.toString).orderBy(col("cell")).collect()
+          .map(_.getSeq[Float](1).toArray)
+        val statsPath = new org.apache.hadoop.fs.Path(s"$indexPath/_centroids_stats")
+        val drifted = fs.exists(statsPath) && {
+          val p95 = s.read.parquet(statsPath.toString).head().getDouble(0)
+          val r = batch
+            .select((call_function("graft_nearest_centroid_dist",
+              col("embedding"), graft.operators.Ann.centroidsLit(cents)) > p95)
+              .cast("double").as("over"))
+            .agg(avg(col("over"))).head()
+          !r.isNullAt(0) && r.getDouble(0) > driftRetrainFraction
+        }
+        if (drifted) trainAndPersist(s, batch, centsPath) else cents
       }
     }
 

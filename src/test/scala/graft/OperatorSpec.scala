@@ -67,6 +67,41 @@ class OperatorSpec extends SparkSpecBase {
     assert(cellsRead.subsetOf(probed), s"scan read cells $cellsRead beyond the probed $probed")
   }
 
+  test("persisted IVF index: drift probe stays low in-distribution, triggers re-train when shifted") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val path = "/tmp/graft_ivf_drift_spec"
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    Ann.buildIvfIndex(spark, emb, path, numCells = 16, lloydIters = 5)
+
+    // same-distribution "new data": the corpus itself — by construction
+    // ~5% sits beyond its own p95 quantization error
+    val selfDrift = Ann.ivfDriftFraction(spark, path, emb)
+    assert(selfDrift <= 0.10, s"in-distribution drift fraction should be ~0.05, got $selfDrift")
+    assert(!Ann.refreshIvfIndexIfDrifted(spark, emb, emb, path),
+      "in-distribution data must not trigger a re-train")
+
+    // a shifted batch: every vector offset far beyond the train-time
+    // dispersion → drift fraction ~1 → re-train fires
+    val shifted = emb.select(col("vec_id"),
+      transform(col("embedding"), x => x + lit(50.0f)).as("embedding"))
+    val farDrift = Ann.ivfDriftFraction(spark, path, shifted)
+    assert(farDrift >= 0.9, s"shifted batch should drift ~1.0, got $farDrift")
+    val oldCents = Ann.loadIvfCentroids(spark, path)
+    val combined = emb.select(col("vec_id"), col("embedding"))
+      .unionByName(shifted.withColumn("vec_id", col("vec_id") + 100000L))
+    assert(Ann.refreshIvfIndexIfDrifted(spark, combined, shifted, path),
+      "drifted batch must trigger the re-train")
+    val newCents = Ann.loadIvfCentroids(spark, path)
+    assert(!java.util.Arrays.deepEquals(
+      oldCents.asInstanceOf[Array[AnyRef]], newCents.asInstanceOf[Array[AnyRef]]),
+      "re-train must re-quantize")
+    // the rebuilt index describes the combined corpus: the batch that
+    // was catastrophically drifted now quantizes in-distribution
+    val after = Ann.ivfDriftFraction(spark, path, shifted)
+    assert(after <= 0.2, s"post-re-train drift of the new region should be low, got $after")
+  }
+
   test("IVF output is deterministic across runs (exact-decimal centroids)") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val q = emb.filter(col("vec_id") < 4)

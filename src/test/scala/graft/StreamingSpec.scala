@@ -398,6 +398,56 @@ class StreamingSpec extends SparkSpecBase {
     assert(spark.read.parquet(s"$base/index").count() == 5)
   }
 
+  test("streaming semantic dedup re-trains its quantizer when a batch drifts") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = "/tmp/graft_ssem_drift_" + System.nanoTime()
+    val stream = MemoryStream[(Long, Array[Float])]
+    val q = graft.streaming.StreamingDedup.runEmbeddings(
+      spark,
+      stream.toDF().toDF("vec_id", "embedding"),
+      indexPath = s"$base/index",
+      matchesPath = s"$base/matches",
+      threshold = 0.5, // low threshold → IVF cell mode
+      checkpoint = s"$base/ckpt",
+      ivfCells = 4,
+      driftRetrainFraction = 0.5
+    )
+    def cents(): Seq[Seq[Float]] =
+      spark.read.parquet(s"$base/index/_centroids").orderBy(col("cell"))
+        .collect().map(_.getSeq[Float](1).toSeq).toSeq
+    def p95(): Double =
+      spark.read.parquet(s"$base/index/_centroids_stats").head().getDouble(0)
+
+    // batch 1 trains the quantizer on a cluster near axis 1
+    stream.addData((1L to 8L).map(i =>
+      (i, Array(1.0f + 0.02f * i, 0.02f * i, 0.0f, 0.0f))): _*)
+    q.processAllAvailable()
+    val trained = cents()
+    val trainedP95 = p95()
+
+    // batch 2: the SAME distribution (exact positions re-used under new
+    // ids) — drift ~0, centroids must NOT move
+    stream.addData((21L to 24L).map(i =>
+      (i, Array(1.0f + 0.02f * (i - 20), 0.02f * (i - 20), 0.0f, 0.0f))): _*)
+    q.processAllAvailable()
+    assert(cents() == trained, "in-distribution batch must not re-train")
+
+    // batch 3: a far-shifted cluster (plus a planted near-dup pair) —
+    // every vector quantizes far beyond the train-time p95 → re-train
+    stream.addData(
+      (31L, Array(0.0f, 0.0f, 40.0f, 40.5f)),
+      (32L, Array(0.0f, 0.1f, 40.1f, 40.4f)), // near-dup of 31
+      (33L, Array(0.0f, 0.0f, 60.0f, 10.0f)))
+    q.processAllAvailable()
+    q.stop()
+    assert(cents() != trained, "drifted batch must re-train the quantizer")
+    assert(p95() != trainedP95, "stats must describe the re-trained quantizer")
+    val matches = spark.read.parquet(s"$base/matches")
+      .select("new_id", "existing_id").as[(Long, Long)].collect().toSet
+    assert(matches.contains((32L, 31L)),
+      s"planted near-dup must still match through the re-trained cells: $matches")
+  }
+
   test("streaming contamination screens micro-batches against the static eval gram set") {
     implicit val sqlCtx = spark.sqlContext
     val base = "/tmp/graft_scontam_" + System.nanoTime()

@@ -296,4 +296,164 @@ object StreamingDedup {
       }
       .start()
   }
+
+  /**
+   * Quality-aware streaming retention — the foreachBatch twin of
+   * [[graft.operators.Dedup.dedupKeepBest]]. The persisted index holds
+   * one signature per retained REPRESENTATIVE (not per document), each
+   * carrying its quality score; per micro-batch:
+   *
+   *  1. within-batch near-dup clusters resolve by batch-local
+   *     keep-best (the exact batch operator — highest score, min-id
+   *     tie-break, NaN → NULL);
+   *  2. each batch winner LSH-probes the ACTIVE representative index
+   *     (index minus tombstones). A winner matching a rep either loses
+   *     to it (kept=false, attributed to the rep) or — the case plain
+   *     min-id streaming dedup gets WRONG — beats it on quality: the
+   *     old rep is tombstoned, the winner becomes the cluster's
+   *     indexed rep, and the demotion is recorded;
+   *  3. unmatched winners are indexed as new reps.
+   *
+   * Every sink is batch_id-partitioned overwrite (replay-idempotent);
+   * the index is append-only + tombstones (`<indexPath>_retired`), so replacement
+   * needs no in-place rewrite — HDFS/S3-friendly. Matching future
+   * batches against the REPLACED (better) rep is the point: the
+   * cluster's probe surface follows its best member. Transitivity is
+   * rep-chained (a future doc matches the current rep, not every
+   * historical member) — the standard streaming approximation; the
+   * batch operator remains the exact form.
+   *
+   * Decision rows (`decisionsPath`): (doc_id, kept, rep_id, score) per
+   * batch doc, plus a kept=false row re-attributing a DEMOTED rep to
+   * its replacement — a consumer can reconstruct current retention by
+   * taking each doc's latest decision.
+   */
+  def runKeepBest(
+      spark: SparkSession,
+      docs: DataFrame, // streaming: (doc_id long, text string)
+      score: org.apache.spark.sql.Column, // per-doc quality, evaluated on the batch
+      indexPath: String,
+      decisionsPath: String,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.5,
+      checkpoint: String = "/tmp/graft_streaming_keepbest_ckpt"
+  ): StreamingQuery = {
+    val rowsPerBand = numHashes / bands
+
+    def banded(sigs: DataFrame): DataFrame =
+      sigs
+        .select(col("id"), col("sig"), explode(F.lshBandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
+        .select(col("id"), col("sig"), col("bk.band"), col("bk.bh"))
+
+    def estJaccard = (aggregate(
+      zip_with(col("a.sig"), col("b.sig"), (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), _ + _
+    ).cast("double") / lit(numHashes.toDouble))
+
+    // tombstone log lives beside the index (sibling dir, same FS)
+    val retiredPath = indexPath + "_retired"
+
+    docs.writeStream
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime(0L))
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val s = batch.sparkSession
+          def haveParts(path: String): Boolean = {
+            val p = new org.apache.hadoop.fs.Path(path)
+            val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+            fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.startsWith("batch_id="))
+          }
+          // NaN scores normalize to NULL here once — every comparison
+          // below (batch-local and vs-index) then shares the batch
+          // operator's discipline (NULL loses to any real score)
+          val scored = batch
+            .withColumn("__score", when(!isnan(score.cast("double")), score.cast("double")))
+            .cache()
+          val sigs = Dedup.minhashSigs(scored, "doc_id", "text", numHashes, 3)
+            .join(scored.select(col("doc_id").as("id"), col("__score")), Seq("id"))
+            .cache()
+          val probe = banded(sigs)
+
+          // 1. batch-local clusters → keep-best winners
+          val batchPairs = probe.as("a")
+            .join(probe.as("b"),
+              col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+                col("a.id") < col("b.id"))
+            .select(col("a.id").as("id_a"), col("b.id").as("id_b"), estJaccard.as("ej"))
+            .filter(col("ej") >= threshold)
+            .select(col("id_a"), col("id_b"))
+            .distinct()
+          val local = Dedup.dedupKeepBest(
+            scored.select(col("doc_id"), col("__score")), "doc_id", col("__score"), batchPairs)
+          val winners = local.filter(col("keep"))
+            .select(col("doc_id").as("id"), col("score").as("new_score"))
+            .join(sigs.select(col("id"), col("sig")), Seq("id"))
+          val losers = local.filter(!col("keep"))
+            .select(col("doc_id"), col("keep_id"), col("score"))
+
+          // 2. winners probe the ACTIVE rep index (index minus tombstones)
+          val matched =
+            if (!haveParts(indexPath)) winners.limit(0)
+              .select(col("id"), col("new_score"), lit(0L).as("rep_id"), lit(0.0).as("rep_score"))
+            else {
+              // minus tombstones, minus index copies of THIS batch's ids
+              // (a replayed batch must not self-match the copies its
+              // failed attempt already indexed — run()'s discipline)
+              val idx = s.read.parquet(indexPath)
+                .join(broadcast(scored.select(col("doc_id").as("id"))), Seq("id"), "left_anti")
+              val active =
+                if (haveParts(retiredPath))
+                  idx.join(s.read.parquet(retiredPath).select(col("id")), Seq("id"), "left_anti")
+                else idx
+              val m = banded(winners.select(col("id"), col("sig"))).as("a")
+                .join(banded(active.select(col("id"), col("sig"))).as("b"),
+                  col("a.band") === col("b.band") && col("a.bh") === col("b.bh"))
+                .select(col("a.id").as("id"), col("b.id").as("rep_id"), estJaccard.as("ej"))
+                .filter(col("ej") >= threshold)
+                .distinct()
+              // best-matching rep per winner: max similarity, min-id tie
+              val w = org.apache.spark.sql.expressions.Window
+                .partitionBy(col("id")).orderBy(col("ej").desc, col("rep_id").asc)
+              m.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+                .join(winners.select(col("id"), col("new_score")), Seq("id"))
+                .join(active.select(col("id").as("rep_id"), col("__score").as("rep_score")),
+                  Seq("rep_id"))
+                .select(col("id"), col("new_score"), col("rep_id"), col("rep_score"))
+            }
+          val beats = (col("rep_score").isNull && col("new_score").isNotNull) ||
+            col("new_score") > col("rep_score")
+          val replacing = matched.filter(beats).cache()
+          val losing = matched.filter(!coalesce(beats, lit(false)))
+          val unmatched = winners.join(matched.select(col("id")), Seq("id"), "left_anti")
+
+          // 3. sinks — all batch_id-partitioned overwrites
+          val newReps = unmatched.select(col("id"), col("sig"), col("new_score").as("__score"))
+            .unionByName(replacing.join(sigs.select(col("id"), col("sig")), Seq("id"))
+              .select(col("id"), col("sig"), col("new_score").as("__score")))
+          val winnerDecisions = unmatched
+            .select(col("id").as("doc_id"), lit(true).as("kept"),
+              col("id").as("rep_id"), col("new_score").as("score"))
+            .unionByName(replacing.select(col("id").as("doc_id"), lit(true).as("kept"),
+              col("id").as("rep_id"), col("new_score").as("score")))
+            .unionByName(losing.select(col("id").as("doc_id"), lit(false).as("kept"),
+              col("rep_id"), col("new_score").as("score")))
+          val demotions = replacing.select(col("rep_id").as("doc_id"), lit(false).as("kept"),
+            col("id").as("rep_id"), col("rep_score").as("score"))
+          val loserDecisions = losers
+            .join(winnerDecisions.select(col("doc_id").as("keep_id"), col("rep_id")), Seq("keep_id"))
+            .select(col("doc_id"), lit(false).as("kept"), col("rep_id"), col("score"))
+          winnerDecisions.unionByName(demotions).unionByName(loserDecisions)
+            .write.mode("overwrite").parquet(s"$decisionsPath/batch_id=$batchId")
+          replacing.select(col("rep_id").as("id"))
+            .write.mode("overwrite").parquet(s"$retiredPath/batch_id=$batchId")
+          newReps.write.mode("overwrite").parquet(s"$indexPath/batch_id=$batchId")
+          replacing.unpersist(); sigs.unpersist(); scored.unpersist()
+        }
+        ()
+      }
+      .start()
+  }
 }

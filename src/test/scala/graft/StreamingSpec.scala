@@ -448,6 +448,65 @@ class StreamingSpec extends SparkSpecBase {
       s"planted near-dup must still match through the re-trained cells: $matches")
   }
 
+  test("streaming keep-best: a higher-quality late arrival replaces the indexed representative") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = "/tmp/graft_skeepbest_" + System.nanoTime()
+    val stream = MemoryStream[(Long, String, Double)]
+    val q = graft.streaming.StreamingDedup.runKeepBest(
+      spark,
+      stream.toDF().toDF("doc_id", "text", "q"),
+      score = col("q"),
+      indexPath = s"$base/index",
+      decisionsPath = s"$base/decisions",
+      threshold = 0.5,
+      checkpoint = s"$base/ckpt"
+    )
+    val textA = "the quick brown fox jumps over the lazy dog near the river bank today"
+    def decisions(): Map[Long, (Boolean, Long)] =
+      spark.read.parquet(s"$base/decisions")
+        .groupBy(col("doc_id"))
+        .agg(org.apache.spark.sql.functions.max_by(
+          struct(col("kept"), col("rep_id")), col("batch_id")).as("d"))
+        .select(col("doc_id"), col("d.kept"), col("d.rep_id"))
+        .as[(Long, Boolean, Long)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    def activeReps(): Set[Long] = {
+      val idx = spark.read.parquet(s"$base/index").select(col("id"))
+      val rp = s"$base/index_retired"
+      val active =
+        if (new java.io.File(rp).exists())
+          idx.join(spark.read.parquet(rp).select(col("id")), Seq("id"), "left_anti")
+        else idx
+      active.as[Long].collect().toSet
+    }
+
+    // batch 1: within-batch near-dup pair with different quality (11
+    // beats 10) + an unrelated doc — batch-local keep-best applies
+    stream.addData(
+      (10L, textA, 0.4),
+      (11L, textA + " indeed", 0.6),
+      (12L, "completely different text about gardens and walls and towers", 0.5))
+    q.processAllAvailable()
+    assert(activeReps() == Set(11L, 12L), s"batch-local keep-best: ${activeReps()}")
+
+    // batch 2: a HIGHER-quality near-dup arrives late → replaces rep 11
+    stream.addData((20L, textA + " again", 0.9))
+    q.processAllAvailable()
+    assert(activeReps() == Set(20L, 12L), s"late better arrival must replace: ${activeReps()}")
+
+    // batch 3: a lower-quality near-dup must now lose to the NEW rep 20
+    // (proof the replacement took effect in the probe surface)
+    stream.addData((30L, textA + " truly", 0.7))
+    q.processAllAvailable()
+    q.stop()
+    assert(activeReps() == Set(20L, 12L), s"worse arrival must not displace: ${activeReps()}")
+    val d = decisions()
+    assert(d(10L) == (false, 11L), s"10 lost in-batch to 11: $d")
+    assert(d(11L) == (false, 20L), s"11 was demoted to 20: $d")
+    assert(d(20L) == (true, 20L), s"20 is the retained rep: $d")
+    assert(d(30L) == (false, 20L), s"30 lost to the replaced rep 20: $d")
+    assert(d(12L) == (true, 12L), s"unrelated doc keeps itself: $d")
+  }
+
   test("streaming contamination screens micro-batches against the static eval gram set") {
     implicit val sqlCtx = spark.sqlContext
     val base = "/tmp/graft_scontam_" + System.nanoTime()

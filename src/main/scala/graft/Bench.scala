@@ -108,19 +108,20 @@ object Bench {
       // line shed the full load field and left the driver-bench
       // regressions unattributable). ~0 means an idle machine; >= cpus/4
       // under local[32] has historically meant 1.5-4x inflated numbers.
-      val loadField = if (withLoad) s""""L":${math.max(0L, math.round(load))},""" else ""
+      // -1 = load unavailable on this platform (MXBean contract) — NOT
+      // clamped to 0, which would certify an unknown machine as idle.
+      val loadField = if (withLoad) s""""L":${if (load < 0) -1L else math.round(load)},""" else ""
       s"""{"metric":"total","value":${num(total, 2)},"unit":"sec",$loadField"queries":$qs,"sf":"$sfName"}"""
     }
     // tiered shedding against the driver's 2000-char tail capture (a
     // clipped line loses EVERYTHING): first the routed-pair entries
     // (still recorded in SURVEY/README), then per-query precision drops
-    // to 1 decimal (88 queries at 2dp is ~1930 chars — already over),
-    // then the load flag — the per-query map itself is the payload and
-    // is never dropped
+    // to 1 decimal (88 queries at 2dp is ~1930 chars — already over).
+    // The 6-char load flag is NEVER shed: dropping it is what left the
+    // r5 driver-bench regressions unattributable.
     val line = Seq(
-      mkLine(true, true), mkLine(true, false),
-      mkLine(true, true, dp = 1), mkLine(true, false, dp = 1), mkLine(false, false, dp = 1))
-      .find(_.length <= 1880).getOrElse(mkLine(false, false, dp = 1))
+      mkLine(true, true), mkLine(true, false), mkLine(true, true, dp = 1))
+      .find(_.length <= 1880).getOrElse(mkLine(true, false, dp = 1))
     println(line)
     if (line.length > 1900)
       Console.err.println(s"[bench] WARNING: JSON line ${line.length} chars — driver tail capture may clip it")

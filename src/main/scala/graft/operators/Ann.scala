@@ -426,12 +426,30 @@ object Ann {
     // not a gated value). New vectors landing mostly beyond it mean the
     // quantizer no longer describes the data — the re-train trigger
     // ivfDriftFraction thresholds against.
-    corpus
+    dispersionStats(corpus, "embedding", cents)
+      .write.mode("overwrite").parquet(s"$path/stats")
+  }
+
+  /** The 1-row train-time dispersion frame (p95 quantization error) —
+    * shared by the batch index and the streaming quantizer so the
+    * drift statistic cannot diverge between them. */
+  private[graft] def dispersionStats(
+      vecs: DataFrame, vecCol: String, cents: Array[Array[Float]]): DataFrame =
+    vecs
       .select(call_function("graft_nearest_centroid_dist",
-        col("embedding"), centroidsLit(cents)).as("d"))
+        col(vecCol), centroidsLit(cents)).as("d"))
       .agg(expr("approx_percentile(d, 0.95)").as("p95_dist"))
       .coalesce(1)
-      .write.mode("overwrite").parquet(s"$path/stats")
+
+  /** Fraction of `vecs` whose quantization error exceeds `p95` — the
+    * drift measurement (one narrow pass over the given frame only). */
+  private[graft] def overP95Fraction(
+      vecs: DataFrame, vecCol: String, cents: Array[Array[Float]], p95: Double): Double = {
+    val r = vecs
+      .select((call_function("graft_nearest_centroid_dist",
+        col(vecCol), centroidsLit(cents)) > p95).cast("double").as("over"))
+      .agg(avg(col("over"))).head()
+    if (r.isNullAt(0)) 0.0 else r.getDouble(0)
   }
 
   /**
@@ -440,17 +458,21 @@ object Ann {
    * exceeds the index's train-time p95. By construction ~0.05 on
    * same-distribution data; a batch from a shifted distribution pushes
    * it toward 1. One narrow pass over the NEW vectors only — bounded
-   * by the batch, never the corpus.
+   * by the batch, never the corpus. An index with NO stats (built
+   * before stats existed, or a build that died mid-write) reports 1.0
+   * — "cannot trust the quantizer" — so refreshIvfIndexIfDrifted heals
+   * it with a rebuild instead of crashing on the missing file.
    */
   def ivfDriftFraction(spark: SparkSession, path: String, newVecs: DataFrame): Double = {
     graft.sql.GraftFunctions.register(spark)
-    val cents = loadIvfCentroids(spark, path)
-    val p95 = spark.read.parquet(s"$path/stats").head().getDouble(0)
-    val r = newVecs
-      .select((call_function("graft_nearest_centroid_dist",
-        col("embedding"), centroidsLit(cents)) > p95).cast("double").as("over"))
-      .agg(avg(col("over"))).head()
-    if (r.isNullAt(0)) 0.0 else r.getDouble(0)
+    val statsPath = new org.apache.hadoop.fs.Path(s"$path/stats")
+    val fs = statsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(statsPath)) 1.0
+    else {
+      val cents = loadIvfCentroids(spark, path)
+      val p95 = spark.read.parquet(statsPath.toString).head().getDouble(0)
+      overP95Fraction(newVecs, "embedding", cents, p95)
+    }
   }
 
   /**

@@ -38,10 +38,17 @@ object Changelog {
     * equal and silently share a dirty/clean lifecycle with null rows. */
   val NullBucket = "\u0000null"
 
+  /** Pre-U+0000-sentinel logs used this value; normalized on read so an
+    * upgraded deployment's old null-bucket entries keep cycling
+    * dirty→clean instead of being stranded under a key nothing writes. */
+  private val LegacyNullBucket = "__null__"
+
   private def readLog(spark: SparkSession, dir: String): DataFrame = {
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(path)) spark.read.parquet(dir)
+    if (fs.exists(path))
+      spark.read.parquet(dir).withColumn("bucket",
+        when(col("bucket") === LegacyNullBucket, lit(NullBucket)).otherwise(col("bucket")))
     else spark.emptyDataFrame.select(lit("").as("bucket"), lit(0L).as("seq")).limit(0)
   }
 

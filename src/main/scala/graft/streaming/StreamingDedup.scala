@@ -24,6 +24,21 @@ import graft.operators.Dedup
  */
 object StreamingDedup {
 
+  /** Shared LSH band-explode over minhash signatures — one definition
+    * for every streaming variant (run, runKeepBest), so a banding fix
+    * cannot silently diverge between them. */
+  private def bandedSigs(sigs: DataFrame, bands: Int, rowsPerBand: Int): DataFrame =
+    sigs
+      .select(col("id"), col("sig"), explode(F.lshBandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
+      .select(col("id"), col("sig"), col("bk.band"), col("bk.bh"))
+
+  /** Estimated jaccard between the joined `a.sig`/`b.sig` columns. */
+  private def estJaccardExpr(numHashes: Int) =
+    aggregate(
+      zip_with(col("a.sig"), col("b.sig"), (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), _ + _
+    ).cast("double") / lit(numHashes.toDouble)
+
   def run(
       spark: SparkSession,
       docs: DataFrame, // streaming: (doc_id long, text string)
@@ -35,11 +50,7 @@ object StreamingDedup {
       checkpoint: String = "/tmp/graft_streaming_dedup_ckpt"
   ): StreamingQuery = {
     val rowsPerBand = numHashes / bands
-
-    def banded(sigs: DataFrame): DataFrame =
-      sigs
-        .select(col("id"), col("sig"), explode(F.lshBandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
-        .select(col("id"), col("sig"), col("bk.band"), col("bk.bh"))
+    def banded(sigs: DataFrame): DataFrame = bandedSigs(sigs, bands, rowsPerBand)
 
     docs.writeStream
       .outputMode("append")
@@ -86,10 +97,7 @@ object StreamingDedup {
                   .otherwise(col("a.id") > col("b.id"))
             )
             .select(col("a.id").as("new_id"), col("b.id").as("existing_id"),
-              (aggregate(
-                zip_with(col("a.sig"), col("b.sig"), (x, y) => when(x === y, 1).otherwise(0)),
-                lit(0), _ + _
-              ).cast("double") / lit(numHashes.toDouble)).as("est_jaccard"))
+              estJaccardExpr(numHashes).as("est_jaccard"))
             .filter(col("est_jaccard") >= threshold)
             .distinct()
           // Idempotent per micro-batch: foreachBatch replays a batch after a
@@ -189,17 +197,15 @@ object StreamingDedup {
       import s.implicits._
       val cents = graft.operators.Ann.ivfTrain(
         s, batch.select(col("vec_id"), col("embedding")), numCells = ivfCells)
+      // stats BEFORE centroids: a crash between the writes then leaves
+      // stats-without-centroids (next batch trains fresh, both rewritten)
+      // instead of centroids-without-stats, which would disable the
+      // drift trigger for the index's whole lifetime
+      graft.operators.Ann.dispersionStats(batch, "embedding", cents)
+        .write.mode("overwrite").parquet(s"$indexPath/_centroids_stats")
       cents.zipWithIndex.map { case (v, i) => (i, v.toSeq) }.toSeq
         .toDF("cell", "centroid").coalesce(1)
         .write.mode("overwrite").parquet(centsPath.toString)
-      // train-time dispersion (p95 quantization error of the training
-      // batch) — the threshold the per-batch drift probe compares to
-      batch
-        .select(call_function("graft_nearest_centroid_dist",
-          col("embedding"), graft.operators.Ann.centroidsLit(cents)).as("d"))
-        .agg(expr("approx_percentile(d, 0.95)").as("p95_dist"))
-        .coalesce(1)
-        .write.mode("overwrite").parquet(s"$indexPath/_centroids_stats")
       cents
     }
 
@@ -223,14 +229,13 @@ object StreamingDedup {
         val cents = s.read.parquet(centsPath.toString).orderBy(col("cell")).collect()
           .map(_.getSeq[Float](1).toArray)
         val statsPath = new org.apache.hadoop.fs.Path(s"$indexPath/_centroids_stats")
-        val drifted = fs.exists(statsPath) && {
+        // missing stats beside existing centroids (legacy index, or a
+        // pre-fix partial write) = cannot judge drift → re-train and
+        // heal rather than leave the trigger silently disabled
+        val drifted = !fs.exists(statsPath) || {
           val p95 = s.read.parquet(statsPath.toString).head().getDouble(0)
-          val r = batch
-            .select((call_function("graft_nearest_centroid_dist",
-              col("embedding"), graft.operators.Ann.centroidsLit(cents)) > p95)
-              .cast("double").as("over"))
-            .agg(avg(col("over"))).head()
-          !r.isNullAt(0) && r.getDouble(0) > driftRetrainFraction
+          graft.operators.Ann.overP95Fraction(
+            batch, "embedding", cents, p95) > driftRetrainFraction
         }
         if (drifted) trainAndPersist(s, batch, centsPath) else cents
       }
@@ -338,28 +343,36 @@ object StreamingDedup {
       bands: Int = 16,
       threshold: Double = 0.5,
       checkpoint: String = "/tmp/graft_streaming_keepbest_ckpt"
-  ): StreamingQuery = {
-    val rowsPerBand = numHashes / bands
-
-    def banded(sigs: DataFrame): DataFrame =
-      sigs
-        .select(col("id"), col("sig"), explode(F.lshBandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
-        .select(col("id"), col("sig"), col("bk.band"), col("bk.bh"))
-
-    def estJaccard = (aggregate(
-      zip_with(col("a.sig"), col("b.sig"), (x, y) => when(x === y, 1).otherwise(0)),
-      lit(0), _ + _
-    ).cast("double") / lit(numHashes.toDouble))
-
-    // tombstone log lives beside the index (sibling dir, same FS)
-    val retiredPath = indexPath + "_retired"
-
+  ): StreamingQuery =
     docs.writeStream
       .outputMode("append")
       .trigger(Trigger.ProcessingTime(0L))
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty) {
+        keepBestBatch(batch, batchId, score, indexPath, decisionsPath,
+          numHashes, bands, threshold)
+      }
+      .start()
+
+  /** One [[runKeepBest]] micro-batch — extracted so the replay path
+    * (same batchId twice, with the first attempt's partial writes on
+    * disk) is directly testable. */
+  private[graft] def keepBestBatch(
+      batch: DataFrame,
+      batchId: Long,
+      score: org.apache.spark.sql.Column,
+      indexPath: String,
+      decisionsPath: String,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.5
+  ): Unit = {
+    val rowsPerBand = numHashes / bands
+    def banded(sigs: DataFrame): DataFrame = bandedSigs(sigs, bands, rowsPerBand)
+    def estJaccard = estJaccardExpr(numHashes)
+    // tombstone log lives beside the index (sibling dir, same FS)
+    val retiredPath = indexPath + "_retired"
+    if (!batch.isEmpty) {
           val s = batch.sparkSession
           def haveParts(path: String): Boolean = {
             val p = new org.apache.hadoop.fs.Path(path)
@@ -404,9 +417,18 @@ object StreamingDedup {
               // failed attempt already indexed — run()'s discipline)
               val idx = s.read.parquet(indexPath)
                 .join(broadcast(scored.select(col("doc_id").as("id"))), Seq("id"), "left_anti")
+              // tombstones EXCLUDING this batch's own partition: a
+              // replayed batch whose failed attempt already tombstoned
+              // a rep would otherwise see that rep as inactive, not
+              // re-match it, and then overwrite the tombstone partition
+              // with an empty one — resurrecting the demoted rep beside
+              // its replacement (two active reps for one cluster)
               val active =
                 if (haveParts(retiredPath))
-                  idx.join(s.read.parquet(retiredPath).select(col("id")), Seq("id"), "left_anti")
+                  idx.join(
+                    s.read.parquet(retiredPath)
+                      .filter(col("batch_id") =!= batchId).select(col("id")),
+                    Seq("id"), "left_anti")
                 else idx
               val m = banded(winners.select(col("id"), col("sig"))).as("a")
                 .join(banded(active.select(col("id"), col("sig"))).as("b"),
@@ -450,10 +472,10 @@ object StreamingDedup {
           replacing.select(col("rep_id").as("id"))
             .write.mode("overwrite").parquet(s"$retiredPath/batch_id=$batchId")
           newReps.write.mode("overwrite").parquet(s"$indexPath/batch_id=$batchId")
-          replacing.unpersist(); sigs.unpersist(); scored.unpersist()
-        }
-        ()
-      }
-      .start()
+          replacing.unpersist()
+          sigs.unpersist()
+          scored.unpersist()
+          ()
+    }
   }
 }

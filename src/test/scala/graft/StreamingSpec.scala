@@ -507,6 +507,42 @@ class StreamingSpec extends SparkSpecBase {
     assert(d(12L) == (true, 12L), s"unrelated doc keeps itself: $d")
   }
 
+  test("streaming keep-best replay: a re-run batch must not resurrect the rep it demoted") {
+    // simulates foreachBatch's failure contract: the batch's writes
+    // (including the tombstone partition) landed, the checkpoint did
+    // not, and the SAME batchId re-runs. Reading one's own tombstone
+    // partition would hide the demoted rep from the probe, index the
+    // winner as a fresh rep, and then overwrite the tombstone partition
+    // with an empty one — leaving BOTH reps active.
+    val base = "/tmp/graft_skb_replay_" + System.nanoTime()
+    val textA = "the quick brown fox jumps over the lazy dog near the river bank today"
+    def activeReps(): Set[Long] = {
+      val idx = spark.read.parquet(s"$base/index").select(col("id"))
+      val rp = s"$base/index_retired"
+      val active =
+        if (new java.io.File(rp).exists())
+          idx.join(spark.read.parquet(rp).select(col("id")), Seq("id"), "left_anti")
+        else idx
+      active.as[Long].collect().toSet
+    }
+    val b1 = Seq((10L, textA, 0.4)).toDF("doc_id", "text", "q")
+    graft.streaming.StreamingDedup.keepBestBatch(
+      b1, 0L, col("q"), s"$base/index", s"$base/decisions")
+    val b2 = Seq((20L, textA + " again", 0.9)).toDF("doc_id", "text", "q")
+    graft.streaming.StreamingDedup.keepBestBatch(
+      b2, 1L, col("q"), s"$base/index", s"$base/decisions")
+    assert(activeReps() == Set(20L), s"after replacement: ${activeReps()}")
+    // replay batch 1 (its partial writes are on disk, same batchId)
+    graft.streaming.StreamingDedup.keepBestBatch(
+      b2, 1L, col("q"), s"$base/index", s"$base/decisions")
+    assert(activeReps() == Set(20L),
+      s"replay must converge, not resurrect the demoted rep: ${activeReps()}")
+    val d = spark.read.parquet(s"$base/decisions")
+      .filter(col("doc_id") === 10L && col("batch_id") === 1L)
+      .select(col("kept"), col("rep_id")).as[(Boolean, Long)].collect().toSet
+    assert(d == Set((false, 20L)), s"the demotion decision must survive the replay: $d")
+  }
+
   test("streaming contamination screens micro-batches against the static eval gram set") {
     implicit val sqlCtx = spark.sqlContext
     val base = "/tmp/graft_scontam_" + System.nanoTime()

@@ -26,11 +26,11 @@ object SparkEntry {
     graft.sql.GraftFunctions.register(s)
     graft.sql.GraftFunctions.installTopKStrategy(s)
     if (name == "events") {
-      // events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
-      // reader rejects; read ns-as-long and convert (values are µs-aligned).
+      // events.parquet has shipped ts as TIMESTAMP(NANOS) (vectorized
+      // reader rejects it; read ns-as-long) and as µs TIMESTAMP_NTZ;
+      // EventTime canonicalizes either to TimestampType.
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val df = s.read.parquet(s"$dir/$name.parquet")
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      graft.sources.EventTime.normalizeTs(s.read.parquet(s"$dir/$name.parquet"))
     } else s.read.parquet(s"$dir/$name.parquet")
   }
 

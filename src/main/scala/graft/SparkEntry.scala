@@ -30,6 +30,9 @@ object SparkEntry {
       // reader rejects it; read ns-as-long) and as µs TIMESTAMP_NTZ;
       // EventTime canonicalizes either to TimestampType.
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // The NTZ→LTZ cast in normalizeTs is value-preserving only under a
+      // UTC session; the external driver's session is not pre-configured.
+      s.conf.set("spark.sql.session.timeZone", "UTC")
       graft.sources.EventTime.normalizeTs(s.read.parquet(s"$dir/$name.parquet"))
     } else s.read.parquet(s"$dir/$name.parquet")
   }

@@ -17,11 +17,16 @@ import org.apache.spark.sql.types.{LongType, TimestampNTZType}
  */
 object EventTime {
   def normalizeTs(df: DataFrame, colName: String = "ts"): DataFrame =
-    df.schema.find(_.name == colName).map(_.dataType) match {
-      case Some(LongType) =>
-        df.withColumn(colName, timestamp_micros(expr(s"$colName div 1000")))
-      case Some(TimestampNTZType) =>
-        df.withColumn(colName, col(colName).cast("timestamp"))
+    // Case-insensitive lookup to match Spark's default column resolution;
+    // Column-API arithmetic so names never pass through SQL unquoted.
+    df.schema.find(_.name.equalsIgnoreCase(colName)) match {
+      case Some(f) if f.dataType == LongType =>
+        // Integer `div`, not `/`: double division is lossy above 2^53 and
+        // nanosecond epochs exceed that. Backtick-quote the resolved name.
+        val quoted = "`" + f.name.replace("`", "``") + "`"
+        df.withColumn(f.name, timestamp_micros(expr(s"$quoted div 1000")))
+      case Some(f) if f.dataType == TimestampNTZType =>
+        df.withColumn(f.name, col(f.name).cast("timestamp"))
       case _ => df
     }
 }

@@ -39,8 +39,8 @@ class PlatformSpec extends SparkSpecBase {
     import spark.implicits._
     import graft.sources.Rollup
     import graft.functions.F
-    val events = spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val events = graft.sources.EventTime.normalizeTs(
+      spark.read.parquet(s"$sfDir/events.parquet"))
     val roll = Rollup(
       name = "events_by_day",
       timeExpr = F.truncDay(col("ts")),

@@ -37,8 +37,8 @@ class RollupRoutingSpec extends SparkSpecBase {
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(base), true)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = graft.sources.EventTime.normalizeTs(
+      spark.read.parquet(s"$sfDir/events.parquet"))
     TsLayout.write(raw, graft.schema.TestSchema.events, factPath)
     val f = TsLayout.read(spark, factPath)
     Rollup(

@@ -204,8 +204,8 @@ class StreamingSpec extends SparkSpecBase {
   test("TsLayout is readable as a file stream (continuous ingest tailing the table)") {
     import org.apache.spark.sql.functions._
     val layout = "/tmp/graft_stream_layout/events"
-    val events = spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val events = graft.sources.EventTime.normalizeTs(
+      spark.read.parquet(s"$sfDir/events.parquet"))
     graft.sources.TsLayout.write(events, graft.schema.TestSchema.events, layout)
     val stream = spark.readStream
       .schema(spark.read.parquet(layout).schema)

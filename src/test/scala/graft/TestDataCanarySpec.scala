@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Canary over the driver-generated testdata contract. The generator has
+ * changed the `events.ts` physical encoding between rounds (TIMESTAMP(NANOS)
+ * read as BIGINT under nanosAsLong, then TIMESTAMP(MICROS) read as
+ * TIMESTAMP_NTZ); when it changes again, this spec fails with a readable
+ * message instead of scattering DATATYPE_MISMATCH errors across the suite.
+ */
+class TestDataCanarySpec extends SparkSpecBase {
+
+  test("events.ts is one of the two known encodings and normalizeTs canonicalizes it") {
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    val tsType = raw.schema("ts").dataType
+    assert(
+      tsType == LongType || tsType == TimestampNTZType || tsType == TimestampType,
+      s"events.ts arrived as $tsType — a new driver-side encoding; " +
+        "extend graft.sources.EventTime.normalizeTs and re-run the suite")
+    val norm = graft.sources.EventTime.normalizeTs(raw)
+    assert(norm.schema("ts").dataType == TimestampType)
+    // Values must land in a sane epoch range (2015-2035), i.e. the unit
+    // conversion is right — a ms-vs-µs-vs-ns mix-up lands centuries away.
+    val (lo, hi) = ("2015-01-01", "2035-01-01")
+    val outOfRange = norm
+      .filter(col("ts") < lit(lo).cast("timestamp") || col("ts") >= lit(hi).cast("timestamp"))
+      .count()
+    assert(outOfRange == 0L, s"$outOfRange events.ts values outside [$lo,$hi) — unit conversion drifted")
+  }
+
+  test("core table schemas match the columns the suite depends on") {
+    def cols(t: String): Set[String] =
+      spark.read.parquet(s"$sfDir/$t.parquet").schema.fieldNames.toSet
+    assert(Set("event_id", "ts", "user_id", "event_type", "value", "props").subsetOf(cols("events")))
+    assert(Set("doc_id", "text", "lang", "source", "n_chars").subsetOf(cols("documents")))
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").schema
+    assert(Set("vec_id", "embedding", "label").subsetOf(emb.fieldNames.toSet))
+    assert(emb("embedding").dataType.isInstanceOf[ArrayType],
+      s"embeddings.embedding arrived as ${emb("embedding").dataType}")
+    assert(Set("l_orderkey", "l_quantity", "l_extendedprice", "l_discount", "l_returnflag")
+      .subsetOf(cols("lineitem")))
+  }
+}

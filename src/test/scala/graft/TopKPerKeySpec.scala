@@ -17,8 +17,7 @@ class TopKPerKeySpec extends SparkSpecBase {
 
   private def topkQuery() = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("value").desc, col("event_id"))
-    spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    graft.sources.EventTime.normalizeTs(spark.read.parquet(s"$sfDir/events.parquet"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 3)
       .select(col("user_id"), col("event_id"), col("value"), col("rank"))
@@ -65,8 +64,8 @@ class TopKPerKeySpec extends SparkSpecBase {
   test("strategy does not fire for patterns it cannot serve (rank > constant)") {
     withStrategy {
       val w = Window.partitionBy(col("user_id")).orderBy(col("value").desc)
-      val df = spark.read.parquet(s"$sfDir/events.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val df = graft.sources.EventTime.normalizeTs(
+          spark.read.parquet(s"$sfDir/events.parquet"))
         .withColumn("rank", rank().over(w)) // rank(), not row_number
         .filter(col("rank") <= 3)
       assert(!df.queryExecution.executedPlan.toString.contains("TopKPerKey"))

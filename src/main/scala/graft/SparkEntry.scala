@@ -968,10 +968,15 @@ object SparkEntry {
   private def qDedupEmbedIvf(s: SparkSession, dir: String): DataFrame = {
     val emb = ld(s, dir, "embeddings")
     val t = 0.4
+    // one quantizer for both runs: training is deterministic, so the
+    // exhaustive and probe-limited pipelines would train identical
+    // centroids anyway — share them and halve the gate's cost
+    val cents = Ann.ivfTrain(
+      s, emb.select(xxhash64(col("vec_id")).as("vec_id"), col("embedding")), numCells = 4)
     val exhaustive = Dedup.embeddingPairsIvf(emb, "vec_id", "embedding", threshold = t,
-      numCells = 4, probes = 4)
+      numCells = 4, probes = 4, centroids = cents)
     val limited = Dedup.embeddingPairsIvf(emb, "vec_id", "embedding", threshold = t,
-      numCells = 4, probes = 2)
+      numCells = 4, probes = 2, centroids = cents)
     val viol = limited
       .join(exhaustive.select(col("id_a"), col("id_b")), Seq("id_a", "id_b"), "left_anti")
       .agg(count(lit(1)).as("n_viol"))
@@ -999,8 +1004,14 @@ object SparkEntry {
   private def qKnnJoinIvf(s: SparkSession, dir: String): DataFrame = {
     val emb = ld(s, dir, "embeddings")
     val k = 3
-    val exhaustive = Ann.knnJoinIvf(emb, "vec_id", "embedding", k = k, numCells = 4, probes = 4)
-    val limited = Ann.knnJoinIvf(emb, "vec_id", "embedding", k = k, numCells = 4, probes = 2)
+    // shared quantizer, same rationale as qDedupEmbedIvf: deterministic
+    // training would produce identical centroids twice — train once
+    val cents = Ann.ivfTrain(
+      s, emb.select(xxhash64(col("vec_id")).as("vec_id"), col("embedding")), numCells = 4)
+    val exhaustive = Ann.knnJoinIvf(emb, "vec_id", "embedding", k = k, numCells = 4, probes = 4,
+      centroids = cents)
+    val limited = Ann.knnJoinIvf(emb, "vec_id", "embedding", k = k, numCells = 4, probes = 2,
+      centroids = cents)
     val w = Window.partitionBy(col("query_id")).orderBy(col("rank"))
     val perQuery = limited
       .withColumn("prev_cos", lag(col("cos"), 1).over(w))

@@ -309,12 +309,28 @@ object Ann {
       hierP1: Int = 2,
       hierP2: Int = 2,
       trainSample: Long = 20000L,
-      knownCount: Long = -1L // corpus size if the caller already counted (skips a pass)
+      knownCount: Long = -1L, // corpus size if the caller already counted (skips a pass)
+      centroids: Array[Array[Float]] = null // pre-trained flat quantizer; skips ivfTrain
   ): DataFrame = {
     val spark = df.sparkSession
     graft.sql.GraftFunctions.register(spark)
     graft.sql.GraftFunctions.installTopKStrategy(spark)
     val vecs = df.select(col(idCol).as("vec_id"), col(vecCol).as("embedding"))
+    if (centroids != null) {
+      // caller-supplied flat quantizer (shared across probe settings or a
+      // persisted index): skip counting + training, go straight to assignment
+      val items = vecs.select(col("vec_id").as("item_id"), col("embedding").as("item_vec"))
+        .withColumn("cell", call_function("graft_nearest_centroid", col("item_vec"), centroidsLit(centroids)))
+      val queries = vecs.select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+        .withColumn("cell", explode(call_function("graft_nearest_centroids",
+          col("query_vec"), centroidsLit(centroids), lit(probes))))
+      val scored = items.join(queries.hint("shuffle_hash"), Seq("cell"))
+        .filter(col("query_id") =!= col("item_id"))
+        .withColumn("cos", call_function("graft_cosine", col("query_vec"), col("item_vec")))
+        .filter(col("cos").isNotNull)
+        .select(col("query_id"), col("item_id"), col("cos"))
+      return rankTopK(scored, k)
+    }
     val n = if (knownCount >= 0L) knownCount else vecs.count()
     val wanted = math.max(16L, n / 2048L)
     val cands =

@@ -648,11 +648,20 @@ object Dedup {
       numCells: Int = 0,
       probes: Int = 3,
       trainSample: Long = 20000L,
-      knownCount: Long = -1L // corpus size if the caller already counted (skips a pass)
+      knownCount: Long = -1L, // corpus size if the caller already counted (skips a pass)
+      centroids: Array[Array[Float]] = null // pre-trained flat quantizer; skips ivfTrain
   ): DataFrame = {
     val spark = df.sparkSession
     graft.sql.GraftFunctions.register(spark)
     val vecs = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    if (centroids != null) {
+      // caller supplies the quantizer (e.g. one trained set shared
+      // across probe settings, or a persisted index) — assignment only
+      val assigned = vecs.select(
+        col("id"),
+        explode(call_function("graft_nearest_centroids", col("vec"), Ann.centroidsLit(centroids), lit(probes))).as("cell"))
+      return withinCellPairs(vecs, assigned, threshold)
+    }
     // one narrow counting pass sizes the cells AND feeds the trainer
     // (ivfTrain would otherwise count again for its sampling rate)
     val n = if (knownCount >= 0L) knownCount else vecs.count()

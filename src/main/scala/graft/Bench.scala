@@ -52,10 +52,20 @@ object Bench {
     // predicts cluster throughput.
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     val looped = ordered.map { case (name, fn) =>
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => () } // warm: plan + JIT + page cache
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      def timed(): Double = {
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }
+      // warm pass: plan + JIT + page cache; its duration decides rep count
+      val warm = timed()
+      // Median of 3 for fast queries: at sub-2s scale a single sample
+      // cannot distinguish a 2x regression from GC/JIT luck (two rounds
+      // of phantom regressions: r5 trio, r6 q_substring_dup 14.4s driver
+      // vs 0.6s judge on identical code). Slow queries stay single-timed
+      // — their signal-to-noise is fine and reps would blow the budget.
+      val t = if (warm < 2.0) Seq(timed(), timed(), timed()).sorted.apply(1) else timed()
+      name -> t
     }
 
     // routed-vs-disabled pair: the RollupRewriteRule's win as a recorded

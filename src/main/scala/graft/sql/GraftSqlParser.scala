@@ -24,6 +24,8 @@ import org.apache.spark.sql.types.{DataType, DoubleType, LongType, StringType, S
  *   KILL QUERY '<job-group>' | KILL QUERY WHERE QUERY_ID = '<job-group>'
  *   SHOW UPDATES_INTERVALS '<changelog-dir>'
  *   SHOW ROLLUP ROUTES
+ *   SHOW EXTERNAL LINKS
+ *   SHOW INDEX DRIFT FOR '<index-path>' USING '<vectors-path-or-table>'
  *   SHOW VERSION
  *   UPSERT INTO <table> (col, ...) VALUES (v, ...), ...
  *
@@ -66,6 +68,8 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface) extends P
       case KillQueryRe(group) => KillQueryCommand(group)
       case ShowUpdatesRe(dir) => ShowUpdatesIntervalsCommand(dir)
       case ShowRoutesRe() => ShowRollupRoutesCommand()
+      case ShowLinksRe() => ShowExternalLinksCommand()
+      case ShowDriftRe(index, source) => ShowIndexDriftCommand(index, source)
       case ShowVersionRe() => ShowVersionCommand()
       case UpsertRe(table, cols, values) =>
         UpsertCommand(table, cols.split(',').map(_.trim).toSeq.filter(_.nonEmpty), values)
@@ -92,6 +96,9 @@ object GraftSqlParser {
     """(?is)KILL\s+QUERY\s+(?:WHERE\s+QUERY_ID\s*=\s*)?'([^']+)'\s*;?""".r
   private val ShowUpdatesRe = """(?is)SHOW\s+UPDATES_INTERVALS\s+'([^']+)'\s*;?""".r
   private val ShowRoutesRe = """(?is)SHOW\s+ROLLUP\s+ROUTES\s*;?""".r
+  private val ShowLinksRe = """(?is)SHOW\s+EXTERNAL\s+LINKS\s*;?""".r
+  private val ShowDriftRe =
+    """(?is)SHOW\s+INDEX\s+DRIFT\s+FOR\s+'([^']+)'\s+USING\s+'([^']+)'\s*;?""".r
   private val ShowVersionRe = """(?is)SHOW\s+VERSION\s*;?""".r
   private val UpsertRe =
     """(?is)UPSERT\s+INTO\s+([A-Za-z_][A-Za-z0-9_.]*)\s*\(([^)]*)\)\s+VALUES\s+(.+?)\s*;?\s*""".r
@@ -198,6 +205,43 @@ case class ShowUpdatesIntervalsCommand(changelogDir: String) extends LeafRunnabl
   override val output: Seq[Attribute] = Seq(attr("bucket", StringType), attr("pending_seq", LongType))
   override def run(spark: SparkSession): Seq[Row] =
     Catalog.showUpdatesIntervals(spark, changelogDir).collect().toSeq
+}
+
+/** SHOW EXTERNAL LINKS — the config-declared dimension catalogs
+  * ([[graft.sources.JsonCatalogs]]): one row per declared link, the
+  * connection password never echoed. */
+case class ShowExternalLinksCommand() extends LeafRunnableCommand {
+  import GraftSqlParser.attr
+  override val output: Seq[Attribute] = Seq(
+    attr("link_name", StringType), attr("dimension", StringType),
+    attr("relation", StringType), attr("url", StringType), attr("fields", StringType))
+  override def run(spark: SparkSession): Seq[Row] =
+    graft.sources.DeclaredLinks.all.map { cfg =>
+      val d = cfg.description
+      Row(d.linkName, d.dimensionName, cfg.relation, cfg.connection.url,
+        d.fieldsNames.mkString(","))
+    }
+}
+
+/** SHOW INDEX DRIFT FOR '<index-path>' USING '<vectors>' — the IVF
+  * drift statistic ([[graft.operators.Ann.ivfDriftFraction]]) as an
+  * admin statement: the fraction of the probe vectors whose
+  * quantization error exceeds the index's train-time p95 (~0.05 on
+  * same-distribution data, → 1.0 under distribution shift, 1.0 for an
+  * index with no/unreadable stats). `USING` names a parquet directory
+  * (contains '/') or a registered table with an `embedding` column. */
+case class ShowIndexDriftCommand(indexPath: String, source: String)
+    extends LeafRunnableCommand {
+  import GraftSqlParser.attr
+  override val output: Seq[Attribute] = Seq(
+    attr("index", StringType), attr("probe_source", StringType),
+    attr("drift_fraction", org.apache.spark.sql.types.DoubleType))
+  override def run(spark: SparkSession): Seq[Row] = {
+    val vecs =
+      (if (source.contains('/')) spark.read.parquet(source) else spark.table(source))
+        .select(org.apache.spark.sql.functions.col("embedding"))
+    Seq(Row(indexPath, source, graft.operators.Ann.ivfDriftFraction(spark, indexPath, vecs)))
+  }
 }
 
 /** SHOW VERSION — engine + Spark versions (reference

@@ -71,6 +71,42 @@ class AdminSqlSpec extends SparkSpecBase {
       assert(ver.map(_.getString(0)).toSet == Set("graft", "spark"))
       assert(ver.find(_.getString(0) == "spark").get.getString(1) == s2.version)
 
+      // SHOW EXTERNAL LINKS: config-declared catalogs surface, password never echoed
+      graft.sources.DeclaredLinks.clear()
+      graft.sources.DeclaredLinks.register(graft.sources.JsonCatalogs.parse(
+        """{"externalLinks":[{"description":{"linkName":"adminLink",
+          |"dimensionName":"user_id","fieldsNames":["orgName"],"tables":["events"]},
+          |"connection":{"url":"jdbc:derby:/tmp/nowhere","password":"secret"}}]}""".stripMargin).head)
+      try {
+        val links = s2.sql("SHOW EXTERNAL LINKS").collect()
+        assert(links.exists(r => r.getString(0) == "adminLink" &&
+          r.getString(1) == "user_id" && r.getString(2) == "admin_link" &&
+          r.getString(4) == "orgName"))
+        assert(!links.exists(_.toSeq.exists(v => v != null && v.toString.contains("secret"))))
+      } finally graft.sources.DeclaredLinks.unregister("adminLink")
+
+      // SHOW INDEX DRIFT: the ivfDriftFraction probe as an admin
+      // statement — low against in-distribution vectors, ~1.0 against a
+      // shifted batch or a missing index
+      val idxPath = "/tmp/graft_adminsql_ivf"
+      val embPath = s"$sfDir/embeddings.parquet"
+      val fs2 = org.apache.hadoop.fs.FileSystem.get(s2.sparkContext.hadoopConfiguration)
+      fs2.delete(new org.apache.hadoop.fs.Path(idxPath), true)
+      graft.operators.Ann.buildIvfIndex(s2, s2.read.parquet(embPath), idxPath, numCells = 16)
+      val drift = s2.sql(s"SHOW INDEX DRIFT FOR '$idxPath' USING '$embPath'").head()
+      assert(drift.getString(0) == idxPath && drift.getString(1) == embPath)
+      assert(drift.getDouble(2) <= 0.10,
+        s"in-distribution drift should be ~0.05, got ${drift.getDouble(2)}")
+      val shiftedView = "adminsql_shifted"
+      s2.read.parquet(embPath)
+        .select(col("vec_id"), transform(col("embedding"), x => x + lit(50.0f)).as("embedding"))
+        .createOrReplaceTempView(shiftedView)
+      val drifted = s2.sql(s"SHOW INDEX DRIFT FOR '$idxPath' USING '$shiftedView'").head()
+      assert(drifted.getDouble(2) >= 0.9,
+        s"shifted batch should drift ~1.0, got ${drifted.getDouble(2)}")
+      assert(s2.sql(s"SHOW INDEX DRIFT FOR '/tmp/no_such_index' USING '$embPath'")
+        .head().getDouble(2) == 1.0, "missing index must report 1.0, not crash")
+
       // UPSERT round-trip: register a log-structured table, put rows,
       // re-put one key with a new value, and read the merged view
       val upBase = "/tmp/graft_adminsql_upsert_" + System.nanoTime()

@@ -20,6 +20,18 @@ import org.apache.spark.sql.functions._
  */
 object Ann {
 
+  /** Spread a bounded all-pairs side across the session's cores. A
+    * gate-scale corpus often arrives as ONE tiny parquet split, and a
+    * cartesian/broadcast-NL join inherits the probe side's
+    * partitioning — leaving every candidate cosine on a single core
+    * (measured: 2000 vectors self-kNN ran its 4M cosines
+    * single-threaded, 5.5s of a 5.5s query). Bounded paths only — the
+    * repartition ships at most bruteBound rows, never a corpus. */
+  private[operators] def spread(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
+
   /** Exact cosine top-k: every query vector against the whole corpus.
     * Per-candidate work is one fused codegen'd cosine (graft_cosine). */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
@@ -28,8 +40,8 @@ object Ann {
     // (bounded) query set, so the heap operator is strictly better than
     // the sort-based window — and it spills past the configured bound.
     graft.sql.GraftFunctions.installTopKStrategy(corpus.sparkSession)
-    val joined = corpus
-      .select(col("vec_id").as("item_id"), col("embedding").as("item_vec"))
+    val joined = spread(corpus
+      .select(col("vec_id").as("item_id"), col("embedding").as("item_vec")))
       .crossJoin(broadcast(queries.select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))))
       .filter(col("query_id") =!= col("item_id"))
       .withColumn("cos", call_function("graft_cosine", col("query_vec"), col("item_vec")))

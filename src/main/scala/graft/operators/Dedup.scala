@@ -750,7 +750,9 @@ object Dedup {
       df: DataFrame, idCol: String, vecCol: String, threshold: Double): DataFrame = {
     graft.sql.GraftFunctions.register(df.sparkSession)
     val vecs = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
-    vecs.as("a")
+    // spread the probe side: a one-split corpus would run every cosine
+    // on a single core (see Ann.spread)
+    Ann.spread(vecs.as("a"))
       .crossJoin(vecs.as("b"))
       .filter(col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),

@@ -11,7 +11,12 @@ import graft.SparkEntry
 object TimeQuery {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val names = if (args.length > 1) args.drop(1).toSeq else Seq("q_agg_sum_min_max")
+    // `all` sweeps every query in the fixed alphabetical bench order —
+    // the BENCH_IDLE.json reference sweep
+    val names =
+      if (args.length > 1 && args(1) == "all") SparkEntry.queries.keys.toSeq.sorted
+      else if (args.length > 1) args.drop(1).toSeq
+      else Seq("q_agg_sum_min_max")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
     val spark = SparkSession.builder()

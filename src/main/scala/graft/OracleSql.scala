@@ -308,6 +308,13 @@ object OracleSql {
          FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
          WHERE s_acctbal > 4000.0
          GROUP BY s_nationkey ORDER BY s_nationkey""",
+    "q_link_declared" ->
+      """SELECT 'cat-' || CAST(s_suppkey AS VARCHAR) AS "supplierName",
+         COUNT(*) AS cnt,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+         FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+         WHERE s_suppkey % 3 = 0
+         GROUP BY 1 ORDER BY 1""",
     "q_join_facts" ->
       s"""SELECT o_orderpriority,
          CAST(SUM($rev) AS DOUBLE) AS sum_rev,

@@ -464,6 +464,60 @@ object SparkEntry {
    * the scan itself prunes (PushedFilters shows the In) instead of
    * joining all facts and post-filtering. Asserted in PlanSpec.
    */
+  /**
+   * Declarative external link under the exact hash gate: the catalog
+   * is DECLARED from a JSON config string (the reference's universal
+   * JSON catalogs shape, yupana-external-links JsonCatalogs.scala:22),
+   * sourced over real JDBC (embedded Derby), and the link predicate
+   * collapses to an IN-set on the fact dimension pushed into the
+   * parquet scan — the whole config→JDBC→pushdown path the
+   * [[graft.sources.JsonCatalogs]] loader provides, exercised daily.
+   * The Derby catalog is materialized deterministically from the
+   * supplier table (name = "cat-"+key, tier from key mod 3), so DuckDB
+   * reproduces the join from parquet alone.
+   */
+  private def qLinkDeclared(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.JsonCatalogs
+    val dbDir = "/tmp/graft_declared_db_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+    val url = s"jdbc:derby:$dbDir"
+    // bounded driver-side setup: the catalog is dimension-sized metadata
+    SparkEntry.synchronized {
+      val conn = java.sql.DriverManager.getConnection(s"$url;create=true")
+      try {
+        val st = conn.createStatement()
+        try st.execute("DROP TABLE supplier_cat") catch { case _: java.sql.SQLException => () }
+        st.execute(
+          "CREATE TABLE supplier_cat (s_suppkey BIGINT, supplier_name VARCHAR(64), tier VARCHAR(8))")
+        val ins = conn.prepareStatement("INSERT INTO supplier_cat VALUES (?, ?, ?)")
+        val keys = ld(s, dir, "supplier").select(col("s_suppkey")).collect().map(_.getLong(0)).sorted
+        keys.foreach { k =>
+          ins.setLong(1, k)
+          ins.setString(2, s"cat-$k")
+          ins.setString(3, if (k % 3 == 0) "gold" else "std")
+          ins.addBatch()
+        }
+        ins.executeBatch(); ins.close(); st.close()
+      } finally conn.close()
+    }
+    val json =
+      s"""{"externalLinks":[{"description":{
+         |"linkName":"supplierCat","dimensionName":"l_suppkey",
+         |"fieldsNames":["supplierName","tier"],"tables":["lineitem"],
+         |"fieldsMapping":{"l_suppkey":"s_suppkey"},"relation":"supplier_cat"},
+         |"connection":{"url":"$url","driver":"org.apache.derby.jdbc.EmbeddedDriver"}}]}""".stripMargin
+    val cfgs = JsonCatalogs.parse(json)
+    val schema = JsonCatalogs.attachLinksToSchema(TestSchema.schema, cfgs)
+    val link = schema.links.find(_.linkName == "supplierCat").get
+    val load = JsonCatalogs.loader(s, cfgs, n => ld(s, dir, n))
+    QueryBuilder(s, schema, load, "lineitem")
+      .whereLink(link, col("tier") === "gold")
+      .withLink(link)
+      .groupBy(col("supplierName"))
+      .select(count(lit(1)).as("cnt"), dsum(col("l_quantity")).as("sum_qty"))
+      .build()
+      .orderBy(col("supplierName"))
+  }
+
   private def qJoinLinkFiltered(s: SparkSession, dir: String): DataFrame = {
     val link = TestSchema.schema.links.find(_.linkName == "supplier_link").get
     QueryBuilder(s, TestSchema.schema, n => ld(s, dir, n), "lineitem")
@@ -1428,6 +1482,7 @@ object SparkEntry {
     "q_limit" -> (qLimit _),
     "q_join_link" -> (qJoinLink _),
     "q_join_link_filtered" -> (qJoinLinkFiltered _),
+    "q_link_declared" -> (qLinkDeclared _),
     "q_join_facts" -> (qJoinFacts _),
     "q_asof_attribution" -> (qAsofAttribution _),
     "q_range_join" -> (qRangeJoin _),

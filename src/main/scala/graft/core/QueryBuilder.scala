@@ -141,7 +141,11 @@ final class QueryBuilder private (
     }
     for (l <- linkJoins) {
       val cat = broadcast(loadTable(l.catalogTable).select((l.catalogKey +: l.fields).map(col): _*))
-      df = df.join(cat, df(l.dimensionName) === cat(l.catalogKey), "left").drop(l.catalogKey)
+      // drop by REFERENCE, not name: a declared link's catalog key is
+      // named like the dimension itself (JsonCatalogs.toLink), and
+      // drop-by-name after a join removes ALL same-named columns —
+      // including the fact's dimension column
+      df = df.join(cat, df(l.dimensionName) === cat(l.catalogKey), "left").drop(cat(l.catalogKey))
     }
     for (f <- filters) df = df.filter(f)
     var out =

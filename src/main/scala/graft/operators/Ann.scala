@@ -20,13 +20,18 @@ import org.apache.spark.sql.functions._
  */
 object Ann {
 
-  /** Spread a bounded all-pairs side across the session's cores. A
+  /** Spread an all-pairs probe side across the session's cores. A
     * gate-scale corpus often arrives as ONE tiny parquet split, and a
     * cartesian/broadcast-NL join inherits the probe side's
     * partitioning — leaving every candidate cosine on a single core
     * (measured: 2000 vectors self-kNN ran its 4M cosines
-    * single-threaded, 5.5s of a 5.5s query). Bounded paths only — the
-    * repartition ships at most bruteBound rows, never a corpus. */
+    * single-threaded, 5.5s of a 5.5s query). On the brute dispatch the
+    * side is ≤ bruteBound rows; direct bruteForceTopK callers with a
+    * big under-partitioned corpus pay one repartition pass — strictly
+    * dominated by the |corpus|·|queries| cross-join compute that
+    * follows it, so the trade holds at any size. (df.rdd also plans
+    * the subtree once; negligible against the join it prevents
+    * serializing.) */
   private[operators] def spread(df: DataFrame): DataFrame = {
     val p = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < p) df.repartition(p) else df

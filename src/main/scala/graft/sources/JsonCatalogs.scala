@@ -78,8 +78,11 @@ object JsonCatalogs {
   def camelToSnake(s: String): String =
     s.replaceAll("([a-z0-9])([A-Z])", "$1_$2").toLowerCase
 
-  private def strs(n: JsonNode): Seq[String] =
-    if (n == null) Seq.empty else n.elements().asScala.map(_.asText()).toSeq
+  private def strs(n: JsonNode, field: String): Seq[String] =
+    if (n == null || n.isNull) Seq.empty
+    else if (!n.isArray)
+      throw new IllegalArgumentException(s"external link config: '$field' must be an array")
+    else n.elements().asScala.map(_.asText()).toSeq
 
   private def optStr(n: JsonNode, field: String): Option[String] =
     Option(n.get(field)).filterNot(_.isNull).map(_.asText())
@@ -94,6 +97,11 @@ object JsonCatalogs {
     val root = new ObjectMapper().readTree(json)
     val links = Option(root.get("externalLinks")).getOrElse(
       throw new IllegalArgumentException("external link config: missing 'externalLinks' array"))
+    // an object where the array belongs (a common hand-edit typo) would
+    // iterate zero elements and silently declare nothing
+    if (!links.isArray)
+      throw new IllegalArgumentException(
+        "external link config: 'externalLinks' must be an array, got " + links.getNodeType)
     links.elements().asScala.map { e =>
       val d = Option(e.get("description")).getOrElse(
         throw new IllegalArgumentException("external link config: missing 'description'"))
@@ -108,8 +116,8 @@ object JsonCatalogs {
         LinkDescription(
           linkName = reqStr(d, "linkName", "description"),
           dimensionName = reqStr(d, "dimensionName", "description"),
-          fieldsNames = strs(d.get("fieldsNames")),
-          tables = strs(d.get("tables")),
+          fieldsNames = strs(d.get("fieldsNames"), "fieldsNames"),
+          tables = strs(d.get("tables"), "tables"),
           fieldsMapping = mapping,
           relation = optStr(d, "relation")
         ),
@@ -167,14 +175,22 @@ object JsonCatalogs {
         s"external link '${d.linkName}': none of tables ${d.tables.mkString(", ")} " +
           s"carries dimension '${d.dimensionName}'")
     }
+    // name collisions (against existing links or within the config)
+    // would make links.find(_.linkName == ...) resolve arbitrarily
+    val names = schema.links.map(_.linkName) ++ cfgs.map(_.description.linkName)
+    val dup = names.diff(names.distinct)
+    require(dup.isEmpty, s"external link name(s) declared twice: ${dup.distinct.mkString(", ")}")
     schema.copy(links = schema.links ++ cfgs.map(_.toLink))
   }
 
   /**
    * Compose a table loader that resolves declared catalog names to
    * their JDBC reads and everything else to `base` — pass the result
-   * as QueryBuilder's `loadTable`. Also registers each link for admin
-   * visibility (`SHOW EXTERNAL LINKS`).
+   * as QueryBuilder's `loadTable`. DELIBERATE side effect: each link
+   * registers into the process-wide [[DeclaredLinks]] registry for
+   * admin visibility (`SHOW EXTERNAL LINKS`) — latest declaration per
+   * name wins, mirroring temp-view semantics; `DeclaredLinks
+   * .unregister` retires one.
    */
   def loader(spark: SparkSession, cfgs: Seq[LinkConfig], base: String => DataFrame): String => DataFrame = {
     cfgs.foreach(DeclaredLinks.register)

@@ -30,7 +30,10 @@ object KnnBreakdown {
       .withColumn("cos", call_function("graft_cosine", col("query_vec"), col("item_vec")))
       .filter(col("cos").isNotNull)
     println(s"[knn] joinPartitions=${joined.rdd.getNumPartitions}")
-    time("cosine-only count (no rank)")(joined.count())
+    // deliberately UNSPREAD (the pre-fix single-partition shape): kept
+    // as the pathology demonstration Ann.spread() exists to prevent —
+    // compare against "full knnJoin", which runs the spread plan
+    time("cosine-only count (unspread 1-partition shape)")(joined.count())
     time("full knnJoin")(graft.operators.Ann.knnJoin(emb, "vec_id", "embedding", k = 3).count())
     time("full mutualKnnClusters")(
       graft.operators.Ann.mutualKnnClusters(emb, "vec_id", "embedding", k = 3).count())

@@ -75,6 +75,15 @@ class JsonCatalogsSpec extends SparkSpecBase {
       JsonCatalogs.parse("""{"externalLinks":[{"description":{"linkName":"x"},"connection":{"url":"u"}}]}""")
     }
     assert(e.getMessage.contains("dimensionName"))
+    // an object where the array belongs must be an error, not zero links
+    val eObj = intercept[IllegalArgumentException] {
+      JsonCatalogs.parse("""{"externalLinks":{"description":{}}}""")
+    }
+    assert(eObj.getMessage.contains("must be an array"))
+    val eFields = intercept[IllegalArgumentException] {
+      JsonCatalogs.parse(configJson.replace("""["supplierName", "tier"]""", """"supplierName""""))
+    }
+    assert(eFields.getMessage.contains("fieldsNames"))
   }
 
   test("attachLinksToSchema validates the dimension against the declared tables") {
@@ -88,6 +97,32 @@ class JsonCatalogsSpec extends SparkSpecBase {
       JsonCatalogs.attachLinksToSchema(TestSchema.schema, JsonCatalogs.parse(bad))
     }
     assert(e.getMessage.contains("no_such_dim"))
+    // a colliding link name must be an error, not first-match-wins
+    val eDup = intercept[IllegalArgumentException] {
+      JsonCatalogs.attachLinksToSchema(TestSchema.schema, cfgs ++ cfgs)
+    }
+    assert(eDup.getMessage.contains("supplierCat"))
+  }
+
+  test("enrichment keeps the fact's dimension column when the catalog key shares its name") {
+    derbyReady
+    val cfgs = JsonCatalogs.parse(configJson)
+    val schema = JsonCatalogs.attachLinksToSchema(TestSchema.schema, cfgs)
+    val link = schema.links.find(_.linkName == "supplierCat").get
+    val load = JsonCatalogs.loader(spark, cfgs,
+      n => spark.read.parquet(s"$sfDir/$n.parquet"))
+    // a declared link's catalogKey is NAMED like the dimension — the
+    // post-join drop must remove only the catalog's copy, so grouping
+    // by the dimension itself still resolves (regression: drop-by-name
+    // removed both and this query failed analysis)
+    val df = QueryBuilder(spark, schema, load, "lineitem")
+      .withLink(link)
+      .groupBy(col("l_suppkey"))
+      .select(count(lit(1)).as("cnt"), first(col("supplierName")).as("supplierName"))
+      .build()
+    val got = df.collect().map(r => (r.getLong(0), r.getString(2))).toMap
+    assert(got.nonEmpty)
+    assert(got.forall { case (k, name) => name == s"declared-supplier-$k" })
   }
 
   test("declared catalog loads over JDBC with link-level column names") {

@@ -136,9 +136,15 @@ object Bench {
     // to 1 decimal (88 queries at 2dp is ~1930 chars — already over).
     // The 6-char load flag is NEVER shed: dropping it is what left the
     // r5 driver-bench regressions unattributable.
+    // final tier: whole seconds. At 90 queries even 1dp runs ~1896 chars
+    // — inside the ~1925 hard edge but with no growth margin (one query
+    // crossing 10s costs 2 chars). Whole-second resolution loses the
+    // sub-second detail ONLY in the emergency tier; BENCH_IDLE.json
+    // keeps the precise per-query numbers.
     val line = Seq(
-      mkLine(true, true), mkLine(true, false), mkLine(true, true, dp = 1))
-      .find(_.length <= 1880).getOrElse(mkLine(true, false, dp = 1))
+      mkLine(true, true), mkLine(true, false), mkLine(true, true, dp = 1),
+      mkLine(true, false, dp = 1))
+      .find(_.length <= 1880).getOrElse(mkLine(true, false, dp = 0))
     println(line)
     if (line.length > 1900)
       Console.err.println(s"[bench] WARNING: JSON line ${line.length} chars — driver tail capture may clip it")

@@ -937,6 +937,36 @@ object SparkEntry {
       .ngramJaccardPairs(ld(s, dir, "documents"), "doc_id", "text", groupCols = Seq("lang", "source"), n = 4, threshold = 0.35)
       .orderBy(col("id_a"), col("id_b"))
 
+  /**
+   * Cross-corpus dedup through the PERSISTED text index: a "new shard"
+   * (sources src0-2) probed against the reference corpus (the rest).
+   * The index is built once per immutable source dir — routedFacts
+   * discipline, so repeat runs time the probe path a daily shard would
+   * pay, not the one-time corpus scan — and the probe's banding
+   * geometry comes from the index meta, exercising the exact
+   * build→persist→probe cycle a 100 TB pipeline runs. Threshold-sized
+   * banding makes the emitted pair set equal brute-force A×B (miss
+   * < 1e-6 at t = 0.5), which the DuckDB oracle recomputes
+   * quadratically.
+   */
+  private def qDedupCross(s: SparkSession, dir: String): DataFrame = {
+    val docs = ld(s, dir, "documents")
+    val newShard = docs.filter(col("source").isin("src0", "src1", "src2"))
+    val refCorpus = docs.filter(!col("source").isin("src0", "src1", "src2"))
+    val key = dir.replaceAll("[^a-zA-Z0-9]", "_") + "_" +
+      java.lang.Long.toHexString(
+        org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+          dir.getBytes("UTF-8"), org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+          dir.getBytes("UTF-8").length, 42L))
+    val idxPath = s"/tmp/graft_textindex/$key"
+    val marker = new org.apache.hadoop.fs.Path(s"$idxPath/sigs/_SUCCESS")
+    if (!marker.getFileSystem(s.sparkContext.hadoopConfiguration).exists(marker))
+      Dedup.buildTextIndex(refCorpus, "doc_id", "text", idxPath, threshold = 0.5)
+    Dedup
+      .crossJaccardPairsIndexed(newShard, idxPath, refCorpus, "doc_id", "text")
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** Hyperplane-LSH candidates + exact cosine verify at 0.5 — the level
     * where 16-plane/4-band recall is complete on this corpus, making the
     * output the exact ≥-threshold set (oracle-checked with the same
@@ -1516,6 +1546,7 @@ object SparkEntry {
     "q_dedup_minhash" -> (qDedupMinhash _),
     "q_dedup_simhash" -> (qDedupSimhash _),
     "q_dedup_ngram_jaccard" -> (qDedupNgramJaccard _),
+    "q_dedup_cross" -> (qDedupCross _),
     "q_dedup_cluster" -> (qDedupCluster _),
     "q_curate" -> (qCurate _),
     "q_dedup_embed" -> (qDedupEmbed _),

@@ -1070,4 +1070,137 @@ object Dedup {
       .select(col(idCol), col("canonical_id"))
       .withColumn("keep", col(idCol) === col("canonical_id"))
   }
+
+  // ───────────────────────── cross-corpus dedup ─────────────────────────
+  //
+  // Dedup a NEW shard against an EXISTING reference corpus (the batch
+  // counterpart of StreamingDedup's per-batch index probe): the routine
+  // step of checking a fresh crawl against the training set already on
+  // disk. Candidate generation is the same threshold-sized MinHash
+  // banding as the self-dedup path, but A-vs-B — probe bands join
+  // reference bands, so the work is |probe|-proportional, not
+  // |reference|²: at 100 TB the reference side's signatures are computed
+  // ONCE (buildTextIndex — the one full narrow scan over the corpus) and
+  // every subsequent shard pays only its own signature pass plus a
+  // band-key shuffle join against the persisted index.
+
+  /** A-vs-B band-collision candidates: (probe id, ref id), id-only.
+    * Both sides' banded rows are individually bucket-capped — a
+    * degenerate bucket is quadratic regardless of which side feeds it. */
+  private def crossCandidates(
+      probeBanded: DataFrame, refBanded: DataFrame, maxBucket: Option[Int]): DataFrame =
+    capBuckets(probeBanded, maxBucket).as("a")
+      .join(capBuckets(refBanded, maxBucket).as("b").hint("shuffle_hash"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+
+  /** Exact distinct-shingle Jaccard for A-vs-B candidates: each side's
+    * shingles come from its own frame (ids may collide across corpora —
+    * they are different namespaces). */
+  private def crossExactVerify(
+      cands: DataFrame, probe: DataFrame, ref: DataFrame,
+      idCol: String, textCol: String, shingleSize: Int): DataFrame = {
+    graft.sql.GraftFunctions.register(probe.sparkSession)
+    val shA = probe.select(col(idCol).as("id_a"), shingles(col(textCol), shingleSize).as("sh_a"))
+    val shB = ref.select(col(idCol).as("id_b"), shingles(col(textCol), shingleSize).as("sh_b"))
+    cands
+      .join(shA, "id_a")
+      .join(shB, "id_b")
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double")).as("jac"))
+  }
+
+  private def bandedFromSigs(sigs: DataFrame, bands: Int, rowsPerBand: Int): DataFrame =
+    sigs
+      .select(col("id"), explode(F.lshBandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
+      .select(col("id"), col("bk.band"), col("bk.bh"))
+
+  /**
+   * Cross-corpus near-duplicate pairs: every (probe doc, reference doc)
+   * pair with exact distinct-shingle Jaccard ≥ `threshold`. Banding is
+   * threshold-sized ([[minhashBanding]], at-threshold miss < `missTarget`
+   * on any corpus), so the output matches a brute-force A×B scan — the
+   * driver's oracle recomputes it quadratically.
+   */
+  def crossJaccardPairs(
+      probe: DataFrame,
+      ref: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      threshold: Double = 0.5,
+      missTarget: Double = 1e-6,
+      maxBucket: Option[Int] = None
+  ): DataFrame = {
+    val (nh, b) = minhashBanding(threshold, missTarget)
+    val pb = bandedFromSigs(minhashSigs(probe, idCol, textCol, nh, shingleSize), b, nh / b)
+    val rb = bandedFromSigs(minhashSigs(ref, idCol, textCol, nh, shingleSize), b, nh / b)
+    crossExactVerify(crossCandidates(pb, rb, maxBucket), probe, ref, idCol, textCol, shingleSize)
+      .filter(col("jac") >= threshold)
+  }
+
+  /**
+   * Build-once persisted MinHash signature index over a reference
+   * corpus. Layout: `path/sigs` = (id, sig) parquet; `path/meta` = one
+   * row pinning the banding geometry and shingle size, so every future
+   * probe reads the SAME hash family it was built with (a probe banded
+   * differently than its index silently finds nothing — the geometry is
+   * data, not convention). The signature pass is the only full scan of
+   * the reference text; at 100 TB it amortizes across every shard that
+   * ever probes the index.
+   */
+  def buildTextIndex(
+      ref: DataFrame,
+      idCol: String,
+      textCol: String,
+      path: String,
+      threshold: Double = 0.5,
+      shingleSize: Int = 3,
+      missTarget: Double = 1e-6
+  ): Unit = {
+    val (nh, b) = minhashBanding(threshold, missTarget)
+    val spark = ref.sparkSession
+    minhashSigs(ref, idCol, textCol, nh, shingleSize)
+      .write.mode("overwrite").parquet(s"$path/sigs")
+    import spark.implicits._
+    Seq((nh, b, shingleSize, threshold, missTarget))
+      .toDF("num_hashes", "bands", "shingle_size", "threshold", "miss_target")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /**
+   * Probe a persisted text index ([[buildTextIndex]]): signatures for
+   * the probe shard only (narrow map over the NEW data), band join
+   * against the stored reference signatures, then exact shingle-Jaccard
+   * verify. `ref` supplies reference TEXT for the verify step — a
+   * streamed narrow shingle pass (rows shingle, hit the candidate join,
+   * and die; nothing corpus-sized materializes) that only candidate
+   * rows survive. The index itself stays text-free, so its size is
+   * O(corpus × numHashes), not O(text). Threshold and banding geometry
+   * come from the index meta — a probe banded differently than its
+   * index would silently find nothing, so the geometry travels with
+   * the data, not the code.
+   */
+  def crossJaccardPairsIndexed(
+      probe: DataFrame,
+      indexPath: String,
+      ref: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxBucket: Option[Int] = None
+  ): DataFrame = {
+    val spark = probe.sparkSession
+    val meta = spark.read.parquet(s"$indexPath/meta").collect()(0)
+    val nh = meta.getAs[Int]("num_hashes")
+    val b = meta.getAs[Int]("bands")
+    val shingleSize = meta.getAs[Int]("shingle_size")
+    val threshold = meta.getAs[Double]("threshold")
+    val pb = bandedFromSigs(minhashSigs(probe, idCol, textCol, nh, shingleSize), b, nh / b)
+    val rb = bandedFromSigs(spark.read.parquet(s"$indexPath/sigs"), b, nh / b)
+    crossExactVerify(crossCandidates(pb, rb, maxBucket), probe, ref, idCol, textCol, shingleSize)
+      .filter(col("jac") >= threshold)
+  }
 }

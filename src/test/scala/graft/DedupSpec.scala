@@ -384,4 +384,67 @@ class DedupSpec extends SparkSpecBase {
       .as[(Long, Long, Boolean)].collect().toSeq
     assert(out == Seq((1L, 1L, true), (2L, 1L, false)))
   }
+
+  // ───────────── cross-corpus dedup (probe vs reference) ─────────────
+
+  /** Spark-side quadratic ground truth for A-vs-B shingle jaccard. */
+  private def bruteCross(probe: org.apache.spark.sql.DataFrame,
+      ref: org.apache.spark.sql.DataFrame, threshold: Double) = {
+    val sa = probe.select(col("doc_id").as("id_a"), Dedup.shingles(col("text"), 3).as("sa"))
+    val sb = ref.select(col("doc_id").as("id_b"), Dedup.shingles(col("text"), 3).as("sb"))
+    sa.crossJoin(sb)
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("sa"), col("sb"))).cast("double") /
+          size(array_union(col("sa"), col("sb"))).cast("double")).as("jac"))
+      .filter(col("jac") >= threshold)
+  }
+
+  test("cross-corpus pairs equal the brute-force A×B ground truth at sf0.001") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val probe = docs.filter(col("source").isin("src0", "src1", "src2"))
+    val ref = docs.filter(!col("source").isin("src0", "src1", "src2"))
+    val got = Dedup.crossJaccardPairs(probe, ref, "doc_id", "text", threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val want = bruteCross(probe, ref, 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got == want)
+    assert(want.nonEmpty, "split must produce cross pairs or the test proves nothing")
+  }
+
+  test("indexed cross-corpus probe ≡ direct, and the geometry rides in the index meta") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val probe = docs.filter(col("source").isin("src0", "src1", "src2"))
+    val ref = docs.filter(!col("source").isin("src0", "src1", "src2"))
+    val path = "/tmp/graft_xidx_" + System.nanoTime()
+    // build at a NON-default threshold: the probe call takes no threshold
+    // argument, so agreement with the direct t=0.35 run proves the probe
+    // read its banding geometry and threshold from the persisted meta
+    Dedup.buildTextIndex(ref, "doc_id", "text", path, threshold = 0.35)
+    val indexed = Dedup.crossJaccardPairsIndexed(probe, path, ref, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().toSet
+    val direct = Dedup.crossJaccardPairs(probe, ref, "doc_id", "text", threshold = 0.35)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(indexed == direct)
+    assert(indexed.nonEmpty)
+  }
+
+  test("cross-corpus: colliding ids across the two corpora are distinct documents") {
+    // id 1 exists on BOTH sides with different text; the probe's id-1 doc
+    // duplicates the ref's id-7 doc. Nothing may conflate the namespaces.
+    val probe = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa")).toDF("doc_id", "text")
+    val ref = Seq(
+      (1L, "completely unrelated reference content about distributed query planning"),
+      (7L, "alpha beta gamma delta epsilon zeta eta theta iota kappa")).toDF("doc_id", "text")
+    val got = Dedup.crossJaccardPairs(probe, ref, "doc_id", "text", threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 7L)))
+  }
+
+  test("cross-corpus: empty probe shard yields no pairs against a populated index") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val ref = docs.filter(!col("source").isin("src0", "src1", "src2"))
+    val empty = docs.filter(lit(false))
+    assert(Dedup.crossJaccardPairs(empty, ref, "doc_id", "text").isEmpty)
+  }
 }

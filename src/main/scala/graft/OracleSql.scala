@@ -645,6 +645,26 @@ object OracleSql {
          TRUE AS mechanism_ok,
          TRUE AS found_true_neighbor
          FROM embeddings WHERE vec_id < 8 ORDER BY query_id""",
+    // persisted-index search with EXHAUSTIVE probing: the probed-cell
+    // candidate set is the whole corpus minus self, so the index path's
+    // output equals brute-force top-k — re-verified neighbor by
+    // neighbor; the probe-limited run's structural invariant is pinned
+    // as the expected TRUE
+    "q_ann_indexed" ->
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+                    FROM embeddings WHERE vec_id < 8),
+              c AS (SELECT vec_id AS item_id, CAST(embedding AS DOUBLE[]) AS iv
+                    FROM embeddings),
+              s AS (SELECT query_id, item_id,
+                list_reduce(list_prepend(0.0, list_transform(generate_series(1, len(qv)), i -> qv[i] * iv[i])), (a, x) -> a + x) /
+                (sqrt(list_reduce(list_prepend(0.0, list_transform(generate_series(1, len(qv)), i -> qv[i] * qv[i])), (a, x) -> a + x)) *
+                 sqrt(list_reduce(list_prepend(0.0, list_transform(generate_series(1, len(iv)), i -> iv[i] * iv[i])), (a, x) -> a + x))) AS cos
+              FROM q CROSS JOIN c WHERE query_id <> item_id),
+              r AS (SELECT query_id, item_id, cos,
+                CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, item_id) AS INT) AS rank
+              FROM s WHERE NOT isnan(cos))
+         SELECT query_id, item_id, cos, rank, TRUE AS limited_wellformed_ok
+         FROM r WHERE rank <= 5 ORDER BY query_id, rank""",
     // exact_jaccard is recomputed here from scratch (tokenize →
     // distinct word-3-shingles per source → |∩|/|∪|); the minhash
     // estimate is gated as the |est − exact| <= 0.2 bound

@@ -568,16 +568,20 @@ object SparkEntry {
   /** One-time layout + rollup materialization and route registration for
     * the routed queries (source data per dir is immutable, so repeat runs
     * time the ROUTED QUERY, not the one-time ETL). Returns the fact scan. */
-  private def routedFacts(s: SparkSession, dir: String): DataFrame = {
-    // sanitized name + full-path hash: sanitization alone is not
-    // injective (/data/sf0.001 and /data/sf0_001 both collide onto
-    // data_sf0_001 and the second dataset would silently serve the
-    // first's cached layout/rollup)
-    val key = dir.replaceAll("[^a-zA-Z0-9]", "_") + "_" +
+  /** Collision-safe per-dir key for build-once /tmp artifacts: sanitized
+    * name + full-path hash. Sanitization alone is not injective
+    * (/data/sf0.001 and /data/sf0_001 both collide onto data_sf0_001 and
+    * the second dataset would silently serve the first's cached
+    * layout/rollup/index). */
+  private def dirKey(dir: String): String =
+    dir.replaceAll("[^a-zA-Z0-9]", "_") + "_" +
       java.lang.Long.toHexString(
         org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
           dir.getBytes("UTF-8"), org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
           dir.getBytes("UTF-8").length, 42L))
+
+  private def routedFacts(s: SparkSession, dir: String): DataFrame = {
+    val key = dirKey(dir)
     val layout = s"/tmp/graft_routed/$key/events"
     val rollPath = s"/tmp/graft_routed/$key/events_by_day_v2"
     def done(p: String) = {
@@ -953,12 +957,7 @@ object SparkEntry {
     val docs = ld(s, dir, "documents")
     val newShard = docs.filter(col("source").isin("src0", "src1", "src2"))
     val refCorpus = docs.filter(!col("source").isin("src0", "src1", "src2"))
-    val key = dir.replaceAll("[^a-zA-Z0-9]", "_") + "_" +
-      java.lang.Long.toHexString(
-        org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
-          dir.getBytes("UTF-8"), org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
-          dir.getBytes("UTF-8").length, 42L))
-    val idxPath = s"/tmp/graft_textindex/$key"
+    val idxPath = s"/tmp/graft_textindex/${dirKey(dir)}"
     val marker = new org.apache.hadoop.fs.Path(s"$idxPath/sigs/_SUCCESS")
     if (!marker.getFileSystem(s.sparkContext.hadoopConfiguration).exists(marker))
       Dedup.buildTextIndex(refCorpus, "doc_id", "text", idxPath, threshold = 0.5)
@@ -1173,6 +1172,57 @@ object SparkEntry {
         (col("total") === col("matched") && col("total") === lit(k.toLong)).as("mechanism_ok"),
         (coalesce(col("hits"), lit(0L)) >= lit(1L)).as("found_true_neighbor"))
       .orderBy(col("query_id"))
+  }
+
+  /**
+   * PERSISTED-IVF-index search under the exact hash gate — the last
+   * spec-only scale path gains a daily-red-able row. The index (trained
+   * centroids + cell-PARTITIONED corpus assignments + drift stats) is
+   * built once per immutable source dir (routedFacts discipline), so
+   * repeat runs execute what a query batch at 100 TB pays: load bounded
+   * centroid metadata, resolve the probed cell set driver-side, read
+   * ONLY those cells' files (static partition filter — OperatorSpec
+   * asserts the pruned file list), heap top-k per query.
+   *
+   * Exhaustive probing (probes = numCells) makes the probed-cell
+   * candidate set the whole corpus minus self, so the output EQUALS
+   * brute-force top-k and DuckDB re-verifies every neighbor, cosine,
+   * and rank. The probe-limited run (probes = 4 of 16 — the true scale
+   * shape) executes under the same gate with its structural invariants
+   * hashed (`limited_wellformed_ok`: k slots, ranks 1..k, descending
+   * cosine — probe-limiting degrades WHICH neighbors rank, never the
+   * ranking mechanism).
+   */
+  private def qAnnIndexed(s: SparkSession, dir: String): DataFrame = {
+    val emb = ld(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 8)
+    val k = 5
+    val idxPath = s"/tmp/graft_ivfindex/${dirKey(dir)}"
+    val marker = new org.apache.hadoop.fs.Path(s"$idxPath/assignments/_SUCCESS")
+    if (!marker.getFileSystem(s.sparkContext.hadoopConfiguration).exists(marker))
+      Ann.buildIvfIndex(s, emb, idxPath, numCells = 16)
+    val exhaustive = Ann.searchIvfIndex(s, idxPath, queries, k, probes = 16)
+    val limited = Ann.searchIvfIndex(s, idxPath, queries, k, probes = 4)
+    val w = Window.partitionBy(col("query_id")).orderBy(col("rank"))
+    val perQuery = limited
+      .withColumn("prev_cos", lag(col("cos"), 1).over(w))
+      .groupBy(col("query_id"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("rank")).as("rmin"),
+        max(col("rank")).as("rmax"),
+        sum(when(col("prev_cos").isNotNull && col("prev_cos") < col("cos"), 1L)
+          .otherwise(0L)).as("inversions"))
+    val bad = exhaustive.select(col("query_id")).distinct()
+      .join(perQuery, Seq("query_id"), "left")
+      .agg(sum(when(
+        col("n") === k.toLong && col("rmin") === 1 && col("rmax") === k &&
+          col("inversions") === 0L, 0L).otherwise(1L)).as("n_bad"))
+    exhaustive
+      .crossJoin(broadcast(bad))
+      .select(col("query_id"), col("item_id"), col("cos"), col("rank"),
+        (coalesce(col("n_bad"), lit(0L)) === 0L).as("limited_wellformed_ok"))
+      .orderBy(col("query_id"), col("rank"))
   }
 
   // ==================================================================
@@ -1553,6 +1603,7 @@ object SparkEntry {
     "q_dedup_embed_ivf" -> (qDedupEmbedIvf _),
     "q_ann_bruteforce" -> (qAnnBruteforce _),
     "q_ann_ivf" -> (qAnnIvf _),
+    "q_ann_indexed" -> (qAnnIndexed _),
     "q_text_langid" -> (qTextLangid _),
     "q_text_quality" -> (qTextQuality _),
     "q_text_tokencount" -> (qTextTokencount _),

@@ -958,7 +958,9 @@ object SparkEntry {
     val newShard = docs.filter(col("source").isin("src0", "src1", "src2"))
     val refCorpus = docs.filter(!col("source").isin("src0", "src1", "src2"))
     val idxPath = s"/tmp/graft_textindex/${dirKey(dir)}"
-    val marker = new org.apache.hadoop.fs.Path(s"$idxPath/sigs/_SUCCESS")
+    // meta is written last in buildTextIndex, so its _SUCCESS certifies
+    // a complete sigs+meta build
+    val marker = new org.apache.hadoop.fs.Path(s"$idxPath/meta/_SUCCESS")
     if (!marker.getFileSystem(s.sparkContext.hadoopConfiguration).exists(marker))
       Dedup.buildTextIndex(refCorpus, "doc_id", "text", idxPath, threshold = 0.5)
     Dedup

@@ -1162,13 +1162,88 @@ object Dedup {
   ): Unit = {
     val (nh, b) = minhashBanding(threshold, missTarget)
     val spark = ref.sparkSession
+    // shard=__base subdir: the initial corpus is just the first shard of
+    // the parquet-append layout appendToTextIndex grows (partition
+    // discovery exposes `shard`, so a probe can exclude its own shard's
+    // rows on replay). meta is written LAST — its presence certifies a
+    // complete build, so a crash between the two writes leaves a
+    // probe-refusing index, not a silently geometry-less one.
     minhashSigs(ref, idCol, textCol, nh, shingleSize)
-      .write.mode("overwrite").parquet(s"$path/sigs")
+      .write.mode("overwrite").parquet(s"$path/sigs/shard=__base")
     import spark.implicits._
     Seq((nh, b, shingleSize, threshold, missTarget))
       .toDF("num_hashes", "bands", "shingle_size", "threshold", "miss_target")
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /**
+   * Append one shard's signatures to an existing text index
+   * ([[buildTextIndex]] layout). The banding geometry comes from the
+   * index meta, so appended signatures are band-compatible with every
+   * probe by construction. Each shard overwrites its OWN
+   * `sigs/shard=<name>` subdir — re-running a failed or replayed shard
+   * converges instead of duplicating index rows (duplicated signatures
+   * would multiply every future shard's candidate pairs). The write is
+   * one narrow signature pass over the shard; the base corpus is never
+   * rewritten.
+   */
+  def appendToTextIndex(
+      docs: DataFrame,
+      indexPath: String,
+      idCol: String,
+      textCol: String,
+      shard: String
+  ): Unit = {
+    require(shard.nonEmpty && shard != "__base",
+      s"shard name must be a non-empty label other than the reserved __base, got '$shard'")
+    val spark = docs.sparkSession
+    val meta = spark.read.parquet(s"$indexPath/meta").collect()(0)
+    val nh = meta.getAs[Int]("num_hashes")
+    val shingleSize = meta.getAs[Int]("shingle_size")
+    // escapePathName: shard labels are user strings landing in a
+    // partition-directory name ('/', '=', '%' must not change the path
+    // structure); Spark's own partition-write escaping keeps discovery
+    // able to read the value back verbatim
+    val safe = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(shard)
+    minhashSigs(docs, idCol, textCol, nh, shingleSize)
+      .write.mode("overwrite").parquet(s"$indexPath/sigs/shard=$safe")
+  }
+
+  /**
+   * The incremental admission cycle a curation pipeline runs per shard:
+   * probe the index for cross-corpus duplicates, keep only NOVEL
+   * documents, and append the survivors' signatures under this shard's
+   * name — so the next shard dedups against corpus + this shard's
+   * admitted docs. Returns the surviving rows of `probe` (all columns).
+   *
+   * Replay-safe: the probe EXCLUDES the shard's own index rows, so
+   * re-running a shard (retry after a mid-append crash, a replayed
+   * pipeline) computes the same survivor set from the same evidence and
+   * overwrites `sigs/shard=<name>` with identical content, converging
+   * instead of self-matching every document into rejection (which would
+   * also empty the shard's index entry — data loss on retry).
+   *
+   * `ref` supplies text for the exact verify and must cover the corpus
+   * the index indexes (base + previously admitted shards) — the index
+   * itself is text-free.
+   */
+  def admitShard(
+      probe: DataFrame,
+      indexPath: String,
+      ref: DataFrame,
+      idCol: String,
+      textCol: String,
+      shard: String,
+      maxBucket: Option[Int] = None
+  ): DataFrame = {
+    val dupIds = crossJaccardPairsIndexed(
+      probe, indexPath, ref, idCol, textCol, maxBucket, excludeShard = Some(shard))
+      .select(col("id_a").as("__dup_id")).distinct()
+    val survivors = probe.join(
+      dupIds.hint("shuffle_hash"), col(idCol) === col("__dup_id"), "left_anti")
+    appendToTextIndex(survivors, indexPath, idCol, textCol, shard)
+    survivors
   }
 
   /**
@@ -1190,7 +1265,8 @@ object Dedup {
       ref: DataFrame,
       idCol: String,
       textCol: String,
-      maxBucket: Option[Int] = None
+      maxBucket: Option[Int] = None,
+      excludeShard: Option[String] = None
   ): DataFrame = {
     val spark = probe.sparkSession
     val meta = spark.read.parquet(s"$indexPath/meta").collect()(0)
@@ -1199,7 +1275,17 @@ object Dedup {
     val shingleSize = meta.getAs[Int]("shingle_size")
     val threshold = meta.getAs[Double]("threshold")
     val pb = bandedFromSigs(minhashSigs(probe, idCol, textCol, nh, shingleSize), b, nh / b)
-    val rb = bandedFromSigs(spark.read.parquet(s"$indexPath/sigs"), b, nh / b)
+    // excludeShard: drop the named shard's own rows (admitShard replay —
+    // a shard must never self-match). A partition-value filter, so the
+    // excluded shard's files are pruned from the scan, not read-and-
+    // dropped. Pre-shard indexes (no `shard` column) have nothing to
+    // exclude.
+    val stored = spark.read.parquet(s"$indexPath/sigs")
+    val filtered = excludeShard match {
+      case Some(sh) if stored.columns.contains("shard") => stored.filter(col("shard") =!= sh)
+      case _ => stored
+    }
+    val rb = bandedFromSigs(filtered, b, nh / b)
     crossExactVerify(crossCandidates(pb, rb, maxBucket), probe, ref, idCol, textCol, shingleSize)
       .filter(col("jac") >= threshold)
   }

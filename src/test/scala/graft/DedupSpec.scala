@@ -447,4 +447,63 @@ class DedupSpec extends SparkSpecBase {
     val empty = docs.filter(lit(false))
     assert(Dedup.crossJaccardPairs(empty, ref, "doc_id", "text").isEmpty)
   }
+
+  test("admitShard: novel docs survive and are indexed; a later shard catches dups of them") {
+    val base = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (2L, "completely different content about spark catalyst optimizer and tungsten")
+    ).toDF("doc_id", "text")
+    val shardB = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog near the river bank tonight"), // near-dup of base 1
+      (11L, "a wholly novel document describing columnar shuffle compression tradeoffs in depth")
+    ).toDF("doc_id", "text")
+    val shardC = Seq(
+      (20L, "a wholly novel document describing columnar shuffle compression tradeoffs in detail"), // near-dup of ADMITTED 11
+      (21L, "unrelated fresh text on watermark semantics for late arriving stream events")
+    ).toDF("doc_id", "text")
+    val path = "/tmp/graft_xadmit_" + System.nanoTime()
+    Dedup.buildTextIndex(base, "doc_id", "text", path, threshold = 0.5)
+    val survivorsB = Dedup.admitShard(shardB, path, base, "doc_id", "text", "b")
+    assert(survivorsB.select("doc_id").as[Long].collect().toSet == Set(11L))
+    // shard C's dup of doc 11 is only catchable if the append worked;
+    // ref must cover base + admitted shards (the index is text-free)
+    val refAfterB = base.unionByName(shardB.filter(col("doc_id") === 11L))
+    val survivorsC = Dedup.admitShard(shardC, path, refAfterB, "doc_id", "text", "c")
+    assert(survivorsC.select("doc_id").as[Long].collect().toSet == Set(21L))
+  }
+
+  test("admitShard replay converges: same survivors, no self-matching, index intact") {
+    val base = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today")
+    ).toDF("doc_id", "text")
+    val shard = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog near the river bank tonight"), // dup of base
+      (11L, "a wholly novel document describing columnar shuffle compression tradeoffs in depth")
+    ).toDF("doc_id", "text")
+    val path = "/tmp/graft_xreplay_" + System.nanoTime()
+    Dedup.buildTextIndex(base, "doc_id", "text", path, threshold = 0.5)
+    val first = Dedup.admitShard(shard, path, base, "doc_id", "text", "s1")
+      .select("doc_id").as[Long].collect().toSet
+    // replay the same shard (crash-retry semantics): the probe excludes
+    // shard s1's own index rows, so doc 11 does not self-match into
+    // rejection and the shard's index entry is rewritten, not emptied
+    val replay = Dedup.admitShard(shard, path, base, "doc_id", "text", "s1")
+      .select("doc_id").as[Long].collect().toSet
+    assert(first == Set(11L) && replay == Set(11L))
+    val indexed = spark.read.parquet(s"$path/sigs")
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(indexed == Seq(1L, 11L))
+  }
+
+  test("appendToTextIndex rejects the reserved __base shard and empty names") {
+    val base = Seq((1L, "some base corpus text about anything at all")).toDF("doc_id", "text")
+    val path = "/tmp/graft_xguard_" + System.nanoTime()
+    Dedup.buildTextIndex(base, "doc_id", "text", path)
+    intercept[IllegalArgumentException] {
+      Dedup.appendToTextIndex(base, path, "doc_id", "text", "__base")
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.appendToTextIndex(base, path, "doc_id", "text", "")
+    }
+  }
 }

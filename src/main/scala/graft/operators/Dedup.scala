@@ -1211,6 +1211,50 @@ object Dedup {
   }
 
   /**
+   * Merge a text index's accumulated shard subdirs into the single
+   * `shard=__base` partition. Daily admissions each leave a small
+   * `sigs/shard=<name>` dir; after thousands of shards the probe's
+   * scan cost turns file-listing-bound (the classic small-file
+   * problem) — compaction restores one well-sized partition, exactly
+   * the log+compact cycle the upsert store runs.
+   *
+   * Crash-safe without a transaction log: the merged signatures land in
+   * `shard=__base` via dynamic partition overwrite (old shard dirs
+   * untouched by the write), then non-base dirs are deleted. A crash
+   * between the two steps leaves signatures DUPLICATED between the new
+   * base and their old shard — which only duplicates band-join
+   * candidates, and candidates pass through `distinct()` before the
+   * verify, so probe RESULTS are identical; re-running compaction
+   * collapses the duplicated rows and heals the cost. Only compact
+   * shards whose pipeline runs are
+   * finalized: a shard merged into base can no longer be excluded by
+   * an [[admitShard]] replay, which would then self-match.
+   */
+  def compactTextIndex(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    val sigsPath = s"$path/sigs"
+    val sigs = spark.read.parquet(sigsPath)
+    if (!sigs.columns.contains("shard")) return // pre-shard flat layout: one dir already
+    sigs.select(col("id"), col("sig"))
+      // collapse exact-duplicate rows: a crash between a previous
+      // compaction's write and its deletes leaves every migrated
+      // signature twice (new base + stale shard dir); the re-run merges
+      // them back to one row instead of carrying the duplication forward
+      .dropDuplicates(Seq("id", "sig"))
+      .localCheckpoint(true) // materialize before overwriting a path we read from
+      .withColumn("shard", lit("__base"))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("shard")
+      .parquet(sigsPath)
+    val fs = new org.apache.hadoop.fs.Path(sigsPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(new org.apache.hadoop.fs.Path(sigsPath)).foreach { st =>
+      val name = st.getPath.getName
+      if (name.startsWith("shard=") && name != "shard=__base") fs.delete(st.getPath, true)
+    }
+  }
+
+  /**
    * The incremental admission cycle a curation pipeline runs per shard:
    * probe the index for cross-corpus duplicates, keep only NOVEL
    * documents, and append the survivors' signatures under this shard's

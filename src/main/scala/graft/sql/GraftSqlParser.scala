@@ -26,6 +26,7 @@ import org.apache.spark.sql.types.{DataType, DoubleType, LongType, StringType, S
  *   SHOW ROLLUP ROUTES
  *   SHOW EXTERNAL LINKS
  *   SHOW INDEX DRIFT FOR '<index-path>' USING '<vectors-path-or-table>'
+ *   SHOW TEXT INDEX FOR '<index-path>'
  *   SHOW VERSION
  *   UPSERT INTO <table> (col, ...) VALUES (v, ...), ...
  *
@@ -70,6 +71,7 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface) extends P
       case ShowRoutesRe() => ShowRollupRoutesCommand()
       case ShowLinksRe() => ShowExternalLinksCommand()
       case ShowDriftRe(index, source) => ShowIndexDriftCommand(index, source)
+      case ShowTextIndexRe(index) => ShowTextIndexCommand(index)
       case ShowVersionRe() => ShowVersionCommand()
       case UpsertRe(table, cols, values) =>
         UpsertCommand(table, cols.split(',').map(_.trim).toSeq.filter(_.nonEmpty), values)
@@ -99,6 +101,8 @@ object GraftSqlParser {
   private val ShowLinksRe = """(?is)SHOW\s+EXTERNAL\s+LINKS\s*;?""".r
   private val ShowDriftRe =
     """(?is)SHOW\s+INDEX\s+DRIFT\s+FOR\s+'([^']+)'\s+USING\s+'([^']+)'\s*;?""".r
+  private val ShowTextIndexRe =
+    """(?is)SHOW\s+TEXT\s+INDEX\s+FOR\s+'([^']+)'\s*;?""".r
   private val ShowVersionRe = """(?is)SHOW\s+VERSION\s*;?""".r
   private val UpsertRe =
     """(?is)UPSERT\s+INTO\s+([A-Za-z_][A-Za-z0-9_.]*)\s*\(([^)]*)\)\s+VALUES\s+(.+?)\s*;?\s*""".r
@@ -241,6 +245,39 @@ case class ShowIndexDriftCommand(indexPath: String, source: String)
       (if (source.contains('/')) spark.read.parquet(source) else spark.table(source))
         .select(org.apache.spark.sql.functions.col("embedding"))
     Seq(Row(indexPath, source, graft.operators.Ann.ivfDriftFraction(spark, indexPath, vecs)))
+  }
+}
+
+/** SHOW TEXT INDEX FOR '<path>' — shard inventory + banding geometry
+  * of a persisted text-dedup index ([[graft.operators.Dedup.buildTextIndex]]):
+  * one row per shard with its signature count, plus the geometry every
+  * probe will use. An operator checking "did yesterday's shard land,
+  * and what threshold does this index enforce" reads it here instead of
+  * writing Scala. */
+case class ShowTextIndexCommand(indexPath: String) extends LeafRunnableCommand {
+  import GraftSqlParser.attr
+  override val output: Seq[Attribute] = Seq(
+    attr("index", StringType), attr("shard", StringType), attr("n_sigs", LongType),
+    attr("num_hashes", org.apache.spark.sql.types.IntegerType),
+    attr("bands", org.apache.spark.sql.types.IntegerType),
+    attr("shingle_size", org.apache.spark.sql.types.IntegerType),
+    attr("threshold", DoubleType))
+  override def run(spark: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val meta = spark.read.parquet(s"$indexPath/meta").collect()(0)
+    val sigs = spark.read.parquet(s"$indexPath/sigs")
+    // pre-shard (flat) layout: the whole index is one unnamed base shard
+    val byShard =
+      (if (sigs.columns.contains("shard")) sigs.select(col("shard"))
+       else sigs.select(lit("__base").as("shard")))
+        .groupBy(col("shard")).agg(count(lit(1)).as("n"))
+        .orderBy(col("shard"))
+        .collect()
+    byShard.toSeq.map { r =>
+      Row(indexPath, r.getString(0), r.getLong(1),
+        meta.getAs[Int]("num_hashes"), meta.getAs[Int]("bands"),
+        meta.getAs[Int]("shingle_size"), meta.getAs[Double]("threshold"))
+    }
   }
 }
 

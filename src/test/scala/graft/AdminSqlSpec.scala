@@ -107,6 +107,24 @@ class AdminSqlSpec extends SparkSpecBase {
       assert(s2.sql(s"SHOW INDEX DRIFT FOR '/tmp/no_such_index' USING '$embPath'")
         .head().getDouble(2) == 1.0, "missing index must report 1.0, not crash")
 
+      // SHOW TEXT INDEX: shard inventory + banding geometry of the
+      // cross-corpus dedup index, one row per shard after an admission
+      val txtIdx = "/tmp/graft_adminsql_txt_" + System.nanoTime()
+      import s2.implicits._
+      val baseDocs = Seq(
+        (1L, "the quick brown fox jumps over the lazy dog near the river bank today"))
+        .toDF("doc_id", "text")
+      val shardDocs = Seq(
+        (10L, "a wholly novel document describing columnar shuffle compression tradeoffs"))
+        .toDF("doc_id", "text")
+      graft.operators.Dedup.buildTextIndex(baseDocs, "doc_id", "text", txtIdx, threshold = 0.5)
+      graft.operators.Dedup.admitShard(shardDocs, txtIdx, baseDocs, "doc_id", "text", "day1")
+      val idxRows = s2.sql(s"SHOW TEXT INDEX FOR '$txtIdx'").collect()
+      assert(idxRows.map(r => (r.getString(1), r.getLong(2))).toSeq == Seq(("__base", 1L), ("day1", 1L)))
+      assert(idxRows.forall(r => r.getString(0) == txtIdx && r.getDouble(6) == 0.5))
+      assert(idxRows.forall(r => r.getInt(3) == r.getInt(4) * (r.getInt(3) / r.getInt(4))),
+        "num_hashes must be an exact band multiple")
+
       // UPSERT round-trip: register a log-structured table, put rows,
       // re-put one key with a new value, and read the merged view
       val upBase = "/tmp/graft_adminsql_upsert_" + System.nanoTime()

@@ -495,6 +495,55 @@ class DedupSpec extends SparkSpecBase {
     assert(indexed == Seq(1L, 11L))
   }
 
+  test("compactTextIndex merges shards into __base; probe results and inventory survive") {
+    val base = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"))
+      .toDF("doc_id", "text")
+    val s1 = Seq(
+      (10L, "a wholly novel document describing columnar shuffle compression tradeoffs in depth"))
+      .toDF("doc_id", "text")
+    val path = "/tmp/graft_xcompact_" + System.nanoTime()
+    Dedup.buildTextIndex(base, "doc_id", "text", path, threshold = 0.5)
+    Dedup.admitShard(s1, path, base, "doc_id", "text", "s1")
+    val refAll = base.unionByName(s1)
+    val probe = Seq(
+      (20L, "the quick brown fox jumps over the lazy dog near the river bank tonight"), // dup of base 1
+      (21L, "a wholly novel document describing columnar shuffle compression tradeoffs in detail")) // dup of admitted 10
+      .toDF("doc_id", "text")
+    val before = Dedup.crossJaccardPairsIndexed(probe, path, refAll, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().toSet
+    Dedup.compactTextIndex(spark, path)
+    val after = Dedup.crossJaccardPairsIndexed(probe, path, refAll, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(before == after && before.map(p => (p._1, p._2)) == Set((20L, 1L), (21L, 10L)))
+    val shards = spark.read.parquet(s"$path/sigs").select("shard").distinct()
+      .as[String].collect().toSeq
+    assert(shards == Seq("__base"))
+  }
+
+  test("mid-compaction crash state (duplicated signatures) does not change probe results") {
+    val base = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"))
+      .toDF("doc_id", "text")
+    val path = "/tmp/graft_xcrash_" + System.nanoTime()
+    Dedup.buildTextIndex(base, "doc_id", "text", path, threshold = 0.5)
+    // simulate the crash window: base rows ALSO present under a stale
+    // shard dir (merged but not yet deleted)
+    Dedup.appendToTextIndex(base, path, "doc_id", "text", "stale_copy")
+    val probe = Seq(
+      (20L, "the quick brown fox jumps over the lazy dog near the river bank tonight"))
+      .toDF("doc_id", "text")
+    val dup = Dedup.crossJaccardPairsIndexed(probe, path, base, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(dup.map(p => (p._1, p._2)) == Seq((20L, 1L)),
+      s"duplicated index rows must not duplicate emitted pairs, got $dup")
+    // re-running compaction heals the duplication: the identical
+    // (id, sig) rows collapse back to one
+    Dedup.compactTextIndex(spark, path)
+    val healedCount = spark.read.parquet(s"$path/sigs").count()
+    assert(healedCount == 1L, s"expected the duplicate to collapse, got $healedCount rows")
+  }
+
   test("appendToTextIndex rejects the reserved __base shard and empty names") {
     val base = Seq((1L, "some base corpus text about anything at all")).toDF("doc_id", "text")
     val path = "/tmp/graft_xguard_" + System.nanoTime()

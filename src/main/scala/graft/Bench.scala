@@ -116,10 +116,14 @@ object Bench {
     val total = looped.map(_._2).sum
     val load = java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
     val sfName = sfDir.split('/').last // basename: the path prefix is line budget
-    def mkLine(withLoad: Boolean, withPair: Boolean, dp: Int = 2) = {
+    def mkLine(withLoad: Boolean, withPair: Boolean, dp: Int = 2, stripQ: Boolean = false) = {
       val results = if (withPair) looped ++ routedPair else looped
-      val qs = results.map { case (k, v) => "\"" + k + "\":" + num(v, dp) }
-        .mkString("{", ",", "}")
+      // stripQ: the uniform "q_" key prefix is ~2 chars × 90+ queries of
+      // pure line budget — shedding it keeps 1-decimal per-query
+      // resolution where the alternative is whole seconds
+      val qs = results.map { case (k, v) =>
+        "\"" + (if (stripQ) k.stripPrefix("q_") else k) + "\":" + num(v, dp)
+      }.mkString("{", ",", "}")
       // "L": 1-min load average rounded to int — 6 chars total, so the
       // machine-state diagnostic survives every shedding tier (the r5
       // line shed the full load field and left the driver-bench
@@ -136,15 +140,18 @@ object Bench {
     // to 1 decimal (88 queries at 2dp is ~1930 chars — already over).
     // The 6-char load flag is NEVER shed: dropping it is what left the
     // r5 driver-bench regressions unattributable.
-    // final tier: whole seconds. At 90 queries even 1dp runs ~1896 chars
-    // — inside the ~1925 hard edge but with no growth margin (one query
-    // crossing 10s costs 2 chars). Whole-second resolution loses the
-    // sub-second detail ONLY in the emergency tier; BENCH_IDLE.json
-    // keeps the precise per-query numbers.
+    // At 91 queries the 1dp line with full names measures ~1914 chars —
+    // past the threshold — so the next tier sheds the uniform "q_" key
+    // prefix (~180 chars) instead of the precision: 1-decimal resolution
+    // survives (whole seconds would zero 75+ sub-second queries exactly
+    // where round-over-round comparison happens). Prefix-less keys map
+    // 1:1 back to query names; BENCH_IDLE.json keeps full precision.
+    // Absolute last resort: stripped keys at whole seconds.
     val line = Seq(
       mkLine(true, true), mkLine(true, false), mkLine(true, true, dp = 1),
-      mkLine(true, false, dp = 1))
-      .find(_.length <= 1880).getOrElse(mkLine(true, false, dp = 0))
+      mkLine(true, false, dp = 1),
+      mkLine(true, true, dp = 1, stripQ = true), mkLine(true, false, dp = 1, stripQ = true))
+      .find(_.length <= 1880).getOrElse(mkLine(true, false, dp = 0, stripQ = true))
     println(line)
     if (line.length > 1900)
       Console.err.println(s"[bench] WARNING: JSON line ${line.length} chars — driver tail capture may clip it")

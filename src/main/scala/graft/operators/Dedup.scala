@@ -1086,24 +1086,45 @@ object Dedup {
 
   /** A-vs-B band-collision candidates: (probe id, ref id), id-only.
     * Both sides' banded rows are individually bucket-capped — a
-    * degenerate bucket is quadratic regardless of which side feeds it. */
+    * degenerate bucket is quadratic regardless of which side feeds it.
+    * `hintRef = false` for a reference side that is ALREADY bucketed on
+    * the band key (the bucketed index): a shuffle_hash hint there would
+    * force the exchange the bucketing exists to eliminate. */
   private def crossCandidates(
-      probeBanded: DataFrame, refBanded: DataFrame, maxBucket: Option[Int]): DataFrame =
+      probeBanded: DataFrame, refBanded: DataFrame, maxBucket: Option[Int],
+      hintRef: Boolean = true): DataFrame = {
+    val refSide = capBuckets(refBanded, maxBucket).as("b")
     capBuckets(probeBanded, maxBucket).as("a")
-      .join(capBuckets(refBanded, maxBucket).as("b").hint("shuffle_hash"),
+      .join(if (hintRef) refSide.hint("shuffle_hash") else refSide,
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
+  }
 
   /** Exact distinct-shingle Jaccard for A-vs-B candidates: each side's
     * shingles come from its own frame (ids may collide across corpora —
-    * they are different namespaces). */
+    * they are different namespaces).
+    *
+    * The REFERENCE side is semi-join-pruned to candidate ids BEFORE
+    * shingling: the shingle pass (tokenize + distinct + array build)
+    * over the full reference corpus would otherwise run per shard and
+    * dominate every probe — with the prune, ref work at verify is
+    * id-only traffic plus shingles for the candidate rows, so a
+    * shard's verify scales with |shard| + |duplicates|, not |corpus|.
+    * The candidate generator evaluates twice (semi-join build + final
+    * join) — id-only band arithmetic, strictly cheaper than corpus
+    * shingling. Measured at the 20× stress (100k-doc ref, 5k probe):
+    * warm indexed probe 11.7s → 4.6s. The probe side stays unpruned —
+    * it is shard-sized by construction. */
   private def crossExactVerify(
       cands: DataFrame, probe: DataFrame, ref: DataFrame,
       idCol: String, textCol: String, shingleSize: Int): DataFrame = {
     graft.sql.GraftFunctions.register(probe.sparkSession)
+    val refPruned = ref.join(
+      cands.select(col("id_b").as("__cand_b")).distinct(),
+      ref(idCol) === col("__cand_b"), "left_semi")
     val shA = probe.select(col(idCol).as("id_a"), shingles(col(textCol), shingleSize).as("sh_a"))
-    val shB = ref.select(col(idCol).as("id_b"), shingles(col(textCol), shingleSize).as("sh_b"))
+    val shB = refPruned.select(col(idCol).as("id_b"), shingles(col(textCol), shingleSize).as("sh_b"))
     cands
       .join(shA, "id_a")
       .join(shB, "id_b")
@@ -1208,6 +1229,70 @@ object Dedup {
     val safe = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(shard)
     minhashSigs(docs, idCol, textCol, nh, shingleSize)
       .write.mode("overwrite").parquet(s"$indexPath/sigs/shard=$safe")
+  }
+
+  /**
+   * BUCKETED text index — the high-throughput admission layout. The
+   * parquet index ([[buildTextIndex]]) stores signatures, so every
+   * probe explodes the WHOLE reference side into band rows and
+   * shuffles them to meet the shard: per-probe data movement is
+   * O(corpus × bands). This variant stores the index PRE-BANDED
+   * (id, band, bh rows) in a table bucketed AND sorted on the band
+   * key, so the candidate join reads index buckets in place — only
+   * the shard's banded rows shuffle, and per-probe movement drops to
+   * O(shard × bands). At a daily-shard cadence against a 100 TB
+   * corpus that is the difference between re-shuffling the corpus
+   * every day and a bucket-local merge join (bucketing needs the
+   * table catalog — saveAsTable; geometry rides in `<table>_meta`).
+   */
+  def buildTextIndexBucketed(
+      ref: DataFrame,
+      idCol: String,
+      textCol: String,
+      tableName: String,
+      threshold: Double = 0.5,
+      shingleSize: Int = 3,
+      missTarget: Double = 1e-6,
+      numBuckets: Int = 64
+  ): Unit = {
+    val (nh, b) = minhashBanding(threshold, missTarget)
+    val spark = ref.sparkSession
+    bandedFromSigs(minhashSigs(ref, idCol, textCol, nh, shingleSize), b, nh / b)
+      .write.mode("overwrite")
+      .bucketBy(numBuckets, "band", "bh")
+      .sortBy("band", "bh")
+      .format("parquet")
+      .saveAsTable(tableName)
+    import spark.implicits._
+    Seq((nh, b, shingleSize, threshold, missTarget))
+      .toDF("num_hashes", "bands", "shingle_size", "threshold", "miss_target")
+      .coalesce(1)
+      .write.mode("overwrite").format("parquet").saveAsTable(s"${tableName}_meta")
+  }
+
+  /** Probe a bucketed text index ([[buildTextIndexBucketed]]): the
+    * shard's banded rows shuffle into the index's bucketing; the index
+    * side joins WITHOUT an exchange (asserted in DedupSpec). Verify
+    * semantics identical to [[crossJaccardPairsIndexed]]. */
+  def crossJaccardPairsBucketedIndexed(
+      probe: DataFrame,
+      tableName: String,
+      ref: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxBucket: Option[Int] = None
+  ): DataFrame = {
+    val spark = probe.sparkSession
+    val meta = spark.table(s"${tableName}_meta").collect()(0)
+    val nh = meta.getAs[Int]("num_hashes")
+    val b = meta.getAs[Int]("bands")
+    val shingleSize = meta.getAs[Int]("shingle_size")
+    val threshold = meta.getAs[Double]("threshold")
+    val pb = bandedFromSigs(minhashSigs(probe, idCol, textCol, nh, shingleSize), b, nh / b)
+    val rb = spark.table(tableName)
+    crossExactVerify(crossCandidates(pb, rb, maxBucket, hintRef = false),
+      probe, ref, idCol, textCol, shingleSize)
+      .filter(col("jac") >= threshold)
   }
 
   /**

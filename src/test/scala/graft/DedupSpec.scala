@@ -544,6 +544,54 @@ class DedupSpec extends SparkSpecBase {
     assert(healedCount == 1L, s"expected the duplicate to collapse, got $healedCount rows")
   }
 
+  test("bucketed text index: probe ≡ direct, and the index side joins without an exchange") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val probe = docs.filter(col("source").isin("src0", "src1", "src2"))
+    val ref = docs.filter(!col("source").isin("src0", "src1", "src2"))
+    val tbl = "xbucketed_idx"
+    Seq(tbl, s"${tbl}_meta").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"/tmp/graft_warehouse/$t"))
+    }
+    Dedup.buildTextIndexBucketed(ref, "doc_id", "text", tbl, threshold = 0.5, numBuckets = 8)
+    // plain tree for the ancestry walk (AQE wraps stages); no broadcast
+    // so the candidate join takes the merge path bucketing feeds at scale
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val abt = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val pairs = Dedup.crossJaccardPairsBucketedIndexed(probe, tbl, ref, "doc_id", "text")
+      val got = pairs.as[(Long, Long, Double)].collect().toSet
+      val want = Dedup.crossJaccardPairs(probe, ref, "doc_id", "text", threshold = 0.5)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(got == want && got.nonEmpty)
+      import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+      import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+      def bucketedScanIn(p: SparkPlan): Boolean = p.exists {
+        case s: FileSourceScanExec => s.relation.bucketSpec.isDefined
+        case _ => false
+      }
+      val plan = pairs.queryExecution.executedPlan
+      // the CANDIDATE join specifically (keys = band, bh) — outer verify
+      // joins also have the bucketed scan somewhere below them
+      val join = plan.collectFirst {
+        case j: SortMergeJoinExec
+            if bucketedScanIn(j) && j.leftKeys.exists(_.references.exists(_.name == "band")) => j
+      }.getOrElse(fail(s"no band-keyed SortMergeJoin over the bucketed scan:\n${plan.toString.take(3000)}"))
+      val (idxSide, probeSide) =
+        if (bucketedScanIn(join.left)) (join.left, join.right) else (join.right, join.left)
+      assert(!idxSide.exists { case _: ShuffleExchangeExec => true; case _ => false },
+        s"index side must join bucket-local, no exchange:\n${idxSide.toString.take(3000)}")
+      assert(probeSide.exists { case _: ShuffleExchangeExec => true; case _ => false },
+        "probe side shuffles into the index's bucketing")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", abt)
+    }
+  }
+
   test("appendToTextIndex rejects the reserved __base shard and empty names") {
     val base = Seq((1L, "some base corpus text about anything at all")).toDF("doc_id", "text")
     val path = "/tmp/graft_xguard_" + System.nanoTime()

@@ -1257,6 +1257,18 @@ object Dedup {
   ): Unit = {
     val (nh, b) = minhashBanding(threshold, missTarget)
     val spark = ref.sparkSession
+    // Self-heal the cross-JVM half-state: an in-memory catalog dies
+    // with its JVM but the managed-table LOCATION persists, and
+    // saveAsTable then fails LOCATION_ALREADY_EXISTS on a table the
+    // new catalog has never heard of. Drop any registered table first,
+    // then clear the orphaned location.
+    Seq(tableName, s"${tableName}_meta").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS `$t`")
+      val wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+      val loc = new org.apache.hadoop.fs.Path(wh, t.toLowerCase(java.util.Locale.ROOT))
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+    }
     bandedFromSigs(minhashSigs(ref, idCol, textCol, nh, shingleSize), b, nh / b)
       .write.mode("overwrite")
       .bucketBy(numBuckets, "band", "bh")

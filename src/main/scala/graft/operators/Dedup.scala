@@ -1087,15 +1087,20 @@ object Dedup {
   /** A-vs-B band-collision candidates: (probe id, ref id), id-only.
     * Both sides' banded rows are individually bucket-capped — a
     * degenerate bucket is quadratic regardless of which side feeds it.
-    * `hintRef = false` for a reference side that is ALREADY bucketed on
-    * the band key (the bucketed index): a shuffle_hash hint there would
-    * force the exchange the bucketing exists to eliminate. */
+    * The shuffle_hash hint goes on the PROBE side: the hinted relation
+    * is the hash BUILD side, and the probe is shard-sized by
+    * construction while the reference is the corpus — building on the
+    * reference would hold O(corpus × bands / partitions) rows per task
+    * in memory. `hintProbe = false` when the reference side is ALREADY
+    * bucketed on the band key (the bucketed index): any shuffle-hash
+    * plan there would force the exchange the bucketing exists to
+    * eliminate; the planner takes the bucket-fed sort-merge join. */
   private def crossCandidates(
       probeBanded: DataFrame, refBanded: DataFrame, maxBucket: Option[Int],
-      hintRef: Boolean = true): DataFrame = {
-    val refSide = capBuckets(refBanded, maxBucket).as("b")
-    capBuckets(probeBanded, maxBucket).as("a")
-      .join(if (hintRef) refSide.hint("shuffle_hash") else refSide,
+      hintProbe: Boolean = true): DataFrame = {
+    val probeSide = capBuckets(probeBanded, maxBucket).as("a")
+    (if (hintProbe) probeSide.hint("shuffle_hash") else probeSide)
+      .join(capBuckets(refBanded, maxBucket).as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
@@ -1183,6 +1188,16 @@ object Dedup {
   ): Unit = {
     val (nh, b) = minhashBanding(threshold, missTarget)
     val spark = ref.sparkSession
+    // A REBUILD must wipe the whole sigs tree, not just __base: stale
+    // admitted-shard dirs under a new geometry would be banded with the
+    // new meta's layout (wrong band keys — silent candidate misses),
+    // and even at unchanged geometry their docs are absent from the
+    // caller's new ref frame. Delete meta FIRST so a crash inside the
+    // wipe leaves a probe-refusing index, never a half-wiped readable one.
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/meta"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/sigs"), true)
     // shard=__base subdir: the initial corpus is just the first shard of
     // the parquet-append layout appendToTextIndex grows (partition
     // discovery exposes `shard`, so a probe can exclude its own shard's
@@ -1302,7 +1317,7 @@ object Dedup {
     val threshold = meta.getAs[Double]("threshold")
     val pb = bandedFromSigs(minhashSigs(probe, idCol, textCol, nh, shingleSize), b, nh / b)
     val rb = spark.table(tableName)
-    crossExactVerify(crossCandidates(pb, rb, maxBucket, hintRef = false),
+    crossExactVerify(crossCandidates(pb, rb, maxBucket, hintProbe = false),
       probe, ref, idCol, textCol, shingleSize)
       .filter(col("jac") >= threshold)
   }
@@ -1368,6 +1383,14 @@ object Dedup {
    * `ref` supplies text for the exact verify and must cover the corpus
    * the index indexes (base + previously admitted shards) — the index
    * itself is text-free.
+   *
+   * Cross-corpus only by design: duplicates WITHIN the shard are not
+   * checked (two novel near-identical docs in one shard are both
+   * admitted). Self-dedup the shard first — e.g.
+   * [[minhashJaccardPairs]] + [[dedupClusters]], or [[exact]] — the
+   * same composition [[graft.operators.Curation]] runs; keeping the
+   * two concerns separate lets the intra-shard pass pick its own
+   * threshold and keep-policy (keep-best vs min-id).
    */
   def admitShard(
       probe: DataFrame,

@@ -264,6 +264,13 @@ case class ShowTextIndexCommand(indexPath: String) extends LeafRunnableCommand {
     attr("threshold", DoubleType))
   override def run(spark: SparkSession): Seq[Row] = {
     import org.apache.spark.sql.functions.{col, count, lit}
+    // Missing or incomplete index (no meta — the build writes it LAST,
+    // so sigs-without-meta is a crashed build) → empty inventory, not a
+    // PATH_NOT_FOUND stack trace: the admin plane degrades gracefully
+    // like SHOW INDEX DRIFT's missing-index sentinel.
+    val metaPath = new org.apache.hadoop.fs.Path(s"$indexPath/meta/_SUCCESS")
+    val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(metaPath)) return Seq.empty
     val meta = spark.read.parquet(s"$indexPath/meta").collect()(0)
     val sigs = spark.read.parquet(s"$indexPath/sigs")
     // pre-shard (flat) layout: the whole index is one unnamed base shard

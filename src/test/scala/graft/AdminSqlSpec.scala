@@ -124,6 +124,8 @@ class AdminSqlSpec extends SparkSpecBase {
       assert(idxRows.forall(r => r.getString(0) == txtIdx && r.getDouble(6) == 0.5))
       assert(idxRows.forall(r => r.getInt(3) == r.getInt(4) * (r.getInt(3) / r.getInt(4))),
         "num_hashes must be an exact band multiple")
+      assert(s2.sql("SHOW TEXT INDEX FOR '/tmp/no_such_text_index'").isEmpty,
+        "missing index must return an empty inventory, not crash")
 
       // UPSERT round-trip: register a log-structured table, put rows,
       // re-put one key with a new value, and read the merged view

@@ -592,6 +592,24 @@ class DedupSpec extends SparkSpecBase {
     }
   }
 
+  test("rebuilding a text index wipes stale admitted shards") {
+    val base = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"))
+      .toDF("doc_id", "text")
+    val shard = Seq(
+      (10L, "a wholly novel document describing columnar shuffle compression tradeoffs in depth"))
+      .toDF("doc_id", "text")
+    val path = "/tmp/graft_xrebuild_" + System.nanoTime()
+    Dedup.buildTextIndex(base, "doc_id", "text", path, threshold = 0.5)
+    Dedup.admitShard(shard, path, base, "doc_id", "text", "old_shard")
+    // rebuild at a DIFFERENT threshold: stale old_shard signatures under
+    // the new geometry would band wrong (silent candidate misses)
+    Dedup.buildTextIndex(base, "doc_id", "text", path, threshold = 0.35)
+    val shards = spark.read.parquet(s"$path/sigs").select("shard").distinct()
+      .as[String].collect().toSeq
+    assert(shards == Seq("__base"), s"stale shards must not survive a rebuild: $shards")
+  }
+
   test("appendToTextIndex rejects the reserved __base shard and empty names") {
     val base = Seq((1L, "some base corpus text about anything at all")).toDF("doc_id", "text")
     val path = "/tmp/graft_xguard_" + System.nanoTime()

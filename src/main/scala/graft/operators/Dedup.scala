@@ -1213,6 +1213,12 @@ object Dedup {
       .write.mode("overwrite").parquet(s"$path/meta")
   }
 
+  /** Shard labels the index machinery owns: `__base` (the compacted
+    * corpus), `__compacted`/`__prev_compacted` (compaction swap states —
+    * see [[compactTextIndex]]). A user shard under one of these names
+    * would collide with the swap protocol's recovery logic. */
+  private val ReservedShards = Set("__base", "__compacted", "__prev_compacted")
+
   /**
    * Append one shard's signatures to an existing text index
    * ([[buildTextIndex]] layout). The banding geometry comes from the
@@ -1231,8 +1237,8 @@ object Dedup {
       textCol: String,
       shard: String
   ): Unit = {
-    require(shard.nonEmpty && shard != "__base",
-      s"shard name must be a non-empty label other than the reserved __base, got '$shard'")
+    require(shard.nonEmpty && !ReservedShards.contains(shard),
+      s"shard name must be a non-empty label other than the reserved ${ReservedShards.mkString("/")}, got '$shard'")
     val spark = docs.sparkSession
     val meta = spark.read.parquet(s"$indexPath/meta").collect()(0)
     val nh = meta.getAs[Int]("num_hashes")
@@ -1259,6 +1265,19 @@ object Dedup {
    * corpus that is the difference between re-shuffling the corpus
    * every day and a bucket-local merge join (bucketing needs the
    * table catalog — saveAsTable; geometry rides in `<table>_meta`).
+   *
+   * `numBuckets ≤ 0` (the default) sizes the bucket count from the
+   * corpus ([[textIndexBuckets]]) the same way the IVF index sizes
+   * cells from vector count: per-bucket row volume and probe-join
+   * parallelism are corpus-derived, not frozen at an sf-tuned
+   * constant. The chosen count lands in `<table>_meta.num_buckets`.
+   * Bucket count is fixed at build time by the table layout, so when
+   * the corpus outgrows it (per-bucket rows past ~10× the target,
+   * visible by comparing the table's row count to
+   * `num_buckets × rows-per-bucket target`), REBUILD: rerun this
+   * method — it drops and recreates the table and meta atomically
+   * enough for a maintenance window (the parquet index
+   * [[buildTextIndex]] stays probe-able throughout if both are kept).
    */
   def buildTextIndexBucketed(
       ref: DataFrame,
@@ -1268,10 +1287,13 @@ object Dedup {
       threshold: Double = 0.5,
       shingleSize: Int = 3,
       missTarget: Double = 1e-6,
-      numBuckets: Int = 64
+      numBuckets: Int = 0
   ): Unit = {
     val (nh, b) = minhashBanding(threshold, missTarget)
     val spark = ref.sparkSession
+    // corpus-derived bucket count: one column-pruned count() of the ref
+    // — negligible next to the signature pass the build runs anyway
+    val buckets = if (numBuckets > 0) numBuckets else textIndexBuckets(ref.count() * b)
     // Self-heal the cross-JVM half-state: an in-memory catalog dies
     // with its JVM but the managed-table LOCATION persists, and
     // saveAsTable then fails LOCATION_ALREADY_EXISTS on a table the
@@ -1286,16 +1308,28 @@ object Dedup {
     }
     bandedFromSigs(minhashSigs(ref, idCol, textCol, nh, shingleSize), b, nh / b)
       .write.mode("overwrite")
-      .bucketBy(numBuckets, "band", "bh")
+      .bucketBy(buckets, "band", "bh")
       .sortBy("band", "bh")
       .format("parquet")
       .saveAsTable(tableName)
     import spark.implicits._
-    Seq((nh, b, shingleSize, threshold, missTarget))
-      .toDF("num_hashes", "bands", "shingle_size", "threshold", "miss_target")
+    Seq((nh, b, shingleSize, threshold, missTarget, buckets))
+      .toDF("num_hashes", "bands", "shingle_size", "threshold", "miss_target", "num_buckets")
       .coalesce(1)
       .write.mode("overwrite").format("parquet").saveAsTable(s"${tableName}_meta")
   }
+
+  /** Banded rows one bucket of a bucketed text index should hold —
+    * ~4M (id, band, bh) rows ≈ 80 MB in flight, comfortably inside an
+    * executor task's working set while keeping file counts sane. */
+  private val BandedRowsPerBucket = 4L * 1000 * 1000
+
+  /** Bucket count for a bucketed text index holding `bandedRows`
+    * (= corpus docs × bands) rows: corpus-proportional like the IVF
+    * cell sizing (~n/2048 vectors per cell), floored at 8 so a small
+    * corpus still gets enough buckets for probe-join parallelism. */
+  private[graft] def textIndexBuckets(bandedRows: Long): Int =
+    math.max(8L, (bandedRows + BandedRowsPerBucket - 1) / BandedRowsPerBucket).toInt
 
   /** Probe a bucketed text index ([[buildTextIndexBucketed]]): the
     * shard's banded rows shuffle into the index's bucketing; the index
@@ -1330,40 +1364,68 @@ object Dedup {
    * problem) — compaction restores one well-sized partition, exactly
    * the log+compact cycle the upsert store runs.
    *
-   * Crash-safe without a transaction log: the merged signatures land in
-   * `shard=__base` via dynamic partition overwrite (old shard dirs
-   * untouched by the write), then non-base dirs are deleted. A crash
-   * between the two steps leaves signatures DUPLICATED between the new
-   * base and their old shard — which only duplicates band-join
-   * candidates, and candidates pass through `distinct()` before the
-   * verify, so probe RESULTS are identical; re-running compaction
-   * collapses the duplicated rows and heals the cost. Only compact
-   * shards whose pipeline runs are
-   * finalized: a shard merged into base can no longer be excluded by
-   * an [[admitShard]] replay, which would then self-match.
+   * Crash-safe without a transaction log, and RESTARTABLE at any point
+   * — the merged signatures are written OUTSIDE the readable index
+   * (`<path>/sigs_compacting`, a sibling of `sigs/`, invisible to
+   * partition discovery), then swapped in with filesystem renames:
+   *
+   *  1. write merged+deduplicated sigs → `sigs_compacting/` (overwrite
+   *     mode: a re-run after a crash here just rewrites it; probes keep
+   *     reading the untouched shard dirs);
+   *  2. rename `sigs_compacting` → `sigs/shard=__compacted` (atomic on
+   *     HDFS/POSIX; a crash after it leaves every signature duplicated
+   *     between `__compacted` and its old shard dir — duplicates only
+   *     duplicate band-join candidates, and candidates pass through
+   *     `distinct()` before the verify, so probe RESULTS are identical);
+   *  3. delete every other `shard=` dir (each delete only removes rows
+   *     that already live in `__compacted`);
+   *  4. rename `shard=__compacted` → `shard=__base`.
+   *
+   * A crash in any window leaves a complete, correct index, and
+   * re-running `compactTextIndex` converges (step 1 rereads whatever
+   * shard dirs remain, `dropDuplicates` collapses crash duplicates).
+   * Unlike a `localCheckpoint` barrier, nothing corpus-sized is ever
+   * pinned in executor block-manager storage, and an executor loss
+   * mid-job is just a task retry — the maintenance job survives exactly
+   * when the cluster is busiest. Only compact shards whose pipeline
+   * runs are finalized: a shard merged into base can no longer be
+   * excluded by an [[admitShard]] replay, which would then self-match.
    */
   def compactTextIndex(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
     val sigsPath = s"$path/sigs"
+    val fs = new org.apache.hadoop.fs.Path(sigsPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val compacting = new org.apache.hadoop.fs.Path(s"$path/sigs_compacting")
+    val compacted = new org.apache.hadoop.fs.Path(s"$sigsPath/shard=__compacted")
+    val prev = new org.apache.hadoop.fs.Path(s"$sigsPath/shard=__prev_compacted")
+    // Crash-recovery preamble. A leftover `shard=__compacted` may be the
+    // SOLE copy of already-deleted shards' rows (crash mid-step-3), so it
+    // is never deleted — it is renamed into the merge set as an ordinary
+    // shard and re-read. Invariant making the inner delete safe: any
+    // `__compacted` dir was merged from a read of everything then under
+    // `sigs/` — including any `__prev_compacted` — so when both exist,
+    // `__compacted` supersedes `__prev_compacted`.
+    if (fs.exists(compacted)) {
+      fs.delete(prev, true)
+      if (!fs.rename(compacted, prev))
+        throw new java.io.IOException(s"compaction recovery failed: rename $compacted -> $prev")
+    }
     val sigs = spark.read.parquet(sigsPath)
     if (!sigs.columns.contains("shard")) return // pre-shard flat layout: one dir already
     sigs.select(col("id"), col("sig"))
-      // collapse exact-duplicate rows: a crash between a previous
-      // compaction's write and its deletes leaves every migrated
-      // signature twice (new base + stale shard dir); the re-run merges
-      // them back to one row instead of carrying the duplication forward
+      // collapse exact-duplicate rows: a crash in a previous run's
+      // step-2..3 window leaves migrated signatures twice (__compacted +
+      // stale shard dir); the re-run merges them back to one row
       .dropDuplicates(Seq("id", "sig"))
-      .localCheckpoint(true) // materialize before overwriting a path we read from
-      .withColumn("shard", lit("__base"))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("shard")
-      .parquet(sigsPath)
-    val fs = new org.apache.hadoop.fs.Path(sigsPath)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .write.mode("overwrite").parquet(compacting.toString)
+    if (!fs.rename(compacting, compacted))
+      throw new java.io.IOException(s"compaction swap failed: rename $compacting -> $compacted")
     fs.listStatus(new org.apache.hadoop.fs.Path(sigsPath)).foreach { st =>
       val name = st.getPath.getName
-      if (name.startsWith("shard=") && name != "shard=__base") fs.delete(st.getPath, true)
+      if (name.startsWith("shard=") && name != "shard=__compacted") fs.delete(st.getPath, true)
     }
+    if (!fs.rename(compacted, new org.apache.hadoop.fs.Path(s"$sigsPath/shard=__base")))
+      throw new java.io.IOException(s"compaction swap failed: rename $compacted -> shard=__base")
   }
 
   /**

@@ -544,6 +544,64 @@ class DedupSpec extends SparkSpecBase {
     assert(healedCount == 1L, s"expected the duplicate to collapse, got $healedCount rows")
   }
 
+  test("compaction restart after a crash in the swap window (leftover __compacted) converges") {
+    val base = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"))
+      .toDF("doc_id", "text")
+    val s1 = Seq(
+      (10L, "a wholly novel document describing columnar shuffle compression tradeoffs in depth"))
+      .toDF("doc_id", "text")
+    val path = "/tmp/graft_xswapcrash_" + System.nanoTime()
+    Dedup.buildTextIndex(base, "doc_id", "text", path, threshold = 0.5)
+    Dedup.admitShard(s1, path, base, "doc_id", "text", "s1")
+    // simulate a crash right after step 2 (merge renamed into the index,
+    // old shard dirs not yet deleted): the merged rows sit under
+    // shard=__compacted while every original shard dir survives
+    spark.read.parquet(s"$path/sigs").select("id", "sig").dropDuplicates(Seq("id", "sig"))
+      .write.parquet(s"$path/sigs/shard=__compacted")
+    val probe = Seq(
+      (20L, "the quick brown fox jumps over the lazy dog near the river bank tonight"),
+      (21L, "a wholly novel document describing columnar shuffle compression tradeoffs in detail"))
+      .toDF("doc_id", "text")
+    val refAll = base.unionByName(s1)
+    // the crashed state itself probes correctly (duplicates collapse)
+    val crashed = Dedup.crossJaccardPairsIndexed(probe, path, refAll, "doc_id", "text")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(crashed == Set((20L, 1L), (21L, 10L)))
+    // restart converges to the clean single-__base layout, nothing lost
+    Dedup.compactTextIndex(spark, path)
+    val shards = spark.read.parquet(s"$path/sigs").select("shard").distinct()
+      .as[String].collect().toSeq
+    assert(shards == Seq("__base"))
+    assert(spark.read.parquet(s"$path/sigs").select("id").as[Long].collect().sorted.toSeq
+      == Seq(1L, 10L))
+    val after = Dedup.crossJaccardPairsIndexed(probe, path, refAll, "doc_id", "text")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(after == crashed)
+  }
+
+  test("compaction restart when __compacted is the SOLE copy (crash after cleanup) loses nothing") {
+    val base = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (2L, "completely different content about spark catalyst optimizer and tungsten"))
+      .toDF("doc_id", "text")
+    val path = "/tmp/graft_xsolecopy_" + System.nanoTime()
+    Dedup.buildTextIndex(base, "doc_id", "text", path, threshold = 0.5)
+    // simulate a crash between step 3 (old dirs deleted) and step 4 (final
+    // rename): the whole index lives under shard=__compacted only
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(
+      new org.apache.hadoop.fs.Path(s"$path/sigs/shard=__base"),
+      new org.apache.hadoop.fs.Path(s"$path/sigs/shard=__compacted")))
+    Dedup.compactTextIndex(spark, path)
+    val shards = spark.read.parquet(s"$path/sigs").select("shard").distinct()
+      .as[String].collect().toSeq
+    assert(shards == Seq("__base"), s"restart must complete the swap, got $shards")
+    assert(spark.read.parquet(s"$path/sigs").select("id").as[Long].collect().sorted.toSeq
+      == Seq(1L, 2L), "the sole-copy rows must survive the restart")
+  }
+
   test("bucketed text index: probe ≡ direct, and the index side joins without an exchange") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val probe = docs.filter(col("source").isin("src0", "src1", "src2"))
@@ -553,7 +611,14 @@ class DedupSpec extends SparkSpecBase {
       spark.sql(s"DROP TABLE IF EXISTS $t")
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"/tmp/graft_warehouse/$t"))
     }
-    Dedup.buildTextIndexBucketed(ref, "doc_id", "text", tbl, threshold = 0.5, numBuckets = 8)
+    // default (≤0) numBuckets = corpus-derived sizing: assert the build
+    // recorded its choice in meta, that it is NOT the old flat-64
+    // constant, and that the probe below is correct at that count
+    Dedup.buildTextIndexBucketed(ref, "doc_id", "text", tbl, threshold = 0.5)
+    val metaRow = spark.table(s"${tbl}_meta").collect()(0)
+    val chosenBuckets = metaRow.getAs[Int]("num_buckets")
+    assert(chosenBuckets == Dedup.textIndexBuckets(ref.count() * metaRow.getAs[Int]("bands")))
+    assert(chosenBuckets != 64 && chosenBuckets >= 8)
     // plain tree for the ancestry walk (AQE wraps stages); no broadcast
     // so the candidate join takes the merge path bucketing feeds at scale
     val aqe = spark.conf.get("spark.sql.adaptive.enabled")
@@ -592,6 +657,14 @@ class DedupSpec extends SparkSpecBase {
     }
   }
 
+  test("textIndexBuckets scales with corpus and floors for parallelism") {
+    assert(Dedup.textIndexBuckets(0L) == 8) // empty corpus: floor wins
+    assert(Dedup.textIndexBuckets(125L * 1000) == 8) // sf0.1-scale
+    // 1e9 docs × 25 bands = 2.5e10 banded rows → thousands of buckets,
+    // not the frozen 64 (which would put ~390M rows in each bucket)
+    assert(Dedup.textIndexBuckets(25L * 1000 * 1000 * 1000) == 6250)
+  }
+
   test("rebuilding a text index wipes stale admitted shards") {
     val base = Seq(
       (1L, "the quick brown fox jumps over the lazy dog near the river bank today"))
@@ -614,11 +687,10 @@ class DedupSpec extends SparkSpecBase {
     val base = Seq((1L, "some base corpus text about anything at all")).toDF("doc_id", "text")
     val path = "/tmp/graft_xguard_" + System.nanoTime()
     Dedup.buildTextIndex(base, "doc_id", "text", path)
-    intercept[IllegalArgumentException] {
-      Dedup.appendToTextIndex(base, path, "doc_id", "text", "__base")
-    }
-    intercept[IllegalArgumentException] {
-      Dedup.appendToTextIndex(base, path, "doc_id", "text", "")
+    Seq("__base", "__compacted", "__prev_compacted", "").foreach { bad =>
+      intercept[IllegalArgumentException] {
+        Dedup.appendToTextIndex(base, path, "doc_id", "text", bad)
+      }
     }
   }
 }

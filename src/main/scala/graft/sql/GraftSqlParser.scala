@@ -27,8 +27,21 @@ import org.apache.spark.sql.types.{DataType, DoubleType, LongType, StringType, S
  *   SHOW EXTERNAL LINKS
  *   SHOW INDEX DRIFT FOR '<index-path>' USING '<vectors-path-or-table>'
  *   SHOW TEXT INDEX FOR '<index-path>'
+ *   COMPACT TEXT INDEX '<index-path>'
+ *   ADMIT SHARD '<name>' FROM <table> INTO '<index-path>' USING <ref-table> [ON (<id-col>, <text-col>)]
  *   SHOW VERSION
  *   UPSERT INTO <table> (col, ...) VALUES (v, ...), ...
+ *
+ * COMPACT TEXT INDEX / ADMIT SHARD complete the text-index lifecycle's
+ * statement surface: the reference drives ALL of its maintenance verbs
+ * through SQL statements routed by QueryEngineRouter
+ * (yupana-core QueryEngineRouter.scala), so an operator never needs a
+ * Scala shell for a routine admission or compaction here either. ADMIT
+ * SHARD probes the index for cross-corpus near-duplicates of FROM's
+ * rows, appends only the novel documents' signatures under the shard
+ * name, and reports admitted/rejected counts; USING names the table
+ * holding the indexed corpus TEXT (the index itself is signature-only);
+ * ON defaults to (doc_id, text).
  *
  * The WHERE filters are the reference's MetricsFilter
  * (SqlParser.scala:301-303 — queryId / state equality).
@@ -72,6 +85,10 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface) extends P
       case ShowLinksRe() => ShowExternalLinksCommand()
       case ShowDriftRe(index, source) => ShowIndexDriftCommand(index, source)
       case ShowTextIndexRe(index) => ShowTextIndexCommand(index)
+      case CompactTextIndexRe(index) => CompactTextIndexCommand(index)
+      case AdmitShardRe(shard, probeTable, index, refTable, idCol, textCol) =>
+        AdmitShardCommand(shard, probeTable, index, refTable,
+          Option(idCol).getOrElse("doc_id"), Option(textCol).getOrElse("text"))
       case ShowVersionRe() => ShowVersionCommand()
       case UpsertRe(table, cols, values) =>
         UpsertCommand(table, cols.split(',').map(_.trim).toSeq.filter(_.nonEmpty), values)
@@ -103,6 +120,10 @@ object GraftSqlParser {
     """(?is)SHOW\s+INDEX\s+DRIFT\s+FOR\s+'([^']+)'\s+USING\s+'([^']+)'\s*;?""".r
   private val ShowTextIndexRe =
     """(?is)SHOW\s+TEXT\s+INDEX\s+FOR\s+'([^']+)'\s*;?""".r
+  private val CompactTextIndexRe =
+    """(?is)COMPACT\s+TEXT\s+INDEX\s+'([^']+)'\s*;?""".r
+  private val AdmitShardRe =
+    """(?is)ADMIT\s+SHARD\s+'([^']+)'\s+FROM\s+([A-Za-z_][A-Za-z0-9_.]*)\s+INTO\s+'([^']+)'\s+USING\s+([A-Za-z_][A-Za-z0-9_.]*)(?:\s+ON\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*,\s*([A-Za-z_][A-Za-z0-9_]*)\s*\))?\s*;?""".r
   private val ShowVersionRe = """(?is)SHOW\s+VERSION\s*;?""".r
   private val UpsertRe =
     """(?is)UPSERT\s+INTO\s+([A-Za-z_][A-Za-z0-9_.]*)\s*\(([^)]*)\)\s+VALUES\s+(.+?)\s*;?\s*""".r
@@ -285,6 +306,57 @@ case class ShowTextIndexCommand(indexPath: String) extends LeafRunnableCommand {
         meta.getAs[Int]("num_hashes"), meta.getAs[Int]("bands"),
         meta.getAs[Int]("shingle_size"), meta.getAs[Double]("threshold"))
     }
+  }
+}
+
+/** COMPACT TEXT INDEX '<path>' — fold accumulated admission shards
+  * back into the single `shard=__base` partition
+  * ([[graft.operators.Dedup.compactTextIndex]] — restartable
+  * rename-swap, see its scaladoc for the crash-window argument).
+  * Reports the shard count folded and the surviving signature rows,
+  * so a scheduled maintenance statement leaves an auditable line. */
+case class CompactTextIndexCommand(indexPath: String) extends LeafRunnableCommand {
+  import GraftSqlParser.attr
+  override val output: Seq[Attribute] = Seq(
+    attr("index", StringType), attr("shards_compacted", LongType), attr("n_sigs", LongType))
+  override def run(spark: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.functions.col
+    val sigs = spark.read.parquet(s"$indexPath/sigs")
+    val before =
+      if (sigs.columns.contains("shard")) sigs.select(col("shard")).distinct().count() else 1L
+    graft.operators.Dedup.compactTextIndex(spark, indexPath)
+    Seq(Row(indexPath, before, spark.read.parquet(s"$indexPath/sigs").count()))
+  }
+}
+
+/** ADMIT SHARD '<name>' FROM <probe> INTO '<path>' USING <ref>
+  * [ON (<id>, <text>)] — the per-shard admission cycle
+  * ([[graft.operators.Dedup.admitShard]]) as one statement: probe the
+  * index for cross-corpus near-duplicates, append only the NOVEL
+  * documents' signatures under the shard name, report how many were
+  * admitted vs rejected. Replay-safe like the Scala form (a re-run
+  * excludes its own shard's index rows and converges). The admitted
+  * count is read back from the shard's written signatures — the one
+  * number that reflects what the index now actually holds. */
+case class AdmitShardCommand(
+    shard: String,
+    probeTable: String,
+    indexPath: String,
+    refTable: String,
+    idCol: String,
+    textCol: String
+) extends LeafRunnableCommand {
+  import GraftSqlParser.attr
+  override val output: Seq[Attribute] = Seq(
+    attr("index", StringType), attr("shard", StringType),
+    attr("admitted", LongType), attr("rejected", LongType))
+  override def run(spark: SparkSession): Seq[Row] = {
+    val probe = spark.table(probeTable)
+    val ref = spark.table(refTable)
+    graft.operators.Dedup.admitShard(probe, indexPath, ref, idCol, textCol, shard)
+    val safe = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(shard)
+    val admitted = spark.read.parquet(s"$indexPath/sigs/shard=$safe").count()
+    Seq(Row(indexPath, shard, admitted, probe.count() - admitted))
   }
 }
 

@@ -17,10 +17,18 @@ import graft.operators.Dedup
  *  3. emit (new_id, existing_id, est_jaccard) matches to the sink;
  *  4. append the batch's signatures to the index.
  *
- * The index is the time-honored parquet-append layout; at scale it is
- * partitioned by band hash prefix so step 2 prunes to the batch's
- * buckets. Batch-vs-batch duplicates inside one micro-batch are caught
- * by including the batch itself in the probe (id ordering dedups).
+ * The text index is the SAME layout the batch side builds and probes
+ * ([[graft.operators.Dedup.buildTextIndex]]): `<indexPath>/meta` pins
+ * the banding geometry, `<indexPath>/sigs/shard=stream_<batchId>`
+ * holds each micro-batch's signatures. One format, both writers —
+ * a corpus ingested through this stream is directly probe-able with
+ * [[graft.operators.Dedup.crossJaccardPairsIndexed]], inventoried by
+ * `SHOW TEXT INDEX`, and compactable with
+ * [[graft.operators.Dedup.compactTextIndex]]; conversely the stream
+ * can extend an index `buildTextIndex` created (its geometry then
+ * comes from the meta, not this method's parameters). Batch-vs-batch
+ * duplicates inside one micro-batch are caught by including the batch
+ * itself in the probe (id ordering dedups).
  */
 object StreamingDedup {
 
@@ -47,11 +55,9 @@ object StreamingDedup {
       numHashes: Int = 64,
       bands: Int = 16,
       threshold: Double = 0.5,
+      shingleSize: Int = 3,
       checkpoint: String = "/tmp/graft_streaming_dedup_ckpt"
   ): StreamingQuery = {
-    val rowsPerBand = numHashes / bands
-    def banded(sigs: DataFrame): DataFrame = bandedSigs(sigs, bands, rowsPerBand)
-
     docs.writeStream
       .outputMode("append")
       .trigger(Trigger.ProcessingTime(0L))
@@ -59,16 +65,34 @@ object StreamingDedup {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           val s = batch.sparkSession
-          val sigs = Dedup.minhashSigs(batch, "doc_id", "text", numHashes, 3).cache()
-          val probe = banded(sigs)
           // Hadoop FS, not java.nio: the index is written through Spark,
           // so on a cluster whose default FS is HDFS/S3 a local-POSIX
-          // Files.exists() is ALWAYS false — haveIndex would silently
-          // never flip and no cross-batch duplicate would ever be found
+          // Files.exists() is ALWAYS false — the index-presence checks
+          // would silently never flip and no cross-batch duplicate
+          // would ever be found
+          val fs = new org.apache.hadoop.fs.Path(indexPath)
+            .getFileSystem(s.sparkContext.hadoopConfiguration)
+          // Geometry from the index meta when it exists (batch-built
+          // index being extended, or any batch after the stream's first):
+          // signatures banded differently than the index silently match
+          // nothing, so — exactly as in appendToTextIndex — the geometry
+          // is data. The method's numHashes/bands/threshold parameters
+          // only ever CREATE a fresh index's meta.
+          val haveMeta = fs.exists(new org.apache.hadoop.fs.Path(s"$indexPath/meta/_SUCCESS"))
+          val (nh, b, shingle, thr) =
+            if (haveMeta) {
+              val m = s.read.parquet(s"$indexPath/meta").collect()(0)
+              (m.getAs[Int]("num_hashes"), m.getAs[Int]("bands"),
+                m.getAs[Int]("shingle_size"), m.getAs[Double]("threshold"))
+            } else (numHashes, bands, shingleSize, threshold)
+          val rowsPerBand = nh / b
+          def banded(sigs: DataFrame): DataFrame = bandedSigs(sigs, b, rowsPerBand)
+          val sigs = Dedup.minhashSigs(batch, "doc_id", "text", nh, shingle).cache()
+          val probe = banded(sigs)
+          val sigsDir = s"$indexPath/sigs"
           val haveIndex = {
-            val p = new org.apache.hadoop.fs.Path(indexPath)
-            val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-            fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.startsWith("batch_id="))
+            val p = new org.apache.hadoop.fs.Path(sigsDir)
+            fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.startsWith("shard="))
           }
           // existing index + this batch. Index rows are tagged: a new
           // document must match an indexed duplicate REGARDLESS of id
@@ -81,11 +105,14 @@ object StreamingDedup {
           // small batch id set): a replayed or re-sent batch otherwise
           // matches its members against their own index copies in BOTH
           // directions, and the replayed matches partition would not
-          // converge to the clean run's content.
+          // converge to the clean run's content. (The anti-join subsumes
+          // an own-shard partition filter: it also covers a re-SENT batch
+          // arriving under a new batchId.)
           val batchIds = sigs.select(col("id"))
           val target =
             if (haveIndex)
-              banded(s.read.parquet(indexPath).join(broadcast(batchIds), Seq("id"), "left_anti"))
+              banded(s.read.parquet(sigsDir).select(col("id"), col("sig"))
+                  .join(broadcast(batchIds), Seq("id"), "left_anti"))
                 .withColumn("from_index", lit(true))
                 .unionByName(probe.withColumn("from_index", lit(false)))
             else probe.withColumn("from_index", lit(false))
@@ -97,17 +124,31 @@ object StreamingDedup {
                   .otherwise(col("a.id") > col("b.id"))
             )
             .select(col("a.id").as("new_id"), col("b.id").as("existing_id"),
-              estJaccardExpr(numHashes).as("est_jaccard"))
-            .filter(col("est_jaccard") >= threshold)
+              estJaccardExpr(nh).as("est_jaccard"))
+            .filter(col("est_jaccard") >= thr)
             .distinct()
           // Idempotent per micro-batch: foreachBatch replays a batch after a
           // failure, so blind appends would double both the matches and the
           // signature index (and duplicated index rows multiply all future
-          // match output). Writing each batch to its own batch_id=… partition
+          // match output). Writing each batch to its own shard/partition
           // with overwrite makes replays converge; partition discovery on
           // read reassembles the full index/matches set.
           matches.write.mode("overwrite").parquet(s"$matchesPath/batch_id=$batchId")
-          sigs.write.mode("overwrite").parquet(s"$indexPath/batch_id=$batchId")
+          sigs.select(col("id"), col("sig"))
+            .write.mode("overwrite").parquet(s"$sigsDir/shard=stream_$batchId")
+          // meta LAST, and only when creating the index (first non-empty
+          // batch): its presence certifies a complete, probe-able index —
+          // the same written-last crash marker buildTextIndex uses. The
+          // implied at-threshold miss probability (1 - t^r)^b is recorded
+          // so the meta schema matches the batch builder's exactly.
+          if (!haveMeta) {
+            import s.implicits._
+            Seq((nh, b, shingle, thr,
+                math.pow(1.0 - math.pow(thr, rowsPerBand.toDouble), b.toDouble)))
+              .toDF("num_hashes", "bands", "shingle_size", "threshold", "miss_target")
+              .coalesce(1)
+              .write.mode("overwrite").parquet(s"$indexPath/meta")
+          }
           sigs.unpersist()
         }
         ()

@@ -127,6 +127,32 @@ class AdminSqlSpec extends SparkSpecBase {
       assert(s2.sql("SHOW TEXT INDEX FOR '/tmp/no_such_text_index'").isEmpty,
         "missing index must return an empty inventory, not crash")
 
+      // ADMIT SHARD + COMPACT TEXT INDEX: the admission lifecycle run
+      // PURELY through SQL — the reference's statement-driven ops model
+      // (every maintenance verb is a statement through QueryEngineRouter)
+      Seq(
+        (20L, "the quick brown fox jumps over the lazy dog near the river bank tonight"), // dup of base 1
+        (21L, "unrelated fresh text on watermark semantics for late arriving stream events"))
+        .toDF("doc_id", "text").createOrReplaceTempView("adminsql_day2")
+      baseDocs.unionByName(shardDocs).createOrReplaceTempView("adminsql_ref")
+      val adm = s2.sql(
+        s"ADMIT SHARD 'day2' FROM adminsql_day2 INTO '$txtIdx' USING adminsql_ref").head()
+      assert(adm.getString(1) == "day2" && adm.getLong(2) == 1L && adm.getLong(3) == 1L,
+        s"doc 20 duplicates base doc 1 (rejected), doc 21 is novel (admitted): $adm")
+      // explicit ON (id, text) columns parse and admit too
+      Seq((30L, "a third wholly distinct note about adaptive query execution plan stages"))
+        .toDF("doc_id", "text").createOrReplaceTempView("adminsql_day3")
+      val adm3 = s2.sql(s"ADMIT SHARD 'day3' FROM adminsql_day3 INTO '$txtIdx' " +
+        "USING adminsql_ref ON (doc_id, text)").head()
+      assert(adm3.getLong(2) == 1L && adm3.getLong(3) == 0L)
+      val inv2 = s2.sql(s"SHOW TEXT INDEX FOR '$txtIdx'").collect()
+      assert(inv2.map(_.getString(1)).sorted.toSeq == Seq("__base", "day1", "day2", "day3"))
+      val comp = s2.sql(s"COMPACT TEXT INDEX '$txtIdx'").head()
+      assert(comp.getString(0) == txtIdx && comp.getLong(1) == 4L && comp.getLong(2) == 4L,
+        s"4 shards folded, 4 signatures survive: $comp")
+      val inv3 = s2.sql(s"SHOW TEXT INDEX FOR '$txtIdx'").collect()
+      assert(inv3.map(r => (r.getString(1), r.getLong(2))).toSeq == Seq(("__base", 4L)))
+
       // UPSERT round-trip: register a log-structured table, put rows,
       // re-put one key with a new value, and read the merged view
       val upBase = "/tmp/graft_adminsql_upsert_" + System.nanoTime()

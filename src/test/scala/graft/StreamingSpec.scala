@@ -250,7 +250,89 @@ class StreamingSpec extends SparkSpecBase {
       .select("new_id", "existing_id").as[(Long, Long)].collect().toSet
     assert(matches.contains((3L, 1L)), s"expected (3,1) in $matches")
     assert(!matches.exists { case (a, b) => Set(a, b).intersect(Set(2L, 4L)).nonEmpty })
-    assert(spark.read.parquet(s"$base/index").count() == 4) // all docs indexed
+    assert(spark.read.parquet(s"$base/index/sigs").count() == 4) // all docs indexed
+  }
+
+  test("stream-built text index is batch-probe-able, inventoried, and compactable (one format)") {
+    // the unification contract: a corpus admitted through the stream is
+    // the SAME index artifact the batch side builds — batch probe, admin
+    // inventory, and compaction all run on it with no conversion
+    implicit val sqlCtx = spark.sqlContext
+    val base = "/tmp/graft_sdedup_unified_" + System.nanoTime()
+    val stream = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingDedup.run(
+      spark,
+      stream.toDF().toDF("doc_id", "text"),
+      indexPath = s"$base/index",
+      matchesPath = s"$base/matches",
+      threshold = 0.5,
+      checkpoint = s"$base/ckpt"
+    )
+    val d1 = (1L, "the quick brown fox jumps over the lazy dog near the river bank")
+    val d2 = (2L, "completely different content about catalyst optimizer internals")
+    val d3 = (3L, "yet another unrelated piece mentioning columnar storage formats")
+    stream.addData(d1, d2)
+    q.processAllAvailable()
+    stream.addData(d3)
+    q.processAllAvailable()
+    q.stop()
+    val corpus = Seq(d1, d2, d3).toDF("doc_id", "text")
+
+    // batch probe via the persisted geometry — exact-verify semantics
+    val probe = Seq(
+      (20L, "the quick brown fox jumps over the lazy dog near the river bend"))
+      .toDF("doc_id", "text")
+    val pairs = graft.operators.Dedup.crossJaccardPairsIndexed(
+      probe, s"$base/index", corpus, "doc_id", "text")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((20L, 1L)), s"batch probe over the stream-built index: $pairs")
+
+    // admin inventory sees the stream shards + geometry (the command
+    // class directly — the SQL parse path is AdminSqlSpec's subject)
+    val inv = graft.sql.ShowTextIndexCommand(s"$base/index").run(spark)
+    assert(inv.map(_.getString(1)).sorted.toSeq == Seq("stream_0", "stream_1"))
+    assert(inv.forall(_.getDouble(6) == 0.5)) // threshold column (schema-less command rows)
+
+    // compaction folds the stream shards into __base; probe unchanged
+    graft.operators.Dedup.compactTextIndex(spark, s"$base/index")
+    val shards = spark.read.parquet(s"$base/index/sigs").select("shard").distinct()
+      .as[String].collect().toSeq
+    assert(shards == Seq("__base"))
+    val pairsAfter = graft.operators.Dedup.crossJaccardPairsIndexed(
+      probe, s"$base/index", corpus, "doc_id", "text")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairsAfter == pairs)
+  }
+
+  test("the stream extends a batch-built index and reads its geometry from the meta") {
+    // buildTextIndex at a NON-default geometry (threshold 0.35); the
+    // stream is started with DIFFERENT (default) parameters — matches
+    // can only be found if the stream banded with the meta's geometry
+    implicit val sqlCtx = spark.sqlContext
+    val base = "/tmp/graft_sdedup_extend_" + System.nanoTime()
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (2L, "completely different content about spark catalyst optimizer and tungsten"))
+      .toDF("doc_id", "text")
+    graft.operators.Dedup.buildTextIndex(corpus, "doc_id", "text", s"$base/index", threshold = 0.35)
+    val stream = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingDedup.run(
+      spark,
+      stream.toDF().toDF("doc_id", "text"),
+      indexPath = s"$base/index",
+      matchesPath = s"$base/matches",
+      checkpoint = s"$base/ckpt"
+    )
+    stream.addData((10L, "the quick brown fox jumps over the lazy dog near the river bank tonight"))
+    q.processAllAvailable()
+    q.stop()
+    val matches = spark.read.parquet(s"$base/matches")
+      .select("new_id", "existing_id").as[(Long, Long)].collect().toSet
+    assert(matches == Set((10L, 1L)), s"stream must band with the index's meta geometry: $matches")
+    // the appended shard sits beside __base in the one shared layout
+    val shards = spark.read.parquet(s"$base/index/sigs").select("shard").distinct()
+      .as[String].collect().sorted.toSeq
+    assert(shards == Seq("__base", "stream_0"))
   }
 
   test("re-sending an already-indexed near-dup pair emits one direction, not both") {

@@ -18,6 +18,18 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // machine state BEFORE any work: a single end-of-run load sample
+    // missed a ~3x degraded machine for a whole round (the r7 32s
+    // dedup_cross_bucketed phantom) — both ends of the run are recorded
+    val load0 = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+
+    // Explicit fixture-setup phase: build the one-time artifacts
+    // (text index, bucketed table, IVF index, Derby catalog) BEFORE any
+    // timing, so each query's warm pass below is the probe path a daily
+    // pipeline pays and the rep-count policy sees honest numbers.
+    SparkEntry.setupFixtures(spark, sfDir)
+
     // Untimed warm-up: JIT the scan/shuffle/sort/join/agg machinery so the
     // per-query timings below measure steady-state throughput (what a
     // long-lived cluster sees), not first-use interpreter/JIT cliffs —
@@ -59,19 +71,25 @@ object Bench {
         try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
         catch { case _: Throwable => -1.0 }
       }
-      // warm pass: plan + JIT + page cache; its duration decides rep count
+      // warm pass: plan + JIT + page cache (untimed)
       val warm = timed()
-      // Median of 3 for fast queries: at sub-2s scale a single sample
-      // cannot distinguish a 2x regression from GC/JIT luck (two rounds
-      // of phantom regressions: r5 trio, r6 q_substring_dup 14.4s driver
-      // vs 0.6s judge on identical code). Slow queries stay single-timed
-      // — their signal-to-noise is fine and reps would blow the budget.
+      // Rep policy keys on the first TIMED value, not the warm pass:
+      // the queries that most need reps are exactly those whose warm
+      // absorbs residual one-time cost (three rounds of driver-bench
+      // phantoms: r5 trio, r6 substring_dup 14.4s-vs-0.6s, r7's four
+      // headliners) — a warm-based gate demoted them to single-timed on
+      // a loaded machine. Median of 3 below 8s; genuinely slow queries
+      // stay single-timed (signal-to-noise is fine, reps blow budget).
       val t =
         if (warm < 0) -1.0
-        else if (warm < 2.0) {
-          val reps = Seq(timed(), timed(), timed())
-          if (reps.exists(_ < 0)) -1.0 else reps.sorted.apply(1)
-        } else timed()
+        else {
+          val t1 = timed()
+          if (t1 < 0) -1.0
+          else if (t1 < 8.0) {
+            val reps = Seq(t1, timed(), timed())
+            if (reps.exists(_ < 0)) -1.0 else reps.sorted.apply(1)
+          } else t1
+        }
       name -> t
     }
 
@@ -124,22 +142,25 @@ object Bench {
       val qs = results.map { case (k, v) =>
         "\"" + (if (stripQ) k.stripPrefix("q_") else k) + "\":" + num(v, dp)
       }.mkString("{", ",", "}")
-      // "L": 1-min load average rounded to int — 6 chars total, so the
-      // machine-state diagnostic survives every shedding tier (the r5
-      // line shed the full load field and left the driver-bench
-      // regressions unattributable). ~0 means an idle machine; >= cpus/4
-      // under local[32] has historically meant 1.5-4x inflated numbers.
-      // -1 = load unavailable on this platform (MXBean contract) — NOT
-      // clamped to 0, which would certify an unknown machine as idle.
-      val loadField = if (withLoad) s""""L":${if (load < 0) -1L else math.round(load)},""" else ""
+      // "L0"/"L": 1-min load average at run START and END, rounded to
+      // int — ~13 chars total, and the machine-state diagnostic
+      // survives every shedding tier (the r5 line shed the full load
+      // field and left the driver-bench regressions unattributable; the
+      // r7 single end-sample missed a 3x-degraded machine entirely).
+      // ~0 means an idle machine; >= cpus/4 under local[32] has
+      // historically meant 1.5-4x inflated numbers. -1 = load
+      // unavailable on this platform (MXBean contract) — NOT clamped to
+      // 0, which would certify an unknown machine as idle.
+      def li(v: Double) = if (v < 0) -1L else math.round(v)
+      val loadField = if (withLoad) s""""L0":${li(load0)},"L":${li(load)},""" else ""
       s"""{"metric":"total","value":${num(total, 2)},"unit":"sec",$loadField"queries":$qs,"sf":"$sfName"}"""
     }
     // tiered shedding against the driver's 2000-char tail capture (a
     // clipped line loses EVERYTHING): first the routed-pair entries
     // (still recorded in SURVEY/README), then per-query precision drops
     // to 1 decimal (88 queries at 2dp is ~1930 chars — already over).
-    // The 6-char load flag is NEVER shed: dropping it is what left the
-    // r5 driver-bench regressions unattributable.
+    // The ~13-char L0/L load flags are NEVER shed: dropping them is what
+    // left the r5 driver-bench regressions unattributable.
     // At 91 queries the 1dp line with full names measures ~1914 chars —
     // past the threshold — so the next tier sheds the uniform "q_" key
     // prefix (~180 chars) instead of the precision: 1-decimal resolution

@@ -481,13 +481,36 @@ object SparkEntry {
    */
   private def qLinkDeclared(s: SparkSession, dir: String): DataFrame = {
     import graft.sources.JsonCatalogs
+    val url = ensureDeclaredCatalog(s, dir)
+    val json =
+      s"""{"externalLinks":[{"description":{
+         |"linkName":"supplierCat","dimensionName":"l_suppkey",
+         |"fieldsNames":["supplierName","tier"],"tables":["lineitem"],
+         |"fieldsMapping":{"l_suppkey":"s_suppkey"},"relation":"supplier_cat"},
+         |"connection":{"url":"$url","driver":"org.apache.derby.jdbc.EmbeddedDriver"}}]}""".stripMargin
+    val cfgs = JsonCatalogs.parse(json)
+    val schema = JsonCatalogs.attachLinksToSchema(TestSchema.schema, cfgs)
+    val link = schema.links.find(_.linkName == "supplierCat").get
+    val load = JsonCatalogs.loader(s, cfgs, n => ld(s, dir, n))
+    QueryBuilder(s, schema, load, "lineitem")
+      .whereLink(link, col("tier") === "gold")
+      .withLink(link)
+      .groupBy(col("supplierName"))
+      .select(count(lit(1)).as("cnt"), dsum(col("l_quantity")).as("sum_qty"))
+      .build()
+      .orderBy(col("supplierName"))
+  }
+
+  /** Build-once embedded Derby catalog backing the declared external
+    * link (q_link_declared). Bounded driver-side setup: the catalog is
+    * dimension-sized metadata. Idempotence guard — the catalog derives
+    * deterministically from the supplier table, so a table already
+    * holding one row per supplier is current and a repeat invocation
+    * (bench warm + median reps) measures the QUERY, not Derby DDL.
+    * Returns the JDBC url. Exposed through [[setupFixtures]]. */
+  private def ensureDeclaredCatalog(s: SparkSession, dir: String): String = {
     val dbDir = "/tmp/graft_declared_db_" + dir.replaceAll("[^A-Za-z0-9]", "_")
     val url = s"jdbc:derby:$dbDir"
-    // bounded driver-side setup: the catalog is dimension-sized
-    // metadata. Idempotence guard — the catalog derives
-    // deterministically from the supplier table, so a table already
-    // holding one row per supplier is current and a repeat invocation
-    // (bench warm + median reps) measures the QUERY, not Derby DDL.
     SparkEntry.synchronized {
       val keys = ld(s, dir, "supplier").select(col("s_suppkey")).collect().map(_.getLong(0)).sorted
       val conn = java.sql.DriverManager.getConnection(s"$url;create=true")
@@ -513,23 +536,25 @@ object SparkEntry {
         }
       } finally conn.close()
     }
-    val json =
-      s"""{"externalLinks":[{"description":{
-         |"linkName":"supplierCat","dimensionName":"l_suppkey",
-         |"fieldsNames":["supplierName","tier"],"tables":["lineitem"],
-         |"fieldsMapping":{"l_suppkey":"s_suppkey"},"relation":"supplier_cat"},
-         |"connection":{"url":"$url","driver":"org.apache.derby.jdbc.EmbeddedDriver"}}]}""".stripMargin
-    val cfgs = JsonCatalogs.parse(json)
-    val schema = JsonCatalogs.attachLinksToSchema(TestSchema.schema, cfgs)
-    val link = schema.links.find(_.linkName == "supplierCat").get
-    val load = JsonCatalogs.loader(s, cfgs, n => ld(s, dir, n))
-    QueryBuilder(s, schema, load, "lineitem")
-      .whereLink(link, col("tier") === "gold")
-      .withLink(link)
-      .groupBy(col("supplierName"))
-      .select(count(lit(1)).as("cnt"), dsum(col("l_quantity")).as("sum_qty"))
-      .build()
-      .orderBy(col("supplierName"))
+    url
+  }
+
+  /**
+   * Eagerly build every one-time fixture the gated queries otherwise
+   * create lazily behind existence guards: the persisted text index,
+   * the bucketed text-index table, the persisted IVF index, and the
+   * embedded Derby catalog. Bench runs this BEFORE its timed loop so a
+   * query's warm pass times the probe path a daily pipeline pays — not
+   * fixture DDL — and so the warm/timed split can't demote a
+   * fixture-building query out of median-of-3 eligibility. Idempotent:
+   * each build keys on the same existence marker its query checks.
+   */
+  def setupFixtures(s: SparkSession, dir: String): Unit = {
+    ensureTextIndex(s, dir)
+    ensureBucketedTextIndex(s, dir)
+    ensureIvfIndex(s, dir)
+    ensureDeclaredCatalog(s, dir)
+    ()
   }
 
   private def qJoinLinkFiltered(s: SparkSession, dir: String): DataFrame = {
@@ -957,15 +982,24 @@ object SparkEntry {
     val docs = ld(s, dir, "documents")
     val newShard = docs.filter(col("source").isin("src0", "src1", "src2"))
     val refCorpus = docs.filter(!col("source").isin("src0", "src1", "src2"))
-    val idxPath = s"/tmp/graft_textindex/${dirKey(dir)}"
-    // meta is written last in buildTextIndex, so its _SUCCESS certifies
-    // a complete sigs+meta build
-    val marker = new org.apache.hadoop.fs.Path(s"$idxPath/meta/_SUCCESS")
-    if (!marker.getFileSystem(s.sparkContext.hadoopConfiguration).exists(marker))
-      Dedup.buildTextIndex(refCorpus, "doc_id", "text", idxPath, threshold = 0.5)
+    val idxPath = ensureTextIndex(s, dir)
     Dedup
       .crossJaccardPairsIndexed(newShard, idxPath, refCorpus, "doc_id", "text")
       .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Build-once text index over the reference corpus (q_dedup_cross).
+    * meta is written last in buildTextIndex, so its _SUCCESS certifies a
+    * complete sigs+meta build. Exposed through [[setupFixtures]]. */
+  private def ensureTextIndex(s: SparkSession, dir: String): String = {
+    val idxPath = s"/tmp/graft_textindex/${dirKey(dir)}"
+    val marker = new org.apache.hadoop.fs.Path(s"$idxPath/meta/_SUCCESS")
+    if (!marker.getFileSystem(s.sparkContext.hadoopConfiguration).exists(marker)) {
+      val docs = ld(s, dir, "documents")
+      Dedup.buildTextIndex(docs.filter(!col("source").isin("src0", "src1", "src2")),
+        "doc_id", "text", idxPath, threshold = 0.5)
+    }
+    idxPath
   }
 
   /**
@@ -983,12 +1017,23 @@ object SparkEntry {
     val docs = ld(s, dir, "documents")
     val newShard = docs.filter(col("source").isin("src0", "src1", "src2"))
     val refCorpus = docs.filter(!col("source").isin("src0", "src1", "src2"))
-    val tbl = s"graft_xidx_${dirKey(dir)}"
-    if (!s.catalog.tableExists(tbl) || !s.catalog.tableExists(s"${tbl}_meta"))
-      Dedup.buildTextIndexBucketed(refCorpus, "doc_id", "text", tbl, threshold = 0.5)
+    val tbl = ensureBucketedTextIndex(s, dir)
     Dedup
       .crossJaccardPairsBucketedIndexed(newShard, tbl, refCorpus, "doc_id", "text")
       .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Build-once bucketed text index table (q_dedup_cross_bucketed); one
+    * build per JVM — the table catalog is session-scoped. Exposed
+    * through [[setupFixtures]]. */
+  private def ensureBucketedTextIndex(s: SparkSession, dir: String): String = {
+    val tbl = s"graft_xidx_${dirKey(dir)}"
+    if (!s.catalog.tableExists(tbl) || !s.catalog.tableExists(s"${tbl}_meta")) {
+      val docs = ld(s, dir, "documents")
+      Dedup.buildTextIndexBucketed(docs.filter(!col("source").isin("src0", "src1", "src2")),
+        "doc_id", "text", tbl, threshold = 0.5)
+    }
+    tbl
   }
 
   /** Hyperplane-LSH candidates + exact cosine verify at 0.5 — the level
@@ -1235,13 +1280,20 @@ object SparkEntry {
     val emb = ld(s, dir, "embeddings")
     val queries = emb.filter(col("vec_id") < 8)
     val k = 5
-    val idxPath = s"/tmp/graft_ivfindex/${dirKey(dir)}"
-    val marker = new org.apache.hadoop.fs.Path(s"$idxPath/assignments/_SUCCESS")
-    if (!marker.getFileSystem(s.sparkContext.hadoopConfiguration).exists(marker))
-      Ann.buildIvfIndex(s, emb, idxPath, numCells = 16)
+    val idxPath = ensureIvfIndex(s, dir)
     val exhaustive = Ann.searchIvfIndex(s, idxPath, queries, k, probes = 16)
     val limited = Ann.searchIvfIndex(s, idxPath, queries, k, probes = 4)
     withLimitedWellformed(exhaustive, limited, k)
+  }
+
+  /** Build-once persisted IVF index (q_ann_indexed). Exposed through
+    * [[setupFixtures]]. */
+  private def ensureIvfIndex(s: SparkSession, dir: String): String = {
+    val idxPath = s"/tmp/graft_ivfindex/${dirKey(dir)}"
+    val marker = new org.apache.hadoop.fs.Path(s"$idxPath/assignments/_SUCCESS")
+    if (!marker.getFileSystem(s.sparkContext.hadoopConfiguration).exists(marker))
+      Ann.buildIvfIndex(s, ld(s, dir, "embeddings"), idxPath, numCells = 16)
+    idxPath
   }
 
   // ==================================================================

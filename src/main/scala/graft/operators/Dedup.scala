@@ -1390,8 +1390,31 @@ object Dedup {
    * when the cluster is busiest. Only compact shards whose pipeline
    * runs are finalized: a shard merged into base can no longer be
    * excluded by an [[admitShard]] replay, which would then self-match.
+   *
+   * Safe under CONCURRENT admission: the merge reads, and the cleanup
+   * deletes, only the shard dirs present when the merge began (one
+   * snapshot listing) — a shard admitted while the compaction runs is
+   * neither folded nor deleted, and survives beside the new `__base`
+   * for the next cycle. (A delete-everything cleanup would silently
+   * drop an admission that landed between the merge read and the
+   * cleanup — with daily admissions and background compaction at
+   * corpus scale, that window is routinely occupied.) A concurrent
+   * PROBE may still transiently see `__compacted` beside the stale
+   * shard dirs (harmless duplicate candidates, collapsed by
+   * `distinct()`) or hit a deleted file mid-scan during the cleanup
+   * window and need the standard task retry.
    */
-  def compactTextIndex(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+  def compactTextIndex(spark: org.apache.spark.sql.SparkSession, path: String): Unit =
+    compactTextIndexImpl(spark, path, () => ())
+
+  /** [[compactTextIndex]] with a test seam: `afterMerge` runs between
+    * the merge swap (step 2) and the snapshot cleanup (step 3) — the
+    * window a concurrent admission must survive. */
+  private[graft] def compactTextIndexImpl(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      afterMerge: () => Unit
+  ): Unit = {
     val sigsPath = s"$path/sigs"
     val fs = new org.apache.hadoop.fs.Path(sigsPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1410,9 +1433,16 @@ object Dedup {
       if (!fs.rename(compacted, prev))
         throw new java.io.IOException(s"compaction recovery failed: rename $compacted -> $prev")
     }
-    val sigs = spark.read.parquet(sigsPath)
-    if (!sigs.columns.contains("shard")) return // pre-shard flat layout: one dir already
-    sigs.select(col("id"), col("sig"))
+    // ONE snapshot listing drives both the merge read and the cleanup:
+    // only dirs in the snapshot are folded into __compacted, so only
+    // dirs in the snapshot may be deleted (each delete removes rows
+    // that provably live in __compacted). Shards admitted after this
+    // line are untouched.
+    val snapshot = fs.listStatus(new org.apache.hadoop.fs.Path(sigsPath))
+      .map(_.getPath).filter(_.getName.startsWith("shard="))
+    if (snapshot.isEmpty) return // pre-shard flat layout: one dir already
+    spark.read.parquet(snapshot.map(_.toString).toIndexedSeq: _*)
+      .select(col("id"), col("sig"))
       // collapse exact-duplicate rows: a crash in a previous run's
       // step-2..3 window leaves migrated signatures twice (__compacted +
       // stale shard dir); the re-run merges them back to one row
@@ -1420,10 +1450,8 @@ object Dedup {
       .write.mode("overwrite").parquet(compacting.toString)
     if (!fs.rename(compacting, compacted))
       throw new java.io.IOException(s"compaction swap failed: rename $compacting -> $compacted")
-    fs.listStatus(new org.apache.hadoop.fs.Path(sigsPath)).foreach { st =>
-      val name = st.getPath.getName
-      if (name.startsWith("shard=") && name != "shard=__compacted") fs.delete(st.getPath, true)
-    }
+    afterMerge()
+    snapshot.foreach(p => fs.delete(p, true))
     if (!fs.rename(compacted, new org.apache.hadoop.fs.Path(s"$sigsPath/shard=__base")))
       throw new java.io.IOException(s"compaction swap failed: rename $compacted -> shard=__base")
   }

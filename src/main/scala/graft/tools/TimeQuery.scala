@@ -27,6 +27,11 @@ object TimeQuery {
       .config("spark.executor.heartbeatInterval", "60s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // same pre-loop fixture phase as Bench: the first (warm) rep of an
+    // index-backed query must time the PROBE path, not fixture DDL —
+    // otherwise the idle reference sweep and the driver bench disagree
+    // by exactly the one-time build cost this phase exists to exclude
+    SparkEntry.setupFixtures(spark, sfDir)
     for (name <- names) {
       val fn = SparkEntry.queries(name)
       val times = (1 to reps).map { _ =>

@@ -544,6 +544,45 @@ class DedupSpec extends SparkSpecBase {
     assert(healedCount == 1L, s"expected the duplicate to collapse, got $healedCount rows")
   }
 
+  test("a shard admitted WHILE compaction runs survives it (snapshot-scoped cleanup)") {
+    val base = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"))
+      .toDF("doc_id", "text")
+    val s1 = Seq(
+      (10L, "a wholly novel document describing columnar shuffle compression tradeoffs in depth"))
+      .toDF("doc_id", "text")
+    val s2 = Seq(
+      (30L, "an unrelated late arriving note on watermark semantics for streaming joins"))
+      .toDF("doc_id", "text")
+    val path = "/tmp/graft_xconcur_" + System.nanoTime()
+    Dedup.buildTextIndex(base, "doc_id", "text", path, threshold = 0.5)
+    Dedup.admitShard(s1, path, base, "doc_id", "text", "s1")
+    // the race the snapshot exists for: an admission lands between the
+    // merge swap and the cleanup — the test seam injects it exactly there
+    Dedup.compactTextIndexImpl(spark, path, () =>
+      Dedup.admitShard(s2, path, base.unionByName(s1), "doc_id", "text", "s2"))
+    // the late shard was neither folded nor deleted; everything else is __base
+    val shards = spark.read.parquet(s"$path/sigs").select("shard").distinct()
+      .as[String].collect().sorted.toSeq
+    assert(shards == Seq("__base", "s2"), s"late admission must survive the cleanup: $shards")
+    assert(spark.read.parquet(s"$path/sigs").select("id").as[Long].collect().sorted.toSeq
+      == Seq(1L, 10L, 30L), "no signature lost, none duplicated")
+    // probes see the full corpus including the late shard
+    val probe = Seq(
+      (40L, "an unrelated late arriving note on watermark semantics for streaming join"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.crossJaccardPairsIndexed(
+      probe, path, base.unionByName(s1).unionByName(s2), "doc_id", "text")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((40L, 30L)), s"probe must reach the late shard's rows: $pairs")
+    // the NEXT compaction folds the late shard in
+    Dedup.compactTextIndex(spark, path)
+    val shards2 = spark.read.parquet(s"$path/sigs").select("shard").distinct()
+      .as[String].collect().toSeq
+    assert(shards2 == Seq("__base"))
+    assert(spark.read.parquet(s"$path/sigs").count() == 3L)
+  }
+
   test("compaction restart after a crash in the swap window (leftover __compacted) converges") {
     val base = Seq(
       (1L, "the quick brown fox jumps over the lazy dog near the river bank today"))

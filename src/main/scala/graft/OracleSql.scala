@@ -730,6 +730,18 @@ object OracleSql {
          CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS ws_tokens,
          CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]+')) AS BIGINT) AS bpe_tokens
          FROM documents ORDER BY doc_id""",
+    "q_chunk_tokens" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
+         c AS (SELECT doc_id, tk,
+                 unnest(CASE WHEN len(tk) = 0 THEN [NULL]
+                        ELSE range(0, len(tk), 48) END) AS start
+               FROM t),
+         s AS (SELECT doc_id, start, tk[start + 1 : start + 64] AS chunk FROM c)
+         SELECT doc_id,
+           CAST(start // 48 AS BIGINT) AS chunk_idx,
+           CAST(len(chunk) AS BIGINT) AS n_tokens,
+           array_to_string(chunk, ' ') AS chunk_text
+         FROM s ORDER BY doc_id, chunk_idx""",
     "q_text_fingerprint" ->
       """WITH t AS (SELECT doc_id,
            substr(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), 1, 128) AS norm

@@ -1324,6 +1324,15 @@ object SparkEntry {
       )
       .orderBy(col("doc_id"))
 
+  /** Sliding-window token chunking (TextAnalysis.chunkDocs): the
+    * context-window splitter a training pipeline runs before packing —
+    * 64-token chunks stepping by 48 (25% overlap), exact DuckDB oracle
+    * on idx/count/text. Zero-shuffle narrow pass. */
+  private def qChunkTokens(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis
+      .chunkDocs(ld(s, dir, "documents"), "doc_id", "text", chunk = 64, stride = 48)
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
   /** PII scrub over the corpus (TextAnalysis.piiScrub): span counts per
     * class + the masked text; patterns restricted to syntax with
     * identical Java-regex/RE2 semantics so the oracle agrees exactly. */
@@ -1679,6 +1688,7 @@ object SparkEntry {
     "q_text_langid" -> (qTextLangid _),
     "q_text_quality" -> (qTextQuality _),
     "q_text_tokencount" -> (qTextTokencount _),
+    "q_chunk_tokens" -> (qChunkTokens _),
     "q_text_fingerprint" -> (qTextFingerprint _),
     "q_multimodal_meta" -> (qMultimodalMeta _),
     "q_multimodal_frames" -> (qMultimodalFrames _),

@@ -215,6 +215,45 @@ object TextAnalysis {
     aggregate(codes, lit(0L), (acc, c) => (acc * lit(131L) + c) % lit(2147483647L))
   }
 
+  /**
+   * Sliding-window token chunking — the context-window splitter a
+   * training pipeline runs before sequence packing: each document
+   * becomes overlapping chunks of up to `chunk` tokens whose starts
+   * step by `stride` (stride < chunk gives the standard overlap that
+   * keeps spans crossing a chunk boundary learnable; stride = chunk is
+   * disjoint windows). Output one row per (doc, chunk_idx) with the
+   * chunk's token count and space-joined text. Zero-token documents
+   * keep one row (null idx/count/text) so a caller joining chunks back
+   * to the corpus loses nothing — the boilerplate explode_outer
+   * discipline.
+   *
+   * Scale shape: a single narrow pass — tokenize, per-row sequence of
+   * chunk starts, posexplode_outer, slice — chunking is embarrassingly
+   * parallel per document, so there is NO shuffle at any corpus size
+   * and the whole pipeline stays in codegen. Downstream token-budget
+   * packing (q_pack_shards) consumes the (chunk, n_tokens) rows
+   * directly.
+   */
+  def chunkDocs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      chunk: Int = 64,
+      stride: Int = 48
+  ): DataFrame = {
+    require(chunk > 0 && stride > 0 && stride <= chunk,
+      s"need 0 < stride <= chunk, got chunk=$chunk stride=$stride")
+    df.select(col(idCol), F.tokens(col(textCol)).as("tk"))
+      .select(col(idCol), col("tk"),
+        posexplode_outer(when(size(col("tk")) > 0,
+          sequence(lit(0), size(col("tk")) - 1, lit(stride)))))
+      .select(col(idCol), col("pos").cast("long").as("chunk_idx"),
+        slice(col("tk"), col("col") + 1, lit(chunk)).as("chunk"))
+      .select(col(idCol), col("chunk_idx"),
+        size(col("chunk")).cast("long").as("n_tokens"),
+        array_join(col("chunk"), " ").as("chunk_text"))
+  }
+
   /** Full per-document analysis frame. */
   def analyze(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(

@@ -102,4 +102,35 @@ class CurationSpec extends SparkSpecBase {
     assert(out(1).getAs[Long]("n_emails") == 0 &&
       out(1).getAs[String]("scrubbed") == "no sensitive content here at all")
   }
+
+  test("chunkDocs windows tokens with overlap, keeps the tail and empty docs") {
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"), // 10 tokens
+      (2L, "x y"),                 // shorter than one chunk
+      (3L, "--- ;;; !!!")          // tokenizes to zero tokens
+    ).toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis
+      .chunkDocs(docs, "doc_id", "text", chunk = 4, stride = 3)
+      .orderBy("doc_id", "chunk_idx").collect()
+      .map(r => (r.getAs[Long]("doc_id"), Option(r.getAs[java.lang.Long]("chunk_idx")),
+        Option(r.getAs[java.lang.Long]("n_tokens")), Option(r.getAs[String]("chunk_text"))))
+    // doc 1: starts 0,3,6,9 -> 4 chunks, last is the single-token tail
+    assert(out.count(_._1 == 1L) == 4)
+    assert(out(0) == ((1L, Some(0L), Some(4L), Some("a b c d"))))
+    assert(out(1) == ((1L, Some(1L), Some(4L), Some("d e f g"))))
+    assert(out(3) == ((1L, Some(3L), Some(1L), Some("j"))), s"tail chunk: ${out(3)}")
+    // doc 2: one short chunk
+    assert(out(4) == ((2L, Some(0L), Some(2L), Some("x y"))))
+    // doc 3: zero tokens -> exactly one row, null idx/count/text
+    assert(out(5) == ((3L, None, None, None)), "empty doc keeps a joinable row")
+    assert(out.length == 6)
+    // stride == chunk is disjoint windows covering every token once
+    val disjoint = graft.operators.TextAnalysis
+      .chunkDocs(docs.filter(col("doc_id") === 1L), "doc_id", "text", chunk = 5, stride = 5)
+      .orderBy("chunk_idx").collect()
+    assert(disjoint.map(_.getAs[Long]("n_tokens")).toSeq == Seq(5L, 5L))
+    intercept[IllegalArgumentException] {
+      graft.operators.TextAnalysis.chunkDocs(docs, "doc_id", "text", chunk = 4, stride = 5)
+    }
+  }
 }

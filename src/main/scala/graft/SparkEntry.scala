@@ -552,6 +552,7 @@ object SparkEntry {
   def setupFixtures(s: SparkSession, dir: String): Unit = {
     ensureTextIndex(s, dir)
     ensureBucketedTextIndex(s, dir)
+    ensureDeltaTextIndex(s, dir)
     ensureIvfIndex(s, dir)
     ensureDeclaredCatalog(s, dir)
     ()
@@ -1034,6 +1035,45 @@ object SparkEntry {
         "doc_id", "text", tbl, threshold = 0.5)
     }
     tbl
+  }
+
+  /**
+   * The BASE+DELTA split serving layout under the same gate: the
+   * reference corpus is split between a bucketed base table (even
+   * doc_id — the periodically rebuilt bulk) and a parquet delta
+   * side-index (odd doc_id — standing in for the shards admitted
+   * since the last promotion). The combined probe must emit EXACTLY
+   * the monolithic-index pair set — the invariant that lets a daily
+   * pipeline serve probes while admissions accumulate. Oracle: the
+   * same brute-force A×B scan as q_dedup_cross.
+   */
+  private def qDedupCrossDelta(s: SparkSession, dir: String): DataFrame = {
+    val docs = ld(s, dir, "documents")
+    val newShard = docs.filter(col("source").isin("src0", "src1", "src2"))
+    val refCorpus = docs.filter(!col("source").isin("src0", "src1", "src2"))
+    val (tbl, delta) = ensureDeltaTextIndex(s, dir)
+    Dedup
+      .crossJaccardPairsBucketedDelta(newShard, tbl, delta, refCorpus, "doc_id", "text")
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Build-once base+delta fixture (q_dedup_cross_delta): bucketed base
+    * over even-doc_id refs, parquet delta index over odd-doc_id refs —
+    * both at threshold 0.5, so their banding geometries agree by
+    * construction. Exposed through [[setupFixtures]]. */
+  private def ensureDeltaTextIndex(s: SparkSession, dir: String): (String, String) = {
+    val tbl = s"graft_xdelta_${dirKey(dir)}"
+    val delta = s"/tmp/graft_xdelta/${dirKey(dir)}"
+    lazy val refCorpus = ld(s, dir, "documents")
+      .filter(!col("source").isin("src0", "src1", "src2"))
+    if (!s.catalog.tableExists(tbl) || !s.catalog.tableExists(s"${tbl}_meta"))
+      Dedup.buildTextIndexBucketed(
+        refCorpus.filter(col("doc_id") % 2 === 0), "doc_id", "text", tbl, threshold = 0.5)
+    val marker = new org.apache.hadoop.fs.Path(s"$delta/meta/_SUCCESS")
+    if (!marker.getFileSystem(s.sparkContext.hadoopConfiguration).exists(marker))
+      Dedup.buildTextIndex(
+        refCorpus.filter(col("doc_id") % 2 === 1), "doc_id", "text", delta, threshold = 0.5)
+    (tbl, delta)
   }
 
   /** Hyperplane-LSH candidates + exact cosine verify at 0.5 — the level
@@ -1678,6 +1718,7 @@ object SparkEntry {
     "q_dedup_ngram_jaccard" -> (qDedupNgramJaccard _),
     "q_dedup_cross" -> (qDedupCross _),
     "q_dedup_cross_bucketed" -> (qDedupCrossBucketed _),
+    "q_dedup_cross_delta" -> (qDedupCrossDelta _),
     "q_dedup_cluster" -> (qDedupCluster _),
     "q_curate" -> (qCurate _),
     "q_dedup_embed" -> (qDedupEmbed _),

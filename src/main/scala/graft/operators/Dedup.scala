@@ -1437,10 +1437,11 @@ object Dedup {
     // only dirs in the snapshot are folded into __compacted, so only
     // dirs in the snapshot may be deleted (each delete removes rows
     // that provably live in __compacted). Shards admitted after this
-    // line are untouched.
-    val snapshot = fs.listStatus(new org.apache.hadoop.fs.Path(sigsPath))
-      .map(_.getPath).filter(_.getName.startsWith("shard="))
-    if (snapshot.isEmpty) return // pre-shard flat layout: one dir already
+    // line are untouched, as are data-less dirs (zero-novel-docs
+    // admissions, or a concurrent admission's write still in flight —
+    // see [[readableShardDirs]]).
+    val snapshot = readableShardDirs(spark, path)
+    if (snapshot.isEmpty) return // pre-shard flat layout or nothing to fold
     spark.read.parquet(snapshot.map(_.toString).toIndexedSeq: _*)
       .select(col("id"), col("sig"))
       // collapse exact-duplicate rows: a crash in a previous run's
@@ -1542,5 +1543,237 @@ object Dedup {
     val rb = bandedFromSigs(filtered, b, nh / b)
     crossExactVerify(crossCandidates(pb, rb, maxBucket), probe, ref, idCol, textCol, shingleSize)
       .filter(col("jac") >= threshold)
+  }
+
+  /** Shard dirs under a parquet text index's `sigs/` that hold at least
+    * one COMMITTED data file (empty when the index has no signatures
+    * yet). A shard admitted with zero novel docs leaves an empty dir —
+    * reading it via an explicit path list would fail schema inference,
+    * and deleting a data-less dir could race a concurrent admission
+    * whose write is still inside `_temporary` — so maintenance jobs
+    * read AND delete only dirs this filter returns; empty dirs are
+    * harmless to probes (partition discovery contributes no rows) and
+    * fold once they hold data. */
+  private[graft] def readableShardDirs(
+      spark: org.apache.spark.sql.SparkSession, indexPath: String
+  ): Array[org.apache.hadoop.fs.Path] = {
+    val sigs = new org.apache.hadoop.fs.Path(s"$indexPath/sigs")
+    val fs = sigs.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(sigs)) Array.empty
+    else fs.listStatus(sigs).map(_.getPath)
+      .filter(_.getName.startsWith("shard="))
+      .filter(p => fs.listStatus(p).exists { st =>
+        val n = st.getPath.getName
+        st.isFile && !n.startsWith("_") && !n.startsWith(".")
+      })
+  }
+
+  /** Create the delta side-index's meta with the bucketed table's
+    * geometry if absent; if present, require it to MATCH — a delta
+    * banded differently than its base would make base and delta
+    * candidates incomparable and every future promotion silently wrong
+    * (the geometry-is-data rule both index forms already follow). */
+  private def ensureDeltaMeta(
+      spark: org.apache.spark.sql.SparkSession,
+      deltaPath: String,
+      tableMeta: org.apache.spark.sql.Row
+  ): Unit = {
+    val marker = new org.apache.hadoop.fs.Path(s"$deltaPath/meta/_SUCCESS")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(marker)) {
+      val m = spark.read.parquet(s"$deltaPath/meta").collect()(0)
+      require(
+        m.getAs[Int]("num_hashes") == tableMeta.getAs[Int]("num_hashes") &&
+          m.getAs[Int]("bands") == tableMeta.getAs[Int]("bands") &&
+          m.getAs[Int]("shingle_size") == tableMeta.getAs[Int]("shingle_size"),
+        s"delta index at $deltaPath has a different banding geometry than its base table")
+    } else {
+      import spark.implicits._
+      Seq((tableMeta.getAs[Int]("num_hashes"), tableMeta.getAs[Int]("bands"),
+          tableMeta.getAs[Int]("shingle_size"), tableMeta.getAs[Double]("threshold"),
+          tableMeta.getAs[Double]("miss_target")))
+        .toDF("num_hashes", "bands", "shingle_size", "threshold", "miss_target")
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$deltaPath/meta")
+    }
+  }
+
+  /**
+   * Base+delta admission against the BUCKETED index — the serving shape
+   * a daily pipeline runs at 100 TB. The bucketed table carries the
+   * large, periodically rebuilt base (zero-exchange candidate join);
+   * shards admitted BETWEEN rebuilds land in a small parquet side-index
+   * (`deltaPath`, the [[buildTextIndex]] layout, created on first use
+   * with the table's geometry) that every probe also checks. Without
+   * the delta, a shard admitted Monday is invisible to Tuesday's probe
+   * until the next full table rebuild, and cross-shard duplicates slip
+   * into the corpus unchecked. Candidates = bucketed base join ∪ delta
+   * band join (the delta side is days-sized, so its exchange is
+   * shard-scale, not corpus-scale); one shared exact verify; novel
+   * survivors append to the delta under `shard`. Replay-safe like
+   * [[admitShard]]: the delta probe excludes its own shard's rows.
+   * When the delta has grown enough, [[promoteTextIndexDelta]] folds
+   * it into the table from signatures alone and resets it.
+   */
+  def admitShardBucketed(
+      probe: DataFrame,
+      tableName: String,
+      deltaPath: String,
+      ref: DataFrame,
+      idCol: String,
+      textCol: String,
+      shard: String,
+      maxBucket: Option[Int] = None
+  ): DataFrame = {
+    val spark = probe.sparkSession
+    ensureDeltaMeta(spark, deltaPath, spark.table(s"${tableName}_meta").collect()(0))
+    val dupIds = crossJaccardPairsBucketedDelta(
+      probe, tableName, deltaPath, ref, idCol, textCol, maxBucket, excludeShard = Some(shard))
+      .select(col("id_a").as("__dup_id")).distinct()
+    val survivors = probe.join(
+      dupIds.hint("shuffle_hash"), col(idCol) === col("__dup_id"), "left_anti")
+    appendToTextIndex(survivors, deltaPath, idCol, textCol, shard)
+    survivors
+  }
+
+  /**
+   * The base+delta PROBE on its own (the read half of
+   * [[admitShardBucketed]], also the gated q_dedup_cross_delta path):
+   * candidates from the zero-exchange bucketed base table ∪ the parquet
+   * delta side-index's band join, one shared exact verify — the split
+   * serving layout must return exactly what a monolithic index over
+   * base+delta would (the driver gate proves it against the same
+   * brute-force A×B oracle as the flat index probe). A missing or
+   * empty delta degrades to the pure bucketed probe; a delta whose
+   * meta disagrees with the table's geometry is refused.
+   */
+  def crossJaccardPairsBucketedDelta(
+      probe: DataFrame,
+      tableName: String,
+      deltaPath: String,
+      ref: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxBucket: Option[Int] = None,
+      excludeShard: Option[String] = None
+  ): DataFrame = {
+    val spark = probe.sparkSession
+    val meta = spark.table(s"${tableName}_meta").collect()(0)
+    val nh = meta.getAs[Int]("num_hashes")
+    val b = meta.getAs[Int]("bands")
+    val shingleSize = meta.getAs[Int]("shingle_size")
+    val threshold = meta.getAs[Double]("threshold")
+    // a pure probe never CREATES delta meta (that is admission's job) —
+    // but when one exists it must match the table's geometry
+    val marker = new org.apache.hadoop.fs.Path(s"$deltaPath/meta/_SUCCESS")
+    if (marker.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(marker))
+      ensureDeltaMeta(spark, deltaPath, meta)
+    val pb = bandedFromSigs(minhashSigs(probe, idCol, textCol, nh, shingleSize), b, nh / b)
+    val baseCands = crossCandidates(pb, spark.table(tableName), maxBucket, hintProbe = false)
+    // the delta probe mirrors crossJaccardPairsIndexed's own-shard
+    // exclusion (partition-value filter → file-level prune on replay)
+    val cands = readableShardDirs(spark, deltaPath) match {
+      case dirs if dirs.isEmpty => baseCands
+      case _ =>
+        val deltaSigs = excludeShard match {
+          case Some(sh) => spark.read.parquet(s"$deltaPath/sigs").filter(col("shard") =!= sh)
+          case None => spark.read.parquet(s"$deltaPath/sigs")
+        }
+        baseCands
+          .unionByName(crossCandidates(pb, bandedFromSigs(deltaSigs, b, nh / b), maxBucket))
+          .distinct()
+    }
+    crossExactVerify(cands, probe, ref, idCol, textCol, shingleSize)
+      .filter(col("jac") >= threshold)
+  }
+
+  /**
+   * Fold the delta side-index into the bucketed base table WITHOUT
+   * re-shingling any text — promotion is a signature-only maintenance
+   * job. The table's rows are ALREADY banded (id, band, bh); the delta
+   * signatures band the same way, the union deduplicates, and the
+   * merged rows re-bucket at a freshly corpus-derived bucket count
+   * (the resize path when the corpus outgrows its buckets — the new
+   * count lands in `<table>_meta.num_buckets`). Never a corpus text
+   * scan: at 100 TB the cost is one shuffle of 20-byte banded rows.
+   *
+   * Restartable and safe under concurrent admission, by the
+   * [[compactTextIndex]] discipline: the merged rows are staged OUTSIDE
+   * both structures (`<deltaPath>/promoting`), only the delta shard
+   * dirs present in one snapshot listing (taken when the merge begins)
+   * are folded and later deleted — a shard admitted mid-promotion
+   * survives for the next cycle — and a leftover complete staging dir
+   * makes a re-run rebuild the table from it instead of re-merging
+   * (crash between table rebuild and delta reset re-runs to the same
+   * state; `mode(overwrite)` on the staged write makes the merge
+   * itself re-runnable).
+   */
+  def promoteTextIndexDelta(
+      spark: org.apache.spark.sql.SparkSession,
+      tableName: String,
+      deltaPath: String
+  ): Unit = promoteTextIndexDeltaImpl(spark, tableName, deltaPath, () => ())
+
+  /** [[promoteTextIndexDelta]] with a test seam: `afterStage` runs
+    * between the staged-merge write and the table rebuild + snapshot
+    * cleanup — the window a concurrent admission must survive. */
+  private[graft] def promoteTextIndexDeltaImpl(
+      spark: org.apache.spark.sql.SparkSession,
+      tableName: String,
+      deltaPath: String,
+      afterStage: () => Unit
+  ): Unit = {
+    val meta = spark.table(s"${tableName}_meta").collect()(0)
+    val nh = meta.getAs[Int]("num_hashes")
+    val b = meta.getAs[Int]("bands")
+    val staging = new org.apache.hadoop.fs.Path(s"$deltaPath/promoting")
+    val fs = staging.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // The list of folded shard dirs is PERSISTED beside the staged rows
+    // (written last, so its presence certifies a complete stage) and
+    // the cleanup deletes ONLY dirs it names: a restart may find NEW
+    // shards admitted after the original stage, and re-listing at
+    // restart would delete them without their rows ever being staged.
+    // The staged-write overwrite wipes the list with the rows, so the
+    // two can never disagree.
+    val foldedList = new org.apache.hadoop.fs.Path(s"$deltaPath/promoting/__folded_shards")
+    val snapshot: Array[org.apache.hadoop.fs.Path] =
+      if (fs.exists(foldedList)) {
+        val in = fs.open(foldedList)
+        val names =
+          try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toArray
+          finally in.close()
+        names.map(n => new org.apache.hadoop.fs.Path(s"$deltaPath/sigs/$n"))
+      } else {
+        val snap = readableShardDirs(spark, deltaPath)
+        if (snap.isEmpty) return // nothing to promote
+        val deltaBanded = bandedFromSigs(
+          spark.read.parquet(snap.map(_.toString).toIndexedSeq: _*).select(col("id"), col("sig")),
+          b, nh / b)
+        spark.table(tableName).unionByName(deltaBanded)
+          // a replayed-but-unpromoted shard can carry rows a previous
+          // crash-window already merged; identical banded rows collapse
+          .dropDuplicates(Seq("id", "band", "bh"))
+          .write.mode("overwrite").parquet(staging.toString)
+        val out = fs.create(foldedList, true)
+        try out.write(snap.map(_.getName).mkString("\n").getBytes("UTF-8"))
+        finally out.close()
+        snap
+      }
+    afterStage()
+    val merged = spark.read.parquet(staging.toString)
+    val buckets = textIndexBuckets(merged.count())
+    merged.write.mode("overwrite")
+      .bucketBy(buckets, "band", "bh")
+      .sortBy("band", "bh")
+      .format("parquet")
+      .saveAsTable(tableName)
+    import spark.implicits._
+    Seq((nh, b, meta.getAs[Int]("shingle_size"), meta.getAs[Double]("threshold"),
+        meta.getAs[Double]("miss_target"), buckets))
+      .toDF("num_hashes", "bands", "shingle_size", "threshold", "miss_target", "num_buckets")
+      .coalesce(1)
+      .write.mode("overwrite").format("parquet").saveAsTable(s"${tableName}_meta")
+    snapshot.foreach(p => fs.delete(p, true))
+    fs.delete(staging, true)
   }
 }

@@ -29,6 +29,8 @@ import org.apache.spark.sql.types.{DataType, DoubleType, LongType, StringType, S
  *   SHOW TEXT INDEX FOR '<index-path>'
  *   COMPACT TEXT INDEX '<index-path>'
  *   ADMIT SHARD '<name>' FROM <table> INTO '<index-path>' USING <ref-table> [ON (<id-col>, <text-col>)]
+ *   ADMIT SHARD '<name>' FROM <table> INTO TABLE <bucketed-table> DELTA '<delta-path>' USING <ref-table> [ON (<id-col>, <text-col>)]
+ *   PROMOTE TEXT INDEX DELTA '<delta-path>' INTO TABLE <bucketed-table>
  *   SHOW VERSION
  *   UPSERT INTO <table> (col, ...) VALUES (v, ...), ...
  *
@@ -86,9 +88,13 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface) extends P
       case ShowDriftRe(index, source) => ShowIndexDriftCommand(index, source)
       case ShowTextIndexRe(index) => ShowTextIndexCommand(index)
       case CompactTextIndexRe(index) => CompactTextIndexCommand(index)
+      case AdmitShardBucketedRe(shard, probeTable, table, delta, refTable, idCol, textCol) =>
+        AdmitShardBucketedCommand(shard, probeTable, table, delta, refTable,
+          Option(idCol).getOrElse("doc_id"), Option(textCol).getOrElse("text"))
       case AdmitShardRe(shard, probeTable, index, refTable, idCol, textCol) =>
         AdmitShardCommand(shard, probeTable, index, refTable,
           Option(idCol).getOrElse("doc_id"), Option(textCol).getOrElse("text"))
+      case PromoteDeltaRe(delta, table) => PromoteTextIndexDeltaCommand(table, delta)
       case ShowVersionRe() => ShowVersionCommand()
       case UpsertRe(table, cols, values) =>
         UpsertCommand(table, cols.split(',').map(_.trim).toSeq.filter(_.nonEmpty), values)
@@ -124,6 +130,10 @@ object GraftSqlParser {
     """(?is)COMPACT\s+TEXT\s+INDEX\s+'([^']+)'\s*;?""".r
   private val AdmitShardRe =
     """(?is)ADMIT\s+SHARD\s+'([^']+)'\s+FROM\s+([A-Za-z_][A-Za-z0-9_.]*)\s+INTO\s+'([^']+)'\s+USING\s+([A-Za-z_][A-Za-z0-9_.]*)(?:\s+ON\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*,\s*([A-Za-z_][A-Za-z0-9_]*)\s*\))?\s*;?""".r
+  private val AdmitShardBucketedRe =
+    """(?is)ADMIT\s+SHARD\s+'([^']+)'\s+FROM\s+([A-Za-z_][A-Za-z0-9_.]*)\s+INTO\s+TABLE\s+([A-Za-z_][A-Za-z0-9_.]*)\s+DELTA\s+'([^']+)'\s+USING\s+([A-Za-z_][A-Za-z0-9_.]*)(?:\s+ON\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*,\s*([A-Za-z_][A-Za-z0-9_]*)\s*\))?\s*;?""".r
+  private val PromoteDeltaRe =
+    """(?is)PROMOTE\s+TEXT\s+INDEX\s+DELTA\s+'([^']+)'\s+INTO\s+TABLE\s+([A-Za-z_][A-Za-z0-9_.]*)\s*;?""".r
   private val ShowVersionRe = """(?is)SHOW\s+VERSION\s*;?""".r
   private val UpsertRe =
     """(?is)UPSERT\s+INTO\s+([A-Za-z_][A-Za-z0-9_.]*)\s*\(([^)]*)\)\s+VALUES\s+(.+?)\s*;?\s*""".r
@@ -357,6 +367,59 @@ case class AdmitShardCommand(
     val safe = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(shard)
     val admitted = spark.read.parquet(s"$indexPath/sigs/shard=$safe").count()
     Seq(Row(indexPath, shard, admitted, probe.count() - admitted))
+  }
+}
+
+/** ADMIT SHARD '<name>' FROM <probe> INTO TABLE <t> DELTA '<path>'
+  * USING <ref> [ON (<id>, <text>)] — the base+delta admission cycle
+  * ([[graft.operators.Dedup.admitShardBucketed]]): candidates from the
+  * zero-exchange bucketed base table PLUS the parquet delta side-index
+  * (shards admitted since the last promotion — without it, yesterday's
+  * admission is invisible to today's probe), novel survivors appended
+  * to the delta under the shard name. Reports admitted/rejected counts
+  * read back from the written shard. */
+case class AdmitShardBucketedCommand(
+    shard: String,
+    probeTable: String,
+    tableName: String,
+    deltaPath: String,
+    refTable: String,
+    idCol: String,
+    textCol: String
+) extends LeafRunnableCommand {
+  import GraftSqlParser.attr
+  override val output: Seq[Attribute] = Seq(
+    attr("table", StringType), attr("delta", StringType), attr("shard", StringType),
+    attr("admitted", LongType), attr("rejected", LongType))
+  override def run(spark: SparkSession): Seq[Row] = {
+    val probe = spark.table(probeTable)
+    val ref = spark.table(refTable)
+    graft.operators.Dedup.admitShardBucketed(
+      probe, tableName, deltaPath, ref, idCol, textCol, shard)
+    val safe = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(shard)
+    val admitted = spark.read.parquet(s"$deltaPath/sigs/shard=$safe").count()
+    Seq(Row(tableName, deltaPath, shard, admitted, probe.count() - admitted))
+  }
+}
+
+/** PROMOTE TEXT INDEX DELTA '<path>' INTO TABLE <t> — fold the delta
+  * side-index into the bucketed base from signatures alone
+  * ([[graft.operators.Dedup.promoteTextIndexDelta]] — restartable
+  * staged merge, corpus-derived bucket resize, never a text re-scan).
+  * Reports shards folded and the rebuilt table's row/bucket counts. */
+case class PromoteTextIndexDeltaCommand(
+    tableName: String,
+    deltaPath: String
+) extends LeafRunnableCommand {
+  import GraftSqlParser.attr
+  override val output: Seq[Attribute] = Seq(
+    attr("table", StringType), attr("delta", StringType),
+    attr("shards_promoted", LongType), attr("n_rows", LongType), attr("num_buckets", LongType))
+  override def run(spark: SparkSession): Seq[Row] = {
+    val before = graft.operators.Dedup.readableShardDirs(spark, deltaPath).length.toLong
+    graft.operators.Dedup.promoteTextIndexDelta(spark, tableName, deltaPath)
+    val buckets = spark.table(s"${tableName}_meta").collect()(0).getAs[Int]("num_buckets").toLong
+    Seq(Row(tableName, deltaPath, before, spark.table(tableName).count(), buckets))
   }
 }
 

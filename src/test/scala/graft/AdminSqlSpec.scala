@@ -153,6 +153,35 @@ class AdminSqlSpec extends SparkSpecBase {
       val inv3 = s2.sql(s"SHOW TEXT INDEX FOR '$txtIdx'").collect()
       assert(inv3.map(r => (r.getString(1), r.getLong(2))).toSeq == Seq(("__base", 4L)))
 
+      // base+delta lifecycle through SQL alone: ADMIT SHARD ... INTO
+      // TABLE ... DELTA, then PROMOTE TEXT INDEX DELTA ... INTO TABLE
+      val btbl = "adminsql_xdelta"
+      Seq(btbl, s"${btbl}_meta").foreach { t =>
+        s2.sql(s"DROP TABLE IF EXISTS $t")
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"/tmp/graft_warehouse/$t"))
+      }
+      graft.operators.Dedup.buildTextIndexBucketed(baseDocs, "doc_id", "text", btbl, threshold = 0.5)
+      val bDelta = "/tmp/graft_adminsql_delta_" + System.nanoTime()
+      shardDocs.createOrReplaceTempView("adminsql_b1") // novel doc 10
+      val badm = s2.sql(s"ADMIT SHARD 'b1' FROM adminsql_b1 INTO TABLE $btbl " +
+        s"DELTA '$bDelta' USING adminsql_ref").head()
+      assert(badm.getString(0) == btbl && badm.getString(2) == "b1" &&
+        badm.getLong(3) == 1L && badm.getLong(4) == 0L, s"novel doc admitted to the delta: $badm")
+      // a near-dup of the DELTA doc is rejected — the delta is probe-visible
+      Seq((60L, "a wholly novel document describing columnar shuffle compression tradeoffs too"))
+        .toDF("doc_id", "text").createOrReplaceTempView("adminsql_b2")
+      val badm2 = s2.sql(s"ADMIT SHARD 'b2' FROM adminsql_b2 INTO TABLE $btbl " +
+        s"DELTA '$bDelta' USING adminsql_ref").head()
+      assert(badm2.getLong(3) == 0L && badm2.getLong(4) == 1L,
+        s"the delta dup must be rejected before any promotion: $badm2")
+      val prom = s2.sql(s"PROMOTE TEXT INDEX DELTA '$bDelta' INTO TABLE $btbl").head()
+      assert(prom.getString(0) == btbl && prom.getLong(2) == 2L,
+        s"two delta shards promoted: $prom")
+      assert(prom.getLong(4) >= 8L, s"rebuilt bucket count recorded: $prom")
+      // doc 10's banded rows now live in the bucketed base
+      assert(s2.table(btbl).select("id").distinct().as[Long].collect().sorted.toSeq
+        == Seq(1L, 10L))
+
       // UPSERT round-trip: register a log-structured table, put rows,
       // re-put one key with a new value, and read the merged view
       val upBase = "/tmp/graft_adminsql_upsert_" + System.nanoTime()

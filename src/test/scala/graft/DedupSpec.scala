@@ -704,6 +704,134 @@ class DedupSpec extends SparkSpecBase {
     assert(Dedup.textIndexBuckets(25L * 1000 * 1000 * 1000) == 6250)
   }
 
+  // shared fixture for the base+delta lifecycle tests: a bucketed base
+  // of two docs, distinct shard docs, and a helper that wipes the table
+  private def bucketedBaseFixture(tag: String): (String, String, org.apache.spark.sql.DataFrame) = {
+    val base = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (2L, "completely different content about spark catalyst optimizer and tungsten"))
+      .toDF("doc_id", "text")
+    val tbl = s"xdelta_${tag}"
+    Seq(tbl, s"${tbl}_meta").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"/tmp/graft_warehouse/$t"))
+    }
+    Dedup.buildTextIndexBucketed(base, "doc_id", "text", tbl, threshold = 0.5)
+    (tbl, "/tmp/graft_xdelta_" + tag + "_" + System.nanoTime(), base)
+  }
+  private val novelX =
+    "a wholly novel document describing columnar shuffle compression tradeoffs in depth"
+  private val dupOfX =
+    "a wholly novel document describing columnar shuffle compression tradeoffs in detail"
+
+  test("base+delta bucketed admission: the delta is probe-visible before promotion") {
+    val (tbl, delta, base) = bucketedBaseFixture("vis")
+    // s1 admits a novel doc into the delta
+    val s1 = Seq((10L, novelX)).toDF("doc_id", "text")
+    val surv1 = Dedup.admitShardBucketed(s1, tbl, delta, base, "doc_id", "text", "s1")
+    assert(surv1.select("doc_id").as[Long].collect().toSeq == Seq(10L))
+    // s2 carries: a near-dup of the DELTA doc (the case a base-only
+    // probe would miss), a dup of a BASE doc, and a novel doc
+    val s2 = Seq(
+      (20L, dupOfX),
+      (21L, "the quick brown fox jumps over the lazy dog near the river bank tonight"),
+      (22L, "an unrelated note on watermark semantics for late arriving stream events"))
+      .toDF("doc_id", "text")
+    val ref2 = base.unionByName(s1)
+    val surv2 = Dedup.admitShardBucketed(s2, tbl, delta, ref2, "doc_id", "text", "s2")
+    assert(surv2.select("doc_id").as[Long].collect().sorted.toSeq == Seq(22L),
+      "the delta dup (20) and the base dup (21) must both be rejected")
+    // replay of s2 converges (own-shard exclusion in the delta probe)
+    val replay = Dedup.admitShardBucketed(s2, tbl, delta, ref2, "doc_id", "text", "s2")
+    assert(replay.select("doc_id").as[Long].collect().sorted.toSeq == Seq(22L))
+    val shards = spark.read.parquet(s"$delta/sigs").select("shard").distinct()
+      .as[String].collect().sorted.toSeq
+    assert(shards == Seq("s1", "s2"))
+  }
+
+  test("promotion folds the delta into the table from signatures alone and resets it") {
+    val (tbl, delta, base) = bucketedBaseFixture("promo")
+    val s1 = Seq((10L, novelX)).toDF("doc_id", "text")
+    Dedup.admitShardBucketed(s1, tbl, delta, base, "doc_id", "text", "s1")
+    Dedup.promoteTextIndexDelta(spark, tbl, delta)
+    // the delta is reset; the table now carries doc 10's banded rows
+    assert(Dedup.readableShardDirs(spark, delta).isEmpty, "promotion must reset the delta")
+    assert(spark.table(tbl).select("id").distinct().as[Long].collect().sorted.toSeq
+      == Seq(1L, 2L, 10L))
+    assert(spark.table(s"${tbl}_meta").collect()(0).getAs[Int]("num_buckets") >= 8)
+    // a BASE-ONLY probe (no delta) now rejects the X near-dup: proof the
+    // promoted rows are candidate-generating in the bucketed table
+    val refAll = base.unionByName(s1)
+    val pairs = Dedup.crossJaccardPairsBucketedIndexed(
+      Seq((30L, dupOfX)).toDF("doc_id", "text"), tbl, refAll, "doc_id", "text")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((30L, 10L)))
+    // admission keeps working against the rebuilt base with an empty delta
+    val surv = Dedup.admitShardBucketed(
+      Seq((31L, dupOfX)).toDF("doc_id", "text"), tbl, delta, refAll, "doc_id", "text", "s3")
+    assert(surv.isEmpty, "post-promotion admission must reject dups via the base alone")
+    // re-promotion with only a zero-row shard (s3 admitted 0 docs) is
+    // harmless: the fold adds nothing and the table is unchanged
+    Dedup.promoteTextIndexDelta(spark, tbl, delta)
+    assert(spark.table(tbl).select("id").distinct().count() == 3L)
+  }
+
+  test("a shard admitted WHILE promotion runs survives it (persisted folded-shard list)") {
+    val (tbl, delta, base) = bucketedBaseFixture("race")
+    val s1 = Seq((10L, novelX)).toDF("doc_id", "text")
+    Dedup.admitShardBucketed(s1, tbl, delta, base, "doc_id", "text", "s1")
+    val late = Seq(
+      (40L, "an unrelated late arriving note on watermark semantics for streaming joins"))
+      .toDF("doc_id", "text")
+    Dedup.promoteTextIndexDeltaImpl(spark, tbl, delta, () =>
+      Dedup.admitShardBucketed(late, tbl, delta, base.unionByName(s1), "doc_id", "text", "late"))
+    val shards = spark.read.parquet(s"$delta/sigs").select("shard").distinct()
+      .as[String].collect().toSeq
+    assert(shards == Seq("late"), s"the late shard must survive the cleanup: $shards")
+    assert(spark.table(tbl).select("id").distinct().as[Long].collect().sorted.toSeq
+      == Seq(1L, 2L, 10L), "the staged merge must not include the late shard")
+    // the late shard stays probe-visible through the delta
+    val surv = Dedup.admitShardBucketed(
+      Seq((41L, "an unrelated late arriving note on watermark semantics for streaming join"))
+        .toDF("doc_id", "text"),
+      tbl, delta, base.unionByName(s1).unionByName(late), "doc_id", "text", "s4")
+    assert(surv.isEmpty, "a dup of the late-admitted doc must be rejected via the delta")
+  }
+
+  test("promotion restart from a leftover stage folds only the staged shards") {
+    val (tbl, delta, base) = bucketedBaseFixture("restart")
+    val s1 = Seq((10L, novelX)).toDF("doc_id", "text")
+    Dedup.admitShardBucketed(s1, tbl, delta, base, "doc_id", "text", "s1")
+    // crash after the stage completes but before the table rebuild
+    val boom = new RuntimeException("simulated crash")
+    assert(intercept[RuntimeException] {
+      Dedup.promoteTextIndexDeltaImpl(spark, tbl, delta, () => throw boom)
+    } eq boom)
+    // a shard admitted AFTER the crashed attempt, before the restart
+    val post = Seq(
+      (50L, "yet another distinct piece about adaptive query execution plan stages"))
+      .toDF("doc_id", "text")
+    Dedup.admitShardBucketed(post, tbl, delta, base.unionByName(s1), "doc_id", "text", "post")
+    // restart: rebuilds from the persisted stage, deletes ONLY s1
+    Dedup.promoteTextIndexDelta(spark, tbl, delta)
+    val shards = spark.read.parquet(s"$delta/sigs").select("shard").distinct()
+      .as[String].collect().toSeq
+    assert(shards == Seq("post"), s"the post-crash shard must survive the restart: $shards")
+    assert(spark.table(tbl).select("id").distinct().as[Long].collect().sorted.toSeq
+      == Seq(1L, 2L, 10L))
+  }
+
+  test("a delta banded differently than its base table is refused") {
+    val (tbl, delta, base) = bucketedBaseFixture("geom")
+    // pre-create the delta as a standalone index at a DIFFERENT threshold
+    // (different banding geometry under minhashBanding)
+    Dedup.buildTextIndex(base, "doc_id", "text", delta, threshold = 0.9)
+    intercept[IllegalArgumentException] {
+      Dedup.admitShardBucketed(
+        Seq((10L, novelX)).toDF("doc_id", "text"), tbl, delta, base, "doc_id", "text", "s1")
+    }
+  }
+
   test("rebuilding a text index wipes stale admitted shards") {
     val base = Seq(
       (1L, "the quick brown fox jumps over the lazy dog near the river bank today"))

@@ -97,6 +97,33 @@ object AdmitStress {
           .crossJaccardPairsBucketedIndexed(probe, tbl, ref, "doc_id", "text").count()
       }
     println(s"[admitstress] pairs: bucketed=$bucketed (must equal indexed)")
+
+    // base+delta serving cycle at the same scale: admit a DISTINCT
+    // daily shard into the delta (per-shard admission cost against the
+    // bucketed base), probe base+delta (the serving cost while
+    // admissions accumulate), then promote (the maintenance fold —
+    // signature-only, must beat rebuilding the table from text).
+    val delta = "/tmp/graft_admitstress_delta"
+    fs.delete(new org.apache.hadoop.fs.Path(delta), true)
+    val day1 = docs.select(
+      (col("doc_id") + lit(200000000L)).as("doc_id"),
+      expr("array_join(transform(sequence(1, 60), j -> " +
+        "concat('d', pmod(xxhash64(concat(cast(doc_id as string), '~', cast(j as string))), 40000))), ' ')")
+        .as("text"))
+    time("admitShardBucketed day1 (novel shard -> delta)") {
+      graft.operators.Dedup
+        .admitShardBucketed(day1, tbl, delta, ref, "doc_id", "text", "day1").count()
+    }
+    var withDelta = 0L
+    for (rep <- 1 to 3)
+      withDelta = time(s"base+delta probe rep$rep (serving cost with a populated delta)") {
+        graft.operators.Dedup.crossJaccardPairsBucketedDelta(
+          probe, tbl, delta, ref.unionByName(day1), "doc_id", "text").count()
+      }
+    println(s"[admitstress] pairs: base+delta=$withDelta (must equal bucketed: probe is novel vs day1)")
+    time("promoteTextIndexDelta (signature-only fold + re-bucket)") {
+      graft.operators.Dedup.promoteTextIndexDelta(spark, tbl, delta)
+    }
     spark.stop()
   }
 }

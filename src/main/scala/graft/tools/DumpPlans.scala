@@ -53,7 +53,8 @@ object DumpPlans {
       "q_dedup_cross" -> "cross-corpus dedup: probe-shard signatures are a narrow map over the NEW data only; the reference side reads the PERSISTED (id, sig) index — no reference re-shingle before the band join; candidates are id-only through the (band, bh) shuffle join; reference text re-attaches only to the distinct candidate set for the exact verify",
       "q_ann_indexed" -> "persisted-IVF-index search: the assignments scan lists ONLY the probed cells' files (static partition filter from the driver-resolved probe set); bounded queryProbes broadcast onto the pruned scan, heap top-k per query — the corpus-sized side never shuffles",
       "q_dedup_cross_bucketed" -> "bucketed admission layout: the index table is bucketed+sorted on (band, bh), so the candidate join's index side reads buckets in place (Bucketed: true, no exchange below the band-keyed join — DedupSpec walks the tree); only the shard's banded rows shuffle into the index's bucketing",
-      "q_chunk_tokens" -> "token chunking: one narrow codegen pass (tokenize, per-row start sequence, Generate, slice) — the operator contributes NO exchange (the single Exchange below the Sort is the gate's deterministic orderBy, absent in production use); embarrassingly parallel at any corpus size"
+      "q_chunk_tokens" -> "token chunking: one narrow codegen pass (tokenize, per-row start sequence, Generate, slice) — the operator contributes NO exchange (the single Exchange below the Sort is the gate's deterministic orderBy, absent in production use); embarrassingly parallel at any corpus size",
+      "q_dedup_cross_delta" -> "base+delta split serving: the bucketed base side joins exchange-free (Bucketed: true) while the delta side is an ordinary band join over the days-sized side-index — candidates union before ONE shared exact verify; the probe's signature pass feeds both joins"
     )
 
     val sb = new StringBuilder

@@ -46,6 +46,25 @@ object OracleSql {
   private val sEs = score(Seq("el", "los", "que", "una", "y"))
   private val sZh = score(Seq("的", "了", "是", "我", "不"))
 
+  /** Brute-force contamination check (shared by q_contamination and its
+    * Bloom-prefiltered twin q_contamination_bloom — identical results
+    * by construction, see TextAnalysis.contaminationScreenBloom). */
+  private val contaminationSql =
+    s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
+            g AS (SELECT doc_id, unnest(list_distinct(list_filter(
+                    list_transform(tk, (x, i) -> CASE WHEN i + 4 <= len(tk)
+                      THEN x || ' ' || tk[i + 1] || ' ' || tk[i + 2] || ' ' || tk[i + 3] || ' ' || tk[i + 4] END),
+                    v -> v IS NOT NULL))) AS gram
+                  FROM t),
+            e AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+            c AS (SELECT g.doc_id, COUNT(*) AS n_grams,
+                         CAST(SUM(CASE WHEN e.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+                  FROM g LEFT JOIN e ON g.gram = e.gram
+                  WHERE g.doc_id % 97 <> 0 GROUP BY g.doc_id)
+       SELECT doc_id, n_grams, n_hit,
+              CAST(n_hit AS DOUBLE) / CAST(n_grams AS DOUBLE) AS contamination_frac
+       FROM c ORDER BY doc_id"""
+
   val all: Map[String, String] = Map(
     "q_agg_sum_min_max" ->
       """SELECT l_returnflag, l_linestatus,
@@ -896,21 +915,81 @@ object OracleSql {
                   x -> CAST(COALESCE(FLOOR(CAST(x AS DOUBLE) / nullif(scale, 0.0) + 0.5), 0.0) AS INT)),
                   q -> abs(q) = 127)) AS BIGINT) AS n_saturated
          FROM s ORDER BY vec_id""",
-    "q_contamination" ->
+    "q_contamination" -> contaminationSql,
+    // the Bloom-prefiltered scale path returns EXACTLY the exact
+    // check's rows (FPs die in the verify join, FNs are impossible),
+    // so it shares the brute-force oracle — the gate proves it
+    "q_contamination_bloom" -> contaminationSql,
+    // quality formula = the verified q_text_quality fragment (same op
+    // order), ranked per source with doc_id tiebreak
+    "q_domain_cap" ->
+      s"""WITH t AS (SELECT doc_id, source, ' ' || lower(text) || ' ' AS p,
+             CAST(length(text) AS BIGINT) AS nc,
+             CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS words,
+             CAST(len(regexp_extract_all(text, '[.,;:!?''"()\\[\\]{}-]')) AS BIGINT) AS punct
+           FROM documents),
+           f AS (SELECT doc_id, source,
+             ((CASE WHEN nc >= 100 AND nc <= 10000 THEN 1.0
+                    WHEN nc < 100 THEN CAST(nc AS DOUBLE) / 100.0
+                    ELSE 10000.0 / CAST(nc AS DOUBLE) END) * 0.5)
+             + ((CAST($sEn AS DOUBLE) / 5.0) * 0.3)
+             + ((1.0 - (CASE WHEN words > 0 THEN least(CAST(punct AS DOUBLE) / CAST(words AS DOUBLE), 1.0) ELSE 1.0 END)) * 0.2)
+               AS quality
+           FROM t),
+           r AS (SELECT doc_id, source, quality,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY quality DESC, doc_id ASC) AS INT) AS rk
+                 FROM f)
+         SELECT doc_id, source, quality, rk, rk <= 10 AS kept
+         FROM r ORDER BY doc_id""",
+    // hybrid = the verified q_bm25 leg + an integer tf-idf dot-product
+    // leg (milli-nat idf, exact integer sums) fused by RRF; the rrf
+    // float is two exactly-rounded divisions added bm25-leg-first —
+    // the same fixed order as Retrieval.hybridTopK
+    "q_hybrid_retrieval" ->
       s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
-              g AS (SELECT doc_id, unnest(list_distinct(list_filter(
-                      list_transform(tk, (x, i) -> CASE WHEN i + 4 <= len(tk)
-                        THEN x || ' ' || tk[i + 1] || ' ' || tk[i + 2] || ' ' || tk[i + 3] || ' ' || tk[i + 4] END),
-                      v -> v IS NOT NULL))) AS gram
-                    FROM t),
-              e AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
-              c AS (SELECT g.doc_id, COUNT(*) AS n_grams,
-                           CAST(SUM(CASE WHEN e.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
-                    FROM g LEFT JOIN e ON g.gram = e.gram
-                    WHERE g.doc_id % 97 <> 0 GROUP BY g.doc_id)
-         SELECT doc_id, n_grams, n_hit,
-                CAST(n_hit AS DOUBLE) / CAST(n_grams AS DOUBLE) AS contamination_frac
-         FROM c ORDER BY doc_id""",
+              lens AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS len FROM t),
+              u AS (SELECT doc_id, unnest(tk) AS term FROM t),
+              tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM u GROUP BY doc_id, term),
+              stats AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n,
+                               CAST(COALESCE(SUM(tf), 0) AS DOUBLE) AS l FROM tf),
+              dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+              q(query_id, term) AS (VALUES
+                ('q_hash_join', 'hash'), ('q_hash_join', 'join'),
+                ('q_fast_scan', 'scan'), ('q_fast_scan', 'filter'), ('q_fast_scan', 'fast'),
+                ('q_vector_data', 'vector'), ('q_vector_data', 'data')),
+              contrib AS (
+                SELECT q.query_id, tf.doc_id,
+                  CAST(CAST(FLOOR(ln((2.0 * s.n - 2.0 * dfq.df + 1.0) / (2.0 * dfq.df + 1.0) + 1.0) * 1000000.0) AS BIGINT) AS DOUBLE)
+                    * ((22.0 * s.l * tf.tf) / (10.0 * s.l * tf.tf + 3.0 * s.l + 9.0 * s.n * lens.len)) AS contrib
+                FROM q JOIN tf USING (term) JOIN dfq USING (term)
+                     JOIN lens ON tf.doc_id = lens.doc_id CROSS JOIN stats s),
+              sc1 AS (SELECT query_id, doc_id,
+                        CAST(SUM(CAST(FLOOR(contrib * 100000000.0 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 100000000.0 AS score
+                      FROM contrib GROUP BY query_id, doc_id),
+              leg1 AS (SELECT query_id, doc_id, CAST(bm25_rank AS INT) AS bm25_rank FROM (
+                         SELECT query_id, doc_id,
+                           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS bm25_rank
+                         FROM sc1) WHERE bm25_rank <= 10),
+              idfk AS (SELECT dfq.term,
+                         CAST(FLOOR(ln((s.n + 1.0) / (CAST(dfq.df AS DOUBLE) + 1.0)) * 1000.0) AS BIGINT) AS idfm
+                       FROM dfq CROSS JOIN stats s),
+              sc2 AS (SELECT q.query_id, tf.doc_id,
+                        CAST(SUM(tf.tf * idfk.idfm * idfk.idfm) AS BIGINT) AS score
+                      FROM q JOIN tf USING (term) JOIN idfk USING (term)
+                      GROUP BY q.query_id, tf.doc_id),
+              leg2 AS (SELECT query_id, doc_id, CAST(tfidf_rank AS INT) AS tfidf_rank FROM (
+                         SELECT query_id, doc_id,
+                           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS tfidf_rank
+                         FROM sc2) WHERE tfidf_rank <= 10),
+              fused AS (SELECT query_id, doc_id, bm25_rank, tfidf_rank,
+                          COALESCE(1.0 / (60.0 + CAST(bm25_rank AS DOUBLE)), 0.0)
+                            + COALESCE(1.0 / (60.0 + CAST(tfidf_rank AS DOUBLE)), 0.0) AS rrf
+                        FROM leg1 FULL JOIN leg2 USING (query_id, doc_id)),
+              fr AS (SELECT query_id, doc_id, bm25_rank, tfidf_rank, rrf,
+                       CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rrf DESC, doc_id ASC) AS INT) AS rank
+                     FROM fused)
+         SELECT query_id, doc_id, bm25_rank, tfidf_rank, rrf, rank
+         FROM fr WHERE rank <= 5 ORDER BY query_id, rank""",
     // composes the verified q_text_quality and q_text_fingerprint fragments:
     // keep-probability = quality, uniform draw = fingerprint / 2^31-1
     "q_weighted_sample" ->

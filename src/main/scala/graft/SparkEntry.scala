@@ -1554,6 +1554,49 @@ object SparkEntry {
   }
 
   /**
+   * The SAME contamination check through the Bloom-prefilter scale
+   * path (TextAnalysis.contaminationScreenBloom): benchmark grams
+   * folded into a Bloom filter (codegen'd might_contain screens the
+   * corpus map-side), survivors exact-verified. False positives die in
+   * the verify join and false negatives are impossible, so the result
+   * is IDENTICAL to q_contamination — the oracle is the same
+   * brute-force SQL, which is the point: the gate proves the scale
+   * path exact.
+   */
+  private def qContaminationBloom(s: SparkSession, dir: String): DataFrame = {
+    val docs = ld(s, dir, "documents")
+    TextAnalysis
+      .contaminationScreenBloom(
+        docs.filter(col("doc_id") % 97 =!= 0),
+        docs.filter(col("doc_id") % 97 === 0),
+        "doc_id", "text", n = 5, fpp = 0.01)
+      .orderBy(col("doc_id"))
+  }
+
+  /**
+   * Per-domain document cap (Curation.capPerDomain): within each
+   * source keep the 10 highest-quality docs (doc_id tiebreak), emit
+   * every doc with its rank and keep verdict — the anti-domination
+   * curation gate. One domain-key shuffle + spillable rank window.
+   */
+  private def qDomainCap(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Curation
+      .capPerDomain(ld(s, dir, "documents"), "doc_id", "text", "source", maxPerDomain = 10)
+      .orderBy(col("doc_id"))
+
+  /**
+   * Hybrid retrieval (Retrieval.hybridTopK): BM25 and integer TF-IDF
+   * dot-product legs over one shared postings table, fused by
+   * reciprocal-rank fusion — ranks only, so the legs' score scales
+   * never meet and both legs' integer-exact rankings keep the fusion
+   * engine-deterministic. Top-5 per query with both leg ranks audited.
+   */
+  private def qHybridRetrieval(s: SparkSession, dir: String): DataFrame =
+    Retrieval
+      .hybridTopK(s, ld(s, dir, "documents"), "doc_id", "text", kPerLeg = 10, k = 5)
+      .orderBy(col("query_id"), col("rank"))
+
+  /**
    * Corpus-internal boilerplate signal (TextAnalysis.boilerplate):
    * word 5-grams shared by >= 2 documents of the same source are
    * boilerplate; per doc, the fraction of its grams that are. The gram
@@ -1741,6 +1784,9 @@ object SparkEntry {
     "q_stratified_sample" -> (qStratifiedSample _),
     "q_embed_quant" -> (qEmbedQuant _),
     "q_contamination" -> (qContamination _),
+    "q_contamination_bloom" -> (qContaminationBloom _),
+    "q_domain_cap" -> (qDomainCap _),
+    "q_hybrid_retrieval" -> (qHybridRetrieval _),
     "q_weighted_sample" -> (qWeightedSample _),
     "q_rollup_routed" -> (qRollupRouted _),
     "q_rollup_routed_avg" -> (qRollupRoutedAvg _),

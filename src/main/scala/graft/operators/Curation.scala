@@ -82,4 +82,41 @@ object Curation {
       )
       .select(id, col("canonical_id"), col("lang"), col("quality"), col("keep"), col("reason"), col("split"))
   }
+
+  /**
+   * Per-domain document cap — the CommonCrawl-style curation gate that
+   * stops one prolific domain from dominating the training mix: within
+   * each `domainCol` value keep the `maxPerDomain` highest-quality
+   * documents ([[TextAnalysis.qualityScore]]; id ascending breaks
+   * ties), mark the rest dropped. Emits EVERY input row with its
+   * per-domain quality rank and the keep verdict, so the caller can
+   * either filter `kept` or audit what the cap removed.
+   *
+   * Scale shape: one hash shuffle on the domain key, then one
+   * per-key rank pass (Spark's window sort is external/spillable, so a
+   * skewed 10^8-page domain spills instead of OOMing; a kept-only
+   * consumer that filters `rk <= cap` directly gets the rank-window
+   * pattern TopKPerKeyStrategy rewrites to a bounded heap). No joins,
+   * no second pass; quality is computed inline in the same projection
+   * that feeds the exchange.
+   */
+  def capPerDomain(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      domainCol: String,
+      maxPerDomain: Int
+  ): DataFrame = {
+    require(maxPerDomain > 0, s"maxPerDomain must be positive, got $maxPerDomain")
+    val w = Window
+      .partitionBy(col(domainCol))
+      .orderBy(col("quality").desc, col(idCol).asc)
+    docs
+      .select(
+        col(idCol),
+        col(domainCol),
+        TextAnalysis.qualityScore(col(textCol)).as("quality"))
+      .withColumn("rk", row_number().over(w))
+      .withColumn("kept", col("rk") <= maxPerDomain)
+  }
 }

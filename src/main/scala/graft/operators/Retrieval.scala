@@ -146,4 +146,117 @@ object Retrieval {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("doc_id"), col("score"), col("rank"))
   }
+
+  /**
+   * TF-IDF dot-product top-k — the second retrieval leg for
+   * [[hybridTopK]]. Score = Σ over shared terms of
+   * tf(term, doc) · idf(term)², i.e. the dot product of the standard
+   * tf·idf document vector with the query's idf vector (query tf = 1).
+   * Cosine's norm is deliberately omitted: the fusion layer consumes
+   * RANKS only (RRF), and an integer dot product is exactly computable
+   * in both engines — idf is quantized to integer milli-nats
+   * (floor(ln((N+1)/(df+1))·1e3)), every contribution is an integer
+   * product, and the per-(query, doc) sum is an exact integer — no
+   * float summation order anywhere, so Spark and DuckDB rank
+   * bit-identically.
+   *
+   * Scale shape mirrors [[bm25TopKFromPostings]]: query terms
+   * broadcast, document frequencies computed only for the query terms
+   * (never the full vocab), corpus constants as a lazy 1-row
+   * broadcast, top-k through the rank-window pattern the TopK strategy
+   * rewrites to a bounded heap.
+   */
+  def tfidfTopKFromPostings(
+      spark: SparkSession,
+      tf: DataFrame,
+      queries: Seq[(String, Seq[String])] = defaultQueries,
+      k: Int = 10
+  ): DataFrame = {
+    graft.sql.GraftFunctions.register(spark)
+    graft.sql.GraftFunctions.installTopKStrategy(spark)
+    import spark.implicits._
+
+    val stats = tf
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("nt"))
+      .agg(count(lit(1)).cast("double").as("n_docs"))
+    val queryTerms = queries
+      .flatMap { case (qid, terms) => terms.distinct.map(t => (qid, t)) }
+      .toDF("query_id", "term")
+    val dfreq = tf
+      .join(broadcast(queryTerms.select(col("term")).distinct()), "term")
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("df"))
+
+    // idf in integer milli-nats: ln of ONE division of exact doubles,
+    // then floor — granular enough to separate distinct df values,
+    // small enough that tf · idf² stays far inside long range
+    // (idf ≤ ~21e3 at N = 1e9 ⇒ contribution ≤ tf · 4.4e8)
+    val idfMilli = floor(
+      log((col("n_docs") + lit(1.0)) / (col("df").cast("double") + lit(1.0))) * lit(1e3))
+      .cast("long")
+
+    val scored = broadcast(queryTerms)
+      .join(tf, "term")
+      .join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("contrib", col("tf") * idfMilli * idfMilli)
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("contrib")).as("score"))
+
+    val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("doc_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("doc_id"), col("score"), col("rank"))
+  }
+
+  /**
+   * Hybrid retrieval: BM25 and TF-IDF-dot-product legs fused with
+   * reciprocal-rank fusion (Cormack et al. 2009) —
+   * rrf(d) = Σ_legs 1/(rrfK + rank_leg(d)), the standard way a
+   * curation pipeline combines a lexical and a second scorer without
+   * calibrating score scales (ranks only, so the legs' score units
+   * never meet). Documents surfaced by a single leg keep that leg's
+   * contribution alone; both per-leg ranks ride along (null when the
+   * leg missed the doc) so the caller can audit the fusion.
+   *
+   * Determinism: each leg's ranks are exact-integer-ranked ([[
+   * bm25TopKFromPostings]] quantized contributions, [[
+   * tfidfTopKFromPostings]] integer dot products); the rrf score is
+   * two exactly-rounded IEEE divisions added in a FIXED order (bm25
+   * leg + tfidf leg — the oracle mirrors it), so the fused ordering is
+   * engine-independent, with doc_id as the final tiebreak.
+   *
+   * Scale: each leg ends at kPerLeg rows per query, so the fusion —
+   * one full-outer join on (query_id, doc_id) and a rank window —
+   * touches ≤ 2·kPerLeg·|queries| rows regardless of corpus size; the
+   * legs dominate, and they are the audited broadcast-join shapes.
+   */
+  def hybridTopK(
+      spark: SparkSession,
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      queries: Seq[(String, Seq[String])] = defaultQueries,
+      kPerLeg: Int = 10,
+      k: Int = 5,
+      rrfK: Int = 60
+  ): DataFrame = {
+    val postings = tokenPostings(docs, idCol, textCol)
+    val lexical = bm25TopKFromPostings(spark, postings, queries, kPerLeg)
+      .select(col("query_id"), col("doc_id"), col("rank").as("bm25_rank"))
+    val dense = tfidfTopKFromPostings(spark, postings, queries, kPerLeg)
+      .select(col("query_id"), col("doc_id"), col("rank").as("tfidf_rank"))
+    val fused = lexical
+      .join(dense, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(rrfK.toDouble) + col("bm25_rank").cast("double")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(rrfK.toDouble) + col("tfidf_rank").cast("double")), lit(0.0)))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("rrf").desc, col("doc_id").asc)
+    fused
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("doc_id"), col("bm25_rank"), col("tfidf_rank"),
+        col("rrf"), col("rank"))
+  }
 }

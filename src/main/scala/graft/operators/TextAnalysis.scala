@@ -80,6 +80,80 @@ object TextAnalysis {
         when(col("n_grams") > 0, col("n_boiler").cast("double") / col("n_grams").cast("double")))
   }
 
+  /**
+   * Benchmark-contamination screening with a Bloom-filter prefilter —
+   * the 100 TB shape of the n-gram overlap check. The exact check
+   * joins every corpus gram against the benchmark gram set; even with
+   * the benchmark side broadcast, every corpus gram pays the probe and
+   * a non-broadcastable benchmark (hundreds of millions of grams ≈
+   * tens of GB of strings) forces a corpus-sized shuffle. Here the
+   * benchmark grams are folded into a Bloom filter (~1.2 bytes/gram at
+   * fpp 1e-2 — broadcastable far past the exact set's limit), the
+   * corpus grams are screened MAP-SIDE by a codegen'd
+   * `might_contain` (Spark's own `BloomFilterMightContain`, the
+   * runtime-filter expression), and only the surviving ~fpp fraction
+   * shuffles into the exact verify join. False positives are removed
+   * by the verify, false negatives are impossible (Bloom guarantee),
+   * so the output is IDENTICAL to the exact check — the gated query
+   * shares q_contamination's brute-force oracle.
+   *
+   * Output per corpus doc with ≥ 1 gram: distinct-gram count, hit
+   * count, contamination fraction — [[wordNgrams]] semantics
+   * (distinct grams per doc), schema-identical to q_contamination.
+   *
+   * Scale notes: the per-doc denominator (`n_grams`) is computed
+   * NARROWLY (size of the gram array, no shuffle); the benchmark side
+   * is tokenized twice (filter build + verify) — benchmark-sized, not
+   * corpus-sized; the verify join is hash-partitioned on the gram, and
+   * its input is |corpus grams| × (true-hit rate + fpp). The hit table
+   * that joins back to the per-doc frame holds only contaminated docs
+   * — AQE broadcasts it.
+   */
+  def contaminationScreenBloom(
+      corpus: DataFrame,
+      evalDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 5,
+      fpp: Double = 0.01
+  ): DataFrame = {
+    graft.sql.GraftFunctions.register(corpus.sparkSession)
+    val evalGrams = evalDocs
+      .select(F.tokens(col(textCol)).as("tk"))
+      .select(explode(wordNgrams(col("tk"), n)).as("gram"))
+      .distinct()
+    // size the filter from the benchmark side (the small side — one
+    // count over benchmark grams, never the corpus); floor of 1 keeps
+    // an empty benchmark from failing the sketch constructor
+    val expected = math.max(evalGrams.count(), 1L)
+    val bloom = evalGrams
+      .select(xxhash64(col("gram")).as("h"))
+      .stat.bloomFilter("h", expected, fpp)
+    val ser = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos)
+      bos.toByteArray
+    }
+    val docGrams = corpus
+      .select(col(idCol), F.tokens(col(textCol)).as("tk"))
+      .select(col(idCol), wordNgrams(col("tk"), n).as("grams"))
+      .filter(size(col("grams")) > 0)
+    val perDoc = docGrams.select(col(idCol), size(col("grams")).cast("long").as("n_grams"))
+    val hits = docGrams
+      .select(col(idCol), explode(col("grams")).as("gram"))
+      .filter(call_function("graft_might_contain", lit(ser), xxhash64(col("gram"))))
+      // exact verify: removes Bloom false positives; hash join on the
+      // gram — its input is the screened survivors, not the corpus
+      .join(evalGrams.hint("shuffle_hash"), Seq("gram"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hit"))
+    perDoc
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol), col("n_grams"), coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+      .withColumn("contamination_frac",
+        col("n_hit").cast("double") / col("n_grams").cast("double"))
+  }
+
   /** POSITIONAL word n-grams (no dedup): one entry per token position —
     * the substring-duplication operator needs every occurrence, not the
     * distinct set. */

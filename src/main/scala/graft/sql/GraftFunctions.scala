@@ -57,6 +57,14 @@ object GraftFunctions {
       graft.functions.expressions.NearestCellsHier(
         exprs.head, centroidsArg(exprs(1)), centroids3Arg(exprs(2)), intArg(exprs, 3, 2), intArg(exprs, 4, 2))),
     "graft_hyperplane_bits" -> (exprs => HyperplaneBits(exprs.head, intArg(exprs, 1, 16))),
+    // Bloom-filter membership over xxhash64 values: (serialized_filter_lit,
+    // long_value) — Spark's own runtime-filter expression (codegen'd,
+    // deserializes the foldable filter once per task), surfaced as a
+    // callable function for the contamination prefilter. The filter
+    // bytes MUST come from a long-typed build (stat.bloomFilter over
+    // xxhash64 values): putLong and mightContainLong share the hash.
+    "graft_might_contain" -> (exprs =>
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(exprs(0), exprs(1))),
     "graft_tokens" -> (exprs => tokensFor(exprs.head, lowercase = true)),
     "graft_split_words" -> (exprs => tokensFor(exprs.head, lowercase = false)),
     // reference stemmedTokens (yupana-utils TokenizerBase.scala:38): (text[, locale]) — locale

@@ -133,4 +133,64 @@ class CurationSpec extends SparkSpecBase {
       graft.operators.TextAnalysis.chunkDocs(docs, "doc_id", "text", chunk = 4, stride = 5)
     }
   }
+
+  test("capPerDomain keeps the top-quality docs per domain, audits the rest, spares small domains") {
+    import spark.implicits._
+    val good = "the cat and the dog of a house with many windows and a door " * 4
+    val bad = "x!!! y??? z;;;"
+    val docs = Seq(
+      (1L, good, "a"), (2L, good, "a"), (3L, bad, "a"), // domain a: 3 docs, cap 2
+      (4L, bad, "b") // domain b under the cap: kept even at low quality
+    ).toDF("doc_id", "text", "source")
+    val out = Curation.capPerDomain(docs, "doc_id", "text", "source", maxPerDomain = 2)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> ((r.getAs[Int]("rk"), r.getAs[Boolean]("kept"))))
+      .toMap
+    assert(out.size == 4, "every input doc gets an audited row")
+    // identical quality ties break by ascending id
+    assert(out(1L) == ((1, true)) && out(2L) == ((2, true)))
+    assert(out(3L) == ((3, false)), "lowest quality doc in a full domain is dropped")
+    assert(out(4L) == ((1, true)), "a domain under the cap keeps everything")
+    intercept[IllegalArgumentException] {
+      Curation.capPerDomain(docs, "doc_id", "text", "source", maxPerDomain = 0)
+    }
+  }
+
+  test("contaminationScreenBloom equals the exact check even when the filter is FP-saturated") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val eval = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta"),
+      (101L, "one two three four five six seven")
+    ).toDF("doc_id", "text")
+    val corpus = Seq(
+      // contains eval 5-gram "alpha beta gamma delta epsilon"
+      (1L, "prefix alpha beta gamma delta epsilon suffix tail words here"),
+      (2L, "nothing shared with the benchmark set at all in this document text"),
+      (3L, "too short"), // < 5 tokens -> zero grams -> no output row
+      (4L, "one two three four five six seven")
+    ).toDF("doc_id", "text")
+    def run(fpp: Double) = TextAnalysis
+      .contaminationScreenBloom(corpus, eval, "doc_id", "text", n = 5, fpp = fpp)
+      .orderBy("doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq
+    val tight = run(0.01)
+    // doc 4 = 7 tokens -> 3 distinct grams, all in eval doc 101
+    assert(tight == Seq((1L, 6L, 1L), (2L, 8L, 0L), (4L, 3L, 3L)))
+    // a near-useless filter (fpp 0.5) lets false positives through the
+    // screen; the exact verify must kill every one of them
+    assert(run(0.5) == tight, "verify join removes Bloom false positives")
+  }
+
+  test("contaminationScreenBloom plan screens map-side with the codegen'd might_contain") {
+    import spark.implicits._
+    val eval = Seq((100L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val corpus = Seq((1L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val plan = graft.operators.TextAnalysis
+      .contaminationScreenBloom(corpus, eval, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), s"bloom screen missing from plan:\n$plan")
+  }
 }

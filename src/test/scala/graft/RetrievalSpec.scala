@@ -64,6 +64,59 @@ class RetrievalSpec extends SparkSpecBase {
     assert(packed.exceptAll(naive).isEmpty && naive.exceptAll(packed).isEmpty)
   }
 
+  test("tfidf leg scores are the exact integer dot products of milli-nat idf weights") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "hash join hash"), // tf(hash)=2, tf(join)=1
+      (2L, "hash scan"),
+      (3L, "merge sort")
+    ).toDF("doc_id", "text")
+    val out = Retrieval
+      .tfidfTopKFromPostings(
+        spark, Retrieval.tokenPostings(corpus, "doc_id", "text"),
+        Seq("q" -> Seq("hash", "join")), k = 3)
+      .orderBy(col("rank")).collect()
+    // N=3 tokenized docs; df(hash)=2, df(join)=1
+    val idfHash = math.floor(math.log(4.0 / 3.0) * 1e3).toLong
+    val idfJoin = math.floor(math.log(4.0 / 2.0) * 1e3).toLong
+    assert(out.map(r => (r.getLong(1), r.getLong(2))).toSeq == Seq(
+      1L -> (2 * idfHash * idfHash + 1 * idfJoin * idfJoin),
+      2L -> (1 * idfHash * idfHash)))
+  }
+
+  test("hybrid RRF fuses both legs' ranks and keeps single-leg docs with one contribution") {
+    import spark.implicits._
+    // doc 1: high tf of a rare term -> top of tfidf; short doc -> also high bm25
+    // doc 4: only matches 'scan' which doc 5 saturates
+    val corpus = Seq(
+      (1L, "vector vector vector data"),
+      (2L, "vector data data batch merge"),
+      (3L, "data batch merge sort window filter group"),
+      (4L, "scan batch"),
+      (5L, "scan scan scan scan scan scan")
+    ).toDF("doc_id", "text")
+    val qs = Seq("qv" -> Seq("vector", "data"))
+    val fused = Retrieval.hybridTopK(spark, corpus, "doc_id", "text", qs, kPerLeg = 3, k = 5)
+    val rows = fused.orderBy(col("rank")).collect()
+    val leg1 = Retrieval
+      .bm25TopKFromPostings(spark, Retrieval.tokenPostings(corpus, "doc_id", "text"), qs, 3)
+      .collect().map(r => r.getLong(1) -> r.getInt(3)).toMap
+    val leg2 = Retrieval
+      .tfidfTopKFromPostings(spark, Retrieval.tokenPostings(corpus, "doc_id", "text"), qs, 3)
+      .collect().map(r => r.getLong(1) -> r.getInt(3)).toMap
+    rows.foreach { r =>
+      val (doc, rrf) = (r.getLong(1), r.getDouble(4))
+      val expected =
+        leg1.get(doc).map(rk => 1.0 / (60.0 + rk)).getOrElse(0.0) +
+          leg2.get(doc).map(rk => 1.0 / (60.0 + rk)).getOrElse(0.0)
+      assert(rrf == expected, s"doc $doc")
+      assert(!r.isNullAt(2) || !r.isNullAt(3)) // at least one leg surfaced it
+    }
+    // rrf is non-increasing in rank
+    val rrfs = rows.map(_.getDouble(4)).toSeq
+    assert(rrfs.zip(rrfs.drop(1)).forall { case (a, b) => a >= b })
+  }
+
   test("packShards shard sizes respect the budget for docs smaller than it") {
     val d = docs.select(col("doc_id"), size(graft.functions.F.tokens(col("text"))).cast("long").as("w"))
     // numeric pack order: bucketize via a zero-padded prefix (monotone for non-negative longs)

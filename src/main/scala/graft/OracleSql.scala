@@ -46,6 +46,47 @@ object OracleSql {
   private val sEs = score(Seq("el", "los", "que", "una", "y"))
   private val sZh = score(Seq("的", "了", "是", "我", "不"))
 
+  /** BM25 scoring CTE prefix (t/lens/u/tf/stats/dfq/q/contrib/sc) —
+    * ONE copy of the quantized scoring kernel, shared by q_bm25 and the
+    * q_hybrid_retrieval lexical leg (Retrieval.scala scaladoc: change
+    * kernel and oracle together). `sc` ends at (query_id, doc_id,
+    * score); consumers append their own ranking. */
+  private val bm25ScoreCtes =
+    s"""t AS (SELECT doc_id, $toks AS tk FROM documents),
+            lens AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS len FROM t),
+            u AS (SELECT doc_id, unnest(tk) AS term FROM t),
+            tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM u GROUP BY doc_id, term),
+            -- corpus stats over TOKENIZED docs (mirrors the engine: a
+            -- zero-token doc can never be retrieved, so it does not
+            -- count toward N or avgdl)
+            stats AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n,
+                             CAST(COALESCE(SUM(tf), 0) AS DOUBLE) AS l FROM tf),
+            dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+            q(query_id, term) AS (VALUES
+              ('q_hash_join', 'hash'), ('q_hash_join', 'join'),
+              ('q_fast_scan', 'scan'), ('q_fast_scan', 'filter'), ('q_fast_scan', 'fast'),
+              ('q_vector_data', 'vector'), ('q_vector_data', 'data')),
+            contrib AS (
+              SELECT q.query_id, tf.doc_id,
+                CAST(CAST(FLOOR(ln((2.0 * s.n - 2.0 * dfq.df + 1.0) / (2.0 * dfq.df + 1.0) + 1.0) * 1000000.0) AS BIGINT) AS DOUBLE)
+                  * ((22.0 * s.l * tf.tf) / (10.0 * s.l * tf.tf + 3.0 * s.l + 9.0 * s.n * lens.len)) AS contrib
+              FROM q JOIN tf USING (term) JOIN dfq USING (term)
+                   JOIN lens ON tf.doc_id = lens.doc_id CROSS JOIN stats s),
+            sc AS (SELECT query_id, doc_id,
+                     CAST(SUM(CAST(FLOOR(contrib * 100000000.0 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 100000000.0 AS score
+                   FROM contrib GROUP BY query_id, doc_id)"""
+
+  /** TextAnalysis.qualityScore as one scalar over (nc, words, punct, p)
+    * columns — ONE copy of the float op tree (len·0.5 + stop·0.3 +
+    * (1−punct)·0.2, in that order), shared by every oracle that ranks
+    * or gates on quality. Change together with the Scala kernel. */
+  private val qualityExpr =
+    s"""((CASE WHEN nc >= 100 AND nc <= 10000 THEN 1.0
+               WHEN nc < 100 THEN CAST(nc AS DOUBLE) / 100.0
+               ELSE 10000.0 / CAST(nc AS DOUBLE) END) * 0.5)
+       + ((CAST($sEn AS DOUBLE) / 5.0) * 0.3)
+       + ((1.0 - (CASE WHEN words > 0 THEN least(CAST(punct AS DOUBLE) / CAST(words AS DOUBLE), 1.0) ELSE 1.0 END)) * 0.2)"""
+
   /** Brute-force contamination check (shared by q_contamination and its
     * Bloom-prefiltered twin q_contamination_bloom — identical results
     * by construction, see TextAnalysis.contaminationScreenBloom). */
@@ -504,16 +545,7 @@ object OracleSql {
                        CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS words,
                        CAST(len(regexp_extract_all(text, '[.,;:!?''"()\\[\\]{}-]')) AS BIGINT) AS punct
                      FROM t),
-              qf AS (SELECT doc_id,
-                       CASE WHEN nc >= 100 AND nc <= 10000 THEN 1.0
-                            WHEN nc < 100 THEN CAST(nc AS DOUBLE) / 100.0
-                            ELSE 10000.0 / CAST(nc AS DOUBLE) END AS len_score,
-                       CAST($sEn AS DOUBLE) / 5.0 AS stop_score,
-                       CASE WHEN words > 0 THEN least(CAST(punct AS DOUBLE) / CAST(words AS DOUBLE), 1.0) ELSE 1.0 END AS punct_penalty
-                     FROM qt),
-              q AS (SELECT doc_id,
-                      (len_score * 0.5) + (stop_score * 0.3) + ((1.0 - punct_penalty) * 0.2) AS quality
-                    FROM qf),
+              q AS (SELECT doc_id, $qualityExpr AS quality FROM qt),
               fpn AS (SELECT doc_id,
                         substr(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), 1, 128) AS norm
                       FROM documents),
@@ -749,15 +781,8 @@ object OracleSql {
              CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS words,
              CAST(len(regexp_extract_all(text, '[.,;:!?''"()\\[\\]{}-]')) AS BIGINT) AS punct
            FROM documents),
-           f AS (SELECT doc_id, nc, words,
-             CASE WHEN nc >= 100 AND nc <= 10000 THEN 1.0
-                  WHEN nc < 100 THEN CAST(nc AS DOUBLE) / 100.0
-                  ELSE 10000.0 / CAST(nc AS DOUBLE) END AS len_score,
-             CAST($sEn AS DOUBLE) / 5.0 AS stop_score,
-             CASE WHEN words > 0 THEN least(CAST(punct AS DOUBLE) / CAST(words AS DOUBLE), 1.0) ELSE 1.0 END AS punct_penalty
-           FROM t)
-         SELECT doc_id, nc AS n_chars_actual, words AS n_words,
-           (len_score * 0.5) + (stop_score * 0.3) + ((1.0 - punct_penalty) * 0.2) AS quality
+           f AS (SELECT doc_id, nc, words, $qualityExpr AS quality FROM t)
+         SELECT doc_id, nc AS n_chars_actual, words AS n_words, quality
          FROM f ORDER BY doc_id""",
     "q_text_tokencount" ->
       """SELECT doc_id,
@@ -811,29 +836,7 @@ object OracleSql {
     // BM25: same exact-rational term factor + micro-nat-quantized IDF as
     // graft.operators.Retrieval (change both together). k1=1.2 b=0.75.
     "q_bm25" ->
-      s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
-              lens AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS len FROM t),
-              u AS (SELECT doc_id, unnest(tk) AS term FROM t),
-              tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM u GROUP BY doc_id, term),
-              -- corpus stats over TOKENIZED docs (mirrors the engine: a
-              -- zero-token doc can never be retrieved, so it does not
-              -- count toward N or avgdl)
-              stats AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n,
-                               CAST(COALESCE(SUM(tf), 0) AS DOUBLE) AS l FROM tf),
-              dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
-              q(query_id, term) AS (VALUES
-                ('q_hash_join', 'hash'), ('q_hash_join', 'join'),
-                ('q_fast_scan', 'scan'), ('q_fast_scan', 'filter'), ('q_fast_scan', 'fast'),
-                ('q_vector_data', 'vector'), ('q_vector_data', 'data')),
-              contrib AS (
-                SELECT q.query_id, tf.doc_id,
-                  CAST(CAST(FLOOR(ln((2.0 * s.n - 2.0 * dfq.df + 1.0) / (2.0 * dfq.df + 1.0) + 1.0) * 1000000.0) AS BIGINT) AS DOUBLE)
-                    * ((22.0 * s.l * tf.tf) / (10.0 * s.l * tf.tf + 3.0 * s.l + 9.0 * s.n * lens.len)) AS contrib
-                FROM q JOIN tf USING (term) JOIN dfq USING (term)
-                     JOIN lens ON tf.doc_id = lens.doc_id CROSS JOIN stats s),
-              sc AS (SELECT query_id, doc_id,
-                       CAST(SUM(CAST(FLOOR(contrib * 100000000.0 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 100000000.0 AS score
-                     FROM contrib GROUP BY query_id, doc_id),
+      s"""WITH $bm25ScoreCtes,
               r AS (SELECT query_id, doc_id, score,
                       ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
                     FROM sc)
@@ -928,14 +931,7 @@ object OracleSql {
              CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS words,
              CAST(len(regexp_extract_all(text, '[.,;:!?''"()\\[\\]{}-]')) AS BIGINT) AS punct
            FROM documents),
-           f AS (SELECT doc_id, source,
-             ((CASE WHEN nc >= 100 AND nc <= 10000 THEN 1.0
-                    WHEN nc < 100 THEN CAST(nc AS DOUBLE) / 100.0
-                    ELSE 10000.0 / CAST(nc AS DOUBLE) END) * 0.5)
-             + ((CAST($sEn AS DOUBLE) / 5.0) * 0.3)
-             + ((1.0 - (CASE WHEN words > 0 THEN least(CAST(punct AS DOUBLE) / CAST(words AS DOUBLE), 1.0) ELSE 1.0 END)) * 0.2)
-               AS quality
-           FROM t),
+           f AS (SELECT doc_id, source, $qualityExpr AS quality FROM t),
            r AS (SELECT doc_id, source, quality,
                    CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY quality DESC, doc_id ASC) AS INT) AS rk
                  FROM f)
@@ -946,30 +942,11 @@ object OracleSql {
     // float is two exactly-rounded divisions added bm25-leg-first —
     // the same fixed order as Retrieval.hybridTopK
     "q_hybrid_retrieval" ->
-      s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
-              lens AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS len FROM t),
-              u AS (SELECT doc_id, unnest(tk) AS term FROM t),
-              tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM u GROUP BY doc_id, term),
-              stats AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n,
-                               CAST(COALESCE(SUM(tf), 0) AS DOUBLE) AS l FROM tf),
-              dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
-              q(query_id, term) AS (VALUES
-                ('q_hash_join', 'hash'), ('q_hash_join', 'join'),
-                ('q_fast_scan', 'scan'), ('q_fast_scan', 'filter'), ('q_fast_scan', 'fast'),
-                ('q_vector_data', 'vector'), ('q_vector_data', 'data')),
-              contrib AS (
-                SELECT q.query_id, tf.doc_id,
-                  CAST(CAST(FLOOR(ln((2.0 * s.n - 2.0 * dfq.df + 1.0) / (2.0 * dfq.df + 1.0) + 1.0) * 1000000.0) AS BIGINT) AS DOUBLE)
-                    * ((22.0 * s.l * tf.tf) / (10.0 * s.l * tf.tf + 3.0 * s.l + 9.0 * s.n * lens.len)) AS contrib
-                FROM q JOIN tf USING (term) JOIN dfq USING (term)
-                     JOIN lens ON tf.doc_id = lens.doc_id CROSS JOIN stats s),
-              sc1 AS (SELECT query_id, doc_id,
-                        CAST(SUM(CAST(FLOOR(contrib * 100000000.0 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 100000000.0 AS score
-                      FROM contrib GROUP BY query_id, doc_id),
+      s"""WITH $bm25ScoreCtes,
               leg1 AS (SELECT query_id, doc_id, CAST(bm25_rank AS INT) AS bm25_rank FROM (
                          SELECT query_id, doc_id,
                            ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS bm25_rank
-                         FROM sc1) WHERE bm25_rank <= 10),
+                         FROM sc) WHERE bm25_rank <= 10),
               idfk AS (SELECT dfq.term,
                          CAST(FLOOR(ln((s.n + 1.0) / (CAST(dfq.df AS DOUBLE) + 1.0)) * 1000.0) AS BIGINT) AS idfm
                        FROM dfq CROSS JOIN stats s),
@@ -998,16 +975,7 @@ object OracleSql {
              CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS words,
              CAST(len(regexp_extract_all(text, '[.,;:!?''"()\\[\\]{}-]')) AS BIGINT) AS punct
            FROM documents),
-           f AS (SELECT doc_id,
-             CASE WHEN nc >= 100 AND nc <= 10000 THEN 1.0
-                  WHEN nc < 100 THEN CAST(nc AS DOUBLE) / 100.0
-                  ELSE 10000.0 / CAST(nc AS DOUBLE) END AS len_score,
-             CAST($sEn AS DOUBLE) / 5.0 AS stop_score,
-             CASE WHEN words > 0 THEN least(CAST(punct AS DOUBLE) / CAST(words AS DOUBLE), 1.0) ELSE 1.0 END AS punct_penalty
-           FROM t),
-           q AS (SELECT doc_id,
-             (len_score * 0.5) + (stop_score * 0.3) + ((1.0 - punct_penalty) * 0.2) AS quality
-           FROM f),
+           q AS (SELECT doc_id, $qualityExpr AS quality FROM t),
            n AS (SELECT doc_id,
              substr(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), 1, 128) AS norm
            FROM documents),
@@ -1181,12 +1149,7 @@ object OracleSql {
     // near-dup clusters (recursive-CTE closure, as q_dedup_cluster) keep
     // the highest-quality member, min-id tie-break
     "q_dedup_keep_best" -> {
-      val quality =
-        s"""(CASE WHEN nc >= 100 AND nc <= 10000 THEN 1.0
-                  WHEN nc < 100 THEN CAST(nc AS DOUBLE) / 100.0
-                  ELSE 10000.0 / CAST(nc AS DOUBLE) END * 0.5)
-           + (CAST($sEn AS DOUBLE) / 5.0 * 0.3)
-           + ((1.0 - CASE WHEN words > 0 THEN least(CAST(punct AS DOUBLE) / CAST(words AS DOUBLE), 1.0) ELSE 1.0 END) * 0.2)"""
+      val quality = qualityExpr
       s"""WITH RECURSIVE
               t AS (SELECT doc_id, $toks AS tk FROM documents),
               s AS (SELECT doc_id, list_distinct(list_transform(

@@ -176,8 +176,10 @@ object Retrieval {
     graft.sql.GraftFunctions.installTopKStrategy(spark)
     import spark.implicits._
 
+    // N = tokenized docs (the bm25 stats' definition), as a lazy 1-row
+    // broadcast — only the distinct-doc count, no per-doc carry-along
     val stats = tf
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("nt"))
+      .select(col("doc_id")).distinct()
       .agg(count(lit(1)).cast("double").as("n_docs"))
     val queryTerms = queries
       .flatMap { case (qid, terms) => terms.distinct.map(t => (qid, t)) }

@@ -99,15 +99,22 @@ object TextAnalysis {
    *
    * Output per corpus doc with ≥ 1 gram: distinct-gram count, hit
    * count, contamination fraction — [[wordNgrams]] semantics
-   * (distinct grams per doc), schema-identical to q_contamination.
+   * (distinct grams per doc), result-identical to q_contamination
+   * (including duplicate-id inputs: both sides aggregate by id).
    *
-   * Scale notes: the per-doc denominator (`n_grams`) is computed
-   * NARROWLY (size of the gram array, no shuffle); the benchmark side
-   * is tokenized twice (filter build + verify) — benchmark-sized, not
-   * corpus-sized; the verify join is hash-partitioned on the gram, and
-   * its input is |corpus grams| × (true-hit rate + fpp). The hit table
-   * that joins back to the per-doc frame holds only contaminated docs
-   * — AQE broadcasts it.
+   * Scale notes: the per-doc denominator is a map-side-combined
+   * aggregate over the gram rows (its exchange carries ONE row per
+   * doc, not the grams); the benchmark side is tokenized ONCE and
+   * cached (benchmark-sized) — the filter sizing, the filter build,
+   * and the verify join all read the cache; the verify join is
+   * hash-partitioned on the gram, and its input is |corpus grams| ×
+   * (true-hit rate + fpp). The hit table that joins back to the
+   * per-doc frame holds only contaminated docs — AQE broadcasts it.
+   * Both corpus branches keep the gram pipeline INSIDE the Generate
+   * (explode of the wordNgrams expression, never an aliased array
+   * column): CollapseProject inlines a projected alias into every one
+   * of the lambda's per-gram token references, which measured 13×
+   * slower than the Generate shape on the sf0.1 corpus.
    */
   def contaminationScreenBloom(
       corpus: DataFrame,
@@ -122,9 +129,10 @@ object TextAnalysis {
       .select(F.tokens(col(textCol)).as("tk"))
       .select(explode(wordNgrams(col("tk"), n)).as("gram"))
       .distinct()
+      .cache()
     // size the filter from the benchmark side (the small side — one
-    // count over benchmark grams, never the corpus); floor of 1 keeps
-    // an empty benchmark from failing the sketch constructor
+    // count over the cached benchmark grams, never the corpus); floor
+    // of 1 keeps an empty benchmark from failing the sketch constructor
     val expected = math.max(evalGrams.count(), 1L)
     val bloom = evalGrams
       .select(xxhash64(col("gram")).as("h"))
@@ -134,13 +142,11 @@ object TextAnalysis {
       bloom.writeTo(bos)
       bos.toByteArray
     }
-    val docGrams = corpus
+    val grams = corpus
       .select(col(idCol), F.tokens(col(textCol)).as("tk"))
-      .select(col(idCol), wordNgrams(col("tk"), n).as("grams"))
-      .filter(size(col("grams")) > 0)
-    val perDoc = docGrams.select(col(idCol), size(col("grams")).cast("long").as("n_grams"))
-    val hits = docGrams
-      .select(col(idCol), explode(col("grams")).as("gram"))
+      .select(col(idCol), explode(wordNgrams(col("tk"), n)).as("gram"))
+    val perDoc = grams.groupBy(col(idCol)).agg(count(lit(1)).as("n_grams"))
+    val hits = grams
       .filter(call_function("graft_might_contain", lit(ser), xxhash64(col("gram"))))
       // exact verify: removes Bloom false positives; hash join on the
       // gram — its input is the screened survivors, not the corpus

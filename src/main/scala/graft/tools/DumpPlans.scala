@@ -55,7 +55,7 @@ object DumpPlans {
       "q_dedup_cross_bucketed" -> "bucketed admission layout: the index table is bucketed+sorted on (band, bh), so the candidate join's index side reads buckets in place (Bucketed: true, no exchange below the band-keyed join — DedupSpec walks the tree); only the shard's banded rows shuffle into the index's bucketing",
       "q_chunk_tokens" -> "token chunking: one narrow codegen pass (tokenize, per-row start sequence, Generate, slice) — the operator contributes NO exchange (the single Exchange below the Sort is the gate's deterministic orderBy, absent in production use); embarrassingly parallel at any corpus size",
       "q_dedup_cross_delta" -> "base+delta split serving: the bucketed base side joins exchange-free (Bucketed: true) while the delta side is an ordinary band join over the days-sized side-index — candidates union before ONE shared exact verify; the probe's signature pass feeds both joins",
-      "q_contamination_bloom" -> "Bloom-prefiltered contamination: corpus grams screened MAP-SIDE by the codegen'd might_contain (filter sits in the scan's WholeStageCodegen span, below any exchange) — only survivors shuffle into the exact verify join; the per-doc denominator is a narrow size() with no join",
+      "q_contamination_bloom" -> "Bloom-prefiltered contamination: corpus grams screened MAP-SIDE by the codegen'd might_contain (the filter sits directly on the Generate output, below any exchange) — only survivors shuffle into the exact verify join; per-doc denominator is a map-side-combined aggregate; both corpus branches keep the gram pipeline inside the Generate (the CollapseProject×lambda rule, tools/ProfileBloom); eval grams read from cache (InMemoryRelation)",
       "q_domain_cap" -> "per-domain cap: quality computed inline in the projection feeding ONE domain-key exchange, then a single window rank — no joins, no second scan",
       "q_hybrid_retrieval" -> "hybrid RRF: both legs share one postings aggregate; query terms + query-restricted df broadcast in each leg; fusion joins two ≤ k-per-query rowsets — every corpus-sized structure stays in the legs' audited broadcast shapes"
     )

@@ -168,7 +168,11 @@ class CurationSpec extends SparkSpecBase {
       (1L, "prefix alpha beta gamma delta epsilon suffix tail words here"),
       (2L, "nothing shared with the benchmark set at all in this document text"),
       (3L, "too short"), // < 5 tokens -> zero grams -> no output row
-      (4L, "one two three four five six seven")
+      (4L, "one two three four five six seven"),
+      // duplicate id: the exact check aggregates BY ID, so the twin
+      // must too — one row, gram instances summed across the two rows
+      (5L, "one two three four five"),
+      (5L, "unrelated words fill this row entirely")
     ).toDF("doc_id", "text")
     def run(fpp: Double) = TextAnalysis
       .contaminationScreenBloom(corpus, eval, "doc_id", "text", n = 5, fpp = fpp)
@@ -177,8 +181,9 @@ class CurationSpec extends SparkSpecBase {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
       .toSeq
     val tight = run(0.01)
-    // doc 4 = 7 tokens -> 3 distinct grams, all in eval doc 101
-    assert(tight == Seq((1L, 6L, 1L), (2L, 8L, 0L), (4L, 3L, 3L)))
+    // doc 4 = 7 tokens -> 3 distinct grams, all in eval doc 101;
+    // doc 5 = two rows merged by id: 1 + 2 grams, 1 hit
+    assert(tight == Seq((1L, 6L, 1L), (2L, 8L, 0L), (4L, 3L, 3L), (5L, 3L, 1L)))
     // a near-useless filter (fpp 0.5) lets false positives through the
     // screen; the exact verify must kill every one of them
     assert(run(0.5) == tight, "verify join removes Bloom false positives")

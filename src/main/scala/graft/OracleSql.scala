@@ -898,6 +898,24 @@ object OracleSql {
                 (cum - w) // 512 AS shard_id,
                 cum - w - ((cum - w) // 512) * 512 AS shard_offset
          FROM c ORDER BY doc_id""",
+    // chunk stage mirrors q_chunk_tokens (range() starts, min(64, n-start)
+    // tail), pack stage mirrors q_pack_shards (md5 order, global cumsum)
+    "q_pack_chunks" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
+              c AS (SELECT doc_id, len(tk) AS n, unnest(range(0, len(tk), 48)) AS start
+                    FROM t WHERE len(tk) > 0),
+              ch AS (SELECT CAST(doc_id AS VARCHAR) || ':' || CAST(start // 48 AS VARCHAR) AS chunk_id,
+                            CAST(least(64, n - start) AS BIGINT) AS w
+                     FROM c),
+              o AS (SELECT chunk_id, w, md5(chunk_id) AS ok FROM ch),
+              s AS (SELECT chunk_id, w,
+                      CAST(SUM(w) OVER (ORDER BY ok, chunk_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+                    FROM o)
+         SELECT chunk_id, w, cum,
+                (cum - w) // 256 AS shard_id,
+                cum - w - ((cum - w) // 256) * 256 AS shard_offset
+         FROM s ORDER BY chunk_id""",
     "q_stratified_sample" ->
       """WITH r AS (
            SELECT lang, doc_id,

@@ -1478,6 +1478,29 @@ object SparkEntry {
   }
 
   /**
+   * The context-window export pipeline end to end: chunk every doc
+   * into sliding 64-token windows (TextAnalysis.chunkDocs — narrow,
+   * no shuffle), then pack the chunks into 256-token training shards
+   * in a deterministic md5-shuffled order (Packing.packShards — the
+   * bucketed distributed cumsum, never a global window). The chunk
+   * stage feeds the pack stage (chunk_id, n_tokens) directly; docs
+   * with zero tokens have nothing to pack and are filtered (their
+   * chunk row carries a null idx). Oracle recomputes both stages —
+   * chunk starts via range(), the cumsum via one SQL window.
+   */
+  private def qPackChunks(s: SparkSession, dir: String): DataFrame = {
+    val chunks = TextAnalysis
+      .chunkDocs(ld(s, dir, "documents"), "doc_id", "text", chunk = 64, stride = 48)
+      .filter(col("chunk_idx").isNotNull)
+      .select(concat_ws(":", col("doc_id"), col("chunk_idx")).as("chunk_id"), col("n_tokens"))
+    Packing
+      .packShards(chunks, "chunk_id", "n_tokens", budget = 256L,
+        orderCol = md5(col("chunk_id").cast("binary")))
+      .select(col("doc_id").as("chunk_id"), col("w"), col("cum"), col("shard_id"), col("shard_offset"))
+      .orderBy(col("chunk_id"))
+  }
+
+  /**
    * Stratified (per-language quota) sampling: deterministic md5 order
    * within each stratum, quota 40 — balancing a training mix. The
    * rank-window form is rewritten to the bounded-heap TopKPerKeyExec
@@ -1781,6 +1804,7 @@ object SparkEntry {
     "q_substring_dup" -> (qSubstringDup _),
     "q_mix_alpha" -> (qMixAlpha _),
     "q_pack_shards" -> (qPackShards _),
+    "q_pack_chunks" -> (qPackChunks _),
     "q_stratified_sample" -> (qStratifiedSample _),
     "q_embed_quant" -> (qEmbedQuant _),
     "q_contamination" -> (qContamination _),

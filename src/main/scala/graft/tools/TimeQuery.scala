@@ -19,13 +19,17 @@ object TimeQuery {
       else Seq("q_agg_sum_min_max")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .config("spark.network.timeout", "600s")
       .config("spark.executor.heartbeatInterval", "60s")
-      .getOrCreate()
+    // attribution dial: SPARK_GRAFT_EXTRA_CONF="k=v;k2=v2" — e.g. turn
+    // AQE off to test whether a bimodal timing is a runtime re-plan
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(';').filter(_.contains('='))
+      .foreach { kv => val Array(k, v) = kv.split("=", 2); builder.config(k, v) })
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // same pre-loop fixture phase as Bench: the first (warm) rep of an
     // index-backed query must time the PROBE path, not fixture DDL —

@@ -117,6 +117,30 @@ class RetrievalSpec extends SparkSpecBase {
     assert(rrfs.zip(rrfs.drop(1)).forall { case (a, b) => a >= b })
   }
 
+  test("chunk->pack composition covers every chunk token exactly once, budget-bounded") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, ("tok " * 100).trim), // 100 tokens -> chunks of 64/48: 3 chunks
+      (2L, "a b c"),             // sub-chunk doc -> one 3-token chunk
+      (3L, "")                   // zero tokens -> nothing to pack
+    ).toDF("doc_id", "text")
+    val chunks = graft.operators.TextAnalysis
+      .chunkDocs(corpus, "doc_id", "text", chunk = 64, stride = 48)
+      .filter(col("chunk_idx").isNotNull)
+      .select(concat_ws(":", col("doc_id"), col("chunk_idx")).as("chunk_id"), col("n_tokens"))
+    val packed = Packing.packShards(chunks, "chunk_id", "n_tokens", budget = 128L,
+      orderCol = md5(col("chunk_id").cast("binary")))
+    val rows = packed.collect()
+    // every chunk packed exactly once; zero-token doc contributes none
+    assert(rows.map(_.getString(0)).sorted.toSeq == Seq("1:0", "1:1", "1:2", "2:0"))
+    // total cum = total chunk tokens (starts 0/48/96 -> 64 + 52 + 4 tail, + 3)
+    assert(rows.map(_.getAs[Long]("cum")).max == 64L + 52L + 4L + 3L)
+    // every chunk STARTS inside its shard's budget window
+    assert(rows.forall { r =>
+      val off = r.getAs[Long]("shard_offset"); off >= 0L && off < 128L
+    })
+  }
+
   test("packShards shard sizes respect the budget for docs smaller than it") {
     val d = docs.select(col("doc_id"), size(graft.functions.F.tokens(col("text"))).cast("long").as("w"))
     // numeric pack order: bucketize via a zero-padded prefix (monotone for non-negative longs)

@@ -87,6 +87,26 @@ object OracleSql {
        + ((CAST($sEn AS DOUBLE) / 5.0) * 0.3)
        + ((1.0 - (CASE WHEN words > 0 THEN least(CAST(punct AS DOUBLE) / CAST(words AS DOUBLE), 1.0) ELSE 1.0 END)) * 0.2)"""
 
+  /** Brute-force k=5 cosine top-k with the limited-run invariant pinned
+    * TRUE — shared by every index-backed search whose exhaustive run
+    * provably equals brute force (q_ann_indexed: exhaustive cell
+    * probing; q_ann_pq: unlimited re-rank pool). */
+  private val exhaustiveEqualsBruteSql =
+    """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+                  FROM embeddings WHERE vec_id < 8),
+            c AS (SELECT vec_id AS item_id, CAST(embedding AS DOUBLE[]) AS iv
+                  FROM embeddings),
+            s AS (SELECT query_id, item_id,
+              list_reduce(list_prepend(0.0, list_transform(generate_series(1, len(qv)), i -> qv[i] * iv[i])), (a, x) -> a + x) /
+              (sqrt(list_reduce(list_prepend(0.0, list_transform(generate_series(1, len(qv)), i -> qv[i] * qv[i])), (a, x) -> a + x)) *
+               sqrt(list_reduce(list_prepend(0.0, list_transform(generate_series(1, len(iv)), i -> iv[i] * iv[i])), (a, x) -> a + x))) AS cos
+            FROM q CROSS JOIN c WHERE query_id <> item_id),
+            r AS (SELECT query_id, item_id, cos,
+              CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, item_id) AS INT) AS rank
+            FROM s WHERE NOT isnan(cos))
+       SELECT query_id, item_id, cos, rank, TRUE AS limited_wellformed_ok
+       FROM r WHERE rank <= 5 ORDER BY query_id, rank"""
+
   /** Brute-force contamination check (shared by q_contamination and its
     * Bloom-prefiltered twin q_contamination_bloom — identical results
     * by construction, see TextAnalysis.contaminationScreenBloom). */
@@ -730,21 +750,12 @@ object OracleSql {
     // output equals brute-force top-k — re-verified neighbor by
     // neighbor; the probe-limited run's structural invariant is pinned
     // as the expected TRUE
-    "q_ann_indexed" ->
-      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
-                    FROM embeddings WHERE vec_id < 8),
-              c AS (SELECT vec_id AS item_id, CAST(embedding AS DOUBLE[]) AS iv
-                    FROM embeddings),
-              s AS (SELECT query_id, item_id,
-                list_reduce(list_prepend(0.0, list_transform(generate_series(1, len(qv)), i -> qv[i] * iv[i])), (a, x) -> a + x) /
-                (sqrt(list_reduce(list_prepend(0.0, list_transform(generate_series(1, len(qv)), i -> qv[i] * qv[i])), (a, x) -> a + x)) *
-                 sqrt(list_reduce(list_prepend(0.0, list_transform(generate_series(1, len(iv)), i -> iv[i] * iv[i])), (a, x) -> a + x))) AS cos
-              FROM q CROSS JOIN c WHERE query_id <> item_id),
-              r AS (SELECT query_id, item_id, cos,
-                CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, item_id) AS INT) AS rank
-              FROM s WHERE NOT isnan(cos))
-         SELECT query_id, item_id, cos, rank, TRUE AS limited_wellformed_ok
-         FROM r WHERE rank <= 5 ORDER BY query_id, rank""",
+    "q_ann_indexed" -> exhaustiveEqualsBruteSql,
+    // same contract as q_ann_indexed: the exhaustive-pool PQ run (ADC
+    // prunes nothing, exact re-rank over everything) provably equals
+    // brute force; the rerank-limited run's mechanism invariant is the
+    // pinned boolean
+    "q_ann_pq" -> exhaustiveEqualsBruteSql,
     // exact_jaccard is recomputed here from scratch (tokenize →
     // distinct word-3-shingles per source → |∩|/|∪|); the minhash
     // estimate is gated as the |est − exact| <= 0.2 bound

@@ -1326,6 +1326,31 @@ object SparkEntry {
     withLimitedWellformed(exhaustive, limited, k)
   }
 
+  /**
+   * Product-quantization search (Ann.pqTopK): codes-only ADC scoring +
+   * exact re-rank — the memory shape that makes billion-vector search
+   * affordable (m bytes/vector instead of dim floats; per-pair cost m
+   * table lookups). Gate follows the q_ann_indexed pattern: the
+   * EXHAUSTIVE re-rank pool run provably equals brute force (hashed
+   * against the same DuckDB cosine oracle, neighbor by neighbor), and
+   * the production-shaped run (rerank = 4×k) contributes its
+   * structural invariant via [[withLimitedWellformed]]. Codebooks
+   * train deterministically (hash-sampled, driver Lloyd per subspace)
+   * and are shared by both runs.
+   */
+  private def qAnnPq(s: SparkSession, dir: String): DataFrame = {
+    val emb = ld(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 8)
+    val k = 5
+    // m=16/K=16 from the tools/PqSweep recall matrix: 16 bytes/vector
+    // (16x compression at dim 64) at ~0.7 recall@5 with the 4-per-slot
+    // re-rank pool, on the no-cluster-structure synthetic hard case
+    val codebooks = Ann.pqTrain(s, emb, m = 16, codebookSize = 16)
+    val exhaustive = Ann.pqTopK(emb, queries, codebooks, k, rerank = Int.MaxValue)
+    val limited = Ann.pqTopK(emb, queries, codebooks, k, rerank = 4 * k)
+    withLimitedWellformed(exhaustive, limited, k)
+  }
+
   /** Build-once persisted IVF index (q_ann_indexed). Exposed through
     * [[setupFixtures]]. */
   private def ensureIvfIndex(s: SparkSession, dir: String): String = {
@@ -1792,6 +1817,7 @@ object SparkEntry {
     "q_ann_bruteforce" -> (qAnnBruteforce _),
     "q_ann_ivf" -> (qAnnIvf _),
     "q_ann_indexed" -> (qAnnIndexed _),
+    "q_ann_pq" -> (qAnnPq _),
     "q_text_langid" -> (qTextLangid _),
     "q_text_quality" -> (qTextQuality _),
     "q_text_tokencount" -> (qTextTokencount _),

@@ -125,6 +125,72 @@ object VectorOps {
     new GenericArrayData(if (k == out.length) out else out.take(k))
   }
 
+  /**
+   * Static kernel: product-quantization codes — the m-th code is the
+   * nearest centroid of the m-th SUBVECTOR in that subspace's own
+   * codebook ([[nearest]] semantics per subspace: ties → lowest
+   * index). Subspace widths come from the codebooks; a vector shorter
+   * than the codebooks' total width zero-pads implicitly (the distance
+   * loop stops at the vector's end — same convention as [[dist2]]).
+   */
+  def pqEncode(v: ArrayData, codebooks: Array[Array[Array[Float]]]): ArrayData = {
+    val m = codebooks.length
+    val out = new Array[Int](m)
+    var sub = 0
+    var off = 0
+    while (sub < m) {
+      val cb = codebooks(sub)
+      val subdim = if (cb.length == 0) 0 else cb(0).length
+      val n = math.min(subdim, math.max(v.numElements() - off, 0))
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < cb.length) {
+        val cent = cb(c)
+        var d = 0.0
+        var i = 0
+        while (i < n) {
+          val diff = v.getFloat(off + i).toDouble - cent(i).toDouble
+          d += diff * diff
+          i += 1
+        }
+        // components past the vector's end contribute the centroid's own
+        // energy, matching dist2 against an implicit zero tail
+        var j = n
+        while (j < subdim) { val t = cent(j).toDouble; d += t * t; j += 1 }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      out(sub) = best
+      off += subdim
+      sub += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /**
+   * Static kernel: asymmetric-distance (ADC) cosine between a query
+   * and a PQ-coded item. `dots`/`norms2` are the query's FLATTENED
+   * lookup tables (m * k + code): dots[m][c] = dot(query_sub_m,
+   * codebook_m[c]), norms2[m][c] = |codebook_m[c]|². The per-pair cost
+   * is M table lookups — independent of the vector dimension, the
+   * entire point of PQ. Returns NaN for a zero-norm query or
+   * reconstruction (caller filters, as with exact cosine).
+   */
+  def adcCosine(codes: ArrayData, dots: ArrayData, norms2: ArrayData, qNorm: Double, k: Int): Double = {
+    val m = codes.numElements()
+    var dot = 0.0
+    var n2 = 0.0
+    var i = 0
+    while (i < m) {
+      val idx = i * k + codes.getInt(i)
+      dot += dots.getDouble(idx)
+      n2 += norms2.getDouble(idx)
+      i += 1
+    }
+    dot / (qNorm * math.sqrt(n2))
+  }
+
   /** Static kernel: sign bits against `planes` deterministic hyperplanes, packed into a long. */
   def hyperplaneBits(v: ArrayData, planes: Int): Long = {
     val n = v.numElements()
@@ -258,4 +324,73 @@ case class HyperplaneBits(child: Expression, planes: Int) extends UnaryExpressio
       s"${ev.value} = graft.functions.expressions.VectorOps.hyperplaneBits($c, $planes);")
 
   override protected def withNewChildInternal(newChild: Expression): HyperplaneBits = copy(child = newChild)
+}
+
+/**
+ * Product-quantization codes: the m-th element is the index of the
+ * nearest centroid of the m-th subvector in that subspace's codebook
+ * ([[VectorOps.pqEncode]]). The codebooks (M × K × subdim floats —
+ * bounded metadata, like every quantizer table here) ride as a codegen
+ * reference object, so encoding the corpus is one narrow codegen'd
+ * pass. Uniform fine-table width is required: the ADC kernel indexes
+ * the flattened query tables as m * K + code.
+ */
+case class PqEncode(child: Expression, codebooks: Array[Array[Array[Float]]])
+    extends UnaryExpression {
+
+  require(codebooks.nonEmpty && codebooks.forall(_.length == codebooks(0).length),
+    s"codebooks must be non-empty and uniform width, got ${codebooks.map(_.length).distinct.toSeq}")
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "graft_pq_encode"
+
+  override protected def nullSafeEval(input: Any): Any =
+    VectorOps.pqEncode(input.asInstanceOf[ArrayData], codebooks)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cb = ctx.addReferenceObj("codebooks", codebooks, "float[][][]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.expressions.VectorOps.pqEncode($c, $cb);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqEncode = copy(child = newChild)
+}
+
+/**
+ * ADC cosine between a PQ-coded item and a query whose flattened
+ * lookup tables ride as row columns ([[VectorOps.adcCosine]]): scoring
+ * a pair is M table lookups, independent of the original dimension —
+ * the memory/compute shape that makes billion-vector search
+ * affordable. `k` is the (uniform) codebook width the tables were
+ * flattened with.
+ */
+case class PqAdcCosine(
+    codes: Expression,
+    dots: Expression,
+    norms2: Expression,
+    qNorm: Expression,
+    k: Int
+) extends org.apache.spark.sql.catalyst.expressions.QuaternaryExpression {
+
+  override def first: Expression = codes
+  override def second: Expression = dots
+  override def third: Expression = norms2
+  override def fourth: Expression = qNorm
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_pq_adc_cosine"
+
+  override protected def nullSafeEval(c: Any, d: Any, n: Any, q: Any): Any =
+    VectorOps.adcCosine(
+      c.asInstanceOf[ArrayData], d.asInstanceOf[ArrayData],
+      n.asInstanceOf[ArrayData], q.asInstanceOf[Double], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (c, d, n, q) =>
+      s"${ev.value} = graft.functions.expressions.VectorOps.adcCosine($c, $d, $n, $q, $k);")
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression, newFourth: Expression): PqAdcCosine =
+    copy(codes = newFirst, dots = newSecond, norms2 = newThird, qNorm = newFourth)
 }

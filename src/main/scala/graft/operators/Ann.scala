@@ -600,6 +600,148 @@ object Ann {
 
   /** Shared candidate generation: assign corpus cells, broadcast the
     * per-query probe list, score candidates with the fused cosine. */
+  /**
+   * Train product-quantization codebooks: the vector space splits into
+   * `m` equal-width subspaces, each with its own `codebookSize`-entry
+   * codebook trained by the SAME bounded deterministic discipline as
+   * the IVF quantizer (one hash-filtered sample collect, driver-local
+   * Lloyd per subspace — no RNG, no partition-order dependence).
+   * Codebooks are bounded metadata: m × codebookSize × (dim/m) floats.
+   *
+   * Why PQ at 100 TB: a 1024-dim float corpus is 4 KB/vector; its PQ
+   * codes at m=16 are 16 bytes — a 256× reduction that converts the
+   * scoring pass from memory-bandwidth-bound vector reads to M table
+   * lookups per pair ([[VectorOps.adcCosine]]). The codes table for a
+   * billion vectors fits where the raw vectors never could.
+   */
+  def pqTrain(
+      spark: SparkSession,
+      corpus: DataFrame,
+      m: Int = 8,
+      codebookSize: Int = 16,
+      lloydIters: Int = 5,
+      trainSample: Long = 20000L
+  ): Array[Array[Array[Float]]] = {
+    graft.sql.GraftFunctions.register(spark)
+    val base = corpus.select(col("vec_id").as("item_id"), col("embedding").as("item_vec"))
+    val sample = collectSample(base, trainSample, -1L)
+    require(sample.nonEmpty, "pqTrain needs a non-empty corpus")
+    val dim = sample.iterator.map(_._2.length).foldLeft(0)(math.max)
+    require(dim % m == 0, s"dim $dim must divide into m=$m equal subspaces")
+    val sub = dim / m
+    Array.tabulate(m) { i =>
+      val subSample = sample.map { case (id, v) =>
+        (id, java.util.Arrays.copyOfRange(v, i * sub, (i + 1) * sub))
+      }
+      lloydOn(subSample, codebookSize, lloydIters)
+    }
+  }
+
+  /** Encode a corpus against trained codebooks: ONE narrow codegen'd
+    * pass ([[graft.functions.expressions.PqEncode]], codebooks as a
+    * reference object) → (item_id, codes array<int>). This is the
+    * persisted artifact of a PQ index: m ints (bytes, at storage) per
+    * vector instead of dim floats. */
+  def pqEncodeCorpus(corpus: DataFrame, codebooks: Array[Array[Array[Float]]]): DataFrame = {
+    graft.sql.GraftFunctions.register(corpus.sparkSession)
+    spread(corpus.select(col("vec_id").as("item_id"), col("embedding").as("item_vec")))
+      .select(col("item_id"),
+        call_function("graft_pq_encode", col("item_vec"), centroidsLit3(codebooks)).as("codes"))
+  }
+
+  /**
+   * PQ top-k search with asymmetric-distance scoring and exact
+   * re-ranking — the standard two-stage shape:
+   *
+   *  1. ADC pass: every (query, item) pair scored from the item's
+   *     CODES alone via the query's flattened lookup tables (computed
+   *     once per query on the driver — queries are a bounded batch,
+   *     like every search API here; the tables are m × codebookSize
+   *     doubles each). Per-pair cost is m lookups, independent of
+   *     dim; top `rerank` candidates per query survive (bounded-heap
+   *     rank window).
+   *  2. Exact re-rank: only the candidates' TRUE vectors are read
+   *     back (semi-join-pruned corpus read), exact cosine, top-k.
+   *
+   * With `rerank` ≥ |corpus| stage 1 prunes nothing and the output
+   * PROVABLY equals [[bruteForceTopK]] — the property the driver gate
+   * hashes (q_ann_pq); the production setting (rerank ≈ 4-10× k)
+   * reads back a candidates-sized fraction of the raw vectors, which
+   * is the entire scale story. Zero-norm vectors drop exactly where
+   * brute force drops them (NULL exact cosine at re-rank).
+   */
+  def pqTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      codebooks: Array[Array[Array[Float]]],
+      k: Int,
+      rerank: Int
+  ): DataFrame = {
+    val spark = corpus.sparkSession
+    graft.sql.GraftFunctions.register(spark)
+    graft.sql.GraftFunctions.installTopKStrategy(spark)
+    import spark.implicits._
+    val m = codebooks.length
+    val kk = codebooks(0).length
+    val sub = if (codebooks(0).isEmpty) 0 else codebooks(0)(0).length
+
+    val codes = pqEncodeCorpus(corpus, codebooks)
+    // per-query ADC tables, driver-computed: dots[m*K + c] = dot(q_m, cb_m[c]),
+    // norms2[m*K + c] = |cb_m[c]|^2 (reconstruction-norm table)
+    val qRows = queries.select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      .collect()
+      .map { r =>
+        val qid = r.getLong(0)
+        val qv = r.getSeq[Float](1).toArray
+        val dots = new Array[Double](m * kk)
+        val norms2 = new Array[Double](m * kk)
+        var mi = 0
+        while (mi < m) {
+          var c = 0
+          while (c < kk) {
+            val cent = codebooks(mi)(c)
+            var d = 0.0
+            var n2 = 0.0
+            var i = 0
+            while (i < sub) {
+              val qc = if (mi * sub + i < qv.length) qv(mi * sub + i).toDouble else 0.0
+              d += qc * cent(i).toDouble
+              n2 += cent(i).toDouble * cent(i).toDouble
+              i += 1
+            }
+            dots(mi * kk + c) = d
+            norms2(mi * kk + c) = n2
+            c += 1
+          }
+          mi += 1
+        }
+        val qNorm = math.sqrt(qv.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble))
+        (qid, qv.toSeq, dots.toSeq, norms2.toSeq, qNorm)
+      }
+    val qdf = qRows.toSeq.toDF("query_id", "query_vec", "dots", "norms2", "qnorm")
+
+    val adcW = Window.partitionBy(col("query_id")).orderBy(col("adc").desc, col("item_id").asc)
+    val cands = codes
+      .crossJoin(broadcast(qdf))
+      .filter(col("query_id") =!= col("item_id"))
+      .withColumn("adc", call_function("graft_pq_adc_cosine",
+        col("codes"), col("dots"), col("norms2"), col("qnorm"), lit(kk)))
+      .filter(!isnan(col("adc")))
+      .withColumn("arank", row_number().over(adcW))
+      .filter(col("arank") <= rerank)
+      .select(col("query_id"), col("item_id"), col("query_vec"))
+
+    // exact re-rank: the inner join reads raw vectors ONLY for candidate
+    // rows (candidates are queries × rerank — AQE broadcasts them), so
+    // the corpus-sized vector column is never shuffled
+    val base = corpus.select(col("vec_id").as("item_id"), col("embedding").as("item_vec"))
+    val reranked = cands
+      .join(base, Seq("item_id"))
+      .withColumn("cos", call_function("graft_cosine", col("query_vec"), col("item_vec")))
+      .filter(col("cos").isNotNull)
+    rankTopK(reranked, k)
+  }
+
   private def probedCandidates(
       corpus: DataFrame,
       queries: DataFrame,

@@ -57,6 +57,13 @@ object GraftFunctions {
       graft.functions.expressions.NearestCellsHier(
         exprs.head, centroidsArg(exprs(1)), centroids3Arg(exprs(2)), intArg(exprs, 3, 2), intArg(exprs, 4, 2))),
     "graft_hyperplane_bits" -> (exprs => HyperplaneBits(exprs.head, intArg(exprs, 1, 16))),
+    // product quantization: (vec, codebooks_lit) → array<int> codes, and
+    // (codes, dots_flat, norms2_flat, qnorm, K) → ADC cosine
+    "graft_pq_encode" -> (exprs =>
+      graft.functions.expressions.PqEncode(exprs.head, centroids3Arg(exprs(1)))),
+    "graft_pq_adc_cosine" -> (exprs =>
+      graft.functions.expressions.PqAdcCosine(
+        exprs(0), exprs(1), exprs(2), exprs(3), intArg(exprs, 4, 16))),
     // Bloom-filter membership over xxhash64 values: (serialized_filter_lit,
     // long_value) — Spark's own runtime-filter expression (codegen'd,
     // deserializes the foldable filter once per task), surfaced as a

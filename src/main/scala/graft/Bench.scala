@@ -155,6 +155,18 @@ object Bench {
       val loadField = if (withLoad) s""""L0":${li(load0)},"L":${li(load)},""" else ""
       s"""{"metric":"total","value":${num(total, 2)},"unit":"sec",$loadField"queries":$qs,"sf":"$sfName"}"""
     }
+    // deciseconds tier: integer tenths-of-a-second per query ("7" =
+    // 0.7s), flagged by "q_unit":"ds" — one char per query cheaper than
+    // 1dp (no decimal point), so 0.1s resolution survives ~100 queries
+    // where the 1dp tier overflows; the total stays in seconds
+    def mkLineDs(stripQ: Boolean) = {
+      val qs = looped.map { case (k, v) =>
+        "\"" + (if (stripQ) k.stripPrefix("q_") else k) + "\":" +
+          (if (v < 0) "-1" else math.round(v * 10).toString)
+      }.mkString("{", ",", "}")
+      def li(v: Double) = if (v < 0) -1L else math.round(v)
+      s"""{"metric":"total","value":${num(total, 2)},"unit":"sec","q_unit":"ds","L0":${li(load0)},"L":${li(load)},"queries":$qs,"sf":"$sfName"}"""
+    }
     // tiered shedding against the driver's 2000-char tail capture (a
     // clipped line loses EVERYTHING): first the routed-pair entries
     // (still recorded in SURVEY/README), then per-query precision drops
@@ -171,7 +183,8 @@ object Bench {
     val line = Seq(
       mkLine(true, true), mkLine(true, false), mkLine(true, true, dp = 1),
       mkLine(true, false, dp = 1),
-      mkLine(true, true, dp = 1, stripQ = true), mkLine(true, false, dp = 1, stripQ = true))
+      mkLine(true, true, dp = 1, stripQ = true), mkLine(true, false, dp = 1, stripQ = true),
+      mkLineDs(stripQ = true))
       .find(_.length <= 1880).getOrElse(mkLine(true, false, dp = 0, stripQ = true))
     println(line)
     if (line.length > 1900)

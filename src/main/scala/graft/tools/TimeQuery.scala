@@ -44,6 +44,11 @@ object TimeQuery {
         (System.nanoTime() - t0) / 1e9
       }
       println(f"[timequery] $name: ${times.map(t => f"$t%.2f").mkString(", ")} s")
+      // settle after a heavy query so its GC/scheduler tail does not
+      // contaminate the NEXT query's reps (the r8 sf0.5 sweep measured
+      // q_dedup_simhash at 11s in sweep position — directly after the
+      // quadratic forced-IVF gate — vs 1.7s in isolation)
+      if (times.exists(_ > 5.0)) { System.gc(); Thread.sleep(3000) }
     }
     spark.stop()
   }

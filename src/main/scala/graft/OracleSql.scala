@@ -756,6 +756,7 @@ object OracleSql {
     // brute force; the rerank-limited run's mechanism invariant is the
     // pinned boolean
     "q_ann_pq" -> exhaustiveEqualsBruteSql,
+    "q_ann_pq_indexed" -> exhaustiveEqualsBruteSql,
     // exact_jaccard is recomputed here from scratch (tokenize →
     // distinct word-3-shingles per source → |∩|/|∪|); the minhash
     // estimate is gated as the |est − exact| <= 0.2 bound

@@ -554,6 +554,7 @@ object SparkEntry {
     ensureBucketedTextIndex(s, dir)
     ensureDeltaTextIndex(s, dir)
     ensureIvfIndex(s, dir)
+    ensurePqIndex(s, dir)
     ensureDeclaredCatalog(s, dir)
     ()
   }
@@ -1351,6 +1352,39 @@ object SparkEntry {
     withLimitedWellformed(exhaustive, limited, k)
   }
 
+  /**
+   * Persisted IVF-PQ index search (Ann.buildIvfPqIndex /
+   * searchIvfPqIndex): the index holds PQ codes in the cell-partitioned
+   * layout — the scan reads only probed cells' files AND only m-int
+   * code rows, never raw vectors; exact re-rank reads the source table
+   * for the candidate set. Same gate contract as q_ann_indexed /
+   * q_ann_pq: exhaustive probing + unlimited re-rank provably equals
+   * brute force (hashed), the production-shaped run pins its
+   * structural invariant.
+   */
+  private def qAnnPqIndexed(s: SparkSession, dir: String): DataFrame = {
+    val emb = ld(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 8)
+    val k = 5
+    val idxPath = ensurePqIndex(s, dir)
+    val exhaustive = Ann.searchIvfPqIndex(s, idxPath, emb, queries, k,
+      probes = 16, rerank = Int.MaxValue)
+    val limited = Ann.searchIvfPqIndex(s, idxPath, emb, queries, k,
+      probes = 4, rerank = 4 * k)
+    withLimitedWellformed(exhaustive, limited, k)
+  }
+
+  /** Build-once persisted IVF-PQ index (q_ann_pq_indexed). Exposed
+    * through [[setupFixtures]]. */
+  private def ensurePqIndex(s: SparkSession, dir: String): String = {
+    val idxPath = s"/tmp/graft_pqindex/${dirKey(dir)}"
+    val marker = new org.apache.hadoop.fs.Path(s"$idxPath/meta/_SUCCESS")
+    if (!marker.getFileSystem(s.sparkContext.hadoopConfiguration).exists(marker))
+      Ann.buildIvfPqIndex(s, ld(s, dir, "embeddings"), idxPath,
+        numCells = 16, m = 16, codebookSize = 16)
+    idxPath
+  }
+
   /** Build-once persisted IVF index (q_ann_indexed). Exposed through
     * [[setupFixtures]]. */
   private def ensureIvfIndex(s: SparkSession, dir: String): String = {
@@ -1818,6 +1852,7 @@ object SparkEntry {
     "q_ann_ivf" -> (qAnnIvf _),
     "q_ann_indexed" -> (qAnnIndexed _),
     "q_ann_pq" -> (qAnnPq _),
+    "q_ann_pq_indexed" -> (qAnnPqIndexed _),
     "q_text_langid" -> (qTextLangid _),
     "q_text_quality" -> (qTextQuality _),
     "q_text_tokencount" -> (qTextTokencount _),

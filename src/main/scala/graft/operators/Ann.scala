@@ -463,6 +463,136 @@ object Ann {
       .write.mode("overwrite").parquet(s"$path/stats")
   }
 
+  /**
+   * Persisted IVF-PQ index — the 100 TB serving layout for vectors:
+   * the coarse IVF quantizer prunes the search to probed cells
+   * (partition-pruned scan, as [[buildIvfIndex]]), and the cells hold
+   * PQ CODES instead of raw vectors — m ints per item, so the index is
+   * ~dim·4/m times smaller than the raw corpus and the scored pass
+   * reads codes only. Raw vectors stay in the source table and are
+   * read back ONLY for the rerank-bounded candidates ([[pqTopK]]'s
+   * two-stage discipline). Codes quantize the ABSOLUTE vectors (flat
+   * PQ under IVF pruning): ADC tables are then per-QUERY (m ×
+   * codebookSize doubles), not per-(query, cell) — residual encoding
+   * would buy some accuracy at the cost of per-probed-cell cross
+   * tables; the rerank stage already restores exactness where it
+   * matters.
+   *
+   * Layout: `path/centroids` (coarse table), `path/codebooks`
+   * (sub, code, vec — m·codebookSize rows), `path/codes`
+   * (cell-partitioned (item_id, codes)), `path/stats` (drift frame,
+   * same contract as the IVF index), `path/meta` (m, codebook_size,
+   * num_cells) written LAST as the completeness marker.
+   */
+  def buildIvfPqIndex(
+      spark: SparkSession,
+      corpus: DataFrame,
+      path: String,
+      numCells: Int = 16,
+      m: Int = 8,
+      codebookSize: Int = 16,
+      lloydIters: Int = 5,
+      trainSample: Long = 20000L
+  ): Unit = {
+    import spark.implicits._
+    graft.sql.GraftFunctions.register(spark)
+    val cents = ivfTrain(spark, corpus, numCells, lloydIters, trainSample)
+    val codebooks = pqTrain(spark, corpus, m, codebookSize, lloydIters, trainSample)
+    cents.zipWithIndex.toSeq
+      .map { case (v, i) => (i, v) }
+      .toDF("cell", "centroid")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/centroids")
+    codebooks.zipWithIndex.toSeq
+      .flatMap { case (cb, sub) => cb.zipWithIndex.map { case (v, c) => (sub, c, v) } }
+      .toDF("sub", "code", "vec")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/codebooks")
+    spread(corpus.select(col("vec_id").as("item_id"), col("embedding").as("item_vec")))
+      .withColumn("cell", call_function("graft_nearest_centroid", col("item_vec"), centroidsLit(cents)))
+      .withColumn("codes", call_function("graft_pq_encode", col("item_vec"), centroidsLit3(codebooks)))
+      .select(col("item_id"), col("codes"), col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes")
+    dispersionStats(corpus, "embedding", cents)
+      .write.mode("overwrite").parquet(s"$path/stats")
+    Seq((m, codebookSize, numCells))
+      .toDF("m", "codebook_size", "num_cells")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Load persisted PQ codebooks in (sub, code) order. */
+  def loadPqCodebooks(spark: SparkSession, path: String): Array[Array[Array[Float]]] = {
+    val rows = spark.read.parquet(s"$path/codebooks")
+      .orderBy(col("sub"), col("code"))
+      .collect()
+    rows.groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+      .map { case (_, rs) => rs.sortBy(_.getInt(1)).map(_.getSeq[Float](2).toArray) }
+      .toArray
+  }
+
+  /**
+   * Search the persisted IVF-PQ index: probed cells resolved
+   * driver-side (bounded query batch) and applied as a static
+   * partition filter — the codes scan reads ONLY those cells' files;
+   * ADC scoring over the scanned codes; exact re-rank reads raw
+   * vectors from `corpus` for the rerank-bounded candidates only.
+   * With `probes = numCells` and `rerank` ≥ |corpus| the result
+   * provably equals brute force (the gate's property).
+   */
+  def searchIvfPqIndex(
+      spark: SparkSession,
+      path: String,
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      probes: Int = 4,
+      rerank: Int = 32
+  ): DataFrame = {
+    graft.sql.GraftFunctions.register(spark)
+    graft.sql.GraftFunctions.installTopKStrategy(spark)
+    import spark.implicits._
+    val cents = loadIvfCentroids(spark, path)
+    val codebooks = loadPqCodebooks(spark, path)
+    val kk = codebooks(0).length
+
+    val qRows = queries.select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    // probed cells: driver-side distances to the (bounded) coarse table,
+    // `probes` nearest per query — becomes the static partition filter
+    val probeCells = qRows.flatMap { case (_, qv) =>
+      val dists = cents.zipWithIndex.map { case (c, i) =>
+        var d = 0.0; var j = 0
+        val n = math.min(qv.length, c.length)
+        while (j < n) { val t = qv(j).toDouble - c(j).toDouble; d += t * t; j += 1 }
+        (d, i)
+      }
+      dists.sortBy(t => (t._1, t._2)).take(math.min(probes, dists.length)).map(_._2)
+    }.distinct.toSeq
+    val qdf = pqQueryTables(qRows, codebooks).toSeq
+      .toDF("query_id", "query_vec", "dots", "norms2", "qnorm")
+
+    val adcW = Window.partitionBy(col("query_id")).orderBy(col("adc").desc, col("item_id").asc)
+    val cands = spark.read.parquet(s"$path/codes")
+      .filter(col("cell").isin(probeCells.map(Integer.valueOf): _*))
+      .crossJoin(broadcast(qdf))
+      .filter(col("query_id") =!= col("item_id"))
+      .withColumn("adc", call_function("graft_pq_adc_cosine",
+        col("codes"), col("dots"), col("norms2"), col("qnorm"), lit(kk)))
+      .filter(!isnan(col("adc")))
+      .withColumn("arank", row_number().over(adcW))
+      .filter(col("arank") <= rerank)
+      .select(col("query_id"), col("item_id"), col("query_vec"))
+
+    val base = corpus.select(col("vec_id").as("item_id"), col("embedding").as("item_vec"))
+    val reranked = cands
+      .join(base, Seq("item_id"))
+      .withColumn("cos", call_function("graft_cosine", col("query_vec"), col("item_vec")))
+      .filter(col("cos").isNotNull)
+    rankTopK(reranked, k)
+  }
+
   /** The 1-row train-time dispersion frame (p95 quantization error) —
     * shared by the batch index and the streaming quantizer so the
     * drift statistic cannot diverge between them. */
@@ -637,6 +767,47 @@ object Ann {
     }
   }
 
+  /** Per-query flattened ADC tables, driver-computed (queries are a
+    * bounded batch): dots[m·K + c] = dot(q_m, cb_m[c]), norms2[m·K + c]
+    * = |cb_m[c]|² (reconstruction-norm table), plus the query norm —
+    * everything [[VectorOps.adcCosine]] needs. Shared by the in-memory
+    * ([[pqTopK]]) and persisted ([[searchIvfPqIndex]]) search paths so
+    * their ADC math cannot diverge. */
+  private def pqQueryTables(
+      qRows: Array[(Long, Array[Float])],
+      codebooks: Array[Array[Array[Float]]]
+  ): Array[(Long, Seq[Float], Seq[Double], Seq[Double], Double)] = {
+    val m = codebooks.length
+    val kk = codebooks(0).length
+    val sub = if (codebooks(0).isEmpty) 0 else codebooks(0)(0).length
+    qRows.map { case (qid, qv) =>
+      val dots = new Array[Double](m * kk)
+      val norms2 = new Array[Double](m * kk)
+      var mi = 0
+      while (mi < m) {
+        var c = 0
+        while (c < kk) {
+          val cent = codebooks(mi)(c)
+          var d = 0.0
+          var n2 = 0.0
+          var i = 0
+          while (i < sub) {
+            val qc = if (mi * sub + i < qv.length) qv(mi * sub + i).toDouble else 0.0
+            d += qc * cent(i).toDouble
+            n2 += cent(i).toDouble * cent(i).toDouble
+            i += 1
+          }
+          dots(mi * kk + c) = d
+          norms2(mi * kk + c) = n2
+          c += 1
+        }
+        mi += 1
+      }
+      val qNorm = math.sqrt(qv.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble))
+      (qid, qv.toSeq, dots.toSeq, norms2.toSeq, qNorm)
+    }
+  }
+
   /** Encode a corpus against trained codebooks: ONE narrow codegen'd
     * pass ([[graft.functions.expressions.PqEncode]], codebooks as a
     * reference object) → (item_id, codes array<int>). This is the
@@ -681,44 +852,14 @@ object Ann {
     graft.sql.GraftFunctions.register(spark)
     graft.sql.GraftFunctions.installTopKStrategy(spark)
     import spark.implicits._
-    val m = codebooks.length
     val kk = codebooks(0).length
-    val sub = if (codebooks(0).isEmpty) 0 else codebooks(0)(0).length
 
     val codes = pqEncodeCorpus(corpus, codebooks)
-    // per-query ADC tables, driver-computed: dots[m*K + c] = dot(q_m, cb_m[c]),
-    // norms2[m*K + c] = |cb_m[c]|^2 (reconstruction-norm table)
     val qRows = queries.select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
       .collect()
-      .map { r =>
-        val qid = r.getLong(0)
-        val qv = r.getSeq[Float](1).toArray
-        val dots = new Array[Double](m * kk)
-        val norms2 = new Array[Double](m * kk)
-        var mi = 0
-        while (mi < m) {
-          var c = 0
-          while (c < kk) {
-            val cent = codebooks(mi)(c)
-            var d = 0.0
-            var n2 = 0.0
-            var i = 0
-            while (i < sub) {
-              val qc = if (mi * sub + i < qv.length) qv(mi * sub + i).toDouble else 0.0
-              d += qc * cent(i).toDouble
-              n2 += cent(i).toDouble * cent(i).toDouble
-              i += 1
-            }
-            dots(mi * kk + c) = d
-            norms2(mi * kk + c) = n2
-            c += 1
-          }
-          mi += 1
-        }
-        val qNorm = math.sqrt(qv.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble))
-        (qid, qv.toSeq, dots.toSeq, norms2.toSeq, qNorm)
-      }
-    val qdf = qRows.toSeq.toDF("query_id", "query_vec", "dots", "norms2", "qnorm")
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val qdf = pqQueryTables(qRows, codebooks).toSeq
+      .toDF("query_id", "query_vec", "dots", "norms2", "qnorm")
 
     val adcW = Window.partitionBy(col("query_id")).orderBy(col("adc").desc, col("item_id").asc)
     val cands = codes

@@ -99,6 +99,54 @@ class OperatorSpec extends SparkSpecBase {
     assert(cellsRead.subsetOf(probed), s"scan read cells $cellsRead beyond the probed $probed")
   }
 
+  test("persisted IVF-PQ index: codes-only scan prunes to probed cells; exhaustive equals brute") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 4)
+    val path = "/tmp/graft_ivfpq_index_spec"
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    Ann.buildIvfPqIndex(spark, emb, path, numCells = 16, m = 16, codebookSize = 16)
+
+    // exhaustive probing + unlimited re-rank pool == brute force
+    val exhaustive = Ann.searchIvfPqIndex(spark, path, emb, queries, k = 5,
+      probes = 16, rerank = Int.MaxValue)
+      .orderBy("query_id", "rank").collect().toSeq
+    val brute = Ann.bruteForceTopK(emb, queries, 5)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(exhaustive == brute,
+      "exhaustive persisted IVF-PQ search must reproduce brute force exactly")
+
+    // codebooks round-trip the persisted layout
+    val cb = Ann.loadPqCodebooks(spark, path)
+    assert(cb.length == 16 && cb.forall(_.length == 16))
+
+    // probe-limited run: the codes scan lists files only under probed
+    // cells, and the scan carries NO raw vector column (codes + id only)
+    val limited = Ann.searchIvfPqIndex(spark, path, emb, queries, k = 5, probes = 4, rerank = 20)
+    val cents = Ann.loadIvfCentroids(spark, path)
+    val probed = queries
+      .withColumn("cell", explode(call_function("graft_nearest_centroids",
+        col("embedding"), typedlit[Seq[Seq[Float]]](cents.map(_.toSeq).toSeq), lit(4))))
+      .select("cell").distinct().as[Int].collect().toSet
+    val codeScans = limited.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+          if s.relation.location.rootPaths.exists(_.toString.contains("graft_ivfpq_index_spec")) => s
+    }
+    assert(codeScans.nonEmpty)
+    codeScans.foreach { s =>
+      assert(!s.schema.fieldNames.contains("item_vec") && !s.schema.fieldNames.contains("embedding"),
+        s"index scan must read codes, not raw vectors: ${s.schema.fieldNames.toSeq}")
+    }
+    val scanned = codeScans.flatMap { s =>
+      val static = s.partitionFilters.filterNot(
+        _.exists(_.isInstanceOf[org.apache.spark.sql.catalyst.expressions.DynamicPruningSubquery]))
+      s.relation.location.listFiles(static, s.dataFilters)
+        .flatMap(_.files.map(_.fileStatus.getPath.toString))
+    }
+    val cellsRead = scanned.flatMap(f => "cell=(\\d+)".r.findFirstMatchIn(f).map(_.group(1).toInt)).toSet
+    assert(cellsRead.subsetOf(probed), s"scan read cells $cellsRead beyond the probed $probed")
+  }
+
   test("persisted IVF index: drift probe stays low in-distribution, triggers re-train when shifted") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val path = "/tmp/graft_ivf_drift_spec"

@@ -107,6 +107,16 @@ class AdminSqlSpec extends SparkSpecBase {
       assert(s2.sql(s"SHOW INDEX DRIFT FOR '/tmp/no_such_index' USING '$embPath'")
         .head().getDouble(2) == 1.0, "missing index must report 1.0, not crash")
 
+      // the IVF-PQ index writes the SAME stats/centroids contract, so
+      // the drift statement works on it unchanged — the ops surface is
+      // one statement for both index families
+      val pqPath = "/tmp/graft_adminsql_ivfpq"
+      fs2.delete(new org.apache.hadoop.fs.Path(pqPath), true)
+      graft.operators.Ann.buildIvfPqIndex(s2, s2.read.parquet(embPath), pqPath,
+        numCells = 16, m = 16, codebookSize = 16)
+      assert(s2.sql(s"SHOW INDEX DRIFT FOR '$pqPath' USING '$embPath'").head().getDouble(2) <= 0.10,
+        "drift statement must read the IVF-PQ index's stats contract")
+
       // SHOW TEXT INDEX: shard inventory + banding geometry of the
       // cross-corpus dedup index, one row per shard after an admission
       val txtIdx = "/tmp/graft_adminsql_txt_" + System.nanoTime()

@@ -128,10 +128,14 @@ object VectorOps {
   /**
    * Static kernel: product-quantization codes — the m-th code is the
    * nearest centroid of the m-th SUBVECTOR in that subspace's own
-   * codebook ([[nearest]] semantics per subspace: ties → lowest
-   * index). Subspace widths come from the codebooks; a vector shorter
-   * than the codebooks' total width zero-pads implicitly (the distance
-   * loop stops at the vector's end — same convention as [[dist2]]).
+   * codebook (ties → lowest index). Subspace widths come from the
+   * codebooks; a vector shorter than their total width is treated as
+   * ZERO-PADDED — components past its end contribute the centroid's
+   * own energy to the distance (matching pqTrain's zero-padded
+   * subvectors; note this deliberately differs from [[dist2]], which
+   * TRUNCATES to the shorter length — the coarse cell assignment
+   * tolerates ragged vectors loosely, while PQ's fixed subspace
+   * geometry needs a defined value for every component).
    */
   def pqEncode(v: ArrayData, codebooks: Array[Array[Array[Float]]]): ArrayData = {
     val m = codebooks.length

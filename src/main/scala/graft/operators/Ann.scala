@@ -33,6 +33,9 @@ object Ann {
     * the subtree once; negligible against the join it prevents
     * serializing.) */
   private[operators] def spread(df: DataFrame): DataFrame = {
+    // streaming frames cannot be partition-inspected (df.rdd) and their
+    // micro-batch parallelism is the source's concern — pass through
+    if (df.isStreaming) return df
     val p = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < p) df.repartition(p) else df
   }
@@ -496,8 +499,14 @@ object Ann {
   ): Unit = {
     import spark.implicits._
     graft.sql.GraftFunctions.register(spark)
-    val cents = ivfTrain(spark, corpus, numCells, lloydIters, trainSample)
-    val codebooks = pqTrain(spark, corpus, m, codebookSize, lloydIters, trainSample)
+    // ONE sample collect trains both quantizers (coarse cells + PQ
+    // codebooks): the hash-filtered sample is identical for both, and
+    // at index-build scale the count + collect passes are the expensive
+    // driver-side work — paying them twice bought nothing
+    val base = corpus.select(col("vec_id").as("item_id"), col("embedding").as("item_vec"))
+    val sample = collectSample(base, trainSample, -1L)
+    val cents = lloydOn(sample, numCells, lloydIters)
+    val codebooks = pqTrainOn(sample, m, codebookSize, lloydIters)
     cents.zipWithIndex.toSeq
       .map { case (v, i) => (i, v) }
       .toDF("cell", "centroid")
@@ -559,32 +568,68 @@ object Ann {
     val qRows = queries.select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-    // probed cells: driver-side distances to the (bounded) coarse table,
-    // `probes` nearest per query — becomes the static partition filter
-    val probeCells = qRows.flatMap { case (_, qv) =>
+    // per-QUERY probed cells from driver-side distances to the (bounded)
+    // coarse table: the union prunes the scan (static partition filter),
+    // the per-query pairs restrict SCORING to each query's own cells —
+    // without the pairing, a batch of queries would near-exhaustively
+    // score the union of everyone's cells (the searchIvfIndex join
+    // semantics, mirrored here)
+    val queryProbePairs = qRows.flatMap { case (qid, qv) =>
       val dists = cents.zipWithIndex.map { case (c, i) =>
         var d = 0.0; var j = 0
         val n = math.min(qv.length, c.length)
         while (j < n) { val t = qv(j).toDouble - c(j).toDouble; d += t * t; j += 1 }
         (d, i)
       }
-      dists.sortBy(t => (t._1, t._2)).take(math.min(probes, dists.length)).map(_._2)
-    }.distinct.toSeq
+      dists.sortBy(t => (t._1, t._2)).take(math.min(probes, dists.length)).map(t => (qid, t._2))
+    }.toSeq
+    val probeCells = queryProbePairs.map(_._2).distinct
     val qdf = pqQueryTables(qRows, codebooks).toSeq
       .toDF("query_id", "query_vec", "dots", "norms2", "qnorm")
-
-    val adcW = Window.partitionBy(col("query_id")).orderBy(col("adc").desc, col("item_id").asc)
-    val cands = spark.read.parquet(s"$path/codes")
+    val codes = spark.read.parquet(s"$path/codes")
       .filter(col("cell").isin(probeCells.map(Integer.valueOf): _*))
-      .crossJoin(broadcast(qdf))
+    adcRerank(codes, qdf, kk, rerank, corpus, k,
+      perQueryCells = Some(queryProbePairs.toDF("query_id", "cell")))
+  }
+
+  /**
+   * Shared ADC-score + exact-re-rank tail of both PQ search paths
+   * ([[pqTopK]] in-memory, [[searchIvfPqIndex]] persisted) — ONE copy,
+   * so a scoring fix cannot silently diverge between them. `codes`
+   * rows are (item_id, codes[, cell]); `qdf` carries the
+   * [[pqQueryTables]] columns; `perQueryCells` (query_id, cell) pairs,
+   * when given, restrict scoring to each query's own probed cells.
+   * A NaN ADC score (zero-norm query, or an item whose reconstruction
+   * is all zero codewords) ranks LAST instead of being dropped: the
+   * exact re-rank — not the approximation — must decide such items,
+   * or an unlimited-pool run could disagree with brute force on a
+   * tiny-but-nonzero vector.
+   */
+  private def adcRerank(
+      codes: DataFrame,
+      qdf: DataFrame,
+      kk: Int,
+      rerank: Int,
+      corpus: DataFrame,
+      k: Int,
+      perQueryCells: Option[DataFrame] = None
+  ): DataFrame = {
+    val paired = perQueryCells match {
+      case Some(qp) => codes.join(broadcast(qp.join(qdf, "query_id")), Seq("cell"))
+      case None => codes.crossJoin(broadcast(qdf))
+    }
+    val adcW = Window.partitionBy(col("query_id")).orderBy(col("adc").desc, col("item_id").asc)
+    val cands = paired
       .filter(col("query_id") =!= col("item_id"))
-      .withColumn("adc", call_function("graft_pq_adc_cosine",
-        col("codes"), col("dots"), col("norms2"), col("qnorm"), lit(kk)))
-      .filter(!isnan(col("adc")))
+      .withColumn("adc", nanvl(call_function("graft_pq_adc_cosine",
+        col("codes"), col("dots"), col("norms2"), col("qnorm"), lit(kk)),
+        lit(Double.NegativeInfinity)))
       .withColumn("arank", row_number().over(adcW))
       .filter(col("arank") <= rerank)
       .select(col("query_id"), col("item_id"), col("query_vec"))
-
+    // exact re-rank: the inner join reads raw vectors ONLY for candidate
+    // rows (candidates are queries × rerank — AQE broadcasts them), so
+    // the corpus-sized vector column is never shuffled
     val base = corpus.select(col("vec_id").as("item_id"), col("embedding").as("item_vec"))
     val reranked = cands
       .join(base, Seq("item_id"))
@@ -754,14 +799,31 @@ object Ann {
   ): Array[Array[Array[Float]]] = {
     graft.sql.GraftFunctions.register(spark)
     val base = corpus.select(col("vec_id").as("item_id"), col("embedding").as("item_vec"))
-    val sample = collectSample(base, trainSample, -1L)
+    pqTrainOn(collectSample(base, trainSample, -1L), m, codebookSize, lloydIters)
+  }
+
+  /** [[pqTrain]]'s Lloyd loop over an already-collected sample — shared
+    * with [[buildIvfPqIndex]] so one sample collect trains BOTH the
+    * coarse quantizer and the codebooks. Subvectors zero-pad past a
+    * short vector's end (arraycopy into a zeroed buffer — the same
+    * convention [[VectorOps.pqEncode]] applies at encode time), so a
+    * ragged corpus trains instead of crashing. */
+  private def pqTrainOn(
+      sample: Array[(Long, Array[Float])],
+      m: Int,
+      codebookSize: Int,
+      lloydIters: Int
+  ): Array[Array[Array[Float]]] = {
     require(sample.nonEmpty, "pqTrain needs a non-empty corpus")
     val dim = sample.iterator.map(_._2.length).foldLeft(0)(math.max)
     require(dim % m == 0, s"dim $dim must divide into m=$m equal subspaces")
     val sub = dim / m
     Array.tabulate(m) { i =>
       val subSample = sample.map { case (id, v) =>
-        (id, java.util.Arrays.copyOfRange(v, i * sub, (i + 1) * sub))
+        val subv = new Array[Float](sub)
+        val copyLen = math.max(0, math.min(sub, v.length - i * sub))
+        if (copyLen > 0) System.arraycopy(v, i * sub, subv, 0, copyLen)
+        (id, subv)
       }
       lloydOn(subSample, codebookSize, lloydIters)
     }
@@ -860,27 +922,7 @@ object Ann {
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
     val qdf = pqQueryTables(qRows, codebooks).toSeq
       .toDF("query_id", "query_vec", "dots", "norms2", "qnorm")
-
-    val adcW = Window.partitionBy(col("query_id")).orderBy(col("adc").desc, col("item_id").asc)
-    val cands = codes
-      .crossJoin(broadcast(qdf))
-      .filter(col("query_id") =!= col("item_id"))
-      .withColumn("adc", call_function("graft_pq_adc_cosine",
-        col("codes"), col("dots"), col("norms2"), col("qnorm"), lit(kk)))
-      .filter(!isnan(col("adc")))
-      .withColumn("arank", row_number().over(adcW))
-      .filter(col("arank") <= rerank)
-      .select(col("query_id"), col("item_id"), col("query_vec"))
-
-    // exact re-rank: the inner join reads raw vectors ONLY for candidate
-    // rows (candidates are queries × rerank — AQE broadcasts them), so
-    // the corpus-sized vector column is never shuffled
-    val base = corpus.select(col("vec_id").as("item_id"), col("embedding").as("item_vec"))
-    val reranked = cands
-      .join(base, Seq("item_id"))
-      .withColumn("cos", call_function("graft_cosine", col("query_vec"), col("item_vec")))
-      .filter(col("cos").isNotNull)
-    rankTopK(reranked, k)
+    adcRerank(codes, qdf, kk, rerank, corpus, k)
   }
 
   private def probedCandidates(

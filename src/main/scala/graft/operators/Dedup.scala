@@ -56,28 +56,14 @@ object Dedup {
   def shingles(textCol: Column, n: Int): Column =
     call_function("graft_word_shingles", textCol, lit(n))
 
-  /** The Ann.spread discipline for the text kernels: an
-    * under-partitioned input (a shard read from one or two small
-    * parquet files — Spark bin-packs them into a single scan
-    * partition) would run the per-row shingle/minhash kernel on ONE
-    * core, and every plan that references the signature subtree more
-    * than once serializes on it (measured: q_dedup_cross_delta's four
-    * signature evaluations at the 5× corpus ran 4-12s wall with the
-    * single-partition scan, 2.5s spread). The repartition shuffles
-    * shard-sized text once — strictly dominated by the kernel work it
-    * parallelizes — and is a no-op whenever the input already has scan
-    * parallelism (any real corpus at 100 TB). */
-  private def spread(df: DataFrame): DataFrame = {
-    // streaming frames cannot be partition-inspected (df.rdd) and their
-    // micro-batch parallelism is the source's concern — pass through
-    if (df.isStreaming) return df
-    val p = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
-  }
-
   /**
    * MinHash signatures: one narrow per-row pass (plus a one-time
-   * [[spread]] repartition when the input lacks scan parallelism).
+   * [[Ann.spread]] repartition when the input lacks scan parallelism:
+   * a shard read from one or two small parquet files bin-packs into a
+   * single scan partition, and every plan referencing the signature
+   * subtree more than once then serializes on one core — measured:
+   * q_dedup_cross_delta's four signature evaluations at the 5× corpus
+   * ran 4-12s wall single-partition, 2.5s spread).
    * See TextMinHash for why the fused expression beats the composable
    * formulations (nested transform 70s+, explode + 64 partial-agg mins
    * 11s, fused ~1s at sf0.1).
@@ -89,7 +75,7 @@ object Dedup {
     // partial-agg mins 11s, HOF shingles + native minhash ~10s cold
     // (interpreter warm-up dominates), fused ~1s.
     graft.sql.GraftFunctions.register(df.sparkSession)
-    spread(df).select(
+    Ann.spread(df).select(
       col(idCol).as("id"),
       call_function("graft_text_minhash", col(textCol), lit(shingleSize), lit(numHashes)).as("sig")
     )

@@ -23,12 +23,15 @@ object PqSweep {
     val queries = emb.filter(col("vec_id") < 8)
     val brute = Ann.bruteForceTopK(emb, queries, 5)
       .select("query_id", "item_id").as[(Long, Long)].collect().toSet
-    for (m <- Seq(8, 16); kk <- Seq(16, 32); rerank <- Seq(20, 40)) {
+    for (m <- Seq(8, 16); kk <- Seq(16, 32)) {
+      // codebooks depend only on (m, K) — train once per pair, not per rerank
       val cb = Ann.pqTrain(spark, emb, m = m, codebookSize = kk)
-      val got = Ann.pqTopK(emb, queries, cb, 5, rerank = rerank)
-        .select("query_id", "item_id").as[(Long, Long)].collect().toSet
-      val recall = (brute intersect got).size.toDouble / brute.size
-      println(f"[pqsweep] m=$m%2d K=$kk%2d rerank=$rerank%3d -> recall@5 $recall%.3f")
+      for (rerank <- Seq(20, 40)) {
+        val got = Ann.pqTopK(emb, queries, cb, 5, rerank = rerank)
+          .select("query_id", "item_id").as[(Long, Long)].collect().toSet
+        val recall = (brute intersect got).size.toDouble / brute.size
+        println(f"[pqsweep] m=$m%2d K=$kk%2d rerank=$rerank%3d -> recall@5 $recall%.3f")
+      }
     }
     spark.stop()
   }

@@ -145,6 +145,38 @@ class OperatorSpec extends SparkSpecBase {
     }
     val cellsRead = scanned.flatMap(f => "cell=(\\d+)".r.findFirstMatchIn(f).map(_.group(1).toInt)).toSet
     assert(cellsRead.subsetOf(probed), s"scan read cells $cellsRead beyond the probed $probed")
+
+    // scoring is keyed on each query's OWN probed cells (a broadcast
+    // hash join on the cell key), never a nested-loop cross join of
+    // every query against the union of everyone's cells
+    val limitedPlan = limited.queryExecution.executedPlan.toString
+    assert(!limitedPlan.contains("BroadcastNestedLoopJoin") && !limitedPlan.contains("CartesianProduct"),
+      s"probe-limited scoring must join per query on the cell key:\n$limitedPlan")
+  }
+
+  test("PQ edge cases: ragged corpus trains zero-padded; NaN ADC ranks last, never vanishes") {
+    // a short vector among full-width ones must train (zero-pad), not crash
+    val ragged = Seq(
+      (1L, Seq.fill(64)(0.5f)), (2L, Seq.fill(32)(1.0f)), (3L, Seq.fill(64)(-0.25f))
+    ).toDF("vec_id", "embedding")
+    val cbR = Ann.pqTrain(spark, ragged, m = 16, codebookSize = 4)
+    assert(cbR.length == 16 && cbR.forall(_.length == 4))
+
+    // tiny-but-nonzero vector: its reconstruction can be all zero
+    // codewords (NaN ADC) — with an unlimited pool the exact re-rank
+    // must still see it, so exhaustive PQ equals brute force exactly
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding")
+      .filter(col("vec_id") < 50)
+      .unionByName(Seq((9999L, Seq.fill(64)(1e-8f))).toDF("vec_id", "embedding"))
+    val queries = emb.filter(col("vec_id") < 4)
+    val cb = Ann.pqTrain(spark, emb, m = 16, codebookSize = 16)
+    val exhaustive = Ann.pqTopK(emb, queries, cb, 5, rerank = Int.MaxValue)
+      .orderBy("query_id", "rank").collect().toSeq
+    val brute = Ann.bruteForceTopK(emb, queries, 5)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(exhaustive == brute,
+      "exhaustive PQ must equal brute force even with zero-reconstruction items in the corpus")
   }
 
   test("persisted IVF index: drift probe stays low in-distribution, triggers re-train when shifted") {

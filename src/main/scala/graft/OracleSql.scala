@@ -236,6 +236,29 @@ object OracleSql {
       """SELECT event_id, user_id, value,
          LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value
          FROM events ORDER BY event_id""",
+    // the same cascaded running-min construction, window by window
+    "q_funnel" ->
+      """WITH s1 AS (SELECT user_id, ts, event_type, event_id,
+              MIN(CASE WHEN event_type = 'view' THEN ts END)
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v1
+            FROM events),
+            s2 AS (SELECT *,
+              MIN(CASE WHEN event_type = 'click' AND ts > v1 THEN ts END)
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v2
+            FROM s1),
+            s3 AS (SELECT *,
+              MIN(CASE WHEN event_type = 'purchase' AND ts > v2 THEN ts END)
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v3
+            FROM s2)
+         SELECT user_id, MIN(v1) AS ts_step1, MIN(v2) AS ts_step2, MIN(v3) AS ts_step3,
+           CAST(CASE WHEN MIN(v3) IS NOT NULL THEN 3
+                     WHEN MIN(v2) IS NOT NULL THEN 2
+                     WHEN MIN(v1) IS NOT NULL THEN 1
+                     ELSE 0 END AS INT) AS steps_completed
+         FROM s3 GROUP BY user_id ORDER BY user_id""",
     "q_time_trunc" ->
       """SELECT event_id,
          date_trunc('year', ts) AS t_year,

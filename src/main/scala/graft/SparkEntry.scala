@@ -219,6 +219,18 @@ object SparkEntry {
       .orderBy(col("event_id"))
   }
 
+  /**
+   * Ordered conversion funnel (view → click → purchase) per user
+   * (graft.operators.Funnel — cascaded running conditional minima,
+   * one user-key exchange for the windows AND the rollup; strict-time
+   * chaining, mirrored in the oracle's identical window cascade).
+   */
+  private def qFunnel(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Funnel
+      .funnel(ld(s, dir, "events"), "user_id", "ts", "event_type", "event_id",
+        Seq("view", "click", "purchase"))
+      .orderBy(col("user_id"))
+
   /** Window-function family beyond lag: lead/row_number/rank/moving sum. */
   private def qWindowFuncs(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
@@ -1791,6 +1803,7 @@ object SparkEntry {
     "q_agg_hll_count" -> (qAggHllCount _),
     "q_agg_distinct_random" -> (qAggDistinctRandom _),
     "q_window_lag" -> (qWindowLag _),
+    "q_funnel" -> (qFunnel _),
     "q_window_funcs" -> (qWindowFuncs _),
     "q_grouping_rollup" -> (qGroupingRollup _),
     "q_grouping_cube" -> (qGroupingCube _),

@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Ordered event-sequence (conversion funnel) analytics over a stream
+ * table — the per-user "did A happen, then B strictly after it, then
+ * C…" question a time-series OLAP platform answers about its events
+ * (beyond the reference's aggregate surface; its event model is the
+ * same DataPoint stream, yupana-api TSDB model).
+ *
+ * Construction: cascaded RUNNING conditional minima over ONE
+ * user-ordered window — step i's running column is the earliest
+ * event of type `steps(i)` that falls strictly after the
+ * then-earliest qualified step i−1 time; because each running column
+ * is monotone non-increasing along the partition, the per-user
+ * global minimum (the rollup) equals its final value, and the whole
+ * funnel is three narrow columns instead of per-user event
+ * collection or an N-way self-join. Ties at the same timestamp do
+ * not chain (strict `>`): simultaneous view+click counts the click
+ * toward a LATER view only.
+ *
+ * Scale shape: a single user-key exchange feeds every Window pass
+ * and the final per-user aggregate (same partitioning — zero
+ * additional shuffles, plan-audited in PLANS.md); a user with 10^6
+ * events costs one sort, never a quadratic sequence match.
+ */
+object Funnel {
+
+  /**
+   * @param steps ordered event types of the funnel; output has one
+   *              nullable `ts_step<i>` per step (1-based) plus
+   *              `steps_completed` = the deepest step reached.
+   * @param tieCol deterministic order within equal timestamps (an
+   *               event id) — affects WHICH same-ts event anchors a
+   *               step, not whether chaining occurs (strict `>` on ts).
+   */
+  def funnel(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      typeCol: String,
+      tieCol: String,
+      steps: Seq[String]
+  ): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val w = Window
+      .partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(tieCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val staged = steps.zipWithIndex.foldLeft(
+      events.select(col(userCol), col(tsCol), col(typeCol), col(tieCol))) {
+      case (df, (step, i)) =>
+        val qualifies =
+          if (i == 0) col(typeCol) === step
+          else col(typeCol) === step && col(tsCol) > col(s"__v${i - 1}")
+        df.withColumn(s"__v$i", min(when(qualifies, col(tsCol))).over(w))
+    }
+    val stepAggs = steps.indices.map(i => min(col(s"__v$i")).as(s"ts_step${i + 1}"))
+    // fold shallow→deep so the DEEPEST reached step is the outermost
+    // when (the last wrap wins the conditional chain)
+    val completed = steps.indices.foldLeft(lit(0)) { (acc, i) =>
+      when(col(s"ts_step${i + 1}").isNotNull, i + 1).otherwise(acc)
+    }
+    staged
+      .groupBy(col(userCol))
+      .agg(stepAggs.head, stepAggs.tail: _*)
+      .withColumn("steps_completed", completed.cast("int"))
+  }
+}

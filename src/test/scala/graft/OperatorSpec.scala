@@ -179,6 +179,41 @@ class OperatorSpec extends SparkSpecBase {
       "exhaustive PQ must equal brute force even with zero-reconstruction items in the corpus")
   }
 
+  test("funnel chains steps strictly in time and never matches out of order") {
+    import java.sql.Timestamp
+    def ts(m: Int) = new Timestamp(1767225600000L + m * 60000L)
+    val ev = Seq(
+      // user 1: clean full funnel
+      (1L, ts(0), 1L, "view"), (2L, ts(1), 1L, "click"), (3L, ts(2), 1L, "purchase"),
+      // user 2: click BEFORE any view never chains; the later click does
+      (4L, ts(0), 2L, "click"), (5L, ts(1), 2L, "view"), (6L, ts(2), 2L, "click"),
+      // user 3: purchase before the qualified click -> funnel stops at 2
+      (7L, ts(0), 3L, "view"), (8L, ts(1), 3L, "purchase"), (9L, ts(2), 3L, "click"),
+      // user 4: no view at all -> 0 steps despite click + purchase
+      (10L, ts(0), 4L, "click"), (11L, ts(1), 4L, "purchase"),
+      // user 5: same-ts view+click do NOT chain (strict >)
+      (12L, ts(0), 5L, "view"), (13L, ts(0), 5L, "click")
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val out = graft.operators.Funnel
+      .funnel(ev, "user_id", "ts", "event_type", "event_id", Seq("view", "click", "purchase"))
+      .collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        ((Option(r.getAs[Timestamp]("ts_step2")), r.getAs[Int]("steps_completed"))))
+      .toMap
+    assert(out(1L)._2 == 3)
+    assert(out(2L) == ((Some(ts(2)), 2)), "only the click AFTER the view chains")
+    assert(out(3L)._2 == 2, "a purchase before the qualified click must not count")
+    assert(out(4L)._2 == 0, "no view means zero steps regardless of later events")
+    assert(out(5L)._2 == 1, "same-timestamp events do not chain (strict ordering)")
+    // one exchange serves the cascaded windows and the rollup
+    val nExchanges = "Exchange".r.findAllIn(
+      graft.operators.Funnel
+        .funnel(ev, "user_id", "ts", "event_type", "event_id", Seq("view", "click", "purchase"))
+        .queryExecution.executedPlan.toString
+        .replace("BroadcastExchange", "")).length
+    assert(nExchanges <= 1, s"funnel must reuse one user-key exchange, saw $nExchanges")
+  }
+
   test("persisted IVF index: drift probe stays low in-distribution, triggers re-train when shifted") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val path = "/tmp/graft_ivf_drift_spec"

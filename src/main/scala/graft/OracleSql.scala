@@ -259,6 +259,23 @@ object OracleSql {
                      WHEN MIN(v1) IS NOT NULL THEN 1
                      ELSE 0 END AS INT) AS steps_completed
          FROM s3 GROUP BY user_id ORDER BY user_id""",
+    // floor-epoch period arithmetic: Spark's timestamp->long cast ==
+    // floor(epoch(ts)) here, so cell boundaries are engine-exact
+    "q_retention" ->
+      """WITH a AS (SELECT user_id, MIN(ts) AS t0
+                    FROM events WHERE event_type = 'signup' GROUP BY user_id),
+              ac AS (SELECT user_id, t0, date_trunc('week', t0) AS cohort FROM a),
+              act AS (SELECT DISTINCT e.user_id, ac.cohort,
+                        CAST(FLOOR((FLOOR(epoch(e.ts)) - FLOOR(epoch(ac.t0))) / 604800.0) AS INT) AS period_n
+                      FROM events e JOIN ac ON e.user_id = ac.user_id
+                      WHERE e.ts >= ac.t0),
+              cs AS (SELECT cohort, COUNT(*) AS n_cohort FROM ac GROUP BY cohort),
+              cells AS (SELECT cohort, period_n, COUNT(*) AS n_active
+                        FROM act GROUP BY cohort, period_n)
+         SELECT cells.cohort AS cohort, period_n, n_cohort, n_active,
+                CAST(n_active AS DOUBLE) / CAST(n_cohort AS DOUBLE) AS retention
+         FROM cells JOIN cs ON cells.cohort = cs.cohort
+         ORDER BY cells.cohort, period_n""",
     "q_time_trunc" ->
       """SELECT event_id,
          date_trunc('year', ts) AS t_year,

@@ -231,6 +231,15 @@ object SparkEntry {
         Seq("view", "click", "purchase"))
       .orderBy(col("user_id"))
 
+  /** Weekly cohort retention (graft.operators.Funnel.retention):
+    * users cohorted by first-signup week, per (cohort, week-since-
+    * signup) active fraction — floor-epoch period arithmetic mirrored
+    * exactly by the oracle. */
+  private def qRetention(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Funnel
+      .retention(ld(s, dir, "events"), "user_id", "ts", "event_type")
+      .orderBy(col("cohort"), col("period_n"))
+
   /** Window-function family beyond lag: lead/row_number/rank/moving sum. */
   private def qWindowFuncs(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
@@ -1804,6 +1813,7 @@ object SparkEntry {
     "q_agg_distinct_random" -> (qAggDistinctRandom _),
     "q_window_lag" -> (qWindowLag _),
     "q_funnel" -> (qFunnel _),
+    "q_retention" -> (qRetention _),
     "q_window_funcs" -> (qWindowFuncs _),
     "q_grouping_rollup" -> (qGroupingRollup _),
     "q_grouping_cube" -> (qGroupingCube _),

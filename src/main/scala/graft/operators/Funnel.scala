@@ -69,4 +69,54 @@ object Funnel {
       .agg(stepAggs.head, stepAggs.tail: _*)
       .withColumn("steps_completed", completed.cast("int"))
   }
+
+  /**
+   * Cohort retention matrix — the second classic event-stream
+   * analytic: users cohorted by the period of their FIRST
+   * `anchorType` event; for each (cohort, periods-since-anchor) cell,
+   * how many of the cohort were active (any event at or after their
+   * anchor). retention = n_active / n_cohort.
+   *
+   * Period arithmetic runs on floor-to-second epochs (Spark's
+   * timestamp→long cast ≡ DuckDB floor(epoch(ts)) — mirrored in the
+   * oracle), so the cell boundaries are engine-exact; retention is
+   * one IEEE division of exact counts.
+   *
+   * Scale shape: the anchor table is user-cardinality (map-side
+   * combined min) and broadcasts into the single events pass; the
+   * (user, cohort, period) distinct and the cell rollup share the
+   * aggregation discipline — nothing event-cardinality is ever
+   * collected or re-scanned.
+   */
+  def retention(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      typeCol: String,
+      anchorType: String = "signup",
+      periodSeconds: Long = 7L * 24 * 3600
+  ): DataFrame = {
+    require(periodSeconds > 0, "periodSeconds must be positive")
+    val anchors = events
+      .filter(col(typeCol) === anchorType)
+      .groupBy(col(userCol))
+      .agg(min(col(tsCol)).as("__t0"))
+      .withColumn("cohort", date_trunc("week", col("__t0")))
+    val active = events
+      .join(broadcast(anchors), Seq(userCol))
+      .filter(col(tsCol) >= col("__t0"))
+      .select(col(userCol), col("cohort"),
+        floor((col(tsCol).cast("long") - col("__t0").cast("long")).cast("double") / lit(periodSeconds.toDouble))
+          .cast("int").as("period_n"))
+      .distinct()
+    val cohortSizes = anchors
+      .groupBy(col("cohort"))
+      .agg(count(lit(1)).as("n_cohort"))
+    active
+      .groupBy(col("cohort"), col("period_n"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(broadcast(cohortSizes), Seq("cohort"))
+      .withColumn("retention", col("n_active").cast("double") / col("n_cohort").cast("double"))
+      .select(col("cohort"), col("period_n"), col("n_cohort"), col("n_active"), col("retention"))
+  }
 }

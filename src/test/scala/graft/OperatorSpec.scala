@@ -214,6 +214,30 @@ class OperatorSpec extends SparkSpecBase {
     assert(nExchanges <= 1, s"funnel must reuse one user-key exchange, saw $nExchanges")
   }
 
+  test("retention cohorts by first anchor and counts activity per period once") {
+    import java.sql.Timestamp
+    val day = 24 * 3600 * 1000L
+    def ts(d: Int) = new Timestamp(1767225600000L + d * day) // 2026-01-01 (Thursday) + d days
+    val ev = Seq(
+      // users 1,2 sign up day 0; user 3 has no signup (never cohorted)
+      (1L, ts(0), 1L, "signup"), (2L, ts(0), 2L, "signup"), (3L, ts(0), 3L, "view"),
+      // week 0 activity: both users (multiple events count once)
+      (4L, ts(1), 1L, "view"), (5L, ts(2), 1L, "click"), (6L, ts(3), 2L, "view"),
+      // week 1 activity: only user 1
+      (7L, ts(8), 1L, "purchase"),
+      // pre-signup activity never counts: user 2's second signup is day 0 anchor
+      (8L, ts(20), 2L, "signup")
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val out = graft.operators.Funnel.retention(ev, "user_id", "ts", "event_type")
+      .collect()
+      .map(r => r.getAs[Int]("period_n") -> ((r.getAs[Long]("n_cohort"), r.getAs[Long]("n_active"), r.getAs[Double]("retention"))))
+      .toMap
+    assert(out(0) == ((2L, 2L, 1.0)), s"week 0: both cohort members active, got $out")
+    assert(out(1) == ((2L, 1L, 0.5)), "week 1: one of two retained")
+    assert(out(2) == ((2L, 1L, 0.5)), "user 2's day-20 event lands in week 2 of the day-0 anchor")
+    assert(out.size == 3, s"user 3 (no anchor) must not create cells: $out")
+  }
+
   test("persisted IVF index: drift probe stays low in-distribution, triggers re-train when shifted") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val path = "/tmp/graft_ivf_drift_spec"

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.functions.F
 
 /**
  * Ordered event-sequence (conversion funnel) analytics over a stream
@@ -83,10 +84,19 @@ object Funnel {
    * one IEEE division of exact counts.
    *
    * Scale shape: the anchor table is user-cardinality (map-side
-   * combined min) and broadcasts into the single events pass; the
-   * (user, cohort, period) distinct and the cell rollup share the
-   * aggregation discipline — nothing event-cardinality is ever
-   * collected or re-scanned.
+   * combined min) and joins into the single events pass on the user
+   * key WITHOUT a forced broadcast — AQE broadcasts it while it fits
+   * and falls back to a shuffle join past that, so total user count
+   * never becomes a hard ceiling; the (user, cohort, period) distinct
+   * and the cell rollup share the aggregation discipline — nothing
+   * event-cardinality is ever collected or re-scanned. The tiny
+   * cohort-sizes table (one row per cohort period) does broadcast.
+   *
+   * @param cohortTrunc `date_trunc` unit for the cohort label — keep
+   *                    it aligned with `periodSeconds` (week/604800 by
+   *                    default; pass "day"/86400 for daily retention),
+   *                    or cells of one granularity land on cohort
+   *                    labels of another.
    */
   def retention(
       events: DataFrame,
@@ -94,16 +104,22 @@ object Funnel {
       tsCol: String,
       typeCol: String,
       anchorType: String = "signup",
-      periodSeconds: Long = 7L * 24 * 3600
+      periodSeconds: Long = 7L * 24 * 3600,
+      cohortTrunc: String = "week"
   ): DataFrame = {
     require(periodSeconds > 0, "periodSeconds must be positive")
-    val anchors = events
+    // narrow to the referenced columns (the funnel discipline): an
+    // events frame carrying its own `cohort`/`__t0` column must not
+    // make the post-join references ambiguous
+    val ev = events.select(col(userCol), col(tsCol), col(typeCol))
+    val anchors = ev
       .filter(col(typeCol) === anchorType)
       .groupBy(col(userCol))
       .agg(min(col(tsCol)).as("__t0"))
-      .withColumn("cohort", date_trunc("week", col("__t0")))
-    val active = events
-      .join(broadcast(anchors), Seq(userCol))
+      .withColumn("cohort",
+        if (cohortTrunc == "week") F.truncWeek(col("__t0")) else date_trunc(cohortTrunc, col("__t0")))
+    val active = ev
+      .join(anchors, Seq(userCol))
       .filter(col(tsCol) >= col("__t0"))
       .select(col(userCol), col("cohort"),
         floor((col(tsCol).cast("long") - col("__t0").cast("long")).cast("double") / lit(periodSeconds.toDouble))

@@ -236,6 +236,17 @@ class OperatorSpec extends SparkSpecBase {
     assert(out(1) == ((2L, 1L, 0.5)), "week 1: one of two retained")
     assert(out(2) == ((2L, 1L, 0.5)), "user 2's day-20 event lands in week 2 of the day-0 anchor")
     assert(out.size == 3, s"user 3 (no anchor) must not create cells: $out")
+    // an events frame carrying its own `cohort` column must not make
+    // the operator's internal references ambiguous
+    val decorated = ev.withColumn("cohort", lit("whatever")).withColumn("__t0", lit(0L))
+    val out2 = graft.operators.Funnel.retention(decorated, "user_id", "ts", "event_type")
+      .collect().map(r => r.getAs[Int]("period_n") -> r.getAs[Long]("n_active")).toMap
+    assert(out2 == out.map { case (k, v) => k -> v._2 })
+    // daily retention: aligned cohortTrunc/periodSeconds parameters
+    val daily = graft.operators.Funnel
+      .retention(ev, "user_id", "ts", "event_type", periodSeconds = 86400L, cohortTrunc = "day")
+      .collect().map(r => r.getAs[Int]("period_n") -> r.getAs[Long]("n_active")).toMap
+    assert(daily(1) == 1L && daily(8) == 1L, s"daily periods: $daily")
   }
 
   test("persisted IVF index: drift probe stays low in-distribution, triggers re-train when shifted") {

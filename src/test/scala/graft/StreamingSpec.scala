@@ -736,6 +736,50 @@ class StreamingSpec extends SparkSpecBase {
     assert(r == Seq((1L, Timestamp.valueOf("2024-01-01 00:00:01"), 7L, "click", 3.5)))
   }
 
+  test("streaming funnel matches the batch operator for quiesced users, out-of-order safe") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingFunnel
+    import graft.streaming.StreamingFunnel.FEv
+    val steps = Seq("view", "click", "purchase")
+    // user 20 completes; user 21's click arrives in an EARLIER batch
+    // than the view that qualifies it (out-of-order across batches) —
+    // incremental anchor state would miss it, the buffered replay not
+    val batch1 = Seq(
+      FEv(20L, Timestamp.valueOf("2024-01-01 00:00:00"), "view", 1L),
+      FEv(20L, Timestamp.valueOf("2024-01-01 00:01:00"), "click", 2L),
+      FEv(21L, Timestamp.valueOf("2024-01-01 00:05:00"), "click", 3L))
+    val batch2 = Seq(
+      FEv(20L, Timestamp.valueOf("2024-01-01 00:02:00"), "purchase", 4L),
+      FEv(21L, Timestamp.valueOf("2024-01-01 00:03:00"), "view", 5L))
+    val stream = MemoryStream[FEv]
+    val q = StreamingFunnel
+      // the watermark IS the out-of-order admission window: batch2's
+      // events are earlier than batch1's maximum, so a zero watermark
+      // would drop them before the state ever saw them
+      .streaming(spark, stream.toDS(), steps, inactivityMinutes = 30, watermark = "1 hour")
+      .writeStream.format("memory").queryName("funnel_out").outputMode("append").start()
+    stream.addData(batch1: _*); q.processAllAvailable()
+    stream.addData(batch2: _*); q.processAllAvailable()
+    // advance the watermark far past every user's inactivity horizon
+    stream.addData(FEv(99L, Timestamp.valueOf("2024-01-03 00:00:00"), "view", 6L))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("funnel_out")
+      .filter($"user_id" =!= 99L)
+      .orderBy("user_id")
+      .as[(Long, Option[Timestamp], Option[Timestamp], Option[Timestamp], Int)]
+      .collect().toSeq
+    val batchRows = graft.operators.Funnel
+      .funnel((batch1 ++ batch2).toDF("user_id", "ts", "event_type", "event_id"),
+        "user_id", "ts", "event_type", "event_id", steps)
+      .orderBy("user_id")
+      .as[(Long, Option[Timestamp], Option[Timestamp], Option[Timestamp], Int)]
+      .collect().toSeq
+    assert(streamed == batchRows)
+    assert(streamed.map(r => r._1 -> r._5).toMap == Map(20L -> 3, 21L -> 2),
+      "user 21's out-of-order view must requalify the later click")
+  }
+
   test("DataPoint ingest survives malformed numeric dims (metric fallback, not a crash)") {
     val pts = Seq(
       Ingest.DataPoint("events", Timestamp.valueOf("2024-01-01 00:00:01"),

@@ -107,6 +107,17 @@ object OracleSql {
        SELECT query_id, item_id, cos, rank, TRUE AS limited_wellformed_ok
        FROM r WHERE rank <= 5 ORDER BY query_id, rank"""
 
+  /** TextAnalysis.fingerprint over a `text` column — the rolling-hash
+    * content identity, ONE copy (q_text_fingerprint, q_corpus_diff). */
+  private val fpOfText =
+    """CAST(list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+           list_transform(list_filter(
+             string_split(substr(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), 1, 128), ''),
+             c -> length(c) > 0),
+             c -> CAST(ascii(c) AS BIGINT))),
+         (a, c) -> (a * 131 + c) % 2147483647) AS BIGINT)"""
+
   /** Brute-force contamination check (shared by q_contamination and its
     * Bloom-prefiltered twin q_contamination_bloom — identical results
     * by construction, see TextAnalysis.contaminationScreenBloom). */
@@ -854,16 +865,26 @@ object OracleSql {
            array_to_string(chunk, ' ') AS chunk_text
          FROM s ORDER BY doc_id, chunk_idx""",
     "q_text_fingerprint" ->
-      """WITH t AS (SELECT doc_id,
-           substr(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), 1, 128) AS norm
-           FROM documents)
-         SELECT doc_id,
-           CAST(list_reduce(
-             list_prepend(CAST(0 AS BIGINT),
-               list_transform(list_filter(string_split(norm, ''), c -> length(c) > 0),
-                 c -> CAST(ascii(c) AS BIGINT))),
-             (a, c) -> (a * 131 + c) % 2147483647) AS BIGINT) AS fp
-         FROM t ORDER BY doc_id""",
+      s"""WITH t AS (SELECT doc_id, $fpOfText AS fp FROM documents)
+         SELECT doc_id, fp FROM t ORDER BY doc_id""",
+    // v2 rebuilt with the same deterministic edits; per-side narrow
+    // fingerprints full-outer-joined on the id
+    "q_corpus_diff" ->
+      s"""WITH v2 AS (
+              SELECT doc_id,
+                CASE WHEN doc_id % 13 = 0 THEN text || ' v2 edit' ELSE text END AS text
+              FROM documents WHERE doc_id % 17 <> 0
+              UNION ALL
+              SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 19 = 0),
+            a AS (SELECT doc_id, $fpOfText AS fp_old FROM documents),
+            b AS (SELECT doc_id, $fpOfText AS fp_new FROM v2)
+         SELECT doc_id, fp_old, fp_new,
+           CASE WHEN fp_old IS NULL THEN 'added'
+                WHEN fp_new IS NULL THEN 'removed'
+                WHEN fp_old = fp_new THEN 'unchanged'
+                ELSE 'changed' END AS change
+         FROM a FULL JOIN b USING (doc_id)
+         ORDER BY doc_id""",
     "q_multimodal_frames" ->
       """WITH m AS (
            SELECT doc_id,

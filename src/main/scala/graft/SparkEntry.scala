@@ -1466,6 +1466,29 @@ object SparkEntry {
       .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
       .orderBy(col("doc_id"))
 
+  /**
+   * Corpus snapshot diff (Curation.corpusDiff): v2 is derived
+   * deterministically from the corpus — docs with id % 17 = 0 removed,
+   * id % 13 = 0 edited, id % 19 = 0 duplicated under a shifted id
+   * (additions) — and the diff classifies every id across both
+   * versions from narrow per-side fingerprints (the join ships two
+   * long columns, never text). Oracle rebuilds the same v2 and the
+   * same rolling-hash fingerprints in SQL.
+   */
+  private def qCorpusDiff(s: SparkSession, dir: String): DataFrame = {
+    val docs = ld(s, dir, "documents")
+    val v2 = docs
+      .filter(col("doc_id") % 17 =!= 0)
+      .withColumn("text",
+        when(col("doc_id") % 13 === 0, concat(col("text"), lit(" v2 edit"))).otherwise(col("text")))
+      .unionByName(
+        docs.filter(col("doc_id") % 19 === 0)
+          .withColumn("doc_id", col("doc_id") + lit(1000000L)))
+    graft.operators.Curation
+      .corpusDiff(docs, v2, "doc_id", "text")
+      .orderBy(col("doc_id"))
+  }
+
   // ==================================================================
   // §2.11b retrieval / curation extensions (round 3)
   // ==================================================================
@@ -1881,6 +1904,7 @@ object SparkEntry {
     "q_text_tokencount" -> (qTextTokencount _),
     "q_chunk_tokens" -> (qChunkTokens _),
     "q_text_fingerprint" -> (qTextFingerprint _),
+    "q_corpus_diff" -> (qCorpusDiff _),
     "q_multimodal_meta" -> (qMultimodalMeta _),
     "q_multimodal_frames" -> (qMultimodalFrames _),
     "q_bm25" -> (qBm25 _),

@@ -100,6 +100,27 @@ object Curation {
    * no second pass; quality is computed inline in the same projection
    * that feeds the exchange.
    */
+  /**
+   * Corpus snapshot diff — the data-versioning audit between two
+   * corpus versions: per doc id, `added` (only in v2), `removed`
+   * (only in v1), `changed` (both, content fingerprint differs) or
+   * `unchanged`. Content identity is [[TextAnalysis.fingerprint]]
+   * (the cross-engine rolling hash), computed NARROWLY on each side
+   * before the join — the full-outer join on the id key ships
+   * (id, fingerprint) rows only, never text, so diffing two 100 TB
+   * snapshots moves two long columns.
+   */
+  def corpusDiff(v1: DataFrame, v2: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val a = v1.select(col(idCol), TextAnalysis.fingerprint(col(textCol)).as("fp_old"))
+    val b = v2.select(col(idCol), TextAnalysis.fingerprint(col(textCol)).as("fp_new"))
+    a.join(b, Seq(idCol), "full_outer")
+      .withColumn("change",
+        when(col("fp_old").isNull, "added")
+          .when(col("fp_new").isNull, "removed")
+          .when(col("fp_old") === col("fp_new"), "unchanged")
+          .otherwise("changed"))
+  }
+
   def capPerDomain(
       docs: DataFrame,
       idCol: String,

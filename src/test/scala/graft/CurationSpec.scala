@@ -156,6 +156,25 @@ class CurationSpec extends SparkSpecBase {
     }
   }
 
+  test("corpusDiff classifies added/removed/changed/unchanged, whitespace-insensitively normalized") {
+    import spark.implicits._
+    val v1 = Seq(
+      (1L, "alpha beta gamma"), (2L, "delta epsilon"), (3L, "kept the same"),
+      (4L, "Case AND punctuation!! differ")
+    ).toDF("doc_id", "text")
+    val v2 = Seq(
+      (1L, "alpha beta gamma CHANGED"), (3L, "kept the same"),
+      // fingerprint normalizes case/punctuation: not a content change
+      (4L, "case and punctuation differ"),
+      (5L, "brand new doc")
+    ).toDF("doc_id", "text")
+    val out = Curation.corpusDiff(v1, v2, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("change")).toMap
+    assert(out == Map(
+      1L -> "changed", 2L -> "removed", 3L -> "unchanged",
+      4L -> "unchanged", 5L -> "added"))
+  }
+
   test("contaminationScreenBloom equals the exact check even when the filter is FP-saturated") {
     import spark.implicits._
     import graft.operators.TextAnalysis

@@ -270,6 +270,17 @@ object OracleSql {
                      WHEN MIN(v1) IS NOT NULL THEN 1
                      ELSE 0 END AS INT) AS steps_completed
          FROM s3 GROUP BY user_id ORDER BY user_id""",
+    "q_event_paths" ->
+      """WITH p AS (SELECT user_id, event_type,
+              lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS s1,
+              lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS s2
+            FROM events),
+            g AS (SELECT event_type || ' > ' || s1 || ' > ' || s2 AS path, user_id
+                  FROM p WHERE s1 IS NOT NULL AND s2 IS NOT NULL),
+            c AS (SELECT path, COUNT(*) AS n_occurrences,
+                         COUNT(DISTINCT user_id) AS n_users FROM g GROUP BY path)
+         SELECT path, n_occurrences, n_users FROM c
+         ORDER BY n_occurrences DESC, path ASC LIMIT 10""",
     // floor-epoch period arithmetic: Spark's timestamp->long cast ==
     // floor(epoch(ts)) here, so cell boundaries are engine-exact
     "q_retention" ->

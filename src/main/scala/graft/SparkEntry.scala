@@ -231,6 +231,13 @@ object SparkEntry {
         Seq("view", "click", "purchase"))
       .orderBy(col("user_id"))
 
+  /** Top event-type trigram paths (Funnel.topPaths): most-walked
+    * consecutive 3-step sequences with distinct-user counts — lead()
+    * n-grams over one user-key exchange, rollup by path. */
+  private def qEventPaths(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Funnel
+      .topPaths(ld(s, dir, "events"), "user_id", "ts", "event_type", "event_id", n = 3, topK = 10)
+
   /** Weekly cohort retention (graft.operators.Funnel.retention):
     * users cohorted by first-signup week, per (cohort, week-since-
     * signup) active fraction — floor-epoch period arithmetic mirrored
@@ -1837,6 +1844,7 @@ object SparkEntry {
     "q_window_lag" -> (qWindowLag _),
     "q_funnel" -> (qFunnel _),
     "q_retention" -> (qRetention _),
+    "q_event_paths" -> (qEventPaths _),
     "q_window_funcs" -> (qWindowFuncs _),
     "q_grouping_rollup" -> (qGroupingRollup _),
     "q_grouping_cube" -> (qGroupingCube _),

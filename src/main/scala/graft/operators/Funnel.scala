@@ -72,6 +72,41 @@ object Funnel {
   }
 
   /**
+   * Top event paths — the third of the classic event-stream trio
+   * (funnel / retention / paths): the most common length-`n`
+   * consecutive event-type sequences across users, with how many
+   * distinct users walked each. One user-key exchange: the window
+   * builds each position's n-gram via lead(), the rollup counts
+   * occurrences and distinct users per path — never a per-user
+   * sequence collect.
+   */
+  def topPaths(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      typeCol: String,
+      tieCol: String,
+      n: Int = 3,
+      topK: Int = 10
+  ): DataFrame = {
+    require(n >= 2, "a path needs at least two steps")
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(tieCol))
+    val withPath = (1 until n)
+      .foldLeft(events.select(col(userCol), col(tsCol), col(typeCol), col(tieCol))) {
+        (df, i) => df.withColumn(s"__s$i", lead(col(typeCol), i).over(w))
+      }
+      // a complete n-gram exists only where all lookaheads are filled
+      .filter((1 until n).map(i => col(s"__s$i").isNotNull).reduce(_ && _))
+      .withColumn("path",
+        concat_ws(" > ", (col(typeCol) +: (1 until n).map(i => col(s"__s$i"))): _*))
+    withPath
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n_occurrences"), count_distinct(col(userCol)).as("n_users"))
+      .orderBy(col("n_occurrences").desc, col("path").asc)
+      .limit(topK)
+  }
+
+  /**
    * Cohort retention matrix — the second classic event-stream
    * analytic: users cohorted by the period of their FIRST
    * `anchorType` event; for each (cohort, periods-since-anchor) cell,

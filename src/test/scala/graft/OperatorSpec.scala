@@ -214,6 +214,24 @@ class OperatorSpec extends SparkSpecBase {
     assert(nExchanges <= 1, s"funnel must reuse one user-key exchange, saw $nExchanges")
   }
 
+  test("topPaths counts consecutive n-grams per user, never crossing users") {
+    import java.sql.Timestamp
+    def ts(m: Int) = new Timestamp(1767225600000L + m * 60000L)
+    val ev = Seq(
+      // user 1 walks view > click > purchase twice (overlapping windows)
+      (1L, ts(0), 1L, "view"), (2L, ts(1), 1L, "click"), (3L, ts(2), 1L, "purchase"),
+      (4L, ts(3), 1L, "view"), (5L, ts(4), 1L, "click"), (6L, ts(5), 1L, "purchase"),
+      // user 2 walks it once; their trailing pair must NOT join user 1's events
+      (7L, ts(0), 2L, "view"), (8L, ts(1), 2L, "click"), (9L, ts(2), 2L, "purchase")
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val out = graft.operators.Funnel
+      .topPaths(ev, "user_id", "ts", "event_type", "event_id", n = 3, topK = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.head == (("view > click > purchase", 3L, 2L)), s"got ${out.toSeq}")
+    // user 1's 6 events yield 4 trigrams, user 2's 3 yield 1 — never 7
+    assert(out.map(_._2).sum == 5L, s"cross-user n-grams leaked: ${out.toSeq}")
+  }
+
   test("retention cohorts by first anchor and counts activity per period once") {
     import java.sql.Timestamp
     val day = 24 * 3600 * 1000L

@@ -813,6 +813,12 @@ object OracleSql {
     // neighbor; the probe-limited run's structural invariant is pinned
     // as the expected TRUE
     "q_ann_indexed" -> exhaustiveEqualsBruteSql,
+    // the admission lifecycle under the same contract: the index is
+    // split (base = even vec_ids, delta shard = odd), and exhaustive
+    // probing through the base∪delta serving path must equal brute
+    // force over the FULL corpus — every neighbor re-verified through
+    // the admission machinery
+    "q_ann_admitted" -> exhaustiveEqualsBruteSql,
     // same contract as q_ann_indexed: the exhaustive-pool PQ run (ADC
     // prunes nothing, exact re-rank over everything) provably equals
     // brute force; the rerank-limited run's mechanism invariant is the

@@ -582,6 +582,7 @@ object SparkEntry {
     ensureBucketedTextIndex(s, dir)
     ensureDeltaTextIndex(s, dir)
     ensureIvfIndex(s, dir)
+    ensureAdmittedIvfIndex(s, dir)
     ensurePqIndex(s, dir)
     ensureDeclaredCatalog(s, dir)
     ()
@@ -1423,6 +1424,49 @@ object SparkEntry {
     idxPath
   }
 
+  /**
+   * Vector admission under the exact hash gate (q_ann_admitted) —
+   * the IVF index's between-rebuilds lifecycle, mirroring the text
+   * index's shard admission: the index is built over HALF the corpus
+   * (even vec_ids), the other half arrives as an admitted delta shard
+   * (Ann.appendToIvfIndex — one narrow assignment pass over the NEW
+   * vectors, base assignments never rewritten), and search serves
+   * base ∪ delta under the same probed-cell partition filter.
+   *
+   * Exhaustive probing over the split index provably equals brute
+   * force over the FULL corpus (same oracle as q_ann_indexed), so the
+   * gate re-verifies every neighbor/cosine/rank THROUGH the admission
+   * path — a banding mismatch, a lost shard, or a double-carried item
+   * would hash-mismatch. The probe-limited run (the daily shape) pins
+   * its structural invariant via [[withLimitedWellformed]].
+   */
+  private def qAnnAdmitted(s: SparkSession, dir: String): DataFrame = {
+    val emb = ld(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 8)
+    val k = 5
+    val idxPath = ensureAdmittedIvfIndex(s, dir)
+    val exhaustive = Ann.searchIvfIndex(s, idxPath, queries, k, probes = 16)
+    val limited = Ann.searchIvfIndex(s, idxPath, queries, k, probes = 4)
+    withLimitedWellformed(exhaustive, limited, k)
+  }
+
+  /** Build-once split IVF index: base over even vec_ids, odd vec_ids
+    * admitted as a delta shard (q_ann_admitted). Exposed through
+    * [[setupFixtures]]. The marker is the delta shard's commit file —
+    * a crash between build and admit leaves no marker, so the next run
+    * redoes both (buildIvfIndex overwrites; the admit overwrites its
+    * own shard dir). */
+  private def ensureAdmittedIvfIndex(s: SparkSession, dir: String): String = {
+    val idxPath = s"/tmp/graft_ivfadmit/${dirKey(dir)}"
+    val marker = new org.apache.hadoop.fs.Path(s"$idxPath/assignments_delta/shard=day1/_SUCCESS")
+    if (!marker.getFileSystem(s.sparkContext.hadoopConfiguration).exists(marker)) {
+      val emb = ld(s, dir, "embeddings")
+      Ann.buildIvfIndex(s, emb.filter(col("vec_id") % 2 === 0), idxPath, numCells = 16)
+      Ann.appendToIvfIndex(emb.filter(col("vec_id") % 2 === 1), idxPath, "day1")
+    }
+    idxPath
+  }
+
   // ==================================================================
   // §2.11 text analysis
   // ==================================================================
@@ -1905,6 +1949,7 @@ object SparkEntry {
     "q_ann_bruteforce" -> (qAnnBruteforce _),
     "q_ann_ivf" -> (qAnnIvf _),
     "q_ann_indexed" -> (qAnnIndexed _),
+    "q_ann_admitted" -> (qAnnAdmitted _),
     "q_ann_pq" -> (qAnnPq _),
     "q_ann_pq_indexed" -> (qAnnPqIndexed _),
     "q_text_langid" -> (qTextLangid _),

@@ -715,12 +715,159 @@ object Ann {
       .collect()
       .map(_.getSeq[Float](1).toArray)
 
+  /** Delta shard dirs of a persisted IVF index that hold committed
+    * data (the `_SUCCESS` marker certifies a complete shard write; a
+    * crashed append leaves no marker and its replay overwrites the
+    * dir). Mirrors the text index's shard inventory discipline. */
+  private[graft] def readableVecShardDirs(
+      spark: SparkSession, path: String
+  ): Array[org.apache.hadoop.fs.Path] = {
+    val delta = new org.apache.hadoop.fs.Path(s"$path/assignments_delta")
+    val fs = delta.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(delta)) Array.empty
+    else fs.listStatus(delta).map(_.getPath)
+      .filter(_.getName.startsWith("shard="))
+      .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")))
+  }
+
+  /**
+   * Admit new vectors into a persisted IVF index WITHOUT rebuilding it
+   * — the vector twin of the text index's shard admission
+   * ([[graft.operators.Dedup.appendToTextIndex]]): between quantizer
+   * rebuilds, the daily batch becomes searchable by one narrow
+   * assignment pass over the NEW vectors only. Each shard's rows land
+   * cell-partitioned under `assignments_delta/shard=<name>` — its own
+   * dir, overwritten on replay, so a re-run failed admission converges
+   * instead of double-carrying items. The base assignments are never
+   * rewritten; search unions base + delta under the same probed-cell
+   * partition filter.
+   *
+   * Assignment uses the EXISTING centroids, so exhaustive search stays
+   * exact by construction; what drifted data degrades is probe-limited
+   * recall — measure with [[ivfDriftFraction]] (or use [[admitVectors]],
+   * which folds the check in) and schedule a rebuild when it trips.
+   * Shard names must be unique per admission batch (re-using a name
+   * mid-[[promoteIvfDelta]] hands the promotion snapshot rows the
+   * replay no longer owns).
+   */
+  def appendToIvfIndex(
+      newVecs: DataFrame,
+      path: String,
+      shard: String
+  ): Unit = {
+    require(shard.nonEmpty, "shard name must be non-empty")
+    val spark = newVecs.sparkSession
+    graft.sql.GraftFunctions.register(spark)
+    // loadIvfCentroids throws on a geometry-less index (no centroids
+    // dir): an append must never invent its own quantizer
+    val cents = loadIvfCentroids(spark, path)
+    val safe = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(shard)
+    spread(newVecs.select(col("vec_id").as("item_id"), col("embedding").as("item_vec")))
+      .withColumn("cell", call_function("graft_nearest_centroid", col("item_vec"), centroidsLit(cents)))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$path/assignments_delta/shard=$safe")
+  }
+
+  /**
+   * The admission operation a maintenance job runs: measure the new
+   * batch's drift against the index's train-time p95
+   * ([[ivfDriftFraction]] — one narrow pass over the batch), append it
+   * as a delta shard either way (the append is exact regardless;
+   * drift degrades probe recall, not correctness), and return whether
+   * the drift threshold tripped — the caller's signal to schedule a
+   * full rebuild ([[buildIvfIndex]] over the complete corpus) instead
+   * of another promotion cycle.
+   */
+  def admitVectors(
+      newVecs: DataFrame,
+      path: String,
+      shard: String,
+      driftFraction: Double = 0.5
+  ): Boolean = {
+    val drifted = ivfDriftFraction(newVecs.sparkSession, path, newVecs) > driftFraction
+    appendToIvfIndex(newVecs, path, shard)
+    drifted
+  }
+
+  /**
+   * Fold accumulated delta shards into the base assignments — the
+   * vector twin of [[graft.operators.Dedup.promoteTextIndexDelta]],
+   * same staged-merge discipline: merged rows land OUTSIDE both
+   * structures (`<path>/promoting`), the folded-shard list is
+   * persisted beside them (written last — its presence certifies a
+   * complete stage), and cleanup deletes ONLY the dirs the list names,
+   * so a shard admitted mid-promotion survives for the next cycle.
+   * Promotion never re-assigns a vector: the delta rows already carry
+   * their cells, so the cost is one shuffle-free union rewrite of the
+   * assignment rows, not a corpus re-quantization.
+   *
+   * Restartable from every crash window: before the list exists a
+   * re-run re-stages (overwrite); after it exists a re-run resumes —
+   * re-overwrites the base from the stage (idempotent), deletes the
+   * listed shard dirs, drops the stage. The window between the base
+   * overwrite and the shard deletion can double-carry an item in base
+   * AND delta; [[searchIvfIndex]]'s delta branch collapses candidate
+   * identity, so search stays exact through it. The base overwrite
+   * itself is the maintenance window (same contract as the text
+   * index's table rebuild): a search racing the rewrite can see a
+   * partial base — schedule promotion off the query path.
+   */
+  def promoteIvfDelta(spark: SparkSession, path: String): Unit =
+    promoteIvfDeltaImpl(spark, path, () => ())
+
+  /** [[promoteIvfDelta]] with a test seam: `afterStage` runs between
+    * the staged-merge write and the base rewrite + snapshot cleanup —
+    * the window a concurrent admission must survive. */
+  private[graft] def promoteIvfDeltaImpl(
+      spark: SparkSession, path: String, afterStage: () => Unit): Unit = {
+    val staging = new org.apache.hadoop.fs.Path(s"$path/promoting")
+    val fs = staging.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val foldedList = new org.apache.hadoop.fs.Path(s"$path/promoting/__folded_shards")
+    val snapshot: Array[org.apache.hadoop.fs.Path] =
+      if (fs.exists(foldedList)) {
+        // resume: stage is complete — fold exactly the dirs it named
+        // (re-listing would delete shards admitted after the crash
+        // without their rows ever being staged)
+        val in = fs.open(foldedList)
+        val names =
+          try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toArray
+          finally in.close()
+        names.map(n => new org.apache.hadoop.fs.Path(s"$path/assignments_delta/$n"))
+      } else {
+        val snap = readableVecShardDirs(spark, path)
+        if (snap.isEmpty) return // nothing to promote
+        // reading the shard dirs directly keeps `cell` (below each
+        // path) as a discovered partition column and drops `shard`
+        val deltaRows = spark.read.parquet(snap.map(_.toString).toIndexedSeq: _*)
+        spark.read.parquet(s"$path/assignments")
+          .unionByName(deltaRows.select(col("item_id"), col("item_vec"), col("cell")))
+          // a prior crash window may have merged rows whose shard dir
+          // survived; items are identity-keyed, duplicates collapse
+          .dropDuplicates(Seq("item_id"))
+          .write.mode("overwrite").partitionBy("cell").parquet(staging.toString)
+        val out = fs.create(foldedList, true)
+        try out.write(snap.map(_.getName).mkString("\n").getBytes("UTF-8"))
+        finally out.close()
+        snap
+      }
+    afterStage()
+    spark.read.parquet(staging.toString)
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/assignments")
+    snapshot.foreach(p => fs.delete(p, true))
+    fs.delete(staging, true)
+  }
+
   /**
    * Probe-limited search against a PERSISTED index: the probed cell
    * set is resolved first (queries are bounded, so it is driver-side
    * metadata) and applied as a static partition filter — the scan
    * reads only those cells' files, verified in OperatorSpec via the
-   * files the plan actually lists.
+   * files the plan actually lists. An index carrying admitted delta
+   * shards ([[appendToIvfIndex]]) serves base ∪ delta under the SAME
+   * cell filter (cell is a partition column at both depths, so the
+   * delta scan prunes identically); the delta branch collapses item
+   * identity so [[promoteIvfDelta]]'s crash window (an item briefly in
+   * base AND delta) can never double-rank a neighbor.
    */
   def searchIvfIndex(
       spark: SparkSession,
@@ -736,8 +883,20 @@ object Ann {
       .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
       .withColumn("cell", explode(call_function("graft_nearest_centroids", col("query_vec"), centroidsLit(cents), lit(probes))))
     val probeCells = queryProbes.select(col("cell")).distinct().collect().map(_.getInt(0))
-    val cands = spark.read.parquet(s"$path/assignments")
-      .filter(col("cell").isin(probeCells.toIndexedSeq.map(Integer.valueOf): _*))
+    val cellFilter = col("cell").isin(probeCells.toIndexedSeq.map(Integer.valueOf): _*)
+    val base = spark.read.parquet(s"$path/assignments").filter(cellFilter)
+    val deltaDirs = readableVecShardDirs(spark, path)
+    val stored =
+      if (deltaDirs.isEmpty) base
+      else base
+        .unionByName(
+          spark.read.parquet(s"$path/assignments_delta")
+            .select(col("item_id"), col("item_vec"), col("cell"))
+            .filter(cellFilter))
+        // identity collapse ONLY on the delta branch: the compacted
+        // common case pays nothing for the crash-window insurance
+        .dropDuplicates(Seq("item_id"))
+    val cands = stored
       .join(broadcast(queryProbes), Seq("cell"))
       .filter(col("query_id") =!= col("item_id"))
       .withColumn("cos", call_function("graft_cosine", col("query_vec"), col("item_vec")))

@@ -31,6 +31,9 @@ import org.apache.spark.sql.types.{DataType, DoubleType, LongType, StringType, S
  *   ADMIT SHARD '<name>' FROM <table> INTO '<index-path>' USING <ref-table> [ON (<id-col>, <text-col>)]
  *   ADMIT SHARD '<name>' FROM <table> INTO TABLE <bucketed-table> DELTA '<delta-path>' USING <ref-table> [ON (<id-col>, <text-col>)]
  *   PROMOTE TEXT INDEX DELTA '<delta-path>' INTO TABLE <bucketed-table>
+ *   SHOW VECTOR INDEX FOR '<index-path>'
+ *   ADMIT VECTORS '<shard>' FROM <table> INTO '<index-path>'
+ *   PROMOTE VECTOR INDEX DELTA '<index-path>'
  *   SHOW VERSION
  *   UPSERT INTO <table> (col, ...) VALUES (v, ...), ...
  *
@@ -95,6 +98,9 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface) extends P
         AdmitShardCommand(shard, probeTable, index, refTable,
           Option(idCol).getOrElse("doc_id"), Option(textCol).getOrElse("text"))
       case PromoteDeltaRe(delta, table) => PromoteTextIndexDeltaCommand(table, delta)
+      case ShowVectorIndexRe(index) => ShowVectorIndexCommand(index)
+      case AdmitVectorsRe(shard, table, index) => AdmitVectorsCommand(shard, table, index)
+      case PromoteVectorDeltaRe(index) => PromoteVectorIndexDeltaCommand(index)
       case ShowVersionRe() => ShowVersionCommand()
       case UpsertRe(table, cols, values) =>
         UpsertCommand(table, cols.split(',').map(_.trim).toSeq.filter(_.nonEmpty), values)
@@ -134,6 +140,12 @@ object GraftSqlParser {
     """(?is)ADMIT\s+SHARD\s+'([^']+)'\s+FROM\s+([A-Za-z_][A-Za-z0-9_.]*)\s+INTO\s+TABLE\s+([A-Za-z_][A-Za-z0-9_.]*)\s+DELTA\s+'([^']+)'\s+USING\s+([A-Za-z_][A-Za-z0-9_.]*)(?:\s+ON\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*,\s*([A-Za-z_][A-Za-z0-9_]*)\s*\))?\s*;?""".r
   private val PromoteDeltaRe =
     """(?is)PROMOTE\s+TEXT\s+INDEX\s+DELTA\s+'([^']+)'\s+INTO\s+TABLE\s+([A-Za-z_][A-Za-z0-9_.]*)\s*;?""".r
+  private val ShowVectorIndexRe =
+    """(?is)SHOW\s+VECTOR\s+INDEX\s+FOR\s+'([^']+)'\s*;?""".r
+  private val AdmitVectorsRe =
+    """(?is)ADMIT\s+VECTORS\s+'([^']+)'\s+FROM\s+([A-Za-z_][A-Za-z0-9_.]*)\s+INTO\s+'([^']+)'\s*;?""".r
+  private val PromoteVectorDeltaRe =
+    """(?is)PROMOTE\s+VECTOR\s+INDEX\s+DELTA\s+'([^']+)'\s*;?""".r
   private val ShowVersionRe = """(?is)SHOW\s+VERSION\s*;?""".r
   private val UpsertRe =
     """(?is)UPSERT\s+INTO\s+([A-Za-z_][A-Za-z0-9_.]*)\s*\(([^)]*)\)\s+VALUES\s+(.+?)\s*;?\s*""".r
@@ -420,6 +432,89 @@ case class PromoteTextIndexDeltaCommand(
     graft.operators.Dedup.promoteTextIndexDelta(spark, tableName, deltaPath)
     val buckets = spark.table(s"${tableName}_meta").collect()(0).getAs[Int]("num_buckets").toLong
     Seq(Row(tableName, deltaPath, before, spark.table(tableName).count(), buckets))
+  }
+}
+
+/** SHOW VECTOR INDEX FOR '<path>' — inventory a persisted IVF index
+  * ([[graft.operators.Ann.buildIvfIndex]]): the base assignments plus
+  * every committed delta shard ([[graft.operators.Ann.appendToIvfIndex]])
+  * with vector and cell counts — the operator's view of what a probe
+  * will serve and how much delta has accumulated since the last
+  * promotion. Missing or geometry-less index (no centroids — the
+  * quantizer IS the index's identity) → empty inventory, matching
+  * SHOW TEXT INDEX's graceful degradation. */
+case class ShowVectorIndexCommand(indexPath: String) extends LeafRunnableCommand {
+  import GraftSqlParser.attr
+  override val output: Seq[Attribute] = Seq(
+    attr("index", StringType), attr("shard", StringType),
+    attr("n_vectors", LongType), attr("n_cells", LongType))
+  override def run(spark: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.functions.{col, countDistinct}
+    val centsPath = new org.apache.hadoop.fs.Path(s"$indexPath/centroids/_SUCCESS")
+    val fs = centsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(centsPath)) return Seq.empty
+    def counts(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val r = df.agg(org.apache.spark.sql.functions.count(col("item_id")),
+        countDistinct(col("cell"))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val basePath = new org.apache.hadoop.fs.Path(s"$indexPath/assignments/_SUCCESS")
+    val base =
+      if (!fs.exists(basePath)) Seq.empty
+      else {
+        val (n, c) = counts(spark.read.parquet(s"$indexPath/assignments"))
+        Seq(Row(indexPath, "__base", n, c))
+      }
+    val shards = graft.operators.Ann.readableVecShardDirs(spark, indexPath)
+      .sortBy(_.getName)
+      .map { p =>
+        val (n, c) = counts(spark.read.parquet(p.toString))
+        Row(indexPath, p.getName.stripPrefix("shard="), n, c)
+      }
+    base ++ shards
+  }
+}
+
+/** ADMIT VECTORS '<shard>' FROM <table> INTO '<path>' — the vector
+  * admission cycle ([[graft.operators.Ann.appendToIvfIndex]]) as one
+  * statement: one narrow assignment pass over the new batch appends it
+  * as a searchable delta shard, and the reported drift fraction (the
+  * batch's quantization error vs the index's train-time p95,
+  * [[graft.operators.Ann.ivfDriftFraction]]) is the rebuild signal a
+  * scheduled maintenance job thresholds on. Replay-safe like the Scala
+  * form (a shard overwrites its own dir). */
+case class AdmitVectorsCommand(
+    shard: String,
+    probeTable: String,
+    indexPath: String
+) extends LeafRunnableCommand {
+  import GraftSqlParser.attr
+  override val output: Seq[Attribute] = Seq(
+    attr("index", StringType), attr("shard", StringType),
+    attr("admitted", LongType), attr("drift_fraction", DoubleType))
+  override def run(spark: SparkSession): Seq[Row] = {
+    val vecs = spark.table(probeTable)
+    val drift = graft.operators.Ann.ivfDriftFraction(spark, indexPath, vecs)
+    graft.operators.Ann.appendToIvfIndex(vecs, indexPath, shard)
+    val safe = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(shard)
+    val admitted = spark.read.parquet(s"$indexPath/assignments_delta/shard=$safe").count()
+    Seq(Row(indexPath, shard, admitted, drift))
+  }
+}
+
+/** PROMOTE VECTOR INDEX DELTA '<path>' — fold accumulated vector delta
+  * shards into the base assignments
+  * ([[graft.operators.Ann.promoteIvfDelta]] — restartable staged merge,
+  * snapshot-scoped cleanup, never a re-quantization). Reports shards
+  * folded and the rebuilt base's vector count. */
+case class PromoteVectorIndexDeltaCommand(indexPath: String) extends LeafRunnableCommand {
+  import GraftSqlParser.attr
+  override val output: Seq[Attribute] = Seq(
+    attr("index", StringType), attr("shards_promoted", LongType), attr("n_vectors", LongType))
+  override def run(spark: SparkSession): Seq[Row] = {
+    val before = graft.operators.Ann.readableVecShardDirs(spark, indexPath).length.toLong
+    graft.operators.Ann.promoteIvfDelta(spark, indexPath)
+    Seq(Row(indexPath, before, spark.read.parquet(s"$indexPath/assignments").count()))
   }
 }
 

@@ -61,7 +61,9 @@ object DumpPlans {
       "q_ann_pq" -> "PQ search: corpus encoded in one narrow codegen'd pass (pq_encode, codebooks as reference object); ADC scoring reads codes + the broadcast per-query tables (m lookups/pair, dimension-independent); raw vectors re-attach only to the rerank-bounded candidate join — the corpus-sized vector column never shuffles",
       "q_ann_pq_indexed" -> "persisted IVF-PQ: the codes scan lists only probed cells' files (static partition filter) and reads NO vector column (m-int code rows); ADC + bounded-heap top-rerank per query; exact re-rank joins the source table for candidates only",
       "q_funnel" -> "conversion funnel: ONE user-key exchange feeds all three cascaded running-min Window passes and the per-user rollup (no second shuffle, no self-joins) — funnel state is three narrow columns",
-      "q_retention" -> "cohort retention: user-cardinality anchor table broadcast into the single events pass; (user, cohort, period) distinct + cell rollup; nothing event-sized collected"
+      "q_retention" -> "cohort retention: user-cardinality anchor table broadcast into the single events pass; (user, cohort, period) distinct + cell rollup; nothing event-sized collected",
+      "q_event_paths" -> "event paths: lead() n-grams over ONE user-key exchange feed the path rollup (map-side-combined counts + distinct users) — never a per-user sequence collect; deterministic top-K",
+      "q_ann_admitted" -> "vector admission serving: base and delta assignment scans BOTH prune to the probed cells' files (cell is a partition column at both depths); the identity collapse and query join ride the union — nothing index-sized shuffles beyond the probed slice"
     )
 
     val sb = new StringBuilder

@@ -117,6 +117,35 @@ class AdminSqlSpec extends SparkSpecBase {
       assert(s2.sql(s"SHOW INDEX DRIFT FOR '$pqPath' USING '$embPath'").head().getDouble(2) <= 0.10,
         "drift statement must read the IVF-PQ index's stats contract")
 
+      // vector admission lifecycle PURELY through SQL: ADMIT VECTORS
+      // appends a searchable delta shard and reports the drift signal,
+      // SHOW VECTOR INDEX inventories base + shards, PROMOTE VECTOR
+      // INDEX DELTA folds — the statement surface of the text-index
+      // lifecycle, mirrored for the vector index
+      val vIdx = "/tmp/graft_adminsql_vecadmit"
+      fs2.delete(new org.apache.hadoop.fs.Path(vIdx), true)
+      val embAll = s2.read.parquet(embPath)
+      graft.operators.Ann.buildIvfIndex(
+        s2, embAll.filter(col("vec_id") % 2 === 0), vIdx, numCells = 16)
+      embAll.filter(col("vec_id") % 2 === 1).createOrReplaceTempView("adminsql_newvecs")
+      val vadm = s2.sql(s"ADMIT VECTORS 'day1' FROM adminsql_newvecs INTO '$vIdx'").head()
+      assert(vadm.getString(0) == vIdx && vadm.getString(1) == "day1")
+      assert(vadm.getLong(2) == embAll.filter(col("vec_id") % 2 === 1).count(),
+        s"every new vector lands in the shard: $vadm")
+      assert(vadm.getDouble(3) >= 0.0 && vadm.getDouble(3) <= 1.0,
+        s"drift fraction reported with the admission: $vadm")
+      val vinv = s2.sql(s"SHOW VECTOR INDEX FOR '$vIdx'").collect()
+      assert(vinv.map(_.getString(1)).toSeq == Seq("__base", "day1"), vinv.mkString(","))
+      assert(vinv.map(_.getLong(2)).sum == embAll.count(),
+        "inventory must account for every vector across base + shards")
+      val vprom = s2.sql(s"PROMOTE VECTOR INDEX DELTA '$vIdx'").head()
+      assert(vprom.getLong(1) == 1L && vprom.getLong(2) == embAll.count(),
+        s"one shard folded, base holds the full corpus: $vprom")
+      assert(s2.sql(s"SHOW VECTOR INDEX FOR '$vIdx'").collect()
+        .map(_.getString(1)).toSeq == Seq("__base"))
+      assert(s2.sql("SHOW VECTOR INDEX FOR '/tmp/no_such_vec_index'").isEmpty,
+        "missing vector index must return an empty inventory, not crash")
+
       // SHOW TEXT INDEX: shard inventory + banding geometry of the
       // cross-corpus dedup index, one row per shard after an admission
       val txtIdx = "/tmp/graft_adminsql_txt_" + System.nanoTime()

@@ -99,6 +99,98 @@ class OperatorSpec extends SparkSpecBase {
     assert(cellsRead.subsetOf(probed), s"scan read cells $cellsRead beyond the probed $probed")
   }
 
+  test("IVF admission: appended vectors are searchable; replay converges; promotion folds") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val base = emb.filter(col("vec_id") % 2 === 0)
+    val day1 = emb.filter(col("vec_id") % 2 === 1)
+    val queries = emb.filter(col("vec_id") < 4)
+    val path = "/tmp/graft_ivf_admit_spec"
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    Ann.buildIvfIndex(spark, base, path, numCells = 16, lloydIters = 5)
+
+    // exhaustive search over base+delta == brute force over the FULL corpus
+    Ann.appendToIvfIndex(day1, path, "day1")
+    val brute = Ann.bruteForceTopK(emb, queries, 5)
+      .orderBy("query_id", "rank").collect().toSeq
+    def exhaustive() = Ann.searchIvfIndex(spark, path, queries, k = 5, probes = 16)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(exhaustive() == brute,
+      "admitted vectors must rank exactly as if the index were built over base+delta")
+
+    // replay converges: re-appending the same shard must not double-carry
+    Ann.appendToIvfIndex(day1, path, "day1")
+    val deltaRows = spark.read.parquet(s"$path/assignments_delta")
+    assert(deltaRows.count() == day1.count(), "replayed shard must overwrite, not append")
+    assert(exhaustive() == brute)
+
+    // drift contract: a batch redrawn from the training distribution
+    // sits at ~p95's tail mass (< threshold); the odd-id batch is
+    // genuinely distribution-shifted in this testdata (measured 0.648
+    // vs 0.048 for a base redraw) — admitVectors flags the rebuild AND
+    // still appends (drift gates the REBUILD decision, never the append)
+    assert(Ann.ivfDriftFraction(spark, path, base) < 0.5,
+      "a redraw of the training data must not trip the drift threshold")
+    assert(Ann.admitVectors(day1, path, "day1", driftFraction = 0.5),
+      "the distribution-shifted batch must trip the drift threshold")
+    assert(spark.read.parquet(s"$path/assignments_delta").count() == day1.count(),
+      "a drifted batch must still be appended (searchable pending rebuild)")
+
+    // promotion folds the delta into base; search identical; delta gone
+    Ann.promoteIvfDelta(spark, path)
+    assert(Ann.readableVecShardDirs(spark, path).isEmpty, "promotion must clear folded shards")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/promoting")))
+    assert(spark.read.parquet(s"$path/assignments").count() == emb.count())
+    assert(exhaustive() == brute, "post-promotion search must be unchanged")
+    // promoting an empty delta is a no-op
+    Ann.promoteIvfDelta(spark, path)
+    assert(exhaustive() == brute)
+  }
+
+  test("IVF promotion: crash windows converge; concurrent admission survives") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val base = emb.filter(col("vec_id") % 3 === 0)
+    val day1 = emb.filter(col("vec_id") % 3 === 1)
+    val day2 = emb.filter(col("vec_id") % 3 === 2)
+    val queries = emb.filter(col("vec_id") < 4)
+    val path = "/tmp/graft_ivf_promote_crash_spec"
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    Ann.buildIvfIndex(spark, base, path, numCells = 16, lloydIters = 5)
+    Ann.appendToIvfIndex(day1, path, "day1")
+
+    // crash AFTER the stage is complete, with a concurrent admission in
+    // the window: the resume must fold ONLY the snapshot (day1) and the
+    // mid-promotion shard (day2) must survive for the next cycle
+    val boom = new RuntimeException("simulated crash after stage")
+    intercept[RuntimeException] {
+      Ann.promoteIvfDeltaImpl(spark, path, () => {
+        Ann.appendToIvfIndex(day2, path, "day2")
+        throw boom
+      })
+    }
+    // the crash window left base+delta overlapping-free here (base not
+    // yet rewritten) — search is exact throughout
+    val brute = Ann.bruteForceTopK(emb, queries, 5)
+      .orderBy("query_id", "rank").collect().toSeq
+    def exhaustive() = Ann.searchIvfIndex(spark, path, queries, k = 5, probes = 16)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(exhaustive() == brute, "search must stay exact in the crashed-promotion state")
+
+    Ann.promoteIvfDelta(spark, path) // resume: folds day1 only
+    assert(Ann.readableVecShardDirs(spark, path).map(_.getName).toSet == Set("shard=day2"),
+      "mid-promotion admission must survive the resumed cleanup")
+    assert(exhaustive() == brute)
+
+    // the double-carry window: base rewritten but folded dirs not yet
+    // deleted — simulate by re-planting day2's rows as an extra shard
+    // whose items are ALREADY in base after the next promotion
+    Ann.promoteIvfDelta(spark, path) // folds day2 into base
+    Ann.appendToIvfIndex(day2, path, "day2_dup") // day2 items now in base AND delta
+    assert(exhaustive() == brute,
+      "identity collapse must keep search exact when base and delta double-carry items")
+  }
+
   test("persisted IVF-PQ index: codes-only scan prunes to probed cells; exhaustive equals brute") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val queries = emb.filter(col("vec_id") < 4)

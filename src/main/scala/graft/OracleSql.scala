@@ -500,6 +500,16 @@ object OracleSql {
          FROM ut a JOIN ut b
            ON a.user_id = b.user_id AND a.event_type < b.event_type
          GROUP BY type_a, type_b ORDER BY type_a, type_b""",
+    // the group's side is a pure function of its name: first 4 hex
+    // chars of md5(source) vs the train threshold 'e666'
+    // (floor(0.9*65536) = 58982 = 0xe666) — both engines emit lowercase
+    // hex md5, so the assignment reproduces byte-for-byte
+    "q_group_split" ->
+      """WITH a AS (SELECT source,
+           CASE WHEN substr(md5(source), 1, 4) < 'e666' THEN 'train' ELSE 'eval' END AS split
+           FROM documents)
+         SELECT split, COUNT(*) AS n_docs, COUNT(DISTINCT source) AS n_groups
+         FROM a GROUP BY split ORDER BY split""",
     "q_sample_split" ->
       """WITH t AS (SELECT doc_id,
            substr(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), 1, 128) AS norm

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.F
-import graft.operators.{Ann, AsOf, Dedup, InvertedIndex, Multimodal, Packing, Retrieval, TextAnalysis}
+import graft.operators.{Ann, AsOf, Curation, Dedup, InvertedIndex, Multimodal, Packing, Retrieval, TextAnalysis}
 import graft.schema.TestSchema
 import graft.core.QueryBuilder
 import graft.sources.{Rollup, TsLayout}
@@ -835,6 +835,23 @@ object SparkEntry {
       .agg(count(lit(1)).as("n_users"))
       .orderBy(col("type_a"), col("type_b"))
   }
+
+  /**
+   * Leakage-safe GROUP-holdout split (Curation.groupSplit): every doc
+   * of the same source lands on the same side — the eval-contamination
+   * guard q_sample_split's doc-level split cannot give (near-identical
+   * pages split across sides let eval measure memorization). The side
+   * is a pure function of the group name (md5-prefix threshold), so
+   * the oracle reproduces the assignment byte-for-byte and the gate
+   * hashes per-split doc AND group counts; zero cross-split groups is
+   * structural (same source ⇒ same md5 ⇒ same side) and spec-pinned,
+   * incl. the dedup-cluster composition (no near-dup pair crosses).
+   */
+  private def qGroupSplit(s: SparkSession, dir: String): DataFrame =
+    Curation.groupSplit(ld(s, dir, "documents"), col("source"), evalFrac = 0.1)
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"), countDistinct(col("source")).as("n_groups"))
+      .orderBy(col("split"))
 
   /** Content-hash train/val/test split (deterministic, content-defined). */
   private def qSampleSplit(s: SparkSession, dir: String): DataFrame = {
@@ -1926,6 +1943,7 @@ object SparkEntry {
     "q_inverted_phrase" -> (qInvertedPhrase _),
     "q_cooccurrence" -> (qCooccurrence _),
     "q_sample_split" -> (qSampleSplit _),
+    "q_group_split" -> (qGroupSplit _),
     "q_vocab_stats" -> (qVocabStats _),
     "q_tfidf" -> (qTfidf _),
     "q_heavy_hitters" -> (qHeavyHitters _),

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -119,6 +119,33 @@ object Curation {
           .when(col("fp_new").isNull, "removed")
           .when(col("fp_old") === col("fp_new"), "unchanged")
           .otherwise("changed"))
+  }
+
+  /**
+   * Leakage-safe holdout split: every row of the same GROUP lands on
+   * the same side, so eval can never share a group with train — the
+   * eval-contamination guard a doc-level random split cannot give
+   * (near-identical pages land on both sides and eval measures
+   * memorization). Split by domain (all pages of a site together) or,
+   * the strongest form, by near-duplicate cluster label —
+   * [[Dedup.dedupClusters]] composes directly: split on the cluster
+   * id and no near-dup pair ever crosses the split (spec-proven).
+   *
+   * Assignment is content-defined and engine-portable: the first 4
+   * hex chars of md5(group) compare against the train-fraction
+   * threshold — deterministic across runs, partition orders, and
+   * engines (the DuckDB oracle reproduces it byte-for-byte), at
+   * 1/65536 granularity. One narrow map over the rows: no shuffle, no
+   * RNG state, no driver-side group list — the group's side is a pure
+   * function of its name, so two jobs splitting different shards of
+   * the same corpus agree without coordination.
+   */
+  def groupSplit(df: DataFrame, groupCol: Column, evalFrac: Double = 0.1): DataFrame = {
+    require(evalFrac > 0.0 && evalFrac < 1.0, s"evalFrac must be in (0,1), got $evalFrac")
+    val threshold = f"${math.floor((1.0 - evalFrac) * 65536).toInt}%04x"
+    df.withColumn("split",
+      when(substring(md5(groupCol.cast("string")), 1, 4) < lit(threshold), "train")
+        .otherwise("eval"))
   }
 
   def capPerDomain(

@@ -156,6 +156,46 @@ class CurationSpec extends SparkSpecBase {
     }
   }
 
+  test("groupSplit keeps every group whole; near-dup clusters never cross the split") {
+    import spark.implicits._
+    // many docs per group, many groups: no group may straddle sides,
+    // and with 200 groups both sides must be populated at evalFrac 0.1
+    val docs = (0 until 1000).map(i => (i.toLong, s"g${i % 200}")).toDF("doc_id", "grp")
+    val out = Curation.groupSplit(docs, col("grp"), evalFrac = 0.1)
+    val sidesPerGroup = out.groupBy("grp")
+      .agg(countDistinct(col("split")).as("sides"))
+      .agg(max(col("sides"))).head().getLong(0)
+    assert(sidesPerGroup == 1L, "a group must never straddle the split")
+    val bySide = out.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySide.keySet == Set("train", "eval") && bySide("train") > bySide("eval"),
+      s"both sides populated, train the larger: $bySide")
+    // determinism: the side is a pure function of the group name
+    assert(Curation.groupSplit(docs, col("grp"), evalFrac = 0.1)
+      .select("doc_id", "split").collect().toSet ==
+      out.select("doc_id", "split").collect().toSet)
+
+    // the strongest composition: split on the near-dup CLUSTER label
+    // (dedupClusters) and no near-dup pair can cross the split
+    val near = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (2L, "the quick brown fox jumps over the lazy dog near the river bank tonight"),
+      (3L, "a wholly different document about columnar shuffle compression tradeoffs"),
+      (4L, "a wholly different document about columnar shuffle compression tradeoff")
+    ).toDF("doc_id", "text")
+    val pairs = graft.operators.Dedup.minhashJaccardPairs(near, "doc_id", "text", threshold = 0.5)
+    val clustered = graft.operators.Dedup.dedupClusters(near, "doc_id", pairs)
+    val splitByCluster = Curation.groupSplit(
+      near.join(clustered, "doc_id"), col("canonical_id"), evalFrac = 0.3)
+    val pairSides = splitByCluster
+      .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(pairSides(1L) == pairSides(2L) && pairSides(3L) == pairSides(4L),
+      s"near-dup pairs must land on the same side: $pairSides")
+
+    intercept[IllegalArgumentException](Curation.groupSplit(docs, col("grp"), evalFrac = 0.0))
+    intercept[IllegalArgumentException](Curation.groupSplit(docs, col("grp"), evalFrac = 1.0))
+  }
+
   test("corpusDiff classifies added/removed/changed/unchanged, whitespace-insensitively normalized") {
     import spark.implicits._
     val v1 = Seq(

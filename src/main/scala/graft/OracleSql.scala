@@ -829,6 +829,10 @@ object OracleSql {
     // force over the FULL corpus — every neighbor re-verified through
     // the admission machinery
     "q_ann_admitted" -> exhaustiveEqualsBruteSql,
+    // the codes-layout admission: exhaustive probes + unlimited exact
+    // re-rank equal brute force regardless of code quality, so the
+    // same oracle re-verifies the PQ admission-serving path
+    "q_ann_pq_admitted" -> exhaustiveEqualsBruteSql,
     // same contract as q_ann_indexed: the exhaustive-pool PQ run (ADC
     // prunes nothing, exact re-rank over everything) provably equals
     // brute force; the rerank-limited run's mechanism invariant is the

@@ -584,6 +584,7 @@ object SparkEntry {
     ensureIvfIndex(s, dir)
     ensureAdmittedIvfIndex(s, dir)
     ensurePqIndex(s, dir)
+    ensureAdmittedPqIndex(s, dir)
     ensureDeclaredCatalog(s, dir)
     ()
   }
@@ -1420,6 +1421,46 @@ object SparkEntry {
     withLimitedWellformed(exhaustive, limited, k)
   }
 
+  /**
+   * PQ-index admission under the exact hash gate (q_ann_pq_admitted) —
+   * the q_ann_admitted contract on the CODES layout: the IVF-PQ index
+   * is built (coarse cells + codebooks trained) over HALF the corpus,
+   * the other half admitted as a codes delta shard (encoded with the
+   * EXISTING codebooks — one narrow pass), and the ADC scan serves
+   * base ∪ delta under the probed-cell filter. Exhaustive probing +
+   * unlimited re-rank provably equals brute force over the FULL corpus
+   * regardless of code quality (the exact re-rank stage re-scores
+   * every candidate), so the gate hashes the whole admission-serving
+   * path neighbor by neighbor; the production-shaped run pins its
+   * structural invariant.
+   */
+  private def qAnnPqAdmitted(s: SparkSession, dir: String): DataFrame = {
+    val emb = ld(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 8)
+    val k = 5
+    val idxPath = ensureAdmittedPqIndex(s, dir)
+    val exhaustive = Ann.searchIvfPqIndex(s, idxPath, emb, queries, k,
+      probes = 16, rerank = Int.MaxValue)
+    val limited = Ann.searchIvfPqIndex(s, idxPath, emb, queries, k,
+      probes = 4, rerank = 4 * k)
+    withLimitedWellformed(exhaustive, limited, k)
+  }
+
+  /** Build-once split IVF-PQ index: base + quantizers over even
+    * vec_ids, odd vec_ids admitted as a codes delta shard
+    * (q_ann_pq_admitted). Exposed through [[setupFixtures]]. */
+  private def ensureAdmittedPqIndex(s: SparkSession, dir: String): String = {
+    val idxPath = s"/tmp/graft_pqadmit/${dirKey(dir)}"
+    val marker = new org.apache.hadoop.fs.Path(s"$idxPath/codes_delta/shard=day1/_SUCCESS")
+    if (!marker.getFileSystem(s.sparkContext.hadoopConfiguration).exists(marker)) {
+      val emb = ld(s, dir, "embeddings")
+      Ann.buildIvfPqIndex(s, emb.filter(col("vec_id") % 2 === 0), idxPath,
+        numCells = 16, m = 16, codebookSize = 16)
+      Ann.appendToIvfIndex(emb.filter(col("vec_id") % 2 === 1), idxPath, "day1")
+    }
+    idxPath
+  }
+
   /** Build-once persisted IVF-PQ index (q_ann_pq_indexed). Exposed
     * through [[setupFixtures]]. */
   private def ensurePqIndex(s: SparkSession, dir: String): String = {
@@ -1968,6 +2009,7 @@ object SparkEntry {
     "q_ann_ivf" -> (qAnnIvf _),
     "q_ann_indexed" -> (qAnnIndexed _),
     "q_ann_admitted" -> (qAnnAdmitted _),
+    "q_ann_pq_admitted" -> (qAnnPqAdmitted _),
     "q_ann_pq" -> (qAnnPq _),
     "q_ann_pq_indexed" -> (qAnnPqIndexed _),
     "q_text_langid" -> (qTextLangid _),

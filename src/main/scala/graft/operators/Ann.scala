@@ -586,8 +586,20 @@ object Ann {
     val probeCells = queryProbePairs.map(_._2).distinct
     val qdf = pqQueryTables(qRows, codebooks).toSeq
       .toDF("query_id", "query_vec", "dots", "norms2", "qnorm")
-    val codes = spark.read.parquet(s"$path/codes")
-      .filter(col("cell").isin(probeCells.map(Integer.valueOf): _*))
+    val cellFilter = col("cell").isin(probeCells.map(Integer.valueOf): _*)
+    val base = spark.read.parquet(s"$path/codes").filter(cellFilter)
+    // admitted delta shards (appendToIvfIndex on a PQ index) serve
+    // under the SAME probed-cell partition filter; identity collapse
+    // only on the delta branch (promoteIvfDelta's crash-window
+    // insurance, same contract as searchIvfIndex)
+    val codes =
+      if (readableVecShardDirs(spark, path).isEmpty) base
+      else base
+        .unionByName(
+          spark.read.parquet(s"$path/codes_delta")
+            .select(col("item_id"), col("codes"), col("cell"))
+            .filter(cellFilter))
+        .dropDuplicates(Seq("item_id"))
     adcRerank(codes, qdf, kk, rerank, corpus, k,
       perQueryCells = Some(queryProbePairs.toDF("query_id", "cell")))
   }
@@ -721,8 +733,24 @@ object Ann {
     * dir). Mirrors the text index's shard inventory discipline. */
   private[graft] def readableVecShardDirs(
       spark: SparkSession, path: String
+  ): Array[org.apache.hadoop.fs.Path] =
+    readableShardDirsUnder(spark, s"$path/${deltaDirName(spark, path)}")
+
+  /** The delta tree of the index at `path`: `codes_delta` for an
+    * IVF-PQ index (codebooks present — the index rows are codes),
+    * `assignments_delta` for a plain IVF index. One name resolution
+    * shared by admission, promotion, search, and the SQL surface, so
+    * the two index families expose ONE lifecycle. */
+  private[graft] def deltaDirName(spark: SparkSession, path: String): String = {
+    val cb = new org.apache.hadoop.fs.Path(s"$path/codebooks/_SUCCESS")
+    val fs = cb.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(cb)) "codes_delta" else "assignments_delta"
+  }
+
+  private[graft] def readableShardDirsUnder(
+      spark: SparkSession, deltaRoot: String
   ): Array[org.apache.hadoop.fs.Path] = {
-    val delta = new org.apache.hadoop.fs.Path(s"$path/assignments_delta")
+    val delta = new org.apache.hadoop.fs.Path(deltaRoot)
     val fs = delta.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(delta)) Array.empty
     else fs.listStatus(delta).map(_.getPath)
@@ -736,11 +764,13 @@ object Ann {
    * ([[graft.operators.Dedup.appendToTextIndex]]): between quantizer
    * rebuilds, the daily batch becomes searchable by one narrow
    * assignment pass over the NEW vectors only. Each shard's rows land
-   * cell-partitioned under `assignments_delta/shard=<name>` — its own
-   * dir, overwritten on replay, so a re-run failed admission converges
-   * instead of double-carrying items. The base assignments are never
-   * rewritten; search unions base + delta under the same probed-cell
-   * partition filter.
+   * cell-partitioned under `assignments_delta/shard=<name>` (or, for
+   * an IVF-PQ index, encoded with the existing codebooks under
+   * `codes_delta/shard=<name>` — see [[deltaDirName]]; both families,
+   * one lifecycle) — its own dir, overwritten on replay, so a re-run
+   * failed admission converges instead of double-carrying items. The
+   * base rows are never rewritten; search unions base + delta under
+   * the same probed-cell partition filter.
    *
    * Assignment uses the EXISTING centroids, so exhaustive search stays
    * exact by construction; what drifted data degrades is probe-limited
@@ -762,10 +792,24 @@ object Ann {
     // dir): an append must never invent its own quantizer
     val cents = loadIvfCentroids(spark, path)
     val safe = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(shard)
-    spread(newVecs.select(col("vec_id").as("item_id"), col("embedding").as("item_vec")))
+    val assigned = spread(newVecs.select(col("vec_id").as("item_id"), col("embedding").as("item_vec")))
       .withColumn("cell", call_function("graft_nearest_centroid", col("item_vec"), centroidsLit(cents)))
-      .write.mode("overwrite").partitionBy("cell")
-      .parquet(s"$path/assignments_delta/shard=$safe")
+    // family dispatch: an IVF-PQ index stores CODES, so its delta does
+    // too — the new batch is encoded with the EXISTING codebooks (the
+    // same one-narrow-pass discipline; code quality for drifted data
+    // degrades ADC ordering only, and the exact re-rank stage is what
+    // rules accuracy — the drift probe still owns the rebuild decision)
+    if (deltaDirName(spark, path) == "codes_delta") {
+      val codebooks = loadPqCodebooks(spark, path)
+      assigned
+        .withColumn("codes", call_function("graft_pq_encode", col("item_vec"), centroidsLit3(codebooks)))
+        .select(col("item_id"), col("codes"), col("cell"))
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$path/codes_delta/shard=$safe")
+    } else
+      assigned
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$path/assignments_delta/shard=$safe")
   }
 
   /**
@@ -820,6 +864,14 @@ object Ann {
     * the window a concurrent admission must survive. */
   private[graft] def promoteIvfDeltaImpl(
       spark: SparkSession, path: String, afterStage: () => Unit): Unit = {
+    // family dispatch (see [[deltaDirName]]): the PQ index promotes
+    // codes rows into `codes`, the plain index assignment rows into
+    // `assignments` — one protocol, two row shapes
+    val (baseDir, deltaDir, dataCols) =
+      if (deltaDirName(spark, path) == "codes_delta")
+        ("codes", "codes_delta", Seq(col("item_id"), col("codes"), col("cell")))
+      else
+        ("assignments", "assignments_delta", Seq(col("item_id"), col("item_vec"), col("cell")))
     val staging = new org.apache.hadoop.fs.Path(s"$path/promoting")
     val fs = staging.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val foldedList = new org.apache.hadoop.fs.Path(s"$path/promoting/__folded_shards")
@@ -832,15 +884,15 @@ object Ann {
         val names =
           try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toArray
           finally in.close()
-        names.map(n => new org.apache.hadoop.fs.Path(s"$path/assignments_delta/$n"))
+        names.map(n => new org.apache.hadoop.fs.Path(s"$path/$deltaDir/$n"))
       } else {
         val snap = readableVecShardDirs(spark, path)
         if (snap.isEmpty) return // nothing to promote
         // reading the shard dirs directly keeps `cell` (below each
         // path) as a discovered partition column and drops `shard`
         val deltaRows = spark.read.parquet(snap.map(_.toString).toIndexedSeq: _*)
-        spark.read.parquet(s"$path/assignments")
-          .unionByName(deltaRows.select(col("item_id"), col("item_vec"), col("cell")))
+        spark.read.parquet(s"$path/$baseDir")
+          .unionByName(deltaRows.select(dataCols: _*))
           // a prior crash window may have merged rows whose shard dir
           // survived; items are identity-keyed, duplicates collapse
           .dropDuplicates(Seq("item_id"))
@@ -852,7 +904,7 @@ object Ann {
       }
     afterStage()
     spark.read.parquet(staging.toString)
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/assignments")
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/$baseDir")
     snapshot.foreach(p => fs.delete(p, true))
     fs.delete(staging, true)
   }

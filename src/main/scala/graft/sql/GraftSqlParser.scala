@@ -458,11 +458,16 @@ case class ShowVectorIndexCommand(indexPath: String) extends LeafRunnableCommand
         countDistinct(col("cell"))).head()
       (r.getLong(0), r.getLong(1))
     }
-    val basePath = new org.apache.hadoop.fs.Path(s"$indexPath/assignments/_SUCCESS")
+    // family-aware (one statement for both index families, like SHOW
+    // INDEX DRIFT): a PQ index's rows live under `codes`
+    val baseDir =
+      if (graft.operators.Ann.deltaDirName(spark, indexPath) == "codes_delta") "codes"
+      else "assignments"
+    val basePath = new org.apache.hadoop.fs.Path(s"$indexPath/$baseDir/_SUCCESS")
     val base =
       if (!fs.exists(basePath)) Seq.empty
       else {
-        val (n, c) = counts(spark.read.parquet(s"$indexPath/assignments"))
+        val (n, c) = counts(spark.read.parquet(s"$indexPath/$baseDir"))
         Seq(Row(indexPath, "__base", n, c))
       }
     val shards = graft.operators.Ann.readableVecShardDirs(spark, indexPath)
@@ -497,7 +502,8 @@ case class AdmitVectorsCommand(
     val drift = graft.operators.Ann.ivfDriftFraction(spark, indexPath, vecs)
     graft.operators.Ann.appendToIvfIndex(vecs, indexPath, shard)
     val safe = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(shard)
-    val admitted = spark.read.parquet(s"$indexPath/assignments_delta/shard=$safe").count()
+    val deltaDir = graft.operators.Ann.deltaDirName(spark, indexPath)
+    val admitted = spark.read.parquet(s"$indexPath/$deltaDir/shard=$safe").count()
     Seq(Row(indexPath, shard, admitted, drift))
   }
 }
@@ -514,7 +520,10 @@ case class PromoteVectorIndexDeltaCommand(indexPath: String) extends LeafRunnabl
   override def run(spark: SparkSession): Seq[Row] = {
     val before = graft.operators.Ann.readableVecShardDirs(spark, indexPath).length.toLong
     graft.operators.Ann.promoteIvfDelta(spark, indexPath)
-    Seq(Row(indexPath, before, spark.read.parquet(s"$indexPath/assignments").count()))
+    val baseDir =
+      if (graft.operators.Ann.deltaDirName(spark, indexPath) == "codes_delta") "codes"
+      else "assignments"
+    Seq(Row(indexPath, before, spark.read.parquet(s"$indexPath/$baseDir").count()))
   }
 }
 

@@ -146,6 +146,23 @@ class AdminSqlSpec extends SparkSpecBase {
       assert(s2.sql("SHOW VECTOR INDEX FOR '/tmp/no_such_vec_index'").isEmpty,
         "missing vector index must return an empty inventory, not crash")
 
+      // the SAME statements drive the IVF-PQ family (codes layout):
+      // family dispatch is resolved from the index, not the grammar
+      val vIdxPq = "/tmp/graft_adminsql_pqadmit"
+      fs2.delete(new org.apache.hadoop.fs.Path(vIdxPq), true)
+      graft.operators.Ann.buildIvfPqIndex(
+        s2, embAll.filter(col("vec_id") % 2 === 0), vIdxPq, numCells = 16, m = 16, codebookSize = 16)
+      val pqadm = s2.sql(s"ADMIT VECTORS 'day1' FROM adminsql_newvecs INTO '$vIdxPq'").head()
+      assert(pqadm.getLong(2) == embAll.filter(col("vec_id") % 2 === 1).count())
+      assert(new java.io.File(s"$vIdxPq/codes_delta/shard=day1").exists,
+        "a PQ index's admission must land under codes_delta")
+      val pqinv = s2.sql(s"SHOW VECTOR INDEX FOR '$vIdxPq'").collect()
+      assert(pqinv.map(_.getString(1)).toSeq == Seq("__base", "day1") &&
+        pqinv.map(_.getLong(2)).sum == embAll.count(), pqinv.mkString(","))
+      val pqprom = s2.sql(s"PROMOTE VECTOR INDEX DELTA '$vIdxPq'").head()
+      assert(pqprom.getLong(1) == 1L && pqprom.getLong(2) == embAll.count(),
+        s"codes delta folded into the codes base: $pqprom")
+
       // SHOW TEXT INDEX: shard inventory + banding geometry of the
       // cross-corpus dedup index, one row per shard after an admission
       val txtIdx = "/tmp/graft_adminsql_txt_" + System.nanoTime()

@@ -191,6 +191,41 @@ class OperatorSpec extends SparkSpecBase {
       "identity collapse must keep search exact when base and delta double-carry items")
   }
 
+  test("PQ-index admission: codes delta searchable, family-dispatched promotion folds codes") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val base = emb.filter(col("vec_id") % 2 === 0)
+    val day1 = emb.filter(col("vec_id") % 2 === 1)
+    val queries = emb.filter(col("vec_id") < 4)
+    val path = "/tmp/graft_pq_admit_spec"
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    Ann.buildIvfPqIndex(spark, base, path, numCells = 16, m = 16, codebookSize = 16)
+
+    // family dispatch: the append lands CODES under codes_delta
+    Ann.appendToIvfIndex(day1, path, "day1")
+    assert(Ann.deltaDirName(spark, path) == "codes_delta")
+    val shardRows = spark.read.parquet(s"$path/codes_delta/shard=day1")
+    assert(shardRows.count() == day1.count())
+    assert(shardRows.columns.toSet == Set("item_id", "codes", "cell"),
+      "the PQ delta must hold encoded codes, not raw vectors")
+
+    // exhaustive probes + unlimited re-rank over base ∪ delta == brute
+    // force over the FULL corpus (exact re-rank re-scores everything)
+    val brute = Ann.bruteForceTopK(emb, queries, 5)
+      .orderBy("query_id", "rank").collect().toSeq
+    def exhaustive() = Ann.searchIvfPqIndex(spark, path, emb, queries, k = 5,
+      probes = 16, rerank = Int.MaxValue)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(exhaustive() == brute,
+      "admitted codes must rank exactly as an index built over base+delta")
+
+    // promotion folds the codes delta into the codes base
+    Ann.promoteIvfDelta(spark, path)
+    assert(Ann.readableVecShardDirs(spark, path).isEmpty)
+    assert(spark.read.parquet(s"$path/codes").count() == emb.count())
+    assert(exhaustive() == brute, "post-promotion PQ search must be unchanged")
+  }
+
   test("persisted IVF-PQ index: codes-only scan prunes to probed cells; exhaustive equals brute") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val queries = emb.filter(col("vec_id") < 4)

@@ -276,7 +276,8 @@ object OracleSql {
               lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS s2
             FROM events),
             g AS (SELECT event_type || ' > ' || s1 || ' > ' || s2 AS path, user_id
-                  FROM p WHERE s1 IS NOT NULL AND s2 IS NOT NULL),
+                  FROM p WHERE event_type IS NOT NULL
+                          AND s1 IS NOT NULL AND s2 IS NOT NULL),
             c AS (SELECT path, COUNT(*) AS n_occurrences,
                          COUNT(DISTINCT user_id) AS n_users FROM g GROUP BY path)
          SELECT path, n_occurrences, n_users FROM c

@@ -447,6 +447,16 @@ object Ann {
   ): Unit = {
     import spark.implicits._
     graft.sql.GraftFunctions.register(spark)
+    // A REBUILD must wipe the admission state (delta shards + any
+    // staged promotion): stale shards carry cells assigned by the OLD
+    // quantizer — served under the new centroids they join the wrong
+    // probe cells, and a later promotion would fold them in for good.
+    // Centroids are deleted FIRST (the quantizer is the index's
+    // identity — loadIvfCentroids refuses without it), so a crash
+    // inside the wipe leaves a probe-refusing index, never a
+    // half-wiped readable one. Mirrors buildTextIndex's meta-first
+    // rebuild discipline.
+    wipeAdmissionState(spark, path)
     val cents = ivfTrain(spark, corpus, numCells, lloydIters, trainSample)
     cents.zipWithIndex.toSeq
       .map { case (v, i) => (i, v) }
@@ -503,6 +513,8 @@ object Ann {
     // codebooks): the hash-filtered sample is identical for both, and
     // at index-build scale the count + collect passes are the expensive
     // driver-side work — paying them twice bought nothing
+    // rebuild wipes admission state first — see buildIvfIndex
+    wipeAdmissionState(spark, path)
     val base = corpus.select(col("vec_id").as("item_id"), col("embedding").as("item_vec"))
     val sample = collectSample(base, trainSample, -1L)
     val cents = lloydOn(sample, numCells, lloydIters)
@@ -589,17 +601,17 @@ object Ann {
     val cellFilter = col("cell").isin(probeCells.map(Integer.valueOf): _*)
     val base = spark.read.parquet(s"$path/codes").filter(cellFilter)
     // admitted delta shards (appendToIvfIndex on a PQ index) serve
-    // under the SAME probed-cell partition filter; identity collapse
-    // only on the delta branch (promoteIvfDelta's crash-window
-    // insurance, same contract as searchIvfIndex)
-    val codes =
-      if (readableVecShardDirs(spark, path).isEmpty) base
-      else base
-        .unionByName(
-          spark.read.parquet(s"$path/codes_delta")
-            .select(col("item_id"), col("codes"), col("cell"))
-            .filter(cellFilter))
-        .dropDuplicates(Seq("item_id"))
+    // under the SAME probed-cell partition filter; committed dirs only
+    // + crash-marker-gated identity collapse (same contract as
+    // searchIvfIndex — see deltaSide)
+    val codes = deltaSide(spark, path, "codes_delta",
+      Seq("item_id", "codes", "cell")) match {
+      case None => base
+      case Some(delta) =>
+        val unioned = base.unionByName(delta.filter(cellFilter))
+        if (needsIdentityCollapse(spark, path)) unioned.dropDuplicates(Seq("item_id"))
+        else unioned
+    }
     adcRerank(codes, qdf, kk, rerank, corpus, k,
       perQueryCells = Some(queryProbePairs.toDF("query_id", "cell")))
   }
@@ -720,6 +732,49 @@ object Ann {
     drifted
   }
 
+  /**
+   * The delta side of a stored-index read: committed shard dirs ONLY
+   * (explicit paths — a crashed append's partial files without
+   * `_SUCCESS` must never be served; the root read would pick them up
+   * through partition discovery), `basePath` keeping `cell` a
+   * discovered partition column so the probed-cell filter still prunes
+   * at file level. Returns None when no committed shard holds data.
+   *
+   * `needsIdentityCollapse`: an item can sit in base AND delta only
+   * inside [[promoteIvfDelta]]'s crash window (base rewritten, folded
+   * shards not yet deleted) — whose durable marker is the staged
+   * `promoting` dir, deleted last. The caller collapses identity only
+   * while that marker exists: the steady delta state (the normal daily
+   * shape) stays shuffle-free. Shard-name uniqueness is the admission
+   * contract ([[appendToIvfIndex]]); a re-used name is not insured here.
+   */
+  private def deltaSide(
+      spark: SparkSession, path: String, deltaDir: String, cols: Seq[String]
+  ): Option[DataFrame] = {
+    val dirs = readableShardDirsUnder(spark, s"$path/$deltaDir")
+    if (dirs.isEmpty) None
+    else Some(
+      spark.read.option("basePath", s"$path/$deltaDir")
+        .parquet(dirs.map(_.toString).toIndexedSeq: _*)
+        .select(cols.map(col): _*))
+  }
+
+  private def needsIdentityCollapse(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/promoting")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** Rebuild preamble shared by [[buildIvfIndex]] / [[buildIvfPqIndex]]:
+    * delete the quantizer FIRST (probes refuse until the rebuild
+    * completes), then every admission artifact the old quantizer
+    * assigned — both families' delta trees and any staged promotion. */
+  private def wipeAdmissionState(spark: SparkSession, path: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq("centroids", "assignments_delta", "codes_delta", "promoting")
+      .foreach(d => fs.delete(new org.apache.hadoop.fs.Path(root, d), true))
+  }
+
   /** The stored centroid table of [[buildIvfIndex]], cell-ordered. */
   def loadIvfCentroids(spark: SparkSession, path: String): Array[Array[Float]] =
     spark.read.parquet(s"$path/centroids")
@@ -755,7 +810,15 @@ object Ann {
     if (!fs.exists(delta)) Array.empty
     else fs.listStatus(delta).map(_.getPath)
       .filter(_.getName.startsWith("shard="))
-      .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")))
+      // the marker alone is not enough: an admitted EMPTY batch commits
+      // _SUCCESS with zero data files (no cell= dirs), and a read of
+      // such a shard cannot infer a schema — same guard as the text
+      // index's readableShardDirs, one level up (data lives under the
+      // cell partition dirs here)
+      .filter { p =>
+        fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")) &&
+          fs.listStatus(p).exists(st => st.isDirectory && st.getPath.getName.startsWith("cell="))
+      }
   }
 
   /**
@@ -827,10 +890,16 @@ object Ann {
       path: String,
       shard: String,
       driftFraction: Double = 0.5
-  ): Boolean = {
-    val drifted = ivfDriftFraction(newVecs.sparkSession, path, newVecs) > driftFraction
+  ): Boolean =
+    admitVectorsMeasured(newVecs, path, shard) > driftFraction
+
+  /** As [[admitVectors]], returning the measured drift fraction itself
+    * (the SQL surface reports it verbatim — one admission
+    * implementation for both entry points). */
+  def admitVectorsMeasured(newVecs: DataFrame, path: String, shard: String): Double = {
+    val drift = ivfDriftFraction(newVecs.sparkSession, path, newVecs)
     appendToIvfIndex(newVecs, path, shard)
-    drifted
+    drift
   }
 
   /**
@@ -917,9 +986,11 @@ object Ann {
    * files the plan actually lists. An index carrying admitted delta
    * shards ([[appendToIvfIndex]]) serves base ∪ delta under the SAME
    * cell filter (cell is a partition column at both depths, so the
-   * delta scan prunes identically); the delta branch collapses item
-   * identity so [[promoteIvfDelta]]'s crash window (an item briefly in
-   * base AND delta) can never double-rank a neighbor.
+   * delta scan prunes identically), reading committed shard dirs only;
+   * while a crashed [[promoteIvfDelta]]'s staged state survives (an
+   * item briefly in base AND delta) the delta branch collapses item
+   * identity, so a neighbor can never double-rank — and the steady
+   * delta state pays no collapse shuffle (see [[deltaSide]]).
    */
   def searchIvfIndex(
       spark: SparkSession,
@@ -937,17 +1008,17 @@ object Ann {
     val probeCells = queryProbes.select(col("cell")).distinct().collect().map(_.getInt(0))
     val cellFilter = col("cell").isin(probeCells.toIndexedSeq.map(Integer.valueOf): _*)
     val base = spark.read.parquet(s"$path/assignments").filter(cellFilter)
-    val deltaDirs = readableVecShardDirs(spark, path)
-    val stored =
-      if (deltaDirs.isEmpty) base
-      else base
-        .unionByName(
-          spark.read.parquet(s"$path/assignments_delta")
-            .select(col("item_id"), col("item_vec"), col("cell"))
-            .filter(cellFilter))
-        // identity collapse ONLY on the delta branch: the compacted
-        // common case pays nothing for the crash-window insurance
-        .dropDuplicates(Seq("item_id"))
+    val stored = deltaSide(spark, path, "assignments_delta",
+      Seq("item_id", "item_vec", "cell")) match {
+      case None => base
+      case Some(delta) =>
+        val unioned = base.unionByName(delta.filter(cellFilter))
+        // identity collapse only while a crashed promotion's staged
+        // state survives (see deltaSide) — the steady delta state
+        // pays no extra shuffle
+        if (needsIdentityCollapse(spark, path)) unioned.dropDuplicates(Seq("item_id"))
+        else unioned
+    }
     val cands = stored
       .join(broadcast(queryProbes), Seq("cell"))
       .filter(col("query_id") =!= col("item_id"))

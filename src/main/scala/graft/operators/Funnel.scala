@@ -95,8 +95,13 @@ object Funnel {
       .foldLeft(events.select(col(userCol), col(tsCol), col(typeCol), col(tieCol))) {
         (df, i) => df.withColumn(s"__s$i", lead(col(typeCol), i).over(w))
       }
-      // a complete n-gram exists only where all lookaheads are filled
-      .filter((1 until n).map(i => col(s"__s$i").isNotNull).reduce(_ && _))
+      // a complete n-gram exists only where the head AND all lookaheads
+      // are filled: a null-typed event invalidates every n-gram through
+      // it (a null at position i>=1 nulls some row's lookahead; a null
+      // HEAD needs its own filter — without it concat_ws would silently
+      // drop the null and emit a shorter path colliding with genuine
+      // (n-1)-step paths, diverging from the SQL oracle's NULL ||-chain)
+      .filter(col(typeCol).isNotNull && (1 until n).map(i => col(s"__s$i").isNotNull).reduce(_ && _))
       .withColumn("path",
         concat_ws(" > ", (col(typeCol) +: (1 until n).map(i => col(s"__s$i"))): _*))
     withPath

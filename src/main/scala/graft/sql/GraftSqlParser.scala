@@ -474,7 +474,12 @@ case class ShowVectorIndexCommand(indexPath: String) extends LeafRunnableCommand
       .sortBy(_.getName)
       .map { p =>
         val (n, c) = counts(spark.read.parquet(p.toString))
-        Row(indexPath, p.getName.stripPrefix("shard="), n, c)
+        // un-escape the partition-dir encoding so the inventory names
+        // round-trip with what ADMIT VECTORS reported ('day 1', not
+        // 'day%201')
+        Row(indexPath,
+          org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.unescapePathName(
+            p.getName.stripPrefix("shard=")), n, c)
       }
     base ++ shards
   }
@@ -499,11 +504,16 @@ case class AdmitVectorsCommand(
     attr("admitted", LongType), attr("drift_fraction", DoubleType))
   override def run(spark: SparkSession): Seq[Row] = {
     val vecs = spark.table(probeTable)
-    val drift = graft.operators.Ann.ivfDriftFraction(spark, indexPath, vecs)
-    graft.operators.Ann.appendToIvfIndex(vecs, indexPath, shard)
+    val drift = graft.operators.Ann.admitVectorsMeasured(vecs, indexPath, shard)
     val safe = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(shard)
     val deltaDir = graft.operators.Ann.deltaDirName(spark, indexPath)
-    val admitted = spark.read.parquet(s"$indexPath/$deltaDir/shard=$safe").count()
+    // an EMPTY admitted batch commits a data-less shard dir — count it
+    // as zero instead of crashing schema inference on a fileless read
+    val shardDir = s"$indexPath/$deltaDir/shard=$safe"
+    val admitted =
+      if (graft.operators.Ann.readableShardDirsUnder(spark, s"$indexPath/$deltaDir")
+          .exists(_.getName == s"shard=$safe")) spark.read.parquet(shardDir).count()
+      else 0L
     Seq(Row(indexPath, shard, admitted, drift))
   }
 }

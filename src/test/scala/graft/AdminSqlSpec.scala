@@ -162,6 +162,13 @@ class AdminSqlSpec extends SparkSpecBase {
       val pqprom = s2.sql(s"PROMOTE VECTOR INDEX DELTA '$vIdxPq'").head()
       assert(pqprom.getLong(1) == 1L && pqprom.getLong(2) == embAll.count(),
         s"codes delta folded into the codes base: $pqprom")
+      // a shard name needing path-escaping round-trips between the
+      // admission report and the inventory ('day 2', not 'day%202')
+      val esc = s2.sql(s"ADMIT VECTORS 'day 2' FROM adminsql_newvecs INTO '$vIdxPq'").head()
+      assert(esc.getString(1) == "day 2" && esc.getLong(2) > 0L)
+      assert(s2.sql(s"SHOW VECTOR INDEX FOR '$vIdxPq'").collect()
+        .map(_.getString(1)).toSeq == Seq("__base", "day 2"),
+        "inventory must report the unescaped shard name")
 
       // SHOW TEXT INDEX: shard inventory + banding geometry of the
       // cross-corpus dedup index, one row per shard after an admission

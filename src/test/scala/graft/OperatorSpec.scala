@@ -183,12 +183,71 @@ class OperatorSpec extends SparkSpecBase {
     assert(exhaustive() == brute)
 
     // the double-carry window: base rewritten but folded dirs not yet
-    // deleted — simulate by re-planting day2's rows as an extra shard
-    // whose items are ALREADY in base after the next promotion
+    // deleted. In that state the staged `promoting` dir still exists
+    // (it is deleted LAST) — simulate it: re-plant day2's rows as a
+    // delta shard whose items are ALREADY in base, plus the marker.
     Ann.promoteIvfDelta(spark, path) // folds day2 into base
     Ann.appendToIvfIndex(day2, path, "day2_dup") // day2 items now in base AND delta
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$path/promoting"))
     assert(exhaustive() == brute,
-      "identity collapse must keep search exact when base and delta double-carry items")
+      "identity collapse must keep search exact inside the crash window (marker present)")
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/promoting"), true)
+    // outside the window the collapse is NOT paid — a re-used shard
+    // name would double-rank, which is why shard-name uniqueness is
+    // the documented admission contract; the lifecycle heals by
+    // promotion (its own dropDuplicates folds the overlap away)
+    Ann.promoteIvfDelta(spark, path)
+    assert(exhaustive() == brute, "promotion collapses a double-carried overlap for good")
+  }
+
+  test("IVF admission edges: empty batch, uncommitted shard files, rebuild wipes stale delta") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val base = emb.filter(col("vec_id") % 2 === 0)
+    val day1 = emb.filter(col("vec_id") % 2 === 1)
+    val queries = emb.filter(col("vec_id") < 4)
+    val path = "/tmp/graft_ivf_admit_edge_spec"
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    Ann.buildIvfIndex(spark, base, path, numCells = 16, lloydIters = 5)
+
+    // an admitted EMPTY batch (no new vectors that day) commits a
+    // data-less shard dir: search, inventory, and promotion must all
+    // treat the index as delta-less rather than crash schema inference
+    Ann.appendToIvfIndex(emb.filter(col("vec_id") < 0), path, "empty_day")
+    assert(Ann.readableVecShardDirs(spark, path).isEmpty,
+      "a data-less shard is not a readable shard")
+    val baseBrute = Ann.bruteForceTopK(base, queries, 5)
+      .orderBy("query_id", "rank").collect().toSeq
+    def exhaustive() = Ann.searchIvfIndex(spark, path, queries, k = 5, probes = 16)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(exhaustive() == baseBrute, "search must serve the base through an empty delta")
+    Ann.promoteIvfDelta(spark, path) // no-op, must not crash
+
+    // a crashed append (partial data files, NO _SUCCESS) must never be
+    // served: plant a data file in an uncommitted shard dir
+    Ann.appendToIvfIndex(day1, path, "day1")
+    val committed = new org.apache.hadoop.fs.Path(s"$path/assignments_delta/shard=day1")
+    val crashed = new org.apache.hadoop.fs.Path(s"$path/assignments_delta/shard=crashed")
+    val cellDir = fs.listStatus(committed).map(_.getPath)
+      .find(_.getName.startsWith("cell=")).get
+    val dataFile = fs.listStatus(cellDir).map(_.getPath)
+      .find(p => !p.getName.startsWith("_") && !p.getName.startsWith(".")).get
+    fs.mkdirs(new org.apache.hadoop.fs.Path(crashed, cellDir.getName))
+    org.apache.hadoop.fs.FileUtil.copy(fs, dataFile, fs,
+      new org.apache.hadoop.fs.Path(new org.apache.hadoop.fs.Path(crashed, cellDir.getName), dataFile.getName),
+      false, spark.sparkContext.hadoopConfiguration)
+    val brute = Ann.bruteForceTopK(emb, queries, 5)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(exhaustive() == brute,
+      "an uncommitted shard's partial files must be invisible to search")
+
+    // a REBUILD (the drift-tripped path) wipes stale delta shards whose
+    // cells the old quantizer assigned — they must not survive to be
+    // served under the new centroids or folded by a later promotion
+    Ann.buildIvfIndex(spark, emb, path, numCells = 16, lloydIters = 5)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/assignments_delta")),
+      "rebuild must clear the delta tree")
+    assert(exhaustive() == brute, "the rebuilt index serves the full corpus, no stale delta")
   }
 
   test("PQ-index admission: codes delta searchable, family-dispatched promotion folds codes") {
@@ -357,6 +416,19 @@ class OperatorSpec extends SparkSpecBase {
     assert(out.head == (("view > click > purchase", 3L, 2L)), s"got ${out.toSeq}")
     // user 1's 6 events yield 4 trigrams, user 2's 3 yield 1 — never 7
     assert(out.map(_._2).sum == 5L, s"cross-user n-grams leaked: ${out.toSeq}")
+
+    // a null event type invalidates every n-gram through it — a
+    // null HEAD must not collapse into a shorter path (concat_ws
+    // would silently drop it and collide with genuine 2-step paths)
+    val withNull = Seq(
+      (1L, ts(0), 1L, null.asInstanceOf[String]),
+      (2L, ts(1), 1L, "click"), (3L, ts(2), 1L, "purchase"), (4L, ts(3), 1L, "refund")
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val nOut = graft.operators.Funnel
+      .topPaths(withNull, "user_id", "ts", "event_type", "event_id", n = 3, topK = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(nOut.toSeq == Seq(("click > purchase > refund", 1L)),
+      s"null-headed n-grams must be excluded, not shortened: ${nOut.toSeq}")
   }
 
   test("retention cohorts by first anchor and counts activity per period once") {

@@ -957,9 +957,12 @@ object Ann {
       } else {
         val snap = readableVecShardDirs(spark, path)
         if (snap.isEmpty) return // nothing to promote
-        // reading the shard dirs directly keeps `cell` (below each
-        // path) as a discovered partition column and drops `shard`
-        val deltaRows = spark.read.parquet(snap.map(_.toString).toIndexedSeq: _*)
+        // explicit committed dirs with basePath: multiple shard roots
+        // without it are "conflicting directory structures" to
+        // partition inference (each root IS a partition dir); with it,
+        // shard and cell are both discovered and dataCols drops shard
+        val deltaRows = spark.read.option("basePath", s"$path/$deltaDir")
+          .parquet(snap.map(_.toString).toIndexedSeq: _*)
         spark.read.parquet(s"$path/$baseDir")
           .unionByName(deltaRows.select(dataCols: _*))
           // a prior crash window may have merged rows whose shard dir

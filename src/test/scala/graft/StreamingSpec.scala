@@ -780,6 +780,84 @@ class StreamingSpec extends SparkSpecBase {
       "user 21's out-of-order view must requalify the later click")
   }
 
+  test("streaming vector admission grows the batch-layout IVF index; replay and folding converge") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Ann
+    import graft.streaming.StreamingVectorAdmit
+    val base = "/tmp/graft_svecadmit_" + System.nanoTime()
+    val idx = s"$base/index"
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val corpus0 = emb.filter(col("vec_id") % 4 === 0)
+    Ann.buildIvfIndex(spark, corpus0, idx, numCells = 16)
+
+    // two micro-batches through the real stream: shards land in the
+    // BATCH layout and exhaustive search equals brute force over all
+    val b1 = emb.filter(col("vec_id") % 4 === 1)
+    val b2 = emb.filter(col("vec_id") % 4 === 2)
+    val stream = MemoryStream[(Long, Array[Float])]
+    // driftRetrainFraction = 2.0 disables the trigger for the wiring
+    // phase (this testdata's odd-id vectors genuinely drift vs an
+    // even-id-trained quantizer — the self-heal is exercised
+    // deliberately below, not as a side effect here)
+    val q = StreamingVectorAdmit.run(
+      stream.toDF().toDF("vec_id", "embedding"), idx, checkpoint = s"$base/ckpt",
+      driftRetrainFraction = 2.0)
+    stream.addData(b1.collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq: _*)
+    q.processAllAvailable()
+    stream.addData(b2.collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq: _*)
+    q.processAllAvailable()
+    q.stop()
+    val shardNames = Ann.readableVecShardDirs(spark, idx).map(_.getName).toSet
+    assert(shardNames == Set("shard=stream_0", "shard=stream_1"), shardNames.mkString(","))
+    val served = corpus0.unionByName(b1).unionByName(b2)
+    val queries = served.filter(col("vec_id") < 8)
+    def exhaustive() = Ann.searchIvfIndex(spark, idx, queries, k = 5, probes = 16)
+      .orderBy("query_id", "rank").collect().toSeq
+    def bruteOf(c: org.apache.spark.sql.DataFrame) = Ann.bruteForceTopK(c, queries, 5)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(exhaustive() == bruteOf(served),
+      "stream-admitted shards must serve exactly like batch-admitted ones")
+
+    // plain replay converges (shard dir overwrite)
+    assert(!StreamingVectorAdmit.admitBatch(b2, idx, 1L, driftRetrainFraction = 2.0))
+    assert(spark.read.parquet(s"$idx/assignments_delta").count() == b1.count() + b2.count())
+    assert(exhaustive() == bruteOf(served))
+
+    // folding + replay: an external promotion folds the shards into
+    // the base; a replayed batch must NOT re-append (its ids are base
+    // rows now) — the id-probe guard, not the shard-dir overwrite
+    Ann.promoteIvfDelta(spark, idx)
+    assert(!StreamingVectorAdmit.admitBatch(b2, idx, 1L, driftRetrainFraction = 2.0))
+    assert(Ann.readableVecShardDirs(spark, idx).isEmpty,
+      "a folded batch's replay must not re-append its shard")
+    assert(exhaustive() == bruteOf(served))
+
+    // drift self-heal: a shifted batch trips the trigger, the index
+    // rebuilds from its own rows (delta folded, new quantizer), and
+    // the shifted batch itself is admitted and searchable
+    val shifted = emb.filter(col("vec_id") % 4 === 3)
+      .select(col("vec_id"), transform(col("embedding"), x => x + lit(25.0f)).as("embedding"))
+    assert(StreamingVectorAdmit.admitBatch(shifted, idx, 2L, driftRetrainFraction = 0.5),
+      "the shifted batch must trip the drift trigger")
+    assert(spark.read.parquet(s"$idx/assignments").count() == served.count() + shifted.count(),
+      "self-heal must fold base, prior delta, AND the triggering batch into the rebuilt index")
+    assert(Ann.readableVecShardDirs(spark, idx).isEmpty)
+    assert(!new java.io.File(s"$idx/rebuild_src").exists, "the stage must be cleaned up")
+    val servedAll = served.unionByName(shifted)
+    assert(Ann.searchIvfIndex(spark, idx, queries, k = 5, probes = 16)
+      .orderBy("query_id", "rank").collect().toSeq == bruteOf(servedAll))
+    // replay of the healing batch converges: whether or not the drift
+    // probe re-trips against the new quantizer, the id-probe guard
+    // skips the re-append and the index state is unchanged
+    StreamingVectorAdmit.admitBatch(shifted, idx, 2L, driftRetrainFraction = 0.5)
+    assert(Ann.readableVecShardDirs(spark, idx).isEmpty,
+      "a healed batch's replay must never re-append its rows")
+    assert(spark.read.parquet(s"$idx/assignments").count() == served.count() + shifted.count())
+    assert(Ann.searchIvfIndex(spark, idx, queries, k = 5, probes = 16)
+      .orderBy("query_id", "rank").collect().toSeq == bruteOf(servedAll))
+  }
+
   test("DataPoint ingest survives malformed numeric dims (metric fallback, not a crash)") {
     val pts = Seq(
       Ingest.DataPoint("events", Timestamp.valueOf("2024-01-01 00:00:01"),

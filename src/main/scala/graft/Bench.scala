@@ -185,7 +185,10 @@ object Bench {
       mkLine(true, false, dp = 1),
       mkLine(true, true, dp = 1, stripQ = true), mkLine(true, false, dp = 1, stripQ = true),
       mkLineDs(stripQ = true))
-      .find(_.length <= 1880).getOrElse(mkLine(true, false, dp = 0, stripQ = true))
+      // 1920 = the driver's 2000-char tail capture minus sbt's ~75-char
+      // epilogue (which lands AFTER our line) with a small safety pad —
+      // the 107-query ds line measures 1866, so margin is real now
+      .find(_.length <= 1920).getOrElse(mkLine(true, false, dp = 0, stripQ = true))
     println(line)
     if (line.length > 1900)
       Console.err.println(s"[bench] WARNING: JSON line ${line.length} chars — driver tail capture may clip it")

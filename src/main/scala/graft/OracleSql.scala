@@ -270,6 +270,31 @@ object OracleSql {
                      WHEN MIN(v1) IS NOT NULL THEN 1
                      ELSE 0 END AS INT) AS steps_completed
          FROM s3 GROUP BY user_id ORDER BY user_id""",
+    // exact window integers (count/sum/sum-of-squares over the trailing
+    // 7 days), then the IDENTICAL scalar double formula both engines
+    // evaluate bit-for-bit — the q_agg_stats discipline on a window
+    "q_anomaly" ->
+      """WITH d AS (SELECT date_trunc('day', ts) AS day, event_type, COUNT(*) AS cnt
+                    FROM events GROUP BY 1, 2),
+            w AS (SELECT day, event_type, cnt,
+                    COUNT(*) OVER tw AS n_prev,
+                    SUM(cnt) OVER tw AS sum_prev,
+                    SUM(cnt * cnt) OVER tw AS sumsq_prev
+                  FROM d
+                  WINDOW tw AS (PARTITION BY event_type ORDER BY day
+                                ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+            f AS (SELECT day, event_type, cnt,
+                    CAST(n_prev AS DOUBLE) AS nd, CAST(sum_prev AS DOUBLE) AS sd,
+                    CAST(sumsq_prev AS DOUBLE) AS ssd
+                  FROM w WHERE n_prev > 1),
+            g AS (SELECT day, event_type, cnt, sd / nd AS mean_prev,
+                    sqrt((ssd - sd * sd / nd) / (nd - 1)) AS std
+                  FROM f)
+         SELECT day, event_type, cnt, mean_prev,
+           CASE WHEN std > 0.0 THEN (cnt - mean_prev) / std END AS z,
+           COALESCE(CASE WHEN std > 0.0 THEN abs((cnt - mean_prev) / std) > 3.0 END,
+                    CAST(cnt AS DOUBLE) <> mean_prev) AS is_anomaly
+         FROM g ORDER BY event_type, day""",
     "q_event_paths" ->
       """WITH p AS (SELECT user_id, event_type,
               lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS s1,

@@ -264,6 +264,27 @@ object SparkEntry {
       .orderBy(col("event_id"))
   }
 
+  /**
+   * Time-series anomaly detection — the monitoring analytic an OLAP
+   * event store serves daily: per (event_type, day) counts z-scored
+   * against a TRAILING 7-day window (rows between -7 and -1 — the
+   * current day never contaminates its own baseline). Cross-engine
+   * exact by the q_agg_stats discipline: the window aggregates are
+   * exact integers (count, sum, sum of squares), and mean/std/z derive
+   * from them through an IDENTICAL scalar double formula on both
+   * engines — no engine-ordered float accumulation anywhere. One
+   * (event_type)-keyed exchange serves the daily rollup's regroup and
+   * the window; scale is per-series-bounded (days × types), never
+   * event-sized.
+   */
+  private def qAnomaly(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Funnel.anomalies(
+      ld(s, dir, "events")
+        .groupBy(F.truncDay(col("ts")).as("day"), col("event_type"))
+        .agg(count(lit(1)).as("cnt")),
+      seriesCol = "event_type", periodCol = "day", cntCol = "cnt")
+      .orderBy(col("event_type"), col("day"))
+
   /** Exact percentiles / median (OLAP distribution analysis). */
   private def qAggPercentile(s: SparkSession, dir: String): DataFrame =
     ld(s, dir, "lineitem")
@@ -1948,6 +1969,7 @@ object SparkEntry {
     "q_retention" -> (qRetention _),
     "q_event_paths" -> (qEventPaths _),
     "q_window_funcs" -> (qWindowFuncs _),
+    "q_anomaly" -> (qAnomaly _),
     "q_grouping_rollup" -> (qGroupingRollup _),
     "q_grouping_cube" -> (qGroupingCube _),
     "q_agg_percentile" -> (qAggPercentile _),

@@ -112,6 +112,48 @@ object Funnel {
   }
 
   /**
+   * Trailing-window anomaly detection over per-period series counts —
+   * the monitoring analytic an event store serves daily. Input: any
+   * frame of (seriesCol, periodCol, cnt) rows (one per series ×
+   * period). Each count z-scores against the `lookback` PRECEDING
+   * periods only (the current period never contaminates its own
+   * baseline); a flat baseline (std = 0) flags ANY deviation. All
+   * window aggregates are exact integers; mean/std/z derive from them
+   * through one scalar double formula, so the result is engine-exact
+   * (the q_agg_stats discipline on a window). Scale: the input is
+   * series-period-bounded (not event-sized) and the one exchange is
+   * the series key.
+   */
+  def anomalies(
+      counts: DataFrame,
+      seriesCol: String,
+      periodCol: String,
+      cntCol: String,
+      lookback: Int = 7,
+      zThreshold: Double = 3.0
+  ): DataFrame = {
+    require(lookback >= 2, "a baseline needs at least two prior periods")
+    val tw = Window.partitionBy(col(seriesCol)).orderBy(col(periodCol))
+      .rowsBetween(-lookback, -1)
+    val nd = col("n_prev").cast("double")
+    val sd = col("sum_prev").cast("double")
+    val ssd = col("sumsq_prev").cast("double")
+    val mean = sd / nd
+    val std = sqrt((ssd - sd * sd / nd) / (nd - 1))
+    counts
+      .withColumn("n_prev", count(lit(1)).over(tw))
+      .withColumn("sum_prev", sum(col(cntCol)).over(tw))
+      .withColumn("sumsq_prev", sum(col(cntCol) * col(cntCol)).over(tw))
+      .filter(col("n_prev") > 1) // a baseline needs at least two prior periods
+      .select(
+        col(periodCol), col(seriesCol), col(cntCol),
+        mean.as("mean_prev"),
+        when(std > 0.0, (col(cntCol) - mean) / std).as("z"),
+        coalesce(when(std > 0.0, abs((col(cntCol) - mean) / std) > zThreshold),
+          col(cntCol).cast("double") =!= mean).as("is_anomaly"))
+  }
+
+  /**
    * Cohort retention matrix — the second classic event-stream
    * analytic: users cohorted by the period of their FIRST
    * `anchorType` event; for each (cohort, periods-since-anchor) cell,

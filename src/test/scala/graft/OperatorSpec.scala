@@ -431,6 +431,37 @@ class OperatorSpec extends SparkSpecBase {
       s"null-headed n-grams must be excluded, not shortened: ${nOut.toSeq}")
   }
 
+  test("anomalies z-scores against the trailing window only; flat baselines flag any deviation") {
+    // series A: 8 flat days then a spike; series B: varying baseline
+    // with a mild day that must NOT flag
+    val rows =
+      (1 to 8).map(d => ("a", d, 10L)) ++ Seq(("a", 9, 25L)) ++
+        Seq(("b", 1, 10L), ("b", 2, 14L), ("b", 3, 6L), ("b", 4, 11L))
+    val counts = rows.toDF("series", "period", "cnt")
+    val out = graft.operators.Funnel
+      .anomalies(counts, "series", "period", "cnt", lookback = 7, zThreshold = 3.0)
+      .collect()
+      .map(r => (r.getString(1), r.getInt(0)) -> ((r.getAs[Boolean]("is_anomaly"), Option(r.get(4)))))
+      .toMap
+    // periods 1-2 of each series have < 2 prior rows: no baseline, no row
+    assert(!out.contains(("a", 1)) && !out.contains(("a", 2)) && !out.contains(("b", 2)))
+    // flat baseline: std = 0 -> z undefined (null) but any deviation flags
+    assert(out(("a", 3)) == ((false, None)), "flat continuation must not flag")
+    assert(out(("a", 9))._1 && out(("a", 9))._2.isEmpty,
+      "a spike off a flat baseline flags with NULL z")
+    // varying baseline: day 4 (11 vs mean 10 of {10,14,6}) is unremarkable
+    assert(out(("b", 4)) == ((false, Some(0.25))), s"got ${out(("b", 4))}")
+    // the CURRENT period never contaminates its own baseline: series a
+    // day 9's baseline is the 7 flat prior days, mean exactly 10
+    val a9 = graft.operators.Funnel
+      .anomalies(counts, "series", "period", "cnt", lookback = 7)
+      .filter(col("series") === "a" && col("period") === 9)
+      .head()
+    assert(a9.getDouble(3) == 10.0)
+    intercept[IllegalArgumentException](
+      graft.operators.Funnel.anomalies(counts, "series", "period", "cnt", lookback = 1))
+  }
+
   test("retention cohorts by first anchor and counts activity per period once") {
     import java.sql.Timestamp
     val day = 24 * 3600 * 1000L

@@ -780,6 +780,59 @@ class StreamingSpec extends SparkSpecBase {
       "user 21's out-of-order view must requalify the later click")
   }
 
+  test("streaming retention matches the batch matrix under out-of-order anchors") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingRetention
+    import graft.streaming.StreamingRetention.REv
+    def d(day: Int, h: Int = 0) = Timestamp.valueOf(f"2024-01-${day + 1}%02d $h%02d:00:00")
+    // user 10: activity lands first, the anchor arrives LATE and
+    // EARLIER (day 0) than an interim anchor (day 8) — t0, the cohort,
+    // and every period number must all re-derive from the true minimum
+    val batch1 = Seq(
+      REv(10L, d(10), "click"), REv(10L, d(8), "signup"),
+      REv(11L, d(2), "click"), // never anchors: must emit nothing
+      REv(12L, d(1), "signup"), REv(12L, d(16), "click"))
+    val batch2 = Seq(REv(10L, d(0), "signup")) // late, earlier anchor
+    val stream = MemoryStream[REv]
+    // the watermark is the documented admission window: it must cover
+    // the late anchor's lag (10 days here) or the stateful operator
+    // drops it before it can revise t0
+    val q = StreamingRetention.streaming(
+      spark, stream.toDS(), anchorType = "signup", inactivityMinutes = 30,
+      watermark = "30 days")
+      .writeStream.format("memory").queryName("ret_out").outputMode("append").start()
+    stream.addData(batch1: _*)
+    q.processAllAvailable()
+    stream.addData(batch2: _*)
+    q.processAllAvailable()
+    // advance the watermark far past every user's inactivity horizon
+    stream.addData(REv(99L, Timestamp.valueOf("2024-03-01 00:00:00"), "click"))
+    q.processAllAvailable()
+    q.stop()
+
+    val emitted = spark.table("ret_out").filter($"user_id" =!= 99L)
+    // user 10: t0 = day 0, periods {0 (signup day 0), 1 (day 8 interim
+    // anchor is just activity), 1 (day 10)} -> {0, 1}; user 12: {0, 2}
+    val perUser = emitted.as[(Long, Timestamp, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    assert(perUser == Map(10L -> Set(0, 1), 12L -> Set(0, 2)), s"got $perUser")
+    assert(emitted.filter($"user_id" === 10L).select("t0").distinct().as[Timestamp]
+      .head() == d(0), "the late earlier anchor must win t0")
+
+    // the rolled matrix equals the batch operator over the same events
+    val allEvents = (batch1 ++ batch2).map(e => (e.user_id, e.ts, e.event_type))
+      .toDF("user_id", "ts", "event_type")
+    val streamedMatrix = StreamingRetention.matrix(emitted.toDF())
+      .orderBy("cohort", "period_n")
+      .as[(Timestamp, Int, Long, Long, Double)].collect().toSeq
+    val batchMatrix = graft.operators.Funnel
+      .retention(allEvents, "user_id", "ts", "event_type", anchorType = "signup")
+      .orderBy("cohort", "period_n")
+      .as[(Timestamp, Int, Long, Long, Double)].collect().toSeq
+    assert(streamedMatrix == batchMatrix, s"streamed $streamedMatrix != batch $batchMatrix")
+    assert(batchMatrix.nonEmpty)
+  }
+
   test("streaming vector admission grows the batch-layout IVF index; replay and folding converge") {
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.Ann

@@ -64,7 +64,8 @@ object DumpPlans {
       "q_retention" -> "cohort retention: user-cardinality anchor table broadcast into the single events pass; (user, cohort, period) distinct + cell rollup; nothing event-sized collected",
       "q_event_paths" -> "event paths: lead() n-grams over ONE user-key exchange feed the path rollup (map-side-combined counts + distinct users) — never a per-user sequence collect; deterministic top-K",
       "q_ann_admitted" -> "vector admission serving: base and delta assignment scans BOTH prune to the probed cells' files (cell is a partition column at both depths); the identity collapse and query join ride the union — nothing index-sized shuffles beyond the probed slice",
-      "q_ann_pq_admitted" -> "PQ admission serving: base codes AND the codes delta prune to probed cells and read NO vector column (m-int code rows); ADC scores the union, raw vectors re-attach only to the rerank-bounded candidates"
+      "q_ann_pq_admitted" -> "PQ admission serving: base codes AND the codes delta prune to probed cells and read NO vector column (m-int code rows); ADC scores the union, raw vectors re-attach only to the rerank-bounded candidates",
+      "q_anomaly" -> "anomaly detection: the event-sized work is one map-side-combined aggregate (partial_count below its exchange); the window's second exchange moves only the series-period-bounded daily rollup (days x types rows) on the series key — all window aggregates exact integers"
     )
 
     val sb = new StringBuilder

@@ -274,8 +274,13 @@ object OracleSql {
     // 7 days), then the IDENTICAL scalar double formula both engines
     // evaluate bit-for-bit — the q_agg_stats discipline on a window
     "q_anomaly" ->
-      """WITH d AS (SELECT date_trunc('day', ts) AS day, event_type, COUNT(*) AS cnt
-                    FROM events GROUP BY 1, 2),
+      """WITH d0 AS (SELECT date_trunc('day', ts) AS day, event_type, COUNT(*) AS cnt
+                     FROM events GROUP BY 1, 2),
+            grid AS (SELECT event_type, unnest(generate_series(min(day), max(day),
+                            INTERVAL 1 DAY)) AS day
+                     FROM d0 GROUP BY event_type),
+            d AS (SELECT g.day, g.event_type, COALESCE(d0.cnt, 0) AS cnt
+                  FROM grid g LEFT JOIN d0 ON g.day = d0.day AND g.event_type = d0.event_type),
             w AS (SELECT day, event_type, cnt,
                     COUNT(*) OVER tw AS n_prev,
                     SUM(cnt) OVER tw AS sum_prev,

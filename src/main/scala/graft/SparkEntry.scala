@@ -266,24 +266,28 @@ object SparkEntry {
 
   /**
    * Time-series anomaly detection — the monitoring analytic an OLAP
-   * event store serves daily: per (event_type, day) counts z-scored
-   * against a TRAILING 7-day window (rows between -7 and -1 — the
-   * current day never contaminates its own baseline). Cross-engine
-   * exact by the q_agg_stats discipline: the window aggregates are
-   * exact integers (count, sum, sum of squares), and mean/std/z derive
-   * from them through an IDENTICAL scalar double formula on both
-   * engines — no engine-ordered float accumulation anywhere. One
-   * (event_type)-keyed exchange serves the daily rollup's regroup and
-   * the window; scale is per-series-bounded (days × types), never
-   * event-sized.
+   * event store serves daily: per (event_type, day) counts DENSIFIED
+   * onto the calendar grid (Funnel.densifyDaily — a zero-event outage
+   * day is scored like any other, and a gap cannot stretch the
+   * baseline window), then z-scored against the trailing 7 days (rows
+   * -7..-1 over the dense grid ≡ true trailing days; the current day
+   * never contaminates its own baseline). Cross-engine exact by the
+   * q_agg_stats discipline: the window aggregates are exact integers
+   * (count, sum, sum of squares), and mean/std/z derive from them
+   * through an IDENTICAL scalar double formula on both engines — no
+   * engine-ordered float accumulation anywhere. The event-sized work
+   * is one map-side-combined aggregate; grid and window move only
+   * series-days-bounded rows.
    */
-  private def qAnomaly(s: SparkSession, dir: String): DataFrame =
+  private def qAnomaly(s: SparkSession, dir: String): DataFrame = {
+    val daily = ld(s, dir, "events")
+      .groupBy(F.truncDay(col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
     graft.operators.Funnel.anomalies(
-      ld(s, dir, "events")
-        .groupBy(F.truncDay(col("ts")).as("day"), col("event_type"))
-        .agg(count(lit(1)).as("cnt")),
+      graft.operators.Funnel.densifyDaily(daily, "event_type", "day", "cnt"),
       seriesCol = "event_type", periodCol = "day", cntCol = "cnt")
       .orderBy(col("event_type"), col("day"))
+  }
 
   /** Exact percentiles / median (OLAP distribution analysis). */
   private def qAggPercentile(s: SparkSession, dir: String): DataFrame =

@@ -116,14 +116,45 @@ object Funnel {
    * the monitoring analytic an event store serves daily. Input: any
    * frame of (seriesCol, periodCol, cnt) rows (one per series ×
    * period). Each count z-scores against the `lookback` PRECEDING
-   * periods only (the current period never contaminates its own
-   * baseline); a flat baseline (std = 0) flags ANY deviation. All
-   * window aggregates are exact integers; mean/std/z derive from them
-   * through one scalar double formula, so the result is engine-exact
-   * (the q_agg_stats discipline on a window). Scale: the input is
+   * OBSERVED rows of its series (a ROWS frame over whatever periods
+   * the input carries — for wall-clock semantics and outage detection
+   * feed a DENSE grid: [[densifyDaily]] zero-fills missing days, so a
+   * gap cannot silently stretch the baseline window and a
+   * zero-count outage day is scored like any other); the current
+   * period never contaminates its own baseline, and a flat baseline
+   * (std = 0) flags ANY deviation. All window aggregates are exact
+   * integers; mean/std/z derive from them through one scalar double
+   * formula, so the result is engine-exact (the q_agg_stats
+   * discipline on a window). Scale: the input is
    * series-period-bounded (not event-sized) and the one exchange is
    * the series key.
    */
+  /**
+   * Zero-fill a daily count series onto its dense day grid: per
+   * series, every calendar day between the series' first and last
+   * observed day gets a row (missing days at cnt = 0). The monitoring
+   * prerequisite for [[anomalies]] — without it a day with NO events
+   * (the canonical anomaly: a pipeline outage) is simply absent and
+   * can never be scored. The grid is sequence()-generated from the
+   * per-series bounds — series-days-bounded work, one series-key
+   * aggregate.
+   */
+  def densifyDaily(
+      counts: DataFrame,
+      seriesCol: String,
+      dayCol: String,
+      cntCol: String
+  ): DataFrame = {
+    val grid = counts
+      .groupBy(col(seriesCol))
+      .agg(min(col(dayCol)).as("__d0"), max(col(dayCol)).as("__d1"))
+      .select(col(seriesCol),
+        explode(sequence(col("__d0"), col("__d1"), expr("interval 1 day"))).as(dayCol))
+    grid
+      .join(counts, Seq(seriesCol, dayCol), "left")
+      .na.fill(0L, Seq(cntCol))
+  }
+
   def anomalies(
       counts: DataFrame,
       seriesCol: String,

@@ -462,6 +462,24 @@ class OperatorSpec extends SparkSpecBase {
       graft.operators.Funnel.anomalies(counts, "series", "period", "cnt", lookback = 1))
   }
 
+  test("densifyDaily zero-fills gaps: outage days score and the baseline window cannot stretch") {
+    import java.sql.Timestamp
+    def d(day: Int) = Timestamp.valueOf(f"2024-01-$day%02d 00:00:00")
+    // days 1-9 at 10/day, day 5 ABSENT (the canonical outage: without
+    // densify it is never scored; with it, it is a zero-count row)
+    val counts = (1 to 9).filter(_ != 5).map(x => ("a", d(x), 10L))
+      .toDF("series", "day", "cnt")
+    val dense = graft.operators.Funnel.densifyDaily(counts, "series", "day", "cnt")
+    assert(dense.count() == 9, "every calendar day in the span gets a row")
+    assert(dense.filter(col("day") === d(5)).head().getAs[Long]("cnt") == 0L)
+    val out = graft.operators.Funnel
+      .anomalies(dense, "series", "day", "cnt", lookback = 7, zThreshold = 3.0)
+      .collect().map(r => r.getTimestamp(0) -> r.getAs[Boolean]("is_anomaly")).toMap
+    assert(out(d(5)), "a zero-event outage day must flag against the flat baseline")
+    assert(!out(d(6)), "recovery back to baseline must not flag (the 0 widens the std)")
+    assert(!out(d(9)), "steady days must not flag")
+  }
+
   test("retention cohorts by first anchor and counts activity per period once") {
     import java.sql.Timestamp
     val day = 24 * 3600 * 1000L

@@ -748,7 +748,7 @@ object Ann {
    * shape) stays shuffle-free. Shard-name uniqueness is the admission
    * contract ([[appendToIvfIndex]]); a re-used name is not insured here.
    */
-  private def deltaSide(
+  private[graft] def deltaSide(
       spark: SparkSession, path: String, deltaDir: String, cols: Seq[String]
   ): Option[DataFrame] = {
     val dirs = readableShardDirsUnder(spark, s"$path/$deltaDir")
@@ -765,13 +765,17 @@ object Ann {
   }
 
   /** Rebuild preamble shared by [[buildIvfIndex]] / [[buildIvfPqIndex]]:
-    * delete the quantizer FIRST (probes refuse until the rebuild
+    * delete the completion marker FIRST (`stats` is the plain build's
+    * LAST write, so stats-present ⇔ a complete plain-IVF index — the
+    * predicate [[graft.streaming.StreamingVectorAdmit]]'s crash
+    * recovery keys on; the PQ build's own marker is `meta`, written
+    * after stats), then the quantizer (probes refuse until the rebuild
     * completes), then every admission artifact the old quantizer
     * assigned — both families' delta trees and any staged promotion. */
   private def wipeAdmissionState(spark: SparkSession, path: String): Unit = {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    Seq("centroids", "assignments_delta", "codes_delta", "promoting")
+    Seq("stats", "centroids", "assignments_delta", "codes_delta", "promoting")
       .foreach(d => fs.delete(new org.apache.hadoop.fs.Path(root, d), true))
   }
 

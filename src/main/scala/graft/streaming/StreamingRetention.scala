@@ -32,8 +32,19 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
  *
  * The inactivity horizon is the emission semantic (the
  * [[StreamingFunnel]] contract): retention as of `inactivityMinutes`
- * of a user's silence. Batch parity for quiesced users is spec-proven
- * by replaying the same out-of-order events through both forms.
+ * of a user's silence, and batch parity holds for any user whose
+ * history fits one quiescence window — spec-proven by replaying the
+ * same out-of-order events through both forms. A user who RESUMES
+ * after the horizon begins a NEW journey: state was emitted and
+ * removed, so the resumed events re-derive their own t0 (a resumed
+ * run with a fresh anchor cohorts as a re-acquisition; one with no
+ * anchor is excluded, like batch's anchorless users). This is the
+ * deliberate price of bounded state — an unbounded-exact form would
+ * need per-user state retained forever or event-sized emission — and
+ * it matches how production retention treats long-dormant returns
+ * (resurrection IS a new cohort journey). Size `inactivityMinutes`
+ * to the longest within-journey silence the analysis must bridge;
+ * the spec pins the re-opened-user semantics explicitly.
  */
 object StreamingRetention extends Serializable {
 

@@ -66,7 +66,7 @@ object VecAdmitStress {
         graft.operators.Ann.appendToIvfIndex(shard, idx, "day1")
       }
     time("drift probe (narrow pass over the shard only)") {
-      println(f"[vecadmitstress]   drift=${graft.operators.Ann.ivfDriftFraction(spark, idx, shard.withColumnRenamed("vec_id", "vec_id"))}%.3f")
+      println(f"[vecadmitstress]   drift=${graft.operators.Ann.ivfDriftFraction(spark, idx, shard)}%.3f")
     }
     var servedDelta = 0L
     for (rep <- 1 to 3)

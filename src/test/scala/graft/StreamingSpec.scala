@@ -911,6 +911,103 @@ class StreamingSpec extends SparkSpecBase {
       .orderBy("query_id", "rank").collect().toSeq == bruteOf(servedAll))
   }
 
+  test("streaming vector admission: per-id novelty on mixed batches; crash-marker recovery") {
+    import graft.operators.Ann
+    import graft.streaming.StreamingVectorAdmit
+    val base = "/tmp/graft_svecadmit_edge_" + System.nanoTime()
+    val idx = s"$base/index"
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val corpus0 = emb.filter(col("vec_id") % 4 === 0)
+    val b1 = emb.filter(col("vec_id") % 4 === 1)
+    val b2 = emb.filter(col("vec_id") % 4 === 2)
+    val b3 = emb.filter(col("vec_id") % 4 === 3)
+    val queries = emb.filter(col("vec_id") < 8)
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    Ann.buildIvfIndex(spark, corpus0, idx, numCells = 16)
+
+    // a MIXED batch (one id already in the base + genuinely new ids)
+    // must admit exactly its new rows — an any-overlap skip would
+    // silently drop the new vectors
+    StreamingVectorAdmit.admitBatch(
+      corpus0.limit(1).unionByName(b1), idx, 0L, driftRetrainFraction = 2.0)
+    assert(spark.read.parquet(s"$idx/assignments_delta").count() == b1.count(),
+      "exactly the novel rows of a mixed batch are admitted")
+    def exhaustive() = Ann.searchIvfIndex(spark, idx, queries, k = 5, probes = 16)
+      .orderBy("query_id", "rank").collect().toSeq
+    def bruteOf(c: org.apache.spark.sql.DataFrame) = Ann.bruteForceTopK(c, queries, 5)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(exhaustive() == bruteOf(corpus0.unionByName(b1)),
+      "the held id must rank once, the novel rows must rank — exactly")
+
+    // crashed-rebuild recovery: a complete stage with the completion
+    // marker (stats) MISSING means the rebuild died mid-write — the
+    // next batch resumes it before anything else
+    corpus0.unionByName(b1).unionByName(b2)
+      .write.mode("overwrite").parquet(s"$idx/rebuild_src")
+    fs.delete(new org.apache.hadoop.fs.Path(s"$idx/stats"), true)
+    StreamingVectorAdmit.admitBatch(b2, idx, 1L, driftRetrainFraction = 2.0)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$idx/stats/_SUCCESS")),
+      "the resumed rebuild must complete the index")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$idx/rebuild_src")))
+    assert(spark.read.parquet(s"$idx/assignments").count() ==
+      corpus0.count() + b1.count() + b2.count(),
+      "the resume must rebuild from the stage (which already held b2)")
+    assert(Ann.readableVecShardDirs(spark, idx).isEmpty,
+      "b2's post-resume admission must be a no-op (its ids are base rows)")
+    assert(exhaustive() == bruteOf(corpus0.unionByName(b1).unionByName(b2)))
+
+    // stale-stage cleanup: a leftover stage with the marker PRESENT is
+    // a completed rebuild's crashed cleanup — deleted, never resurrected
+    corpus0.write.mode("overwrite").parquet(s"$idx/rebuild_src")
+    StreamingVectorAdmit.admitBatch(b3, idx, 2L, driftRetrainFraction = 2.0)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$idx/rebuild_src")),
+      "a stale stage must be deleted at the next batch")
+    assert(spark.read.parquet(s"$idx/assignments").count() ==
+      corpus0.count() + b1.count() + b2.count(),
+      "the stale stage must NOT shrink the base back to its snapshot")
+    assert(exhaustive() == bruteOf(emb), "b3 admitted, nothing resurrected")
+  }
+
+  test("streaming retention: a user resuming after the horizon begins a new journey") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingRetention
+    import graft.streaming.StreamingRetention.REv
+    val stream = MemoryStream[REv]
+    val q = StreamingRetention.streaming(
+      spark, stream.toDS(), anchorType = "signup", inactivityMinutes = 30,
+      watermark = "10 days")
+      .writeStream.format("memory").queryName("ret_reopen").outputMode("append").start()
+    // journey 1: anchor + activity, then quiesce past the horizon
+    stream.addData(
+      REv(50L, Timestamp.valueOf("2024-01-01 00:00:00"), "signup"),
+      REv(50L, Timestamp.valueOf("2024-01-09 00:00:00"), "click"))
+    q.processAllAvailable()
+    stream.addData(REv(99L, Timestamp.valueOf("2024-02-01 00:00:00"), "click"))
+    q.processAllAvailable()
+    // journey 2: the SAME user re-anchors months later — state was
+    // emitted and removed, so this is deliberately a NEW journey (the
+    // documented horizon semantic: resurrection is a re-acquisition)
+    stream.addData(
+      REv(50L, Timestamp.valueOf("2024-03-04 00:00:00"), "signup"),
+      REv(50L, Timestamp.valueOf("2024-03-05 00:00:00"), "click"))
+    q.processAllAvailable()
+    stream.addData(REv(99L, Timestamp.valueOf("2024-05-01 00:00:00"), "click"))
+    q.processAllAvailable()
+    q.stop()
+    val emitted = spark.table("ret_reopen").filter($"user_id" === 50L)
+      .as[(Long, Timestamp, Int)].collect().toSeq
+    val byT0 = emitted.groupBy(_._2).view.mapValues(_.map(_._3).toSet).toMap
+    assert(byT0 == Map(
+      Timestamp.valueOf("2024-01-01 00:00:00") -> Set(0, 1),
+      Timestamp.valueOf("2024-03-04 00:00:00") -> Set(0)),
+      s"two journeys, each with its own t0 and periods: $byT0")
+    // the matrix consequently cohorts the user once per journey — the
+    // bounded-state price the scaladoc documents
+    val m = StreamingRetention.matrix(spark.table("ret_reopen").filter($"user_id" === 50L).toDF())
+    assert(m.select("cohort").distinct().count() == 2)
+  }
+
   test("DataPoint ingest survives malformed numeric dims (metric fallback, not a crash)") {
     val pts = Seq(
       Ingest.DataPoint("events", Timestamp.valueOf("2024-01-01 00:00:01"),

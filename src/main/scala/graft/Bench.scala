@@ -116,7 +116,7 @@ object Bench {
 
     // The driver keeps only the LAST 2000 chars of output and sbt's
     // epilogue line (~75 chars) lands after ours, so the whole JSON
-    // line must fit in ~1900 chars or its HEAD gets cut and the parse
+    // line must fit in ~1925 chars or its HEAD gets cut and the parse
     // fails (BENCH_r03: full-precision values pushed the line to
     // ~2600 and `parsed` came back null). Two decimals keeps ~82
     // queries near 1860 chars. 1-minute load average records machine
@@ -190,7 +190,7 @@ object Bench {
       // the 107-query ds line measures 1866, so margin is real now
       .find(_.length <= 1920).getOrElse(mkLine(true, false, dp = 0, stripQ = true))
     println(line)
-    if (line.length > 1900)
+    if (line.length > 1925)
       Console.err.println(s"[bench] WARNING: JSON line ${line.length} chars — driver tail capture may clip it")
     spark.stop()
   }

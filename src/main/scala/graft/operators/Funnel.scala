@@ -135,9 +135,18 @@ object Funnel {
    * observed day gets a row (missing days at cnt = 0). The monitoring
    * prerequisite for [[anomalies]] — without it a day with NO events
    * (the canonical anomaly: a pipeline outage) is simply absent and
-   * can never be scored. The grid is sequence()-generated from the
-   * per-series bounds — series-days-bounded work, one series-key
-   * aggregate.
+   * can never be scored.
+   *
+   * Form: each observed row explodes the gap to its NEXT observed day
+   * (lead() + sequence(); position 0 keeps the count, generated
+   * positions are the zeros) — a min/max-grid LEFT JOIN is the
+   * obvious alternative, but Catalyst re-derives the per-series
+   * bounds from the frame's SOURCE (min-over-groups collapses to
+   * min-over-rows), and when `counts` is an aggregate over an event
+   * table that means a SECOND event-sized scan; the gap-fill window
+   * stays strictly on the days×series-bounded rollup, contributes no
+   * join, and its (series, day) sort is the very sort [[anomalies]]'s
+   * window needs — one exchange serves both.
    */
   def densifyDaily(
       counts: DataFrame,
@@ -145,14 +154,16 @@ object Funnel {
       dayCol: String,
       cntCol: String
   ): DataFrame = {
-    val grid = counts
-      .groupBy(col(seriesCol))
-      .agg(min(col(dayCol)).as("__d0"), max(col(dayCol)).as("__d1"))
-      .select(col(seriesCol),
-        explode(sequence(col("__d0"), col("__d1"), expr("interval 1 day"))).as(dayCol))
-    grid
-      .join(counts, Seq(seriesCol, dayCol), "left")
-      .na.fill(0L, Seq(cntCol))
+    val w = Window.partitionBy(col(seriesCol)).orderBy(col(dayCol))
+    counts
+      .withColumn("__next", lead(col(dayCol), 1).over(w))
+      .select(col(seriesCol), col(cntCol),
+        posexplode(sequence(
+          col(dayCol),
+          coalesce(col("__next") - expr("interval 1 day"), col(dayCol)),
+          expr("interval 1 day"))).as(Seq("__pos", dayCol)))
+      .select(col(seriesCol), col(dayCol),
+        when(col("__pos") === 0, col(cntCol)).otherwise(lit(0L)).as(cntCol))
   }
 
   def anomalies(

@@ -1008,6 +1008,52 @@ class StreamingSpec extends SparkSpecBase {
     assert(m.select("cohort").distinct().count() == 2)
   }
 
+  test("streaming anomaly: watermarked daily cells score exactly like the batch operator") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingAnomaly
+    import graft.operators.Funnel
+    val base = "/tmp/graft_sanomaly_" + System.nanoTime()
+    val stream = MemoryStream[(Timestamp, String)]
+    val events = stream.toDS().toDF("ts", "event_type")
+    val q = StreamingAnomaly.run(
+      events, "ts", "event_type", s"$base/sink", s"$base/ck", watermark = "3 days")
+    def d(day: Int, h: Int = 12) = Timestamp.valueOf(f"2024-01-$day%02d $h%02d:00:00")
+    // type a: 3/day, day 10 spikes to 9, day 5 is an OUTAGE (no events
+    // at all — the cell the stream can never emit; densify must score
+    // it); type b: steady 1/day
+    def evs(day: Int): Seq[(Timestamp, String)] =
+      (if (day == 5) Nil else Seq.fill(if (day == 10) 9 else 3)((d(day), "a"))) :+ ((d(day), "b"))
+    // out-of-order across batches: day 3 arrives a batch late, still
+    // inside the 3-day watermark (its window is not yet finalized)
+    stream.addData(Seq(1, 2, 4, 5, 6).flatMap(evs))
+    q.processAllAvailable()
+    stream.addData(evs(3) ++ Seq(7, 8, 9).flatMap(evs))
+    q.processAllAvailable()
+    // sentinel advances the watermark past day 12 so every real day
+    // finalizes; its own window stays open and never reaches the sink
+    stream.addData(Seq(10, 11, 12).flatMap(evs) :+ ((d(20), "sentinel")))
+    q.processAllAvailable()
+    q.stop()
+    val streamScored = StreamingAnomaly.score(spark, s"$base/sink")
+      .orderBy("event_type", "day").collect().toSeq
+    // the batch form over the SAME events (sans the open sentinel day)
+    val batchDaily = (1 to 12).flatMap(evs).toDF("ts", "event_type")
+      .groupBy(graft.functions.F.truncDay(col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+    val batchScored = Funnel.anomalies(
+      Funnel.densifyDaily(batchDaily, "event_type", "day", "cnt"),
+      "event_type", "day", "cnt")
+      .orderBy("event_type", "day").collect().toSeq
+    assert(streamScored == batchScored, "stream-scored cells must equal the batch operator exactly")
+    assert(streamScored.nonEmpty)
+    val flagged = streamScored.filter(_.getAs[Boolean]("is_anomaly"))
+      .map(r => (r.getAs[String]("event_type"), r.getTimestamp(0))).toSet
+    assert(flagged.contains(("a", d(5, 0))), "the outage day must flag")
+    assert(flagged.contains(("a", d(10, 0))), "the spike day must flag")
+    assert(!streamScored.exists(_.getAs[String]("event_type") == "sentinel"),
+      "the open sentinel window must never reach the sink")
+  }
+
   test("DataPoint ingest survives malformed numeric dims (metric fallback, not a crash)") {
     val pts = Seq(
       Ingest.DataPoint("events", Timestamp.valueOf("2024-01-01 00:00:01"),

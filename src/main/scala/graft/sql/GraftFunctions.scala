@@ -111,6 +111,12 @@ object GraftFunctions {
         sketch.toAggregateExpression())
     }),
     "graft_word_shingles" -> (exprs => graft.functions.expressions.WordShingles(exprs.head, intArg(exprs, 1, 3))),
+    // BPE subword encode: (word_tokens, merges_lit[, end_marker]) — the
+    // learned merge table ("left right" per rank) rides as a foldable
+    // literal, resolved once into a reference-object rank map
+    "graft_bpe_encode" -> (exprs =>
+      graft.functions.expressions.BpeEncode(
+        exprs.head, strArrayArg(exprs(1)), strArg(exprs, 2, "</w>"))),
     // native aggregate tier: Misra-Gries heavy hitters (token[, k])
     "graft_heavy_hitters" -> (exprs => graft.functions.expressions.MisraGries(exprs.head, intArg(exprs, 1, 100))),
     "graft_minhash_union" -> (exprs => graft.functions.expressions.MinHashUnionAgg(exprs.head, intArg(exprs, 1, 64))),
@@ -122,6 +128,12 @@ object GraftFunctions {
     "graft_database" -> (_ => org.apache.spark.sql.catalyst.expressions.Literal("graft")),
     "graft_id" -> (exprs => org.apache.spark.sql.catalyst.expressions.XxHash64(exprs, 42L))
   )
+
+  /** Decode a foldable array<string> literal (the BPE merge table). */
+  private def strArrayArg(e: Expression): Array[String] = {
+    val arr = e.eval().asInstanceOf[ArrayData]
+    Array.tabulate(arr.numElements())(i => arr.getUTF8String(i).toString)
+  }
 
   /** Decode a foldable array<array<float>> literal into the centroid table. */
   private def centroidsArg(e: Expression): Array[Array[Float]] = {

@@ -104,9 +104,10 @@ object TextAnalysis {
    *
    * Scale notes: the per-doc denominator is a map-side-combined
    * aggregate over the gram rows (its exchange carries ONE row per
-   * doc, not the grams); the benchmark side is tokenized ONCE and
-   * cached (benchmark-sized) — the filter sizing, the filter build,
-   * and the verify join all read the cache; the verify join is
+   * doc, not the grams); the benchmark side is cached (benchmark-
+   * sized) across the two eager passes — filter sizing and filter
+   * build — then released, so the verify join recomputes that small
+   * branch once per materialization; the verify join is
    * hash-partitioned on the gram, and its input is |corpus grams| ×
    * (true-hit rate + fpp). The hit table that joins back to the
    * per-doc frame holds only contaminated docs — AQE broadcasts it.
@@ -142,6 +143,11 @@ object TextAnalysis {
       bloom.writeTo(bos)
       bos.toByteArray
     }
+    // The cache exists for the two EAGER passes above (sizing count +
+    // filter build). Release it here so long-lived sessions don't
+    // accumulate storage; the lazy verify join below recomputes the
+    // benchmark-sized branch once per materialization of the result.
+    evalGrams.unpersist(blocking = false)
     val grams = corpus
       .select(col(idCol), F.tokens(col(textCol)).as("tk"))
       .select(col(idCol), explode(wordNgrams(col("tk"), n)).as("gram"))

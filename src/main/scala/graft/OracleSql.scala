@@ -36,6 +36,23 @@ object OracleSql {
                 THEN substr(t, 1, len(t) - 1) ELSE t END
          ELSE t END"""
 
+  /** q_bpe_encode: one word's BPE encode replayed in SQL — code points
+    * boundary-joined as `|c1||c2||...||</w>|`, then
+    * [[graft.operators.Bpe.frozenMerges]] applied in rank order, each
+    * as ONE left-to-right non-overlapping replace (DuckDB `replace`
+    * semantics ≡ Bpe.mergePair's single pass; sequential rank order ≡
+    * the expression's greedy lowest-rank loop — frozenMerges scaladoc).
+    * Built by folding over the SAME frozen table the Spark query
+    * applies, so the two sides cannot drift. '|' never occurs inside a
+    * symbol: tokens are letter/digit runs and the end marker is </w>. */
+  private val bpeEncodeWord: String = {
+    val base = """('|' || array_to_string(regexp_extract_all(w, '.'), '||') || '||</w>|')"""
+    val merged = graft.operators.Bpe.frozenMerges.sortBy(_.rank).foldLeft(base) { (acc, m) =>
+      s"replace($acc, '|${m.left}||${m.right}|', '|${m.left}${m.right}|')"
+    }
+    s"string_split(trim($merged, '|'), '||')"
+  }
+
   /** en/de/fr/es/zh marker scores over padded lower text `p` (mirrors TextAnalysis.langScore). */
   private def score(words: Seq[String]): String =
     words.map(w => s"(CASE WHEN instr(p, ' $w ') > 0 THEN 1 ELSE 0 END)").mkString(" + ")
@@ -914,6 +931,12 @@ object OracleSql {
          CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS ws_tokens,
          CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]+')) AS BIGINT) AS bpe_tokens
          FROM documents ORDER BY doc_id""",
+    "q_bpe_encode" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
+         e AS (SELECT doc_id, flatten(list_transform(tk, w -> $bpeEncodeWord)) AS sub FROM t)
+         SELECT doc_id, CAST(len(sub) AS BIGINT) AS n_subwords,
+                array_to_string(sub[1:8], '|') AS head_subwords
+         FROM e ORDER BY doc_id""",
     "q_chunk_tokens" ->
       s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
          c AS (SELECT doc_id, tk,

@@ -1587,6 +1587,27 @@ object SparkEntry {
       .chunkDocs(ld(s, dir, "documents"), "doc_id", "text", chunk = 64, stride = 48)
       .orderBy(col("doc_id"), col("chunk_idx"))
 
+  /** Learned-BPE subword encode under the exact gate: graft_bpe_encode
+    * (the codegen'd expression) applying [[graft.operators.Bpe.frozenMerges]]
+    * — the table tools/LearnBpe trained once from this corpus — per doc
+    * the subword count and the first 8 subwords. The oracle replays the
+    * merge table as rank-ordered non-overlapping replaces over a
+    * boundary-joined symbol string (provably the greedy-loop result;
+    * frozenMerges scaladoc), so a rank-table mismatch like the r8
+    * separator bug can never again pass the gate silently. Zero-shuffle
+    * narrow pass; the merge table rides as a reference object inside
+    * one whole-stage span. */
+  private def qBpeEncode(s: SparkSession, dir: String): DataFrame =
+    ld(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        graft.operators.Bpe.encode(F.tokens(col("text")), graft.operators.Bpe.frozenMerges).as("sub"))
+      .select(
+        col("doc_id"),
+        size(col("sub")).cast("long").as("n_subwords"),
+        concat_ws("|", slice(col("sub"), 1, 8)).as("head_subwords"))
+      .orderBy(col("doc_id"))
+
   /** PII scrub over the corpus (TextAnalysis.piiScrub): span counts per
     * class + the masked text; patterns restricted to syntax with
     * identical Java-regex/RE2 semantics so the oracle agrees exactly. */
@@ -2042,6 +2063,7 @@ object SparkEntry {
     "q_text_quality" -> (qTextQuality _),
     "q_text_tokencount" -> (qTextTokencount _),
     "q_chunk_tokens" -> (qChunkTokens _),
+    "q_bpe_encode" -> (qBpeEncode _),
     "q_text_fingerprint" -> (qTextFingerprint _),
     "q_corpus_diff" -> (qCorpusDiff _),
     "q_multimodal_meta" -> (qMultimodalMeta _),

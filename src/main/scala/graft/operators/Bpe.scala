@@ -198,4 +198,40 @@ object Bpe {
   /** The vocabulary a merge table induces: every merged token (base
     * symbols — code points and the end marker — are implicit). */
   def vocab(merges: Seq[Merge]): Seq[String] = merges.sortBy(_.rank).map(m => m.left + m.right)
+
+  /**
+   * A merge table learned ONCE from the sf0.01 `documents` corpus
+   * (tools/LearnBpe — the learner is deterministic, so this is
+   * reproducible) and frozen as literals: the production tokenizer
+   * discipline (a tokenizer is trained rarely and applied everywhere),
+   * and what lets q_bpe_encode's DuckDB oracle replay the encode
+   * EXACTLY — each merge applied in rank order as one left-to-right
+   * non-overlapping string replace over a boundary-joined symbol
+   * string. That sequential replay provably equals [[graft.functions.
+   * expressions.BpeEncode]]'s greedy lowest-rank loop for any valid
+   * learned sequence: when the greedy loop picks rank r, no lower rank
+   * is present, one [[mergePair]] pass eliminates ALL occurrences of
+   * r's pair, and every pair the merge creates contains r's output
+   * symbol — which only merges with rank > r can reference (a learner
+   * can only build later merges from earlier outputs). So ranks fire
+   * in strictly increasing order, exactly the nested-replace order.
+   */
+  val frozenMerges: Seq[Merge] = Seq(
+    Merge(0, "e", "r", 4568L),
+    Merge(1, "e", "</w>", 4473L),
+    Merge(2, "n", "</w>", 2834L),
+    Merge(3, "er", "</w>", 2779L),
+    Merge(4, "o", "w", 2747L),
+    Merge(5, "ow", "</w>", 2747L),
+    Merge(6, "o", "r", 2696L),
+    Merge(7, "s", "t", 2676L),
+    Merge(8, "h", "</w>", 1884L),
+    Merge(9, "a", "t", 1845L),
+    Merge(10, "l", "u", 1831L),
+    Merge(11, "i", "n", 1796L),
+    Merge(12, "a", "</w>", 1788L),
+    Merge(13, "g", "</w>", 1777L),
+    Merge(14, "y", "</w>", 1767L),
+    Merge(15, "a", "r", 1758L)
+  )
 }

@@ -131,6 +131,31 @@ class BpeSpec extends SparkSpecBase {
     }
   }
 
+  test("frozenMerges is a valid learned sequence — the oracle-replay precondition") {
+    // q_bpe_encode's DuckDB oracle replays the merges sequentially in
+    // rank order; that equals the expression's greedy lowest-rank loop
+    // ONLY for a valid learned sequence (every symbol is base or an
+    // earlier merge's output — Bpe.frozenMerges scaladoc). Pin it, plus
+    // the two separator constraints both replay encodings lean on.
+    val outputs = scala.collection.mutable.Set.empty[String]
+    for (m <- Bpe.frozenMerges.sortBy(_.rank)) {
+      def derivable(sym: String) =
+        sym == "</w>" || sym.codePointCount(0, sym.length) == 1 || outputs(sym)
+      assert(derivable(m.left), s"left '${m.left}' of rank ${m.rank} is not derivable")
+      assert(derivable(m.right), s"right '${m.right}' of rank ${m.rank} is not derivable")
+      assert(!m.left.contains("|") && !m.right.contains("|"), "oracle boundary char inside a symbol")
+      assert(!m.left.contains(" ") && !m.right.contains(" "), "wire separator inside a symbol")
+      outputs += m.left + m.right
+    }
+    assert(Bpe.frozenMerges.map(_.rank) == Bpe.frozenMerges.indices, "ranks must be 0..n-1")
+    // the table actually fires on corpus-typical words: 'lower' merges
+    // (e,r) -> (o,w) -> (er,</w>) into l·ow·er</w>
+    val out = Seq("lower").toDF("text")
+      .select(Bpe.encode(graft.functions.F.tokens(col("text")), Bpe.frozenMerges).as("bpe"))
+      .head().getSeq[String](0)
+    assert(out == Seq("l", "ow", "er</w>"), s"got $out")
+  }
+
   test("empty merge table degrades to character + end-marker tokens; early stop below minWeight") {
     val df = Seq("ab").toDF("text")
       .select(Bpe.encode(graft.functions.F.tokens(col("text")), Seq.empty).as("bpe"))

@@ -1000,6 +1000,17 @@ object OracleSql {
                     FROM sc)
          SELECT query_id, doc_id, score, CAST(rank AS INT) AS rank
          FROM r WHERE rank <= 10 ORDER BY query_id, rank""",
+    // q_bm25_admitted serves from the persisted base+delta postings
+    // index; the union of disjoint shards IS the monolithic postings
+    // table and the stored stats sum to the monolithic constants, so
+    // the oracle is the SAME monolithic recompute as q_bm25
+    "q_bm25_admitted" ->
+      s"""WITH $bm25ScoreCtes,
+              r AS (SELECT query_id, doc_id, score,
+                      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+                    FROM sc)
+         SELECT query_id, doc_id, score, CAST(rank AS INT) AS rank
+         FROM r WHERE rank <= 10 ORDER BY query_id, rank""",
     // positional k=10 spans (NOT distinct — every position counts), gram
     // occurrence counts corpus-wide, per-doc duplicated-position stats;
     // grouped by the span STRING (the engine groups 128-bit

@@ -611,6 +611,7 @@ object SparkEntry {
     ensurePqIndex(s, dir)
     ensureAdmittedPqIndex(s, dir)
     ensureDeclaredCatalog(s, dir)
+    ensurePostingsIndex(s, dir)
     ()
   }
 
@@ -1657,6 +1658,42 @@ object SparkEntry {
       .orderBy(col("query_id"), col("rank"))
 
   /**
+   * BM25 served from the PERSISTED postings index with an admitted
+   * delta shard (Retrieval.buildPostingsIndex / admitDocs /
+   * bm25TopKFromIndex): base indexed from even doc_id, odd doc_id
+   * admitted as shard "daily" — the retrieval family's between-rebuilds
+   * lifecycle under the exact gate. The serve path reads the stored
+   * per-shard (n_docs, total_len) aggregates instead of re-aggregating
+   * the corpus, and must score EXACTLY like the monolithic recompute —
+   * the oracle is q_bm25's own SQL over all documents.
+   */
+  private def qBm25Admitted(s: SparkSession, dir: String): DataFrame = {
+    val idxPath = ensurePostingsIndex(s, dir)
+    Retrieval
+      .bm25TopKFromIndex(s, idxPath, k = 10)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Build-once postings index fixture (q_bm25_admitted): base from
+    * even-doc_id docs, odd-doc_id docs admitted as shard "daily". The
+    * admission's stats write is the LAST step, so its _SUCCESS marks
+    * the whole fixture complete. Exposed through [[setupFixtures]]. */
+  private def ensurePostingsIndex(s: SparkSession, dir: String): String = {
+    val idxPath = s"/tmp/graft_postings/${dirKey(dir)}"
+    val marker = new org.apache.hadoop.fs.Path(s"$idxPath/stats/shard=daily/_SUCCESS")
+    if (!marker.getFileSystem(s.sparkContext.hadoopConfiguration).exists(marker)) {
+      val docs = ld(s, dir, "documents")
+      Retrieval.buildPostingsIndex(
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", idxPath)
+      // admitDocs writes eagerly (appendPostings is two write actions);
+      // the returned survivor frame is not needed here
+      Retrieval.admitDocs(
+        docs.filter(col("doc_id") % 2 === 1), idxPath, "doc_id", "text", "daily")
+    }
+    idxPath
+  }
+
+  /**
    * Exact-substring duplication signal (Lee et al. 2022 construction
    * at fixed span length k=10): fraction of each doc's k-token span
    * positions whose span occurs anywhere else in the corpus —
@@ -2069,6 +2106,7 @@ object SparkEntry {
     "q_multimodal_meta" -> (qMultimodalMeta _),
     "q_multimodal_frames" -> (qMultimodalFrames _),
     "q_bm25" -> (qBm25 _),
+    "q_bm25_admitted" -> (qBm25Admitted _),
     "q_text_repetition" -> (qTextRepetition _),
     "q_substring_dup" -> (qSubstringDup _),
     "q_mix_alpha" -> (qMixAlpha _),

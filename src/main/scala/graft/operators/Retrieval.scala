@@ -96,10 +96,6 @@ object Retrieval {
       queries: Seq[(String, Seq[String])] = defaultQueries,
       k: Int = 10
   ): DataFrame = {
-    graft.sql.GraftFunctions.register(spark)
-    graft.sql.GraftFunctions.installTopKStrategy(spark)
-    import spark.implicits._
-
     // corpus constants derived from the postings themselves — NOT a
     // separate tokenize pass: Σ tf over a doc's terms is its token
     // count, so N and L fall out of a per-doc re-aggregate. 1-row
@@ -111,6 +107,26 @@ object Retrieval {
       .agg(
         count(lit(1)).cast("double").as("n_docs"),
         coalesce(sum(col("len")), lit(0L)).cast("double").as("tot_len"))
+    bm25Scored(spark, tf, stats, queries, k)
+  }
+
+  /** The one copy of the quantized BM25 scoring kernel (scaladoc at the
+    * object head): callers supply the postings and the 1-row
+    * (n_docs, tot_len) stats frame — [[bm25TopKFromPostings]] derives
+    * stats from the postings, [[bm25TopKFromIndex]] reads the index's
+    * stored per-shard aggregates so SERVING never re-aggregates the
+    * corpus. */
+  private def bm25Scored(
+      spark: SparkSession,
+      tf: DataFrame,
+      stats: DataFrame,
+      queries: Seq[(String, Seq[String])],
+      k: Int
+  ): DataFrame = {
+    graft.sql.GraftFunctions.register(spark)
+    graft.sql.GraftFunctions.installTopKStrategy(spark)
+    import spark.implicits._
+
     val queryTerms = queries
       .flatMap { case (qid, terms) => terms.distinct.map(t => (qid, t)) }
       .toDF("query_id", "term")
@@ -234,6 +250,270 @@ object Retrieval {
    * touches ≤ 2·kPerLeg·|queries| rows regardless of corpus size; the
    * legs dominate, and they are the audited broadcast-join shapes.
    */
+  // ==================================================================
+  // Persisted postings index — the retrieval family's between-rebuilds
+  // lifecycle (build / admit / serve / compact), the same LSM shape as
+  // the text-signature index (Dedup.buildTextIndex…) and the vector
+  // indexes (Ann.appendToIvfIndex…): rebuild rarely, admit new shards
+  // cheaply, promote/compact as maintenance.
+  //
+  // Layout under <path>:
+  //   postings/shard=<name>/  per-shard (doc_id, term, tf, len) rows
+  //   stats/shard=<name>/     ONE row (n_docs, total_len) per shard —
+  //                           BM25's corpus constants are additive over
+  //                           disjoint shards, so serving reads a
+  //                           bounded stats table instead of
+  //                           re-aggregating the corpus per query batch
+  //                           (the groupBy(doc_id) pass the ad-hoc path
+  //                           pays disappears at serve time)
+  //   meta/                   written LAST at build — its presence
+  //                           certifies a complete base build
+  //   promoting/              compaction's staged state + crash marker
+  //
+  // Shard commit order: postings first, stats last — a stats/_SUCCESS
+  // certifies the whole shard, so a crashed append (postings written,
+  // stats not) is invisible to serving and its replay overwrites both.
+  // Admission contract: a doc_id lives in exactly ONE shard
+  // ([[admitDocs]] screens novelty) — BM25, unlike the dedup index,
+  // does NOT tolerate duplicated rows (df/N/tf would shift), so
+  // identity is collapsed defensively only while the compaction crash
+  // marker exists, never in the steady state.
+  // ==================================================================
+
+  private def escapeShard(shard: String): String =
+    org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(shard)
+
+  private def fsOf(spark: SparkSession, path: String): org.apache.hadoop.fs.FileSystem =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** One (n_docs, total_len) row for a shard's postings frame. */
+  private def shardStats(tf: DataFrame): DataFrame =
+    tf.agg(
+      countDistinct(col("doc_id")).as("n_docs"),
+      coalesce(sum(col("tf")), lit(0L)).as("total_len"))
+
+  /**
+   * Build the persisted postings index: wipe any previous state (meta
+   * deleted FIRST, so a crash mid-wipe leaves a serve-refusing index,
+   * never a half-wiped readable one), write the corpus postings as
+   * `shard=__base`, its stats row, then meta LAST.
+   */
+  def buildPostingsIndex(
+      docs: DataFrame, idCol: String, textCol: String, path: String): Unit = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val fs = fsOf(spark, path)
+    Seq("meta", "stats", "postings", "promoting")
+      .foreach(d => fs.delete(new org.apache.hadoop.fs.Path(s"$path/$d"), true))
+    val tf = tokenPostings(docs, idCol, textCol)
+    tf.write.mode("overwrite").parquet(s"$path/postings/shard=__base")
+    shardStats(tf).coalesce(1).write.mode("overwrite").parquet(s"$path/stats/shard=__base")
+    Seq(("letters_digits_lower", 1)).toDF("tokenizer", "format")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /**
+   * Append one shard's postings to an existing index. One narrow
+   * tokenize pass over the NEW docs; the base corpus is never
+   * rewritten. Each shard overwrites its OWN dirs — replaying a failed
+   * admission converges instead of duplicating postings. The stats row
+   * is derived from the same plan (a second shard-sized tokenize, paid
+   * so an empty shard — whose parquet dir may carry no readable data
+   * file — still gets its (0, 0) stats row without a read-back).
+   */
+  def appendPostings(
+      docs: DataFrame, indexPath: String, idCol: String, textCol: String,
+      shard: String): Unit = {
+    require(shard.nonEmpty && shard != "__base",
+      s"shard name must be a non-empty label other than the reserved __base, got '$shard'")
+    val safe = escapeShard(shard)
+    val tf = tokenPostings(docs, idCol, textCol)
+    tf.write.mode("overwrite").parquet(s"$indexPath/postings/shard=$safe")
+    shardStats(tf).coalesce(1).write.mode("overwrite")
+      .parquet(s"$indexPath/stats/shard=$safe")
+  }
+
+  /** Shard names servable right now: stats committed (written last ⇒
+    * postings complete). A crashed append leaves postings without
+    * stats and is excluded from BOTH trees, keeping constants and
+    * postings consistent with each other. */
+  private def servableShards(spark: SparkSession, path: String): Array[String] = {
+    val statsRoot = new org.apache.hadoop.fs.Path(s"$path/stats")
+    val fs = statsRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(statsRoot)) Array.empty
+    else fs.listStatus(statsRoot).map(_.getPath)
+      .filter(_.getName.startsWith("shard="))
+      .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")))
+      .map(_.getName.stripPrefix("shard="))
+  }
+
+  /** The compaction crash marker: while `promoting/` exists, rows may
+    * be duplicated between the rewritten `__base` and stale folded
+    * shard dirs, so reads collapse (doc_id, term) identity and derive
+    * stats from the collapsed postings — exact, one extra shuffle,
+    * paid ONLY in that window (the [[graft.operators.Ann]] deltaSide
+    * discipline). */
+  private def compacting(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/promoting")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /**
+   * The postings of a persisted index: committed shards only,
+   * identity-collapsed while the compaction crash marker exists.
+   * Refuses an index without meta (a crashed [[buildPostingsIndex]]).
+   * `excludeShard` drops one shard's rows — the replay-safety hook
+   * [[admitDocs]] probes through.
+   */
+  def postingsFromIndex(
+      spark: SparkSession, indexPath: String,
+      excludeShard: Option[String] = None): DataFrame = {
+    val fs = fsOf(spark, indexPath)
+    require(fs.exists(new org.apache.hadoop.fs.Path(s"$indexPath/meta/_SUCCESS")),
+      s"no complete postings index at $indexPath (meta missing — build crashed or never ran)")
+    val names = servableShards(spark, indexPath)
+      .filterNot(n => excludeShard.map(escapeShard).contains(n))
+    val dirs = names
+      .map(n => new org.apache.hadoop.fs.Path(s"$indexPath/postings/shard=$n"))
+      .filter(p => fs.exists(p) && fs.listStatus(p).exists { st =>
+        val f = st.getPath.getName
+        st.isFile && !f.startsWith("_") && !f.startsWith(".")
+      })
+    require(dirs.nonEmpty, s"postings index at $indexPath holds no readable shard data")
+    val tf = spark.read.option("basePath", s"$indexPath/postings")
+      .parquet(dirs.map(_.toString).toIndexedSeq: _*)
+      .select(col("doc_id"), col("term"), col("tf"), col("len"))
+    if (compacting(spark, indexPath)) tf.dropDuplicates(Seq("doc_id", "term")) else tf
+  }
+
+  /** The index's corpus constants as the scoring kernel's 1-row
+    * (n_docs, tot_len) frame: a sum over the BOUNDED per-shard stats
+    * table in the steady state; re-derived from the collapsed postings
+    * while the compaction marker exists (the stats tree double-counts
+    * in exactly that window). */
+  private def statsFromIndex(
+      spark: SparkSession, indexPath: String, tf: DataFrame): DataFrame =
+    if (compacting(spark, indexPath))
+      tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("len"))
+        .agg(
+          count(lit(1)).cast("double").as("n_docs"),
+          coalesce(sum(col("len")), lit(0L)).cast("double").as("tot_len"))
+    else {
+      val names = servableShards(spark, indexPath)
+      spark.read.option("basePath", s"$indexPath/stats")
+        .parquet(names.map(n => s"$indexPath/stats/shard=$n").toIndexedSeq: _*)
+        .agg(
+          coalesce(sum(col("n_docs")), lit(0L)).cast("double").as("n_docs"),
+          coalesce(sum(col("total_len")), lit(0L)).cast("double").as("tot_len"))
+    }
+
+  /**
+   * BM25 serve path against the persisted index: same quantized kernel
+   * as [[bm25TopKFromPostings]] (exact-equal scores on the same
+   * corpus), but the corpus constants come from the stored per-shard
+   * aggregates — serving never pays the corpus-wide groupBy(doc_id)
+   * pass, only the query-term-filtered postings scan.
+   */
+  def bm25TopKFromIndex(
+      spark: SparkSession,
+      indexPath: String,
+      queries: Seq[(String, Seq[String])] = defaultQueries,
+      k: Int = 10
+  ): DataFrame = {
+    val tf = postingsFromIndex(spark, indexPath)
+    bm25Scored(spark, tf, statsFromIndex(spark, indexPath, tf), queries, k)
+  }
+
+  /**
+   * The per-shard admission cycle: screen the shard's doc ids against
+   * the index (an id already indexed is a re-admission — appending it
+   * would double-count df/N/tf), append the novel survivors' postings
+   * under this shard's name, return the surviving rows of `docs`.
+   * Replay-safe: the screen EXCLUDES the shard's own rows, so a retry
+   * recomputes the same survivor set and overwrites the same dirs.
+   * Scale shape: the shard's ids broadcast against ONE narrow id scan
+   * of the index (the [[graft.operators.Dedup.admitShard]] probe
+   * shape) — nothing corpus-sized shuffles or collects.
+   */
+  def admitDocs(
+      docs: DataFrame, indexPath: String, idCol: String, textCol: String,
+      shard: String): DataFrame = {
+    val spark = docs.sparkSession
+    val dupIds = postingsFromIndex(spark, indexPath, excludeShard = Some(shard))
+      .select(col("doc_id"))
+      .join(broadcast(docs.select(col(idCol).as("doc_id")).distinct()), "doc_id")
+      .distinct()
+    val survivors = docs.join(
+      dupIds.hint("shuffle_hash"), docs(idCol) === dupIds("doc_id"), "left_anti")
+    appendPostings(survivors, indexPath, idCol, textCol, shard)
+    survivors
+  }
+
+  /** Fold every committed shard into `shard=__base` — restartable
+    * maintenance, single concurrent writer (the repo-wide index
+    * discipline). See [[compactPostingsIndexImpl]]. */
+  def compactPostingsIndex(spark: SparkSession, path: String): Unit =
+    compactPostingsIndexImpl(spark, path, () => ())
+
+  /**
+   * [[compactPostingsIndex]] with a test seam: `afterStage` runs after
+   * the staged merge is durable but before the serve tree mutates —
+   * the window crash specs inject into.
+   *
+   * Protocol (the [[graft.operators.Ann]] promoteIvfDelta discipline):
+   * 1. snapshot the committed shard set; merge their postings
+   *    (collapsing (doc_id, term) identity — a PRIOR attempt's crash
+   *    window leaves folded rows twice) and the derived base stats
+   *    into `promoting/` — OUT of the serve tree; persist the folded
+   *    shard list so a retry folds the same set (shards admitted
+   *    between attempts are neither folded nor deleted);
+   * 2. overwrite `shard=__base` (postings, then stats) from the staged
+   *    copy;
+   * 3. delete the folded shard dirs (both trees), then the `promoting/`
+   *    marker LAST — every crash between 2 and here leaves the marker,
+   *    and readers collapse identity + re-derive stats while it
+   *    exists, so serving stays EXACT through the whole window.
+   */
+  private[graft] def compactPostingsIndexImpl(
+      spark: SparkSession, path: String, afterStage: () => Unit): Unit = {
+    val fs = fsOf(spark, path)
+    val promoting = new org.apache.hadoop.fs.Path(s"$path/promoting")
+    val foldedList = new org.apache.hadoop.fs.Path(s"$path/promoting/folded")
+    val stagedPost = s"$path/promoting/postings"
+    val stagedStats = s"$path/promoting/stats"
+    val snapshot: Array[String] =
+      if (fs.exists(foldedList)) {
+        val in = fs.open(foldedList)
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toArray
+        finally in.close()
+      } else {
+        val snap = servableShards(spark, path)
+        if (snap.length <= 1) return // nothing to fold
+        val merged = postingsFromIndex(spark, path)
+          .dropDuplicates(Seq("doc_id", "term"))
+        merged.write.mode("overwrite").parquet(stagedPost)
+        // stats derived from the STAGED copy (read back — one narrow
+        // agg over what __base will hold, immune to plan re-derivation)
+        shardStats(spark.read.parquet(stagedPost))
+          .coalesce(1).write.mode("overwrite").parquet(stagedStats)
+        val out = fs.create(foldedList, true)
+        try out.write(snap.mkString("\n").getBytes("UTF-8"))
+        finally out.close()
+        snap
+      }
+    afterStage()
+    spark.read.parquet(stagedPost)
+      .write.mode("overwrite").parquet(s"$path/postings/shard=__base")
+    spark.read.parquet(stagedStats)
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/stats/shard=__base")
+    snapshot.filterNot(_ == "__base").foreach { n =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/postings/shard=$n"), true)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/stats/shard=$n"), true)
+    }
+    fs.delete(promoting, true)
+  }
+
   def hybridTopK(
       spark: SparkSession,
       docs: DataFrame,

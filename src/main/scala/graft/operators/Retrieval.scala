@@ -66,7 +66,11 @@ object Retrieval {
    * form re-tokenizes per consumer, which is exactly why the persisted
    * form exists).
    */
-  def tokenPostings(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+  def tokenPostings(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // F.tokens resolves via call_function("graft_tokens") at analysis
+    // time — register here so every public entry point (build, append,
+    // ad-hoc) works on a fresh session, not only bm25Scored's path
+    graft.sql.GraftFunctions.register(docs.sparkSession)
     docs
       .select(col(idCol).as("doc_id"), F.tokens(col(textCol)).as("tk"))
       // len rides along through the explode (constant per doc) so the
@@ -74,6 +78,7 @@ object Retrieval {
       .select(col("doc_id"), size(col("tk")).cast("long").as("len"), explode(col("tk")).as("term"))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"), max(col("len")).as("len"))
+  }
 
   /** Ad-hoc BM25 over raw text: derives [[tokenPostings]] inline. */
   def bm25TopK(
@@ -348,21 +353,85 @@ object Retrieval {
       .map(_.getName.stripPrefix("shard="))
   }
 
-  /** The compaction crash marker: while `promoting/` exists, rows may
-    * be duplicated between the rewritten `__base` and stale folded
-    * shard dirs, so reads collapse (doc_id, term) identity and derive
-    * stats from the collapsed postings — exact, one extra shuffle,
-    * paid ONLY in that window (the [[graft.operators.Ann]] deltaSide
-    * discipline). */
+  /** The compaction crash marker: while `promoting/` exists the serve
+    * tree may be mid-mutation, so reads switch to the crash-window
+    * protocol (see [[postingsSources]]) and derive stats from the
+    * collapsed postings — exact, one extra shuffle, paid ONLY in that
+    * window (the [[graft.operators.Ann]] deltaSide discipline). */
   private def compacting(spark: SparkSession, path: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(s"$path/promoting")
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
+  /** True iff `dir` holds at least one real data file (not a marker). */
+  private def hasDataFiles(
+      fs: org.apache.hadoop.fs.FileSystem, dir: org.apache.hadoop.fs.Path): Boolean =
+    fs.exists(dir) && fs.listStatus(dir).exists { st =>
+      val f = st.getPath.getName
+      st.isFile && !f.startsWith("_") && !f.startsWith(".")
+    }
+
+  /** The compaction fold snapshot, present iff the staged merge is
+    * durable: `promoting/folded` is written AFTER the staged postings
+    * and stats, so its existence certifies both. */
+  private def stagedFold(spark: SparkSession, path: String): Option[Array[String]] = {
+    val fs = fsOf(spark, path)
+    val f = new org.apache.hadoop.fs.Path(s"$path/promoting/folded")
+    if (!fs.exists(f)) None
+    else {
+      val in = fs.open(f)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").getLines().toArray)
+      finally in.close()
+    }
+  }
+
   /**
-   * The postings of a persisted index: committed shards only,
-   * identity-collapsed while the compaction crash marker exists.
-   * Refuses an index without meta (a crashed [[buildPostingsIndex]]).
+   * The readable postings sources a scan honoring `excludeShard` reads,
+   * crash-window aware. Steady state: every committed shard dir that
+   * holds data files. While the compaction's durable fold snapshot
+   * exists, shards in the snapshot — INCLUDING a possibly
+   * half-overwritten `shard=__base` — are served from the staged
+   * `promoting/postings` copy (durable before the serve tree mutates),
+   * and only shards admitted after the snapshot read from their own
+   * dirs: a crash anywhere in steps 2-3 can therefore never lose or
+   * double-serve the base corpus.
+   */
+  private def postingsSources(
+      spark: SparkSession, indexPath: String,
+      excludeShard: Option[String]): Seq[String] = {
+    val fs = fsOf(spark, indexPath)
+    val excluded = excludeShard.map(escapeShard)
+    val names = servableShards(spark, indexPath).filterNot(n => excluded.contains(n))
+    def readable(ns: Array[String]): Seq[String] = ns.toIndexedSeq
+      .map(n => s"$indexPath/postings/shard=$n")
+      .filter(d => hasDataFiles(fs, new org.apache.hadoop.fs.Path(d)))
+    stagedFold(spark, indexPath) match {
+      case Some(folded) =>
+        val staged = s"$indexPath/promoting/postings"
+        (if (hasDataFiles(fs, new org.apache.hadoop.fs.Path(staged))) Seq(staged) else Nil) ++
+          readable(names.filterNot(folded.toSet))
+      case None => readable(names)
+    }
+  }
+
+  /** Whether a read honoring `excludeShard` has any postings to scan —
+    * [[admitDocs]]'s "is there anything to screen against" check. False
+    * on an empty-corpus base (zero rows write no readable parquet data
+    * file) or when the only shard is the one being excluded; same
+    * meta guard as [[postingsFromIndex]]. */
+  private def hasServablePostings(
+      spark: SparkSession, indexPath: String, excludeShard: Option[String]): Boolean = {
+    val fs = fsOf(spark, indexPath)
+    require(fs.exists(new org.apache.hadoop.fs.Path(s"$indexPath/meta/_SUCCESS")),
+      s"no complete postings index at $indexPath (meta missing — build crashed or never ran)")
+    postingsSources(spark, indexPath, excludeShard).nonEmpty
+  }
+
+  /**
+   * The postings of a persisted index: committed shards only, served
+   * through the crash-window protocol of [[postingsSources]] and
+   * identity-collapsed while the compaction marker exists. Refuses an
+   * index without meta (a crashed [[buildPostingsIndex]]).
    * `excludeShard` drops one shard's rows — the replay-safety hook
    * [[admitDocs]] probes through.
    */
@@ -372,17 +441,9 @@ object Retrieval {
     val fs = fsOf(spark, indexPath)
     require(fs.exists(new org.apache.hadoop.fs.Path(s"$indexPath/meta/_SUCCESS")),
       s"no complete postings index at $indexPath (meta missing — build crashed or never ran)")
-    val names = servableShards(spark, indexPath)
-      .filterNot(n => excludeShard.map(escapeShard).contains(n))
-    val dirs = names
-      .map(n => new org.apache.hadoop.fs.Path(s"$indexPath/postings/shard=$n"))
-      .filter(p => fs.exists(p) && fs.listStatus(p).exists { st =>
-        val f = st.getPath.getName
-        st.isFile && !f.startsWith("_") && !f.startsWith(".")
-      })
-    require(dirs.nonEmpty, s"postings index at $indexPath holds no readable shard data")
-    val tf = spark.read.option("basePath", s"$indexPath/postings")
-      .parquet(dirs.map(_.toString).toIndexedSeq: _*)
+    val srcs = postingsSources(spark, indexPath, excludeShard)
+    require(srcs.nonEmpty, s"postings index at $indexPath holds no readable shard data")
+    val tf = spark.read.parquet(srcs: _*)
       .select(col("doc_id"), col("term"), col("tf"), col("len"))
     if (compacting(spark, indexPath)) tf.dropDuplicates(Seq("doc_id", "term")) else tf
   }
@@ -429,9 +490,16 @@ object Retrieval {
    * The per-shard admission cycle: screen the shard's doc ids against
    * the index (an id already indexed is a re-admission — appending it
    * would double-count df/N/tf), append the novel survivors' postings
-   * under this shard's name, return the surviving rows of `docs`.
+   * under this shard's name, return the surviving rows.
    * Replay-safe: the screen EXCLUDES the shard's own rows, so a retry
-   * recomputes the same survivor set and overwrites the same dirs.
+   * recomputes the same survivor set and overwrites the same dirs —
+   * including into a still-empty base (zero indexed docs ⇒ every doc
+   * is novel), where there are no postings to screen against.
+   * The admitted frame is collapsed to ONE row per id first: duplicated
+   * input rows would double tf in [[tokenPostings]] while
+   * [[shardStats]]' countDistinct counts the id once, drifting serving
+   * scores from the monolithic recompute (rows sharing an id are
+   * assumed identical — an arbitrary one survives).
    * Scale shape: the shard's ids broadcast against ONE narrow id scan
    * of the index (the [[graft.operators.Dedup.admitShard]] probe
    * shape) — nothing corpus-sized shuffles or collects.
@@ -440,12 +508,17 @@ object Retrieval {
       docs: DataFrame, indexPath: String, idCol: String, textCol: String,
       shard: String): DataFrame = {
     val spark = docs.sparkSession
-    val dupIds = postingsFromIndex(spark, indexPath, excludeShard = Some(shard))
-      .select(col("doc_id"))
-      .join(broadcast(docs.select(col(idCol).as("doc_id")).distinct()), "doc_id")
-      .distinct()
-    val survivors = docs.join(
-      dupIds.hint("shuffle_hash"), docs(idCol) === dupIds("doc_id"), "left_anti")
+    val unique = docs.dropDuplicates(Seq(idCol))
+    val survivors =
+      if (!hasServablePostings(spark, indexPath, excludeShard = Some(shard))) unique
+      else {
+        val dupIds = postingsFromIndex(spark, indexPath, excludeShard = Some(shard))
+          .select(col("doc_id"))
+          .join(broadcast(unique.select(col(idCol).as("doc_id")).distinct()), "doc_id")
+          .distinct()
+        unique.join(
+          dupIds.hint("shuffle_hash"), unique(idCol) === dupIds("doc_id"), "left_anti")
+      }
     appendPostings(survivors, indexPath, idCol, textCol, shard)
     survivors
   }
@@ -471,9 +544,12 @@ object Retrieval {
    * 2. overwrite `shard=__base` (postings, then stats) from the staged
    *    copy;
    * 3. delete the folded shard dirs (both trees), then the `promoting/`
-   *    marker LAST — every crash between 2 and here leaves the marker,
-   *    and readers collapse identity + re-derive stats while it
-   *    exists, so serving stays EXACT through the whole window.
+   *    marker LAST — every crash between 1's fold-list write and here
+   *    leaves the marker + snapshot, and readers then serve the folded
+   *    shards from the STAGED copy itself (never the mutating
+   *    `shard=__base` dir — see [[postingsSources]]), collapse identity
+   *    and re-derive stats, so serving stays EXACT through the whole
+   *    window, including a crash mid-way through step 2's overwrite.
    */
   private[graft] def compactPostingsIndexImpl(
       spark: SparkSession, path: String, afterStage: () => Unit): Unit = {
@@ -483,11 +559,7 @@ object Retrieval {
     val stagedPost = s"$path/promoting/postings"
     val stagedStats = s"$path/promoting/stats"
     val snapshot: Array[String] =
-      if (fs.exists(foldedList)) {
-        val in = fs.open(foldedList)
-        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toArray
-        finally in.close()
-      } else {
+      stagedFold(spark, path).getOrElse {
         val snap = servableShards(spark, path)
         if (snap.length <= 1) return // nothing to fold
         val merged = postingsFromIndex(spark, path)

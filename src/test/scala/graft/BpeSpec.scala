@@ -145,8 +145,22 @@ class BpeSpec extends SparkSpecBase {
       assert(derivable(m.right), s"right '${m.right}' of rank ${m.rank} is not derivable")
       assert(!m.left.contains("|") && !m.right.contains("|"), "oracle boundary char inside a symbol")
       assert(!m.left.contains(" ") && !m.right.contains(" "), "wire separator inside a symbol")
-      outputs += m.left + m.right
+      val out = m.left + m.right
+      assert(!outputs(out),
+        s"duplicate merge output '$out' at rank ${m.rank} — two string-equal outputs break " +
+          "sequential-replay ≡ greedy equivalence")
+      outputs += out
     }
+    // no merge may re-create a symbol string an EARLIER merge already
+    // consumes or emits: an input matching a later-or-equal-ranked
+    // output would make the oracle's sequential replay diverge from the
+    // expression's greedy lowest-rank loop (derivability above only
+    // checks the earlier direction)
+    val ordered = Bpe.frozenMerges.sortBy(_.rank)
+    val outSeq = ordered.map(m => m.left + m.right)
+    for ((m, i) <- ordered.zipWithIndex; sym <- Seq(m.left, m.right))
+      assert(!outSeq.drop(i).contains(sym),
+        s"input '$sym' of rank ${m.rank} equals the output of a later-or-equal-ranked merge")
     assert(Bpe.frozenMerges.map(_.rank) == Bpe.frozenMerges.indices, "ranks must be 0..n-1")
     // the table actually fires on corpus-typical words: 'lower' merges
     // (e,r) -> (o,w) -> (er,</w>) into l·ow·er</w>

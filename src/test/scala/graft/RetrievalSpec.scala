@@ -48,6 +48,87 @@ class RetrievalSpec extends SparkSpecBase {
     assert(fromIndex == adHoc)
   }
 
+  // ---- persisted postings index lifecycle (build / admit / compact) ----
+
+  private def hfs = org.apache.hadoop.fs.FileSystem
+    .get(spark.sparkContext.hadoopConfiguration)
+
+  private def served(path: String) = Retrieval
+    .bm25TopKFromIndex(spark, path)
+    .orderBy("query_id", "rank").collect().toSeq
+
+  test("postings lifecycle: admit screens novelty; compaction crash window serves exactly, " +
+      "including a crash half-way through the __base overwrite") {
+    val path = "/tmp/graft_postings_lc_" + System.nanoTime()
+    val base = docs.select("doc_id", "text").filter(col("doc_id") % 2 === 0)
+    // 40 novel odd docs + 10 re-admissions of already-indexed base docs
+    val shard = docs.select("doc_id", "text")
+      .filter((col("doc_id") % 2 === 1 && col("doc_id") < 80) ||
+        (col("doc_id") % 2 === 0 && col("doc_id") < 20))
+    Retrieval.buildPostingsIndex(base, "doc_id", "text", path)
+    val survivors = Retrieval.admitDocs(shard, path, "doc_id", "text", "s1")
+    assert(survivors.count() == 40)
+    assert(survivors.filter(col("doc_id") % 2 === 0).count() == 0, "re-admissions must be screened")
+
+    // serving the index == the monolithic recompute over base ∪ survivors
+    val corpus = base.unionByName(
+      docs.select("doc_id", "text").filter(col("doc_id") % 2 === 1 && col("doc_id") < 80))
+    val expect = Retrieval.bm25TopK(spark, corpus, "doc_id", "text")
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(served(path) == expect)
+
+    // crash AFTER the staged merge is durable, BEFORE the serve tree mutates
+    intercept[RuntimeException] {
+      Retrieval.compactPostingsIndexImpl(spark, path, () => {
+        assert(served(path) == expect, "staged-but-unpromoted window must serve exactly")
+        throw new RuntimeException("boom")
+      })
+    }
+    // simulate the killed job having died HALF-WAY through step 2's
+    // shard=__base overwrite: the dir lost its old data files with no
+    // complete new copy — the base corpus exists only in the staged dir
+    val basePost = new org.apache.hadoop.fs.Path(s"$path/postings/shard=__base")
+    hfs.listStatus(basePost).foreach(st => hfs.delete(st.getPath, false))
+    assert(served(path) == expect, "mid-overwrite crash must not drop the base corpus")
+
+    // restart the maintenance job: replay folds the SAME snapshot
+    Retrieval.compactPostingsIndex(spark, path)
+    assert(!hfs.exists(new org.apache.hadoop.fs.Path(s"$path/promoting")), "marker must clear")
+    assert(served(path) == expect)
+    // everything folded into __base; a fresh admission still screens
+    val again = Retrieval.admitDocs(shard, path, "doc_id", "text", "s2")
+    assert(again.count() == 0, "every shard doc is already indexed after compaction")
+  }
+
+  test("admitDocs into an empty base treats every doc as novel and replays convergently") {
+    val path = "/tmp/graft_postings_eb_" + System.nanoTime()
+    val empty = docs.select("doc_id", "text").filter(lit(false))
+    Retrieval.buildPostingsIndex(empty, "doc_id", "text", path)
+    val shard = docs.select("doc_id", "text").filter(col("doc_id") < 50)
+    val n = shard.count()
+    assert(Retrieval.admitDocs(shard, path, "doc_id", "text", "s1").count() == n)
+    // replay of the same admission converges (no self-rejection)
+    assert(Retrieval.admitDocs(shard, path, "doc_id", "text", "s1").count() == n)
+    val expect = Retrieval.bm25TopK(spark, shard, "doc_id", "text")
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(served(path) == expect)
+  }
+
+  test("admitDocs collapses duplicated input rows so tf and stats agree") {
+    val path = "/tmp/graft_postings_dup_" + System.nanoTime()
+    val base = docs.select("doc_id", "text").filter(col("doc_id") >= 100)
+    Retrieval.buildPostingsIndex(base, "doc_id", "text", path)
+    val fresh = docs.select("doc_id", "text").filter(col("doc_id") < 10)
+    val tripled = fresh.unionByName(fresh).unionByName(fresh)
+    val survivors = Retrieval.admitDocs(tripled, path, "doc_id", "text", "s1")
+    assert(survivors.count() == fresh.count(), "one surviving row per doc id")
+    // a duplicated admission must not inflate tf relative to n_docs:
+    // serving equals the monolithic recompute over the UNIQUE docs
+    val expect = Retrieval.bm25TopK(spark, base.unionByName(fresh), "doc_id", "text")
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(served(path) == expect)
+  }
+
   test("packShards matches the single-partition global window formulation exactly") {
     import org.apache.spark.sql.expressions.Window
     val d = docs.select(col("doc_id"), size(graft.functions.F.tokens(col("text"))).cast("long").as("w"))

@@ -1406,6 +1406,42 @@ object OracleSql {
                 CAST(sc.nll_q AS DOUBLE) / CAST(sc.doc_tokens * 1000000 AS DOUBLE) AS nll,
                 COALESCE(CAST(sc.nll_q AS DOUBLE) / CAST(sc.doc_tokens * 1000000 AS DOUBLE) <= 4.0, FALSE) AS keep
          FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
-         ORDER BY d.doc_id"""
+         ORDER BY d.doc_id""",
+    // DSIR importance resampling (Xie et al. 2023): hashed-unigram
+    // (24-bit md5 prefix % 4096) target-vs-raw ratio model, add-1
+    // smoothed; per-bucket log ratio is ONE ln of ONE division of
+    // exact integer products, quantized to micro-nats at the leaf —
+    // per-doc sums are exact BIGINT, so top-100 selection is
+    // engine-exact (ties broken by doc_id)
+    "q_dsir_select" ->
+      s"""WITH t AS (SELECT doc_id, source = 'src0' AS is_t, $toks AS tk FROM documents),
+              u AS (SELECT doc_id, is_t, unnest(tk) AS w FROM t),
+              ub AS (SELECT doc_id, is_t,
+                       CAST(CONCAT('0x', substr(md5(w), 1, 6)) AS BIGINT) % 4096 AS bucket
+                     FROM u),
+              bc AS (SELECT bucket,
+                       CAST(SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+                       CAST(SUM(CASE WHEN is_t THEN 0 ELSE 1 END) AS BIGINT) AS cr
+                     FROM ub GROUP BY bucket),
+              tot AS (SELECT CAST(COALESCE(SUM(ct), 0) AS BIGINT) AS nt,
+                             CAST(COALESCE(SUM(cr), 0) AS BIGINT) AS nr FROM bc),
+              r AS (SELECT bucket,
+                      CAST(FLOOR(ln(
+                        (CAST(ct + 1 AS DOUBLE) * CAST(nr + 4096 AS DOUBLE)) /
+                        (CAST(cr + 1 AS DOUBLE) * CAST(nt + 4096 AS DOUBLE))) * 1000000.0) AS BIGINT) AS ratio_q
+                    FROM bc CROSS JOIN tot),
+              tfb AS (SELECT doc_id, bucket, COUNT(*) AS tf FROM ub
+                      WHERE NOT is_t GROUP BY doc_id, bucket),
+              sc AS (SELECT tfb.doc_id,
+                       CAST(SUM(tfb.tf) AS BIGINT) AS doc_tokens,
+                       CAST(SUM(tfb.tf * r.ratio_q) AS BIGINT) AS logw_q
+                     FROM tfb JOIN r USING (bucket) GROUP BY tfb.doc_id),
+              rk AS (SELECT doc_id, doc_tokens, logw_q,
+                       ROW_NUMBER() OVER (ORDER BY logw_q DESC, doc_id ASC) AS rank
+                     FROM sc)
+         SELECT doc_id, doc_tokens, logw_q,
+                CAST(logw_q AS DOUBLE) / 1000000.0 AS logw,
+                CAST(rank AS INT) AS rank
+         FROM rk WHERE rank <= 100 ORDER BY rank"""
   )
 }

@@ -1726,6 +1726,18 @@ object SparkEntry {
     graft.operators.CorpusStats.lmPerplexity(ld(s, dir, "documents"), "doc_id", "text", maxNll = 4.0)
       .orderBy(col("doc_id"))
 
+  /** DSIR importance resampling (graft.operators.Dsir): the raw pool
+    * (source ≠ src0) scored against the src0 target distribution over
+    * 4096 md5 feature buckets, top 100 by exact quantized log-weight.
+    * Integer micro-nat scores (one ln per bucket, quantized at the
+    * leaf) make the selection engine-exact; the oracle recomputes the
+    * same hashed-unigram ratio model in SQL. */
+  private def qDsirSelect(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Dsir.select(
+      ld(s, dir, "documents"), "doc_id", "text",
+      isTarget = col("source") === "src0", buckets = 4096, k = 100)
+      .orderBy(col("rank"))
+
   private def qTextRepetition(s: SparkSession, dir: String): DataFrame = {
     val docs = ld(s, dir, "documents").select(col("doc_id"), F.tokens(col("text")).as("tk"))
     val tokStats = docs
@@ -2128,6 +2140,7 @@ object SparkEntry {
     "q_dedup_keep_best" -> (qDedupKeepBest _),
     "q_collocations" -> (qCollocations _),
     "q_lm_perplexity" -> (qLmPerplexity _),
+    "q_dsir_select" -> (qDsirSelect _),
     "q_boilerplate" -> (qBoilerplate _),
     "q_mix_weights" -> (qMixWeights _),
     "q_pii_scrub" -> (qPiiScrub _)

@@ -1,0 +1,46 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/**
+ * DSIR quality screening over a document stream — the admission-time
+ * twin of [[graft.operators.Dsir]]: each micro-batch is scored against
+ * a FROZEN persisted model ([[graft.operators.Dsir.fit]]) and a
+ * per-doc report row (doc_id, doc_tokens, logw_q, logw, keep) is
+ * appended. Stateless per batch — the model is a broadcastable
+ * ≤-buckets table, so per-batch work is one narrow tokenize pass over
+ * the batch plus a broadcast join, nothing corpus-sized
+ * (the [[StreamingContamination]] shape). Replay-safe: each batch
+ * overwrites its own `batch_id=…` partition, so a recovered query
+ * rewrites identical rows instead of duplicating them.
+ *
+ * The model is static between corpus versions by design (DSIR fits
+ * once on target + raw snapshots); refreshing it is a restart, the
+ * same ops model as the eval set in [[StreamingContamination]].
+ */
+object StreamingDsir {
+
+  def run(
+      spark: SparkSession,
+      docs: DataFrame, // streaming: (doc_id long, text string)
+      modelPath: String,
+      reportPath: String,
+      minLogw: Double,
+      checkpoint: String = "/tmp/graft_streaming_dsir_ckpt"
+  ): StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime(0L))
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.operators.Dsir.scoreWithModel(batch, "doc_id", "text", modelPath)
+            .withColumn("keep", col("logw") >= lit(minLogw))
+            .write.mode("overwrite").parquet(s"$reportPath/batch_id=$batchId")
+        }
+        ()
+      }
+      .start()
+}

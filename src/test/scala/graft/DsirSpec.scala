@@ -1,0 +1,130 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Dsir
+
+/** DSIR importance resampling (round-10 operator). */
+class DsirSpec extends SparkSpecBase {
+
+  /** Independent md5 bucket recompute: first 3 bytes (6 hex chars) of
+    * md5(UTF-8 bytes) as an integer, mod buckets. */
+  private def md5bucket(w: String, b: Int): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5").digest(w.getBytes("UTF-8"))
+    val hex = d.take(3).map(x => f"$x%02x").mkString
+    java.lang.Long.parseLong(hex, 16) % b
+  }
+
+  private def tok(s: String): Seq[String] = s.split(" ").filter(_.nonEmpty).toSeq
+
+  /** Local exact recompute of (doc_tokens, logw_q) for the raw pool —
+    * mirrors Dsir.ratioQ's operand structure exactly. */
+  private def localScores(
+      corpus: Seq[(Long, String, Boolean)], b: Int): Map[Long, (Long, Long)] = {
+    val tgt = corpus.filter(_._3).flatMap(d => tok(d._2)).map(md5bucket(_, b))
+    val raw = corpus.filterNot(_._3).flatMap(d => tok(d._2)).map(md5bucket(_, b))
+    val ct = tgt.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val cr = raw.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val (nt, nr) = (tgt.size.toLong, raw.size.toLong)
+    def rq(bk: Long): Long = math.floor(math.log(
+      ((ct.getOrElse(bk, 0L) + 1).toDouble * (nr + b).toDouble) /
+        ((cr.getOrElse(bk, 0L) + 1).toDouble * (nt + b).toDouble)) * 1000000.0).toLong
+    corpus.filterNot(_._3).map { d =>
+      val bs = tok(d._2).map(md5bucket(_, b))
+      d._1 -> (bs.size.toLong, bs.map(rq).sum)
+    }.toMap
+  }
+
+  private val corpus = Seq(
+    (101L, "alpha beta gamma delta", true),
+    (102L, "alpha beta gamma delta epsilon", true),
+    (103L, "alpha beta delta", true),
+    (1L, "alpha beta gamma", false),
+    (2L, "alpha beta", false),
+    (3L, "omega psi chi phi omega psi", false),
+    (4L, "omega psi", false))
+
+  test("bucket hash matches an independent md5 recompute, incl. non-ASCII") {
+    import spark.implicits._
+    val words = Seq("hash", "join", "vector", "straße", "中文", "a1b2")
+    val got = words.toDF("w").select(col("w"), Dsir.bucket(col("w"), 4096).as("b"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    for (w <- words) assert(got(w) == md5bucket(w, 4096), s"bucket mismatch for '$w'")
+  }
+
+  test("select scores are the exact local recompute and rank target-like docs first") {
+    import spark.implicits._
+    val docs = corpus.toDF("doc_id", "text", "is_t")
+    val out = Dsir.select(docs, "doc_id", "text", col("is_t"), buckets = 4096, k = 4)
+      .orderBy(col("rank")).collect()
+    val expect = localScores(corpus, 4096)
+    assert(out.length == 4)
+    for (r <- out) {
+      val (dt, lw) = expect(r.getLong(0))
+      assert(r.getLong(1) == dt && r.getLong(2) == lw, s"doc ${r.getLong(0)}")
+      assert(r.getDouble(3) == lw.toDouble / 1000000.0)
+    }
+    // ordering: exact quantized weight desc, doc_id asc
+    val ordered = expect.toSeq.sortBy { case (id, (_, lw)) => (-lw, id) }.map(_._1)
+    assert(out.map(_.getLong(0)).toSeq == ordered)
+    // semantics: the target-vocabulary docs outrank the off-vocabulary ones
+    assert(out.map(_.getLong(0)).take(2).toSet == Set(1L, 2L))
+    assert(expect(1L)._2 > 0 && expect(3L)._2 < 0)
+  }
+
+  test("fit + scoreWithModel equals the inline scores; unseen buckets use the stored default") {
+    import spark.implicits._
+    val b = 4096
+    val path = "/tmp/graft_dsir_model_" + System.nanoTime()
+    val docs = corpus.toDF("doc_id", "text", "is_t")
+    Dsir.fit(docs, "doc_id", "text", col("is_t"), b, path)
+    val served = Dsir.scoreWithModel(docs.filter(!col("is_t")), "doc_id", "text", path)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(served == localScores(corpus, b))
+
+    // a doc whose every token bucket is unseen scores tf * default_q
+    val seen = corpus.flatMap(d => tok(d._2)).map(md5bucket(_, b)).toSet
+    val novel = (1 to 1000).map(i => s"novelword$i")
+      .filter(w => !seen.contains(md5bucket(w, b))).take(2)
+    assert(novel.size == 2)
+    val (nt, nr) = (corpus.filter(_._3).flatMap(d => tok(d._2)).size.toLong,
+      corpus.filterNot(_._3).flatMap(d => tok(d._2)).size.toLong)
+    val defQ = math.floor(math.log((nr + b).toDouble / (nt + b).toDouble) * 1000000.0).toLong
+    val out = Dsir.scoreWithModel(
+      Seq((9L, s"${novel(0)} ${novel(1)} ${novel(0)}"), (10L, "")).toDF("doc_id", "text"),
+      "doc_id", "text", path).collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(9L) == ((3L, 3L * defQ)))
+    assert(out(10L) == ((0L, 0L)), "zero-token doc reports 0 tokens / 0 evidence, not a dropped row")
+  }
+
+  test("streaming twin: batch reports equal the batch scoreWithModel, replay-safe sink") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val b = 4096
+    val path = "/tmp/graft_dsir_smodel_" + System.nanoTime()
+    val report = "/tmp/graft_dsir_sreport_" + System.nanoTime()
+    val ckpt = "/tmp/graft_dsir_sckpt_" + System.nanoTime()
+    Dsir.fit(corpus.toDF("doc_id", "text", "is_t"), "doc_id", "text", col("is_t"), b, path)
+
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingDsir.run(
+      spark, mem.toDF().toDF("doc_id", "text"), path, report, minLogw = 0.0, checkpoint = ckpt)
+    try {
+      mem.addData((11L, "alpha beta gamma"), (12L, "omega psi"))
+      q.processAllAvailable()
+      mem.addData((13L, "alpha alpha alpha"))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val got = spark.read.parquet(report)
+      .select("doc_id", "doc_tokens", "logw_q", "keep")
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    val batchEq = Dsir.scoreWithModel(
+      Seq((11L, "alpha beta gamma"), (12L, "omega psi"), (13L, "alpha alpha alpha"))
+        .toDF("doc_id", "text"), "doc_id", "text", path)
+      .withColumn("keep", col("logw") >= lit(0.0))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getBoolean(4)))).toMap
+    assert(got == batchEq)
+    assert(got(11L)._3 && !got(12L)._3, "target-like kept, off-distribution rejected")
+  }
+}

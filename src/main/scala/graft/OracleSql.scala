@@ -1413,7 +1413,14 @@ object OracleSql {
     // exact integer products, quantized to micro-nats at the leaf —
     // per-doc sums are exact BIGINT, so top-100 selection is
     // engine-exact (ties broken by doc_id)
-    "q_dsir_select" ->
+    "q_dsir_select" -> dsirSelectSql,
+    // serving from the persisted model (Dsir.scoreWithModel) is exactly
+    // the inline fit+select — the stored quantized ratios ARE the
+    // inline ones and every raw-pool bucket is in the table
+    "q_dsir_served" -> dsirSelectSql
+  )
+
+  private lazy val dsirSelectSql =
       s"""WITH t AS (SELECT doc_id, source = 'src0' AS is_t, $toks AS tk FROM documents),
               u AS (SELECT doc_id, is_t, unnest(tk) AS w FROM t),
               ub AS (SELECT doc_id, is_t,
@@ -1443,5 +1450,4 @@ object OracleSql {
                 CAST(logw_q AS DOUBLE) / 1000000.0 AS logw,
                 CAST(rank AS INT) AS rank
          FROM rk WHERE rank <= 100 ORDER BY rank"""
-  )
 }

@@ -612,6 +612,7 @@ object SparkEntry {
     ensureAdmittedPqIndex(s, dir)
     ensureDeclaredCatalog(s, dir)
     ensurePostingsIndex(s, dir)
+    ensureDsirModel(s, dir)
     ()
   }
 
@@ -1738,6 +1739,37 @@ object SparkEntry {
       isTarget = col("source") === "src0", buckets = 4096, k = 100)
       .orderBy(col("rank"))
 
+  /** One-time DSIR model fit (Dsir.fit, meta-written-last) so the
+    * served-path gate times the broadcast-join probe, not the fit. */
+  private def ensureDsirModel(s: SparkSession, dir: String): String = {
+    val path = s"/tmp/graft_dsir/${dirKey(dir)}"
+    val marker = new org.apache.hadoop.fs.Path(s"$path/meta/_SUCCESS")
+    if (!marker.getFileSystem(s.sparkContext.hadoopConfiguration).exists(marker)) {
+      graft.operators.Dsir.fit(ld(s, dir, "documents"), "doc_id", "text",
+        col("source") === "src0", buckets = 4096, path)
+    }
+    path
+  }
+
+  /** DSIR serving from the PERSISTED model (Dsir.scoreWithModel — the
+    * daily-batch shape: one narrow pass over the pool + a broadcast
+    * join against the stored ≤4096-row ratio table): must reproduce
+    * the inline fit+select exactly, so it shares q_dsir_select's
+    * oracle. Every raw-pool token's bucket is in the stored table, so
+    * the unseen-bucket default never fires here; docs carrying zero
+    * token evidence are excluded to match the inline domain. */
+  private def qDsirServed(s: SparkSession, dir: String): DataFrame = {
+    val path = ensureDsirModel(s, dir)
+    graft.operators.Dsir.scoreWithModel(
+        ld(s, dir, "documents").filter(col("source") =!= "src0"), "doc_id", "text", path)
+      .filter(col("doc_tokens") > 0)
+      .orderBy(col("logw_q").desc, col("doc_id").asc).limit(100)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("logw_q").desc, col("doc_id").asc)))
+      .select(col("doc_id"), col("doc_tokens"), col("logw_q"), col("logw"), col("rank"))
+      .orderBy(col("rank"))
+  }
+
   private def qTextRepetition(s: SparkSession, dir: String): DataFrame = {
     val docs = ld(s, dir, "documents").select(col("doc_id"), F.tokens(col("text")).as("tk"))
     val tokStats = docs
@@ -2141,6 +2173,7 @@ object SparkEntry {
     "q_collocations" -> (qCollocations _),
     "q_lm_perplexity" -> (qLmPerplexity _),
     "q_dsir_select" -> (qDsirSelect _),
+    "q_dsir_served" -> (qDsirServed _),
     "q_boilerplate" -> (qBoilerplate _),
     "q_mix_weights" -> (qMixWeights _),
     "q_pii_scrub" -> (qPiiScrub _)

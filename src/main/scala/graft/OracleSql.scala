@@ -1413,6 +1413,36 @@ object OracleSql {
     // exact integer products, quantized to micro-nats at the leaf —
     // per-doc sums are exact BIGINT, so top-100 selection is
     // engine-exact (ties broken by doc_id)
+    // interpolated Kneser–Ney bigram LM (D = 3/4): each event
+    // probability is ONE ratio of exact integers
+    // [max(4·c12−3,0)·Nbig + 3·N1p(w1)·Nc(w2)] / (4·c1·Nbig) —
+    // self-trained, so c12 ≥ 1 and the max never clips; two
+    // quantized-ln leaves per event, exact BIGINT sums, one division
+    "q_lm_bigram" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
+              b AS (SELECT doc_id, unnest(list_filter(
+                      list_transform(tk, (x, i) -> CASE WHEN i < len(tk) THEN struct_pack(w1 := x, w2 := tk[i + 1]) END),
+                      g -> g IS NOT NULL)) AS bg
+                    FROM t),
+              dtf AS (SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2, COUNT(*) AS tf FROM b GROUP BY 1, 2, 3),
+              p AS (SELECT w1, w2, CAST(SUM(tf) AS BIGINT) AS c12 FROM dtf GROUP BY 1, 2),
+              cx AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1, CAST(COUNT(*) AS BIGINT) AS n1p FROM p GROUP BY 1),
+              cn AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS nc FROM p GROUP BY 1),
+              nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS nbig FROM p),
+              sc AS (SELECT dtf.doc_id,
+                       CAST(SUM(dtf.tf) AS BIGINT) AS n_bigrams,
+                       CAST(SUM(dtf.tf * (
+                         CAST(FLOOR(ln(CAST(4 * cx.c1 * nb.nbig AS DOUBLE)) * 1000000.0) AS BIGINT)
+                         - CAST(FLOOR(ln(CAST((4 * p.c12 - 3) * nb.nbig + 3 * cx.n1p * cn.nc AS DOUBLE)) * 1000000.0) AS BIGINT)
+                       )) AS BIGINT) AS nll_q
+                     FROM dtf JOIN p USING (w1, w2) JOIN cx USING (w1) JOIN cn USING (w2) CROSS JOIN nb
+                     GROUP BY dtf.doc_id)
+         SELECT d.doc_id,
+                CAST(COALESCE(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+                CAST(sc.nll_q AS DOUBLE) / CAST(sc.n_bigrams * 1000000 AS DOUBLE) AS nll,
+                COALESCE(CAST(sc.nll_q AS DOUBLE) / CAST(sc.n_bigrams * 1000000 AS DOUBLE) <= 3.39, FALSE) AS keep
+         FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+         ORDER BY d.doc_id""",
     "q_dsir_select" -> dsirSelectSql,
     // serving from the persisted model (Dsir.scoreWithModel) is exactly
     // the inline fit+select — the stored quantized ratios ARE the

@@ -1739,6 +1739,16 @@ object SparkEntry {
       isTarget = col("source") === "src0", buckets = 4096, k = 100)
       .orderBy(col("rank"))
 
+  /** Interpolated Kneser–Ney bigram LM quality filter
+    * (CorpusStats.knBigramPerplexity): per-doc mean bigram surprisal
+    * at D = 3/4, where each event probability is ONE exact-integer
+    * ratio — quantized-ln leaves, exact sums, one division. Threshold
+    * 3.39 ≈ the corpus median, so keep is a discriminative split. */
+  private def qLmBigram(s: SparkSession, dir: String): DataFrame =
+    graft.operators.CorpusStats
+      .knBigramPerplexity(ld(s, dir, "documents"), "doc_id", "text", maxNll = 3.39)
+      .orderBy(col("doc_id"))
+
   /** One-time DSIR model fit (Dsir.fit, meta-written-last) so the
     * served-path gate times the broadcast-join probe, not the fit. */
   private def ensureDsirModel(s: SparkSession, dir: String): String = {
@@ -2174,6 +2184,7 @@ object SparkEntry {
     "q_lm_perplexity" -> (qLmPerplexity _),
     "q_dsir_select" -> (qDsirSelect _),
     "q_dsir_served" -> (qDsirServed _),
+    "q_lm_bigram" -> (qLmBigram _),
     "q_boilerplate" -> (qBoilerplate _),
     "q_mix_weights" -> (qMixWeights _),
     "q_pii_scrub" -> (qPiiScrub _)

@@ -154,4 +154,77 @@ object CorpusStats {
         col("nll"),
         coalesce(col("nll") <= lit(maxNll), lit(false)).as("keep"))
   }
+
+  /**
+   * Interpolated Kneser–Ney BIGRAM language-model quality filter (Kneser
+   * & Ney 1995; Chen & Goodman 1999 eq. interpolated form), the standard
+   * upgrade over [[lmPerplexity]]'s unigram gate: per document, the mean
+   * surprisal of its bigram events under
+   *
+   *   P(w2|w1) = max(c12 − D, 0)/c1 + D·N1+(w1·)/c1 · N1+(·w2)/N1+(··)
+   *
+   * self-trained on the corpus, discount D = 3/4. At D = 3/4 the whole
+   * probability is ONE ratio of exact integers,
+   *
+   *   P = [max(4·c12 − 3, 0)·Nbig + 3·N1p(w1)·Nc(w2)] / (4·c1·Nbig),
+   *
+   * so each event's surprisal is qlog(denominator) − qlog(numerator) —
+   * two quantized-ln leaves over exact BIGINTs (the BM25 discipline),
+   * summed exactly per doc, one final IEEE division. Self-training
+   * means every scored bigram is in the model (c12 ≥ 1), so the max(·)
+   * never clips and no unseen-context backoff is needed; a held-out-
+   * trained variant would additionally need an unseen-w1 floor, which
+   * is a modeling choice this filter deliberately avoids.
+   *
+   * Scale shape: ONE tokenize pass — every in-doc adjacent pair becomes
+   * a row of the per-(doc, w1, w2) aggregate (map-side combined), and
+   * ALL FOUR model tables derive from that one table: c12 by (w1, w2),
+   * the context table (c1, N1p) by w1, the continuation table (Nc) by
+   * w2, Nbig as its 1-row count (broadcast). Scoring joins by word
+   * keys — the vocab-sized tables are never broadcast. Docs with < 2
+   * tokens keep their row (left join): nll null, keep false.
+   * Quantization leaves stay exact while 4·c1·Nbig < 2^53 (~10^9
+   * context count × 10^6 bigram types); past that, compute the ln
+   * argument ratio in DECIMAL(38) before the single ln.
+   */
+  def knBigramPerplexity(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxNll: Double
+  ): DataFrame = {
+    graft.sql.GraftFunctions.register(df.sparkSession)
+    val docTf = df
+      .select(col(idCol), F.tokens(col(textCol)).as("tk"))
+      .select(col(idCol), explode(expr(
+        "transform(slice(tk, 1, greatest(size(tk) - 1, 0)), (x, i) -> struct(x AS w1, element_at(tk, i + 2) AS w2))"))
+        .as("b"))
+      .select(col(idCol), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .groupBy(col(idCol), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("tf"))
+    val c12 = docTf.groupBy(col("w1"), col("w2")).agg(sum(col("tf")).as("c12"))
+    val ctx = c12.groupBy(col("w1")).agg(sum(col("c12")).as("c1"), count(lit(1)).as("n1p"))
+    val cont = c12.groupBy(col("w2")).agg(count(lit(1)).as("nc"))
+    val nbig = c12.agg(count(lit(1)).as("nbig"))
+    val scored = docTf
+      .join(c12, Seq("w1", "w2"))
+      .join(ctx, Seq("w1"))
+      .join(cont, Seq("w2"))
+      .crossJoin(broadcast(nbig))
+      .withColumn("s_q",
+        qlog(lit(4L) * col("c1") * col("nbig")) -
+          qlog((lit(4L) * col("c12") - lit(3L)) * col("nbig") +
+            lit(3L) * col("n1p") * col("nc")))
+      .groupBy(col(idCol))
+      .agg(sum(col("tf")).as("n_bigrams"), sum(col("tf") * col("s_q")).as("nll_q"))
+      .withColumn("nll",
+        col("nll_q").cast("double") / (col("n_bigrams") * lit(1000000L)).cast("double"))
+    df.select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("nll"),
+        coalesce(col("nll") <= lit(maxNll), lit(false)).as("keep"))
+  }
 }

@@ -53,4 +53,51 @@ class CorpusStatsSpec extends SparkSpecBase {
       .as[(Long, Long, Option[Double], Boolean)].collect().toSeq
     assert(out == Seq((1L, 2L, Some(nll), true)))
   }
+
+  test("knBigramPerplexity: exact local KN recompute; interpolated KN sums to 1 per context") {
+    val corpus = Seq(
+      (1L, "a b a b c"),
+      (2L, "a b c d"),
+      (3L, "b c d a"),
+      (4L, "x")) // single token: no bigram events
+    // local model from the corpus bigrams
+    val bigrams = corpus.flatMap { case (_, t) =>
+      val w = t.split(" ").toSeq; w.zip(w.drop(1))
+    }
+    val c12 = bigrams.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val c1 = c12.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val n1p = c12.groupBy(_._1._1).view.mapValues(_.size.toLong).toMap
+    val nc = c12.groupBy(_._1._2).view.mapValues(_.size.toLong).toMap
+    val nbig = c12.size.toLong
+    // interpolated KN is a probability distribution over continuations:
+    // Σ_w2 P(w2|w1) = 1 for every context (continuation mass Σ Nc = Nbig)
+    val vocab2 = nc.keySet
+    for (w1 <- c1.keySet) {
+      val tot = vocab2.toSeq.map { w2 =>
+        val disc = math.max(c12.getOrElse((w1, w2), 0L) - 0.75, 0.0) / c1(w1)
+        disc + 0.75 * n1p(w1) / c1(w1) * nc(w2) / nbig
+      }.sum
+      assert(math.abs(tot - 1.0) < 1e-9, s"context '$w1' mass $tot")
+    }
+    // exact quantized recompute of every doc score
+    def q(x: Long) = math.floor(math.log(x.toDouble) * 1e6).toLong
+    val expect = corpus.map { case (id, t) =>
+      val w = t.split(" ").toSeq
+      val ev = w.zip(w.drop(1))
+      val nllq = ev.map { case (w1, w2) =>
+        q(4L * c1(w1) * nbig) -
+          q((4L * c12((w1, w2)) - 3L) * nbig + 3L * n1p(w1) * nc(w2))
+      }.sum
+      (id, ev.size.toLong,
+        if (ev.isEmpty) None else Some(nllq.toDouble / (ev.size * 1000000L).toDouble))
+    }
+    val out = CorpusStats
+      .knBigramPerplexity(corpus.toDF("doc_id", "text"), "doc_id", "text", maxNll = 1.5)
+      .orderBy("doc_id")
+      .as[(Long, Long, Option[Double], Boolean)].collect().toSeq
+    for (((id, n, nll), got) <- expect.zip(out)) {
+      assert(got._1 == id && got._2 == n && got._3 == nll, s"doc $id: $got")
+      assert(got._4 == nll.exists(_ <= 1.5))
+    }
+  }
 }

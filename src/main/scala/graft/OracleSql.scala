@@ -991,6 +991,36 @@ object OracleSql {
          CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
          (CAST(octet_length(encode(text)) AS BIGINT) + 255) // 256 AS frame_count
          FROM documents ORDER BY doc_id""",
+    // average-hash fingerprints re-derived from the payload's BITS:
+    // byte o = Σ_b get_bit(blob::BIT, 8o+b)·2^(7-b); cell i sums bytes
+    // [⌊i·len/64⌋, ⌊(i+1)·len/64⌋) (1-based inclusive slice = that
+    // half-open range); bit rule cs·len > total·cn in exact integers.
+    // Empty cells of sub-64-byte payloads: NULL slice-sum → CASE else
+    // 0, matching the engine's 0 > 0 = unset. Hash carried as two
+    // 32-bit halves (1::BIGINT << 63 overflows here).
+    "q_multimodal_phash" ->
+      """WITH m AS (SELECT doc_id,
+                      CASE CAST(((doc_id % 3) + 3) % 3 AS INT) WHEN 0 THEN 'img' WHEN 1 THEN 'audio' ELSE 'video' END AS fmt,
+                      encode(text) AS p,
+                      CAST(octet_length(encode(text)) AS BIGINT) AS len
+                    FROM documents
+                    WHERE ((doc_id % 3) + 3) % 3 = 0 AND octet_length(encode(text)) > 0),
+              bytes AS (SELECT doc_id, fmt, len, list_transform(range(0, len::INT), o ->
+                          list_sum(list_transform(range(0, 8), b ->
+                            get_bit(p::BIT, (o*8 + b)::INT) * (1 << (7 - b::INT))))) AS by
+                        FROM m),
+              cells AS (SELECT doc_id, fmt, len,
+                          list_transform(range(0, 64), i -> list_sum(by[((i*len)//64 + 1)::INT : (((i+1)*len)//64)::INT])) AS cs,
+                          list_transform(range(0, 64), i -> ((i+1)*len)//64 - (i*len)//64) AS cn
+                        FROM bytes)
+         SELECT doc_id, fmt, len AS byte_len,
+                CAST(list_sum(list_transform(range(0, 32), i ->
+                  CASE WHEN cs[(i+1)::INT] * len > list_sum(cs) * cn[(i+1)::INT]
+                       THEN (1::BIGINT << (31 - i::INT)) ELSE 0 END)) AS BIGINT) AS phash_hi,
+                CAST(list_sum(list_transform(range(32, 64), i ->
+                  CASE WHEN cs[(i+1)::INT] * len > list_sum(cs) * cn[(i+1)::INT]
+                       THEN (1::BIGINT << (63 - i::INT)) ELSE 0 END)) AS BIGINT) AS phash_lo
+         FROM cells ORDER BY doc_id""",
     // BM25: same exact-rational term factor + micro-nat-quantized IDF as
     // graft.operators.Retrieval (change both together). k1=1.2 b=0.75.
     "q_bm25" ->

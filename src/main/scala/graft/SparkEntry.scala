@@ -2063,6 +2063,22 @@ object SparkEntry {
       .select(col("doc_id"), col("fmt"), col("byte_len"), col("frame_count"))
       .orderBy(col("doc_id"))
 
+  /** Perceptual average-hash of the img-format media payloads
+    * (Multimodal.aHash, stub fixed-grid byte downsample): the oracle
+    * re-derives every cell sum from the payload's BITS
+    * (blob → BIT + get_bit) and the integer-exact bit rule, so the
+    * 64-bit fingerprints hash-match across engines. The pairing
+    * mechanism (8-block pigeonhole + hamming verify, complete to
+    * radius 7) is spec-proven on constructed near-identical payloads —
+    * this corpus's synthetic texts are not byte-level near-dups. */
+  private def qMultimodalPhash(s: SparkSession, dir: String): DataFrame =
+    Multimodal
+      .aHash(s, Multimodal.asMediaTable(ld(s, dir, "documents")).filter(col("fmt") === "img"))
+      .toDF()
+      .filter(col("byte_len") > 0)
+      .select(col("doc_id"), col("fmt"), col("byte_len"), col("phash_hi"), col("phash_lo"))
+      .orderBy(col("doc_id"))
+
   /** One-to-many frame sampling over the media table (decode fan-out plumbing). */
   private def qMultimodalFrames(s: SparkSession, dir: String): DataFrame =
     Multimodal
@@ -2158,6 +2174,7 @@ object SparkEntry {
     "q_text_fingerprint" -> (qTextFingerprint _),
     "q_corpus_diff" -> (qCorpusDiff _),
     "q_multimodal_meta" -> (qMultimodalMeta _),
+    "q_multimodal_phash" -> (qMultimodalPhash _),
     "q_multimodal_frames" -> (qMultimodalFrames _),
     "q_bm25" -> (qBm25 _),
     "q_bm25_admitted" -> (qBm25Admitted _),

@@ -94,4 +94,97 @@ object Multimodal {
       }
     }
   }
+
+  /** Per-media average-hash: 64-bit perceptual fingerprint carried as
+    * two 32-bit halves — a single BIGINT cannot hold bit 63 portably
+    * (DuckDB's 1::BIGINT << 63 overflows), and hamming over two halves
+    * is the same two xor+bit_count terms. */
+  case class PHash(doc_id: Long, fmt: String, byte_len: Long, phash_hi: Long, phash_lo: Long)
+
+  /**
+   * Average-hash (aHash) perceptual fingerprint — the image near-dup
+   * primitive. REAL DECODER GOES HERE: production decodes the payload
+   * and downsamples luma to an 8×8 grid; the STUB downsamples the raw
+   * byte stream instead (cell i = the bytes in
+   * [⌊i·len/64⌋, ⌊(i+1)·len/64⌋) — a true fixed-grid downsample, so
+   * everything downstream — integer-exact bit derivation, block
+   * pigeonhole, hamming verify — is the real mechanism over fake
+   * pixels. bit_i = 1 iff the cell mean exceeds the global mean,
+   * compared in exact integers (cs_i·len > total·cn_i — no division,
+   * so no rounding divergence between engines; empty cells of a
+   * sub-64-byte payload compare 0 > 0 = unset). Partition-local narrow
+   * map: payloads never shuffle, the output is 4 numeric columns.
+   * A zero-length payload hashes to (0, 0) — callers screening real
+   * corpora should drop empties first (the gate query filters them).
+   */
+  def aHash(spark: SparkSession, media: DataFrame): Dataset[PHash] = {
+    import spark.implicits._
+    media.as[MediaRow].map { r =>
+      val len = r.payload.length.toLong
+      if (len == 0L) PHash(r.doc_id, r.fmt, 0L, 0L, 0L)
+      else {
+        val cs = new Array[Long](64)
+        val cn = new Array[Long](64)
+        var i = 0
+        while (i < 64) {
+          val from = (i * len / 64).toInt
+          val until = ((i + 1) * len / 64).toInt
+          var o = from
+          var s = 0L
+          while (o < until) { s += (r.payload(o) & 0xffL); o += 1 }
+          cs(i) = s; cn(i) = (until - from).toLong; i += 1
+        }
+        val total = cs.sum
+        var hi = 0L
+        var lo = 0L
+        i = 0
+        while (i < 64) {
+          if (cs(i) * len > total * cn(i)) {
+            if (i < 32) hi |= 1L << (31 - i) else lo |= 1L << (63 - i)
+          }
+          i += 1
+        }
+        PHash(r.doc_id, r.fmt, len, hi, lo)
+      }
+    }
+  }
+
+  /**
+   * Near-duplicate media pairs by hamming distance over [[aHash]]:
+   * candidates from the 8×8-bit block pigeonhole — two hashes within
+   * hamming ≤ 7 MUST agree on at least one of the 8 byte-blocks (7
+   * errors cannot touch all 8), so recall is complete for
+   * radius ≤ 7 (enforced) — then the exact xor+bit_count verify.
+   * Scale: the self-join moves (id, hash, block) rows only — never a
+   * payload; hot block values (all-zero/all-one bytes are common in
+   * aHash) are the skew dial — cap or salt them at corpus scale, the
+   * [[Dedup]] simhash-block discipline.
+   */
+  def phashPairs(hashes: DataFrame, radius: Int): DataFrame = {
+    require(radius >= 0 && radius <= 7,
+      s"8-block pigeonhole recall is complete only to radius 7, got $radius")
+    val blocks = hashes.select(
+      col("doc_id"), col("phash_hi"), col("phash_lo"),
+      explode(expr(
+        "transform(sequence(0, 7), i -> struct(i AS blk, CASE WHEN i < 4" +
+          " THEN shiftrightunsigned(phash_hi, (3 - i) * 8) % 256" +
+          " ELSE shiftrightunsigned(phash_lo, (7 - i) * 8) % 256 END AS v))")).as("b"))
+      .select(col("doc_id"), col("phash_hi"), col("phash_lo"),
+        col("b.blk").as("blk"), col("b.v").as("v"))
+    val cand = blocks.as("a")
+      .join(blocks.as("b").hint("shuffle_hash"),
+        col("a.blk") === col("b.blk") && col("a.v") === col("b.v") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.phash_hi").as("ha"), col("a.phash_lo").as("la"),
+        col("b.phash_hi").as("hb"), col("b.phash_lo").as("lb"))
+      .distinct()
+    cand
+      .withColumn("hamming",
+        (bit_count(col("ha").bitwiseXOR(col("hb"))) +
+          bit_count(col("la").bitwiseXOR(col("lb")))).cast("int"))
+      .filter(col("hamming") <= radius)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
 }

@@ -626,6 +626,40 @@ class OperatorSpec extends SparkSpecBase {
     assert(Multimodal.extractFeatures(spark, media, batchSize = 7).count() == n)
   }
 
+  test("multimodal pHash: constructed near-dups pair within radius; pigeonhole complete vs brute force") {
+    import spark.implicits._
+    // 1024 bytes = 16 bytes/cell; even cells high-band, odd low-band
+    def pat(): Array[Byte] =
+      Array.tabulate(1024)(i => (if ((i / 16) % 2 == 0) 200 + i % 5 else 10 + i % 5).toByte)
+    val a = pat()
+    val b = pat()
+    // push EVEN cells 2 and 40 into the low band → exactly their 2 hash bits flip
+    for (o <- 32 until 48) b(o) = 5.toByte
+    for (o <- 640 until 656) b(o) = 5.toByte
+    val c = a.map(x => (255 - (x & 0xff)).toByte) // inverted: far from both
+    val short = Array.tabulate(10)(i => (i * 25).toByte) // sub-64-byte payload: empty cells
+    val media = Seq((1L, "img", a), (2L, "img", b), (3L, "img", c), (4L, "img", short))
+      .toDF("doc_id", "fmt", "payload")
+    val hashes = Multimodal.aHash(spark, media).toDF()
+    val hs = hashes.collect()
+      .map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4))).toMap
+    assert(hs.values.forall(h => h._1 >= 0 && h._1 < (1L << 32) && h._2 >= 0 && h._2 < (1L << 32)),
+      "halves must stay in unsigned-32 range (the cross-engine carrier)")
+    def ham(x: (Long, Long), y: (Long, Long)) =
+      java.lang.Long.bitCount(x._1 ^ y._1) + java.lang.Long.bitCount(x._2 ^ y._2)
+    assert(ham(hs(1L), hs(2L)) == 2, s"constructed pair distance ${ham(hs(1L), hs(2L))}")
+    assert(ham(hs(1L), hs(3L)) > 7, "inverted payload must be far")
+    val pairs = Multimodal.phashPairs(hashes, radius = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val brute = (for {
+      x <- hs.keys; y <- hs.keys; if x < y
+      h = ham(hs(x), hs(y)); if h <= 7
+    } yield (x, y, h)).toSet
+    assert(pairs == brute, "pigeonhole candidates + exact verify must equal brute force")
+    assert(pairs.contains((1L, 2L, 2)))
+    intercept[IllegalArgumentException](Multimodal.phashPairs(hashes, radius = 8))
+  }
+
   test("self kNN join: small-corpus dispatch is exactly the all-pairs ground truth") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val joined = Ann.knnJoin(emb, "vec_id", "embedding", k = 3)

@@ -35,7 +35,19 @@ import org.apache.spark.sql.types.{DataType, DoubleType, LongType, StringType, S
  *   ADMIT VECTORS '<shard>' FROM <table> INTO '<index-path>'
  *   PROMOTE VECTOR INDEX DELTA '<index-path>'
  *   SHOW VERSION
+ *   FIT DSIR MODEL '<path>' FROM <table> TARGET (<bool-expr>) [ON (<id-col>, <text-col>)] [BUCKETS n]
+ *   SHOW DSIR MODEL '<path>'
+ *   SCREEN DSIR '<path>' FROM <table> [ON (<id-col>, <text-col>)] [MIN LOGW x]
  *   UPSERT INTO <table> (col, ...) VALUES (v, ...), ...
+ *
+ * The DSIR verbs drive the corpus-selection model lifecycle
+ * ([[graft.operators.Dsir]]) the same statement-first way the index
+ * lifecycles run: FIT persists the hashed-unigram importance model
+ * (TARGET takes a simple boolean predicate over the table's columns —
+ * Spark-parsed, so any column expression without nested parentheses),
+ * SHOW reads back the stored geometry, SCREEN scores a table against
+ * the frozen model and reports kept/rejected counts at the logw
+ * threshold (default 0 = "more target-like than pool-like").
  *
  * COMPACT TEXT INDEX / ADMIT SHARD complete the text-index lifecycle's
  * statement surface: the reference drives ALL of its maintenance verbs
@@ -102,6 +114,15 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface) extends P
       case AdmitVectorsRe(shard, table, index) => AdmitVectorsCommand(shard, table, index)
       case PromoteVectorDeltaRe(index) => PromoteVectorIndexDeltaCommand(index)
       case ShowVersionRe() => ShowVersionCommand()
+      case FitDsirRe(path, table, target, idCol, textCol, buckets) =>
+        FitDsirModelCommand(path, table, target,
+          Option(idCol).getOrElse("doc_id"), Option(textCol).getOrElse("text"),
+          Option(buckets).map(_.toInt).getOrElse(4096))
+      case ShowDsirRe(path) => ShowDsirModelCommand(path)
+      case ScreenDsirRe(path, table, idCol, textCol, minLogw) =>
+        ScreenDsirCommand(path, table,
+          Option(idCol).getOrElse("doc_id"), Option(textCol).getOrElse("text"),
+          Option(minLogw).map(_.toDouble).getOrElse(0.0))
       case UpsertRe(table, cols, values) =>
         UpsertCommand(table, cols.split(',').map(_.trim).toSeq.filter(_.nonEmpty), values)
       case _ => delegate.parsePlan(sqlText)
@@ -147,6 +168,11 @@ object GraftSqlParser {
   private val PromoteVectorDeltaRe =
     """(?is)PROMOTE\s+VECTOR\s+INDEX\s+DELTA\s+'([^']+)'\s*;?""".r
   private val ShowVersionRe = """(?is)SHOW\s+VERSION\s*;?""".r
+  private val FitDsirRe =
+    """(?is)FIT\s+DSIR\s+MODEL\s+'([^']+)'\s+FROM\s+([A-Za-z_][A-Za-z0-9_.]*)\s+TARGET\s+\((.+?)\)(?:\s+ON\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*,\s*([A-Za-z_][A-Za-z0-9_]*)\s*\))?(?:\s+BUCKETS\s+(\d+))?\s*;?""".r
+  private val ShowDsirRe = """(?is)SHOW\s+DSIR\s+MODEL\s+'([^']+)'\s*;?""".r
+  private val ScreenDsirRe =
+    """(?is)SCREEN\s+DSIR\s+'([^']+)'\s+FROM\s+([A-Za-z_][A-Za-z0-9_.]*)(?:\s+ON\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*,\s*([A-Za-z_][A-Za-z0-9_]*)\s*\))?(?:\s+MIN\s+LOGW\s+(-?[0-9.]+))?\s*;?""".r
   private val UpsertRe =
     """(?is)UPSERT\s+INTO\s+([A-Za-z_][A-Za-z0-9_.]*)\s*\(([^)]*)\)\s+VALUES\s+(.+?)\s*;?\s*""".r
 
@@ -539,6 +565,78 @@ case class PromoteVectorIndexDeltaCommand(indexPath: String) extends LeafRunnabl
 
 /** SHOW VERSION — engine + Spark versions (reference
   * QueryEngineRouter.scala:83). */
+/** FIT DSIR MODEL '<path>' FROM <t> TARGET (<expr>) [ON (id, text)]
+  * [BUCKETS n] — fit + persist the hashed-unigram importance model
+  * ([[graft.operators.Dsir.fit]]); reports the stored geometry. */
+case class FitDsirModelCommand(
+    path: String,
+    table: String,
+    targetSql: String,
+    idCol: String,
+    textCol: String,
+    buckets: Int
+) extends LeafRunnableCommand {
+  import GraftSqlParser.attr
+  override val output: Seq[Attribute] = Seq(
+    attr("model", StringType), attr("buckets", LongType),
+    attr("n_target_tokens", LongType), attr("n_raw_tokens", LongType),
+    attr("ratio_rows", LongType))
+  override def run(spark: SparkSession): Seq[Row] = {
+    graft.operators.Dsir.fit(spark.table(table), idCol, textCol,
+      org.apache.spark.sql.functions.expr(targetSql), buckets, path)
+    val meta = spark.read.parquet(s"$path/meta").head()
+    Seq(Row(path, meta.getAs[Int]("buckets").toLong,
+      meta.getAs[Long]("nt"), meta.getAs[Long]("nr"),
+      spark.read.parquet(s"$path/ratios").count()))
+  }
+}
+
+/** SHOW DSIR MODEL '<path>' — the persisted model's geometry row
+  * (refuses a model without meta: a crashed fit never serves). */
+case class ShowDsirModelCommand(path: String) extends LeafRunnableCommand {
+  import GraftSqlParser.attr
+  override val output: Seq[Attribute] = Seq(
+    attr("model", StringType), attr("buckets", LongType),
+    attr("n_target_tokens", LongType), attr("n_raw_tokens", LongType),
+    attr("default_q", LongType), attr("ratio_rows", LongType))
+  override def run(spark: SparkSession): Seq[Row] = {
+    val marker = new org.apache.hadoop.fs.Path(s"$path/meta/_SUCCESS")
+    require(marker.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(marker),
+      s"no complete DSIR model at $path (meta missing — fit crashed or never ran)")
+    val meta = spark.read.parquet(s"$path/meta").head()
+    Seq(Row(path, meta.getAs[Int]("buckets").toLong,
+      meta.getAs[Long]("nt"), meta.getAs[Long]("nr"), meta.getAs[Long]("default_q"),
+      spark.read.parquet(s"$path/ratios").count()))
+  }
+}
+
+/** SCREEN DSIR '<path>' FROM <t> [ON (id, text)] [MIN LOGW x] — score
+  * the table against the frozen model
+  * ([[graft.operators.Dsir.scoreWithModel]]) and report kept/rejected
+  * counts at the threshold; the bounded admission report, not the
+  * per-doc rows (SELECT those through the Scala surface). */
+case class ScreenDsirCommand(
+    path: String,
+    table: String,
+    idCol: String,
+    textCol: String,
+    minLogw: Double
+) extends LeafRunnableCommand {
+  import GraftSqlParser.attr
+  override val output: Seq[Attribute] = Seq(
+    attr("model", StringType), attr("scored", LongType),
+    attr("kept", LongType), attr("rejected", LongType))
+  override def run(spark: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.functions.{coalesce, col, count, lit, sum, when}
+    val agg = graft.operators.Dsir.scoreWithModel(spark.table(table), idCol, textCol, path)
+      .agg(count(lit(1)),
+        coalesce(sum(when(col("logw") >= lit(minLogw), 1L).otherwise(0L)), lit(0L)))
+      .head()
+    val (n, kept) = (agg.getLong(0), agg.getLong(1))
+    Seq(Row(path, n, kept, n - kept))
+  }
+}
+
 case class ShowVersionCommand() extends LeafRunnableCommand {
   import GraftSqlParser.attr
   override val output: Seq[Attribute] =

@@ -299,6 +299,29 @@ class AdminSqlSpec extends SparkSpecBase {
 
       // everything else still parses as Spark SQL
       assert(s2.sql("SELECT 1 + 1 AS x").head().getInt(0) == 2)
+
+      // ---- DSIR model lifecycle purely through SQL ----
+      val model = "/tmp/graft_adminsql_dsir_" + System.nanoTime()
+      s2.createDataFrame(Seq(
+        (1L, "alpha beta gamma", "tgt"), (2L, "alpha beta delta", "tgt"),
+        (3L, "alpha beta", "pool"), (4L, "omega psi chi", "pool"),
+        (5L, "omega psi", "pool")))
+        .toDF("doc_id", "text", "src").createOrReplaceTempView("dsir_docs")
+      val fit = s2.sql(
+        s"FIT DSIR MODEL '$model' FROM dsir_docs TARGET (src = 'tgt') BUCKETS 512").head()
+      assert(fit.getString(0) == model && fit.getLong(1) == 512L)
+      assert(fit.getLong(2) == 6L, "target tokens") // 3 + 3
+      assert(fit.getLong(3) == 7L, "raw tokens") // 2 + 3 + 2
+      val mrow = s2.sql(s"SHOW DSIR MODEL '$model'").head()
+      assert(mrow.getLong(1) == 512L && mrow.getLong(2) == 6L && mrow.getLong(3) == 7L)
+      assert(mrow.getLong(5) >= 1L, "ratio rows")
+      val screen = s2.sql(s"SCREEN DSIR '$model' FROM dsir_docs MIN LOGW 0.0").head()
+      assert(screen.getLong(1) == 5L, "all rows scored")
+      // target-vocab docs (1,2,3) score positive, off-vocab (4,5) negative
+      assert(screen.getLong(2) == 3L && screen.getLong(3) == 2L, screen.toString)
+      // a crashed/absent model refuses to serve
+      val bad = intercept[Exception](s2.sql("SHOW DSIR MODEL '/tmp/graft_no_such_model'").collect())
+      assert(bad.getMessage.contains("meta missing"), bad.getMessage)
     } finally {
       SparkSession.setActiveSession(spark)
       SparkSession.setDefaultSession(spark)

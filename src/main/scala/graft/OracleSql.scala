@@ -1480,8 +1480,10 @@ object OracleSql {
     "q_dsir_served" -> dsirSelectSql
   )
 
+  // COALESCE mirrors Dsir.featureCounts' null-flag rule: a NULL source
+  // is raw pool on both sides, so the gate cannot diverge on null rows
   private lazy val dsirSelectSql =
-      s"""WITH t AS (SELECT doc_id, source = 'src0' AS is_t, $toks AS tk FROM documents),
+      s"""WITH t AS (SELECT doc_id, COALESCE(source = 'src0', FALSE) AS is_t, $toks AS tk FROM documents),
               u AS (SELECT doc_id, is_t, unnest(tk) AS w FROM t),
               ub AS (SELECT doc_id, is_t,
                        CAST(CONCAT('0x', substr(md5(w), 1, 6)) AS BIGINT) % 4096 AS bucket

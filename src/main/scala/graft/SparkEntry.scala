@@ -1753,8 +1753,7 @@ object SparkEntry {
     * served-path gate times the broadcast-join probe, not the fit. */
   private def ensureDsirModel(s: SparkSession, dir: String): String = {
     val path = s"/tmp/graft_dsir/${dirKey(dir)}"
-    val marker = new org.apache.hadoop.fs.Path(s"$path/meta/_SUCCESS")
-    if (!marker.getFileSystem(s.sparkContext.hadoopConfiguration).exists(marker)) {
+    if (!graft.operators.Dsir.modelExists(s, path)) {
       graft.operators.Dsir.fit(ld(s, dir, "documents"), "doc_id", "text",
         col("source") === "src0", buckets = 4096, path)
     }
@@ -1771,7 +1770,10 @@ object SparkEntry {
   private def qDsirServed(s: SparkSession, dir: String): DataFrame = {
     val path = ensureDsirModel(s, dir)
     graft.operators.Dsir.scoreWithModel(
-        ld(s, dir, "documents").filter(col("source") =!= "src0"), "doc_id", "text", path)
+        // null-source docs are raw pool (the featureCounts coalesce
+        // rule) — a bare =!= would silently drop them here
+        ld(s, dir, "documents").filter(!coalesce(col("source") === "src0", lit(false))),
+        "doc_id", "text", path)
       .filter(col("doc_tokens") > 0)
       .orderBy(col("logw_q").desc, col("doc_id").asc).limit(100)
       .withColumn("rank",

@@ -144,6 +144,9 @@ object Dsir {
    * ONE meta row (buckets, nt, nr, default_q) LAST — its presence
    * certifies a complete fit (meta deleted first on rewrite, so a
    * crashed fit refuses to serve rather than serving half a model).
+   * ONE corpus pass: the bucket-count table is ≤ `buckets` narrow
+   * rows, so it is collected once and totals + ratios derive
+   * driver-side — a second action would re-run the corpus tokenize.
    */
   def fit(
       docs: DataFrame, idCol: String, textCol: String, isTarget: Column,
@@ -153,12 +156,15 @@ object Dsir {
     val fs = fsOf(spark, path)
     Seq("meta", "ratios")
       .foreach(d => fs.delete(new org.apache.hadoop.fs.Path(s"$path/$d"), true))
-    val bc = bucketCounts(featureCounts(docs, idCol, textCol, isTarget, buckets))
-    val tot = bc.agg(
-      coalesce(sum(col("ct")), lit(0L)),
-      coalesce(sum(col("cr")), lit(0L))).head() // 1 bounded row
-    val (nt, nr) = (tot.getLong(0), tot.getLong(1))
-    bc.select(col("bucket"),
+    val bcRows = bucketCounts(featureCounts(docs, idCol, textCol, isTarget, buckets))
+      .collect() // ≤ buckets (bucket, ct, cr) rows — bounded
+    val nt = bcRows.iterator.map(_.getAs[Long]("ct")).sum
+    val nr = bcRows.iterator.map(_.getAs[Long]("cr")).sum
+    bcRows.map(r => (r.getAs[Long]("bucket"), r.getAs[Long]("ct"), r.getAs[Long]("cr")))
+      .toSeq.toDF("bucket", "ct", "cr")
+      // the same ratioQ Column expression as the inline path — the
+      // stored quantized values are bit-identical to ratioTable's
+      .select(col("bucket"),
         ratioQ(col("ct"), col("cr"), lit(nt), lit(nr), buckets).as("ratio_q"))
       .coalesce(1) // ≤ buckets narrow rows — one file serves broadcast reads
       .write.mode("overwrite").parquet(s"$path/ratios")
@@ -167,35 +173,56 @@ object Dsir {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
   }
 
-  /**
-   * Serve per-doc scores for NEW documents from a persisted model —
-   * one narrow tokenize pass over the batch, a broadcast join against
-   * the stored table (buckets unseen at fit time fall back to the
-   * stored smoothed default), nothing corpus-sized. Emits
-   * (doc_id, doc_tokens, logw_q, logw); zero-token docs carry no
-   * evidence and score logw_q = 0 rather than dropping out.
-   */
-  def scoreWithModel(
-      docs: DataFrame, idCol: String, textCol: String, modelPath: String): DataFrame = {
-    val spark = docs.sparkSession
-    graft.sql.GraftFunctions.register(spark)
-    val fs = fsOf(spark, modelPath)
-    require(fs.exists(new org.apache.hadoop.fs.Path(s"$modelPath/meta/_SUCCESS")),
+  /** Whether a complete model exists at the path (meta written LAST
+    * certifies the fit). */
+  def modelExists(spark: SparkSession, modelPath: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$modelPath/meta/_SUCCESS")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** The persisted model's geometry (buckets, nt, nr, default_q) —
+    * the ONE meta reader every consumer (serving, streaming twin, SQL
+    * SHOW/FIT) shares; refuses a meta-less crashed fit. */
+  private[graft] def readMeta(spark: SparkSession, modelPath: String): (Int, Long, Long, Long) = {
+    require(modelExists(spark, modelPath),
       s"no complete DSIR model at $modelPath (meta missing — fit crashed or never ran)")
-    val meta = spark.read.parquet(s"$modelPath/meta").head()
-    val b = meta.getAs[Int]("buckets")
-    val defQ = meta.getAs[Long]("default_q")
-    val ratios = spark.read.parquet(s"$modelPath/ratios")
+    val m = spark.read.parquet(s"$modelPath/meta").head()
+    (m.getAs[Int]("buckets"), m.getAs[Long]("nt"), m.getAs[Long]("nr"), m.getAs[Long]("default_q"))
+  }
+
+  /**
+   * The serving kernel over an ALREADY-LOADED ratio table: one narrow
+   * tokenize pass over the batch, a broadcast join (buckets unseen at
+   * fit time fall back to the smoothed default), nothing corpus-sized.
+   * Emits (doc_id, doc_tokens, logw_q, logw); zero-token docs carry no
+   * evidence and score logw_q = 0 rather than dropping out. The
+   * streaming twin preloads the frozen model ONCE and calls this per
+   * micro-batch; [[scoreWithModel]] is the load-and-score convenience.
+   */
+  def scoreWithRatios(
+      docs: DataFrame, idCol: String, textCol: String,
+      ratios: DataFrame, buckets: Int, defaultQ: Long): DataFrame = {
+    graft.sql.GraftFunctions.register(docs.sparkSession)
     docs
       .select(col(idCol).as("doc_id"), explode_outer(F.tokens(col(textCol))).as("w"))
-      .select(col("doc_id"), when(col("w").isNotNull, bucket(col("w"), b)).as("bucket"))
+      .select(col("doc_id"), when(col("w").isNotNull, bucket(col("w"), buckets)).as("bucket"))
       .groupBy(col("doc_id"), col("bucket"))
       .agg(count(col("bucket")).as("tf")) // null bucket (zero-token doc): tf = 0
       .join(broadcast(ratios), Seq("bucket"), "left")
       .groupBy(col("doc_id"))
       .agg(
         sum(col("tf")).as("doc_tokens"),
-        coalesce(sum(col("tf") * coalesce(col("ratio_q"), lit(defQ))), lit(0L)).as("logw_q"))
+        coalesce(sum(col("tf") * coalesce(col("ratio_q"), lit(defaultQ))), lit(0L)).as("logw_q"))
       .withColumn("logw", col("logw_q").cast("double") / lit(1000000.0))
+  }
+
+  /** Serve per-doc scores from a persisted model ([[fit]]): loads the
+    * geometry + ratio table, then runs [[scoreWithRatios]]. */
+  def scoreWithModel(
+      docs: DataFrame, idCol: String, textCol: String, modelPath: String): DataFrame = {
+    val spark = docs.sparkSession
+    val (b, _, _, defQ) = readMeta(spark, modelPath)
+    scoreWithRatios(docs, idCol, textCol,
+      spark.read.parquet(s"$modelPath/ratios"), b, defQ)
   }
 }

@@ -135,11 +135,19 @@ object Multimodal {
           cs(i) = s; cn(i) = (until - from).toLong; i += 1
         }
         val total = cs.sum
+        // cs·len and total·cn are ≤ ~4·len², past Long for multi-GB
+        // payloads (len > ~1.5e9) — wraparound would invert bits that
+        // DuckDB's HUGEINT-promoted oracle gets right. Exact big-int
+        // compare on that cold path; plain longs below it.
+        val big = len > 1000000000L
         var hi = 0L
         var lo = 0L
         i = 0
         while (i < 64) {
-          if (cs(i) * len > total * cn(i)) {
+          val bit =
+            if (big) BigInt(cs(i)) * BigInt(len) > BigInt(total) * BigInt(cn(i))
+            else cs(i) * len > total * cn(i)
+          if (bit) {
             if (i < 32) hi |= 1L << (31 - i) else lo |= 1L << (63 - i)
           }
           i += 1

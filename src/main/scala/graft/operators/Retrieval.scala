@@ -414,38 +414,36 @@ object Retrieval {
     }
   }
 
-  /** Whether a read honoring `excludeShard` has any postings to scan —
-    * [[admitDocs]]'s "is there anything to screen against" check. False
-    * on an empty-corpus base (zero rows write no readable parquet data
-    * file) or when the only shard is the one being excluded; same
-    * meta guard as [[postingsFromIndex]]. */
-  private def hasServablePostings(
-      spark: SparkSession, indexPath: String, excludeShard: Option[String]): Boolean = {
-    val fs = fsOf(spark, indexPath)
-    require(fs.exists(new org.apache.hadoop.fs.Path(s"$indexPath/meta/_SUCCESS")),
+  /** Meta guard shared by every index reader: refuses an index without
+    * meta (a crashed [[buildPostingsIndex]]). */
+  private def requireMeta(spark: SparkSession, indexPath: String): Unit =
+    require(fsOf(spark, indexPath)
+      .exists(new org.apache.hadoop.fs.Path(s"$indexPath/meta/_SUCCESS")),
       s"no complete postings index at $indexPath (meta missing — build crashed or never ran)")
-    postingsSources(spark, indexPath, excludeShard).nonEmpty
+
+  /** Read the postings rows of already-resolved sources,
+    * identity-collapsed while the compaction marker exists. */
+  private def readPostings(
+      spark: SparkSession, indexPath: String, srcs: Seq[String]): DataFrame = {
+    val tf = spark.read.parquet(srcs: _*)
+      .select(col("doc_id"), col("term"), col("tf"), col("len"))
+    if (compacting(spark, indexPath)) tf.dropDuplicates(Seq("doc_id", "term")) else tf
   }
 
   /**
    * The postings of a persisted index: committed shards only, served
    * through the crash-window protocol of [[postingsSources]] and
-   * identity-collapsed while the compaction marker exists. Refuses an
-   * index without meta (a crashed [[buildPostingsIndex]]).
+   * identity-collapsed while the compaction marker exists.
    * `excludeShard` drops one shard's rows — the replay-safety hook
    * [[admitDocs]] probes through.
    */
   def postingsFromIndex(
       spark: SparkSession, indexPath: String,
       excludeShard: Option[String] = None): DataFrame = {
-    val fs = fsOf(spark, indexPath)
-    require(fs.exists(new org.apache.hadoop.fs.Path(s"$indexPath/meta/_SUCCESS")),
-      s"no complete postings index at $indexPath (meta missing — build crashed or never ran)")
+    requireMeta(spark, indexPath)
     val srcs = postingsSources(spark, indexPath, excludeShard)
     require(srcs.nonEmpty, s"postings index at $indexPath holds no readable shard data")
-    val tf = spark.read.parquet(srcs: _*)
-      .select(col("doc_id"), col("term"), col("tf"), col("len"))
-    if (compacting(spark, indexPath)) tf.dropDuplicates(Seq("doc_id", "term")) else tf
+    readPostings(spark, indexPath, srcs)
   }
 
   /** The index's corpus constants as the scoring kernel's 1-row
@@ -508,14 +506,19 @@ object Retrieval {
       docs: DataFrame, indexPath: String, idCol: String, textCol: String,
       shard: String): DataFrame = {
     val spark = docs.sparkSession
+    requireMeta(spark, indexPath)
+    // resolve sources ONCE (shard-dir listings are driver-side RPCs on
+    // object stores); empty = nothing indexed beyond this shard's own
+    // rows — an empty-corpus base writes no readable parquet data file
+    val srcs = postingsSources(spark, indexPath, excludeShard = Some(shard))
     val unique = docs.dropDuplicates(Seq(idCol))
     val survivors =
-      if (!hasServablePostings(spark, indexPath, excludeShard = Some(shard))) unique
+      if (srcs.isEmpty) unique
       else {
-        val dupIds = postingsFromIndex(spark, indexPath, excludeShard = Some(shard))
+        val dupIds = readPostings(spark, indexPath, srcs)
           .select(col("doc_id"))
-          .join(broadcast(unique.select(col(idCol).as("doc_id")).distinct()), "doc_id")
-          .distinct()
+          .join(broadcast(unique.select(col(idCol).as("doc_id"))), "doc_id")
+          .distinct() // collapse per-posting multiplicity, not the probe side
         unique.join(
           dupIds.hint("shuffle_hash"), unique(idCol) === dupIds("doc_id"), "left_anti")
       }

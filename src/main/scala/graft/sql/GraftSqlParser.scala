@@ -584,10 +584,8 @@ case class FitDsirModelCommand(
   override def run(spark: SparkSession): Seq[Row] = {
     graft.operators.Dsir.fit(spark.table(table), idCol, textCol,
       org.apache.spark.sql.functions.expr(targetSql), buckets, path)
-    val meta = spark.read.parquet(s"$path/meta").head()
-    Seq(Row(path, meta.getAs[Int]("buckets").toLong,
-      meta.getAs[Long]("nt"), meta.getAs[Long]("nr"),
-      spark.read.parquet(s"$path/ratios").count()))
+    val (b, nt, nr, _) = graft.operators.Dsir.readMeta(spark, path)
+    Seq(Row(path, b.toLong, nt, nr, spark.read.parquet(s"$path/ratios").count()))
   }
 }
 
@@ -600,12 +598,8 @@ case class ShowDsirModelCommand(path: String) extends LeafRunnableCommand {
     attr("n_target_tokens", LongType), attr("n_raw_tokens", LongType),
     attr("default_q", LongType), attr("ratio_rows", LongType))
   override def run(spark: SparkSession): Seq[Row] = {
-    val marker = new org.apache.hadoop.fs.Path(s"$path/meta/_SUCCESS")
-    require(marker.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(marker),
-      s"no complete DSIR model at $path (meta missing — fit crashed or never ran)")
-    val meta = spark.read.parquet(s"$path/meta").head()
-    Seq(Row(path, meta.getAs[Int]("buckets").toLong,
-      meta.getAs[Long]("nt"), meta.getAs[Long]("nr"), meta.getAs[Long]("default_q"),
+    val (b, nt, nr, defQ) = graft.operators.Dsir.readMeta(spark, path)
+    Seq(Row(path, b.toLong, nt, nr, defQ,
       spark.read.parquet(s"$path/ratios").count()))
   }
 }

@@ -29,18 +29,25 @@ object StreamingDsir {
       reportPath: String,
       minLogw: Double,
       checkpoint: String = "/tmp/graft_streaming_dsir_ckpt"
-  ): StreamingQuery =
+  ): StreamingQuery = {
+    // the model is FROZEN for the query's lifetime — load geometry and
+    // ratio table once here, not per micro-batch (scoreWithModel's
+    // marker check + meta read would otherwise run on every batch)
+    val (buckets, _, _, defaultQ) = graft.operators.Dsir.readMeta(spark, modelPath)
+    val ratios = spark.read.parquet(s"$modelPath/ratios")
     docs.writeStream
       .outputMode("append")
       .trigger(Trigger.ProcessingTime(0L))
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
-          graft.operators.Dsir.scoreWithModel(batch, "doc_id", "text", modelPath)
+          graft.operators.Dsir
+            .scoreWithRatios(batch, "doc_id", "text", ratios, buckets, defaultQ)
             .withColumn("keep", col("logw") >= lit(minLogw))
             .write.mode("overwrite").parquet(s"$reportPath/batch_id=$batchId")
         }
         ()
       }
       .start()
+  }
 }

@@ -1477,7 +1477,10 @@ object OracleSql {
     // serving from the persisted model (Dsir.scoreWithModel) is exactly
     // the inline fit+select — the stored quantized ratios ARE the
     // inline ones and every raw-pool bucket is in the table
-    "q_dsir_served" -> dsirSelectSql
+    "q_dsir_served" -> dsirSelectSql,
+    // the incrementally-refreshed model (fit half + update half) must
+    // serve EXACTLY the full-corpus model — same oracle by design
+    "q_dsir_updated" -> dsirSelectSql
   )
 
   // COALESCE mirrors Dsir.featureCounts' null-flag rule: a NULL source

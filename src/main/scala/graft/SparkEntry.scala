@@ -613,6 +613,7 @@ object SparkEntry {
     ensureDeclaredCatalog(s, dir)
     ensurePostingsIndex(s, dir)
     ensureDsirModel(s, dir)
+    ensureDsirUpdatedModel(s, dir)
     ()
   }
 
@@ -1760,6 +1761,28 @@ object SparkEntry {
     path
   }
 
+  /** One-time INCREMENTALLY-BUILT DSIR model: fit generation 0 on the
+    * even-id half of the corpus, then [[graft.operators.Dsir.update]]
+    * folds the odd-id half in as a batch — the daily-refresh shape.
+    * Because bucket counts are additive the result is EXACTLY the
+    * full-corpus fit, so q_dsir_updated shares q_dsir_select's oracle
+    * (the oracle models the WHOLE corpus — any divergence in the
+    * update path breaks the hash). Convergent if a prior run died
+    * between fit and update: the batch label gates the replay. */
+  private def ensureDsirUpdatedModel(s: SparkSession, dir: String): String = {
+    val path = s"/tmp/graft_dsir_upd/${dirKey(dir)}"
+    val docs = ld(s, dir, "documents")
+    if (!graft.operators.Dsir.modelExists(s, path)) {
+      graft.operators.Dsir.fit(docs.filter(col("doc_id") % 2 === 0), "doc_id", "text",
+        col("source") === "src0", buckets = 4096, path)
+    }
+    if (graft.operators.Dsir.readMetaRow(s, path).getAs[String]("batch") != "odd-ids") {
+      graft.operators.Dsir.update(docs.filter(col("doc_id") % 2 === 1), "doc_id", "text",
+        col("source") === "src0", path, "odd-ids")
+    }
+    path
+  }
+
   /** DSIR serving from the PERSISTED model (Dsir.scoreWithModel — the
     * daily-batch shape: one narrow pass over the pool + a broadcast
     * join against the stored ≤4096-row ratio table): must reproduce
@@ -1767,8 +1790,18 @@ object SparkEntry {
     * oracle. Every raw-pool token's bucket is in the stored table, so
     * the unseen-bucket default never fires here; docs carrying zero
     * token evidence are excluded to match the inline domain. */
-  private def qDsirServed(s: SparkSession, dir: String): DataFrame = {
-    val path = ensureDsirModel(s, dir)
+  private def qDsirServed(s: SparkSession, dir: String): DataFrame =
+    dsirServe(s, dir, ensureDsirModel(s, dir))
+
+  /** DSIR serving from the INCREMENTALLY-refreshed model (fit on half
+    * the corpus + one [[graft.operators.Dsir.update]] batch): the
+    * gate proves update ≡ refit end-to-end against the full-corpus
+    * oracle — counts, quantized ratios, and serve scores all land
+    * bit-identical to the monolithic fit's. */
+  private def qDsirUpdated(s: SparkSession, dir: String): DataFrame =
+    dsirServe(s, dir, ensureDsirUpdatedModel(s, dir))
+
+  private def dsirServe(s: SparkSession, dir: String, path: String): DataFrame = {
     graft.operators.Dsir.scoreWithModel(
         // null-source docs are raw pool (the featureCounts coalesce
         // rule) — a bare =!= would silently drop them here
@@ -2203,6 +2236,7 @@ object SparkEntry {
     "q_lm_perplexity" -> (qLmPerplexity _),
     "q_dsir_select" -> (qDsirSelect _),
     "q_dsir_served" -> (qDsirServed _),
+    "q_dsir_updated" -> (qDsirUpdated _),
     "q_lm_bigram" -> (qLmBigram _),
     "q_boilerplate" -> (qBoilerplate _),
     "q_mix_weights" -> (qMixWeights _),

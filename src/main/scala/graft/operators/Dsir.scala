@@ -139,55 +139,155 @@ object Dsir {
     new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  // ==================================================================
+  // Persisted model — GENERATIONAL layout, because bucket counts are
+  // ADDITIVE: a model refresh for a new batch is O(batch), never a
+  // corpus re-scan ([[update]]). Layout under <path>:
+  //   gen=<k>/counts/  (bucket, ct, cr)   the sufficient statistics
+  //   gen=<k>/ratios/  (bucket, ratio_q)  the broadcastable serve table
+  //   gen=<k>/meta/    ONE row (buckets, nt, nr, default_q, batch,
+  //                    generation) — written LAST: its presence
+  //                    certifies the whole generation
+  // Readers serve the HIGHEST generation with committed meta, so a
+  // crashed fit/update leaves a meta-less partial dir that is simply
+  // invisible (and a replay overwrites it) — zero-downtime refresh,
+  // no swap marker needed. `batch` is the update's idempotency key:
+  // replaying the latest batch label is a no-op.
+  // ==================================================================
+
+  private def genDir(path: String, g: Long): String = s"$path/gen=$g"
+
+  /** Highest generation whose meta is committed (servable), if any. */
+  private def latestGen(spark: SparkSession, modelPath: String): Option[Long] = {
+    val fs = fsOf(spark, modelPath)
+    val root = new org.apache.hadoop.fs.Path(modelPath)
+    if (!fs.exists(root)) None
+    else fs.listStatus(root).iterator
+      .map(_.getPath.getName)
+      .filter(_.startsWith("gen="))
+      .map(_.stripPrefix("gen=").toLong)
+      .filter(g => fs.exists(new org.apache.hadoop.fs.Path(s"${genDir(modelPath, g)}/meta/_SUCCESS")))
+      .foldLeft(Option.empty[Long])((a, g) => Some(a.fold(g)(math.max(_, g))))
+  }
+
+  /** Write one complete generation: counts, ratios (the same [[ratioQ]]
+    * Column expression as the inline path — stored quantized values are
+    * bit-identical to [[ratioTable]]'s), then meta LAST. */
+  private def writeGeneration(
+      spark: SparkSession, path: String, g: Long,
+      counts: Map[Long, (Long, Long)], buckets: Int, batch: String): Unit = {
+    import spark.implicits._
+    val dir = genDir(path, g)
+    val nt = counts.valuesIterator.map(_._1).sum
+    val nr = counts.valuesIterator.map(_._2).sum
+    val countsDf = counts.toSeq.map { case (b, (ct, cr)) => (b, ct, cr) }
+      .toDF("bucket", "ct", "cr")
+    countsDf.coalesce(1).write.mode("overwrite").parquet(s"$dir/counts")
+    countsDf
+      .select(col("bucket"),
+        ratioQ(col("ct"), col("cr"), lit(nt), lit(nr), buckets).as("ratio_q"))
+      .coalesce(1) // ≤ buckets narrow rows — one file serves broadcast reads
+      .write.mode("overwrite").parquet(s"$dir/ratios")
+    Seq((buckets, nt, nr, defaultRatioQ(nt, nr, buckets), batch, g))
+      .toDF("buckets", "nt", "nr", "default_q", "batch", "generation")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  /** The batch's bucket counts as a bounded driver-side map
+    * (≤ `buckets` entries). ONE corpus/batch pass — a second Spark
+    * action would re-run the tokenize. */
+  private def collectCounts(
+      docs: DataFrame, idCol: String, textCol: String,
+      isTarget: Column, buckets: Int): Map[Long, (Long, Long)] =
+    bucketCounts(featureCounts(docs, idCol, textCol, isTarget, buckets))
+      .collect()
+      .map(r => r.getAs[Long]("bucket") -> ((r.getAs[Long]("ct"), r.getAs[Long]("cr"))))
+      .toMap
+
   /**
-   * Fit and persist the model: ratio table under `<path>/ratios`, then
-   * ONE meta row (buckets, nt, nr, default_q) LAST — its presence
-   * certifies a complete fit (meta deleted first on rewrite, so a
-   * crashed fit refuses to serve rather than serving half a model).
-   * ONE corpus pass: the bucket-count table is ≤ `buckets` narrow
-   * rows, so it is collected once and totals + ratios derive
-   * driver-side — a second action would re-run the corpus tokenize.
+   * Fit and persist the model as generation 0 (any previous state is
+   * wiped — a fit is a from-scratch retrain; incremental refreshes go
+   * through [[update]]).
    */
   def fit(
       docs: DataFrame, idCol: String, textCol: String, isTarget: Column,
       buckets: Int, path: String): Unit = {
     val spark = docs.sparkSession
-    import spark.implicits._
     val fs = fsOf(spark, path)
-    Seq("meta", "ratios")
-      .foreach(d => fs.delete(new org.apache.hadoop.fs.Path(s"$path/$d"), true))
-    val bcRows = bucketCounts(featureCounts(docs, idCol, textCol, isTarget, buckets))
-      .collect() // ≤ buckets (bucket, ct, cr) rows — bounded
-    val nt = bcRows.iterator.map(_.getAs[Long]("ct")).sum
-    val nr = bcRows.iterator.map(_.getAs[Long]("cr")).sum
-    bcRows.map(r => (r.getAs[Long]("bucket"), r.getAs[Long]("ct"), r.getAs[Long]("cr")))
-      .toSeq.toDF("bucket", "ct", "cr")
-      // the same ratioQ Column expression as the inline path — the
-      // stored quantized values are bit-identical to ratioTable's
-      .select(col("bucket"),
-        ratioQ(col("ct"), col("cr"), lit(nt), lit(nr), buckets).as("ratio_q"))
-      .coalesce(1) // ≤ buckets narrow rows — one file serves broadcast reads
-      .write.mode("overwrite").parquet(s"$path/ratios")
-    Seq((buckets, nt, nr, defaultRatioQ(nt, nr, buckets)))
-      .toDF("buckets", "nt", "nr", "default_q")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    writeGeneration(spark, path, 0L,
+      collectCounts(docs, idCol, textCol, isTarget, buckets), buckets, "__fit")
   }
 
-  /** Whether a complete model exists at the path (meta written LAST
-    * certifies the fit). */
-  def modelExists(spark: SparkSession, modelPath: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(s"$modelPath/meta/_SUCCESS")
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  /**
+   * Incremental model refresh: add a NEW batch's bucket counts to the
+   * stored sufficient statistics and write the next generation —
+   * O(batch) work, the corpus is never re-scanned, and because counts
+   * are additive the result is EXACTLY the model [[fit]] would produce
+   * on the union (spec-pinned). `batch` is the idempotency key: if the
+   * servable generation already carries this label the call is a
+   * replay and returns without writing (so a crashed update — which
+   * leaves a meta-less, invisible partial generation — converges when
+   * re-run). Serving never pauses: readers keep the previous
+   * generation until the new meta commits.
+   */
+  def update(
+      docs: DataFrame, idCol: String, textCol: String, isTarget: Column,
+      path: String, batch: String): Unit = {
+    require(batch.nonEmpty && batch != "__fit",
+      s"batch must be a non-empty label other than the reserved __fit, got '$batch'")
+    val spark = docs.sparkSession
+    val g = latestGen(spark, path).getOrElse(
+      throw new IllegalArgumentException(
+        s"no complete DSIR model at $path (meta missing — fit crashed or never ran)"))
+    val m = spark.read.parquet(s"${genDir(path, g)}/meta").head()
+    if (m.getAs[String]("batch") == batch) return // replay of the applied batch
+    val buckets = m.getAs[Int]("buckets")
+    val old = spark.read.parquet(s"${genDir(path, g)}/counts")
+      .collect()
+      .map(r => r.getAs[Long]("bucket") -> ((r.getAs[Long]("ct"), r.getAs[Long]("cr"))))
+      .toMap
+    val add = collectCounts(docs, idCol, textCol, isTarget, buckets)
+    val merged = (old.keySet ++ add.keySet).iterator.map { b =>
+      val (ct0, cr0) = old.getOrElse(b, (0L, 0L))
+      val (ct1, cr1) = add.getOrElse(b, (0L, 0L))
+      b -> ((ct0 + ct1, cr0 + cr1))
+    }.toMap
+    writeGeneration(spark, path, g + 1L, merged, buckets, batch)
+    // best-effort prune: older generations are garbage once g+1 serves
+    val fs = fsOf(spark, path)
+    (0L until g).foreach(k =>
+      fs.delete(new org.apache.hadoop.fs.Path(genDir(path, k)), true))
   }
 
-  /** The persisted model's geometry (buckets, nt, nr, default_q) —
+  /** Whether a servable model exists at the path (some generation's
+    * meta committed — meta written LAST certifies it). */
+  def modelExists(spark: SparkSession, modelPath: String): Boolean =
+    latestGen(spark, modelPath).isDefined
+
+  /** The servable generation's geometry (buckets, nt, nr, default_q) —
     * the ONE meta reader every consumer (serving, streaming twin, SQL
     * SHOW/FIT) shares; refuses a meta-less crashed fit. */
   private[graft] def readMeta(spark: SparkSession, modelPath: String): (Int, Long, Long, Long) = {
-    require(modelExists(spark, modelPath),
-      s"no complete DSIR model at $modelPath (meta missing — fit crashed or never ran)")
-    val m = spark.read.parquet(s"$modelPath/meta").head()
+    val m = readMetaRow(spark, modelPath)
     (m.getAs[Int]("buckets"), m.getAs[Long]("nt"), m.getAs[Long]("nr"), m.getAs[Long]("default_q"))
+  }
+
+  /** Full meta row of the servable generation (adds batch/generation
+    * for the admin surface). */
+  private[graft] def readMetaRow(spark: SparkSession, modelPath: String): org.apache.spark.sql.Row = {
+    val g = latestGen(spark, modelPath).getOrElse(
+      throw new IllegalArgumentException(
+        s"no complete DSIR model at $modelPath (meta missing — fit crashed or never ran)"))
+    spark.read.parquet(s"${genDir(modelPath, g)}/meta").head()
+  }
+
+  /** The servable generation's ratio table. */
+  private[graft] def ratiosOf(spark: SparkSession, modelPath: String): DataFrame = {
+    val g = latestGen(spark, modelPath).getOrElse(
+      throw new IllegalArgumentException(
+        s"no complete DSIR model at $modelPath (meta missing — fit crashed or never ran)"))
+    spark.read.parquet(s"${genDir(modelPath, g)}/ratios")
   }
 
   /**
@@ -216,13 +316,13 @@ object Dsir {
       .withColumn("logw", col("logw_q").cast("double") / lit(1000000.0))
   }
 
-  /** Serve per-doc scores from a persisted model ([[fit]]): loads the
-    * geometry + ratio table, then runs [[scoreWithRatios]]. */
+  /** Serve per-doc scores from a persisted model ([[fit]]/[[update]]):
+    * loads the servable generation's geometry + ratio table, then runs
+    * [[scoreWithRatios]]. */
   def scoreWithModel(
       docs: DataFrame, idCol: String, textCol: String, modelPath: String): DataFrame = {
     val spark = docs.sparkSession
     val (b, _, _, defQ) = readMeta(spark, modelPath)
-    scoreWithRatios(docs, idCol, textCol,
-      spark.read.parquet(s"$modelPath/ratios"), b, defQ)
+    scoreWithRatios(docs, idCol, textCol, ratiosOf(spark, modelPath), b, defQ)
   }
 }

@@ -36,6 +36,7 @@ import org.apache.spark.sql.types.{DataType, DoubleType, LongType, StringType, S
  *   PROMOTE VECTOR INDEX DELTA '<index-path>'
  *   SHOW VERSION
  *   FIT DSIR MODEL '<path>' FROM <table> TARGET (<bool-expr>) [ON (<id-col>, <text-col>)] [BUCKETS n]
+ *   UPDATE DSIR MODEL '<path>' FROM <table> TARGET (<bool-expr>) [ON (<id-col>, <text-col>)] BATCH '<label>'
  *   SHOW DSIR MODEL '<path>'
  *   SCREEN DSIR '<path>' FROM <table> [ON (<id-col>, <text-col>)] [MIN LOGW x]
  *   UPSERT INTO <table> (col, ...) VALUES (v, ...), ...
@@ -118,6 +119,9 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface) extends P
         FitDsirModelCommand(path, table, target,
           Option(idCol).getOrElse("doc_id"), Option(textCol).getOrElse("text"),
           Option(buckets).map(_.toInt).getOrElse(4096))
+      case UpdateDsirRe(path, table, target, idCol, textCol, batch) =>
+        UpdateDsirModelCommand(path, table, target,
+          Option(idCol).getOrElse("doc_id"), Option(textCol).getOrElse("text"), batch)
       case ShowDsirRe(path) => ShowDsirModelCommand(path)
       case ScreenDsirRe(path, table, idCol, textCol, minLogw) =>
         ScreenDsirCommand(path, table,
@@ -170,6 +174,8 @@ object GraftSqlParser {
   private val ShowVersionRe = """(?is)SHOW\s+VERSION\s*;?""".r
   private val FitDsirRe =
     """(?is)FIT\s+DSIR\s+MODEL\s+'([^']+)'\s+FROM\s+([A-Za-z_][A-Za-z0-9_.]*)\s+TARGET\s+\((.+?)\)(?:\s+ON\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*,\s*([A-Za-z_][A-Za-z0-9_]*)\s*\))?(?:\s+BUCKETS\s+(\d+))?\s*;?""".r
+  private val UpdateDsirRe =
+    """(?is)UPDATE\s+DSIR\s+MODEL\s+'([^']+)'\s+FROM\s+([A-Za-z_][A-Za-z0-9_.]*)\s+TARGET\s+\((.+?)\)(?:\s+ON\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*,\s*([A-Za-z_][A-Za-z0-9_]*)\s*\))?\s+BATCH\s+'([^']+)'\s*;?""".r
   private val ShowDsirRe = """(?is)SHOW\s+DSIR\s+MODEL\s+'([^']+)'\s*;?""".r
   private val ScreenDsirRe =
     """(?is)SCREEN\s+DSIR\s+'([^']+)'\s+FROM\s+([A-Za-z_][A-Za-z0-9_.]*)(?:\s+ON\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*,\s*([A-Za-z_][A-Za-z0-9_]*)\s*\))?(?:\s+MIN\s+LOGW\s+(-?[0-9.]+))?\s*;?""".r
@@ -585,7 +591,34 @@ case class FitDsirModelCommand(
     graft.operators.Dsir.fit(spark.table(table), idCol, textCol,
       org.apache.spark.sql.functions.expr(targetSql), buckets, path)
     val (b, nt, nr, _) = graft.operators.Dsir.readMeta(spark, path)
-    Seq(Row(path, b.toLong, nt, nr, spark.read.parquet(s"$path/ratios").count()))
+    Seq(Row(path, b.toLong, nt, nr, graft.operators.Dsir.ratiosOf(spark, path).count()))
+  }
+}
+
+/** UPDATE DSIR MODEL '<path>' FROM <t> TARGET (<expr>) [ON (id, text)]
+  * BATCH '<label>' — incremental model refresh
+  * ([[graft.operators.Dsir.update]]): adds the batch's bucket counts
+  * to the stored sufficient statistics and serves the next generation;
+  * O(batch), exactly the from-scratch refit on the union, idempotent
+  * per BATCH label. Reports the new geometry. */
+case class UpdateDsirModelCommand(
+    path: String,
+    table: String,
+    targetSql: String,
+    idCol: String,
+    textCol: String,
+    batch: String
+) extends LeafRunnableCommand {
+  import GraftSqlParser.attr
+  override val output: Seq[Attribute] = Seq(
+    attr("model", StringType), attr("generation", LongType), attr("batch", StringType),
+    attr("n_target_tokens", LongType), attr("n_raw_tokens", LongType))
+  override def run(spark: SparkSession): Seq[Row] = {
+    graft.operators.Dsir.update(spark.table(table), idCol, textCol,
+      org.apache.spark.sql.functions.expr(targetSql), path, batch)
+    val m = graft.operators.Dsir.readMetaRow(spark, path)
+    Seq(Row(path, m.getAs[Long]("generation"), m.getAs[String]("batch"),
+      m.getAs[Long]("nt"), m.getAs[Long]("nr")))
   }
 }
 
@@ -596,11 +629,13 @@ case class ShowDsirModelCommand(path: String) extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     attr("model", StringType), attr("buckets", LongType),
     attr("n_target_tokens", LongType), attr("n_raw_tokens", LongType),
-    attr("default_q", LongType), attr("ratio_rows", LongType))
+    attr("default_q", LongType), attr("ratio_rows", LongType),
+    attr("generation", LongType), attr("batch", StringType))
   override def run(spark: SparkSession): Seq[Row] = {
-    val (b, nt, nr, defQ) = graft.operators.Dsir.readMeta(spark, path)
-    Seq(Row(path, b.toLong, nt, nr, defQ,
-      spark.read.parquet(s"$path/ratios").count()))
+    val m = graft.operators.Dsir.readMetaRow(spark, path)
+    Seq(Row(path, m.getAs[Int]("buckets").toLong, m.getAs[Long]("nt"), m.getAs[Long]("nr"),
+      m.getAs[Long]("default_q"), graft.operators.Dsir.ratiosOf(spark, path).count(),
+      m.getAs[Long]("generation"), m.getAs[String]("batch")))
   }
 }
 

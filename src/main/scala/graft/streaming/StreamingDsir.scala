@@ -34,7 +34,7 @@ object StreamingDsir {
     // ratio table once here, not per micro-batch (scoreWithModel's
     // marker check + meta read would otherwise run on every batch)
     val (buckets, _, _, defaultQ) = graft.operators.Dsir.readMeta(spark, modelPath)
-    val ratios = spark.read.parquet(s"$modelPath/ratios")
+    val ratios = graft.operators.Dsir.ratiosOf(spark, modelPath)
     docs.writeStream
       .outputMode("append")
       .trigger(Trigger.ProcessingTime(0L))

@@ -319,6 +319,17 @@ class AdminSqlSpec extends SparkSpecBase {
       assert(screen.getLong(1) == 5L, "all rows scored")
       // target-vocab docs (1,2,3) score positive, off-vocab (4,5) negative
       assert(screen.getLong(2) == 3L && screen.getLong(3) == 2L, screen.toString)
+      // incremental refresh through SQL: counts grow, generation advances,
+      // replaying the same BATCH label is a no-op
+      s2.createDataFrame(Seq((6L, "alpha gamma", "pool")))
+        .toDF("doc_id", "text", "src").createOrReplaceTempView("dsir_more")
+      val upd = s2.sql(
+        s"UPDATE DSIR MODEL '$model' FROM dsir_more TARGET (src = 'tgt') BATCH 'day1'").head()
+      assert(upd.getLong(1) == 1L && upd.getString(2) == "day1", upd.toString)
+      assert(upd.getLong(3) == 6L && upd.getLong(4) == 9L, s"counts grow by the batch: $upd")
+      s2.sql(s"UPDATE DSIR MODEL '$model' FROM dsir_more TARGET (src = 'tgt') BATCH 'day1'")
+      assert(s2.sql(s"SHOW DSIR MODEL '$model'").head().getLong(6) == 1L,
+        "replayed batch label must not advance the generation")
       // a crashed/absent model refuses to serve
       val bad = intercept[Exception](s2.sql("SHOW DSIR MODEL '/tmp/graft_no_such_model'").collect())
       assert(bad.getMessage.contains("meta missing"), bad.getMessage)

@@ -96,6 +96,49 @@ class DsirSpec extends SparkSpecBase {
     assert(out(10L) == ((0L, 0L)), "zero-token doc reports 0 tokens / 0 evidence, not a dropped row")
   }
 
+  test("incremental update equals the from-scratch refit; replay and crash windows converge") {
+    import spark.implicits._
+    val b = 4096
+    val p1 = "/tmp/graft_dsir_upd_" + System.nanoTime()
+    val p2 = p1 + "_full"
+    val base = corpus.toDF("doc_id", "text", "is_t")
+    val batch1 = Seq((20L, "alpha omega", false), (21L, "beta beta gamma", true))
+      .toDF("doc_id", "text", "is_t")
+    val batch2 = Seq((30L, "delta psi epsilon", false)).toDF("doc_id", "text", "is_t")
+    Dsir.fit(base, "doc_id", "text", col("is_t"), b, p1)
+    Dsir.update(batch1, "doc_id", "text", col("is_t"), p1, "b1")
+    Dsir.update(batch2, "doc_id", "text", col("is_t"), p1, "b2")
+    Dsir.fit(base.unionByName(batch1).unionByName(batch2), "doc_id", "text", col("is_t"), b, p2)
+    // bucket counts are additive → the updated model is EXACTLY the
+    // from-scratch refit on the union: identical stored ratios...
+    def ratios(p: String) = Dsir.ratiosOf(spark, p)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(ratios(p1) == ratios(p2))
+    // ...and identical serving scores on a fresh probe
+    val probe = Seq((90L, "alpha beta omega"), (91L, "psi epsilon")).toDF("doc_id", "text")
+    def served(p: String) = Dsir.scoreWithModel(probe, "doc_id", "text", p)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(served(p1) == served(p2))
+    assert(Dsir.readMetaRow(spark, p1).getAs[Long]("generation") == 2L)
+
+    // replaying an already-applied batch label is a no-op
+    Dsir.update(batch2, "doc_id", "text", col("is_t"), p1, "b2")
+    assert(Dsir.readMetaRow(spark, p1).getAs[Long]("generation") == 2L)
+
+    // a crashed update leaves a meta-less partial generation: invisible
+    // to serving, overwritten by the replay
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$p1/gen=3/counts"))
+    assert(served(p1) == served(p2), "partial generation must not serve")
+    assert(Dsir.readMetaRow(spark, p1).getAs[Long]("generation") == 2L)
+    val batch3 = Seq((40L, "chi phi", false)).toDF("doc_id", "text", "is_t")
+    Dsir.update(batch3, "doc_id", "text", col("is_t"), p1, "b3")
+    val m = Dsir.readMetaRow(spark, p1)
+    assert(m.getAs[Long]("generation") == 3L && m.getAs[String]("batch") == "b3")
+    // older generations pruned after the new one serves
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$p1/gen=1")))
+  }
+
   test("streaming twin: batch reports equal the batch scoreWithModel, replay-safe sink") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

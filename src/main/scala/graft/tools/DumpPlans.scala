@@ -67,7 +67,9 @@ object DumpPlans {
       "q_ann_pq_admitted" -> "PQ admission serving: base codes AND the codes delta prune to probed cells and read NO vector column (m-int code rows); ADC scores the union, raw vectors re-attach only to the rerank-bounded candidates",
       "q_anomaly" -> "anomaly detection: the event-sized work is one map-side-combined aggregate (partial_count below its exchange); ONE event scan — everything after it moves only series-days-bounded rows; densification is a lead()+sequence gap-fill WINDOW over the daily rollup (not a min/max-grid join, which Catalyst re-derives from the raw table as a SECOND event scan), and the single series-key exchange serves gap-fill and scoring windows alike; all window aggregates exact integers",
       "q_dsir_select" -> "DSIR selection: the (doc, bucket) feature aggregate is map-side combined below its exchange and the text column never shuffles (bucketing happens in the projection feeding the agg); the ≤4096-row ratio table broadcasts into the scoring join; top-100 is TakeOrderedAndProject, never a global sort",
-      "q_lm_bigram" -> "KN bigram LM: all four model tables derive from the single per-(doc, w1, w2) aggregate (one tokenize); scoring joins by word KEYS with no forced broadcast — the BroadcastHashJoins below are AQE's choice at gate scale where the type tables are tiny, and revert to keyed shuffle joins when the vocab outgrows the threshold; Nbig rides as a 1-row broadcast; per-doc agg map-side combined"
+      "q_lm_bigram" -> "KN bigram LM: all four model tables derive from the single per-(doc, w1, w2) aggregate (one tokenize); scoring joins by word KEYS with no forced broadcast — the BroadcastHashJoins below are AQE's choice at gate scale where the type tables are tiny, and revert to keyed shuffle joins when the vocab outgrows the threshold; Nbig rides as a 1-row broadcast; per-doc agg map-side combined",
+      "q_dsir_served" -> "DSIR serving from the persisted model: ONE narrow tokenize pass over the pool feeds the map-side-combined (doc, bucket) aggregate; the stored ratio table (≤ buckets rows, one parquet file) broadcasts into the scoring join so the pool never shuffles for the model; top-100 is TakeOrderedAndProject, never a global sort. q_dsir_updated serves the incrementally-refreshed generation through this IDENTICAL plan — update changes the stored counts, not the serve shape",
+      "q_multimodal_phash" -> "perceptual hash: the 64-bit aHash is one narrow codegen'd pass over the media payloads (fixed-grid byte downsample — no UDF, no collect); near-dup pairing is the pigeonhole discipline: 8 hash-block keys explode to an id-only band shuffle, hamming verify touches only co-bucketed candidates — payload bytes never shuffle"
     )
 
     val sb = new StringBuilder

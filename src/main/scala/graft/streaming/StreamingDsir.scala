@@ -18,7 +18,10 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
  *
  * The model is static between corpus versions by design (DSIR fits
  * once on target + raw snapshots); refreshing it is a restart, the
- * same ops model as the eval set in [[StreamingContamination]].
+ * same ops model as the eval set in [[StreamingContamination]] — OR
+ * a live [[runUpdate]] stream folds arriving batches into the model
+ * continuously while scoring queries keep serving the previous
+ * generation until the next one commits.
  */
 object StreamingDsir {
 
@@ -45,6 +48,40 @@ object StreamingDsir {
             .scoreWithRatios(batch, "doc_id", "text", ratios, buckets, defaultQ)
             .withColumn("keep", col("logw") >= lit(minLogw))
             .write.mode("overwrite").parquet(s"$reportPath/batch_id=$batchId")
+        }
+        ()
+      }
+      .start()
+  }
+
+  /**
+   * Streaming MODEL REFRESH — the other half of the DSIR lifecycle:
+   * each micro-batch's bucket counts fold into the persisted model
+   * through [[graft.operators.Dsir.update]], so the model tracks the
+   * arriving corpus in O(batch) per trigger with the corpus never
+   * re-scanned (counts are additive — after any prefix of batches the
+   * stored model is EXACTLY the from-scratch fit on base ∪ prefix,
+   * spec-pinned). Exactly-once without a transaction: the batchId is
+   * the update's idempotency label, and structured streaming only ever
+   * replays the last uncommitted batch — whose label the servable
+   * generation already carries, making the replay a no-op. Readers
+   * (scoreWithModel, [[run]] restarts) serve the previous generation
+   * until the new meta commits: refresh never pauses serving.
+   */
+  def runUpdate(
+      docs: DataFrame, // streaming: (doc_id long, text string, + target evidence)
+      isTarget: org.apache.spark.sql.Column,
+      modelPath: String,
+      checkpoint: String = "/tmp/graft_streaming_dsir_upd_ckpt"
+  ): StreamingQuery = {
+    docs.writeStream
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime(0L))
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.operators.Dsir.update(
+            batch, "doc_id", "text", isTarget, modelPath, s"epoch=$batchId")
         }
         ()
       }

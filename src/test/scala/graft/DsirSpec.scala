@@ -170,4 +170,44 @@ class DsirSpec extends SparkSpecBase {
     assert(got == batchEq)
     assert(got(11L)._3 && !got(12L)._3, "target-like kept, off-distribution rejected")
   }
+
+  test("streaming model refresh: micro-batches fold into the fit, replayed batchId is a no-op") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val b = 4096
+    val path = "/tmp/graft_dsir_supd_" + System.nanoTime()
+    val full = path + "_full"
+    val ckpt = "/tmp/graft_dsir_supd_ckpt_" + System.nanoTime()
+    val base = corpus.toDF("doc_id", "text", "is_t")
+    Dsir.fit(base, "doc_id", "text", col("is_t"), b, path)
+
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Boolean)]
+    val q = graft.streaming.StreamingDsir.runUpdate(
+      mem.toDF().toDF("doc_id", "text", "is_t"), col("is_t"), path, checkpoint = ckpt)
+    val b1 = Seq((20L, "alpha omega", false), (21L, "beta beta gamma", true))
+    val b2 = Seq((30L, "delta psi epsilon", false))
+    try {
+      mem.addData(b1: _*)
+      q.processAllAvailable()
+      mem.addData(b2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // after the stream: the stored model is EXACTLY the from-scratch
+    // fit on base ∪ every delivered batch (counts are additive)
+    Dsir.fit(base.unionByName(b1.toDF("doc_id", "text", "is_t"))
+      .unionByName(b2.toDF("doc_id", "text", "is_t")), "doc_id", "text", col("is_t"), b, full)
+    def ratios(p: String) = Dsir.ratiosOf(spark, p)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(ratios(path) == ratios(full))
+    val m = Dsir.readMetaRow(spark, path)
+    assert(m.getAs[Long]("generation") == 2L && m.getAs[String]("batch") == "epoch=1")
+
+    // recovery replays only the LAST uncommitted batch — whose label
+    // the servable generation carries, so the replay is a no-op
+    Dsir.update(b2.toDF("doc_id", "text", "is_t"), "doc_id", "text", col("is_t"), path, "epoch=1")
+    assert(Dsir.readMetaRow(spark, path).getAs[Long]("generation") == 2L)
+    assert(ratios(path) == ratios(full))
+  }
 }

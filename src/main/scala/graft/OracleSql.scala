@@ -1480,7 +1480,53 @@ object OracleSql {
     "q_dsir_served" -> dsirSelectSql,
     // the incrementally-refreshed model (fit half + update half) must
     // serve EXACTLY the full-corpus model — same oracle by design
-    "q_dsir_updated" -> dsirSelectSql
+    "q_dsir_updated" -> dsirSelectSql,
+    // hashed-unigram multinomial NB source classifier: same 24-bit md5
+    // buckets and floor(1e6·ln(one-exact-division)) leaf discipline as
+    // DSIR, per-class add-1 smoothing, doc-count prior, argmax with
+    // label-asc ties
+    "q_nb_classify" ->
+      s"""WITH base AS (SELECT doc_id, source AS label,
+                               CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) % 2 = 0 AS is_train,
+                               $toks AS tk
+                        FROM documents),
+              u AS (SELECT doc_id, label, is_train, unnest(tk) AS w FROM base),
+              ub AS (SELECT doc_id, label, is_train,
+                       CAST(CONCAT('0x', substr(md5(w), 1, 6)) AS BIGINT) % 4096 AS bucket
+                     FROM u),
+              cc AS (SELECT label, bucket, CAST(COUNT(*) AS BIGINT) AS c
+                     FROM ub WHERE is_train AND label IS NOT NULL GROUP BY 1, 2),
+              cd AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS dk
+                     FROM base WHERE is_train AND label IS NOT NULL GROUP BY 1),
+              tot AS (SELECT CAST(SUM(dk) AS BIGINT) AS d FROM cd),
+              cls AS (SELECT cd.label, COALESCE(nk, 0) AS nk,
+                        CAST(FLOOR(ln(CAST(dk AS DOUBLE) / CAST(d AS DOUBLE)) * 1000000.0) AS BIGINT) AS prior_q
+                      FROM cd
+                      LEFT JOIN (SELECT label, CAST(SUM(c) AS BIGINT) AS nk FROM cc GROUP BY 1) n
+                        ON n.label = cd.label
+                      CROSS JOIN tot),
+              tf AS (SELECT doc_id, bucket, CAST(COUNT(*) AS BIGINT) AS tf
+                     FROM ub WHERE NOT is_train GROUP BY 1, 2),
+              ts AS (SELECT tf.doc_id, cls.label,
+                       CAST(SUM(tf.tf * CAST(FLOOR(ln(
+                         CAST(COALESCE(cc.c, 0) + 1 AS DOUBLE) /
+                         CAST(cls.nk + 4096 AS DOUBLE)) * 1000000.0) AS BIGINT)) AS BIGINT) AS tok_q,
+                       CAST(SUM(tf.tf) AS BIGINT) AS n_tokens
+                     FROM tf CROSS JOIN cls
+                     LEFT JOIN cc ON cc.label = cls.label AND cc.bucket = tf.bucket
+                     GROUP BY 1, 2),
+              scored AS (SELECT b.doc_id, cls.label,
+                           cls.prior_q + COALESCE(ts.tok_q, 0) AS score_q,
+                           COALESCE(ts.n_tokens, 0) AS n_tokens
+                         FROM (SELECT doc_id FROM base WHERE NOT is_train) b
+                         CROSS JOIN cls
+                         LEFT JOIN ts ON ts.doc_id = b.doc_id AND ts.label = cls.label),
+              rk AS (SELECT doc_id, label, score_q, n_tokens,
+                       ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score_q DESC, label ASC) AS rn
+                     FROM scored)
+         SELECT doc_id, label AS pred, score_q,
+                CAST(score_q AS DOUBLE) / 1000000.0 AS score, n_tokens
+         FROM rk WHERE rn = 1 ORDER BY doc_id"""
   )
 
   // COALESCE mirrors Dsir.featureCounts' null-flag rule: a NULL source

@@ -1815,6 +1815,26 @@ object SparkEntry {
       .orderBy(col("rank"))
   }
 
+  /** Hashed-unigram multinomial Naive Bayes source classifier
+    * (graft.operators.NaiveBayes): train on an md5-hash half of the
+    * corpus's source labels (the q_group_split assignment discipline —
+    * this testdata's source IS doc_id % 20, so a parity split would
+    * train on only half the classes), tag the held-out half with the
+    * domain that best explains it — the closed-form fastText-
+    * classifier role of a CCNet-style pipeline, feeding mixture
+    * weighting / per-domain caps. Exact integer quantized-log scores
+    * make the argmax engine-exact; the oracle rebuilds the identical
+    * model in SQL. (This corpus's synthetic texts carry no per-source
+    * vocabulary signal, so accuracy sits at chance here — the
+    * discriminative behavior is spec-pinned on constructed separable
+    * classes, the q_multimodal_phash discipline.) */
+  private def qNbClassify(s: SparkSession, dir: String): DataFrame =
+    graft.operators.NaiveBayes.classify(
+      ld(s, dir, "documents"), "doc_id", "text", "source",
+      isTrain = graft.operators.Dsir.bucket(col("doc_id").cast("string"), 2) === 0,
+      buckets = 4096)
+      .orderBy(col("doc_id"))
+
   private def qTextRepetition(s: SparkSession, dir: String): DataFrame = {
     val docs = ld(s, dir, "documents").select(col("doc_id"), F.tokens(col("text")).as("tk"))
     val tokStats = docs
@@ -2237,6 +2257,7 @@ object SparkEntry {
     "q_dsir_select" -> (qDsirSelect _),
     "q_dsir_served" -> (qDsirServed _),
     "q_dsir_updated" -> (qDsirUpdated _),
+    "q_nb_classify" -> (qNbClassify _),
     "q_lm_bigram" -> (qLmBigram _),
     "q_boilerplate" -> (qBoilerplate _),
     "q_mix_weights" -> (qMixWeights _),

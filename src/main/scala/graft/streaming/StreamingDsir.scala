@@ -7,21 +7,24 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 /**
  * DSIR quality screening over a document stream — the admission-time
  * twin of [[graft.operators.Dsir]]: each micro-batch is scored against
- * a FROZEN persisted model ([[graft.operators.Dsir.fit]]) and a
- * per-doc report row (doc_id, doc_tokens, logw_q, logw, keep) is
- * appended. Stateless per batch — the model is a broadcastable
- * ≤-buckets table, so per-batch work is one narrow tokenize pass over
- * the batch plus a broadcast join, nothing corpus-sized
- * (the [[StreamingContamination]] shape). Replay-safe: each batch
+ * the persisted model ([[graft.operators.Dsir.fit]]) and a per-doc
+ * report row (doc_id, doc_tokens, logw_q, logw, keep) is appended.
+ * Stateless per batch — the model is a broadcastable ≤-buckets table,
+ * so per-batch work is one narrow tokenize pass over the batch plus a
+ * broadcast join, nothing corpus-sized (the
+ * [[StreamingContamination]] shape). Replay-safe: each batch
  * overwrites its own `batch_id=…` partition, so a recovered query
- * rewrites identical rows instead of duplicating them.
+ * rewrites the batch's rows instead of duplicating them.
  *
- * The model is static between corpus versions by design (DSIR fits
- * once on target + raw snapshots); refreshing it is a restart, the
- * same ops model as the eval set in [[StreamingContamination]] — OR
- * a live [[runUpdate]] stream folds arriving batches into the model
- * continuously while scoring queries keep serving the previous
- * generation until the next one commits.
+ * Each batch resolves the SERVABLE generation at score time (a 1-row
+ * meta read + a ≤-buckets table load — noise next to the batch scan),
+ * so a concurrent [[runUpdate]] refresh is picked up by the next
+ * trigger without a restart, and the scorer can never pin a
+ * generation that [[graft.operators.Dsir.update]]'s two-generation
+ * retention has pruned. Consequence for replay: a batch replayed
+ * AFTER a refresh committed rescores under the newer model — the
+ * partition overwrite still guarantees no duplication, and the report
+ * semantics are "scored with the model servable at processing time".
  */
 object StreamingDsir {
 
@@ -33,11 +36,10 @@ object StreamingDsir {
       minLogw: Double,
       checkpoint: String = "/tmp/graft_streaming_dsir_ckpt"
   ): StreamingQuery = {
-    // the model is FROZEN for the query's lifetime — load geometry and
-    // ratio table once here, not per micro-batch (scoreWithModel's
-    // marker check + meta read would otherwise run on every batch)
-    val (buckets, _, _, defaultQ) = graft.operators.Dsir.readMeta(spark, modelPath)
-    val ratios = graft.operators.Dsir.ratiosOf(spark, modelPath)
+    // fail fast if no servable model exists — but resolve the actual
+    // generation PER BATCH below, so live runUpdate refreshes are
+    // served without a restart and pruned generations are never pinned
+    graft.operators.Dsir.readMeta(spark, modelPath)
     docs.writeStream
       .outputMode("append")
       .trigger(Trigger.ProcessingTime(0L))
@@ -45,7 +47,7 @@ object StreamingDsir {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           graft.operators.Dsir
-            .scoreWithRatios(batch, "doc_id", "text", ratios, buckets, defaultQ)
+            .scoreWithModel(batch, "doc_id", "text", modelPath)
             .withColumn("keep", col("logw") >= lit(minLogw))
             .write.mode("overwrite").parquet(s"$reportPath/batch_id=$batchId")
         }
@@ -65,8 +67,10 @@ object StreamingDsir {
    * the update's idempotency label, and structured streaming only ever
    * replays the last uncommitted batch — whose label the servable
    * generation already carries, making the replay a no-op. Readers
-   * (scoreWithModel, [[run]] restarts) serve the previous generation
-   * until the new meta commits: refresh never pauses serving.
+   * (scoreWithModel, a concurrent [[run]] scorer) serve the previous
+   * generation until the new meta commits: refresh never pauses
+   * serving, and update's two-generation retention gives an in-flight
+   * reader a full refresh interval to finish its batch.
    */
   def runUpdate(
       docs: DataFrame, // streaming: (doc_id long, text string, + target evidence)

@@ -171,6 +171,40 @@ class DsirSpec extends SparkSpecBase {
     assert(got(11L)._3 && !got(12L)._3, "target-like kept, off-distribution rejected")
   }
 
+  test("scoring stream picks up a mid-stream model refresh on the next trigger, no restart") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val b = 4096
+    val path = "/tmp/graft_dsir_live_" + System.nanoTime()
+    val report = "/tmp/graft_dsir_livereport_" + System.nanoTime()
+    val ckpt = "/tmp/graft_dsir_liveckpt_" + System.nanoTime()
+    Dsir.fit(corpus.toDF("doc_id", "text", "is_t"), "doc_id", "text", col("is_t"), b, path)
+
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingDsir.run(
+      spark, mem.toDF().toDF("doc_id", "text"), path, report, minLogw = 0.0, checkpoint = ckpt)
+    try {
+      mem.addData((11L, "alpha beta gamma"))
+      q.processAllAvailable()
+      val gen0 = spark.read.parquet(report).select("logw_q").head().getLong(0)
+      // refresh the model between triggers: a target-heavy batch shifts
+      // every ratio (nt grows), so the same probe scores differently
+      Dsir.update(Seq((50L, "alpha alpha beta beta gamma", true)).toDF("doc_id", "text", "is_t"),
+        "doc_id", "text", col("is_t"), path, "mid")
+      mem.addData((12L, "alpha beta gamma"))
+      q.processAllAvailable()
+      val got = spark.read.parquet(report)
+        .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("logw_q")).toMap
+      val refreshed = Dsir.scoreWithModel(
+        Seq((12L, "alpha beta gamma")).toDF("doc_id", "text"), "doc_id", "text", path)
+        .head().getAs[Long]("logw_q")
+      assert(got(11L) == gen0, "pre-refresh batch partition untouched")
+      assert(got(12L) == refreshed && refreshed != gen0,
+        "post-refresh trigger scores under the new servable generation")
+    } finally q.stop()
+  }
+
   test("streaming model refresh: micro-batches fold into the fit, replayed batchId is a no-op") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

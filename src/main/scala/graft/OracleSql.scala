@@ -1526,7 +1526,26 @@ object OracleSql {
                      FROM scored)
          SELECT doc_id, label AS pred, score_q,
                 CAST(score_q AS DOUBLE) / 1000000.0 AS score, n_tokens
-         FROM rk WHERE rn = 1 ORDER BY doc_id"""
+         FROM rk WHERE rn = 1 ORDER BY doc_id""",
+    // Morton key re-derived from the SAME five spread constants as
+    // graft.operators.ZOrder (generated, not hand-copied); DuckDB's
+    // lateral column aliases let the step chain live in one SELECT
+    "q_zorder" ->
+      s"""WITH e AS (SELECT user_id,
+                       CAST(FLOOR(FLOOR(epoch(ts)) / 86400.0) AS BIGINT) AS day
+                     FROM events),
+              k AS (SELECT user_id, day,
+                      (user_id & 2097151) AS xa,
+                      (day & 2097151) AS xb,
+                      ${graft.operators.ZOrder.spreadSqlSteps("xa", "za").mkString(",\n                      ")},
+                      ${graft.operators.ZOrder.spreadSqlSteps("xb", "zb").mkString(",\n                      ")},
+                      (za_s4 | (zb_s4 << 1)) AS zkey
+                    FROM e)
+         SELECT zkey >> 10 AS zcell, COUNT(*) AS n_rows,
+                MIN(user_id) AS u_min, MAX(user_id) AS u_max,
+                MIN(day) AS d_min, MAX(day) AS d_max,
+                MIN(zkey) AS z_min, MAX(zkey) AS z_max
+         FROM k GROUP BY 1 ORDER BY zcell"""
   )
 
   // COALESCE mirrors Dsir.featureCounts' null-flag rule: a NULL source

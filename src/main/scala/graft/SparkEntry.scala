@@ -1835,6 +1835,29 @@ object SparkEntry {
       buckets = 4096)
       .orderBy(col("doc_id"))
 
+  /** Z-order clustering key (graft.operators.ZOrder): per-Morton-cell
+    * occupancy boxes of events in (user_id × epoch-day) space — each
+    * output row's [u_min,u_max]×[d_min,d_max] is what a parquet
+    * min/max-pruning reader would see for a file covering that z-range,
+    * demonstrating the both-dimension locality the layout buys. The
+    * interleave is pure 64-bit mask/shift/or arithmetic, so the DuckDB
+    * oracle re-derives the key bit-identically from the same five
+    * spread constants; the skip-vs-single-column-sort advantage is
+    * spec-proven on a written layout (ZOrderSpec). */
+  private def qZorder(s: SparkSession, dir: String): DataFrame = {
+    val keyed = ld(s, dir, "events")
+      .select(col("user_id"),
+        floor(col("ts").cast("long").cast("double") / lit(86400.0)).cast("long").as("day"))
+      .withColumn("zkey", graft.operators.ZOrder.zkey(col("user_id"), col("day")))
+    keyed
+      .groupBy(shiftright(col("zkey"), 10).as("zcell"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("user_id")).as("u_min"), max(col("user_id")).as("u_max"),
+        min(col("day")).as("d_min"), max(col("day")).as("d_max"),
+        min(col("zkey")).as("z_min"), max(col("zkey")).as("z_max"))
+      .orderBy(col("zcell"))
+  }
+
   private def qTextRepetition(s: SparkSession, dir: String): DataFrame = {
     val docs = ld(s, dir, "documents").select(col("doc_id"), F.tokens(col("text")).as("tk"))
     val tokStats = docs
@@ -2258,6 +2281,7 @@ object SparkEntry {
     "q_dsir_served" -> (qDsirServed _),
     "q_dsir_updated" -> (qDsirUpdated _),
     "q_nb_classify" -> (qNbClassify _),
+    "q_zorder" -> (qZorder _),
     "q_lm_bigram" -> (qLmBigram _),
     "q_boilerplate" -> (qBoilerplate _),
     "q_mix_weights" -> (qMixWeights _),

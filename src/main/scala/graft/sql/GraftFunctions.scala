@@ -126,7 +126,11 @@ object GraftFunctions {
     // dictionary-encoded, so the stable-id analogue is a 64-bit hash)
     "graft_now" -> (_ => org.apache.spark.sql.catalyst.expressions.Now()),
     "graft_database" -> (_ => org.apache.spark.sql.catalyst.expressions.Literal("graft")),
-    "graft_id" -> (exprs => org.apache.spark.sql.catalyst.expressions.XxHash64(exprs, 42L))
+    "graft_id" -> (exprs => org.apache.spark.sql.catalyst.expressions.XxHash64(exprs, 42L)),
+    // Morton clustering key (a, b [, bits]) — the ZOrder layout's sort
+    // key exposed to SQL (pure mask/shift/or, codegen'd)
+    "graft_zkey" -> (exprs =>
+      graft.operators.ZOrder.zkeyExpr(exprs(0), exprs(1), intArg(exprs, 2, 21)))
   )
 
   /** Decode a foldable array<string> literal (the BPE merge table). */

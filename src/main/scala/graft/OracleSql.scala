@@ -970,57 +970,94 @@ object OracleSql {
                 ELSE 'changed' END AS change
          FROM a FULL JOIN b USING (doc_id)
          ORDER BY doc_id""",
+    // Frame addressing re-derived from the GVID container layout
+    // formula (8-byte header, then per frame u32 length prefix + one
+    // BMP of 54 + h·stride bytes); img/audio are one whole-payload
+    // frame whose size is the BMP / canonical-WAV layout formula —
+    // so the engine's parsed offsets equal the oracle's arithmetic
+    // only if encoder and container parser agree byte-for-byte.
     "q_multimodal_frames" ->
-      """WITH m AS (
-           SELECT doc_id,
+      """WITH p AS (
+           SELECT doc_id AS d,
              CASE CAST(((doc_id % 3) + 3) % 3 AS INT) WHEN 0 THEN 'img' WHEN 1 THEN 'audio' ELSE 'video' END AS fmt,
-             CAST(octet_length(encode(text)) AS BIGINT) AS len
+             8 + (((doc_id*5 + 1) % 17 + 17) % 17) AS w,
+             8 + (((doc_id*3 + 2) % 13 + 13) % 13) AS h,
+             64 + ((doc_id % 193 + 193) % 193) AS ns,
+             1 + ((doc_id % 4 + 4) % 4) AS nf
            FROM documents WHERE doc_id < 100),
-         f AS (
-           SELECT doc_id, fmt, len, unnest(generate_series(0, (len + 255) // 256 - 1)) AS frame_idx
-           FROM m)
-         SELECT doc_id, fmt, CAST(frame_idx AS BIGINT) AS frame_idx,
-                CAST(frame_idx * 256 AS BIGINT) AS byte_offset,
-                CAST(least(256, len - frame_idx * 256) AS BIGINT) AS frame_bytes
+         s AS (SELECT *, 54 + h * (((w*3 + 3) // 4) * 4) AS bmp FROM p),
+         f AS (SELECT d, fmt, bmp, ns,
+                 unnest(range(0, CASE WHEN fmt = 'video' THEN nf ELSE 1 END)) AS fi
+               FROM s)
+         SELECT d AS doc_id, fmt, CAST(fi AS BIGINT) AS frame_idx,
+                CAST(CASE WHEN fmt = 'video' THEN 8 + fi*(4 + bmp) + 4 ELSE 0 END AS BIGINT) AS byte_offset,
+                CAST(CASE fmt WHEN 'audio' THEN 44 + 2*ns ELSE bmp END AS BIGINT) AS frame_bytes
          FROM f ORDER BY doc_id, frame_idx""",
-    // pmod fmt index and ceil frame count, mirroring Multimodal (a
-    // payload of exactly k*256 bytes has k frames, not k+1)
+    // Decoded-media features re-derived from the generator arithmetic
+    // + format layout formulas (Multimodal.renderMedia / MediaCodec —
+    // change together): byte_len from the BMP/WAV/GVID size formulas,
+    // content_sum = Σ luma·1000 (BT.601 per-mille weights) over every
+    // pixel of every frame, or Σ (sample+32768) over every PCM sample.
+    // The engine computes the same digests by PARSING the blobs, so a
+    // stride/flip/channel/sample-width bug diverges here.
     "q_multimodal_meta" ->
-      """SELECT doc_id,
-         CASE CAST(((doc_id % 3) + 3) % 3 AS INT) WHEN 0 THEN 'img' WHEN 1 THEN 'audio' ELSE 'video' END AS fmt,
-         CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
-         (CAST(octet_length(encode(text)) AS BIGINT) + 255) // 256 AS frame_count
-         FROM documents ORDER BY doc_id""",
-    // average-hash fingerprints re-derived from the payload's BITS:
-    // byte o = Σ_b get_bit(blob::BIT, 8o+b)·2^(7-b); cell i sums bytes
-    // [⌊i·len/64⌋, ⌊(i+1)·len/64⌋) (1-based inclusive slice = that
-    // half-open range); bit rule cs·len > total·cn in exact integers.
-    // Empty cells of sub-64-byte payloads: NULL slice-sum → CASE else
-    // 0, matching the engine's 0 > 0 = unset. Hash carried as two
-    // 32-bit halves (1::BIGINT << 63 overflows here).
+      """WITH p AS (
+           SELECT doc_id AS d,
+             CASE CAST(((doc_id % 3) + 3) % 3 AS INT) WHEN 0 THEN 'img' WHEN 1 THEN 'audio' ELSE 'video' END AS fmt,
+             8 + (((doc_id*5 + 1) % 17 + 17) % 17) AS w,
+             8 + (((doc_id*3 + 2) % 13 + 13) % 13) AS h,
+             64 + ((doc_id % 193 + 193) % 193) AS ns,
+             1 + ((doc_id % 4 + 4) % 4) AS nf
+           FROM documents),
+         s AS (SELECT *, 54 + h * (((w*3 + 3) // 4) * 4) AS bmp FROM p)
+         SELECT d AS doc_id, fmt,
+           CAST(CASE fmt WHEN 'img' THEN bmp WHEN 'audio' THEN 44 + 2*ns ELSE 8 + nf*(4 + bmp) END AS BIGINT) AS byte_len,
+           CAST(CASE WHEN fmt = 'audio' THEN 0 ELSE w END AS INT) AS width,
+           CAST(CASE WHEN fmt = 'audio' THEN 0 ELSE h END AS INT) AS height,
+           CAST(CASE fmt WHEN 'img' THEN 1 WHEN 'audio' THEN ns ELSE nf END AS BIGINT) AS frame_count,
+           CAST(CASE fmt
+             WHEN 'audio' THEN list_sum(list_transform(range(0, ns), i -> (d*31 + i*17) % 65536))
+             WHEN 'img' THEN list_sum(list_transform(range(0, w*h), pp ->
+                 ((d*3 + (pp % w)*7  + (pp // w)*13) % 256) * 299
+               + ((d*5 + (pp % w)*11 + (pp // w)*3 ) % 256) * 587
+               + ((d*7 + (pp % w)*5  + (pp // w)*17) % 256) * 114))
+             ELSE list_sum(list_transform(range(0, nf), t -> list_sum(list_transform(range(0, w*h), pp ->
+                 ((d*3 + (pp % w)*7  + (pp // w)*13 + t*29) % 256) * 299
+               + ((d*5 + (pp % w)*11 + (pp // w)*3  + t*31) % 256) * 587
+               + ((d*7 + (pp % w)*5  + (pp // w)*17 + t*37) % 256) * 114))))
+           END AS BIGINT) AS content_sum
+         FROM s ORDER BY doc_id""",
+    // Average-hash re-derived from the generator's pixel arithmetic:
+    // every pixel's luma·1000, the exact integer 8×8 box downsample
+    // (cell of (x,y) = (⌊8y/h⌋, ⌊8x/w⌋) — w,h ≥ 8 so no empty cell),
+    // the bit rule cs·N > total·cn in exact integers, packed as two
+    // 32-bit halves (1::BIGINT << 63 overflows here). The engine hashes
+    // pixels it DECODED from the BMP blob — fingerprints agree only if
+    // the whole encode→decode→hash chain is pixel-exact.
     "q_multimodal_phash" ->
-      """WITH m AS (SELECT doc_id,
-                      CASE CAST(((doc_id % 3) + 3) % 3 AS INT) WHEN 0 THEN 'img' WHEN 1 THEN 'audio' ELSE 'video' END AS fmt,
-                      encode(text) AS p,
-                      CAST(octet_length(encode(text)) AS BIGINT) AS len
-                    FROM documents
-                    WHERE ((doc_id % 3) + 3) % 3 = 0 AND octet_length(encode(text)) > 0),
-              bytes AS (SELECT doc_id, fmt, len, list_transform(range(0, len::INT), o ->
-                          list_sum(list_transform(range(0, 8), b ->
-                            get_bit(p::BIT, (o*8 + b)::INT) * (1 << (7 - b::INT))))) AS by
-                        FROM m),
-              cells AS (SELECT doc_id, fmt, len,
-                          list_transform(range(0, 64), i -> list_sum(by[((i*len)//64 + 1)::INT : (((i+1)*len)//64)::INT])) AS cs,
-                          list_transform(range(0, 64), i -> ((i+1)*len)//64 - (i*len)//64) AS cn
-                        FROM bytes)
-         SELECT doc_id, fmt, len AS byte_len,
-                CAST(list_sum(list_transform(range(0, 32), i ->
-                  CASE WHEN cs[(i+1)::INT] * len > list_sum(cs) * cn[(i+1)::INT]
-                       THEN (1::BIGINT << (31 - i::INT)) ELSE 0 END)) AS BIGINT) AS phash_hi,
-                CAST(list_sum(list_transform(range(32, 64), i ->
-                  CASE WHEN cs[(i+1)::INT] * len > list_sum(cs) * cn[(i+1)::INT]
-                       THEN (1::BIGINT << (63 - i::INT)) ELSE 0 END)) AS BIGINT) AS phash_lo
-         FROM cells ORDER BY doc_id""",
+      """WITH p AS (SELECT doc_id AS d,
+                      8 + (((doc_id*5 + 1) % 17 + 17) % 17) AS w,
+                      8 + (((doc_id*3 + 2) % 13 + 13) % 13) AS h
+                    FROM documents WHERE ((doc_id % 3) + 3) % 3 = 0),
+              px AS (SELECT d, w, h, unnest(range(0, w*h)) AS pp FROM p),
+              lum AS (SELECT d,
+                        (((pp // w)*8) // h) * 8 + ((pp % w)*8) // w AS ci,
+                        ((d*3 + (pp % w)*7  + (pp // w)*13) % 256) * 299
+                      + ((d*5 + (pp % w)*11 + (pp // w)*3 ) % 256) * 587
+                      + ((d*7 + (pp % w)*5  + (pp // w)*17) % 256) * 114 AS l
+                      FROM px),
+              cells AS (SELECT d, ci, CAST(SUM(l) AS BIGINT) AS cs, COUNT(*) AS cn FROM lum GROUP BY d, ci),
+              tot AS (SELECT d, CAST(SUM(cs) AS BIGINT) AS total, CAST(SUM(cn) AS BIGINT) AS n FROM cells GROUP BY d),
+              hash AS (SELECT c.d,
+                         CAST(SUM(CASE WHEN c.cs * t.n > t.total * c.cn AND c.ci < 32
+                                       THEN (1::BIGINT << CAST(31 - c.ci AS INT)) ELSE 0 END) AS BIGINT) AS phash_hi,
+                         CAST(SUM(CASE WHEN c.cs * t.n > t.total * c.cn AND c.ci >= 32
+                                       THEN (1::BIGINT << CAST(63 - c.ci AS INT)) ELSE 0 END) AS BIGINT) AS phash_lo
+                       FROM cells c JOIN tot t USING (d) GROUP BY c.d)
+         SELECT p.d AS doc_id, 'img' AS fmt,
+                CAST(54 + h * (((w*3 + 3) // 4) * 4) AS BIGINT) AS byte_len,
+                phash_hi, phash_lo
+         FROM p JOIN hash ON p.d = hash.d ORDER BY doc_id""",
     // BM25: same exact-rational term factor + micro-nat-quantized IDF as
     // graft.operators.Retrieval (change both together). k1=1.2 b=0.75.
     "q_bm25" ->

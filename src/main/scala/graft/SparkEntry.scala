@@ -2134,33 +2134,45 @@ object SparkEntry {
   // §2.12 multimodal
   // ==================================================================
 
+  /** Full-fidelity media decode (Multimodal.decodeFeatures): payloads
+    * are REAL encoded BMP / WAV PCM16 / frame-container blobs rendered
+    * deterministically from doc_id; the engine parses them
+    * (header offset, row stride, bottom-up flip, B-G-R order, sample
+    * width) and reports dimensions, frame counts, and the exact-integer
+    * content digest (Σ luma·1000 / Σ (sample+32768)). The oracle
+    * re-derives byte sizes from the format layout formulas and the
+    * digest from the generator arithmetic directly — so a wrong stride,
+    * flipped row, swapped channel, or mis-sized header fails the
+    * hash-exact gate. */
   private def qMultimodalMeta(s: SparkSession, dir: String): DataFrame =
     Multimodal
-      .extractFeatures(s, Multimodal.asMediaTable(ld(s, dir, "documents")))
+      .decodeFeatures(s, Multimodal.renderMedia(s, ld(s, dir, "documents")))
       .toDF()
-      .select(col("doc_id"), col("fmt"), col("byte_len"), col("frame_count"))
       .orderBy(col("doc_id"))
 
-  /** Perceptual average-hash of the img-format media payloads
-    * (Multimodal.aHash, stub fixed-grid byte downsample): the oracle
-    * re-derives every cell sum from the payload's BITS
-    * (blob → BIT + get_bit) and the integer-exact bit rule, so the
-    * 64-bit fingerprints hash-match across engines. The pairing
-    * mechanism (8-block pigeonhole + hamming verify, complete to
-    * radius 7) is spec-proven on constructed near-identical payloads —
-    * this corpus's synthetic texts are not byte-level near-dups. */
+  /** Perceptual average-hash over REAL decoded pixels
+    * (Multimodal.aHash): BMP-decode to a top-down luma grid, exact
+    * integer 8×8 box downsample, bit rule cs·N > total·cn in exact
+    * integers. The oracle recomputes every pixel's luma from the
+    * generator arithmetic and the same cell/bit rules, so the 64-bit
+    * fingerprints hash-match across engines only if the whole
+    * encode→decode→hash chain is pixel-exact. The pairing mechanism
+    * (8-block pigeonhole + hamming verify, complete to radius 7) is
+    * spec-proven on rendered near-identical images (MultimodalSpec). */
   private def qMultimodalPhash(s: SparkSession, dir: String): DataFrame =
     Multimodal
-      .aHash(s, Multimodal.asMediaTable(ld(s, dir, "documents")).filter(col("fmt") === "img"))
+      .aHash(s, Multimodal.renderMedia(s, ld(s, dir, "documents").filter(pmod(col("doc_id"), lit(3)) === 0)))
       .toDF()
-      .filter(col("byte_len") > 0)
       .select(col("doc_id"), col("fmt"), col("byte_len"), col("phash_hi"), col("phash_lo"))
       .orderBy(col("doc_id"))
 
-  /** One-to-many frame sampling over the media table (decode fan-out plumbing). */
+  /** One-to-many frame sampling (decode fan-out): video frames
+    * addressed by parsing the container's REAL length-prefix index;
+    * img/audio emit one whole-payload frame. Oracle recomputes the
+    * offsets from the container layout formula. */
   private def qMultimodalFrames(s: SparkSession, dir: String): DataFrame =
     Multimodal
-      .sampleFrames(s, Multimodal.asMediaTable(ld(s, dir, "documents").filter(col("doc_id") < 100)))
+      .sampleFrames(s, Multimodal.renderMedia(s, ld(s, dir, "documents").filter(col("doc_id") < 100)))
       .toDF()
       .orderBy(col("doc_id"), col("frame_idx"))
 

@@ -1,0 +1,232 @@
+package graft.operators
+
+/**
+ * Pure-JVM codecs for the multimodal column family (SURVEY.md §2.12):
+ * uncompressed formats a 100 TB pipeline can decode without native
+ * libraries, chosen so the decode step is REAL (header parse, row
+ * stride, bottom-up flip, channel order, sample width) while staying
+ * byte-exact reproducible across engines.
+ *
+ *  - BMP: 24-bit BI_RGB (Windows BITMAPINFOHEADER), bottom-up rows,
+ *    4-byte row padding, B-G-R byte order — the canonical
+ *    "uncompressed image" interchange format.
+ *  - WAV: RIFF PCM, 16-bit signed little-endian mono — the canonical
+ *    uncompressed audio format.
+ *  - GVID: a minimal length-prefixed frame container (magic "GVID",
+ *    u32 LE frame count, then per frame u32 LE length + one full BMP)
+ *    standing in for a video container; frame addressing parses the
+ *    real index, never assumes fixed stride.
+ *
+ * Everything is integer arithmetic; luma is carried ×1000
+ * (r·299 + g·587 + b·114, the ITU-R BT.601 per-mille weights) so
+ * downstream comparisons stay in exact integers — no floating point
+ * anywhere in the decode path, hence no cross-engine rounding.
+ */
+object MediaCodec {
+
+  // ---------------------------------------------------------------- util
+
+  private def putU16(b: Array[Byte], off: Int, v: Int): Unit = {
+    b(off) = (v & 0xff).toByte; b(off + 1) = ((v >>> 8) & 0xff).toByte
+  }
+  private def putU32(b: Array[Byte], off: Int, v: Int): Unit = {
+    b(off) = (v & 0xff).toByte
+    b(off + 1) = ((v >>> 8) & 0xff).toByte
+    b(off + 2) = ((v >>> 16) & 0xff).toByte
+    b(off + 3) = ((v >>> 24) & 0xff).toByte
+  }
+  private def u16(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+  private def u32(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) | ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+
+  // ---------------------------------------------------------------- BMP
+
+  /** Bytes per BMP pixel row including the 4-byte alignment padding. */
+  def bmpStride(w: Int): Int = ((w * 3 + 3) / 4) * 4
+
+  /** Total file size of a 24-bit BMP: 14-byte file header + 40-byte
+    * BITMAPINFOHEADER + h padded rows. */
+  def bmpSize(w: Int, h: Int): Int = 54 + h * bmpStride(w)
+
+  /** Decoded image: luma ×1000 per pixel, row-major TOP-DOWN
+    * (y = 0 is the top row — the decoder undoes BMP's bottom-up
+    * storage). lumaMilli(y * width + x) = r·299 + g·587 + b·114. */
+  final case class Image(width: Int, height: Int, lumaMilli: Array[Int])
+
+  /** Encode a 24-bit BI_RGB BMP. `rgb(x, y)` returns (r, g, b) for the
+    * pixel at column x, row y counted from the TOP (the encoder writes
+    * rows bottom-up as the format requires). Each channel masked to
+    * 0..255. */
+  def encodeBmp(w: Int, h: Int, rgb: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    require(w > 0 && h > 0, s"BMP dims must be positive, got ${w}x$h")
+    val stride = bmpStride(w)
+    val size = bmpSize(w, h)
+    val b = new Array[Byte](size) // zero-filled => padding bytes are 0
+    b(0) = 'B'; b(1) = 'M'
+    putU32(b, 2, size)
+    putU32(b, 10, 54) // pixel-data offset
+    putU32(b, 14, 40) // BITMAPINFOHEADER size
+    putU32(b, 18, w)
+    putU32(b, 22, h) // positive height = bottom-up
+    putU16(b, 26, 1) // planes
+    putU16(b, 28, 24) // bits per pixel
+    putU32(b, 30, 0) // BI_RGB (uncompressed)
+    putU32(b, 34, h * stride)
+    putU32(b, 38, 2835); putU32(b, 42, 2835) // 72 dpi
+    var y = 0
+    while (y < h) {
+      val base = 54 + (h - 1 - y) * stride // file stores rows bottom-up
+      var x = 0
+      while (x < w) {
+        val (r, g, bl) = rgb(x, y)
+        val o = base + x * 3
+        b(o) = (bl & 0xff).toByte // B-G-R order
+        b(o + 1) = (g & 0xff).toByte
+        b(o + 2) = (r & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    b
+  }
+
+  /** Parse a 24-bit BI_RGB BMP into a top-down luma grid. Validates
+    * magic, bit depth, and compression; honors the header's pixel-data
+    * offset and the row stride, flips the bottom-up rows, and reads
+    * channels in the format's B-G-R order. */
+  def decodeBmp(bytes: Array[Byte]): Image = {
+    require(bytes.length >= 54 && bytes(0) == 'B' && bytes(1) == 'M',
+      "not a BMP: bad magic or truncated header")
+    val off = u32(bytes, 10)
+    val w = u32(bytes, 18)
+    val h = u32(bytes, 22)
+    require(u16(bytes, 28) == 24, s"only 24-bit BMP supported, got ${u16(bytes, 28)}")
+    require(u32(bytes, 30) == 0, "only BI_RGB (uncompressed) BMP supported")
+    require(w > 0 && h > 0, s"unsupported BMP dims ${w}x$h (top-down/negative-height not supported)")
+    val stride = bmpStride(w)
+    require(bytes.length >= off + h * stride, "BMP pixel data truncated")
+    val luma = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      val base = off + (h - 1 - y) * stride
+      var x = 0
+      while (x < w) {
+        val o = base + x * 3
+        val bl = bytes(o) & 0xff
+        val g = bytes(o + 1) & 0xff
+        val r = bytes(o + 2) & 0xff
+        luma(y * w + x) = r * 299 + g * 587 + bl * 114
+        x += 1
+      }
+      y += 1
+    }
+    Image(w, h, luma)
+  }
+
+  // ---------------------------------------------------------------- WAV
+
+  /** Total file size of a canonical PCM16 mono WAV: 44-byte header +
+    * 2 bytes per sample. */
+  def wavSize(nSamples: Int): Int = 44 + 2 * nSamples
+
+  final case class Audio(sampleRate: Int, samples: Array[Short])
+
+  /** Encode canonical RIFF/WAVE, PCM (format 1), mono, 16-bit LE. */
+  def encodeWav(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val b = new Array[Byte](44 + dataLen)
+    b(0) = 'R'; b(1) = 'I'; b(2) = 'F'; b(3) = 'F'
+    putU32(b, 4, 36 + dataLen)
+    b(8) = 'W'; b(9) = 'A'; b(10) = 'V'; b(11) = 'E'
+    b(12) = 'f'; b(13) = 'm'; b(14) = 't'; b(15) = ' '
+    putU32(b, 16, 16) // fmt chunk size
+    putU16(b, 20, 1) // PCM
+    putU16(b, 22, 1) // mono
+    putU32(b, 24, sampleRate)
+    putU32(b, 28, sampleRate * 2) // byte rate
+    putU16(b, 32, 2) // block align
+    putU16(b, 34, 16) // bits per sample
+    b(36) = 'd'; b(37) = 'a'; b(38) = 't'; b(39) = 'a'
+    putU32(b, 40, dataLen)
+    var i = 0
+    while (i < samples.length) {
+      putU16(b, 44 + i * 2, samples(i) & 0xffff)
+      i += 1
+    }
+    b
+  }
+
+  /** Parse a canonical-layout PCM16 mono WAV (fmt chunk at 12, data
+    * chunk at 36 — the layout [[encodeWav]] writes and most encoders
+    * emit). */
+  def decodeWav(bytes: Array[Byte]): Audio = {
+    require(bytes.length >= 44 &&
+      bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F' &&
+      bytes(8) == 'W' && bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E',
+      "not a RIFF/WAVE file")
+    require(bytes(12) == 'f' && bytes(13) == 'm' && bytes(14) == 't' && bytes(15) == ' ' &&
+      bytes(36) == 'd' && bytes(37) == 'a' && bytes(38) == 't' && bytes(39) == 'a',
+      "non-canonical WAV chunk layout not supported")
+    require(u16(bytes, 20) == 1 && u16(bytes, 22) == 1 && u16(bytes, 34) == 16,
+      "only PCM16 mono WAV supported")
+    val rate = u32(bytes, 24)
+    val dataLen = u32(bytes, 40)
+    require(bytes.length >= 44 + dataLen && dataLen % 2 == 0, "WAV data truncated")
+    val n = dataLen / 2
+    val samples = new Array[Short](n)
+    var i = 0
+    while (i < n) { samples(i) = u16(bytes, 44 + i * 2).toShort; i += 1 }
+    Audio(rate, samples)
+  }
+
+  // ---------------------------------------------------------------- GVID
+
+  /** Total container size: 8-byte header + per frame 4-byte length
+    * prefix + the frame payload. */
+  def gvidSize(frameSizes: Seq[Int]): Int = 8 + frameSizes.map(_ + 4).sum
+
+  /** Encode the frame container: "GVID", u32 LE count, then per frame
+    * u32 LE length + frame bytes (each frame a full BMP). */
+  def encodeGvid(frames: Seq[Array[Byte]]): Array[Byte] = {
+    val size = gvidSize(frames.map(_.length))
+    val b = new Array[Byte](size)
+    b(0) = 'G'; b(1) = 'V'; b(2) = 'I'; b(3) = 'D'
+    putU32(b, 4, frames.length)
+    var off = 8
+    frames.foreach { f =>
+      putU32(b, off, f.length)
+      System.arraycopy(f, 0, b, off + 4, f.length)
+      off += 4 + f.length
+    }
+    b
+  }
+
+  /** Parse the container's frame index: (byteOffset, byteLength) of
+    * each frame payload inside the blob, walking the real
+    * length-prefix chain (no fixed-stride assumption). */
+  def gvidFrameIndex(bytes: Array[Byte]): IndexedSeq[(Long, Int)] = {
+    require(bytes.length >= 8 &&
+      bytes(0) == 'G' && bytes(1) == 'V' && bytes(2) == 'I' && bytes(3) == 'D',
+      "not a GVID container")
+    val n = u32(bytes, 4)
+    val out = new scala.collection.mutable.ArrayBuffer[(Long, Int)](n)
+    var off = 8
+    var i = 0
+    while (i < n) {
+      require(bytes.length >= off + 4, "GVID frame index truncated")
+      val len = u32(bytes, off)
+      require(bytes.length >= off + 4 + len, "GVID frame payload truncated")
+      out += ((off + 4L, len))
+      off += 4 + len
+      i += 1
+    }
+    out.toIndexedSeq
+  }
+
+  /** Decode every frame of a GVID container into luma grids. */
+  def decodeGvid(bytes: Array[Byte]): IndexedSeq[Image] =
+    gvidFrameIndex(bytes).map { case (off, len) =>
+      decodeBmp(java.util.Arrays.copyOfRange(bytes, off.toInt, off.toInt + len))
+    }
+}

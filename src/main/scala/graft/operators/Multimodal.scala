@@ -7,90 +7,152 @@ import org.apache.spark.sql.functions._
  * Multimodal column handling (SURVEY.md §2.12): media payloads ride as
  * opaque `binary` columns with typed metadata; decode / feature-extract
  * runs as a batched per-partition pass (the Scala analogue of
- * `mapInPandas` — one buffer of rows at a time, vectorizable).
+ * `mapInPandas` — one buffer of rows at a time, so a real codec can
+ * amortize per-batch setup). Payloads never shuffle: every operator
+ * here is a narrow map (or flatMap fan-out) whose output is a handful
+ * of numeric columns, which is the only shape that survives 100 TB —
+ * the binary column stays in its input partition and is dropped the
+ * moment features are extracted.
  *
- * The actual codec call is STUBBED (no image/audio libs in this
- * container): `decodeStub` derives deterministic fake features from the
- * payload bytes. The Spark-side plumbing — schema, batch shape,
- * partition-local processing, no shuffle — is real and is what matters
- * at 100 TB: payloads never leave their input partition, and metadata
- * extraction is a narrow map.
+ * The decode is REAL (since r11): [[MediaCodec]] parses uncompressed
+ * BMP (header offset, 4-byte row stride, bottom-up flip, B-G-R order),
+ * canonical PCM16 WAV, and a length-prefixed frame container. The
+ * container has no JPEG/MP3 native libs, so the test harness RENDERS
+ * deterministic synthetic payloads in those formats ([[renderMedia]])
+ * from the documents table; the decoder never peeks at the generator —
+ * it parses bytes only — and the DuckDB oracle re-derives pixels and
+ * samples from the documented generator arithmetic, so any encoder or
+ * decoder disagreement (stride, row order, channel order, sample
+ * width) breaks the byte-exact gate.
  */
 object Multimodal {
 
   /** Typed media row: payload + metadata, the cross-modality envelope. */
   case class MediaRow(doc_id: Long, fmt: String, payload: Array[Byte])
 
-  /** Extracted features (deterministic stub of the real decoder). */
-  case class MediaFeatures(doc_id: Long, fmt: String, byte_len: Long, frame_count: Long, checksum: Long)
+  // ------------------------------------------------------------------
+  // Deterministic synthetic-media generator (the test-harness source;
+  // production payloads arrive in the binary column from ingest).
+  // The DuckDB oracle mirrors this arithmetic EXACTLY — change both
+  // together (OracleSql q_multimodal_*).
+  // ------------------------------------------------------------------
 
-  /**
-   * REAL DECODER GOES HERE. In production this calls the codec
-   * (JPEG/PNG decode, audio resample, video frame-sample) on each
-   * batch. Stubbed: features derived from payload length/content only.
-   */
-  def decodeStub(r: MediaRow): MediaFeatures = {
-    val len = r.payload.length.toLong
-    // fake "frame count": one frame per STARTED 256-byte block — ceil,
-    // not len/256+1, which emitted a phantom zero-byte frame for every
-    // payload whose length is an exact multiple of 256
-    val frames = (len + 255L) / 256L
-    // cheap rolling checksum standing in for decoded-content features
-    var cs = 0L
-    var i = 0
-    while (i < r.payload.length) { cs = (cs * 131L + (r.payload(i) & 0xffL)) % 2147483647L; i += 1 }
-    MediaFeatures(r.doc_id, r.fmt, len, frames, cs)
-  }
+  /** Image width: 8 + (d·5 + 1) mod 17 → 8..24. Mostly not a multiple
+    * of 4, so BMP row padding is exercised. */
+  def imgW(d: Long): Int = (8 + Math.floorMod(d * 5 + 1, 17)).toInt
 
-  /**
-   * Wrap a text corpus as a media table: payload = utf-8 bytes, format
-   * assigned round-robin — the harness for the plumbing until real
-   * binary corpora are wired in.
-   */
-  def asMediaTable(docs: DataFrame): DataFrame =
-    docs.select(
-      col("doc_id"),
-      // pmod, not %: a negative doc_id (signed-hash ids) makes % yield
-      // 0/-1/-2 — index 0 is a runtime error and negatives silently
-      // select from the array TAIL
-      element_at(array(lit("img"), lit("audio"), lit("video")), (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("fmt"),
-      encode(col("text"), "UTF-8").as("payload")
-    )
+  /** Image height: 8 + (d·3 + 2) mod 13 → 8..20. */
+  def imgH(d: Long): Int = (8 + Math.floorMod(d * 3 + 2, 13)).toInt
 
-  /** One sampled frame of a media payload (decode stub: fixed-stride offsets). */
-  case class Frame(doc_id: Long, fmt: String, frame_idx: Long, byte_offset: Long, frame_bytes: Long)
+  /** Audio sample count: 64 + d mod 193. */
+  def nSamples(d: Long): Int = (64 + Math.floorMod(d, 193)).toInt
 
-  /**
-   * Frame sampling: the one-to-many decode shape (a video row explodes
-   * into frame rows). The real frame grab is stubbed (fixed 256-byte
-   * stride); the Spark-side plumbing — flatMap fan-out, partition-local
-   * decode, deterministic frame addressing — is real. At scale this is
-   * a narrow map whose output cardinality is data-dependent, which is
-   * why it must NOT buffer whole groups (flatMap streams frames out).
-   */
-  def sampleFrames(spark: SparkSession, media: DataFrame): Dataset[Frame] = {
+  /** Video frame count: 1 + d mod 4 → 1..4. */
+  def nFrames(d: Long): Int = (1 + Math.floorMod(d, 4)).toInt
+
+  /** Pixel color at column x, row y (top-down) of frame t: three
+    * DIFFERENT channel formulas, each asymmetric in x and y, so a
+    * channel-order or row/column-flip bug in encode or decode changes
+    * the luma grid and fails the gate. */
+  def pixel(d: Long, t: Int, x: Int, y: Int): (Int, Int, Int) = (
+    Math.floorMod(d * 3 + x * 7L + y * 13L + t * 29L, 256).toInt,
+    Math.floorMod(d * 5 + x * 11L + y * 3L + t * 31L, 256).toInt,
+    Math.floorMod(d * 7 + x * 5L + y * 17L + t * 37L, 256).toInt)
+
+  /** Audio sample i: (d·31 + i·17) mod 65536 − 32768 (full i16 range). */
+  def sample(d: Long, i: Int): Short =
+    (Math.floorMod(d * 31 + i * 17L, 65536) - 32768).toShort
+
+  /** Render the media table from document ids: fmt round-robins
+    * img/audio/video (pmod, so signed-hash ids stay in range), payload
+    * is a real encoded BMP / WAV / GVID container. Narrow map — each
+    * payload is built where its id lives. */
+  def renderMedia(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
     import spark.implicits._
-    media.as[MediaRow].flatMap { r =>
-      val len = r.payload.length.toLong
-      val frames = (len + 255L) / 256L // ceil — see decodeStub
-      (0L until frames).iterator.map { i =>
-        val off = i * 256L
-        Frame(r.doc_id, r.fmt, i, off, math.min(256L, len - off))
+    docs.select(col("doc_id")).as[Long].map { d =>
+      Math.floorMod(d, 3) match {
+        case 0 =>
+          MediaRow(d, "img", MediaCodec.encodeBmp(imgW(d), imgH(d), (x, y) => pixel(d, 0, x, y)))
+        case 1 =>
+          MediaRow(d, "audio", MediaCodec.encodeWav(8000, Array.tabulate(nSamples(d))(i => sample(d, i))))
+        case _ =>
+          val (w, h) = (imgW(d), imgH(d))
+          MediaRow(d, "video", MediaCodec.encodeGvid(
+            (0 until nFrames(d)).map(t => MediaCodec.encodeBmp(w, h, (x, y) => pixel(d, t, x, y)))))
       }
     }
+  }
+
+  // ------------------------------------------------------------------
+  // Decode / feature extraction (format-dispatched, REAL parse)
+  // ------------------------------------------------------------------
+
+  /** Decoded per-media features. `content_sum` is the exact-integer
+    * content digest that proves the decode: Σ lumaMilli over every
+    * decoded pixel (img/video frames), Σ (sample + 32768) over every
+    * decoded sample (audio) — wrong stride/flip/channel-order/sample
+    * parse changes it. width/height are 0 for audio. */
+  case class MediaMeta(doc_id: Long, fmt: String, byte_len: Long,
+                       width: Int, height: Int, frame_count: Long, content_sum: Long)
+
+  private def metaOf(r: MediaRow): MediaMeta = r.fmt match {
+    case "img" =>
+      val im = MediaCodec.decodeBmp(r.payload)
+      var s = 0L; var i = 0
+      while (i < im.lumaMilli.length) { s += im.lumaMilli(i); i += 1 }
+      MediaMeta(r.doc_id, r.fmt, r.payload.length.toLong, im.width, im.height, 1L, s)
+    case "audio" =>
+      val a = MediaCodec.decodeWav(r.payload)
+      var s = 0L; var i = 0
+      while (i < a.samples.length) { s += a.samples(i) + 32768L; i += 1 }
+      MediaMeta(r.doc_id, r.fmt, r.payload.length.toLong, 0, 0, a.samples.length.toLong, s)
+    case "video" =>
+      val frames = MediaCodec.decodeGvid(r.payload)
+      var s = 0L
+      frames.foreach { im => var i = 0; while (i < im.lumaMilli.length) { s += im.lumaMilli(i); i += 1 } }
+      val (w, h) = if (frames.isEmpty) (0, 0) else (frames.head.width, frames.head.height)
+      MediaMeta(r.doc_id, r.fmt, r.payload.length.toLong, w, h, frames.length.toLong, s)
+    case other => throw new IllegalArgumentException(s"unknown media format: $other")
   }
 
   /**
    * Batched decode pass: partition-local, processes rows in fixed-size
    * buffers (the `mapInPandas` batch shape) so a real codec can
-   * amortize per-batch setup. No shuffle — width-preserving map.
+   * amortize per-batch setup. No shuffle — width-preserving map that
+   * REPLACES the payload with 5 numeric columns.
    */
-  def extractFeatures(spark: SparkSession, media: DataFrame, batchSize: Int = 512): Dataset[MediaFeatures] = {
+  def decodeFeatures(spark: SparkSession, media: Dataset[MediaRow], batchSize: Int = 512): Dataset[MediaMeta] = {
     import spark.implicits._
-    media.as[MediaRow].mapPartitions { rows =>
+    media.mapPartitions { rows =>
       rows.grouped(batchSize).flatMap { batch =>
         // per-batch codec init would happen here
-        batch.iterator.map(decodeStub)
+        batch.iterator.map(metaOf)
+      }
+    }
+  }
+
+  /** One frame of a media payload. For video, (byte_offset,
+    * frame_bytes) address the frame's BMP inside the blob as parsed
+    * from the container's real length-prefix index; img/audio are a
+    * single whole-payload frame. */
+  case class Frame(doc_id: Long, fmt: String, frame_idx: Long, byte_offset: Long, frame_bytes: Long)
+
+  /**
+   * Frame sampling: the one-to-many decode shape (a video row explodes
+   * into frame rows) over the REAL container index. flatMap streams
+   * frames out — output cardinality is data-dependent and must never
+   * buffer whole groups.
+   */
+  def sampleFrames(spark: SparkSession, media: Dataset[MediaRow]): Dataset[Frame] = {
+    import spark.implicits._
+    media.flatMap { r =>
+      r.fmt match {
+        case "video" =>
+          MediaCodec.gvidFrameIndex(r.payload).iterator.zipWithIndex.map {
+            case ((off, len), i) => Frame(r.doc_id, r.fmt, i.toLong, off, len.toLong)
+          }
+        case _ =>
+          Iterator(Frame(r.doc_id, r.fmt, 0L, 0L, r.payload.length.toLong))
       }
     }
   }
@@ -102,58 +164,51 @@ object Multimodal {
   case class PHash(doc_id: Long, fmt: String, byte_len: Long, phash_hi: Long, phash_lo: Long)
 
   /**
-   * Average-hash (aHash) perceptual fingerprint — the image near-dup
-   * primitive. REAL DECODER GOES HERE: production decodes the payload
-   * and downsamples luma to an 8×8 grid; the STUB downsamples the raw
-   * byte stream instead (cell i = the bytes in
-   * [⌊i·len/64⌋, ⌊(i+1)·len/64⌋) — a true fixed-grid downsample, so
-   * everything downstream — integer-exact bit derivation, block
-   * pigeonhole, hamming verify — is the real mechanism over fake
-   * pixels. bit_i = 1 iff the cell mean exceeds the global mean,
-   * compared in exact integers (cs_i·len > total·cn_i — no division,
-   * so no rounding divergence between engines; empty cells of a
-   * sub-64-byte payload compare 0 > 0 = unset). Partition-local narrow
-   * map: payloads never shuffle, the output is 4 numeric columns.
-   * A zero-length payload hashes to (0, 0) — callers screening real
-   * corpora should drop empties first (the gate query filters them).
+   * Average-hash (aHash) perceptual fingerprint over REAL decoded
+   * pixels — the image near-dup primitive. The payload is BMP-decoded
+   * to a top-down luma grid ([[MediaCodec.decodeBmp]]); pixel (x, y)
+   * lands in grid cell (⌊8y/h⌋, ⌊8x/w⌋) — an exact integer box
+   * downsample to 8×8 (requires w ≥ 8 and h ≥ 8 so every cell is
+   * non-empty); bit_i = 1 iff the cell's luma mean exceeds the global
+   * mean, compared in exact integers (cs_i·N > total·cn_i — no
+   * division, so no rounding divergence between engines; luma ≤
+   * 255 000 keeps the products far inside Long for any image whose
+   * grid fits in memory). Bit 0 is the MSB of phash_hi (cell row 0,
+   * col 0), bit 63 the LSB of phash_lo. Partition-local narrow map:
+   * payloads never shuffle, the output is 4 numeric columns.
    */
-  def aHash(spark: SparkSession, media: DataFrame): Dataset[PHash] = {
+  def aHash(spark: SparkSession, media: Dataset[MediaRow]): Dataset[PHash] = {
     import spark.implicits._
-    media.as[MediaRow].map { r =>
-      val len = r.payload.length.toLong
-      if (len == 0L) PHash(r.doc_id, r.fmt, 0L, 0L, 0L)
-      else {
-        val cs = new Array[Long](64)
-        val cn = new Array[Long](64)
-        var i = 0
-        while (i < 64) {
-          val from = (i * len / 64).toInt
-          val until = ((i + 1) * len / 64).toInt
-          var o = from
-          var s = 0L
-          while (o < until) { s += (r.payload(o) & 0xffL); o += 1 }
-          cs(i) = s; cn(i) = (until - from).toLong; i += 1
+    media.map { r =>
+      val im = MediaCodec.decodeBmp(r.payload)
+      val (w, h) = (im.width, im.height)
+      require(w >= 8 && h >= 8, s"aHash needs >= 8x8 pixels, got ${w}x$h")
+      val cs = new Array[Long](64)
+      val cn = new Array[Long](64)
+      var y = 0
+      while (y < h) {
+        val ry = (y * 8 / h) * 8
+        var x = 0
+        while (x < w) {
+          val ci = ry + x * 8 / w
+          cs(ci) += im.lumaMilli(y * w + x)
+          cn(ci) += 1L
+          x += 1
         }
-        val total = cs.sum
-        // cs·len and total·cn are ≤ ~4·len², past Long for multi-GB
-        // payloads (len > ~1.5e9) — wraparound would invert bits that
-        // DuckDB's HUGEINT-promoted oracle gets right. Exact big-int
-        // compare on that cold path; plain longs below it.
-        val big = len > 1000000000L
-        var hi = 0L
-        var lo = 0L
-        i = 0
-        while (i < 64) {
-          val bit =
-            if (big) BigInt(cs(i)) * BigInt(len) > BigInt(total) * BigInt(cn(i))
-            else cs(i) * len > total * cn(i)
-          if (bit) {
-            if (i < 32) hi |= 1L << (31 - i) else lo |= 1L << (63 - i)
-          }
-          i += 1
-        }
-        PHash(r.doc_id, r.fmt, len, hi, lo)
+        y += 1
       }
+      val total = cs.sum
+      val n = w.toLong * h
+      var hi = 0L
+      var lo = 0L
+      var i = 0
+      while (i < 64) {
+        if (cs(i) * n > total * cn(i)) {
+          if (i < 32) hi |= 1L << (31 - i) else lo |= 1L << (63 - i)
+        }
+        i += 1
+      }
+      PHash(r.doc_id, r.fmt, r.payload.length.toLong, hi, lo)
     }
   }
 

@@ -1,0 +1,130 @@
+package graft
+
+import graft.operators.{MediaCodec, Multimodal}
+
+/**
+ * Byte-level codec specs: golden byte arrays constructed BY HAND from
+ * the published format layouts (BMP BITMAPINFOHEADER, canonical RIFF
+ * WAVE) — not via the encoder — so an encoder+decoder bug pair that
+ * cancels in roundtrip tests still fails here.
+ */
+class MultimodalSpec extends SparkSpecBase {
+
+  private def u32le(v: Int): Seq[Byte] =
+    Seq((v & 0xff).toByte, ((v >>> 8) & 0xff).toByte, ((v >>> 16) & 0xff).toByte, ((v >>> 24) & 0xff).toByte)
+  private def u16le(v: Int): Seq[Byte] = Seq((v & 0xff).toByte, ((v >>> 8) & 0xff).toByte)
+
+  /** Hand-built 2x2 24-bit BMP. Pixels (top-down, r,g,b):
+    *   (0,0)=(255,0,0) (1,0)=(0,255,0)
+    *   (0,1)=(0,0,255) (1,1)=(10,20,30)
+    * stride = ((2*3+3)/4)*4 = 8, so each row carries 2 padding bytes;
+    * the FILE stores the BOTTOM row first, channels in B-G-R order.
+    */
+  private val goldenBmp: Array[Byte] = (
+    Seq('B'.toByte, 'M'.toByte) ++ u32le(70) ++ u32le(0) ++ u32le(54) ++
+      u32le(40) ++ u32le(2) ++ u32le(2) ++ u16le(1) ++ u16le(24) ++ u32le(0) ++
+      u32le(16) ++ u32le(2835) ++ u32le(2835) ++ u32le(0) ++ u32le(0) ++
+      // bottom row first: (0,1)=(0,0,255) -> B=255,G=0,R=0 ; (1,1)=(10,20,30) -> B=30,G=20,R=10 ; pad
+      Seq(255, 0, 0, 30, 20, 10, 0, 0).map(_.toByte) ++
+      // top row: (0,0)=(255,0,0) -> B=0,G=0,R=255 ; (1,0)=(0,255,0) -> B=0,G=255,R=0 ; pad
+      Seq(0, 0, 255, 0, 255, 0, 0, 0).map(_.toByte)
+    ).toArray
+
+  test("BMP decode: golden hand-built bytes yield the spec'd top-down luma grid") {
+    val im = MediaCodec.decodeBmp(goldenBmp)
+    assert(im.width == 2 && im.height == 2)
+    // luma*1000 = r*299 + g*587 + b*114
+    assert(im.lumaMilli.toSeq == Seq(
+      255 * 299, 255 * 587, // top row: red, green
+      255 * 114, 10 * 299 + 20 * 587 + 30 * 114)) // bottom row: blue, mixed
+  }
+
+  test("BMP encode: encoder reproduces the golden bytes exactly") {
+    val px = Map((0, 0) -> (255, 0, 0), (1, 0) -> (0, 255, 0), (0, 1) -> (0, 0, 255), (1, 1) -> (10, 20, 30))
+    val enc = MediaCodec.encodeBmp(2, 2, (x, y) => px((x, y)))
+    assert(enc.toSeq == goldenBmp.toSeq)
+  }
+
+  test("BMP decode rejects malformed payloads") {
+    intercept[IllegalArgumentException](MediaCodec.decodeBmp(Array[Byte](1, 2, 3)))
+    val bad = goldenBmp.clone(); bad(28) = 8 // 8-bit depth
+    intercept[IllegalArgumentException](MediaCodec.decodeBmp(bad))
+    val rle = goldenBmp.clone(); rle(30) = 1 // BI_RLE8
+    intercept[IllegalArgumentException](MediaCodec.decodeBmp(rle))
+    intercept[IllegalArgumentException](MediaCodec.decodeBmp(goldenBmp.take(60))) // truncated pixels
+  }
+
+  /** Hand-built canonical WAV: 8000 Hz mono PCM16, samples (+1000, -2). */
+  private val goldenWav: Array[Byte] = (
+    Seq('R', 'I', 'F', 'F').map(_.toByte) ++ u32le(40) ++ Seq('W', 'A', 'V', 'E').map(_.toByte) ++
+      Seq('f', 'm', 't', ' ').map(_.toByte) ++ u32le(16) ++ u16le(1) ++ u16le(1) ++
+      u32le(8000) ++ u32le(16000) ++ u16le(2) ++ u16le(16) ++
+      Seq('d', 'a', 't', 'a').map(_.toByte) ++ u32le(4) ++
+      u16le(1000) ++ u16le(0x10000 - 2) // -2 as two's-complement u16
+    ).toArray
+
+  test("WAV decode: golden hand-built bytes yield rate + signed samples") {
+    val a = MediaCodec.decodeWav(goldenWav)
+    assert(a.sampleRate == 8000)
+    assert(a.samples.toSeq == Seq[Short](1000, -2))
+  }
+
+  test("WAV encode: encoder reproduces the golden bytes exactly") {
+    assert(MediaCodec.encodeWav(8000, Array[Short](1000, -2)).toSeq == goldenWav.toSeq)
+  }
+
+  test("GVID: parsed frame index walks the real length-prefix chain") {
+    val f1 = Array.tabulate(10)(_.toByte)
+    val f2 = Array.tabulate(3)(i => (i + 50).toByte)
+    val blob = MediaCodec.encodeGvid(Seq(f1, f2))
+    assert(blob.length == MediaCodec.gvidSize(Seq(10, 3)))
+    val idx = MediaCodec.gvidFrameIndex(blob)
+    assert(idx == IndexedSeq((12L, 10), (26L, 3)))
+    assert(java.util.Arrays.copyOfRange(blob, 12, 22).toSeq == f1.toSeq)
+    assert(java.util.Arrays.copyOfRange(blob, 26, 29).toSeq == f2.toSeq)
+    intercept[IllegalArgumentException](MediaCodec.gvidFrameIndex(blob.take(20)))
+  }
+
+  test("video decode: GVID of BMPs roundtrips every frame's pixels") {
+    val d = 7L
+    val (w, h, nf) = (Multimodal.imgW(d), Multimodal.imgH(d), Multimodal.nFrames(d))
+    val blob = MediaCodec.encodeGvid(
+      (0 until nf).map(t => MediaCodec.encodeBmp(w, h, (x, y) => Multimodal.pixel(d, t, x, y))))
+    val frames = MediaCodec.decodeGvid(blob)
+    assert(frames.length == nf)
+    for (t <- 0 until nf; y <- 0 until h; x <- 0 until w) {
+      val (r, g, b) = Multimodal.pixel(d, t, x, y)
+      assert(frames(t).lumaMilli(y * w + x) == r * 299 + g * 587 + b * 114, s"frame $t pixel ($x,$y)")
+    }
+  }
+
+  test("aHash requires a decodable BMP of at least 8x8") {
+    import spark.implicits._
+    val tiny = MediaCodec.encodeBmp(4, 4, (_, _) => (1, 2, 3))
+    val media = Seq((1L, "img", tiny)).toDF("doc_id", "fmt", "payload").as[Multimodal.MediaRow]
+    val e = intercept[org.apache.spark.SparkException](Multimodal.aHash(spark, media).collect())
+    assert(e.getMessage != null)
+  }
+
+  test("rendered near-dup image (few-pixel perturbation) is caught by phashPairs") {
+    import spark.implicits._
+    // a: strong left-dark / right-bright split -> decisive bits
+    def base(x: Int, y: Int): (Int, Int, Int) = {
+      val v = if (x >= 16) 220 else 15
+      (v, v, v)
+    }
+    val a = MediaCodec.encodeBmp(32, 32, base)
+    // b: same image with a 2x2 pixel blemish — a true near-dup, hamming 0
+    val b = MediaCodec.encodeBmp(32, 32, (x, y) =>
+      if (x < 2 && y < 2) (40, 40, 40) else base(x, y))
+    // c: the mirror image — every bit flips, far
+    val c = MediaCodec.encodeBmp(32, 32, (x, y) => base(31 - x, y))
+    val media = Seq((1L, "img", a), (2L, "img", b), (3L, "img", c))
+      .toDF("doc_id", "fmt", "payload").as[Multimodal.MediaRow]
+    val hashes = Multimodal.aHash(spark, media).toDF()
+    val pairs = Multimodal.phashPairs(hashes, radius = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pairs.exists { case (x, y, _) => x == 1L && y == 2L }, s"near-dup pair missing: $pairs")
+    assert(!pairs.exists { case (x, y, _) => y == 3L || x == 3L }, s"mirror image must not pair: $pairs")
+  }
+}

@@ -606,40 +606,65 @@ class OperatorSpec extends SparkSpecBase {
     }
   }
 
-  test("multimodal feature extraction: checksum matches plain-Scala reference") {
-    val media = Multimodal.asMediaTable(spark.read.parquet(s"$sfDir/documents.parquet"))
-    val feats = Multimodal.extractFeatures(spark, media, batchSize = 64)
-    val one = feats.filter(col("doc_id") === 0).collect().head
-    val text = spark.read.parquet(s"$sfDir/documents.parquet")
-      .filter(col("doc_id") === 0).select("text").as[String].head()
-    val bytes = text.getBytes("UTF-8")
-    val expected = bytes.foldLeft(0L)((cs, b) => (cs * 131L + (b & 0xffL)) % 2147483647L)
-    assert(one.byte_len == bytes.length.toLong)
-    assert(one.frame_count == (bytes.length + 255L) / 256L)
-    assert(one.checksum == expected)
-    assert(one.fmt == "img") // doc_id 0 % 3 == 0
+  test("multimodal feature extraction: decoded digest matches plain-Scala recompute from the generator") {
+    import graft.operators.MediaCodec
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val feats = Multimodal.decodeFeatures(spark, Multimodal.renderMedia(spark, docs), batchSize = 64)
+      .collect().map(m => m.doc_id -> m).toMap
+    // one doc per format, digest recomputed straight from the generator
+    // (no codec in the loop — so an encode+decode bug pair can't cancel)
+    for (d <- Seq(0L, 1L, 2L, 3L, 4L, 5L)) {
+      val m = feats(d)
+      Math.floorMod(d, 3) match {
+        case 0 =>
+          val (w, h) = (Multimodal.imgW(d), Multimodal.imgH(d))
+          assert(m.fmt == "img" && m.width == w && m.height == h && m.frame_count == 1L)
+          assert(m.byte_len == MediaCodec.bmpSize(w, h).toLong)
+          val lum = (for (y <- 0 until h; x <- 0 until w) yield {
+            val (r, g, b) = Multimodal.pixel(d, 0, x, y); r * 299L + g * 587L + b * 114L
+          }).sum
+          assert(m.content_sum == lum, s"img $d digest")
+        case 1 =>
+          val n = Multimodal.nSamples(d)
+          assert(m.fmt == "audio" && m.frame_count == n.toLong && m.byte_len == MediaCodec.wavSize(n).toLong)
+          val e = (0 until n).map(i => Multimodal.sample(d, i) + 32768L).sum
+          assert(m.content_sum == e, s"audio $d digest")
+        case _ =>
+          val (w, h, nf) = (Multimodal.imgW(d), Multimodal.imgH(d), Multimodal.nFrames(d))
+          assert(m.fmt == "video" && m.width == w && m.height == h && m.frame_count == nf.toLong)
+          assert(m.byte_len == MediaCodec.gvidSize(Seq.fill(nf)(MediaCodec.bmpSize(w, h))).toLong)
+          val lum = (for (t <- 0 until nf; y <- 0 until h; x <- 0 until w) yield {
+            val (r, g, b) = Multimodal.pixel(d, t, x, y); r * 299L + g * 587L + b * 114L
+          }).sum
+          assert(m.content_sum == lum, s"video $d digest")
+      }
+    }
   }
 
   test("multimodal batching covers every row exactly once") {
-    val media = Multimodal.asMediaTable(spark.read.parquet(s"$sfDir/documents.parquet"))
-    val n = spark.read.parquet(s"$sfDir/documents.parquet").count()
-    assert(Multimodal.extractFeatures(spark, media, batchSize = 7).count() == n)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val media = Multimodal.renderMedia(spark, docs)
+    assert(Multimodal.decodeFeatures(spark, media, batchSize = 7).count() == docs.count())
   }
 
-  test("multimodal pHash: constructed near-dups pair within radius; pigeonhole complete vs brute force") {
+  test("multimodal pHash: rendered near-dup images pair within radius; pigeonhole complete vs brute force") {
     import spark.implicits._
-    // 1024 bytes = 16 bytes/cell; even cells high-band, odd low-band
-    def pat(): Array[Byte] =
-      Array.tabulate(1024)(i => (if ((i / 16) % 2 == 0) 200 + i % 5 else 10 + i % 5).toByte)
-    val a = pat()
-    val b = pat()
-    // push EVEN cells 2 and 40 into the low band → exactly their 2 hash bits flip
-    for (o <- 32 until 48) b(o) = 5.toByte
-    for (o <- 640 until 656) b(o) = 5.toByte
-    val c = a.map(x => (255 - (x & 0xff)).toByte) // inverted: far from both
-    val short = Array.tabulate(10)(i => (i * 25).toByte) // sub-64-byte payload: empty cells
-    val media = Seq((1L, "img", a), (2L, "img", b), (3L, "img", c), (4L, "img", short))
-      .toDF("doc_id", "fmt", "payload")
+    import graft.operators.MediaCodec
+    // 32x32 real BMPs; cell = 4x4 pixels; cell checkerboard high/low luma
+    def cellOf(x: Int, y: Int): Int = (y / 4) * 8 + x / 4
+    def render(lowCells: Set[Int], invert: Boolean): Array[Byte] =
+      MediaCodec.encodeBmp(32, 32, (x, y) => {
+        val c = cellOf(x, y)
+        val hi = (c % 2 == 0) && !lowCells.contains(c)
+        val v = if (hi ^ invert) 200 + (x + y) % 5 else 10 + (x + y) % 5
+        (v, v, v)
+      })
+    val a = render(Set.empty, invert = false)
+    // push even cells 2 and 40 into the low band → exactly their 2 hash bits flip
+    val b = render(Set(2, 40), invert = false)
+    val c = render(Set.empty, invert = true) // inverted: far from both
+    val media = Seq((1L, "img", a), (2L, "img", b), (3L, "img", c))
+      .toDF("doc_id", "fmt", "payload").as[Multimodal.MediaRow]
     val hashes = Multimodal.aHash(spark, media).toDF()
     val hs = hashes.collect()
       .map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4))).toMap

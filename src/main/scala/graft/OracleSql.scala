@@ -829,9 +829,14 @@ object OracleSql {
     // with EXHAUSTIVE probing (probes = numCells), whose output provably
     // equals the brute >=-threshold set — so brute force re-verifies
     // every emitted pair; the probe-limited subset property is computed
-    // Spark-side and the oracle pins the expected TRUE
+    // Spark-side and the oracle pins the expected TRUE. Both engines
+    // run on the same deterministic fixed-size gate subset (the 500
+    // lowest multiplicative-id-hash vectors — SparkEntry.gateEmbeddings)
+    // so the deliberately-quadratic gate stays flat-cost at any sf.
     "q_dedup_embed_ivf" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      """WITH g AS (SELECT vec_id, embedding FROM embeddings
+                    ORDER BY ((vec_id % 1048576) * 2654435761) % 4294967296, vec_id LIMIT 500),
+              e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM g),
               p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                 list_reduce(list_prepend(0.0, list_transform(generate_series(1, len(a.v)), i -> a.v[i] * b.v[i])), (x, y) -> x + y) /
                 (sqrt(list_reduce(list_prepend(0.0, list_transform(generate_series(1, len(a.v)), i -> a.v[i] * a.v[i])), (x, y) -> x + y)) *
@@ -1355,12 +1360,15 @@ object OracleSql {
     // forced-IVF self k-NN: exhaustive probing (probes = numCells) makes
     // the cell-join candidate set complete, so the Spark result equals
     // brute kNN — every neighbor/cosine/rank re-verified here; the
-    // probe-limited well-formedness invariant is computed Spark-side
+    // probe-limited well-formedness invariant is computed Spark-side.
+    // Same fixed-size gate subset as q_dedup_embed_ivf (flat-cost gate).
     "q_knn_join_ivf" ->
-      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
-                    FROM embeddings),
+      """WITH g AS (SELECT vec_id, embedding FROM embeddings
+                    ORDER BY ((vec_id % 1048576) * 2654435761) % 4294967296, vec_id LIMIT 500),
+              q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+                    FROM g),
               c AS (SELECT vec_id AS item_id, CAST(embedding AS DOUBLE[]) AS iv
-                    FROM embeddings),
+                    FROM g),
               s AS (SELECT query_id, item_id,
                 list_reduce(list_prepend(0.0, list_transform(generate_series(1, len(qv)), i -> qv[i] * iv[i])), (a, x) -> a + x) /
                 (sqrt(list_reduce(list_prepend(0.0, list_transform(generate_series(1, len(qv)), i -> qv[i] * qv[i])), (a, x) -> a + x)) *

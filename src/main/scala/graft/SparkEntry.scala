@@ -1228,11 +1228,40 @@ object SparkEntry {
       .orderBy(col("vec_id"))
 
   /**
+   * Deterministic FIXED-SIZE gate corpus for the two forced-IVF gates:
+   * the [[IvfGateCap]] embeddings ranked lowest by a multiplicative
+   * id hash (Knuth 2654435761, tie-broken by id). Exhaustive probing
+   * makes those gates quadratic BY DESIGN (that is what proves
+   * IVF ≡ brute force), so their cost must not grow with sf: at sf0.01
+   * the cap covers the whole table (500 rows — gate values unchanged),
+   * at any larger sf the gate still measures exactly 500 vectors and
+   * its wall-time stays flat while the probe-limited scale path is
+   * benchmarked separately. The id is folded mod 2^20 BEFORE the
+   * multiply so the product stays far inside Long on both engines
+   * (DuckDB errors on BIGINT overflow rather than wrapping); ids
+   * ≥ 2^20 still order deterministically via the id tie-break. Spark
+   * plans this as TakeOrderedAndProject — per-partition top-N + a
+   * driver merge of N rows, no full sort, no full shuffle.
+   */
+  private val IvfGateCap = 500
+  private def gateEmbeddings(s: SparkSession, dir: String): DataFrame = {
+    val emb = ld(s, dir, "embeddings")
+    emb
+      .orderBy(
+        pmod(pmod(col("vec_id"), lit(1048576L)) * lit(2654435761L), lit(4294967296L)),
+        col("vec_id"))
+      .limit(IvfGateCap)
+      .select(emb.columns.map(col).toSeq: _*)
+  }
+
+  /**
    * FORCED-IVF embedding dedup under the exact hash gate: the size
    * dispatch never routes here at gate scale, so this query calls
    * `Dedup.embeddingPairsIvf` DIRECTLY — the code path a 100 TB corpus
    * actually runs (quantizer training, multi-probe cell assignment,
    * within-cell id-only candidate join, exact-cosine verify).
+   * Runs on the [[gateEmbeddings]] fixed-size subset so the
+   * deliberately-exhaustive gate stays flat-cost at any sf.
    *
    * Gate discipline:
    *  - the hashed row set comes from an EXHAUSTIVE-probe run
@@ -1249,7 +1278,7 @@ object SparkEntry {
    * ~60 rows instead of 1 at sf0.01 — a hash over real volume.
    */
   private def qDedupEmbedIvf(s: SparkSession, dir: String): DataFrame = {
-    val emb = ld(s, dir, "embeddings")
+    val emb = gateEmbeddings(s, dir)
     val t = 0.4
     // one quantizer for both runs: training is deterministic, so the
     // exhaustive and probe-limited pipelines would train identical
@@ -1281,9 +1310,11 @@ object SparkEntry {
    * (probes = 2 of 4) executes under the same gate with its structural
    * invariants hashed via [[withLimitedWellformed]] — probe-limiting
    * degrades WHICH neighbors rank, never the ranking mechanism.
+   * Runs on the [[gateEmbeddings]] fixed-size subset so the
+   * deliberately-exhaustive gate stays flat-cost at any sf.
    */
   private def qKnnJoinIvf(s: SparkSession, dir: String): DataFrame = {
-    val emb = ld(s, dir, "embeddings")
+    val emb = gateEmbeddings(s, dir)
     val k = 3
     // shared quantizer, same rationale as qDedupEmbedIvf: deterministic
     // training would produce identical centroids twice — train once
@@ -1750,10 +1781,24 @@ object SparkEntry {
       .knBigramPerplexity(ld(s, dir, "documents"), "doc_id", "text", maxNll = 3.39)
       .orderBy(col("doc_id"))
 
+  /** Cache key for fitted-model fixtures derived from `dir`'s
+    * documents table: [[dirKey]] plus the parquet file's
+    * (length, mtime) fingerprint, so REGENERATING the dataset at the
+    * same path invalidates the cached model instead of silently
+    * serving a model fitted on the old data (the gates would then
+    * diverge from the oracle, which always recomputes from current
+    * data). Zero-cost: one file-status call, no Spark job. */
+  private def dataKey(s: SparkSession, dir: String, table: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/$table.parquet")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val st = fs.getFileStatus(p)
+    s"${dirKey(dir)}_${java.lang.Long.toHexString(st.getLen)}_${java.lang.Long.toHexString(st.getModificationTime)}"
+  }
+
   /** One-time DSIR model fit (Dsir.fit, meta-written-last) so the
     * served-path gate times the broadcast-join probe, not the fit. */
   private def ensureDsirModel(s: SparkSession, dir: String): String = {
-    val path = s"/tmp/graft_dsir/${dirKey(dir)}"
+    val path = s"/tmp/graft_dsir/${dataKey(s, dir, "documents")}"
     if (!graft.operators.Dsir.modelExists(s, path)) {
       graft.operators.Dsir.fit(ld(s, dir, "documents"), "doc_id", "text",
         col("source") === "src0", buckets = 4096, path)
@@ -1770,7 +1815,7 @@ object SparkEntry {
     * update path breaks the hash). Convergent if a prior run died
     * between fit and update: the batch label gates the replay. */
   private def ensureDsirUpdatedModel(s: SparkSession, dir: String): String = {
-    val path = s"/tmp/graft_dsir_upd/${dirKey(dir)}"
+    val path = s"/tmp/graft_dsir_upd/${dataKey(s, dir, "documents")}"
     val docs = ld(s, dir, "documents")
     if (!graft.operators.Dsir.modelExists(s, path)) {
       graft.operators.Dsir.fit(docs.filter(col("doc_id") % 2 === 0), "doc_id", "text",

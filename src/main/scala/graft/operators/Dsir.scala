@@ -126,6 +126,7 @@ object Dsir {
   def select(
       docs: DataFrame, idCol: String, textCol: String, isTarget: Column,
       buckets: Int = 4096, k: Int = 100): DataFrame = {
+    requireBuckets(buckets)
     val feat = featureCounts(docs, idCol, textCol, isTarget, buckets)
     val sc = scores(feat, ratioTable(feat, buckets))
     sc.orderBy(col("logw_q").desc, col("doc_id").asc).limit(k)
@@ -157,17 +158,38 @@ object Dsir {
 
   private def genDir(path: String, g: Long): String = s"$path/gen=$g"
 
-  /** Highest generation whose meta is committed (servable), if any. */
-  private def latestGen(spark: SparkSession, modelPath: String): Option[Long] = {
-    val fs = fsOf(spark, modelPath)
+  /** All gen=<k> directory numbers present under the model path
+    * (committed or partial) — the pruning and serving walks share this
+    * one listing so neither ever issues per-generation existence RPCs
+    * for directories that were already deleted. */
+  private def listGenDirs(
+      fs: org.apache.hadoop.fs.FileSystem, modelPath: String): Seq[Long] = {
     val root = new org.apache.hadoop.fs.Path(modelPath)
-    if (!fs.exists(root)) None
+    if (!fs.exists(root)) Seq.empty
     else fs.listStatus(root).iterator
       .map(_.getPath.getName)
       .filter(_.startsWith("gen="))
       .map(_.stripPrefix("gen=").toLong)
+      .toSeq
+  }
+
+  /** Highest generation whose meta is committed (servable), if any. */
+  private def latestGen(spark: SparkSession, modelPath: String): Option[Long] = {
+    val fs = fsOf(spark, modelPath)
+    listGenDirs(fs, modelPath).iterator
       .filter(g => fs.exists(new org.apache.hadoop.fs.Path(s"${genDir(modelPath, g)}/meta/_SUCCESS")))
       .foldLeft(Option.empty[Long])((a, g) => Some(a.fold(g)(math.max(_, g))))
+  }
+
+  /** Best-effort prune of EXISTING generation dirs below `keep` —
+    * driven by one directory listing, so the delete count is the
+    * number of dirs actually present (≤ 2 in steady state), never
+    * O(generation) no-op RPCs against an object store. */
+  private def pruneGensBelow(
+      spark: SparkSession, modelPath: String, keep: Long): Unit = {
+    val fs = fsOf(spark, modelPath)
+    listGenDirs(fs, modelPath).filter(_ < keep).foreach(k =>
+      fs.delete(new org.apache.hadoop.fs.Path(genDir(modelPath, k)), true))
   }
 
   /** Write one complete generation: counts, ratios (the same [[ratioQ]]
@@ -204,19 +226,38 @@ object Dsir {
       .map(r => r.getAs[Long]("bucket") -> ((r.getAs[Long]("ct"), r.getAs[Long]("cr"))))
       .toMap
 
+  /** Hard cap on the bucketed feature space: the fitted model is a
+    * driver-collected map and a broadcast ratio table, so `buckets`
+    * bounds BOTH (≤ 2^20 narrow rows ≈ tens of MB — comfortably
+    * collectable and broadcastable). The bucket hash is 24-bit, so
+    * without this guard the API would accept a 16M-bucket model whose
+    * fit/update silently rebuilds a 16M-row map on the driver; a model
+    * too big to broadcast is the wrong shape regardless — reject it
+    * loudly instead. */
+  val MaxBuckets: Int = 1 << 20
+
+  private[operators] def requireBuckets(buckets: Int): Unit =
+    require(buckets >= 1 && buckets <= MaxBuckets,
+      s"buckets must be in [1, $MaxBuckets] (the model is driver-collected " +
+        s"and broadcast-served, so it must stay small), got $buckets")
+
   /**
-   * Fit and persist the model as generation 0 (any previous state is
-   * wiped — a fit is a from-scratch retrain; incremental refreshes go
-   * through [[update]]).
+   * Fit and persist the model — a from-scratch retrain (incremental
+   * refreshes go through [[update]]). As crash-safe as an update: the
+   * new model is written as generation (servable max + 1), so readers
+   * keep serving the previous generation until the refit's meta
+   * commits, and a crash mid-fit leaves only an invisible meta-less
+   * partial; older generations are pruned only AFTER the commit.
    */
   def fit(
       docs: DataFrame, idCol: String, textCol: String, isTarget: Column,
       buckets: Int, path: String): Unit = {
+    requireBuckets(buckets)
     val spark = docs.sparkSession
-    val fs = fsOf(spark, path)
-    fs.delete(new org.apache.hadoop.fs.Path(path), true)
-    writeGeneration(spark, path, 0L,
+    val g = latestGen(spark, path).map(_ + 1L).getOrElse(0L)
+    writeGeneration(spark, path, g,
       collectCounts(docs, idCol, textCol, isTarget, buckets), buckets, "__fit")
+    pruneGensBelow(spark, path, g)
   }
 
   /**
@@ -255,9 +296,7 @@ object Dsir {
     }.toMap
     writeGeneration(spark, path, g + 1L, merged, buckets, batch)
     // best-effort prune: older generations are garbage once g+1 serves
-    val fs = fsOf(spark, path)
-    (0L until g).foreach(k =>
-      fs.delete(new org.apache.hadoop.fs.Path(genDir(path, k)), true))
+    pruneGensBelow(spark, path, g + 1L)
   }
 
   /** Whether a servable model exists at the path (some generation's

@@ -37,8 +37,12 @@ import graft.functions.F
  * aggregate (bucket-level rows, never token-level), and the
  * per-(doc, class) sum combines map-side because the expansion
  * preserves the feature aggregate's doc-clustered layout. The argmax
- * is a window over K rows per doc. Nothing corpus-sized is ever
- * broadcast, collected, or shuffled wider than (doc, bucket, tf).
+ * is a single max(struct) aggregate — no per-doc window sort, and no
+ * extra pass over the docs for prior-only rows: a zero-token test doc
+ * rides through on a sentinel (bucket = −1, tf = 0) feature row, so
+ * it scores by prior alone inside the same pipeline. Nothing
+ * corpus-sized is ever broadcast, collected, or shuffled wider than
+ * (doc, bucket, tf).
  */
 object NaiveBayes {
 
@@ -52,6 +56,7 @@ object NaiveBayes {
   def classify(
       docs: DataFrame, idCol: String, textCol: String, labelCol: String,
       isTrain: Column, buckets: Int = 4096): DataFrame = {
+    Dsir.requireBuckets(buckets) // model is broadcast: K·B must stay bounded
     val spark = docs.sparkSession
     graft.sql.GraftFunctions.register(spark)
     val base = docs.select(
@@ -65,7 +70,11 @@ object NaiveBayes {
       .select(col("label"), Dsir.bucket(col("w"), buckets).as("bucket"))
       .groupBy(col("label"), col("bucket")).agg(count(lit(1)).as("c"))
 
-    // K-row class table: token totals, doc priors (quantized at the leaf)
+    // K-row class table: token totals, doc priors (quantized at the
+    // leaf), and a per-label dense rank (label ascending) whose
+    // NEGATION makes "ties by label ASC" expressible inside a MAX —
+    // the single-aggregate argmax below needs an orderable key, and
+    // strings don't negate
     val classDocs = base.filter(col("is_train") && col("label").isNotNull)
       .groupBy(col("label")).agg(count(lit(1)).as("dk"))
     val totalDocs = classDocs.agg(sum(col("dk")).as("d"))
@@ -75,41 +84,52 @@ object NaiveBayes {
       .crossJoin(broadcast(totalDocs))
       .select(col("label"), col("nk"),
         floor(log(col("dk").cast("double") / col("d").cast("double")) * lit(1000000.0))
-          .cast("long").as("prior_q"))
+          .cast("long").as("prior_q"),
+        (-row_number().over(Window.orderBy(col("label"))).cast("long")).as("neg_rank"))
 
-    // test features: (doc, bucket, tf) — map-side combined, text never shuffles
+    // test features: (doc, bucket, tf) — map-side combined, text never
+    // shuffles. A doc whose tokenizer returns nothing (empty/null text)
+    // contributes one sentinel row (bucket −1, tf 0): it matches no
+    // model bucket and adds zero evidence, but keeps the doc in the
+    // pipeline so it scores by prior alone — no second pass over the
+    // corpus to re-attach prior-only docs
     val testFeat = base.filter(!col("is_train"))
-      .select(col("doc_id"), explode(F.tokens(col("text"))).as("w"))
-      .select(col("doc_id"), Dsir.bucket(col("w"), buckets).as("bucket"))
-      .groupBy(col("doc_id"), col("bucket")).agg(count(lit(1)).as("tf"))
+      .select(col("doc_id"), coalesce(F.tokens(col("text")), array()).as("tk"))
+      .select(col("doc_id"),
+        explode(when(size(col("tk")) === 0, array(lit(null).cast("string")))
+          .otherwise(col("tk"))).as("w"))
+      .select(col("doc_id"),
+        when(col("w").isNull, lit(-1L)).otherwise(Dsir.bucket(col("w"), buckets)).as("bucket"))
+      .groupBy(col("doc_id"), col("bucket"))
+      .agg(sum(when(col("bucket") === -1L, lit(0L)).otherwise(lit(1L))).as("tf"))
 
-    // per-(doc, class) token evidence: expand classes on BUCKET rows,
-    // left-join the broadcast model (absent (class, bucket) → c = 0)
-    val tokenScores = testFeat
+    // per-(doc, class) score: expand classes on BUCKET rows, left-join
+    // the broadcast model (absent (class, bucket) → c = 0); prior_q and
+    // neg_rank are class constants so they ride through the grouping.
+    // tf = 0 sentinel rows multiply every leaf by zero — prior-only.
+    val scored = testFeat
       .crossJoin(broadcast(classTable))
       .join(broadcast(classCounts), Seq("label", "bucket"), "left")
       .na.fill(0L, Seq("c"))
-      .groupBy(col("doc_id"), col("label"))
+      .groupBy(col("doc_id"), col("label"), col("prior_q"), col("neg_rank"))
       .agg(
         sum(col("tf") *
           floor(log((col("c") + lit(1L)).cast("double") /
             (col("nk") + lit(buckets.toLong)).cast("double")) * lit(1000000.0)).cast("long"))
           .as("tok_q"),
         sum(col("tf")).as("n_tokens"))
+      .select(col("doc_id"), col("label"), col("neg_rank"),
+        (col("prior_q") + col("tok_q")).as("score_q"), col("n_tokens"))
 
-    // every test doc × every class (zero-token docs score prior-only),
-    // then argmax by quantized score, ties by label ascending
-    base.filter(!col("is_train")).select(col("doc_id"))
-      .crossJoin(broadcast(classTable.select(col("label"), col("prior_q"))))
-      .join(tokenScores, Seq("doc_id", "label"), "left")
-      .select(col("doc_id"), col("label"),
-        (col("prior_q") + coalesce(col("tok_q"), lit(0L))).as("score_q"),
-        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"))
-      .withColumn("rn",
-        row_number().over(
-          Window.partitionBy(col("doc_id")).orderBy(col("score_q").desc, col("label").asc)))
-      .filter(col("rn") === 1)
-      .select(col("doc_id"), col("label").as("pred"), col("score_q"),
-        (col("score_q").cast("double") / lit(1000000.0)).as("score"), col("n_tokens"))
+    // argmax as ONE aggregate — no per-doc window sort: max(struct)
+    // orders by score_q, then neg_rank (= label ascending); (score_q,
+    // neg_rank) is unique per label within a doc, so the trailing
+    // payload fields never influence the comparison
+    scored
+      .groupBy(col("doc_id"))
+      .agg(max(struct(col("score_q"), col("neg_rank"), col("label"), col("n_tokens"))).as("best"))
+      .select(col("doc_id"), col("best.label").as("pred"), col("best.score_q").as("score_q"),
+        (col("best.score_q").cast("double") / lit(1000000.0)).as("score"),
+        col("best.n_tokens").as("n_tokens"))
   }
 }

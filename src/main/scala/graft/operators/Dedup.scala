@@ -378,6 +378,24 @@ object Dedup {
    * 1<<16 (one melting key is enough). Both variants are result-identical
    * (spec-proven), so a sampling-noise flip near the boundary can only
    * cost speed, never correctness.
+   *
+   * EXACT-DUPLICATE COLLAPSE (`collapseExact`, on by default): docs
+   * with identical (group, lower(text)) are collapsed to one
+   * representative BEFORE the posting pipeline, and the pair set is
+   * re-expanded afterwards. Result-identical by construction — an
+   * identical lowered text has an identical distinct-gram set, so
+   * jac(a, c) = jac(b, c) for every third doc c and jac(a, b) = 1 —
+   * expansion emits every member×member cross pair at the
+   * representative pair's jaccard plus all intra-group pairs at 1.0.
+   * This is the straggler killer for replica-heavy corpora (crawl
+   * snapshots, the sf0.5_synth stress corpus): a k-replica cluster
+   * contributes k× to every posting list it touches, so the posting
+   * self-join's densest buckets grow k² and one task dominates the
+   * stage (measured 12-45s task spread at sf0.5_synth); collapsed,
+   * each cluster costs the pipeline ONE doc and the k² work reappears
+   * only as the output-sized expansion it genuinely is. Null-text docs
+   * are excluded to match the raw pipeline, which drops them at the
+   * posting explode.
    */
   def ngramJaccardPairs(
       df: DataFrame,
@@ -387,8 +405,12 @@ object Dedup {
       n: Int = 4,
       threshold: Double = 0.35,
       maxExpansion: Double = 256.0,
-      probeFraction: Double = 0.1
+      probeFraction: Double = 0.1,
+      collapseExact: Boolean = true
   ): DataFrame = {
+    if (collapseExact)
+      return ngramJaccardPairsCollapsed(df, idCol, textCol, groupCols, n, threshold,
+        maxExpansion, probeFraction)
     val ex = gramPostings(df, idCol, textCol, groupCols, n)
     val p = math.min(math.max(probeFraction, 0.001), 1.0)
     // deterministic doc sample: stable across runs/retries (no RNG state)
@@ -407,6 +429,63 @@ object Dedup {
       val freq = ex.groupBy((groupCols.map(col) :+ col("gram")): _*).agg(count(lit(1)).as("gf"))
       prefixFromPostings(ex, freq, groupCols, threshold)
     } else denseFromPostings(ex, groupCols, threshold)
+  }
+
+  /** The collapse-then-expand body of [[ngramJaccardPairs]] — see its
+    * scaladoc for the result-identity argument. One extra
+    * (group, lowered-text) aggregate ahead of the pipeline (volume ≤
+    * the posting explode that follows, and it map-side-combines the
+    * replicas away); the dispatch probe then sees the COLLAPSED corpus,
+    * so replica saturation can no longer push it into the prefix plan. */
+  private def ngramJaccardPairsCollapsed(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      groupCols: Seq[String],
+      n: Int,
+      threshold: Double,
+      maxExpansion: Double,
+      probeFraction: Double
+  ): DataFrame = {
+    val keyed = df
+      .select((col(idCol).as("__gid") +: lower(col(textCol)).as("__txt") +: groupCols.map(col)): _*)
+      // null text ⇒ null gram array ⇒ the raw pipeline drops the doc at
+      // explode and it can never pair — exclude it from collapse too.
+      // NON-null text always has ≥ 1 gram (CharNgrams keeps the short
+      // tail gram, even "" → [""]), so for any non-null duplicate pair
+      // the jac-1.0 intra rule matches the raw posting join exactly.
+      .filter(col("__txt").isNotNull)
+    val grouped = keyed
+      .groupBy((groupCols.map(col) :+ col("__txt")): _*)
+      .agg(min(col("__gid")).as("__rep"),
+        sort_array(collect_list(col("__gid"))).as("__members"),
+        count(lit(1)).as("__cnt"))
+    val reps = grouped.select(
+      (col("__rep").as(idCol) +: col("__txt").as(textCol) +: groupCols.map(col)): _*)
+    val repPairs = ngramJaccardPairs(reps, idCol, textCol, groupCols, n, threshold,
+      maxExpansion, probeFraction, collapseExact = false)
+    // cross expansion: every member of a's group × every member of b's
+    // group shares the representative pair's jaccard; groups are
+    // disjoint, so least/greatest restores the id_a < id_b contract
+    val mem = grouped.select(col("__rep"), col("__members"))
+    val cross = repPairs
+      .join(mem.select(col("__rep").as("id_a"), col("__members").as("__ma")), Seq("id_a"))
+      .join(mem.select(col("__rep").as("id_b"), col("__members").as("__mb")), Seq("id_b"))
+      .select(explode(col("__ma")).as("__a"), col("__mb"), col("jac"))
+      .select(col("__a"), explode(col("__mb")).as("__b"), col("jac"))
+      .select(least(col("__a"), col("__b")).as("id_a"),
+        greatest(col("__a"), col("__b")).as("id_b"), col("jac"))
+    // intra expansion: identical non-empty gram sets are jaccard 1.0
+    // pairs (inter = union = sz) — exactly what the raw posting join
+    // emits for them; their count is output-sized, not pipeline-sized
+    val intra = grouped
+      .filter(col("__cnt") > 1)
+      .select(explode(col("__members")).as("id_a"), col("__members"))
+      .select(col("id_a"), explode(col("__members")).as("id_b"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), lit(1.0).as("jac"))
+      .filter(lit(1.0) >= threshold)
+    cross.unionByName(intra)
   }
 
   /** Direct posting self-join variant: fastest when gram frequencies are

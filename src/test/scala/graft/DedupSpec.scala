@@ -165,6 +165,43 @@ class DedupSpec extends SparkSpecBase {
     assert(forced == dense)
   }
 
+  test("exact-dup collapse is pair-identical to the raw pipeline on a replica-saturated corpus") {
+    // the sf0.5_synth straggler shape: dense replica clusters (identical
+    // text) that melt the posting self-join, plus the edge cases the
+    // collapse must not distort — near-dups ACROSS clusters, short
+    // texts (single tail gram), empty text (gram [""]), null text
+    // (never pairs), and a group-key split of identical texts
+    val docs = (
+      (1L to 25L).map(i => (i, "the quick brown fox jumps over the lazy dog by the river", "en", "s0")) ++
+      (31L to 55L).map(i => (i, "the quick brown fox jumps over the lazy dog by the riverbank", "en", "s0")) ++
+      Seq(
+        (60L, "a completely different document about spark query planning", "en", "s0"),
+        (61L, "ab", "en", "s0"), (62L, "ab", "en", "s0"), (63L, "ab", "ru", "s0"),
+        (64L, "", "en", "s0"), (65L, "", "en", "s0"),
+        (66L, null.asInstanceOf[String], "en", "s0"), (67L, null.asInstanceOf[String], "en", "s0"),
+        (68L, "The Quick BROWN fox jumps over the lazy dog by the river", "en", "s0")
+      )).toDF("doc_id", "text", "lang", "source")
+    val raw = Dedup
+      .ngramJaccardPairs(docs, "doc_id", "text", Seq("lang", "source"), n = 4, threshold = 0.35,
+        collapseExact = false)
+      .as[(Long, Long, Double)].collect().toSeq.sorted
+    val collapsed = Dedup
+      .ngramJaccardPairs(docs, "doc_id", "text", Seq("lang", "source"), n = 4, threshold = 0.35)
+      .as[(Long, Long, Double)].collect().toSeq.sorted
+    assert(collapsed == raw)
+    // sanity on the shape itself: the 26-member cluster (1-25 plus the
+    // case-folded 68) emits all intra pairs, the cross-cluster near-dup
+    // pairs survive, nulls never pair, and the ru-group "ab" never
+    // pairs with the en-group ones
+    val set = collapsed.map(p => (p._1, p._2)).toSet
+    assert(set.count { case (a, b) => a <= 25 && b <= 25 } == 25 * 24 / 2)
+    assert(set.contains((1L, 68L)) && set.contains((25L, 68L)))
+    assert(set.contains((1L, 31L))) // cross-cluster near-dup at rep jaccard
+    assert(set.contains((61L, 62L)) && !set.contains((61L, 63L)) && !set.contains((62L, 63L)))
+    assert(set.contains((64L, 65L)))
+    assert(!set.exists { case (a, b) => a == 66L || b == 66L || a == 67L || b == 67L })
+  }
+
   test("embedding LSH pairs agree with brute-force cosine at the same threshold on real data") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val lsh = Dedup

@@ -454,7 +454,11 @@ object Dedup {
       // NON-null text always has ≥ 1 gram (CharNgrams keeps the short
       // tail gram, even "" → [""]), so for any non-null duplicate pair
       // the jac-1.0 intra rule matches the raw posting join exactly.
-      .filter(col("__txt").isNotNull)
+      // A null GROUP key is likewise pair-sterile in the raw pipeline
+      // (the posting join's `a.g === b.g` is null, never true), so
+      // null-group docs must not collapse into an intra-pair-emitting
+      // group either — groupBy would happily bucket them together.
+      .filter((col("__txt").isNotNull +: groupCols.map(col(_).isNotNull)).reduce(_ && _))
     val grouped = keyed
       .groupBy((groupCols.map(col) :+ col("__txt")): _*)
       .agg(min(col("__gid")).as("__rep"),

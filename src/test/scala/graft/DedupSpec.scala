@@ -179,7 +179,12 @@ class DedupSpec extends SparkSpecBase {
         (61L, "ab", "en", "s0"), (62L, "ab", "en", "s0"), (63L, "ab", "ru", "s0"),
         (64L, "", "en", "s0"), (65L, "", "en", "s0"),
         (66L, null.asInstanceOf[String], "en", "s0"), (67L, null.asInstanceOf[String], "en", "s0"),
-        (68L, "The Quick BROWN fox jumps over the lazy dog by the river", "en", "s0")
+        (68L, "The Quick BROWN fox jumps over the lazy dog by the river", "en", "s0"),
+        // null GROUP keys are pair-sterile in the raw pipeline (the
+        // posting join's group equality is null) — identical texts
+        // under a null group must not become collapse intra pairs
+        (70L, "identical text under a null group key", null.asInstanceOf[String], "s0"),
+        (71L, "identical text under a null group key", null.asInstanceOf[String], "s0")
       )).toDF("doc_id", "text", "lang", "source")
     val raw = Dedup
       .ngramJaccardPairs(docs, "doc_id", "text", Seq("lang", "source"), n = 4, threshold = 0.35,
@@ -199,7 +204,8 @@ class DedupSpec extends SparkSpecBase {
     assert(set.contains((1L, 31L))) // cross-cluster near-dup at rep jaccard
     assert(set.contains((61L, 62L)) && !set.contains((61L, 63L)) && !set.contains((62L, 63L)))
     assert(set.contains((64L, 65L)))
-    assert(!set.exists { case (a, b) => a == 66L || b == 66L || a == 67L || b == 67L })
+    assert(!set.exists { case (a, b) =>
+      Set(66L, 67L, 70L, 71L).contains(a) || Set(66L, 67L, 70L, 71L).contains(b) })
   }
 
   test("embedding LSH pairs agree with brute-force cosine at the same threshold on real data") {

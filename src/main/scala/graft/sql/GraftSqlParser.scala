@@ -35,6 +35,10 @@ import org.apache.spark.sql.types.{DataType, DoubleType, LongType, StringType, S
  *   ADMIT VECTORS '<shard>' FROM <table> INTO '<index-path>'
  *   PROMOTE VECTOR INDEX DELTA '<index-path>'
  *   SHOW VERSION
+ *   SHOW USERS
+ *   CREATE USER '<name>' [WITH PASSWORD = '…'] [WITH ROLE = '<role>']
+ *   ALTER USER '<name>' [SET PASSWORD = '…'] [SET ROLE = '<role>']
+ *   DROP USER '<name>'
  *   FIT DSIR MODEL '<path>' FROM <table> TARGET (<bool-expr>) [ON (<id-col>, <text-col>)] [BUCKETS n]
  *   UPDATE DSIR MODEL '<path>' FROM <table> TARGET (<bool-expr>) [ON (<id-col>, <text-col>)] BATCH '<label>'
  *   SHOW DSIR MODEL '<path>'
@@ -44,8 +48,9 @@ import org.apache.spark.sql.types.{DataType, DoubleType, LongType, StringType, S
  * The DSIR verbs drive the corpus-selection model lifecycle
  * ([[graft.operators.Dsir]]) the same statement-first way the index
  * lifecycles run: FIT persists the hashed-unigram importance model
- * (TARGET takes a simple boolean predicate over the table's columns —
- * Spark-parsed, so any column expression without nested parentheses),
+ * (TARGET takes a boolean predicate over the table's columns —
+ * extracted by balanced-paren scan, then Spark-parsed, so nested
+ * parentheses and quoted ')' are fine),
  * SHOW reads back the stored geometry, SCREEN scores a table against
  * the frozen model and reports kept/rejected counts at the logw
  * threshold (default 0 = "more target-like than pool-like").
@@ -115,13 +120,34 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface) extends P
       case AdmitVectorsRe(shard, table, index) => AdmitVectorsCommand(shard, table, index)
       case PromoteVectorDeltaRe(index) => PromoteVectorIndexDeltaCommand(index)
       case ShowVersionRe() => ShowVersionCommand()
-      case FitDsirRe(path, table, target, idCol, textCol, buckets) =>
-        FitDsirModelCommand(path, table, target,
-          Option(idCol).getOrElse("doc_id"), Option(textCol).getOrElse("text"),
-          Option(buckets).map(_.toInt).getOrElse(4096))
-      case UpdateDsirRe(path, table, target, idCol, textCol, batch) =>
-        UpdateDsirModelCommand(path, table, target,
-          Option(idCol).getOrElse("doc_id"), Option(textCol).getOrElse("text"), batch)
+      case ShowUsersRe() => ShowUsersCommand()
+      case CreateUserRe(name, pw, role) =>
+        CreateUserCommand(name, Option(pw).isDefined, Option(role))
+      case AlterUserRe(name, pw, role) if pw != null || role != null =>
+        AlterUserCommand(name, Option(pw).isDefined, Option(role))
+      case AlterUserRe(name, _, _) =>
+        throw new IllegalArgumentException(
+          s"[GRAFT] ALTER USER '$name' requires SET PASSWORD = '…' and/or SET ROLE = '…'")
+      case DropUserRe(name) => DropUserCommand(name)
+      case FitDsirHeadRe(path, table, rest) =>
+        val (target, tail) = GraftSqlParser.dsirTarget(rest, sqlText)
+        tail match {
+          case FitDsirTailRe(idCol, textCol, buckets) =>
+            FitDsirModelCommand(path, table, target,
+              Option(idCol).getOrElse("doc_id"), Option(textCol).getOrElse("text"),
+              Option(buckets).map(_.toInt).getOrElse(4096))
+          case _ => throw GraftSqlParser.dsirSyntaxError("FIT DSIR MODEL",
+            "[ON (<id-col>, <text-col>)] [BUCKETS <n>]", sqlText)
+        }
+      case UpdateDsirHeadRe(path, table, rest) =>
+        val (target, tail) = GraftSqlParser.dsirTarget(rest, sqlText)
+        tail match {
+          case UpdateDsirTailRe(idCol, textCol, batch) =>
+            UpdateDsirModelCommand(path, table, target,
+              Option(idCol).getOrElse("doc_id"), Option(textCol).getOrElse("text"), batch)
+          case _ => throw GraftSqlParser.dsirSyntaxError("UPDATE DSIR MODEL",
+            "[ON (<id-col>, <text-col>)] BATCH '<label>'", sqlText)
+        }
       case ShowDsirRe(path) => ShowDsirModelCommand(path)
       case ScreenDsirRe(path, table, idCol, textCol, minLogw) =>
         ScreenDsirCommand(path, table,
@@ -172,15 +198,68 @@ object GraftSqlParser {
   private val PromoteVectorDeltaRe =
     """(?is)PROMOTE\s+VECTOR\s+INDEX\s+DELTA\s+'([^']+)'\s*;?""".r
   private val ShowVersionRe = """(?is)SHOW\s+VERSION\s*;?""".r
-  private val FitDsirRe =
-    """(?is)FIT\s+DSIR\s+MODEL\s+'([^']+)'\s+FROM\s+([A-Za-z_][A-Za-z0-9_.]*)\s+TARGET\s+\((.+?)\)(?:\s+ON\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*,\s*([A-Za-z_][A-Za-z0-9_]*)\s*\))?(?:\s+BUCKETS\s+(\d+))?\s*;?""".r
-  private val UpdateDsirRe =
-    """(?is)UPDATE\s+DSIR\s+MODEL\s+'([^']+)'\s+FROM\s+([A-Za-z_][A-Za-z0-9_.]*)\s+TARGET\s+\((.+?)\)(?:\s+ON\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*,\s*([A-Za-z_][A-Za-z0-9_]*)\s*\))?\s+BATCH\s+'([^']+)'\s*;?""".r
+  // user management (reference Statement.scala:40,56-58 + SqlParser.scala:
+  // 348-373): quoted usernames start with a letter then [A-Za-z0-9_-]
+  // (the reference's `username` parser); passwords are accepted
+  // syntactically but never stored (see [[UserRegistry]])
+  private val ShowUsersRe = """(?is)SHOW\s+USERS\s*;?""".r
+  private val CreateUserRe =
+    """(?is)CREATE\s+USER\s+'([A-Za-z][A-Za-z0-9_\-]*)'(?:\s+WITH\s+PASSWORD\s*=\s*'([^']*)')?(?:\s+(?:WITH|SET)\s+ROLE\s*=\s*'([^']*)')?\s*;?""".r
+  private val AlterUserRe =
+    """(?is)ALTER\s+USER\s+'([A-Za-z][A-Za-z0-9_\-]*)'(?:\s+SET\s+PASSWORD\s*=\s*'([^']*)')?(?:\s+SET\s+ROLE\s*=\s*'([^']*)')?\s*;?""".r
+  private val DropUserRe =
+    """(?is)DROP\s+USER\s+'([A-Za-z][A-Za-z0-9_\-]*)'\s*;?""".r
+  // FIT/UPDATE DSIR parse in two stages: the head regex claims the
+  // statement up to TARGET, then [[dsirTarget]] extracts the predicate
+  // by BALANCED-paren scan (a regex `\((.+?)\)` stops at the first ')',
+  // so `TARGET (source IN ('a', 'b'))` or a quoted ')' would silently
+  // fall through to the delegate Spark parser and surface as an
+  // unrelated parse error), and the tail regex parses what follows.
+  // Once the head matches, a malformed remainder raises a TARGETED
+  // graft syntax error — never a confusing delegate one.
+  private val FitDsirHeadRe =
+    """(?is)FIT\s+DSIR\s+MODEL\s+'([^']+)'\s+FROM\s+([A-Za-z_][A-Za-z0-9_.]*)\s+TARGET\s*(\(.*)""".r
+  private val FitDsirTailRe =
+    """(?is)\s*(?:ON\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*,\s*([A-Za-z_][A-Za-z0-9_]*)\s*\))?(?:\s*BUCKETS\s+(\d+))?\s*;?\s*""".r
+  private val UpdateDsirHeadRe =
+    """(?is)UPDATE\s+DSIR\s+MODEL\s+'([^']+)'\s+FROM\s+([A-Za-z_][A-Za-z0-9_.]*)\s+TARGET\s*(\(.*)""".r
+  private val UpdateDsirTailRe =
+    """(?is)\s*(?:ON\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*,\s*([A-Za-z_][A-Za-z0-9_]*)\s*\))?\s*BATCH\s+'([^']+)'\s*;?\s*""".r
   private val ShowDsirRe = """(?is)SHOW\s+DSIR\s+MODEL\s+'([^']+)'\s*;?""".r
   private val ScreenDsirRe =
     """(?is)SCREEN\s+DSIR\s+'([^']+)'\s+FROM\s+([A-Za-z_][A-Za-z0-9_.]*)(?:\s+ON\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*,\s*([A-Za-z_][A-Za-z0-9_]*)\s*\))?(?:\s+MIN\s+LOGW\s+(-?[0-9.]+))?\s*;?""".r
   private val UpsertRe =
     """(?is)UPSERT\s+INTO\s+([A-Za-z_][A-Za-z0-9_.]*)\s*\(([^)]*)\)\s+VALUES\s+(.+?)\s*;?\s*""".r
+
+  /** Extract the DSIR TARGET predicate from `rest` (which starts at its
+    * opening '(') by balanced-paren scan, honoring single-quoted
+    * strings (a quoted ')' does not close the group). Returns
+    * (predicate, remainder-after-close); raises a TARGETED syntax
+    * error on unbalanced input. */
+  private[sql] def dsirTarget(rest: String, stmt: String): (String, String) = {
+    var i = 0
+    var depth = 0
+    var inQuote = false
+    while (i < rest.length) {
+      val c = rest.charAt(i)
+      if (inQuote) { if (c == '\'') inQuote = false }
+      else c match {
+        case '\'' => inQuote = true
+        case '(' => depth += 1
+        case ')' =>
+          depth -= 1
+          if (depth == 0) return (rest.substring(1, i), rest.substring(i + 1))
+        case _ =>
+      }
+      i += 1
+    }
+    throw dsirSyntaxError("FIT/UPDATE DSIR MODEL",
+      "TARGET (<bool-expr>) — unbalanced parentheses in the TARGET predicate", stmt)
+  }
+
+  private[sql] def dsirSyntaxError(verb: String, expected: String, stmt: String): RuntimeException =
+    new IllegalArgumentException(
+      s"[GRAFT] malformed $verb statement; after TARGET (<bool-expr>) expected: $expected. Statement: $stmt")
 
   /** Library version (build.sbt ThisBuild / version). */
   val Version = "0.1.0"
@@ -672,6 +751,103 @@ case class ShowVersionCommand() extends LeafRunnableCommand {
     Seq(attr("component", StringType), attr("version", StringType))
   override def run(spark: SparkSession): Seq[Row] =
     Seq(Row("graft", GraftSqlParser.Version), Row("spark", spark.version))
+}
+
+/**
+ * Registry behind the user-management statements (reference
+ * Statement.scala:40,56-58 → QueryEngineRouter.scala:111-164,
+ * UserManager/TsdbRole): name → role, role names exactly the
+ * reference's (DISABLED / READ_ONLY / READ_WRITE / ADMIN, DISABLED
+ * the CREATE default, names case-normalized like `roleByName`).
+ *
+ * PASSWORDS ARE DELIBERATELY NOT STORED: Spark has no authentication
+ * surface for them to gate (the reference hashes them for its own
+ * wire-protocol logins — graft's "wire protocol" is Spark
+ * Connect/Thrift, which carry their own auth), so the statements
+ * accept the reference's `WITH/SET PASSWORD = '…'` clauses
+ * syntactically and discard the secret rather than inventing a
+ * half-auth store that would only ever leak. The registry is
+ * JVM-wide, in-memory, advisory metadata — the statement surface and
+ * row shapes match the reference; enforcement is out of scope by the
+ * SURVEY §2.13 declaration.
+ */
+object UserRegistry {
+  val Roles: Seq[String] = Seq("DISABLED", "READ_ONLY", "READ_WRITE", "ADMIN")
+  private val users = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def normRole(role: Option[String]): String = {
+    val r = role.map(_.toUpperCase(java.util.Locale.ROOT)).getOrElse("DISABLED")
+    if (!Roles.contains(r))
+      throw new IllegalArgumentException(s"Invalid role name '${role.get}'")
+    r
+  }
+  /** Reference UserManager.createUser: default role DISABLED, "User
+    * already exists" on a duplicate name. */
+  def create(name: String, role: Option[String]): Unit = {
+    val r = normRole(role)
+    if (users.putIfAbsent(name, r) != null)
+      throw new IllegalArgumentException("User already exists")
+  }
+  /** Reference UserManager.updateUser: "User not found" when absent;
+    * a password-only ALTER validates the name but changes nothing
+    * stored (no password store — see the object doc). */
+  def update(name: String, role: Option[String]): Unit = {
+    val r = role.map(x => normRole(Some(x)))
+    val prev = users.computeIfPresent(name, (_, old) => r.getOrElse(old))
+    if (prev == null) throw new IllegalArgumentException("User not found")
+  }
+  def drop(name: String): Unit =
+    if (users.remove(name) == null) throw new IllegalArgumentException("User not found")
+  def list(): Seq[(String, String)] = {
+    import scala.jdk.CollectionConverters._
+    users.asScala.toSeq.sortBy(_._1)
+  }
+  def clear(): Unit = users.clear()
+}
+
+/** SHOW USERS — (name, role) rows, name-sorted (reference
+  * QueryEngineRouter.listUsers: the NAME/ROLE SimpleResult). */
+case class ShowUsersCommand() extends LeafRunnableCommand {
+  import GraftSqlParser.attr
+  override val output: Seq[Attribute] =
+    Seq(attr("name", StringType), attr("role", StringType))
+  override def run(spark: SparkSession): Seq[Row] =
+    UserRegistry.list().map { case (n, r) => Row(n, r) }
+}
+
+/** CREATE USER '<name>' [WITH PASSWORD = '…'] [WITH ROLE = '<role>'] —
+  * STATUS OK row (reference singleResult), password discarded by
+  * design ([[UserRegistry]]). */
+case class CreateUserCommand(name: String, hadPassword: Boolean, role: Option[String])
+    extends LeafRunnableCommand {
+  import GraftSqlParser.attr
+  override val output: Seq[Attribute] = Seq(attr("status", StringType))
+  override def run(spark: SparkSession): Seq[Row] = {
+    UserRegistry.create(name, role)
+    Seq(Row("OK"))
+  }
+}
+
+/** ALTER USER '<name>' [SET PASSWORD = '…'] [SET ROLE = '<role>'] —
+  * STATUS OK row; at least one SET clause required (parser-enforced). */
+case class AlterUserCommand(name: String, hadPassword: Boolean, role: Option[String])
+    extends LeafRunnableCommand {
+  import GraftSqlParser.attr
+  override val output: Seq[Attribute] = Seq(attr("status", StringType))
+  override def run(spark: SparkSession): Seq[Row] = {
+    UserRegistry.update(name, role)
+    Seq(Row("OK"))
+  }
+}
+
+/** DROP USER '<name>' — STATUS OK row, "User not found" when absent. */
+case class DropUserCommand(name: String) extends LeafRunnableCommand {
+  import GraftSqlParser.attr
+  override val output: Seq[Attribute] = Seq(attr("status", StringType))
+  override def run(spark: SparkSession): Seq[Row] = {
+    UserRegistry.drop(name)
+    Seq(Row("OK"))
+  }
 }
 
 /**

@@ -333,6 +333,50 @@ class AdminSqlSpec extends SparkSpecBase {
       // a crashed/absent model refuses to serve
       val bad = intercept[Exception](s2.sql("SHOW DSIR MODEL '/tmp/graft_no_such_model'").collect())
       assert(bad.getMessage.contains("meta missing"), bad.getMessage)
+
+      // TARGET predicates with NESTED parentheses and a quoted ')' parse
+      // (balanced-paren scan, not first-')' regex) — and a malformed
+      // tail after TARGET raises a TARGETED graft error, not a
+      // confusing delegate-parser one
+      val model2 = "/tmp/graft_adminsql_dsir2_" + System.nanoTime()
+      val fit2 = s2.sql(s"FIT DSIR MODEL '$model2' FROM dsir_docs " +
+        "TARGET ((src = 'tgt' OR src = ') weird') AND (doc_id < 10)) BUCKETS 512").head()
+      assert(fit2.getLong(2) == 6L, s"nested-paren TARGET must select the target docs: $fit2")
+      val badTail = intercept[IllegalArgumentException](s2.sql(
+        s"FIT DSIR MODEL '$model2' FROM dsir_docs TARGET (src = 'tgt') BUCKETZ 5"))
+      assert(badTail.getMessage.contains("expected"), badTail.getMessage)
+      val unbalanced = intercept[IllegalArgumentException](s2.sql(
+        s"FIT DSIR MODEL '$model2' FROM dsir_docs TARGET (src = 'tgt'"))
+      assert(unbalanced.getMessage.contains("unbalanced"), unbalanced.getMessage)
+
+      // ---- user management (reference Statement.scala:40,56-58) ----
+      graft.sql.UserRegistry.clear()
+      assert(s2.sql("SHOW USERS").collect().isEmpty)
+      assert(s2.sql("CREATE USER 'alice' WITH PASSWORD = 's3cret' WITH ROLE = 'ADMIN'")
+        .head().getString(0) == "OK")
+      s2.sql("CREATE USER 'bob'") // reference default role: DISABLED
+      s2.sql("CREATE USER 'carol' WITH ROLE = 'read_only'") // case-normalized
+      val users = s2.sql("SHOW USERS").collect().map(r => (r.getString(0), r.getString(1)))
+      assert(users.toSeq == Seq(("alice", "ADMIN"), ("bob", "DISABLED"), ("carol", "READ_ONLY")))
+      // the password is accepted syntactically and NOT stored anywhere
+      assert(s2.sql("SHOW USERS").schema.fieldNames.toSeq == Seq("name", "role"))
+      s2.sql("ALTER USER 'bob' SET ROLE = 'READ_WRITE'")
+      s2.sql("ALTER USER 'alice' SET PASSWORD = 'rotated'") // name validated, nothing stored
+      assert(s2.sql("SHOW USERS").collect()
+        .find(_.getString(0) == "bob").get.getString(1) == "READ_WRITE")
+      s2.sql("DROP USER 'carol'")
+      assert(s2.sql("SHOW USERS").count() == 2)
+      val dup = intercept[IllegalArgumentException](s2.sql("CREATE USER 'alice'"))
+      assert(dup.getMessage.contains("already exists"))
+      val gone = intercept[IllegalArgumentException](s2.sql("DROP USER 'carol'"))
+      assert(gone.getMessage.contains("User not found"))
+      val noSuch = intercept[IllegalArgumentException](s2.sql("ALTER USER 'dave' SET ROLE = 'ADMIN'"))
+      assert(noSuch.getMessage.contains("User not found"))
+      val badRole = intercept[IllegalArgumentException](s2.sql("CREATE USER 'dave' WITH ROLE = 'WIZARD'"))
+      assert(badRole.getMessage.contains("Invalid role name 'WIZARD'"))
+      val noSet = intercept[IllegalArgumentException](s2.sql("ALTER USER 'bob'"))
+      assert(noSet.getMessage.contains("requires SET"))
+      graft.sql.UserRegistry.clear()
     } finally {
       SparkSession.setActiveSession(spark)
       SparkSession.setDefaultSession(spark)

@@ -1590,7 +1590,32 @@ object OracleSql {
                 MIN(user_id) AS u_min, MAX(user_id) AS u_max,
                 MIN(day) AS d_min, MAX(day) AS d_max,
                 MIN(zkey) AS z_min, MAX(zkey) AS z_max
-         FROM k GROUP BY 1 ORDER BY zcell"""
+         FROM k GROUP BY 1 ORDER BY zcell""",
+    // the ln-quantization drift canary: the identical leaf form every
+    // quantized-surprisal gate rests on — floor(1e6 · ln(one IEEE
+    // division of exact integers)) — swept over a dense deterministic
+    // grid in DuckDB's libm; divergence from the JDK's Math.log at any
+    // floor boundary reds THIS row by name instead of a DSIR/NB/LM gate
+    "q_ln_quant_canary" ->
+      """WITH g AS (SELECT id, (id * 48271) % 99991 + 1 AS den
+                    FROM range(1, 65537) t(id))
+         SELECT id, den,
+                CAST(FLOOR(ln(CAST(id AS DOUBLE) / CAST(den AS DOUBLE)) * 1000000.0) AS BIGINT) AS ratio_q,
+                CAST(FLOOR(ln(CAST(id AS DOUBLE)) * 1000000.0) AS BIGINT) AS int_q,
+                CAST(FLOOR(ln(CAST(id AS DOUBLE) / CAST(id + 1 AS DOUBLE)) * 1000000.0) AS BIGINT) AS adj_q
+         FROM g ORDER BY id""",
+    // OFD item-name mojibake repair: identical broken-string
+    // construction + the identical replace chain (the replacement
+    // table is data — reference yupana-utils OfdItemFixer.scala:22-29)
+    "q_item_fix" ->
+      """WITH b AS (SELECT doc_id,
+                      '┬л' || substr(text, 1, 40) || '┬╗ ╣' ||
+                      CAST(doc_id % 10 AS VARCHAR) || ' г╕ссер' AS broken
+                    FROM documents)
+         SELECT doc_id, broken,
+                replace(replace(replace(replace(broken,
+                  '┬л', '"'), '┬╗', '"'), '╕', 'ё'), '╣', '№') AS fixed
+         FROM b ORDER BY doc_id"""
   )
 
   // COALESCE mirrors Dsir.featureCounts' null-flag rule: a NULL source

@@ -2342,8 +2342,61 @@ object SparkEntry {
     "q_lm_bigram" -> (qLmBigram _),
     "q_boilerplate" -> (qBoilerplate _),
     "q_mix_weights" -> (qMixWeights _),
-    "q_pii_scrub" -> (qPiiScrub _)
+    "q_pii_scrub" -> (qPiiScrub _),
+    "q_ln_quant_canary" -> (qLnQuantCanary _),
+    "q_item_fix" -> (qItemFix _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all
+
+  /**
+   * Cross-engine ln-quantization CANARY. Every quantized-surprisal
+   * operator (Dsir, NaiveBayes, CorpusStats LM filters, BM25 idf)
+   * rests on one cross-engine assumption: `java.lang.Math.log` and
+   * DuckDB's libm `ln` round identically before `floor(1e6·…)`. True
+   * on this hardware today — but a 1-ulp divergence AT a floor
+   * boundary would flip a red gate on q_dsir_* / q_nb_classify /
+   * q_lm_* with no readable signal. This gate makes the assumption itself a
+   * named daily-red-able row: 65,536 exact integer ratios (pseudo-
+   * random denominators, plus pure ln(n) and the near-zero ln(n/(n+1))
+   * family) swept through BOTH engines' exact leaf form —
+   * floor(1e6 · ln(one IEEE division of exact integers)) — and
+   * hash-compared. libm divergences are systematic across ranges, so
+   * a dense sweep catches a JDK/DuckDB/glibc upgrade drift as THIS
+   * row going red instead of a cryptic operator-gate failure.
+   * Flat-cost: generated from range(), independent of sf.
+   */
+  /**
+   * OFD item-name mojibake repair under the hash gate
+   * ([[graft.functions.ItemFixer]] — reference yupana-utils
+   * OfdItemFixer.scala:22-29): deterministic broken strings are
+   * CONSTRUCTED from the documents table (guillemet mojibake wrapping,
+   * a cp866 '╣' numero and a '╕' ё-word injected per row) and repaired
+   * with `graft_fix_item`; the oracle builds the identical broken
+   * strings and applies the identical replace chain, so the gate pins
+   * the full replacement table's semantics cross-engine. Pure per-row
+   * codegen'd column algebra — no shuffle at any scale.
+   */
+  private def qItemFix(s: SparkSession, dir: String): DataFrame =
+    ld(s, dir, "documents")
+      .select(col("doc_id"),
+        concat(lit("┬л"), substring(col("text"), 1, 40), lit("┬╗ ╣"),
+          (col("doc_id") % 10).cast("string"), lit(" г╕ссер")).as("broken"))
+      .select(col("doc_id"), col("broken"),
+        call_function("graft_fix_item", col("broken")).as("fixed"))
+      .orderBy(col("doc_id"))
+
+  private def qLnQuantCanary(s: SparkSession, dir: String): DataFrame =
+    s.range(1, 65537)
+      .select(col("id"),
+        (pmod(col("id") * lit(48271L), lit(99991L)) + lit(1L)).as("den"))
+      .select(
+        col("id"),
+        col("den"),
+        floor(log(col("id").cast("double") / col("den").cast("double")) * lit(1000000.0))
+          .cast("long").as("ratio_q"),
+        floor(log(col("id").cast("double")) * lit(1000000.0)).cast("long").as("int_q"),
+        floor(log(col("id").cast("double") / (col("id") + lit(1L)).cast("double")) * lit(1000000.0))
+          .cast("long").as("adj_q"))
+      .orderBy(col("id"))
 }

@@ -130,7 +130,11 @@ object GraftFunctions {
     // Morton clustering key (a, b [, bits]) — the ZOrder layout's sort
     // key exposed to SQL (pure mask/shift/or, codegen'd)
     "graft_zkey" -> (exprs =>
-      graft.operators.ZOrder.zkeyExpr(exprs(0), exprs(1), intArg(exprs, 2, 21)))
+      graft.operators.ZOrder.zkeyExpr(exprs(0), exprs(1), intArg(exprs, 2, 21))),
+    // OFD receipt item-name mojibake repair (reference yupana-utils
+    // OfdItemFixer.scala:22-29 via the yupana-api ItemFixer hook) — a
+    // fold of codegen'd StringReplace, see graft.functions.ItemFixer
+    "graft_fix_item" -> (exprs => graft.functions.ItemFixer.fixExpr(exprs.head))
   )
 
   /** Decode a foldable array<string> literal (the BPE merge table). */

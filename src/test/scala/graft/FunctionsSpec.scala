@@ -131,6 +131,29 @@ class FunctionsSpec extends SparkSpecBase {
     assert(r.getAs[scala.collection.Seq[String]]("st").toSeq == Seq("many", "pony"))
   }
 
+  test("dialect parity: graft_fix_item repairs OFD mojibake (reference OfdItemFixerTest vectors)") {
+    graft.sql.GraftFunctions.register(spark)
+    // behavior vectors from the reference's own test
+    // (yupana-utils OfdItemFixerTest.scala:9-18) — guillemet mojibake
+    // to '"', cp866 ╕/╣ glyphs to ё/№, untouched text passes through
+    val vectors = Seq(
+      ("гуляш соевый 50% ┬лсойка┬╗, 500г (россия) шт",
+        "гуляш соевый 50% \"сойка\", 500г (россия) шт"),
+      ("семечки крупные ╣1", "семечки крупные №1"),
+      ("г╕ссер 0.3 мл в розлив", "гёссер 0.3 мл в розлив"),
+      ("plain untouched item 100g", "plain untouched item 100g")
+    )
+    val viaCol = vectors.map(_._1).toDF("s")
+      .select(graft.functions.ItemFixer.fix(col("s")).as("f"))
+      .as[String].collect().toSeq
+    assert(viaCol == vectors.map(_._2))
+    // SQL registration agrees with the Column form; null propagates
+    val viaSql = vectors.map(_._1).toDF("s")
+      .selectExpr("graft_fix_item(s) AS f").as[String].collect().toSeq
+    assert(viaSql == vectors.map(_._2))
+    assert(spark.sql("SELECT graft_fix_item(CAST(NULL AS STRING))").head().isNullAt(0))
+  }
+
   test("dialect parity: graft_hll_count(x, std_err) — reference range validation") {
     graft.sql.GraftFunctions.register(spark)
     val docs = (1 to 2000).map(i => ("k", s"v$i")).toDF("k", "v")

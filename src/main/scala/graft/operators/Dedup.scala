@@ -343,7 +343,7 @@ object Dedup {
 
   /** Exploded (id, set-size, gram, groups…) postings — shared by the
     * jaccard variants and the dispatch probe. */
-  private def gramPostings(
+  private[graft] def gramPostings(
       df: DataFrame, idCol: String, textCol: String, groupCols: Seq[String], n: Int): DataFrame = {
     graft.sql.GraftFunctions.register(df.sparkSession)
     df.select(
@@ -379,23 +379,34 @@ object Dedup {
    * (spec-proven), so a sampling-noise flip near the boundary can only
    * cost speed, never correctness.
    *
-   * EXACT-DUPLICATE COLLAPSE (`collapseExact`, on by default): docs
-   * with identical (group, lower(text)) are collapsed to one
-   * representative BEFORE the posting pipeline, and the pair set is
-   * re-expanded afterwards. Result-identical by construction — an
-   * identical lowered text has an identical distinct-gram set, so
-   * jac(a, c) = jac(b, c) for every third doc c and jac(a, b) = 1 —
-   * expansion emits every member×member cross pair at the
-   * representative pair's jaccard plus all intra-group pairs at 1.0.
-   * This is the straggler killer for replica-heavy corpora (crawl
-   * snapshots, the sf0.5_synth stress corpus): a k-replica cluster
-   * contributes k× to every posting list it touches, so the posting
-   * self-join's densest buckets grow k² and one task dominates the
-   * stage (measured 12-45s task spread at sf0.5_synth); collapsed,
-   * each cluster costs the pipeline ONE doc and the k² work reappears
-   * only as the output-sized expansion it genuinely is. Null-text docs
-   * are excluded to match the raw pipeline, which drops them at the
-   * posting explode.
+   * Two straggler defenses, both result-identical and both
+   * probe-dispatched off the same deterministic ~10% sample:
+   *
+   * EXACT-DUPLICATE COLLAPSE (`collapseExact`, on by default, FIRES
+   * only when the sampled exact-dup fraction exceeds 5%): docs with
+   * identical (group, lower(text)) are collapsed to one representative
+   * BEFORE the posting pipeline, and the pair set is re-expanded
+   * afterwards. Result-identical by construction — an identical
+   * lowered text has an identical distinct-gram set, so jac(a, c) =
+   * jac(b, c) for every third doc c and jac(a, b) = 1 — expansion
+   * emits every member×member cross pair at the representative pair's
+   * jaccard plus all intra-group pairs at 1.0. A k-replica exact-dup
+   * cluster (crawl snapshots, boilerplate pages) costs the pipeline
+   * ONE doc instead of k× posting rows and k² join rows; the dup probe
+   * keeps dup-free corpora off the collapse's text-keyed grouping
+   * (measured 2.4× overhead at sf0.1 when unconditional). Null-text
+   * docs are excluded to match the raw pipeline, which drops them at
+   * the posting explode.
+   *
+   * HEAVY-GRAM SALTING (dense route): a boilerplate gram shared by a
+   * large doc fraction (navigation chrome, license headers) makes its
+   * ONE (group, gram) partition quadratic in a single task. Grams the
+   * sample shows dominating the stage (gf² above 1/64 of Σgf², ~2^12
+   * absolute floor, top-128 cap) are salted in the counting self-join
+   * — one side scatters by hash(id) % 16, the other replicates its
+   * heavy postings over the 16 salts — so each pair still meets
+   * exactly once while the dominator's work spreads 16 ways
+   * ([[denseFromPostings]]).
    */
   def ngramJaccardPairs(
       df: DataFrame,
@@ -408,17 +419,37 @@ object Dedup {
       probeFraction: Double = 0.1,
       collapseExact: Boolean = true
   ): DataFrame = {
-    if (collapseExact)
-      return ngramJaccardPairsCollapsed(df, idCol, textCol, groupCols, n, threshold,
-        maxExpansion, probeFraction)
-    val ex = gramPostings(df, idCol, textCol, groupCols, n)
     val p = math.min(math.max(probeFraction, 0.001), 1.0)
+    // dup probe (one narrow job over the sampled docs' 8-byte hashes):
+    // the collapse pays a text-keyed grouping + membership joins, so it
+    // must only run when the corpus actually carries exact-dup mass
+    // (measured: unconditional collapse cost 2.4× on the dup-free
+    // sf0.1 corpus). Both routes are result-identical, so a
+    // sampling-noise flip near the 5% bound costs speed, never
+    // correctness.
+    if (collapseExact) {
+      val sampledDocs = (if (p >= 1.0) df
+        else df.filter(pmod(xxhash64(col(idCol), lit(77)), lit(1000)) < lit((p * 1000).toInt)))
+        .filter((col(textCol).isNotNull +: groupCols.map(col(_).isNotNull)).reduce(_ && _))
+      val d = sampledDocs
+        .select(xxhash64((groupCols.map(col) :+ lower(col(textCol))): _*).as("__th"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("__th")).as("nd"))
+        .head()
+      val dupFrac =
+        if (d.isNullAt(0) || d.getLong(0) == 0L) 0.0
+        else 1.0 - d.getLong(1).toDouble / d.getLong(0).toDouble
+      if (dupFrac > 0.05)
+        return ngramJaccardPairsCollapsed(df, idCol, textCol, groupCols, n, threshold,
+          maxExpansion, probeFraction)
+    }
+    val ex = gramPostings(df, idCol, textCol, groupCols, n)
     // deterministic doc sample: stable across runs/retries (no RNG state)
     val sampled =
       if (p >= 1.0) ex
       else ex.filter(pmod(xxhash64(col("id"), lit(77)), lit(1000)) < lit((p * 1000).toInt))
-    val probe = sampled
+    val sampledGf = sampled
       .groupBy((groupCols.map(col) :+ col("gram")): _*).agg(count(lit(1)).as("gf"))
+    val probe = sampledGf
       .agg(sum(col("gf")).as("postings"), sum(col("gf") * col("gf")).as("joinrows"), max(col("gf")).as("maxgf"))
       .head()
     val heavyTailed = !probe.isNullAt(0) && {
@@ -428,15 +459,66 @@ object Dedup {
     if (heavyTailed) {
       val freq = ex.groupBy((groupCols.map(col) :+ col("gram")): _*).agg(count(lit(1)).as("gf"))
       prefixFromPostings(ex, freq, groupCols, threshold)
-    } else denseFromPostings(ex, groupCols, threshold)
+    } else {
+      // HEAVY-GRAM SALTING KEYS for the dense route: a gram whose
+      // posting list is long enough that its SINGLE (group, gram)
+      // partition's quadratic join work exceeds one task's fair
+      // share of the whole stage becomes a straggler — the
+      // boilerplate-gram shape of real crawl corpora (a navigation
+      // header shared by 1% of a 1e9-doc corpus is a 1e7-long
+      // posting list = 1e14 join rows in ONE task). Detection rides
+      // the SAME sampled gf table as the probe: salt a gram iff its
+      // sampled gf² exceeds 1/64 of the sampled Σgf² (it alone
+      // out-weighs a 64th of the stage), with an absolute floor of
+      // ~2^12·p/2 sampled (~2^12 true — below that a partition
+      // finishes in well under a second regardless), capped at the
+      // 128 hottest — only dominators are worth the ×16 replication
+      // of their postings. (Diagnosed while chasing the sf0.5_synth
+      // 12-45s rep spread: that corpus's max gf is 505 — NO dominator,
+      // so nothing salts there and the spread was heap/GC noise over
+      // an inherently 644M-row counting join, steady ~15.5s; the
+      // salting exists for the corpora where one key genuinely
+      // dominates.) Salting any subset is result-identical (each
+      // pair still meets exactly once), so detection noise and the
+      // cap can only cost balance, never correctness.
+      val joinRowsSampled = probe.getLong(1)
+      val shareCut = math.ceil(math.sqrt(joinRowsSampled.toDouble / 64.0)).toLong
+      val heavyCut = math.max(math.max(4L, ((1L << 12) * p / 2).toLong), shareCut)
+      val heavyKeys = sampledGf
+        .filter(col("gf") > heavyCut)
+        .orderBy(col("gf").desc)
+        .limit(128)
+        .select(grpGramKey(groupCols).as("k"))
+        .collect().map(_.getString(0)).toSeq
+      denseFromPostings(ex, groupCols, threshold, heavyKeys)
+    }
   }
 
+  /** Group+gram composite key for heavy-gram detection/salting: the
+    * group columns (stringified) and the gram, NUL-joined. */
+  private def grpGramKey(groupCols: Seq[String]): Column =
+    concat_ws("\u0000", (groupCols.map(c => col(c).cast("string")) :+ col("gram")): _*)
+
   /** The collapse-then-expand body of [[ngramJaccardPairs]] — see its
-    * scaladoc for the result-identity argument. One extra
-    * (group, lowered-text) aggregate ahead of the pipeline (volume ≤
-    * the posting explode that follows, and it map-side-combines the
-    * replicas away); the dispatch probe then sees the COLLAPSED corpus,
-    * so replica saturation can no longer push it into the prefix plan. */
+    * scaladoc for the result-identity argument.
+    *
+    * The collapse is HASH-PRESCREENED so a mostly-unique corpus never
+    * pays a text-carrying shuffle for it: a narrow (hash) aggregate
+    * finds the duplicated (group, text) hashes first (ids and 8-byte
+    * hashes only), and ONLY docs matching a duplicated hash carry
+    * their text into the (group, text) grouping — unique docs pass
+    * straight through as their own representatives. The hash only
+    * prescreens: grouping is by the actual text, so a hash collision
+    * between different texts costs a few extra grouped rows, never
+    * correctness. The duplicated-hash set is aggregate output (≤ one
+    * row per duplicated text), so AQE broadcasts both prescreen joins
+    * on real corpora; on a replica-saturated corpus it degrades to a
+    * keyed join — exactly the corpus where the collapse pays for
+    * itself. The dispatch probe then sees the COLLAPSED corpus, so
+    * replica saturation can no longer push it into the prefix plan.
+    * (Measured at sf0.1 with near-zero exact dups: ~2.9s with an
+    * unconditional text groupBy vs ~1.5s raw — the prescreen removes
+    * that regression while keeping the sf0.5_synth straggler kill.) */
   private def ngramJaccardPairsCollapsed(
       df: DataFrame,
       idCol: String,
@@ -459,23 +541,39 @@ object Dedup {
       // null-group docs must not collapse into an intra-pair-emitting
       // group either — groupBy would happily bucket them together.
       .filter((col("__txt").isNotNull +: groupCols.map(col(_).isNotNull)).reduce(_ && _))
-    val grouped = keyed
+      .withColumn("__th", xxhash64((groupCols.map(col) :+ col("__txt")): _*))
+    // narrow prescreen: duplicated (group, text) hashes — 8-byte rows
+    val dupHashes = keyed
+      .groupBy(col("__th")).agg(count(lit(1)).as("__hcnt"))
+      .filter(col("__hcnt") > 1)
+      .select(col("__th"))
+    val dupDocs = keyed.join(dupHashes, Seq("__th"))
+    val uniqueDocs = keyed.join(dupHashes, Seq("__th"), "left_anti")
+    // only dup-candidate docs carry text into the grouping shuffle;
+    // grouping by the ACTUAL text keeps hash collisions harmless
+    val grouped = dupDocs
       .groupBy((groupCols.map(col) :+ col("__txt")): _*)
       .agg(min(col("__gid")).as("__rep"),
         sort_array(collect_list(col("__gid"))).as("__members"),
         count(lit(1)).as("__cnt"))
-    val reps = grouped.select(
-      (col("__rep").as(idCol) +: col("__txt").as(textCol) +: groupCols.map(col)): _*)
+    val reps = grouped
+      .select((col("__rep").as(idCol) +: col("__txt").as(textCol) +: groupCols.map(col)): _*)
+      .unionByName(uniqueDocs
+        .select((col("__gid").as(idCol) +: col("__txt").as(textCol) +: groupCols.map(col)): _*))
     val repPairs = ngramJaccardPairs(reps, idCol, textCol, groupCols, n, threshold,
       maxExpansion, probeFraction, collapseExact = false)
     // cross expansion: every member of a's group × every member of b's
     // group shares the representative pair's jaccard; groups are
-    // disjoint, so least/greatest restores the id_a < id_b contract
+    // disjoint, so least/greatest restores the id_a < id_b contract.
+    // Unique docs have no membership row — coalesce to the singleton.
     val mem = grouped.select(col("__rep"), col("__members"))
     val cross = repPairs
-      .join(mem.select(col("__rep").as("id_a"), col("__members").as("__ma")), Seq("id_a"))
-      .join(mem.select(col("__rep").as("id_b"), col("__members").as("__mb")), Seq("id_b"))
-      .select(explode(col("__ma")).as("__a"), col("__mb"), col("jac"))
+      .join(mem.select(col("__rep").as("id_a"), col("__members").as("__ma")), Seq("id_a"), "left")
+      .join(mem.select(col("__rep").as("id_b"), col("__members").as("__mb")), Seq("id_b"), "left")
+      .select(
+        explode(coalesce(col("__ma"), array(col("id_a")))).as("__a"),
+        coalesce(col("__mb"), array(col("id_b"))).as("__mb"),
+        col("jac"))
       .select(col("__a"), explode(col("__mb")).as("__b"), col("jac"))
       .select(least(col("__a"), col("__b")).as("id_a"),
         greatest(col("__a"), col("__b")).as("id_b"), col("jac"))
@@ -504,16 +602,36 @@ object Dedup {
       threshold: Double = 0.35
   ): DataFrame = denseFromPostings(gramPostings(df, idCol, textCol, groupCols, n), groupCols, threshold)
 
-  private def denseFromPostings(ex: DataFrame, groupCols: Seq[String], threshold: Double): DataFrame = {
+  private[graft] def denseFromPostings(
+      ex: DataFrame, groupCols: Seq[String], threshold: Double,
+      heavyKeys: Seq[String] = Nil): DataFrame = {
     // shuffle_hash: the per-key gram buckets are small and uniform, so a
     // hash join skips the two 0.9M-row sorts a sort-merge join would pay
     // (measured 9.4s -> ~4s at sf0.1).
-    val a = ex.as("a")
-    val b = ex.as("b").hint("shuffle_hash")
+    // TARGETED SALTING of the probe-detected heavy grams: the one side
+    // scatters a heavy posting to salt = hash(id) % S while the other
+    // replicates its heavy postings across all S salts, so each pair
+    // still meets exactly ONCE (at the scatter side's salt) and the
+    // hot (group, gram) partition's quadratic work spreads over S
+    // tasks. Light grams keep salt 0 on both sides — same distribution
+    // as the unsalted plan. heavyKeys empty (the common uniform
+    // corpus) takes the identical unsalted plan.
+    val S = 16
+    val (a, b, saltCond) =
+      if (heavyKeys.isEmpty) (ex.as("a"), ex.as("b").hint("shuffle_hash"), Nil)
+      else {
+        val isHeavy = grpGramKey(groupCols).isInCollection(heavyKeys)
+        val aS = ex.withColumn("__salt",
+          explode(when(isHeavy, sequence(lit(0), lit(S - 1))).otherwise(sequence(lit(0), lit(0)))))
+        val bS = ex.withColumn("__salt",
+          when(isHeavy, pmod(xxhash64(col("id")), lit(S)).cast("int")).otherwise(lit(0)))
+        (aS.as("a"), bS.as("b").hint("shuffle_hash"),
+          Seq(col("a.__salt") === col("b.__salt")))
+      }
     // PPJoin length filter, result-identical: jac >= t forces
     // t·|a| <= |b| and t·|b| <= |a| (inter <= min, union >= max), so
     // size-mismatched pairs leave the join before the counting shuffle
-    val joinCond = (groupCols.map(c => col(s"a.$c") === col(s"b.$c")) :+
+    val joinCond = (groupCols.map(c => col(s"a.$c") === col(s"b.$c")) ++ saltCond :+
       (col("a.gram") === col("b.gram")) :+ (col("a.id") < col("b.id")) :+
       (col("b.sz").cast("double") >= lit(threshold) * col("a.sz")) :+
       (col("a.sz").cast("double") >= lit(threshold) * col("b.sz"))).reduce(_ && _)

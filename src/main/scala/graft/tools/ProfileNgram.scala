@@ -20,8 +20,12 @@ object ProfileNgram {
     val w = spark.range(2000000).select(col("id"), (col("id") % 1000).as("k"), (col("id") % 7).as("v"))
     time("warmup join")(w.as("a").join(w.as("b"), col("a.k") === col("b.k") && col("a.id") < col("b.id")).count())
     val docs = spark.read.parquet(s"$dir/documents.parquet")
-    time("ngram run 1")(Dedup.ngramJaccardPairs(docs, "doc_id", "text", Seq("lang", "source")).count())
-    time("ngram run 2")(Dedup.ngramJaccardPairs(docs, "doc_id", "text", Seq("lang", "source")).count())
+    time("collapsed run 1")(Dedup.ngramJaccardPairs(docs, "doc_id", "text", Seq("lang", "source")).count())
+    time("collapsed run 2")(Dedup.ngramJaccardPairs(docs, "doc_id", "text", Seq("lang", "source")).count())
+    time("raw run 1")(Dedup.ngramJaccardPairs(docs, "doc_id", "text", Seq("lang", "source"),
+      collapseExact = false).count())
+    time("raw run 2")(Dedup.ngramJaccardPairs(docs, "doc_id", "text", Seq("lang", "source"),
+      collapseExact = false).count())
     time("prefix run 1")(Dedup.ngramJaccardPairsPrefix(docs, "doc_id", "text", Seq("lang", "source")).count())
     time("prefix run 2")(Dedup.ngramJaccardPairsPrefix(docs, "doc_id", "text", Seq("lang", "source")).count())
     spark.stop()

@@ -190,8 +190,12 @@ class DedupSpec extends SparkSpecBase {
       .ngramJaccardPairs(docs, "doc_id", "text", Seq("lang", "source"), n = 4, threshold = 0.35,
         collapseExact = false)
       .as[(Long, Long, Double)].collect().toSeq.sorted
+    // probeFraction = 1: the dup probe sees the full corpus (44% exact
+    // dups ≫ the 5% bound), so this run provably takes the collapse
+    // route rather than sampling its way back to raw
     val collapsed = Dedup
-      .ngramJaccardPairs(docs, "doc_id", "text", Seq("lang", "source"), n = 4, threshold = 0.35)
+      .ngramJaccardPairs(docs, "doc_id", "text", Seq("lang", "source"), n = 4, threshold = 0.35,
+        probeFraction = 1.0)
       .as[(Long, Long, Double)].collect().toSeq.sorted
     assert(collapsed == raw)
     // sanity on the shape itself: the 26-member cluster (1-25 plus the
@@ -206,6 +210,25 @@ class DedupSpec extends SparkSpecBase {
     assert(set.contains((64L, 65L)))
     assert(!set.exists { case (a, b) =>
       Set(66L, 67L, 70L, 71L).contains(a) || Set(66L, 67L, 70L, 71L).contains(b) })
+  }
+
+  test("heavy-gram salting is join-identical: each pair meets exactly once, spread or not") {
+    // a shared boilerplate prefix makes its grams hot while unique
+    // tails keep most pairs sub-threshold; two true near-dups must
+    // survive with identical jaccard on both plans
+    val docs = ((1L to 300L).map(i => (i, s"zzzz common head doc$i tail${i * 7}", "en", "s0")) ++ Seq(
+      (900L, "the quick brown fox jumps over the lazy dog", "en", "s0"),
+      (901L, "the quick brown fox jumps over the lazy dogs", "en", "s0")
+    )).toDF("doc_id", "text", "lang", "source")
+    val ex = Dedup.gramPostings(docs, "doc_id", "text", Seq("lang", "source"), 4)
+    val unsalted = Dedup.denseFromPostings(ex, Seq("lang", "source"), 0.35)
+      .as[(Long, Long, Double)].collect().toSeq.sorted
+    // force-salt the hot prefix grams (plus one absent key — harmless)
+    val hot = Seq("zzzz", "zzz ", "zz c", "comm").map(g => s"en\u0000s0\u0000$g") :+ "en\u0000s0\u0000nope"
+    val salted = Dedup.denseFromPostings(ex, Seq("lang", "source"), 0.35, heavyKeys = hot)
+      .as[(Long, Long, Double)].collect().toSeq.sorted
+    assert(salted == unsalted)
+    assert(salted.exists(p => p._1 == 900L && p._2 == 901L))
   }
 
   test("embedding LSH pairs agree with brute-force cosine at the same threshold on real data") {

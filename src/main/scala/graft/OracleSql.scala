@@ -1063,6 +1063,33 @@ object OracleSql {
                 CAST(54 + h * (((w*3 + 3) // 4) * 4) AS BIGINT) AS byte_len,
                 phash_hi, phash_lo
          FROM p JOIN hash ON p.d = hash.d ORDER BY doc_id""",
+    // Box-average resize re-derived from the generator arithmetic: the
+    // same cell mapping as the engine (cell of (x,y) =
+    // (⌊4y/h⌋, ⌊4x/w⌋)) and ONE exact integer division per cell
+    // (SUM(luma) // COUNT). Video resizes its first frame, whose pixel
+    // formula is the t = 0 image formula; audio excluded. The engine
+    // resizes pixels it DECODED from the blob, so any stride/flip/
+    // cell-mapping bug in decode OR resize diverges here.
+    "q_multimodal_resize" ->
+      """WITH p AS (SELECT doc_id AS d,
+                      8 + (((doc_id*5 + 1) % 17 + 17) % 17) AS w,
+                      8 + (((doc_id*3 + 2) % 13 + 13) % 13) AS h
+                    FROM documents
+                    WHERE doc_id < 200 AND ((doc_id % 3) + 3) % 3 <> 1),
+              px AS (SELECT d, w, h, unnest(range(0, w*h)) AS pp FROM p),
+              lum AS (SELECT d,
+                        (((pp // w)*4) // h) * 4 + ((pp % w)*4) // w AS ci,
+                        ((d*3 + (pp % w)*7  + (pp // w)*13) % 256) * 299
+                      + ((d*5 + (pp % w)*11 + (pp // w)*3 ) % 256) * 587
+                      + ((d*7 + (pp % w)*5  + (pp // w)*17) % 256) * 114 AS l
+                      FROM px),
+              cells AS (SELECT d, ci, SUM(l) // COUNT(*) AS cellv FROM lum GROUP BY d, ci),
+              agg AS (SELECT d, CAST(SUM(cellv) AS BIGINT) AS thumb_sum,
+                             CAST(SUM((ci + 1) * cellv) AS BIGINT) AS thumb_digest
+                      FROM cells GROUP BY d)
+         SELECT p.d AS doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+                CAST(4 AS INT) AS out_w, CAST(4 AS INT) AS out_h, thumb_sum, thumb_digest
+         FROM p JOIN agg ON p.d = agg.d ORDER BY doc_id""",
     // BM25: same exact-rational term factor + micro-nat-quantized IDF as
     // graft.operators.Retrieval (change both together). k1=1.2 b=0.75.
     "q_bm25" ->

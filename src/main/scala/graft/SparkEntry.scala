@@ -2221,6 +2221,23 @@ object SparkEntry {
       .toDF()
       .orderBy(col("doc_id"), col("frame_idx"))
 
+  /** Image RESIZE under the hash gate (Multimodal.resizeLuma): img AND
+    * video (poster-frame) payloads box-average-downsampled to a 4×4
+    * exact-integer luma thumbnail; the gate hashes the thumbnail's sum
+    * and position-weighted digest per doc while the oracle re-derives
+    * every cell from the generator arithmetic and the same
+    * floor(Σluma/count) rule — a stride/flip/cell-mapping bug in the
+    * decode OR the resize diverges here. The thumb array itself stays
+    * out of the gate (driver compare is scalar-typed) but is spec'd
+    * cell-by-cell in MultimodalSpec. */
+  private def qMultimodalResize(s: SparkSession, dir: String): DataFrame =
+    Multimodal
+      .resizeLuma(s, Multimodal.renderMedia(s, ld(s, dir, "documents").filter(col("doc_id") < 200)))
+      .toDF()
+      .select(col("doc_id"), col("width"), col("height"),
+        col("out_w"), col("out_h"), col("thumb_sum"), col("thumb_digest"))
+      .orderBy(col("doc_id"))
+
   // ==================================================================
   // registry
   // ==================================================================
@@ -2311,6 +2328,7 @@ object SparkEntry {
     "q_multimodal_meta" -> (qMultimodalMeta _),
     "q_multimodal_phash" -> (qMultimodalPhash _),
     "q_multimodal_frames" -> (qMultimodalFrames _),
+    "q_multimodal_resize" -> (qMultimodalResize _),
     "q_bm25" -> (qBm25 _),
     "q_bm25_admitted" -> (qBm25Admitted _),
     "q_text_repetition" -> (qTextRepetition _),

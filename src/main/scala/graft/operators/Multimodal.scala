@@ -212,6 +212,65 @@ object Multimodal {
     }
   }
 
+  /** Resized image: exact-integer box-average luma thumbnail. `thumb`
+    * is the row-major out_h×out_w grid of cell values (luma·1000,
+    * floor-averaged); `thumb_digest` position-weights the cells so a
+    * transposed/flipped/mis-strided resize cannot cancel in the sum. */
+  case class Resized(doc_id: Long, width: Int, height: Int,
+                     out_w: Int, out_h: Int, thumb: Array[Long],
+                     thumb_sum: Long, thumb_digest: Long)
+
+  /**
+   * Image RESIZE — the remaining decode-family verb (decode /
+   * feature-extract / frame-sample live above): box-average downsample
+   * of the REAL decoded luma grid to outW×outH in exact integers.
+   * Pixel (x, y) lands in cell (⌊outH·y/h⌋, ⌊outW·x/w⌋) — the aHash
+   * grid generalized to any output shape (requires w ≥ outW, h ≥ outH
+   * so no cell is empty) — and the cell's value is
+   * floor(Σ lumaMilli / pixelCount): one exact integer division, so
+   * both engines (and any engine) compute the identical thumbnail.
+   * Partition-local narrow map; payloads never shuffle; output is the
+   * outW·outH-long thumb plus digest columns. Video resizes its FIRST
+   * frame (the poster-frame convention); audio rows are excluded.
+   */
+  def resizeLuma(
+      spark: SparkSession, media: Dataset[MediaRow],
+      outW: Int = 4, outH: Int = 4): Dataset[Resized] = {
+    import spark.implicits._
+    require(outW >= 1 && outH >= 1, s"output dims must be positive, got ${outW}x$outH")
+    media.filter((r: MediaRow) => r.fmt != "audio").map { r =>
+      val im = r.fmt match {
+        case "img" => MediaCodec.decodeBmp(r.payload)
+        case _ =>
+          val (off, len) = MediaCodec.gvidFrameIndex(r.payload).head
+          MediaCodec.decodeBmp(java.util.Arrays.copyOfRange(r.payload, off.toInt, off.toInt + len))
+      }
+      val (w, h) = (im.width, im.height)
+      require(w >= outW && h >= outH,
+        s"resize to ${outW}x$outH needs at least that many pixels, got ${w}x$h")
+      val cs = new Array[Long](outW * outH)
+      val cn = new Array[Long](outW * outH)
+      var y = 0
+      while (y < h) {
+        val ry = (y * outH / h) * outW
+        var x = 0
+        while (x < w) {
+          val ci = ry + x * outW / w
+          cs(ci) += im.lumaMilli(y * w + x)
+          cn(ci) += 1L
+          x += 1
+        }
+        y += 1
+      }
+      val thumb = Array.tabulate(outW * outH)(i => cs(i) / cn(i))
+      var sum = 0L
+      var dig = 0L
+      var i = 0
+      while (i < thumb.length) { sum += thumb(i); dig += (i + 1L) * thumb(i); i += 1 }
+      Resized(r.doc_id, w, h, outW, outH, thumb, sum, dig)
+    }
+  }
+
   /**
    * Near-duplicate media pairs by hamming distance over [[aHash]]:
    * candidates from the 8×8-bit block pigeonhole — two hashes within

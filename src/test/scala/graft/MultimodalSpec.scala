@@ -127,4 +127,34 @@ class MultimodalSpec extends SparkSpecBase {
     assert(pairs.exists { case (x, y, _) => x == 1L && y == 2L }, s"near-dup pair missing: $pairs")
     assert(!pairs.exists { case (x, y, _) => y == 3L || x == 3L }, s"mirror image must not pair: $pairs")
   }
+
+  test("resizeLuma: hand-computed box averages, floor division, poster frame, audio excluded") {
+    import spark.implicits._
+    // 4x2 grayscale -> 2x1: cell 0 = x{0,1}, cell 1 = x{2,3}
+    val img = MediaCodec.encodeBmp(4, 2, (x, y) => {
+      val v = Map((0, 0) -> 10, (1, 0) -> 20, (0, 1) -> 30, (1, 1) -> 40,
+        (2, 0) -> 100, (3, 0) -> 101, (2, 1) -> 102, (3, 1) -> 103)((x, y))
+      (v, v, v)
+    })
+    // 5x2 -> 2x1: cell 0 gets SIX pixels summing 10000 luma-milli ->
+    // floor(10000/6) = 1666 — pins floor (not round) division
+    val odd = MediaCodec.encodeBmp(5, 2, (x, y) =>
+      if (x <= 2) { val v = Seq(1, 2, 2)(x); (v, v, v) } else (8, 8, 8))
+    // video: poster frame (t=0) all-50, second frame all-200 — the
+    // resize must read frame 0 through the container index
+    val vid = MediaCodec.encodeGvid(Seq(
+      MediaCodec.encodeBmp(4, 2, (_, _) => (50, 50, 50)),
+      MediaCodec.encodeBmp(4, 2, (_, _) => (200, 200, 200))))
+    val wav = MediaCodec.encodeWav(8000, Array[Short](1, 2, 3))
+    val media = Seq((1L, "img", img), (2L, "img", odd), (3L, "video", vid), (4L, "audio", wav))
+      .toDF("doc_id", "fmt", "payload").as[Multimodal.MediaRow]
+    val out = Multimodal.resizeLuma(spark, media, outW = 2, outH = 1)
+      .collect().map(r => r.doc_id -> r).toMap
+    assert(out.keySet == Set(1L, 2L, 3L), "audio row must be excluded")
+    assert(out(1L).thumb.toSeq == Seq(25000L, 101500L))
+    assert(out(1L).thumb_sum == 126500L && out(1L).thumb_digest == 1L * 25000 + 2L * 101500)
+    assert(out(2L).thumb.toSeq == Seq(1666L, 8000L)) // floor, not round
+    assert(out(3L).thumb.toSeq == Seq(50000L, 50000L), "poster frame, not frame 1")
+    assert(out(1L).out_w == 2 && out(1L).out_h == 1 && out(1L).width == 4 && out(1L).height == 2)
+  }
 }

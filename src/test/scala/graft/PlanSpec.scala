@@ -23,6 +23,18 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("GreaterThanOrEqual(l_shipdate") && p.contains("EqualTo(l_returnflag,R)"), p.take(2000))
   }
 
+  test("the IVF gate subset plans as a bounded top-N, never a full sort") {
+    // gateEmbeddings: the deterministic fixed-size 500-vector subset
+    // must be TakeOrderedAndProject (per-partition top-N + driver merge
+    // of N rows) — a global Sort+Limit here would re-introduce the
+    // scale dependence the cap exists to remove
+    val p = planOf("q_dedup_embed_ivf")
+    assert(p.contains("TakeOrderedAndProject"), p.take(3000))
+    val sortsBeforeLimit = "(?s)Sort.*GlobalLimit".r.findFirstIn(p)
+    assert(!p.contains("GlobalLimit"), s"subset must not plan a global sort+limit:\n${p.take(3000)}")
+    assert(sortsBeforeLimit.isEmpty)
+  }
+
   test("q_str_funcs prunes to the referenced columns only") {
     val p = planOf("q_str_funcs")
     assert(p.contains("ReadSchema"))

@@ -96,6 +96,31 @@ class DsirSpec extends SparkSpecBase {
     assert(out(10L) == ((0L, 0L)), "zero-token doc reports 0 tokens / 0 evidence, not a dropped row")
   }
 
+  test("refit is zero-downtime: generation advances, old gens pruned only after the commit") {
+    import spark.implicits._
+    val b = 512
+    val path = "/tmp/graft_dsir_refit_" + System.nanoTime()
+    val corpusA = Seq((1L, "alpha beta", true), (2L, "alpha gamma", false)).toDF("doc_id", "text", "is_t")
+    val corpusB = Seq((1L, "omega psi", true), (2L, "omega chi", false), (3L, "psi chi", false))
+      .toDF("doc_id", "text", "is_t")
+    Dsir.fit(corpusA, "doc_id", "text", col("is_t"), b, path)
+    assert(Dsir.readMetaRow(spark, path).getAs[Long]("generation") == 0L)
+    // refit on NEW data: lands as generation 1 (never wipes the path
+    // first — a crash mid-refit leaves gen 0 serving), serves B's
+    // counts, and prunes gen 0 only after its own meta committed
+    Dsir.fit(corpusB, "doc_id", "text", col("is_t"), b, path)
+    val m = Dsir.readMetaRow(spark, path)
+    assert(m.getAs[Long]("generation") == 1L && m.getAs[String]("batch") == "__fit")
+    assert(m.getAs[Long]("nt") == 2L && m.getAs[Long]("nr") == 4L, s"refit must serve corpus B: $m")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/gen=0")), "pre-refit generation pruned")
+    // over-cap bucket counts are rejected loudly (driver-collect bound)
+    val big = intercept[IllegalArgumentException](
+      Dsir.fit(corpusA, "doc_id", "text", col("is_t"), (1 << 20) + 1, path))
+    assert(big.getMessage.contains("buckets"))
+  }
+
   test("incremental update equals the from-scratch refit; replay and crash windows converge") {
     import spark.implicits._
     val b = 4096

@@ -516,9 +516,10 @@ object Dedup {
     * keyed join — exactly the corpus where the collapse pays for
     * itself. The dispatch probe then sees the COLLAPSED corpus, so
     * replica saturation can no longer push it into the prefix plan.
-    * (Measured at sf0.1 with near-zero exact dups: ~2.9s with an
-    * unconditional text groupBy vs ~1.5s raw — the prescreen removes
-    * that regression while keeping the sf0.5_synth straggler kill.) */
+    * (This path only runs when the caller's dup probe found > 5%
+    * exact-dup mass, so the prescreen is a second-order economy: it
+    * keeps the 95%-unique docs of a 5%-dup corpus off the text
+    * shuffle.) */
   private def ngramJaccardPairsCollapsed(
       df: DataFrame,
       idCol: String,

@@ -57,8 +57,16 @@ object Packing {
       .withColumn("bk", bucketOf(col("ok")).cast("string"))
 
     // per-bucket totals: bounded driver metadata (numBuckets rows);
-    // exclusive prefix in bucket order = each bucket's base offset
+    // exclusive prefix in bucket order = each bucket's base offset.
+    // The bound is the CALLER's bucketOf contract (256 for the default
+    // 2-hex-char prefix) — enforce it loudly: a too-fine coarsening
+    // (e.g. an 8-char prefix = 4G buckets) would silently turn this
+    // into a corpus-sized driver collect, the Dsir.MaxBuckets class
+    // of failure.
     val totals = keyed.groupBy(col("bk")).agg(sum(col("w")).as("bsum")).collect()
+    require(totals.length <= (1 << 20),
+      s"bucketOf produced ${totals.length} buckets — the per-bucket base table is " +
+        "driver-collected and must stay bounded; coarsen the order-key prefix")
     val bases = totals
       .map(r => (r.getString(0), r.getLong(1)))
       .sortBy(_._1)

@@ -40,6 +40,27 @@ object StreamingDedup {
       .select(col("id"), col("sig"), explode(F.lshBandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
       .select(col("id"), col("sig"), col("bk.band"), col("bk.bh"))
 
+  /** At least one `prefix`-named partition dir under `dir` holding a
+    * DATA file. A directory alone is NOT an index: a crash inside the
+    * very first batch's shard write leaves a file-less partition dir
+    * (the committer's `_temporary` at most), and a replay that trusted
+    * it would attempt a zero-data-file parquet read and die on schema
+    * inference — on EVERY replay, permanently poisoning the stream.
+    * File-less dirs beside readable ones stay harmless (partition
+    * discovery contributes no rows) — the [[graft.operators.Dedup
+    * .readableShardDirs]] discipline applied to the streaming
+    * presence checks. */
+  private def hasReadablePartition(
+      fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path, prefix: String): Boolean =
+    fs.exists(dir) && fs.listStatus(dir).exists { d =>
+      d.isDirectory && d.getPath.getName.startsWith(prefix) &&
+        fs.listStatus(d.getPath).exists { st =>
+          val n = st.getPath.getName
+          st.isFile && !n.startsWith("_") && !n.startsWith(".")
+        }
+    }
+
   /** Estimated jaccard between the joined `a.sig`/`b.sig` columns. */
   private def estJaccardExpr(numHashes: Int) =
     aggregate(
@@ -90,10 +111,8 @@ object StreamingDedup {
           val sigs = Dedup.minhashSigs(batch, "doc_id", "text", nh, shingle).cache()
           val probe = banded(sigs)
           val sigsDir = s"$indexPath/sigs"
-          val haveIndex = {
-            val p = new org.apache.hadoop.fs.Path(sigsDir)
-            fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.startsWith("shard="))
-          }
+          val haveIndex =
+            hasReadablePartition(fs, new org.apache.hadoop.fs.Path(sigsDir), "shard=")
           // existing index + this batch. Index rows are tagged: a new
           // document must match an indexed duplicate REGARDLESS of id
           // order (ids carry no arrival-order guarantee — requiring
@@ -306,12 +325,13 @@ object StreamingDedup {
           def keyed(d: DataFrame): DataFrame =
             if (lowThreshold) cellKeyed(d, cents) else banded(d)
           val probe = keyed(sigs)
-          // index presence = at least one batch_id partition: the
-          // _centroids dir written above must not read as an index
+          // index presence = at least one batch_id partition WITH data
+          // (the _centroids dir written above must not read as an
+          // index, nor may a crashed first batch's file-less dir)
           val haveIndex = {
             val p = new org.apache.hadoop.fs.Path(indexPath)
             val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-            fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.startsWith("batch_id="))
+            hasReadablePartition(fs, p, "batch_id=")
           }
           // index rows match in either id direction; id ordering only
           // dedups within-batch pairs, and index copies of this batch's
@@ -418,7 +438,7 @@ object StreamingDedup {
           def haveParts(path: String): Boolean = {
             val p = new org.apache.hadoop.fs.Path(path)
             val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-            fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.startsWith("batch_id="))
+            hasReadablePartition(fs, p, "batch_id=")
           }
           // NaN scores normalize to NULL here once — every comparison
           // below (batch-local and vs-index) then shares the batch

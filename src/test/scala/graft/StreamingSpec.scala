@@ -253,6 +253,36 @@ class StreamingSpec extends SparkSpecBase {
     assert(spark.read.parquet(s"$base/index/sigs").count() == 4) // all docs indexed
   }
 
+  test("a file-less crashed shard dir cannot poison the stream's index-presence check") {
+    // the crash window: the very first batch died inside its shard
+    // write, leaving sigs/shard=stream_0 EXISTING but without data
+    // files. A presence check trusting the dir name alone would read
+    // a zero-data-file parquet dir and die on schema inference at
+    // every replay — the stream could never progress
+    implicit val sqlCtx = spark.sqlContext
+    val base = "/tmp/graft_sdedup_crash_" + System.nanoTime()
+    val ghost = new org.apache.hadoop.fs.Path(s"$base/index/sigs/shard=stream_0/_temporary")
+    ghost.getFileSystem(spark.sparkContext.hadoopConfiguration).mkdirs(ghost)
+    val stream = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingDedup.run(
+      spark, stream.toDF().toDF("doc_id", "text"),
+      indexPath = s"$base/index", matchesPath = s"$base/matches",
+      threshold = 0.5, checkpoint = s"$base/ckpt")
+    stream.addData(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (2L, "completely different content about catalyst optimizer internals"))
+    q.processAllAvailable()
+    // the replayed batch 0 overwrote the ghost shard; a later batch
+    // must probe the now-real index normally
+    stream.addData((3L, "the quick brown fox jumps over the lazy dog near the river bend"))
+    q.processAllAvailable()
+    q.stop()
+    val matches = spark.read.parquet(s"$base/matches")
+      .select("new_id", "existing_id").as[(Long, Long)].collect().toSet
+    assert(matches.contains((3L, 1L)), s"expected (3,1) in $matches")
+    assert(spark.read.parquet(s"$base/index/sigs").count() == 3)
+  }
+
   test("stream-built text index is batch-probe-able, inventoried, and compactable (one format)") {
     // the unification contract: a corpus admitted through the stream is
     // the SAME index artifact the batch side builds — batch probe, admin

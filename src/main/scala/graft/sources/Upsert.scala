@@ -51,7 +51,14 @@ object Upsert {
 
   /** Append one update batch as version `seq` — O(batch) write, no read
     * of existing data. Idempotent per seq: the version directory is
-    * overwritten, so replaying a failed batch cannot duplicate rows. */
+    * overwritten, so replaying a failed batch cannot duplicate rows.
+    * Crash window: a write that dies before any data file lands leaves
+    * a file-less `__seq=` dir. Everywhere downstream that is harmless
+    * (later versions make the log readable, replays overwrite, nextSeq
+    * skipping a number is fine) EXCEPT a [[readLatest]] of a log whose
+    * ONLY version is the crashed one — that read fails LOUDLY on
+    * schema inference (nothing silently serves), and re-running the
+    * failed upsert heals it. */
   def appendVersion(updates: DataFrame, path: String, seq: Long): Unit =
     updates
       .withColumn("__seq", lit(seq))

@@ -747,6 +747,30 @@ object OracleSql {
          WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
                CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE) >= 0.35
          ORDER BY id_a, id_b""",
+    // the COLLAPSE route's gate: the 400-doc window doubled with exact
+    // replicas (doc_id + 10M), full quadratic recompute over the
+    // doubled corpus — the engine's collapse-and-expand must emit the
+    // identical pair set (originals ×4 via replicas + replica self
+    // pairs at jaccard 1.0)
+    "q_dedup_ngram_collapsed" ->
+      """WITH d AS (
+           SELECT doc_id, text, lang, source FROM documents WHERE doc_id < 400
+           UNION ALL
+           SELECT doc_id + 10000000, text, lang, source FROM documents WHERE doc_id < 400),
+         g AS (
+           SELECT doc_id, lang, source,
+             list_distinct(list_transform(
+               generate_series(1, greatest(length(lower(text)) - 3, 1)),
+               i -> substr(lower(text), i, 4))) AS grams
+           FROM d)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+           CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE) AS jac
+         FROM g a JOIN g b
+           ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+         WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+               CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE) >= 0.35
+         ORDER BY id_a, id_b""",
     // LSH dedups emit EXACT verify metrics over candidates whose recall is
     // complete (minhash: 32x2 banding, miss < 1e-9 at the pairs' j>=0.7;
     // simhash: radius-3 blocks + the same minhash bands as backstop) — so

@@ -1044,6 +1044,34 @@ object SparkEntry {
       .orderBy(col("id_a"), col("id_b"))
 
   /**
+   * The exact-dup COLLAPSE route under the hash gate (the
+   * q_dedup_embed_ivf discipline: the scale machinery gets its own
+   * daily-red-able row). The gate corpus is dup-free, so
+   * q_dedup_ngram_jaccard's dup probe always routes raw and the
+   * collapse-and-expand machinery would otherwise live only in specs.
+   * Here a deterministic 400-doc window is DOUBLED with exact replicas
+   * (doc_id + 10M — id-disjoint at any sf), pushing the dup fraction
+   * to 50% ≫ the 5% bound, so this query executes collapse daily:
+   * dup probe → hash prescreen → text-keyed grouping → rep pipeline →
+   * member expansion, and DuckDB recomputes the doubled corpus's full
+   * quadratic pair set (each original pair appears ×4 via replicas,
+   * each doc pairs its own replica at jaccard 1.0). probeFraction = 1
+   * keeps the route deterministic (a 10% sample of 800 docs would be
+   * sampling-noise-routed); the fixed window keeps the gate flat-cost
+   * at any sf.
+   */
+  private def qDedupNgramCollapsed(s: SparkSession, dir: String): DataFrame = {
+    val docs = ld(s, dir, "documents")
+      .filter(col("doc_id") < 400)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+    val doubled = docs.unionByName(docs.withColumn("doc_id", col("doc_id") + lit(10000000L)))
+    Dedup
+      .ngramJaccardPairs(doubled, "doc_id", "text", groupCols = Seq("lang", "source"),
+        n = 4, threshold = 0.35, probeFraction = 1.0)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /**
    * Cross-corpus dedup through the PERSISTED text index: a "new shard"
    * (sources src0-2) probed against the reference corpus (the rest).
    * The index is built once per immutable source dir — routedFacts
@@ -2304,6 +2332,7 @@ object SparkEntry {
     "q_dedup_minhash" -> (qDedupMinhash _),
     "q_dedup_simhash" -> (qDedupSimhash _),
     "q_dedup_ngram_jaccard" -> (qDedupNgramJaccard _),
+    "q_dedup_ngram_collapsed" -> (qDedupNgramCollapsed _),
     "q_dedup_cross" -> (qDedupCross _),
     "q_dedup_cross_bucketed" -> (qDedupCrossBucketed _),
     "q_dedup_cross_delta" -> (qDedupCrossDelta _),

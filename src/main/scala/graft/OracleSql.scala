@@ -512,6 +512,15 @@ object OracleSql {
          COUNT(DISTINCT o_orderkey) AS n_orders
          FROM orders JOIN lineitem ON o_orderkey = l_orderkey
          GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    // the salted skew join must equal the PLAIN equi-join — scatter by
+    // content hash × replicate-per-salt is pure mechanics, so the
+    // oracle is the unsalted join itself
+    "q_skew_join" ->
+      """SELECT o_orderpriority,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+         COUNT(*) AS cnt
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "q_asof_attribution" ->
       """WITH cl AS (SELECT user_id, ts, MIN(event_id) AS asof_event_id
                      FROM events WHERE event_type = 'click' GROUP BY user_id, ts),

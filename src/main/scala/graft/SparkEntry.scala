@@ -628,6 +628,26 @@ object SparkEntry {
       .orderBy(col("s_nationkey"))
   }
 
+  /**
+   * Salted skew join under the hash gate ([[graft.core.Skew.saltedJoin]]
+   * — previously spec-only): the fact side scatters each row to one of
+   * 8 salts by content hash while the build side replicates across all
+   * 8, so a hot orderkey's rows spread over 8 partitions; every probe
+   * row still meets exactly one copy of its build row, so the result
+   * EQUALS the plain equi-join — which is exactly what DuckDB
+   * recomputes. A regression anywhere in the scatter/replicate
+   * mechanics (double-match, dropped salt, nondeterministic re-salt)
+   * breaks the aggregate hash daily.
+   */
+  private def qSkewJoin(s: SparkSession, dir: String): DataFrame = {
+    val li = ld(s, dir, "lineitem").select(col("l_orderkey"), col("l_quantity"))
+    val ord = ld(s, dir, "orders").select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+    graft.core.Skew.saltedJoin(li, ord, "l_orderkey", saltFactor = 8)
+      .groupBy(col("o_orderpriority"))
+      .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("cnt"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   /** Rollup to day grain, then month-grain query over the rollup. */
   private def qRollup(s: SparkSession, dir: String): DataFrame = {
     val roll = Rollup(
@@ -2313,6 +2333,7 @@ object SparkEntry {
     "q_join_link_filtered" -> (qJoinLinkFiltered _),
     "q_link_declared" -> (qLinkDeclared _),
     "q_join_facts" -> (qJoinFacts _),
+    "q_skew_join" -> (qSkewJoin _),
     "q_asof_attribution" -> (qAsofAttribution _),
     "q_range_join" -> (qRangeJoin _),
     "q_inverted_phrase" -> (qInvertedPhrase _),

@@ -512,6 +512,17 @@ object OracleSql {
          COUNT(DISTINCT o_orderkey) AS n_orders
          FROM orders JOIN lineitem ON o_orderkey = l_orderkey
          GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    // the fused dot product must equal the sequential left fold the
+    // composable form spells out — fusion is invisible by contract
+    "q_dot_fused" ->
+      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+                    FROM embeddings WHERE vec_id < 8),
+              c AS (SELECT vec_id AS iid, CAST(embedding AS DOUBLE[]) AS iv
+                    FROM embeddings)
+         SELECT qid, iid,
+           list_reduce(list_prepend(0.0, list_transform(generate_series(1, len(qv)), i -> qv[i] * iv[i])), (a, x) -> a + x) AS dot
+         FROM q JOIN c ON qid < iid
+         ORDER BY qid, iid""",
     // the salted skew join must equal the PLAIN equi-join — scatter by
     // content hash × replicate-per-salt is pure mechanics, so the
     // oracle is the unsalted join itself

@@ -648,6 +648,33 @@ object SparkEntry {
       .orderBy(col("o_orderpriority"))
   }
 
+  /**
+   * The composable dot-product fold THROUGH the fusion rule, under the
+   * hash gate ([[graft.sql.SketchFusionRule]] — previously spec-only):
+   * the query is written in the portable functions-API form
+   * (aggregate ∘ zip_with), the injected optimizer rule rewrites it to
+   * the native DotProduct kernel, and the result must equal DuckDB's
+   * sequential left fold — the rule's contract is that fusion is
+   * invisible (same sequential-sum IEEE semantics), and a WRONG fusion
+   * (the worst optimizer failure mode: silently different results)
+   * reds this row daily. FusionSpec separately asserts the rewrite
+   * actually fires; this gate pins what it produces.
+   */
+  private def qDotFused(s: SparkSession, dir: String): DataFrame = {
+    if (!s.experimental.extraOptimizations.contains(graft.sql.SketchFusionRule))
+      s.experimental.extraOptimizations =
+        s.experimental.extraOptimizations :+ graft.sql.SketchFusionRule
+    val emb = ld(s, dir, "embeddings")
+    val a = emb.filter(col("vec_id") < 8).select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val b = emb.select(col("vec_id").as("iid"), col("embedding").as("iv"))
+    a.join(b, col("qid") < col("iid"))
+      .select(col("qid"), col("iid"),
+        aggregate(
+          zip_with(col("qv"), col("iv"), (x, y) => x.cast("double") * y.cast("double")),
+          lit(0.0), (acc, v) => acc + v).as("dot"))
+      .orderBy(col("qid"), col("iid"))
+  }
+
   /** Rollup to day grain, then month-grain query over the rollup. */
   private def qRollup(s: SparkSession, dir: String): DataFrame = {
     val roll = Rollup(
@@ -2334,6 +2361,7 @@ object SparkEntry {
     "q_link_declared" -> (qLinkDeclared _),
     "q_join_facts" -> (qJoinFacts _),
     "q_skew_join" -> (qSkewJoin _),
+    "q_dot_fused" -> (qDotFused _),
     "q_asof_attribution" -> (qAsofAttribution _),
     "q_range_join" -> (qRangeJoin _),
     "q_inverted_phrase" -> (qInvertedPhrase _),

@@ -84,23 +84,6 @@ object Curation {
   }
 
   /**
-   * Per-domain document cap — the CommonCrawl-style curation gate that
-   * stops one prolific domain from dominating the training mix: within
-   * each `domainCol` value keep the `maxPerDomain` highest-quality
-   * documents ([[TextAnalysis.qualityScore]]; id ascending breaks
-   * ties), mark the rest dropped. Emits EVERY input row with its
-   * per-domain quality rank and the keep verdict, so the caller can
-   * either filter `kept` or audit what the cap removed.
-   *
-   * Scale shape: one hash shuffle on the domain key, then one
-   * per-key rank pass (Spark's window sort is external/spillable, so a
-   * skewed 10^8-page domain spills instead of OOMing; a kept-only
-   * consumer that filters `rk <= cap` directly gets the rank-window
-   * pattern TopKPerKeyStrategy rewrites to a bounded heap). No joins,
-   * no second pass; quality is computed inline in the same projection
-   * that feeds the exchange.
-   */
-  /**
    * Corpus snapshot diff — the data-versioning audit between two
    * corpus versions: per doc id, `added` (only in v2), `removed`
    * (only in v1), `changed` (both, content fingerprint differs) or
@@ -148,6 +131,23 @@ object Curation {
         .otherwise("eval"))
   }
 
+  /**
+   * Per-domain document cap — the CommonCrawl-style curation gate that
+   * stops one prolific domain from dominating the training mix: within
+   * each `domainCol` value keep the `maxPerDomain` highest-quality
+   * documents ([[TextAnalysis.qualityScore]]; id ascending breaks
+   * ties), mark the rest dropped. Emits EVERY input row with its
+   * per-domain quality rank and the keep verdict, so the caller can
+   * either filter `kept` or audit what the cap removed.
+   *
+   * Scale shape: one hash shuffle on the domain key, then one
+   * per-key rank pass (Spark's window sort is external/spillable, so a
+   * skewed 10^8-page domain spills instead of OOMing; a kept-only
+   * consumer that filters `rk <= cap` directly gets the rank-window
+   * pattern TopKPerKeyStrategy rewrites to a bounded heap). No joins,
+   * no second pass; quality is computed inline in the same projection
+   * that feeds the exchange.
+   */
   def capPerDomain(
       docs: DataFrame,
       idCol: String,

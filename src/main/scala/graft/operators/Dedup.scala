@@ -490,7 +490,23 @@ object Dedup {
         .limit(128)
         .select(grpGramKey(groupCols).as("k"))
         .collect().map(_.getString(0)).toSeq
-      denseFromPostings(ex, groupCols, threshold, heavyKeys)
+      // VOLUME-SIZED partitioning for the counting join: the stage's
+      // cost is the join's output (Σgf² rows through a partial
+      // pair-keyed aggregate whose hash tables hold the candidate
+      // pairs), so per-task memory tracks joinRows/partitions — at the
+      // session default the 5×-replica corpus put ~20M join rows and
+      // millions of pair keys in each task and wall time went
+      // GC-bimodal (measured 16-80s for one plan). Target ~8M join
+      // rows per task, floored at the session setting (small corpora
+      // keep their plan exactly) and capped at 2048; the estimate is
+      // the probe's sampled Σgf² rescaled by 1/p² (pair survival under
+      // doc sampling is quadratic).
+      val estJoinRows = (joinRowsSampled / (p * p)).toLong
+      val sessionParts = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt
+      val targetParts = math.min(2048L,
+        math.max(sessionParts.toLong, estJoinRows / (8L * 1000 * 1000))).toInt
+      denseFromPostings(ex, groupCols, threshold, heavyKeys,
+        numPartitions = if (targetParts > sessionParts) Some(targetParts) else None)
     }
   }
 
@@ -605,7 +621,15 @@ object Dedup {
 
   private[graft] def denseFromPostings(
       ex: DataFrame, groupCols: Seq[String], threshold: Double,
-      heavyKeys: Seq[String] = Nil): DataFrame = {
+      heavyKeys: Seq[String] = Nil,
+      numPartitions: Option[Int] = None): DataFrame = {
+    // volume-sized join partitioning (see the dispatcher): an explicit
+    // repartition on the join's cluster keys IS the join's exchange
+    // (co-partitioned subsets satisfy its distribution), just at the
+    // width the estimated output volume needs instead of the session
+    // default; None keeps the plan untouched
+    def sized(d: DataFrame, keys: Seq[Column]): DataFrame =
+      numPartitions.fold(d)(n => d.repartition(n, keys: _*))
     // shuffle_hash: the per-key gram buckets are small and uniform, so a
     // hash join skips the two 0.9M-row sorts a sort-merge join would pay
     // (measured 9.4s -> ~4s at sf0.1).
@@ -618,15 +642,20 @@ object Dedup {
     // as the unsalted plan. heavyKeys empty (the common uniform
     // corpus) takes the identical unsalted plan.
     val S = 16
+    val keyCols = groupCols.map(col) :+ col("gram")
     val (a, b, saltCond) =
-      if (heavyKeys.isEmpty) (ex.as("a"), ex.as("b").hint("shuffle_hash"), Nil)
+      if (heavyKeys.isEmpty)
+        (sized(ex, keyCols).as("a"), sized(ex, keyCols).as("b").hint("shuffle_hash"), Nil)
       else {
         val isHeavy = grpGramKey(groupCols).isInCollection(heavyKeys)
         val aS = ex.withColumn("__salt",
           explode(when(isHeavy, sequence(lit(0), lit(S - 1))).otherwise(sequence(lit(0), lit(0)))))
         val bS = ex.withColumn("__salt",
           when(isHeavy, pmod(xxhash64(col("id")), lit(S)).cast("int")).otherwise(lit(0)))
-        (aS.as("a"), bS.as("b").hint("shuffle_hash"),
+        // salted: the partition key must INCLUDE the salt, or the hot
+        // gram's scattered rows land back in one partition
+        val saltKeys = keyCols :+ col("__salt")
+        (sized(aS, saltKeys).as("a"), sized(bS, saltKeys).as("b").hint("shuffle_hash"),
           Seq(col("a.__salt") === col("b.__salt")))
       }
     // PPJoin length filter, result-identical: jac >= t forces

@@ -155,40 +155,63 @@ object Bench {
       val loadField = if (withLoad) s""""L0":${li(load0)},"L":${li(load)},""" else ""
       s"""{"metric":"total","value":${num(total, 2)},"unit":"sec",$loadField"queries":$qs,"sf":"$sfName"}"""
     }
-    // deciseconds tier: integer tenths-of-a-second per query ("7" =
-    // 0.7s), flagged by "q_unit":"ds" — one char per query cheaper than
-    // 1dp (no decimal point), so 0.1s resolution survives ~100 queries
-    // where the 1dp tier overflows; the total stays in seconds
-    def mkLineDs(stripQ: Boolean) = {
-      val qs = looped.map { case (k, v) =>
-        "\"" + (if (stripQ) k.stripPrefix("q_") else k) + "\":" +
-          (if (v < 0) "-1" else math.round(v * 10).toString)
-      }.mkString("{", ",", "}")
+    // MILLISECOND ARRAY tier: at 123 queries NO keyed dict fits the
+    // 2000-char tail capture at any useful resolution (r11's final
+    // whole-second stripped-key fallback measured >1920 and the head
+    // got clipped — the driver recorded parsed:null and 109 of 123
+    // queries read 0/1s). The array drops the keys entirely: "q_ms" is
+    // integer milliseconds in ALPHABETICAL SparkEntry.queries key
+    // order (exactly the `ordered` loop above; "q_order" names the
+    // convention in-line). 123 ms values ≈ 700 chars, so full
+    // regression-visible resolution survives any suite size this repo
+    // will reach. The full keyed float map is also written to
+    // bench_full.json (below) for direct reading.
+    def mkLineArr(withPair: Boolean) = {
       def li(v: Double) = if (v < 0) -1L else math.round(v)
-      s"""{"metric":"total","value":${num(total, 2)},"unit":"sec","q_unit":"ds","L0":${li(load0)},"L":${li(load)},"queries":$qs,"sf":"$sfName"}"""
+      val arr = looped.map { case (_, v) =>
+        if (v < 0) "-1" else math.round(v * 1000).toString
+      }.mkString("[", ",", "]")
+      val pair = if (withPair && routedPair.nonEmpty)
+        routedPair.map { case (k, v) =>
+          "\"" + k.stripPrefix("q_rollup_") + "_ms\":" + math.round(v * 1000)
+        }.mkString("", ",", ",")
+      else ""
+      s"""{"metric":"total","value":${num(total, 2)},"unit":"sec","L0":${li(load0)},"L":${li(load)},""" +
+        s""""q_unit":"ms","q_order":"alphabetical SparkEntry.queries keys",$pair"q_ms":$arr,"sf":"$sfName"}"""
     }
     // tiered shedding against the driver's 2000-char tail capture (a
-    // clipped line loses EVERYTHING): first the routed-pair entries
-    // (still recorded in SURVEY/README), then per-query precision drops
-    // to 1 decimal (88 queries at 2dp is ~1930 chars — already over).
-    // The ~13-char L0/L load flags are NEVER shed: dropping them is what
-    // left the r5 driver-bench regressions unattributable.
-    // At 91 queries the 1dp line with full names measures ~1914 chars —
-    // past the threshold — so the next tier sheds the uniform "q_" key
-    // prefix (~180 chars) instead of the precision: 1-decimal resolution
-    // survives (whole seconds would zero 75+ sub-second queries exactly
-    // where round-over-round comparison happens). Prefix-less keys map
-    // 1:1 back to query names; BENCH_IDLE.json keeps full precision.
-    // Absolute last resort: stripped keys at whole seconds.
+    // clipped line loses EVERYTHING — r11 proved it): prefer the keyed
+    // dict WITH the ms array alongside when the suite is small enough,
+    // then shed the dict (keys are recoverable from q_order), never the
+    // ms array or the L0/L load flags (dropping loads left the r5
+    // driver-bench regressions unattributable). The array-only tier is
+    // ~800 chars at 123 queries, so the getOrElse is unreachable today.
+    def withArr(base: String) = {
+      val arr = looped.map { case (_, v) =>
+        if (v < 0) "-1" else math.round(v * 1000).toString
+      }.mkString("[", ",", "]")
+      base.stripSuffix("}") + s""","q_unit":"ms","q_ms":$arr}"""
+    }
     val line = Seq(
-      mkLine(true, true), mkLine(true, false), mkLine(true, true, dp = 1),
-      mkLine(true, false, dp = 1),
-      mkLine(true, true, dp = 1, stripQ = true), mkLine(true, false, dp = 1, stripQ = true),
-      mkLineDs(stripQ = true))
+      withArr(mkLine(true, true)), withArr(mkLine(true, false)),
+      withArr(mkLine(true, false, dp = 1, stripQ = true)),
+      mkLineArr(true), mkLineArr(false))
       // 1920 = the driver's 2000-char tail capture minus sbt's ~75-char
-      // epilogue (which lands AFTER our line) with a small safety pad —
-      // the 107-query ds line measures 1866, so margin is real now
-      .find(_.length <= 1920).getOrElse(mkLine(true, false, dp = 0, stripQ = true))
+      // epilogue (which lands AFTER our line) with a small safety pad
+      .find(_.length <= 1920).getOrElse(mkLineArr(false))
+    // full-precision keyed record for direct reading (the stdout line
+    // is budget-bound; this file is not): seconds as floats, keyed by
+    // full query name, plus machine-state fields
+    val fullJson = {
+      val qs = (looped ++ routedPair).map { case (k, v) =>
+        "\"" + k + "\":" + num(v, 4)
+      }.mkString("{", ",", "}")
+      s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","L0":${num(load0, 2)},"L":${num(load, 2)},"queries":$qs,"sf":"$sfName"}"""
+    }
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
+        fullJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case _: Throwable => () } // diagnostics only — never fail the bench
     println(line)
     if (line.length > 1925)
       Console.err.println(s"[bench] WARNING: JSON line ${line.length} chars — driver tail capture may clip it")

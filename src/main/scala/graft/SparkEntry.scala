@@ -1862,12 +1862,24 @@ object SparkEntry {
     * same path invalidates the cached model instead of silently
     * serving a model fitted on the old data (the gates would then
     * diverge from the oracle, which always recomputes from current
-    * data). Zero-cost: one file-status call, no Spark job. */
+    * data). Zero-cost: one file-status (plus, for directory layouts,
+    * one listing) call, no Spark job. */
   private def dataKey(s: SparkSession, dir: String, table: String): String = {
     val p = new org.apache.hadoop.fs.Path(s"$dir/$table.parquet")
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     val st = fs.getFileStatus(p)
-    s"${dirKey(dir)}_${java.lang.Long.toHexString(st.getLen)}_${java.lang.Long.toHexString(st.getModificationTime)}"
+    // a directory's own FileStatus is useless as a fingerprint (getLen
+    // is 0 for directories, and object stores return synthetic dir
+    // statuses with mtime 0) — fingerprint the DATA FILES instead:
+    // total length + max(mtime) over the listing, which changes
+    // whenever the dataset is regenerated on any filesystem
+    val (len, mtime) =
+      if (st.isDirectory) {
+        val files = fs.listStatus(p).filter(_.isFile)
+        (files.map(_.getLen).sum,
+          if (files.isEmpty) 0L else files.map(_.getModificationTime).max)
+      } else (st.getLen, st.getModificationTime)
+    s"${dirKey(dir)}_${java.lang.Long.toHexString(len)}_${java.lang.Long.toHexString(mtime)}"
   }
 
   /** One-time DSIR model fit (Dsir.fit, meta-written-last) so the
@@ -2446,23 +2458,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] = OracleSql.all
 
   /**
-   * Cross-engine ln-quantization CANARY. Every quantized-surprisal
-   * operator (Dsir, NaiveBayes, CorpusStats LM filters, BM25 idf)
-   * rests on one cross-engine assumption: `java.lang.Math.log` and
-   * DuckDB's libm `ln` round identically before `floor(1e6·…)`. True
-   * on this hardware today — but a 1-ulp divergence AT a floor
-   * boundary would flip a red gate on q_dsir_* / q_nb_classify /
-   * q_lm_* with no readable signal. This gate makes the assumption itself a
-   * named daily-red-able row: 65,536 exact integer ratios (pseudo-
-   * random denominators, plus pure ln(n) and the near-zero ln(n/(n+1))
-   * family) swept through BOTH engines' exact leaf form —
-   * floor(1e6 · ln(one IEEE division of exact integers)) — and
-   * hash-compared. libm divergences are systematic across ranges, so
-   * a dense sweep catches a JDK/DuckDB/glibc upgrade drift as THIS
-   * row going red instead of a cryptic operator-gate failure.
-   * Flat-cost: generated from range(), independent of sf.
-   */
-  /**
    * OFD item-name mojibake repair under the hash gate
    * ([[graft.functions.ItemFixer]] — reference yupana-utils
    * OfdItemFixer.scala:22-29): deterministic broken strings are
@@ -2482,6 +2477,23 @@ object SparkEntry {
         call_function("graft_fix_item", col("broken")).as("fixed"))
       .orderBy(col("doc_id"))
 
+  /**
+   * Cross-engine ln-quantization CANARY. Every quantized-surprisal
+   * operator (Dsir, NaiveBayes, CorpusStats LM filters, BM25 idf)
+   * rests on one cross-engine assumption: `java.lang.Math.log` and
+   * DuckDB's libm `ln` round identically before `floor(1e6·…)`. True
+   * on this hardware today — but a 1-ulp divergence AT a floor
+   * boundary would flip a red gate on q_dsir_* / q_nb_classify /
+   * q_lm_* with no readable signal. This gate makes the assumption itself a
+   * named daily-red-able row: 65,536 exact integer ratios (pseudo-
+   * random denominators, plus pure ln(n) and the near-zero ln(n/(n+1))
+   * family) swept through BOTH engines' exact leaf form —
+   * floor(1e6 · ln(one IEEE division of exact integers)) — and
+   * hash-compared. libm divergences are systematic across ranges, so
+   * a dense sweep catches a JDK/DuckDB/glibc upgrade drift as THIS
+   * row going red instead of a cryptic operator-gate failure.
+   * Flat-cost: generated from range(), independent of sf.
+   */
   private def qLnQuantCanary(s: SparkSession, dir: String): DataFrame =
     s.range(1, 65537)
       .select(col("id"),

@@ -93,23 +93,28 @@ object MediaCodec {
 
   /** Parse a 24-bit BI_RGB BMP into a top-down luma grid. Validates
     * magic, bit depth, and compression; honors the header's pixel-data
-    * offset and the row stride, flips the bottom-up rows, and reads
-    * channels in the format's B-G-R order. */
+    * offset and the row stride, and reads channels in the format's
+    * B-G-R order. Both row orders are accepted: positive biHeight =
+    * bottom-up storage (rows flipped on read — the common case),
+    * negative biHeight = top-down storage (|h| rows read in file
+    * order) per the BITMAPINFOHEADER contract. */
   def decodeBmp(bytes: Array[Byte]): Image = {
     require(bytes.length >= 54 && bytes(0) == 'B' && bytes(1) == 'M',
       "not a BMP: bad magic or truncated header")
     val off = u32(bytes, 10)
     val w = u32(bytes, 18)
-    val h = u32(bytes, 22)
+    val hRaw = u32(bytes, 22) // signed: negative = top-down row order
+    val topDown = hRaw < 0
+    val h = if (topDown) -hRaw else hRaw
     require(u16(bytes, 28) == 24, s"only 24-bit BMP supported, got ${u16(bytes, 28)}")
     require(u32(bytes, 30) == 0, "only BI_RGB (uncompressed) BMP supported")
-    require(w > 0 && h > 0, s"unsupported BMP dims ${w}x$h (top-down/negative-height not supported)")
+    require(w > 0 && h > 0, s"unsupported BMP dims ${w}x$hRaw")
     val stride = bmpStride(w)
     require(bytes.length >= off + h * stride, "BMP pixel data truncated")
     val luma = new Array[Int](w * h)
     var y = 0
     while (y < h) {
-      val base = off + (h - 1 - y) * stride
+      val base = off + (if (topDown) y else h - 1 - y) * stride
       var x = 0
       while (x < w) {
         val o = base + x * 3
@@ -157,26 +162,42 @@ object MediaCodec {
     b
   }
 
-  /** Parse a canonical-layout PCM16 mono WAV (fmt chunk at 12, data
-    * chunk at 36 — the layout [[encodeWav]] writes and most encoders
-    * emit). */
+  /** Parse a PCM16 mono WAV by WALKING THE RIFF CHUNK CHAIN: `fmt `
+    * and `data` are located by id wherever they sit, so real-world
+    * files carrying LIST/INFO/fact/cue chunks (metadata most encoders
+    * emit) decode instead of hard-failing the pipeline row. Chunk
+    * sizes honor RIFF's word alignment (odd-sized chunks carry one
+    * pad byte). Sample semantics are unchanged — 16-bit signed LE
+    * integers, byte-exact. */
   def decodeWav(bytes: Array[Byte]): Audio = {
-    require(bytes.length >= 44 &&
+    require(bytes.length >= 12 &&
       bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F' &&
       bytes(8) == 'W' && bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E',
       "not a RIFF/WAVE file")
-    require(bytes(12) == 'f' && bytes(13) == 'm' && bytes(14) == 't' && bytes(15) == ' ' &&
-      bytes(36) == 'd' && bytes(37) == 'a' && bytes(38) == 't' && bytes(39) == 'a',
-      "non-canonical WAV chunk layout not supported")
-    require(u16(bytes, 20) == 1 && u16(bytes, 22) == 1 && u16(bytes, 34) == 16,
+    var fmtOff = -1
+    var dataOff = -1
+    var dataLen = -1
+    var off = 12
+    while (off + 8 <= bytes.length && (fmtOff < 0 || dataOff < 0)) {
+      val id = new String(bytes, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      val len = u32(bytes, off + 4)
+      require(len >= 0 && off + 8 + len <= bytes.length, s"WAV chunk '$id' truncated")
+      if (id == "fmt " && fmtOff < 0) fmtOff = off + 8
+      else if (id == "data" && dataOff < 0) { dataOff = off + 8; dataLen = len }
+      off += 8 + len + (len & 1) // RIFF word alignment: odd chunks pad 1
+    }
+    require(fmtOff >= 0, "WAV has no fmt chunk")
+    require(dataOff >= 0, "WAV has no data chunk")
+    require(fmtOff + 16 <= bytes.length, "WAV fmt chunk truncated")
+    require(u16(bytes, fmtOff) == 1 && u16(bytes, fmtOff + 2) == 1 &&
+      u16(bytes, fmtOff + 14) == 16,
       "only PCM16 mono WAV supported")
-    val rate = u32(bytes, 24)
-    val dataLen = u32(bytes, 40)
-    require(bytes.length >= 44 + dataLen && dataLen % 2 == 0, "WAV data truncated")
+    val rate = u32(bytes, fmtOff + 4)
+    require(dataLen % 2 == 0, "WAV data truncated")
     val n = dataLen / 2
     val samples = new Array[Short](n)
     var i = 0
-    while (i < n) { samples(i) = u16(bytes, 44 + i * 2).toShort; i += 1 }
+    while (i < n) { samples(i) = u16(bytes, dataOff + i * 2).toShort; i += 1 }
     Audio(rate, samples)
   }
 

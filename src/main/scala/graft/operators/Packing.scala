@@ -62,10 +62,15 @@ object Packing {
     // 2-hex-char prefix) — enforce it loudly: a too-fine coarsening
     // (e.g. an 8-char prefix = 4G buckets) would silently turn this
     // into a corpus-sized driver collect, the Dsir.MaxBuckets class
-    // of failure.
-    val totals = keyed.groupBy(col("bk")).agg(sum(col("w")).as("bsum")).collect()
-    require(totals.length <= (1 << 20),
-      s"bucketOf produced ${totals.length} buckets — the per-bucket base table is " +
+    // of failure. The collect goes through limit(cap+1) so the driver
+    // holds at most cap+1 rows even when the guard fires — when the
+    // bucket count is within the cap, limit(cap+1) returns every row,
+    // so the base table is complete.
+    val bucketCap = 1 << 20
+    val totals = keyed.groupBy(col("bk")).agg(sum(col("w")).as("bsum"))
+      .limit(bucketCap + 1).collect()
+    require(totals.length <= bucketCap,
+      s"bucketOf produced more than $bucketCap buckets — the per-bucket base table is " +
         "driver-collected and must stay bounded; coarsen the order-key prefix")
     val bases = totals
       .map(r => (r.getString(0), r.getLong(1)))

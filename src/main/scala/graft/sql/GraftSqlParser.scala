@@ -121,13 +121,15 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface) extends P
       case PromoteVectorDeltaRe(index) => PromoteVectorIndexDeltaCommand(index)
       case ShowVersionRe() => ShowVersionCommand()
       case ShowUsersRe() => ShowUsersCommand()
-      case CreateUserRe(name, pw, role) =>
-        CreateUserCommand(name, Option(pw).isDefined, Option(role))
-      case AlterUserRe(name, pw, role) if pw != null || role != null =>
-        AlterUserCommand(name, Option(pw).isDefined, Option(role))
-      case AlterUserRe(name, _, _) =>
-        throw new IllegalArgumentException(
-          s"[GRAFT] ALTER USER '$name' requires SET PASSWORD = '…' and/or SET ROLE = '…'")
+      case CreateUserHeadRe(name, tail) =>
+        val (pw, role) = GraftSqlParser.userClauses("CREATE", "WITH", tail)
+        CreateUserCommand(GraftSqlParser.validUsername("CREATE", name), pw.isDefined, role)
+      case AlterUserHeadRe(name, tail) =>
+        val (pw, role) = GraftSqlParser.userClauses("ALTER", "SET", tail)
+        if (pw.isEmpty && role.isEmpty)
+          throw new IllegalArgumentException(
+            s"[GRAFT] ALTER USER '$name' requires SET PASSWORD = '…' and/or SET ROLE = '…'")
+        AlterUserCommand(GraftSqlParser.validUsername("ALTER", name), pw.isDefined, role)
       case DropUserRe(name) => DropUserCommand(name)
       case FitDsirHeadRe(path, table, rest) =>
         val (target, tail) = GraftSqlParser.dsirTarget(rest, sqlText)
@@ -203,12 +205,58 @@ object GraftSqlParser {
   // (the reference's `username` parser); passwords are accepted
   // syntactically but never stored (see [[UserRegistry]])
   private val ShowUsersRe = """(?is)SHOW\s+USERS\s*;?""".r
-  private val CreateUserRe =
-    """(?is)CREATE\s+USER\s+'([A-Za-z][A-Za-z0-9_\-]*)'(?:\s+WITH\s+PASSWORD\s*=\s*'([^']*)')?(?:\s+(?:WITH|SET)\s+ROLE\s*=\s*'([^']*)')?\s*;?""".r
-  private val AlterUserRe =
-    """(?is)ALTER\s+USER\s+'([A-Za-z][A-Za-z0-9_\-]*)'(?:\s+SET\s+PASSWORD\s*=\s*'([^']*)')?(?:\s+SET\s+ROLE\s*=\s*'([^']*)')?\s*;?""".r
+  // CREATE/ALTER USER head-match the statement up to the username, then
+  // [[userClauses]] parses the clause tail in EITHER order (the
+  // reference grammar accepts `WITH PASSWORD … WITH ROLE …` and the
+  // reverse — SqlParser.scala:337-344,358-365) and raises a TARGETED
+  // graft syntax error on a malformed tail instead of falling through
+  // to the delegate Spark parser's unrelated error. CREATE introduces
+  // clauses with WITH (no '='), ALTER with SET ('=') — '=' is accepted
+  // leniently in both.
+  private val CreateUserHeadRe = """(?is)CREATE\s+USER\s+'([^']*)'\s*(.*?)\s*;?\s*""".r
+  private val AlterUserHeadRe = """(?is)ALTER\s+USER\s+'([^']*)'\s*(.*?)\s*;?\s*""".r
+  private val UserClauseRe = """(?is)(WITH|SET)\s+(PASSWORD|ROLE)\s*(?:=\s*)?'([^']*)'\s*(.*)""".r
+  private val UsernameRe = """[A-Za-z][A-Za-z0-9_\-]*""".r
   private val DropUserRe =
     """(?is)DROP\s+USER\s+'([A-Za-z][A-Za-z0-9_\-]*)'\s*;?""".r
+
+  /** Parse a CREATE/ALTER USER clause tail: zero-to-two `kw PASSWORD
+    * [=] '…'` / `kw ROLE [=] '…'` clauses in either order. Raises a
+    * targeted graft error on a malformed or duplicated clause. */
+  private[sql] def userClauses(
+      verb: String, kw: String, tail: String): (Option[String], Option[String]) = {
+    var pw: Option[String] = None
+    var role: Option[String] = None
+    var rest = tail.trim
+    while (rest.nonEmpty) rest match {
+      case UserClauseRe(k, what, value, more) if k.equalsIgnoreCase(kw) =>
+        if (what.equalsIgnoreCase("PASSWORD")) {
+          if (pw.isDefined) throw new IllegalArgumentException(
+            s"[GRAFT] $verb USER: duplicate $kw PASSWORD clause")
+          pw = Some(value)
+        } else {
+          if (role.isDefined) throw new IllegalArgumentException(
+            s"[GRAFT] $verb USER: duplicate $kw ROLE clause")
+          role = Some(value)
+        }
+        rest = more.trim
+      case _ =>
+        throw new IllegalArgumentException(
+          s"[GRAFT] $verb USER: malformed clause near '$rest' — expected " +
+            s"[$kw PASSWORD = '…'] [$kw ROLE = '…'] in either order")
+    }
+    (pw, role)
+  }
+
+  /** Validate the reference's `username` shape (a letter then
+    * letters/digits/_/-) with a targeted error. */
+  private[sql] def validUsername(verb: String, name: String): String = {
+    if (!UsernameRe.pattern.matcher(name).matches())
+      throw new IllegalArgumentException(
+        s"[GRAFT] $verb USER: invalid username '$name' — must start with a letter " +
+          "and contain only letters, digits, '_' or '-'")
+    name
+  }
   // FIT/UPDATE DSIR parse in two stages: the head regex claims the
   // statement up to TARGET, then [[dsirTarget]] extracts the predicate
   // by BALANCED-paren scan (a regex `\((.+?)\)` stops at the first ')',

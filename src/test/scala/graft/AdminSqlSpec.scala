@@ -376,6 +376,28 @@ class AdminSqlSpec extends SparkSpecBase {
       assert(badRole.getMessage.contains("Invalid role name 'WIZARD'"))
       val noSet = intercept[IllegalArgumentException](s2.sql("ALTER USER 'bob'"))
       assert(noSet.getMessage.contains("requires SET"))
+      // clause-order freedom (reference SqlParserTest "create user with
+      // password and role" / "change password and role at the same
+      // time" — both orders), and the reference's no-'=' CREATE form
+      s2.sql("CREATE USER 'erin' WITH ROLE 'admin' WITH PASSWORD '12345'")
+      assert(s2.sql("SHOW USERS").collect()
+        .find(_.getString(0) == "erin").get.getString(1) == "ADMIN")
+      s2.sql("ALTER USER 'erin' SET ROLE = 'read_only' SET PASSWORD = 'x'")
+      assert(s2.sql("SHOW USERS").collect()
+        .find(_.getString(0) == "erin").get.getString(1) == "READ_ONLY")
+      // malformed tails raise a TARGETED graft error, not a delegate one
+      val badTailUser = intercept[IllegalArgumentException](
+        s2.sql("CREATE USER 'frank' WITH PASSWORDS = 'x'"))
+      assert(badTailUser.getMessage.contains("malformed clause"), badTailUser.getMessage)
+      val wrongKw = intercept[IllegalArgumentException](
+        s2.sql("ALTER USER 'erin' WITH ROLE = 'admin'")) // ALTER uses SET, not WITH
+      assert(wrongKw.getMessage.contains("malformed clause"), wrongKw.getMessage)
+      val dupClause = intercept[IllegalArgumentException](
+        s2.sql("ALTER USER 'erin' SET ROLE = 'admin' SET ROLE = 'read_only'"))
+      assert(dupClause.getMessage.contains("duplicate SET ROLE"), dupClause.getMessage)
+      val badName = intercept[IllegalArgumentException](
+        s2.sql("CREATE USER '9lives'"))
+      assert(badName.getMessage.contains("invalid username"), badName.getMessage)
       graft.sql.UserRegistry.clear()
     } finally {
       SparkSession.setActiveSession(spark)

@@ -28,7 +28,10 @@ class LedgerSpec extends AnyFunSuite {
   }
 
   test("every gated query key has a SURVEY §2 ledger row") {
-    val missing = SparkEntry.queries.keySet.filterNot(section2.contains)
+    // match the backtick-delimited `key` form (as the reverse test
+    // does): bare substring containment would let a key that is a
+    // prefix of a longer documented name pass spuriously
+    val missing = SparkEntry.queries.keySet.filterNot(k => section2.contains(s"`$k`"))
     assert(missing.isEmpty,
       s"gated queries missing from the SURVEY.md §2 inventory: ${missing.toSeq.sorted.mkString(", ")}")
   }

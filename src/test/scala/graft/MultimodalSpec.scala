@@ -45,6 +45,24 @@ class MultimodalSpec extends SparkSpecBase {
     assert(enc.toSeq == goldenBmp.toSeq)
   }
 
+  test("BMP decode: top-down (negative biHeight) rows read in file order") {
+    // same four pixels as goldenBmp but stored TOP-DOWN: biHeight = -2
+    // and the file carries the top row first, no flip on read
+    val topDown: Array[Byte] = (
+      Seq('B'.toByte, 'M'.toByte) ++ u32le(70) ++ u32le(0) ++ u32le(54) ++
+        u32le(40) ++ u32le(2) ++ u32le(-2) ++ u16le(1) ++ u16le(24) ++ u32le(0) ++
+        u32le(16) ++ u32le(2835) ++ u32le(2835) ++ u32le(0) ++ u32le(0) ++
+        // top row first: (0,0)=(255,0,0) -> B-G-R 0,0,255 ; (1,0)=(0,255,0)
+        Seq(0, 0, 255, 0, 255, 0, 0, 0).map(_.toByte) ++
+        // bottom row: (0,1)=(0,0,255) ; (1,1)=(10,20,30)
+        Seq(255, 0, 0, 30, 20, 10, 0, 0).map(_.toByte)
+      ).toArray
+    val im = MediaCodec.decodeBmp(topDown)
+    assert(im.width == 2 && im.height == 2)
+    // identical luma grid to the bottom-up golden file
+    assert(im.lumaMilli.toSeq == MediaCodec.decodeBmp(goldenBmp).lumaMilli.toSeq)
+  }
+
   test("BMP decode rejects malformed payloads") {
     intercept[IllegalArgumentException](MediaCodec.decodeBmp(Array[Byte](1, 2, 3)))
     val bad = goldenBmp.clone(); bad(28) = 8 // 8-bit depth
@@ -71,6 +89,32 @@ class MultimodalSpec extends SparkSpecBase {
 
   test("WAV encode: encoder reproduces the golden bytes exactly") {
     assert(MediaCodec.encodeWav(8000, Array[Short](1000, -2)).toSeq == goldenWav.toSeq)
+  }
+
+  test("WAV decode: chunk walk finds fmt/data past LIST metadata and honors odd-chunk padding") {
+    // real-world layout: a LIST/INFO chunk (odd-sized payload → one pad
+    // byte, exercising RIFF word alignment) and a fact chunk sit
+    // BETWEEN fmt and data; the decoder must locate both by id
+    val listPayload = Seq('I', 'N', 'F', 'O', 'x', 'y', 'z').map(_.toByte) // 7 bytes: odd
+    val withMeta: Array[Byte] = (
+      Seq('R', 'I', 'F', 'F').map(_.toByte) ++ u32le(40 + 8 + 8 + 12 + 4) ++
+        Seq('W', 'A', 'V', 'E').map(_.toByte) ++
+        Seq('f', 'm', 't', ' ').map(_.toByte) ++ u32le(16) ++ u16le(1) ++ u16le(1) ++
+        u32le(8000) ++ u32le(16000) ++ u16le(2) ++ u16le(16) ++
+        Seq('L', 'I', 'S', 'T').map(_.toByte) ++ u32le(7) ++ listPayload ++ Seq(0.toByte) ++ // pad
+        Seq('f', 'a', 'c', 't').map(_.toByte) ++ u32le(4) ++ u32le(2) ++
+        Seq('d', 'a', 't', 'a').map(_.toByte) ++ u32le(4) ++
+        u16le(1000) ++ u16le(0x10000 - 2)
+      ).toArray
+    val a = MediaCodec.decodeWav(withMeta)
+    assert(a.sampleRate == 8000)
+    assert(a.samples.toSeq == Seq[Short](1000, -2))
+    // identical result to the canonical-layout golden file
+    assert(a.samples.toSeq == MediaCodec.decodeWav(goldenWav).samples.toSeq)
+    // still loud on files that genuinely lack the chunks
+    val noData = withMeta.take(withMeta.length - 12) // strip the data chunk
+    val e = intercept[IllegalArgumentException](MediaCodec.decodeWav(noData))
+    assert(e.getMessage.contains("no data chunk"))
   }
 
   test("GVID: parsed frame index walks the real length-prefix chain") {

@@ -447,8 +447,14 @@ object Dedup {
     val sampled =
       if (p >= 1.0) ex
       else ex.filter(pmod(xxhash64(col("id"), lit(77)), lit(1000)) < lit((p * 1000).toInt))
+    // localCheckpoint: the sampled gf table (sampled-vocab-sized, tiny)
+    // feeds the skew head, the heavy-key collect, AND the prefix-volume
+    // probe — without the checkpoint each one re-runs the sampled
+    // text-scan + explode + aggregate lineage (3 redundant passes,
+    // measured ~1s each at sf0.5)
     val sampledGf = sampled
       .groupBy((groupCols.map(col) :+ col("gram")): _*).agg(count(lit(1)).as("gf"))
+      .localCheckpoint(true)
     val probe = sampledGf
       .agg(sum(col("gf")).as("postings"), sum(col("gf") * col("gf")).as("joinrows"), max(col("gf")).as("maxgf"))
       .head()
@@ -456,9 +462,53 @@ object Dedup {
       val expansion = probe.getLong(1).toDouble / probe.getLong(0).toDouble
       expansion > maxExpansion * p || probe.getLong(2) > ((1L << 16) * p).toLong
     }
-    if (heavyTailed) {
-      val freq = ex.groupBy((groupCols.map(col) :+ col("gram")): _*).agg(count(lit(1)).as("gf"))
-      prefixFromPostings(ex, freq, groupCols, threshold)
+    // NEAR-DUP-DENSE preference: a corpus of deep near-dup clusters
+    // (crawl snapshots differing by a few tokens) is NOT heavy-tailed —
+    // no single gram dominates — yet the dense counting join's volume
+    // is quadratic in cluster depth (Σgf² rows: measured 644M at
+    // sf0.5×5-replica, 25× the sf0.1 corpus). The PPJoin prefix route's
+    // candidate join only meets on PREFIX tokens — per-doc rarest grams,
+    // which cross-cluster pairs rarely share — so its volume stays
+    // near output-sized there. Estimate BOTH volumes from the SAME
+    // sample and take the cheaper: Σ(prefix-pf)² is computed by running
+    // the sampled postings through the actual prefix extraction (doc
+    // sampling keeps whole docs, so prefLen and prefix membership are
+    // the real ones and pair survival scales by p² like the dense
+    // estimate). The second probe only runs once the dense estimate
+    // already exceeds PrefixProbeBound — small corpora keep their
+    // single-aggregate probe and their dense plan untouched. The ×2
+    // handicap covers the prefix route's extra fixed passes (freq
+    // join, array build, verify joins); both routes are
+    // result-identical (spec-proven), so probe noise near the boundary
+    // costs speed, never correctness.
+    val estJoinRows = (probe.getLong(1) / (p * p)).toLong
+    lazy val estPrefixRows: Long = {
+      val toks = sampled.join(sampledGf.hint("shuffle_hash"), groupCols :+ "gram")
+        .select((col("id") +: col("sz") +:
+          concat(lpad(col("gf").cast("string"), 10, "0"), col("gram")).as("tok") +:
+          groupCols.map(col)): _*)
+        .groupBy((col("id") +: col("sz") +: groupCols.map(col)): _*)
+        .agg(sort_array(collect_list(col("tok"))).as("toks"))
+      val probeLen = (col("sz") - ceil(col("sz").cast("double") * lit(threshold) - lit(1e-9)) + 1)
+        .cast("int")
+      val idxFrac = 2.0 * threshold / (1.0 + threshold)
+      val idxLen = (col("sz") - ceil(col("sz").cast("double") * lit(idxFrac) - lit(1e-9)) + 1)
+        .cast("int")
+      // the asymmetric candidate join's volume is Σ_gram pfIdx·pfProbe
+      // (index-prefix postings × probing-prefix postings)
+      val r = toks
+        .select((col("sz") +: groupCols.map(col) :+
+          posexplode(slice(col("toks"), lit(1), probeLen)).as(Seq("pos", "tok"))): _*)
+        .groupBy((groupCols.map(col) :+ col("tok")): _*)
+        .agg(count(lit(1)).as("pfp"),
+          sum(when(col("pos") < idxLen, 1L).otherwise(0L)).as("pfi"))
+        .agg(sum(col("pfi") * col("pfp")).as("prows"))
+        .head()
+      if (r.isNullAt(0)) 0L else (r.getLong(0) / (p * p)).toLong
+    }
+    val nearDupDense = estJoinRows > PrefixProbeBound && estPrefixRows * 2 < estJoinRows
+    if (heavyTailed || nearDupDense) {
+      prefixPairs(df, idCol, textCol, groupCols, n, threshold)
     } else {
       // HEAVY-GRAM SALTING KEYS for the dense route: a gram whose
       // posting list is long enough that its SINGLE (group, gram)
@@ -481,8 +531,7 @@ object Dedup {
       // dominates.) Salting any subset is result-identical (each
       // pair still meets exactly once), so detection noise and the
       // cap can only cost balance, never correctness.
-      val joinRowsSampled = probe.getLong(1)
-      val shareCut = math.ceil(math.sqrt(joinRowsSampled.toDouble / 64.0)).toLong
+      val shareCut = math.ceil(math.sqrt(probe.getLong(1).toDouble / 64.0)).toLong
       val heavyCut = math.max(math.max(4L, ((1L << 12) * p / 2).toLong), shareCut)
       val heavyKeys = sampledGf
         .filter(col("gf") > heavyCut)
@@ -501,7 +550,6 @@ object Dedup {
       // keep their plan exactly) and capped at 2048; the estimate is
       // the probe's sampled Σgf² rescaled by 1/p² (pair survival under
       // doc sampling is quadratic).
-      val estJoinRows = (joinRowsSampled / (p * p)).toLong
       val sessionParts = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt
       val targetParts = math.min(2048L,
         math.max(sessionParts.toLong, estJoinRows / (8L * 1000 * 1000))).toInt
@@ -509,6 +557,14 @@ object Dedup {
         numPartitions = if (targetParts > sessionParts) Some(targetParts) else None)
     }
   }
+
+  /** Dense-route estimated join volume above which the dispatcher
+    * spends a second sampled probe estimating the PPJoin prefix
+    * route's candidate volume (Σ prefix-pf²): below it the dense
+    * counting join is cheap enough that the probe would cost more
+    * than the worst-case difference (sf0.1's whole dense stage is
+    * ~26M rows); above it a 2× volume advantage routes to prefix. */
+  private val PrefixProbeBound: Long = 128L * 1000 * 1000
 
   /** Group+gram composite key for heavy-gram detection/salting: the
     * group columns (stringified) and the gram, NUL-joined. */
@@ -700,53 +756,142 @@ object Dedup {
       groupCols: Seq[String],
       n: Int = 4,
       threshold: Double = 0.35
-  ): DataFrame = {
+  ): DataFrame = prefixPairs(df, idCol, textCol, groupCols, n, threshold)
+
+  /**
+   * Full PPJoin (Xiao et al., WWW 2008 §3.2-3.3): prefix filter +
+   * POSITIONAL filter + SUFFIX filter, then array-merge verification
+   * — no corpus-wide counting join anywhere.
+   *
+   *  1. RARITY ORDER for candidate generation: each (gram, per-group
+   *     gf) is packed into ONE sortable string — gf zero-padded to
+   *     fixed width, gram appended — and each doc's tokens are
+   *     collected + sorted once (no window sort). Positions in this
+   *     order feed every positional bound; the bare gram (the tok
+   *     minus its 10-char gf pad) is the narrow join key.
+   *  2. ASYMMETRIC PREFIXES, pairs ordered by (sz, id): for a pair
+   *     with szX <= szY the required overlap is α = ⌈t/(1+t)(szX+szY)⌉
+   *     >= ⌈2t/(1+t)·szX⌉, so the SMALLER side only needs its first
+   *     szX - ⌈2t/(1+t)·szX⌉ + 1 tokens in the join (the paper's
+   *     indexing prefix — ~0.48·sz at t=0.35 vs the probing side's
+   *     standard sz - ⌈t·sz⌉ + 1 ~ 0.65·sz); candidate volume drops
+   *     by the same fraction. Every ceil is fp-nudged DOWN 1e-9 so a
+   *     floating product landing epsilon above an exact integer can
+   *     only lengthen a prefix (safe), never shorten it (lossy).
+   *  3. POSITIONAL filters, all compared in the double domain exactly
+   *     as the final jac filter: per matched ROW the weak bound
+   *     min(px, py) + 1 + min(szX-px-1, szY-py-1) and the
+   *     pair-dependent prefix bounds szX - px >= α(szX, szY) - 1,
+   *     szY - py >= α - 1 — IN the join condition, so mismatched
+   *     matches die before the pair aggregate (the first-shared row
+   *     of any above-threshold pair provably satisfies all three);
+   *     then per PAIR, the FIRST shared token (min position struct —
+   *     one shared order, so no shared token precedes it) gives the
+   *     paper's tight bound 1 + min(szX-px-1, szY-py-1).
+   *  4. SUFFIX + VERIFY ([[graft.functions.expressions.PpjVerify]]):
+   *     candidates join per-doc LEXICOGRAPHIC gram arrays — built
+   *     narrowly from the source text (no freq join, no shuffle; ~n
+   *     bytes per token vs the 14-byte rarity toks) and broadcast
+   *     when the corpus-size probe allows — where the recursive
+   *     partition-probe hamming bound kills surviving false
+   *     candidates in O(log) comparisons and the exact intersection
+   *     is an early-terminating merge; output-sized rows.
+   */
+  private def prefixPairs(
+      df: DataFrame, idCol: String, textCol: String, groupCols: Seq[String],
+      n: Int, threshold: Double): DataFrame = {
+    graft.sql.GraftFunctions.register(df.sparkSession)
     val ex = gramPostings(df, idCol, textCol, groupCols, n)
     val freq = ex.groupBy((groupCols.map(col) :+ col("gram")): _*).agg(count(lit(1)).as("gf"))
-    prefixFromPostings(ex, freq, groupCols, threshold)
-  }
-
-  /** `freq` = per-(group, gram) frequency over `ex` (global gram rarity
-    * within each group). */
-  private def prefixFromPostings(
-      ex: DataFrame, freq: DataFrame, groupCols: Seq[String], threshold: Double): DataFrame = {
-    val ranked = ex
-      .join(freq, groupCols :+ "gram")
-      .withColumn(
-        "rnk",
-        row_number().over(
-          org.apache.spark.sql.expressions.Window
-            .partitionBy(col("id"))
-            .orderBy(col("gf").asc, col("gram").asc)
-        )
-      )
-    val prefix = ranked.filter(col("rnk") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
-    val cands = prefix.as("a")
+    // rarity-ordered token arrays (prefix extraction only). The freq
+    // side is aggregate output (vocab-sized, small but beyond the
+    // broadcast threshold) — shuffle_hash skips the two sorts a
+    // sort-merge join would pay on the posting side (measured 5-6s →
+    // ~2.5s at the 4.5M-posting scale)
+    val rarToks = ex
+      .join(freq.hint("shuffle_hash"), groupCols :+ "gram")
+      .select((col("id") +: col("sz") +:
+        concat(lpad(col("gf").cast("string"), 10, "0"), col("gram")).as("tok") +:
+        groupCols.map(col)): _*)
+      .groupBy((col("id") +: col("sz") +: groupCols.map(col)): _*)
+      .agg(sort_array(collect_list(col("tok"))).as("toks"))
+    val probeLen = (col("sz") - ceil(col("sz").cast("double") * lit(threshold) - lit(1e-9)) + 1)
+      .cast("int")
+    val idxFrac = 2.0 * threshold / (1.0 + threshold)
+    val idxLen = (col("sz") - ceil(col("sz").cast("double") * lit(idxFrac) - lit(1e-9)) + 1)
+      .cast("int")
+    val pref = rarToks
+      .select((col("id") +: col("sz") +: groupCols.map(col) :+
+        posexplode(slice(col("toks"), lit(1), probeLen)).as(Seq("pos", "tok"))): _*)
+      .select((col("id") +: col("sz") +: col("pos") +:
+        substring(col("tok"), 11, n + 1).as("gram") +: groupCols.map(col)): _*)
+    val idxPref = pref.filter(col("pos") < idxLen)
+    // jac upper-bound test in the double domain — identical to the
+    // final filter, so pruning can never flip a boundary pair
+    def jacCan(ub: Column, szA: Column, szB: Column): Column =
+      ub.cast("double") >= lit(threshold) * ((szA + szB).cast("double") - ub.cast("double"))
+    val ubRow = least(col("a.pos"), col("b.pos")) + lit(1) +
+      least(col("a.sz") - col("a.pos") - 1, col("b.sz") - col("b.pos") - 1)
+    // pair-dependent prefix bound: the first-shared row of a pair with
+    // overlap >= α has szX - px >= α and szY - py >= α; α >= the
+    // double form minus 1e-6, so the -1 slack keeps the cut safe
+    val alphaD = lit(threshold / (1.0 + threshold)) * (col("a.sz") + col("b.sz")).cast("double")
+    val cands = idxPref.as("a")
       .join(
-        prefix.as("b").hint("shuffle_hash"),
+        pref.as("b").hint("shuffle_hash"),
         (groupCols.map(c => col(s"a.$c") === col(s"b.$c")) :+
-          (col("a.gram") === col("b.gram")) :+ (col("a.id") < col("b.id")) :+
-          // PPJoin length filter (see denseFromPostings) — sub-threshold
-          // size-mismatched candidates never reach the verify join
-          (col("b.sz").cast("double") >= lit(threshold) * col("a.sz")) :+
-          (col("a.sz").cast("double") >= lit(threshold) * col("b.sz"))).reduce(_ && _)
+          (col("a.gram") === col("b.gram")) :+
+          // (sz, id) pair order: the index-prefix side is the smaller doc
+          ((col("a.sz") < col("b.sz")) ||
+            (col("a.sz") === col("b.sz") && col("a.id") < col("b.id"))) :+
+          // PPJoin length filter — size-mismatched pairs never leave the join
+          (col("a.sz").cast("double") >= lit(threshold) * col("b.sz")) :+
+          // pair-dependent positional prefix bounds (see above)
+          ((col("a.sz") - col("a.pos")).cast("double") >= alphaD - lit(1.000001)) :+
+          ((col("b.sz") - col("b.pos")).cast("double") >= alphaD - lit(1.000001)) :+
+          // row-level weak positional filter
+          jacCan(ubRow, col("a.sz"), col("b.sz"))).reduce(_ && _)
       )
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
-    // exact verification: counting join restricted to candidate pairs
-    val ea = ex.select(col("id").as("id_a"), col("sz").as("sz_a"), col("gram"))
-    val eb = ex.select(col("id").as("rid"), col("sz").as("sz_b"), col("gram").as("gram_b"))
+      .groupBy(col("a.id").as("id_x"), col("b.id").as("id_y"),
+        col("a.sz").as("sz_x"), col("b.sz").as("sz_y"))
+      // first-shared = min (pos_x, pos_y), PACKED into one long
+      // (pos_x << 32 | pos_y — lexicographic order preserved for
+      // non-negative ints): min(struct) would force a SortAggregate
+      // and sort every surviving join row; min(long) hash-aggregates
+      .agg(min(shiftleft(col("a.pos").cast("long"), 32) + col("b.pos").cast("long")).as("f"))
+      .select(col("id_x"), col("id_y"), col("sz_x"), col("sz_y"),
+        shiftright(col("f"), 32).cast("int").as("pa"),
+        col("f").bitwiseAND(lit(4294967295L)).cast("int").as("pb"))
+      // pair-level positional filter (tight bound at the first shared token)
+      .filter(jacCan(
+        lit(1) + least(col("sz_x") - col("pa") - 1, col("sz_y") - col("pb") - 1),
+        col("sz_x"), col("sz_y")))
+    // suffix filter + exact verification over narrow LEXICOGRAPHIC
+    // arrays, computed from the text with no shuffle and broadcast
+    // when the corpus is probe-verifiably small (the candidate side
+    // then never moves); the -1 seeds tell the kernel the positions
+    // are rarity-order, not lexicographic
+    val lexToks = df.select(col(idCol).as("id"),
+      array_sort(call_function("graft_char_ngrams", lower(col(textCol)), lit(n))).as("lt"))
+    val small = smallCorpus(df, idCol, 1L << 16)
+    def side(as: String, out: String) = {
+      val s = lexToks.select(col("id").as(as), col("lt").as(out))
+      if (small) broadcast(s) else s.hint("shuffle_hash")
+    }
     cands
-      .join(ea, "id_a")
-      .join(eb.hint("shuffle_hash"), col("id_b") === col("rid") && col("gram") === col("gram_b"))
-      .groupBy(col("id_a"), col("sz_a"), col("id_b"), col("sz_b"))
-      .agg(count(lit(1)).as("inter"))
+      .join(side("id_x", "ta"), "id_x")
+      .join(side("id_y", "tb"), "id_y")
+      .select(col("id_x"), col("id_y"), col("sz_x"), col("sz_y"),
+        call_function("graft_ppj_verify",
+          col("ta"), col("tb"), lit(-1), lit(-1), lit(threshold)).as("inter"))
+      .filter(col("inter") >= 0)
       .withColumn(
         "jac",
-        col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")).cast("double")
+        col("inter").cast("double") / (col("sz_x") + col("sz_y") - col("inter")).cast("double")
       )
       .filter(col("jac") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jac"))
+      .select(least(col("id_x"), col("id_y")).as("id_a"),
+        greatest(col("id_x"), col("id_y")).as("id_b"), col("jac"))
   }
 
   /**

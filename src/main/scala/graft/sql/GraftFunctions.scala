@@ -47,6 +47,10 @@ object GraftFunctions {
     "graft_text_minhash" -> (exprs => TextMinHash(exprs.head, intArg(exprs, 1, 3), intArg(exprs, 2, 64))),
     "graft_text_simhash" -> (exprs => TextSimHash(exprs.head, intArg(exprs, 1, 3))),
     "graft_char_ngrams" -> (exprs => graft.functions.expressions.CharNgrams(exprs.head, intArg(exprs, 1, 4))),
+    // PPJoin candidate verification: (toksA, toksB, posA, posB, threshold_lit)
+    "graft_ppj_verify" -> (exprs => graft.functions.expressions.PpjVerify(
+      exprs(0), exprs(1), exprs(2), exprs(3),
+      exprs(4).eval().asInstanceOf[Number].doubleValue())),
     // vector-index ops: centroid tables ride as a foldable literal argument
     "graft_nearest_centroid" -> (exprs => NearestCentroid(exprs.head, centroidsArg(exprs(1)))),
     "graft_nearest_centroid_dist" -> (exprs =>

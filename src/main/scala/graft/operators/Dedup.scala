@@ -481,7 +481,11 @@ object Dedup {
     // join, array build, verify joins); both routes are
     // result-identical (spec-proven), so probe noise near the boundary
     // costs speed, never correctness.
-    val estJoinRows = (probe.getLong(1) / (p * p)).toLong
+    // an empty sample (tiny corpus at a small probeFraction) yields a
+    // null aggregate row — read as zero volume: the corpus is small
+    // enough that the dense plan is trivially right
+    val estJoinRows =
+      if (probe.isNullAt(0)) 0L else (probe.getLong(1) / (p * p)).toLong
     lazy val estPrefixRows: Long = {
       val toks = sampled.join(sampledGf.hint("shuffle_hash"), groupCols :+ "gram")
         .select((col("id") +: col("sz") +:
@@ -531,7 +535,9 @@ object Dedup {
       // dominates.) Salting any subset is result-identical (each
       // pair still meets exactly once), so detection noise and the
       // cap can only cost balance, never correctness.
-      val shareCut = math.ceil(math.sqrt(probe.getLong(1).toDouble / 64.0)).toLong
+      val shareCut =
+        if (probe.isNullAt(0)) Long.MaxValue // empty sample: nothing to salt
+        else math.ceil(math.sqrt(probe.getLong(1).toDouble / 64.0)).toLong
       val heavyCut = math.max(math.max(4L, ((1L << 12) * p / 2).toLong), shareCut)
       val heavyKeys = sampledGf
         .filter(col("gf") > heavyCut)
@@ -623,23 +629,42 @@ object Dedup {
     val dupDocs = keyed.join(dupHashes, Seq("__th"))
     val uniqueDocs = keyed.join(dupHashes, Seq("__th"), "left_anti")
     // only dup-candidate docs carry text into the grouping shuffle;
-    // grouping by the ACTUAL text keeps hash collisions harmless
-    val grouped = dupDocs
+    // grouping by the ACTUAL text keeps hash collisions harmless.
+    // NO member arrays are collected here: a k-replica boilerplate
+    // cluster (10⁸ crawl snapshots of one page) would otherwise put
+    // every id into ONE collect_list aggregation buffer — a multi-GB
+    // single row, executor OOM in exactly the corpus this route is
+    // dispatched for. The aggregate carries only (rep, cnt).
+    val repTable = dupDocs
       .groupBy((groupCols.map(col) :+ col("__txt")): _*)
-      .agg(min(col("__gid")).as("__rep"),
-        sort_array(collect_list(col("__gid"))).as("__members"),
-        count(lit(1)).as("__cnt"))
-    val reps = grouped
+      .agg(min(col("__gid")).as("__rep"), count(lit(1)).as("__cnt"))
+    val reps = repTable
       .select((col("__rep").as(idCol) +: col("__txt").as(textCol) +: groupCols.map(col)): _*)
       .unionByName(uniqueDocs
         .select((col("__gid").as(idCol) +: col("__txt").as(textCol) +: groupCols.map(col)): _*))
     val repPairs = ngramJaccardPairs(reps, idCol, textCol, groupCols, n, threshold,
       maxExpansion, probeFraction, collapseExact = false)
-    // cross expansion: every member of a's group × every member of b's
-    // group shares the representative pair's jaccard; groups are
-    // disjoint, so least/greatest restores the id_a < id_b contract.
+    // BOUNDED membership chunks: members sub-bucketed by hash(id) into
+    // ceil(cnt / MaxChunk) buckets, so every collect_list buffer (and
+    // every downstream explode lineage) holds ~MaxChunk ids regardless
+    // of cluster depth — the k² expansion becomes a rep-keyed join of
+    // bounded chunks emitting the same pair set, distributed instead
+    // of exploding from single rows. __rep is unique per cluster (the
+    // min id of a distinct (group, text) member set), so chunks key on
+    // it alone.
+    val chunks = dupDocs
+      .join(repTable.hint("shuffle_hash"), (groupCols.map(_.toString) :+ "__txt"))
+      .withColumn("__bk", pmod(xxhash64(col("__gid")),
+        greatest(lit(1L), ceil(col("__cnt").cast("double") / lit(MaxCollapseChunk)).cast("long"))))
+      .groupBy(col("__rep"), col("__bk"))
+      .agg(sort_array(collect_list(col("__gid"))).as("__members"))
+    // cross expansion: every member of a's cluster × every member of
+    // b's cluster shares the representative pair's jaccard; clusters
+    // are disjoint, so least/greatest restores the id_a < id_b
+    // contract. Multi-chunk clusters contribute one row per chunk —
+    // the joins enumerate every chunk combination exactly once.
     // Unique docs have no membership row — coalesce to the singleton.
-    val mem = grouped.select(col("__rep"), col("__members"))
+    val mem = chunks.select(col("__rep"), col("__members"))
     val cross = repPairs
       .join(mem.select(col("__rep").as("id_a"), col("__members").as("__ma")), Seq("id_a"), "left")
       .join(mem.select(col("__rep").as("id_b"), col("__members").as("__mb")), Seq("id_b"), "left")
@@ -652,16 +677,27 @@ object Dedup {
         greatest(col("__a"), col("__b")).as("id_b"), col("jac"))
     // intra expansion: identical non-empty gram sets are jaccard 1.0
     // pairs (inter = union = sz) — exactly what the raw posting join
-    // emits for them; their count is output-sized, not pipeline-sized
-    val intra = grouped
-      .filter(col("__cnt") > 1)
-      .select(explode(col("__members")).as("id_a"), col("__members"))
-      .select(col("id_a"), explode(col("__members")).as("id_b"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), lit(1.0).as("jac"))
+    // emits for them; their count is output-sized, not pipeline-sized.
+    // Triangular chunk self-join: bucket pair (i, j) with i < j emits
+    // all cross-chunk pairs once, i == j emits the within-chunk
+    // id-ordered pairs — ≤ MaxChunk² rows from any one joined row.
+    val intra = chunks.as("x")
+      .join(chunks.as("y"),
+        col("x.__rep") === col("y.__rep") && col("x.__bk") <= col("y.__bk"))
+      .select(col("x.__bk").as("__bka"), col("y.__bk").as("__bkb"),
+        explode(col("x.__members")).as("__a"), col("y.__members").as("__mb"))
+      .select(col("__bka"), col("__bkb"), col("__a"), explode(col("__mb")).as("__b"))
+      .filter(col("__bka") < col("__bkb") || col("__a") < col("__b"))
+      .select(least(col("__a"), col("__b")).as("id_a"),
+        greatest(col("__a"), col("__b")).as("id_b"), lit(1.0).as("jac"))
       .filter(lit(1.0) >= threshold)
     cross.unionByName(intra)
   }
+
+  /** Target member count per collapse chunk — bounds every membership
+    * collect_list buffer and every member×member expansion lineage to
+    * chunk-sized units (256² = 65k rows from one chunk-pair row). */
+  private val MaxCollapseChunk = 256
 
   /** Direct posting self-join variant: fastest when gram frequencies are
     * near-uniform (small dense corpora); quadratic in the hottest gram —

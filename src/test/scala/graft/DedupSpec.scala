@@ -212,6 +212,44 @@ class DedupSpec extends SparkSpecBase {
       Set(66L, 67L, 70L, 71L).contains(a) || Set(66L, 67L, 70L, 71L).contains(b) })
   }
 
+  test("collapse chunking: a mega exact-dup cluster expands the same pairs through bounded chunks") {
+    // 900 exact replicas force ceil(900/256) = 4 membership chunks —
+    // every intra pair must appear exactly once across the triangular
+    // chunk join (4 same-chunk + 6 cross-chunk cells), every cross
+    // pair once per member combination, and no collect_list buffer
+    // ever holds more than ~MaxChunk ids (the OOM bound under test).
+    // A second small cluster + a near-dup partner pin the cross rules.
+    val mega = (1L to 900L).map(i => (i, "mega cluster boilerplate page body", "en", "s0"))
+    val small = (1000L to 1002L).map(i => (i, "a second, smaller duplicated document", "en", "s0"))
+    val near = Seq((2000L, "mega cluster boilerplate page bods", "en", "s0")) // near-dup of mega
+    val docs = (mega ++ small ++ near).toDF("doc_id", "text", "lang", "source")
+    val got = Dedup
+      .ngramJaccardPairs(docs, "doc_id", "text", Seq("lang", "source"), n = 4, threshold = 0.35,
+        probeFraction = 1.0)
+      .select(col("id_a"), col("id_b"), col("jac"))
+    // intra: C(900,2) + C(3,2) pairs at jaccard 1.0
+    assert(got.filter(col("jac") === 1.0).count() == 900L * 899 / 2 + 3)
+    // no pair may appear twice (the chunk join's exactly-once contract)
+    assert(got.groupBy(col("id_a"), col("id_b")).count().filter(col("count") > 1).count() == 0)
+    // every ordered intra pair present (spot-check the extremes + a
+    // cross-chunk-certain pair)
+    val intraSet = got.filter(col("jac") === 1.0)
+      .filter(col("id_a").isin(1L, 899L) || col("id_b").isin(2L, 900L))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(intraSet.contains((1L, 900L)) && intraSet.contains((899L, 900L)) &&
+      intraSet.contains((1L, 2L)))
+    // cross: the near-dup pairs against EVERY mega member at the rep jaccard
+    val crossRows = got.filter(col("id_b") === 2000L && col("jac") < 1.0)
+    assert(crossRows.count() == 900)
+    assert(crossRows.select(countDistinct(col("jac"))).head().getLong(0) == 1)
+    // and the raw pipeline agrees on the near-dup's pair count + jac
+    val raw = Dedup
+      .ngramJaccardPairs(docs.filter(col("doc_id").isin(1L, 2L, 2000L)), "doc_id", "text",
+        Seq("lang", "source"), n = 4, threshold = 0.35, collapseExact = false)
+      .filter(col("id_b") === 2000L).select(col("jac")).head().getDouble(0)
+    assert(crossRows.select(col("jac")).head().getDouble(0) == raw)
+  }
+
   test("heavy-gram salting is join-identical: each pair meets exactly once, spread or not") {
     // a shared boilerplate prefix makes its grams hot while unique
     // tails keep most pairs sub-threshold; two true near-dups must

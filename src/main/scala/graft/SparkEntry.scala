@@ -231,6 +231,59 @@ object SparkEntry {
         Seq("view", "click", "purchase"))
       .orderBy(col("user_id"))
 
+  /** Monotone name source for the streaming gates' memory sinks (a
+    * memory-sink query name is session-global; bench reps and verify
+    * share one session). */
+  private val streamGateN = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /**
+   * STREAMING funnel under the hash gate — the first streaming twin
+   * promoted from spec-only to a daily CORRECTNESS row. A
+   * deterministic bounded window of the events table (event_id <
+   * 20000 — flat-cost at any sf, bounded driver memory) is replayed
+   * through a MemoryStream in THREE deterministic batches split by
+   * event_id mod 3 — cross-batch out-of-order arrival, the case the
+   * buffered-replay state design exists for — with a watermark wide
+   * enough to admit every batch; a far-future sentinel then advances
+   * the watermark past every user's inactivity horizon so all state
+   * flushes. The emitted rows must hash-match q_funnel's BATCH oracle
+   * SQL over the same window: streaming-vs-batch parity, checked
+   * against DuckDB daily instead of only at `sbt test` time.
+   */
+  private def qStreamFunnel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingFunnel
+    import graft.streaming.StreamingFunnel.FEv
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val evs = ld(s, dir, "events")
+      .filter(col("event_id") < 20000)
+      .select(col("user_id"), col("ts"), col("event_type"), col("event_id"))
+      .as[FEv]
+      .collect() // bounded: ≤ 20k fixed-window rows at any sf
+    val maxTsMs = evs.map(_.ts.getTime).max
+    val stream = MemoryStream[FEv]
+    val name = s"q_stream_funnel_${streamGateN.incrementAndGet()}"
+    val q = StreamingFunnel
+      .streaming(s, stream.toDS(), Seq("view", "click", "purchase"),
+        inactivityMinutes = 30, watermark = "36500 days")
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      for (i <- 0 until 3) {
+        stream.addData(evs.filter(e => math.floorMod(e.event_id, 3) == i).toIndexedSeq)
+        q.processAllAvailable()
+      }
+      // sentinel: watermark = sentinelTs - 36500d = max + 2d — past
+      // every real user's last event + 30min, so every funnel emits
+      stream.addData(FEv(-1L,
+        new java.sql.Timestamp(maxTsMs + (36502L * 86400 * 1000)), "view", -1L))
+      q.processAllAvailable()
+    } finally q.stop()
+    s.table(name)
+      .filter(col("user_id") =!= -1L)
+      .orderBy(col("user_id"))
+  }
+
   /** Top event-type trigram paths (Funnel.topPaths): most-walked
     * consecutive 3-step sequences with distinct-user counts — lead()
     * n-grams over one user-key exchange, rollup by path. */
@@ -2337,6 +2390,7 @@ object SparkEntry {
     "q_agg_distinct_random" -> (qAggDistinctRandom _),
     "q_window_lag" -> (qWindowLag _),
     "q_funnel" -> (qFunnel _),
+    "q_stream_funnel" -> (qStreamFunnel _),
     "q_retention" -> (qRetention _),
     "q_event_paths" -> (qEventPaths _),
     "q_window_funcs" -> (qWindowFuncs _),

@@ -161,7 +161,7 @@ object Bench {
     // got clipped — the driver recorded parsed:null and 109 of 123
     // queries read 0/1s). The array drops the keys entirely: "q_ms" is
     // integer milliseconds in ALPHABETICAL SparkEntry.queries key
-    // order (exactly the `ordered` loop above; "q_order" names the
+    // order (exactly the `ordered` loop above; "q_ms_order" names the
     // convention in-line). 123 ms values ≈ 700 chars, so full
     // regression-visible resolution survives any suite size this repo
     // will reach. The full keyed float map is also written to
@@ -177,7 +177,7 @@ object Bench {
         }.mkString("", ",", ",")
       else ""
       s"""{"metric":"total","value":${num(total, 2)},"unit":"sec","L0":${li(load0)},"L":${li(load)},""" +
-        s""""q_unit":"ms","q_order":"alphabetical SparkEntry.queries keys",$pair"q_ms":$arr,"sf":"$sfName"}"""
+        s""""q_ms_order":"alphabetical SparkEntry.queries keys",$pair"q_ms":$arr,"sf":"$sfName"}"""
     }
     // tiered shedding against the driver's 2000-char tail capture (a
     // clipped line loses EVERYTHING — r11 proved it): prefer the keyed
@@ -186,11 +186,14 @@ object Bench {
     // ms array or the L0/L load flags (dropping loads left the r5
     // driver-bench regressions unattributable). The array-only tier is
     // ~800 chars at 123 queries, so the getOrElse is unreachable today.
+    // NOTE: no "q_unit" field here — in r8/r9 lines q_unit described
+    // the keyed "queries" dict (e.g. "ds"), and these tiers keep that
+    // dict in SECONDS; the q_ms array's name carries its own unit
     def withArr(base: String) = {
       val arr = looped.map { case (_, v) =>
         if (v < 0) "-1" else math.round(v * 1000).toString
       }.mkString("[", ",", "]")
-      base.stripSuffix("}") + s""","q_unit":"ms","q_ms":$arr}"""
+      base.stripSuffix("}") + s""","q_ms":$arr}"""
     }
     val line = Seq(
       withArr(mkLine(true, true)), withArr(mkLine(true, false)),

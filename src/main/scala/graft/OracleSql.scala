@@ -18,6 +18,32 @@ object OracleSql {
 
   private val rev = "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))"
 
+  /** The funnel's cascaded running-min window construction over any
+    * events source — shared by the batch gate and its streaming twin
+    * so the two oracles cannot drift apart. */
+  private def funnelCascade(source: String): String =
+    s"""WITH s1 AS (SELECT user_id, ts, event_type, event_id,
+              MIN(CASE WHEN event_type = 'view' THEN ts END)
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v1
+            FROM $source),
+            s2 AS (SELECT *,
+              MIN(CASE WHEN event_type = 'click' AND ts > v1 THEN ts END)
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v2
+            FROM s1),
+            s3 AS (SELECT *,
+              MIN(CASE WHEN event_type = 'purchase' AND ts > v2 THEN ts END)
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v3
+            FROM s2)
+         SELECT user_id, MIN(v1) AS ts_step1, MIN(v2) AS ts_step2, MIN(v3) AS ts_step3,
+           CAST(CASE WHEN MIN(v3) IS NOT NULL THEN 3
+                     WHEN MIN(v2) IS NOT NULL THEN 2
+                     WHEN MIN(v1) IS NOT NULL THEN 1
+                     ELSE 0 END AS INT) AS steps_completed
+         FROM s3 GROUP BY user_id ORDER BY user_id"""
+
   private val toks =
     "list_filter(regexp_split_to_array(lower(text), '[^\\p{L}\\p{Nd}]+'), x -> length(x) > 0)"
 
@@ -265,54 +291,13 @@ object OracleSql {
          LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value
          FROM events ORDER BY event_id""",
     // the same cascaded running-min construction, window by window
-    "q_funnel" ->
-      """WITH s1 AS (SELECT user_id, ts, event_type, event_id,
-              MIN(CASE WHEN event_type = 'view' THEN ts END)
-                OVER (PARTITION BY user_id ORDER BY ts, event_id
-                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v1
-            FROM events),
-            s2 AS (SELECT *,
-              MIN(CASE WHEN event_type = 'click' AND ts > v1 THEN ts END)
-                OVER (PARTITION BY user_id ORDER BY ts, event_id
-                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v2
-            FROM s1),
-            s3 AS (SELECT *,
-              MIN(CASE WHEN event_type = 'purchase' AND ts > v2 THEN ts END)
-                OVER (PARTITION BY user_id ORDER BY ts, event_id
-                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v3
-            FROM s2)
-         SELECT user_id, MIN(v1) AS ts_step1, MIN(v2) AS ts_step2, MIN(v3) AS ts_step3,
-           CAST(CASE WHEN MIN(v3) IS NOT NULL THEN 3
-                     WHEN MIN(v2) IS NOT NULL THEN 2
-                     WHEN MIN(v1) IS NOT NULL THEN 1
-                     ELSE 0 END AS INT) AS steps_completed
-         FROM s3 GROUP BY user_id ORDER BY user_id""",
-    // STREAMING twin parity gate: the q_funnel batch construction over
-    // the gate's deterministic bounded window — the streamed rows must
-    // equal the batch funnel of the same events
+    "q_funnel" -> funnelCascade("events"),
+    // STREAMING twin parity gate: the IDENTICAL batch construction
+    // over the gate's deterministic bounded window — the streamed rows
+    // must equal the batch funnel of the same events, and sharing one
+    // SQL template keeps a future chaining fix from diverging the two
     "q_stream_funnel" ->
-      """WITH ev AS (SELECT * FROM events WHERE event_id < 20000),
-            s1 AS (SELECT user_id, ts, event_type, event_id,
-              MIN(CASE WHEN event_type = 'view' THEN ts END)
-                OVER (PARTITION BY user_id ORDER BY ts, event_id
-                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v1
-            FROM ev),
-            s2 AS (SELECT *,
-              MIN(CASE WHEN event_type = 'click' AND ts > v1 THEN ts END)
-                OVER (PARTITION BY user_id ORDER BY ts, event_id
-                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v2
-            FROM s1),
-            s3 AS (SELECT *,
-              MIN(CASE WHEN event_type = 'purchase' AND ts > v2 THEN ts END)
-                OVER (PARTITION BY user_id ORDER BY ts, event_id
-                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v3
-            FROM s2)
-         SELECT user_id, MIN(v1) AS ts_step1, MIN(v2) AS ts_step2, MIN(v3) AS ts_step3,
-           CAST(CASE WHEN MIN(v3) IS NOT NULL THEN 3
-                     WHEN MIN(v2) IS NOT NULL THEN 2
-                     WHEN MIN(v1) IS NOT NULL THEN 1
-                     ELSE 0 END AS INT) AS steps_completed
-         FROM s3 GROUP BY user_id ORDER BY user_id""",
+      funnelCascade("(SELECT * FROM events WHERE event_id < 20000)"),
     // exact window integers (count/sum/sum-of-squares over the trailing
     // 7 days), then the IDENTICAL scalar double formula both engines
     // evaluate bit-for-bit — the q_agg_stats discipline on a window

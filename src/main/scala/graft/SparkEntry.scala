@@ -261,6 +261,9 @@ object SparkEntry {
       .select(col("user_id"), col("ts"), col("event_type"), col("event_id"))
       .as[FEv]
       .collect() // bounded: ≤ 20k fixed-window rows at any sf
+    // an empty window (a dataset whose event_ids start past the bound)
+    // must yield the oracle's empty result, not an empty-max crash
+    if (evs.isEmpty) return s.emptyDataset[StreamingFunnel.FunnelRow].toDF()
     val maxTsMs = evs.map(_.ts.getTime).max
     val stream = MemoryStream[FEv]
     val name = s"q_stream_funnel_${streamGateN.incrementAndGet()}"
@@ -1928,9 +1931,13 @@ object SparkEntry {
     // whenever the dataset is regenerated on any filesystem
     val (len, mtime) =
       if (st.isDirectory) {
-        val files = fs.listStatus(p).filter(_.isFile)
-        (files.map(_.getLen).sum,
-          if (files.isEmpty) 0L else files.map(_.getModificationTime).max)
+        // getContentSummary is RECURSIVE (partitionBy layouts keep
+        // their data under key=*/ subdirs — a top-level file filter
+        // would fingerprint those as 0/0 forever); mtime = the max
+        // over all top-level entries, files or subdirs
+        val entries = fs.listStatus(p)
+        (fs.getContentSummary(p).getLength,
+          if (entries.isEmpty) 0L else entries.map(_.getModificationTime).max)
       } else (st.getLen, st.getModificationTime)
     s"${dirKey(dir)}_${java.lang.Long.toHexString(len)}_${java.lang.Long.toHexString(mtime)}"
   }

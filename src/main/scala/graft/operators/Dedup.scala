@@ -487,25 +487,16 @@ object Dedup {
     val estJoinRows =
       if (probe.isNullAt(0)) 0L else (probe.getLong(1) / (p * p)).toLong
     lazy val estPrefixRows: Long = {
-      val toks = sampled.join(sampledGf.hint("shuffle_hash"), groupCols :+ "gram")
-        .select((col("id") +: col("sz") +:
-          concat(lpad(col("gf").cast("string"), 10, "0"), col("gram")).as("tok") +:
-          groupCols.map(col)): _*)
-        .groupBy((col("id") +: col("sz") +: groupCols.map(col)): _*)
-        .agg(sort_array(collect_list(col("tok"))).as("toks"))
-      val probeLen = (col("sz") - ceil(col("sz").cast("double") * lit(threshold) - lit(1e-9)) + 1)
-        .cast("int")
-      val idxFrac = 2.0 * threshold / (1.0 + threshold)
-      val idxLen = (col("sz") - ceil(col("sz").cast("double") * lit(idxFrac) - lit(1e-9)) + 1)
-        .cast("int")
       // the asymmetric candidate join's volume is Σ_gram pfIdx·pfProbe
-      // (index-prefix postings × probing-prefix postings)
-      val r = toks
+      // (index-prefix postings × probing-prefix postings), computed by
+      // running the sampled postings through the SAME rarityArrays /
+      // prefix-length machinery prefixPairs runs
+      val r = rarityArrays(sampled, sampledGf, groupCols)
         .select((col("sz") +: groupCols.map(col) :+
-          posexplode(slice(col("toks"), lit(1), probeLen)).as(Seq("pos", "tok"))): _*)
+          posexplode(slice(col("toks"), lit(1), probePrefLen(threshold))).as(Seq("pos", "tok"))): _*)
         .groupBy((groupCols.map(col) :+ col("tok")): _*)
         .agg(count(lit(1)).as("pfp"),
-          sum(when(col("pos") < idxLen, 1L).otherwise(0L)).as("pfi"))
+          sum(when(col("pos") < idxPrefLen(threshold), 1L).otherwise(0L)).as("pfi"))
         .agg(sum(col("pfi") * col("pfp")).as("prows"))
         .head()
       if (r.isNullAt(0)) 0L else (r.getLong(0) / (p * p)).toLong
@@ -571,6 +562,43 @@ object Dedup {
     * than the worst-case difference (sf0.1's whole dense stage is
     * ~26M rows); above it a 2× volume advantage routes to prefix. */
   private val PrefixProbeBound: Long = 128L * 1000 * 1000
+
+  // ---- shared PPJoin prefix machinery (the dispatcher's volume probe
+  // MUST estimate exactly the pipeline prefixPairs runs — one
+  // definition keeps them from drifting apart) ----
+
+  /** Per-doc rarity-sorted token arrays: postings joined with the
+    * per-(group, gram) frequencies, each token packed as ONE sortable
+    * string (gf zero-padded to fixed width, gram appended — binary
+    * UTF8 order == (rarity, gram)), collected + sorted per doc. The
+    * gf side is aggregate output (vocab-sized, small but beyond the
+    * broadcast threshold) — shuffle_hash skips the two sorts a
+    * sort-merge join would pay on the posting side (measured 5-6s →
+    * ~2.5s at the 4.5M-posting scale). */
+  private def rarityArrays(postings: DataFrame, gf: DataFrame, groupCols: Seq[String]): DataFrame =
+    postings
+      .join(gf.hint("shuffle_hash"), groupCols :+ "gram")
+      .select((col("id") +: col("sz") +:
+        concat(lpad(col("gf").cast("string"), 10, "0"), col("gram")).as("tok") +:
+        groupCols.map(col)): _*)
+      .groupBy((col("id") +: col("sz") +: groupCols.map(col)): _*)
+      .agg(sort_array(collect_list(col("tok"))).as("toks"))
+
+  /** Probing-prefix length sz - ceil(t·sz) + 1. The ceil is fp-nudged
+    * DOWN 1e-9 so a floating product landing epsilon above an exact
+    * integer can only LENGTHEN the prefix (safe), never shorten it
+    * (lossy). */
+  private def probePrefLen(threshold: Double): Column =
+    (col("sz") - ceil(col("sz").cast("double") * lit(threshold) - lit(1e-9)) + 1).cast("int")
+
+  /** Indexing-prefix length for the SMALLER side of a (sz, id)-ordered
+    * pair: with szX <= szY the required overlap is >= ⌈2t/(1+t)·szX⌉,
+    * so only the first szX - ⌈2t/(1+t)·szX⌉ + 1 tokens can witness a
+    * qualifying pair (same fp nudge as [[probePrefLen]]). */
+  private def idxPrefLen(threshold: Double): Column = {
+    val f = 2.0 * threshold / (1.0 + threshold)
+    (col("sz") - ceil(col("sz").cast("double") * lit(f) - lit(1e-9)) + 1).cast("int")
+  }
 
   /** Group+gram composite key for heavy-gram detection/salting: the
     * group columns (stringified) and the gram, NUL-joined. */
@@ -839,29 +867,14 @@ object Dedup {
     graft.sql.GraftFunctions.register(df.sparkSession)
     val ex = gramPostings(df, idCol, textCol, groupCols, n)
     val freq = ex.groupBy((groupCols.map(col) :+ col("gram")): _*).agg(count(lit(1)).as("gf"))
-    // rarity-ordered token arrays (prefix extraction only). The freq
-    // side is aggregate output (vocab-sized, small but beyond the
-    // broadcast threshold) — shuffle_hash skips the two sorts a
-    // sort-merge join would pay on the posting side (measured 5-6s →
-    // ~2.5s at the 4.5M-posting scale)
-    val rarToks = ex
-      .join(freq.hint("shuffle_hash"), groupCols :+ "gram")
-      .select((col("id") +: col("sz") +:
-        concat(lpad(col("gf").cast("string"), 10, "0"), col("gram")).as("tok") +:
-        groupCols.map(col)): _*)
-      .groupBy((col("id") +: col("sz") +: groupCols.map(col)): _*)
-      .agg(sort_array(collect_list(col("tok"))).as("toks"))
-    val probeLen = (col("sz") - ceil(col("sz").cast("double") * lit(threshold) - lit(1e-9)) + 1)
-      .cast("int")
-    val idxFrac = 2.0 * threshold / (1.0 + threshold)
-    val idxLen = (col("sz") - ceil(col("sz").cast("double") * lit(idxFrac) - lit(1e-9)) + 1)
-      .cast("int")
+    // rarity-ordered token arrays (prefix extraction only)
+    val rarToks = rarityArrays(ex, freq, groupCols)
     val pref = rarToks
       .select((col("id") +: col("sz") +: groupCols.map(col) :+
-        posexplode(slice(col("toks"), lit(1), probeLen)).as(Seq("pos", "tok"))): _*)
+        posexplode(slice(col("toks"), lit(1), probePrefLen(threshold))).as(Seq("pos", "tok"))): _*)
       .select((col("id") +: col("sz") +: col("pos") +:
         substring(col("tok"), 11, n + 1).as("gram") +: groupCols.map(col)): _*)
-    val idxPref = pref.filter(col("pos") < idxLen)
+    val idxPref = pref.filter(col("pos") < idxPrefLen(threshold))
     // jac upper-bound test in the double domain — identical to the
     // final filter, so pruning can never flip a boundary pair
     def jacCan(ub: Column, szA: Column, szB: Column): Column =
@@ -909,7 +922,14 @@ object Dedup {
     // are rarity-order, not lexicographic
     val lexToks = df.select(col(idCol).as("id"),
       array_sort(call_function("graft_char_ngrams", lower(col(textCol)), lit(n))).as("lt"))
-    val small = smallCorpus(df, idCol, 1L << 16)
+    // broadcast gate on BYTES, not just row count: the arrays are
+    // text-sized, so 65k docs of 10KB crawl pages would be GBs through
+    // broadcast — the char-sum probe (one cheap scan, only run once
+    // the count probe already passed) bounds the payload
+    val small = smallCorpus(df, idCol, 1L << 16) && {
+      val b = df.agg(sum(length(col(textCol)))).head()
+      !b.isNullAt(0) && b.getLong(0) <= (64L << 20)
+    }
     def side(as: String, out: String) = {
       val s = lexToks.select(col("id").as(as), col("lt").as(out))
       if (small) broadcast(s) else s.hint("shuffle_hash")

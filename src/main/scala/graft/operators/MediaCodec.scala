@@ -181,7 +181,9 @@ object MediaCodec {
     while (off + 8 <= bytes.length && (fmtOff < 0 || dataOff < 0)) {
       val id = new String(bytes, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
       val len = u32(bytes, off + 4)
-      require(len >= 0 && off + 8 + len <= bytes.length, s"WAV chunk '$id' truncated")
+      // compare in the subtraction form: `off + 8 + len` overflows Int
+      // for a crafted multi-GB declared size and would bypass the guard
+      require(len >= 0 && len <= bytes.length - off - 8, s"WAV chunk '$id' truncated")
       if (id == "fmt " && fmtOff < 0) fmtOff = off + 8
       else if (id == "data" && dataOff < 0) { dataOff = off + 8; dataLen = len }
       off += 8 + len + (len & 1) // RIFF word alignment: odd chunks pad 1

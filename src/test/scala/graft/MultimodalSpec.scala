@@ -115,6 +115,13 @@ class MultimodalSpec extends SparkSpecBase {
     val noData = withMeta.take(withMeta.length - 12) // strip the data chunk
     val e = intercept[IllegalArgumentException](MediaCodec.decodeWav(noData))
     assert(e.getMessage.contains("no data chunk"))
+    // a crafted chunk size near Int.MaxValue must hit the truncation
+    // guard, not overflow past it into an allocation/index crash
+    val crafted = goldenWav.clone()
+    crafted(40) = 0xF0.toByte; crafted(41) = 0xFF.toByte
+    crafted(42) = 0xFF.toByte; crafted(43) = 0x7F.toByte // data len = 0x7FFFFFF0
+    val o = intercept[IllegalArgumentException](MediaCodec.decodeWav(crafted))
+    assert(o.getMessage.contains("truncated"), o.getMessage)
   }
 
   test("GVID: parsed frame index walks the real length-prefix chain") {

@@ -18,6 +18,25 @@ object OracleSql {
 
   private val rev = "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))"
 
+  /** The weekly-cohort retention matrix over any events source —
+    * shared by the batch gate and its streaming twin so the two
+    * oracles cannot drift apart. */
+  private def retentionMatrix(source: String): String =
+    s"""WITH a AS (SELECT user_id, MIN(ts) AS t0
+                    FROM $source WHERE event_type = 'signup' GROUP BY user_id),
+              ac AS (SELECT user_id, t0, date_trunc('week', t0) AS cohort FROM a),
+              act AS (SELECT DISTINCT e.user_id, ac.cohort,
+                        CAST(FLOOR((FLOOR(epoch(e.ts)) - FLOOR(epoch(ac.t0))) / 604800.0) AS INT) AS period_n
+                      FROM $source e JOIN ac ON e.user_id = ac.user_id
+                      WHERE e.ts >= ac.t0),
+              cs AS (SELECT cohort, COUNT(*) AS n_cohort FROM ac GROUP BY cohort),
+              cells AS (SELECT cohort, period_n, COUNT(*) AS n_active
+                        FROM act GROUP BY cohort, period_n)
+         SELECT cells.cohort AS cohort, period_n, n_cohort, n_active,
+                CAST(n_active AS DOUBLE) / CAST(n_cohort AS DOUBLE) AS retention
+         FROM cells JOIN cs ON cells.cohort = cs.cohort
+         ORDER BY cells.cohort, period_n"""
+
   /** The funnel's cascaded running-min window construction over any
     * events source — shared by the batch gate and its streaming twin
     * so the two oracles cannot drift apart. */
@@ -342,21 +361,12 @@ object OracleSql {
          ORDER BY n_occurrences DESC, path ASC LIMIT 10""",
     // floor-epoch period arithmetic: Spark's timestamp->long cast ==
     // floor(epoch(ts)) here, so cell boundaries are engine-exact
-    "q_retention" ->
-      """WITH a AS (SELECT user_id, MIN(ts) AS t0
-                    FROM events WHERE event_type = 'signup' GROUP BY user_id),
-              ac AS (SELECT user_id, t0, date_trunc('week', t0) AS cohort FROM a),
-              act AS (SELECT DISTINCT e.user_id, ac.cohort,
-                        CAST(FLOOR((FLOOR(epoch(e.ts)) - FLOOR(epoch(ac.t0))) / 604800.0) AS INT) AS period_n
-                      FROM events e JOIN ac ON e.user_id = ac.user_id
-                      WHERE e.ts >= ac.t0),
-              cs AS (SELECT cohort, COUNT(*) AS n_cohort FROM ac GROUP BY cohort),
-              cells AS (SELECT cohort, period_n, COUNT(*) AS n_active
-                        FROM act GROUP BY cohort, period_n)
-         SELECT cells.cohort AS cohort, period_n, n_cohort, n_active,
-                CAST(n_active AS DOUBLE) / CAST(n_cohort AS DOUBLE) AS retention
-         FROM cells JOIN cs ON cells.cohort = cs.cohort
-         ORDER BY cells.cohort, period_n""",
+    "q_retention" -> retentionMatrix("events"),
+    // STREAMING twin parity gate — the identical batch construction
+    // over the gate's bounded window (one shared template, like
+    // q_funnel / q_stream_funnel)
+    "q_stream_retention" ->
+      retentionMatrix("(SELECT * FROM events WHERE event_id < 20000)"),
     "q_time_trunc" ->
       """SELECT event_id,
          date_trunc('year', ts) AS t_year,

@@ -287,6 +287,51 @@ object SparkEntry {
       .orderBy(col("user_id"))
   }
 
+  /**
+   * STREAMING retention under the hash gate — the q_stream_funnel
+   * discipline applied to the trio's cross-user aggregate twin: the
+   * same bounded events window replayed through StreamingRetention in
+   * three out-of-order batches, flushed by the watermark sentinel,
+   * rolled into the batch matrix shape by `matrix` (cohort truncation
+   * as a Spark expression, countDistinct idempotence), and
+   * hash-compared to q_retention's BATCH oracle over the same window.
+   * The wide watermark means no user times out before the sentinel,
+   * so every user's full window history replays in one buffer — the
+   * exact-parity regime the spec proves.
+   */
+  private def qStreamRetention(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingRetention
+    import graft.streaming.StreamingRetention.REv
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val evs = ld(s, dir, "events")
+      .filter(col("event_id") < 20000)
+      .select(col("user_id"), col("ts"), col("event_type"), col("event_id"))
+      .collect() // bounded: ≤ 20k fixed-window rows at any sf
+    if (evs.isEmpty)
+      return StreamingRetention.matrix(s.emptyDataset[StreamingRetention.UserPeriod].toDF())
+    val maxTsMs = evs.map(_.getTimestamp(1).getTime).max
+    val stream = MemoryStream[REv]
+    val name = s"q_stream_retention_${streamGateN.incrementAndGet()}"
+    val q = StreamingRetention
+      .streaming(s, stream.toDS(), anchorType = "signup",
+        inactivityMinutes = 30, watermark = "36500 days")
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      for (i <- 0 until 3) {
+        stream.addData(evs.filter(r => math.floorMod(r.getLong(3), 3) == i)
+          .map(r => REv(r.getLong(0), r.getTimestamp(1), r.getString(2))).toIndexedSeq)
+        q.processAllAvailable()
+      }
+      stream.addData(REv(-1L,
+        new java.sql.Timestamp(maxTsMs + (36502L * 86400 * 1000)), "view"))
+      q.processAllAvailable()
+    } finally q.stop()
+    StreamingRetention.matrix(s.table(name).filter(col("user_id") =!= -1L))
+      .orderBy(col("cohort"), col("period_n"))
+  }
+
   /** Top event-type trigram paths (Funnel.topPaths): most-walked
     * consecutive 3-step sequences with distinct-user counts — lead()
     * n-grams over one user-key exchange, rollup by path. */
@@ -2398,6 +2443,7 @@ object SparkEntry {
     "q_window_lag" -> (qWindowLag _),
     "q_funnel" -> (qFunnel _),
     "q_stream_funnel" -> (qStreamFunnel _),
+    "q_stream_retention" -> (qStreamRetention _),
     "q_retention" -> (qRetention _),
     "q_event_paths" -> (qEventPaths _),
     "q_window_funcs" -> (qWindowFuncs _),

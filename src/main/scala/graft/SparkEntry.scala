@@ -241,8 +241,8 @@ object SparkEntry {
    * promoted from spec-only to a daily CORRECTNESS row. A
    * deterministic bounded window of the events table (event_id <
    * 20000 — flat-cost at any sf, bounded driver memory) is replayed
-   * through a MemoryStream in THREE deterministic batches split by
-   * event_id mod 3 — cross-batch out-of-order arrival, the case the
+   * through a MemoryStream in TWO deterministic batches split by
+   * event_id mod 2 — cross-batch out-of-order arrival, the case the
    * buffered-replay state design exists for — with a watermark wide
    * enough to admit every batch; a far-future sentinel then advances
    * the watermark past every user's inactivity horizon so all state
@@ -272,8 +272,8 @@ object SparkEntry {
         inactivityMinutes = 30, watermark = "36500 days")
       .writeStream.format("memory").queryName(name).outputMode("append").start()
     try {
-      for (i <- 0 until 3) {
-        stream.addData(evs.filter(e => math.floorMod(e.event_id, 3) == i).toIndexedSeq)
+      for (i <- 0 until 2) {
+        stream.addData(evs.filter(e => math.floorMod(e.event_id, 2) == i).toIndexedSeq)
         q.processAllAvailable()
       }
       // sentinel: watermark = sentinelTs - 36500d = max + 2d — past
@@ -291,7 +291,7 @@ object SparkEntry {
    * STREAMING retention under the hash gate — the q_stream_funnel
    * discipline applied to the trio's cross-user aggregate twin: the
    * same bounded events window replayed through StreamingRetention in
-   * three out-of-order batches, flushed by the watermark sentinel,
+   * two out-of-order batches, flushed by the watermark sentinel,
    * rolled into the batch matrix shape by `matrix` (cohort truncation
    * as a Spark expression, countDistinct idempotence), and
    * hash-compared to q_retention's BATCH oracle over the same window.
@@ -319,8 +319,8 @@ object SparkEntry {
         inactivityMinutes = 30, watermark = "36500 days")
       .writeStream.format("memory").queryName(name).outputMode("append").start()
     try {
-      for (i <- 0 until 3) {
-        stream.addData(evs.filter(r => math.floorMod(r.getLong(3), 3) == i)
+      for (i <- 0 until 2) {
+        stream.addData(evs.filter(r => math.floorMod(r.getLong(3), 2) == i)
           .map(r => REv(r.getLong(0), r.getTimestamp(1), r.getString(2))).toIndexedSeq)
         q.processAllAvailable()
       }

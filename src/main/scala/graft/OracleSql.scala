@@ -18,6 +18,37 @@ object OracleSql {
 
   private val rev = "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))"
 
+  /** The densified-calendar trailing-window anomaly grid over any
+    * events source — shared by the batch gate and its streaming twin
+    * so the two oracles cannot drift apart. */
+  private def anomalyGrid(source: String): String =
+    s"""WITH d0 AS (SELECT date_trunc('day', ts) AS day, event_type, COUNT(*) AS cnt
+                     FROM $source GROUP BY 1, 2),
+            grid AS (SELECT event_type, unnest(generate_series(min(day), max(day),
+                            INTERVAL 1 DAY)) AS day
+                     FROM d0 GROUP BY event_type),
+            d AS (SELECT g.day, g.event_type, COALESCE(d0.cnt, 0) AS cnt
+                  FROM grid g LEFT JOIN d0 ON g.day = d0.day AND g.event_type = d0.event_type),
+            w AS (SELECT day, event_type, cnt,
+                    COUNT(*) OVER tw AS n_prev,
+                    SUM(cnt) OVER tw AS sum_prev,
+                    SUM(cnt * cnt) OVER tw AS sumsq_prev
+                  FROM d
+                  WINDOW tw AS (PARTITION BY event_type ORDER BY day
+                                ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+            f AS (SELECT day, event_type, cnt,
+                    CAST(n_prev AS DOUBLE) AS nd, CAST(sum_prev AS DOUBLE) AS sd,
+                    CAST(sumsq_prev AS DOUBLE) AS ssd
+                  FROM w WHERE n_prev > 1),
+            g AS (SELECT day, event_type, cnt, sd / nd AS mean_prev,
+                    sqrt((ssd - sd * sd / nd) / (nd - 1)) AS std
+                  FROM f)
+         SELECT day, event_type, cnt, mean_prev,
+           CASE WHEN std > 0.0 THEN (cnt - mean_prev) / std END AS z,
+           COALESCE(CASE WHEN std > 0.0 THEN abs((cnt - mean_prev) / std) > 3.0 END,
+                    CAST(cnt AS DOUBLE) <> mean_prev) AS is_anomaly
+         FROM g ORDER BY event_type, day"""
+
   /** The weekly-cohort retention matrix over any events source —
     * shared by the batch gate and its streaming twin so the two
     * oracles cannot drift apart. */
@@ -320,33 +351,11 @@ object OracleSql {
     // exact window integers (count/sum/sum-of-squares over the trailing
     // 7 days), then the IDENTICAL scalar double formula both engines
     // evaluate bit-for-bit — the q_agg_stats discipline on a window
-    "q_anomaly" ->
-      """WITH d0 AS (SELECT date_trunc('day', ts) AS day, event_type, COUNT(*) AS cnt
-                     FROM events GROUP BY 1, 2),
-            grid AS (SELECT event_type, unnest(generate_series(min(day), max(day),
-                            INTERVAL 1 DAY)) AS day
-                     FROM d0 GROUP BY event_type),
-            d AS (SELECT g.day, g.event_type, COALESCE(d0.cnt, 0) AS cnt
-                  FROM grid g LEFT JOIN d0 ON g.day = d0.day AND g.event_type = d0.event_type),
-            w AS (SELECT day, event_type, cnt,
-                    COUNT(*) OVER tw AS n_prev,
-                    SUM(cnt) OVER tw AS sum_prev,
-                    SUM(cnt * cnt) OVER tw AS sumsq_prev
-                  FROM d
-                  WINDOW tw AS (PARTITION BY event_type ORDER BY day
-                                ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
-            f AS (SELECT day, event_type, cnt,
-                    CAST(n_prev AS DOUBLE) AS nd, CAST(sum_prev AS DOUBLE) AS sd,
-                    CAST(sumsq_prev AS DOUBLE) AS ssd
-                  FROM w WHERE n_prev > 1),
-            g AS (SELECT day, event_type, cnt, sd / nd AS mean_prev,
-                    sqrt((ssd - sd * sd / nd) / (nd - 1)) AS std
-                  FROM f)
-         SELECT day, event_type, cnt, mean_prev,
-           CASE WHEN std > 0.0 THEN (cnt - mean_prev) / std END AS z,
-           COALESCE(CASE WHEN std > 0.0 THEN abs((cnt - mean_prev) / std) > 3.0 END,
-                    CAST(cnt AS DOUBLE) <> mean_prev) AS is_anomaly
-         FROM g ORDER BY event_type, day""",
+    "q_anomaly" -> anomalyGrid("events"),
+    // STREAMING twin parity gate — the identical batch construction
+    // over the gate's bounded window (one shared template)
+    "q_stream_anomaly" ->
+      anomalyGrid("(SELECT * FROM events WHERE event_id < 20000)"),
     "q_event_paths" ->
       """WITH p AS (SELECT user_id, event_type,
               lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS s1,

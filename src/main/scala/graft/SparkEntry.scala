@@ -332,6 +332,56 @@ object SparkEntry {
       .orderBy(col("cohort"), col("period_n"))
   }
 
+  /**
+   * STREAMING anomaly under the hash gate — the trio's third twin
+   * (funnel, retention, anomaly: the whole event-analytics family's
+   * streaming story is now daily-gated). The bounded events window
+   * streams through [[graft.streaming.StreamingAnomaly.dailyCounts]]
+   * (watermarked 1-day windows) into a memory sink — cells finalize
+   * when the sentinel advances the watermark — and the finalized
+   * cells are scored by the EXACT batch operator
+   * (densifyDaily + anomalies), hash-compared to q_anomaly's batch
+   * oracle over the same window. The sentinel's own far-future cell
+   * never finalizes (nothing advances the watermark past it), so it
+   * cannot contaminate the grid.
+   */
+  private def qStreamAnomaly(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val evs = ld(s, dir, "events")
+      .filter(col("event_id") < 20000)
+      .select(col("ts"), col("event_type"), col("event_id"))
+      .collect() // bounded: ≤ 20k fixed-window rows at any sf
+    val cells: DataFrame =
+      if (evs.isEmpty)
+        Seq.empty[(java.sql.Timestamp, String, Long)].toDF("day", "event_type", "cnt")
+      else {
+        val maxTsMs = evs.map(_.getTimestamp(0).getTime).max
+        val stream = MemoryStream[(java.sql.Timestamp, String, Long)]
+        val name = s"q_stream_anomaly_${streamGateN.incrementAndGet()}"
+        val q = graft.streaming.StreamingAnomaly
+          .dailyCounts(stream.toDS().toDF("ts", "event_type", "event_id"),
+            "ts", "event_type", watermark = "36500 days")
+          .writeStream.format("memory").queryName(name).outputMode("append").start()
+        try {
+          for (i <- 0 until 2) {
+            stream.addData(evs.filter(r => math.floorMod(r.getLong(2), 2) == i)
+              .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toIndexedSeq)
+            q.processAllAvailable()
+          }
+          stream.addData((new java.sql.Timestamp(maxTsMs + (36502L * 86400 * 1000)),
+            "view", -1L))
+          q.processAllAvailable()
+        } finally q.stop()
+        s.table(name).select(col("day"), col("event_type"), col("cnt"))
+      }
+    graft.operators.Funnel.anomalies(
+      graft.operators.Funnel.densifyDaily(cells, "event_type", "day", "cnt"),
+      seriesCol = "event_type", periodCol = "day", cntCol = "cnt")
+      .orderBy(col("event_type"), col("day"))
+  }
+
   /** Top event-type trigram paths (Funnel.topPaths): most-walked
     * consecutive 3-step sequences with distinct-user counts — lead()
     * n-grams over one user-key exchange, rollup by path. */
@@ -2444,6 +2494,7 @@ object SparkEntry {
     "q_funnel" -> (qFunnel _),
     "q_stream_funnel" -> (qStreamFunnel _),
     "q_stream_retention" -> (qStreamRetention _),
+    "q_stream_anomaly" -> (qStreamAnomaly _),
     "q_retention" -> (qRetention _),
     "q_event_paths" -> (qEventPaths _),
     "q_window_funcs" -> (qWindowFuncs _),

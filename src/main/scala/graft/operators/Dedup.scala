@@ -503,7 +503,19 @@ object Dedup {
     }
     val nearDupDense = estJoinRows > PrefixProbeBound && estPrefixRows * 2 < estJoinRows
     if (heavyTailed || nearDupDense) {
-      prefixPairs(df, idCol, textCol, groupCols, n, threshold)
+      // VOLUME-SIZED candidate-join partitioning, same discipline as
+      // the dense route below: per-task memory tracks candidate rows /
+      // partitions. When the route came from the prefix-volume probe
+      // its estimate sizes the width; the heavy-tailed escape reuses
+      // whichever estimate is already computed (the prefix estimate
+      // exists exactly when the dense one passed the probe bound) —
+      // too-wide costs only scheduling, too-narrow costs heap.
+      val estRows = if (estJoinRows > PrefixProbeBound) estPrefixRows else estJoinRows
+      val sessionParts = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt
+      val targetParts = math.min(2048L,
+        math.max(sessionParts.toLong, estRows / (8L * 1000 * 1000))).toInt
+      prefixPairs(df, idCol, textCol, groupCols, n, threshold,
+        numPartitions = if (targetParts > sessionParts) Some(targetParts) else None)
     } else {
       // HEAVY-GRAM SALTING KEYS for the dense route: a gram whose
       // posting list is long enough that its SINGLE (group, gram)
@@ -863,7 +875,7 @@ object Dedup {
    */
   private def prefixPairs(
       df: DataFrame, idCol: String, textCol: String, groupCols: Seq[String],
-      n: Int, threshold: Double): DataFrame = {
+      n: Int, threshold: Double, numPartitions: Option[Int] = None): DataFrame = {
     graft.sql.GraftFunctions.register(df.sparkSession)
     val ex = gramPostings(df, idCol, textCol, groupCols, n)
     val freq = ex.groupBy((groupCols.map(col) :+ col("gram")): _*).agg(count(lit(1)).as("gf"))
@@ -885,9 +897,15 @@ object Dedup {
     // overlap >= α has szX - px >= α and szY - py >= α; α >= the
     // double form minus 1e-6, so the -1 slack keeps the cut safe
     val alphaD = lit(threshold / (1.0 + threshold)) * (col("a.sz") + col("b.sz")).cast("double")
-    val cands = idxPref.as("a")
+    // volume-sized candidate-join partitioning (the denseFromPostings
+    // discipline): an explicit repartition on the join's cluster keys
+    // IS the join's exchange, at the width the dispatcher's estimated
+    // candidate volume needs; None keeps the plan untouched
+    def sized(d: DataFrame): DataFrame =
+      numPartitions.fold(d)(np => d.repartition(np, (groupCols.map(col) :+ col("gram")): _*))
+    val cands = sized(idxPref).as("a")
       .join(
-        pref.as("b").hint("shuffle_hash"),
+        sized(pref).as("b").hint("shuffle_hash"),
         (groupCols.map(c => col(s"a.$c") === col(s"b.$c")) :+
           (col("a.gram") === col("b.gram")) :+
           // (sz, id) pair order: the index-prefix side is the smaller doc

@@ -176,7 +176,14 @@ object Bench {
           "\"" + k.stripPrefix("q_rollup_") + "_ms\":" + math.round(v * 1000)
         }.mkString("", ",", ",")
       else ""
+      // the 10 slowest queries ALSO get a named seconds dict (the
+      // documented "queries" shape) — regressions in the heavies stay
+      // directly readable without decoding the array, ~250 chars
+      val slow = looped.filter(_._2 >= 0).sortBy(-_._2).take(10)
+        .map { case (k, v) => "\"" + k + "\":" + num(v, 2) }
+        .mkString("{", ",", "}")
       s"""{"metric":"total","value":${num(total, 2)},"unit":"sec","L0":${li(load0)},"L":${li(load)},""" +
+        s""""queries":$slow,"q_note":"10 slowest; q_ms has all",""" +
         s""""q_ms_order":"alphabetical SparkEntry.queries keys",$pair"q_ms":$arr,"sf":"$sfName"}"""
     }
     // tiered shedding against the driver's 2000-char tail capture (a

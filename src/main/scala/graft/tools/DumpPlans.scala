@@ -71,7 +71,7 @@ object DumpPlans {
       "q_dsir_served" -> "DSIR serving from the persisted model: ONE narrow tokenize pass over the pool feeds the map-side-combined (doc, bucket) aggregate; the stored ratio table (≤ buckets rows, one parquet file) broadcasts into the scoring join so the pool never shuffles for the model; top-100 is TakeOrderedAndProject, never a global sort. q_dsir_updated serves the incrementally-refreshed generation through this IDENTICAL plan — update changes the stored counts, not the serve shape",
       "q_multimodal_phash" -> "perceptual hash: the 64-bit aHash runs over REAL decoded 8×8 luma grids (MediaCodec BMP parse — header offset, stride, bottom-up flip, B-G-R — in one partition-local batched pass; no UDF, no collect); near-dup pairing is the pigeonhole discipline: 8 hash-block keys explode to an id-only band shuffle, hamming verify touches only co-bucketed candidates — payload bytes never shuffle",
       "q_nb_classify" -> "NB source classifier: train and test each tokenize ONCE, aggregated map-side to narrow bucket rows before any exchange (text never shuffles); the model (≤ K·B class-bucket counts + K-row class table) broadcasts into the scoring join; the ×K class expansion sits ABOVE the per-(doc, bucket) aggregate so the per-(doc, class) sum combines map-side; argmax is ONE max(struct) aggregate — no per-doc window sort anywhere in the plan",
-      "q_dedup_ngram_jaccard" -> "ngram jaccard, probe-dispatched: a sampled dup probe gates the exact-dup collapse (identical texts → one representative, pair set re-expanded — a k-replica cluster costs the self-join one doc, not k²), the gram probe gates dense-vs-prefix, and sampled dominator grams (gf² > stage share) salt the counting join 16 ways; on this dup-free corpus all probes choose the plain dense plan shown",
+      "q_dedup_ngram_jaccard" -> "ngram jaccard, probe-dispatched: a sampled dup probe gates the exact-dup collapse (identical texts → one representative, pair set re-expanded through bounded hash(id) chunks — a k-replica cluster costs the self-join one doc, not k², and no buffer is ever cluster-sized), the gram probe gates dense vs FULL PPJoin (asymmetric index/probe prefixes, positional filters in the join condition, suffix-filter + early-terminating-merge verification — preferred when the estimated asymmetric candidate volume beats the dense Σgf² by 2× past 128M rows, i.e. near-dup-dense corpora), and sampled dominator grams (gf² > stage share) salt the dense counting join 16 ways; on this dup-free corpus all probes choose the plain dense plan shown",
       "q_zorder" -> "Z-order key: the Morton interleave is ~12 mask/shift/or integer ops per row inside WholeStageCodegen (no UDF, no join); the per-cell aggregate map-side combines to ≤ cells rows before its one exchange; the LAYOUT path (ZOrder.write) pays only the range-partition exchange any sorted write pays — sample-based bounds, then sortWithinPartitions feeds parquet row-group stats"
     )
 

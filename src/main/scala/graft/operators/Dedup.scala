@@ -831,8 +831,9 @@ object Dedup {
       textCol: String,
       groupCols: Seq[String],
       n: Int = 4,
-      threshold: Double = 0.35
-  ): DataFrame = prefixPairs(df, idCol, textCol, groupCols, n, threshold)
+      threshold: Double = 0.35,
+      numPartitions: Option[Int] = None
+  ): DataFrame = prefixPairs(df, idCol, textCol, groupCols, n, threshold, numPartitions)
 
   /**
    * Full PPJoin (Xiao et al., WWW 2008 §3.2-3.3): prefix filter +

@@ -145,6 +145,14 @@ class DedupSpec extends SparkSpecBase {
       .ngramJaccardPairsPrefix(real, "doc_id", "text", Seq("lang", "source"), n = 4, threshold = 0.35)
       .as[(Long, Long, Double)].collect().toSeq.sorted
     assert(prefixed == full)
+    // the volume-sized candidate-join width (the dispatcher engages it
+    // past ~8M estimated rows — unreachable at spec scale) must be a
+    // pure plan-width change, never a result change
+    val widened = Dedup
+      .ngramJaccardPairsPrefix(real, "doc_id", "text", Seq("lang", "source"), n = 4,
+        threshold = 0.35, numPartitions = Some(64))
+      .as[(Long, Long, Double)].collect().toSeq.sorted
+    assert(widened == full)
   }
 
   test("ngram jaccard dispatcher routes by skew and both routes give identical pairs") {

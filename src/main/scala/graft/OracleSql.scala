@@ -1624,6 +1624,8 @@ object OracleSql {
     // the inline fit+select — the stored quantized ratios ARE the
     // inline ones and every raw-pool bucket is in the table
     "q_dsir_served" -> dsirSelectSql,
+    // streaming scoring twin: same model CTEs, window-scoped scores
+    "q_stream_dsir" -> dsirStreamSql,
     // the incrementally-refreshed model (fit half + update half) must
     // serve EXACTLY the full-corpus model — same oracle by design
     "q_dsir_updated" -> dsirSelectSql,
@@ -1721,7 +1723,11 @@ object OracleSql {
 
   // COALESCE mirrors Dsir.featureCounts' null-flag rule: a NULL source
   // is raw pool on both sides, so the gate cannot diverge on null rows
-  private lazy val dsirSelectSql =
+  /** DSIR common CTEs: the full-corpus hashed-unigram ratio model plus
+    * per-doc quantized scores over the raw-pool docs matching
+    * `scoredPred` — shared by the batch select/serve gates and the
+    * streaming scoring twin so the model arithmetic cannot drift. */
+  private def dsirScored(scoredPred: String): String =
       s"""WITH t AS (SELECT doc_id, COALESCE(source = 'src0', FALSE) AS is_t, $toks AS tk FROM documents),
               u AS (SELECT doc_id, is_t, unnest(tk) AS w FROM t),
               ub AS (SELECT doc_id, is_t,
@@ -1739,11 +1745,14 @@ object OracleSql {
                         (CAST(cr + 1 AS DOUBLE) * CAST(nt + 4096 AS DOUBLE))) * 1000000.0) AS BIGINT) AS ratio_q
                     FROM bc CROSS JOIN tot),
               tfb AS (SELECT doc_id, bucket, COUNT(*) AS tf FROM ub
-                      WHERE NOT is_t GROUP BY doc_id, bucket),
+                      WHERE $scoredPred GROUP BY doc_id, bucket),
               sc AS (SELECT tfb.doc_id,
                        CAST(SUM(tfb.tf) AS BIGINT) AS doc_tokens,
                        CAST(SUM(tfb.tf * r.ratio_q) AS BIGINT) AS logw_q
-                     FROM tfb JOIN r USING (bucket) GROUP BY tfb.doc_id),
+                     FROM tfb JOIN r USING (bucket) GROUP BY tfb.doc_id)"""
+
+  private lazy val dsirSelectSql =
+      s"""${dsirScored("NOT is_t")},
               rk AS (SELECT doc_id, doc_tokens, logw_q,
                        ROW_NUMBER() OVER (ORDER BY logw_q DESC, doc_id ASC) AS rank
                      FROM sc)
@@ -1751,4 +1760,14 @@ object OracleSql {
                 CAST(logw_q AS DOUBLE) / 1000000.0 AS logw,
                 CAST(rank AS INT) AS rank
          FROM rk WHERE rank <= 100 ORDER BY rank"""
+
+  /** Streaming DSIR scoring twin: every raw-pool doc in the bounded
+    * window scored against the same full-corpus model, with the
+    * minLogw=0 keep decision — engine-exact as logw_q >= 0. */
+  private[graft] lazy val dsirStreamSql =
+      s"""${dsirScored("NOT is_t AND doc_id < 2000")}
+         SELECT doc_id, doc_tokens, logw_q,
+                CAST(logw_q AS DOUBLE) / 1000000.0 AS logw,
+                logw_q >= 0 AS keep
+         FROM sc ORDER BY doc_id"""
 }

@@ -2102,6 +2102,51 @@ object SparkEntry {
       .orderBy(col("rank"))
   }
 
+  /**
+   * STREAMING DSIR screening under the hash gate — the LLM-pipeline
+   * lifecycle's streaming twin promoted to a daily CORRECTNESS row: a
+   * bounded raw-pool window (doc_id < 2000, non-target — flat-cost at
+   * any sf) streams through [[graft.streaming.StreamingDsir.run]] in
+   * two batches against the PERSISTED full-corpus model (the
+   * q_dsir_served fixture), each micro-batch scored by
+   * `Dsir.scoreWithModel` with the minLogw=0 keep decision and landed
+   * in a replay-safe per-batch report; the report must hash-match the
+   * oracle's from-scratch recomputation of the same model + scores +
+   * keep over the same window (keep is engine-exact as logw_q >= 0).
+   * Fresh report/checkpoint dirs per run — a reused checkpoint would
+   * resume offsets and silently skip batches.
+   */
+  private def qStreamDsir(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val modelPath = ensureDsirModel(s, dir)
+    val docs = ld(s, dir, "documents")
+      .filter(col("doc_id") < 2000)
+      .filter(!coalesce(col("source") === "src0", lit(false)))
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .collect() // bounded: < 2000 fixed-window rows at any sf
+    if (docs.isEmpty)
+      return Seq.empty[(Long, Long, Long, Double, Boolean)]
+        .toDF("doc_id", "doc_tokens", "logw_q", "logw", "keep")
+    val stream = MemoryStream[(Long, String)]
+    val base = s"/tmp/graft_q_stream_dsir/${java.util.UUID.randomUUID()}"
+    val q = graft.streaming.StreamingDsir.run(s,
+      stream.toDS().toDF("doc_id", "text"),
+      modelPath, s"$base/report", minLogw = 0.0, checkpoint = s"$base/ck")
+    try {
+      for (i <- 0 until 2) {
+        stream.addData(docs.filter(d => math.floorMod(d._1, 2L) == i.toLong).toIndexedSeq)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    s.read.option("basePath", s"$base/report").parquet(s"$base/report")
+      .filter(col("doc_tokens") > 0)
+      .select(col("doc_id"), col("doc_tokens"), col("logw_q"), col("logw"), col("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Hashed-unigram multinomial Naive Bayes source classifier
     * (graft.operators.NaiveBayes): train on an md5-hash half of the
     * corpus's source labels (the q_group_split assignment discipline —
@@ -2602,6 +2647,7 @@ object SparkEntry {
     "q_lm_perplexity" -> (qLmPerplexity _),
     "q_dsir_select" -> (qDsirSelect _),
     "q_dsir_served" -> (qDsirServed _),
+    "q_stream_dsir" -> (qStreamDsir _),
     "q_dsir_updated" -> (qDsirUpdated _),
     "q_nb_classify" -> (qNbClassify _),
     "q_zorder" -> (qZorder _),

@@ -214,7 +214,11 @@ object OracleSql {
   /** Brute-force contamination check (shared by q_contamination and its
     * Bloom-prefiltered twin q_contamination_bloom — identical results
     * by construction, see TextAnalysis.contaminationScreenBloom). */
-  private val contaminationSql =
+  /** Benchmark-contamination check with a parameterized screened-doc
+    * predicate — shared by the exact gate, the Bloom scale path, and
+    * the streaming twin so the gram/benchmark definitions cannot
+    * drift. */
+  private def contaminationScoped(screenedPred: String): String =
     s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
             g AS (SELECT doc_id, unnest(list_distinct(list_filter(
                     list_transform(tk, (x, i) -> CASE WHEN i + 4 <= len(tk)
@@ -225,10 +229,16 @@ object OracleSql {
             c AS (SELECT g.doc_id, COUNT(*) AS n_grams,
                          CAST(SUM(CASE WHEN e.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
                   FROM g LEFT JOIN e ON g.gram = e.gram
-                  WHERE g.doc_id % 97 <> 0 GROUP BY g.doc_id)
+                  WHERE $screenedPred GROUP BY g.doc_id)
        SELECT doc_id, n_grams, n_hit,
               CAST(n_hit AS DOUBLE) / CAST(n_grams AS DOUBLE) AS contamination_frac
        FROM c ORDER BY doc_id"""
+
+  private val contaminationSql = contaminationScoped("g.doc_id % 97 <> 0")
+
+  /** Streaming contamination twin: the same check window-scoped. */
+  private[graft] val contaminationStreamSql =
+    contaminationScoped("g.doc_id % 97 <> 0 AND g.doc_id < 2000")
 
   val all: Map[String, String] = Map(
     "q_agg_sum_min_max" ->
@@ -1279,6 +1289,8 @@ object OracleSql {
                   q -> abs(q) = 127)) AS BIGINT) AS n_saturated
          FROM s ORDER BY vec_id""",
     "q_contamination" -> contaminationSql,
+    // streaming screening twin: same check, window-scoped
+    "q_stream_contamination" -> contaminationStreamSql,
     // the Bloom-prefiltered scale path returns EXACTLY the exact
     // check's rows (FPs die in the verify join, FNs are impossible),
     // so it shares the brute-force oracle — the gate proves it

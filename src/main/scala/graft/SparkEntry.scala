@@ -2336,6 +2336,50 @@ object SparkEntry {
   }
 
   /**
+   * STREAMING contamination screening under the hash gate — the fifth
+   * daily-gated streaming twin: a bounded non-benchmark window
+   * (doc_id < 2000, doc_id % 97 != 0 — flat-cost at any sf) streams
+   * through [[graft.streaming.StreamingContamination.run]] in two
+   * batches against the table-derived benchmark gram set, each
+   * micro-batch's per-doc report landed replay-safe; the reports must
+   * hash-match the brute-force oracle over the same window (shared
+   * gram/benchmark SQL with q_contamination). Zero-gram docs are
+   * emitted unscreened-flagged by the operator (spec-covered) and
+   * excluded here to match the batch gate's explode semantics.
+   */
+  private def qStreamContamination(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val docsTbl = ld(s, dir, "documents")
+    val evalGrams = graft.streaming.StreamingContamination
+      .evalGramSet(docsTbl.filter(col("doc_id") % 97 === 0), "doc_id", "text", 5)
+    val window = docsTbl
+      .filter(col("doc_id") < 2000 && col("doc_id") % 97 =!= 0)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .collect() // bounded: < 2000 fixed-window rows at any sf
+    if (window.isEmpty)
+      return Seq.empty[(Long, Long, Long, Double)]
+        .toDF("doc_id", "n_grams", "n_hit", "contamination_frac")
+    val stream = MemoryStream[(Long, String)]
+    val base = s"/tmp/graft_q_stream_contamination/${java.util.UUID.randomUUID()}"
+    val q = graft.streaming.StreamingContamination.run(s,
+      stream.toDS().toDF("doc_id", "text"),
+      evalGrams, s"$base/report", n = 5, checkpoint = s"$base/ck")
+    try {
+      for (i <- 0 until 2) {
+        stream.addData(window.filter(d => math.floorMod(d._1, 2L) == i.toLong).toIndexedSeq)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    s.read.option("basePath", s"$base/report").parquet(s"$base/report")
+      .filter(col("n_grams") > 0)
+      .select(col("doc_id"), col("n_grams"), col("n_hit"), col("contamination_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  /**
    * The SAME contamination check through the Bloom-prefilter scale
    * path (TextAnalysis.contaminationScreenBloom): benchmark grams
    * folded into a Bloom filter (codegen'd might_contain screens the
@@ -2632,6 +2676,7 @@ object SparkEntry {
     "q_stratified_sample" -> (qStratifiedSample _),
     "q_embed_quant" -> (qEmbedQuant _),
     "q_contamination" -> (qContamination _),
+    "q_stream_contamination" -> (qStreamContamination _),
     "q_contamination_bloom" -> (qContaminationBloom _),
     "q_domain_cap" -> (qDomainCap _),
     "q_hybrid_retrieval" -> (qHybridRetrieval _),

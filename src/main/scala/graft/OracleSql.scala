@@ -419,7 +419,7 @@ object OracleSql {
          CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
          COUNT(*) AS cnt
          FROM lineitem
-         WHERE l_shipdate >= TIMESTAMP '1993-01-01' AND l_shipdate < TIMESTAMP '1995-01-01'
+         WHERE l_shipdate >= TIMESTAMP '1995-06-01' AND l_shipdate < TIMESTAMP '1997-06-01'
          GROUP BY month, l_returnflag
          ORDER BY month, l_returnflag""",
     "q_sql_topn" ->
@@ -509,7 +509,7 @@ object OracleSql {
       """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
          l_quantity, l_extendedprice
          FROM lineitem
-         WHERE l_shipdate >= TIMESTAMP '1994-01-01' AND l_shipdate < TIMESTAMP '1995-01-01'
+         WHERE l_shipdate >= TIMESTAMP '1995-06-01' AND l_shipdate < TIMESTAMP '1996-06-01'
            AND l_returnflag = 'R'
          ORDER BY l_orderkey, l_linenumber""",
     "q_postfilter" ->
@@ -889,6 +889,25 @@ object OracleSql {
                       CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
                       CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jac
                     FROM a JOIN b ON true)
+         SELECT id_a, id_b, jac FROM j WHERE jac >= 0.5 ORDER BY id_a, id_b""",
+    // streaming near-dup twin: the 400-doc window doubled with exact
+    // replicas at +10000001 (the Spark side streams it in two parity
+    // batches against the persisted signature index); ground truth is
+    // the same brute-force distinct-shingle jaccard over the doubled
+    // window — candidate recall is threshold-sized (miss < 1e-6) and
+    // the emitted metric is the exact verify, so the sets must agree
+    "q_stream_dedup" ->
+      s"""WITH d0 AS (SELECT doc_id, text FROM documents WHERE doc_id < 400),
+              d AS (SELECT doc_id, text FROM d0
+                    UNION ALL SELECT doc_id + 10000001, text FROM d0),
+              t AS (SELECT doc_id, $toks AS tk FROM d),
+              s AS (SELECT doc_id, list_distinct(list_transform(
+                      range(1, greatest(len(tk) - 2, 1) + 1),
+                      i -> array_to_string(tk[i:i+2], ' '))) AS sh FROM t),
+              j AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                      CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                      CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jac
+                    FROM s a JOIN s b ON a.doc_id < b.doc_id)
          SELECT id_a, id_b, jac FROM j WHERE jac >= 0.5 ORDER BY id_a, id_b""",
     "q_dedup_simhash" ->
       s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),

@@ -623,9 +623,12 @@ object SparkEntry {
   // §2.6 query shapes (QueryBuilder — the reference Query model)
   // ==================================================================
 
+  // Window sits inside the generator's shipdate span (1995-01-02..2001-11-04,
+  // pinned non-empty by TestDataCanarySpec) so the daily gate verifies real
+  // rows — the original 1994 window hash-matched on 0 rows for 12 rounds.
   private def qFilterRange(s: SparkSession, dir: String): DataFrame =
     QueryBuilder(s, TestSchema.schema, n => ld(s, dir, n), "lineitem")
-      .timeRange("1994-01-01", "1995-01-01")
+      .timeRange("1995-06-01", "1996-06-01")
       .where(col("l_returnflag") === "R")
       .select(
         col("l_orderkey"),
@@ -926,7 +929,7 @@ object SparkEntry {
              CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
              COUNT(*) AS cnt
       FROM lineitem
-      WHERE l_shipdate >= TIMESTAMP '1993-01-01' AND l_shipdate < TIMESTAMP '1995-01-01'
+      WHERE l_shipdate >= TIMESTAMP '1995-06-01' AND l_shipdate < TIMESTAMP '1997-06-01'
       GROUP BY month, l_returnflag
       ORDER BY month, l_returnflag
     """)
@@ -2141,10 +2144,22 @@ object SparkEntry {
         q.processAllAvailable()
       }
     } finally q.stop()
-    s.read.option("basePath", s"$base/report").parquet(s"$base/report")
+    // Materialize before deleting the per-run dir: a daily driver would
+    // otherwise accumulate <UUID>/{report,ck} litter forever (r12 finding).
+    val out = s.read.option("basePath", s"$base/report").parquet(s"$base/report")
       .filter(col("doc_tokens") > 0)
       .select(col("doc_id"), col("doc_tokens"), col("logw_q"), col("logw"), col("keep"))
       .orderBy(col("doc_id"))
+      .localCheckpoint()
+    deleteLocalDir(s, base)
+    out
+  }
+
+  /** Recursively delete a per-run gate scratch dir (checkpoint + report)
+    * once its contents are materialized off-disk. */
+  private def deleteLocalDir(s: SparkSession, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
   }
 
   /** Hashed-unigram multinomial Naive Bayes source classifier
@@ -2373,10 +2388,72 @@ object SparkEntry {
         q.processAllAvailable()
       }
     } finally q.stop()
-    s.read.option("basePath", s"$base/report").parquet(s"$base/report")
+    val out = s.read.option("basePath", s"$base/report").parquet(s"$base/report")
       .filter(col("n_grams") > 0)
       .select(col("doc_id"), col("n_grams"), col("n_hit"), col("contamination_frac"))
       .orderBy(col("doc_id"))
+      .localCheckpoint()
+    deleteLocalDir(s, base)
+    out
+  }
+
+  /**
+   * STREAMING near-dup dedup under the hash gate — the
+   * screen-new-data-against-corpus production shape
+   * ([[graft.streaming.StreamingDedup.run]]): per micro-batch minhash
+   * signatures LSH-probed against the PERSISTED signature index, index
+   * extended idempotently per batch. Window: a deterministic 400-doc
+   * slice DOUBLED with exact replicas at doc_id + 10000001 — the odd
+   * offset flips parity, so every replica lands in the OTHER batch
+   * than its original and each of the 400 guaranteed pairs is found
+   * through the cross-batch index probe (not trivially in-batch).
+   * The stream runs at est-threshold 0 with threshold-sized banding
+   * (miss < 1e-6 at jac 0.5), i.e. it emits the full candidate set;
+   * the candidates then go through the SAME exact distinct-shingle
+   * verify as the batch path ([[Dedup.exactJaccardVerify]]) and the
+   * ≥ 0.5 filter, so the output equals q_dedup_minhash's brute-force
+   * pair set over the doubled window — which the DuckDB oracle
+   * recomputes quadratically. Per-run index/matches/checkpoint dirs
+   * are deleted after materialization.
+   */
+  private def qStreamDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val window = ld(s, dir, "documents")
+      .filter(col("doc_id") < 400)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .collect() // bounded: ≤ 400 fixed-window rows at any sf
+      .flatMap(d => Seq(d, (d._1 + 10000001L, d._2)))
+    if (window.isEmpty)
+      return Seq.empty[(Long, Long, Double)].toDF("id_a", "id_b", "jac")
+    val (nh, b) = Dedup.minhashBanding(0.5)
+    val stream = MemoryStream[(Long, String)]
+    val base = s"/tmp/graft_q_stream_dedup/${java.util.UUID.randomUUID()}"
+    val q = graft.streaming.StreamingDedup.run(s,
+      stream.toDS().toDF("doc_id", "text"),
+      indexPath = s"$base/index", matchesPath = s"$base/matches",
+      numHashes = nh, bands = b, threshold = 0.0, shingleSize = 3,
+      checkpoint = s"$base/ck")
+    try {
+      for (i <- 0 until 2) {
+        stream.addData(window.filter(d => math.floorMod(d._1, 2L) == i.toLong).toIndexedSeq)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val cands = s.read.option("basePath", s"$base/matches").parquet(s"$base/matches")
+      .select(
+        least(col("new_id"), col("existing_id")).as("id_a"),
+        greatest(col("new_id"), col("existing_id")).as("id_b"))
+      .distinct()
+    val docs = window.toSeq.toDF("doc_id", "text")
+    val out = Dedup.exactJaccardVerify(cands, docs, "doc_id", "text", shingleSize = 3)
+      .filter(col("jac") >= 0.5)
+      .orderBy(col("id_a"), col("id_b"))
+      .localCheckpoint()
+    deleteLocalDir(s, base)
+    out
   }
 
   /**
@@ -2677,6 +2754,7 @@ object SparkEntry {
     "q_embed_quant" -> (qEmbedQuant _),
     "q_contamination" -> (qContamination _),
     "q_stream_contamination" -> (qStreamContamination _),
+    "q_stream_dedup" -> (qStreamDedup _),
     "q_contamination_bloom" -> (qContaminationBloom _),
     "q_domain_cap" -> (qDomainCap _),
     "q_hybrid_retrieval" -> (qHybridRetrieval _),

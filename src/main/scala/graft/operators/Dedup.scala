@@ -201,7 +201,7 @@ object Dedup {
     * (small) candidate set to per-doc shingle arrays and compare sets.
     * Per-pair array_intersect is affordable because it only ever runs on
     * LSH candidates, never all pairs. */
-  private def exactJaccardVerify(
+  def exactJaccardVerify(
       cands: DataFrame, df: DataFrame, idCol: String, textCol: String, shingleSize: Int): DataFrame = {
     graft.sql.GraftFunctions.register(df.sparkSession) // shingles() resolves graft_word_shingles
     val sh = df.select(col(idCol).as("id"), shingles(col(textCol), shingleSize).as("sh"))

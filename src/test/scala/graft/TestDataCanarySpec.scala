@@ -42,4 +42,28 @@ class TestDataCanarySpec extends SparkSpecBase {
     assert(Set("l_orderkey", "l_quantity", "l_extendedprice", "l_discount", "l_returnflag")
       .subsetOf(cols("lineitem")))
   }
+
+  // The q_filter_range / q_sql_agg daily gates hash actual rows only if
+  // their fixed time windows intersect the generator's shipdate span
+  // (1995-01-02..2001-11-04 at every SF). These pins fail loudly if the
+  // generator's date range ever moves, instead of the gates silently
+  // going back to proving schema-equality-on-empty (the r12 finding).
+  test("the q_filter_range and q_sql_agg gate windows are non-empty in the testdata") {
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val frRows = li
+      .filter(col("l_shipdate") >= lit("1995-06-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-06-01").cast("timestamp") &&
+        col("l_returnflag") === "R")
+      .count()
+    assert(frRows > 0L,
+      "q_filter_range window (1995-06-01..1996-06-01, returnflag=R) matches no testdata rows — " +
+        "the generator's shipdate span moved; re-derive the gate window in SparkEntry.qFilterRange")
+    val saRows = li
+      .filter(col("l_shipdate") >= lit("1995-06-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-06-01").cast("timestamp"))
+      .count()
+    assert(saRows > 0L,
+      "q_sql_agg window (1995-06-01..1997-06-01) matches no testdata rows — " +
+        "the generator's shipdate span moved; re-derive the gate window in SparkEntry.qSqlAgg")
+  }
 }

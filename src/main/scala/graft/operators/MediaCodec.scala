@@ -175,6 +175,7 @@ object MediaCodec {
       bytes(8) == 'W' && bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E',
       "not a RIFF/WAVE file")
     var fmtOff = -1
+    var fmtLen = -1
     var dataOff = -1
     var dataLen = -1
     var off = 12
@@ -184,13 +185,17 @@ object MediaCodec {
       // compare in the subtraction form: `off + 8 + len` overflows Int
       // for a crafted multi-GB declared size and would bypass the guard
       require(len >= 0 && len <= bytes.length - off - 8, s"WAV chunk '$id' truncated")
-      if (id == "fmt " && fmtOff < 0) fmtOff = off + 8
+      if (id == "fmt " && fmtOff < 0) { fmtOff = off + 8; fmtLen = len }
       else if (id == "data" && dataOff < 0) { dataOff = off + 8; dataLen = len }
       off += 8 + len + (len & 1) // RIFF word alignment: odd chunks pad 1
     }
     require(fmtOff >= 0, "WAV has no fmt chunk")
     require(dataOff >= 0, "WAV has no data chunk")
-    require(fmtOff + 16 <= bytes.length, "WAV fmt chunk truncated")
+    // the chunk's OWN declared size must cover the 16 PCM fields — a
+    // fmt chunk declaring len < 16 would otherwise read its
+    // format/channels/rate/width fields from the NEXT chunk's header
+    // bytes in-bounds: a silent misparse instead of a loud reject
+    require(fmtLen >= 16, s"WAV fmt chunk truncated: declared size $fmtLen < 16")
     require(u16(bytes, fmtOff) == 1 && u16(bytes, fmtOff + 2) == 1 &&
       u16(bytes, fmtOff + 14) == 16,
       "only PCM16 mono WAV supported")
@@ -239,7 +244,10 @@ object MediaCodec {
     while (i < n) {
       require(bytes.length >= off + 4, "GVID frame index truncated")
       val len = u32(bytes, off)
-      require(bytes.length >= off + 4 + len, "GVID frame payload truncated")
+      // subtraction form: `off + 4 + len` overflows Int for a crafted
+      // multi-GB declared length and would bypass the guard (the
+      // decodeWav chunk-walk discipline)
+      require(len >= 0 && len <= bytes.length - off - 4, "GVID frame payload truncated")
       out += ((off + 4L, len))
       off += 4 + len
       i += 1

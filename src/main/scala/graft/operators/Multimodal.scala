@@ -131,6 +131,46 @@ object Multimodal {
     }
   }
 
+  /** Lenient decode row: the [[MediaMeta]] fields nullable, plus a
+    * `decode_error` column. Exactly one of (feature fields,
+    * decode_error) is populated per row. */
+  case class MediaMetaLenient(doc_id: Long, fmt: String, byte_len: Long,
+                              width: Option[Int], height: Option[Int],
+                              frame_count: Option[Long], content_sum: Option[Long],
+                              decode_error: Option[String])
+
+  /**
+   * LENIENT batched decode: the production mode for a 100 TB corpus,
+   * where one corrupt payload must flag a row, not fail the job. Each
+   * row's decode runs under Try — a malformed payload (bad magic,
+   * truncated pixel data, unsupported bit depth, unknown fmt tag …)
+   * yields null feature columns and the exception's message in
+   * `decode_error`, while every other row in the partition decodes
+   * normally. The strict [[decodeFeatures]] stays the gate/test mode:
+   * there a decode failure is a bug and must be loud. Error text is
+   * capped at 256 chars so a pathological message cannot bloat the
+   * output (the messages are human triage keys, not data).
+   */
+  def decodeFeaturesLenient(
+      spark: SparkSession, media: Dataset[MediaRow], batchSize: Int = 512): Dataset[MediaMetaLenient] = {
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          scala.util.Try(metaOf(r)) match {
+            case scala.util.Success(m) =>
+              MediaMetaLenient(m.doc_id, m.fmt, m.byte_len,
+                Some(m.width), Some(m.height), Some(m.frame_count), Some(m.content_sum), None)
+            case scala.util.Failure(e) =>
+              val msg = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}"
+              MediaMetaLenient(r.doc_id, r.fmt, r.payload.length.toLong,
+                None, None, None, None, Some(msg.take(256)))
+          }
+        }
+      }
+    }
+  }
+
   /** One frame of a media payload. For video, (byte_offset,
     * frame_bytes) address the frame's BMP inside the blob as parsed
     * from the container's real length-prefix index; img/audio are a

@@ -208,4 +208,68 @@ class MultimodalSpec extends SparkSpecBase {
     assert(out(3L).thumb.toSeq == Seq(50000L, 50000L), "poster frame, not frame 1")
     assert(out(1L).out_w == 2 && out(1L).out_h == 1 && out(1L).width == 4 && out(1L).height == 2)
   }
+
+  test("WAV decode rejects a fmt chunk whose declared size is < 16") {
+    // fmt declares len 4: the PCM fields would be read in-bounds from
+    // the NEXT chunk's header bytes — a silent misparse unless the
+    // chunk's OWN declared size is validated
+    val crafted: Array[Byte] = (
+      Seq('R', 'I', 'F', 'F').map(_.toByte) ++ u32le(4 + 8 + 4 + 8 + 4) ++
+        Seq('W', 'A', 'V', 'E').map(_.toByte) ++
+        Seq('f', 'm', 't', ' ').map(_.toByte) ++ u32le(4) ++ u16le(1) ++ u16le(1) ++
+        Seq('d', 'a', 't', 'a').map(_.toByte) ++ u32le(4) ++
+        u16le(1000) ++ u16le(0x10000 - 2)
+      ).toArray
+    val e = intercept[IllegalArgumentException](MediaCodec.decodeWav(crafted))
+    assert(e.getMessage.contains("fmt chunk truncated"), e.getMessage)
+  }
+
+  test("GVID frame length near Int.MaxValue hits the truncation guard, not an overflow") {
+    val blob = MediaCodec.encodeGvid(Seq(Array.tabulate(10)(_.toByte)))
+    // first frame's length prefix (offset 8) -> 0x7FFFFFF0: `off+4+len`
+    // overflows Int and would slip past an addition-form bounds check
+    blob(8) = 0xF0.toByte; blob(9) = 0xFF.toByte
+    blob(10) = 0xFF.toByte; blob(11) = 0x7F.toByte
+    val e = intercept[IllegalArgumentException](MediaCodec.gvidFrameIndex(blob))
+    assert(e.getMessage.contains("truncated"), e.getMessage)
+  }
+
+  test("lenient decode: corrupt payloads flag rows, good rows beside them decode exactly") {
+    import spark.implicits._
+    val goodImg = MediaCodec.encodeBmp(8, 8, (x, y) => (x * 10, y * 10, 40))
+    val goodWav = MediaCodec.encodeWav(8000, Array[Short](5, -7, 11))
+    val truncImg = goodImg.take(goodImg.length - 10) // pixel data cut short
+    val garbage = Array.tabulate(32)(i => (i * 37).toByte) // no magic at all
+    val media = Seq(
+      Multimodal.MediaRow(1L, "img", goodImg),
+      Multimodal.MediaRow(2L, "audio", goodWav),
+      Multimodal.MediaRow(3L, "img", truncImg),
+      Multimodal.MediaRow(4L, "audio", garbage),
+      Multimodal.MediaRow(5L, "weird", goodImg) // unknown format tag
+    ).toDS()
+    val out = Multimodal.decodeFeaturesLenient(spark, media)
+      .collect().map(r => r.doc_id -> r).toMap
+    assert(out.size == 5, "every input row must survive, flagged or not")
+    // good rows carry exactly the strict decode's features
+    val strict = Multimodal.decodeFeatures(spark, media.filter((r: Multimodal.MediaRow) => r.doc_id <= 2))
+      .collect().map(m => m.doc_id -> m).toMap
+    for (id <- Seq(1L, 2L)) {
+      val (l, s) = (out(id), strict(id))
+      assert(l.decode_error.isEmpty)
+      assert(l.width.contains(s.width) && l.height.contains(s.height) &&
+        l.frame_count.contains(s.frame_count) && l.content_sum.contains(s.content_sum))
+    }
+    // corrupt rows: null features, populated bounded error
+    for (id <- Seq(3L, 4L, 5L)) {
+      val l = out(id)
+      assert(l.width.isEmpty && l.height.isEmpty && l.frame_count.isEmpty && l.content_sum.isEmpty)
+      assert(l.decode_error.exists(m => m.nonEmpty && m.length <= 256), s"row $id: ${l.decode_error}")
+    }
+    assert(out(3L).decode_error.get.contains("truncated"))
+    assert(out(5L).decode_error.get.contains("unknown media format"))
+    // the strict mode stays loud on the same mixed batch (gates depend on it)
+    val thrown = intercept[org.apache.spark.SparkException](
+      Multimodal.decodeFeatures(spark, media).collect())
+    assert(thrown.getMessage != null)
+  }
 }

@@ -2027,17 +2027,23 @@ object SparkEntry {
     // statuses with mtime 0) — fingerprint the DATA FILES instead:
     // total length + max(mtime) over the listing, which changes
     // whenever the dataset is regenerated on any filesystem
-    val (len, mtime) =
+    val (len, cnt, mtime) =
       if (st.isDirectory) {
         // getContentSummary is RECURSIVE (partitionBy layouts keep
         // their data under key=*/ subdirs — a top-level file filter
         // would fingerprint those as 0/0 forever); mtime = the max
-        // over all top-level entries, files or subdirs
-        val entries = fs.listStatus(p)
-        (fs.getContentSummary(p).getLength,
-          if (entries.isEmpty) 0L else entries.map(_.getModificationTime).max)
-      } else (st.getLen, st.getModificationTime)
-    s"${dirKey(dir)}_${java.lang.Long.toHexString(len)}_${java.lang.Long.toHexString(mtime)}"
+        // over a RECURSIVE file listing — on object stores directory
+        // entries are synthetic with mtime 0, so a top-level-dirs max
+        // degrades to byte length alone and a regenerated dataset of
+        // identical length would silently serve a stale cached model.
+        // The file COUNT is folded in as a further same-length guard.
+        val cs = fs.getContentSummary(p)
+        var mt = 0L
+        val it = fs.listFiles(p, true)
+        while (it.hasNext) mt = math.max(mt, it.next().getModificationTime)
+        (cs.getLength, cs.getFileCount, mt)
+      } else (st.getLen, 1L, st.getModificationTime)
+    s"${dirKey(dir)}_${java.lang.Long.toHexString(len)}_${java.lang.Long.toHexString(cnt)}_${java.lang.Long.toHexString(mtime)}"
   }
 
   /** One-time DSIR model fit (Dsir.fit, meta-written-last) so the

@@ -888,10 +888,13 @@ object Dedup {
       .select((col("id") +: col("sz") +: col("pos") +:
         substring(col("tok"), 11, n + 1).as("gram") +: groupCols.map(col)): _*)
     val idxPref = pref.filter(col("pos") < idxPrefLen(threshold))
-    // jac upper-bound test in the double domain — identical to the
-    // final filter, so pruning can never flip a boundary pair
+    // jac upper-bound test in the SAME division form as the final
+    // filter and PpjVerify.minOverlap (ub/(S-ub) >= t) — the earlier
+    // multiplication form ub >= t*(S-ub) can disagree with it by 1 ulp
+    // at an exact boundary, so "pruning never flips a boundary pair"
+    // is only literally guaranteed with the forms identical
     def jacCan(ub: Column, szA: Column, szB: Column): Column =
-      ub.cast("double") >= lit(threshold) * ((szA + szB).cast("double") - ub.cast("double"))
+      ub.cast("double") / ((szA + szB).cast("double") - ub.cast("double")) >= lit(threshold)
     val ubRow = least(col("a.pos"), col("b.pos")) + lit(1) +
       least(col("a.sz") - col("a.pos") - 1, col("b.sz") - col("b.pos") - 1)
     // pair-dependent prefix bound: the first-shared row of a pair with
@@ -941,13 +944,17 @@ object Dedup {
     // are rarity-order, not lexicographic
     val lexToks = df.select(col(idCol).as("id"),
       array_sort(call_function("graft_char_ngrams", lower(col(textCol)), lit(n))).as("lt"))
-    // broadcast gate on BYTES, not just row count: the arrays are
-    // text-sized, so 65k docs of 10KB crawl pages would be GBs through
-    // broadcast — the char-sum probe (one cheap scan, only run once
-    // the count probe already passed) bounds the payload
+    // broadcast gate on the ACTUAL payload, not raw text bytes: the
+    // broadcast rows are per-doc distinct char-ngram ARRAYS — roughly
+    // one n-char UTF8String plus ~16B of array-entry/offset overhead
+    // per text character (grams ≤ chars), i.e. ~(n+17)× the text
+    // bytes — so a 64MB-of-text bound would admit a ~1GB broadcast.
+    // The char-sum probe (one cheap scan, only run once the count
+    // probe already passed) is scaled by the per-char expansion and
+    // bounded at 64MB of estimated PAYLOAD.
     val small = smallCorpus(df, idCol, 1L << 16) && {
       val b = df.agg(sum(length(col(textCol)))).head()
-      !b.isNullAt(0) && b.getLong(0) <= (64L << 20)
+      !b.isNullAt(0) && b.getLong(0) * (n + 17L) <= (64L << 20)
     }
     def side(as: String, out: String) = {
       val s = lexToks.select(col("id").as(as), col("lt").as(out))

@@ -64,6 +64,32 @@ class PpjVerifySpec extends AnyFunSuite {
     }
   }
 
+  test("UNSEEDED verify (-1/-1 — the production prefixPairs path) is exact on random sets") {
+    // production always calls graft_ppj_verify with pa = pb = -1
+    // (full-array suffix bound, merge from 0,0); give that path the
+    // same direct kernel-level random-set assertions as the seeded one
+    val rnd = new scala.util.Random(4242)
+    val vocab = (0 until 200).map(i => f"tok$i%04d")
+    for (trial <- 0 until 2000) {
+      val t = Seq(0.2, 0.35, 0.5, 0.8)(trial % 4)
+      val a = rnd.shuffle(vocab).take(3 + rnd.nextInt(40)).sorted
+      val b = (a.filter(_ => rnd.nextDouble() < 0.7) ++
+        rnd.shuffle(vocab).take(rnd.nextInt(15))).distinct.sorted
+      if (b.nonEmpty) {
+        val inter = a.toSet.intersect(b.toSet)
+        val got = PpjVerify.verify(arr(a), arr(b), -1, -1, t)
+        val jac = inter.size.toDouble / (a.size + b.size - inter.size)
+        if (jac >= t) {
+          assert(got == inter.size,
+            s"above-threshold pair must verify exactly: trial=$trial t=$t got=$got want=${inter.size}")
+        } else {
+          assert(got == -1 || got == inter.size,
+            s"below-threshold result must be -1 or exact: trial=$trial t=$t got=$got want=${inter.size}")
+        }
+      }
+    }
+  }
+
   test("verify prunes a long disjoint-suffix pair without full merge (suffix filter fires)") {
     // two docs sharing ONE rare token then totally disjoint suffixes:
     // jac far below threshold — the suffix filter's hamming bound

@@ -575,6 +575,14 @@ object Dedup {
     * ~26M rows); above it a 2× volume advantage routes to prefix. */
   private val PrefixProbeBound: Long = 128L * 1000 * 1000
 
+  /** Geometric size-band ratio for the PPJoin candidate join: bands of
+    * [c^k, c^(k+1)) sizes. Smaller c → shorter per-band probe prefixes
+    * (→ 2t/(1+t) in the limit) but more target bands per probe entry;
+    * 1.4 keeps the fan-out at ~3 bands for t = 0.35 while cutting the
+    * probe prefix ~15% in the same-size band (occupancy pruning makes
+    * fan-out to EMPTY bands free, so uniform corpora pay none). */
+  private val PpjBandRatio: Double = 1.4
+
   // ---- shared PPJoin prefix machinery (the dispatcher's volume probe
   // MUST estimate exactly the pipeline prefixPairs runs — one
   // definition keeps them from drifting apart) ----
@@ -882,12 +890,58 @@ object Dedup {
     val freq = ex.groupBy((groupCols.map(col) :+ col("gram")): _*).agg(count(lit(1)).as("gf"))
     // rarity-ordered token arrays (prefix extraction only)
     val rarToks = rarityArrays(ex, freq, groupCols)
-    val pref = rarToks
-      .select((col("id") +: col("sz") +: groupCols.map(col) :+
-        posexplode(slice(col("toks"), lit(1), probePrefLen(threshold))).as(Seq("pos", "tok"))): _*)
-      .select((col("id") +: col("sz") +: col("pos") +:
+    // SIZE BANDING (r13): geometric size bands (ratio PpjBandRatio)
+    // join the band id alongside the gram, so (i) a probe entry only
+    // scans the posting bucket of partners its length filter could
+    // accept, and (ii) the probe prefix emitted TO a band is sized by
+    // that band's minimum partner size m — prefLen = sz − α(m, sz) + 1
+    // — which approaches the 2t/(1+t) INDEX prefix for same-size bands
+    // instead of the worst-case sz − ⌈t·sz⌉ + 1 against all sizes.
+    // Correctness: for a qualifying pair x ≤ y the first shared token
+    // sits within BOTH prefixes of length sz − α(x,y) + 1; x's index
+    // prefix uses α ≥ ⌈2t/(1+t)·szX⌉ and y's band prefix uses
+    // α(m, szY) ≤ α(x, y) since m ≤ szX (m underestimates: the pow()
+    // band floor is shaved 0.1% so fp can only LENGTHEN a prefix) —
+    // so banding changes join INPUT volume, never the pair set, and
+    // the per-pair positional bounds already in the join condition are
+    // strictly tighter than the band cut (spec: route identity).
+    // Bands a probe could pair with but that hold no documents are
+    // pruned by a broadcast occupancy join (groupCols are bounded
+    // corpus partitions, so (group, band) stays tiny) — a uniform-size
+    // corpus then pays ZERO band fan-out.
+    def bandOf(szc: Column): Column =
+      floor(log(szc.cast("double")) / lit(math.log(PpjBandRatio))).cast("int")
+    val idxPref = rarToks
+      .select((col("id") +: col("sz") +: bandOf(col("sz")).as("band") +: groupCols.map(col) :+
+        posexplode(slice(col("toks"), lit(1), idxPrefLen(threshold))).as(Seq("pos", "tok"))): _*)
+      .select((col("id") +: col("sz") +: col("band") +: col("pos") +:
         substring(col("tok"), 11, n + 1).as("gram") +: groupCols.map(col)): _*)
-    val idxPref = pref.filter(col("pos") < idxPrefLen(threshold))
+    // occupancy needs only each doc's distinct-gram count — one narrow
+    // text scan, NOT the rarityArrays subtree (whose freq join + array
+    // build would otherwise be recomputed a third time just for this)
+    val occ = df
+      .select((size(call_function("graft_char_ngrams", lower(col(textCol)), lit(n))).as("sz") +:
+        groupCols.map(col)): _*)
+      .filter(col("sz") > 0)
+      .select((bandOf(col("sz")).as("band") +: groupCols.map(col)): _*)
+      .distinct()
+    // smallest partner size the length filter admits (floor, not ceil:
+    // an off-by-one DOWN only widens the band range — safe)
+    val xmin = greatest(floor(col("sz").cast("double") * lit(threshold)).cast("int"), lit(1))
+    val mK = greatest(
+      floor(pow(lit(PpjBandRatio), col("band")) * lit(0.999)).cast("int"), xmin, lit(1))
+    val alphaK =
+      ceil(lit(threshold / (1.0 + threshold)) * (mK + col("sz")).cast("double") - lit(1e-9))
+    val pref = rarToks
+      .select((col("id") +: col("sz") +: col("toks") +: groupCols.map(col) :+
+        explode(sequence(bandOf(xmin), bandOf(col("sz")))).as("band")): _*)
+      .join(broadcast(occ), (groupCols :+ "band").toSeq)
+      .withColumn("plen",
+        greatest(least((col("sz") - alphaK + 1).cast("int"), probePrefLen(threshold)), lit(0)))
+      .select((col("id") +: col("sz") +: col("band") +: groupCols.map(col) :+
+        posexplode(slice(col("toks"), lit(1), col("plen"))).as(Seq("pos", "tok"))): _*)
+      .select((col("id") +: col("sz") +: col("band") +: col("pos") +:
+        substring(col("tok"), 11, n + 1).as("gram") +: groupCols.map(col)): _*)
     // jac upper-bound test in the SAME division form as the final
     // filter and PpjVerify.minOverlap (ub/(S-ub) >= t) — the earlier
     // multiplication form ub >= t*(S-ub) can disagree with it by 1 ulp
@@ -906,12 +960,16 @@ object Dedup {
     // IS the join's exchange, at the width the dispatcher's estimated
     // candidate volume needs; None keeps the plan untouched
     def sized(d: DataFrame): DataFrame =
-      numPartitions.fold(d)(np => d.repartition(np, (groupCols.map(col) :+ col("gram")): _*))
+      numPartitions.fold(d)(np =>
+        d.repartition(np, (groupCols.map(col) :+ col("gram") :+ col("band")): _*))
     val cands = sized(idxPref).as("a")
       .join(
         sized(pref).as("b").hint("shuffle_hash"),
         (groupCols.map(c => col(s"a.$c") === col(s"b.$c")) :+
           (col("a.gram") === col("b.gram")) :+
+          // size-band key: a probe entry only scans the posting bucket
+          // of partners its length filter could accept
+          (col("a.band") === col("b.band")) :+
           // (sz, id) pair order: the index-prefix side is the smaller doc
           ((col("a.sz") < col("b.sz")) ||
             (col("a.sz") === col("b.sz") && col("a.id") < col("b.id"))) :+
@@ -948,13 +1006,17 @@ object Dedup {
     // broadcast rows are per-doc distinct char-ngram ARRAYS — roughly
     // one n-char UTF8String plus ~16B of array-entry/offset overhead
     // per text character (grams ≤ chars), i.e. ~(n+17)× the text
-    // bytes — so a 64MB-of-text bound would admit a ~1GB broadcast.
-    // The char-sum probe (one cheap scan, only run once the count
-    // probe already passed) is scaled by the per-char expansion and
-    // bounded at 64MB of estimated PAYLOAD.
+    // bytes — so a 64MB-of-TEXT bound silently admitted ~1GB of
+    // broadcast. The char-sum probe (one cheap scan, only run once
+    // the count probe already passed) is scaled by the per-char
+    // expansion and budgeted at 256MB of estimated PAYLOAD — losing
+    // the broadcast is expensive (the candidate side, often 10-100M
+    // rows on near-dup-dense corpora, then shuffles TWICE), so the
+    // budget is a deliberate executor-memory-sized ceiling, not the
+    // plain autoBroadcast default.
     val small = smallCorpus(df, idCol, 1L << 16) && {
       val b = df.agg(sum(length(col(textCol)))).head()
-      !b.isNullAt(0) && b.getLong(0) * (n + 17L) <= (64L << 20)
+      !b.isNullAt(0) && b.getLong(0) * (n + 17L) <= (256L << 20)
     }
     def side(as: String, out: String) = {
       val s = lexToks.select(col("id").as(as), col("lt").as(out))

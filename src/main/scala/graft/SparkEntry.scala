@@ -236,6 +236,19 @@ object SparkEntry {
     * share one session). */
   private val streamGateN = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** Run `body` with `spark.sql.shuffle.partitions` temporarily set to
+    * `n`: the bounded-window streaming gates pay one task per shuffle
+    * partition per microbatch (state commits and per-batch parquet
+    * writes alike), so the session's 32 is pure fixed cost on ≤20k-row
+    * windows. The conf is restored after the stream STOPS — streaming
+    * reads it at first-trigger planning, so restoring right after
+    * start() would race. Gates run sequentially in Verify/Bench. */
+  private def withShufflePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
+    val saved = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try body finally s.conf.set("spark.sql.shuffle.partitions", saved)
+  }
+
   /**
    * STREAMING funnel under the hash gate — the first streaming twin
    * promoted from spec-only to a daily CORRECTNESS row. A
@@ -267,21 +280,23 @@ object SparkEntry {
     val maxTsMs = evs.map(_.ts.getTime).max
     val stream = MemoryStream[FEv]
     val name = s"q_stream_funnel_${streamGateN.incrementAndGet()}"
-    val q = StreamingFunnel
-      .streaming(s, stream.toDS(), Seq("view", "click", "purchase"),
-        inactivityMinutes = 30, watermark = "36500 days")
-      .writeStream.format("memory").queryName(name).outputMode("append").start()
-    try {
-      for (i <- 0 until 2) {
-        stream.addData(evs.filter(e => math.floorMod(e.event_id, 2) == i).toIndexedSeq)
+    withShufflePartitions(s, 8) {
+      val q = StreamingFunnel
+        .streaming(s, stream.toDS(), Seq("view", "click", "purchase"),
+          inactivityMinutes = 30, watermark = "36500 days")
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      try {
+        for (i <- 0 until 2) {
+          stream.addData(evs.filter(e => math.floorMod(e.event_id, 2) == i).toIndexedSeq)
+          q.processAllAvailable()
+        }
+        // sentinel: watermark = sentinelTs - 36500d = max + 2d — past
+        // every real user's last event + 30min, so every funnel emits
+        stream.addData(FEv(-1L,
+          new java.sql.Timestamp(maxTsMs + (36502L * 86400 * 1000)), "view", -1L))
         q.processAllAvailable()
-      }
-      // sentinel: watermark = sentinelTs - 36500d = max + 2d — past
-      // every real user's last event + 30min, so every funnel emits
-      stream.addData(FEv(-1L,
-        new java.sql.Timestamp(maxTsMs + (36502L * 86400 * 1000)), "view", -1L))
-      q.processAllAvailable()
-    } finally q.stop()
+      } finally q.stop()
+    }
     s.table(name)
       .filter(col("user_id") =!= -1L)
       .orderBy(col("user_id"))
@@ -314,20 +329,22 @@ object SparkEntry {
     val maxTsMs = evs.map(_.getTimestamp(1).getTime).max
     val stream = MemoryStream[REv]
     val name = s"q_stream_retention_${streamGateN.incrementAndGet()}"
-    val q = StreamingRetention
-      .streaming(s, stream.toDS(), anchorType = "signup",
-        inactivityMinutes = 30, watermark = "36500 days")
-      .writeStream.format("memory").queryName(name).outputMode("append").start()
-    try {
-      for (i <- 0 until 2) {
-        stream.addData(evs.filter(r => math.floorMod(r.getLong(3), 2) == i)
-          .map(r => REv(r.getLong(0), r.getTimestamp(1), r.getString(2))).toIndexedSeq)
+    withShufflePartitions(s, 8) {
+      val q = StreamingRetention
+        .streaming(s, stream.toDS(), anchorType = "signup",
+          inactivityMinutes = 30, watermark = "36500 days")
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      try {
+        for (i <- 0 until 2) {
+          stream.addData(evs.filter(r => math.floorMod(r.getLong(3), 2) == i)
+            .map(r => REv(r.getLong(0), r.getTimestamp(1), r.getString(2))).toIndexedSeq)
+          q.processAllAvailable()
+        }
+        stream.addData(REv(-1L,
+          new java.sql.Timestamp(maxTsMs + (36502L * 86400 * 1000)), "view"))
         q.processAllAvailable()
-      }
-      stream.addData(REv(-1L,
-        new java.sql.Timestamp(maxTsMs + (36502L * 86400 * 1000)), "view"))
-      q.processAllAvailable()
-    } finally q.stop()
+      } finally q.stop()
+    }
     StreamingRetention.matrix(s.table(name).filter(col("user_id") =!= -1L))
       .orderBy(col("cohort"), col("period_n"))
   }
@@ -360,20 +377,25 @@ object SparkEntry {
         val maxTsMs = evs.map(_.getTimestamp(0).getTime).max
         val stream = MemoryStream[(java.sql.Timestamp, String, Long)]
         val name = s"q_stream_anomaly_${streamGateN.incrementAndGet()}"
-        val q = graft.streaming.StreamingAnomaly
-          .dailyCounts(stream.toDS().toDF("ts", "event_type", "event_id"),
-            "ts", "event_type", watermark = "36500 days")
-          .writeStream.format("memory").queryName(name).outputMode("append").start()
-        try {
-          for (i <- 0 until 2) {
-            stream.addData(evs.filter(r => math.floorMod(r.getLong(2), 2) == i)
-              .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toIndexedSeq)
+        // 8 state partitions instead of the session's 32: measured
+        // 4.5-8.6s → 1.7-2.6s steady at sf0.1 (the gate's cost is
+        // per-partition state commits, not data volume)
+        withShufflePartitions(s, 8) {
+          val q = graft.streaming.StreamingAnomaly
+            .dailyCounts(stream.toDS().toDF("ts", "event_type", "event_id"),
+              "ts", "event_type", watermark = "36500 days")
+            .writeStream.format("memory").queryName(name).outputMode("append").start()
+          try {
+            for (i <- 0 until 2) {
+              stream.addData(evs.filter(r => math.floorMod(r.getLong(2), 2) == i)
+                .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toIndexedSeq)
+              q.processAllAvailable()
+            }
+            stream.addData((new java.sql.Timestamp(maxTsMs + (36502L * 86400 * 1000)),
+              "view", -1L))
             q.processAllAvailable()
-          }
-          stream.addData((new java.sql.Timestamp(maxTsMs + (36502L * 86400 * 1000)),
-            "view", -1L))
-          q.processAllAvailable()
-        } finally q.stop()
+          } finally q.stop()
+        }
         s.table(name).select(col("day"), col("event_type"), col("cnt"))
       }
     graft.operators.Funnel.anomalies(
@@ -2141,15 +2163,17 @@ object SparkEntry {
         .toDF("doc_id", "doc_tokens", "logw_q", "logw", "keep")
     val stream = MemoryStream[(Long, String)]
     val base = s"/tmp/graft_q_stream_dsir/${java.util.UUID.randomUUID()}"
-    val q = graft.streaming.StreamingDsir.run(s,
-      stream.toDS().toDF("doc_id", "text"),
-      modelPath, s"$base/report", minLogw = 0.0, checkpoint = s"$base/ck")
-    try {
-      for (i <- 0 until 2) {
-        stream.addData(docs.filter(d => math.floorMod(d._1, 2L) == i.toLong).toIndexedSeq)
-        q.processAllAvailable()
-      }
-    } finally q.stop()
+    withShufflePartitions(s, 8) {
+      val q = graft.streaming.StreamingDsir.run(s,
+        stream.toDS().toDF("doc_id", "text"),
+        modelPath, s"$base/report", minLogw = 0.0, checkpoint = s"$base/ck")
+      try {
+        for (i <- 0 until 2) {
+          stream.addData(docs.filter(d => math.floorMod(d._1, 2L) == i.toLong).toIndexedSeq)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+    }
     // Materialize before deleting the per-run dir: a daily driver would
     // otherwise accumulate <UUID>/{report,ck} litter forever (r12 finding).
     val out = s.read.option("basePath", s"$base/report").parquet(s"$base/report")
@@ -2385,15 +2409,17 @@ object SparkEntry {
         .toDF("doc_id", "n_grams", "n_hit", "contamination_frac")
     val stream = MemoryStream[(Long, String)]
     val base = s"/tmp/graft_q_stream_contamination/${java.util.UUID.randomUUID()}"
-    val q = graft.streaming.StreamingContamination.run(s,
-      stream.toDS().toDF("doc_id", "text"),
-      evalGrams, s"$base/report", n = 5, checkpoint = s"$base/ck")
-    try {
-      for (i <- 0 until 2) {
-        stream.addData(window.filter(d => math.floorMod(d._1, 2L) == i.toLong).toIndexedSeq)
-        q.processAllAvailable()
-      }
-    } finally q.stop()
+    withShufflePartitions(s, 8) {
+      val q = graft.streaming.StreamingContamination.run(s,
+        stream.toDS().toDF("doc_id", "text"),
+        evalGrams, s"$base/report", n = 5, checkpoint = s"$base/ck")
+      try {
+        for (i <- 0 until 2) {
+          stream.addData(window.filter(d => math.floorMod(d._1, 2L) == i.toLong).toIndexedSeq)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+    }
     val out = s.read.option("basePath", s"$base/report").parquet(s"$base/report")
       .filter(col("n_grams") > 0)
       .select(col("doc_id"), col("n_grams"), col("n_hit"), col("contamination_frac"))
@@ -2437,17 +2463,19 @@ object SparkEntry {
     val (nh, b) = Dedup.minhashBanding(0.5)
     val stream = MemoryStream[(Long, String)]
     val base = s"/tmp/graft_q_stream_dedup/${java.util.UUID.randomUUID()}"
-    val q = graft.streaming.StreamingDedup.run(s,
-      stream.toDS().toDF("doc_id", "text"),
-      indexPath = s"$base/index", matchesPath = s"$base/matches",
-      numHashes = nh, bands = b, threshold = 0.0, shingleSize = 3,
-      checkpoint = s"$base/ck")
-    try {
-      for (i <- 0 until 2) {
-        stream.addData(window.filter(d => math.floorMod(d._1, 2L) == i.toLong).toIndexedSeq)
-        q.processAllAvailable()
-      }
-    } finally q.stop()
+    withShufflePartitions(s, 8) {
+      val q = graft.streaming.StreamingDedup.run(s,
+        stream.toDS().toDF("doc_id", "text"),
+        indexPath = s"$base/index", matchesPath = s"$base/matches",
+        numHashes = nh, bands = b, threshold = 0.0, shingleSize = 3,
+        checkpoint = s"$base/ck")
+      try {
+        for (i <- 0 until 2) {
+          stream.addData(window.filter(d => math.floorMod(d._1, 2L) == i.toLong).toIndexedSeq)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+    }
     val cands = s.read.option("basePath", s"$base/matches").parquet(s"$base/matches")
       .select(
         least(col("new_id"), col("existing_id")).as("id_a"),

@@ -1154,17 +1154,23 @@ object Dedup {
    * verified, so false positives are structurally impossible. Work is
    * Σ_cells |cell|²/2 ≈ N²·probes²/(2·numCells) — a numCells/probes²
    * reduction over brute force that holds at any corpus size because
-   * `numCells` is sized from the corpus (at ~2048 vectors per cell).
+   * `numCells` is sized from the corpus (at ~256 vectors per cell —
+   * sized so cells ≫ probes² already AT the 2^14 dispatch flip; see
+   * the sizing comment below for the measured cliff the old 2048/cell
+   * target caused there).
    *
    * APPROXIMATE at cell boundaries: a ≥-threshold pair whose members
    * quantize to disjoint probe sets is missed. Recall vs brute force
-   * is measured (RecallCheck at sf0.1, DedupSpec at spec scale) rather
-   * than bounded analytically — the honest trade for sub-quadratic
-   * low-threshold dedup; raise `probes` to buy recall with candidate
-   * volume (∝ probes²). Measured at sf0.1, t=0.5, 16 cells: probes=2
-   * recall 0.857, probes=3 recall 0.929, probes=4 no further gain —
-   * the default is the knee. Output is always a deterministic SUBSET
-   * of the brute result (hash-seeded training, exact verification).
+   * is measured (RecallCheck at sf0.1, BoundaryRecall past the 2^14
+   * flip, DedupSpec at spec scale) rather than bounded analytically —
+   * the honest trade for sub-quadratic low-threshold dedup; raise
+   * `probes` to buy recall with candidate volume (∝ probes²).
+   * Measured at sf0.1, t=0.5, 16 cells: probes=2 recall 0.857,
+   * probes=3 recall 0.929, probes=4 no further gain — the default is
+   * the knee. At the 20k-vector boundary (78 cells): probes=2/3/4
+   * recall 0.985/0.990/0.994, IVF 1.7-2.6s vs spread brute 3.7s.
+   * Output is always a deterministic SUBSET of the brute result
+   * (hash-seeded training, exact verification).
    */
   def embeddingPairsIvf(
       df: DataFrame,
@@ -1184,21 +1190,25 @@ object Dedup {
       // caller supplies the quantizer (e.g. one trained set shared
       // across probe settings, or a persisted index) — assignment only
       val assigned = vecs.select(
-        col("id"),
+        col("id"), col("vec"),
         explode(call_function("graft_nearest_centroids", col("vec"), Ann.centroidsLit(centroids), lit(probes))).as("cell"))
-      return withinCellPairs(vecs, assigned, threshold)
+      return withinCellPairs(assigned, threshold)
     }
     // one narrow counting pass sizes the cells AND feeds the trainer
     // (ivfTrain would otherwise count again for its sampling rate)
     val n = if (knownCount >= 0L) knownCount else vecs.count()
-    // ~2048 vectors/cell keeps within-cell work bounded. A FLAT table
-    // caps at 4096 cells (per-row assignment is numCells·dim
-    // multiply-adds; the table itself stays ~2 MB driver metadata at
-    // dim=128) — past that (~8M vectors) the TWO-LEVEL quantizer takes
-    // over: √cells coarse × √cells fine keeps per-row cost at
-    // (c1 + p1·c2)·dim while the effective cell count keeps scaling
-    // with the corpus.
-    val wanted = math.max(16L, n / 2048L)
+    // ~256 vectors/cell: within-cell work is n²·probes²/(2·cells), so
+    // the reduction over brute force is cells/probes² — at the old
+    // 2048/cell a 20k corpus got 16 cells against probes² = 9 (0.56×,
+    // i.e. MORE work than brute at a higher per-row cost: the measured
+    // 85s flip cliff); 256/cell gives ~9× reduction at the 2^14 flip
+    // and keeps growing with n. A FLAT table caps at 4096 cells
+    // (per-row assignment is numCells·dim multiply-adds; the table
+    // itself stays ~2 MB driver metadata at dim=128) — past that (~1M
+    // vectors now) the TWO-LEVEL quantizer takes over: √cells coarse ×
+    // √cells fine keeps per-row cost at (c1 + p1·c2)·dim while the
+    // effective cell count keeps scaling with the corpus.
+    val wanted = math.max(16L, n / 256L)
     if (numCells <= 0 && wanted > 4096L) {
       val side = math.ceil(math.sqrt(wanted.toDouble)).toInt
       return embeddingPairsIvfHier(df, idCol, vecCol, threshold, c1 = side, c2 = side,
@@ -1211,12 +1221,12 @@ object Dedup {
     val cents = Ann.ivfTrain(
       spark, vecs.select(xxhash64(col("id")).as("vec_id"), col("vec").as("embedding")),
       numCells = cells, trainSample = trainSample, knownCount = n)
-    // candidate generation ships (id, cell) only; vectors re-attach to
-    // the (far smaller) distinct candidate set for the exact verify
+    // vectors ride INTO the cells (n·probes rows) so the verify fuses
+    // into the within-cell join — see withinCellPairs
     val assigned = vecs.select(
-      col("id"),
+      col("id"), col("vec"),
       explode(call_function("graft_nearest_centroids", col("vec"), Ann.centroidsLit(cents), lit(probes))).as("cell"))
-    withinCellPairs(vecs, assigned, threshold)
+    withinCellPairs(assigned, threshold)
   }
 
   /**
@@ -1249,26 +1259,32 @@ object Dedup {
       spark, vecs.select(xxhash64(col("id")).as("vec_id"), col("vec").as("embedding")),
       c1, c2, trainSample = trainSample, knownCount = knownCount)
     val assigned = vecs.select(
-      col("id"),
+      col("id"), col("vec"),
       explode(call_function("graft_nearest_cells_hier", col("vec"),
         Ann.centroidsLit(l1), Ann.centroidsLit3(l2), lit(p1), lit(p2))).as("cell"))
-    withinCellPairs(vecs, assigned, threshold)
+    withinCellPairs(assigned, threshold)
   }
 
-  /** Shared IVF tail: within-cell id-only candidate join + exact cosine
-    * verify (vectors re-attach to the small distinct candidate set). */
-  private def withinCellPairs(vecs: DataFrame, assigned: DataFrame, threshold: Double): DataFrame = {
-    val cands = assigned.as("a")
+  /** Shared IVF tail: cell-keyed self-join with the exact cosine verify
+    * FUSED into the join condition — shuffles n·probes (id, vec, cell)
+    * rows (the vectors are the payload, but n·probes is corpus-sized)
+    * and never materializes a candidate row. Multi-probe pairs sharing
+    * several cells are verified once per shared cell and deduped on the
+    * OUTPUT-sized result (graft_cosine is deterministic, so duplicate
+    * rows are identical). The previous shape — id-only candidate join,
+    * distinct, then TWO vector re-attach joins — paid three shuffles of
+    * the CANDIDATE volume; candidates are only "far smaller" than n²
+    * when cells ≫ probes², and at the 2^14 dispatch flip (16 cells,
+    * probes 3) they were ~0.56·n²: measured 85-143s at 20k vectors
+    * where this fused shape runs in seconds. */
+  private def withinCellPairs(assigned: DataFrame, threshold: Double): DataFrame = {
+    def cos = call_function("graft_cosine", col("a.vec"), col("b.vec"))
+    assigned.as("a")
       .join(assigned.as("b").hint("shuffle_hash"),
-        col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+        col("a.cell") === col("b.cell") && col("a.id") < col("b.id") &&
+          cos >= lit(threshold))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), cos.as("cos"))
       .distinct()
-    cands
-      .join(vecs.select(col("id").as("id_a"), col("vec").as("vec_a")), "id_a")
-      .join(vecs.select(col("id").as("id_b"), col("vec").as("vec_b")), "id_b")
-      .select(col("id_a"), col("id_b"),
-        call_function("graft_cosine", col("vec_a"), col("vec_b")).as("cos"))
-      .filter(col("cos") >= threshold)
   }
 
   /** Exact all-pairs cosine verify — the degenerate-banding path. */

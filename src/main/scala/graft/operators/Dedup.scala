@@ -1202,19 +1202,21 @@ object Dedup {
     // 2048/cell a 20k corpus got 16 cells against probes² = 9 (0.56×,
     // i.e. MORE work than brute at a higher per-row cost: the measured
     // 85s flip cliff); 256/cell gives ~9× reduction at the 2^14 flip
-    // and keeps growing with n. A FLAT table caps at 4096 cells
-    // (per-row assignment is numCells·dim multiply-adds; the table
-    // itself stays ~2 MB driver metadata at dim=128) — past that (~1M
-    // vectors now) the TWO-LEVEL quantizer takes over: √cells coarse ×
-    // √cells fine keeps per-row cost at (c1 + p1·c2)·dim while the
-    // effective cell count keeps scaling with the corpus.
+    // and keeps growing with n. A FLAT table caps at 512 cells: the
+    // binding constraint is the DRIVER-side Lloyd (trainSample ×
+    // numCells × dim × iters single-threaded — 4096 cells would be
+    // ~10^13 flops), not the ~2 MB table; past the cap (~131k vectors)
+    // the TWO-LEVEL quantizer takes over: √cells coarse × √cells fine
+    // trains two small tables and keeps per-row assignment at
+    // (c1 + p1·c2)·dim while the effective cell count keeps scaling
+    // with the corpus.
     val wanted = math.max(16L, n / 256L)
-    if (numCells <= 0 && wanted > 4096L) {
+    if (numCells <= 0 && wanted > 512L) {
       val side = math.ceil(math.sqrt(wanted.toDouble)).toInt
       return embeddingPairsIvfHier(df, idCol, vecCol, threshold, c1 = side, c2 = side,
         trainSample = trainSample, knownCount = n)
     }
-    val cells = if (numCells > 0) numCells else math.min(4096L, wanted).toInt
+    val cells = if (numCells > 0) numCells else math.min(512L, wanted).toInt
     // xxhash64(id) as the training id: ivfTrain's sampling/seeding wants
     // a long key, this keeps the operator id-type-agnostic and just as
     // deterministic (training only uses ids to pick/seed the sample)
@@ -1237,8 +1239,9 @@ object Dedup {
    * exact-verify guarantee (subset of brute force, no false
    * positives); boundary recall now has two levels of cell edges —
    * measured in DedupSpec alongside the flat path. [[embeddingPairs]]
-   * auto-routes here when the corpus would need > 4096 flat cells
-   * (~8M vectors at the 2048/cell target).
+   * auto-routes here when the corpus would need > 512 flat cells
+   * (~131k vectors at the 256/cell target — the cap is the driver-side
+   * Lloyd's trainSample × cells × dim cost, not the table size).
    */
   def embeddingPairsIvfHier(
       df: DataFrame,

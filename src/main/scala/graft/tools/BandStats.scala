@@ -76,7 +76,7 @@ object BandStats {
       .agg(count(lit(1)).as("pfi"))
     val bb = bi.join(bp, g ++ Seq("band", "tok"))
       .agg(sum(col("pfi") * col("pfp")), sum(col("pfp"))).head()
-    println(s"banded   scan=${bb.getLong(0)} probeEntries=${spark.range(0).count() + pb.count()}")
+    println(s"banded   scan=${bb.getLong(0)} probeEntries=${pb.count()}")
     spark.stop()
   }
 }

@@ -184,11 +184,15 @@ object OracleSql {
     * TRUE — shared by every index-backed search whose exhaustive run
     * provably equals brute force (q_ann_indexed: exhaustive cell
     * probing; q_ann_pq: unlimited re-rank pool). */
-  private val exhaustiveEqualsBruteSql =
-    """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  /** Exhaustive-probing-equals-brute-force contract, scoped to a
+    * candidate-corpus predicate — `TRUE` is the whole-corpus form the
+    * batch index gates share; the streaming admission twin runs it
+    * over its bounded window. */
+  private def exhaustiveEqualsBruteScoped(corpusPred: String): String =
+    s"""WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
                   FROM embeddings WHERE vec_id < 8),
             c AS (SELECT vec_id AS item_id, CAST(embedding AS DOUBLE[]) AS iv
-                  FROM embeddings),
+                  FROM embeddings WHERE $corpusPred),
             s AS (SELECT query_id, item_id,
               list_reduce(list_prepend(0.0, list_transform(generate_series(1, len(qv)), i -> qv[i] * iv[i])), (a, x) -> a + x) /
               (sqrt(list_reduce(list_prepend(0.0, list_transform(generate_series(1, len(qv)), i -> qv[i] * qv[i])), (a, x) -> a + x)) *
@@ -199,6 +203,8 @@ object OracleSql {
             FROM s WHERE NOT isnan(cos))
        SELECT query_id, item_id, cos, rank, TRUE AS limited_wellformed_ok
        FROM r WHERE rank <= 5 ORDER BY query_id, rank"""
+
+  private val exhaustiveEqualsBruteSql = exhaustiveEqualsBruteScoped("TRUE")
 
   /** TextAnalysis.fingerprint over a `text` column — the rolling-hash
     * content identity, ONE copy (q_text_fingerprint, q_corpus_diff). */
@@ -909,6 +915,46 @@ object OracleSql {
                       CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jac
                     FROM s a JOIN s b ON a.doc_id < b.doc_id)
          SELECT id_a, id_b, jac FROM j WHERE jac >= 0.5 ORDER BY id_a, id_b""",
+    // streaming semantic-dedup twin: the 200-vector window doubled with
+    // exact replicas at +10000001 (the Spark side streams it in two
+    // parity batches through the sign-LSH band probe of the persisted
+    // vector index); ground truth is brute-force cosine over the
+    // doubled window — band recall at 0.9 is threshold-sized
+    // (miss < 1e-6; replica pairs share signatures and cannot miss)
+    // and the streamed metric is the exact cosine verify, so the sets
+    // must agree
+    "q_stream_semdedup" ->
+      """WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                     FROM embeddings WHERE vec_id < 200),
+              e AS (SELECT vec_id, v FROM e0
+                    UNION ALL SELECT vec_id + 10000001, v FROM e0),
+              p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                list_reduce(list_prepend(0.0, list_transform(generate_series(1, len(a.v)), i -> a.v[i] * b.v[i])), (x, y) -> x + y) /
+                (sqrt(list_reduce(list_prepend(0.0, list_transform(generate_series(1, len(a.v)), i -> a.v[i] * a.v[i])), (x, y) -> x + y)) *
+                 sqrt(list_reduce(list_prepend(0.0, list_transform(generate_series(1, len(b.v)), i -> b.v[i] * b.v[i])), (x, y) -> x + y))) AS cos
+              FROM e a JOIN e b ON a.vec_id < b.vec_id)
+         SELECT id_a, id_b, cos FROM p WHERE cos >= 0.9 AND NOT isnan(cos)
+         ORDER BY id_a, id_b""",
+    // streaming keep-best twin: clusters are 3 exact replicas of
+    // cluster-disjoint synthetic text with score = doc_id, so the
+    // rep-chained streaming decisions are provably the closed form —
+    // the max-id replica keeps, every member attributes to it, score
+    // rides as the doc's own id (SparkEntry.qStreamKeepBest scaladoc
+    // derives both the lose-to-rep and beat-and-demote paths)
+    "q_stream_keep_best" ->
+      """WITH d0 AS (SELECT doc_id AS base FROM documents WHERE doc_id < 150),
+              m AS (SELECT base, unnest([base, base + 10000001, base + 20000002]) AS doc_id
+                    FROM d0)
+         SELECT doc_id, doc_id = base + 20000002 AS kept,
+                base + 20000002 AS rep_id,
+                CAST(doc_id AS DOUBLE) AS score
+         FROM m ORDER BY doc_id""",
+    // streaming exact dedup twin: the window delivered at-least-once
+    // (in-batch dups + a full cross-batch re-delivery) must come out
+    // exactly-once per event_id — the oracle is the window itself
+    "q_stream_dedup_exact" ->
+      """SELECT event_id, user_id, event_type, value
+         FROM events WHERE event_id < 20000 ORDER BY event_id""",
     "q_dedup_simhash" ->
       s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
               s AS (SELECT doc_id, list_distinct(list_transform(
@@ -985,6 +1031,12 @@ object OracleSql {
     // force over the FULL corpus — every neighbor re-verified through
     // the admission machinery
     "q_ann_admitted" -> exhaustiveEqualsBruteSql,
+    // the STREAMING admission twin under the same contract: the index
+    // grows by streamed micro-batch shards over a bounded 400-vector
+    // window (base = the first 100), and exhaustive probing through
+    // the stream-grown index must equal brute force over the window —
+    // every neighbor re-verified through the streaming admission path
+    "q_stream_vector_admit" -> exhaustiveEqualsBruteScoped("vec_id < 400"),
     // the codes-layout admission: exhaustive probes + unlimited exact
     // re-rank equal brute force regardless of code quality, so the
     // same oracle re-verifies the PQ admission-serving path
@@ -1657,6 +1709,7 @@ object OracleSql {
     "q_dsir_served" -> dsirSelectSql,
     // streaming scoring twin: same model CTEs, window-scoped scores
     "q_stream_dsir" -> dsirStreamSql,
+    "q_stream_dsir_update" -> dsirUpdateStreamSql,
     // the incrementally-refreshed model (fit half + update half) must
     // serve EXACTLY the full-corpus model — same oracle by design
     "q_dsir_updated" -> dsirSelectSql,
@@ -1754,12 +1807,14 @@ object OracleSql {
 
   // COALESCE mirrors Dsir.featureCounts' null-flag rule: a NULL source
   // is raw pool on both sides, so the gate cannot diverge on null rows
-  /** DSIR common CTEs: the full-corpus hashed-unigram ratio model plus
-    * per-doc quantized scores over the raw-pool docs matching
-    * `scoredPred` — shared by the batch select/serve gates and the
-    * streaming scoring twin so the model arithmetic cannot drift. */
-  private def dsirScored(scoredPred: String): String =
-      s"""WITH t AS (SELECT doc_id, COALESCE(source = 'src0', FALSE) AS is_t, $toks AS tk FROM documents),
+  /** DSIR model CTEs over the docs matching `corpusPred`: the
+    * hashed-unigram bucket counts, totals, and quantized ratio table —
+    * ONE copy of the model arithmetic, shared by every DSIR gate
+    * (batch select/serve, streaming scoring, streaming model refresh)
+    * so it cannot drift between them. Ends at the `r`/`tot` CTEs. */
+  private def dsirModelCtes(corpusPred: String): String =
+      s"""WITH t AS (SELECT doc_id, COALESCE(source = 'src0', FALSE) AS is_t, $toks AS tk
+                     FROM documents WHERE $corpusPred),
               u AS (SELECT doc_id, is_t, unnest(tk) AS w FROM t),
               ub AS (SELECT doc_id, is_t,
                        CAST(CONCAT('0x', substr(md5(w), 1, 6)) AS BIGINT) % 4096 AS bucket
@@ -1774,13 +1829,27 @@ object OracleSql {
                       CAST(FLOOR(ln(
                         (CAST(ct + 1 AS DOUBLE) * CAST(nr + 4096 AS DOUBLE)) /
                         (CAST(cr + 1 AS DOUBLE) * CAST(nt + 4096 AS DOUBLE))) * 1000000.0) AS BIGINT) AS ratio_q
-                    FROM bc CROSS JOIN tot),
+                    FROM bc CROSS JOIN tot)"""
+
+  /** The model CTEs plus per-doc quantized scores over the raw-pool
+    * docs matching `scoredPred` — the batch select/serve gates and the
+    * streaming scoring twin. */
+  private def dsirScored(scoredPred: String): String =
+      s"""${dsirModelCtes("TRUE")},
               tfb AS (SELECT doc_id, bucket, COUNT(*) AS tf FROM ub
                       WHERE $scoredPred GROUP BY doc_id, bucket),
               sc AS (SELECT tfb.doc_id,
                        CAST(SUM(tfb.tf) AS BIGINT) AS doc_tokens,
                        CAST(SUM(tfb.tf * r.ratio_q) AS BIGINT) AS logw_q
                      FROM tfb JOIN r USING (bucket) GROUP BY tfb.doc_id)"""
+
+  /** Streaming DSIR model-refresh twin: the from-scratch ratio model
+    * over the bounded window — the Spark side must land the identical
+    * table through base-fit + two streamed Dsir.update folds. */
+  private[graft] lazy val dsirUpdateStreamSql =
+      s"""${dsirModelCtes("doc_id < 1200")}
+         SELECT r.bucket, r.ratio_q, tot.nt, tot.nr
+         FROM r CROSS JOIN tot ORDER BY r.bucket"""
 
   private lazy val dsirSelectSql =
       s"""${dsirScored("NOT is_t")},

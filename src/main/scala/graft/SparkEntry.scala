@@ -2491,6 +2491,275 @@ object SparkEntry {
   }
 
   /**
+   * STREAMING SEMANTIC dedup under the hash gate — the embedding
+   * counterpart of [[qStreamDedup]], promoting
+   * [[graft.streaming.StreamingDedup.runEmbeddings]] (spec-only since
+   * r8) to a daily CORRECTNESS row: a deterministic 200-vector window
+   * of the embeddings table DOUBLED with exact replicas at
+   * vec_id + 10000001 (the odd offset flips parity, so every replica
+   * arrives in the OTHER batch than its original and each guaranteed
+   * cos=1 pair is found through the persisted-index cross-batch probe,
+   * not trivially in-batch) streams through runEmbeddings in two
+   * batches at threshold 0.9 — the sign-LSH banding regime
+   * (Dedup.signBanding: at-threshold band miss < 1e-6; replicas share
+   * their original's signature bit-for-bit, so the 200 guaranteed
+   * pairs can never band-miss) — and every band candidate is
+   * exact-cosine verified IN the stream (graft_cosine, the same
+   * expression q_dedup_embed hash-matches against DuckDB doubles), so
+   * the emitted pair set must hash-equal the brute-force quadratic
+   * recompute over the doubled window. Per-run index/matches/
+   * checkpoint dirs deleted after materialization.
+   */
+  private def qStreamSemdedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val window = ld(s, dir, "embeddings")
+      .filter(col("vec_id") < 200)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .collect() // bounded: ≤ 200 fixed-window rows at any sf
+      .flatMap(v => Seq(v, (v._1 + 10000001L, v._2)))
+    if (window.isEmpty)
+      return Seq.empty[(Long, Long, Double)].toDF("id_a", "id_b", "cos")
+    val stream = MemoryStream[(Long, Array[Float])]
+    val base = s"/tmp/graft_q_stream_semdedup/${java.util.UUID.randomUUID()}"
+    withShufflePartitions(s, 8) {
+      val q = graft.streaming.StreamingDedup.runEmbeddings(s,
+        stream.toDS().toDF("vec_id", "embedding"),
+        indexPath = s"$base/index", matchesPath = s"$base/matches",
+        threshold = 0.9, checkpoint = s"$base/ck")
+      try {
+        for (i <- 0 until 2) {
+          stream.addData(window.filter(v => math.floorMod(v._1, 2L) == i.toLong).toIndexedSeq)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+    }
+    // a pair is emitted once per discovering batch direction; the
+    // exact cosine is deterministic, so distinct over the normalized
+    // (id_a, id_b, cos) triple collapses re-discoveries losslessly
+    val out = s.read.option("basePath", s"$base/matches").parquet(s"$base/matches")
+      .select(
+        least(col("new_id"), col("existing_id")).as("id_a"),
+        greatest(col("new_id"), col("existing_id")).as("id_b"),
+        col("cos"))
+      .distinct()
+      .orderBy(col("id_a"), col("id_b"))
+      .localCheckpoint()
+    deleteLocalDir(s, base)
+    out
+  }
+
+  /**
+   * STREAMING quality-aware dedup (keep-best) under the hash gate —
+   * promoting [[graft.streaming.StreamingDedup.runKeepBest]]
+   * (spec-only) to a daily CORRECTNESS row. The window is built so the
+   * streaming rep-chained approximation is provably EXACT: each of the
+   * window's 150 doc_ids becomes a 3-replica cluster (base,
+   * base+10000001, base+20000002) whose synthetic text has
+   * cluster-disjoint 3-shingles (every token embeds the base id), so
+   * non-cluster band collisions are impossible and replica matches are
+   * certain (identical text ⇒ identical signatures). Score = doc_id:
+   * parity batching then exercises BOTH streaming paths — even bases
+   * resolve a within-batch pair first and the later replica LOSES to
+   * the indexed rep; odd bases index a lone rep first and the later
+   * winner BEATS it (tombstone + demotion + re-attribution). The
+   * reconstructed retention (latest decision per doc) must hash-equal
+   * the oracle's closed-form answer: the max-id replica keeps, every
+   * member attributes to it, score rides as the doc's own id. Per-run
+   * index/decisions/checkpoint dirs deleted after materialization.
+   */
+  private def qStreamKeepBest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val bases = ld(s, dir, "documents")
+      .filter(col("doc_id") < 150)
+      .select(col("doc_id")).as[Long]
+      .collect() // bounded: ≤ 150 fixed-window rows at any sf
+    if (bases.isEmpty)
+      return Seq.empty[(Long, Boolean, Long, Double)]
+        .toDF("doc_id", "kept", "rep_id", "score")
+    def txt(b: Long): String = (1 to 8).map(i => s"t${b}_$i").mkString(" ")
+    val window: Seq[(Long, String)] = bases.toIndexedSeq.flatMap(b =>
+      Seq((b, txt(b)), (b + 10000001L, txt(b)), (b + 20000002L, txt(b))))
+    val base = s"/tmp/graft_q_stream_keepbest/${java.util.UUID.randomUUID()}"
+    withShufflePartitions(s, 8) {
+      val stream = MemoryStream[(Long, String)]
+      val q = graft.streaming.StreamingDedup.runKeepBest(s,
+        stream.toDS().toDF("doc_id", "text"),
+        score = col("doc_id").cast("double"),
+        indexPath = s"$base/index", decisionsPath = s"$base/decisions",
+        checkpoint = s"$base/ck")
+      try {
+        for (i <- 0 until 2) {
+          stream.addData(window.filter(d => math.floorMod(d._1, 2L) == i.toLong).toIndexedSeq)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+    }
+    // current retention = each doc's LATEST decision (the documented
+    // consumer contract: demotions re-attribute a replaced rep)
+    val dec = s.read.option("basePath", s"$base/decisions").parquet(s"$base/decisions")
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("batch_id").desc)
+    val out = dec.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .select(col("doc_id"), col("kept"), col("rep_id"), col("score"))
+      .orderBy(col("doc_id"))
+      .localCheckpoint()
+    deleteLocalDir(s, base)
+    out
+  }
+
+  /**
+   * STREAMING exact dedup under the hash gate — promoting
+   * [[graft.streaming.Ingest.dedupStream]] (spec-only) to a daily
+   * CORRECTNESS row: the bounded events window is delivered
+   * at-least-once — batch 0 carries every row PLUS an in-batch
+   * duplicate of the even-id half, batch 1 re-delivers the whole
+   * window — and dropDuplicatesWithinWatermark must emit each
+   * event_id exactly once (duplicates are byte-identical rows, so the
+   * surviving row is deterministic regardless of arrival order). The
+   * oracle is the distinct window itself. Bounded window ⇒ flat cost
+   * at any sf; per-run checkpoint dir deleted after materialization.
+   */
+  private def qStreamDedupExact(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val evs = ld(s, dir, "events")
+      .filter(col("event_id") < 20000)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[(Long, java.sql.Timestamp, Long, String, Double)]
+      .collect() // bounded: ≤ 20k fixed-window rows at any sf
+    if (evs.isEmpty)
+      return Seq.empty[(Long, Long, String, Double)]
+        .toDF("event_id", "user_id", "event_type", "value")
+    val base = s"/tmp/graft_q_stream_dedup_exact/${java.util.UUID.randomUUID()}"
+    val name = s"q_stream_dedup_exact_${streamGateN.incrementAndGet()}"
+    withShufflePartitions(s, 8) {
+      val stream = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)]
+      val q = graft.streaming.Ingest
+        .dedupStream(
+          stream.toDS().toDF("event_id", "ts", "user_id", "event_type", "value"),
+          keyCols = Seq("event_id"), watermark = "36500 days")
+        .writeStream.format("memory").queryName(name).outputMode("append")
+        .option("checkpointLocation", s"$base/ck")
+        .start()
+      try {
+        stream.addData((evs ++ evs.filter(e => e._1 % 2 == 0)).toIndexedSeq)
+        q.processAllAvailable()
+        stream.addData(evs.toIndexedSeq)
+        q.processAllAvailable()
+      } finally q.stop()
+    }
+    val out = s.table(name)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      .orderBy(col("event_id"))
+      .localCheckpoint()
+    deleteLocalDir(s, base)
+    out
+  }
+
+  /**
+   * STREAMING vector-index admission under the hash gate — promoting
+   * [[graft.streaming.StreamingVectorAdmit]] (spec-only since r8) to a
+   * daily CORRECTNESS row by the q_ann_admitted contract: a base IVF
+   * index is built over the window's first 100 vectors, the remaining
+   * 300 stream in as two parity micro-batches (each becomes a
+   * searchable `stream_<batchId>` shard of the batch layout), and
+   * EXHAUSTIVE probing through the grown index must return exactly the
+   * brute-force top-5 over the FULL 400-vector window — every neighbor
+   * re-verified through the streaming admission machinery; the
+   * probe-limited run's structural invariant rides as
+   * `limited_wellformed_ok`. Bounded window ⇒ flat cost at any sf;
+   * per-run index/checkpoint dirs deleted after materialization.
+   */
+  private def qStreamVectorAdmit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val emb = ld(s, dir, "embeddings").filter(col("vec_id") < 400)
+    val base = s"/tmp/graft_q_stream_vecadmit/${java.util.UUID.randomUUID()}"
+    val idxPath = s"$base/index"
+    Ann.buildIvfIndex(s, emb.filter(col("vec_id") < 100), idxPath, numCells = 16)
+    val rest = emb.filter(col("vec_id") >= 100)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .collect() // bounded: ≤ 300 fixed-window rows at any sf
+    withShufflePartitions(s, 8) {
+      val stream = MemoryStream[(Long, Array[Float])]
+      val q = graft.streaming.StreamingVectorAdmit.run(
+        stream.toDS().toDF("vec_id", "embedding"), idxPath, s"$base/ck")
+      try {
+        for (i <- 0 until 2) {
+          stream.addData(rest.filter(v => math.floorMod(v._1, 2L) == i.toLong).toIndexedSeq)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+    }
+    val queries = emb.filter(col("vec_id") < 8)
+    val exhaustive = Ann.searchIvfIndex(s, idxPath, queries, 5, probes = 16)
+    val limited = Ann.searchIvfIndex(s, idxPath, queries, 5, probes = 4)
+    val out = withLimitedWellformed(exhaustive, limited, 5).localCheckpoint()
+    deleteLocalDir(s, base)
+    out
+  }
+
+  /**
+   * STREAMING DSIR model refresh under the hash gate — promoting
+   * [[graft.streaming.StreamingDsir.runUpdate]] (spec-only) to a daily
+   * CORRECTNESS row: a base model is fit on the window's doc_id%3==0
+   * slice, the other two slices stream in as two micro-batches each
+   * folding into the model through Dsir.update (batchId as the
+   * idempotency label), and the final servable generation's ratio
+   * table + totals must hash-equal the oracle's FROM-SCRATCH fit over
+   * the whole window — counts are additive, so streamed incremental
+   * refresh ≡ monolithic refit, bucket by quantized bucket. Bounded
+   * window (doc_id < 1200) ⇒ flat cost at any sf; per-run model/
+   * checkpoint dirs deleted after materialization.
+   */
+  private def qStreamDsirUpdate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val window = ld(s, dir, "documents")
+      .filter(col("doc_id") < 1200)
+      .select(col("doc_id"), col("text"),
+        coalesce(col("source") === "src0", lit(false)).as("is_t"))
+      .as[(Long, String, Boolean)]
+      .collect() // bounded: < 1200 fixed-window rows at any sf
+    if (window.isEmpty)
+      return Seq.empty[(Long, Long, Long, Long)].toDF("bucket", "ratio_q", "nt", "nr")
+    val base = s"/tmp/graft_q_stream_dsir_upd/${java.util.UUID.randomUUID()}"
+    val modelPath = s"$base/model"
+    graft.operators.Dsir.fit(
+      window.filter(d => math.floorMod(d._1, 3L) == 0L).toSeq
+        .toDF("doc_id", "text", "is_t"),
+      "doc_id", "text", col("is_t"), buckets = 4096, path = modelPath)
+    withShufflePartitions(s, 8) {
+      val stream = MemoryStream[(Long, String, Boolean)]
+      val q = graft.streaming.StreamingDsir.runUpdate(
+        stream.toDS().toDF("doc_id", "text", "is_t"),
+        col("is_t"), modelPath, checkpoint = s"$base/ck")
+      try {
+        for (i <- 1 to 2) {
+          stream.addData(window.filter(d => math.floorMod(d._1, 3L) == i.toLong).toIndexedSeq)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+    }
+    val (_, nt, nr, _) = graft.operators.Dsir.readMeta(s, modelPath)
+    val out = graft.operators.Dsir.ratiosOf(s, modelPath)
+      .select(col("bucket"), col("ratio_q"),
+        lit(nt).as("nt"), lit(nr).as("nr"))
+      .orderBy(col("bucket"))
+      .localCheckpoint()
+    deleteLocalDir(s, base)
+    out
+  }
+
+  /**
    * The SAME contamination check through the Bloom-prefilter scale
    * path (TextAnalysis.contaminationScreenBloom): benchmark grams
    * folded into a Bloom filter (codegen'd might_contain screens the
@@ -2789,6 +3058,10 @@ object SparkEntry {
     "q_contamination" -> (qContamination _),
     "q_stream_contamination" -> (qStreamContamination _),
     "q_stream_dedup" -> (qStreamDedup _),
+    "q_stream_semdedup" -> (qStreamSemdedup _),
+    "q_stream_keep_best" -> (qStreamKeepBest _),
+    "q_stream_dedup_exact" -> (qStreamDedupExact _),
+    "q_stream_vector_admit" -> (qStreamVectorAdmit _),
     "q_contamination_bloom" -> (qContaminationBloom _),
     "q_domain_cap" -> (qDomainCap _),
     "q_hybrid_retrieval" -> (qHybridRetrieval _),
@@ -2805,6 +3078,7 @@ object SparkEntry {
     "q_dsir_select" -> (qDsirSelect _),
     "q_dsir_served" -> (qDsirServed _),
     "q_stream_dsir" -> (qStreamDsir _),
+    "q_stream_dsir_update" -> (qStreamDsirUpdate _),
     "q_dsir_updated" -> (qDsirUpdated _),
     "q_nb_classify" -> (qNbClassify _),
     "q_zorder" -> (qZorder _),

@@ -188,7 +188,8 @@ object OracleSql {
     * candidate-corpus predicate — `TRUE` is the whole-corpus form the
     * batch index gates share; the streaming admission twin runs it
     * over its bounded window. */
-  private def exhaustiveEqualsBruteScoped(corpusPred: String): String =
+  private def exhaustiveEqualsBruteScoped(
+      corpusPred: String, withLimitedCol: Boolean = true): String =
     s"""WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
                   FROM embeddings WHERE vec_id < 8),
             c AS (SELECT vec_id AS item_id, CAST(embedding AS DOUBLE[]) AS iv
@@ -201,7 +202,8 @@ object OracleSql {
             r AS (SELECT query_id, item_id, cos,
               CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, item_id) AS INT) AS rank
             FROM s WHERE NOT isnan(cos))
-       SELECT query_id, item_id, cos, rank, TRUE AS limited_wellformed_ok
+       SELECT query_id, item_id, cos, rank${
+         if (withLimitedCol) ", TRUE AS limited_wellformed_ok" else ""}
        FROM r WHERE rank <= 5 ORDER BY query_id, rank"""
 
   private val exhaustiveEqualsBruteSql = exhaustiveEqualsBruteScoped("TRUE")
@@ -1036,7 +1038,10 @@ object OracleSql {
     // window (base = the first 100), and exhaustive probing through
     // the stream-grown index must equal brute force over the window —
     // every neighbor re-verified through the streaming admission path
-    "q_stream_vector_admit" -> exhaustiveEqualsBruteScoped("vec_id < 400"),
+    // (the probe-LIMITED path's structural invariant stays
+    // q_ann_admitted's daily job — this gate pays one search pipeline)
+    "q_stream_vector_admit" ->
+      exhaustiveEqualsBruteScoped("vec_id < 400", withLimitedCol = false),
     // the codes-layout admission: exhaustive probes + unlimited exact
     // re-rank equal brute force regardless of code quality, so the
     // same oracle re-verifies the PQ admission-serving path

@@ -460,16 +460,24 @@ object StreamingDedup {
             .filter(col("ej") >= threshold)
             .select(col("id_a"), col("id_b"))
             .distinct()
+          // cached: winners/losers and all three sinks below re-derive
+          // from it (the cluster resolution itself ran eagerly inside
+          // connectedComponents' small-graph path, but the join-back
+          // DAG would still re-execute per sink)
           val local = Dedup.dedupKeepBest(
             scored.select(col("doc_id"), col("__score")), "doc_id", col("__score"), batchPairs)
+            .cache()
           val winners = local.filter(col("keep"))
             .select(col("doc_id").as("id"), col("score").as("new_score"))
             .join(sigs.select(col("id"), col("sig")), Seq("id"))
           val losers = local.filter(!col("keep"))
             .select(col("doc_id"), col("keep_id"), col("score"))
 
-          // 2. winners probe the ACTIVE rep index (index minus tombstones)
-          val matched =
+          // 2. winners probe the ACTIVE rep index (index minus tombstones).
+          // Cached: replacing/losing/unmatched and all three sinks fan out
+          // from this one band-probe join — uncached it re-reads the index
+          // and re-runs the join once per sink write.
+          val matched0 =
             if (!haveParts(indexPath)) winners.limit(0)
               .select(col("id"), col("new_score"), lit(0L).as("rep_id"), lit(0.0).as("rep_score"))
             else {
@@ -506,6 +514,7 @@ object StreamingDedup {
                   Seq("rep_id"))
                 .select(col("id"), col("new_score"), col("rep_id"), col("rep_score"))
             }
+          val matched = matched0.cache()
           val beats = (col("rep_score").isNull && col("new_score").isNotNull) ||
             col("new_score") > col("rep_score")
           val replacing = matched.filter(beats).cache()
@@ -534,6 +543,8 @@ object StreamingDedup {
             .write.mode("overwrite").parquet(s"$retiredPath/batch_id=$batchId")
           newReps.write.mode("overwrite").parquet(s"$indexPath/batch_id=$batchId")
           replacing.unpersist()
+          matched.unpersist()
+          local.unpersist()
           sigs.unpersist()
           scored.unpersist()
           ()

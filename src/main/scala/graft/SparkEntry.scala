@@ -2163,6 +2163,7 @@ object SparkEntry {
         .toDF("doc_id", "doc_tokens", "logw_q", "logw", "keep")
     val stream = MemoryStream[(Long, String)]
     val base = s"/tmp/graft_q_stream_dsir/${java.util.UUID.randomUUID()}"
+    withScratchDir(s, base) {
     withShufflePartitions(s, 8) {
       val q = graft.streaming.StreamingDsir.run(s,
         stream.toDS().toDF("doc_id", "text"),
@@ -2181,8 +2182,8 @@ object SparkEntry {
       .select(col("doc_id"), col("doc_tokens"), col("logw_q"), col("logw"), col("keep"))
       .orderBy(col("doc_id"))
       .localCheckpoint()
-    deleteLocalDir(s, base)
     out
+    }
   }
 
   /** Recursively delete a per-run gate scratch dir (checkpoint + report)
@@ -2191,6 +2192,14 @@ object SparkEntry {
     val p = new org.apache.hadoop.fs.Path(path)
     p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
   }
+
+  /** Run a gate body against a per-run scratch dir and delete the dir
+    * on EVERY exit — a gate that throws mid-stream must not leak its
+    * per-UUID `/tmp/graft_q_stream_...` dirs (the r12 litter finding held
+    * only on the success path). The body materializes its result
+    * (localCheckpoint) before returning, so the delete is always safe. */
+  private def withScratchDir[T](s: SparkSession, base: String)(body: => T): T =
+    try body finally deleteLocalDir(s, base)
 
   /** Hashed-unigram multinomial Naive Bayes source classifier
     * (graft.operators.NaiveBayes): train on an md5-hash half of the
@@ -2409,6 +2418,7 @@ object SparkEntry {
         .toDF("doc_id", "n_grams", "n_hit", "contamination_frac")
     val stream = MemoryStream[(Long, String)]
     val base = s"/tmp/graft_q_stream_contamination/${java.util.UUID.randomUUID()}"
+    withScratchDir(s, base) {
     withShufflePartitions(s, 8) {
       val q = graft.streaming.StreamingContamination.run(s,
         stream.toDS().toDF("doc_id", "text"),
@@ -2425,8 +2435,8 @@ object SparkEntry {
       .select(col("doc_id"), col("n_grams"), col("n_hit"), col("contamination_frac"))
       .orderBy(col("doc_id"))
       .localCheckpoint()
-    deleteLocalDir(s, base)
     out
+    }
   }
 
   /**
@@ -2463,6 +2473,7 @@ object SparkEntry {
     val (nh, b) = Dedup.minhashBanding(0.5)
     val stream = MemoryStream[(Long, String)]
     val base = s"/tmp/graft_q_stream_dedup/${java.util.UUID.randomUUID()}"
+    withScratchDir(s, base) {
     withShufflePartitions(s, 8) {
       val q = graft.streaming.StreamingDedup.run(s,
         stream.toDS().toDF("doc_id", "text"),
@@ -2476,18 +2487,23 @@ object SparkEntry {
         }
       } finally q.stop()
     }
-    val cands = s.read.option("basePath", s"$base/matches").parquet(s"$base/matches")
-      .select(
-        least(col("new_id"), col("existing_id")).as("id_a"),
-        greatest(col("new_id"), col("existing_id")).as("id_b"))
-      .distinct()
-    val docs = window.toSeq.toDF("doc_id", "text")
-    val out = Dedup.exactJaccardVerify(cands, docs, "doc_id", "text", shingleSize = 3)
-      .filter(col("jac") >= 0.5)
-      .orderBy(col("id_a"), col("id_b"))
-      .localCheckpoint()
-    deleteLocalDir(s, base)
+    // the verify tail (distinct + exactJaccardVerify's groupBy/join
+    // over the 800-doc window) is the gate's shuffle-heaviest stage —
+    // it belongs at the same 8 partitions as the stream
+    val out = withShufflePartitions(s, 8) {
+      val cands = s.read.option("basePath", s"$base/matches").parquet(s"$base/matches")
+        .select(
+          least(col("new_id"), col("existing_id")).as("id_a"),
+          greatest(col("new_id"), col("existing_id")).as("id_b"))
+        .distinct()
+      val docs = window.toSeq.toDF("doc_id", "text")
+      Dedup.exactJaccardVerify(cands, docs, "doc_id", "text", shingleSize = 3)
+        .filter(col("jac") >= 0.5)
+        .orderBy(col("id_a"), col("id_b"))
+        .localCheckpoint()
+    }
     out
+    }
   }
 
   /**
@@ -2524,6 +2540,7 @@ object SparkEntry {
       return Seq.empty[(Long, Long, Double)].toDF("id_a", "id_b", "cos")
     val stream = MemoryStream[(Long, Array[Float])]
     val base = s"/tmp/graft_q_stream_semdedup/${java.util.UUID.randomUUID()}"
+    withScratchDir(s, base) {
     withShufflePartitions(s, 8) {
       val q = graft.streaming.StreamingDedup.runEmbeddings(s,
         stream.toDS().toDF("vec_id", "embedding"),
@@ -2549,8 +2566,8 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
         .localCheckpoint()
     }
-    deleteLocalDir(s, base)
     out
+    }
   }
 
   /**
@@ -2587,6 +2604,7 @@ object SparkEntry {
     val window: Seq[(Long, String)] = bases.toIndexedSeq.flatMap(b =>
       Seq((b, txt(b)), (b + 10000001L, txt(b)), (b + 20000002L, txt(b))))
     val base = s"/tmp/graft_q_stream_keepbest/${java.util.UUID.randomUUID()}"
+    withScratchDir(s, base) {
     withShufflePartitions(s, 8) {
       val stream = MemoryStream[(Long, String)]
       val q = graft.streaming.StreamingDedup.runKeepBest(s,
@@ -2611,8 +2629,8 @@ object SparkEntry {
         .orderBy(col("doc_id"))
         .localCheckpoint()
     }
-    deleteLocalDir(s, base)
     out
+    }
   }
 
   /**
@@ -2640,6 +2658,7 @@ object SparkEntry {
       return Seq.empty[(Long, Long, String, Double)]
         .toDF("event_id", "user_id", "event_type", "value")
     val base = s"/tmp/graft_q_stream_dedup_exact/${java.util.UUID.randomUUID()}"
+    withScratchDir(s, base) {
     val name = s"q_stream_dedup_exact_${streamGateN.incrementAndGet()}"
     withShufflePartitions(s, 8) {
       val stream = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)]
@@ -2661,8 +2680,8 @@ object SparkEntry {
       .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
       .orderBy(col("event_id"))
       .localCheckpoint()
-    deleteLocalDir(s, base)
     out
+    }
   }
 
   /**
@@ -2674,10 +2693,11 @@ object SparkEntry {
    * searchable `stream_<batchId>` shard of the batch layout), and
    * EXHAUSTIVE probing through the grown index must return exactly the
    * brute-force top-5 over the FULL 400-vector window — every neighbor
-   * re-verified through the streaming admission machinery; the
-   * probe-limited run's structural invariant rides as
-   * `limited_wellformed_ok`. Bounded window ⇒ flat cost at any sf;
-   * per-run index/checkpoint dirs deleted after materialization.
+   * re-verified through the streaming admission machinery. (The
+   * probe-LIMITED path's structural invariant stays q_ann_admitted's
+   * daily job on the fixture index; this gate deliberately pays one
+   * search pipeline.) Bounded window ⇒ flat cost at any sf; per-run
+   * index/checkpoint dirs deleted after materialization.
    */
   private def qStreamVectorAdmit(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -2685,6 +2705,7 @@ object SparkEntry {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
     val emb = ld(s, dir, "embeddings").filter(col("vec_id") < 400)
     val base = s"/tmp/graft_q_stream_vecadmit/${java.util.UUID.randomUUID()}"
+    withScratchDir(s, base) {
     val idxPath = s"$base/index"
     // a dataset whose vec_ids start past the base bound must yield the
     // oracle's empty result, not an empty-kmeans crash
@@ -2723,8 +2744,8 @@ object SparkEntry {
     val out = Ann.searchIvfIndex(s, idxPath, queries, 5, probes = 16)
       .orderBy(col("query_id"), col("rank"))
       .localCheckpoint()
-    deleteLocalDir(s, base)
     out
+    }
     }
   }
 
@@ -2754,6 +2775,7 @@ object SparkEntry {
     if (window.isEmpty)
       return Seq.empty[(Long, Long, Long, Long)].toDF("bucket", "ratio_q", "nt", "nr")
     val base = s"/tmp/graft_q_stream_dsir_upd/${java.util.UUID.randomUUID()}"
+    withScratchDir(s, base) {
     val modelPath = s"$base/model"
     withShufflePartitions(s, 8) {
     graft.operators.Dsir.fit(
@@ -2778,8 +2800,8 @@ object SparkEntry {
         lit(nt).as("nt"), lit(nr).as("nr"))
       .orderBy(col("bucket"))
       .localCheckpoint()
-    deleteLocalDir(s, base)
     out
+    }
     }
   }
 

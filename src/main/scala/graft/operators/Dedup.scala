@@ -490,7 +490,16 @@ object Dedup {
       // the asymmetric candidate join's volume is Σ_gram pfIdx·pfProbe
       // (index-prefix postings × probing-prefix postings), computed by
       // running the sampled postings through the SAME rarityArrays /
-      // prefix-length machinery prefixPairs runs
+      // prefix-length machinery prefixPairs runs. Since r13's size
+      // banding this is a conservative UPPER bound of the actual
+      // banded join (the band key and per-band shortened probe
+      // prefixes only remove rows — measured −27% on the 5×-replica
+      // corpus), so near the 2× crossover a size-diverse corpus may
+      // route dense when banded-prefix is slightly cheaper, and the
+      // partition width sized from it errs wide. Both cost speed at
+      // the margin, never correctness; modeling the bands exactly
+      // would need per-(gram, band) sampled counts — a second
+      // aggregate the probe deliberately does not pay.
       val r = rarityArrays(sampled, sampledGf, groupCols)
         .select((col("sz") +: groupCols.map(col) :+
           posexplode(slice(col("toks"), lit(1), probePrefLen(threshold))).as(Seq("pos", "tok"))): _*)
@@ -584,8 +593,9 @@ object Dedup {
   private val PpjBandRatio: Double = 1.4
 
   // ---- shared PPJoin prefix machinery (the dispatcher's volume probe
-  // MUST estimate exactly the pipeline prefixPairs runs — one
-  // definition keeps them from drifting apart) ----
+  // runs the SAME rarity/prefix-length definitions as prefixPairs so
+  // the two cannot drift on those; the probe's estimate is an UPPER
+  // bound of the banded join's volume — see estPrefixRows) ----
 
   /** Per-doc rarity-sorted token arrays: postings joined with the
     * per-(group, gram) frequencies, each token packed as ONE sortable
@@ -608,17 +618,40 @@ object Dedup {
     * DOWN 1e-9 so a floating product landing epsilon above an exact
     * integer can only LENGTHEN the prefix (safe), never shorten it
     * (lossy). */
-  private def probePrefLen(threshold: Double): Column =
+  private[graft] def probePrefLen(threshold: Double): Column =
     (col("sz") - ceil(col("sz").cast("double") * lit(threshold) - lit(1e-9)) + 1).cast("int")
 
   /** Indexing-prefix length for the SMALLER side of a (sz, id)-ordered
     * pair: with szX <= szY the required overlap is >= ⌈2t/(1+t)·szX⌉,
     * so only the first szX - ⌈2t/(1+t)·szX⌉ + 1 tokens can witness a
     * qualifying pair (same fp nudge as [[probePrefLen]]). */
-  private def idxPrefLen(threshold: Double): Column = {
+  private[graft] def idxPrefLen(threshold: Double): Column = {
     val f = 2.0 * threshold / (1.0 + threshold)
     (col("sz") - ceil(col("sz").cast("double") * lit(f) - lit(1e-9)) + 1).cast("int")
   }
+
+  // ---- size-band expressions, ONE definition shared by prefixPairs
+  // and the BandStats measurement tool (a tool measuring a join shape
+  // the library no longer runs is worse than no tool) ----
+
+  /** Geometric size-band id of a doc size. */
+  private[graft] def ppjBandOf(szc: Column): Column =
+    floor(log(szc.cast("double")) / lit(math.log(PpjBandRatio))).cast("int")
+
+  /** Smallest partner size the PPJoin length filter admits (floor, not
+    * ceil: an off-by-one DOWN only widens the band range — safe). */
+  private[graft] def ppjXmin(szc: Column, threshold: Double): Column =
+    greatest(floor(szc.cast("double") * lit(threshold)).cast("int"), lit(1))
+
+  /** A band's minimum partner size m (the pow() band floor is shaved
+    * 0.1% so fp can only LENGTHEN a prefix). */
+  private[graft] def ppjBandMin(band: Column, xmin: Column): Column =
+    greatest(floor(pow(lit(PpjBandRatio), band) * lit(0.999)).cast("int"), xmin, lit(1))
+
+  /** Required-overlap α(m, sz) for a probe entry emitted to a band of
+    * minimum size m (same fp nudge discipline as the prefix lengths). */
+  private[graft] def ppjAlpha(mK: Column, szc: Column, threshold: Double): Column =
+    ceil(lit(threshold / (1.0 + threshold)) * (mK + szc).cast("double") - lit(1e-9))
 
   /** Group+gram composite key for heavy-gram detection/salting: the
     * group columns (stringified) and the gram, NUL-joined. */
@@ -909,8 +942,7 @@ object Dedup {
     // pruned by a broadcast occupancy join (groupCols are bounded
     // corpus partitions, so (group, band) stays tiny) — a uniform-size
     // corpus then pays ZERO band fan-out.
-    def bandOf(szc: Column): Column =
-      floor(log(szc.cast("double")) / lit(math.log(PpjBandRatio))).cast("int")
+    def bandOf(szc: Column): Column = ppjBandOf(szc)
     val idxPref = rarToks
       .select((col("id") +: col("sz") +: bandOf(col("sz")).as("band") +: groupCols.map(col) :+
         posexplode(slice(col("toks"), lit(1), idxPrefLen(threshold))).as(Seq("pos", "tok"))): _*)
@@ -925,13 +957,9 @@ object Dedup {
       .filter(col("sz") > 0)
       .select((bandOf(col("sz")).as("band") +: groupCols.map(col)): _*)
       .distinct()
-    // smallest partner size the length filter admits (floor, not ceil:
-    // an off-by-one DOWN only widens the band range — safe)
-    val xmin = greatest(floor(col("sz").cast("double") * lit(threshold)).cast("int"), lit(1))
-    val mK = greatest(
-      floor(pow(lit(PpjBandRatio), col("band")) * lit(0.999)).cast("int"), xmin, lit(1))
-    val alphaK =
-      ceil(lit(threshold / (1.0 + threshold)) * (mK + col("sz")).cast("double") - lit(1e-9))
+    val xmin = ppjXmin(col("sz"), threshold)
+    val mK = ppjBandMin(col("band"), xmin)
+    val alphaK = ppjAlpha(mK, col("sz"), threshold)
     val pref = rarToks
       .select((col("id") +: col("sz") +: col("toks") +: groupCols.map(col) :+
         explode(sequence(bandOf(xmin), bandOf(col("sz")))).as("band")): _*)

@@ -163,7 +163,11 @@ object Multimodal {
                 Some(m.width), Some(m.height), Some(m.frame_count), Some(m.content_sum), None)
             case scala.util.Failure(e) =>
               val msg = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}"
-              MediaMetaLenient(r.doc_id, r.fmt, r.payload.length.toLong,
+              // payload may itself be null (a nullable binary column is
+              // exactly the corrupt-row class this mode survives) — the
+              // error row must not NPE computing its own byte_len
+              val len = Option(r.payload).map(_.length.toLong).getOrElse(0L)
+              MediaMetaLenient(r.doc_id, r.fmt, len,
                 None, None, None, None, Some(msg.take(256)))
           }
         }

@@ -27,7 +27,7 @@ object BandStats {
           ).as("text"),
           lit("en").as("lang"), lit("s0").as("source"))
       } else spark.read.parquet(s"${args.head}/documents.parquet")
-    val (n, threshold, ratio) = (4, 0.35, 1.4)
+    val (n, threshold) = (4, 0.35)
     val g = Seq("lang", "source")
     val ex = docs.select(col("doc_id").as("id"),
         call_function("graft_char_ngrams", lower(col("text")), lit(n)).as("grams"),
@@ -42,13 +42,12 @@ object BandStats {
       .groupBy(col("id"), col("sz"), col("lang"), col("source"))
       .agg(sort_array(collect_list(col("tok"))).as("toks"))
       .localCheckpoint()
-    def bandOf(szc: org.apache.spark.sql.Column) =
-      floor(log(szc.cast("double")) / lit(math.log(ratio))).cast("int")
-    val probeLen = (col("sz") - ceil(col("sz").cast("double") * lit(threshold) - lit(1e-9)) + 1).cast("int")
-    val idxLen = {
-      val f = 2.0 * threshold / (1.0 + threshold)
-      (col("sz") - ceil(col("sz").cast("double") * lit(f) - lit(1e-9)) + 1).cast("int")
-    }
+    // the library's OWN band/prefix expressions (private[graft]) — the
+    // tool must measure the join shape prefixPairs actually runs
+    import graft.operators.Dedup.{ppjBandOf => bandOf, ppjXmin, ppjBandMin, ppjAlpha,
+      probePrefLen, idxPrefLen}
+    val probeLen = probePrefLen(threshold)
+    val idxLen = idxPrefLen(threshold)
     println("occupiedBands=" + toks.select(bandOf(col("sz"))).distinct().count())
     // unbanded: Σ pfi·pfp
     val pu = toks.select(col("sz"), col("lang"), col("source"),
@@ -59,9 +58,9 @@ object BandStats {
     println(s"unbanded scan=${un.getLong(0)} probeEntries=${un.getLong(1)}")
     // banded
     val occ = toks.select(bandOf(col("sz")).as("band"), col("lang"), col("source")).distinct()
-    val xmin = greatest(floor(col("sz").cast("double") * lit(threshold)).cast("int"), lit(1))
-    val mK = greatest(floor(pow(lit(ratio), col("band")) * lit(0.999)).cast("int"), xmin, lit(1))
-    val alphaK = ceil(lit(threshold / (1.0 + threshold)) * (mK + col("sz")).cast("double") - lit(1e-9))
+    val xmin = ppjXmin(col("sz"), threshold)
+    val mK = ppjBandMin(col("band"), xmin)
+    val alphaK = ppjAlpha(mK, col("sz"), threshold)
     val pb = toks.select(col("id"), col("sz"), col("toks"), col("lang"), col("source"),
         explode(sequence(bandOf(xmin), bandOf(col("sz")))).as("band"))
       .join(broadcast(occ), g :+ "band")

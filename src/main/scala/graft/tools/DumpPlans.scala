@@ -47,7 +47,7 @@ object DumpPlans {
       "q_lm_perplexity" -> "LM perplexity: vocab counts derive from the per-(doc, token) aggregate (same exchange reused — one tokenize); surprisal joins by token key; 1-row (n, V) broadcast",
       "q_dedup_keep_best" -> "keep-best dedup: star-contraction clusters + two fixed-width-key aggregations (best score, min id at best) — no window sort over members",
       "q_knn_clusters" -> "mutual-kNN clustering: kNN edges (size-dispatched), reversed-pair left-semi mutuality on id keys, log-round star contraction — no corpus-sized broadcast anywhere",
-      "q_dedup_embed_ivf" -> "forced-IVF embedding dedup: the gated query runs embeddingPairsIvf itself — cell assignment is a narrow codegen'd map (centroids ride as a reference object), candidates from a within-cell id-only shuffle_hash self-join, vectors re-attach only to the distinct candidate set for the exact verify",
+      "q_dedup_embed_ivf" -> "forced-IVF embedding dedup: the gated query runs embeddingPairsIvf itself — cell assignment is a narrow codegen'd map (centroids ride as a reference object), vectors ride INTO the cells (n·probes rows) and the exact-cosine verify is FUSED into the within-cell shuffle_hash self-join, so candidate rows never materialize and distinct runs on the output-sized verified pairs",
       "q_knn_join_ivf" -> "forced-IVF self kNN: items carry ONE cell, queries explode probe cells, candidates from a shuffle hash join on the cell key — nothing corpus-sized broadcast; heap top-k per query",
       "q_link_declared" -> "declarative external link: JSON-declared JDBC catalog — the link predicate evaluated on the (scan-level) JDBC relation collapses to In(l_suppkey,...) in the fact scan's PushedFilters; enrichment is a BroadcastHashJoin, the fact side never shuffles",
       "q_dedup_cross" -> "cross-corpus dedup: probe-shard signatures are a narrow map over the NEW data only; the reference side reads the PERSISTED (id, sig) index — no reference re-shingle before the band join; candidates are id-only through the (band, bh) shuffle join; reference text re-attaches only to the distinct candidate set for the exact verify",

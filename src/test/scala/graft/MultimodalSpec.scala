@@ -245,11 +245,12 @@ class MultimodalSpec extends SparkSpecBase {
       Multimodal.MediaRow(2L, "audio", goodWav),
       Multimodal.MediaRow(3L, "img", truncImg),
       Multimodal.MediaRow(4L, "audio", garbage),
-      Multimodal.MediaRow(5L, "weird", goodImg) // unknown format tag
+      Multimodal.MediaRow(5L, "weird", goodImg), // unknown format tag
+      Multimodal.MediaRow(6L, "img", null) // null payload (nullable binary column)
     ).toDS()
     val out = Multimodal.decodeFeaturesLenient(spark, media)
       .collect().map(r => r.doc_id -> r).toMap
-    assert(out.size == 5, "every input row must survive, flagged or not")
+    assert(out.size == 6, "every input row must survive, flagged or not")
     // good rows carry exactly the strict decode's features
     val strict = Multimodal.decodeFeatures(spark, media.filter((r: Multimodal.MediaRow) => r.doc_id <= 2))
       .collect().map(m => m.doc_id -> m).toMap
@@ -259,8 +260,9 @@ class MultimodalSpec extends SparkSpecBase {
       assert(l.width.contains(s.width) && l.height.contains(s.height) &&
         l.frame_count.contains(s.frame_count) && l.content_sum.contains(s.content_sum))
     }
-    // corrupt rows: null features, populated bounded error
-    for (id <- Seq(3L, 4L, 5L)) {
+    // corrupt rows: null features, populated bounded error (6 = null
+    // payload — the error row must not NPE computing its own byte_len)
+    for (id <- Seq(3L, 4L, 5L, 6L)) {
       val l = out(id)
       assert(l.width.isEmpty && l.height.isEmpty && l.frame_count.isEmpty && l.content_sum.isEmpty)
       assert(l.decode_error.exists(m => m.nonEmpty && m.length <= 256), s"row $id: ${l.decode_error}")

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import graft.functions.F
@@ -16,6 +16,18 @@ import graft.operators.Dedup
  *     work is |batch| × collision rate, never |corpus|²;
  *  3. emit (new_id, existing_id, est_jaccard) matches to the sink;
  *  4. append the batch's signatures to the index.
+ *
+ * Index-probe shuffle discipline (all variants — run, runEmbeddings,
+ * runKeepBest): the banded BATCH side is broadcast and the
+ * corpus-sized index SCANS through it, so the index pays zero
+ * exchange and zero sort per trigger — a plain two-sided band join
+ * would re-shuffle the whole index every batch, the one cost shape a
+ * 100 TB corpus cannot absorb. The batch (and its banded explosion)
+ * is micro-batch-bounded by the trigger, hence broadcastable by
+ * construction; the per-trigger index SCAN itself is the price of the
+ * flat shard layout and amortizes by batching (the bucketed BATCH
+ * index + base+delta serving is the scan-pruned shape for
+ * latency-critical probes).
  *
  * The text index is the SAME layout the batch side builds and probes
  * ([[graft.operators.Dedup.buildTextIndex]]): `<indexPath>/meta` pins
@@ -128,22 +140,30 @@ object StreamingDedup {
           // an own-shard partition filter: it also covers a re-SENT batch
           // arriving under a new batchId.)
           val batchIds = sigs.select(col("id"))
-          val target =
+          // The index-probe join BROADCASTS the banded batch and streams
+          // the index scan through it: the corpus-sized index side pays
+          // ZERO exchange per batch (a plain two-sided band join would
+          // re-shuffle the whole index every trigger — the one shape
+          // that cannot survive a 100 TB corpus). The batch is
+          // micro-batch-bounded by the trigger, so its banded rows are
+          // broadcastable by construction; within-batch pairs come from
+          // a separate batch-sized self-join. The two candidate sets
+          // are disjoint (index copies of this batch's ids are
+          // anti-joined out), so the union needs no cross-set dedup.
+          def cand(a: DataFrame, b: DataFrame, idCond: Column): DataFrame =
+            a.as("a").join(b.as("b"),
+              col("a.band") === col("b.band") && col("a.bh") === col("b.bh") && idCond)
+              .select(col("a.id").as("new_id"), col("b.id").as("existing_id"),
+                estJaccardExpr(nh).as("est_jaccard"))
+          val inBatch = cand(probe, probe, col("a.id") > col("b.id"))
+          val viaIndex =
             if (haveIndex)
-              banded(s.read.parquet(sigsDir).select(col("id"), col("sig"))
-                  .join(broadcast(batchIds), Seq("id"), "left_anti"))
-                .withColumn("from_index", lit(true))
-                .unionByName(probe.withColumn("from_index", lit(false)))
-            else probe.withColumn("from_index", lit(false))
-          val matches = probe.as("a")
-            .join(
-              target.as("b"),
-              col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
-                when(col("b.from_index"), col("a.id") =!= col("b.id"))
-                  .otherwise(col("a.id") > col("b.id"))
-            )
-            .select(col("a.id").as("new_id"), col("b.id").as("existing_id"),
-              estJaccardExpr(nh).as("est_jaccard"))
+              cand(broadcast(probe),
+                banded(s.read.parquet(sigsDir).select(col("id"), col("sig"))
+                  .join(broadcast(batchIds), Seq("id"), "left_anti")),
+                col("a.id") =!= col("b.id"))
+            else inBatch.limit(0)
+          val matches = inBatch.unionByName(viaIndex)
             .filter(col("est_jaccard") >= thr)
             .distinct()
           // Idempotent per micro-batch: foreachBatch replays a batch after a
@@ -337,20 +357,24 @@ object StreamingDedup {
           // dedups within-batch pairs, and index copies of this batch's
           // ids are excluded (replay convergence — see run() above)
           val batchIds = sigs.select(col("id"))
-          val target =
+          // broadcast-probe discipline (see run() above): the
+          // corpus-sized index streams through the broadcast banded/
+          // cell-keyed batch with ZERO exchange per trigger; in-batch
+          // pairs come from a batch-sized self-join, and the two sets
+          // are disjoint (index copies of batch ids anti-joined out)
+          def cand(a: DataFrame, b: DataFrame, idCond: Column): DataFrame =
+            a.as("a").join(b.as("b"),
+              col("a.band") === col("b.band") && col("a.bh") === col("b.bh") && idCond)
+              .select(col("a.id").as("new_id"), col("b.id").as("existing_id"),
+                call_function("graft_cosine", col("a.vec"), col("b.vec")).as("cos"))
+          val inBatch = cand(probe, probe, col("a.id") > col("b.id"))
+          val viaIndex =
             if (haveIndex)
-              keyed(s.read.parquet(indexPath).join(broadcast(batchIds), Seq("id"), "left_anti"))
-                .withColumn("from_index", lit(true))
-                .unionByName(probe.withColumn("from_index", lit(false)))
-            else probe.withColumn("from_index", lit(false))
-          val matches = probe.as("a")
-            .join(
-              target.as("b"),
-              col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
-                when(col("b.from_index"), col("a.id") =!= col("b.id"))
-                  .otherwise(col("a.id") > col("b.id")))
-            .select(col("a.id").as("new_id"), col("b.id").as("existing_id"),
-              call_function("graft_cosine", col("a.vec"), col("b.vec")).as("cos"))
+              cand(broadcast(probe),
+                keyed(s.read.parquet(indexPath).join(broadcast(batchIds), Seq("id"), "left_anti")),
+                col("a.id") =!= col("b.id"))
+            else inBatch.limit(0)
+          val matches = inBatch.unionByName(viaIndex)
             .filter(col("cos") >= threshold)
             .distinct()
           // replay-safe: see the batch_id-partition note in run() above
@@ -492,14 +516,22 @@ object StreamingDedup {
               // re-match it, and then overwrite the tombstone partition
               // with an empty one — resurrecting the demoted rep beside
               // its replacement (two active reps for one cluster)
+              // tombstone ids ride broadcast: a shuffled anti-join would
+              // re-exchange the corpus-sized index per batch. The set is
+              // bounded by the demotion count (one id per replaced rep);
+              // a deployment where it outgrows broadcast should fold
+              // tombstones into the index (compaction), not shuffle here.
               val active =
                 if (haveParts(retiredPath))
                   idx.join(
-                    s.read.parquet(retiredPath)
-                      .filter(col("batch_id") =!= batchId).select(col("id")),
+                    broadcast(s.read.parquet(retiredPath)
+                      .filter(col("batch_id") =!= batchId).select(col("id"))),
                     Seq("id"), "left_anti")
                 else idx
-              val m = banded(winners.select(col("id"), col("sig"))).as("a")
+              // broadcast-probe discipline (run()'s scaladoc): the banded
+              // batch winners broadcast, the corpus-sized rep index
+              // streams through with ZERO exchange per trigger
+              val m = broadcast(banded(winners.select(col("id"), col("sig")))).as("a")
                 .join(banded(active.select(col("id"), col("sig"))).as("b"),
                   col("a.band") === col("b.band") && col("a.bh") === col("b.bh"))
                 .select(col("a.id").as("id"), col("b.id").as("rep_id"), estJaccard.as("ej"))
@@ -508,8 +540,11 @@ object StreamingDedup {
               // best-matching rep per winner: max similarity, min-id tie
               val w = org.apache.spark.sql.expressions.Window
                 .partitionBy(col("id")).orderBy(col("ej").desc, col("rep_id").asc)
-              m.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
-                .join(winners.select(col("id"), col("new_score")), Seq("id"))
+              // the matched set is winner-bounded — broadcast it so the
+              // rep_score attach streams the index instead of shuffling it
+              broadcast(
+                m.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+                  .join(winners.select(col("id"), col("new_score")), Seq("id")))
                 .join(active.select(col("id").as("rep_id"), col("__score").as("rep_score")),
                   Seq("rep_id"))
                 .select(col("id"), col("new_score"), col("rep_id"), col("rep_score"))

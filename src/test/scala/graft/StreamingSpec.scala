@@ -253,6 +253,74 @@ class StreamingSpec extends SparkSpecBase {
     assert(spark.read.parquet(s"$base/index/sigs").count() == 4) // all docs indexed
   }
 
+  test("the streaming index probe broadcasts the batch — the index side joins with zero exchange") {
+    // the 100 TB contract of the broadcast-probe discipline
+    // (StreamingDedup scaladoc): the persisted index must STREAM
+    // through the broadcast banded batch — a two-sided band join that
+    // shuffles the index once per trigger is the regression this pins.
+    // AQE off so the captured plan is the static tree; auto-broadcast
+    // OFF so a BroadcastHashJoin can only come from the explicit hint.
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.sql.execution.SparkPlan]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String, qe: org.apache.spark.sql.execution.QueryExecution, d: Long): Unit =
+        plans.add(qe.executedPlan)
+      override def onFailure(f: String, qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+    }
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val abt = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.listenerManager.register(listener)
+    val base = "/tmp/graft_sdedup_plan_" + System.nanoTime()
+    try {
+      val stream = MemoryStream[(Long, String)]
+      val q = graft.streaming.StreamingDedup.run(
+        spark, stream.toDF().toDF("doc_id", "text"),
+        indexPath = s"$base/index", matchesPath = s"$base/matches",
+        threshold = 0.5, checkpoint = s"$base/ckpt")
+      stream.addData((1L, "the quick brown fox jumps over the lazy dog by the river"))
+      q.processAllAvailable()
+      // the SECOND batch is the one that probes an existing index
+      stream.addData((2L, "the quick brown fox jumps over the lazy dog by the creek"))
+      q.processAllAvailable()
+      q.stop()
+      import scala.jdk.CollectionConverters._
+      def indexScanIn(p: org.apache.spark.sql.execution.SparkPlan): Boolean = p.exists {
+        case s: FileSourceScanExec =>
+          s.relation.location.rootPaths.exists(_.toString.contains(s"$base/index"))
+        case _ => false
+      }
+      def probeJoins = plans.asScala.toList.flatMap(_.collect {
+        case j: BroadcastHashJoinExec if indexScanIn(j.left) || indexScanIn(j.right) => j
+      })
+      // listener events post asynchronously — poll until the probe
+      // join's plan lands (bounded)
+      val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+      while (probeJoins.isEmpty && System.nanoTime() < deadline) Thread.sleep(100)
+      assert(probeJoins.nonEmpty,
+        "no BroadcastHashJoin over the index scan was executed — the explicit broadcast hint is gone")
+      probeJoins.foreach { j =>
+        val streamed = j.buildSide match {
+          case BuildLeft => j.right
+          case BuildRight => j.left
+        }
+        assert(indexScanIn(streamed),
+          s"the INDEX side must be the streamed (non-broadcast) side:\n${j.toString.take(2000)}")
+        assert(!streamed.exists { case _: ShuffleExchangeExec => true; case _ => false },
+          s"the index side must reach the probe join with zero exchange:\n${streamed.toString.take(2000)}")
+      }
+    } finally {
+      spark.listenerManager.unregister(listener)
+      spark.conf.set("spark.sql.adaptive.enabled", aqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", abt)
+    }
+  }
+
   test("a file-less crashed shard dir cannot poison the stream's index-presence check") {
     // the crash window: the very first batch died inside its shard
     // write, leaving sigs/shard=stream_0 EXISTING but without data

@@ -66,4 +66,33 @@ class TestDataCanarySpec extends SparkSpecBase {
       "q_sql_agg window (1995-06-01..1997-06-01) matches no testdata rows — " +
         "the generator's shipdate span moved; re-derive the gate window in SparkEntry.qSqlAgg")
   }
+
+  // The streaming-gate windows must stay non-empty at every SF, or the
+  // gates quietly degrade to hashing empty results (the exact failure
+  // class the r12 vacuous-gate finding named). Each pin names the gate
+  // whose window it protects.
+  test("the streaming-gate windows are non-empty in the testdata") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val events = spark.read.parquet(s"$sfDir/events.parquet")
+    assert(docs.filter(col("doc_id") < 400).count() > 0L, "q_stream_dedup window empty")
+    assert(docs.filter(col("doc_id") < 150).count() > 0L, "q_stream_keep_best window empty")
+    // q_stream_dsir_update: the base fit AND both streamed slices must
+    // each carry docs, or the gate stops exercising the update fold
+    for (r <- 0L to 2L)
+      assert(docs.filter(col("doc_id") < 1200 && pmod(col("doc_id"), lit(3)) === r).count() > 0L,
+        s"q_stream_dsir_update doc_id%3==$r slice empty")
+    assert(docs.filter(col("doc_id") < 2000 &&
+        !coalesce(col("source") === "src0", lit(false))).count() > 0L,
+      "q_stream_dsir raw-pool window empty")
+    assert(emb.filter(col("vec_id") < 200).count() > 0L, "q_stream_semdedup window empty")
+    // q_stream_vector_admit: base build, streamed remainder, and the
+    // query set are three separate emptiness cliffs
+    assert(emb.filter(col("vec_id") < 100).count() > 0L, "q_stream_vector_admit base empty")
+    assert(emb.filter(col("vec_id") >= 100 && col("vec_id") < 400).count() > 0L,
+      "q_stream_vector_admit streamed remainder empty")
+    assert(emb.filter(col("vec_id") < 8).count() > 0L, "q_stream_vector_admit query set empty")
+    assert(events.filter(col("event_id") < 20000).count() > 0L,
+      "q_stream_{funnel,retention,anomaly,dedup_exact} events window empty")
+  }
 }

@@ -942,12 +942,19 @@ object Dedup {
     // pruned by a broadcast occupancy join (groupCols are bounded
     // corpus partitions, so (group, band) stays tiny) — a uniform-size
     // corpus then pays ZERO band fan-out.
+    // the gram is ONLY a join key from here on (pairs go to verify by
+    // id) — hash it to a long: narrower shuffle rows, long-key hash
+    // join. Group equality stays in the join, so a 64-bit collision
+    // can only ADD a same-group candidate, which the exact verify
+    // adjudicates by true jaccard — and any colliding pair with
+    // jac >= t is in the true output regardless (it shares real
+    // prefix grams). Pair set provably unchanged (route-identity spec).
     def bandOf(szc: Column): Column = ppjBandOf(szc)
     val idxPref = rarToks
       .select((col("id") +: col("sz") +: bandOf(col("sz")).as("band") +: groupCols.map(col) :+
         posexplode(slice(col("toks"), lit(1), idxPrefLen(threshold))).as(Seq("pos", "tok"))): _*)
       .select((col("id") +: col("sz") +: col("band") +: col("pos") +:
-        substring(col("tok"), 11, n + 1).as("gram") +: groupCols.map(col)): _*)
+        xxhash64(substring(col("tok"), 11, n + 1)).as("gram") +: groupCols.map(col)): _*)
     // occupancy needs only each doc's distinct-gram count — one narrow
     // text scan, NOT the rarityArrays subtree (whose freq join + array
     // build would otherwise be recomputed a third time just for this)
@@ -969,7 +976,7 @@ object Dedup {
       .select((col("id") +: col("sz") +: col("band") +: groupCols.map(col) :+
         posexplode(slice(col("toks"), lit(1), col("plen"))).as(Seq("pos", "tok"))): _*)
       .select((col("id") +: col("sz") +: col("band") +: col("pos") +:
-        substring(col("tok"), 11, n + 1).as("gram") +: groupCols.map(col)): _*)
+        xxhash64(substring(col("tok"), 11, n + 1)).as("gram") +: groupCols.map(col)): _*)
     // jac upper-bound test in the SAME division form as the final
     // filter and PpjVerify.minOverlap (ub/(S-ub) >= t) — the earlier
     // multiplication form ub >= t*(S-ub) can disagree with it by 1 ulp

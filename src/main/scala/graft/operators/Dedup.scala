@@ -831,6 +831,11 @@ object Dedup {
         (sized(aS, saltKeys).as("a"), sized(bS, saltKeys).as("b").hint("shuffle_hash"),
           Seq(col("a.__salt") === col("b.__salt")))
       }
+    // The gram key stays a STRING here, unlike the prefix route's
+    // xxhash64 long: this join's count(*) IS the intersection, so a
+    // hash collision would inflate `inter` and flip a boundary pair —
+    // the prefix route tolerates collisions only because its exact
+    // verify recomputes the intersection from the full arrays.
     // PPJoin length filter, result-identical: jac >= t forces
     // t·|a| <= |b| and t·|b| <= |a| (inter <= min, union >= max), so
     // size-mismatched pairs leave the join before the counting shuffle

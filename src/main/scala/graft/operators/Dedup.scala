@@ -1406,21 +1406,29 @@ object Dedup {
     // ids keep their native type: star contraction only needs an
     // ordering (min/</>), which every orderable Spark type has — a
     // cast would silently NULL string/UUID ids and drop every edge
+    // ONE materialization serves the small-graph probe AND the
+    // contraction loop's starting edges: the upstream pair pipeline is
+    // usually the operator's most expensive stage (an IVF candidate
+    // join at 140k vectors measures ~38s), and before this checkpoint
+    // a large graph executed it TWICE — once for the probe's
+    // limit+collect, once for the loop's own first materialization
+    // (measured 210-273s → the pipeline-once shape at the 70× corpus).
+    // A small graph pays only its own ≤-bound edge storage.
     val init = pairs
       .select(col("id_a").as("u"), col("id_b").as("v"))
       .filter(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
+      .localCheckpoint(true)
 
     // Adaptive small-graph path (the AQE-broadcast-join pattern): a
     // near-dup edge list that fits comfortably on the driver is solved
     // with one union-find pass instead of O(log n) iterative shuffle
     // rounds — at gate scale the star-contraction loop is pure
     // fixed-cost Spark-job overhead (~2s for a few hundred edges). The
-    // bound check collects AT MOST bound+1 edges in the same pass that
-    // would feed union-find, so the (possibly expensive) upstream pair
-    // pipeline runs once, not count()-then-collect() twice; past the
-    // bound the distributed contraction below runs unchanged, so a
-    // 100 TB corpus whose duplicate graph is genuinely huge never
-    // ships its edges to the driver.
+    // bound check collects AT MOST bound+1 edges FROM THE CHECKPOINT
+    // (a cheap scan — the pair pipeline already ran exactly once,
+    // above); past the bound the distributed contraction below runs
+    // unchanged, so a 100 TB corpus whose duplicate graph is genuinely
+    // huge never ships its edges to the driver.
     lazy val probe =
       if (smallGraphEdges > 0 && smallGraphEdges < Int.MaxValue)
         init.limit(smallGraphEdges.toInt + 1).collect()
@@ -1494,7 +1502,7 @@ object Dedup {
       (r.getLong(0), r.getDecimal(1).toString)
     }
 
-    var edges = init.localCheckpoint(true)
+    var edges = init // already checkpointed above
     var prevSig = sig(edges)
     var converged = false
     var iter = 0

@@ -154,13 +154,28 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
   override protected def nullSafeEval(a: Any, b: Any): Any =
     DotProduct.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], isFloat(left), isFloat(right))
 
+  // Inline primitive loop (the CosineSimilarity discipline) — the
+  // previous static-kernel call boxed a java.lang.Double per
+  // invocation, which on an 860M-candidate join is 860M short-lived
+  // allocations of pure GC pressure. Element getters are specialized
+  // at codegen time from the input types (no per-element branch).
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (x, y) => {
-      val tmp = ctx.freshName("dotRes")
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      val anyNull = ctx.freshName("anyNull")
+      def get(arr: String, fl: Boolean): String =
+        if (fl) s"(double) $arr.getFloat($i)" else s"$arr.getDouble($i)"
       s"""
-         |java.lang.Double $tmp =
-         |  graft.functions.expressions.DotProduct.compute($x, $y, ${isFloat(left)}, ${isFloat(right)});
-         |if ($tmp == null) { ${ev.isNull} = true; } else { ${ev.value} = $tmp.doubleValue(); }
+         |int $n = $x.numElements();
+         |double $dot = 0.0;
+         |boolean $anyNull = ($y.numElements() != $n);
+         |for (int $i = 0; !$anyNull && $i < $n; $i++) {
+         |  if ($x.isNullAt($i) || $y.isNullAt($i)) { $anyNull = true; break; }
+         |  $dot += ${get(x, isFloat(left))} * ${get(y, isFloat(right))};
+         |}
+         |if ($anyNull) { ${ev.isNull} = true; } else { ${ev.value} = $dot; }
        """.stripMargin
     })
 

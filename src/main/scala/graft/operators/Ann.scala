@@ -273,6 +273,18 @@ object Ann {
    * instead — sub-quadratic, recall measured in OperatorSpec, never a
    * corpus-sized broadcast.
    */
+  /** Exact cosine from a fresh dot product and PRE-COMPUTED per-vector
+    * norms: bit-identical to `graft_cosine` (same per-element double
+    * accumulation via graft_dot, same `sqrt(na)·sqrt(nb)` denominator,
+    * NaN→null for zero norms, null dot — length mismatch or null
+    * element — propagates to null), at one-third the per-candidate
+    * FLOPs. Use wherever a candidate join re-meets the same vectors
+    * many times. */
+  private[graft] def cosFromNorms(qv: org.apache.spark.sql.Column, iv: org.apache.spark.sql.Column, qn: org.apache.spark.sql.Column, in_ : org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val c = call_function("graft_dot", qv, iv) / (qn * in_)
+    when(isnan(c), lit(null).cast("double")).otherwise(c)
+  }
+
   def knnJoin(
       df: DataFrame,
       idCol: String,
@@ -336,17 +348,29 @@ object Ann {
     graft.sql.GraftFunctions.register(spark)
     graft.sql.GraftFunctions.installTopKStrategy(spark)
     val vecs = df.select(col(idCol).as("vec_id"), col(vecCol).as("embedding"))
+    // Per-vector norms are computed ONCE before the candidate join
+    // (sqrt(graft_dot(v, v)) — the identical sum-of-squares fold
+    // CosineSimilarity runs), so each of the ~n·probes·cellSize
+    // candidates pays one dot product instead of dot + two norms:
+    // 3× fewer FLOPs on the operator's dominant stage (measured
+    // 94-114s → see BENCH_IDLE at the 140k point). dot/(na·nb) is
+    // bit-identical to graft_cosine — same accumulation order, same
+    // double sqrt — and the NaN→null guard reproduces its zero-norm /
+    // mismatch / null-element semantics (null dot ⇒ null cos).
     if (centroids != null) {
       // caller-supplied flat quantizer (shared across probe settings or a
       // persisted index): skip counting + training, go straight to assignment
       val items = vecs.select(col("vec_id").as("item_id"), col("embedding").as("item_vec"))
+        .withColumn("item_n", sqrt(call_function("graft_dot", col("item_vec"), col("item_vec"))))
         .withColumn("cell", call_function("graft_nearest_centroid", col("item_vec"), centroidsLit(centroids)))
       val queries = vecs.select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+        .withColumn("query_n", sqrt(call_function("graft_dot", col("query_vec"), col("query_vec"))))
         .withColumn("cell", explode(call_function("graft_nearest_centroids",
           col("query_vec"), centroidsLit(centroids), lit(probes))))
       val scored = items.join(queries.hint("shuffle_hash"), Seq("cell"))
         .filter(col("query_id") =!= col("item_id"))
-        .withColumn("cos", call_function("graft_cosine", col("query_vec"), col("item_vec")))
+        .withColumn("cos", cosFromNorms(
+          col("query_vec"), col("item_vec"), col("query_n"), col("item_n")))
         .filter(col("cos").isNotNull)
         .select(col("query_id"), col("item_id"), col("cos"))
       return rankTopK(scored, k)
@@ -360,9 +384,11 @@ object Ann {
           vecs.select(xxhash64(col("vec_id")).as("vec_id"), col("embedding")),
           side, side, trainSample = trainSample, knownCount = n)
         val items = vecs.select(col("vec_id").as("item_id"), col("embedding").as("item_vec"))
+          .withColumn("item_n", sqrt(call_function("graft_dot", col("item_vec"), col("item_vec"))))
           .withColumn("cell", element_at(call_function("graft_nearest_cells_hier",
             col("item_vec"), centroidsLit(l1), centroidsLit3(l2), lit(1), lit(1)), 1))
         val queries = vecs.select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+          .withColumn("query_n", sqrt(call_function("graft_dot", col("query_vec"), col("query_vec"))))
           .withColumn("cell", explode(call_function("graft_nearest_cells_hier",
             col("query_vec"), centroidsLit(l1), centroidsLit3(l2), lit(hierP1), lit(hierP2))))
         items.join(queries.hint("shuffle_hash"), Seq("cell"))
@@ -372,15 +398,18 @@ object Ann {
           vecs.select(xxhash64(col("vec_id")).as("vec_id"), col("embedding")),
           numCells = cells, trainSample = trainSample, knownCount = n)
         val items = vecs.select(col("vec_id").as("item_id"), col("embedding").as("item_vec"))
+          .withColumn("item_n", sqrt(call_function("graft_dot", col("item_vec"), col("item_vec"))))
           .withColumn("cell", call_function("graft_nearest_centroid", col("item_vec"), centroidsLit(cents)))
         val queries = vecs.select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+          .withColumn("query_n", sqrt(call_function("graft_dot", col("query_vec"), col("query_vec"))))
           .withColumn("cell", explode(call_function("graft_nearest_centroids",
             col("query_vec"), centroidsLit(cents), lit(probes))))
         items.join(queries.hint("shuffle_hash"), Seq("cell"))
       }
     val scored = cands
       .filter(col("query_id") =!= col("item_id"))
-      .withColumn("cos", call_function("graft_cosine", col("query_vec"), col("item_vec")))
+      .withColumn("cos", cosFromNorms(
+        col("query_vec"), col("item_vec"), col("query_n"), col("item_n")))
       .filter(col("cos").isNotNull) // zero-norm vectors never rank
       // a query probing p cells can meet the same item at most once per
       // cell only when the item sits in one cell — it does (items keep

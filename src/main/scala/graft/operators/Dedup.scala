@@ -1321,9 +1321,19 @@ object Dedup {
     * probes 3) they were ~0.56·n²: measured 85-143s at 20k vectors
     * where this fused shape runs in seconds. */
   private def withinCellPairs(assigned: DataFrame, threshold: Double): DataFrame = {
-    def cos = call_function("graft_cosine", col("a.vec"), col("b.vec"))
-    assigned.as("a")
-      .join(assigned.as("b").hint("shuffle_hash"),
+    // per-vector norm computed ONCE per assigned row, BELOW the cell
+    // exchange — each candidate then pays one dot product instead of
+    // dot + two norms (3× fewer FLOPs on the dominant stage; the
+    // Ann.cosFromNorms discipline). dot/(na·nb) is bit-identical to
+    // graft_cosine for every row this join emits: survivors are real
+    // numbers ≥ threshold (NaN and null-dot rows fail `>=` exactly as
+    // graft_cosine's null did).
+    val withN = assigned.withColumn("n",
+      sqrt(call_function("graft_dot", col("vec"), col("vec"))))
+    def cos = call_function("graft_dot", col("a.vec"), col("b.vec")) /
+      (col("a.n") * col("b.n"))
+    withN.as("a")
+      .join(withN.as("b").hint("shuffle_hash"),
         col("a.cell") === col("b.cell") && col("a.id") < col("b.id") &&
           cos >= lit(threshold))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), cos.as("cos"))

@@ -315,7 +315,7 @@ object Ann {
    * Σ_cells |cell|·|probers(cell)| ≈ N·probes·cellSize, a
    * numCells/probes reduction over the N² brute join that holds at any
    * corpus size because the cell count is sized from the corpus
-   * (~2048 vectors/cell, two-level quantizer past 4096 flat cells —
+   * (~512 vectors/cell, two-level quantizer past 4096 flat cells —
    * the [[Dedup.embeddingPairsIvf]] discipline). The per-query top-k
    * runs on the heap operator (TopKPerKeyExec — no partition-wide
    * sort), keyed by query id.
@@ -376,7 +376,14 @@ object Ann {
       return rankTopK(scored, k)
     }
     val n = if (knownCount >= 0L) knownCount else vecs.count()
-    val wanted = math.max(16L, n / 2048L)
+    // ~512 vectors/cell (r13, from the KnnCellSweep curve — full-join
+    // wall at 140k vectors: 106s at 2048/cell, 64s at 1024, 52.7s at
+    // 512, 59.1s at 256 where the cells×dim assignment pass overtakes;
+    // 20k point: 14.3s → 4.7s; recall@5 = 1.000 at every sizing on the
+    // replica+noise corpora, and the pairs path's BoundaryRecall
+    // measured 0.99 at the same density on mixed corpora — `probes`
+    // stays the recall dial)
+    val wanted = math.max(16L, n / 512L)
     val cands =
       if (numCells <= 0 && wanted > 4096L) {
         val side = math.ceil(math.sqrt(wanted.toDouble)).toInt

@@ -36,13 +36,17 @@ object KnnCellSweep {
     for (perCell <- Seq(2048, 1024, 512, 256)) {
       val cells = math.max(16L, n / perCell).toInt
       val t0 = System.nanoTime()
-      val got = Ann.knnJoinIvf(emb, "vec_id", "embedding", k, numCells = cells)
-        .filter(col("query_id").isInCollection(qIds))
+      // materialize the FULL self-join before sampling — a filter on
+      // query_id would push below the join and measure only the
+      // (cells-proportional) assignment pass, not the candidates
+      val full = Ann.knnJoinIvf(emb, "vec_id", "embedding", k, numCells = cells)
+        .localCheckpoint(true)
+      val secs = (System.nanoTime() - t0) / 1e9
+      val got = full.filter(col("query_id").isInCollection(qIds))
         .select(col("query_id"), col("item_id"))
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-      val secs = (System.nanoTime() - t0) / 1e9
       val recall = brute.intersect(got).size.toDouble / brute.size
-      println(f"[knncell] perCell=$perCell cells=$cells recall@$k=$recall%.3f wall=$secs%.1f s (full join, filtered to sample)")
+      println(f"[knncell] perCell=$perCell cells=$cells recall@$k=$recall%.3f wall=$secs%.1f s (full join)")
     }
     spark.stop()
   }

@@ -276,12 +276,15 @@ object Ann {
   /** Exact cosine from a fresh dot product and PRE-COMPUTED per-vector
     * norms: bit-identical to `graft_cosine` (same per-element double
     * accumulation via graft_dot, same `sqrt(na)·sqrt(nb)` denominator,
-    * NaN→null for zero norms, null dot — length mismatch or null
-    * element — propagates to null), at one-third the per-candidate
+    * null for zero norms — try_divide, because under ANSI mode a plain
+    * `/` THROWS on the zero denominator a zero-norm vector produces,
+    * where graft_cosine's internal Java 0/0 quietly made the NaN its
+    * null guard absorbs — and null dot (length mismatch / null
+    * element) propagates to null), at one-third the per-candidate
     * FLOPs. Use wherever a candidate join re-meets the same vectors
     * many times. */
   private[graft] def cosFromNorms(qv: org.apache.spark.sql.Column, iv: org.apache.spark.sql.Column, qn: org.apache.spark.sql.Column, in_ : org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-    val c = call_function("graft_dot", qv, iv) / (qn * in_)
+    val c = try_divide(call_function("graft_dot", qv, iv), qn * in_)
     when(isnan(c), lit(null).cast("double")).otherwise(c)
   }
 

@@ -950,10 +950,12 @@ object Dedup {
     // the gram is ONLY a join key from here on (pairs go to verify by
     // id) — hash it to a long: narrower shuffle rows, long-key hash
     // join. Group equality stays in the join, so a 64-bit collision
-    // can only ADD a same-group candidate, which the exact verify
-    // adjudicates by true jaccard — and any colliding pair with
-    // jac >= t is in the true output regardless (it shares real
-    // prefix grams). Pair set provably unchanged (route-identity spec).
+    // can only ADD a same-group join ROW; extra candidates die in the
+    // exact verify, and the pair-level positional aggregate below is
+    // the collision-safe MAX form (see its comment — a min-"first
+    // shared" aggregate could let a fake row's positions wrongly
+    // TIGHTEN the bound). Pair set provably unchanged under both
+    // effects (route-identity spec).
     def bandOf(szc: Column): Column = ppjBandOf(szc)
     val idxPref = rarToks
       .select((col("id") +: col("sz") +: bandOf(col("sz")).as("band") +: groupCols.map(col) :+
@@ -1023,18 +1025,23 @@ object Dedup {
       )
       .groupBy(col("a.id").as("id_x"), col("b.id").as("id_y"),
         col("a.sz").as("sz_x"), col("b.sz").as("sz_y"))
-      // first-shared = min (pos_x, pos_y), PACKED into one long
-      // (pos_x << 32 | pos_y — lexicographic order preserved for
-      // non-negative ints): min(struct) would force a SortAggregate
-      // and sort every surviving join row; min(long) hash-aggregates
-      .agg(min(shiftleft(col("a.pos").cast("long"), 32) + col("b.pos").cast("long")).as("f"))
-      .select(col("id_x"), col("id_y"), col("sz_x"), col("sz_y"),
-        shiftright(col("f"), 32).cast("int").as("pa"),
-        col("f").bitwiseAND(lit(4294967295L)).cast("int").as("pb"))
-      // pair-level positional filter (tight bound at the first shared token)
-      .filter(jacCan(
-        lit(1) + least(col("sz_x") - col("pa") - 1, col("sz_y") - col("pb") - 1),
-        col("sz_x"), col("sz_y")))
+      // COLLISION-SAFE pair-level positional bound (hash-aggregates —
+      // max(int)): the MAX over surviving join rows of the per-row
+      // tight bound 1 + min(szX−pa−1, szY−pb−1). The gram key is a
+      // 64-bit hash, so a collision row can carry positions of tokens
+      // the pair does NOT actually share; the earlier min-packed
+      // "first shared" aggregate let such a row win the min and
+      // TIGHTEN the bound below the true first-shared row's — wrongly
+      // pruning an above-threshold pair before verify (r13 review
+      // find; ~2⁻⁶⁴ per token pair, but the route-identity contract is
+      // exact, not probabilistic). The max form is ≥ the true
+      // first-shared bound whenever the pair qualifies (hashing only
+      // ADDS rows, so the true rows are all present), keeping the
+      // filter a necessary condition; fake rows can only loosen it,
+      // and the residual permissiveness dies in the exact verify.
+      .agg(max(lit(1) +
+        least(col("a.sz") - col("a.pos") - 1, col("b.sz") - col("b.pos") - 1)).as("ub"))
+      .filter(jacCan(col("ub"), col("sz_x"), col("sz_y")))
     // suffix filter + exact verification over narrow LEXICOGRAPHIC
     // arrays, computed from the text with no shuffle and broadcast
     // when the corpus is probe-verifiably small (the candidate side
@@ -1324,14 +1331,18 @@ object Dedup {
     // per-vector norm computed ONCE per assigned row, BELOW the cell
     // exchange — each candidate then pays one dot product instead of
     // dot + two norms (3× fewer FLOPs on the dominant stage; the
-    // Ann.cosFromNorms discipline). dot/(na·nb) is bit-identical to
-    // graft_cosine for every row this join emits: survivors are real
-    // numbers ≥ threshold (NaN and null-dot rows fail `>=` exactly as
-    // graft_cosine's null did).
+    // Ann.cosFromNorms discipline). The NaN→null guard is LOAD-BEARING
+    // here exactly as in graft_cosine's scaladoc: Spark orders NaN
+    // ABOVE every number, so a raw 0/0 quotient from a zero-norm or
+    // NaN-element vector would satisfy ANY `>= threshold` and pair the
+    // degenerate vector with its whole cell — connected components
+    // would then collapse those cells into one cluster. With the
+    // guard, dot/(na·nb) is bit-identical to graft_cosine: null (and
+    // null-dot mismatch rows) fail `>=`, survivors are real numbers.
     val withN = assigned.withColumn("n",
       sqrt(call_function("graft_dot", col("vec"), col("vec"))))
-    def cos = call_function("graft_dot", col("a.vec"), col("b.vec")) /
-      (col("a.n") * col("b.n"))
+    def cos = graft.operators.Ann.cosFromNorms(
+      col("a.vec"), col("b.vec"), col("a.n"), col("b.n"))
     withN.as("a")
       .join(withN.as("b").hint("shuffle_hash"),
         col("a.cell") === col("b.cell") && col("a.id") < col("b.id") &&

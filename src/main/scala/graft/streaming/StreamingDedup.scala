@@ -73,6 +73,24 @@ object StreamingDedup {
         }
     }
 
+  /** Micro-batch row bound under which a probe side is force-broadcast
+    * (~1 GB of banded signature/vector rows at ~8 KB per document —
+    * comfortably under the 8 GB broadcast hard limit). Batches are
+    * trigger-bounded in a configured production stream, but a restart
+    * backlog or an un-throttled source can deliver an arbitrarily
+    * large batch — force-broadcasting THAT would fail the trigger and
+    * every replay of it, permanently wedging the stream. Past the
+    * bound the probe join falls back to the plain two-sided shuffle:
+    * slower, but it completes. The bound probe is a limit+count on the
+    * CACHED batch — one cheap action, never a full count of an
+    * unbounded source. */
+  private val BcastBatchRows: Long = 1L << 17
+
+  /** Is `df` (cached or cheap) within `bound` rows? Short-circuits at
+    * bound+1. */
+  private def withinRows(df: DataFrame, bound: Long): Boolean =
+    df.limit(bound.toInt + 1).count() <= bound
+
   /** Estimated jaccard between the joined `a.sig`/`b.sig` columns. */
   private def estJaccardExpr(numHashes: Int) =
     aggregate(
@@ -156,11 +174,15 @@ object StreamingDedup {
               .select(col("a.id").as("new_id"), col("b.id").as("existing_id"),
                 estJaccardExpr(nh).as("est_jaccard"))
           val inBatch = cand(probe, probe, col("a.id") > col("b.id"))
+          // oversized-batch fallback: see BcastBatchRows (covers the id
+          // anti-join's broadcast too — same driving row count)
+          val batchSmall = withinRows(sigs, BcastBatchRows)
           val viaIndex =
             if (haveIndex)
-              cand(broadcast(probe),
+              cand(if (batchSmall) broadcast(probe) else probe,
                 banded(s.read.parquet(sigsDir).select(col("id"), col("sig"))
-                  .join(broadcast(batchIds), Seq("id"), "left_anti")),
+                  .join(if (batchSmall) broadcast(batchIds) else batchIds,
+                    Seq("id"), "left_anti")),
                 col("a.id") =!= col("b.id"))
             else inBatch.limit(0)
           val matches = inBatch.unionByName(viaIndex)
@@ -368,10 +390,14 @@ object StreamingDedup {
               .select(col("a.id").as("new_id"), col("b.id").as("existing_id"),
                 call_function("graft_cosine", col("a.vec"), col("b.vec")).as("cos"))
           val inBatch = cand(probe, probe, col("a.id") > col("b.id"))
+          // oversized-batch fallback: see BcastBatchRows
+          val batchSmall = withinRows(sigs, BcastBatchRows)
           val viaIndex =
             if (haveIndex)
-              cand(broadcast(probe),
-                keyed(s.read.parquet(indexPath).join(broadcast(batchIds), Seq("id"), "left_anti")),
+              cand(if (batchSmall) broadcast(probe) else probe,
+                keyed(s.read.parquet(indexPath)
+                  .join(if (batchSmall) broadcast(batchIds) else batchIds,
+                    Seq("id"), "left_anti")),
                 col("a.id") =!= col("b.id"))
             else inBatch.limit(0)
           val matches = inBatch.unionByName(viaIndex)
@@ -508,30 +534,45 @@ object StreamingDedup {
               // minus tombstones, minus index copies of THIS batch's ids
               // (a replayed batch must not self-match the copies its
               // failed attempt already indexed — run()'s discipline)
+              // ids-only broadcast — bigger bound than the banded-sig
+              // sides (8B/row); falls back to the shuffled anti-join on
+              // a backlog-sized batch instead of failing the trigger
+              val batchDocIds = scored.select(col("doc_id").as("id"))
               val idx = s.read.parquet(indexPath)
-                .join(broadcast(scored.select(col("doc_id").as("id"))), Seq("id"), "left_anti")
+                .join(
+                  if (withinRows(batchDocIds, 1L << 22)) broadcast(batchDocIds) else batchDocIds,
+                  Seq("id"), "left_anti")
               // tombstones EXCLUDING this batch's own partition: a
               // replayed batch whose failed attempt already tombstoned
               // a rep would otherwise see that rep as inactive, not
               // re-match it, and then overwrite the tombstone partition
               // with an empty one — resurrecting the demoted rep beside
               // its replacement (two active reps for one cluster)
-              // tombstone ids ride broadcast: a shuffled anti-join would
-              // re-exchange the corpus-sized index per batch. The set is
-              // bounded by the demotion count (one id per replaced rep);
-              // a deployment where it outgrows broadcast should fold
-              // tombstones into the index (compaction), not shuffle here.
+              // tombstone ids ride broadcast (a shuffled anti-join would
+              // re-exchange the corpus-sized index per batch) — but the
+              // log is CUMULATIVE (one id per replaced rep, forever), so
+              // a long-running high-churn stream could outgrow the
+              // broadcast limit and wedge every subsequent trigger.
+              // Past ~4M ids the anti-join falls back to the shuffled
+              // form: the index re-exchanges (slow) but the trigger
+              // completes; the durable fix at that size is folding
+              // tombstones into the index (compaction).
               val active =
-                if (haveParts(retiredPath))
+                if (haveParts(retiredPath)) {
+                  val retired = s.read.parquet(retiredPath)
+                    .filter(col("batch_id") =!= batchId).select(col("id"))
                   idx.join(
-                    broadcast(s.read.parquet(retiredPath)
-                      .filter(col("batch_id") =!= batchId).select(col("id"))),
+                    if (withinRows(retired, 1L << 22)) broadcast(retired) else retired,
                     Seq("id"), "left_anti")
-                else idx
+                } else idx
               // broadcast-probe discipline (run()'s scaladoc): the banded
               // batch winners broadcast, the corpus-sized rep index
               // streams through with ZERO exchange per trigger
-              val m = broadcast(banded(winners.select(col("id"), col("sig")))).as("a")
+              // (oversized-batch fallback: see BcastBatchRows)
+              val winSmall = withinRows(winners.select(col("id")), BcastBatchRows)
+              def maybeBcast(d: DataFrame): DataFrame =
+                if (winSmall) broadcast(d) else d
+              val m = maybeBcast(banded(winners.select(col("id"), col("sig")))).as("a")
                 .join(banded(active.select(col("id"), col("sig"))).as("b"),
                   col("a.band") === col("b.band") && col("a.bh") === col("b.bh"))
                 .select(col("a.id").as("id"), col("b.id").as("rep_id"), estJaccard.as("ej"))
@@ -542,7 +583,7 @@ object StreamingDedup {
                 .partitionBy(col("id")).orderBy(col("ej").desc, col("rep_id").asc)
               // the matched set is winner-bounded — broadcast it so the
               // rep_score attach streams the index instead of shuffling it
-              broadcast(
+              maybeBcast(
                 m.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
                   .join(winners.select(col("id"), col("new_score")), Seq("id")))
                 .join(active.select(col("id").as("rep_id"), col("__score").as("rep_score")),

@@ -95,6 +95,14 @@ object StreamingVectorAdmit {
       "streaming admission targets the plain IVF family (a PQ index's rows are codes; " +
         "its rebuild needs the raw source and stays a batch-side action)")
     val batchIds = batch.select(col("vec_id").as("item_id")).distinct()
+    // ids-only broadcasts below are batch-bounded in a configured
+    // stream, but a restart backlog can deliver an arbitrarily large
+    // batch — force-broadcasting it would fail the trigger AND every
+    // replay. Past ~4M ids fall back to the shuffled join: slower, but
+    // the trigger completes (the StreamingDedup.BcastBatchRows
+    // discipline).
+    val idsSmall = batchIds.limit((1 << 22) + 1).count() <= (1L << 22)
+    def maybeBcast(d: DataFrame): DataFrame = if (idsSmall) broadcast(d) else d
     // ids already held by the index — base rows, or a committed shard
     // OTHER than this batch's own (own-shard exclusion: a replay must
     // not see its previous write as "already held" and then overwrite
@@ -109,12 +117,12 @@ object StreamingVectorAdmit {
           s.read.option("basePath", s"$indexPath/assignments_delta")
             .parquet(others.map(_.toString).toIndexedSeq: _*)
             .select(col("item_id")))
-      all.join(broadcast(batchIds), Seq("item_id"), "left_semi")
+      all.join(maybeBcast(batchIds), Seq("item_id"), "left_semi")
     }
     // per-ID novelty: a mixed batch admits exactly its new rows (an
     // any-overlap skip would silently drop them)
     val novel = batch.join(
-      broadcast(heldIds.withColumnRenamed("item_id", "vec_id")), Seq("vec_id"), "left_anti")
+      maybeBcast(heldIds.withColumnRenamed("item_id", "vec_id")), Seq("vec_id"), "left_anti")
     Ann.appendToIvfIndex(novel, indexPath, s"stream_$batchId")
     val drifted = Ann.ivfDriftFraction(s, indexPath, batch) > driftRetrainFraction
     if (drifted) {

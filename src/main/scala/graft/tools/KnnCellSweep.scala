@@ -5,9 +5,9 @@ import org.apache.spark.sql.functions._
 import graft.operators.Ann
 
 /** Dev tool: recall@k and wall time of knnJoinIvf under different
-  * vectors-per-cell sizings — the numbers behind the knnJoin cell-size
-  * decision (the pairs path moved to ~256/cell in r13; knnJoin kept
-  * 2048/cell). Recall is measured against brute force on a
+  * vectors-per-cell sizings — the measurements that moved knnJoin's
+  * auto-sizing from n/2048 to n/512 in r13 (the pairs path sits at
+  * ~256/cell). Recall is measured against brute force on a
   * deterministic query sample (lowest multiplicative id hash), so the
   * brute side stays sample × corpus. Args: <dir> [nQueries] [k]. */
 object KnnCellSweep {

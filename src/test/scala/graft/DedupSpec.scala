@@ -420,6 +420,17 @@ class DedupSpec extends SparkSpecBase {
       .toSeq
     assert(out == Seq((0L, 0L, true), (1L, 0L, false), (2L, 2L, true), (3L, 3L, true), (4L, 4L, true)),
       s"degenerate vectors must not pair: $out")
+
+    // the IVF fused-verify path must carry the SAME NaN→null guard:
+    // its norm-precomputed quotient (0/0 = NaN for a zero-norm vector)
+    // compared raw with `>= t` would pair the degenerate vector with
+    // its whole probed cell (the r13 review find — Spark orders NaN
+    // above every number)
+    val ivfPairs = Dedup
+      .embeddingPairsIvf(vecs, "vec_id", "embedding", threshold = 0.5, numCells = 2)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(ivfPairs.forall { case (a, b, _) => !Set(a, b).exists(Set(2L, 3L)) },
+      s"zero-norm vectors must not pair on the IVF path: $ivfPairs")
   }
 
   test("hash-pair collapse key gives the same semantic dedup as raw-vector grouping") {

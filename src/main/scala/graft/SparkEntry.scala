@@ -297,9 +297,14 @@ object SparkEntry {
         q.processAllAvailable()
       } finally q.stop()
     }
-    s.table(name)
+    // materialize (bounded rows), then drop the memory-sink view — it
+    // retains the emitted window on the driver for the session lifetime
+    val out = s.table(name)
       .filter(col("user_id") =!= -1L)
       .orderBy(col("user_id"))
+      .localCheckpoint()
+    s.catalog.dropTempView(name)
+    out
   }
 
   /**
@@ -345,7 +350,10 @@ object SparkEntry {
         q.processAllAvailable()
       } finally q.stop()
     }
-    StreamingRetention.matrix(s.table(name).filter(col("user_id") =!= -1L))
+    // bounded sink rows: materialize, then free the driver-retained view
+    val sunk = s.table(name).filter(col("user_id") =!= -1L).localCheckpoint()
+    s.catalog.dropTempView(name)
+    StreamingRetention.matrix(sunk)
       .orderBy(col("cohort"), col("period_n"))
   }
 
@@ -396,7 +404,11 @@ object SparkEntry {
             q.processAllAvailable()
           } finally q.stop()
         }
-        s.table(name).select(col("day"), col("event_type"), col("cnt"))
+        // bounded sink rows: materialize, then free the driver-retained view
+        val sunk = s.table(name).select(col("day"), col("event_type"), col("cnt"))
+          .localCheckpoint()
+        s.catalog.dropTempView(name)
+        sunk
       }
     graft.operators.Funnel.anomalies(
       graft.operators.Funnel.densifyDaily(cells, "event_type", "day", "cnt"),
@@ -2538,6 +2550,43 @@ object SparkEntry {
       .flatMap(v => Seq(v, (v._1 + 10000001L, v._2)))
     if (window.isEmpty)
       return Seq.empty[(Long, Long, Double)].toDF("id_a", "id_b", "cos")
+    // CANARY (data, not code): the gate's hash-exactness rests on zero
+    // sign-LSH band misses for every ≥0.9 window pair. signBanding's
+    // miss bound is <1e-6 AT the threshold and shrinks rapidly above
+    // it, so the only standing exposure is a pair in the razor margin
+    // just above 0.9 — none exists in the current testdata, and a
+    // REGENERATION that introduced one would keep worst-case
+    // probabilistic odds on every future run. Fail here,
+    // deterministically, so that future red diagnoses as regenerated
+    // data rather than a streaming-dedup regression. Driver-side
+    // all-pairs over the 200 originals (replicas are bit-copies — their
+    // cosines mirror the originals'): ~20k small dot products, no job.
+    locally {
+      val orig = window.filter(_._1 < 10000001L)
+      var i = 0
+      while (i < orig.length) {
+        var j = i + 1
+        while (j < orig.length) {
+          val a = orig(i)._2; val b = orig(j)._2
+          val n = math.min(a.length, b.length)
+          var dot = 0.0; var na = 0.0; var nb = 0.0; var t = 0
+          while (t < n) {
+            dot += a(t).toDouble * b(t).toDouble
+            na += a(t).toDouble * a(t).toDouble
+            nb += b(t).toDouble * b(t).toDouble
+            t += 1
+          }
+          val cos = if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+          require(cos < 0.9 || cos >= 0.903,
+            s"q_stream_semdedup canary: window pair (${orig(i)._1}, ${orig(j)._1}) has " +
+              s"cosine $cos in the thin band-miss margin [0.9, 0.903) — the testdata was " +
+              "regenerated with a near-threshold pair; widen the margin or regenerate, " +
+              "this is a data condition, not a streaming-dedup regression")
+          j += 1
+        }
+        i += 1
+      }
+    }
     val stream = MemoryStream[(Long, Array[Float])]
     val base = s"/tmp/graft_q_stream_semdedup/${java.util.UUID.randomUUID()}"
     withScratchDir(s, base) {
@@ -2680,6 +2729,9 @@ object SparkEntry {
       .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
       .orderBy(col("event_id"))
       .localCheckpoint()
+    // the memory sink retains the whole emitted window on the driver for
+    // the session lifetime; the localCheckpoint above owns the rows now
+    s.catalog.dropTempView(name)
     out
     }
   }
@@ -2708,9 +2760,14 @@ object SparkEntry {
     withScratchDir(s, base) {
     val idxPath = s"$base/index"
     // a dataset whose vec_ids start past the base bound must yield the
-    // oracle's empty result, not an empty-kmeans crash
+    // oracle's empty result, not an empty-kmeans crash. An if/else, NOT
+    // a non-local return: a `return` inside withScratchDir's by-name
+    // body only cleans up via NonLocalReturnControl unwinding through
+    // the try/finally — fragile under closure conversion or a Scala 3
+    // migration
     if (emb.filter(col("vec_id") < 100).isEmpty)
-      return Seq.empty[(Long, Long, Double, Int)].toDF("query_id", "item_id", "cos", "rank")
+      Seq.empty[(Long, Long, Double, Int)].toDF("query_id", "item_id", "cos", "rank")
+    else {
     // the whole lifecycle — build, stream, search — is bounded-window
     // work; 8 shuffle partitions keeps its ~dozen small jobs cheap
     withShufflePartitions(s, 8) {
@@ -2745,6 +2802,7 @@ object SparkEntry {
       .orderBy(col("query_id"), col("rank"))
       .localCheckpoint()
     out
+    }
     }
     }
   }

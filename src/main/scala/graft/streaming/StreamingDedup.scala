@@ -73,9 +73,16 @@ object StreamingDedup {
         }
     }
 
-  /** Micro-batch row bound under which a probe side is force-broadcast
-    * (~1 GB of banded signature/vector rows at ~8 KB per document —
-    * comfortably under the 8 GB broadcast hard limit). Batches are
+  /** Micro-batch DOCUMENT bound under which a banded probe side is
+    * force-broadcast, derived from BYTES rather than a fixed row count:
+    * each document's probe rows replicate the full signature/vector
+    * once per band, so the broadcast size scales with
+    * docs × fanOut × payload width — a fixed row bound that assumed
+    * ~8 KB per document would blow past the 8 GB broadcast hard limit
+    * for wide embeddings with many bands while the row check still
+    * passed. Targets ~1 GiB (comfortably under the limit); ~48 B of
+    * per-row struct/key overhead; floor 4096 docs so even extreme
+    * widths still broadcast a trivial batch. Batches are
     * trigger-bounded in a configured production stream, but a restart
     * backlog or an un-throttled source can deliver an arbitrarily
     * large batch — force-broadcasting THAT would fail the trigger and
@@ -84,7 +91,10 @@ object StreamingDedup {
     * slower, but it completes. The bound probe is a limit+count on the
     * CACHED batch — one cheap action, never a full count of an
     * unbounded source. */
-  private val BcastBatchRows: Long = 1L << 17
+  private def bcastRowBound(fanOut: Int, payloadBytes: Long): Long = {
+    val perDoc = math.max(1, fanOut).toLong * math.max(64L, payloadBytes + 48L)
+    math.max(4096L, (1L << 30) / perDoc)
+  }
 
   /** Is `df` (cached or cheap) within `bound` rows? Short-circuits at
     * bound+1. */
@@ -174,9 +184,10 @@ object StreamingDedup {
               .select(col("a.id").as("new_id"), col("b.id").as("existing_id"),
                 estJaccardExpr(nh).as("est_jaccard"))
           val inBatch = cand(probe, probe, col("a.id") > col("b.id"))
-          // oversized-batch fallback: see BcastBatchRows (covers the id
-          // anti-join's broadcast too — same driving row count)
-          val batchSmall = withinRows(sigs, BcastBatchRows)
+          // oversized-batch fallback: see bcastRowBound (covers the id
+          // anti-join's broadcast too — same driving row count); banded
+          // text rows carry the nh-int signature per band
+          val batchSmall = withinRows(sigs, bcastRowBound(b, 4L * nh))
           val viaIndex =
             if (haveIndex)
               cand(if (batchSmall) broadcast(probe) else probe,
@@ -290,8 +301,8 @@ object StreamingDedup {
     def cellKeyed(d: DataFrame, cents: Array[Array[Float]]): DataFrame =
       d.select(
         col("id"), col("vec"),
-        explode(call_function("graft_nearest_centroids", col("vec"),
-          graft.operators.Ann.centroidsLit(cents), lit(ivfProbes))).as("cell"))
+        explode(graft.operators.Ann.nearestCentroidsBc(col("vec"),
+          graft.operators.Ann.bcastCentroids(d.sparkSession, cents), ivfProbes)).as("cell"))
         .select(col("id"), col("vec"), lit(0).as("band"), col("cell").cast("long").as("bh"))
 
     def trainAndPersist(s: SparkSession, batch: DataFrame,
@@ -390,8 +401,15 @@ object StreamingDedup {
               .select(col("a.id").as("new_id"), col("b.id").as("existing_id"),
                 call_function("graft_cosine", col("a.vec"), col("b.vec")).as("cos"))
           val inBatch = cand(probe, probe, col("a.id") > col("b.id"))
-          // oversized-batch fallback: see BcastBatchRows
-          val batchSmall = withinRows(sigs, BcastBatchRows)
+          // oversized-batch fallback: see bcastRowBound. The banded rows
+          // carry the FULL vector per band/cell, so the bound scales with
+          // the measured vector width (one cheap head() on the cached
+          // batch), not an assumed one — a 1024-dim corpus broadcasts
+          // ~16× fewer docs than a 64-dim one instead of failing at the
+          // same row count
+          val dim = sigs.select(size(col("vec")).as("d")).head().getInt(0)
+          val fanOut = if (lowThreshold) ivfProbes else bands1
+          val batchSmall = withinRows(sigs, bcastRowBound(fanOut, 4L * dim))
           val viaIndex =
             if (haveIndex)
               cand(if (batchSmall) broadcast(probe) else probe,
@@ -568,8 +586,10 @@ object StreamingDedup {
               // broadcast-probe discipline (run()'s scaladoc): the banded
               // batch winners broadcast, the corpus-sized rep index
               // streams through with ZERO exchange per trigger
-              // (oversized-batch fallback: see BcastBatchRows)
-              val winSmall = withinRows(winners.select(col("id")), BcastBatchRows)
+              // (oversized-batch fallback: see bcastRowBound; winner rows
+              // carry the nh-int signature per band)
+              val winSmall = withinRows(winners.select(col("id")),
+                bcastRowBound(bands, 4L * numHashes))
               def maybeBcast(d: DataFrame): DataFrame =
                 if (winSmall) broadcast(d) else d
               val m = maybeBcast(banded(winners.select(col("id"), col("sig")))).as("a")

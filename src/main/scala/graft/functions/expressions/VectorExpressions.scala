@@ -398,3 +398,175 @@ case class PqAdcCosine(
       newThird: Expression, newFourth: Expression): PqAdcCosine =
     copy(codes = newFirst, dots = newSecond, norms2 = newThird, qNorm = newFourth)
 }
+
+/**
+ * BROADCAST-backed twins of the centroid-table expressions — the scale
+ * form the Scala operators use. The literal/reference-object forms
+ * above ship the table INSIDE every serialized task binary (and, on
+ * the SQL surface, additionally as a plan literal): fine for the
+ * bounded tables a SQL user writes, but a 100-TB-scale quantizer
+ * (2M cells × 128 dim ≈ 1 GB of floats) embedded per-task breaks plan
+ * serialization long before the table stops being "metadata". Here the
+ * expression carries only the Broadcast HANDLE; executors fetch the
+ * blocks once each through the block manager, and the generated code
+ * resolves `bc.value()` once per task into an instance field. The
+ * kernels are the same [[VectorOps]] statics, so math and tie-breaks
+ * cannot diverge between the two forms.
+ */
+private[graft] trait BcastCentroidCodegen { self: UnaryExpression =>
+  /** Hoist `bc.value()` out of the per-row path: one instance field,
+    * initialized when the generated class is constructed (per task). */
+  protected def bcastField(
+      ctx: CodegenContext, bc: org.apache.spark.broadcast.Broadcast[_], javaType: String): String = {
+    val bcRef = ctx.addReferenceObj("bcTable", bc, "org.apache.spark.broadcast.Broadcast")
+    ctx.addMutableState(javaType, "bcTableVal",
+      v => s"$v = ($javaType) $bcRef.value();")
+  }
+}
+
+/** [[NearestCentroid]] with a broadcast table. */
+case class NearestCentroidBcast(
+    child: Expression,
+    bc: org.apache.spark.broadcast.Broadcast[Array[Array[Float]]]
+) extends UnaryExpression with BcastCentroidCodegen {
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_nearest_centroid_bcast"
+
+  @transient private lazy val table: Array[Array[Float]] = bc.value
+
+  override protected def nullSafeEval(input: Any): Any =
+    VectorOps.nearest(input.asInstanceOf[ArrayData], table)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cents = bcastField(ctx, bc, "float[][]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.expressions.VectorOps.nearest($c, $cents);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroidBcast =
+    copy(child = newChild)
+}
+
+/** [[NearestCentroidDist]] with a broadcast table. */
+case class NearestCentroidDistBcast(
+    child: Expression,
+    bc: org.apache.spark.broadcast.Broadcast[Array[Array[Float]]]
+) extends UnaryExpression with BcastCentroidCodegen {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_nearest_centroid_dist_bcast"
+
+  @transient private lazy val table: Array[Array[Float]] = bc.value
+
+  override protected def nullSafeEval(input: Any): Any =
+    VectorOps.nearestDist2(input.asInstanceOf[ArrayData], table)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cents = bcastField(ctx, bc, "float[][]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.expressions.VectorOps.nearestDist2($c, $cents);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroidDistBcast =
+    copy(child = newChild)
+}
+
+/** [[NearestCentroids]] with a broadcast table. */
+case class NearestCentroidsBcast(
+    child: Expression,
+    bc: org.apache.spark.broadcast.Broadcast[Array[Array[Float]]],
+    probes: Int
+) extends UnaryExpression with BcastCentroidCodegen {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "graft_nearest_centroids_bcast"
+
+  @transient private lazy val table: Array[Array[Float]] = bc.value
+
+  override protected def nullSafeEval(input: Any): Any =
+    VectorOps.nearestK(input.asInstanceOf[ArrayData], table, probes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cents = bcastField(ctx, bc, "float[][]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.expressions.VectorOps.nearestK($c, $cents, $probes);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroidsBcast =
+    copy(child = newChild)
+}
+
+/** [[NearestCellsHier]] with both levels broadcast. The uniform-width
+  * requirement is validated on the DRIVER at construction (the
+  * broadcasts were just created there — `.value` is a local read). */
+case class NearestCellsHierBcast(
+    child: Expression,
+    bcL1: org.apache.spark.broadcast.Broadcast[Array[Array[Float]]],
+    bcL2: org.apache.spark.broadcast.Broadcast[Array[Array[Array[Float]]]],
+    p1: Int,
+    p2: Int
+) extends UnaryExpression {
+
+  {
+    val l1 = bcL1.value
+    val l2 = bcL2.value
+    require(l2.length == l1.length,
+      s"l2 must hold one fine table per coarse cell: ${l2.length} != ${l1.length}")
+    require(l2.isEmpty || l2.forall(_.length == l2(0).length),
+      s"fine tables must be uniform width, got ${l2.map(_.length).distinct.toSeq}")
+  }
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "graft_nearest_cells_hier_bcast"
+
+  @transient private lazy val l1: Array[Array[Float]] = bcL1.value
+  @transient private lazy val l2: Array[Array[Array[Float]]] = bcL2.value
+
+  override protected def nullSafeEval(input: Any): Any =
+    VectorOps.nearestCellsHier(input.asInstanceOf[ArrayData], l1, l2, p1, p2)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val l1Ref = ctx.addReferenceObj("bcL1", bcL1, "org.apache.spark.broadcast.Broadcast")
+    val l2Ref = ctx.addReferenceObj("bcL2", bcL2, "org.apache.spark.broadcast.Broadcast")
+    val l1v = ctx.addMutableState("float[][]", "bcL1Val",
+      v => s"$v = (float[][]) $l1Ref.value();")
+    val l2v = ctx.addMutableState("float[][][]", "bcL2Val",
+      v => s"$v = (float[][][]) $l2Ref.value();")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.expressions.VectorOps.nearestCellsHier($c, $l1v, $l2v, $p1, $p2);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCellsHierBcast =
+    copy(child = newChild)
+}
+
+/** [[PqEncode]] with broadcast codebooks. */
+case class PqEncodeBcast(
+    child: Expression,
+    bc: org.apache.spark.broadcast.Broadcast[Array[Array[Array[Float]]]]
+) extends UnaryExpression with BcastCentroidCodegen {
+
+  {
+    val codebooks = bc.value
+    require(codebooks.nonEmpty && codebooks.forall(_.length == codebooks(0).length),
+      s"codebooks must be non-empty and uniform width, got ${codebooks.map(_.length).distinct.toSeq}")
+  }
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "graft_pq_encode_bcast"
+
+  @transient private lazy val table: Array[Array[Array[Float]]] = bc.value
+
+  override protected def nullSafeEval(input: Any): Any =
+    VectorOps.pqEncode(input.asInstanceOf[ArrayData], table)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cb = bcastField(ctx, bc, "float[][][]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.expressions.VectorOps.pqEncode($c, $cb);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqEncodeBcast =
+    copy(child = newChild)
+}

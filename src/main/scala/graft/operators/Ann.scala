@@ -1,8 +1,13 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.graftbridge.{ColumnBridge => ExpressionUtils}
 import org.apache.spark.sql.functions._
+
+import graft.functions.expressions.{NearestCellsHierBcast, NearestCentroidBcast,
+  NearestCentroidDistBcast, NearestCentroidsBcast, PqEncodeBcast}
 
 /**
  * Approximate-nearest-neighbor search over an embedding column
@@ -105,6 +110,45 @@ object Ann {
   private[graft] def centroidsLit(cents: Array[Array[Float]]) =
     typedlit[Seq[Seq[Float]]](cents.map(_.toSeq).toSeq)
 
+  // ---- broadcast-backed centroid columns (the operator-internal form) ----
+  //
+  // The SQL-surface functions above take the table as a plan literal —
+  // bounded user-written tables. Every Scala operator below instead
+  // broadcasts the trained table ONCE per query and builds these
+  // columns around the handle: a task ships ~bytes instead of the full
+  // table, executors fetch the blocks once each, and a 100-TB-scale
+  // quantizer (2M cells × 128 dim ≈ 1 GB) stops being a plan payload.
+  // One broadcast serves every column built from it (items + queries +
+  // stats share the same handle).
+
+  private[graft] def bcastCentroids(
+      spark: SparkSession, cents: Array[Array[Float]]): Broadcast[Array[Array[Float]]] =
+    spark.sparkContext.broadcast(cents)
+
+  private[graft] def bcastCentroids3(
+      spark: SparkSession, t: Array[Array[Array[Float]]]): Broadcast[Array[Array[Array[Float]]]] =
+    spark.sparkContext.broadcast(t)
+
+  private[graft] def nearestCentroidBc(vec: Column, bc: Broadcast[Array[Array[Float]]]): Column =
+    ExpressionUtils.column(NearestCentroidBcast(ExpressionUtils.expression(vec), bc))
+
+  private[graft] def nearestCentroidsBc(
+      vec: Column, bc: Broadcast[Array[Array[Float]]], probes: Int): Column =
+    ExpressionUtils.column(NearestCentroidsBcast(ExpressionUtils.expression(vec), bc, probes))
+
+  private[graft] def nearestCentroidDistBc(vec: Column, bc: Broadcast[Array[Array[Float]]]): Column =
+    ExpressionUtils.column(NearestCentroidDistBcast(ExpressionUtils.expression(vec), bc))
+
+  private[graft] def nearestCellsHierBc(
+      vec: Column,
+      bcL1: Broadcast[Array[Array[Float]]],
+      bcL2: Broadcast[Array[Array[Array[Float]]]],
+      p1: Int, p2: Int): Column =
+    ExpressionUtils.column(NearestCellsHierBcast(ExpressionUtils.expression(vec), bcL1, bcL2, p1, p2))
+
+  private[graft] def pqEncodeBc(vec: Column, bc: Broadcast[Array[Array[Array[Float]]]]): Column =
+    ExpressionUtils.column(PqEncodeBcast(ExpressionUtils.expression(vec), bc))
+
   /**
    * IVF-lite: deterministic coarse quantizer (hash-bucket seed means +
    * Lloyd refinement under a fixed iteration budget), probe-limited
@@ -146,8 +190,19 @@ object Ann {
   ): Array[Array[Float]] = {
     graft.sql.GraftFunctions.register(spark)
     val base = corpus.select(col("vec_id").as("item_id"), col("embedding").as("item_vec"))
-    lloydOn(collectSample(base, trainSample, knownCount), numCells, lloydIters)
+    lloydOn(collectSample(base, scaledTrainSample(trainSample, numCells), knownCount),
+      numCells, lloydIters)
   }
+
+  /** Training-sample floor for a `cells`-cell quantizer: ≥32 sample
+    * points per wanted cell — under that, Lloyd hands most cells zero
+    * or one point and the table degenerates to duplicate/empty
+    * centroids (the r13 fixed default of 20k was ~5 points/cell at the
+    * 4096-cell flip). Capped at 2^21 rows (× dim × 4 B ≈ 256 MB of
+    * driver sample at dim 128) so the collect stays a bounded driver
+    * action; never below the caller's explicit ask. */
+  private[graft] def scaledTrainSample(requested: Long, cells: Int): Long =
+    math.min(math.max(requested, 32L * cells), math.max(requested, 1L << 21))
 
   /**
    * TWO-LEVEL quantizer: a coarse table of `c1` cells plus, per coarse
@@ -172,19 +227,82 @@ object Ann {
   ): (Array[Array[Float]], Array[Array[Array[Float]]]) = {
     graft.sql.GraftFunctions.register(spark)
     val base = corpus.select(col("vec_id").as("item_id"), col("embedding").as("item_vec"))
-    val sample = collectSample(base, trainSample, knownCount)
+    val n = if (knownCount >= 0L) knownCount else base.count()
+    // coarse level: driver-sample Lloyd, sample floored at 32·c1 — the
+    // coarse table is small (≤ ~1500 cells even at 10^9 vectors), so the
+    // bounded driver collect is the right tool here
+    val sample = collectSample(base, scaledTrainSample(trainSample, c1), n)
     val l1 = lloydOn(sample, c1, lloydIters)
     val dim = sample.iterator.map(_._2.length).foldLeft(0)(math.max)
-    val byCell = sample.groupBy { case (_, v) =>
-      graft.functions.expressions.VectorOps.nearestLocal(v, l1)
-    }
-    val l2 = Array.tabulate(c1) { c =>
+    (l1, trainFineDistributed(spark, base, l1, c2, lloydIters, n, dim))
+  }
+
+  /**
+   * Fine-level training ON THE EXECUTORS — one independent Lloyd per
+   * coarse cell over that cell's own bounded sample. The r13 form
+   * partitioned the 20k DRIVER sample by coarse cell: at the 4096-cell
+   * flip that was ~5 points per fine cell, and at a 100-TB-scale 2M-cell
+   * quantizer ~14 points training 1414 fine cells per coarse cell —
+   * mostly-empty/duplicate centroids. Here each coarse cell trains on
+   * ≥32·c2 of ITS OWN vectors (a corpus-wide deterministic hash filter
+   * targets 2× that per cell on average; skew-heavy cells cap at the
+   * per-cell bound, sparse cells train on what they have), so the fine
+   * tables stay well-conditioned at ANY corpus size and the training
+   * work parallelizes across coarse cells instead of serializing on the
+   * driver. Deterministic end to end: the hash filter, the per-cell
+   * take in (xxhash, id) sort order, and the hash-seeded Lloyd have no
+   * partition-order or RNG dependence. The collected result is the fine
+   * table itself (c1·c2·dim floats) — the artifact the caller was going
+   * to hold either way.
+   */
+  private def trainFineDistributed(
+      spark: SparkSession,
+      base: DataFrame,
+      l1: Array[Array[Float]],
+      c2: Int,
+      lloydIters: Int,
+      n: Long,
+      dim: Int
+  ): Array[Array[Array[Float]]] = {
+    import spark.implicits._
+    val c1 = l1.length
+    val perCell = scaledTrainSample(0L, c2) // ≥32·c2 vectors per coarse cell
+    // corpus-wide filter rate targeting ~2·perCell per coarse cell on
+    // average (the 2× headroom feeds moderately-unbalanced cells; heavy
+    // cells cap below, empty cells zero-fill)
+    val targetRows = 2L * perCell * c1
+    val filtered =
+      if (n <= targetRows) base
+      else {
+        val permille = math.max(1L, 10000L * targetRows / n)
+        base.filter(pmod(xxhash64(col("item_id"), lit(11)), lit(10000L)) < lit(permille))
+      }
+    val bcL1 = bcastCentroids(spark, l1)
+    val fine: Array[(Int, Seq[Seq[Float]])] = filtered
+      .select(
+        nearestCentroidBc(col("item_vec"), bcL1).as("cell"),
+        xxhash64(col("item_id"), lit(13)).as("hk"),
+        col("item_id"), col("item_vec"))
+      .as[(Int, Long, Long, Seq[Float])]
+      .groupByKey(_._1)
+      // sorted groups pin the take order (plain mapGroups iterates in
+      // partition-arrival order — nondeterministic under shuffles)
+      .flatMapSortedGroups($"hk", $"item_id") { (cell, it) =>
+        val taken = it.take(perCell.toInt).map(t => (t._3, t._4.toArray)).toArray
+        // lloydOn's contract: id-sorted input (collectSample discipline)
+        java.util.Arrays.sort(taken, Ordering.by((t: (Long, Array[Float])) => t._1))
+        Iterator.single((cell, lloydOn(taken, c2, lloydIters).map(_.toSeq).toSeq))
+      }
+      .collect()
+    val byCell = fine.toMap
+    Array.tabulate(c1) { c =>
       byCell.get(c) match {
-        case Some(members) if members.nonEmpty => lloydOn(members, c2, lloydIters)
-        case _ => Array.fill(c2)(Array.fill(dim)(0.0f))
+        case Some(table) => table.map(_.toArray).toArray
+        // a coarse cell with NO corpus vectors wins no assignments that
+        // matter — zero-vector fine table, as before
+        case None => Array.fill(c2)(Array.fill(dim)(0.0f))
       }
     }
-    (l1, l2)
   }
 
   /** Bounded deterministic training sample: hash-filter to ~trainSample
@@ -223,7 +341,25 @@ object Ann {
     var iter = 0
     var converged = false
     while (iter < lloydIters && !converged) {
-      val cells = sample.map { case (_, v) => graft.functions.expressions.VectorOps.nearestLocal(v, cents) }
+      val cur = cents
+      val cells = new Array[Int](sample.length)
+      // the assignment argmin is embarrassingly parallel and positional
+      // writes keep it deterministic; fork-join overhead only pays off
+      // on the big driver-side tables (scaledTrainSample can now put
+      // ~131k samples against a 4096-cell table — ~50s sequential,
+      // seconds parallel), while the executor-side fine Lloyds stay
+      // sequential and don't fight the task's own parallelism
+      if (sample.length.toLong * numCells >= (1L << 22)) {
+        java.util.stream.IntStream.range(0, sample.length).parallel()
+          .forEach(i => cells(i) =
+            graft.functions.expressions.VectorOps.nearestLocal(sample(i)._2, cur))
+      } else {
+        var i = 0
+        while (i < sample.length) {
+          cells(i) = graft.functions.expressions.VectorOps.nearestLocal(sample(i)._2, cur)
+          i += 1
+        }
+      }
       val next = localMeans(sample, cells, numCells)
       converged = java.util.Arrays.deepEquals(
         cents.asInstanceOf[Array[AnyRef]], next.asInstanceOf[Array[AnyRef]])
@@ -363,13 +499,13 @@ object Ann {
     if (centroids != null) {
       // caller-supplied flat quantizer (shared across probe settings or a
       // persisted index): skip counting + training, go straight to assignment
+      val bcC = bcastCentroids(spark, centroids)
       val items = vecs.select(col("vec_id").as("item_id"), col("embedding").as("item_vec"))
         .withColumn("item_n", sqrt(call_function("graft_dot", col("item_vec"), col("item_vec"))))
-        .withColumn("cell", call_function("graft_nearest_centroid", col("item_vec"), centroidsLit(centroids)))
+        .withColumn("cell", nearestCentroidBc(col("item_vec"), bcC))
       val queries = vecs.select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
         .withColumn("query_n", sqrt(call_function("graft_dot", col("query_vec"), col("query_vec"))))
-        .withColumn("cell", explode(call_function("graft_nearest_centroids",
-          col("query_vec"), centroidsLit(centroids), lit(probes))))
+        .withColumn("cell", explode(nearestCentroidsBc(col("query_vec"), bcC, probes)))
       val scored = items.join(queries.hint("shuffle_hash"), Seq("cell"))
         .filter(col("query_id") =!= col("item_id"))
         .withColumn("cos", cosFromNorms(
@@ -393,27 +529,27 @@ object Ann {
         val (l1, l2) = ivfTrainHier(spark,
           vecs.select(xxhash64(col("vec_id")).as("vec_id"), col("embedding")),
           side, side, trainSample = trainSample, knownCount = n)
+        val bcL1 = bcastCentroids(spark, l1)
+        val bcL2 = bcastCentroids3(spark, l2)
         val items = vecs.select(col("vec_id").as("item_id"), col("embedding").as("item_vec"))
           .withColumn("item_n", sqrt(call_function("graft_dot", col("item_vec"), col("item_vec"))))
-          .withColumn("cell", element_at(call_function("graft_nearest_cells_hier",
-            col("item_vec"), centroidsLit(l1), centroidsLit3(l2), lit(1), lit(1)), 1))
+          .withColumn("cell", element_at(nearestCellsHierBc(col("item_vec"), bcL1, bcL2, 1, 1), 1))
         val queries = vecs.select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
           .withColumn("query_n", sqrt(call_function("graft_dot", col("query_vec"), col("query_vec"))))
-          .withColumn("cell", explode(call_function("graft_nearest_cells_hier",
-            col("query_vec"), centroidsLit(l1), centroidsLit3(l2), lit(hierP1), lit(hierP2))))
+          .withColumn("cell", explode(nearestCellsHierBc(col("query_vec"), bcL1, bcL2, hierP1, hierP2)))
         items.join(queries.hint("shuffle_hash"), Seq("cell"))
       } else {
         val cells = if (numCells > 0) numCells else math.min(4096L, wanted).toInt
         val cents = ivfTrain(spark,
           vecs.select(xxhash64(col("vec_id")).as("vec_id"), col("embedding")),
           numCells = cells, trainSample = trainSample, knownCount = n)
+        val bcC = bcastCentroids(spark, cents)
         val items = vecs.select(col("vec_id").as("item_id"), col("embedding").as("item_vec"))
           .withColumn("item_n", sqrt(call_function("graft_dot", col("item_vec"), col("item_vec"))))
-          .withColumn("cell", call_function("graft_nearest_centroid", col("item_vec"), centroidsLit(cents)))
+          .withColumn("cell", nearestCentroidBc(col("item_vec"), bcC))
         val queries = vecs.select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
           .withColumn("query_n", sqrt(call_function("graft_dot", col("query_vec"), col("query_vec"))))
-          .withColumn("cell", explode(call_function("graft_nearest_centroids",
-            col("query_vec"), centroidsLit(cents), lit(probes))))
+          .withColumn("cell", explode(nearestCentroidsBc(col("query_vec"), bcC, probes)))
         items.join(queries.hint("shuffle_hash"), Seq("cell"))
       }
     val scored = cands
@@ -504,8 +640,9 @@ object Ann {
       .write.mode("overwrite").parquet(s"$path/centroids")
     corpus
       .select(col("vec_id").as("item_id"), col("embedding").as("item_vec"))
-      .withColumn("cell", call_function("graft_nearest_centroid", col("item_vec"), centroidsLit(cents)))
+      .withColumn("cell", nearestCentroidBc(col("item_vec"), bcastCentroids(spark, cents)))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/assignments")
+    writeIdBloom(spark, s"$path/assignments")
     // train-time dispersion: the p95 quantization error over the corpus
     // (approx_percentile — one mergeable pass; a heuristic threshold,
     // not a gated value). New vectors landing mostly beyond it mean the
@@ -569,10 +706,13 @@ object Ann {
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$path/codebooks")
     spread(corpus.select(col("vec_id").as("item_id"), col("embedding").as("item_vec")))
-      .withColumn("cell", call_function("graft_nearest_centroid", col("item_vec"), centroidsLit(cents)))
-      .withColumn("codes", call_function("graft_pq_encode", col("item_vec"), centroidsLit3(codebooks)))
+      .withColumn("cell", nearestCentroidBc(col("item_vec"), bcastCentroids(spark, cents)))
+      .withColumn("codes", pqEncodeBc(col("item_vec"), bcastCentroids3(spark, codebooks)))
       .select(col("item_id"), col("codes"), col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes")
+    // sidecar on the codes base too: one lifecycle across both index
+    // families (promotion refreshes it family-agnostically)
+    writeIdBloom(spark, s"$path/codes")
     dispersionStats(corpus, "embedding", cents)
       .write.mode("overwrite").parquet(s"$path/stats")
     Seq((m, codebookSize, numCells))
@@ -707,8 +847,8 @@ object Ann {
   private[graft] def dispersionStats(
       vecs: DataFrame, vecCol: String, cents: Array[Array[Float]]): DataFrame =
     vecs
-      .select(call_function("graft_nearest_centroid_dist",
-        col(vecCol), centroidsLit(cents)).as("d"))
+      .select(nearestCentroidDistBc(
+        col(vecCol), bcastCentroids(vecs.sparkSession, cents)).as("d"))
       .agg(expr("approx_percentile(d, 0.95)").as("p95_dist"))
       .coalesce(1)
 
@@ -717,8 +857,8 @@ object Ann {
   private[graft] def overP95Fraction(
       vecs: DataFrame, vecCol: String, cents: Array[Array[Float]], p95: Double): Double = {
     val r = vecs
-      .select((call_function("graft_nearest_centroid_dist",
-        col(vecCol), centroidsLit(cents)) > p95).cast("double").as("over"))
+      .select((nearestCentroidDistBc(
+        col(vecCol), bcastCentroids(vecs.sparkSession, cents)) > p95).cast("double").as("over"))
       .agg(avg(col("over"))).head()
     if (r.isNullAt(0)) 0.0 else r.getDouble(0)
   }
@@ -818,6 +958,58 @@ object Ann {
       .foreach(d => fs.delete(new org.apache.hadoop.fs.Path(root, d), true))
   }
 
+  // ---- id Bloom sidecars: delta-sized novelty probes ----
+
+  /** Sidecar filename inside a written assignments/codes/shard dir —
+    * the underscore keeps it invisible to parquet directory reads. */
+  private[graft] val IdBloomFile = "_ids_bloom"
+
+  /**
+   * Write the id Bloom sidecar for the rows just written under `dir`
+   * (read back column-pruned — one narrow id pass at WRITE time). What
+   * it buys: the streaming-admission novelty probe stops scanning the
+   * corpus-length base id column on every trigger — a Bloom has NO
+   * false negatives, so "not held" verdicts are exact with zero base
+   * reads, and the fp-rate-sized "maybe held" remainder verifies
+   * against the real id column. 3% fpp ≈ 7.3 bits/id: a 10⁹-row base's
+   * sidecar is ~0.9 GB read once per trigger vs. decoding the full id
+   * column every trigger, and per-shard sidecars stay batch-sized.
+   * Crash-safe by placement: the sidecar lives INSIDE the data dir, so
+   * every `mode("overwrite")` data rewrite deletes it with the old
+   * data — a crash between data and sidecar writes leaves a
+   * sidecar-less dir, and the probe falls back to the exact full scan.
+   */
+  private[graft] def writeIdBloom(spark: SparkSession, dir: String): Unit = {
+    // an admitted EMPTY batch commits _SUCCESS with zero data files —
+    // such a dir cannot infer a schema (and is excluded from probes by
+    // readableShardDirsUnder's same guard), so it gets no sidecar
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val rfs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!rfs.listStatus(root).exists(st => st.isDirectory && st.getPath.getName.startsWith("cell=")))
+      return
+    val ids = spark.read.parquet(dir).select(col("item_id"))
+    val n = ids.count()
+    val bf = ids.stat.bloomFilter("item_id", math.max(1L, n), 0.03)
+    val p = new org.apache.hadoop.fs.Path(dir, IdBloomFile)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try bf.writeTo(out) finally out.close()
+  }
+
+  /** The sidecar of `dir`, if present (absent on pre-sidecar indexes
+    * or after a crash between the data and sidecar writes — callers
+    * fall back to the exact id-column scan). */
+  private[graft] def readIdBloom(
+      spark: SparkSession, dir: String): Option[org.apache.spark.util.sketch.BloomFilter] = {
+    val p = new org.apache.hadoop.fs.Path(dir, IdBloomFile)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(org.apache.spark.util.sketch.BloomFilter.readFrom(in)) finally in.close()
+    }
+  }
+
   /** The stored centroid table of [[buildIvfIndex]], cell-ordered. */
   def loadIvfCentroids(spark: SparkSession, path: String): Array[Array[Float]] =
     spark.read.parquet(s"$path/centroids")
@@ -899,7 +1091,7 @@ object Ann {
     val cents = loadIvfCentroids(spark, path)
     val safe = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(shard)
     val assigned = spread(newVecs.select(col("vec_id").as("item_id"), col("embedding").as("item_vec")))
-      .withColumn("cell", call_function("graft_nearest_centroid", col("item_vec"), centroidsLit(cents)))
+      .withColumn("cell", nearestCentroidBc(col("item_vec"), bcastCentroids(spark, cents)))
     // family dispatch: an IVF-PQ index stores CODES, so its delta does
     // too — the new batch is encoded with the EXISTING codebooks (the
     // same one-narrow-pass discipline; code quality for drifted data
@@ -908,14 +1100,17 @@ object Ann {
     if (deltaDirName(spark, path) == "codes_delta") {
       val codebooks = loadPqCodebooks(spark, path)
       assigned
-        .withColumn("codes", call_function("graft_pq_encode", col("item_vec"), centroidsLit3(codebooks)))
+        .withColumn("codes", pqEncodeBc(col("item_vec"), bcastCentroids3(spark, codebooks)))
         .select(col("item_id"), col("codes"), col("cell"))
         .write.mode("overwrite").partitionBy("cell")
         .parquet(s"$path/codes_delta/shard=$safe")
-    } else
+      writeIdBloom(spark, s"$path/codes_delta/shard=$safe")
+    } else {
       assigned
         .write.mode("overwrite").partitionBy("cell")
         .parquet(s"$path/assignments_delta/shard=$safe")
+      writeIdBloom(spark, s"$path/assignments_delta/shard=$safe")
+    }
   }
 
   /**
@@ -1020,6 +1215,11 @@ object Ann {
     afterStage()
     spark.read.parquet(staging.toString)
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/$baseDir")
+    // the base overwrite wiped the old sidecar with the old data; the
+    // fresh one must cover the folded ids before the shard dirs (and
+    // their own sidecars) disappear — a crash in between leaves a
+    // sidecar-less base, which probes fall back to scanning exactly
+    writeIdBloom(spark, s"$path/$baseDir")
     snapshot.foreach(p => fs.delete(p, true))
     fs.delete(staging, true)
   }
@@ -1050,7 +1250,8 @@ object Ann {
     val cents = loadIvfCentroids(spark, path)
     val queryProbes = queries
       .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
-      .withColumn("cell", explode(call_function("graft_nearest_centroids", col("query_vec"), centroidsLit(cents), lit(probes))))
+      .withColumn("cell",
+        explode(nearestCentroidsBc(col("query_vec"), bcastCentroids(spark, cents), probes)))
     val probeCells = queryProbes.select(col("cell")).distinct().collect().map(_.getInt(0))
     val cellFilter = col("cell").isin(probeCells.toIndexedSeq.map(Integer.valueOf): _*)
     val base = spark.read.parquet(s"$path/assignments").filter(cellFilter)
@@ -1207,7 +1408,7 @@ object Ann {
     graft.sql.GraftFunctions.register(corpus.sparkSession)
     spread(corpus.select(col("vec_id").as("item_id"), col("embedding").as("item_vec")))
       .select(col("item_id"),
-        call_function("graft_pq_encode", col("item_vec"), centroidsLit3(codebooks)).as("codes"))
+        pqEncodeBc(col("item_vec"), bcastCentroids3(corpus.sparkSession, codebooks)).as("codes"))
   }
 
   /**
@@ -1259,11 +1460,12 @@ object Ann {
       cents: Array[Array[Float]],
       probes: Int
   ): DataFrame = {
+    val bcC = bcastCentroids(corpus.sparkSession, cents)
     val base = corpus.select(col("vec_id").as("item_id"), col("embedding").as("item_vec"))
-    val assigned = base.withColumn("cell", call_function("graft_nearest_centroid", col("item_vec"), centroidsLit(cents)))
+    val assigned = base.withColumn("cell", nearestCentroidBc(col("item_vec"), bcC))
     val queryProbes = queries
       .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
-      .withColumn("cell", explode(call_function("graft_nearest_centroids", col("query_vec"), centroidsLit(cents), lit(probes))))
+      .withColumn("cell", explode(nearestCentroidsBc(col("query_vec"), bcC, probes)))
     assigned
       .join(broadcast(queryProbes), Seq("cell"))
       .filter(col("query_id") =!= col("item_id"))

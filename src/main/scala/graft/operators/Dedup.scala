@@ -1238,7 +1238,8 @@ object Dedup {
       // across probe settings, or a persisted index) — assignment only
       val assigned = vecs.select(
         col("id"), col("vec"),
-        explode(call_function("graft_nearest_centroids", col("vec"), Ann.centroidsLit(centroids), lit(probes))).as("cell"))
+        explode(Ann.nearestCentroidsBc(
+          col("vec"), Ann.bcastCentroids(spark, centroids), probes)).as("cell"))
       return withinCellPairs(assigned, threshold)
     }
     // one narrow counting pass sizes the cells AND feeds the trainer
@@ -1274,7 +1275,8 @@ object Dedup {
     // into the within-cell join — see withinCellPairs
     val assigned = vecs.select(
       col("id"), col("vec"),
-      explode(call_function("graft_nearest_centroids", col("vec"), Ann.centroidsLit(cents), lit(probes))).as("cell"))
+      explode(Ann.nearestCentroidsBc(
+        col("vec"), Ann.bcastCentroids(spark, cents), probes)).as("cell"))
     withinCellPairs(assigned, threshold)
   }
 
@@ -1310,8 +1312,8 @@ object Dedup {
       c1, c2, trainSample = trainSample, knownCount = knownCount)
     val assigned = vecs.select(
       col("id"), col("vec"),
-      explode(call_function("graft_nearest_cells_hier", col("vec"),
-        Ann.centroidsLit(l1), Ann.centroidsLit3(l2), lit(p1), lit(p2))).as("cell"))
+      explode(Ann.nearestCellsHierBc(col("vec"),
+        Ann.bcastCentroids(spark, l1), Ann.bcastCentroids3(spark, l2), p1, p2)).as("cell"))
     withinCellPairs(assigned, threshold)
   }
 

@@ -730,4 +730,77 @@ class OperatorSpec extends SparkSpecBase {
     val plan = ivf.queryExecution.executedPlan.toString
     assert(!plan.contains("BroadcastExchange"), s"self-kNN IVF must not broadcast:\n$plan")
   }
+
+  test("quantizer sample sizing: >=32 points per wanted cell, driver-budget cap, explicit ask kept") {
+    // below the floor the r13 fixed 20k default handed a 4096-cell
+    // quantizer ~5 points per cell — mostly-empty/duplicate centroids
+    assert(Ann.scaledTrainSample(20000L, 16) == 20000L, "small tables keep the requested sample")
+    assert(Ann.scaledTrainSample(20000L, 4096) == 32L * 4096, "floor scales with the cell count")
+    assert(Ann.scaledTrainSample(20000L, 100000) == (1L << 21), "driver-memory cap binds past 64k cells")
+    assert(Ann.scaledTrainSample(5000000L, 100000) == 5000000L, "an explicit bigger ask is never shrunk")
+  }
+
+  test("two-level trainer: distributed fine level is deterministic and per-cell conditioned") {
+    // 30k clustered vectors — bigger than the old 20k driver sample, so
+    // the fine level MUST train through the distributed path (hash
+    // filter + per-coarse-cell executor Lloyd), and two runs must still
+    // produce bit-identical tables (no partition-order or RNG leak)
+    val dim = 8
+    val rows = (0L until 30000L).map { i =>
+      val cluster = (i % 8).toInt
+      val v = Array.tabulate(dim) { d =>
+        val jitter = (org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashLong(i * dim + d, 9L) % 1000L) / 5000.0f
+        (if (d == cluster) 10.0f else 0.0f) + jitter
+      }
+      (i, v)
+    }
+    val vecs = spark.createDataset(rows).toDF("vec_id", "embedding").repartition(7)
+    val (l1a, l2a) = Ann.ivfTrainHier(spark, vecs, 4, 4)
+    val (l1b, l2b) = Ann.ivfTrainHier(spark, vecs, 4, 4)
+    assert(java.util.Arrays.deepEquals(
+      l1a.asInstanceOf[Array[AnyRef]], l1b.asInstanceOf[Array[AnyRef]]), "coarse level must be deterministic")
+    assert(java.util.Arrays.deepEquals(
+      l2a.asInstanceOf[Array[AnyRef]], l2b.asInstanceOf[Array[AnyRef]]), "fine level must be deterministic")
+    // every coarse cell of this corpus is populated (8 clusters across 4
+    // cells) — its fine table must be conditioned on ITS OWN vectors:
+    // more than one distinct non-zero fine centroid per coarse cell
+    l2a.zipWithIndex.foreach { case (fine, c) =>
+      val distinctNonZero = fine.filter(_.exists(_ != 0.0f)).map(_.toSeq).distinct
+      assert(distinctNonZero.length > 1,
+        s"coarse cell $c trained a degenerate fine table: ${fine.map(_.toSeq).toSeq}")
+    }
+  }
+
+  test("broadcast-backed centroid columns equal the literal SQL forms bit-for-bit") {
+    val cents = Array(Array(1f, 0f, 0f), Array(0f, 1f, 0f), Array(0f, 0f, 1f), Array(0.5f, 0.5f, 0f))
+    val l2 = Array.tabulate(4)(c => Array(Array(c * 1f, 0f, 1f), Array(0f, c * 1f, -1f)))
+    val cb = Array(Array(Array(1f, 0f), Array(0f, 1f)), Array(Array(0.5f, 0.5f), Array(-1f, 0f)))
+    val vecs = (0L until 200L).map { i =>
+      (i, Array.tabulate(4)(d => ((org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashLong(i * 4 + d, 3L) % 2000L) / 700.0f)))
+    }
+    val df = spark.createDataset(vecs).toDF("vec_id", "v")
+    val bcC = Ann.bcastCentroids(spark, cents)
+    val bcL1 = Ann.bcastCentroids(spark, cents)
+    val bcL2 = Ann.bcastCentroids3(spark, l2)
+    val bcCb = Ann.bcastCentroids3(spark, cb)
+    val both = df.select(
+      call_function("graft_nearest_centroid", col("v"), Ann.centroidsLit(cents)).as("lit_cell"),
+      Ann.nearestCentroidBc(col("v"), bcC).as("bc_cell"),
+      call_function("graft_nearest_centroids", col("v"), Ann.centroidsLit(cents), lit(3)).as("lit_cells"),
+      Ann.nearestCentroidsBc(col("v"), bcC, 3).as("bc_cells"),
+      call_function("graft_nearest_centroid_dist", col("v"), Ann.centroidsLit(cents)).as("lit_d"),
+      Ann.nearestCentroidDistBc(col("v"), bcC).as("bc_d"),
+      call_function("graft_nearest_cells_hier", col("v"),
+        Ann.centroidsLit(cents), Ann.centroidsLit3(l2), lit(2), lit(2)).as("lit_hier"),
+      Ann.nearestCellsHierBc(col("v"), bcL1, bcL2, 2, 2).as("bc_hier"),
+      call_function("graft_pq_encode", col("v"), Ann.centroidsLit3(cb)).as("lit_pq"),
+      Ann.pqEncodeBc(col("v"), bcCb).as("bc_pq"))
+    val bad = both.filter(
+      col("lit_cell") =!= col("bc_cell") || col("lit_cells") =!= col("bc_cells") ||
+        col("lit_d") =!= col("bc_d") || col("lit_hier") =!= col("bc_hier") ||
+        col("lit_pq") =!= col("bc_pq")).count()
+    assert(bad == 0, "broadcast and literal centroid forms diverged")
+  }
 }

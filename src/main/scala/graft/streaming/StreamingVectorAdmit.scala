@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import graft.operators.Ann
@@ -25,9 +25,10 @@ import graft.operators.Ann
  * batch's OWN shard dir is excluded from that probe (the admitShard
  * replay discipline: a shard must never self-match) and then
  * overwritten, so a replayed batch converges whether its rows live in
- * its shard, in the base, or nowhere yet. The id probes broadcast the
- * bounded batch ids against the base/delta id columns — one narrow
- * column scan per batch.
+ * its shard, in the base, or nowhere yet. The id probes are
+ * DELTA-sized (r14): batch ids test against per-dir id Bloom sidecars
+ * first, and only the maybe-held remainder touches the real id
+ * columns — see [[resolveNovel]].
  *
  * Drift self-heal: every batch pays the narrow drift probe
  * ([[graft.operators.Ann.ivfDriftFraction]]); past
@@ -94,35 +95,7 @@ object StreamingVectorAdmit {
     require(Ann.deltaDirName(s, indexPath) == "assignments_delta",
       "streaming admission targets the plain IVF family (a PQ index's rows are codes; " +
         "its rebuild needs the raw source and stays a batch-side action)")
-    val batchIds = batch.select(col("vec_id").as("item_id")).distinct()
-    // ids-only broadcasts below are batch-bounded in a configured
-    // stream, but a restart backlog can deliver an arbitrarily large
-    // batch — force-broadcasting it would fail the trigger AND every
-    // replay. Past ~4M ids fall back to the shuffled join: slower, but
-    // the trigger completes (the StreamingDedup.BcastBatchRows
-    // discipline).
-    val idsSmall = batchIds.limit((1 << 22) + 1).count() <= (1L << 22)
-    def maybeBcast(d: DataFrame): DataFrame = if (idsSmall) broadcast(d) else d
-    // ids already held by the index — base rows, or a committed shard
-    // OTHER than this batch's own (own-shard exclusion: a replay must
-    // not see its previous write as "already held" and then overwrite
-    // its shard with nothing)
-    val ownShard = s"shard=stream_$batchId"
-    val heldIds = {
-      val base = s.read.parquet(s"$indexPath/assignments").select(col("item_id"))
-      val others = Ann.readableVecShardDirs(s, indexPath).filterNot(_.getName == ownShard)
-      val all =
-        if (others.isEmpty) base
-        else base.unionByName(
-          s.read.option("basePath", s"$indexPath/assignments_delta")
-            .parquet(others.map(_.toString).toIndexedSeq: _*)
-            .select(col("item_id")))
-      all.join(maybeBcast(batchIds), Seq("item_id"), "left_semi")
-    }
-    // per-ID novelty: a mixed batch admits exactly its new rows (an
-    // any-overlap skip would silently drop them)
-    val novel = batch.join(
-      maybeBcast(heldIds.withColumnRenamed("item_id", "vec_id")), Seq("vec_id"), "left_anti")
+    val (novel, _) = resolveNovel(batch, indexPath, s"shard=stream_$batchId")
     Ann.appendToIvfIndex(novel, indexPath, s"stream_$batchId")
     val drifted = Ann.ivfDriftFraction(s, indexPath, batch) > driftRetrainFraction
     if (drifted) {
@@ -138,6 +111,94 @@ object StreamingVectorAdmit {
       rebuildFromStage(s, indexPath, rebuildCells)
     }
     drifted
+  }
+
+  /**
+   * Per-id novelty resolution for one micro-batch — DELTA-sized, not
+   * corpus-sized (r14): the r13 form semi-joined the batch ids against
+   * the base `item_id` column on EVERY trigger — column-pruned, but at
+   * a 10⁹-row index that is a per-trigger corpus-length scan for a
+   * bounded batch's probe. Now each index dir carries an id Bloom
+   * sidecar ([[graft.operators.Ann.writeIdBloom]], written at
+   * build/admission/promotion); the batch tests its ids against the
+   * loaded sidecars first, and only the "maybe held" remainder — false
+   * positives (3% fpp) plus true duplicates — touches the real id
+   * columns. Blooms have no false negatives, so the all-novel common
+   * case reads ZERO base rows and stays exact.
+   *
+   * Returns the novel rows plus the path taken (spec-pinned):
+   *  - `sidecar-clean`: every batch id misses every sidecar — no
+   *    base/shard data read at all; the novel rows ARE the batch;
+   *  - `sidecar-verified`: some ids maybe-held — those (and only
+   *    those) verify against the id columns; ≤1024 survivors ride as
+   *    an `isin` pushdown so parquet row-group stats prune the scan;
+   *  - `full-scan`: a source lacks its sidecar (pre-sidecar index, or
+   *    a crash between the data and sidecar writes) — the r13 exact
+   *    corpus-length semi-join.
+   *
+   * The batch's OWN shard (dir AND sidecar) stays excluded: a replay
+   * must not see its previous write as "already held" and then
+   * overwrite its shard with nothing.
+   */
+  private[graft] def resolveNovel(
+      batch: DataFrame,
+      indexPath: String,
+      ownShard: String
+  ): (DataFrame, String) = {
+    val s = batch.sparkSession
+    val batchIds = batch.select(col("vec_id").as("item_id")).distinct()
+    // ids-only broadcasts below are batch-bounded in a configured
+    // stream, but a restart backlog can deliver an arbitrarily large
+    // batch — force-broadcasting it would fail the trigger AND every
+    // replay. Past ~4M ids fall back to the shuffled join: slower, but
+    // the trigger completes (the StreamingDedup byte-bound discipline).
+    lazy val idsSmall = batchIds.limit((1 << 22) + 1).count() <= (1L << 22)
+    def maybeBcast(d: DataFrame): DataFrame = if (idsSmall) broadcast(d) else d
+    val baseDir = s"$indexPath/assignments"
+    val others = Ann.readableVecShardDirs(s, indexPath).filterNot(_.getName == ownShard)
+    def heldAmong(candidates: DataFrame, scanFilter: Option[Column]): DataFrame = {
+      def filtered(d: DataFrame) = scanFilter.fold(d)(d.filter)
+      val base = filtered(s.read.parquet(baseDir).select(col("item_id")))
+      val all =
+        if (others.isEmpty) base
+        else base.unionByName(filtered(
+          s.read.option("basePath", s"$indexPath/assignments_delta")
+            .parquet(others.map(_.toString).toIndexedSeq: _*)
+            .select(col("item_id"))))
+      all.join(maybeBcast(candidates), Seq("item_id"), "left_semi")
+    }
+    // per-ID novelty throughout: a mixed batch admits exactly its new
+    // rows (an any-overlap skip would silently drop them)
+    def novelExcluding(held: DataFrame): DataFrame =
+      batch.join(
+        maybeBcast(held.withColumnRenamed("item_id", "vec_id")), Seq("vec_id"), "left_anti")
+    val sidecars = (baseDir +: others.map(_.toString)).map(d => Ann.readIdBloom(s, d))
+    if (!sidecars.forall(_.isDefined))
+      (novelExcluding(heldAmong(batchIds, None)), "full-scan")
+    else {
+      val bcBlooms = s.sparkContext.broadcast(sidecars.flatten.toArray)
+      val mightHold = udf { (id: Long) =>
+        val bs = bcBlooms.value
+        var i = 0
+        var hit = false
+        while (i < bs.length && !hit) { hit = bs(i).mightContainLong(id); i += 1 }
+        hit
+      }
+      // bounded: fp-rate + true-duplicate sized, never corpus-sized
+      val maybe = batchIds.filter(mightHold(col("item_id"))).localCheckpoint()
+      val maybeHead = maybe.select(col("item_id")).limit(1025).collect().map(_.getLong(0))
+      if (maybeHead.isEmpty) (batch, "sidecar-clean")
+      else {
+        // ≤1024 survivors ride as a pushed-down In filter (row-group
+        // pruning on the id column); bigger maybe-sets (a replayed
+        // post-promotion batch, a duplicate storm) verify by semi-join
+        val scanFilter =
+          if (maybeHead.length <= 1024)
+            Some(col("item_id").isin(maybeHead.map(java.lang.Long.valueOf).toIndexedSeq: _*))
+          else None
+        (novelExcluding(heldAmong(maybe, scanFilter)), "sidecar-verified")
+      }
+    }
   }
 
   private def rebuildFromStage(

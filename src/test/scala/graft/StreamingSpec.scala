@@ -1009,6 +1009,77 @@ class StreamingSpec extends SparkSpecBase {
       .orderBy("query_id", "rank").collect().toSeq == bruteOf(servedAll))
   }
 
+  test("vector-admission novelty probe is sidecar-sized: clean batches read no index data") {
+    import graft.operators.Ann
+    import graft.streaming.StreamingVectorAdmit
+    val base = "/tmp/graft_svecadmit_bloom_" + System.nanoTime()
+    val idx = s"$base/index"
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val corpus0 = emb.filter(col("vec_id") % 4 === 0)
+    Ann.buildIvfIndex(spark, corpus0, idx, numCells = 16)
+    assert(Ann.readIdBloom(spark, s"$idx/assignments").isDefined,
+      "the build must leave an id sidecar on the base")
+
+    // 1. a batch whose ids all MISS the sidecar → sidecar-clean: the
+    // novel frame is the batch itself — its plan references NO index
+    // dir (zero base/shard reads; Blooms have no false negatives, so
+    // the verdict is exact). The ids are selected against the actual
+    // sidecar (3% fpp means a blind batch usually carries a false
+    // positive or two — those route to the verified path, step 3):
+    // this step pins the contract "missing ids never touch the index".
+    val bloom0 = Ann.readIdBloom(spark, s"$idx/assignments").get
+    val missIds = emb.filter(col("vec_id") % 4 === 1).select(col("vec_id"))
+      .collect().map(_.getLong(0)).filterNot(bloom0.mightContainLong)
+    assert(missIds.nonEmpty, "every candidate id false-positived — sidecar is mis-sized")
+    val b1 = emb.filter(col("vec_id").isInCollection(missIds.toIndexedSeq))
+    val (novel1, mode1) = StreamingVectorAdmit.resolveNovel(b1, idx, "shard=stream_0")
+    assert(mode1 == "sidecar-clean", s"expected sidecar-clean, got $mode1")
+    assert(!novel1.queryExecution.optimizedPlan.toString.contains(idx),
+      "a clean batch's novelty plan must not touch the index")
+    assert(novel1.count() == b1.count())
+    Ann.appendToIvfIndex(novel1, idx, "stream_0")
+    assert(Ann.readIdBloom(spark, s"$idx/assignments_delta/shard=stream_0").isDefined,
+      "admission must leave an id sidecar on its shard")
+
+    // 2. replay: own shard (dir AND sidecar) excluded → still clean
+    val (novelR, modeR) = StreamingVectorAdmit.resolveNovel(b1, idx, "shard=stream_0")
+    assert(modeR == "sidecar-clean", s"a replayed unfolded batch must stay clean, got $modeR")
+    assert(novelR.count() == b1.count())
+
+    // 3. mixed batch → sidecar-verified: only the maybe-held ids touch
+    // the id columns, and a small survivor set rides as a pushed-down
+    // In/EqualTo filter (row-group pruning)
+    val b2 = corpus0.limit(1).unionByName(emb.filter(col("vec_id") % 4 === 2))
+    val (novel2, mode2) = StreamingVectorAdmit.resolveNovel(b2, idx, "shard=stream_1")
+    assert(mode2 == "sidecar-verified", s"expected sidecar-verified, got $mode2")
+    assert(novel2.count() == emb.filter(col("vec_id") % 4 === 2).count(),
+      "exactly the novel rows of a mixed batch survive the sidecar path")
+    val planStr = novel2.queryExecution.executedPlan.toString
+    assert(raw"(In|EqualTo)\(item_id".r.findFirstIn(planStr).isDefined,
+      s"the verify scan must push the maybe-id filter down:\n$planStr")
+
+    // 4. missing sidecar (pre-sidecar index / crashed sidecar write) →
+    // exact full-scan fallback
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$idx/assignments/${Ann.IdBloomFile}"), false)
+    val (novel4, mode4) = StreamingVectorAdmit.resolveNovel(b2, idx, "shard=stream_1")
+    assert(mode4 == "full-scan", s"expected full-scan, got $mode4")
+    assert(novel4.count() == novel2.count(), "the fallback must resolve the same novelty")
+
+    // 5. a SATURATED sidecar (false positives on nearly every id) must
+    // still be exact: the verify pass, not the Bloom, decides
+    val tiny = org.apache.spark.util.sketch.BloomFilter.create(1, 0.03)
+    corpus0.select(col("vec_id")).collect().foreach(r => tiny.putLong(r.getLong(0)))
+    val out = fs.create(new org.apache.hadoop.fs.Path(s"$idx/assignments/${Ann.IdBloomFile}"), true)
+    try tiny.writeTo(out) finally out.close()
+    val b3 = emb.filter(col("vec_id") % 4 === 3)
+    val (novel5, mode5) = StreamingVectorAdmit.resolveNovel(b3, idx, "shard=stream_2")
+    assert(mode5 == "sidecar-verified", s"a saturated sidecar must route to verify, got $mode5")
+    assert(novel5.count() == b3.count(),
+      "Bloom false positives must never drop genuinely-new vectors")
+  }
+
   test("streaming vector admission: per-id novelty on mixed batches; crash-marker recovery") {
     import graft.operators.Ann
     import graft.streaming.StreamingVectorAdmit

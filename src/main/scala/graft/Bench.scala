@@ -57,6 +57,24 @@ object Bench {
       spark.read.parquet(s"$sfDir/lineitem.parquet").groupBy("l_returnflag").count().count()
     }
 
+    // MACHINE-STRETCH ANCHOR: a fixed pure-compute probe (100M xxhash64
+    // + sum, sf-independent, shuffle-free) timed at both ends of the
+    // run. The driver bench has whiplashed 1.2-1.6x round-over-round on
+    // machine load alone (r13: 96.3s driver vs 82.1s idle, same code);
+    // with the anchor in the line, a stretched run is attributable AT
+    // SWEEP TIME — divide totals by C/C_idle instead of guessing from
+    // load averages. Idle reference on this machine: ~430-500 ms (see
+    // BENCH_IDLE.json notes). First call JITs, second measures.
+    def calibrate(): Long = {
+      import org.apache.spark.sql.functions._
+      val t0 = System.nanoTime()
+      spark.range(0L, 100000000L, 1L, cpus.toInt)
+        .select(xxhash64(col("id")).as("h")).agg(sum(col("h"))).head()
+      math.round((System.nanoTime() - t0) / 1e6).max(1L)
+    }
+    calibrate()
+    val cal0 = calibrate()
+
     // Fixed alphabetical order + a per-query warm pass: Map iteration order
     // made round-over-round numbers incomparable (whichever query ran first
     // absorbed residual first-touch cost — a 10s q_topk at sf0.1 was pure
@@ -132,6 +150,7 @@ object Bench {
       if (s.contains('.')) s.reverse.dropWhile(_ == '0').reverse.stripSuffix(".") else s
     }
     val total = looped.map(_._2).sum
+    val cal1 = calibrate()
     val load = java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
     val sfName = sfDir.split('/').last // basename: the path prefix is line budget
     def mkLine(withLoad: Boolean, withPair: Boolean, dp: Int = 2, stripQ: Boolean = false) = {
@@ -152,7 +171,9 @@ object Bench {
       // unavailable on this platform (MXBean contract) — NOT clamped to
       // 0, which would certify an unknown machine as idle.
       def li(v: Double) = if (v < 0) -1L else math.round(v)
-      val loadField = if (withLoad) s""""L0":${li(load0)},"L":${li(load)},""" else ""
+      // C0/C: the stretch anchor (ms) at run start/end — see calibrate()
+      val loadField =
+        if (withLoad) s""""L0":${li(load0)},"L":${li(load)},"C0":$cal0,"C":$cal1,""" else ""
       s"""{"metric":"total","value":${num(total, 2)},"unit":"sec",$loadField"queries":$qs,"sf":"$sfName"}"""
     }
     // MILLISECOND ARRAY tier: at 123 queries NO keyed dict fits the
@@ -183,6 +204,7 @@ object Bench {
         .map { case (k, v) => "\"" + k + "\":" + num(v, 2) }
         .mkString("{", ",", "}")
       s"""{"metric":"total","value":${num(total, 2)},"unit":"sec","L0":${li(load0)},"L":${li(load)},""" +
+        s""""C0":$cal0,"C":$cal1,""" +
         s""""queries":$slow,"q_note":"10 slowest; q_ms has all",""" +
         s""""q_ms_order":"alphabetical SparkEntry.queries keys",$pair"q_ms":$arr,"sf":"$sfName"}"""
     }
@@ -216,7 +238,7 @@ object Bench {
       val qs = (looped ++ routedPair).map { case (k, v) =>
         "\"" + k + "\":" + num(v, 4)
       }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","L0":${num(load0, 2)},"L":${num(load, 2)},"queries":$qs,"sf":"$sfName"}"""
+      s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","L0":${num(load0, 2)},"L":${num(load, 2)},"C0":$cal0,"C":$cal1,"queries":$qs,"sf":"$sfName"}"""
     }
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),

@@ -1807,7 +1807,16 @@ object OracleSql {
          SELECT doc_id, broken,
                 replace(replace(replace(replace(broken,
                   '┬л', '"'), '┬╗', '"'), '╕', 'ё'), '╣', '№') AS fixed
-         FROM b ORDER BY doc_id"""
+         FROM b ORDER BY doc_id""",
+    // the result-cache gate's probe aggregation, recomputed directly:
+    // the Spark side serves the SECOND execution from the parquet
+    // result cache, so hash-equality here proves a cache hit is
+    // bit-identical to recompute (decimal-exact sum, double at the end)
+    "q_result_cached" ->
+      """SELECT o_orderpriority,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+                COUNT(*) AS cnt
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""
   )
 
   // COALESCE mirrors Dsir.featureCounts' null-flag rule: a NULL source

@@ -3191,7 +3191,8 @@ object SparkEntry {
     "q_mix_weights" -> (qMixWeights _),
     "q_pii_scrub" -> (qPiiScrub _),
     "q_ln_quant_canary" -> (qLnQuantCanary _),
-    "q_item_fix" -> (qItemFix _)
+    "q_item_fix" -> (qItemFix _),
+    "q_result_cached" -> (qResultCached _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all
@@ -3233,6 +3234,36 @@ object SparkEntry {
    * row going red instead of a cryptic operator-gate failure.
    * Flat-cost: generated from range(), independent of sf.
    */
+  /**
+   * Query-RESULT cache under the hash gate (reference parity:
+   * yupana-cache CacheFactory.scala + its Caffeine/Ehcache/Ignite
+   * backends — the reference caches hot lookups in-process; graft
+   * caches whole deterministic query results as version-addressed
+   * parquet, [[graft.core.ResultCache]]). The probe aggregation runs
+   * THROUGH the cache twice against the same dataKey (the same
+   * source-file fingerprint the fitted-model fixtures use): the first
+   * call populates — idempotent across gate runs — a require()d
+   * lookup proves the entry is actually servable (a silent miss reds
+   * this row), and the SECOND call's served rows are what the oracle
+   * hash-compares: a cache hit must be bit-identical to recompute.
+   * Entries are keyed (data=<version>/plan=<canonical-fingerprint>),
+   * so an upsert/regeneration changes the key and stale entries become
+   * unreachable; explicit invalidation + the upsert race are spec'd in
+   * PlatformSpec against a real upsert.
+   */
+  private def qResultCached(s: SparkSession, dir: String): DataFrame = {
+    val cacheDir = s"/tmp/graft_result_cache/${dirKey(dir)}"
+    def probe = ld(s, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(dsum(col("o_totalprice")).as("sum_price"), count(lit(1)).as("cnt"))
+    val key = dataKey(s, dir, "orders")
+    graft.core.ResultCache.through(probe, key, cacheDir)
+    require(graft.core.ResultCache.lookup(probe, key, cacheDir).isDefined,
+      "q_result_cached: the populated entry must be servable")
+    graft.core.ResultCache.through(probe, key, cacheDir)
+      .orderBy(col("o_orderpriority"))
+  }
+
   private def qLnQuantCanary(s: SparkSession, dir: String): DataFrame =
     s.range(1, 65537)
       .select(col("id"),

@@ -380,9 +380,11 @@ case class ShowQueryMetricsCommand(
   import GraftSqlParser.attr
   override val output: Seq[Attribute] =
     Seq(attr("query", StringType), attr("duration_ms", DoubleType), attr("output_rows", LongType), attr("state", StringType))
-  override def run(spark: SparkSession): Seq[Row] =
+  override def run(spark: SparkSession): Seq[Row] = {
+    GraftAuth.check(spark, GraftAuth.Queries, GraftAuth.Read)
     Catalog.showQueryMetrics(spark, graft.core.QueryMetrics.forSession(spark), limit, queryId, state)
       .collect().toSeq
+  }
 }
 
 /** DELETE QUERY METRICS [WHERE ...] — clear the matching metrics. */
@@ -392,25 +394,31 @@ case class DeleteQueryMetricsCommand(
 ) extends LeafRunnableCommand {
   import GraftSqlParser.attr
   override val output: Seq[Attribute] = Seq(attr("deleted", LongType))
-  override def run(spark: SparkSession): Seq[Row] =
+  override def run(spark: SparkSession): Seq[Row] = {
+    GraftAuth.check(spark, GraftAuth.Queries, GraftAuth.Write)
     Catalog.deleteQueryMetrics(spark, graft.core.QueryMetrics.forSession(spark), queryId, state)
       .collect().toSeq
+  }
 }
 
 /** KILL QUERY '<job-group>' — cancel all running jobs in the group. */
 case class KillQueryCommand(jobGroup: String) extends LeafRunnableCommand {
   import GraftSqlParser.attr
   override val output: Seq[Attribute] = Seq(attr("job_group", StringType), attr("status", StringType))
-  override def run(spark: SparkSession): Seq[Row] =
+  override def run(spark: SparkSession): Seq[Row] = {
+    GraftAuth.check(spark, GraftAuth.Queries, GraftAuth.Write)
     Catalog.killQuery(spark, jobGroup).collect().toSeq
+  }
 }
 
 /** SHOW UPDATES_INTERVALS '<changelog-dir>' — dirty rollup buckets. */
 case class ShowUpdatesIntervalsCommand(changelogDir: String) extends LeafRunnableCommand {
   import GraftSqlParser.attr
   override val output: Seq[Attribute] = Seq(attr("bucket", StringType), attr("pending_seq", LongType))
-  override def run(spark: SparkSession): Seq[Row] =
+  override def run(spark: SparkSession): Seq[Row] = {
+    GraftAuth.check(spark, GraftAuth.Queries, GraftAuth.Read)
     Catalog.showUpdatesIntervals(spark, changelogDir).collect().toSeq
+  }
 }
 
 /** SHOW EXTERNAL LINKS — the config-declared dimension catalogs
@@ -421,12 +429,14 @@ case class ShowExternalLinksCommand() extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     attr("link_name", StringType), attr("dimension", StringType),
     attr("relation", StringType), attr("url", StringType), attr("fields", StringType))
-  override def run(spark: SparkSession): Seq[Row] =
+  override def run(spark: SparkSession): Seq[Row] = {
+    GraftAuth.check(spark, GraftAuth.Metadata, GraftAuth.Read)
     graft.sources.DeclaredLinks.all.map { cfg =>
       val d = cfg.description
       Row(d.linkName, d.dimensionName, cfg.relation, cfg.connection.url,
         d.fieldsNames.mkString(","))
     }
+  }
 }
 
 /** SHOW INDEX DRIFT FOR '<index-path>' USING '<vectors>' — the IVF
@@ -443,6 +453,7 @@ case class ShowIndexDriftCommand(indexPath: String, source: String)
     attr("index", StringType), attr("probe_source", StringType),
     attr("drift_fraction", org.apache.spark.sql.types.DoubleType))
   override def run(spark: SparkSession): Seq[Row] = {
+    GraftAuth.check(spark, GraftAuth.Metadata, GraftAuth.Read)
     val vecs =
       (if (source.contains('/')) spark.read.parquet(source) else spark.table(source))
         .select(org.apache.spark.sql.functions.col("embedding"))
@@ -465,6 +476,7 @@ case class ShowTextIndexCommand(indexPath: String) extends LeafRunnableCommand {
     attr("shingle_size", org.apache.spark.sql.types.IntegerType),
     attr("threshold", DoubleType))
   override def run(spark: SparkSession): Seq[Row] = {
+    GraftAuth.check(spark, GraftAuth.Metadata, GraftAuth.Read)
     import org.apache.spark.sql.functions.{col, count, lit}
     // Missing or incomplete index (no meta — the build writes it LAST,
     // so sigs-without-meta is a crashed build) → empty inventory, not a
@@ -501,6 +513,7 @@ case class CompactTextIndexCommand(indexPath: String) extends LeafRunnableComman
   override val output: Seq[Attribute] = Seq(
     attr("index", StringType), attr("shards_compacted", LongType), attr("n_sigs", LongType))
   override def run(spark: SparkSession): Seq[Row] = {
+    GraftAuth.check(spark, GraftAuth.Table(Some(indexPath)), GraftAuth.Write)
     import org.apache.spark.sql.functions.col
     val sigs = spark.read.parquet(s"$indexPath/sigs")
     val before =
@@ -532,6 +545,7 @@ case class AdmitShardCommand(
     attr("index", StringType), attr("shard", StringType),
     attr("admitted", LongType), attr("rejected", LongType))
   override def run(spark: SparkSession): Seq[Row] = {
+    GraftAuth.check(spark, GraftAuth.Table(Some(indexPath)), GraftAuth.Write)
     val probe = spark.table(probeTable)
     val ref = spark.table(refTable)
     graft.operators.Dedup.admitShard(probe, indexPath, ref, idCol, textCol, shard)
@@ -563,6 +577,7 @@ case class AdmitShardBucketedCommand(
     attr("table", StringType), attr("delta", StringType), attr("shard", StringType),
     attr("admitted", LongType), attr("rejected", LongType))
   override def run(spark: SparkSession): Seq[Row] = {
+    GraftAuth.check(spark, GraftAuth.Table(Some(tableName)), GraftAuth.Write)
     val probe = spark.table(probeTable)
     val ref = spark.table(refTable)
     graft.operators.Dedup.admitShardBucketed(
@@ -587,6 +602,7 @@ case class PromoteTextIndexDeltaCommand(
     attr("table", StringType), attr("delta", StringType),
     attr("shards_promoted", LongType), attr("n_rows", LongType), attr("num_buckets", LongType))
   override def run(spark: SparkSession): Seq[Row] = {
+    GraftAuth.check(spark, GraftAuth.Table(Some(tableName)), GraftAuth.Write)
     val before = graft.operators.Dedup.readableShardDirs(spark, deltaPath).length.toLong
     graft.operators.Dedup.promoteTextIndexDelta(spark, tableName, deltaPath)
     val buckets = spark.table(s"${tableName}_meta").collect()(0).getAs[Int]("num_buckets").toLong
@@ -608,6 +624,7 @@ case class ShowVectorIndexCommand(indexPath: String) extends LeafRunnableCommand
     attr("index", StringType), attr("shard", StringType),
     attr("n_vectors", LongType), attr("n_cells", LongType))
   override def run(spark: SparkSession): Seq[Row] = {
+    GraftAuth.check(spark, GraftAuth.Metadata, GraftAuth.Read)
     import org.apache.spark.sql.functions.{col, countDistinct}
     val centsPath = new org.apache.hadoop.fs.Path(s"$indexPath/centroids/_SUCCESS")
     val fs = centsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -662,6 +679,7 @@ case class AdmitVectorsCommand(
     attr("index", StringType), attr("shard", StringType),
     attr("admitted", LongType), attr("drift_fraction", DoubleType))
   override def run(spark: SparkSession): Seq[Row] = {
+    GraftAuth.check(spark, GraftAuth.Table(Some(indexPath)), GraftAuth.Write)
     val vecs = spark.table(probeTable)
     val drift = graft.operators.Ann.admitVectorsMeasured(vecs, indexPath, shard)
     val safe = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(shard)
@@ -687,6 +705,7 @@ case class PromoteVectorIndexDeltaCommand(indexPath: String) extends LeafRunnabl
   override val output: Seq[Attribute] = Seq(
     attr("index", StringType), attr("shards_promoted", LongType), attr("n_vectors", LongType))
   override def run(spark: SparkSession): Seq[Row] = {
+    GraftAuth.check(spark, GraftAuth.Table(Some(indexPath)), GraftAuth.Write)
     val before = graft.operators.Ann.readableVecShardDirs(spark, indexPath).length.toLong
     graft.operators.Ann.promoteIvfDelta(spark, indexPath)
     val baseDir =
@@ -715,6 +734,7 @@ case class FitDsirModelCommand(
     attr("n_target_tokens", LongType), attr("n_raw_tokens", LongType),
     attr("ratio_rows", LongType))
   override def run(spark: SparkSession): Seq[Row] = {
+    GraftAuth.check(spark, GraftAuth.Table(Some(path)), GraftAuth.Write)
     graft.operators.Dsir.fit(spark.table(table), idCol, textCol,
       org.apache.spark.sql.functions.expr(targetSql), buckets, path)
     val (b, nt, nr, _) = graft.operators.Dsir.readMeta(spark, path)
@@ -741,6 +761,7 @@ case class UpdateDsirModelCommand(
     attr("model", StringType), attr("generation", LongType), attr("batch", StringType),
     attr("n_target_tokens", LongType), attr("n_raw_tokens", LongType))
   override def run(spark: SparkSession): Seq[Row] = {
+    GraftAuth.check(spark, GraftAuth.Table(Some(path)), GraftAuth.Write)
     graft.operators.Dsir.update(spark.table(table), idCol, textCol,
       org.apache.spark.sql.functions.expr(targetSql), path, batch)
     val m = graft.operators.Dsir.readMetaRow(spark, path)
@@ -759,6 +780,7 @@ case class ShowDsirModelCommand(path: String) extends LeafRunnableCommand {
     attr("default_q", LongType), attr("ratio_rows", LongType),
     attr("generation", LongType), attr("batch", StringType))
   override def run(spark: SparkSession): Seq[Row] = {
+    GraftAuth.check(spark, GraftAuth.Metadata, GraftAuth.Read)
     val m = graft.operators.Dsir.readMetaRow(spark, path)
     Seq(Row(path, m.getAs[Int]("buckets").toLong, m.getAs[Long]("nt"), m.getAs[Long]("nr"),
       m.getAs[Long]("default_q"), graft.operators.Dsir.ratiosOf(spark, path).count(),
@@ -783,6 +805,7 @@ case class ScreenDsirCommand(
     attr("model", StringType), attr("scored", LongType),
     attr("kept", LongType), attr("rejected", LongType))
   override def run(spark: SparkSession): Seq[Row] = {
+    GraftAuth.check(spark, GraftAuth.Table(Some(table)), GraftAuth.Read)
     import org.apache.spark.sql.functions.{coalesce, col, count, lit, sum, when}
     val agg = graft.operators.Dsir.scoreWithModel(spark.table(table), idCol, textCol, path)
       .agg(count(lit(1)),
@@ -797,8 +820,10 @@ case class ShowVersionCommand() extends LeafRunnableCommand {
   import GraftSqlParser.attr
   override val output: Seq[Attribute] =
     Seq(attr("component", StringType), attr("version", StringType))
-  override def run(spark: SparkSession): Seq[Row] =
+  override def run(spark: SparkSession): Seq[Row] = {
+    GraftAuth.check(spark, GraftAuth.Metadata, GraftAuth.Read)
     Seq(Row("graft", GraftSqlParser.Version), Row("spark", spark.version))
+  }
 }
 
 /**
@@ -819,6 +844,85 @@ case class ShowVersionCommand() extends LeafRunnableCommand {
  * row shapes match the reference; enforcement is out of scope by the
  * SURVEY §2.13 declaration.
  */
+/**
+ * Role-based statement AUTHORIZATION (r14; reference
+ * auth/PermissionService.scala + auth/TsdbRole.scala permissions
+ * tables, enforcement points QueryEngineRouter.scala:66-168): every
+ * graft statement checks the CURRENT USER's role before running.
+ *
+ * The current user is the session conf `graft.sql.user`:
+ *  - unset → the reference's NonEmptyUserAuthorizer default (an
+ *    unnamed session acts as ADMIN — this is also the bootstrap path:
+ *    somebody must be able to CREATE the first user);
+ *  - set to a registered name → that user's [[UserRegistry]] role;
+ *  - set to an unknown name → refused with the reference
+ *    DaoAuthorizer's "Invalid user or password" (no password check —
+ *    passwords are deliberately not stored, see [[UserRegistry]]).
+ *
+ * Role → permission tables are the reference's verbatim
+ * (TsdbRole.scala:24-52): DISABLED nothing; READ_ONLY table reads +
+ * metadata + query-metrics reads; READ_WRITE adds table writes;
+ * ADMIN everything (only ADMIN touches users or kills queries).
+ * Graft-only maintenance verbs (index admission/promotion/compaction,
+ * DSIR fit/update) are table WRITES against their index/model path —
+ * the extension is documented here, everything else maps 1:1.
+ * Denials surface as the reference's error shape:
+ * "User <name> doesn't have enough permissions".
+ */
+object GraftAuth {
+  val UserConfKey = "graft.sql.user"
+
+  sealed trait Action
+  case object Read extends Action
+  case object Write extends Action
+
+  sealed trait Subject
+  /** A data table (or an index/model path for maintenance verbs). */
+  case class Table(name: Option[String]) extends Subject
+  case object Users extends Subject
+  case object Metadata extends Subject
+  case object Queries extends Subject
+
+  /** (name, role) of the session's current user — see the object doc. */
+  def currentUser(spark: SparkSession): (String, String) =
+    spark.conf.getOption(UserConfKey).map(_.trim).filter(_.nonEmpty) match {
+      case None => ("anonymous", "ADMIN")
+      case Some(name) =>
+        UserRegistry.roleOf(name) match {
+          case Some(role) => (name, role)
+          case None => throw new SecurityException("Invalid user or password")
+        }
+    }
+
+  /** The reference permissions tables, flattened (TsdbRole.scala). */
+  private[graft] def permits(role: String, subject: Subject, action: Action): Boolean =
+    role match {
+      case "ADMIN" => true
+      case "READ_WRITE" =>
+        subject match {
+          case Table(_) => true
+          case Metadata => true
+          case Queries => action == Read
+          case Users => false
+        }
+      case "READ_ONLY" =>
+        subject match {
+          case Table(_) => action == Read
+          case Metadata => true
+          case Queries => action == Read
+          case Users => false
+        }
+      case _ => false // DISABLED (and anything unknown) may do nothing
+    }
+
+  /** The enforcement point every statement's run() calls first. */
+  def check(spark: SparkSession, subject: Subject, action: Action): Unit = {
+    val (name, role) = currentUser(spark)
+    if (!permits(role, subject, action))
+      throw new SecurityException(s"User $name doesn't have enough permissions")
+  }
+}
+
 object UserRegistry {
   val Roles: Seq[String] = Seq("DISABLED", "READ_ONLY", "READ_WRITE", "ADMIN")
   private val users = new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -850,6 +954,8 @@ object UserRegistry {
     import scala.jdk.CollectionConverters._
     users.asScala.toSeq.sortBy(_._1)
   }
+  /** The role of a registered user ([[GraftAuth]]'s lookup). */
+  def roleOf(name: String): Option[String] = Option(users.get(name))
   def clear(): Unit = users.clear()
 }
 
@@ -859,8 +965,10 @@ case class ShowUsersCommand() extends LeafRunnableCommand {
   import GraftSqlParser.attr
   override val output: Seq[Attribute] =
     Seq(attr("name", StringType), attr("role", StringType))
-  override def run(spark: SparkSession): Seq[Row] =
+  override def run(spark: SparkSession): Seq[Row] = {
+    GraftAuth.check(spark, GraftAuth.Users, GraftAuth.Read)
     UserRegistry.list().map { case (n, r) => Row(n, r) }
+  }
 }
 
 /** CREATE USER '<name>' [WITH PASSWORD = '…'] [WITH ROLE = '<role>'] —
@@ -871,6 +979,7 @@ case class CreateUserCommand(name: String, hadPassword: Boolean, role: Option[St
   import GraftSqlParser.attr
   override val output: Seq[Attribute] = Seq(attr("status", StringType))
   override def run(spark: SparkSession): Seq[Row] = {
+    GraftAuth.check(spark, GraftAuth.Users, GraftAuth.Write)
     UserRegistry.create(name, role)
     Seq(Row("OK"))
   }
@@ -883,6 +992,7 @@ case class AlterUserCommand(name: String, hadPassword: Boolean, role: Option[Str
   import GraftSqlParser.attr
   override val output: Seq[Attribute] = Seq(attr("status", StringType))
   override def run(spark: SparkSession): Seq[Row] = {
+    GraftAuth.check(spark, GraftAuth.Users, GraftAuth.Write)
     UserRegistry.update(name, role)
     Seq(Row("OK"))
   }
@@ -893,6 +1003,7 @@ case class DropUserCommand(name: String) extends LeafRunnableCommand {
   import GraftSqlParser.attr
   override val output: Seq[Attribute] = Seq(attr("status", StringType))
   override def run(spark: SparkSession): Seq[Row] = {
+    GraftAuth.check(spark, GraftAuth.Users, GraftAuth.Write)
     UserRegistry.drop(name)
     Seq(Row("OK"))
   }
@@ -914,6 +1025,7 @@ case class UpsertCommand(table: String, cols: Seq[String], valuesSql: String)
     Seq(attr("table", StringType), attr("rows_upserted", LongType), attr("version", LongType))
 
   override def run(spark: SparkSession): Seq[Row] = {
+    GraftAuth.check(spark, GraftAuth.Table(Some(table)), GraftAuth.Write)
     val entry = UpsertTables.get(table).getOrElse(
       throw new IllegalArgumentException(
         s"UPSERT target '$table' is not a registered upsert table (UpsertTables.register)"))
@@ -1002,6 +1114,8 @@ case class ShowRollupRoutesCommand() extends LeafRunnableCommand {
     attr("fact", StringType), attr("rollup", StringType), attr("time_col", StringType),
     attr("grain", StringType), attr("dims", StringType), attr("sums", StringType),
     attr("count_col", StringType), attr("metric_counts", StringType))
-  override def run(spark: SparkSession): Seq[Row] =
+  override def run(spark: SparkSession): Seq[Row] = {
+    GraftAuth.check(spark, GraftAuth.Metadata, GraftAuth.Read)
     Catalog.showRollupRoutes(spark).collect().toSeq
+  }
 }

@@ -404,4 +404,75 @@ class AdminSqlSpec extends SparkSpecBase {
       SparkSession.setDefaultSession(spark)
     }
   }
+
+  test("statement authorization: the reference role tables gate writes, users, and admin verbs") {
+    spark // force base session init first
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s2 = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.sql.GraftExtensions().apply(_))
+      .getOrCreate()
+    try {
+      graft.sql.UserRegistry.clear()
+      // bootstrap: an unnamed session is the reference's
+      // NonEmptyUserAuthorizer ADMIN — somebody must create user #1
+      s2.conf.unset(graft.sql.GraftAuth.UserConfKey)
+      s2.sql("CREATE USER 'reader' WITH ROLE = 'READ_ONLY'")
+      s2.sql("CREATE USER 'writer' WITH ROLE = 'READ_WRITE'")
+      s2.sql("CREATE USER 'root' WITH ROLE = 'ADMIN'")
+      s2.sql("CREATE USER 'ghost'") // reference CREATE default: DISABLED
+
+      val upBase = "/tmp/graft_adminsql_auth_" + System.nanoTime()
+      val gt = graft.schema.GTable(
+        "metrics_auth", timeColumn = "ts",
+        dimensions = Seq(graft.schema.GDimension("dim", org.apache.spark.sql.types.StringType)),
+        metrics = Seq(graft.schema.GMetric("m", org.apache.spark.sql.types.DoubleType)))
+      graft.sql.UpsertTables.register(s2, gt, upBase)
+      def put = "UPSERT INTO metrics_auth (ts, dim, m) VALUES (TIMESTAMP '2024-01-01 00:00:00', 'a', 1.0)"
+      def as[T](u: String)(f: => T): T = {
+        s2.conf.set(graft.sql.GraftAuth.UserConfKey, u)
+        try f finally s2.conf.unset(graft.sql.GraftAuth.UserConfKey)
+      }
+
+      // READ_ONLY: UPSERT denied with the reference's exact error shape
+      val denied = intercept[SecurityException](as("reader")(s2.sql(put)))
+      assert(denied.getMessage == "User reader doesn't have enough permissions")
+      // …but metadata + query-metrics READS are permitted
+      as("reader")(s2.sql("SHOW VERSION").collect())
+      as("reader")(s2.sql("SHOW QUERY METRICS LIMIT 1").collect())
+      // the user table is ADMIN-only in the reference (userPermission
+      // is empty below ADMIN — even READ_WRITE can't list users)
+      intercept[SecurityException](as("reader")(s2.sql("SHOW USERS").collect()))
+
+      // READ_WRITE: table writes allowed; queries-write + users denied
+      assert(as("writer")(s2.sql(put).head().getLong(1)) == 1L)
+      intercept[SecurityException](as("writer")(s2.sql("DELETE QUERY METRICS").collect()))
+      intercept[SecurityException](as("writer")(s2.sql("CREATE USER 'x'")))
+      intercept[SecurityException](as("writer")(s2.sql("SHOW USERS").collect()))
+
+      // ADMIN: everything, including the user table and queries writes
+      assert(as("root")(s2.sql(put).head().getLong(1)) == 1L)
+      as("root")(s2.sql("SHOW USERS").collect())
+      as("root")(s2.sql("DELETE QUERY METRICS").collect())
+
+      // DISABLED: nothing — not even metadata reads
+      intercept[SecurityException](as("ghost")(s2.sql("SHOW VERSION").collect()))
+
+      // an unknown user is refused outright (DaoAuthorizer shape)
+      val bad = intercept[SecurityException](as("nobody")(s2.sql("SHOW VERSION").collect()))
+      assert(bad.getMessage == "Invalid user or password")
+
+      // maintenance verbs are table WRITES: READ_ONLY can't promote
+      intercept[SecurityException](
+        as("reader")(s2.sql("PROMOTE VECTOR INDEX DELTA '/tmp/graft_no_such_index'")))
+      graft.sql.UserRegistry.clear()
+    } finally {
+      graft.sql.UserRegistry.clear()
+      SparkSession.setActiveSession(spark)
+      SparkSession.setDefaultSession(spark)
+    }
+  }
 }

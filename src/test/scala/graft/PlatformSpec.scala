@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 import graft.core.{QueryBuilder, QueryMetrics}
 import graft.schema.TestSchema
@@ -145,6 +146,116 @@ class PlatformSpec extends SparkSpecBase {
     val plan = joined.queryExecution.executedPlan.toString
     assert(plan.contains("SortMergeJoin"), plan.take(2000))
     assert(!plan.contains("Exchange"), s"bucketed join must not shuffle:\n${plan.take(3000)}")
+  }
+
+  test("result cache: a hit serves without touching the source; an upsert moves the version; invalidation reclaims") {
+    import spark.implicits._
+    import graft.core.ResultCache
+    import graft.sources.Upsert
+    val base = "/tmp/graft_rescache_" + System.nanoTime()
+    val tbl = s"$base/tbl"
+    val cache = s"$base/cache"
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    Upsert.appendVersion(
+      Seq((1L, "a", 10.0), (2L, "a", 20.0), (3L, "b", 30.0)).toDF("k", "g", "v"), tbl, 0L)
+    def latest = Upsert.readLatest(spark, tbl, Seq("k"))
+    def agg = latest.groupBy("g").agg(sum("v").as("sv"))
+    val key1 = ResultCache.dataVersion(spark, tbl)
+
+    val r1 = ResultCache.through(agg, key1, cache).collect().toSet
+    assert(r1 == Set(Row("a", 30.0), Row("b", 30.0)))
+    // PROOF the second serve never recomputes: delete the source table
+    // outright — a recompute would fail, a cache hit cannot notice
+    val probe = agg // plan analyzed while the source existed
+    fs.delete(new org.apache.hadoop.fs.Path(tbl), true)
+    assert(ResultCache.lookup(probe, key1, cache).isDefined)
+    assert(ResultCache.through(probe, key1, cache).collect().toSet == r1,
+      "a complete entry must serve with zero source reads")
+
+    // an UPSERT is a new data version: the key moves, the old entry is
+    // unreachable, and the re-populated result reflects the new rows
+    Upsert.appendVersion(
+      Seq((1L, "a", 10.0), (2L, "a", 20.0), (3L, "b", 30.0)).toDF("k", "g", "v"), tbl, 0L)
+    Upsert.appendVersion(Seq((2L, "a", 99.0)).toDF("k", "g", "v"), tbl, 1L)
+    val key2 = ResultCache.dataVersion(spark, tbl)
+    assert(key2 != key1, "an upsert version append must move the data version")
+    assert(ResultCache.lookup(agg, key2, cache).isEmpty,
+      "the new version must MISS — stale results can never serve")
+    val r2 = ResultCache.through(agg, key2, cache).collect().toSet
+    assert(r2 == Set(Row("a", 109.0), Row("b", 30.0)),
+      "the repopulated entry must reflect the upsert")
+
+    // explicit invalidation reclaims the old version's entries only
+    assert(ResultCache.inventory(spark, cache).count() == 2)
+    ResultCache.invalidateData(spark, cache, key1)
+    assert(ResultCache.lookup(probe, key1, cache).isEmpty, "invalidated entries must not serve")
+    assert(ResultCache.inventory(spark, cache).count() == 1)
+    ResultCache.invalidateAll(spark, cache)
+    assert(ResultCache.inventory(spark, cache).count() == 0)
+  }
+
+  test("wire surface: a JDBC client reaches graft SQL through a Thrift session") {
+    // SURVEY §2.13 declares the reference's JDBC/Netty/Postgres wire
+    // protocols served by Spark's own Thrift/Connect — this test turns
+    // the claim into evidence: an in-process HiveThriftServer2 bound to
+    // a graft-extended session, reached through the stock hive-jdbc
+    // driver, runs BOTH an injected graft function and a graft admin
+    // STATEMENT (the injected parser path) over the wire.
+    import org.apache.spark.sql.SparkSession
+    val sock = new java.net.ServerSocket(0)
+    val port = sock.getLocalPort
+    sock.close()
+    spark // force base session init first
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s2 = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      // each connection's session must BE this graft-extended session
+      // (parser + functions), not a vanilla fork
+      .config("spark.sql.hive.thriftServer.singleSession", "true")
+      .config("hive.server2.thrift.port", port.toString)
+      // keep derby's metastore files out of the repo working dir
+      .config("javax.jdo.option.ConnectionURL",
+        s"jdbc:derby:;databaseName=/tmp/graft_metastore_${System.nanoTime()};create=true")
+      .withExtensions(new graft.sql.GraftExtensions().apply(_))
+      .getOrCreate()
+    var server: Option[org.apache.hive.service.server.HiveServer2] = None
+    try {
+      server = Some(
+        org.apache.spark.sql.hive.thriftserver.GraftThriftBridge.start(s2.sqlContext))
+      Class.forName("org.apache.hive.jdbc.HiveDriver")
+      // the server binds asynchronously — retry the connect briefly
+      val deadline = System.currentTimeMillis() + 60000
+      var conn: java.sql.Connection = null
+      var lastErr: Throwable = null
+      while (conn == null && System.currentTimeMillis() < deadline) {
+        try conn = java.sql.DriverManager
+          .getConnection(s"jdbc:hive2://localhost:$port/", "anonymous", "")
+        catch { case e: Throwable => lastErr = e; Thread.sleep(500) }
+      }
+      assert(conn != null, s"thrift server never came up: $lastErr")
+      try {
+        val st = conn.createStatement()
+        // 1. an injected graft FUNCTION evaluates over the wire
+        val rs = st.executeQuery("SELECT graft_database() AS db")
+        assert(rs.next() && rs.getString(1) == "graft", "injected function over JDBC")
+        // 2. a graft admin STATEMENT parses through the injected parser
+        val rs2 = st.executeQuery("SHOW VERSION")
+        val versions = Iterator.continually(rs2)
+          .takeWhile(_.next()).map(r => (r.getString(1), r.getString(2))).toList
+        assert(versions.exists(_._1 == "graft"), s"graft statement over JDBC: $versions")
+        // 3. a real query over data created in the session
+        s2.range(0, 100).createOrReplaceTempView("wire_t")
+        val rs3 = st.executeQuery("SELECT count(*) AS c, sum(id) AS s FROM wire_t")
+        assert(rs3.next() && rs3.getLong(1) == 100L && rs3.getLong(2) == 4950L)
+      } finally conn.close()
+    } finally {
+      server.foreach(_.stop())
+      SparkSession.setActiveSession(spark)
+      SparkSession.setDefaultSession(spark)
+    }
   }
 
   test("upsert picks a deterministic winner for duplicate keys within one batch") {

@@ -63,13 +63,16 @@ object Bench {
     // machine load alone (r13: 96.3s driver vs 82.1s idle, same code);
     // with the anchor in the line, a stretched run is attributable AT
     // SWEEP TIME — divide totals by C/C_idle instead of guessing from
-    // load averages. Idle reference on this machine: ~430-500 ms (see
+    // load averages. Near-idle reference on this machine: ~200-330 ms
+    // at local[32], ~330-370 ms at local[8] (r14 smoke, L0≈2-3; also in
     // BENCH_IDLE.json notes). First call JITs, second measures.
     def calibrate(): Long = {
       import org.apache.spark.sql.functions._
       val t0 = System.nanoTime()
+      // pmod bounds the summands: a raw sum of 100M xxhash64 longs
+      // overflows under ANSI mode (1e8 × 1e6 stays far below 2^63)
       spark.range(0L, 100000000L, 1L, cpus.toInt)
-        .select(xxhash64(col("id")).as("h")).agg(sum(col("h"))).head()
+        .select(pmod(xxhash64(col("id")), lit(1000000L)).as("h")).agg(sum(col("h"))).head()
       math.round((System.nanoTime() - t0) / 1e6).max(1L)
     }
     calibrate()

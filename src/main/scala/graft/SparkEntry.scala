@@ -2052,33 +2052,12 @@ object SparkEntry {
     * diverge from the oracle, which always recomputes from current
     * data). Zero-cost: one file-status (plus, for directory layouts,
     * one listing) call, no Spark job. */
-  private def dataKey(s: SparkSession, dir: String, table: String): String = {
-    val p = new org.apache.hadoop.fs.Path(s"$dir/$table.parquet")
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val st = fs.getFileStatus(p)
-    // a directory's own FileStatus is useless as a fingerprint (getLen
-    // is 0 for directories, and object stores return synthetic dir
-    // statuses with mtime 0) — fingerprint the DATA FILES instead:
-    // total length + max(mtime) over the listing, which changes
-    // whenever the dataset is regenerated on any filesystem
-    val (len, cnt, mtime) =
-      if (st.isDirectory) {
-        // getContentSummary is RECURSIVE (partitionBy layouts keep
-        // their data under key=*/ subdirs — a top-level file filter
-        // would fingerprint those as 0/0 forever); mtime = the max
-        // over a RECURSIVE file listing — on object stores directory
-        // entries are synthetic with mtime 0, so a top-level-dirs max
-        // degrades to byte length alone and a regenerated dataset of
-        // identical length would silently serve a stale cached model.
-        // The file COUNT is folded in as a further same-length guard.
-        val cs = fs.getContentSummary(p)
-        var mt = 0L
-        val it = fs.listFiles(p, true)
-        while (it.hasNext) mt = math.max(mt, it.next().getModificationTime)
-        (cs.getLength, cs.getFileCount, mt)
-      } else (st.getLen, 1L, st.getModificationTime)
-    s"${dirKey(dir)}_${java.lang.Long.toHexString(len)}_${java.lang.Long.toHexString(cnt)}_${java.lang.Long.toHexString(mtime)}"
-  }
+  private def dataKey(s: SparkSession, dir: String, table: String): String =
+    // ONE fingerprint implementation for fixtures and the result cache
+    // (graft.core.ResultCache.dataVersion — per-file name/length/mtime
+    // signatures, recursive, order-independent): two copies of a
+    // versioning algorithm that callers assume agree would drift apart
+    s"${dirKey(dir)}_${graft.core.ResultCache.dataVersion(s, s"$dir/$table.parquet")}"
 
   /** One-time DSIR model fit (Dsir.fit, meta-written-last) so the
     * served-path gate times the broadcast-join probe, not the fit. */

@@ -51,20 +51,44 @@ object ResultCache {
     val p = new Path(path)
     val f = fs(spark, path)
     val st = f.getFileStatus(p)
-    val (len, cnt, mtime) =
-      if (st.isDirectory) {
-        val cs = f.getContentSummary(p)
-        var mt = 0L
-        val it = f.listFiles(p, true)
-        while (it.hasNext) mt = math.max(mt, it.next().getModificationTime)
-        (cs.getLength, cs.getFileCount, mt)
-      } else (st.getLen, 1L, st.getModificationTime)
-    s"${java.lang.Long.toHexString(len)}_${java.lang.Long.toHexString(cnt)}_${java.lang.Long.toHexString(mtime)}"
+    // per-FILE (name, length, mtime) signatures folded commutatively
+    // (listing order is not guaranteed across filesystems): totals
+    // alone would miss a same-size in-place regeneration landing within
+    // one mtime tick — with per-file signatures any changed, added,
+    // renamed, or removed file moves the version
+    def fileSig(name: String, l: Long, m: Long): Long = {
+      var x = name.hashCode.toLong * 0x9E3779B97F4A7C15L
+      x ^= l * 0xff51afd7ed558ccdL
+      x ^= java.lang.Long.rotateLeft(m * 0xc4ceb9fe1a85ec53L, 31)
+      x
+    }
+    var len = 0L
+    var cnt = 0L
+    var h = 0L
+    if (st.isDirectory) {
+      val it = f.listFiles(p, true)
+      while (it.hasNext) {
+        val s0 = it.next()
+        len += s0.getLen
+        cnt += 1L
+        h += fileSig(s0.getPath.getName, s0.getLen, s0.getModificationTime)
+      }
+    } else {
+      len = st.getLen
+      cnt = 1L
+      h = fileSig(st.getPath.getName, st.getLen, st.getModificationTime)
+    }
+    s"${java.lang.Long.toHexString(len)}_${java.lang.Long.toHexString(cnt)}_${java.lang.Long.toHexString(h)}"
   }
 
-  /** Canonical-plan fingerprint (hex SHA-256, 16 bytes worth). */
+  /** Canonical-plan fingerprint (hex SHA-256, 16 bytes worth).
+    * Rendered with maxFields = Int.MaxValue: the default treeString
+    * truncates expression lists at spark.sql.maxToStringFields (25),
+    * and two queries differing only past the truncation point would
+    * collide — and silently serve each other's results. */
   def fingerprint(df: DataFrame): String = {
-    val canon = df.queryExecution.analyzed.canonicalized.toString
+    val canon = df.queryExecution.analyzed.canonicalized
+      .treeString(true, false, Int.MaxValue, false)
     val md = java.security.MessageDigest.getInstance("SHA-256")
     md.digest(canon.getBytes(StandardCharsets.UTF_8))
       .take(16).map(b => f"$b%02x").mkString
@@ -89,17 +113,40 @@ object ResultCache {
    * Execute-through-cache: serve the cached result when a complete
    * entry exists; otherwise run `df` once, persist it, and serve the
    * persisted copy (so the caller's second read costs the same as a
-   * hit, and a concurrent reader either sees the complete entry or
-   * repopulates — `_SUCCESS` gates both). Correctness rests on the
+   * hit). Concurrent populates of the SAME entry are safe: each writes
+   * a private staging dir and publishes with FileContext.rename, which
+   * FAILS when the destination exists — the loser deletes its copy and
+   * serves the winner's (two jobs overwriting one dir directly could
+   * commit a UNION of both jobs' part files). Correctness rests on the
    * caller's `dataKey` actually versioning the inputs: the provided
    * SparkEntry/Upsert wiring derives it from the source files'
-   * length+count+mtime fingerprint, which every rewrite changes.
+   * per-file (name, length, mtime) fingerprint, which every rewrite
+   * changes.
    */
   def through(df: DataFrame, dataKey: String, cacheDir: String): DataFrame =
     lookup(df, dataKey, cacheDir).getOrElse {
       val s = df.sparkSession
-      val dir = entryDir(cacheDir, fingerprint(df), dataKey)
-      df.write.mode("overwrite").parquet(dir)
+      val fp = fingerprint(df)
+      val dir = entryDir(cacheDir, fp, dataKey)
+      // dot-prefixed and NOT "plan="-prefixed: a staging dir must be
+      // invisible to inventory()'s entry listing, and an orphaned stage
+      // (crash before rename) is reclaimed with its data= dir
+      val stage = s"$cacheDir/data=$dataKey/.populate_${fp}_${java.util.UUID.randomUUID().toString.take(8)}"
+      df.write.mode("overwrite").parquet(stage)
+      val f = fs(s, dir)
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        new Path(cacheDir).toUri, s.sparkContext.hadoopConfiguration)
+      try fc.rename(new Path(stage), new Path(dir))
+      catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+            _: java.io.IOException =>
+          // a concurrent populate won (or the rename failed) — drop the
+          // stage; the lookup below must then find the winner's entry
+          f.delete(new Path(stage), true)
+          if (!f.exists(new Path(dir, "_SUCCESS")))
+            throw new IllegalStateException(
+              s"result-cache populate could not publish and no complete entry exists at $dir")
+      }
       s.read.parquet(dir)
     }
 

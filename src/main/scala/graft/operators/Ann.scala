@@ -291,7 +291,8 @@ object Ann {
         val taken = it.take(perCell.toInt).map(t => (t._3, t._4.toArray)).toArray
         // lloydOn's contract: id-sorted input (collectSample discipline)
         java.util.Arrays.sort(taken, Ordering.by((t: (Long, Array[Float])) => t._1))
-        Iterator.single((cell, lloydOn(taken, c2, lloydIters).map(_.toSeq).toSeq))
+        Iterator.single((cell,
+          lloydOn(taken, c2, lloydIters, parallelAssign = false).map(_.toSeq).toSeq))
       }
       .collect()
     val byCell = fine.toMap
@@ -330,7 +331,12 @@ object Ann {
   /** Hash-seeded Lloyd refinement on a driver-local sample, short-
     * circuiting once centroids stop moving. */
   private def lloydOn(
-      sample: Array[(Long, Array[Float])], numCells: Int, lloydIters: Int): Array[Array[Float]] = {
+      sample: Array[(Long, Array[Float])], numCells: Int, lloydIters: Int,
+      // false on EXECUTOR-side calls (trainFineDistributed): many
+      // concurrent tasks dispatching onto the one shared commonPool
+      // would oversubscribe cores and serialize on pool contention —
+      // the task itself IS the parallelism there
+      parallelAssign: Boolean = true): Array[Array[Float]] = {
     // seed centroids: means of hash buckets (same XXH64(seed=42) pmod as
     // the SQL xxhash64 expression)
     val seedCells = sample.map { case (id, _) =>
@@ -349,7 +355,7 @@ object Ann {
       // ~131k samples against a 4096-cell table — ~50s sequential,
       // seconds parallel), while the executor-side fine Lloyds stay
       // sequential and don't fight the task's own parallelism
-      if (sample.length.toLong * numCells >= (1L << 22)) {
+      if (parallelAssign && sample.length.toLong * numCells >= (1L << 22)) {
         java.util.stream.IntStream.range(0, sample.length).parallel()
           .forEach(i => cells(i) =
             graft.functions.expressions.VectorOps.nearestLocal(sample(i)._2, cur))
@@ -987,8 +993,12 @@ object Ann {
     val rfs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!rfs.listStatus(root).exists(st => st.isDirectory && st.getPath.getName.startsWith("cell=")))
       return
+    // sizing count first: a parquet count over an EMPTY projection is
+    // footer-metadata speed (row counts come from row-group headers,
+    // no column decode), so the only real pass here is the bloom
+    // aggregation's id-column read — which is the irreducible work
+    val n = spark.read.parquet(dir).count()
     val ids = spark.read.parquet(dir).select(col("item_id"))
-    val n = ids.count()
     val bf = ids.stat.bloomFilter("item_id", math.max(1L, n), 0.03)
     val p = new org.apache.hadoop.fs.Path(dir, IdBloomFile)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1007,6 +1017,43 @@ object Ann {
     else {
       val in = fs.open(p)
       try Some(org.apache.spark.util.sketch.BloomFilter.readFrom(in)) finally in.close()
+    }
+  }
+
+  // (appId, sidecar length, sidecar mtime, broadcast handle) per dir —
+  // see readIdBloomBcast
+  private val bloomBcastCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, Long, Long, Broadcast[org.apache.spark.util.sketch.BloomFilter])]()
+
+  /** [[readIdBloom]] as a CACHED BROADCAST, keyed by the sidecar file's
+    * (length, mtime): a steady-state stream probes the same base
+    * sidecar every trigger, and re-reading + re-broadcasting a
+    * base-sized filter (~0.9 GB at 10⁹ ids) per batch would partially
+    * reintroduce the per-trigger cost the sidecars exist to remove.
+    * A rewritten sidecar (rebuild/promotion) changes length or mtime
+    * and replaces the entry — the stale broadcast is simply dropped
+    * (never destroy()'d: another in-flight trigger may still hold it;
+    * the ContextCleaner reclaims unreferenced broadcasts). The appId
+    * guards against a cached handle outliving its SparkContext. */
+  private[graft] def readIdBloomBcast(
+      spark: SparkSession, dir: String
+  ): Option[Broadcast[org.apache.spark.util.sketch.BloomFilter]] = {
+    val p = new org.apache.hadoop.fs.Path(dir, IdBloomFile)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) { bloomBcastCache.remove(dir); None }
+    else {
+      val st = fs.getFileStatus(p)
+      val appId = spark.sparkContext.applicationId
+      val cur = bloomBcastCache.get(dir)
+      if (cur != null && cur._1 == appId && cur._2 == st.getLen && cur._3 == st.getModificationTime)
+        Some(cur._4)
+      else {
+        val in = fs.open(p)
+        val bf = try org.apache.spark.util.sketch.BloomFilter.readFrom(in) finally in.close()
+        val bc = spark.sparkContext.broadcast(bf)
+        bloomBcastCache.put(dir, (appId, st.getLen, st.getModificationTime, bc))
+        Some(bc)
+      }
     }
   }
 

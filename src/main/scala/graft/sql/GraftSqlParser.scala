@@ -32,6 +32,8 @@ import org.apache.spark.sql.types.{DataType, DoubleType, LongType, StringType, S
  *   ADMIT SHARD '<name>' FROM <table> INTO TABLE <bucketed-table> DELTA '<delta-path>' USING <ref-table> [ON (<id-col>, <text-col>)]
  *   PROMOTE TEXT INDEX DELTA '<delta-path>' INTO TABLE <bucketed-table>
  *   SHOW VECTOR INDEX FOR '<index-path>'
+ *   SHOW RESULT CACHE '<cache-dir>'
+ *   INVALIDATE RESULT CACHE '<cache-dir>' [DATA '<data-key>']
  *   ADMIT VECTORS '<shard>' FROM <table> INTO '<index-path>'
  *   PROMOTE VECTOR INDEX DELTA '<index-path>'
  *   SHOW VERSION
@@ -117,6 +119,8 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface) extends P
           Option(idCol).getOrElse("doc_id"), Option(textCol).getOrElse("text"))
       case PromoteDeltaRe(delta, table) => PromoteTextIndexDeltaCommand(table, delta)
       case ShowVectorIndexRe(index) => ShowVectorIndexCommand(index)
+      case ShowResultCacheRe(dir) => ShowResultCacheCommand(dir)
+      case InvalidateResultCacheRe(dir, key) => InvalidateResultCacheCommand(dir, Option(key))
       case AdmitVectorsRe(shard, table, index) => AdmitVectorsCommand(shard, table, index)
       case PromoteVectorDeltaRe(index) => PromoteVectorIndexDeltaCommand(index)
       case ShowVersionRe() => ShowVersionCommand()
@@ -195,6 +199,14 @@ object GraftSqlParser {
     """(?is)PROMOTE\s+TEXT\s+INDEX\s+DELTA\s+'([^']+)'\s+INTO\s+TABLE\s+([A-Za-z_][A-Za-z0-9_.]*)\s*;?""".r
   private val ShowVectorIndexRe =
     """(?is)SHOW\s+VECTOR\s+INDEX\s+FOR\s+'([^']+)'\s*;?""".r
+  private val ShowResultCacheRe =
+    """(?is)SHOW\s+RESULT\s+CACHE\s+'([^']+)'\s*;?""".r
+  private val InvalidateResultCacheRe =
+    """(?is)INVALIDATE\s+RESULT\s+CACHE\s+'([^']+)'(?:\s+DATA\s+'([^']+)')?\s*;?""".r
+
+  /** Session conf naming the result-cache root ([[graft.core.ResultCache]]);
+    * when set, UPSERT statements reclaim the pre-append version's entries. */
+  val ResultCacheDirKey = "graft.sql.resultCacheDir"
   private val AdmitVectorsRe =
     """(?is)ADMIT\s+VECTORS\s+'([^']+)'\s+FROM\s+([A-Za-z_][A-Za-z0-9_.]*)\s+INTO\s+'([^']+)'\s*;?""".r
   private val PromoteVectorDeltaRe =
@@ -868,6 +880,18 @@ case class ShowVersionCommand() extends LeafRunnableCommand {
  * the extension is documented here, everything else maps 1:1.
  * Denials surface as the reference's error shape:
  * "User <name> doesn't have enough permissions".
+ *
+ * TRUST MODEL — identity is TRUSTED-CLIENT-ASSERTED: a Spark session
+ * conf is settable by whoever holds the session (including `SET
+ * graft.sql.user = …` over JDBC), so this layer enforces roles for
+ * cooperating clients and multi-tenant middle tiers that pin the conf
+ * per request — it is NOT an authentication boundary. The reference
+ * has the same split: its PermissionService trusts the YupanaUser its
+ * wire protocol authenticated; graft's wire protocols (Thrift/Connect)
+ * carry their OWN authentication, and a deployment that needs
+ * user-hostile enforcement must bind the conf from the authenticated
+ * principal at the server boundary (e.g. a Connect plugin), not accept
+ * it from SQL.
  */
 object GraftAuth {
   val UserConfKey = "graft.sql.user"
@@ -877,7 +901,12 @@ object GraftAuth {
   case object Write extends Action
 
   sealed trait Subject
-  /** A data table (or an index/model path for maintenance verbs). */
+  /** A data table (or an index/model path for maintenance verbs).
+    * `name` is RESERVED: the reference's Permission model scopes table
+    * grants per-name (Permission[Option[String], Action]) but every
+    * shipped role grants All-tables, so [[permits]] does not consult it
+    * yet — call sites still label their object for the day per-table
+    * ACLs land (and for the denial message's audit trail). */
   case class Table(name: Option[String]) extends Subject
   case object Users extends Subject
   case object Metadata extends Subject
@@ -998,6 +1027,38 @@ case class AlterUserCommand(name: String, hadPassword: Boolean, role: Option[Str
   }
 }
 
+/** SHOW RESULT CACHE '<dir>' — one row per complete cached entry
+  * (data_key, plan_fp, bytes, files) of the result cache at `dir`
+  * ([[graft.core.ResultCache.inventory]]); empty on a missing dir. */
+case class ShowResultCacheCommand(cacheDir: String) extends LeafRunnableCommand {
+  import GraftSqlParser.attr
+  override val output: Seq[Attribute] = Seq(
+    attr("data_key", StringType), attr("plan_fp", StringType),
+    attr("bytes", LongType), attr("files", LongType))
+  override def run(spark: SparkSession): Seq[Row] = {
+    GraftAuth.check(spark, GraftAuth.Metadata, GraftAuth.Read)
+    graft.core.ResultCache.inventory(spark, cacheDir).collect().toSeq
+  }
+}
+
+/** INVALIDATE RESULT CACHE '<dir>' [DATA '<data-key>'] — drop every
+  * entry (or one data version's entries) of the result cache at `dir`.
+  * A cache write is a table write for authorization purposes. */
+case class InvalidateResultCacheCommand(cacheDir: String, dataKey: Option[String])
+    extends LeafRunnableCommand {
+  import GraftSqlParser.attr
+  override val output: Seq[Attribute] =
+    Seq(attr("cache", StringType), attr("status", StringType))
+  override def run(spark: SparkSession): Seq[Row] = {
+    GraftAuth.check(spark, GraftAuth.Table(Some(cacheDir)), GraftAuth.Write)
+    dataKey match {
+      case Some(k) => graft.core.ResultCache.invalidateData(spark, cacheDir, k)
+      case None => graft.core.ResultCache.invalidateAll(spark, cacheDir)
+    }
+    Seq(Row(cacheDir, "OK"))
+  }
+}
+
 /** DROP USER '<name>' — STATUS OK row, "User not found" when absent. */
 case class DropUserCommand(name: String) extends LeafRunnableCommand {
   import GraftSqlParser.attr
@@ -1095,6 +1156,17 @@ case class UpsertCommand(table: String, cols: Seq[String], valuesSql: String)
       .filter(fcol("__rn") === 1)
       .drop("__ord", "__rn")
     val n = batch.count()
+    // result-cache hook (reference cache layer invalidates on put): the
+    // PRE-append data version is captured here — entries keyed on it
+    // become stale the moment the new version lands, and if a cache
+    // root is declared for the session they are reclaimed below. The
+    // new version's keys differ regardless (dataVersion moves on every
+    // append), so this is space reclamation, not a correctness latch.
+    val staleVersion = spark.conf.getOption(GraftSqlParser.ResultCacheDirKey).flatMap { _ =>
+      val p = new org.apache.hadoop.fs.Path(entry.logPath)
+      val pfs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (pfs.exists(p)) Some(graft.core.ResultCache.dataVersion(spark, entry.logPath)) else None
+    }
     // statements on one table serialize within this JVM; see nextSeq for
     // the cross-process single-writer contract
     val seq = UpsertTables.lockFor(table).synchronized {
@@ -1103,6 +1175,10 @@ case class UpsertCommand(table: String, cols: Seq[String], valuesSql: String)
       s
     }
     UpsertTables.refreshView(spark, table)
+    for {
+      cacheDir <- spark.conf.getOption(GraftSqlParser.ResultCacheDirKey)
+      v <- staleVersion
+    } graft.core.ResultCache.invalidateData(spark, cacheDir, v)
     Seq(Row(table, n, seq))
   }
 }

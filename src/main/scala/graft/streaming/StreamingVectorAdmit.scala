@@ -172,16 +172,18 @@ object StreamingVectorAdmit {
     def novelExcluding(held: DataFrame): DataFrame =
       batch.join(
         maybeBcast(held.withColumnRenamed("item_id", "vec_id")), Seq("vec_id"), "left_anti")
-    val sidecars = (baseDir +: others.map(_.toString)).map(d => Ann.readIdBloom(s, d))
+    // cached broadcasts: the base sidecar is re-used across triggers
+    // (re-read + re-broadcast only when its file fingerprint moves) —
+    // see Ann.readIdBloomBcast
+    val sidecars = (baseDir +: others.map(_.toString)).map(d => Ann.readIdBloomBcast(s, d))
     if (!sidecars.forall(_.isDefined))
       (novelExcluding(heldAmong(batchIds, None)), "full-scan")
     else {
-      val bcBlooms = s.sparkContext.broadcast(sidecars.flatten.toArray)
+      val handles = sidecars.flatten.toArray
       val mightHold = udf { (id: Long) =>
-        val bs = bcBlooms.value
         var i = 0
         var hit = false
-        while (i < bs.length && !hit) { hit = bs(i).mightContainLong(id); i += 1 }
+        while (i < handles.length && !hit) { hit = handles(i).value.mightContainLong(id); i += 1 }
         hit
       }
       // bounded: fp-rate + true-duplicate sized, never corpus-sized

@@ -405,6 +405,51 @@ class AdminSqlSpec extends SparkSpecBase {
     }
   }
 
+  test("result-cache statements: SHOW inventories, INVALIDATE reclaims, UPSERT invalidates stale versions") {
+    import graft.core.ResultCache
+    spark // force base session init first
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s2 = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.sql.GraftExtensions().apply(_))
+      .getOrCreate()
+    try {
+      val base = "/tmp/graft_adminsql_rescache_" + System.nanoTime()
+      val tbl = s"$base/log"
+      val cache = s"$base/cache"
+      val gt = graft.schema.GTable(
+        "metrics_rc", timeColumn = "ts",
+        dimensions = Seq(graft.schema.GDimension("dim", org.apache.spark.sql.types.StringType)),
+        metrics = Seq(graft.schema.GMetric("m", org.apache.spark.sql.types.DoubleType)))
+      graft.sql.UpsertTables.register(s2, gt, tbl)
+      s2.conf.set(graft.sql.GraftSqlParser.ResultCacheDirKey, cache)
+      try {
+        s2.sql("UPSERT INTO metrics_rc (ts, dim, m) VALUES (TIMESTAMP '2024-01-01 00:00:00', 'a', 1.0)")
+        // populate one entry against the current version
+        val q = s2.table("metrics_rc").groupBy("dim").agg(sum("m").as("sm"))
+        val v1 = ResultCache.dataVersion(s2, tbl)
+        ResultCache.through(q, v1, cache).collect()
+        assert(s2.sql(s"SHOW RESULT CACHE '$cache'").count() == 1)
+        // an UPSERT statement reclaims the now-stale version's entries
+        s2.sql("UPSERT INTO metrics_rc (ts, dim, m) VALUES (TIMESTAMP '2024-01-02 00:00:00', 'b', 2.0)")
+        assert(s2.sql(s"SHOW RESULT CACHE '$cache'").count() == 0,
+          "the upsert statement must invalidate the pre-append version's entries")
+        // repopulate at the new version; explicit INVALIDATE drops it
+        val q2 = s2.table("metrics_rc").groupBy("dim").agg(sum("m").as("sm"))
+        ResultCache.through(q2, ResultCache.dataVersion(s2, tbl), cache).collect()
+        assert(s2.sql(s"SHOW RESULT CACHE '$cache'").count() == 1)
+        assert(s2.sql(s"INVALIDATE RESULT CACHE '$cache'").head().getString(1) == "OK")
+        assert(s2.sql(s"SHOW RESULT CACHE '$cache'").count() == 0)
+      } finally s2.conf.unset(graft.sql.GraftSqlParser.ResultCacheDirKey)
+    } finally {
+      SparkSession.setActiveSession(spark)
+      SparkSession.setDefaultSession(spark)
+    }
+  }
+
   test("statement authorization: the reference role tables gate writes, users, and admin verbs") {
     spark // force base session init first
     SparkSession.clearActiveSession()

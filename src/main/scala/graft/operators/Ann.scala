@@ -1003,7 +1003,18 @@ object Ann {
     val p = new org.apache.hadoop.fs.Path(dir, IdBloomFile)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(p, true)
-    try bf.writeTo(out) finally out.close()
+    // 8-byte random nonce AFTER the filter bytes: BloomFilter.readFrom
+    // reads its own length and ignores the tail, while the nonce gives
+    // every write a distinct content fingerprint — readIdBloomBcast's
+    // cache keys on it, so a rebuilt sidecar of identical length inside
+    // one mtime tick can never serve a STALE bloom (whose false
+    // negatives would re-admit held ids as duplicates)
+    try {
+      bf.writeTo(out)
+      val nonce = new Array[Byte](8)
+      new java.security.SecureRandom().nextBytes(nonce)
+      out.write(nonce)
+    } finally out.close()
   }
 
   /** The sidecar of `dir`, if present (absent on pre-sidecar indexes
@@ -1020,18 +1031,35 @@ object Ann {
     }
   }
 
-  // (appId, sidecar length, sidecar mtime, broadcast handle) per dir —
+  // (appId, sidecar length, content nonce, broadcast handle) per dir —
   // see readIdBloomBcast
   private val bloomBcastCache = new java.util.concurrent.ConcurrentHashMap[
     String, (String, Long, Long, Broadcast[org.apache.spark.util.sketch.BloomFilter])]()
 
-  /** [[readIdBloom]] as a CACHED BROADCAST, keyed by the sidecar file's
-    * (length, mtime): a steady-state stream probes the same base
-    * sidecar every trigger, and re-reading + re-broadcasting a
-    * base-sized filter (~0.9 GB at 10⁹ ids) per batch would partially
+  /** The write nonce in the sidecar's last 8 bytes (0 for a legacy
+    * nonce-less sidecar — its tail is bloom bits, still a usable
+    * fingerprint). One 8-byte ranged read. */
+  private def sidecarNonce(
+      fs: org.apache.hadoop.fs.FileSystem, p: org.apache.hadoop.fs.Path, len: Long): Long = {
+    if (len < 8L) return 0L
+    val in = fs.open(p)
+    try {
+      in.seek(len - 8L)
+      val b = new Array[Byte](8)
+      in.readFully(b)
+      java.nio.ByteBuffer.wrap(b).getLong
+    } finally in.close()
+  }
+
+  /** [[readIdBloom]] as a CACHED BROADCAST, keyed by the sidecar
+    * file's (length, write nonce): a steady-state stream probes the
+    * same base sidecar every trigger, and re-reading + re-broadcasting
+    * a base-sized filter (~0.9 GB at 10⁹ ids) per batch would partially
     * reintroduce the per-trigger cost the sidecars exist to remove.
-    * A rewritten sidecar (rebuild/promotion) changes length or mtime
-    * and replaces the entry — the stale broadcast is simply dropped
+    * The per-trigger cost of a HIT is one file status + one 8-byte
+    * ranged read. A rewritten sidecar carries a fresh nonce (see
+    * [[writeIdBloom]] — length/mtime alone could tie across a rebuild)
+    * and replaces the entry; the stale broadcast is simply dropped
     * (never destroy()'d: another in-flight trigger may still hold it;
     * the ContextCleaner reclaims unreferenced broadcasts). The appId
     * guards against a cached handle outliving its SparkContext. */
@@ -1043,15 +1071,16 @@ object Ann {
     if (!fs.exists(p)) { bloomBcastCache.remove(dir); None }
     else {
       val st = fs.getFileStatus(p)
+      val nonce = sidecarNonce(fs, p, st.getLen)
       val appId = spark.sparkContext.applicationId
       val cur = bloomBcastCache.get(dir)
-      if (cur != null && cur._1 == appId && cur._2 == st.getLen && cur._3 == st.getModificationTime)
+      if (cur != null && cur._1 == appId && cur._2 == st.getLen && cur._3 == nonce)
         Some(cur._4)
       else {
         val in = fs.open(p)
         val bf = try org.apache.spark.util.sketch.BloomFilter.readFrom(in) finally in.close()
         val bc = spark.sparkContext.broadcast(bf)
-        bloomBcastCache.put(dir, (appId, st.getLen, st.getModificationTime, bc))
+        bloomBcastCache.put(dir, (appId, st.getLen, nonce, bc))
         Some(bc)
       }
     }

@@ -869,6 +869,21 @@ object OracleSql {
                       CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jac
                     FROM a JOIN b ON true)
          SELECT id_a, id_b, jac FROM j WHERE jac >= 0.5 ORDER BY id_a, id_b""",
+    // same ground truth through the COMPACTED index (base third + two
+    // admitted shard thirds folded into __base): compaction must be
+    // probe-invisible, so the emitted pair set is identical
+    "q_dedup_cross_compacted" ->
+      s"""WITH t AS (SELECT doc_id, source, $toks AS tk FROM documents),
+              s AS (SELECT doc_id, source, list_distinct(list_transform(
+                      range(1, greatest(len(tk) - 2, 1) + 1),
+                      i -> array_to_string(tk[i:i+2], ' '))) AS sh FROM t),
+              a AS (SELECT * FROM s WHERE source IN ('src0', 'src1', 'src2')),
+              b AS (SELECT * FROM s WHERE source NOT IN ('src0', 'src1', 'src2')),
+              j AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                      CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                      CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jac
+                    FROM a JOIN b ON true)
+         SELECT id_a, id_b, jac FROM j WHERE jac >= 0.5 ORDER BY id_a, id_b""",
     // same ground truth through the BASE+DELTA split serving layout
     // (bucketed base over even-id refs + parquet delta over odd-id
     // refs): the split must emit the identical exact pair set
@@ -1041,6 +1056,11 @@ object OracleSql {
     // (the probe-LIMITED path's structural invariant stays
     // q_ann_admitted's daily job — this gate pays one search pipeline)
     "q_stream_vector_admit" ->
+      exhaustiveEqualsBruteScoped("vec_id < 400", withLimitedCol = false),
+    // the PROMOTED index serves the identical window: folding delta
+    // shards into the base must be probe-invisible, so exhaustive
+    // probing equals the same brute-force recompute
+    "q_ann_promoted" ->
       exhaustiveEqualsBruteScoped("vec_id < 400", withLimitedCol = false),
     // the codes-layout admission: exhaustive probes + unlimited exact
     // re-rank equal brute force regardless of code quality, so the

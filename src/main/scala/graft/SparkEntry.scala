@@ -794,6 +794,7 @@ object SparkEntry {
     ensureTextIndex(s, dir)
     ensureBucketedTextIndex(s, dir)
     ensureDeltaTextIndex(s, dir)
+    ensureCompactedTextIndex(s, dir)
     ensureIvfIndex(s, dir)
     ensureAdmittedIvfIndex(s, dir)
     ensurePqIndex(s, dir)
@@ -1413,6 +1414,53 @@ object SparkEntry {
       Dedup.buildTextIndex(
         refCorpus.filter(col("doc_id") % 2 === 1), "doc_id", "text", delta, threshold = 0.5)
     (tbl, delta)
+  }
+
+  /**
+   * Text-index COMPACTION under the hash gate: the reference corpus is
+   * assembled as a base (doc_id%3==0) plus TWO admitted shards (the
+   * other thirds), `compactTextIndex` folds them into the reserved
+   * __base shard, and the compacted index's probe must emit EXACTLY
+   * q_dedup_cross's pair set (same quadratic A×B DuckDB oracle) — the
+   * shard-folding machinery becomes a daily-red-able row instead of
+   * living only in DedupSpec's crash-window tests. Build-once fixture
+   * per source dir (the compacted index is immutable afterwards): the
+   * `_gate_done` marker is written LAST, certifying the full
+   * build→admit→admit→compact sequence — a missing marker wipes and
+   * redoes it, because a half-admitted index would silently probe a
+   * subset and red the gate undiagnosably.
+   */
+  private def qDedupCrossCompacted(s: SparkSession, dir: String): DataFrame = {
+    val docs = ld(s, dir, "documents")
+    val newShard = docs.filter(col("source").isin("src0", "src1", "src2"))
+    val refCorpus = docs.filter(!col("source").isin("src0", "src1", "src2"))
+    val idxPath = ensureCompactedTextIndex(s, dir)
+    Dedup
+      .crossJaccardPairsIndexed(newShard, idxPath, refCorpus, "doc_id", "text")
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Build-once compacted-index fixture (q_dedup_cross_compacted);
+    * exposed through [[setupFixtures]]. */
+  private def ensureCompactedTextIndex(s: SparkSession, dir: String): String = {
+    val idxPath = s"/tmp/graft_textindex_compacted/${dirKey(dir)}"
+    val root = new org.apache.hadoop.fs.Path(idxPath)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(root, "_gate_done")
+    if (!fs.exists(marker)) {
+      fs.delete(root, true)
+      val refCorpus = ld(s, dir, "documents")
+        .filter(!col("source").isin("src0", "src1", "src2"))
+      Dedup.buildTextIndex(refCorpus.filter(col("doc_id") % 3 === 0),
+        "doc_id", "text", idxPath, threshold = 0.5)
+      Dedup.appendToTextIndex(refCorpus.filter(col("doc_id") % 3 === 1),
+        idxPath, "doc_id", "text", "gate_s1")
+      Dedup.appendToTextIndex(refCorpus.filter(col("doc_id") % 3 === 2),
+        idxPath, "doc_id", "text", "gate_s2")
+      Dedup.compactTextIndex(s, idxPath)
+      fs.create(marker, true).close()
+    }
+    idxPath
   }
 
   /** Hyperplane-LSH candidates + exact cosine verify at 0.5 — the level
@@ -2787,6 +2835,42 @@ object SparkEntry {
   }
 
   /**
+   * Vector-index PROMOTION under the hash gate (the
+   * q_stream_vector_admit bounded-window discipline): a base IVF index
+   * over the window's first 100 vectors, the remaining 300 admitted as
+   * a delta shard, then `promoteIvfDelta` folds the shard into the
+   * base through the staged-merge protocol (stage write, persisted
+   * folded-shard list, base rewrite, snapshot cleanup) — and EXHAUSTIVE
+   * probing through the PROMOTED index must return exactly the
+   * brute-force top-5 over the full 400-vector window, with a require()
+   * pinning that promotion actually consumed every delta shard. The
+   * fold machinery gets a daily-red-able row; its crash windows stay
+   * OperatorSpec's seam-injected tests. Bounded window ⇒ flat cost at
+   * any sf; per-run index dir deleted after materialization.
+   */
+  private def qAnnPromoted(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = ld(s, dir, "embeddings").filter(col("vec_id") < 400)
+    val base = s"/tmp/graft_q_ann_promoted/${java.util.UUID.randomUUID()}"
+    withScratchDir(s, base) {
+      val idxPath = s"$base/index"
+      if (emb.filter(col("vec_id") < 100).isEmpty)
+        Seq.empty[(Long, Long, Double, Int)].toDF("query_id", "item_id", "cos", "rank")
+      else withShufflePartitions(s, 8) {
+        Ann.buildIvfIndex(s, emb.filter(col("vec_id") < 100), idxPath, numCells = 16)
+        Ann.appendToIvfIndex(emb.filter(col("vec_id") >= 100), idxPath, "gate_delta")
+        Ann.promoteIvfDelta(s, idxPath)
+        require(Ann.readableVecShardDirs(s, idxPath).isEmpty,
+          "q_ann_promoted: promotion must fold every delta shard")
+        val queries = emb.filter(col("vec_id") < 8)
+        Ann.searchIvfIndex(s, idxPath, queries, 5, probes = 16)
+          .orderBy(col("query_id"), col("rank"))
+          .localCheckpoint()
+      }
+    }
+  }
+
+  /**
    * STREAMING DSIR model refresh under the hash gate — promoting
    * [[graft.streaming.StreamingDsir.runUpdate]] (spec-only) to a daily
    * CORRECTNESS row: a base model is fit on the window's doc_id%3==0
@@ -3171,7 +3255,9 @@ object SparkEntry {
     "q_pii_scrub" -> (qPiiScrub _),
     "q_ln_quant_canary" -> (qLnQuantCanary _),
     "q_item_fix" -> (qItemFix _),
-    "q_result_cached" -> (qResultCached _)
+    "q_result_cached" -> (qResultCached _),
+    "q_dedup_cross_compacted" -> (qDedupCrossCompacted _),
+    "q_ann_promoted" -> (qAnnPromoted _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -1,0 +1,47 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.operators.Ann
+
+/** Dev tool: the exact candidate volume of knnJoinIvf's hier branch at
+  * a given corpus — attribution for the 2.2M-point wall (is it
+  * per-candidate overhead, or data-degenerate cell occupancy? A
+  * VecScale replica corpus packs each 1100-replica cluster into ~one
+  * fine cell, so Σ|cell|·|probers| can far exceed the uniform-cell
+  * estimate). Counts the cell join only — no cosine, no vectors in the
+  * projection. Args: <dir>. */
+object HierCandCount {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/tmp/graft_vec2m")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.sql.GraftFunctions.register(spark)
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet").localCheckpoint(true)
+    val n = emb.count()
+    val wanted = math.max(16L, n / 512L)
+    val side = math.ceil(math.sqrt(wanted.toDouble)).toInt
+    val (l1, l2) = Ann.ivfTrainHier(spark,
+      emb.select(xxhash64(col("vec_id")).as("vec_id"), col("embedding")),
+      side, side, knownCount = n)
+    val bcL1 = Ann.bcastCentroids(spark, l1)
+    val bcL2 = Ann.bcastCentroids3(spark, l2)
+    val items = emb.select(col("vec_id").as("item_id"),
+      element_at(Ann.nearestCellsHierBc(col("embedding"), bcL1, bcL2, 1, 1), 1).as("cell"))
+    val queries = emb.select(col("vec_id").as("query_id"),
+      explode(Ann.nearestCellsHierBc(col("embedding"), bcL1, bcL2, 2, 2)).as("cell"))
+    val occ = items.groupBy("cell").agg(count(lit(1)).as("ic"))
+    val top = occ.orderBy(col("ic").desc).limit(5).collect().map(r => (r.getInt(0), r.getLong(1)))
+    val stats = occ.agg(count(lit(1)), expr("sum(ic)"), expr("sum(ic*ic)")).head()
+    println(s"[hiercand] n=$n side=$side occupiedCells=${stats.getLong(0)} " +
+      s"sumIc=${stats.getLong(1)} sumIc2=${stats.getLong(2)} topCells=${top.mkString(",")}")
+    val t0 = System.nanoTime()
+    val cands = items.join(queries.hint("shuffle_hash"), Seq("cell"))
+      .filter(col("query_id") =!= col("item_id")).count()
+    println(f"[hiercand] candidates=$cands (count wall ${(System.nanoTime() - t0) / 1e9}%.1f s, no cosine)")
+    spark.stop()
+  }
+}

@@ -869,6 +869,26 @@ object OracleSql {
                       CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jac
                     FROM a JOIN b ON true)
          SELECT id_a, id_b, jac FROM j WHERE jac >= 0.5 ORDER BY id_a, id_b""",
+    // admission novelty decision: admitted ⇔ no reference doc reaches
+    // jaccard >= 0.5 — the quadratic probe×ref recompute of the
+    // decision admitShard makes through the banded index probe
+    "q_dedup_admitted" ->
+      s"""WITH d AS (SELECT doc_id, $toks AS tk FROM documents WHERE doc_id < 300),
+              s AS (SELECT doc_id, list_distinct(list_transform(
+                      range(1, greatest(len(tk) - 2, 1) + 1),
+                      i -> array_to_string(tk[i:i+2], ' '))) AS sh FROM d),
+              ref AS (SELECT * FROM s WHERE doc_id < 200),
+              probe AS (SELECT doc_id, sh FROM s WHERE doc_id >= 200
+                        UNION ALL
+                        SELECT doc_id + 10000000, sh FROM s WHERE doc_id < 100),
+              m AS (SELECT p.doc_id
+                    FROM probe p JOIN ref r ON
+                      CAST(len(list_intersect(p.sh, r.sh)) AS DOUBLE) /
+                      CAST(len(list_distinct(list_concat(p.sh, r.sh))) AS DOUBLE) >= 0.5
+                    GROUP BY p.doc_id)
+         SELECT p.doc_id, (m.doc_id IS NULL) AS admitted
+         FROM probe p LEFT JOIN m ON p.doc_id = m.doc_id
+         ORDER BY p.doc_id""",
     // same ground truth through the COMPACTED index (base third + two
     // admitted shard thirds folded into __base): compaction must be
     // probe-invisible, so the emitted pair set is identical

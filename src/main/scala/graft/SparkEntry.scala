@@ -1440,6 +1440,48 @@ object SparkEntry {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /**
+   * Text-shard ADMISSION under the hash gate — the novelty DECISION of
+   * `Dedup.admitShard` (previously spec-only "Incremental shard
+   * admission"): a bounded 200-doc reference window becomes a per-run
+   * index, and a probe shard of 100 genuinely-new docs (doc_id
+   * 200-299) PLUS exact replicas of the first 100 reference docs
+   * (+10M ids — certain rejections at jaccard 1.0) admits through the
+   * real probe→append pipeline. The emitted (doc_id, admitted) flags
+   * must hash-equal DuckDB's quadratic recompute: admitted ⇔ no
+   * reference doc reaches jaccard ≥ 0.5 (threshold-sized banding's
+   * <1e-6 at-threshold miss is the same accepted exposure as every
+   * cross-corpus gate). A drop-novel or keep-duplicate regression in
+   * admission reds a named daily row. Bounded window ⇒ flat cost at
+   * any sf; per-run index dir deleted after materialization.
+   */
+  private def qDedupAdmitted(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = ld(s, dir, "documents")
+      .filter(col("doc_id") < 300)
+      .select(col("doc_id"), col("text"))
+    val ref = docs.filter(col("doc_id") < 200)
+    if (ref.isEmpty)
+      return Seq.empty[(Long, Boolean)].toDF("doc_id", "admitted")
+    val probe = docs.filter(col("doc_id") >= 200)
+      .unionByName(docs.filter(col("doc_id") < 100)
+        .withColumn("doc_id", col("doc_id") + lit(10000000L)))
+    val base = s"/tmp/graft_q_dedup_admitted/${java.util.UUID.randomUUID()}"
+    withScratchDir(s, base) {
+      val idxPath = s"$base/index"
+      withShufflePartitions(s, 8) {
+        Dedup.buildTextIndex(ref, "doc_id", "text", idxPath, threshold = 0.5)
+        val survivors = Dedup.admitShard(probe, idxPath, ref, "doc_id", "text", "gate")
+          .select(col("doc_id")).withColumn("admitted", lit(true))
+        probe.select(col("doc_id"))
+          .join(survivors, Seq("doc_id"), "left")
+          .select(col("doc_id"), coalesce(col("admitted"), lit(false)).as("admitted"))
+          .orderBy(col("doc_id"))
+          .localCheckpoint()
+      }
+    }
+  }
+
   /** Build-once compacted-index fixture (q_dedup_cross_compacted);
     * exposed through [[setupFixtures]]. */
   private def ensureCompactedTextIndex(s: SparkSession, dir: String): String = {
@@ -3257,7 +3299,8 @@ object SparkEntry {
     "q_item_fix" -> (qItemFix _),
     "q_result_cached" -> (qResultCached _),
     "q_dedup_cross_compacted" -> (qDedupCrossCompacted _),
-    "q_ann_promoted" -> (qAnnPromoted _)
+    "q_ann_promoted" -> (qAnnPromoted _),
+    "q_dedup_admitted" -> (qDedupAdmitted _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -889,6 +889,21 @@ object OracleSql {
          SELECT p.doc_id, (m.doc_id IS NULL) AS admitted
          FROM probe p LEFT JOIN m ON p.doc_id = m.doc_id
          ORDER BY p.doc_id""",
+    // same ground truth through the PROMOTED bucketed table (even-id
+    // base + odd-id delta folded in by promoteTextIndexDelta): the fold
+    // must be probe-invisible, so the emitted pair set is identical
+    "q_dedup_cross_promoted" ->
+      s"""WITH t AS (SELECT doc_id, source, $toks AS tk FROM documents),
+              s AS (SELECT doc_id, source, list_distinct(list_transform(
+                      range(1, greatest(len(tk) - 2, 1) + 1),
+                      i -> array_to_string(tk[i:i+2], ' '))) AS sh FROM t),
+              a AS (SELECT * FROM s WHERE source IN ('src0', 'src1', 'src2')),
+              b AS (SELECT * FROM s WHERE source NOT IN ('src0', 'src1', 'src2')),
+              j AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                      CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                      CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jac
+                    FROM a JOIN b ON true)
+         SELECT id_a, id_b, jac FROM j WHERE jac >= 0.5 ORDER BY id_a, id_b""",
     // same ground truth through the COMPACTED index (base third + two
     // admitted shard thirds folded into __base): compaction must be
     // probe-invisible, so the emitted pair set is identical

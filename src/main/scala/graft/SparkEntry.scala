@@ -795,6 +795,7 @@ object SparkEntry {
     ensureBucketedTextIndex(s, dir)
     ensureDeltaTextIndex(s, dir)
     ensureCompactedTextIndex(s, dir)
+    ensurePromotedTextIndex(s, dir)
     ensureIvfIndex(s, dir)
     ensureAdmittedIvfIndex(s, dir)
     ensurePqIndex(s, dir)
@@ -1503,6 +1504,58 @@ object SparkEntry {
       fs.create(marker, true).close()
     }
     idxPath
+  }
+
+  /**
+   * BUCKETED text-index PROMOTION under the hash gate — the last fold
+   * surface (q_dedup_cross_compacted gates the flat index's compaction,
+   * q_ann_promoted the vector fold): a bucketed base over the even-id
+   * reference docs plus a parquet delta index over the odd-id half,
+   * folded by `promoteTextIndexDelta` into the table from signatures
+   * alone (staged merge, persisted folded-shard list, bucketed table
+   * rebuild, delta reset), then probed — the promoted table must emit
+   * EXACTLY the monolithic cross-corpus pair set (the same quadratic
+   * A×B oracle), so a fold that loses, duplicates, or re-bands rows
+   * reds a named daily row. Build-once fixture: `_gate_done` marker
+   * written LAST; a missing marker wipes table + delta and redoes the
+   * whole build→promote sequence (a half-promoted state would probe a
+   * subset).
+   */
+  private def qDedupCrossPromoted(s: SparkSession, dir: String): DataFrame = {
+    val docs = ld(s, dir, "documents")
+    val newShard = docs.filter(col("source").isin("src0", "src1", "src2"))
+    val refCorpus = docs.filter(!col("source").isin("src0", "src1", "src2"))
+    val tbl = ensurePromotedTextIndex(s, dir)
+    Dedup
+      .crossJaccardPairsBucketedIndexed(newShard, tbl, refCorpus, "doc_id", "text")
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Build-once promoted-table fixture (q_dedup_cross_promoted);
+    * exposed through [[setupFixtures]]. */
+  private def ensurePromotedTextIndex(s: SparkSession, dir: String): String = {
+    val tbl = s"graft_xprom_${dirKey(dir)}"
+    val delta = s"/tmp/graft_xprom_delta/${dirKey(dir)}"
+    val marker = new org.apache.hadoop.fs.Path(s"/tmp/graft_xprom_done/${dirKey(dir)}")
+    val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
+    // the marker certifies the build→promote sequence AND the table
+    // must still exist (the catalog is warehouse-backed but a wiped
+    // warehouse with a surviving /tmp marker must rebuild)
+    if (!fs.exists(marker) || !s.catalog.tableExists(tbl)) {
+      fs.delete(marker, false)
+      if (s.catalog.tableExists(tbl)) s.sql(s"DROP TABLE $tbl")
+      if (s.catalog.tableExists(s"${tbl}_meta")) s.sql(s"DROP TABLE ${tbl}_meta")
+      fs.delete(new org.apache.hadoop.fs.Path(delta), true)
+      val refCorpus = ld(s, dir, "documents")
+        .filter(!col("source").isin("src0", "src1", "src2"))
+      Dedup.buildTextIndexBucketed(
+        refCorpus.filter(col("doc_id") % 2 === 0), "doc_id", "text", tbl, threshold = 0.5)
+      Dedup.buildTextIndex(
+        refCorpus.filter(col("doc_id") % 2 === 1), "doc_id", "text", delta, threshold = 0.5)
+      Dedup.promoteTextIndexDelta(s, tbl, delta)
+      fs.create(marker, true).close()
+    }
+    tbl
   }
 
   /** Hyperplane-LSH candidates + exact cosine verify at 0.5 — the level
@@ -3300,7 +3353,8 @@ object SparkEntry {
     "q_result_cached" -> (qResultCached _),
     "q_dedup_cross_compacted" -> (qDedupCrossCompacted _),
     "q_ann_promoted" -> (qAnnPromoted _),
-    "q_dedup_admitted" -> (qDedupAdmitted _)
+    "q_dedup_admitted" -> (qDedupAdmitted _),
+    "q_dedup_cross_promoted" -> (qDedupCrossPromoted _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

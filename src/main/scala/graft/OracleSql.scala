@@ -97,6 +97,26 @@ object OracleSql {
   private val toks =
     "list_filter(regexp_split_to_array(lower(text), '[^\\p{L}\\p{Nd}]+'), x -> length(x) > 0)"
 
+  /** ONE quadratic cross-corpus ground truth (probe = src0-2,
+    * reference = the rest, exact distinct-3-shingle jaccard >= 0.5)
+    * shared by all five serving-layout gates: q_dedup_cross,
+    * _bucketed, _delta, _promoted, _compacted must stay ONE truth —
+    * every layout is required to be probe-invisible, and five
+    * drifting copies of this literal would silently desynchronize
+    * them. */
+  private lazy val crossCorpusPairsSql =
+    s"""WITH t AS (SELECT doc_id, source, $toks AS tk FROM documents),
+              s AS (SELECT doc_id, source, list_distinct(list_transform(
+                      range(1, greatest(len(tk) - 2, 1) + 1),
+                      i -> array_to_string(tk[i:i+2], ' '))) AS sh FROM t),
+              a AS (SELECT * FROM s WHERE source IN ('src0', 'src1', 'src2')),
+              b AS (SELECT * FROM s WHERE source NOT IN ('src0', 'src1', 'src2')),
+              j AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                      CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                      CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jac
+                    FROM a JOIN b ON true)
+         SELECT id_a, id_b, jac FROM j WHERE jac >= 0.5 ORDER BY id_a, id_b"""
+
   /** Harman S-stemmer (EnglishLightStemmer) — the same three ordered
     * rules as the Scala kernel, change both together. */
   private val stem =
@@ -858,17 +878,7 @@ object OracleSql {
     // sized banding (miss < 1e-6) plus exact shingle verify emits the
     // same set through the persisted-index probe path
     "q_dedup_cross" ->
-      s"""WITH t AS (SELECT doc_id, source, $toks AS tk FROM documents),
-              s AS (SELECT doc_id, source, list_distinct(list_transform(
-                      range(1, greatest(len(tk) - 2, 1) + 1),
-                      i -> array_to_string(tk[i:i+2], ' '))) AS sh FROM t),
-              a AS (SELECT * FROM s WHERE source IN ('src0', 'src1', 'src2')),
-              b AS (SELECT * FROM s WHERE source NOT IN ('src0', 'src1', 'src2')),
-              j AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                      CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-                      CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jac
-                    FROM a JOIN b ON true)
-         SELECT id_a, id_b, jac FROM j WHERE jac >= 0.5 ORDER BY id_a, id_b""",
+      crossCorpusPairsSql,
     // admission novelty decision: admitted ⇔ no reference doc reaches
     // jaccard >= 0.5 — the quadratic probe×ref recompute of the
     // decision admitShard makes through the banded index probe
@@ -893,61 +903,21 @@ object OracleSql {
     // base + odd-id delta folded in by promoteTextIndexDelta): the fold
     // must be probe-invisible, so the emitted pair set is identical
     "q_dedup_cross_promoted" ->
-      s"""WITH t AS (SELECT doc_id, source, $toks AS tk FROM documents),
-              s AS (SELECT doc_id, source, list_distinct(list_transform(
-                      range(1, greatest(len(tk) - 2, 1) + 1),
-                      i -> array_to_string(tk[i:i+2], ' '))) AS sh FROM t),
-              a AS (SELECT * FROM s WHERE source IN ('src0', 'src1', 'src2')),
-              b AS (SELECT * FROM s WHERE source NOT IN ('src0', 'src1', 'src2')),
-              j AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                      CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-                      CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jac
-                    FROM a JOIN b ON true)
-         SELECT id_a, id_b, jac FROM j WHERE jac >= 0.5 ORDER BY id_a, id_b""",
+      crossCorpusPairsSql,
     // same ground truth through the COMPACTED index (base third + two
     // admitted shard thirds folded into __base): compaction must be
     // probe-invisible, so the emitted pair set is identical
     "q_dedup_cross_compacted" ->
-      s"""WITH t AS (SELECT doc_id, source, $toks AS tk FROM documents),
-              s AS (SELECT doc_id, source, list_distinct(list_transform(
-                      range(1, greatest(len(tk) - 2, 1) + 1),
-                      i -> array_to_string(tk[i:i+2], ' '))) AS sh FROM t),
-              a AS (SELECT * FROM s WHERE source IN ('src0', 'src1', 'src2')),
-              b AS (SELECT * FROM s WHERE source NOT IN ('src0', 'src1', 'src2')),
-              j AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                      CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-                      CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jac
-                    FROM a JOIN b ON true)
-         SELECT id_a, id_b, jac FROM j WHERE jac >= 0.5 ORDER BY id_a, id_b""",
+      crossCorpusPairsSql,
     // same ground truth through the BASE+DELTA split serving layout
     // (bucketed base over even-id refs + parquet delta over odd-id
     // refs): the split must emit the identical exact pair set
     "q_dedup_cross_delta" ->
-      s"""WITH t AS (SELECT doc_id, source, $toks AS tk FROM documents),
-              s AS (SELECT doc_id, source, list_distinct(list_transform(
-                      range(1, greatest(len(tk) - 2, 1) + 1),
-                      i -> array_to_string(tk[i:i+2], ' '))) AS sh FROM t),
-              a AS (SELECT * FROM s WHERE source IN ('src0', 'src1', 'src2')),
-              b AS (SELECT * FROM s WHERE source NOT IN ('src0', 'src1', 'src2')),
-              j AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                      CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-                      CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jac
-                    FROM a JOIN b ON true)
-         SELECT id_a, id_b, jac FROM j WHERE jac >= 0.5 ORDER BY id_a, id_b""",
+      crossCorpusPairsSql,
     // same ground truth through the BUCKETED index layout — both
     // layouts must emit the identical exact pair set
     "q_dedup_cross_bucketed" ->
-      s"""WITH t AS (SELECT doc_id, source, $toks AS tk FROM documents),
-              s AS (SELECT doc_id, source, list_distinct(list_transform(
-                      range(1, greatest(len(tk) - 2, 1) + 1),
-                      i -> array_to_string(tk[i:i+2], ' '))) AS sh FROM t),
-              a AS (SELECT * FROM s WHERE source IN ('src0', 'src1', 'src2')),
-              b AS (SELECT * FROM s WHERE source NOT IN ('src0', 'src1', 'src2')),
-              j AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                      CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-                      CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jac
-                    FROM a JOIN b ON true)
-         SELECT id_a, id_b, jac FROM j WHERE jac >= 0.5 ORDER BY id_a, id_b""",
+      crossCorpusPairsSql,
     // streaming near-dup twin: the 400-doc window doubled with exact
     // replicas at +10000001 (the Spark side streams it in two parity
     // batches against the persisted signature index); ground truth is

@@ -1472,8 +1472,13 @@ object SparkEntry {
       val idxPath = s"$base/index"
       withShufflePartitions(s, 8) {
         Dedup.buildTextIndex(ref, "doc_id", "text", idxPath, threshold = 0.5)
-        val survivors = Dedup.admitShard(probe, idxPath, ref, "doc_id", "text", "gate")
-          .select(col("doc_id")).withColumn("admitted", lit(true))
+        Dedup.admitShard(probe, idxPath, ref, "doc_id", "text", "gate")
+        // the admitted ids are read BACK from the just-written shard
+        // (admitShard returns the survivors lazily AFTER materializing
+        // them into the shard write — re-using the returned plan would
+        // run the whole probe+verify pipeline a second time)
+        val survivors = s.read.parquet(s"$idxPath/sigs/shard=gate")
+          .select(col("id").as("doc_id")).withColumn("admitted", lit(true))
         probe.select(col("doc_id"))
           .join(survivors, Seq("doc_id"), "left")
           .select(col("doc_id"), coalesce(col("admitted"), lit(false)).as("admitted"))
@@ -1538,10 +1543,12 @@ object SparkEntry {
     val delta = s"/tmp/graft_xprom_delta/${dirKey(dir)}"
     val marker = new org.apache.hadoop.fs.Path(s"/tmp/graft_xprom_done/${dirKey(dir)}")
     val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
-    // the marker certifies the build→promote sequence AND the table
-    // must still exist (the catalog is warehouse-backed but a wiped
-    // warehouse with a surviving /tmp marker must rebuild)
-    if (!fs.exists(marker) || !s.catalog.tableExists(tbl)) {
+    // the marker certifies the build→promote sequence AND both catalog
+    // tables must still exist (a wiped warehouse with a surviving /tmp
+    // marker — or a lost _meta beside a surviving table — must rebuild,
+    // not red the gate forever)
+    if (!fs.exists(marker) || !s.catalog.tableExists(tbl) ||
+        !s.catalog.tableExists(s"${tbl}_meta")) {
       fs.delete(marker, false)
       if (s.catalog.tableExists(tbl)) s.sql(s"DROP TABLE $tbl")
       if (s.catalog.tableExists(s"${tbl}_meta")) s.sql(s"DROP TABLE ${tbl}_meta")

@@ -1036,9 +1036,13 @@ object Ann {
   private val bloomBcastCache = new java.util.concurrent.ConcurrentHashMap[
     String, (String, Long, Long, Broadcast[org.apache.spark.util.sketch.BloomFilter])]()
 
-  /** The write nonce in the sidecar's last 8 bytes (0 for a legacy
-    * nonce-less sidecar — its tail is bloom bits, still a usable
-    * fingerprint). One 8-byte ranged read. */
+  /** The sidecar's last 8 bytes as its content fingerprint: the write
+    * nonce for files [[writeIdBloom]] wrote, and for a legacy
+    * nonce-less sidecar simply its trailing bloom bits — equally
+    * usable (different id sets make different bits with overwhelming
+    * probability). One 8-byte ranged read; the len < 8 guard is for a
+    * corrupt/truncated file, not a reachable legacy shape (a
+    * serialized bloom is always longer). */
   private def sidecarNonce(
       fs: org.apache.hadoop.fs.FileSystem, p: org.apache.hadoop.fs.Path, len: Long): Long = {
     if (len < 8L) return 0L

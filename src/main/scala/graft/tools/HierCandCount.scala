@@ -23,6 +23,15 @@ object HierCandCount {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet").localCheckpoint(true)
     val n = emb.count()
     val wanted = math.max(16L, n / 512L)
+    // mirror knnJoinIvf's dispatch: below the flip the real operator
+    // runs the FLAT branch — attributing a hier quantizer there would
+    // measure a code path the operator never takes
+    if (wanted <= 4096L) {
+      println(s"[hiercand] n=$n wanted=$wanted <= 4096: knnJoinIvf dispatches the FLAT " +
+        "branch here — use KnnCellSweep for flat-branch attribution")
+      spark.stop()
+      return
+    }
     val side = math.ceil(math.sqrt(wanted.toDouble)).toInt
     val (l1, l2) = Ann.ivfTrainHier(spark,
       emb.select(xxhash64(col("vec_id")).as("vec_id"), col("embedding")),

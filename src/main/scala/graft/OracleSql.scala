@@ -1594,6 +1594,29 @@ object OracleSql {
          SELECT query_id, item_id, cos, rank, TRUE AS limited_wellformed_ok
          FROM r WHERE rank <= 3
          ORDER BY query_id, rank""",
+    // forced-SPLIT self k-NN (occupancy bounding): everything lands in
+    // ONE cell whose occupancy blows the 4×cellTarget threshold, the
+    // local re-quantize splits it, and exhaustive sub-cell probing
+    // (splitProbes ≥ split width) makes the candidate set complete —
+    // so the split+salt+kernel path must equal brute kNN, every
+    // neighbor/cosine/rank re-verified here.
+    "q_knn_join_split" ->
+      """WITH g AS (SELECT vec_id, embedding FROM embeddings
+                    ORDER BY ((vec_id % 1048576) * 2654435761) % 4294967296, vec_id LIMIT 500),
+              q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+                    FROM g),
+              c AS (SELECT vec_id AS item_id, CAST(embedding AS DOUBLE[]) AS iv
+                    FROM g),
+              s AS (SELECT query_id, item_id,
+                list_reduce(list_prepend(0.0, list_transform(generate_series(1, len(qv)), i -> qv[i] * iv[i])), (a, x) -> a + x) /
+                (sqrt(list_reduce(list_prepend(0.0, list_transform(generate_series(1, len(qv)), i -> qv[i] * qv[i])), (a, x) -> a + x)) *
+                 sqrt(list_reduce(list_prepend(0.0, list_transform(generate_series(1, len(iv)), i -> iv[i] * iv[i])), (a, x) -> a + x))) AS cos
+              FROM q CROSS JOIN c WHERE query_id <> item_id),
+              r AS (SELECT query_id, item_id, cos,
+                CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, item_id) AS INT) AS rank
+              FROM s WHERE NOT isnan(cos))
+         SELECT query_id, item_id, cos, rank FROM r WHERE rank <= 3
+         ORDER BY query_id, rank""",
     // mutual-kNN clusters: brute ranked pairs in BOTH directions, an
     // edge where each end ranks the other <= 3, recursive-CTE closure
     // seeded from every vector (singletons label themselves)

@@ -1740,6 +1740,20 @@ object SparkEntry {
     withLimitedWellformed(exhaustive, limited, k)
   }
 
+  /** Forced-SPLIT self k-NN — the occupancy-bounding gate (r15): ONE
+    * cell gets the whole fixed-size gate corpus (500 ≫ 4×cellTarget=32
+    * — far past the split threshold), so the local re-quantize MUST
+    * engage; tier-2 salting engages wherever a sub-cell stays overfull.
+    * Exhaustive sub-cell probing (splitProbes=64 ≥ the ⌈500/8⌉=63 split
+    * width) keeps the candidate set complete, so split + salt +
+    * [[Ann.cellTopK]] kernel ≡ brute kNN, and DuckDB re-verifies every
+    * neighbor, cosine, and rank. Fixed-size corpus ⇒ flat gate cost at
+    * any sf (the IvfGateCap discipline). */
+  private def qKnnJoinSplit(s: SparkSession, dir: String): DataFrame =
+    Ann.knnJoinIvf(gateEmbeddings(s, dir), "vec_id", "embedding", k = 3,
+      numCells = 1, probes = 1, cellTarget = 8, splitProbes = 64)
+      .orderBy(col("query_id"), col("rank"))
+
   /**
    * Shared tail of the forced-IVF gates: the exhaustive run's rows
    * (= brute force, DuckDB-re-verified) annotated with the
@@ -3340,6 +3354,7 @@ object SparkEntry {
     "q_semdedup" -> (qSemdedup _),
     "q_knn_join" -> (qKnnJoin _),
     "q_knn_join_ivf" -> (qKnnJoinIvf _),
+    "q_knn_join_split" -> (qKnnJoinSplit _),
     "q_knn_clusters" -> (qKnnClusters _),
     "q_dedup_keep_best" -> (qDedupKeepBest _),
     "q_collocations" -> (qCollocations _),

@@ -147,8 +147,112 @@ object ResultCache {
             throw new IllegalStateException(
               s"result-cache populate could not publish and no complete entry exists at $dir")
       }
+      // size bound (see [[MaxBytesKey]]): enforced AFTER publish so a
+      // concurrent reader never sees a half-trimmed cache missing the
+      // newest entry; the listing walk is per-populate, which is the
+      // rare/expensive path — hits never pay it
+      s.conf.getOption(MaxBytesKey).map(_.trim).filter(_.nonEmpty).map(_.toLong)
+        .foreach(enforceBound(s, cacheDir, _, dir))
       s.read.parquet(dir)
     }
+
+  /** Session conf bounding the cache's total bytes: when set,
+    * [[through]] evicts oldest-first after each populate until the
+    * cache fits (the just-written entry is never evicted — the caller
+    * is about to read it). The reference's CacheDescription carries
+    * the same pair of limits (expiry → [[vacuum]], maxElements → this
+    * bound, re-expressed in bytes because parquet results are
+    * size-dominated, not count-dominated). */
+  val MaxBytesKey = "graft.sql.resultCacheMaxBytes"
+
+  /** Newest-file mtime of an entry dir — the "last written" stamp
+    * age-based eviction compares (parquet writes never update in
+    * place, so the newest file IS the populate time). */
+  private def entryMtime(f: org.apache.hadoop.fs.FileSystem, dir: Path): Long = {
+    var m = 0L
+    val it = f.listFiles(dir, true)
+    while (it.hasNext) m = math.max(m, it.next().getModificationTime)
+    m
+  }
+
+  /** Every complete entry (dir, mtime, bytes), oldest first. */
+  private def entries(
+      spark: SparkSession, cacheDir: String): Seq[(Path, Long, Long)] = {
+    val root = new Path(cacheDir)
+    val f = fs(spark, cacheDir)
+    if (!f.exists(root)) Seq.empty
+    else f.listStatus(root).filter(st => st.isDirectory && st.getPath.getName.startsWith("data="))
+      .flatMap { d =>
+        f.listStatus(d.getPath)
+          .filter(st => st.isDirectory && st.getPath.getName.startsWith("plan="))
+          .filter(st => f.exists(new Path(st.getPath, "_SUCCESS")))
+          .map(p => (p.getPath, entryMtime(f, p.getPath), f.getContentSummary(p.getPath).getLength))
+      }.toSeq.sortBy(e => (e._2, e._1.toString))
+  }
+
+  /** Delete empty `data=` dirs left behind by entry eviction. */
+  private def sweepEmptyDataDirs(spark: SparkSession, cacheDir: String): Unit = {
+    val root = new Path(cacheDir)
+    val f = fs(spark, cacheDir)
+    if (f.exists(root))
+      f.listStatus(root).filter(st => st.isDirectory && st.getPath.getName.startsWith("data="))
+        .foreach { d => if (f.listStatus(d.getPath).isEmpty) f.delete(d.getPath, false) }
+  }
+
+  /**
+   * Age-based eviction (the reference CacheDescription `expireTimeout`
+   * re-expressed for a parquet-entry cache): drop every COMPLETE entry
+   * whose newest file is older than `olderThanMs` (None → all of
+   * them), plus orphaned populate staging dirs past the same cutoff (a
+   * crash between write and rename leaves one; sweeping live stages
+   * would race an in-flight populate, so only aged ones go). Returns
+   * (entries removed, bytes removed). An unattended dashboard tier
+   * otherwise accretes dead `data=<key>` generations forever — this is
+   * the statement a janitor cron runs.
+   */
+  def vacuum(spark: SparkSession, cacheDir: String, olderThanMs: Option[Long]): (Long, Long) = {
+    val f = fs(spark, cacheDir)
+    val cutoff = System.currentTimeMillis() - olderThanMs.getOrElse(0L)
+    var n = 0L
+    var bytes = 0L
+    entries(spark, cacheDir).foreach { case (dir, mtime, len) =>
+      if (mtime < cutoff) { bytes += len; n += 1L; f.delete(dir, true); () }
+    }
+    // aged orphan stages (dot-prefixed — invisible to entries/inventory)
+    val root = new Path(cacheDir)
+    if (f.exists(root))
+      f.listStatus(root).filter(st => st.isDirectory && st.getPath.getName.startsWith("data="))
+        .foreach { d =>
+          f.listStatus(d.getPath)
+            .filter(st => st.isDirectory && st.getPath.getName.startsWith(".populate_"))
+            .filter(st => entryMtime(f, st.getPath) < cutoff)
+            .foreach(st => f.delete(st.getPath, true))
+        }
+    sweepEmptyDataDirs(spark, cacheDir)
+    (n, bytes)
+  }
+
+  /** Oldest-first eviction until the cache's total bytes fit
+    * `maxBytes`; `keep` (the entry just populated) is never evicted. */
+  private def enforceBound(
+      spark: SparkSession, cacheDir: String, maxBytes: Long, keep: String): Unit = {
+    val f = fs(spark, cacheDir)
+    // listStatus returns QUALIFIED paths (scheme + authority); qualify
+    // `keep` the same way or the just-written entry never matches and
+    // gets evicted out from under its own read-back
+    val keepQ = f.makeQualified(new Path(keep))
+    val all = entries(spark, cacheDir)
+    var total = all.map(_._3).sum
+    val it = all.iterator
+    while (total > maxBytes && it.hasNext) {
+      val (dir, _, len) = it.next()
+      if (dir != keepQ) {
+        f.delete(dir, true)
+        total -= len
+      }
+    }
+    sweepEmptyDataDirs(spark, cacheDir)
+  }
 
   /** Drop every entry of one data version — the UPSERT/rollup-refresh
     * maintenance hook: the new version's keys differ anyway, this

@@ -1,6 +1,6 @@
 package graft.functions.expressions
 
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType}
@@ -80,6 +80,27 @@ object VectorOps {
     }
     bestD
   }
+
+  /**
+   * Static kernel for OCCUPANCY-BOUNDED cell splitting: when `cell` has
+   * a local sub-quantizer in `tables` (it was overfull at assignment
+   * time), return the `probes` nearest sub-cell indices of that cell's
+   * OWN table (ties → lowest index, the [[nearestK]] order); otherwise
+   * the single sub-cell 0 (unsplit cells have exactly one sub-cell).
+   * The map holds tables only for the few overfull cells, so the
+   * common-case row pays one hash lookup and allocates a shared
+   * singleton.
+   */
+  def subCells(
+      cell: Int,
+      v: ArrayData,
+      tables: java.util.HashMap[Integer, Array[Array[Float]]],
+      probes: Int): ArrayData = {
+    val t = tables.get(cell)
+    if (t == null) SubZero else nearestK(v, t, probes)
+  }
+
+  private val SubZero: ArrayData = new GenericArrayData(Array(0))
 
   /** Static kernel: `probes` nearest centroid indices, ascending by (distance, index). */
   def nearestK(v: ArrayData, centroids: Array[Array[Float]], probes: Int): ArrayData = {
@@ -539,6 +560,43 @@ case class NearestCellsHierBcast(
 
   override protected def withNewChildInternal(newChild: Expression): NearestCellsHierBcast =
     copy(child = newChild)
+}
+
+/**
+ * Sub-cell probe list for OCCUPANCY-BOUNDED assignment
+ * ([[VectorOps.subCells]]): `(cell, vec) → probes` nearest sub-cells of
+ * `cell`'s local sub-quantizer, or `[0]` when the cell was never split.
+ * The split-table map (only the overfull cells) rides as a broadcast
+ * handle — same discipline as the other Bcast expressions: tasks ship
+ * bytes, executors fetch blocks once, codegen resolves `.value()` into
+ * an instance field so the per-row path is one map probe.
+ */
+case class SubCellsBcast(
+    left: Expression,  // cell id (int)
+    right: Expression, // vector (array<float>)
+    bc: org.apache.spark.broadcast.Broadcast[java.util.HashMap[Integer, Array[Array[Float]]]],
+    probes: Int
+) extends BinaryExpression {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "graft_sub_cells_bcast"
+
+  @transient private lazy val tables: java.util.HashMap[Integer, Array[Array[Float]]] = bc.value
+
+  override protected def nullSafeEval(cell: Any, vec: Any): Any =
+    VectorOps.subCells(cell.asInstanceOf[Int], vec.asInstanceOf[ArrayData], tables, probes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bcRef = ctx.addReferenceObj("bcSplit", bc, "org.apache.spark.broadcast.Broadcast")
+    val tbl = ctx.addMutableState("java.util.HashMap", "bcSplitVal",
+      v => s"$v = (java.util.HashMap) $bcRef.value();")
+    nullSafeCodeGen(ctx, ev, (c, v) =>
+      s"${ev.value} = graft.functions.expressions.VectorOps.subCells($c, $v, $tbl, $probes);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SubCellsBcast =
+    copy(left = newLeft, right = newRight)
 }
 
 /** [[PqEncode]] with broadcast codebooks. */

@@ -7,7 +7,7 @@ import org.apache.spark.sql.graftbridge.{ColumnBridge => ExpressionUtils}
 import org.apache.spark.sql.functions._
 
 import graft.functions.expressions.{NearestCellsHierBcast, NearestCentroidBcast,
-  NearestCentroidDistBcast, NearestCentroidsBcast, PqEncodeBcast}
+  NearestCentroidDistBcast, NearestCentroidsBcast, PqEncodeBcast, SubCellsBcast}
 
 /**
  * Approximate-nearest-neighbor search over an embedding column
@@ -487,87 +487,289 @@ object Ann {
       hierP2: Int = 2,
       trainSample: Long = 20000L,
       knownCount: Long = -1L, // corpus size if the caller already counted (skips a pass)
-      centroids: Array[Array[Float]] = null // pre-trained flat quantizer; skips ivfTrain
+      centroids: Array[Array[Float]] = null, // pre-trained flat quantizer; skips ivfTrain
+      cellTarget: Int = 512, // sizing target per cell; splitting triggers at 4× this
+      splitProbes: Int = 2 // sub-cells probed inside a split cell (≥ split width ⇒ exhaustive)
   ): DataFrame = {
     val spark = df.sparkSession
     graft.sql.GraftFunctions.register(spark)
     graft.sql.GraftFunctions.installTopKStrategy(spark)
     val vecs = df.select(col(idCol).as("vec_id"), col(vecCol).as("embedding"))
-    // Per-vector norms are computed ONCE before the candidate join
+    // Per-vector norms are computed ONCE at assignment time
     // (sqrt(graft_dot(v, v)) — the identical sum-of-squares fold
     // CosineSimilarity runs), so each of the ~n·probes·cellSize
-    // candidates pays one dot product instead of dot + two norms:
-    // 3× fewer FLOPs on the operator's dominant stage (measured
-    // 94-114s → see BENCH_IDLE at the 140k point). dot/(na·nb) is
-    // bit-identical to graft_cosine — same accumulation order, same
-    // double sqrt — and the NaN→null guard reproduces its zero-norm /
-    // mismatch / null-element semantics (null dot ⇒ null cos).
-    if (centroids != null) {
-      // caller-supplied flat quantizer (shared across probe settings or a
-      // persisted index): skip counting + training, go straight to assignment
-      val bcC = bcastCentroids(spark, centroids)
-      val items = vecs.select(col("vec_id").as("item_id"), col("embedding").as("item_vec"))
-        .withColumn("item_n", sqrt(call_function("graft_dot", col("item_vec"), col("item_vec"))))
-        .withColumn("cell", nearestCentroidBc(col("item_vec"), bcC))
-      val queries = vecs.select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
-        .withColumn("query_n", sqrt(call_function("graft_dot", col("query_vec"), col("query_vec"))))
-        .withColumn("cell", explode(nearestCentroidsBc(col("query_vec"), bcC, probes)))
-      val scored = items.join(queries.hint("shuffle_hash"), Seq("cell"))
-        .filter(col("query_id") =!= col("item_id"))
-        .withColumn("cos", cosFromNorms(
-          col("query_vec"), col("item_vec"), col("query_n"), col("item_n")))
-        .filter(col("cos").isNotNull)
-        .select(col("query_id"), col("item_id"), col("cos"))
-      return rankTopK(scored, k)
-    }
-    val n = if (knownCount >= 0L) knownCount else vecs.count()
-    // ~512 vectors/cell (r13, from the KnnCellSweep curve — full-join
-    // wall at 140k vectors: 106s at 2048/cell, 64s at 1024, 52.7s at
-    // 512, 59.1s at 256 where the cells×dim assignment pass overtakes;
-    // 20k point: 14.3s → 4.7s; recall@5 = 1.000 at every sizing on the
-    // replica+noise corpora, and the pairs path's BoundaryRecall
-    // measured 0.99 at the same density on mixed corpora — `probes`
-    // stays the recall dial)
-    val wanted = math.max(16L, n / 512L)
-    val cands =
-      if (numCells <= 0 && wanted > 4096L) {
-        val side = math.ceil(math.sqrt(wanted.toDouble)).toInt
-        val (l1, l2) = ivfTrainHier(spark,
-          vecs.select(xxhash64(col("vec_id")).as("vec_id"), col("embedding")),
-          side, side, trainSample = trainSample, knownCount = n)
-        val bcL1 = bcastCentroids(spark, l1)
-        val bcL2 = bcastCentroids3(spark, l2)
-        val items = vecs.select(col("vec_id").as("item_id"), col("embedding").as("item_vec"))
-          .withColumn("item_n", sqrt(call_function("graft_dot", col("item_vec"), col("item_vec"))))
-          .withColumn("cell", element_at(nearestCellsHierBc(col("item_vec"), bcL1, bcL2, 1, 1), 1))
-        val queries = vecs.select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
-          .withColumn("query_n", sqrt(call_function("graft_dot", col("query_vec"), col("query_vec"))))
-          .withColumn("cell", explode(nearestCellsHierBc(col("query_vec"), bcL1, bcL2, hierP1, hierP2)))
-        items.join(queries.hint("shuffle_hash"), Seq("cell"))
+    // candidates pays one dot product instead of dot + two norms.
+    // dot/(na·nb) is bit-identical to graft_cosine — same accumulation
+    // order, same double sqrt — and the NaN→null guard reproduces its
+    // zero-norm / mismatch / null-element semantics (null dot ⇒ null
+    // cos); see [[cellTopK]] for where the arithmetic now runs.
+    def withNorms(v: DataFrame, side: String): DataFrame =
+      v.select(col("vec_id").as(s"${side}_id"), col("embedding").as(s"${side}_vec"))
+        .withColumn(s"${side}_n",
+          sqrt(call_function("graft_dot", col(s"${side}_vec"), col(s"${side}_vec"))))
+    val (items, queries) =
+      if (centroids != null) {
+        // caller-supplied flat quantizer (shared across probe settings or a
+        // persisted index): skip counting + training, go straight to assignment
+        val bcC = bcastCentroids(spark, centroids)
+        (withNorms(vecs, "item")
+           .withColumn("cell", nearestCentroidBc(col("item_vec"), bcC)),
+         withNorms(vecs, "query")
+           .withColumn("cell", explode(nearestCentroidsBc(col("query_vec"), bcC, probes))))
       } else {
-        val cells = if (numCells > 0) numCells else math.min(4096L, wanted).toInt
-        val cents = ivfTrain(spark,
-          vecs.select(xxhash64(col("vec_id")).as("vec_id"), col("embedding")),
-          numCells = cells, trainSample = trainSample, knownCount = n)
-        val bcC = bcastCentroids(spark, cents)
-        val items = vecs.select(col("vec_id").as("item_id"), col("embedding").as("item_vec"))
-          .withColumn("item_n", sqrt(call_function("graft_dot", col("item_vec"), col("item_vec"))))
-          .withColumn("cell", nearestCentroidBc(col("item_vec"), bcC))
-        val queries = vecs.select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
-          .withColumn("query_n", sqrt(call_function("graft_dot", col("query_vec"), col("query_vec"))))
-          .withColumn("cell", explode(nearestCentroidsBc(col("query_vec"), bcC, probes)))
-        items.join(queries.hint("shuffle_hash"), Seq("cell"))
+        val n = if (knownCount >= 0L) knownCount else vecs.count()
+        // ~cellTarget vectors/cell (r13, from the KnnCellSweep curve — full
+        // self-kNN wall at 140k vectors: 106s at 2048/cell, 64s at 1024,
+        // 52.7s at 512, 59.1s at 256 where the cells×dim assignment pass
+        // overtakes; recall@5 = 1.000 at every sizing on the replica+noise
+        // corpora — `probes` stays the recall dial)
+        val wanted = math.max(16L, n / cellTarget)
+        if (numCells <= 0 && wanted > 4096L) {
+          val side = math.ceil(math.sqrt(wanted.toDouble)).toInt
+          val (l1, l2) = ivfTrainHier(spark,
+            vecs.select(xxhash64(col("vec_id")).as("vec_id"), col("embedding")),
+            side, side, trainSample = trainSample, knownCount = n)
+          val bcL1 = bcastCentroids(spark, l1)
+          val bcL2 = bcastCentroids3(spark, l2)
+          (withNorms(vecs, "item")
+             .withColumn("cell", element_at(nearestCellsHierBc(col("item_vec"), bcL1, bcL2, 1, 1), 1)),
+           withNorms(vecs, "query")
+             .withColumn("cell", explode(nearestCellsHierBc(col("query_vec"), bcL1, bcL2, hierP1, hierP2))))
+        } else {
+          val cells = if (numCells > 0) numCells else math.min(4096L, wanted).toInt
+          val cents = ivfTrain(spark,
+            vecs.select(xxhash64(col("vec_id")).as("vec_id"), col("embedding")),
+            numCells = cells, trainSample = trainSample, knownCount = n)
+          val bcC = bcastCentroids(spark, cents)
+          (withNorms(vecs, "item")
+             .withColumn("cell", nearestCentroidBc(col("item_vec"), bcC)),
+           withNorms(vecs, "query")
+             .withColumn("cell", explode(nearestCentroidsBc(col("query_vec"), bcC, probes))))
+        }
       }
-    val scored = cands
-      .filter(col("query_id") =!= col("item_id"))
-      .withColumn("cos", cosFromNorms(
-        col("query_vec"), col("item_vec"), col("query_n"), col("item_n")))
-      .filter(col("cos").isNotNull) // zero-norm vectors never rank
-      // a query probing p cells can meet the same item at most once per
-      // cell only when the item sits in one cell — it does (items keep
-      // their single nearest cell), so no distinct is needed
-      .select(col("query_id"), col("item_id"), col("cos"))
-    rankTopK(scored, k)
+    val bounded = boundOccupancy(spark, items, queries, cellTarget, splitProbes)
+    rankTopK(cellTopK(spark, bounded.items, bounded.queries, k), k)
+  }
+
+  // ---- occupancy-bounded cell keys + the per-cell top-k kernel ----
+
+  /** Sub-cell id width in the combined key (cap on how many sub-cells a
+    * split can produce) and salt width (cap on hash salts per sub-cell).
+    * cell ≤ 2^31, sub < 2^12, salt < 2^10 ⇒ key < 2^53: exact in Long. */
+  private[graft] val SubWidth = 4096L
+  private[graft] val SaltWidth = 1024L
+
+  private[graft] final case class BoundedSides(
+      items: DataFrame,   // ckey:Long, item_id, item_vec, item_n
+      queries: DataFrame, // ckey:Long, query_id, query_vec, query_n
+      splitCells: Int,    // cells that got a local sub-quantizer
+      saltedKeys: Int)    // sub-cells that additionally got hash salts
+
+  /**
+   * OCCUPANCY-BOUNDED cell keys — the guard that keeps a clustered
+   * corpus from making the cell-partitioned kNN join cluster-quadratic
+   * (the r14 2.2M-replica watch item: 1-3 fine cells absorbing 3-5
+   * distinct 1100-replica clusters each → 3300-5500-item cells against
+   * a ~512 target, candidates ∝ Σ|cell|²).
+   *
+   * Tier 1 — SPLIT: cells whose occupancy exceeds 4× `cellTarget` get a
+   * LOCAL sub-quantizer (one executor-side Lloyd per overfull cell over
+   * that cell's own deterministic sample — the [[trainFineDistributed]]
+   * discipline), sized ⌈occ/cellTarget⌉ sub-cells. Distinct clusters
+   * that the global quantizer failed to resolve separate cleanly (they
+   * are far apart in the cell's own geometry), so items meet only their
+   * own cluster: the multi-cluster packing term of the candidate volume
+   * drops to ~Σ(cluster sizes²) with ~no recall cost. Queries probe
+   * `splitProbes` sub-cells to cover boundary candidates.
+   *
+   * Tier 2 — SALT: a sub-cell STILL above the threshold is a
+   * geometrically unsplittable mass (near/exact duplicates — Lloyd
+   * cannot separate identical points). Its candidate volume is
+   * irreducible for exact-id top-k (every member must be compared
+   * against every other to name the exact k nearest), but the per-TASK
+   * occupancy is hard-bounded here by hash-salting items across
+   * ⌈occ/threshold⌉ salts; queries probe every salt of that sub-cell.
+   * Volume is unchanged (it is the task, not overhead) — memory and
+   * parallelism stop degenerating with cluster size.
+   *
+   * Cost: one narrow occupancy aggregation always; the split training
+   * pass + a second occupancy aggregation only when an overfull cell
+   * exists. All collects are bounded (≤ one row per cell / sub-cell
+   * over threshold).
+   */
+  private[graft] def boundOccupancy(
+      spark: SparkSession,
+      items: DataFrame,    // cell:Int, item_id, item_vec, item_n
+      queries: DataFrame,  // cell:Int, query_id, query_vec, query_n
+      cellTarget: Int,
+      splitProbes: Int = 2,
+      lloydIters: Int = 5): BoundedSides = {
+    import spark.implicits._
+    val threshold = 4L * cellTarget
+    val overfull: Map[Int, Long] = items.groupBy(col("cell")).agg(count(lit(1)).as("ic"))
+      .filter(col("ic") > threshold)
+      .as[(Int, Long)].collect().toMap
+    if (overfull.isEmpty) {
+      return BoundedSides(
+        items.withColumn("ckey", col("cell").cast("long")).drop("cell"),
+        queries.withColumn("ckey", col("cell").cast("long")).drop("cell"), 0, 0)
+    }
+    // per-cell sub-quantizer width: one sub-cell per cellTarget members
+    val subCount: Map[Int, Int] = overfull.map { case (c, occ) =>
+      c -> math.max(2, math.min(SubWidth - 1L, (occ + cellTarget - 1) / cellTarget).toInt)
+    }
+    // deterministic per-cell training sample: 64·s per cell ⇒ a
+    // cell-independent rate of ~64/cellTarget (s ≈ occ/cellTarget), so
+    // one corpus-wide hash filter feeds every cell's Lloyd
+    val permille = math.min(10000L, math.max(1L, 10000L * 64L / cellTarget))
+    val sampled = items
+      .filter(col("cell").isInCollection(subCount.keys.toSeq))
+      .filter(if (permille >= 10000L) lit(true)
+              else pmod(xxhash64(col("item_id"), lit(17)), lit(10000L)) < lit(permille))
+      .select(col("cell"), xxhash64(col("item_id"), lit(13)).as("hk"),
+        col("item_id"), col("item_vec"))
+      .as[(Int, Long, Long, Seq[Float])]
+    val trained: Array[(Int, Seq[Seq[Float]])] = sampled
+      .groupByKey(_._1)
+      // sorted groups pin the take order (the trainFineDistributed rule)
+      .flatMapSortedGroups($"hk", $"item_id") { (cell, it) =>
+        val s = subCount(cell)
+        val taken = it.take(64 * s).map(t => (t._3, t._4.toArray)).toArray
+        java.util.Arrays.sort(taken, Ordering.by((t: (Long, Array[Float])) => t._1))
+        Iterator.single((cell,
+          lloydOn(taken, s, lloydIters, parallelAssign = false).map(_.toSeq).toSeq))
+      }
+      .collect()
+    val splitMap = new java.util.HashMap[Integer, Array[Array[Float]]]()
+    trained.foreach { case (c, t) => splitMap.put(c, t.map(_.toArray).toArray) }
+    val bcSplit = spark.sparkContext.broadcast(splitMap)
+    val itemsSub = items.withColumn("ckey",
+        col("cell").cast("long") * SubWidth +
+          element_at(subCellsBc(col("cell"), col("item_vec"), bcSplit, 1), 1).cast("long"))
+      .drop("cell")
+    val queriesSub = queries.withColumn("sub",
+        explode(subCellsBc(col("cell"), col("query_vec"), bcSplit, splitProbes)))
+      .withColumn("ckey", col("cell").cast("long") * SubWidth + col("sub").cast("long"))
+      .drop("cell", "sub")
+    val salted: Map[Long, Int] = itemsSub.groupBy(col("ckey")).agg(count(lit(1)).as("ic"))
+      .filter(col("ic") > threshold)
+      .as[(Long, Long)].collect().map { case (k0, occ) =>
+        k0 -> math.max(2, math.min(SaltWidth - 1L, (occ + threshold - 1) / threshold).toInt)
+      }.toMap
+    if (salted.isEmpty)
+      return BoundedSides(itemsSub, queriesSub, splitMap.size, 0)
+    val saltsLit = typedlit(salted) // bounded literal: one entry per salted sub-cell
+    val itemsOut = itemsSub.withColumn("ckey",
+      col("ckey") * SaltWidth +
+        when(element_at(saltsLit, col("ckey")).isNull, lit(0L))
+          .otherwise(pmod(xxhash64(col("item_id"), lit(19)),
+            element_at(saltsLit, col("ckey")).cast("long"))))
+    val queriesOut = queriesSub
+      .withColumn("salt", explode(sequence(lit(0L),
+        coalesce(element_at(saltsLit, col("ckey")), lit(1)).cast("long") - 1L)))
+      .withColumn("ckey", col("ckey") * SaltWidth + col("salt"))
+      .drop("salt")
+    BoundedSides(itemsOut, queriesOut, splitMap.size, salted.size)
+  }
+
+  private[graft] def subCellsBc(
+      cell: Column, vec: Column,
+      bc: Broadcast[java.util.HashMap[Integer, Array[Array[Float]]]], probes: Int): Column =
+    ExpressionUtils.column(SubCellsBcast(
+      ExpressionUtils.expression(cell), ExpressionUtils.expression(vec), bc, probes))
+
+  /**
+   * Per-cell EXACT top-k kernel: cogroup items and queries on the
+   * bounded cell key and scan each cell's items once per prober with a
+   * k-slot insertion heap — the same candidates the former
+   * shuffle-hash join + window materialized, WITHOUT materializing
+   * them as rows. The join shape paid ~127 ns per candidate in row
+   * plumbing (r14 HierCandCount attribution: 3.74e9 candidates = the
+   * whole 481 s wall); here a candidate is one primitive-array dot
+   * product inside a tight loop, and only ≤k rows per (query, probed
+   * cell) ever reach the shuffle that follows.
+   *
+   * Bit-identical to the join formulation: the dot is the same
+   * sequential double accumulation as graft_dot's codegen, norms are
+   * the same shipped sqrt(graft_dot(v,v)) doubles, cos = dot/(qn·in)
+   * with try_divide's zero-denominator → null and the NaN → null guard
+   * ([[cosFromNorms]]) reproduced as skips, and the k-slot order is
+   * rankTopK's (cos desc, item_id asc) — a total order, so the result
+   * is deterministic under any iteration order. Rows whose norm is
+   * NULL (null elements in the vector) are filtered up front — every
+   * cos they produced was null and the join path dropped them too.
+   *
+   * The global top-k then merges the ≤ probes·k survivors per query
+   * ([[rankTopK]]), exactly as before — the true top-k within the
+   * probed candidate set survives per-cell top-k selection under the
+   * same total order, so kernel + merge ≡ join + window, row for row.
+   */
+  private[graft] def cellTopK(
+      spark: SparkSession,
+      items: DataFrame,   // ckey, item_id, item_vec, item_n
+      queries: DataFrame, // ckey, query_id, query_vec, query_n
+      k: Int): DataFrame = {
+    import spark.implicits._
+    require(k >= 1, s"k must be >= 1, got $k")
+    val its = items.filter(col("item_n").isNotNull)
+      .select(col("ckey"), col("item_id"), col("item_vec"), col("item_n"))
+      .as[(Long, Long, Array[Float], Double)]
+    val qs = queries.filter(col("query_n").isNotNull)
+      .select(col("ckey"), col("query_id"), col("query_vec"), col("query_n"))
+      .as[(Long, Long, Array[Float], Double)]
+    its.groupByKey(_._1).cogroup(qs.groupByKey(_._1)) { (_, itIt, qIt) =>
+      if (!qIt.hasNext) Iterator.empty
+      else {
+        val buf = itIt.toArray
+        if (buf.isEmpty) Iterator.empty
+        else {
+          val m = buf.length
+          val ids = new Array[Long](m)
+          val vecs = new Array[Array[Float]](m)
+          val nrms = new Array[Double](m)
+          var i = 0
+          while (i < m) {
+            val t = buf(i); ids(i) = t._2; vecs(i) = t._3; nrms(i) = t._4; i += 1
+          }
+          qIt.flatMap { case (_, qid, qv, qn) =>
+            val topCos = new Array[Double](k)
+            val topId = new Array[Long](k)
+            var cnt = 0
+            var x = 0
+            while (x < m) {
+              val iid = ids(x)
+              if (iid != qid) {
+                val iv = vecs(x)
+                if (iv.length == qv.length) {
+                  val den = qn * nrms(x) // try_divide: zero denominator → null → skip
+                  if (den != 0.0) {
+                    var dot = 0.0
+                    var j = 0
+                    val d = iv.length
+                    while (j < d) { dot += qv(j).toDouble * iv(j).toDouble; j += 1 }
+                    val c = dot / den
+                    if (c == c) { // NaN → null → skip (cosFromNorms's guard)
+                      if (cnt < k || c > topCos(cnt - 1) ||
+                          (c == topCos(cnt - 1) && iid < topId(cnt - 1))) {
+                        var pos = if (cnt < k) cnt else k - 1
+                        while (pos > 0 && (c > topCos(pos - 1) ||
+                            (c == topCos(pos - 1) && iid < topId(pos - 1)))) {
+                          topCos(pos) = topCos(pos - 1); topId(pos) = topId(pos - 1); pos -= 1
+                        }
+                        topCos(pos) = c; topId(pos) = iid
+                        if (cnt < k) cnt += 1
+                      }
+                    }
+                  }
+                }
+              }
+              x += 1
+            }
+            Iterator.tabulate(cnt)(y => (qid, topId(y), topCos(y)))
+          }
+        }
+      }
+    }.toDF("query_id", "item_id", "cos")
   }
 
   /**

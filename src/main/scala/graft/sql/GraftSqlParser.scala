@@ -34,6 +34,10 @@ import org.apache.spark.sql.types.{DataType, DoubleType, LongType, StringType, S
  *   SHOW VECTOR INDEX FOR '<index-path>'
  *   SHOW RESULT CACHE '<cache-dir>'
  *   INVALIDATE RESULT CACHE '<cache-dir>' [DATA '<data-key>']
+ *   VACUUM RESULT CACHE '<cache-dir>' [OLDER THAN <n> SECONDS|MINUTES|HOURS|DAYS]
+ *   GRANT READ|WRITE ON TABLE <table-or-'path'> TO USER '<name>'
+ *   REVOKE READ|WRITE ON TABLE <table-or-'path'> FROM USER '<name>'
+ *   SHOW GRANTS [FOR USER '<name>']
  *   ADMIT VECTORS '<shard>' FROM <table> INTO '<index-path>'
  *   PROMOTE VECTOR INDEX DELTA '<index-path>'
  *   SHOW VERSION
@@ -121,6 +125,23 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface) extends P
       case ShowVectorIndexRe(index) => ShowVectorIndexCommand(index)
       case ShowResultCacheRe(dir) => ShowResultCacheCommand(dir)
       case InvalidateResultCacheRe(dir, key) => InvalidateResultCacheCommand(dir, Option(key))
+      case VacuumResultCacheRe(dir, n, unit) =>
+        VacuumResultCacheCommand(dir, Option(n).map { num =>
+          val ms = unit.toUpperCase(java.util.Locale.ROOT) match {
+            case u if u.startsWith("SECOND") => 1000L
+            case u if u.startsWith("MINUTE") => 60000L
+            case u if u.startsWith("HOUR") => 3600000L
+            case _ => 86400000L
+          }
+          num.toLong * ms
+        })
+      case GrantTableRe(action, quoted, ident, user) =>
+        GrantTableCommand(action.toUpperCase(java.util.Locale.ROOT),
+          Option(quoted).getOrElse(ident), user)
+      case RevokeTableRe(action, quoted, ident, user) =>
+        RevokeTableCommand(action.toUpperCase(java.util.Locale.ROOT),
+          Option(quoted).getOrElse(ident), user)
+      case ShowGrantsRe(user) => ShowGrantsCommand(Option(user))
       case AdmitVectorsRe(shard, table, index) => AdmitVectorsCommand(shard, table, index)
       case PromoteVectorDeltaRe(index) => PromoteVectorIndexDeltaCommand(index)
       case ShowVersionRe() => ShowVersionCommand()
@@ -203,6 +224,19 @@ object GraftSqlParser {
     """(?is)SHOW\s+RESULT\s+CACHE\s+'([^']+)'\s*;?""".r
   private val InvalidateResultCacheRe =
     """(?is)INVALIDATE\s+RESULT\s+CACHE\s+'([^']+)'(?:\s+DATA\s+'([^']+)')?\s*;?""".r
+  private val VacuumResultCacheRe =
+    """(?is)VACUUM\s+RESULT\s+CACHE\s+'([^']+)'(?:\s+OLDER\s+THAN\s+(\d+)\s+(SECONDS?|MINUTES?|HOURS?|DAYS?))?\s*;?""".r
+  // per-table grants (reference auth/PermissionService.scala
+  // Permission[Option[String], Action] — a grant scoped to ONE table
+  // name; graft's role matrix stays the all-tables default and grants
+  // ELEVATE it). The table token is an identifier or a quoted path
+  // (index/model maintenance verbs authorize against their path).
+  private val GrantTableRe =
+    """(?is)GRANT\s+(READ|WRITE)\s+ON\s+TABLE\s+(?:'([^']+)'|([A-Za-z_][A-Za-z0-9_.]*))\s+TO\s+USER\s+'([^']*)'\s*;?""".r
+  private val RevokeTableRe =
+    """(?is)REVOKE\s+(READ|WRITE)\s+ON\s+TABLE\s+(?:'([^']+)'|([A-Za-z_][A-Za-z0-9_.]*))\s+FROM\s+USER\s+'([^']*)'\s*;?""".r
+  private val ShowGrantsRe =
+    """(?is)SHOW\s+GRANTS(?:\s+FOR\s+USER\s+'([^']*)')?\s*;?""".r
 
   /** Session conf naming the result-cache root ([[graft.core.ResultCache]]);
     * when set, UPSERT statements reclaim the pre-append version's entries. */
@@ -902,11 +936,12 @@ object GraftAuth {
 
   sealed trait Subject
   /** A data table (or an index/model path for maintenance verbs).
-    * `name` is RESERVED: the reference's Permission model scopes table
-    * grants per-name (Permission[Option[String], Action]) but every
-    * shipped role grants All-tables, so [[permits]] does not consult it
-    * yet — call sites still label their object for the day per-table
-    * ACLs land (and for the denial message's audit trail). */
+    * `name` is the reference Permission model's per-table scope
+    * (Permission[Option[String], Action]): the role matrix grants
+    * all-tables as before, and a named table can ADDITIONALLY be
+    * granted per-user (GRANT READ|WRITE ON TABLE … TO USER …,
+    * [[UserRegistry.grant]]) — [[check]] consults those grants when
+    * the matrix denies. */
   case class Table(name: Option[String]) extends Subject
   case object Users extends Subject
   case object Metadata extends Subject
@@ -917,7 +952,7 @@ object GraftAuth {
     spark.conf.getOption(UserConfKey).map(_.trim).filter(_.nonEmpty) match {
       case None => ("anonymous", "ADMIN")
       case Some(name) =>
-        UserRegistry.roleOf(name) match {
+        UserRegistry.roleOf(spark, name) match {
           case Some(role) => (name, role)
           case None => throw new SecurityException("Invalid user or password")
         }
@@ -944,17 +979,55 @@ object GraftAuth {
       case _ => false // DISABLED (and anything unknown) may do nothing
     }
 
-  /** The enforcement point every statement's run() calls first. */
+  /** The enforcement point every statement's run() calls first: the
+    * role matrix, elevated by per-table grants on a named table
+    * (reference Permission[Option[String], Action] — a grant names ONE
+    * table; the matrix is the Permission(None, …) all-tables row). */
   def check(spark: SparkSession, subject: Subject, action: Action): Unit = {
     val (name, role) = currentUser(spark)
-    if (!permits(role, subject, action))
+    val granted = subject match {
+      case Table(Some(t)) =>
+        UserRegistry.hasGrant(name, t, if (action == Write) "WRITE" else "READ")
+      case _ => false
+    }
+    if (!permits(role, subject, action) && !granted)
       throw new SecurityException(s"User $name doesn't have enough permissions")
   }
 }
 
+/**
+ * User + grant registry, optionally PERSISTENT (reference
+ * UserManager.scala + dao/UserDao.scala persist users in the TSDB's
+ * own store; graft persists to one small control-plane file named by
+ * the session conf [[UserRegistry.StorePathKey]]). Unset conf → the
+ * r11 behavior: a per-JVM in-memory registry. Set → the file is
+ * AUTHORITATIVE: every statement syncs from it first (a cheap
+ * FileStatus stat; reload only when the (mtime, length) signature
+ * moved), every mutation writes a full staged snapshot and publishes
+ * it with an atomic overwrite rename — so CREATE USER survives a
+ * restart and propagates across sessions/processes sharing the path.
+ * The snapshot is tiny (one line per user/grant) and goes through the
+ * Hadoop filesystem of the path, so shared deployments point it at
+ * shared storage. Concurrent writers are last-snapshot-wins — the
+ * reference delegates this to its DB; a control-plane file keeps the
+ * zero-dependency scope documented in the r11 note below.
+ *
+ * Passwords remain deliberately NOT stored (see the r11 note above:
+ * graft's wire protocols carry their own auth); the store therefore
+ * holds (name, role) rows plus per-table GRANTS — the reference's
+ * Permission[Option[String], Action] scoped grants
+ * (PermissionService.scala), consulted by [[GraftAuth.check]] as an
+ * additive elevation over the role matrix.
+ */
 object UserRegistry {
   val Roles: Seq[String] = Seq("DISABLED", "READ_ONLY", "READ_WRITE", "ADMIN")
+  /** Session conf naming the persistent store file; unset = in-memory only. */
+  val StorePathKey = "graft.sql.userStore.path"
   private val users = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  // name -> set of (subject-lowercased, "READ"|"WRITE")
+  private val grants = new java.util.concurrent.ConcurrentHashMap[String, Set[(String, String)]]()
+  // (path, mtime, length) of the snapshot last loaded into memory
+  @volatile private var loadedSig: Option[(String, Long, Long)] = None
 
   private def normRole(role: Option[String]): String = {
     val r = role.map(_.toUpperCase(java.util.Locale.ROOT)).getOrElse("DISABLED")
@@ -962,30 +1035,162 @@ object UserRegistry {
       throw new IllegalArgumentException(s"Invalid role name '${role.get}'")
     r
   }
+
+  private def storePath(spark: SparkSession): Option[String] =
+    spark.conf.getOption(StorePathKey).map(_.trim).filter(_.nonEmpty)
+
+  private def fs(spark: SparkSession, p: org.apache.hadoop.fs.Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  // names can in principle carry the field separator — escape it
+  private def esc(s: String): String = s.flatMap {
+    case '\\' => "\\\\"; case '\t' => "\\t"; case '\n' => "\\n"; case '\r' => "\\r"
+    case c => c.toString
+  }
+  private def unesc(s: String): String = {
+    val b = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case '\\' => b += '\\'; case 't' => b += '\t'; case 'n' => b += '\n'; case 'r' => b += '\r'
+          case o => b += o
+        }
+        i += 2
+      } else { b += c; i += 1 }
+    }
+    b.toString
+  }
+
+  /** Reload from the bound store when its (mtime, length) signature
+    * moved — the read path every statement enters through. */
+  def sync(spark: SparkSession): Unit = storePath(spark).foreach { path =>
+    this.synchronized {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val f = fs(spark, p)
+      val sig =
+        if (f.exists(p)) {
+          val st = f.getFileStatus(p)
+          (path, st.getModificationTime, st.getLen)
+        } else (path, -1L, -1L)
+      if (!loadedSig.contains(sig)) {
+        users.clear(); grants.clear()
+        if (sig._2 >= 0L) {
+          val in = new java.io.BufferedReader(
+            new java.io.InputStreamReader(f.open(p), java.nio.charset.StandardCharsets.UTF_8))
+          try {
+            var line = in.readLine()
+            while (line != null) {
+              line.split('\t') match {
+                case Array("U", n, r) => users.put(unesc(n), r)
+                case Array("G", n, t, a) =>
+                  val u = unesc(n)
+                  grants.merge(u, Set((unesc(t), a)), (a0, b0) => a0 ++ b0)
+                case _ => () // unknown row kind: forward-compat skip
+              }
+              line = in.readLine()
+            }
+          } finally in.close()
+        }
+        loadedSig = Some(sig)
+      }
+    }
+  }
+
+  /** Write the full snapshot, staged + atomic overwrite rename. */
+  private def persist(spark: SparkSession): Unit = storePath(spark).foreach { path =>
+    this.synchronized {
+      import scala.jdk.CollectionConverters._
+      val p = new org.apache.hadoop.fs.Path(path)
+      val f = fs(spark, p)
+      val stage = new org.apache.hadoop.fs.Path(
+        path + ".tmp-" + java.util.UUID.randomUUID().toString.take(8))
+      val out = f.create(stage, true)
+      try {
+        val sb = new StringBuilder
+        users.asScala.toSeq.sortBy(_._1).foreach { case (n, r) =>
+          sb.append("U\t").append(esc(n)).append('\t').append(r).append('\n') }
+        grants.asScala.toSeq.sortBy(_._1).foreach { case (n, gs) =>
+          gs.toSeq.sorted.foreach { case (t, a) =>
+            sb.append("G\t").append(esc(n)).append('\t').append(esc(t)).append('\t').append(a).append('\n') } }
+        out.write(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      } finally out.close()
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        p.toUri, spark.sparkContext.hadoopConfiguration)
+      fc.rename(stage, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      val st = f.getFileStatus(p)
+      loadedSig = Some((path, st.getModificationTime, st.getLen))
+    }
+  }
+
   /** Reference UserManager.createUser: default role DISABLED, "User
     * already exists" on a duplicate name. */
-  def create(name: String, role: Option[String]): Unit = {
+  def create(spark: SparkSession, name: String, role: Option[String]): Unit = {
+    sync(spark)
     val r = normRole(role)
     if (users.putIfAbsent(name, r) != null)
       throw new IllegalArgumentException("User already exists")
+    persist(spark)
   }
   /** Reference UserManager.updateUser: "User not found" when absent;
     * a password-only ALTER validates the name but changes nothing
     * stored (no password store — see the object doc). */
-  def update(name: String, role: Option[String]): Unit = {
+  def update(spark: SparkSession, name: String, role: Option[String]): Unit = {
+    sync(spark)
     val r = role.map(x => normRole(Some(x)))
     val prev = users.computeIfPresent(name, (_, old) => r.getOrElse(old))
     if (prev == null) throw new IllegalArgumentException("User not found")
+    persist(spark)
   }
-  def drop(name: String): Unit =
+  def drop(spark: SparkSession, name: String): Unit = {
+    sync(spark)
     if (users.remove(name) == null) throw new IllegalArgumentException("User not found")
-  def list(): Seq[(String, String)] = {
+    grants.remove(name)
+    persist(spark)
+  }
+  def list(spark: SparkSession): Seq[(String, String)] = {
+    sync(spark)
     import scala.jdk.CollectionConverters._
     users.asScala.toSeq.sortBy(_._1)
   }
   /** The role of a registered user ([[GraftAuth]]'s lookup). */
-  def roleOf(name: String): Option[String] = Option(users.get(name))
-  def clear(): Unit = users.clear()
+  def roleOf(spark: SparkSession, name: String): Option[String] = {
+    sync(spark)
+    Option(users.get(name))
+  }
+
+  /** Add a per-table grant (idempotent). The grantee must exist. */
+  def grant(spark: SparkSession, name: String, table: String, action: String): Unit = {
+    sync(spark)
+    if (!users.containsKey(name)) throw new IllegalArgumentException("User not found")
+    grants.merge(name, Set((table.toLowerCase(java.util.Locale.ROOT), action)), (a, b) => a ++ b)
+    persist(spark)
+  }
+  /** Remove a per-table grant; "Grant not found" when absent. */
+  def revoke(spark: SparkSession, name: String, table: String, action: String): Unit = {
+    sync(spark)
+    val key = (table.toLowerCase(java.util.Locale.ROOT), action)
+    val cur = grants.getOrDefault(name, Set.empty)
+    if (!cur.contains(key)) throw new IllegalArgumentException("Grant not found")
+    val next = cur - key
+    if (next.isEmpty) grants.remove(name) else grants.put(name, next)
+    persist(spark)
+  }
+  /** Does `name` hold a grant covering (table, action)? No sync — the
+    * auth path syncs once via [[roleOf]] before consulting grants. */
+  def hasGrant(name: String, table: String, action: String): Boolean =
+    grants.getOrDefault(name, Set.empty)
+      .contains((table.toLowerCase(java.util.Locale.ROOT), action))
+  def listGrants(spark: SparkSession, user: Option[String]): Seq[(String, String, String)] = {
+    sync(spark)
+    import scala.jdk.CollectionConverters._
+    grants.asScala.toSeq
+      .filter(kv => user.forall(_ == kv._1))
+      .flatMap { case (n, gs) => gs.toSeq.map { case (t, a) => (n, t, a) } }
+      .sorted
+  }
+  def clear(): Unit = { users.clear(); grants.clear(); loadedSig = None }
 }
 
 /** SHOW USERS — (name, role) rows, name-sorted (reference
@@ -996,7 +1201,7 @@ case class ShowUsersCommand() extends LeafRunnableCommand {
     Seq(attr("name", StringType), attr("role", StringType))
   override def run(spark: SparkSession): Seq[Row] = {
     GraftAuth.check(spark, GraftAuth.Users, GraftAuth.Read)
-    UserRegistry.list().map { case (n, r) => Row(n, r) }
+    UserRegistry.list(spark).map { case (n, r) => Row(n, r) }
   }
 }
 
@@ -1009,7 +1214,7 @@ case class CreateUserCommand(name: String, hadPassword: Boolean, role: Option[St
   override val output: Seq[Attribute] = Seq(attr("status", StringType))
   override def run(spark: SparkSession): Seq[Row] = {
     GraftAuth.check(spark, GraftAuth.Users, GraftAuth.Write)
-    UserRegistry.create(name, role)
+    UserRegistry.create(spark, name, role)
     Seq(Row("OK"))
   }
 }
@@ -1022,7 +1227,7 @@ case class AlterUserCommand(name: String, hadPassword: Boolean, role: Option[Str
   override val output: Seq[Attribute] = Seq(attr("status", StringType))
   override def run(spark: SparkSession): Seq[Row] = {
     GraftAuth.check(spark, GraftAuth.Users, GraftAuth.Write)
-    UserRegistry.update(name, role)
+    UserRegistry.update(spark, name, role)
     Seq(Row("OK"))
   }
 }
@@ -1065,8 +1270,68 @@ case class DropUserCommand(name: String) extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(attr("status", StringType))
   override def run(spark: SparkSession): Seq[Row] = {
     GraftAuth.check(spark, GraftAuth.Users, GraftAuth.Write)
-    UserRegistry.drop(name)
+    UserRegistry.drop(spark, name)
     Seq(Row("OK"))
+  }
+}
+
+/** GRANT READ|WRITE ON TABLE <t> TO USER '<name>' — a per-table
+  * elevation over the role matrix (reference
+  * Permission[Option[String], Action]); granting is a user-management
+  * write, so ADMIN-only, like the reference's user mutations. */
+case class GrantTableCommand(action: String, table: String, user: String)
+    extends LeafRunnableCommand {
+  import GraftSqlParser.attr
+  override val output: Seq[Attribute] = Seq(attr("status", StringType))
+  override def run(spark: SparkSession): Seq[Row] = {
+    GraftAuth.check(spark, GraftAuth.Users, GraftAuth.Write)
+    UserRegistry.grant(spark, user, table, action)
+    Seq(Row("OK"))
+  }
+}
+
+/** REVOKE READ|WRITE ON TABLE <t> FROM USER '<name>' — "Grant not
+  * found" when the exact (table, action) grant is absent. */
+case class RevokeTableCommand(action: String, table: String, user: String)
+    extends LeafRunnableCommand {
+  import GraftSqlParser.attr
+  override val output: Seq[Attribute] = Seq(attr("status", StringType))
+  override def run(spark: SparkSession): Seq[Row] = {
+    GraftAuth.check(spark, GraftAuth.Users, GraftAuth.Write)
+    UserRegistry.revoke(spark, user, table, action)
+    Seq(Row("OK"))
+  }
+}
+
+/** SHOW GRANTS [FOR USER '<name>'] — (name, table, action) rows,
+  * sorted; reads of the user surface need the Users Read permission
+  * (ADMIN), matching SHOW USERS. */
+case class ShowGrantsCommand(user: Option[String]) extends LeafRunnableCommand {
+  import GraftSqlParser.attr
+  override val output: Seq[Attribute] =
+    Seq(attr("name", StringType), attr("table", StringType), attr("action", StringType))
+  override def run(spark: SparkSession): Seq[Row] = {
+    GraftAuth.check(spark, GraftAuth.Users, GraftAuth.Read)
+    UserRegistry.listGrants(spark, user).map { case (n, t, a) => Row(n, t, a) }
+  }
+}
+
+/** VACUUM RESULT CACHE '<dir>' [OLDER THAN <n> <unit>] — age-based
+  * eviction (reference yupana-cache CacheDescription expiry): drops
+  * complete entries whose newest file is older than the cutoff (no
+  * OLDER THAN → all of them) plus any orphaned populate staging dirs
+  * past the cutoff, and reports what went. A cache write, like
+  * INVALIDATE. */
+case class VacuumResultCacheCommand(cacheDir: String, olderThanMs: Option[Long])
+    extends LeafRunnableCommand {
+  import GraftSqlParser.attr
+  override val output: Seq[Attribute] =
+    Seq(attr("cache", StringType), attr("removed_entries", LongType),
+      attr("removed_bytes", LongType), attr("status", StringType))
+  override def run(spark: SparkSession): Seq[Row] = {
+    GraftAuth.check(spark, GraftAuth.Table(Some(cacheDir)), GraftAuth.Write)
+    val (n, b) = graft.core.ResultCache.vacuum(spark, cacheDir, olderThanMs)
+    Seq(Row(cacheDir, n, b, "OK"))
   }
 }
 

@@ -520,4 +520,147 @@ class AdminSqlSpec extends SparkSpecBase {
       SparkSession.setDefaultSession(spark)
     }
   }
+
+  test("per-table grants elevate the role matrix; the user store survives a registry restart") {
+    spark // force base session init first
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s2 = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.sql.GraftExtensions().apply(_))
+      .getOrCreate()
+    val store = "/tmp/graft_userstore_" + System.nanoTime() + "/users.tsv"
+    try {
+      graft.sql.UserRegistry.clear()
+      s2.conf.set(graft.sql.UserRegistry.StorePathKey, store)
+      def as[T](u: String)(f: => T): T = {
+        s2.conf.set(graft.sql.GraftAuth.UserConfKey, u)
+        try f finally s2.conf.unset(graft.sql.GraftAuth.UserConfKey)
+      }
+      val base = "/tmp/graft_adminsql_grants_" + System.nanoTime()
+      def gt(name: String) = graft.schema.GTable(
+        name, timeColumn = "ts",
+        dimensions = Seq(graft.schema.GDimension("dim", org.apache.spark.sql.types.StringType)),
+        metrics = Seq(graft.schema.GMetric("m", org.apache.spark.sql.types.DoubleType)))
+      graft.sql.UpsertTables.register(s2, gt("metrics_gr1"), s"${base}_1")
+      graft.sql.UpsertTables.register(s2, gt("metrics_gr2"), s"${base}_2")
+      def put(t: String) =
+        s"UPSERT INTO $t (ts, dim, m) VALUES (TIMESTAMP '2024-01-01 00:00:00', 'a', 1.0)"
+
+      s2.sql("CREATE USER 'reader' WITH ROLE = 'READ_ONLY'")
+      // role matrix alone: READ_ONLY writes nowhere (reference shape)
+      val denied = intercept[SecurityException](as("reader")(s2.sql(put("metrics_gr1"))))
+      assert(denied.getMessage == "User reader doesn't have enough permissions")
+      // a grant on ONE table elevates exactly that table
+      assert(s2.sql("GRANT WRITE ON TABLE metrics_gr1 TO USER 'reader'").head().getString(0) == "OK")
+      assert(as("reader")(s2.sql(put("metrics_gr1")).head().getLong(1)) == 1L)
+      val still = intercept[SecurityException](as("reader")(s2.sql(put("metrics_gr2"))))
+      assert(still.getMessage == "User reader doesn't have enough permissions")
+      assert(s2.sql("SHOW GRANTS").collect().map(r =>
+        (r.getString(0), r.getString(1), r.getString(2))).toSeq ==
+        Seq(("reader", "metrics_gr1", "WRITE")))
+      // granting is ADMIN-only, like every user mutation
+      intercept[SecurityException](
+        as("reader")(s2.sql("GRANT WRITE ON TABLE metrics_gr2 TO USER 'reader'")))
+      // grants require a registered grantee; revokes require the grant
+      val noUser = intercept[IllegalArgumentException](
+        s2.sql("GRANT READ ON TABLE metrics_gr1 TO USER 'nobody'"))
+      assert(noUser.getMessage.contains("User not found"))
+      val noGrant = intercept[IllegalArgumentException](
+        s2.sql("REVOKE READ ON TABLE metrics_gr1 FROM USER 'reader'")) // WRITE was granted, not READ
+      assert(noGrant.getMessage.contains("Grant not found"))
+
+      // RESTART: wipe the in-memory registry — the store file is
+      // authoritative, so a fresh session re-reads user, role, and grant
+      graft.sql.UserRegistry.clear()
+      val s3 = s2.newSession()
+      s3.conf.set(graft.sql.UserRegistry.StorePathKey, store)
+      s3.conf.set(graft.sql.GraftAuth.UserConfKey, "reader")
+      assert(s3.sql(put("metrics_gr1")).head().getLong(1) == 1L,
+        "the persisted grant must survive a registry restart")
+      val still3 = intercept[SecurityException](s3.sql(put("metrics_gr2")))
+      assert(still3.getMessage == "User reader doesn't have enough permissions")
+      s3.conf.unset(graft.sql.GraftAuth.UserConfKey)
+      assert(s3.sql("SHOW USERS").collect().map(r => (r.getString(0), r.getString(1))).toSeq ==
+        Seq(("reader", "READ_ONLY")), "the persisted user must survive a registry restart")
+
+      // REVOKE closes the elevation (and persists that too)
+      s3.sql("REVOKE WRITE ON TABLE metrics_gr1 FROM USER 'reader'")
+      graft.sql.UserRegistry.clear()
+      s3.conf.set(graft.sql.GraftAuth.UserConfKey, "reader")
+      intercept[SecurityException](s3.sql(put("metrics_gr1")))
+      s3.conf.unset(graft.sql.GraftAuth.UserConfKey)
+    } finally {
+      graft.sql.UserRegistry.clear()
+      s2.conf.unset(graft.sql.UserRegistry.StorePathKey)
+      SparkSession.setActiveSession(spark)
+      SparkSession.setDefaultSession(spark)
+    }
+  }
+
+  test("VACUUM RESULT CACHE ages entries out; populate enforces the size bound") {
+    import graft.core.ResultCache
+    spark // force base session init first
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s2 = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.sql.GraftExtensions().apply(_))
+      .getOrCreate()
+    try {
+      import s2.implicits._
+      val base = "/tmp/graft_adminsql_vacuum_" + System.nanoTime()
+      val tbl = s"$base/src"
+      val cache = s"$base/cache"
+      Seq((1, "a", 2.0), (2, "b", 3.0)).toDF("id", "dim", "m").write.parquet(tbl)
+      val v = ResultCache.dataVersion(s2, tbl)
+      def q1 = s2.read.parquet(tbl).groupBy("dim").agg(org.apache.spark.sql.functions.sum("m").as("sm"))
+      def q2 = s2.read.parquet(tbl).groupBy("dim").agg(org.apache.spark.sql.functions.max("m").as("mx"))
+      ResultCache.through(q1, v, cache).collect()
+      ResultCache.through(q2, v, cache).collect()
+      assert(s2.sql(s"SHOW RESULT CACHE '$cache'").count() == 2)
+      // nothing is old enough yet
+      val kept = s2.sql(s"VACUUM RESULT CACHE '$cache' OLDER THAN 1 HOURS").head()
+      assert(kept.getLong(1) == 0L && kept.getString(3) == "OK", s"fresh entries must survive: $kept")
+      assert(s2.sql(s"SHOW RESULT CACHE '$cache'").count() == 2)
+      // age ONE entry (the q1 plan's) two hours back and vacuum again
+      val fp1 = ResultCache.fingerprint(q1)
+      def ageDir(d: java.io.File, t: Long): Unit = {
+        if (d.isDirectory) d.listFiles().foreach(ageDir(_, t))
+        d.setLastModified(t); ()
+      }
+      ageDir(new java.io.File(s"$cache/data=$v/plan=$fp1"),
+        System.currentTimeMillis() - 2 * 3600 * 1000L)
+      val aged = s2.sql(s"VACUUM RESULT CACHE '$cache' OLDER THAN 1 HOURS").head()
+      assert(aged.getLong(1) == 1L && aged.getLong(2) > 0L, s"the aged entry must go: $aged")
+      val left = s2.sql(s"SHOW RESULT CACHE '$cache'").collect()
+      assert(left.length == 1 && left(0).getString(1) != fp1, "the fresh entry must remain")
+      // a hit on the surviving entry still serves
+      assert(ResultCache.lookup(q2, v, cache).isDefined)
+      // bare VACUUM = evict everything complete
+      assert(s2.sql(s"VACUUM RESULT CACHE '$cache'").head().getLong(1) == 1L)
+      assert(s2.sql(s"SHOW RESULT CACHE '$cache'").count() == 0)
+
+      // size bound at populate: 1 byte forces oldest-first eviction, the
+      // just-written entry always survives
+      s2.conf.set(ResultCache.MaxBytesKey, "1")
+      try {
+        ResultCache.through(q1, v, cache).collect()
+        ageDir(new java.io.File(s"$cache/data=$v/plan=$fp1"),
+          System.currentTimeMillis() - 3600 * 1000L)
+        val served = ResultCache.through(q2, v, cache).collect()
+        assert(served.nonEmpty, "the bounded populate must still serve its own result")
+        val inv = s2.sql(s"SHOW RESULT CACHE '$cache'").collect()
+        assert(inv.length == 1 && inv(0).getString(1) != fp1,
+          s"the oldest entry must be evicted by the byte bound: ${inv.toSeq}")
+      } finally s2.conf.unset(ResultCache.MaxBytesKey)
+    } finally {
+      SparkSession.setActiveSession(spark)
+      SparkSession.setDefaultSession(spark)
+    }
+  }
 }

@@ -731,6 +731,65 @@ class OperatorSpec extends SparkSpecBase {
     assert(!plan.contains("BroadcastExchange"), s"self-kNN IVF must not broadcast:\n$plan")
   }
 
+  test("occupancy bounding: overfull cells split, duplicate masses salted, kernel == SQL-join twin") {
+    import org.apache.spark.sql.expressions.Window
+    // one forced cell holding 3 tight distinct clusters (60 each) plus an
+    // EXACT-duplicate mass of 70 — the r14 watch-item shape in miniature.
+    // cellTarget=8 → split threshold 32: the cell must split; the
+    // duplicate mass is geometrically unsplittable (identical points all
+    // land on one sub-centroid) so its sub-cell must salt.
+    def clusterVec(c: Int, i: Int): Array[Float] = {
+      val v = new Array[Float](8)
+      v(c) = 1.0f
+      v((c + 4) % 8) = 0.001f * (i % 7)   // tiny in-cluster spread
+      v
+    }
+    val dupVec = Array(0.5f, 0.5f, 0.5f, 0.5f, 0f, 0f, 0f, 0f)
+    val rows =
+      (0 until 70).map(i => (i.toLong, dupVec)) ++
+      (0 until 3).flatMap(c => (0 until 60).map(i => ((100 * (c + 1) + i).toLong, clusterVec(c, i))))
+    val vecs = rows.toDF("vec_id", "embedding")
+    val items = vecs.select(col("vec_id").as("item_id"), col("embedding").as("item_vec"))
+      .withColumn("item_n", sqrt(call_function("graft_dot", col("item_vec"), col("item_vec"))))
+      .withColumn("cell", lit(0))
+    val queries = vecs.select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      .withColumn("query_n", sqrt(call_function("graft_dot", col("query_vec"), col("query_vec"))))
+      .withColumn("cell", lit(0))
+    val bounded = Ann.boundOccupancy(spark, items, queries, cellTarget = 8)
+    assert(bounded.splitCells == 1, s"the one overfull cell must split, got ${bounded.splitCells}")
+    assert(bounded.saltedKeys >= 1, s"the duplicate mass's sub-cell must salt, got ${bounded.saltedKeys}")
+    // hard per-key bound: split tier targets <= 4*cellTarget; the salt
+    // tier's hash spread is probabilistic, so allow 2x headroom
+    val maxOcc = bounded.items.groupBy("ckey").count().agg(max("count")).as[Long].head()
+    assert(maxOcc <= 64L, s"per-key occupancy must be bounded after split+salt, got $maxOcc")
+    // bit-exactness: the kernel must equal the SQL join + window twin on
+    // the SAME keyed frames, row for row and bit for bit on cos
+    val k = 3
+    def ranked(cands: org.apache.spark.sql.DataFrame) = {
+      val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("item_id").asc)
+      cands.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+        .select(col("query_id"), col("item_id"), col("cos"), col("rank"))
+        .as[(Long, Long, Double, Int)].collect().toSet
+    }
+    val twin = ranked(
+      bounded.items.join(bounded.queries.hint("shuffle_hash"), Seq("ckey"))
+        .filter(col("query_id") =!= col("item_id"))
+        .withColumn("cos", Ann.cosFromNorms(
+          col("query_vec"), col("item_vec"), col("query_n"), col("item_n")))
+        .filter(col("cos").isNotNull)
+        .select(col("query_id"), col("item_id"), col("cos")))
+    val kernel = ranked(Ann.cellTopK(spark, bounded.items, bounded.queries, k))
+    assert(kernel == twin, "cellTopK must be bit-identical to the SQL join + window formulation")
+    // exactness through the salt tier: a duplicate member's true top-3
+    // under (cos desc, id asc) is the 3 smallest OTHER dup ids — queries
+    // probe EVERY salt of their sub-cell, so salting must not lose them
+    val full = Ann.knnJoinIvf(vecs, "vec_id", "embedding", k = k,
+      numCells = 1, probes = 1, cellTarget = 8)
+    val dupTop = full.filter(col("query_id") === 5L).orderBy(col("rank"))
+      .select(col("item_id")).as[Long].collect().toSeq
+    assert(dupTop == Seq(0L, 1L, 2L), s"salted duplicate mass must keep exact top-k, got $dupTop")
+  }
+
   test("quantizer sample sizing: >=32 points per wanted cell, driver-budget cap, explicit ask kept") {
     // below the floor the r13 fixed 20k default handed a 4096-cell
     // quantizer ~5 points per cell — mostly-empty/duplicate centroids

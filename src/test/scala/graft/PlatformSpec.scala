@@ -250,8 +250,29 @@ class PlatformSpec extends SparkSpecBase {
         s2.range(0, 100).createOrReplaceTempView("wire_t")
         val rs3 = st.executeQuery("SELECT count(*) AS c, sum(id) AS s FROM wire_t")
         assert(rs3.next() && rs3.getLong(1) == 100L && rs3.getLong(2) == 4950L)
+        // 4. AUTHORIZATION composes with the wire (the reference's
+        // QueryEngineRouter shape end-to-end): pin a READ_ONLY principal
+        // on the session FROM THE JDBC SIDE, and a write statement is
+        // denied at the wire with the reference error shape while reads
+        // keep flowing for the same principal
+        graft.sql.UserRegistry.clear()
+        s2.sql("CREATE USER 'wire_reader' WITH ROLE = 'READ_ONLY'")
+        val gt = graft.schema.GTable(
+          "wire_m", timeColumn = "ts",
+          dimensions = Seq(graft.schema.GDimension("dim", org.apache.spark.sql.types.StringType)),
+          metrics = Seq(graft.schema.GMetric("m", org.apache.spark.sql.types.DoubleType)))
+        graft.sql.UpsertTables.register(s2, gt, "/tmp/graft_wire_auth_" + System.nanoTime())
+        st.execute("SET graft.sql.user = wire_reader")
+        val deniedWire = intercept[java.sql.SQLException](st.executeQuery(
+          "UPSERT INTO wire_m (ts, dim, m) VALUES (TIMESTAMP '2024-01-01 00:00:00', 'a', 1.0)"))
+        assert(deniedWire.getMessage.contains("User wire_reader doesn't have enough permissions"),
+          s"wire denial must carry the reference shape: ${deniedWire.getMessage}")
+        val rs4 = st.executeQuery("SELECT count(*) AS c FROM wire_t")
+        assert(rs4.next() && rs4.getLong(1) == 100L, "reads must still flow for READ_ONLY")
       } finally conn.close()
     } finally {
+      graft.sql.UserRegistry.clear()
+      s2.conf.unset(graft.sql.GraftAuth.UserConfKey)
       server.foreach(_.stop())
       SparkSession.setActiveSession(spark)
       SparkSession.setDefaultSession(spark)

@@ -1064,7 +1064,12 @@ object UserRegistry {
   }
 
   /** Reload from the bound store when its (mtime, length) signature
-    * moved — the read path every statement enters through. */
+    * moved — the read path every statement enters through. Mutations
+    * hold the object lock across sync + mutate + persist (the lock is
+    * reentrant, so their inner sync/persist calls are fine): without
+    * it, two same-JVM sessions bound to DIFFERENT store paths could
+    * interleave a reload between another mutation's sync and persist
+    * and write one store's rows into the other. */
   def sync(spark: SparkSession): Unit = storePath(spark).foreach { path =>
     this.synchronized {
       val p = new org.apache.hadoop.fs.Path(path)
@@ -1126,7 +1131,7 @@ object UserRegistry {
 
   /** Reference UserManager.createUser: default role DISABLED, "User
     * already exists" on a duplicate name. */
-  def create(spark: SparkSession, name: String, role: Option[String]): Unit = {
+  def create(spark: SparkSession, name: String, role: Option[String]): Unit = this.synchronized {
     sync(spark)
     val r = normRole(role)
     if (users.putIfAbsent(name, r) != null)
@@ -1136,14 +1141,14 @@ object UserRegistry {
   /** Reference UserManager.updateUser: "User not found" when absent;
     * a password-only ALTER validates the name but changes nothing
     * stored (no password store — see the object doc). */
-  def update(spark: SparkSession, name: String, role: Option[String]): Unit = {
+  def update(spark: SparkSession, name: String, role: Option[String]): Unit = this.synchronized {
     sync(spark)
     val r = role.map(x => normRole(Some(x)))
     val prev = users.computeIfPresent(name, (_, old) => r.getOrElse(old))
     if (prev == null) throw new IllegalArgumentException("User not found")
     persist(spark)
   }
-  def drop(spark: SparkSession, name: String): Unit = {
+  def drop(spark: SparkSession, name: String): Unit = this.synchronized {
     sync(spark)
     if (users.remove(name) == null) throw new IllegalArgumentException("User not found")
     grants.remove(name)
@@ -1161,14 +1166,14 @@ object UserRegistry {
   }
 
   /** Add a per-table grant (idempotent). The grantee must exist. */
-  def grant(spark: SparkSession, name: String, table: String, action: String): Unit = {
+  def grant(spark: SparkSession, name: String, table: String, action: String): Unit = this.synchronized {
     sync(spark)
     if (!users.containsKey(name)) throw new IllegalArgumentException("User not found")
     grants.merge(name, Set((table.toLowerCase(java.util.Locale.ROOT), action)), (a, b) => a ++ b)
     persist(spark)
   }
   /** Remove a per-table grant; "Grant not found" when absent. */
-  def revoke(spark: SparkSession, name: String, table: String, action: String): Unit = {
+  def revoke(spark: SparkSession, name: String, table: String, action: String): Unit = this.synchronized {
     sync(spark)
     val key = (table.toLowerCase(java.util.Locale.ROOT), action)
     val cur = grants.getOrDefault(name, Set.empty)

@@ -126,6 +126,14 @@ object ResultCache {
   def through(df: DataFrame, dataKey: String, cacheDir: String): DataFrame =
     lookup(df, dataKey, cacheDir).getOrElse {
       val s = df.sparkSession
+      // parse the byte bound BEFORE the job runs: a malformed conf must
+      // fail fast, not after the query's compute + publish succeeded
+      val maxBytes = s.conf.getOption(MaxBytesKey).map(_.trim).filter(_.nonEmpty).map { v =>
+        try v.toLong
+        catch { case _: NumberFormatException =>
+          throw new IllegalArgumentException(s"$MaxBytesKey must be a byte count, got '$v'")
+        }
+      }
       val fp = fingerprint(df)
       val dir = entryDir(cacheDir, fp, dataKey)
       // dot-prefixed and NOT "plan="-prefixed: a staging dir must be
@@ -151,8 +159,7 @@ object ResultCache {
       // concurrent reader never sees a half-trimmed cache missing the
       // newest entry; the listing walk is per-populate, which is the
       // rare/expensive path — hits never pay it
-      s.conf.getOption(MaxBytesKey).map(_.trim).filter(_.nonEmpty).map(_.toLong)
-        .foreach(enforceBound(s, cacheDir, _, dir))
+      maxBytes.foreach(enforceBound(s, cacheDir, _, dir))
       s.read.parquet(dir)
     }
 
@@ -232,8 +239,19 @@ object ResultCache {
     (n, bytes)
   }
 
+  /** A just-published entry another populate may still be reading back
+    * is off-limits to the byte bound for this long: eviction targets
+    * COLD entries, and a concurrent populate's read-back completes in
+    * well under this window — without it, two simultaneous populates
+    * over a tight bound could evict each other's fresh entries mid-read
+    * and fail queries that cached successfully. Makes the bound SOFT
+    * under concurrent write bursts (by at most the burst's bytes),
+    * which is the right trade for a cache. */
+  private val EvictionGraceMs = 15L * 60L * 1000L
+
   /** Oldest-first eviction until the cache's total bytes fit
-    * `maxBytes`; `keep` (the entry just populated) is never evicted. */
+    * `maxBytes`; `keep` (the entry just populated) is never evicted,
+    * nor is anything newer than [[EvictionGraceMs]]. */
   private def enforceBound(
       spark: SparkSession, cacheDir: String, maxBytes: Long, keep: String): Unit = {
     val f = fs(spark, cacheDir)
@@ -241,12 +259,13 @@ object ResultCache {
     // `keep` the same way or the just-written entry never matches and
     // gets evicted out from under its own read-back
     val keepQ = f.makeQualified(new Path(keep))
+    val fresh = System.currentTimeMillis() - EvictionGraceMs
     val all = entries(spark, cacheDir)
     var total = all.map(_._3).sum
     val it = all.iterator
     while (total > maxBytes && it.hasNext) {
-      val (dir, _, len) = it.next()
-      if (dir != keepQ) {
+      val (dir, mtime, len) = it.next()
+      if (dir != keepQ && mtime < fresh) {
         f.delete(dir, true)
         total -= len
       }

@@ -548,7 +548,21 @@ object Ann {
         }
       }
     val bounded = boundOccupancy(spark, items, queries, cellTarget, splitProbes)
-    rankTopK(cellTopK(spark, bounded.items, bounded.queries, k), k)
+    // the cogroup kernel's typed encoders want bigint ids; any other id
+    // type keeps the (equivalent, id-type-agnostic) join + window tail
+    // the kernel replaced — same candidates, same arithmetic, same
+    // order, just row-at-a-time plumbing instead of the local loop
+    val scored =
+      if (items.schema("item_id").dataType == org.apache.spark.sql.types.LongType)
+        cellTopK(spark, bounded.items, bounded.queries, k)
+      else
+        bounded.items.join(bounded.queries.hint("shuffle_hash"), Seq("ckey"))
+          .filter(col("query_id") =!= col("item_id"))
+          .withColumn("cos", cosFromNorms(
+            col("query_vec"), col("item_vec"), col("query_n"), col("item_n")))
+          .filter(col("cos").isNotNull)
+          .select(col("query_id"), col("item_id"), col("cos"))
+    rankTopK(scored, k)
   }
 
   // ---- occupancy-bounded cell keys + the per-cell top-k kernel ----
@@ -606,7 +620,11 @@ object Ann {
       lloydIters: Int = 5): BoundedSides = {
     import spark.implicits._
     val threshold = 4L * cellTarget
-    val overfull: Map[Int, Long] = items.groupBy(col("cell")).agg(count(lit(1)).as("ic"))
+    // null cells (null input vectors) carry no scoreable rows — their
+    // norms are null too, so the kernel/join drops them — but a
+    // null-keyed group would crash the primitive-Int decode below
+    val overfull: Map[Int, Long] = items.filter(col("cell").isNotNull)
+      .groupBy(col("cell")).agg(count(lit(1)).as("ic"))
       .filter(col("ic") > threshold)
       .as[(Int, Long)].collect().toMap
     if (overfull.isEmpty) {
@@ -614,25 +632,33 @@ object Ann {
         items.withColumn("ckey", col("cell").cast("long")).drop("cell"),
         queries.withColumn("ckey", col("cell").cast("long")).drop("cell"), 0, 0)
     }
+    // a split means 2-3 more full passes over the item assignment
+    // (training sample, sub-occupancy, final scoring) — materialize it
+    // once instead of re-running the cells×dim argmin per pass
+    val mat = items.localCheckpoint(true)
     // per-cell sub-quantizer width: one sub-cell per cellTarget members
     val subCount: Map[Int, Int] = overfull.map { case (c, occ) =>
       c -> math.max(2, math.min(SubWidth - 1L, (occ + cellTarget - 1) / cellTarget).toInt)
     }
-    // deterministic per-cell training sample: 64·s per cell ⇒ a
-    // cell-independent rate of ~64/cellTarget (s ≈ occ/cellTarget), so
-    // one corpus-wide hash filter feeds every cell's Lloyd
-    val permille = math.min(10000L, math.max(1L, 10000L * 64L / cellTarget))
-    val sampled = items
-      .filter(col("cell").isInCollection(subCount.keys.toSeq))
+    // deterministic per-cell training sample targeting ~2× the 64·s
+    // take cap per cell (s ≈ occ/cellTarget ⇒ a cell-independent rate
+    // of ~128/cellTarget; the 2× headroom keeps the expected sample
+    // ABOVE the cap, so sampling variance rarely hands a cell fewer
+    // than its 64 points per sub-cell), one corpus-wide hash filter.
+    // Ids ride as hashes (hk for take order, sid for the Lloyd seed
+    // sort) so the trainer is id-type-agnostic like the join tail.
+    val permille = math.min(10000L, math.max(1L, 10000L * 128L / cellTarget))
+    val sampled = mat
+      .filter(col("cell").isNotNull && col("cell").isInCollection(subCount.keys.toSeq))
       .filter(if (permille >= 10000L) lit(true)
               else pmod(xxhash64(col("item_id"), lit(17)), lit(10000L)) < lit(permille))
       .select(col("cell"), xxhash64(col("item_id"), lit(13)).as("hk"),
-        col("item_id"), col("item_vec"))
+        xxhash64(col("item_id"), lit(23)).as("sid"), col("item_vec"))
       .as[(Int, Long, Long, Seq[Float])]
     val trained: Array[(Int, Seq[Seq[Float]])] = sampled
       .groupByKey(_._1)
       // sorted groups pin the take order (the trainFineDistributed rule)
-      .flatMapSortedGroups($"hk", $"item_id") { (cell, it) =>
+      .flatMapSortedGroups($"hk", $"sid") { (cell, it) =>
         val s = subCount(cell)
         val taken = it.take(64 * s).map(t => (t._3, t._4.toArray)).toArray
         java.util.Arrays.sort(taken, Ordering.by((t: (Long, Array[Float])) => t._1))
@@ -643,7 +669,7 @@ object Ann {
     val splitMap = new java.util.HashMap[Integer, Array[Array[Float]]]()
     trained.foreach { case (c, t) => splitMap.put(c, t.map(_.toArray).toArray) }
     val bcSplit = spark.sparkContext.broadcast(splitMap)
-    val itemsSub = items.withColumn("ckey",
+    val itemsSub = mat.withColumn("ckey",
         col("cell").cast("long") * SubWidth +
           element_at(subCellsBc(col("cell"), col("item_vec"), bcSplit, 1), 1).cast("long"))
       .drop("cell")
@@ -651,7 +677,8 @@ object Ann {
         explode(subCellsBc(col("cell"), col("query_vec"), bcSplit, splitProbes)))
       .withColumn("ckey", col("cell").cast("long") * SubWidth + col("sub").cast("long"))
       .drop("cell", "sub")
-    val salted: Map[Long, Int] = itemsSub.groupBy(col("ckey")).agg(count(lit(1)).as("ic"))
+    val salted: Map[Long, Int] = itemsSub.filter(col("ckey").isNotNull)
+      .groupBy(col("ckey")).agg(count(lit(1)).as("ic"))
       .filter(col("ic") > threshold)
       .as[(Long, Long)].collect().map { case (k0, occ) =>
         k0 -> math.max(2, math.min(SaltWidth - 1L, (occ + threshold - 1) / threshold).toInt)

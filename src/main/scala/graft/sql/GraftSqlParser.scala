@@ -982,16 +982,28 @@ object GraftAuth {
   /** The enforcement point every statement's run() calls first: the
     * role matrix, elevated by per-table grants on a named table
     * (reference Permission[Option[String], Action] — a grant names ONE
-    * table; the matrix is the Permission(None, …) all-tables row). */
+    * table; the matrix is the Permission(None, …) all-tables row).
+    * Grants elevate ONLY the enabled reader/writer roles: DISABLED is
+    * the kill switch — demoting a user to it must close every door,
+    * dormant grants included — and ADMIN needs no elevation. Role and
+    * grants are read as ONE locked snapshot so a same-JVM session
+    * bound to a different store path cannot swap the registry between
+    * the role lookup and the grant lookup. */
   def check(spark: SparkSession, subject: Subject, action: Action): Unit = {
-    val (name, role) = currentUser(spark)
-    val granted = subject match {
-      case Table(Some(t)) =>
-        UserRegistry.hasGrant(name, t, if (action == Write) "WRITE" else "READ")
-      case _ => false
+    spark.conf.getOption(UserConfKey).map(_.trim).filter(_.nonEmpty) match {
+      case None => () // unnamed session = NonEmptyUserAuthorizer ADMIN
+      case Some(name) =>
+        val (role, userGrants) = UserRegistry.roleAndGrants(spark, name)
+          .getOrElse(throw new SecurityException("Invalid user or password"))
+        val granted = subject match {
+          case Table(Some(t)) if role == "READ_ONLY" || role == "READ_WRITE" =>
+            userGrants.contains(
+              (t.toLowerCase(java.util.Locale.ROOT), if (action == Write) "WRITE" else "READ"))
+          case _ => false
+        }
+        if (!permits(role, subject, action) && !granted)
+          throw new SecurityException(s"User $name doesn't have enough permissions")
     }
-    if (!permits(role, subject, action) && !granted)
-      throw new SecurityException(s"User $name doesn't have enough permissions")
   }
 }
 
@@ -1182,11 +1194,22 @@ object UserRegistry {
     if (next.isEmpty) grants.remove(name) else grants.put(name, next)
     persist(spark)
   }
-  /** Does `name` hold a grant covering (table, action)? No sync — the
-    * auth path syncs once via [[roleOf]] before consulting grants. */
+  /** Does `name` hold a grant covering (table, action)? No sync — for
+    * auth use [[roleAndGrants]], which snapshots under the lock. */
   def hasGrant(name: String, table: String, action: String): Boolean =
     grants.getOrDefault(name, Set.empty)
       .contains((table.toLowerCase(java.util.Locale.ROOT), action))
+  /** Role + grants of one user as a SINGLE locked snapshot — the auth
+    * read path ([[GraftAuth.check]]): without the lock, a same-JVM
+    * session bound to a DIFFERENT store path could reload the registry
+    * between the role lookup and the grant lookup and another store's
+    * grants would be consulted. */
+  def roleAndGrants(
+      spark: SparkSession, name: String): Option[(String, Set[(String, String)])] =
+    this.synchronized {
+      sync(spark)
+      Option(users.get(name)).map(r => (r, grants.getOrDefault(name, Set.empty)))
+    }
   def listGrants(spark: SparkSession, user: Option[String]): Seq[(String, String, String)] = {
     sync(spark)
     import scala.jdk.CollectionConverters._

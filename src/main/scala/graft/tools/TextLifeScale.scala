@@ -36,13 +36,17 @@ object TextLifeScale {
     println(s"[textlife] corpus n=$n")
 
     // probe shard: 2500 near-dups of base docs (one appended token — the
-    // index must REJECT) + 2500 heavily-mutated novels (must ADMIT)
+    // index must REJECT) + 2500 heavily-mutated novels (must ADMIT).
+    // Offsets are 5/6/7·10^11 — far past mult·10^9 for any plausible
+    // mult, so probe ids can NEVER collide with TextScale replica ids
+    // (a collision would put two texts under one id in the ref frame
+    // and pollute the exact-verify join)
     val baseSample = docs.filter(col("doc_id") < 2500)
     val nearDup = baseSample.select(
-      (col("doc_id") + 5000000000L).as("doc_id"),
+      (col("doc_id") + 500000000000L).as("doc_id"),
       concat(col("text"), lit(" probeterm")).as("text"))
     val novel = baseSample.select(
-      (col("doc_id") + 6000000000L).as("doc_id"),
+      (col("doc_id") + 600000000000L).as("doc_id"),
       regexp_replace(col("text"), lit(" "),
         concat(lit(" zq"), pmod(xxhash64(col("doc_id")), lit(100000L)).cast("string"), lit(" ")))
         .as("text"))
@@ -59,7 +63,7 @@ object TextLifeScale {
 
     // probe invariance across compaction: same probe, identical pairs
     val probe2 = docs.filter(col("doc_id") >= 2500 && col("doc_id") < 3000)
-      .select((col("doc_id") + 7000000000L).as("doc_id"),
+      .select((col("doc_id") + 700000000000L).as("doc_id"),
         concat(col("text"), lit(" probeterm2")).as("text"))
       .localCheckpoint(true)
     val ref = docs.unionByName(admitted)

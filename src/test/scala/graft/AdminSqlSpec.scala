@@ -571,6 +571,16 @@ class AdminSqlSpec extends SparkSpecBase {
       val noGrant = intercept[IllegalArgumentException](
         s2.sql("REVOKE READ ON TABLE metrics_gr1 FROM USER 'reader'")) // WRITE was granted, not READ
       assert(noGrant.getMessage.contains("Grant not found"))
+      // DISABLED is the kill switch: demoting the user closes every
+      // door, DORMANT GRANTS INCLUDED — a grant elevates only the
+      // enabled reader/writer roles
+      s2.sql("ALTER USER 'reader' SET ROLE = 'DISABLED'")
+      val killed = intercept[SecurityException](as("reader")(s2.sql(put("metrics_gr1"))))
+      assert(killed.getMessage == "User reader doesn't have enough permissions",
+        "a grant must not survive a DISABLED demotion")
+      s2.sql("ALTER USER 'reader' SET ROLE = 'READ_ONLY'")
+      assert(as("reader")(s2.sql(put("metrics_gr1")).head().getLong(1)) == 1L,
+        "re-enabling the role restores the (still-stored) grant")
 
       // RESTART: wipe the in-memory registry — the store file is
       // authoritative, so a fresh session re-reads user, role, and grant

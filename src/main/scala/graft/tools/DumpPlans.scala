@@ -42,13 +42,13 @@ object DumpPlans {
       "q_mix_weights" -> "mix weights: map-side-combined per-domain aggregate, 1-row totals broadcast",
       "q_substring_dup" -> "substring duplication: span positions hashed to 128-bit fingerprints BEFORE the shuffle (24-byte posting rows, never span text); occurrence counts from one count window over the single fingerprint exchange",
       "q_contamination" -> "contamination: each side's doc_id filter pushed BELOW the Generate — every doc tokenized once; eval gram set broadcast, per-doc agg map-side combined",
-      "q_knn_join" -> "self kNN: gate scale takes the exact all-pairs dispatch; past 2^14 vectors the IVF variant joins items-to-probers on the cell key with shuffle_hash (no corpus-sized broadcast), heap top-k per query",
+      "q_knn_join" -> "self kNN: gate scale takes the exact all-pairs dispatch; past 2^14 vectors the IVF variant cogroups items-to-probers on occupancy-bounded cell keys (split overfull cells, salted duplicate masses) and scans candidates in the local kernel — no corpus-sized broadcast, no candidate-row materialization",
       "q_collocations" -> "collocations: ONE (w1, w2) exchange feeds both the pair counts and (as an aggregate-over-aggregate) the unigram counts — the corpus is scanned and tokenized once; word-keyed joins, never a vocab broadcast",
       "q_lm_perplexity" -> "LM perplexity: vocab counts derive from the per-(doc, token) aggregate (same exchange reused — one tokenize); surprisal joins by token key; 1-row (n, V) broadcast",
       "q_dedup_keep_best" -> "keep-best dedup: star-contraction clusters + two fixed-width-key aggregations (best score, min id at best) — no window sort over members",
       "q_knn_clusters" -> "mutual-kNN clustering: kNN edges (size-dispatched), reversed-pair left-semi mutuality on id keys, log-round star contraction — no corpus-sized broadcast anywhere",
       "q_dedup_embed_ivf" -> "forced-IVF embedding dedup: the gated query runs embeddingPairsIvf itself — cell assignment is a narrow codegen'd map (centroids ride as a reference object), vectors ride INTO the cells (n·probes rows) and the exact-cosine verify is FUSED into the within-cell shuffle_hash self-join, so candidate rows never materialize and distinct runs on the output-sized verified pairs",
-      "q_knn_join_ivf" -> "forced-IVF self kNN: items carry ONE cell, queries explode probe cells, candidates from a shuffle hash join on the cell key — nothing corpus-sized broadcast; heap top-k per query",
+      "q_knn_join_ivf" -> "forced-IVF self kNN: items carry ONE cell, queries explode probe cells onto occupancy-bounded keys, and candidates are scanned INSIDE the per-cell cogroup kernel (CoGroup + MapGroups in the plan — candidate rows never materialize); the global heap top-k merges only the <= probes*k survivors per query; nothing corpus-sized broadcast",
       "q_link_declared" -> "declarative external link: JSON-declared JDBC catalog — the link predicate evaluated on the (scan-level) JDBC relation collapses to In(l_suppkey,...) in the fact scan's PushedFilters; enrichment is a BroadcastHashJoin, the fact side never shuffles",
       "q_dedup_cross" -> "cross-corpus dedup: probe-shard signatures are a narrow map over the NEW data only; the reference side reads the PERSISTED (id, sig) index — no reference re-shingle before the band join; candidates are id-only through the (band, bh) shuffle join; reference text re-attaches only to the distinct candidate set for the exact verify",
       "q_ann_indexed" -> "persisted-IVF-index search: the assignments scan lists ONLY the probed cells' files (static partition filter from the driver-resolved probe set); bounded queryProbes broadcast onto the pruned scan, heap top-k per query — the corpus-sized side never shuffles",
@@ -72,6 +72,7 @@ object DumpPlans {
       "q_multimodal_phash" -> "perceptual hash: the 64-bit aHash runs over REAL decoded 8×8 luma grids (MediaCodec BMP parse — header offset, stride, bottom-up flip, B-G-R — in one partition-local batched pass; no UDF, no collect); near-dup pairing is the pigeonhole discipline: 8 hash-block keys explode to an id-only band shuffle, hamming verify touches only co-bucketed candidates — payload bytes never shuffle",
       "q_nb_classify" -> "NB source classifier: train and test each tokenize ONCE, aggregated map-side to narrow bucket rows before any exchange (text never shuffles); the model (≤ K·B class-bucket counts + K-row class table) broadcasts into the scoring join; the ×K class expansion sits ABOVE the per-(doc, bucket) aggregate so the per-(doc, class) sum combines map-side; argmax is ONE max(struct) aggregate — no per-doc window sort anywhere in the plan",
       "q_dedup_ngram_jaccard" -> "ngram jaccard, probe-dispatched: a sampled dup probe gates the exact-dup collapse (identical texts → one representative, pair set re-expanded through bounded hash(id) chunks — a k-replica cluster costs the self-join one doc, not k², and no buffer is ever cluster-sized), the gram probe gates dense vs FULL PPJoin (asymmetric index/probe prefixes, positional filters in the join condition, suffix-filter + early-terminating-merge verification — preferred when the estimated asymmetric candidate volume beats the dense Σgf² by 2× past 128M rows, i.e. near-dup-dense corpora), and sampled dominator grams (gf² > stage share) salt the dense counting join 16 ways; on this dup-free corpus all probes choose the plain dense plan shown",
+      "q_knn_join_split" -> "forced-SPLIT self kNN (occupancy bounding): every vector lands in ONE cell far past the 4x-target threshold, the executor-local re-quantize splits it (salts where unsplittable), and exhaustive sub-cell probing makes split+salt+kernel == brute kNN; the plan's scoring stage is the CoGroup kernel, not a join",
       "q_zorder" -> "Z-order key: the Morton interleave is ~12 mask/shift/or integer ops per row inside WholeStageCodegen (no UDF, no join); the per-cell aggregate map-side combines to ≤ cells rows before its one exchange; the LAYOUT path (ZOrder.write) pays only the range-partition exchange any sorted write pays — sample-based bounds, then sortWithinPartitions feeds parquet row-group stats"
     )
 

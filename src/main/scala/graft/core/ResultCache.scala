@@ -100,12 +100,36 @@ object ResultCache {
   private def fs(spark: SparkSession, dir: String) =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** Session conf making entries EXPIRE on the read path (reference
+    * CacheDescription `expireTimeout`): a lookup older than this many
+    * milliseconds MISSES — and [[through]] then deletes the expired
+    * entry before repopulating, so the rename-publish cannot "lose" to
+    * a stale incumbent and serve it. [[vacuum]] remains the janitor
+    * that reclaims the bytes; TTL is the freshness contract. Unset =
+    * entries serve until invalidated/vacuumed (the r14 behavior). */
+  val TtlMsKey = "graft.sql.resultCacheTtlMs"
+
+  private def ttlMs(s: SparkSession): Option[Long] =
+    s.conf.getOption(TtlMsKey).map(_.trim).filter(_.nonEmpty).map { v =>
+      try v.toLong
+      catch { case _: NumberFormatException =>
+        throw new IllegalArgumentException(s"$TtlMsKey must be milliseconds, got '$v'")
+      }
+    }
+
+  private def isExpired(s: SparkSession, dir: String): Boolean =
+    ttlMs(s).exists { ttl =>
+      entryMtime(fs(s, dir), new Path(dir)) < System.currentTimeMillis() - ttl
+    }
+
   /** The cached result for (df's plan, dataKey), if a COMPLETE entry
-    * exists (its `_SUCCESS` marker certifies the populate finished). */
+    * exists (its `_SUCCESS` marker certifies the populate finished)
+    * and it has not outlived the session's TTL ([[TtlMsKey]]). */
   def lookup(df: DataFrame, dataKey: String, cacheDir: String): Option[DataFrame] = {
     val s = df.sparkSession
     val dir = entryDir(cacheDir, fingerprint(df), dataKey)
-    if (fs(s, dir).exists(new Path(dir, "_SUCCESS"))) Some(s.read.parquet(dir))
+    if (fs(s, dir).exists(new Path(dir, "_SUCCESS")) && !isExpired(s, dir))
+      Some(s.read.parquet(dir))
     else None
   }
 
@@ -136,6 +160,14 @@ object ResultCache {
       }
       val fp = fingerprint(df)
       val dir = entryDir(cacheDir, fp, dataKey)
+      // a TTL-expired incumbent must go BEFORE the repopulate: the
+      // rename-publish fails on an existing destination and would fall
+      // into the serve-the-winner path — serving exactly the stale
+      // entry the TTL miss rejected. (Two concurrent repopulates both
+      // delete; one publishes, the loser serves the fresh winner.)
+      if (fs(s, dir).exists(new Path(dir)) && isExpired(s, dir)) {
+        fs(s, dir).delete(new Path(dir), true); ()
+      }
       // dot-prefixed and NOT "plan="-prefixed: a staging dir must be
       // invisible to inventory()'s entry listing, and an orphaned stage
       // (crash before rename) is reclaimed with its data= dir

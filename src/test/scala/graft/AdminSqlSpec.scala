@@ -668,6 +668,22 @@ class AdminSqlSpec extends SparkSpecBase {
         assert(inv.length == 1 && inv(0).getString(1) != fp1,
           s"the oldest entry must be evicted by the byte bound: ${inv.toSeq}")
       } finally s2.conf.unset(ResultCache.MaxBytesKey)
+
+      // TTL (reference CacheDescription expireTimeout): an aged entry
+      // MISSES on the read path and through() repopulates OVER it —
+      // never serves the stale incumbent via the rename-loser path
+      s2.conf.set(ResultCache.TtlMsKey, (3600 * 1000L).toString)
+      try {
+        ResultCache.through(q1, v, cache).collect()
+        assert(ResultCache.lookup(q1, v, cache).isDefined, "fresh entry serves under TTL")
+        ageDir(new java.io.File(s"$cache/data=$v/plan=$fp1"),
+          System.currentTimeMillis() - 2 * 3600 * 1000L)
+        assert(ResultCache.lookup(q1, v, cache).isEmpty, "an expired entry must MISS")
+        assert(ResultCache.through(q1, v, cache).collect().nonEmpty,
+          "through must repopulate over the expired incumbent")
+        assert(ResultCache.lookup(q1, v, cache).isDefined,
+          "the repopulated entry is fresh again")
+      } finally s2.conf.unset(ResultCache.TtlMsKey)
     } finally {
       SparkSession.setActiveSession(spark)
       SparkSession.setDefaultSession(spark)

@@ -109,17 +109,30 @@ object ResultCache {
     * entries serve until invalidated/vacuumed (the r14 behavior). */
   val TtlMsKey = "graft.sql.resultCacheTtlMs"
 
-  private def ttlMs(s: SparkSession): Option[Long] =
-    s.conf.getOption(TtlMsKey).map(_.trim).filter(_.nonEmpty).map { v =>
+  /** One parse for every long-valued cache conf: malformed values fail
+    * fast with the key named, identically everywhere. */
+  private def longConf(s: SparkSession, key: String): Option[Long] =
+    s.conf.getOption(key).map(_.trim).filter(_.nonEmpty).map { v =>
       try v.toLong
       catch { case _: NumberFormatException =>
-        throw new IllegalArgumentException(s"$TtlMsKey must be milliseconds, got '$v'")
+        throw new IllegalArgumentException(s"$key must be a long, got '$v'")
       }
     }
 
+  private def ttlMs(s: SparkSession): Option[Long] = longConf(s, TtlMsKey)
+
+  /** Populate stamp of a COMPLETE entry: the `_SUCCESS` marker's mtime
+    * (committed last by the parquet committer) — ONE stat, not a
+    * recursive walk, because [[lookup]] pays this on every TTL hit. */
+  private def successMtime(f: org.apache.hadoop.fs.FileSystem, dir: Path): Long =
+    f.getFileStatus(new Path(dir, "_SUCCESS")).getModificationTime
+
   private def isExpired(s: SparkSession, dir: String): Boolean =
     ttlMs(s).exists { ttl =>
-      entryMtime(fs(s, dir), new Path(dir)) < System.currentTimeMillis() - ttl
+      val f = fs(s, dir)
+      val marker = new Path(dir, "_SUCCESS")
+      f.exists(marker) &&
+        f.getFileStatus(marker).getModificationTime < System.currentTimeMillis() - ttl
     }
 
   /** The cached result for (df's plan, dataKey), if a COMPLETE entry
@@ -152,12 +165,7 @@ object ResultCache {
       val s = df.sparkSession
       // parse the byte bound BEFORE the job runs: a malformed conf must
       // fail fast, not after the query's compute + publish succeeded
-      val maxBytes = s.conf.getOption(MaxBytesKey).map(_.trim).filter(_.nonEmpty).map { v =>
-        try v.toLong
-        catch { case _: NumberFormatException =>
-          throw new IllegalArgumentException(s"$MaxBytesKey must be a byte count, got '$v'")
-        }
-      }
+      val maxBytes = longConf(s, MaxBytesKey)
       val fp = fingerprint(df)
       val dir = entryDir(cacheDir, fp, dataKey)
       // a TTL-expired incumbent must go BEFORE the repopulate: the
@@ -204,19 +212,23 @@ object ResultCache {
     * size-dominated, not count-dominated). */
   val MaxBytesKey = "graft.sql.resultCacheMaxBytes"
 
-  /** Newest-file mtime of an entry dir — the "last written" stamp
-    * age-based eviction compares (parquet writes never update in
-    * place, so the newest file IS the populate time). */
-  private def entryMtime(f: org.apache.hadoop.fs.FileSystem, dir: Path): Long = {
-    var m = 0L
+  /** Newest mtime under a dir, floored at the dir's own stamp — the
+    * liveness stamp for populate STAGING dirs (an empty just-created
+    * stage must read as "now", not epoch 0, or a janitor would sweep a
+    * live populate out from under its writer). */
+  private def stageMtime(f: org.apache.hadoop.fs.FileSystem, dir: Path): Long = {
+    var m = f.getFileStatus(dir).getModificationTime
     val it = f.listFiles(dir, true)
     while (it.hasNext) m = math.max(m, it.next().getModificationTime)
     m
   }
 
-  /** Every complete entry (dir, mtime, bytes), oldest first. */
-  private def entries(
-      spark: SparkSession, cacheDir: String): Seq[(Path, Long, Long)] = {
+  /** THE complete-entry listing — every entry walk (vacuum, byte bound,
+    * inventory) goes through this one filter so the definitions of
+    * "complete entry" can never drift apart: a `data=`/`plan=` dir pair
+    * whose `_SUCCESS` marker exists; the stamp is the marker's mtime. */
+  private def completeEntries(
+      spark: SparkSession, cacheDir: String): Seq[(String, String, Path, Long)] = {
     val root = new Path(cacheDir)
     val f = fs(spark, cacheDir)
     if (!f.exists(root)) Seq.empty
@@ -225,8 +237,19 @@ object ResultCache {
         f.listStatus(d.getPath)
           .filter(st => st.isDirectory && st.getPath.getName.startsWith("plan="))
           .filter(st => f.exists(new Path(st.getPath, "_SUCCESS")))
-          .map(p => (p.getPath, entryMtime(f, p.getPath), f.getContentSummary(p.getPath).getLength))
-      }.toSeq.sortBy(e => (e._2, e._1.toString))
+          .map(p => (d.getPath.getName.stripPrefix("data="),
+            p.getPath.getName.stripPrefix("plan="),
+            p.getPath, successMtime(f, p.getPath)))
+      }.toSeq
+  }
+
+  /** Every complete entry (dir, mtime, bytes), oldest first. */
+  private def entries(
+      spark: SparkSession, cacheDir: String): Seq[(Path, Long, Long)] = {
+    val f = fs(spark, cacheDir)
+    completeEntries(spark, cacheDir)
+      .map { case (_, _, p, m) => (p, m, f.getContentSummary(p).getLength) }
+      .sortBy(e => (e._2, e._1.toString))
   }
 
   /** Delete empty `data=` dirs left behind by entry eviction. */
@@ -257,14 +280,21 @@ object ResultCache {
     entries(spark, cacheDir).foreach { case (dir, mtime, len) =>
       if (mtime < cutoff) { bytes += len; n += 1L; f.delete(dir, true); () }
     }
-    // aged orphan stages (dot-prefixed — invisible to entries/inventory)
+    // aged orphan stages (dot-prefixed — invisible to entries/inventory).
+    // A LIVE stage must survive the sweep: its cutoff is floored by the
+    // eviction grace window (a bare VACUUM's cutoff is "now", and an
+    // in-flight populate's stage is seconds old), and its stamp is
+    // floored by the stage dir's own mtime (an empty just-created stage
+    // has no files — a 0 stamp would read as infinitely old).
+    val stageCutoff = System.currentTimeMillis() -
+      math.max(olderThanMs.getOrElse(0L), EvictionGraceMs)
     val root = new Path(cacheDir)
     if (f.exists(root))
       f.listStatus(root).filter(st => st.isDirectory && st.getPath.getName.startsWith("data="))
         .foreach { d =>
           f.listStatus(d.getPath)
             .filter(st => st.isDirectory && st.getPath.getName.startsWith(".populate_"))
-            .filter(st => entryMtime(f, st.getPath) < cutoff)
+            .filter(st => stageMtime(f, st.getPath) < stageCutoff)
             .foreach(st => f.delete(st.getPath, true))
         }
     sweepEmptyDataDirs(spark, cacheDir)
@@ -327,21 +357,10 @@ object ResultCache {
     import spark.implicits._
     val root = new Path(cacheDir)
     val f = fs(spark, cacheDir)
-    val rows =
-      if (!f.exists(root)) Seq.empty[(String, String, Long, Long)]
-      else
-        f.listStatus(root).filter(st => st.isDirectory && st.getPath.getName.startsWith("data="))
-          .flatMap { d =>
-            f.listStatus(d.getPath)
-              .filter(st => st.isDirectory && st.getPath.getName.startsWith("plan="))
-              .filter(st => f.exists(new Path(st.getPath, "_SUCCESS")))
-              .map { p =>
-                val cs = f.getContentSummary(p.getPath)
-                (d.getPath.getName.stripPrefix("data="),
-                  p.getPath.getName.stripPrefix("plan="),
-                  cs.getLength, cs.getFileCount)
-              }
-          }.toSeq
+    val rows = completeEntries(spark, cacheDir).map { case (dk, fp, p, _) =>
+      val cs = f.getContentSummary(p)
+      (dk, fp, cs.getLength, cs.getFileCount)
+    }
     rows.toDF("data_key", "plan_fp", "bytes", "files")
       .orderBy("data_key", "plan_fp")
   }

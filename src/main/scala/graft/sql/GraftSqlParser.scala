@@ -947,17 +947,6 @@ object GraftAuth {
   case object Metadata extends Subject
   case object Queries extends Subject
 
-  /** (name, role) of the session's current user — see the object doc. */
-  def currentUser(spark: SparkSession): (String, String) =
-    spark.conf.getOption(UserConfKey).map(_.trim).filter(_.nonEmpty) match {
-      case None => ("anonymous", "ADMIN")
-      case Some(name) =>
-        UserRegistry.roleOf(spark, name) match {
-          case Some(role) => (name, role)
-          case None => throw new SecurityException("Invalid user or password")
-        }
-    }
-
   /** The reference permissions tables, flattened (TsdbRole.scala). */
   private[graft] def permits(role: String, subject: Subject, action: Action): Boolean =
     role match {
@@ -998,7 +987,7 @@ object GraftAuth {
         val granted = subject match {
           case Table(Some(t)) if role == "READ_ONLY" || role == "READ_WRITE" =>
             userGrants.contains(
-              (t.toLowerCase(java.util.Locale.ROOT), if (action == Write) "WRITE" else "READ"))
+              (UserRegistry.normSubject(t), if (action == Write) "WRITE" else "READ"))
           case _ => false
         }
         if (!permits(role, subject, action) && !granted)
@@ -1040,6 +1029,14 @@ object UserRegistry {
   private val grants = new java.util.concurrent.ConcurrentHashMap[String, Set[(String, String)]]()
   // (path, mtime, length) of the snapshot last loaded into memory
   @volatile private var loadedSig: Option[(String, Long, Long)] = None
+  // when that load happened: the (mtime, length) signature can miss a
+  // same-length update landing within one mtime tick (coarse-mtime
+  // filesystems; ALTER ROLE READ_ONLY→READ_WRITE is same-length), so
+  // past this staleness window the tiny snapshot is re-read even on an
+  // unchanged signature — peer-JVM staleness is bounded at ~2 s instead
+  // of "until some other mutation moves the file"
+  @volatile private var loadedAtMs: Long = 0L
+  private val MaxStalenessMs = 2000L
 
   private def normRole(role: Option[String]): String = {
     val r = role.map(_.toUpperCase(java.util.Locale.ROOT)).getOrElse("DISABLED")
@@ -1047,6 +1044,14 @@ object UserRegistry {
       throw new IllegalArgumentException(s"Invalid role name '${role.get}'")
     r
   }
+
+  /** Grant-subject normalization: SQL identifiers are case-insensitive
+    * (lowercase them), but a quoted PATH subject is a filesystem object
+    * — case-folding paths would make a grant on '/data/idx' silently
+    * cover the distinct '/DATA/IDX' on a case-sensitive filesystem, so
+    * anything not identifier-shaped is matched exactly. */
+  private[sql] def normSubject(t: String): String =
+    if (t.matches("[A-Za-z_][A-Za-z0-9_.]*")) t.toLowerCase(java.util.Locale.ROOT) else t
 
   private def storePath(spark: SparkSession): Option[String] =
     spark.conf.getOption(StorePathKey).map(_.trim).filter(_.nonEmpty)
@@ -1091,7 +1096,8 @@ object UserRegistry {
           val st = f.getFileStatus(p)
           (path, st.getModificationTime, st.getLen)
         } else (path, -1L, -1L)
-      if (!loadedSig.contains(sig)) {
+      if (!loadedSig.contains(sig) ||
+          System.currentTimeMillis() - loadedAtMs > MaxStalenessMs) {
         users.clear(); grants.clear()
         if (sig._2 >= 0L) {
           val in = new java.io.BufferedReader(
@@ -1111,6 +1117,7 @@ object UserRegistry {
           } finally in.close()
         }
         loadedSig = Some(sig)
+        loadedAtMs = System.currentTimeMillis()
       }
     }
   }
@@ -1138,6 +1145,7 @@ object UserRegistry {
       fc.rename(stage, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
       val st = f.getFileStatus(p)
       loadedSig = Some((path, st.getModificationTime, st.getLen))
+      loadedAtMs = System.currentTimeMillis()
     }
   }
 
@@ -1166,13 +1174,13 @@ object UserRegistry {
     grants.remove(name)
     persist(spark)
   }
-  def list(spark: SparkSession): Seq[(String, String)] = {
+  def list(spark: SparkSession): Seq[(String, String)] = this.synchronized {
     sync(spark)
     import scala.jdk.CollectionConverters._
     users.asScala.toSeq.sortBy(_._1)
   }
-  /** The role of a registered user ([[GraftAuth]]'s lookup). */
-  def roleOf(spark: SparkSession, name: String): Option[String] = {
+  /** The role of a registered user. */
+  def roleOf(spark: SparkSession, name: String): Option[String] = this.synchronized {
     sync(spark)
     Option(users.get(name))
   }
@@ -1181,24 +1189,19 @@ object UserRegistry {
   def grant(spark: SparkSession, name: String, table: String, action: String): Unit = this.synchronized {
     sync(spark)
     if (!users.containsKey(name)) throw new IllegalArgumentException("User not found")
-    grants.merge(name, Set((table.toLowerCase(java.util.Locale.ROOT), action)), (a, b) => a ++ b)
+    grants.merge(name, Set((normSubject(table), action)), (a, b) => a ++ b)
     persist(spark)
   }
   /** Remove a per-table grant; "Grant not found" when absent. */
   def revoke(spark: SparkSession, name: String, table: String, action: String): Unit = this.synchronized {
     sync(spark)
-    val key = (table.toLowerCase(java.util.Locale.ROOT), action)
+    val key = (normSubject(table), action)
     val cur = grants.getOrDefault(name, Set.empty)
     if (!cur.contains(key)) throw new IllegalArgumentException("Grant not found")
     val next = cur - key
     if (next.isEmpty) grants.remove(name) else grants.put(name, next)
     persist(spark)
   }
-  /** Does `name` hold a grant covering (table, action)? No sync — for
-    * auth use [[roleAndGrants]], which snapshots under the lock. */
-  def hasGrant(name: String, table: String, action: String): Boolean =
-    grants.getOrDefault(name, Set.empty)
-      .contains((table.toLowerCase(java.util.Locale.ROOT), action))
   /** Role + grants of one user as a SINGLE locked snapshot — the auth
     * read path ([[GraftAuth.check]]): without the lock, a same-JVM
     * session bound to a DIFFERENT store path could reload the registry
@@ -1210,7 +1213,7 @@ object UserRegistry {
       sync(spark)
       Option(users.get(name)).map(r => (r, grants.getOrDefault(name, Set.empty)))
     }
-  def listGrants(spark: SparkSession, user: Option[String]): Seq[(String, String, String)] = {
+  def listGrants(spark: SparkSession, user: Option[String]): Seq[(String, String, String)] = this.synchronized {
     sync(spark)
     import scala.jdk.CollectionConverters._
     grants.asScala.toSeq
@@ -1218,7 +1221,7 @@ object UserRegistry {
       .flatMap { case (n, gs) => gs.toSeq.map { case (t, a) => (n, t, a) } }
       .sorted
   }
-  def clear(): Unit = { users.clear(); grants.clear(); loadedSig = None }
+  def clear(): Unit = { users.clear(); grants.clear(); loadedSig = None; loadedAtMs = 0L }
 }
 
 /** SHOW USERS — (name, role) rows, name-sorted (reference
@@ -1306,7 +1309,15 @@ case class DropUserCommand(name: String) extends LeafRunnableCommand {
 /** GRANT READ|WRITE ON TABLE <t> TO USER '<name>' — a per-table
   * elevation over the role matrix (reference
   * Permission[Option[String], Action]); granting is a user-management
-  * write, so ADMIN-only, like the reference's user mutations. */
+  * write, so ADMIN-only, like the reference's user mutations.
+  *
+  * Under the SHIPPED role matrix only WRITE grants change an outcome:
+  * both enabled roles already read every table, and DISABLED is the
+  * kill switch no grant may override — so a READ grant is accepted
+  * (the reference Permission model has per-table read scopes, and a
+  * future deny-by-default table mode would activate it) but is
+  * currently inert. Documented here and in SURVEY §2.13 rather than
+  * rejected: surface parity over a confusing refusal. */
 case class GrantTableCommand(action: String, table: String, user: String)
     extends LeafRunnableCommand {
   import GraftSqlParser.attr

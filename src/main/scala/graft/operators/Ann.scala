@@ -189,7 +189,10 @@ object Ann {
       knownCount: Long = -1L // corpus size if the caller already counted (skips a pass)
   ): Array[Array[Float]] = {
     graft.sql.GraftFunctions.register(spark)
+    // null vectors carry no geometry and never rank (their norms are
+    // null) — training on them would NPE the sample collect
     val base = corpus.select(col("vec_id").as("item_id"), col("embedding").as("item_vec"))
+      .filter(col("item_vec").isNotNull)
     lloydOn(collectSample(base, scaledTrainSample(trainSample, numCells), knownCount),
       numCells, lloydIters)
   }
@@ -226,7 +229,9 @@ object Ann {
       knownCount: Long = -1L
   ): (Array[Array[Float]], Array[Array[Array[Float]]]) = {
     graft.sql.GraftFunctions.register(spark)
+    // null vectors: no geometry, never rank — see [[ivfTrain]]
     val base = corpus.select(col("vec_id").as("item_id"), col("embedding").as("item_vec"))
+      .filter(col("item_vec").isNotNull)
     val n = if (knownCount >= 0L) knownCount else base.count()
     // coarse level: driver-sample Lloyd, sample floored at 32·c1 — the
     // coarse table is small (≤ ~1500 cells even at 10^9 vectors), so the

@@ -596,6 +596,21 @@ class AdminSqlSpec extends SparkSpecBase {
       assert(s3.sql("SHOW USERS").collect().map(r => (r.getString(0), r.getString(1))).toSeq ==
         Seq(("reader", "READ_ONLY")), "the persisted user must survive a registry restart")
 
+      // subject normalization: identifiers are case-insensitive (stored
+      // lowercased), quoted PATHS are exact — a grant on one path must
+      // not cover a different-cased (distinct) directory
+      s3.conf.unset(graft.sql.GraftAuth.UserConfKey)
+      s3.sql("GRANT WRITE ON TABLE '/tmp/graft_case_path' TO USER 'reader'")
+      val gset = graft.sql.UserRegistry.roleAndGrants(s3, "reader").get._2
+      assert(gset.contains(("/tmp/graft_case_path", "WRITE")),
+        s"path subjects store exactly as written: $gset")
+      assert(!gset.contains(("/TMP/GRAFT_CASE_PATH", "WRITE")) &&
+        !gset.exists(g => g._1.equalsIgnoreCase("/TMP/GRAFT_CASE_PATH") && g._1 != "/tmp/graft_case_path"),
+        "path subjects must not case-fold")
+      assert(gset.contains(("metrics_gr1", "WRITE")),
+        s"identifier subjects store lowercased (case-insensitive matching): $gset")
+      s3.sql("REVOKE WRITE ON TABLE '/tmp/graft_case_path' FROM USER 'reader'")
+
       // REVOKE closes the elevation (and persists that too)
       s3.sql("REVOKE WRITE ON TABLE metrics_gr1 FROM USER 'reader'")
       graft.sql.UserRegistry.clear()

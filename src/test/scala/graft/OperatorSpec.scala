@@ -790,6 +790,23 @@ class OperatorSpec extends SparkSpecBase {
     assert(dupTop == Seq(0L, 1L, 2L), s"salted duplicate mass must keep exact top-k, got $dupTop")
   }
 
+  test("occupancy bounding survives a null-embedding-heavy corpus (null cells never decode)") {
+    // >4x-cellTarget null embeddings: their cell AND norm are null — the
+    // occupancy aggregations must skip the null group (a null-keyed row
+    // would crash the primitive-Int decode) and the kernel must drop the
+    // rows via the norm filter, leaving the real vectors' top-k intact
+    val rows: Seq[(Long, Array[Float])] =
+      (0 until 40).map(i => (i.toLong, null.asInstanceOf[Array[Float]])) ++
+      (0 until 40).map(i => ((100 + i).toLong, Array(1.0f, 0.001f * i, 0f, 0f)))
+    val vecs = rows.toDF("vec_id", "embedding")
+    val out = Ann.knnJoinIvf(vecs, "vec_id", "embedding", k = 2,
+      numCells = 1, probes = 1, cellTarget = 8, splitProbes = 64)
+    val got = out.select("query_id").distinct().as[Long].collect().toSet
+    assert(got == (0 until 40).map(i => (100 + i).toLong).toSet,
+      s"every real vector ranks, no null vector does: ${got.toSeq.sorted.take(5)}...")
+    assert(out.count() == 80L, "k=2 slots filled for all 40 real vectors")
+  }
+
   test("quantizer sample sizing: >=32 points per wanted cell, driver-budget cap, explicit ask kept") {
     // below the floor the r13 fixed 20k default handed a 4096-cell
     // quantizer ~5 points per cell — mostly-empty/duplicate centroids

@@ -129,10 +129,11 @@ object ResultCache {
 
   private def isExpired(s: SparkSession, dir: String): Boolean =
     ttlMs(s).exists { ttl =>
-      val f = fs(s, dir)
-      val marker = new Path(dir, "_SUCCESS")
-      f.exists(marker) &&
-        f.getFileStatus(marker).getModificationTime < System.currentTimeMillis() - ttl
+      // one stat, not exists + stat: lookup already proved the marker
+      // (and a concurrent delete between its check and this stat just
+      // reads as not-expired — the repopulate path handles the rest)
+      try successMtime(fs(s, dir), new Path(dir)) < System.currentTimeMillis() - ttl
+      catch { case _: java.io.FileNotFoundException => false }
     }
 
   /** The cached result for (df's plan, dataKey), if a COMPLETE entry
@@ -168,13 +169,20 @@ object ResultCache {
       val maxBytes = longConf(s, MaxBytesKey)
       val fp = fingerprint(df)
       val dir = entryDir(cacheDir, fp, dataKey)
-      // a TTL-expired incumbent must go BEFORE the repopulate: the
-      // rename-publish fails on an existing destination and would fall
-      // into the serve-the-winner path — serving exactly the stale
-      // entry the TTL miss rejected. (Two concurrent repopulates both
-      // delete; one publishes, the loser serves the fresh winner.)
-      if (fs(s, dir).exists(new Path(dir)) && isExpired(s, dir)) {
-        fs(s, dir).delete(new Path(dir), true); ()
+      // An incumbent destination must go BEFORE the repopulate when it
+      // is (a) TTL-expired — the rename-publish fails on an existing
+      // destination and would fall into the serve-the-winner path,
+      // serving exactly the stale entry the TTL miss rejected — or
+      // (b) INCOMPLETE (no _SUCCESS): the rename protocol cannot
+      // produce that state, so it is wreckage of a crashed recursive
+      // delete, and without this self-heal it would poison the key
+      // forever (rename fails, loser path finds no _SUCCESS, throws).
+      // Two concurrent repopulates both delete; one publishes, the
+      // loser serves the fresh winner.
+      val f0 = fs(s, dir)
+      val dp = new Path(dir)
+      if (f0.exists(dp) && (!f0.exists(new Path(dir, "_SUCCESS")) || isExpired(s, dir))) {
+        f0.delete(dp, true); ()
       }
       // dot-prefixed and NOT "plan="-prefixed: a staging dir must be
       // invisible to inventory()'s entry listing, and an orphaned stage
@@ -236,10 +244,15 @@ object ResultCache {
       .flatMap { d =>
         f.listStatus(d.getPath)
           .filter(st => st.isDirectory && st.getPath.getName.startsWith("plan="))
-          .filter(st => f.exists(new Path(st.getPath, "_SUCCESS")))
-          .map(p => (d.getPath.getName.stripPrefix("data="),
-            p.getPath.getName.stripPrefix("plan="),
-            p.getPath, successMtime(f, p.getPath)))
+          // stat under try: a concurrently deleted/invalidated entry
+          // (another session's TTL repopulate or vacuum) must drop out
+          // of the walk, not fail the whole listing
+          .flatMap { p =>
+            try Some((d.getPath.getName.stripPrefix("data="),
+              p.getPath.getName.stripPrefix("plan="),
+              p.getPath, successMtime(f, p.getPath)))
+            catch { case _: java.io.FileNotFoundException => None }
+          }
       }.toSeq
   }
 
@@ -248,7 +261,10 @@ object ResultCache {
       spark: SparkSession, cacheDir: String): Seq[(Path, Long, Long)] = {
     val f = fs(spark, cacheDir)
     completeEntries(spark, cacheDir)
-      .map { case (_, _, p, m) => (p, m, f.getContentSummary(p).getLength) }
+      .flatMap { case (_, _, p, m) =>
+        try Some((p, m, f.getContentSummary(p).getLength))
+        catch { case _: java.io.FileNotFoundException => None }
+      }
       .sortBy(e => (e._2, e._1.toString))
   }
 
@@ -292,10 +308,18 @@ object ResultCache {
     if (f.exists(root))
       f.listStatus(root).filter(st => st.isDirectory && st.getPath.getName.startsWith("data="))
         .foreach { d =>
-          f.listStatus(d.getPath)
-            .filter(st => st.isDirectory && st.getPath.getName.startsWith(".populate_"))
-            .filter(st => stageMtime(f, st.getPath) < stageCutoff)
-            .foreach(st => f.delete(st.getPath, true))
+          f.listStatus(d.getPath).foreach { st =>
+            val name = st.getPath.getName
+            // orphan stages, and INCOMPLETE plan= dirs (no _SUCCESS —
+            // wreckage of a crashed recursive delete; through() also
+            // self-heals these per-key, this is the janitor's sweep) —
+            // both only past the grace-floored cutoff, so nothing
+            // in-flight is swept
+            val sweepable = st.isDirectory && (name.startsWith(".populate_") ||
+              (name.startsWith("plan=") && !f.exists(new Path(st.getPath, "_SUCCESS"))))
+            if (sweepable && stageMtime(f, st.getPath) < stageCutoff)
+              f.delete(st.getPath, true)
+          }
         }
     sweepEmptyDataDirs(spark, cacheDir)
     (n, bytes)
@@ -357,9 +381,9 @@ object ResultCache {
     import spark.implicits._
     val root = new Path(cacheDir)
     val f = fs(spark, cacheDir)
-    val rows = completeEntries(spark, cacheDir).map { case (dk, fp, p, _) =>
-      val cs = f.getContentSummary(p)
-      (dk, fp, cs.getLength, cs.getFileCount)
+    val rows = completeEntries(spark, cacheDir).flatMap { case (dk, fp, p, _) =>
+      try { val cs = f.getContentSummary(p); Some((dk, fp, cs.getLength, cs.getFileCount)) }
+      catch { case _: java.io.FileNotFoundException => None }
     }
     rows.toDF("data_key", "plan_fp", "bytes", "files")
       .orderBy("data_key", "plan_fp")

@@ -317,12 +317,19 @@ object Ann {
     * one cluster job per round. The full corpus is never collected. */
   private def collectSample(
       base: DataFrame, trainSample: Long, knownCount: Long): Array[(Long, Array[Float])] = {
-    val n = if (knownCount >= 0L) knownCount else base.count()
+    // the null-vector guard lives HERE, covering every trainer
+    // (ivfTrain, ivfTrainHier, pqTrain, buildIvfPqIndex) — a null
+    // embedding would NPE the row decode below. Note `knownCount`
+    // callers may have counted the UNFILTERED corpus; on a null-heavy
+    // corpus the sample rate then under-targets proportionally — pass
+    // knownCount = -1 there (the trainers' own count is null-free).
+    val filtered = base.filter(col("item_vec").isNotNull)
+    val n = if (knownCount >= 0L) knownCount else filtered.count()
     val train =
-      if (n <= trainSample) base
+      if (n <= trainSample) filtered
       else {
         val permille = math.max(1L, 10000L * trainSample / n)
-        base.filter(pmod(xxhash64(col("item_id"), lit(7)), lit(10000L)) < lit(permille))
+        filtered.filter(pmod(xxhash64(col("item_id"), lit(7)), lit(10000L)) < lit(permille))
       }
     val sample: Array[(Long, Array[Float])] = train
       .collect()

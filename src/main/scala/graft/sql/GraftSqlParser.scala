@@ -1049,7 +1049,12 @@ object UserRegistry {
     * (lowercase them), but a quoted PATH subject is a filesystem object
     * — case-folding paths would make a grant on '/data/idx' silently
     * cover the distinct '/DATA/IDX' on a case-sensitive filesystem, so
-    * anything not identifier-shaped is matched exactly. */
+    * anything not identifier-shaped is matched exactly. The shape test
+    * is necessarily heuristic at the boundary: a bare RELATIVE filename
+    * like 'Data.parquet' classifies as a (qualified) identifier — grant
+    * paths should be absolute, which is what every maintenance verb
+    * passes — and quoted non-ASCII/hyphenated identifiers fall to exact
+    * matching, so grant them in the exact form the check will pass. */
   private[sql] def normSubject(t: String): String =
     if (t.matches("[A-Za-z_][A-Za-z0-9_.]*")) t.toLowerCase(java.util.Locale.ROOT) else t
 
@@ -1108,8 +1113,11 @@ object UserRegistry {
               line.split('\t') match {
                 case Array("U", n, r) => users.put(unesc(n), r)
                 case Array("G", n, t, a) =>
+                  // re-normalize on load: tolerates hand-edited or
+                  // older-format snapshots whose subjects were stored
+                  // under a different normalization
                   val u = unesc(n)
-                  grants.merge(u, Set((unesc(t), a)), (a0, b0) => a0 ++ b0)
+                  grants.merge(u, Set((normSubject(unesc(t)), a)), (a0, b0) => a0 ++ b0)
                 case _ => () // unknown row kind: forward-compat skip
               }
               line = in.readLine()

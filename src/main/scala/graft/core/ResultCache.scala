@@ -280,8 +280,10 @@ object ResultCache {
   /**
    * Age-based eviction (the reference CacheDescription `expireTimeout`
    * re-expressed for a parquet-entry cache): drop every COMPLETE entry
-   * whose newest file is older than `olderThanMs` (None → all of
-   * them), plus orphaned populate staging dirs past the same cutoff (a
+   * older than `olderThanMs`, floored by [[EvictionGraceMs]] (a bare
+   * VACUUM reclaims everything outside the concurrency grace window —
+   * see the cutoff comment), plus orphaned populate staging dirs past
+   * the same cutoff (a
    * crash between write and rename leaves one; sweeping live stages
    * would race an in-flight populate, so only aged ones go). Returns
    * (entries removed, bytes removed). An unattended dashboard tier
@@ -290,7 +292,15 @@ object ResultCache {
    */
   def vacuum(spark: SparkSession, cacheDir: String, olderThanMs: Option[Long]): (Long, Long) = {
     val f = fs(spark, cacheDir)
-    val cutoff = System.currentTimeMillis() - olderThanMs.getOrElse(0L)
+    // Complete entries share the stage sweep's grace floor: without it a
+    // bare VACUUM (cutoff "now") racing an in-flight through() could
+    // delete the entry that populate just published, BETWEEN its rename
+    // and its read-back — failing a query that cached successfully, the
+    // exact race enforceBound's grace window exists to prevent. VACUUM
+    // is the janitor ("reclaim cold entries"); the immediate full drop
+    // is INVALIDATE RESULT CACHE's job.
+    val cutoff = System.currentTimeMillis() -
+      math.max(olderThanMs.getOrElse(0L), EvictionGraceMs)
     var n = 0L
     var bytes = 0L
     entries(spark, cacheDir).foreach { case (dir, mtime, len) =>
@@ -317,8 +327,16 @@ object ResultCache {
             // in-flight is swept
             val sweepable = st.isDirectory && (name.startsWith(".populate_") ||
               (name.startsWith("plan=") && !f.exists(new Path(st.getPath, "_SUCCESS"))))
-            if (sweepable && stageMtime(f, st.getPath) < stageCutoff)
-              f.delete(st.getPath, true)
+            // stat + delete under try: another session's through()
+            // self-heal or a concurrent vacuum can remove the dir
+            // between this listing and the stat — that entry simply
+            // drops out of the sweep (completeEntries guards the same
+            // race on the entry walk)
+            if (sweepable)
+              try {
+                if (stageMtime(f, st.getPath) < stageCutoff)
+                  f.delete(st.getPath, true)
+              } catch { case _: java.io.FileNotFoundException => () }
           }
         }
     sweepEmptyDataDirs(spark, cacheDir)

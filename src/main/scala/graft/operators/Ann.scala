@@ -319,10 +319,10 @@ object Ann {
       base: DataFrame, trainSample: Long, knownCount: Long): Array[(Long, Array[Float])] = {
     // the null-vector guard lives HERE, covering every trainer
     // (ivfTrain, ivfTrainHier, pqTrain, buildIvfPqIndex) — a null
-    // embedding would NPE the row decode below. Note `knownCount`
-    // callers may have counted the UNFILTERED corpus; on a null-heavy
-    // corpus the sample rate then under-targets proportionally — pass
-    // knownCount = -1 there (the trainers' own count is null-free).
+    // embedding would NPE the row decode below. `knownCount` is by
+    // contract the null-FILTERED count (every internal caller —
+    // knnJoinIvf, embeddingPairsIvf — counts the filtered side);
+    // callers that only know the raw corpus size pass -1.
     val filtered = base.filter(col("item_vec").isNotNull)
     val n = if (knownCount >= 0L) knownCount else filtered.count()
     val train =
@@ -529,7 +529,13 @@ object Ann {
          withNorms(vecs, "query")
            .withColumn("cell", explode(nearestCentroidsBc(col("query_vec"), bcC, probes))))
       } else {
-        val n = if (knownCount >= 0L) knownCount else vecs.count()
+        // the null-FILTERED count: it sizes the quantizer (wanted cells)
+        // AND feeds the trainers' sampling rate, and both want the count
+        // of vectors that actually carry geometry — on a null-heavy
+        // corpus the unfiltered count would oversize the cell table and
+        // under-target the training sample proportionally
+        val n = if (knownCount >= 0L) knownCount
+                else vecs.filter(col("embedding").isNotNull).count()
         // ~cellTarget vectors/cell (r13, from the KnnCellSweep curve — full
         // self-kNN wall at 140k vectors: 106s at 2048/cell, 64s at 1024,
         // 52.7s at 512, 59.1s at 256 where the cells×dim assignment pass
@@ -698,14 +704,18 @@ object Ann {
     if (salted.isEmpty)
       return BoundedSides(itemsSub, queriesSub, splitMap.size, 0)
     val saltsLit = typedlit(salted) // bounded literal: one entry per salted sub-cell
+    // try_element_at, not element_at: most ckeys are NOT in the salt map,
+    // and under spark.sql.ansi.enabled a map element_at on a missing key
+    // THROWS — the rest of the file stays ANSI-safe (try_divide in
+    // cosFromNorms), so the rare salt tier must too
     val itemsOut = itemsSub.withColumn("ckey",
       col("ckey") * SaltWidth +
-        when(element_at(saltsLit, col("ckey")).isNull, lit(0L))
+        when(try_element_at(saltsLit, col("ckey")).isNull, lit(0L))
           .otherwise(pmod(xxhash64(col("item_id"), lit(19)),
-            element_at(saltsLit, col("ckey")).cast("long"))))
+            try_element_at(saltsLit, col("ckey")).cast("long"))))
     val queriesOut = queriesSub
       .withColumn("salt", explode(sequence(lit(0L),
-        coalesce(element_at(saltsLit, col("ckey")), lit(1)).cast("long") - 1L)))
+        coalesce(try_element_at(saltsLit, col("ckey")), lit(1)).cast("long") - 1L)))
       .withColumn("ckey", col("ckey") * SaltWidth + col("salt"))
       .drop("salt")
     BoundedSides(itemsOut, queriesOut, splitMap.size, salted.size)

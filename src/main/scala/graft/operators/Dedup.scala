@@ -1243,8 +1243,10 @@ object Dedup {
       return withinCellPairs(assigned, threshold)
     }
     // one narrow counting pass sizes the cells AND feeds the trainer
-    // (ivfTrain would otherwise count again for its sampling rate)
-    val n = if (knownCount >= 0L) knownCount else vecs.count()
+    // (ivfTrain would otherwise count again for its sampling rate);
+    // null-filtered — only vectors with geometry size cells or train
+    val n = if (knownCount >= 0L) knownCount
+            else vecs.filter(col("vec").isNotNull).count()
     // ~256 vectors/cell: within-cell work is n²·probes²/(2·cells), so
     // the reduction over brute force is cells/probes² — at the old
     // 2048/cell a 20k corpus got 16 cells against probes² = 9 (0.56×,

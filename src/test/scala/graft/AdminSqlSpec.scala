@@ -666,7 +666,14 @@ class AdminSqlSpec extends SparkSpecBase {
       assert(left.length == 1 && left(0).getString(1) != fp1, "the fresh entry must remain")
       // a hit on the surviving entry still serves
       assert(ResultCache.lookup(q2, v, cache).isDefined)
-      // bare VACUUM = evict everything complete
+      // bare VACUUM is grace-floored: a FRESH entry (a concurrent
+      // populate's just-published result) survives it...
+      assert(s2.sql(s"VACUUM RESULT CACHE '$cache'").head().getLong(1) == 0L)
+      assert(s2.sql(s"SHOW RESULT CACHE '$cache'").count() == 1)
+      // ...while anything past the grace window is reclaimed
+      val fp2 = ResultCache.fingerprint(q2)
+      ageDir(new java.io.File(s"$cache/data=$v/plan=$fp2"),
+        System.currentTimeMillis() - 2 * 3600 * 1000L)
       assert(s2.sql(s"VACUUM RESULT CACHE '$cache'").head().getLong(1) == 1L)
       assert(s2.sql(s"SHOW RESULT CACHE '$cache'").count() == 0)
 

@@ -790,6 +790,30 @@ class OperatorSpec extends SparkSpecBase {
     assert(dupTop == Seq(0L, 1L, 2L), s"salted duplicate mass must keep exact top-k, got $dupTop")
   }
 
+  test("salt tier survives ANSI mode (try_element_at on the bounded salt map)") {
+    // the salt lookup probes a map literal with MOSTLY-missing keys —
+    // under spark.sql.ansi.enabled a plain element_at THROWS on a miss,
+    // so the tier must use try_element_at (the rest of the engine is
+    // ANSI-safe by the cosFromNorms try_divide discipline)
+    val dupVec = Array(0.5f, 0.5f, 0.5f, 0.5f)
+    val rows: Seq[(Long, Array[Float])] =
+      (0 until 70).map(i => (i.toLong, dupVec)) ++
+      (0 until 20).map(i => ((1000 + i).toLong, Array(1.0f, 0.001f * i, 0f, 0f)))
+    val vecs = rows.toDF("vec_id", "embedding")
+    val prev = spark.conf.getOption("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try {
+      val out = Ann.knnJoinIvf(vecs, "vec_id", "embedding", k = 3,
+        numCells = 1, probes = 1, cellTarget = 8)
+      val dupTop = out.filter(col("query_id") === 5L).orderBy(col("rank"))
+        .select(col("item_id")).as[Long].collect().toSeq
+      assert(dupTop == Seq(0L, 1L, 2L), s"ANSI session must keep exact salted top-k, got $dupTop")
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.ansi.enabled", v)
+      case None => spark.conf.unset("spark.sql.ansi.enabled")
+    }
+  }
+
   test("occupancy bounding survives a null-embedding-heavy corpus (null cells never decode)") {
     // >4x-cellTarget null embeddings: their cell AND norm are null — the
     // occupancy aggregations must skip the null group (a null-keyed row

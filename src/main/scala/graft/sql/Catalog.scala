@@ -52,8 +52,18 @@ object Catalog {
       state: Option[String] = None    // reference MetricsFilter.state
   ): DataFrame = {
     import spark.implicits._
-    metrics
-      .snapshot()
+    // store-bound session (graft.sql.metricsStore.path, reference
+    // TsdbQueryMetricsDao): flush this session's records into the
+    // snapshot and serve from it — metrics survive the session
+    val rows = metricsStorePath(spark) match {
+      case Some(path) =>
+        val fresh = metrics.snapshot()
+        val all = graft.core.MetricsStore.flushAndRead(spark, path, fresh)
+        metrics.clear() // flushed — the store is now the single source
+        all
+      case None => metrics.snapshot()
+    }
+    rows
       .filter(r => queryId.forall(_ == r.funcName))
       .filter(r => state.forall(_.equalsIgnoreCase(if (r.failed) "FAILED" else "FINISHED")))
       .map(r => (r.funcName, r.durationNs / 1e6, r.outputRows, if (r.failed) "FAILED" else "FINISHED"))
@@ -62,9 +72,13 @@ object Catalog {
       .toDF("query", "duration_ms", "output_rows", "state")
   }
 
+  private def metricsStorePath(spark: SparkSession): Option[String] =
+    spark.conf.getOption(graft.core.QueryMetrics.StorePathKey).map(_.trim).filter(_.nonEmpty)
+
   /** DELETE QUERY METRICS (reference `DeleteQueryMetrics(filter)`):
     * clears the matching records (all, when no filter), returning how
-    * many were dropped. */
+    * many were dropped — from the bound metrics store when one is
+    * named, else from session memory. */
   def deleteQueryMetrics(
       spark: SparkSession,
       metrics: graft.core.QueryMetrics,
@@ -72,9 +86,16 @@ object Catalog {
       state: Option[String] = None
   ): DataFrame = {
     import spark.implicits._
-    val n = metrics.removeWhere(r =>
+    def matches(r: graft.core.QueryMetrics.Record): Boolean =
       queryId.forall(_ == r.funcName) &&
-        state.forall(_.equalsIgnoreCase(if (r.failed) "FAILED" else "FINISHED")))
+        state.forall(_.equalsIgnoreCase(if (r.failed) "FAILED" else "FINISHED"))
+    val n = metricsStorePath(spark) match {
+      case Some(path) =>
+        val fresh = metrics.snapshot()
+        metrics.clear()
+        graft.core.MetricsStore.flushAndRemove(spark, path, fresh, matches)
+      case None => metrics.removeWhere(matches)
+    }
     Seq(n).toDF("deleted")
   }
 

@@ -35,8 +35,8 @@ import org.apache.spark.sql.types.{DataType, DoubleType, LongType, StringType, S
  *   SHOW RESULT CACHE '<cache-dir>'
  *   INVALIDATE RESULT CACHE '<cache-dir>' [DATA '<data-key>']
  *   VACUUM RESULT CACHE '<cache-dir>' [OLDER THAN <n> SECONDS|MINUTES|HOURS|DAYS]
- *   GRANT READ|WRITE ON TABLE <table-or-'path'> TO USER '<name>'
- *   REVOKE READ|WRITE ON TABLE <table-or-'path'> FROM USER '<name>'
+ *   GRANT READ|WRITE ON TABLE <table> | ON PATH '<path>' TO USER '<name>'
+ *   REVOKE READ|WRITE ON TABLE <table> | ON PATH '<path>' FROM USER '<name>'
  *   SHOW GRANTS [FOR USER '<name>']
  *   ADMIT VECTORS '<shard>' FROM <table> INTO '<index-path>'
  *   PROMOTE VECTOR INDEX DELTA '<index-path>'
@@ -135,12 +135,12 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface) extends P
           }
           num.toLong * ms
         })
-      case GrantTableRe(action, quoted, ident, user) =>
+      case GrantTableRe(action, ident, path, user) =>
         GrantTableCommand(action.toUpperCase(java.util.Locale.ROOT),
-          Option(quoted).getOrElse(ident), user)
-      case RevokeTableRe(action, quoted, ident, user) =>
+          Option(ident).getOrElse(path), isPath = ident == null, user)
+      case RevokeTableRe(action, ident, path, user) =>
         RevokeTableCommand(action.toUpperCase(java.util.Locale.ROOT),
-          Option(quoted).getOrElse(ident), user)
+          Option(ident).getOrElse(path), isPath = ident == null, user)
       case ShowGrantsRe(user) => ShowGrantsCommand(Option(user))
       case AdmitVectorsRe(shard, table, index) => AdmitVectorsCommand(shard, table, index)
       case PromoteVectorDeltaRe(index) => PromoteVectorIndexDeltaCommand(index)
@@ -148,13 +148,13 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface) extends P
       case ShowUsersRe() => ShowUsersCommand()
       case CreateUserHeadRe(name, tail) =>
         val (pw, role) = GraftSqlParser.userClauses("CREATE", "WITH", tail)
-        CreateUserCommand(GraftSqlParser.validUsername("CREATE", name), pw.isDefined, role)
+        CreateUserCommand(GraftSqlParser.validUsername("CREATE", name), pw, role)
       case AlterUserHeadRe(name, tail) =>
         val (pw, role) = GraftSqlParser.userClauses("ALTER", "SET", tail)
         if (pw.isEmpty && role.isEmpty)
           throw new IllegalArgumentException(
             s"[GRAFT] ALTER USER '$name' requires SET PASSWORD = '…' and/or SET ROLE = '…'")
-        AlterUserCommand(GraftSqlParser.validUsername("ALTER", name), pw.isDefined, role)
+        AlterUserCommand(GraftSqlParser.validUsername("ALTER", name), pw, role)
       case DropUserRe(name) => DropUserCommand(name)
       case FitDsirHeadRe(path, table, rest) =>
         val (target, tail) = GraftSqlParser.dsirTarget(rest, sqlText)
@@ -226,15 +226,16 @@ object GraftSqlParser {
     """(?is)INVALIDATE\s+RESULT\s+CACHE\s+'([^']+)'(?:\s+DATA\s+'([^']+)')?\s*;?""".r
   private val VacuumResultCacheRe =
     """(?is)VACUUM\s+RESULT\s+CACHE\s+'([^']+)'(?:\s+OLDER\s+THAN\s+(\d+)\s+(SECONDS?|MINUTES?|HOURS?|DAYS?))?\s*;?""".r
-  // per-table grants (reference auth/PermissionService.scala
-  // Permission[Option[String], Action] — a grant scoped to ONE table
-  // name; graft's role matrix stays the all-tables default and grants
-  // ELEVATE it). The table token is an identifier or a quoted path
-  // (index/model maintenance verbs authorize against their path).
+  // per-subject grants (reference auth/PermissionService.scala
+  // Permission[Option[String], Action] — a grant scoped to ONE
+  // subject; graft's role matrix stays the all-tables default and
+  // grants ELEVATE it). The subject kind is EXPLICIT grammar: ON
+  // TABLE <identifier> (case-insensitive) vs ON PATH '<path>' (exact
+  // — index/model maintenance verbs authorize against their path).
   private val GrantTableRe =
-    """(?is)GRANT\s+(READ|WRITE)\s+ON\s+TABLE\s+(?:'([^']+)'|([A-Za-z_][A-Za-z0-9_.]*))\s+TO\s+USER\s+'([^']*)'\s*;?""".r
+    """(?is)GRANT\s+(READ|WRITE)\s+ON\s+(?:TABLE\s+([A-Za-z_][A-Za-z0-9_.]*)|PATH\s+'([^']+)')\s+TO\s+USER\s+'([^']*)'\s*;?""".r
   private val RevokeTableRe =
-    """(?is)REVOKE\s+(READ|WRITE)\s+ON\s+TABLE\s+(?:'([^']+)'|([A-Za-z_][A-Za-z0-9_.]*))\s+FROM\s+USER\s+'([^']*)'\s*;?""".r
+    """(?is)REVOKE\s+(READ|WRITE)\s+ON\s+(?:TABLE\s+([A-Za-z_][A-Za-z0-9_.]*)|PATH\s+'([^']+)')\s+FROM\s+USER\s+'([^']*)'\s*;?""".r
   private val ShowGrantsRe =
     """(?is)SHOW\s+GRANTS(?:\s+FOR\s+USER\s+'([^']*)')?\s*;?""".r
 
@@ -248,8 +249,8 @@ object GraftSqlParser {
   private val ShowVersionRe = """(?is)SHOW\s+VERSION\s*;?""".r
   // user management (reference Statement.scala:40,56-58 + SqlParser.scala:
   // 348-373): quoted usernames start with a letter then [A-Za-z0-9_-]
-  // (the reference's `username` parser); passwords are accepted
-  // syntactically but never stored (see [[UserRegistry]])
+  // (the reference's `username` parser); passwords are salted-hashed
+  // into the registry and validated at bind (see [[UserRegistry]])
   private val ShowUsersRe = """(?is)SHOW\s+USERS\s*;?""".r
   // CREATE/ALTER USER head-match the statement up to the username, then
   // [[userClauses]] parses the clause tail in EITHER order (the
@@ -559,7 +560,7 @@ case class CompactTextIndexCommand(indexPath: String) extends LeafRunnableComman
   override val output: Seq[Attribute] = Seq(
     attr("index", StringType), attr("shards_compacted", LongType), attr("n_sigs", LongType))
   override def run(spark: SparkSession): Seq[Row] = {
-    GraftAuth.check(spark, GraftAuth.Table(Some(indexPath)), GraftAuth.Write)
+    GraftAuth.check(spark, GraftAuth.PathTable(indexPath), GraftAuth.Write)
     import org.apache.spark.sql.functions.col
     val sigs = spark.read.parquet(s"$indexPath/sigs")
     val before =
@@ -591,7 +592,7 @@ case class AdmitShardCommand(
     attr("index", StringType), attr("shard", StringType),
     attr("admitted", LongType), attr("rejected", LongType))
   override def run(spark: SparkSession): Seq[Row] = {
-    GraftAuth.check(spark, GraftAuth.Table(Some(indexPath)), GraftAuth.Write)
+    GraftAuth.check(spark, GraftAuth.PathTable(indexPath), GraftAuth.Write)
     val probe = spark.table(probeTable)
     val ref = spark.table(refTable)
     graft.operators.Dedup.admitShard(probe, indexPath, ref, idCol, textCol, shard)
@@ -725,7 +726,7 @@ case class AdmitVectorsCommand(
     attr("index", StringType), attr("shard", StringType),
     attr("admitted", LongType), attr("drift_fraction", DoubleType))
   override def run(spark: SparkSession): Seq[Row] = {
-    GraftAuth.check(spark, GraftAuth.Table(Some(indexPath)), GraftAuth.Write)
+    GraftAuth.check(spark, GraftAuth.PathTable(indexPath), GraftAuth.Write)
     val vecs = spark.table(probeTable)
     val drift = graft.operators.Ann.admitVectorsMeasured(vecs, indexPath, shard)
     val safe = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(shard)
@@ -751,7 +752,7 @@ case class PromoteVectorIndexDeltaCommand(indexPath: String) extends LeafRunnabl
   override val output: Seq[Attribute] = Seq(
     attr("index", StringType), attr("shards_promoted", LongType), attr("n_vectors", LongType))
   override def run(spark: SparkSession): Seq[Row] = {
-    GraftAuth.check(spark, GraftAuth.Table(Some(indexPath)), GraftAuth.Write)
+    GraftAuth.check(spark, GraftAuth.PathTable(indexPath), GraftAuth.Write)
     val before = graft.operators.Ann.readableVecShardDirs(spark, indexPath).length.toLong
     graft.operators.Ann.promoteIvfDelta(spark, indexPath)
     val baseDir =
@@ -780,7 +781,7 @@ case class FitDsirModelCommand(
     attr("n_target_tokens", LongType), attr("n_raw_tokens", LongType),
     attr("ratio_rows", LongType))
   override def run(spark: SparkSession): Seq[Row] = {
-    GraftAuth.check(spark, GraftAuth.Table(Some(path)), GraftAuth.Write)
+    GraftAuth.check(spark, GraftAuth.PathTable(path), GraftAuth.Write)
     graft.operators.Dsir.fit(spark.table(table), idCol, textCol,
       org.apache.spark.sql.functions.expr(targetSql), buckets, path)
     val (b, nt, nr, _) = graft.operators.Dsir.readMeta(spark, path)
@@ -807,7 +808,7 @@ case class UpdateDsirModelCommand(
     attr("model", StringType), attr("generation", LongType), attr("batch", StringType),
     attr("n_target_tokens", LongType), attr("n_raw_tokens", LongType))
   override def run(spark: SparkSession): Seq[Row] = {
-    GraftAuth.check(spark, GraftAuth.Table(Some(path)), GraftAuth.Write)
+    GraftAuth.check(spark, GraftAuth.PathTable(path), GraftAuth.Write)
     graft.operators.Dsir.update(spark.table(table), idCol, textCol,
       org.apache.spark.sql.functions.expr(targetSql), path, batch)
     val m = graft.operators.Dsir.readMetaRow(spark, path)
@@ -879,16 +880,13 @@ case class ShowVersionCommand() extends LeafRunnableCommand {
  * reference's (DISABLED / READ_ONLY / READ_WRITE / ADMIN, DISABLED
  * the CREATE default, names case-normalized like `roleByName`).
  *
- * PASSWORDS ARE DELIBERATELY NOT STORED: Spark has no authentication
- * surface for them to gate (the reference hashes them for its own
- * wire-protocol logins — graft's "wire protocol" is Spark
- * Connect/Thrift, which carry their own auth), so the statements
- * accept the reference's `WITH/SET PASSWORD = '…'` clauses
- * syntactically and discard the secret rather than inventing a
- * half-auth store that would only ever leak. The registry is
- * JVM-wide, in-memory, advisory metadata — the statement surface and
- * row shapes match the reference; enforcement is out of scope by the
- * SURVEY §2.13 declaration.
+ * PASSWORDS (r16): `WITH/SET PASSWORD = '…'` is stored as a salted
+ * PBKDF2 hash and VALIDATED whenever the principal binds — see
+ * [[UserRegistry.hashPassword]] and [[GraftAuth.check]] (reference
+ * UserManager.hashPassword/validateUser + DaoAuthorizer). Earlier
+ * rounds discarded the secret because no store and no wire existed;
+ * both shipped in r15, so the hash now has somewhere to live and a
+ * login path to gate.
  */
 /**
  * Role-based statement AUTHORIZATION (r14; reference
@@ -900,10 +898,13 @@ case class ShowVersionCommand() extends LeafRunnableCommand {
  *  - unset → the reference's NonEmptyUserAuthorizer default (an
  *    unnamed session acts as ADMIN — this is also the bootstrap path:
  *    somebody must be able to CREATE the first user);
- *  - set to a registered name → that user's [[UserRegistry]] role;
- *  - set to an unknown name → refused with the reference
- *    DaoAuthorizer's "Invalid user or password" (no password check —
- *    passwords are deliberately not stored, see [[UserRegistry]]).
+ *  - set to a registered name → the `graft.sql.password` conf (unset
+ *    = "") must verify against the stored hash; then that user's
+ *    [[UserRegistry]] role applies;
+ *  - set to an unknown name, or a name whose password fails to
+ *    verify → refused with the reference DaoAuthorizer's
+ *    "Invalid user or password" (one indistinguishable error for
+ *    both, as in the reference).
  *
  * Role → permission tables are the reference's verbatim
  * (TsdbRole.scala:24-52): DISABLED nothing; READ_ONLY table reads +
@@ -915,34 +916,48 @@ case class ShowVersionCommand() extends LeafRunnableCommand {
  * Denials surface as the reference's error shape:
  * "User <name> doesn't have enough permissions".
  *
- * TRUST MODEL — identity is TRUSTED-CLIENT-ASSERTED: a Spark session
- * conf is settable by whoever holds the session (including `SET
- * graft.sql.user = …` over JDBC), so this layer enforces roles for
- * cooperating clients and multi-tenant middle tiers that pin the conf
- * per request — it is NOT an authentication boundary. The reference
- * has the same split: its PermissionService trusts the YupanaUser its
- * wire protocol authenticated; graft's wire protocols (Thrift/Connect)
- * carry their OWN authentication, and a deployment that needs
- * user-hostile enforcement must bind the conf from the authenticated
- * principal at the server boundary (e.g. a Connect plugin), not accept
- * it from SQL.
+ * TRUST MODEL — the (user, password) conf pair is a real credential
+ * check (r16): whoever holds a session can CLAIM any name, but the
+ * claim only binds if the password verifies against the stored hash,
+ * so a session cannot elevate to a password-protected principal it
+ * does not hold the secret for. The residual trust gap is the
+ * UNNAMED session (conf unset = bootstrap ADMIN, the reference's
+ * NonEmptyUserAuthorizer default): a deployment that must close it
+ * binds the conf pair from the wire login at the server boundary and
+ * rejects unnamed sessions there — the reference has the same split
+ * (its PermissionService trusts the YupanaUser its wire protocol
+ * authenticated).
  */
 object GraftAuth {
   val UserConfKey = "graft.sql.user"
+  /** Session conf carrying the bound principal's password — validated
+    * against the stored salted hash on every [[check]] (reference
+    * DaoAuthorizer.authorize → UserManager.validateUser,
+    * auth/DaoAuthorizer.scala:23-26, UserManager.scala:42-46). Unset
+    * reads as the empty password, the reference's
+    * `password.getOrElse("")`. */
+  val PasswordConfKey = "graft.sql.password"
 
   sealed trait Action
   case object Read extends Action
   case object Write extends Action
 
   sealed trait Subject
-  /** A data table (or an index/model path for maintenance verbs).
-    * `name` is the reference Permission model's per-table scope
+  /** A data table named by a SQL IDENTIFIER. `name` is the reference
+    * Permission model's per-table scope
     * (Permission[Option[String], Action]): the role matrix grants
     * all-tables as before, and a named table can ADDITIONALLY be
     * granted per-user (GRANT READ|WRITE ON TABLE … TO USER …,
     * [[UserRegistry.grant]]) — [[check]] consults those grants when
-    * the matrix denies. */
+    * the matrix denies. Identifier matching is case-insensitive. */
   case class Table(name: Option[String]) extends Subject
+  /** A table-like data object addressed by a FILESYSTEM PATH — the
+    * index/model/cache dirs the maintenance verbs authorize against.
+    * Same permission rows as [[Table]]; grant matching is EXACT
+    * (paths never case-fold — GRANT … ON PATH '…'). The statement
+    * knows which of the two shapes its subject is, so no heuristic
+    * classification happens anywhere. */
+  case class PathTable(path: String) extends Subject
   case object Users extends Subject
   case object Metadata extends Subject
   case object Queries extends Subject
@@ -953,14 +968,14 @@ object GraftAuth {
       case "ADMIN" => true
       case "READ_WRITE" =>
         subject match {
-          case Table(_) => true
+          case Table(_) | PathTable(_) => true
           case Metadata => true
           case Queries => action == Read
           case Users => false
         }
       case "READ_ONLY" =>
         subject match {
-          case Table(_) => action == Read
+          case Table(_) | PathTable(_) => action == Read
           case Metadata => true
           case Queries => action == Read
           case Users => false
@@ -968,28 +983,32 @@ object GraftAuth {
       case _ => false // DISABLED (and anything unknown) may do nothing
     }
 
-  /** The enforcement point every statement's run() calls first: the
-    * role matrix, elevated by per-table grants on a named table
+  /** The enforcement point every statement's run() calls first:
+    * password validation (reference DaoAuthorizer — a named principal
+    * whose password does not verify is refused outright), then the
+    * role matrix, elevated by per-table/per-path grants
     * (reference Permission[Option[String], Action] — a grant names ONE
-    * table; the matrix is the Permission(None, …) all-tables row).
+    * subject; the matrix is the Permission(None, …) all-tables row).
     * Grants elevate ONLY the enabled reader/writer roles: DISABLED is
     * the kill switch — demoting a user to it must close every door,
-    * dormant grants included — and ADMIN needs no elevation. Role and
-    * grants are read as ONE locked snapshot so a same-JVM session
-    * bound to a different store path cannot swap the registry between
-    * the role lookup and the grant lookup. */
+    * dormant grants included — and ADMIN needs no elevation. Role,
+    * password hash, and grants are read as ONE locked snapshot so a
+    * same-JVM session bound to a different store path cannot swap the
+    * registry between the lookups. */
   def check(spark: SparkSession, subject: Subject, action: Action): Unit = {
     spark.conf.getOption(UserConfKey).map(_.trim).filter(_.nonEmpty) match {
       case None => () // unnamed session = NonEmptyUserAuthorizer ADMIN
       case Some(name) =>
-        val (role, userGrants) = UserRegistry.roleAndGrants(spark, name)
+        val pw = spark.conf.getOption(PasswordConfKey).getOrElse("")
+        val (role, userGrants) = UserRegistry.validate(spark, name, pw)
           .getOrElse(throw new SecurityException("Invalid user or password"))
-        val granted = subject match {
-          case Table(Some(t)) if role == "READ_ONLY" || role == "READ_WRITE" =>
-            userGrants.contains(
-              (UserRegistry.normSubject(t), if (action == Write) "WRITE" else "READ"))
+        val act = if (action == Write) "WRITE" else "READ"
+        val granted = (role == "READ_ONLY" || role == "READ_WRITE") && (subject match {
+          case Table(Some(t)) =>
+            userGrants.contains(("T", t.toLowerCase(java.util.Locale.ROOT), act))
+          case PathTable(p) => userGrants.contains(("P", p, act))
           case _ => false
-        }
+        })
         if (!permits(role, subject, action) && !granted)
           throw new SecurityException(s"User $name doesn't have enough permissions")
     }
@@ -1013,30 +1032,57 @@ object GraftAuth {
  * reference delegates this to its DB; a control-plane file keeps the
  * zero-dependency scope documented in the r11 note below.
  *
- * Passwords remain deliberately NOT stored (see the r11 note above:
- * graft's wire protocols carry their own auth); the store therefore
- * holds (name, role) rows plus per-table GRANTS — the reference's
- * Permission[Option[String], Action] scoped grants
- * (PermissionService.scala), consulted by [[GraftAuth.check]] as an
- * additive elevation over the role matrix.
+ * PASSWORDS are stored as salted PBKDF2-HmacSHA256 hashes (reference
+ * UserManager.hashPassword/verifyPassword, auth/UserManager.scala:
+ * 25-46 — the reference uses bcrypt cost 12; graft uses the JDK's
+ * PBKDF2 at a comparable work factor to stay zero-dependency) and
+ * validated on every [[GraftAuth.check]] (DaoAuthorizer semantics).
+ * A CREATE USER without WITH PASSWORD stores the hash of "" — exactly
+ * the reference's `password.getOrElse("")` — so such a user binds
+ * with an unset/empty `graft.sql.password` and nothing else.
+ * Snapshots written before r16 carry no hash column: those users
+ * load with NO password check (the migration path; ALTER USER SET
+ * PASSWORD upgrades them in place).
+ *
+ * GRANT SUBJECTS are kind-tagged: "T" = a SQL identifier table
+ * (case-insensitive — stored lowercased), "P" = a filesystem path
+ * (matched exactly; paths never case-fold). The kind comes from the
+ * GRANT statement's explicit grammar (ON TABLE <ident> vs ON PATH
+ * '<path>'), never from inspecting the string's shape; pre-r16 rows
+ * are classified once at load by the old identifier-shape rule.
+ * Grants are the reference's Permission[Option[String], Action]
+ * scoped grants (PermissionService.scala), consulted by
+ * [[GraftAuth.check]] as an additive elevation over the role matrix.
+ *
+ * The registry state is KEYED BY STORE PATH: each bound path (and the
+ * unset-path in-memory slot) holds its own (users, grants) maps, so a
+ * store-bound session never wipes or reloads a same-JVM session
+ * running against a different path or in memory.
  */
 object UserRegistry {
   val Roles: Seq[String] = Seq("DISABLED", "READ_ONLY", "READ_WRITE", "ADMIN")
   /** Session conf naming the persistent store file; unset = in-memory only. */
   val StorePathKey = "graft.sql.userStore.path"
-  private val users = new java.util.concurrent.ConcurrentHashMap[String, String]()
-  // name -> set of (subject-lowercased, "READ"|"WRITE")
-  private val grants = new java.util.concurrent.ConcurrentHashMap[String, Set[(String, String)]]()
-  // (path, mtime, length) of the snapshot last loaded into memory
-  @volatile private var loadedSig: Option[(String, Long, Long)] = None
-  // when that load happened: the (mtime, length) signature can miss a
-  // same-length update landing within one mtime tick (coarse-mtime
-  // filesystems; ALTER ROLE READ_ONLY→READ_WRITE is same-length), so
-  // past this staleness window the tiny snapshot is re-read even on an
-  // unchanged signature — peer-JVM staleness is bounded at ~2 s instead
-  // of "until some other mutation moves the file"
-  @volatile private var loadedAtMs: Long = 0L
-  private val MaxStalenessMs = 2000L
+
+  /** role + optional password hash ([[hashPassword]] format); None =
+    * a pre-r16 snapshot row — no password check (migration path). */
+  private final case class UserRec(role: String, pwHash: Option[String])
+  // grants: name -> set of (kind "T"|"P", subject, "READ"|"WRITE")
+  private final class RegState {
+    val users = new java.util.concurrent.ConcurrentHashMap[String, UserRec]()
+    val grants = new java.util.concurrent.ConcurrentHashMap[String, Set[(String, String, String)]]()
+    // (mtime, length) of the snapshot last loaded into this slot
+    var loadedSig: Option[(Long, Long)] = None
+    // when that load happened: the (mtime, length) signature can miss a
+    // same-length update landing within one mtime tick (coarse-mtime
+    // filesystems; ALTER ROLE READ_ONLY→READ_WRITE is same-length), so
+    // past this staleness window the tiny snapshot is re-read even on
+    // an unchanged signature — peer-JVM staleness is bounded at ~2 s
+    // instead of "until some other mutation moves the file"
+    var loadedAtMs: Long = 0L
+  }
+  // one slot per store path; "" = the unset-path in-memory registry
+  private val states = new java.util.concurrent.ConcurrentHashMap[String, RegState]()
 
   private def normRole(role: Option[String]): String = {
     val r = role.map(_.toUpperCase(java.util.Locale.ROOT)).getOrElse("DISABLED")
@@ -1045,21 +1091,66 @@ object UserRegistry {
     r
   }
 
-  /** Grant-subject normalization: SQL identifiers are case-insensitive
-    * (lowercase them), but a quoted PATH subject is a filesystem object
-    * — case-folding paths would make a grant on '/data/idx' silently
-    * cover the distinct '/DATA/IDX' on a case-sensitive filesystem, so
-    * anything not identifier-shaped is matched exactly. The shape test
-    * is necessarily heuristic at the boundary: a bare RELATIVE filename
-    * like 'Data.parquet' classifies as a (qualified) identifier — grant
-    * paths should be absolute, which is what every maintenance verb
-    * passes — and quoted non-ASCII/hyphenated identifiers fall to exact
-    * matching, so grant them in the exact form the check will pass. */
-  private[sql] def normSubject(t: String): String =
-    if (t.matches("[A-Za-z_][A-Za-z0-9_.]*")) t.toLowerCase(java.util.Locale.ROOT) else t
+  // ---- password hashing (reference UserManager.hashPassword /
+  // verifyPassword re-expressed on the JDK's PBKDF2) ----
+
+  private val PwIters = 60000 // HmacSHA256 rounds — bcrypt-cost-12-comparable work factor
+
+  private def pbkdf2(pw: String, salt: Array[Byte], iters: Int): Array[Byte] = {
+    val spec = new javax.crypto.spec.PBEKeySpec(pw.toCharArray, salt, iters, 256)
+    try javax.crypto.SecretKeyFactory.getInstance("PBKDF2WithHmacSHA256")
+      .generateSecret(spec).getEncoded
+    finally spec.clearPassword()
+  }
+
+  private def b64(b: Array[Byte]): String = java.util.Base64.getEncoder.encodeToString(b)
+
+  private[sql] def hashPassword(pw: String): String = {
+    val salt = new Array[Byte](16)
+    new java.security.SecureRandom().nextBytes(salt)
+    s"pbkdf2$$$PwIters$$${b64(salt)}$$${b64(pbkdf2(pw, salt, PwIters))}"
+  }
+
+  /** Constant-time verify of `pw` against a [[hashPassword]] string;
+    * an unparseable/foreign hash verifies nothing (never throws). */
+  private[sql] def verifyPassword(pw: String, stored: String): Boolean =
+    stored.split('$') match {
+      case Array("pbkdf2", it, s, h) =>
+        try {
+          val dec = java.util.Base64.getDecoder
+          java.security.MessageDigest.isEqual(
+            pbkdf2(pw, dec.decode(s), it.toInt), dec.decode(h))
+        } catch {
+          case _: NumberFormatException | _: IllegalArgumentException => false
+        }
+      case _ => false
+    }
+
+  // PBKDF2 is deliberately ~50ms, but auth runs per STATEMENT — cache
+  // verified (storedHash, password) outcomes; keying on the stored
+  // hash makes a password change invalidate naturally, and negative
+  // results are cached too (a wrong password retried per-statement
+  // must not be a CPU amplifier). Bounded by occasional full clear.
+  private val verifiedCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), java.lang.Boolean]()
+  private def verifyCached(pw: String, stored: String): Boolean = {
+    if (verifiedCache.size > 4096) verifiedCache.clear()
+    verifiedCache.computeIfAbsent((stored, pw), _ => verifyPassword(pw, stored))
+  }
 
   private def storePath(spark: SparkSession): Option[String] =
     spark.conf.getOption(StorePathKey).map(_.trim).filter(_.nonEmpty)
+
+  /** The registry slot this session's store-path conf addresses. */
+  private def stateFor(spark: SparkSession): RegState =
+    states.computeIfAbsent(storePath(spark).getOrElse(""), _ => new RegState)
+
+  /** Pre-r16 G-row migration: classify a legacy heuristic-normalized
+    * subject into a kind ONCE at load (identifier-shaped rows were
+    * stored lowercased = table grants; anything else was exact = path
+    * grants). Live classification is explicit grammar, never this. */
+  private def legacyKind(t: String): String =
+    if (t.matches("[A-Za-z_][A-Za-z0-9_.]*")) "T" else "P"
 
   private def fs(spark: SparkSession, p: org.apache.hadoop.fs.Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1085,55 +1176,64 @@ object UserRegistry {
     b.toString
   }
 
-  /** Reload from the bound store when its (mtime, length) signature
-    * moved — the read path every statement enters through. Mutations
-    * hold the object lock across sync + mutate + persist (the lock is
+  private val MaxStalenessMs = 2000L
+
+  /** Reload this session's slot from its bound store when the
+    * (mtime, length) signature moved — the read path every statement
+    * enters through. No-op for the in-memory slot. Mutations hold the
+    * object lock across sync + mutate + persist (the lock is
     * reentrant, so their inner sync/persist calls are fine): without
     * it, two same-JVM sessions bound to DIFFERENT store paths could
-    * interleave a reload between another mutation's sync and persist
-    * and write one store's rows into the other. */
+    * interleave between another mutation's sync and persist. */
   def sync(spark: SparkSession): Unit = storePath(spark).foreach { path =>
     this.synchronized {
+      val st0 = states.computeIfAbsent(path, _ => new RegState)
       val p = new org.apache.hadoop.fs.Path(path)
       val f = fs(spark, p)
       val sig =
         if (f.exists(p)) {
           val st = f.getFileStatus(p)
-          (path, st.getModificationTime, st.getLen)
-        } else (path, -1L, -1L)
-      if (!loadedSig.contains(sig) ||
-          System.currentTimeMillis() - loadedAtMs > MaxStalenessMs) {
-        users.clear(); grants.clear()
-        if (sig._2 >= 0L) {
+          (st.getModificationTime, st.getLen)
+        } else (-1L, -1L)
+      if (!st0.loadedSig.contains(sig) ||
+          System.currentTimeMillis() - st0.loadedAtMs > MaxStalenessMs) {
+        st0.users.clear(); st0.grants.clear()
+        if (sig._1 >= 0L) {
           val in = new java.io.BufferedReader(
             new java.io.InputStreamReader(f.open(p), java.nio.charset.StandardCharsets.UTF_8))
           try {
             var line = in.readLine()
             while (line != null) {
               line.split('\t') match {
-                case Array("U", n, r) => users.put(unesc(n), r)
+                case Array("U", n, r) => // pre-r16: no password hash
+                  st0.users.put(unesc(n), UserRec(r, None))
+                case Array("U", n, r, h) =>
+                  st0.users.put(unesc(n), UserRec(r, Some(unesc(h))))
                 case Array("G", n, t, a) =>
-                  // re-normalize on load: tolerates hand-edited or
-                  // older-format snapshots whose subjects were stored
-                  // under a different normalization
-                  val u = unesc(n)
-                  grants.merge(u, Set((normSubject(unesc(t)), a)), (a0, b0) => a0 ++ b0)
+                  // pre-r16 heuristic-normalized grant: classify once
+                  val subj = unesc(t)
+                  st0.grants.merge(unesc(n), Set((legacyKind(subj), subj, a)),
+                    (a0, b0) => a0 ++ b0)
+                case Array("G2", n, k, t, a) if k == "T" || k == "P" =>
+                  st0.grants.merge(unesc(n), Set((k, unesc(t), a)), (a0, b0) => a0 ++ b0)
                 case _ => () // unknown row kind: forward-compat skip
               }
               line = in.readLine()
             }
           } finally in.close()
         }
-        loadedSig = Some(sig)
-        loadedAtMs = System.currentTimeMillis()
+        st0.loadedSig = Some(sig)
+        st0.loadedAtMs = System.currentTimeMillis()
       }
     }
   }
 
-  /** Write the full snapshot, staged + atomic overwrite rename. */
+  /** Write this session's slot as a full snapshot, staged + atomic
+    * overwrite rename. No-op for the in-memory slot. */
   private def persist(spark: SparkSession): Unit = storePath(spark).foreach { path =>
     this.synchronized {
       import scala.jdk.CollectionConverters._
+      val st0 = states.computeIfAbsent(path, _ => new RegState)
       val p = new org.apache.hadoop.fs.Path(path)
       val f = fs(spark, p)
       val stage = new org.apache.hadoop.fs.Path(
@@ -1141,95 +1241,130 @@ object UserRegistry {
       val out = f.create(stage, true)
       try {
         val sb = new StringBuilder
-        users.asScala.toSeq.sortBy(_._1).foreach { case (n, r) =>
-          sb.append("U\t").append(esc(n)).append('\t').append(r).append('\n') }
-        grants.asScala.toSeq.sortBy(_._1).foreach { case (n, gs) =>
-          gs.toSeq.sorted.foreach { case (t, a) =>
-            sb.append("G\t").append(esc(n)).append('\t').append(esc(t)).append('\t').append(a).append('\n') } }
+        st0.users.asScala.toSeq.sortBy(_._1).foreach { case (n, rec) =>
+          sb.append("U\t").append(esc(n)).append('\t').append(rec.role)
+          rec.pwHash.foreach(h => sb.append('\t').append(esc(h)))
+          sb.append('\n')
+        }
+        st0.grants.asScala.toSeq.sortBy(_._1).foreach { case (n, gs) =>
+          gs.toSeq.sorted.foreach { case (k, t, a) =>
+            sb.append("G2\t").append(esc(n)).append('\t').append(k)
+              .append('\t').append(esc(t)).append('\t').append(a).append('\n') } }
         out.write(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       } finally out.close()
       val fc = org.apache.hadoop.fs.FileContext.getFileContext(
         p.toUri, spark.sparkContext.hadoopConfiguration)
       fc.rename(stage, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
       val st = f.getFileStatus(p)
-      loadedSig = Some((path, st.getModificationTime, st.getLen))
-      loadedAtMs = System.currentTimeMillis()
+      st0.loadedSig = Some((st.getModificationTime, st.getLen))
+      st0.loadedAtMs = System.currentTimeMillis()
     }
   }
 
   /** Reference UserManager.createUser: default role DISABLED, "User
-    * already exists" on a duplicate name. */
-  def create(spark: SparkSession, name: String, role: Option[String]): Unit = this.synchronized {
+    * already exists" on a duplicate name; the stored hash is of
+    * `password.getOrElse("")`, exactly the reference's. */
+  def create(spark: SparkSession, name: String, password: Option[String],
+      role: Option[String]): Unit = this.synchronized {
     sync(spark)
-    val r = normRole(role)
-    if (users.putIfAbsent(name, r) != null)
+    val st = stateFor(spark)
+    val rec = UserRec(normRole(role), Some(hashPassword(password.getOrElse(""))))
+    if (st.users.putIfAbsent(name, rec) != null)
       throw new IllegalArgumentException("User already exists")
     persist(spark)
   }
   /** Reference UserManager.updateUser: "User not found" when absent;
-    * a password-only ALTER validates the name but changes nothing
-    * stored (no password store — see the object doc). */
-  def update(spark: SparkSession, name: String, role: Option[String]): Unit = this.synchronized {
+    * SET PASSWORD re-hashes, SET ROLE re-roles, each independently. */
+  def update(spark: SparkSession, name: String, password: Option[String],
+      role: Option[String]): Unit = this.synchronized {
     sync(spark)
+    val st = stateFor(spark)
     val r = role.map(x => normRole(Some(x)))
-    val prev = users.computeIfPresent(name, (_, old) => r.getOrElse(old))
+    val h = password.map(hashPassword)
+    val prev = st.users.computeIfPresent(name, (_, old) =>
+      UserRec(r.getOrElse(old.role), h.orElse(old.pwHash)))
     if (prev == null) throw new IllegalArgumentException("User not found")
     persist(spark)
   }
   def drop(spark: SparkSession, name: String): Unit = this.synchronized {
     sync(spark)
-    if (users.remove(name) == null) throw new IllegalArgumentException("User not found")
-    grants.remove(name)
+    val st = stateFor(spark)
+    if (st.users.remove(name) == null) throw new IllegalArgumentException("User not found")
+    st.grants.remove(name)
     persist(spark)
   }
   def list(spark: SparkSession): Seq[(String, String)] = this.synchronized {
     sync(spark)
     import scala.jdk.CollectionConverters._
-    users.asScala.toSeq.sortBy(_._1)
+    stateFor(spark).users.asScala.toSeq.map { case (n, rec) => (n, rec.role) }.sortBy(_._1)
   }
   /** The role of a registered user. */
   def roleOf(spark: SparkSession, name: String): Option[String] = this.synchronized {
     sync(spark)
-    Option(users.get(name))
+    Option(stateFor(spark).users.get(name)).map(_.role)
   }
 
-  /** Add a per-table grant (idempotent). The grantee must exist. */
-  def grant(spark: SparkSession, name: String, table: String, action: String): Unit = this.synchronized {
+  /** Add a grant (idempotent). The grantee must exist. `isPath` comes
+    * from the statement's explicit ON TABLE / ON PATH grammar. */
+  def grant(spark: SparkSession, name: String, subject: String, action: String,
+      isPath: Boolean): Unit = this.synchronized {
     sync(spark)
-    if (!users.containsKey(name)) throw new IllegalArgumentException("User not found")
-    grants.merge(name, Set((normSubject(table), action)), (a, b) => a ++ b)
+    val st = stateFor(spark)
+    if (!st.users.containsKey(name)) throw new IllegalArgumentException("User not found")
+    st.grants.merge(name, Set(grantKey(subject, action, isPath)), (a, b) => a ++ b)
     persist(spark)
   }
-  /** Remove a per-table grant; "Grant not found" when absent. */
-  def revoke(spark: SparkSession, name: String, table: String, action: String): Unit = this.synchronized {
+  /** Remove a grant; "Grant not found" when absent. */
+  def revoke(spark: SparkSession, name: String, subject: String, action: String,
+      isPath: Boolean): Unit = this.synchronized {
     sync(spark)
-    val key = (normSubject(table), action)
-    val cur = grants.getOrDefault(name, Set.empty)
+    val st = stateFor(spark)
+    val key = grantKey(subject, action, isPath)
+    val cur = st.grants.getOrDefault(name, Set.empty)
     if (!cur.contains(key)) throw new IllegalArgumentException("Grant not found")
     val next = cur - key
-    if (next.isEmpty) grants.remove(name) else grants.put(name, next)
+    if (next.isEmpty) st.grants.remove(name) else st.grants.put(name, next)
     persist(spark)
   }
-  /** Role + grants of one user as a SINGLE locked snapshot — the auth
-    * read path ([[GraftAuth.check]]): without the lock, a same-JVM
-    * session bound to a DIFFERENT store path could reload the registry
-    * between the role lookup and the grant lookup and another store's
-    * grants would be consulted. */
-  def roleAndGrants(
-      spark: SparkSession, name: String): Option[(String, Set[(String, String)])] =
+  private def grantKey(subject: String, action: String, isPath: Boolean): (String, String, String) =
+    if (isPath) ("P", subject, action)
+    else ("T", subject.toLowerCase(java.util.Locale.ROOT), action)
+
+  /** Validate a principal and return (role, grants) as a SINGLE locked
+    * snapshot — THE auth read path ([[GraftAuth.check]]): the password
+    * must verify against the stored hash (reference
+    * UserManager.validateUser — None on an unknown name OR a failed
+    * verify; hash-less pre-r16 rows skip the check), and without the
+    * lock a same-JVM session bound to a DIFFERENT store path could
+    * reload the registry between the lookups. */
+  def validate(spark: SparkSession, name: String,
+      password: String): Option[(String, Set[(String, String, String)])] =
     this.synchronized {
       sync(spark)
-      Option(users.get(name)).map(r => (r, grants.getOrDefault(name, Set.empty)))
+      val st = stateFor(spark)
+      Option(st.users.get(name))
+        .filter(rec => rec.pwHash.forall(h => verifyCached(password, h)))
+        .map(rec => (rec.role, st.grants.getOrDefault(name, Set.empty)))
     }
-  def listGrants(spark: SparkSession, user: Option[String]): Seq[(String, String, String)] = this.synchronized {
+  /** Role + grants WITHOUT password validation — listing/diagnostic
+    * use only; never the statement auth path. */
+  def roleAndGrants(
+      spark: SparkSession, name: String): Option[(String, Set[(String, String, String)])] =
+    this.synchronized {
+      sync(spark)
+      val st = stateFor(spark)
+      Option(st.users.get(name)).map(rec => (rec.role, st.grants.getOrDefault(name, Set.empty)))
+    }
+  def listGrants(spark: SparkSession, user: Option[String]): Seq[(String, String, String, String)] = this.synchronized {
     sync(spark)
     import scala.jdk.CollectionConverters._
-    grants.asScala.toSeq
+    stateFor(spark).grants.asScala.toSeq
       .filter(kv => user.forall(_ == kv._1))
-      .flatMap { case (n, gs) => gs.toSeq.map { case (t, a) => (n, t, a) } }
+      .flatMap { case (n, gs) => gs.toSeq.map { case (k, t, a) =>
+        (n, if (k == "P") "PATH" else "TABLE", t, a) } }
       .sorted
   }
-  def clear(): Unit = { users.clear(); grants.clear(); loadedSig = None; loadedAtMs = 0L }
+  def clear(): Unit = { states.clear(); verifiedCache.clear() }
 }
 
 /** SHOW USERS — (name, role) rows, name-sorted (reference
@@ -1245,28 +1380,28 @@ case class ShowUsersCommand() extends LeafRunnableCommand {
 }
 
 /** CREATE USER '<name>' [WITH PASSWORD = '…'] [WITH ROLE = '<role>'] —
-  * STATUS OK row (reference singleResult), password discarded by
-  * design ([[UserRegistry]]). */
-case class CreateUserCommand(name: String, hadPassword: Boolean, role: Option[String])
+  * STATUS OK row (reference singleResult); the password (or "") is
+  * salted-hashed into the registry ([[UserRegistry.create]]). */
+case class CreateUserCommand(name: String, password: Option[String], role: Option[String])
     extends LeafRunnableCommand {
   import GraftSqlParser.attr
   override val output: Seq[Attribute] = Seq(attr("status", StringType))
   override def run(spark: SparkSession): Seq[Row] = {
     GraftAuth.check(spark, GraftAuth.Users, GraftAuth.Write)
-    UserRegistry.create(spark, name, role)
+    UserRegistry.create(spark, name, password, role)
     Seq(Row("OK"))
   }
 }
 
 /** ALTER USER '<name>' [SET PASSWORD = '…'] [SET ROLE = '<role>'] —
   * STATUS OK row; at least one SET clause required (parser-enforced). */
-case class AlterUserCommand(name: String, hadPassword: Boolean, role: Option[String])
+case class AlterUserCommand(name: String, password: Option[String], role: Option[String])
     extends LeafRunnableCommand {
   import GraftSqlParser.attr
   override val output: Seq[Attribute] = Seq(attr("status", StringType))
   override def run(spark: SparkSession): Seq[Row] = {
     GraftAuth.check(spark, GraftAuth.Users, GraftAuth.Write)
-    UserRegistry.update(spark, name, role)
+    UserRegistry.update(spark, name, password, role)
     Seq(Row("OK"))
   }
 }
@@ -1294,7 +1429,7 @@ case class InvalidateResultCacheCommand(cacheDir: String, dataKey: Option[String
   override val output: Seq[Attribute] =
     Seq(attr("cache", StringType), attr("status", StringType))
   override def run(spark: SparkSession): Seq[Row] = {
-    GraftAuth.check(spark, GraftAuth.Table(Some(cacheDir)), GraftAuth.Write)
+    GraftAuth.check(spark, GraftAuth.PathTable(cacheDir), GraftAuth.Write)
     dataKey match {
       case Some(k) => graft.core.ResultCache.invalidateData(spark, cacheDir, k)
       case None => graft.core.ResultCache.invalidateAll(spark, cacheDir)
@@ -1314,10 +1449,13 @@ case class DropUserCommand(name: String) extends LeafRunnableCommand {
   }
 }
 
-/** GRANT READ|WRITE ON TABLE <t> TO USER '<name>' — a per-table
-  * elevation over the role matrix (reference
+/** GRANT READ|WRITE ON TABLE <t> | ON PATH '<p>' TO USER '<name>' — a
+  * per-subject elevation over the role matrix (reference
   * Permission[Option[String], Action]); granting is a user-management
-  * write, so ADMIN-only, like the reference's user mutations.
+  * write, so ADMIN-only, like the reference's user mutations. The
+  * TABLE/PATH keyword is the EXPLICIT subject-kind declaration: TABLE
+  * subjects are SQL identifiers (case-insensitive), PATH subjects are
+  * filesystem strings (matched exactly) — no shape heuristic anywhere.
   *
   * Under the SHIPPED role matrix only WRITE grants change an outcome:
   * both enabled roles already read every table, and DISABLED is the
@@ -1326,40 +1464,42 @@ case class DropUserCommand(name: String) extends LeafRunnableCommand {
   * future deny-by-default table mode would activate it) but is
   * currently inert. Documented here and in SURVEY §2.13 rather than
   * rejected: surface parity over a confusing refusal. */
-case class GrantTableCommand(action: String, table: String, user: String)
+case class GrantTableCommand(action: String, subject: String, isPath: Boolean, user: String)
     extends LeafRunnableCommand {
   import GraftSqlParser.attr
   override val output: Seq[Attribute] = Seq(attr("status", StringType))
   override def run(spark: SparkSession): Seq[Row] = {
     GraftAuth.check(spark, GraftAuth.Users, GraftAuth.Write)
-    UserRegistry.grant(spark, user, table, action)
+    UserRegistry.grant(spark, user, subject, action, isPath)
     Seq(Row("OK"))
   }
 }
 
-/** REVOKE READ|WRITE ON TABLE <t> FROM USER '<name>' — "Grant not
-  * found" when the exact (table, action) grant is absent. */
-case class RevokeTableCommand(action: String, table: String, user: String)
+/** REVOKE READ|WRITE ON TABLE <t> | ON PATH '<p>' FROM USER '<name>'
+  * — "Grant not found" when the exact (kind, subject, action) grant
+  * is absent. */
+case class RevokeTableCommand(action: String, subject: String, isPath: Boolean, user: String)
     extends LeafRunnableCommand {
   import GraftSqlParser.attr
   override val output: Seq[Attribute] = Seq(attr("status", StringType))
   override def run(spark: SparkSession): Seq[Row] = {
     GraftAuth.check(spark, GraftAuth.Users, GraftAuth.Write)
-    UserRegistry.revoke(spark, user, table, action)
+    UserRegistry.revoke(spark, user, subject, action, isPath)
     Seq(Row("OK"))
   }
 }
 
-/** SHOW GRANTS [FOR USER '<name>'] — (name, table, action) rows,
-  * sorted; reads of the user surface need the Users Read permission
-  * (ADMIN), matching SHOW USERS. */
+/** SHOW GRANTS [FOR USER '<name>'] — (name, kind, subject, action)
+  * rows, sorted (kind = TABLE|PATH); reads of the user surface need
+  * the Users Read permission (ADMIN), matching SHOW USERS. */
 case class ShowGrantsCommand(user: Option[String]) extends LeafRunnableCommand {
   import GraftSqlParser.attr
   override val output: Seq[Attribute] =
-    Seq(attr("name", StringType), attr("table", StringType), attr("action", StringType))
+    Seq(attr("name", StringType), attr("kind", StringType),
+      attr("subject", StringType), attr("action", StringType))
   override def run(spark: SparkSession): Seq[Row] = {
     GraftAuth.check(spark, GraftAuth.Users, GraftAuth.Read)
-    UserRegistry.listGrants(spark, user).map { case (n, t, a) => Row(n, t, a) }
+    UserRegistry.listGrants(spark, user).map { case (n, k, t, a) => Row(n, k, t, a) }
   }
 }
 
@@ -1376,7 +1516,7 @@ case class VacuumResultCacheCommand(cacheDir: String, olderThanMs: Option[Long])
     Seq(attr("cache", StringType), attr("removed_entries", LongType),
       attr("removed_bytes", LongType), attr("status", StringType))
   override def run(spark: SparkSession): Seq[Row] = {
-    GraftAuth.check(spark, GraftAuth.Table(Some(cacheDir)), GraftAuth.Write)
+    GraftAuth.check(spark, GraftAuth.PathTable(cacheDir), GraftAuth.Write)
     val (n, b) = graft.core.ResultCache.vacuum(spark, cacheDir, olderThanMs)
     Seq(Row(cacheDir, n, b, "OK"))
   }

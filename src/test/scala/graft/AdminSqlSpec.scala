@@ -352,16 +352,16 @@ class AdminSqlSpec extends SparkSpecBase {
       // ---- user management (reference Statement.scala:40,56-58) ----
       graft.sql.UserRegistry.clear()
       assert(s2.sql("SHOW USERS").collect().isEmpty)
-      assert(s2.sql("CREATE USER 'alice' WITH PASSWORD = 's3cret' WITH ROLE = 'ADMIN'")
+      assert(s2.sql("CREATE USER 'alice' WITH PASSWORD = 's3cret-pw' WITH ROLE = 'ADMIN'")
         .head().getString(0) == "OK")
       s2.sql("CREATE USER 'bob'") // reference default role: DISABLED
       s2.sql("CREATE USER 'carol' WITH ROLE = 'read_only'") // case-normalized
       val users = s2.sql("SHOW USERS").collect().map(r => (r.getString(0), r.getString(1)))
       assert(users.toSeq == Seq(("alice", "ADMIN"), ("bob", "DISABLED"), ("carol", "READ_ONLY")))
-      // the password is accepted syntactically and NOT stored anywhere
+      // SHOW USERS never surfaces the hash (name, role only)
       assert(s2.sql("SHOW USERS").schema.fieldNames.toSeq == Seq("name", "role"))
       s2.sql("ALTER USER 'bob' SET ROLE = 'READ_WRITE'")
-      s2.sql("ALTER USER 'alice' SET PASSWORD = 'rotated'") // name validated, nothing stored
+      s2.sql("ALTER USER 'alice' SET PASSWORD = 'rotated'") // re-hashes; covered in the password spec
       assert(s2.sql("SHOW USERS").collect()
         .find(_.getString(0) == "bob").get.getString(1) == "READ_WRITE")
       s2.sql("DROP USER 'carol'")
@@ -559,8 +559,8 @@ class AdminSqlSpec extends SparkSpecBase {
       val still = intercept[SecurityException](as("reader")(s2.sql(put("metrics_gr2"))))
       assert(still.getMessage == "User reader doesn't have enough permissions")
       assert(s2.sql("SHOW GRANTS").collect().map(r =>
-        (r.getString(0), r.getString(1), r.getString(2))).toSeq ==
-        Seq(("reader", "metrics_gr1", "WRITE")))
+        (r.getString(0), r.getString(1), r.getString(2), r.getString(3))).toSeq ==
+        Seq(("reader", "TABLE", "metrics_gr1", "WRITE")))
       // granting is ADMIN-only, like every user mutation
       intercept[SecurityException](
         as("reader")(s2.sql("GRANT WRITE ON TABLE metrics_gr2 TO USER 'reader'")))
@@ -596,20 +596,32 @@ class AdminSqlSpec extends SparkSpecBase {
       assert(s3.sql("SHOW USERS").collect().map(r => (r.getString(0), r.getString(1))).toSeq ==
         Seq(("reader", "READ_ONLY")), "the persisted user must survive a registry restart")
 
-      // subject normalization: identifiers are case-insensitive (stored
-      // lowercased), quoted PATHS are exact — a grant on one path must
-      // not cover a different-cased (distinct) directory
+      // subject kinds are EXPLICIT grammar: ON TABLE identifiers are
+      // case-insensitive (stored lowercased under kind T), ON PATH
+      // strings are exact under kind P — a grant on one path must not
+      // cover a different-cased (distinct) directory, and no string-
+      // shape heuristic decides which is which
       s3.conf.unset(graft.sql.GraftAuth.UserConfKey)
-      s3.sql("GRANT WRITE ON TABLE '/tmp/graft_case_path' TO USER 'reader'")
+      s3.sql("GRANT WRITE ON PATH '/tmp/graft_case_path' TO USER 'reader'")
       val gset = graft.sql.UserRegistry.roleAndGrants(s3, "reader").get._2
-      assert(gset.contains(("/tmp/graft_case_path", "WRITE")),
+      assert(gset.contains(("P", "/tmp/graft_case_path", "WRITE")),
         s"path subjects store exactly as written: $gset")
-      assert(!gset.contains(("/TMP/GRAFT_CASE_PATH", "WRITE")) &&
-        !gset.exists(g => g._1.equalsIgnoreCase("/TMP/GRAFT_CASE_PATH") && g._1 != "/tmp/graft_case_path"),
+      assert(!gset.exists(g => g._1 == "P" && g._2 != "/tmp/graft_case_path"),
         "path subjects must not case-fold")
-      assert(gset.contains(("metrics_gr1", "WRITE")),
-        s"identifier subjects store lowercased (case-insensitive matching): $gset")
-      s3.sql("REVOKE WRITE ON TABLE '/tmp/graft_case_path' FROM USER 'reader'")
+      assert(gset.contains(("T", "metrics_gr1", "WRITE")),
+        s"identifier subjects store lowercased under kind T: $gset")
+      // kinds are distinct namespaces: the PATH grant cannot be revoked
+      // via ON TABLE grammar (even for a same-spelled subject)
+      intercept[IllegalArgumentException](
+        s3.sql("REVOKE WRITE ON PATH 'metrics_gr1' FROM USER 'reader'"))
+      s3.sql("REVOKE WRITE ON PATH '/tmp/graft_case_path' FROM USER 'reader'")
+      // TABLE grammar matches case-insensitively end to end
+      s3.sql("GRANT WRITE ON TABLE METRICS_GR2 TO USER 'reader'")
+      s3.conf.set(graft.sql.GraftAuth.UserConfKey, "reader")
+      assert(s3.sql(put("metrics_gr2")).head().getLong(1) == 1L,
+        "an upper-cased TABLE grant must cover the lower-cased table")
+      s3.conf.unset(graft.sql.GraftAuth.UserConfKey)
+      s3.sql("REVOKE WRITE ON TABLE metrics_gr2 FROM USER 'reader'")
 
       // REVOKE closes the elevation (and persists that too)
       s3.sql("REVOKE WRITE ON TABLE metrics_gr1 FROM USER 'reader'")
@@ -617,6 +629,197 @@ class AdminSqlSpec extends SparkSpecBase {
       s3.conf.set(graft.sql.GraftAuth.UserConfKey, "reader")
       intercept[SecurityException](s3.sql(put("metrics_gr1")))
       s3.conf.unset(graft.sql.GraftAuth.UserConfKey)
+    } finally {
+      graft.sql.UserRegistry.clear()
+      s2.conf.unset(graft.sql.UserRegistry.StorePathKey)
+      SparkSession.setActiveSession(spark)
+      SparkSession.setDefaultSession(spark)
+    }
+  }
+
+  test("password validation: stored salted hashes gate every bind (DaoAuthorizer semantics)") {
+    spark // force base session init first
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s2 = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.sql.GraftExtensions().apply(_))
+      .getOrCreate()
+    val store = "/tmp/graft_pwstore_" + System.nanoTime() + "/users.tsv"
+    def as[T](u: String, pw: Option[String])(f: => T): T = {
+      s2.conf.set(graft.sql.GraftAuth.UserConfKey, u)
+      pw.foreach(s2.conf.set(graft.sql.GraftAuth.PasswordConfKey, _))
+      try f finally {
+        s2.conf.unset(graft.sql.GraftAuth.UserConfKey)
+        s2.conf.unset(graft.sql.GraftAuth.PasswordConfKey)
+      }
+    }
+    try {
+      graft.sql.UserRegistry.clear()
+      s2.conf.set(graft.sql.UserRegistry.StorePathKey, store)
+      s2.sql("CREATE USER 'alice' WITH PASSWORD = 's3cret-pw' WITH ROLE = 'READ_ONLY'")
+      s2.sql("CREATE USER 'bob' WITH ROLE = 'READ_ONLY'") // reference: hash of ""
+
+      // the right password binds; the wrong one (and none at all, and a
+      // DIFFERENT user's right password) is the DaoAuthorizer refusal
+      as("alice", Some("s3cret-pw"))(s2.sql("SHOW VERSION").collect())
+      val wrong = intercept[SecurityException](
+        as("alice", Some("nope"))(s2.sql("SHOW VERSION").collect()))
+      assert(wrong.getMessage == "Invalid user or password")
+      intercept[SecurityException](as("alice", None)(s2.sql("SHOW VERSION").collect()))
+      intercept[SecurityException](
+        as("bob", Some("s3cret-pw"))(s2.sql("SHOW VERSION").collect()))
+
+      // a password-less CREATE stores the hash of "" (reference
+      // UserManager.createUser password.getOrElse("")): binds with an
+      // unset or empty conf and nothing else
+      as("bob", None)(s2.sql("SHOW VERSION").collect())
+      as("bob", Some(""))(s2.sql("SHOW VERSION").collect())
+
+      // ALTER SET PASSWORD rotates the hash: old stops, new works;
+      // ALTER SET ROLE alone must NOT touch the stored hash
+      s2.sql("ALTER USER 'alice' SET PASSWORD = 'n3w-pw'")
+      intercept[SecurityException](
+        as("alice", Some("s3cret-pw"))(s2.sql("SHOW VERSION").collect()))
+      as("alice", Some("n3w-pw"))(s2.sql("SHOW VERSION").collect())
+      s2.sql("ALTER USER 'alice' SET ROLE = 'READ_WRITE'")
+      as("alice", Some("n3w-pw"))(s2.sql("SHOW VERSION").collect())
+
+      // hashes persist: wipe the registry, rebind from the store file
+      graft.sql.UserRegistry.clear()
+      val s3 = s2.newSession()
+      s3.conf.set(graft.sql.UserRegistry.StorePathKey, store)
+      s3.conf.set(graft.sql.GraftAuth.UserConfKey, "alice")
+      s3.conf.set(graft.sql.GraftAuth.PasswordConfKey, "n3w-pw")
+      s3.sql("SHOW VERSION").collect()
+      s3.conf.set(graft.sql.GraftAuth.PasswordConfKey, "s3cret-pw")
+      val stale = intercept[SecurityException](s3.sql("SHOW VERSION").collect())
+      assert(stale.getMessage == "Invalid user or password")
+      s3.conf.unset(graft.sql.GraftAuth.UserConfKey)
+      s3.conf.unset(graft.sql.GraftAuth.PasswordConfKey)
+
+      // the snapshot never holds a plaintext: the file carries pbkdf2
+      // rows, not the secrets
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(store)), java.nio.charset.StandardCharsets.UTF_8)
+      assert(txt.contains("pbkdf2$"), s"store must carry salted hashes: $txt")
+      assert(!txt.contains("n3w-pw") && !txt.contains("s3cret-pw"),
+        "store must never carry a plaintext password")
+
+      // pre-r16 MIGRATION row (no hash column): loads, and binds with
+      // ANY password — ALTER SET PASSWORD upgrades it in place. A
+      // FRESH path: a hand-written file must not collide with the
+      // Hadoop local-FS checksum sidecar of the persisted store.
+      graft.sql.UserRegistry.clear()
+      val legacyStore = store + ".legacy"
+      s2.conf.set(graft.sql.UserRegistry.StorePathKey, legacyStore)
+      java.nio.file.Files.write(java.nio.file.Paths.get(legacyStore),
+        "U\tlegacy\tREAD_ONLY\nG\tlegacy\tmetrics_old\tWRITE\nG\tlegacy\t/tmp/Old_Path\tWRITE\n"
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      as("legacy", Some("anything"))(s2.sql("SHOW VERSION").collect())
+      val lg = graft.sql.UserRegistry.roleAndGrants(s2, "legacy").get._2
+      assert(lg == Set(("T", "metrics_old", "WRITE"), ("P", "/tmp/Old_Path", "WRITE")),
+        s"legacy grants classify by the one-time load rule: $lg")
+      s2.sql("ALTER USER 'legacy' SET PASSWORD = 'pinned'")
+      intercept[SecurityException](
+        as("legacy", Some("anything"))(s2.sql("SHOW VERSION").collect()))
+      as("legacy", Some("pinned"))(s2.sql("SHOW VERSION").collect())
+    } finally {
+      graft.sql.UserRegistry.clear()
+      s2.conf.unset(graft.sql.UserRegistry.StorePathKey)
+      s2.conf.unset(graft.sql.GraftAuth.UserConfKey)
+      s2.conf.unset(graft.sql.GraftAuth.PasswordConfKey)
+      SparkSession.setActiveSession(spark)
+      SparkSession.setDefaultSession(spark)
+    }
+  }
+
+  test("query metrics persist: a bound store serves SHOW QUERY METRICS across sessions") {
+    spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s2 = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.sql.GraftExtensions().apply(_))
+      .getOrCreate()
+    val store = "/tmp/graft_metricsstore_" + System.nanoTime() + "/metrics.tsv"
+    try {
+      s2.conf.set(graft.core.QueryMetrics.StorePathKey, store)
+      graft.core.QueryMetrics.forSession(s2).clear()
+      // run a query, wait for the listener, SHOW flushes to the store
+      graft.core.QueryMetrics.forSession(s2)
+      s2.range(100).agg(sum(col("id"))).collect()
+      val deadline = System.currentTimeMillis() + 5000
+      while (graft.core.QueryMetrics.forSession(s2).snapshot().isEmpty &&
+        System.currentTimeMillis() < deadline) Thread.sleep(50)
+      val shown = s2.sql("SHOW QUERY METRICS LIMIT 100").collect()
+      assert(shown.nonEmpty, "the session's records must surface")
+      // the flush materialized the snapshot file (the SHOW's own
+      // execution re-fires the listener, so session memory is never
+      // exactly empty — the store is the source of truth from here)
+      assert(java.nio.file.Files.exists(java.nio.file.Paths.get(store)),
+        "a bound-store SHOW must write the snapshot")
+
+      // A NEW session (fresh listener, empty memory) bound to the same
+      // store sees the history — the reference TsdbQueryMetricsDao
+      // contract: metrics outlive the serving process
+      val s3 = s2.newSession()
+      s3.conf.set(graft.core.QueryMetrics.StorePathKey, store)
+      val replay = s3.sql("SHOW QUERY METRICS LIMIT 100").collect()
+      assert(replay.map(_.getString(0)).toSet == shown.map(_.getString(0)).toSet,
+        s"persisted metrics must survive a new session: ${replay.toSeq} vs ${shown.toSeq}")
+      // filters run against the store too (every SHOW itself records —
+      // counts only grow, so assert containment, not equality)
+      assert(s3.sql("SHOW QUERY METRICS WHERE STATE = 'FINISHED' LIMIT 100").count() >=
+        replay.count(_.getString(3) == "FINISHED"))
+      assert(s3.sql("SHOW QUERY METRICS WHERE QUERY_ID = 'no-such-query'").count() == 0)
+      // DELETE reclaims from the store: a FRESH session (no pending
+      // in-memory records of its own) sees none afterwards
+      assert(s3.sql("DELETE QUERY METRICS").head().getLong(0) >= shown.length.toLong)
+      val s4 = s2.newSession()
+      s4.conf.set(graft.core.QueryMetrics.StorePathKey, store)
+      assert(s4.sql("SHOW QUERY METRICS LIMIT 100").collect().isEmpty,
+        "a store-bound DELETE must clear what every bound session sees")
+    } finally {
+      s2.conf.unset(graft.core.QueryMetrics.StorePathKey)
+      SparkSession.setActiveSession(spark)
+      SparkSession.setDefaultSession(spark)
+    }
+  }
+
+  test("registry slots are keyed by store path: a bound session never wipes the in-memory one") {
+    spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s2 = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.sql.GraftExtensions().apply(_))
+      .getOrCreate()
+    val store = "/tmp/graft_slotstore_" + System.nanoTime() + "/users.tsv"
+    try {
+      graft.sql.UserRegistry.clear()
+      // session A: in-memory (no store conf) creates a user
+      s2.sql("CREATE USER 'memuser' WITH ROLE = 'READ_ONLY'")
+      // session B: store-bound, creates its own user + syncs repeatedly
+      val sb = s2.newSession()
+      sb.conf.set(graft.sql.UserRegistry.StorePathKey, store)
+      sb.sql("CREATE USER 'storeuser' WITH ROLE = 'READ_WRITE'")
+      sb.sql("SHOW USERS").collect() // sync pass on the bound slot
+      // the in-memory slot must still hold memuser (r15 bug: the bound
+      // session's sync cleared the shared maps and memuser vanished)
+      s2.conf.set(graft.sql.GraftAuth.UserConfKey, "memuser")
+      s2.sql("SHOW VERSION").collect()
+      s2.conf.unset(graft.sql.GraftAuth.UserConfKey)
+      assert(s2.sql("SHOW USERS").collect().map(_.getString(0)).toSeq == Seq("memuser"),
+        "slots must be independent: the in-memory slot keeps exactly its own users")
+      assert(sb.sql("SHOW USERS").collect().map(_.getString(0)).toSeq == Seq("storeuser"),
+        "the bound slot keeps exactly the store's users")
     } finally {
       graft.sql.UserRegistry.clear()
       s2.conf.unset(graft.sql.UserRegistry.StorePathKey)

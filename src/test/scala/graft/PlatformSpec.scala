@@ -194,13 +194,23 @@ class PlatformSpec extends SparkSpecBase {
     assert(ResultCache.inventory(spark, cache).count() == 0)
   }
 
-  test("wire surface: a JDBC client reaches graft SQL through a Thrift session") {
+  test("wire surface: JDBC sessions reach graft SQL; auth, passwords, and session isolation compose") {
     // SURVEY §2.13 declares the reference's JDBC/Netty/Postgres wire
     // protocols served by Spark's own Thrift/Connect — this test turns
-    // the claim into evidence: an in-process HiveThriftServer2 bound to
-    // a graft-extended session, reached through the stock hive-jdbc
-    // driver, runs BOTH an injected graft function and a graft admin
-    // STATEMENT (the injected parser path) over the wire.
+    // the claim into evidence on ONE in-process HiveThriftServer2 in
+    // the production MULTI-SESSION mode (each connection forks its own
+    // session state, extensions included):
+    //  1. an injected graft FUNCTION and a graft admin STATEMENT (the
+    //     injected parser) run over stock hive-jdbc;
+    //  2. a READ_ONLY principal bound FROM THE JDBC SIDE is denied a
+    //     write at the wire with the reference error shape while its
+    //     reads keep flowing;
+    //  3. passwords gate the wire bind (reference DaoAuthorizer): the
+    //     wrong secret is refused, the right one restores service;
+    //  4. two SIMULTANEOUS connections carry independent principals —
+    //     one session's SET neither elevates nor restricts the other.
+    // (One server per JVM: a second HiveServer2 start in-process never
+    // rebinds, so every wire claim shares this server.)
     import org.apache.spark.sql.SparkSession
     val sock = new java.net.ServerSocket(0)
     val port = sock.getLocalPort
@@ -212,9 +222,9 @@ class PlatformSpec extends SparkSpecBase {
       .master("local[2]")
       .config("spark.sql.shuffle.partitions", "2")
       .config("spark.ui.enabled", "false")
-      // each connection's session must BE this graft-extended session
-      // (parser + functions), not a vanilla fork
-      .config("spark.sql.hive.thriftServer.singleSession", "true")
+      // production default: every connection forks its own session
+      // state — the fork must carry the graft extensions
+      .config("spark.sql.hive.thriftServer.singleSession", "false")
       .config("hive.server2.thrift.port", port.toString)
       // keep derby's metastore files out of the repo working dir
       .config("javax.jdo.option.ConnectionURL",
@@ -223,19 +233,24 @@ class PlatformSpec extends SparkSpecBase {
       .getOrCreate()
     var server: Option[org.apache.hive.service.server.HiveServer2] = None
     try {
+      graft.sql.UserRegistry.clear()
       server = Some(
         org.apache.spark.sql.hive.thriftserver.GraftThriftBridge.start(s2.sqlContext))
       Class.forName("org.apache.hive.jdbc.HiveDriver")
       // the server binds asynchronously — retry the connect briefly
-      val deadline = System.currentTimeMillis() + 60000
-      var conn: java.sql.Connection = null
-      var lastErr: Throwable = null
-      while (conn == null && System.currentTimeMillis() < deadline) {
-        try conn = java.sql.DriverManager
-          .getConnection(s"jdbc:hive2://localhost:$port/", "anonymous", "")
-        catch { case e: Throwable => lastErr = e; Thread.sleep(500) }
+      def connect(): java.sql.Connection = {
+        val deadline = System.currentTimeMillis() + 60000
+        var conn: java.sql.Connection = null
+        var lastErr: Throwable = null
+        while (conn == null && System.currentTimeMillis() < deadline) {
+          try conn = java.sql.DriverManager
+            .getConnection(s"jdbc:hive2://localhost:$port/", "anonymous", "")
+          catch { case e: Throwable => lastErr = e; Thread.sleep(500) }
+        }
+        assert(conn != null, s"thrift server never came up: $lastErr")
+        conn
       }
-      assert(conn != null, s"thrift server never came up: $lastErr")
+      val conn = connect()
       try {
         val st = conn.createStatement()
         // 1. an injected graft FUNCTION evaluates over the wire
@@ -246,8 +261,9 @@ class PlatformSpec extends SparkSpecBase {
         val versions = Iterator.continually(rs2)
           .takeWhile(_.next()).map(r => (r.getString(1), r.getString(2))).toList
         assert(versions.exists(_._1 == "graft"), s"graft statement over JDBC: $versions")
-        // 3. a real query over data created in the session
-        s2.range(0, 100).createOrReplaceTempView("wire_t")
+        // 3. a real query over data created IN THIS WIRE SESSION (temp
+        // views are session-scoped — the fork owns its own)
+        st.execute("CREATE TEMPORARY VIEW wire_t AS SELECT id FROM range(100)")
         val rs3 = st.executeQuery("SELECT count(*) AS c, sum(id) AS s FROM wire_t")
         assert(rs3.next() && rs3.getLong(1) == 100L && rs3.getLong(2) == 4950L)
         // 4. AUTHORIZATION composes with the wire (the reference's
@@ -255,20 +271,55 @@ class PlatformSpec extends SparkSpecBase {
         // on the session FROM THE JDBC SIDE, and a write statement is
         // denied at the wire with the reference error shape while reads
         // keep flowing for the same principal
-        graft.sql.UserRegistry.clear()
         s2.sql("CREATE USER 'wire_reader' WITH ROLE = 'READ_ONLY'")
         val gt = graft.schema.GTable(
           "wire_m", timeColumn = "ts",
           dimensions = Seq(graft.schema.GDimension("dim", org.apache.spark.sql.types.StringType)),
           metrics = Seq(graft.schema.GMetric("m", org.apache.spark.sql.types.DoubleType)))
         graft.sql.UpsertTables.register(s2, gt, "/tmp/graft_wire_auth_" + System.nanoTime())
+        def put = "UPSERT INTO wire_m (ts, dim, m) VALUES (TIMESTAMP '2024-01-01 00:00:00', 'a', 1.0)"
         st.execute("SET graft.sql.user = wire_reader")
-        val deniedWire = intercept[java.sql.SQLException](st.executeQuery(
-          "UPSERT INTO wire_m (ts, dim, m) VALUES (TIMESTAMP '2024-01-01 00:00:00', 'a', 1.0)"))
+        val deniedWire = intercept[java.sql.SQLException](st.executeQuery(put))
         assert(deniedWire.getMessage.contains("User wire_reader doesn't have enough permissions"),
           s"wire denial must carry the reference shape: ${deniedWire.getMessage}")
         val rs4 = st.executeQuery("SELECT count(*) AS c FROM wire_t")
         assert(rs4.next() && rs4.getLong(1) == 100L, "reads must still flow for READ_ONLY")
+        // 5. PASSWORDS compose with the wire (reference DaoAuthorizer at
+        // the login boundary): a password-protected principal bound with
+        // the wrong secret is refused AT THE WIRE with the reference
+        // shape; rebinding with the right secret restores service
+        s2.sql("CREATE USER 'wire-secure' WITH PASSWORD = 'wire-s3cret' WITH ROLE = 'READ_ONLY'")
+        st.execute("SET graft.sql.user = wire-secure")
+        st.execute("SET graft.sql.password = wrong-guess")
+        val badPw = intercept[java.sql.SQLException](st.executeQuery("SHOW VERSION"))
+        assert(badPw.getMessage.contains("Invalid user or password"),
+          s"wire must refuse a wrong password with the DaoAuthorizer shape: ${badPw.getMessage}")
+        st.execute("SET graft.sql.password = wire-s3cret")
+        val rs5 = st.executeQuery("SHOW VERSION")
+        assert(rs5.next(), "the right password must restore service over the wire")
+        st.execute("RESET graft.sql.user")
+        st.execute("RESET graft.sql.password")
+        // 6. SESSION ISOLATION: a second live connection stays the
+        // unnamed ADMIN while the first is bound READ_ONLY — SET on one
+        // session neither elevates nor restricts the other
+        val connB = connect()
+        try {
+          val stB = connB.createStatement()
+          st.execute("SET graft.sql.user = wire_reader")
+          val deniedA = intercept[java.sql.SQLException](st.executeQuery(put))
+          assert(deniedA.getMessage.contains("User wire_reader doesn't have enough permissions"),
+            s"session A must be denied as its own principal: ${deniedA.getMessage}")
+          // SIMULTANEOUSLY (A's session still bound), B's unnamed
+          // session writes — A's SET must not have leaked into B…
+          val rsB = stB.executeQuery(put)
+          assert(rsB.next() && rsB.getLong(2) == 1L, "session B (unnamed ADMIN) must proceed")
+          // …and B's success must not have elevated A
+          val stillDenied = intercept[java.sql.SQLException](st.executeQuery(put))
+          assert(stillDenied.getMessage.contains("doesn't have enough permissions"))
+          // A's metadata reads keep flowing as READ_ONLY while bound
+          val rsA = st.executeQuery("SHOW VERSION")
+          assert(rsA.next(), "metadata reads must flow for session A's READ_ONLY principal")
+        } finally connB.close()
       } finally conn.close()
     } finally {
       graft.sql.UserRegistry.clear()

@@ -117,6 +117,17 @@ object OracleSql {
                     FROM a JOIN b ON true)
          SELECT id_a, id_b, jac FROM j WHERE jac >= 0.5 ORDER BY id_a, id_b"""
 
+  /** Transliterate replayed as a replace-fold over the SAME table the
+    * Spark expression indexes
+    * ([[graft.functions.expressions.Transliterate.table]] — the
+    * reference RussianTransliterator rows): outputs are latin, inputs
+    * Cyrillic, so no replacement can re-match a later rule and the
+    * fold order cannot matter. One source of truth for both engines. */
+  private def translitFold(expr: String): String =
+    graft.functions.expressions.Transliterate.table.foldLeft(expr) {
+      case (acc, (c, s)) => s"replace($acc, '$c', '$s')"
+    }
+
   /** Harman S-stemmer (EnglishLightStemmer) — the same three ordered
     * rules as the Scala kernel, change both together. */
   private val stem =
@@ -483,6 +494,23 @@ object OracleSql {
          SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
                 array_to_string(tk[1:8], '|') AS head_stems
          FROM t ORDER BY doc_id""",
+    "q_translit" ->
+      s"""WITH t AS (SELECT doc_id,
+             translate(lower(text), 'aeiouyshcq', 'аеиоуыщжчъ') AS src FROM documents),
+           u AS (SELECT doc_id, src,
+             list_filter(
+               list_transform(
+                 list_transform(
+                   list_filter(regexp_split_to_array(src, '[^\\p{L}\\p{Nd}]+'),
+                     x -> length(x) > 0),
+                   $stem),
+                 w -> ${translitFold("w")}),
+               x -> length(x) > 0) AS tk
+           FROM t)
+         SELECT doc_id, ${translitFold("src")} AS translit_text,
+                CAST(len(tk) AS BIGINT) AS n_tokens,
+                array_to_string(tk[1:8], '|') AS head_translit
+         FROM u ORDER BY doc_id""",
     "q_split" ->
       """WITH t AS (SELECT p_partkey,
            list_filter(regexp_split_to_array(p_type, '[^\p{L}\p{Nd}]+'), x -> length(x) > 0) AS tw

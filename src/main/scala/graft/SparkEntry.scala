@@ -569,6 +569,28 @@ object SparkEntry {
       )
       .orderBy(col("doc_id"))
 
+  /** Transliteration (reference RussianTransliterator +
+    * TokenizerBase.transliteratedTokens): the synthetic corpus is
+    * latin, so a deterministic char map (`translate`) first seeds
+    * Cyrillic — including multi-char expansions (щ → shch, ж → zh) and
+    * a char that transliterates to NOTHING (ъ) — then both the scalar
+    * transliterate and the full tokenize → stem → transliterate →
+    * drop-empty chain run over it. DuckDB replays the SAME
+    * [[graft.functions.expressions.Transliterate.table]] as a
+    * replace-fold (latin outputs never re-match Cyrillic inputs, so
+    * the fold order cannot matter). */
+  private def qTranslit(s: SparkSession, dir: String): DataFrame = {
+    val src = translate(lower(col("text")), "aeiouyshcq", "аеиоуыщжчъ")
+    ld(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        F.translit(src).as("translit_text"),
+        size(F.transliteratedTokens(src)).cast("long").as("n_tokens"),
+        concat_ws("|", slice(F.transliteratedTokens(src), 1, 8)).as("head_translit")
+      )
+      .orderBy(col("doc_id"))
+  }
+
   private def qSplit(s: SparkSession, dir: String): DataFrame =
     ld(s, dir, "part")
       .select(
@@ -3268,6 +3290,7 @@ object SparkEntry {
     "q_str_funcs" -> (qStrFuncs _),
     "q_tokens" -> (qTokens _),
     "q_stemmed_tokens" -> (qStemmedTokens _),
+    "q_translit" -> (qTranslit _),
     "q_split" -> (qSplit _),
     "q_arith" -> (qArith _),
     "q_is_null" -> (qIsNull _),

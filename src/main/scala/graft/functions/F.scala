@@ -61,6 +61,14 @@ object F {
   def stemmedTokens(c: Column, locale: String = "en"): Column =
     call_function("graft_stemmed_tokens", c, lit(locale))
 
+  /** Reference RussianTransliterator.transliterate (yupana-utils). */
+  def translit(c: Column): Column = call_function("graft_translit", c)
+
+  /** Reference TokenizerBase.transliteratedTokens: tokenize → stem →
+    * transliterate → drop emptied tokens (the ItemDimension.hash chain). */
+  def transliteratedTokens(c: Column, locale: String = "en"): Column =
+    call_function("graft_transliterated_tokens", c, lit(locale))
+
   /** Reference SplitExpr (Expression.scala:322): split on non-letter/digit, no lowercasing. */
   def splitWords(c: Column): Column = call_function("graft_split_words", c)
 

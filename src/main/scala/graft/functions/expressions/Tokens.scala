@@ -23,8 +23,18 @@ import org.apache.spark.unsafe.types.UTF8String
  * [[Stemmers]]-registered stemmer. "none" (identity) is the default;
  * the stemmer object is resolved ONCE (codegen reference object), not
  * per row.
+ *
+ * `translit` is the THIRD pipeline stage (reference
+ * TokenizerBase.transliteratedTokens, yupana-utils
+ * TokenizerBase.scala:34-36: `stemmedTokens(item).map(transliterate)
+ * .filterNot(_.isEmpty)`): each stemmed token runs through
+ * [[Transliterate.transliterate]] and tokens that transliterate to ""
+ * (soft/hard signs) are dropped — the tokenize → stem → transliterate
+ * chain `ItemDimension.hash` feeds on (yupana-schema
+ * ItemDimension.scala:54-56).
  */
-case class Tokens(child: Expression, lowercase: Boolean, stemmer: String = "none")
+case class Tokens(child: Expression, lowercase: Boolean, stemmer: String = "none",
+    translit: Boolean = false)
     extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
@@ -38,12 +48,12 @@ case class Tokens(child: Expression, lowercase: Boolean, stemmer: String = "none
   private val stemmerObj: Stemmer = Stemmers.forId(stemmer)
 
   override protected def nullSafeEval(input: Any): Any =
-    Tokens.tokenize(input.asInstanceOf[UTF8String], lowercase, stemmerObj)
+    Tokens.tokenize(input.asInstanceOf[UTF8String], lowercase, stemmerObj, translit)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val stemRef = ctx.addReferenceObj("stemmer", stemmerObj, classOf[Stemmer].getName)
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.functions.expressions.Tokens.tokenize($c, $lowercase, $stemRef);")
+      s"${ev.value} = graft.functions.expressions.Tokens.tokenize($c, $lowercase, $stemRef, $translit);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Tokens = copy(child = newChild)
@@ -62,14 +72,19 @@ object Tokens {
     * `filter(split(lower(s), "[^\p{L}\p{Nd}]+"), ...)` formulation —
     * and the DuckDB oracle that mirrors it — disagreed exactly on the
     * corpora where cross-engine determinism is hardest to audit. */
-  def tokenize(u: UTF8String, lowercase: Boolean, stemmer: Stemmer): ArrayData = {
+  def tokenize(u: UTF8String, lowercase: Boolean, stemmer: Stemmer,
+      translit: Boolean): ArrayData = {
     val s = (if (lowercase) u.toLowerCase else u).toString
     val identity = stemmer eq IdentityStemmer
     val out = new java.util.ArrayList[AnyRef]()
     val sb = new java.lang.StringBuilder()
     def flush(): Unit = if (sb.length > 0) {
-      val w = sb.toString
-      out.add(UTF8String.fromString(if (identity) w else stemmer.stem(w)))
+      var w = sb.toString
+      if (!identity) w = stemmer.stem(w)
+      if (translit) w = Transliterate.transliterate(w)
+      // only the translit stage can empty a token (reference
+      // transliteratedTokens filterNot(_.isEmpty) — "ъ" → "")
+      if (w.nonEmpty) out.add(UTF8String.fromString(w))
       sb.setLength(0)
     }
     var i = 0
@@ -82,6 +97,10 @@ object Tokens {
     flush()
     new GenericArrayData(out.toArray)
   }
+
+  /** Stem-only kernel entry (the graft_tokens/graft_stemmed_tokens shape). */
+  def tokenize(u: UTF8String, lowercase: Boolean, stemmer: Stemmer): ArrayData =
+    tokenize(u, lowercase, stemmer, translit = false)
 
   /** Back-compat kernel entry (WordShingles and older codegen sites). */
   def tokenize(u: UTF8String, lowercase: Boolean): ArrayData =
@@ -98,7 +117,8 @@ object Tokens {
  * concatenated in element order. NULL elements contribute no tokens
  * (the flatMap shape); a NULL array is NULL.
  */
-case class ArrayTokens(child: Expression, lowercase: Boolean, stemmer: String = "none")
+case class ArrayTokens(child: Expression, lowercase: Boolean, stemmer: String = "none",
+    translit: Boolean = false)
     extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
@@ -108,12 +128,12 @@ case class ArrayTokens(child: Expression, lowercase: Boolean, stemmer: String = 
   private val stemmerObj: Stemmer = Stemmers.forId(stemmer)
 
   override protected def nullSafeEval(input: Any): Any =
-    ArrayTokens.tokenizeAll(input.asInstanceOf[ArrayData], lowercase, stemmerObj)
+    ArrayTokens.tokenizeAll(input.asInstanceOf[ArrayData], lowercase, stemmerObj, translit)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val stemRef = ctx.addReferenceObj("stemmer", stemmerObj, classOf[Stemmer].getName)
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.functions.expressions.ArrayTokens.tokenizeAll($c, $lowercase, $stemRef);")
+      s"${ev.value} = graft.functions.expressions.ArrayTokens.tokenizeAll($c, $lowercase, $stemRef, $translit);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): ArrayTokens =
@@ -122,14 +142,17 @@ case class ArrayTokens(child: Expression, lowercase: Boolean, stemmer: String = 
 
 object ArrayTokens {
   /** Static kernel, callable from generated Java: flatMap of
-    * [[Tokens.tokenize]] over the elements. */
-  def tokenizeAll(arr: ArrayData, lowercase: Boolean, stemmer: Stemmer): ArrayData = {
+    * [[Tokens.tokenize]] over the elements (reference
+    * ConstantCalculator.scala:142 `a.flatMap(transliteratedTokens)`
+    * when `translit` is on). */
+  def tokenizeAll(arr: ArrayData, lowercase: Boolean, stemmer: Stemmer,
+      translit: Boolean): ArrayData = {
     val out = new java.util.ArrayList[AnyRef]()
     var i = 0
     val n = arr.numElements()
     while (i < n) {
       if (!arr.isNullAt(i)) {
-        val toks = Tokens.tokenize(arr.getUTF8String(i), lowercase, stemmer)
+        val toks = Tokens.tokenize(arr.getUTF8String(i), lowercase, stemmer, translit)
         var j = 0
         val m = toks.numElements()
         while (j < m) { out.add(toks.getUTF8String(j)); j += 1 }
@@ -138,6 +161,10 @@ object ArrayTokens {
     }
     new GenericArrayData(out.toArray)
   }
+
+  /** Back-compat kernel entry (pre-translit codegen shape). */
+  def tokenizeAll(arr: ArrayData, lowercase: Boolean, stemmer: Stemmer): ArrayData =
+    tokenizeAll(arr, lowercase, stemmer, translit = false)
 }
 
 /**

@@ -31,11 +31,12 @@ object GraftFunctions {
     * tokenizer for BOTH string and array<string>
     * (FunctionRegistry.scala:155,171); safe to inspect dataType here
     * because UnresolvedFunction only resolves once its children have. */
-  private def tokensFor(e: Expression, lowercase: Boolean, stemmer: String = "none"): Expression =
+  private def tokensFor(e: Expression, lowercase: Boolean, stemmer: String = "none",
+      translit: Boolean = false): Expression =
     e.dataType match {
       case org.apache.spark.sql.types.ArrayType(_, _) =>
-        graft.functions.expressions.ArrayTokens(e, lowercase, stemmer)
-      case _ => graft.functions.expressions.Tokens(e, lowercase, stemmer)
+        graft.functions.expressions.ArrayTokens(e, lowercase, stemmer, translit)
+      case _ => graft.functions.expressions.Tokens(e, lowercase, stemmer, translit)
     }
 
   val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
@@ -82,6 +83,15 @@ object GraftFunctions {
     // picks the registered Stemmer ('en' = English light / Harman S-stemmer)
     "graft_stemmed_tokens" -> (exprs =>
       tokensFor(exprs.head, lowercase = true, stemmer = strArg(exprs, 1, "en"))),
+    // reference RussianTransliterator.transliterate (yupana-utils
+    // RussianTransliterator.scala:94): table-driven char → latin map
+    "graft_translit" -> (exprs => graft.functions.expressions.Transliterate(exprs.head)),
+    // reference transliteratedTokens (TokenizerBase.scala:34-36):
+    // tokenize → stem → transliterate → drop emptied tokens — the
+    // ItemDimension.hash normalization chain (ItemDimension.scala:54-56)
+    "graft_transliterated_tokens" -> (exprs =>
+      tokensFor(exprs.head, lowercase = true, stemmer = strArg(exprs, 1, "en"),
+        translit = true)),
     // reference hll_count(x, std_err) (FunctionRegistry.scala:276-291):
     // the std-err parameter form, validated to the reference's range,
     // mapped to the TIGHTEST DataSketches lgK meeting the requested

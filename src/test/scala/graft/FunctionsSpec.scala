@@ -26,6 +26,41 @@ class FunctionsSpec extends SparkSpecBase {
     assert(native.contains("𝐀𝐁"), s"expected intact surrogate-pair token in $native")
   }
 
+  test("graft_translit pins the reference transliterator's own test vectors") {
+    // yupana-utils RussianTransliteratorTest.scala — the four vectors
+    // verbatim (lower + UPPER rows, multi-char expansions, ъ/ь → "")
+    val vectors = Seq(
+      "черный плащ" -> "chernyj plashch",
+      "щупальца южных ёжиков" -> "shchupalca yuzhnyh ezhikov",
+      "Ядерный Грибок" -> "YAdernyj Gribok",
+      "ОБЪЕДЕННЫЙ КРЕНДЕЛЬ" -> "OBEDENNYJ KRENDEL",
+      // pass-through + identity edges
+      "plain latin 42" -> "plain latin 42",
+      "" -> "")
+    val got = vectors.map(_._1).toDF("t").select(F.translit(col("t"))).as[String].collect().toSeq
+    assert(got == vectors.map(_._2), s"$got")
+    // null in, null out
+    assert(Seq(Option.empty[String]).toDF("t").select(F.translit(col("t")))
+      .as[Option[String]].head().isEmpty)
+  }
+
+  test("transliterated tokens: tokenize -> stem -> transliterate, emptied tokens dropped") {
+    // reference TokenizerBase.transliteratedTokens (TokenizerBase.scala:
+    // 34-36): the transliterate stage runs AFTER stemming and tokens
+    // that transliterate to "" (a bare hard/soft sign) disappear
+    val out = Seq("Черный ъ plashes И").toDF("t")
+      .select(F.transliteratedTokens(col("t"))).as[Seq[String]].head()
+    // черный → chernyj; ъ → "" (dropped); plashes → plashe (S-stemmer) →
+    // plashe; и → i
+    assert(out == Seq("chernyj", "plashe", "i"), s"$out")
+    // the chain composes with the scalar stage bit-for-bit: tokens
+    // mapped through graft_translit (minus emptied ones) must equal it
+    val twin = Seq("Черный ъ plashes И").toDF("t")
+      .select(filter(transform(F.stemmedTokens(col("t")), F.translit(_)), x => length(x) > 0))
+      .as[Seq[String]].head()
+    assert(out == twin, s"chain $out != composed $twin")
+  }
+
   test("graft_cosine: a null ELEMENT yields SQL NULL on both eval paths, never an NPE or 0-read") {
     val df = Seq(
       (Seq(Some(1.0f), None, Some(2.0f)), Seq(Some(1.0f), Some(1.0f), Some(1.0f))),

@@ -145,7 +145,11 @@ object Stemmers {
       // reference transliteratedTokens analogues
       "ascii" -> TransliteratingStemmer(IdentityStemmer, AsciiFold),
       "en-ascii" -> TransliteratingStemmer(EnglishLightStemmer, AsciiFold),
-      // the reference's full Russian pipeline: stem, then romanize
+      // the reference's full Russian pipeline SHAPE: stem, then romanize.
+      // NOTE this id romanizes with the BGN-style table below ('щ'→sch);
+      // the reference transliterator's OWN table ('щ'→shch, uppercase
+      // rows, r16) is [[Transliterate]] — exposed as graft_translit /
+      // graft_transliterated_tokens, the gated exact-parity path.
       "ru-translit" -> TransliteratingStemmer(RussianLightStemmer, CyrillicTranslit)
     )
 

@@ -1740,9 +1740,17 @@ object Dedup {
     * warm indexed probe 11.7s → 4.6s. The probe side stays unpruned —
     * it is shard-sized by construction. */
   private def crossExactVerify(
-      cands: DataFrame, probe: DataFrame, ref: DataFrame,
+      cands0: DataFrame, probe: DataFrame, ref: DataFrame,
       idCol: String, textCol: String, shingleSize: Int): DataFrame = {
     graft.sql.GraftFunctions.register(probe.sparkSession)
+    // the candidate frame is consumed TWICE (the ref semi-join build
+    // below + the final join) and its lineage holds the corpus-index
+    // scan — the single most expensive input of every cross path.
+    // Materialize it once (executor-local blocks, candidate-scale:
+    // bucket caps bound it), so an admission scans the index ONCE —
+    // the second scan was ~13 s of a 37 s admission at the 2M-doc
+    // measurement point.
+    val cands = cands0.localCheckpoint(true)
     val refPruned = ref.join(
       cands.select(col("id_b").as("__cand_b")).distinct(),
       ref(idCol) === col("__cand_b"), "left_semi")
@@ -1755,6 +1763,17 @@ object Dedup {
         (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))).cast("double")).as("jac"))
   }
+
+  // dev-tool seams (graft.tools.ProfileAdmit): the probe pipeline's
+  // stages exposed for stage-wise wall attribution — no behavior
+  private[graft] def profileBanded(df: DataFrame, idCol: String, textCol: String,
+      nh: Int, bands: Int, shingleSize: Int): DataFrame =
+    bandedFromSigs(minhashSigs(df, idCol, textCol, nh, shingleSize), bands, nh / bands)
+  private[graft] def profileCrossCandidates(pb: DataFrame, rb: DataFrame,
+      hintProbe: Boolean): DataFrame = crossCandidates(pb, rb, None, hintProbe)
+  private[graft] def profileCrossVerify(cands: DataFrame, probe: DataFrame, ref: DataFrame,
+      idCol: String, textCol: String, shingleSize: Int): DataFrame =
+    crossExactVerify(cands, probe, ref, idCol, textCol, shingleSize)
 
   private def bandedFromSigs(sigs: DataFrame, bands: Int, rowsPerBand: Int): DataFrame =
     sigs
@@ -1824,6 +1843,7 @@ object Dedup {
     // probe-refusing index, not a silently geometry-less one.
     minhashSigs(ref, idCol, textCol, nh, shingleSize)
       .write.mode("overwrite").parquet(s"$path/sigs/shard=__base")
+    writeBandsBloom(spark, s"$path/sigs/shard=__base", b, nh / b)
     import spark.implicits._
     Seq((nh, b, shingleSize, threshold, missTarget))
       .toDF("num_hashes", "bands", "shingle_size", "threshold", "miss_target")
@@ -1868,6 +1888,10 @@ object Dedup {
     val safe = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(shard)
     minhashSigs(docs, idCol, textCol, nh, shingleSize)
       .write.mode("overwrite").parquet(s"$indexPath/sigs/shard=$safe")
+    // data first, sidecar second: a crash between the two leaves a
+    // bloom-less (fully read, never skipped) shard
+    writeBandsBloom(spark, s"$indexPath/sigs/shard=$safe",
+      meta.getAs[Int]("bands"), nh / meta.getAs[Int]("bands"))
   }
 
   /**
@@ -1924,18 +1948,35 @@ object Dedup {
       val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (fs.exists(loc)) fs.delete(loc, true)
     }
-    bandedFromSigs(minhashSigs(ref, idCol, textCol, nh, shingleSize), b, nh / b)
-      .write.mode("overwrite")
-      .bucketBy(buckets, "band", "bh")
-      .sortBy("band", "bh")
-      .format("parquet")
-      .saveAsTable(tableName)
+    writeBucketedBanded(
+      bandedFromSigs(minhashSigs(ref, idCol, textCol, nh, shingleSize), b, nh / b),
+      tableName, buckets)
     import spark.implicits._
     Seq((nh, b, shingleSize, threshold, missTarget, buckets))
       .toDF("num_hashes", "bands", "shingle_size", "threshold", "miss_target", "num_buckets")
       .coalesce(1)
       .write.mode("overwrite").format("parquet").saveAsTable(s"${tableName}_meta")
   }
+
+  /** The one bucketed-banded-rows writer both the build and the
+    * promotion use. ONE FILE PER BUCKET is load-bearing, not tidiness:
+    * Spark honors a bucketed scan's sortBy metadata only when every
+    * bucket holds a single file — with the default
+    * write-tasks × buckets file fan-out, every probe join RE-SORTS the
+    * corpus-sized index side per task (measured 12.9 s of a 37 s
+    * admission at the 2M-doc point, and a per-task spill risk at
+    * 100×). `repartition(buckets, band, bh)` uses the same Murmur3
+    * hash as the bucketing, so each write task holds exactly its
+    * bucket's rows; sortWithinPartitions writes them merge-ready. */
+  private def writeBucketedBanded(banded: DataFrame, tableName: String, buckets: Int): Unit =
+    banded
+      .repartition(buckets, col("band"), col("bh"))
+      .sortWithinPartitions("band", "bh")
+      .write.mode("overwrite")
+      .bucketBy(buckets, "band", "bh")
+      .sortBy("band", "bh")
+      .format("parquet")
+      .saveAsTable(tableName)
 
   /** Banded rows one bucket of a bucketed text index should hold —
     * ~4M (id, band, bh) rows ≈ 80 MB in flight, comfortably inside an
@@ -1949,10 +1990,29 @@ object Dedup {
   private[graft] def textIndexBuckets(bandedRows: Long): Int =
     math.max(8L, (bandedRows + BandedRowsPerBucket - 1) / BandedRowsPerBucket).toInt
 
+  /** Runs `f` with bucketed-scan output ORDERING enabled: Spark gates
+    * it behind `spark.sql.legacy.bucketedTableScan.outputOrdering`
+    * (ordering is only ever CLAIMED when a bucket holds exactly one
+    * file — which [[writeBucketedBanded]] guarantees — so enabling it
+    * is safe; without it every probe's merge join re-buffers and
+    * re-sorts the corpus-sized index side per task, a spill risk at
+    * scale). Conf set/restored around the candidate materialization —
+    * the only part of the probe that plans over the bucketed scan. */
+  private def withBucketScanOrdering[T](spark: org.apache.spark.sql.SparkSession)(f: => T): T = {
+    val key = "spark.sql.legacy.bucketedTableScan.outputOrdering"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "true")
+    try f finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   /** Probe a bucketed text index ([[buildTextIndexBucketed]]): the
     * shard's banded rows shuffle into the index's bucketing; the index
-    * side joins WITHOUT an exchange (asserted in DedupSpec). Verify
-    * semantics identical to [[crossJaccardPairsIndexed]]. */
+    * side joins WITHOUT an exchange and WITHOUT a re-sort (both
+    * asserted in DedupSpec). Verify semantics identical to
+    * [[crossJaccardPairsIndexed]]. */
   def crossJaccardPairsBucketedIndexed(
       probe: DataFrame,
       tableName: String,
@@ -1969,9 +2029,10 @@ object Dedup {
     val threshold = meta.getAs[Double]("threshold")
     val pb = bandedFromSigs(minhashSigs(probe, idCol, textCol, nh, shingleSize), b, nh / b)
     val rb = spark.table(tableName)
-    crossExactVerify(crossCandidates(pb, rb, maxBucket, hintProbe = false),
-      probe, ref, idCol, textCol, shingleSize)
-      .filter(col("jac") >= threshold)
+    withBucketScanOrdering(spark) {
+      crossExactVerify(crossCandidates(pb, rb, maxBucket, hintProbe = false),
+        probe, ref, idCol, textCol, shingleSize)
+    }.filter(col("jac") >= threshold)
   }
 
   /**
@@ -2073,6 +2134,14 @@ object Dedup {
     snapshot.foreach(p => fs.delete(p, true))
     if (!fs.rename(compacted, new org.apache.hadoop.fs.Path(s"$sigsPath/shard=__base")))
       throw new java.io.IOException(s"compaction swap failed: rename $compacted -> shard=__base")
+    // re-bloom the merged base (no-op above the key cap); the merged
+    // rows rode through sigs_compacting, which carries no sidecar, so
+    // until this line the new base is bloom-less — read fully, never
+    // wrongly skipped
+    val metaRow = spark.read.parquet(s"$path/meta").collect()(0)
+    writeBandsBloom(spark, s"$sigsPath/shard=__base",
+      metaRow.getAs[Int]("bands"),
+      metaRow.getAs[Int]("num_hashes") / metaRow.getAs[Int]("bands"))
   }
 
   /**
@@ -2110,9 +2179,14 @@ object Dedup {
       shard: String,
       maxBucket: Option[Int] = None
   ): DataFrame = {
+    // materialized: the rejected-id set (≤ |shard| ids) feeds BOTH the
+    // anti-join below and — through the survivors' lineage — the
+    // append's signature pass; unmaterialized, the whole probe+verify
+    // pipeline re-runs per consumer
     val dupIds = crossJaccardPairsIndexed(
       probe, indexPath, ref, idCol, textCol, maxBucket, excludeShard = Some(shard))
       .select(col("id_a").as("__dup_id")).distinct()
+      .localCheckpoint(true)
     val survivors = probe.join(
       dupIds.hint("shuffle_hash"), col(idCol) === col("__dup_id"), "left_anti")
     appendToTextIndex(survivors, indexPath, idCol, textCol, shard)
@@ -2147,20 +2221,164 @@ object Dedup {
     val b = meta.getAs[Int]("bands")
     val shingleSize = meta.getAs[Int]("shingle_size")
     val threshold = meta.getAs[Double]("threshold")
+    // materialized: the banded probe feeds the driver key collect AND
+    // the candidate join — one signature pass, not two (shard-scale)
     val pb = bandedFromSigs(minhashSigs(probe, idCol, textCol, nh, shingleSize), b, nh / b)
-    // excludeShard: drop the named shard's own rows (admitShard replay —
-    // a shard must never self-match). A partition-value filter, so the
-    // excluded shard's files are pruned from the scan, not read-and-
-    // dropped. Pre-shard indexes (no `shard` column) have nothing to
-    // exclude.
-    val stored = spark.read.parquet(s"$indexPath/sigs")
-    val filtered = excludeShard match {
-      case Some(sh) if stored.columns.contains("shard") => stored.filter(col("shard") =!= sh)
-      case _ => stored
-    }
-    val rb = bandedFromSigs(filtered, b, nh / b)
-    crossExactVerify(crossCandidates(pb, rb, maxBucket), probe, ref, idCol, textCol, shingleSize)
+      .localCheckpoint(true)
+    // excludeShard: drop the named shard's own DIR (admitShard replay —
+    // a shard must never self-match): file-level pruning, like the
+    // partition-value filter it replaces. Remaining dirs pass the
+    // band-key sidecar test ([[pruneShardDirs]]) — a dir whose bloom
+    // rejects every probe key contributes no candidates and is never
+    // opened. Pre-shard flat layouts (no shard dirs) read as before.
+    val dirs0 = readableShardDirs(spark, indexPath)
+    val cands =
+      if (dirs0.isEmpty)
+        crossCandidates(pb,
+          bandedFromSigs(spark.read.parquet(s"$indexPath/sigs"), b, nh / b), maxBucket)
+      else {
+        val dirs1 = excludeShard match {
+          case Some(sh) =>
+            val dirName = "shard=" +
+              org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(sh)
+            dirs0.filterNot(_.getName == dirName)
+          case None => dirs0
+        }
+        val (readDirs, _) = pruneShardDirs(spark, dirs1, probeBandKeys(pb))
+        if (readDirs.isEmpty) emptyCandidates(probe, ref, idCol)
+        else crossCandidates(pb,
+          bandedFromSigs(
+            spark.read.option("basePath", s"$indexPath/sigs")
+              .parquet(readDirs.map(_.toString).toIndexedSeq: _*)
+              .select(col("id"), col("sig")),
+            b, nh / b),
+          maxBucket)
+      }
+    crossExactVerify(cands, probe, ref, idCol, textCol, shingleSize)
       .filter(col("jac") >= threshold)
+  }
+
+  /** A correctly-typed empty (id_a, id_b) candidate frame — the
+    * every-dir-pruned fast path's zero-read result. */
+  private def emptyCandidates(probe: DataFrame, ref: DataFrame, idCol: String): DataFrame = {
+    val spark = probe.sparkSession
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id_a", probe.schema(idCol).dataType),
+      org.apache.spark.sql.types.StructField("id_b", ref.schema(idCol).dataType)))
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+  }
+
+  // ─────────────── band-key Bloom sidecars (shard-dir pruning) ───────────────
+  //
+  // The vector index's `_ids_bloom` discipline applied to BAND KEYS: each
+  // shard dir under `sigs/` carries a Bloom of its rows' xxhash64(band, bh)
+  // values, and a probe reads only dirs whose bloom might contain one of
+  // the probe's own band keys — file-level pruning for the many-small-
+  // shards regime (a delta tree of daily admissions, an uncompacted index),
+  // where a shard's duplicates concentrate in a few source dirs.
+  //
+  // Deliberately NOT a corpus-level bloom over `__base`: an any-hit test
+  // with k probe keys fires only when ALL k miss, P ≈ (1-fpp)^k — a 5k-doc
+  // daily shard probes ~250k keys, so a usefully-skipping corpus bloom
+  // needs fpp ≪ 1/k ≈ 4e-6 ≈ 30 bits per banded row, a sidecar that grows
+  // linearly with the corpus at ~2 orders less than the index itself and
+  // STILL only fires on fully-novel shards. The corpus-side scan cost is
+  // instead held down structurally: one sorted file per bucket (no
+  // per-probe re-sort, constant rows per task at any corpus size) and a
+  // single index scan per admission (materialized candidates). Dirs above
+  // [[BandsBloomKeyCap]] keys therefore get no sidecar and are always read.
+  //
+  // Maintenance is exact by construction: the sidecar is written AFTER its
+  // dir's data (a crash between the two leaves a bloom-less dir — read
+  // fully, never skipped), parquet overwrite wipes dir + sidecar together,
+  // and compaction re-blooms the merged base if it fits the cap.
+
+  private[graft] val BandsBloomFile = "_bands_bloom"
+  // dir-pruning any-hit tests want ~no false hits across a shard-sized
+  // probe's ~10^5-10^6 keys: fpp 1e-6 ≈ 29 bits/key ≈ 0.9 MB per 250k-key
+  // daily shard
+  private val BandsBloomFpp = 1e-6
+  /** Dirs with more banded keys than this get no sidecar (the bloom would
+    * be ≥ ~30 MB and its any-hit test fires ~never at that key count). */
+  private[graft] val BandsBloomKeyCap = 8L * 1000 * 1000
+  /** Probes with more distinct band keys than this skip the driver-side
+    * pruning pass entirely (cap bounds the collect at ~32 MB). */
+  private[graft] val ProbeKeyCollectCap = 4 * 1000 * 1000
+
+  private def bandKeyCol: org.apache.spark.sql.Column = xxhash64(col("band"), col("bh"))
+
+  /** Write `dir`'s band-key sidecar from its just-written signature rows
+    * (read back — shard-scale), using the index geometry. No-op above the
+    * key cap (any stale sidecar cannot exist: overwrite wiped the dir). */
+  private def writeBandsBloom(
+      spark: org.apache.spark.sql.SparkSession, dir: String, bands: Int, rowsPerBand: Int): Unit = {
+    // cap check from parquet FOOTER metadata (row counts, no column
+    // decode): each signature row yields exactly `bands` band keys, so
+    // an over-cap dir is detected without the banding pass it would
+    // skip anyway (a corpus-sized base otherwise paid ~20 s just to
+    // learn it gets no sidecar)
+    val sigRows = spark.read.parquet(dir).count()
+    val n = sigRows * bands
+    if (n == 0L || n > BandsBloomKeyCap) return
+    val banded = bandedFromSigs(spark.read.parquet(dir).select(col("id"), col("sig")),
+      bands, rowsPerBand)
+    val keys = banded.select(bandKeyCol.as("k"))
+    val bf = keys.stat.bloomFilter("k", n, BandsBloomFpp)
+    val p = new org.apache.hadoop.fs.Path(dir, BandsBloomFile)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    // trailing 8-byte nonce = content fingerprint for the broadcast
+    // cache (the writeIdBloom discipline): a same-length rebuild within
+    // one mtime tick can never serve a stale bloom
+    try {
+      bf.writeTo(out)
+      val nonce = new Array[Byte](8)
+      new java.security.SecureRandom().nextBytes(nonce)
+      out.write(nonce)
+    } finally out.close()
+  }
+
+  /** The probe's distinct band keys, driver-collected — or None when the
+    * probe exceeds the collect cap (pruning skipped, everything read). */
+  private def probeBandKeys(pb: DataFrame): Option[Array[Long]] = {
+    val keys = pb.select(bandKeyCol.as("k")).distinct()
+      .limit(ProbeKeyCollectCap + 1).collect().map(_.getLong(0))
+    if (keys.length > ProbeKeyCollectCap) None else Some(keys)
+  }
+
+  /** Split `dirs` into (must-read, skipped): a dir is skipped only when
+    * it HAS a sidecar and every probe key misses it — a missing/corrupt
+    * sidecar or an over-cap probe reads the dir (never wrong, only
+    * slower). Bloom false positives only ever ADD a dir. */
+  private[graft] def pruneShardDirs(
+      spark: org.apache.spark.sql.SparkSession,
+      dirs: Array[org.apache.hadoop.fs.Path],
+      keys: Option[Array[Long]]
+  ): (Array[org.apache.hadoop.fs.Path], Array[org.apache.hadoop.fs.Path]) = keys match {
+    case None => (dirs, Array.empty)
+    case Some(ks) =>
+      val (read, skip) = dirs.partition { d =>
+        readBandsBloom(spark, d) match {
+          case None => true // no sidecar: must read
+          case Some(bf) => ks.exists(bf.mightContainLong)
+        }
+      }
+      (read, skip)
+  }
+
+  /** The sidecar of one shard dir, if present and readable. */
+  private def readBandsBloom(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: org.apache.hadoop.fs.Path): Option[org.apache.spark.util.sketch.BloomFilter] = {
+    val p = new org.apache.hadoop.fs.Path(dir, BandsBloomFile)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(org.apache.spark.util.sketch.BloomFilter.readFrom(in))
+      catch { case _: java.io.IOException => None } // corrupt: read the dir
+      finally in.close()
+    }
   }
 
   /** Shard dirs under a parquet text index's `sigs/` that hold at least
@@ -2245,9 +2463,11 @@ object Dedup {
   ): DataFrame = {
     val spark = probe.sparkSession
     ensureDeltaMeta(spark, deltaPath, spark.table(s"${tableName}_meta").collect()(0))
+    // materialized for the same two-consumer reason as [[admitShard]]
     val dupIds = crossJaccardPairsBucketedDelta(
       probe, tableName, deltaPath, ref, idCol, textCol, maxBucket, excludeShard = Some(shard))
       .select(col("id_a").as("__dup_id")).distinct()
+      .localCheckpoint(true)
     val survivors = probe.join(
       dupIds.hint("shuffle_hash"), col(idCol) === col("__dup_id"), "left_anti")
     appendToTextIndex(survivors, deltaPath, idCol, textCol, shard)
@@ -2286,23 +2506,39 @@ object Dedup {
     val marker = new org.apache.hadoop.fs.Path(s"$deltaPath/meta/_SUCCESS")
     if (marker.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(marker))
       ensureDeltaMeta(spark, deltaPath, meta)
+    // materialized: feeds the base join, the delta join, and the
+    // driver key collect — one probe signature pass
     val pb = bandedFromSigs(minhashSigs(probe, idCol, textCol, nh, shingleSize), b, nh / b)
+      .localCheckpoint(true)
     val baseCands = crossCandidates(pb, spark.table(tableName), maxBucket, hintProbe = false)
     // the delta probe mirrors crossJaccardPairsIndexed's own-shard
-    // exclusion (partition-value filter → file-level prune on replay)
+    // exclusion and band-key sidecar pruning: the delta IS the
+    // many-small-shards regime the sidecars exist for — an admission
+    // opens only the delta shards that can hold one of its band keys
     val cands = readableShardDirs(spark, deltaPath) match {
       case dirs if dirs.isEmpty => baseCands
-      case _ =>
-        val deltaSigs = excludeShard match {
-          case Some(sh) => spark.read.parquet(s"$deltaPath/sigs").filter(col("shard") =!= sh)
-          case None => spark.read.parquet(s"$deltaPath/sigs")
+      case dirs =>
+        val dirs1 = excludeShard match {
+          case Some(sh) =>
+            val dirName = "shard=" +
+              org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(sh)
+            dirs.filterNot(_.getName == dirName)
+          case None => dirs
         }
-        baseCands
-          .unionByName(crossCandidates(pb, bandedFromSigs(deltaSigs, b, nh / b), maxBucket))
+        val (readDirs, _) = pruneShardDirs(spark, dirs1, probeBandKeys(pb))
+        if (readDirs.isEmpty) baseCands
+        else baseCands
+          .unionByName(crossCandidates(pb,
+            bandedFromSigs(
+              spark.read.option("basePath", s"$deltaPath/sigs")
+                .parquet(readDirs.map(_.toString).toIndexedSeq: _*)
+                .select(col("id"), col("sig")),
+              b, nh / b), maxBucket))
           .distinct()
     }
-    crossExactVerify(cands, probe, ref, idCol, textCol, shingleSize)
-      .filter(col("jac") >= threshold)
+    withBucketScanOrdering(spark) {
+      crossExactVerify(cands, probe, ref, idCol, textCol, shingleSize)
+    }.filter(col("jac") >= threshold)
   }
 
   /**
@@ -2380,11 +2616,7 @@ object Dedup {
     afterStage()
     val merged = spark.read.parquet(staging.toString)
     val buckets = textIndexBuckets(merged.count())
-    merged.write.mode("overwrite")
-      .bucketBy(buckets, "band", "bh")
-      .sortBy("band", "bh")
-      .format("parquet")
-      .saveAsTable(tableName)
+    writeBucketedBanded(merged, tableName, buckets)
     import spark.implicits._
     Seq((nh, b, meta.getAs[Int]("shingle_size"), meta.getAs[Double]("threshold"),
         meta.getAs[Double]("miss_target"), buckets))

@@ -618,6 +618,65 @@ class DedupSpec extends SparkSpecBase {
     assert(indexed == Seq(1L, 11L))
   }
 
+  test("band-key sidecars prune untouched shard dirs; results identical with sidecars stripped") {
+    // three shards with DISJOINT vocabularies + a base: a probe that
+    // duplicates only shard s2's doc must open s2 (and any bloom-less
+    // dir) and skip s1/s3 — and deleting every sidecar must change
+    // nothing but the read set
+    val base = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"))
+      .toDF("doc_id", "text")
+    val s1 = Seq((10L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"))
+      .toDF("doc_id", "text")
+    val s2 = Seq((20L, "columnar shuffle compression tradeoffs dominate wide analytical scan throughput budgets"))
+      .toDF("doc_id", "text")
+    val s3 = Seq((30L, "maritime chronometer calibration drifts with ambient temperature and spring fatigue"))
+      .toDF("doc_id", "text")
+    val path = "/tmp/graft_xsidecar_" + System.nanoTime()
+    Dedup.buildTextIndex(base, "doc_id", "text", path, threshold = 0.5)
+    Dedup.appendToTextIndex(s1, path, "doc_id", "text", "s1")
+    Dedup.appendToTextIndex(s2, path, "doc_id", "text", "s2")
+    Dedup.appendToTextIndex(s3, path, "doc_id", "text", "s3")
+    // every dir got a sidecar (all are far under the key cap)
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val dirs = Dedup.readableShardDirs(spark, path)
+    assert(dirs.length == 4)
+    dirs.foreach(d => assert(
+      fs.exists(new org.apache.hadoop.fs.Path(d, Dedup.BandsBloomFile)), s"no sidecar under $d"))
+    // probe: a near-dup of s2's doc only
+    val probe = Seq(
+      (100L, "columnar shuffle compression tradeoffs dominate wide analytical scan throughput limits"))
+      .toDF("doc_id", "text")
+    val ref = base.unionByName(s1).unionByName(s2).unionByName(s3)
+    val withSidecars = Dedup.crossJaccardPairsIndexed(probe, path, ref, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(withSidecars.map(p => (p._1, p._2)) == Set((100L, 20L)))
+    // the pruning decision itself: only s2 read, s1/s3/__base skipped
+    // (the probe shares no shingles with them at fpp 1e-6)
+    val meta = spark.read.parquet(s"$path/meta").collect()(0)
+    val pb = Dedup.profileBanded(probe, "doc_id", "text",
+      meta.getAs[Int]("num_hashes"), meta.getAs[Int]("bands"), meta.getAs[Int]("shingle_size"))
+    val keys = pb.select(org.apache.spark.sql.functions.xxhash64(col("band"), col("bh")).as("k"))
+      .distinct().as[Long].collect()
+    val (read, skipped) = Dedup.pruneShardDirs(spark, dirs, Some(keys))
+    assert(read.map(_.getName).toSet == Set("shard=s2"),
+      s"only the duplicated shard should be read, got ${read.map(_.getName).toSeq}")
+    assert(skipped.length == 3)
+    // an all-novel probe prunes EVERY dir — the zero-base-read fast path
+    val novel = Seq((200L, "entirely unrelated verbiage about beekeeping apiary ventilation schedules"))
+      .toDF("doc_id", "text")
+    assert(Dedup.crossJaccardPairsIndexed(novel, path, ref, "doc_id", "text").count() == 0)
+    // strip every sidecar: results must be identical (dirs just read fully)
+    dirs.foreach(d => fs.delete(new org.apache.hadoop.fs.Path(d, Dedup.BandsBloomFile), false))
+    val withoutSidecars = Dedup.crossJaccardPairsIndexed(probe, path, ref, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(withoutSidecars == withSidecars, "sidecars are a read-set optimization, never a result change")
+    // admission over sidecar-less dirs still works and rewrites s-new's sidecar
+    val admitted = Dedup.admitShard(novel, path, ref, "doc_id", "text", "snew")
+    assert(admitted.count() == 1)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$path/sigs/shard=snew/${Dedup.BandsBloomFile}")))
+  }
+
   test("compactTextIndex merges shards into __base; probe results and inventory survive") {
     val base = Seq(
       (1L, "the quick brown fox jumps over the lazy dog near the river bank today"))
@@ -793,24 +852,40 @@ class DedupSpec extends SparkSpecBase {
       val want = Dedup.crossJaccardPairs(probe, ref, "doc_id", "text", threshold = 0.5)
         .as[(Long, Long, Double)].collect().toSet
       assert(got == want && got.nonEmpty)
-      import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+      import org.apache.spark.sql.execution.{FileSourceScanExec, SortExec, SparkPlan}
       import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
       import org.apache.spark.sql.execution.joins.SortMergeJoinExec
       def bucketedScanIn(p: SparkPlan): Boolean = p.exists {
         case s: FileSourceScanExec => s.relation.bucketSpec.isDefined
         case _ => false
       }
-      val plan = pairs.queryExecution.executedPlan
-      // the CANDIDATE join specifically (keys = band, bh) — outer verify
-      // joins also have the bucketed scan somewhere below them
-      val join = plan.collectFirst {
+      // the candidate stage is materialized inside the probe (one index
+      // scan per admission), so its join no longer appears in the final
+      // probe plan — build the SAME candidate frame through the seams
+      // the probe uses and assert the plan shape there
+      val nh = metaRow.getAs[Int]("num_hashes")
+      val bnd = metaRow.getAs[Int]("bands")
+      // same conf the probe itself plans under (sorted-bucket ordering)
+      spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+      val candPlan =
+        try Dedup.profileCrossCandidates(
+          Dedup.profileBanded(probe, "doc_id", "text", nh, bnd, 3),
+          spark.table(tbl), hintProbe = false)
+          .queryExecution.executedPlan
+        finally spark.conf.unset("spark.sql.legacy.bucketedTableScan.outputOrdering")
+      val join = candPlan.collectFirst {
         case j: SortMergeJoinExec
             if bucketedScanIn(j) && j.leftKeys.exists(_.references.exists(_.name == "band")) => j
-      }.getOrElse(fail(s"no band-keyed SortMergeJoin over the bucketed scan:\n${plan.toString.take(3000)}"))
+      }.getOrElse(fail(s"no band-keyed SortMergeJoin over the bucketed scan:\n${candPlan.toString.take(3000)}"))
       val (idxSide, probeSide) =
         if (bucketedScanIn(join.left)) (join.left, join.right) else (join.right, join.left)
       assert(!idxSide.exists { case _: ShuffleExchangeExec => true; case _ => false },
         s"index side must join bucket-local, no exchange:\n${idxSide.toString.take(3000)}")
+      // one sorted file per bucket: the scan's own ordering feeds the
+      // merge join — a Sort on the index side would mean the writer
+      // fanned a bucket across files and every probe re-sorts the corpus
+      assert(!idxSide.exists { case _: SortExec => true; case _ => false },
+        s"index side must be merge-ready from the sorted bucket files, no Sort:\n${idxSide.toString.take(3000)}")
       assert(probeSide.exists { case _: ShuffleExchangeExec => true; case _ => false },
         "probe side shuffles into the index's bucketing")
     } finally {

@@ -56,6 +56,16 @@ final class QueryMetrics private (spark: SparkSession) {
 
   def clear(): Unit = records.clear()
 
+  /** Remove the first `n` records — exactly the prefix a preceding
+    * [[snapshot]] captured (the listener appends at the TAIL, so
+    * records arriving concurrently stay queued). The store-flush path
+    * uses this instead of [[clear]], which would silently drop a
+    * record landing between the snapshot and the wipe. */
+  def drainFirst(n: Int): Unit = {
+    var i = 0
+    while (i < n && records.poll() != null) i += 1
+  }
+
   /** Remove the records matching the predicate, returning how many —
     * the reference's filtered DELETE QUERY METRICS (MetricsFilter). */
   def removeWhere(p: Record => Boolean): Long = {

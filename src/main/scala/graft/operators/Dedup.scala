@@ -2346,39 +2346,55 @@ object Dedup {
     if (keys.length > ProbeKeyCollectCap) None else Some(keys)
   }
 
+  /** Driver work ceiling for the pruning pass (keys × dirs bloom
+    * checks, ~50-100 ns each, parallel over dirs): past it, pruning is
+    * skipped and everything is read — the pass must never cost more
+    * than the reads it saves. An all-novel probe is the worst case
+    * (no early exit anywhere). */
+  private val PruneWorkCap = 512L * 1000 * 1000
+
   /** Split `dirs` into (must-read, skipped): a dir is skipped only when
     * it HAS a sidecar and every probe key misses it — a missing/corrupt
     * sidecar or an over-cap probe reads the dir (never wrong, only
-    * slower). Bloom false positives only ever ADD a dir. */
+    * slower). Bloom false positives only ever ADD a dir. The per-dir
+    * any-hit tests run in parallel on the driver (bounded by
+    * [[PruneWorkCap]] total checks). */
   private[graft] def pruneShardDirs(
       spark: org.apache.spark.sql.SparkSession,
       dirs: Array[org.apache.hadoop.fs.Path],
       keys: Option[Array[Long]]
   ): (Array[org.apache.hadoop.fs.Path], Array[org.apache.hadoop.fs.Path]) = keys match {
     case None => (dirs, Array.empty)
+    case Some(ks) if ks.length.toLong * dirs.length > PruneWorkCap => (dirs, Array.empty)
     case Some(ks) =>
-      val (read, skip) = dirs.partition { d =>
-        readBandsBloom(spark, d) match {
+      val mustRead = new Array[Boolean](dirs.length)
+      java.util.stream.IntStream.range(0, dirs.length).parallel().forEach { i =>
+        mustRead(i) = readBandsBloom(spark, dirs(i)) match {
           case None => true // no sidecar: must read
           case Some(bf) => ks.exists(bf.mightContainLong)
         }
       }
+      val read = dirs.indices.filter(mustRead).map(dirs).toArray
+      val skip = dirs.indices.filterNot(mustRead).map(dirs).toArray
       (read, skip)
   }
 
-  /** The sidecar of one shard dir, if present and readable. */
+  /** The sidecar of one shard dir, if present and readable. A missing,
+    * corrupt, or concurrently-deleted sidecar (a compaction racing the
+    * probe) reads as None — the dir is then read fully, never skipped. */
   private def readBandsBloom(
       spark: org.apache.spark.sql.SparkSession,
       dir: org.apache.hadoop.fs.Path): Option[org.apache.spark.util.sketch.BloomFilter] = {
     val p = new org.apache.hadoop.fs.Path(dir, BandsBloomFile)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      try Some(org.apache.spark.util.sketch.BloomFilter.readFrom(in))
-      catch { case _: java.io.IOException => None } // corrupt: read the dir
-      finally in.close()
-    }
+    try {
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        try Some(org.apache.spark.util.sketch.BloomFilter.readFrom(in))
+        finally in.close()
+      }
+    } catch { case _: java.io.IOException => None }
   }
 
   /** Shard dirs under a parquet text index's `sigs/` that hold at least

@@ -59,7 +59,9 @@ object Catalog {
       case Some(path) =>
         val fresh = metrics.snapshot()
         val all = graft.core.MetricsStore.flushAndRead(spark, path, fresh)
-        metrics.clear() // flushed — the store is now the single source
+        // drain exactly the flushed prefix — a record the listener
+        // appended DURING the flush stays queued for the next one
+        metrics.drainFirst(fresh.length)
         all
       case None => metrics.snapshot()
     }
@@ -92,8 +94,9 @@ object Catalog {
     val n = metricsStorePath(spark) match {
       case Some(path) =>
         val fresh = metrics.snapshot()
-        metrics.clear()
-        graft.core.MetricsStore.flushAndRemove(spark, path, fresh, matches)
+        val removed = graft.core.MetricsStore.flushAndRemove(spark, path, fresh, matches)
+        metrics.drainFirst(fresh.length)
+        removed
       case None => metrics.removeWhere(matches)
     }
     Seq(n).toDF("deleted")

@@ -52,9 +52,9 @@ object DumpPlans {
       "q_link_declared" -> "declarative external link: JSON-declared JDBC catalog — the link predicate evaluated on the (scan-level) JDBC relation collapses to In(l_suppkey,...) in the fact scan's PushedFilters; enrichment is a BroadcastHashJoin, the fact side never shuffles",
       "q_dedup_cross" -> "cross-corpus dedup: probe-shard signatures are a narrow map over the NEW data only; the reference side reads the PERSISTED (id, sig) index — no reference re-shingle before the band join; candidates are id-only through the (band, bh) shuffle join; reference text re-attaches only to the distinct candidate set for the exact verify",
       "q_ann_indexed" -> "persisted-IVF-index search: the assignments scan lists ONLY the probed cells' files (static partition filter from the driver-resolved probe set); bounded queryProbes broadcast onto the pruned scan, heap top-k per query — the corpus-sized side never shuffles",
-      "q_dedup_cross_bucketed" -> "bucketed admission layout: the index table is bucketed+sorted on (band, bh), so the candidate join's index side reads buckets in place (Bucketed: true, no exchange below the band-keyed join — DedupSpec walks the tree); only the shard's banded rows shuffle into the index's bucketing",
+      "q_dedup_cross_bucketed" -> "bucketed admission layout: the candidate stage is MATERIALIZED (one index scan per probe — the dumped plan therefore shows the exact verify over the checkpointed candidates); the candidate join itself reads the bucketed index in place with NO exchange and NO re-sort (one sorted file per bucket + bucketed-scan ordering — DedupSpec walks that join's own plan and asserts both), only the shard's banded rows shuffling into the index's bucketing",
       "q_chunk_tokens" -> "token chunking: one narrow codegen pass (tokenize, per-row start sequence, Generate, slice) — the operator contributes NO exchange (the single Exchange below the Sort is the gate's deterministic orderBy, absent in production use); embarrassingly parallel at any corpus size",
-      "q_dedup_cross_delta" -> "base+delta split serving: the bucketed base side joins exchange-free (Bucketed: true) while the delta side is an ordinary band join over the days-sized side-index — candidates union before ONE shared exact verify; the probe's signature pass feeds both joins",
+      "q_dedup_cross_delta" -> "base+delta split serving: the bucketed base side joins exchange-free while the delta side is a band join over ONLY the band-plausible delta shard dirs (_bands_bloom sidecar pruning) — candidates union and MATERIALIZE before one shared exact verify (the dumped plan shows the verify over the checkpointed candidates); the probe's one signature pass feeds both joins",
       "q_contamination_bloom" -> "Bloom-prefiltered contamination: corpus grams screened MAP-SIDE by the codegen'd might_contain (the filter sits directly on the Generate output, below any exchange) — only survivors shuffle into the exact verify join; per-doc denominator is a map-side-combined aggregate; both corpus branches keep the gram pipeline inside the Generate (the CollapseProject×lambda rule, tools/ProfileBloom); eval grams read from cache (InMemoryRelation)",
       "q_domain_cap" -> "per-domain cap: quality computed inline in the projection feeding ONE domain-key exchange, then a single window rank — no joins, no second scan",
       "q_hybrid_retrieval" -> "hybrid RRF: both legs share one postings aggregate; query terms + query-restricted df broadcast in each leg; fusion joins two ≤ k-per-query rowsets — every corpus-sized structure stays in the legs' audited broadcast shapes",

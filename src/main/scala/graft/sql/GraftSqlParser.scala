@@ -93,7 +93,11 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface) extends P
 
   import GraftSqlParser._
 
-  override def parsePlan(sqlText: String): LogicalPlan = {
+  /** The graft statement surface: returns the matched command, or
+    * null for anything that belongs to Spark's own grammar. Shared by
+    * BOTH parse entry points so each can fall through to the RIGHT
+    * delegate method. */
+  private def graftPlan(sqlText: String): LogicalPlan = {
     val t = sqlText.trim
     def filt(key: String, value: String): (Option[String], Option[String]) =
       Option(key).map(_.toUpperCase) match {
@@ -182,8 +186,28 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface) extends P
           Option(minLogw).map(_.toDouble).getOrElse(0.0))
       case UpsertRe(table, cols, values) =>
         UpsertCommand(table, cols.split(',').map(_.trim).toSeq.filter(_.nonEmpty), values)
-      case _ => delegate.parsePlan(sqlText)
+      case _ => null
     }
+  }
+
+  override def parsePlan(sqlText: String): LogicalPlan = {
+    val p = graftPlan(sqlText)
+    if (p != null) p else delegate.parsePlan(sqlText)
+  }
+
+  /** Spark 4's `sql(text, args)` enters the parser HERE, not through
+    * [[parsePlan]] — and the ParserInterface DEFAULT implementation
+    * silently drops the ParameterContext (it just calls
+    * parsePlan(sqlText)), so an injected parser that does not forward
+    * this method breaks every parameterized query on the session with
+    * UNBOUND_SQL_PARAMETER. Graft statements take no parameter
+    * markers (a regex surface); everything else forwards WITH the
+    * parameters. */
+  override def parsePlanWithParameters(
+      sqlText: String,
+      parameters: org.apache.spark.sql.catalyst.parser.ParameterContext): LogicalPlan = {
+    val p = graftPlan(sqlText)
+    if (p != null) p else delegate.parsePlanWithParameters(sqlText, parameters)
   }
 
   override def parseExpression(sqlText: String): Expression = delegate.parseExpression(sqlText)

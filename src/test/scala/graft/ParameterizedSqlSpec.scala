@@ -61,4 +61,35 @@ class ParameterizedSqlSpec extends SparkSpecBase {
       "SELECT graft_tokens(:txt) AS tk", Map("txt" -> "Red Apple!"))
     assert(tok.head().getAs[scala.collection.Seq[String]]("tk").toSeq == Seq("red", "apple"))
   }
+
+  test("parameters bind through the INJECTED parser (extensions session)") {
+    // Spark 4 enters the parser through parsePlanWithParameters for
+    // sql(text, args); the ParserInterface DEFAULT drops the
+    // ParameterContext, so an injected parser that forwards only
+    // parsePlan breaks every parameterized query on the session with
+    // UNBOUND_SQL_PARAMETER (r16 regression find — GraftSqlParser now
+    // overrides and forwards both entry points). Pin it on a real
+    // extensions-built session and its newSession() fork (the pg-wire
+    // per-connection shape).
+    import org.apache.spark.sql.SparkSession
+    spark // shared session first
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val ext = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.sql.GraftExtensions().apply(_))
+      .getOrCreate()
+    try {
+      assert(ext.sql("SELECT :a + :b AS s", Map("a" -> 40, "b" -> 2)).head().getInt(0) == 42)
+      assert(ext.sql("SELECT ? * ? AS p", Array(6, 7)).head().getInt(0) == 42)
+      val fork = ext.newSession()
+      assert(fork.sql("SELECT :a + :b AS s", Map("a" -> 1, "b" -> 2)).head().getInt(0) == 3)
+      // and the injected statement surface still parses on the same session
+      assert(ext.sql("SHOW VERSION").collect().exists(_.getString(0) == "graft"))
+    } finally {
+      SparkSession.setActiveSession(spark)
+      SparkSession.setDefaultSession(spark)
+    }
+  }
 }

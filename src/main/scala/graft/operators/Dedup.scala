@@ -2221,10 +2221,6 @@ object Dedup {
     val b = meta.getAs[Int]("bands")
     val shingleSize = meta.getAs[Int]("shingle_size")
     val threshold = meta.getAs[Double]("threshold")
-    // materialized: the banded probe feeds the driver key collect AND
-    // the candidate join — one signature pass, not two (shard-scale)
-    val pb = bandedFromSigs(minhashSigs(probe, idCol, textCol, nh, shingleSize), b, nh / b)
-      .localCheckpoint(true)
     // excludeShard: drop the named shard's own DIR (admitShard replay —
     // a shard must never self-match): file-level pruning, like the
     // partition-value filter it replaces. Remaining dirs pass the
@@ -2232,19 +2228,31 @@ object Dedup {
     // rejects every probe key contributes no candidates and is never
     // opened. Pre-shard flat layouts (no shard dirs) read as before.
     val dirs0 = readableShardDirs(spark, indexPath)
+    val dirs1 = excludeShard match {
+      case Some(sh) =>
+        val dirName = "shard=" +
+          org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(sh)
+        dirs0.filterNot(_.getName == dirName)
+      case None => dirs0
+    }
+    // pruning (and the probe-key collect + extra probe materialization
+    // that feed it) pays only where a sidecar exists to consult — a
+    // freshly-compacted index is one sidecar-less shard dir, and
+    // charging it the whole pruning pass was a measured ~0.5 s/probe
+    // at sf0.1 for zero dirs skipped
+    val willPrune = dirs1.nonEmpty && anySidecar(spark, dirs1)
+    // materialized only when the banded probe feeds BOTH the driver key
+    // collect and the candidate join; single-consumer probes stay lazy
+    val pb0 = bandedFromSigs(minhashSigs(probe, idCol, textCol, nh, shingleSize), b, nh / b)
+    val pb = if (willPrune) pb0.localCheckpoint(true) else pb0
     val cands =
       if (dirs0.isEmpty)
         crossCandidates(pb,
           bandedFromSigs(spark.read.parquet(s"$indexPath/sigs"), b, nh / b), maxBucket)
       else {
-        val dirs1 = excludeShard match {
-          case Some(sh) =>
-            val dirName = "shard=" +
-              org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(sh)
-            dirs0.filterNot(_.getName == dirName)
-          case None => dirs0
-        }
-        val (readDirs, _) = pruneShardDirs(spark, dirs1, probeBandKeys(pb))
+        val (readDirs, _) =
+          if (willPrune) pruneShardDirs(spark, dirs1, probeBandKeys(pb))
+          else (dirs1, Array.empty[org.apache.hadoop.fs.Path])
         if (readDirs.isEmpty) emptyCandidates(probe, ref, idCol)
         else crossCandidates(pb,
           bandedFromSigs(
@@ -2377,6 +2385,26 @@ object Dedup {
       val read = dirs.indices.filter(mustRead).map(dirs).toArray
       val skip = dirs.indices.filterNot(mustRead).map(dirs).toArray
       (read, skip)
+  }
+
+  /** Cheap presence test: does ANY of `dirs` carry a band-key sidecar?
+    * When none does (freshly-compacted or pre-sidecar layouts), callers
+    * skip the probe-key collect and its probe materialization entirely —
+    * the pruning pass must never cost more than it can possibly save.
+    * Stats run in parallel on the driver; an unreadable dir counts as
+    * sidecar-less (it will simply be read). */
+  private[graft] def anySidecar(
+      spark: org.apache.spark.sql.SparkSession,
+      dirs: Array[org.apache.hadoop.fs.Path]): Boolean = {
+    if (dirs.isEmpty) return false
+    val conf = spark.sparkContext.hadoopConfiguration
+    val hit = new Array[Boolean](dirs.length)
+    java.util.stream.IntStream.range(0, dirs.length).parallel().forEach { i =>
+      val p = new org.apache.hadoop.fs.Path(dirs(i), BandsBloomFile)
+      hit(i) = try p.getFileSystem(conf).exists(p)
+      catch { case _: java.io.IOException => false }
+    }
+    hit.exists(identity)
   }
 
   /** The sidecar of one shard dir, if present and readable. A missing,
@@ -2541,7 +2569,9 @@ object Dedup {
             dirs.filterNot(_.getName == dirName)
           case None => dirs
         }
-        val (readDirs, _) = pruneShardDirs(spark, dirs1, probeBandKeys(pb))
+        val (readDirs, _) =
+          if (anySidecar(spark, dirs1)) pruneShardDirs(spark, dirs1, probeBandKeys(pb))
+          else (dirs1, Array.empty[org.apache.hadoop.fs.Path])
         if (readDirs.isEmpty) baseCands
         else baseCands
           .unionByName(crossCandidates(pb,

@@ -1,6 +1,6 @@
 package graft.wire
 
-import java.io.{ BufferedInputStream, BufferedOutputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream, EOFException, IOException }
+import java.io.{ BufferedInputStream, BufferedOutputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream, IOException }
 import java.net.{ InetAddress, ServerSocket, Socket, SocketException }
 import java.nio.charset.StandardCharsets.UTF_8
 import java.util.concurrent.ConcurrentHashMap
@@ -300,14 +300,6 @@ object PgWireServer {
     private var errorState = false // extended-protocol: skip until Sync
 
     // ---- frame helpers ------------------------------------------------
-    private def cstring(): String = {
-      val b = new ByteArrayOutputStream()
-      var c = in.read()
-      while (c > 0) { b.write(c); c = in.read() }
-      if (c < 0) throw new EOFException()
-      new String(b.toByteArray, UTF_8)
-    }
-
     private def send(tag: Char)(body: DataOutputStream => Unit): Unit = {
       val buf = new ByteArrayOutputStream(64)
       body(new DataOutputStream(buf))
@@ -364,6 +356,16 @@ object PgWireServer {
       // in-process affordance, never a network one
       session = parent.newSession()
       SparkSession.setActiveSession(session) // this connection's thread
+      // newSession() starts from builder-time defaults, NOT the
+      // parent's runtime conf — carry the graft control plane over
+      // (user/grant store binding, metrics store, cache policy), or a
+      // store-bound deployment's wire logins would validate against
+      // the wrong (in-memory) registry. The principal pair is then
+      // bound fresh from the wire credentials.
+      parent.conf.getAll.foreach { case (k, v) =>
+        if (k.startsWith("graft.") && k != GraftAuth.UserConfKey && k != GraftAuth.PasswordConfKey)
+          session.conf.set(k, v)
+      }
       session.conf.set(GraftAuth.UserConfKey, user)
       session.conf.set(GraftAuth.PasswordConfKey, password)
       if (UserRegistry.validate(session, user, password).isEmpty) {
@@ -611,7 +613,15 @@ object PgWireServer {
               p.paramOids.foreach(oid => o.writeInt(if (oid == 0) 25 else oid))
             }
             if (p.ordinals.isEmpty && p.sql.trim.nonEmpty) {
-              val schema = session.sql(p.rewritten).schema
+              // Spark runs COMMANDS eagerly at sql() — describing one
+              // that way would execute it (and Execute would run it
+              // again). A command's output schema is fixed at parse;
+              // only plain queries need the analyzer for theirs.
+              val plan = session.sessionState.sqlParser.parsePlan(p.rewritten)
+              val schema =
+                if (plan.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Command])
+                  StructType(plan.output.map(a => StructField(a.name, a.dataType, a.nullable)))
+                else session.sql(p.rewritten).schema
               if (schema.isEmpty) send('n')(_ => ()) else sendRowDescription(schema)
             } else send('n')(_ => ()) // parameterized statement-describe: NoData (reference leaves it TODO)
           case other => throw new IllegalArgumentException(s"Unknown describe kind '${other.toChar}'")

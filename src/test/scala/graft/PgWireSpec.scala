@@ -247,6 +247,59 @@ class PgWireSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally c.close()
   }
 
+  test("Describe statement must NOT execute an effectful command") {
+    // Spark runs commands eagerly at sql(); the frontend derives a
+    // command's schema from its parsed output instead, so the classic
+    // JDBC Parse/Describe/Bind/Execute flow runs the statement ONCE
+    val c = new PgClient(port)
+    try {
+      c.login("pg_admin", "pg-s3cret")
+      c.sendParse("mk", "CREATE USER 'pg_desc_probe' WITH ROLE = 'READ_ONLY'", Seq.empty)
+      c.sendDescribeStatement("mk")
+      c.sendSync()
+      c.expect('1'); c.expect('t'); c.expect('Z')
+      assert(!owner.sql("SHOW USERS").collect().exists(_.getString(0) == "pg_desc_probe"),
+        "Describe alone must not have created the user")
+      c.sendBindText("mkp", "mk", Seq.empty)
+      c.sendExecute("mkp", 0)
+      c.sendSync()
+      c.expect('2'); c.expect('Z')
+      assert(owner.sql("SHOW USERS").collect().exists(_.getString(0) == "pg_desc_probe"),
+        "Execute must have created the user exactly then")
+      owner.sql("DROP USER 'pg_desc_probe'")
+    } finally c.close()
+  }
+
+  test("wire logins validate against the parent's STORE-BOUND registry") {
+    // newSession() does not inherit runtime conf — the server carries
+    // the graft control plane onto each connection's fork, so a
+    // deployment that binds graft.sql.userStore.path at runtime
+    // authenticates wire logins against that store, not the in-memory
+    // slot
+    val store = "/tmp/graft_pgwire_store_" + System.nanoTime()
+    try {
+      owner.conf.set(graft.sql.UserRegistry.StorePathKey, store)
+      owner.sql("CREATE USER 'pg_store_user' WITH PASSWORD = 'st0re' WITH ROLE = 'READ_ONLY'")
+      graft.sql.UserRegistry.clear() // wipe every in-memory slot: only the snapshot file knows the user
+      val c = new PgClient(port)
+      try {
+        c.login("pg_store_user", "st0re") // must reload from the bound store
+        assert(c.simpleQuery("SELECT 1 AS x").rows == Seq(Seq("1")))
+      } finally c.close()
+      // and a wrong password against the store-bound registry still refuses
+      val bad = new PgClient(port)
+      try {
+        val err = intercept[PgErrorException](bad.login("pg_store_user", "nope"))
+        assert(err.message == "Invalid user or password")
+      } finally bad.close()
+    } finally {
+      owner.conf.unset(graft.sql.UserRegistry.StorePathKey)
+      graft.sql.UserRegistry.clear()
+      owner.sql("CREATE USER 'pg_admin' WITH PASSWORD = 'pg-s3cret' WITH ROLE = 'ADMIN'")
+      owner.sql("CREATE USER 'pg_reader' WITH PASSWORD = 'r3ad' WITH ROLE = 'READ_ONLY'")
+    }
+  }
+
   // ---- the real client ------------------------------------------------
   private def psqlAvailable: Boolean = new java.io.File("/usr/bin/psql").canExecute
 

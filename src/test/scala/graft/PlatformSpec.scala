@@ -320,6 +320,20 @@ class PlatformSpec extends SparkSpecBase {
           val rsA = st.executeQuery("SHOW VERSION")
           assert(rsA.next(), "metadata reads must flow for session A's READ_ONLY principal")
         } finally connB.close()
+        // 7. CONNECT-TIME credentials: hive-jdbc applies the URL's
+        // ?conf_list at session open, so a principal binds at CONNECT
+        // like the pg wire's startup auth — no in-band SET required,
+        // and the very first statement already runs as that principal
+        val connC = java.sql.DriverManager.getConnection(
+          s"jdbc:hive2://localhost:$port/?graft.sql.user=wire_reader", "anonymous", "")
+        try {
+          val stC = connC.createStatement()
+          val deniedC = intercept[java.sql.SQLException](stC.executeQuery(put))
+          assert(deniedC.getMessage.contains("User wire_reader doesn't have enough permissions"),
+            s"connect-time principal must gate the FIRST statement: ${deniedC.getMessage}")
+          val rsC = stC.executeQuery("SELECT count(*) AS c FROM range(7)")
+          assert(rsC.next() && rsC.getLong(1) == 7L, "reads must flow for the connect-time READ_ONLY principal")
+        } finally connC.close()
       } finally conn.close()
     } finally {
       graft.sql.UserRegistry.clear()

@@ -229,21 +229,36 @@ object PgWireServer {
     (out.toString, seen)
   }
 
-  /** Quote-aware top-level split of a simple-query string on ';'
-    * (pg runs each statement in turn, aborting on the first error). */
+  /** Quote- and comment-aware top-level split of a simple-query string
+    * on ';' (pg runs each statement in turn, aborting on the first
+    * error) — a ';' inside '…'/"…", a `--` line comment, or a bracketed
+    * comment must not split. */
   private[wire] def splitStatements(sql: String): Seq[String] = {
     val parts = Seq.newBuilder[String]
     val cur = new java.lang.StringBuilder
     var inS = false
     var inD = false
-    sql.foreach { c =>
-      if (inS) { cur.append(c); if (c == '\'') inS = false }
-      else if (inD) { cur.append(c); if (c == '"') inD = false }
+    var inLine = false // -- … end-of-line
+    var inBlock = 0 // /* … */ nesting depth (pg block comments nest)
+    var i = 0
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      def two = if (i + 1 < sql.length) sql.charAt(i + 1) else ' '
+      if (inLine) { cur.append(c); if (c == '\n') inLine = false; i += 1 }
+      else if (inBlock > 0) {
+        if (c == '*' && two == '/') { cur.append("*/"); inBlock -= 1; i += 2 }
+        else if (c == '/' && two == '*') { cur.append("/*"); inBlock += 1; i += 2 }
+        else { cur.append(c); i += 1 }
+      }
+      else if (inS) { cur.append(c); if (c == '\'') inS = false; i += 1 }
+      else if (inD) { cur.append(c); if (c == '"') inD = false; i += 1 }
       else c match {
-        case '\'' => inS = true; cur.append(c)
-        case '"' => inD = true; cur.append(c)
-        case ';' => parts += cur.toString; cur.setLength(0)
-        case _ => cur.append(c)
+        case '\'' => inS = true; cur.append(c); i += 1
+        case '"' => inD = true; cur.append(c); i += 1
+        case '-' if two == '-' => inLine = true; cur.append("--"); i += 2
+        case '/' if two == '*' => inBlock = 1; cur.append("/*"); i += 2
+        case ';' => parts += cur.toString; cur.setLength(0); i += 1
+        case _ => cur.append(c); i += 1
       }
     }
     parts += cur.toString
@@ -444,6 +459,12 @@ object PgWireServer {
       val l = sql.toLowerCase(java.util.Locale.ROOT).trim
       if (l == "select current_catalog") "SELECT graft_database() AS current_catalog"
       else if (l == "select version()") "SHOW VERSION"
+      // the two catalog probes pg-JDBC's getTables() issues, mapped to
+      // the engine's own listing exactly like the reference
+      // (MessageHandler.preprocess, MessageHandler.scala:82-89)
+      else if (sql.startsWith("SELECT NULL AS TABLE_CAT, n.nspname AS TABLE_SCHEM, c.relname AS TABLE_NAME") ||
+        sql.startsWith("SELECT current_database() AS \"TABLE_CAT\", n.nspname AS \"TABLE_SCHEM\""))
+        "SHOW TABLES"
       else sql
     }
 

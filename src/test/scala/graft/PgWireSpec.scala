@@ -270,6 +270,47 @@ class PgWireSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally c.close()
   }
 
+  test("concurrent connections run queries simultaneously without cross-talk") {
+    // 6 live connections × 20 queries each, all in flight together —
+    // every session must see its OWN results (the per-connection
+    // forked-session + per-thread active-session discipline)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(6)
+    try {
+      val futs = (0 until 6).map { w =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          override def call(): Unit = {
+            val c = new PgClient(port)
+            try {
+              c.login("pg_admin", "pg-s3cret")
+              (0 until 20).foreach { q =>
+                val want = (w * 1000 + q).toString
+                val r = c.simpleQuery(s"SELECT $want AS v, count(*) AS n FROM range(100)")
+                assert(r.rows == Seq(Seq(want, "100")), s"worker $w query $q got ${r.rows}")
+              }
+            } finally c.close()
+          }
+        })
+      }
+      futs.foreach(_.get(180, java.util.concurrent.TimeUnit.SECONDS))
+    } finally pool.shutdownNow()
+  }
+
+  test("row streaming moves a 200k-row result through the wire") {
+    val c = new PgClient(port)
+    try {
+      c.login("pg_admin", "pg-s3cret")
+      val t0 = System.nanoTime()
+      val r = c.simpleQuery("SELECT id, id * 2 AS d FROM range(200000)")
+      val secs = (System.nanoTime() - t0) / 1e9
+      assert(r.rows.length == 200000)
+      assert(r.complete == Seq("SELECT 200000"))
+      assert(r.rows(199999) == Seq("199999", "399998"))
+      // control-plane sanity, not a benchmark: 200k rows should cross
+      // a loopback socket in single-digit seconds
+      assert(secs < 30.0, s"200k rows took $secs s")
+    } finally c.close()
+  }
+
   test("wire logins validate against the parent's STORE-BOUND registry") {
     // newSession() does not inherit runtime conf — the server carries
     // the graft control plane onto each connection's fork, so a

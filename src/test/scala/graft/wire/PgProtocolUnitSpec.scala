@@ -28,6 +28,11 @@ class PgProtocolUnitSpec extends AnyFunSuite {
       Seq("SELECT 'a;b'", "SELECT \";\""))
     assert(PgWireServer.splitStatements(" ;; SELECT 1 ; ") == Seq("SELECT 1"))
     assert(PgWireServer.splitStatements("  ") == Seq.empty)
+    // ';' inside comments must not split (pg block comments nest)
+    assert(PgWireServer.splitStatements("SELECT 1 -- tail; not a split\n; SELECT 2") ==
+      Seq("SELECT 1 -- tail; not a split", "SELECT 2"))
+    assert(PgWireServer.splitStatements("SELECT /* a;b /* c; */ d; */ 1; SELECT 2") ==
+      Seq("SELECT /* a;b /* c; */ d; */ 1", "SELECT 2"))
   }
 
   test("text parameter decoding follows the declared OID") {

@@ -53,7 +53,10 @@ import graft.sql.{ GraftAuth, UserRegistry }
  *    (PgTypes.scala:27-45 — bool 16, bytea 17, int2/4/8 21/23/20,
  *    text 25, float4/8 700/701, date 1082, timestamp 1114,
  *    timestamptz 1184, numeric 1700; complex Spark types render as
- *    text), DataRows in text format, CommandComplete tags
+ *    text), DataRows in text format — or pg BINARY per column where a
+ *    Bind requested it (fixed-width types, text/bytea raw bytes, the
+ *    2000-epoch date/timestamp encodings; types without a wire-stable
+ *    binary form must be requested in text), CommandComplete tags
  *    ("SELECT n" / "SET" — MessageHandler.scala:262,292), Execute
  *    row-limits with PortalSuspended;
  *  - errors: ErrorResponse fields S/C/M (the reference writes S+M,
@@ -195,11 +198,22 @@ object PgWireServer {
       "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     else s
 
+  /** If `sql` opens a pg dollar-quote at position `i` ("$$" or
+    * "$tag$", tag = letters/digits/underscores starting non-digit),
+    * the full delimiter string; else null. */
+  private def dollarTagAt(sql: String, i: Int): String = {
+    if (i >= sql.length || sql.charAt(i) != '$') return null
+    var j = i + 1
+    while (j < sql.length && (sql.charAt(j).isLetterOrDigit || sql.charAt(j) == '_')) j += 1
+    if (j < sql.length && sql.charAt(j) == '$' &&
+      (j == i + 1 || !sql.charAt(i + 1).isDigit)) sql.substring(i, j + 1)
+    else null
+  }
+
   /** Rewrite pg `$n` placeholders to Spark named markers `:gp_n`,
     * skipping quoted regions ('…' with '' escapes, "…" identifiers,
-    * and pg dollar-quoted strings are NOT handled — graft SQL never
-    * produces them). Returns the rewritten text and the set of
-    * parameter ordinals seen. */
+    * and $tag$…$tag$ dollar-quoted strings). Returns the rewritten
+    * text and the set of parameter ordinals seen. */
   private[wire] def rewriteParams(sql: String): (String, Set[Int]) = {
     val out = new java.lang.StringBuilder(sql.length + 8)
     var i = 0
@@ -223,6 +237,15 @@ object PgWireServer {
           seen += n
           out.append(":gp_").append(n)
           i = j
+        case '$' =>
+          dollarTagAt(sql, i) match {
+            case null => out.append(c); i += 1
+            case tag => // copy the whole dollar-quoted body verbatim
+              val end = sql.indexOf(tag, i + tag.length)
+              val stop = if (end < 0) sql.length else end + tag.length
+              out.append(sql, i, stop)
+              i = stop
+          }
         case _ => out.append(c); i += 1
       }
     }
@@ -257,6 +280,14 @@ object PgWireServer {
         case '"' => inD = true; cur.append(c); i += 1
         case '-' if two == '-' => inLine = true; cur.append("--"); i += 2
         case '/' if two == '*' => inBlock = 1; cur.append("/*"); i += 2
+        case '$' =>
+          dollarTagAt(sql, i) match {
+            case null => cur.append(c); i += 1
+            case tag => // a ';' inside $tag$…$tag$ must not split
+              val end = sql.indexOf(tag, i + tag.length)
+              val stop = if (end < 0) sql.length else end + tag.length
+              cur.append(sql, i, stop); i = stop
+          }
         case ';' => parts += cur.toString; cur.setLength(0); i += 1
         case _ => cur.append(c); i += 1
       }
@@ -298,11 +329,54 @@ object PgWireServer {
     }
   }
 
+  private val PgEpochDay: Long = java.time.LocalDate.of(2000, 1, 1).toEpochDay
+  private val PgEpochMicros: Long = 946684800000000L // 2000-01-01T00:00:00Z
+
+  /** Binary result encoding (network order) for the fixed-width types a
+    * pg driver requests binary for — date/timestamp use pg's
+    * 2000-01-01 epoch; text/bytea binary IS their raw bytes. Types
+    * without a wire-stable binary form (numeric, arrays, structs) must
+    * be requested in text. */
+  private def writeBinaryCell(o: DataOutputStream, dt: DataType, v: Any): Unit = dt match {
+    case BooleanType => o.writeInt(1); o.writeByte(if (v.asInstanceOf[Boolean]) 1 else 0)
+    case ByteType => o.writeInt(2); o.writeShort(v.asInstanceOf[Byte].toInt)
+    case ShortType => o.writeInt(2); o.writeShort(v.asInstanceOf[Short].toInt)
+    case IntegerType => o.writeInt(4); o.writeInt(v.asInstanceOf[Int])
+    case LongType => o.writeInt(8); o.writeLong(v.asInstanceOf[Long])
+    case FloatType => o.writeInt(4); o.writeFloat(v.asInstanceOf[Float])
+    case DoubleType => o.writeInt(8); o.writeDouble(v.asInstanceOf[Double])
+    case BinaryType => val b = v.asInstanceOf[Array[Byte]]; o.writeInt(b.length); o.write(b)
+    case StringType => val b = v.toString.getBytes(UTF_8); o.writeInt(b.length); o.write(b)
+    case DateType =>
+      val days = v match {
+        case d: java.sql.Date => d.toLocalDate.toEpochDay - PgEpochDay
+        case d: java.time.LocalDate => d.toEpochDay - PgEpochDay
+        case other => throw new IllegalArgumentException(s"Unexpected date value $other")
+      }
+      o.writeInt(4); o.writeInt(days.toInt)
+    case TimestampType | _: TimestampNTZType =>
+      val micros = v match {
+        case t: java.sql.Timestamp =>
+          t.getTime * 1000L + (t.getNanos / 1000L) % 1000L - PgEpochMicros
+        case t: java.time.Instant =>
+          t.getEpochSecond * 1000000L + t.getNano / 1000L - PgEpochMicros
+        case t: java.time.LocalDateTime =>
+          t.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + t.getNano / 1000L - PgEpochMicros
+        case other => throw new IllegalArgumentException(s"Unexpected timestamp value $other")
+      }
+      o.writeInt(8); o.writeLong(micros)
+    case other =>
+      throw new IllegalArgumentException(
+        s"Binary result format not supported for $other; request text (format 0)")
+  }
+
   private case class Parsed(sql: String, rewritten: String, paramOids: IndexedSeq[Int], ordinals: Set[Int])
-  private case class Portal(parsed: Parsed, args: Map[String, Any]) {
+  private case class Portal(parsed: Parsed, args: Map[String, Any], resFmts: IndexedSeq[Int]) {
     var df: DataFrame = _
     var it: Iterator[Row] = _
     var sent: Long = 0L
+    def fmtOf(col: Int): Int =
+      if (resFmts.isEmpty) 0 else if (resFmts.length == 1) resFmts.head else resFmts(col)
   }
 
   private class Conn(parent: SparkSession, sock: Socket) {
@@ -507,10 +581,10 @@ object PgWireServer {
       readyForQuery()
     }
 
-    private def sendRowDescription(schema: StructType): Unit =
+    private def sendRowDescription(schema: StructType, fmtOf: Int => Int = _ => 0): Unit =
       send('T') { o =>
         o.writeShort(schema.length)
-        schema.fields.foreach { f =>
+        schema.fields.zipWithIndex.foreach { case (f, i) =>
           val oid = pgOid(f.dataType)
           cstr(o, f.name)
           o.writeInt(0) // table OID
@@ -518,14 +592,17 @@ object PgWireServer {
           o.writeInt(oid)
           o.writeShort(typLen(oid))
           o.writeInt(-1) // typmod
-          o.writeShort(0) // text format
+          o.writeShort(fmtOf(i)) // 0 text / 1 binary (simple query: always text)
         }
       }
 
-    /** Stream up to `limit` rows (0 = all) as text DataRows; returns
-      * the count written. One row crosses the frontend at a time —
+    /** Stream up to `limit` rows (0 = all) as DataRows — text or, per
+      * column where the portal requested it, pg binary; returns the
+      * count written. One row crosses the frontend at a time —
       * `toLocalIterator` keeps driver memory bounded by a partition. */
-    private def streamRows(it: Iterator[Row], schema: StructType, limit: Long): Long = {
+    private def streamRows(
+        it: Iterator[Row], schema: StructType, limit: Long,
+        fmtOf: Int => Int = _ => 0): Long = {
       var n = 0L
       while (it.hasNext && (limit == 0L || n < limit)) {
         val row = it.next()
@@ -533,9 +610,12 @@ object PgWireServer {
           o.writeShort(schema.length)
           var i = 0
           while (i < schema.length) {
-            val s = if (row.isNullAt(i)) null else renderText(row.get(i))
-            if (s == null) o.writeInt(-1)
-            else { val b = s.getBytes(UTF_8); o.writeInt(b.length); o.write(b) }
+            if (row.isNullAt(i)) o.writeInt(-1)
+            else if (fmtOf(i) == 1) writeBinaryCell(o, schema(i).dataType, row.get(i))
+            else {
+              val b = renderText(row.get(i)).getBytes(UTF_8)
+              o.writeInt(b.length); o.write(b)
+            }
             i += 1
           }
         }
@@ -590,12 +670,10 @@ object PgWireServer {
         }.toMap
         val nResFmt = r.short()
         val resFmts = IndexedSeq.fill(nResFmt)(r.short())
-        if (resFmts.exists(_ == 1))
-          throw new IllegalArgumentException("Binary result format not supported; request text (format 0)")
         val missing = p.ordinals.filter(n => !args.contains(s"gp_$n"))
         if (missing.nonEmpty)
           throw new IllegalArgumentException(s"Bind supplied $nParams parameters but statement references $$${missing.min}")
-        portals += portal -> Portal(p, args)
+        portals += portal -> Portal(p, args, resFmts)
         send('2')(_ => ()) // BindComplete
       } catch {
         case e: Throwable =>
@@ -625,7 +703,7 @@ object PgWireServer {
             else {
               val schema = portalFrame(p).schema
               if (schema.isEmpty) send('n')(_ => ()) // NoData
-              else sendRowDescription(schema)
+              else sendRowDescription(schema, p.fmtOf)
             }
           case 'S' =>
             val p = parseds.getOrElse(name, throw new IllegalArgumentException(s"Unknown prepare $name"))
@@ -668,7 +746,7 @@ object PgWireServer {
           send('C')(cstr(_, commandTag(p.parsed.sql, 0)))
         } else {
           if (p.it == null) p.it = df.toLocalIterator().asScala
-          val n = streamRows(p.it, schema, limit.toLong)
+          val n = streamRows(p.it, schema, limit.toLong, p.fmtOf)
           p.sent += n
           if (limit > 0 && p.it.hasNext) send('s')(_ => ()) // PortalSuspended
           else send('C')(cstr(_, commandTag(p.parsed.sql, p.sent)))

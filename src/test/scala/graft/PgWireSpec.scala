@@ -201,6 +201,47 @@ class PgWireSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally c.close()
   }
 
+  test("extended protocol: binary result format for the fixed-width types") {
+    val c = new PgClient(port)
+    try {
+      c.login("pg_admin", "pg-s3cret")
+      c.sendParse("sb",
+        "SELECT 42 AS i, CAST(9999999999 AS BIGINT) AS l, CAST(1.5 AS DOUBLE) AS d, " +
+          "true AS b, 'héllo' AS s, TIMESTAMP '2000-01-01 00:00:01' AS ts, DATE '2000-01-02' AS dt",
+        Seq.empty)
+      c.sendBindBinaryResults("pb", "sb", Seq.empty)
+      c.sendDescribePortal("pb")
+      c.sendExecute("pb", 0)
+      c.sendSync()
+      c.expect('1'); c.expect('2')
+      val descBody = c.expect('T')
+      // RowDescription must advertise format code 1 on every column
+      assert(RowDesc.parseFormats(descBody).forall(_ == 1))
+      val cells = binaryCells(c.expect('D'))
+      val bb = java.nio.ByteBuffer.wrap(cells(0)); assert(bb.getInt == 42)
+      assert(java.nio.ByteBuffer.wrap(cells(1)).getLong == 9999999999L)
+      assert(java.nio.ByteBuffer.wrap(cells(2)).getDouble == 1.5)
+      assert(cells(3).length == 1 && cells(3)(0) == 1)
+      assert(new String(cells(4), UTF_8) == "héllo")
+      // pg epoch 2000-01-01: one second in = 1e6 micros; one day in = 1 day
+      assert(java.nio.ByteBuffer.wrap(cells(5)).getLong == 1000000L)
+      assert(java.nio.ByteBuffer.wrap(cells(6)).getInt == 1)
+      cstringOf(c.expect('C'))
+      c.expect('Z')
+
+      // a type without a wire-stable binary form errors, Sync recovers
+      c.sendParse("sd", "SELECT CAST(1.50 AS DECIMAL(5,2)) AS n", Seq.empty)
+      c.sendBindBinaryResults("pd", "sd", Seq.empty)
+      c.sendExecute("pd", 0)
+      c.sendSync()
+      c.expect('1'); c.expect('2')
+      val (te, body) = c.read()
+      assert(te == 'E' && new String(body, UTF_8).contains("request text"),
+        s"decimal-as-binary must refuse clearly, got '$te'")
+      c.expect('Z')
+    } finally c.close()
+  }
+
   test("extended protocol: row-limited Execute suspends and resumes the portal") {
     val c = new PgClient(port)
     try {
@@ -374,6 +415,9 @@ class PgWireSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("psql: wrong password refused at the wire; READ_ONLY write denied through libpq") {
+    // (psql 15 has no \bind — the extended protocol is exercised by
+    // the byte-level client above; \bind-based libpq coverage needs
+    // psql >= 16)
     assume(psqlAvailable, "psql not installed in this environment")
     val (rc, _, errS) = psql("pg_admin", "wrong", "SELECT 1")
     assert(rc != 0 && errS.contains("Invalid user or password"), s"stderr: $errS")
@@ -413,7 +457,28 @@ object PgWireSpec {
     }
   }
 
+  def binaryCells(body: Array[Byte]): Seq[Array[Byte]] = {
+    val b = java.nio.ByteBuffer.wrap(body)
+    val n = b.getShort.toInt
+    (0 until n).map { _ =>
+      val len = b.getInt
+      if (len < 0) null
+      else { val a = new Array[Byte](len); b.get(a); a }
+    }
+  }
+
   object RowDesc {
+    def parseFormats(body: Array[Byte]): Seq[Int] = {
+      val b = java.nio.ByteBuffer.wrap(body)
+      val n = b.getShort.toInt
+      (0 until n).map { _ =>
+        var c = b.get()
+        while (c != 0) c = b.get()
+        b.getInt; b.getShort; b.getInt; b.getShort; b.getInt
+        b.getShort.toInt // format code
+      }
+    }
+
     def parse(body: Array[Byte]): Seq[(String, Int)] = {
       val b = java.nio.ByteBuffer.wrap(body)
       val n = b.getShort.toInt
@@ -565,6 +630,18 @@ object PgWireSpec {
         o.writeShort(params.length)
         params.foreach { b => o.writeInt(b.length); o.write(b) }
         o.writeShort(0)
+      }
+      out.flush()
+    }
+
+    /** Bind with text params but BINARY result format for all columns. */
+    def sendBindBinaryResults(portal: String, stmt: String, params: Seq[String]): Unit = {
+      msg('B') { o =>
+        cstr(o, portal); cstr(o, stmt)
+        o.writeShort(0)
+        o.writeShort(params.length)
+        params.foreach { p => val b = p.getBytes(UTF_8); o.writeInt(b.length); o.write(b) }
+        o.writeShort(1); o.writeShort(1) // one result format code: binary for every column
       }
       out.flush()
     }

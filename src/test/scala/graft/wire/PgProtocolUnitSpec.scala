@@ -33,6 +33,12 @@ class PgProtocolUnitSpec extends AnyFunSuite {
       Seq("SELECT 1 -- tail; not a split", "SELECT 2"))
     assert(PgWireServer.splitStatements("SELECT /* a;b /* c; */ d; */ 1; SELECT 2") ==
       Seq("SELECT /* a;b /* c; */ d; */ 1", "SELECT 2"))
+    // dollar-quoted bodies are opaque: no split, no marker rewrite
+    assert(PgWireServer.splitStatements("SELECT $$a;b$$; SELECT $t$x;y$t$") ==
+      Seq("SELECT $$a;b$$", "SELECT $t$x;y$t$"))
+    assert(PgWireServer.rewriteParams("SELECT $$not $1$$, $2") ==
+      ("SELECT $$not $1$$, :gp_2", Set(2)))
+    assert(PgWireServer.rewriteParams("SELECT $tag$ $5 $tag$ , $1")._2 == Set(1))
   }
 
   test("text parameter decoding follows the declared OID") {

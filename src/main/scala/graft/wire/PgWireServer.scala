@@ -59,6 +59,10 @@ import graft.sql.{ GraftAuth, UserRegistry }
  *    binary form must be requested in text), CommandComplete tags
  *    ("SELECT n" / "SET" — MessageHandler.scala:262,292), Execute
  *    row-limits with PortalSuspended;
+ *  - cancel: BackendKeyData carries a real (pid, secret); a
+ *    CancelRequest bearing it interrupts every operation of that
+ *    connection's session (SparkSession.interruptAll — psql's
+ *    Ctrl-C cancels the running statement, the connection survives);
  *  - errors: ErrorResponse fields S/C/M (the reference writes S+M,
  *    ErrorResponse.scala:28-35; graft adds the SQLSTATE 'C' field
  *    real clients expect — 28P01 for auth, XX000 otherwise), then
@@ -73,6 +77,9 @@ class PgWireServer(parent: SparkSession, host: String = "127.0.0.1", port: Int =
   @volatile private var server: ServerSocket = _
   private val open = new ConcurrentHashMap[Socket, java.lang.Boolean]()
   private val running = new AtomicBoolean(false)
+  /** (pid << 32 | secret) → the connection's session, for CancelRequest
+    * (scoped to THIS server — a cancel key never crosses endpoints). */
+  private val cancelKeys = new ConcurrentHashMap[Long, SparkSession]()
 
   def start(): Unit = synchronized {
     require(server == null, "Already started")
@@ -102,7 +109,7 @@ class PgWireServer(parent: SparkSession, host: String = "127.0.0.1", port: Int =
         catch { case _: SocketException | _: NullPointerException => return }
       open.put(sock, java.lang.Boolean.TRUE)
       val t = new Thread(() => {
-        try new PgWireServer.Conn(parent, sock).run()
+        try new PgWireServer.Conn(parent, sock, cancelKeys).run()
         catch { case _: Throwable => () }
         finally { open.remove(sock); try sock.close() catch { case _: IOException => () } }
       }, s"graft-pgwire-conn-${sock.getPort}")
@@ -379,7 +386,13 @@ object PgWireServer {
       if (resFmts.isEmpty) 0 else if (resFmts.length == 1) resFmts.head else resFmts(col)
   }
 
-  private class Conn(parent: SparkSession, sock: Socket) {
+  private val PidCounter = new java.util.concurrent.atomic.AtomicInteger(0)
+  private val SecretRng = new java.security.SecureRandom()
+
+  private class Conn(
+      parent: SparkSession,
+      sock: Socket,
+      cancelKeys: ConcurrentHashMap[Long, SparkSession]) {
     private val in = new DataInputStream(new BufferedInputStream(sock.getInputStream, 1 << 15))
     private val rawOut = new BufferedOutputStream(sock.getOutputStream, 1 << 15)
     private val out = new DataOutputStream(rawOut)
@@ -421,7 +434,16 @@ object PgWireServer {
           case SslRequestCode | GssEncRequestCode =>
             out.writeByte('N'); out.flush() // plaintext only, like the reference
           case CancelRequestCode =>
-            in.skipBytes(len - 8); return // cancel keys are not issued for real
+            // a cancel arrives on its OWN connection carrying the key
+            // from BackendKeyData; a match interrupts every operation
+            // of that session (psql's Ctrl-C). Never acknowledged —
+            // pg closes silently whether or not the key matched.
+            if (len == 16) {
+              val pid = in.readInt(); val secret = in.readInt()
+              val target = cancelKeys.get((pid.toLong << 32) | (secret.toLong & 0xffffffffL))
+              if (target != null) try target.interruptAll() catch { case _: Exception => () }
+            } else in.skipBytes(len - 8)
+            return
           case ProtocolV3 =>
             val body = new Array[Byte](len - 8)
             in.readFully(body)
@@ -471,9 +493,14 @@ object PgWireServer {
         "integer_datetimes" -> "on",
         "standard_conforming_strings" -> "on"
       ).foreach { case (k, v) => send('S') { o => cstr(o, k); cstr(o, v) } }
-      send('K') { o => o.writeInt(sock.getPort); o.writeInt(0) } // BackendKeyData (cancel unsupported)
+      val pid = PidCounter.incrementAndGet()
+      val secret = SecretRng.nextInt()
+      val cancelKey = (pid.toLong << 32) | (secret.toLong & 0xffffffffL)
+      cancelKeys.put(cancelKey, session)
+      send('K') { o => o.writeInt(pid); o.writeInt(secret) } // BackendKeyData
       readyForQuery()
-      messageLoop()
+      try messageLoop()
+      finally cancelKeys.remove(cancelKey)
     }
 
     private def parseStartup(body: Array[Byte]): Map[String, String] = {

@@ -352,6 +352,38 @@ class PgWireSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally c.close()
   }
 
+  test("CancelRequest with the BackendKeyData key interrupts a running statement") {
+    val c = new PgClient(port)
+    try {
+      c.login("pg_admin", "pg-s3cret")
+      val (pid, secret) = c.backendKey
+      assert(pid != 0, "server must issue a real backend key")
+      // a statement that would run ~a minute on this session's 2 cores
+      val slow = "SELECT sum(xxhash64(CAST(id AS STRING))) AS s FROM range(20000000000)"
+      c.sendSimpleNoWait(slow)
+      Thread.sleep(1500) // let the job start
+      // the cancel travels on its OWN connection, pg-style
+      val cs = new java.net.Socket("127.0.0.1", port)
+      try {
+        val o = new java.io.DataOutputStream(cs.getOutputStream)
+        o.writeInt(16); o.writeInt(80877102); o.writeInt(pid); o.writeInt(secret)
+        o.flush()
+      } finally cs.close()
+      val t0 = System.nanoTime()
+      var frame = c.read()
+      var sawError = false
+      while (frame._1 != 'Z') {
+        if (frame._1 == 'E') sawError = true
+        frame = c.read()
+      }
+      val waited = (System.nanoTime() - t0) / 1e9
+      assert(sawError, "the cancelled statement must surface an ErrorResponse")
+      assert(waited < 30.0, s"cancel must interrupt long before completion (waited $waited s)")
+      // the CONNECTION survives a cancel — only the statement died
+      assert(c.simpleQuery("SELECT 7 AS ok").rows == Seq(Seq("7")))
+    } finally c.close()
+  }
+
   test("wire logins validate against the parent's STORE-BOUND registry") {
     // newSession() does not inherit runtime conf — the server carries
     // the graft control plane onto each connection's fork, so a
@@ -552,6 +584,9 @@ object PgWireSpec {
       (state, message)
     }
 
+    /** BackendKeyData from login, for CancelRequest. */
+    var backendKey: (Int, Int) = (0, 0)
+
     /** Startup + cleartext password; returns (authRequestCode, ParameterStatus map). */
     def login(user: String, password: String): (Int, Map[String, String]) = {
       val buf = new ByteArrayOutputStream()
@@ -579,12 +614,18 @@ object PgWireSpec {
             val z = b.indexOf(0)
             params += new String(b, 0, z, UTF_8) ->
               new String(b, z + 1, b.indexOf(0, z + 1) - z - 1, UTF_8)
-          case _ => () // R(0), K
+          case 'K' =>
+            val b = java.nio.ByteBuffer.wrap(frame._2)
+            backendKey = (b.getInt, b.getInt)
+          case _ => () // R(0)
         }
         frame = read()
       }
       (authCode, params)
     }
+
+    /** Fire a simple query without reading the reply (cancel tests). */
+    def sendSimpleNoWait(sql: String): Unit = { msg('Q')(cstr(_, sql)); out.flush() }
 
     def simpleQuery(sql: String): SimpleResult = {
       msg('Q')(cstr(_, sql))

@@ -449,6 +449,22 @@ object PgWireServer {
             in.readFully(body)
             params = parseStartup(body)
             started = true
+          case v3minor if (v3minor >> 16) == 3 =>
+            // a newer libpq may request 3.x — NegotiateProtocolVersion
+            // down to 3.0, naming any _pq_. protocol options we don't
+            // recognize, then treat the startup it already sent as 3.0
+            val body = new Array[Byte](len - 8)
+            in.readFully(body)
+            val all = parseStartup(body)
+            val unknown = all.keys.filter(_.startsWith("_pq_.")).toSeq.sorted
+            send('v') { o =>
+              o.writeInt(ProtocolV3)
+              o.writeInt(unknown.length)
+              unknown.foreach(cstr(o, _))
+            }
+            out.flush()
+            params = all -- unknown
+            started = true
           case other =>
             sendError(s"Unsupported protocol version $other", "08P01"); out.flush(); return
         }

@@ -118,6 +118,40 @@ class PgWireSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally c.close()
   }
 
+  test("a 3.x-minor startup negotiates down to 3.0 and proceeds") {
+    // newer libpq can request protocol 3.2 with _pq_. options; the
+    // server answers NegotiateProtocolVersion (3.0, naming unknown
+    // options) and the connection then runs normally
+    val sock = new java.net.Socket("127.0.0.1", port)
+    try {
+      sock.setSoTimeout(60000)
+      val o = new DataOutputStream(new BufferedOutputStream(sock.getOutputStream))
+      val in = new DataInputStream(new BufferedInputStream(sock.getInputStream))
+      val buf = new ByteArrayOutputStream()
+      val b = new DataOutputStream(buf)
+      b.writeInt((3 << 16) | 2) // protocol 3.2
+      Seq("user" -> "pg_admin", "database" -> "graft", "_pq_.fancy_option" -> "1")
+        .foreach { case (k, v) => b.write(k.getBytes(UTF_8)); b.writeByte(0); b.write(v.getBytes(UTF_8)); b.writeByte(0) }
+      b.writeByte(0)
+      o.writeInt(4 + buf.size()); buf.writeTo(o); o.flush()
+      def frame(): (Char, Array[Byte]) = {
+        val t = in.read().toChar; val len = in.readInt()
+        val body = new Array[Byte](len - 4); in.readFully(body); (t, body)
+      }
+      val (tv, bv) = frame()
+      assert(tv == 'v', s"expected NegotiateProtocolVersion, got '$tv'")
+      val nb = java.nio.ByteBuffer.wrap(bv)
+      assert(nb.getInt == 196608, "negotiated down to 3.0")
+      assert(nb.getInt == 1 && new String(bv, 8, bv.length - 9, UTF_8) == "_pq_.fancy_option")
+      val (tr, br) = frame()
+      assert(tr == 'R' && java.nio.ByteBuffer.wrap(br).getInt == 3, "then the normal auth flow")
+      o.writeByte('p'); val pw = "pg-s3cret".getBytes(UTF_8)
+      o.writeInt(4 + pw.length + 1); o.write(pw); o.writeByte(0); o.flush()
+      var t = frame()
+      while (t._1 != 'Z') t = frame() // AuthOk, ParameterStatus…, BackendKeyData
+    } finally sock.close()
+  }
+
   test("wrong password and unknown user are refused with the DaoAuthorizer shape") {
     val bad = new PgClient(port)
     try {

@@ -418,6 +418,39 @@ class PgWireSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally c.close()
   }
 
+  test("Close, unknown-portal errors, and a wrong cancel key") {
+    val c = new PgClient(port)
+    try {
+      c.login("pg_admin", "pg-s3cret")
+      // Close a parsed statement: later Bind against it must error
+      c.sendParse("sc", "SELECT 1 AS one", Seq.empty)
+      c.sendClose('S', "sc")
+      c.sendSync()
+      c.expect('1'); c.expect('3'); c.expect('Z') // ParseComplete, CloseComplete
+      c.sendBindText("pc", "sc", Seq.empty)
+      c.sendSync()
+      val (t1, b1) = c.read()
+      assert(t1 == 'E' && new String(b1, UTF_8).contains("Unknown prepare sc"))
+      c.expect('Z')
+      // Execute against a portal that never bound
+      c.sendExecute("nope", 0)
+      c.sendSync()
+      val (t2, b2) = c.read()
+      assert(t2 == 'E' && new String(b2, UTF_8).contains("Unknown portal nope"))
+      c.expect('Z')
+      // a CancelRequest with the WRONG secret is ignored silently and
+      // the connection keeps serving
+      val (pid, secret) = c.backendKey
+      val cs = new java.net.Socket("127.0.0.1", port)
+      try {
+        val o = new java.io.DataOutputStream(cs.getOutputStream)
+        o.writeInt(16); o.writeInt(80877102); o.writeInt(pid); o.writeInt(secret + 1)
+        o.flush()
+      } finally cs.close()
+      assert(c.simpleQuery("SELECT 5 AS ok").rows == Seq(Seq("5")))
+    } finally c.close()
+  }
+
   test("wire logins validate against the parent's STORE-BOUND registry") {
     // newSession() does not inherit runtime conf — the server carries
     // the graft control plane onto each connection's fork, so a
@@ -721,6 +754,7 @@ object PgWireSpec {
       out.flush()
     }
 
+    def sendClose(kind: Char, name: String): Unit = { msg('C') { o => o.writeByte(kind); cstr(o, name) }; out.flush() }
     def sendDescribePortal(name: String): Unit = { msg('D') { o => o.writeByte('P'); cstr(o, name) }; out.flush() }
     def sendDescribeStatement(name: String): Unit = { msg('D') { o => o.writeByte('S'); cstr(o, name) }; out.flush() }
     def sendExecute(portal: String, limit: Int): Unit = { msg('E') { o => cstr(o, portal); o.writeInt(limit) }; out.flush() }

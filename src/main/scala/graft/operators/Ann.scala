@@ -889,24 +889,46 @@ object Ann {
     // half-wiped readable one. Mirrors buildTextIndex's meta-first
     // rebuild discipline.
     wipeAdmissionState(spark, path)
-    val cents = ivfTrain(spark, corpus, numCells, lloydIters, trainSample)
-    cents.zipWithIndex.toSeq
-      .map { case (v, i) => (i, v) }
-      .toDF("cell", "centroid")
-      .coalesce(1)
-      .write.mode("overwrite").parquet(s"$path/centroids")
-    corpus
-      .select(col("vec_id").as("item_id"), col("embedding").as("item_vec"))
-      .withColumn("cell", nearestCentroidBc(col("item_vec"), bcastCentroids(spark, cents)))
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/assignments")
-    writeIdBloom(spark, s"$path/assignments")
+    val cents = graft.core.Jobs.desc(spark, "ann:build:train") {
+      ivfTrain(spark, corpus, numCells, lloydIters, trainSample)
+    }
+    graft.core.Jobs.desc(spark, "ann:build:centroids") {
+      cents.zipWithIndex.toSeq
+        .map { case (v, i) => (i, v) }
+        .toDF("cell", "centroid")
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$path/centroids")
+    }
+    // the in-memory table IS what loadIvfCentroids would read back
+    // (cell order = array index): seed the cache so the first append/
+    // search after a build never pays the read job
+    graft.core.DirCache.put(spark, s"$path/centroids", cents)
+    graft.core.Jobs.desc(spark, "ann:build:assign") {
+      // cell-keyed exchange before the partitioned write (the Iceberg
+      // hash write-distribution discipline): a scan-partitioned write
+      // fans every task across every cell it holds — at corpus scale
+      // O(splits × cells) near-empty files (a 10⁹-row corpus at
+      // n/2048 cells would write ~100k files PER TASK); clustered, the
+      // base holds ≤1 file per cell. Assignment still computes
+      // map-side, in the scan's parallelism, before the exchange.
+      corpus
+        .select(col("vec_id").as("item_id"), col("embedding").as("item_vec"))
+        .withColumn("cell", nearestCentroidBc(col("item_vec"), bcastCentroids(spark, cents)))
+        .repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(s"$path/assignments")
+    }
+    graft.core.Jobs.desc(spark, "ann:build:bloom") {
+      writeIdBloom(spark, s"$path/assignments")
+    }
     // train-time dispersion: the p95 quantization error over the corpus
     // (approx_percentile — one mergeable pass; a heuristic threshold,
     // not a gated value). New vectors landing mostly beyond it mean the
     // quantizer no longer describes the data — the re-train trigger
     // ivfDriftFraction thresholds against.
-    dispersionStats(corpus, "embedding", cents)
-      .write.mode("overwrite").parquet(s"$path/stats")
+    graft.core.Jobs.desc(spark, "ann:build:stats") {
+      dispersionStats(corpus, "embedding", cents)
+        .write.mode("overwrite").parquet(s"$path/stats")
+    }
   }
 
   /**
@@ -962,10 +984,19 @@ object Ann {
       .toDF("sub", "code", "vec")
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$path/codebooks")
-    spread(corpus.select(col("vec_id").as("item_id"), col("embedding").as("item_vec")))
+    // seed the metadata cache with the in-memory tables (exactly the
+    // loaders' (cell)/(sub, code)-ordered shapes) — the first append/
+    // search after a build pays no read-back jobs
+    graft.core.DirCache.put(spark, s"$path/centroids", cents)
+    graft.core.DirCache.put(spark, s"$path/codebooks", codebooks)
+    // cell-keyed exchange replaces spread()'s round-robin one (same
+    // single-shuffle cost, ≤1 file per cell instead of tasks × cells —
+    // see buildIvfIndex); assign + encode still compute map-side
+    corpus.select(col("vec_id").as("item_id"), col("embedding").as("item_vec"))
       .withColumn("cell", nearestCentroidBc(col("item_vec"), bcastCentroids(spark, cents)))
       .withColumn("codes", pqEncodeBc(col("item_vec"), bcastCentroids3(spark, codebooks)))
       .select(col("item_id"), col("codes"), col("cell"))
+      .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes")
     // sidecar on the codes base too: one lifecycle across both index
     // families (promotion refreshes it family-agnostically)
@@ -978,15 +1009,18 @@ object Ann {
       .write.mode("overwrite").parquet(s"$path/meta")
   }
 
-  /** Load persisted PQ codebooks in (sub, code) order. */
-  def loadPqCodebooks(spark: SparkSession, path: String): Array[Array[Array[Float]]] = {
-    val rows = spark.read.parquet(s"$path/codebooks")
-      .orderBy(col("sub"), col("code"))
-      .collect()
-    rows.groupBy(_.getInt(0)).toSeq.sortBy(_._1)
-      .map { case (_, rs) => rs.sortBy(_.getInt(1)).map(_.getSeq[Float](2).toArray) }
-      .toArray
-  }
+  /** Load persisted PQ codebooks in (sub, code) order. Cached per dir
+    * fingerprint (see [[loadIvfCentroids]] — same per-trigger re-read
+    * shape on the PQ admission/search paths). */
+  def loadPqCodebooks(spark: SparkSession, path: String): Array[Array[Array[Float]]] =
+    cachedByDir(spark, s"$path/codebooks") {
+      val rows = spark.read.parquet(s"$path/codebooks")
+        .orderBy(col("sub"), col("code"))
+        .collect()
+      rows.groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+        .map { case (_, rs) => rs.sortBy(_.getInt(1)).map(_.getSeq[Float](2).toArray) }
+        .toArray
+    }
 
   /**
    * Search the persisted IVF-PQ index: probed cells resolved
@@ -1136,9 +1170,13 @@ object Ann {
     val statsPath = new org.apache.hadoop.fs.Path(s"$path/stats")
     val fs = statsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(statsPath)) 1.0
-    else {
+    else graft.core.Jobs.desc(spark, "ann:drift") {
       val cents = loadIvfCentroids(spark, path)
-      val p95 = spark.read.parquet(statsPath.toString).head().getDouble(0)
+      // p95 cached like the centroids: one number re-read per trigger
+      val p95 = cachedByDir(spark, statsPath.toString) {
+        java.lang.Double.valueOf(
+          spark.read.parquet(statsPath.toString).head().getDouble(0))
+      }.doubleValue()
       overP95Fraction(newVecs, "embedding", cents, p95)
     }
   }
@@ -1244,13 +1282,15 @@ object Ann {
     val rfs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!rfs.listStatus(root).exists(st => st.isDirectory && st.getPath.getName.startsWith("cell=")))
       return
-    // sizing count first: a parquet count over an EMPTY projection is
-    // footer-metadata speed (row counts come from row-group headers,
-    // no column decode), so the only real pass here is the bloom
-    // aggregation's id-column read — which is the irreducible work
-    val n = spark.read.parquet(dir).count()
+    // sizing count from the parquet FOOTERS, driver-side: exact row
+    // counts at zero Spark jobs (the dir was just written; file counts
+    // are bounded by the cell-clustered layout), so the only job here
+    // is the bloom aggregation's id-column read — the irreducible work
+    val n = graft.core.DirCache.parquetRowCount(spark, dir)
     val ids = spark.read.parquet(dir).select(col("item_id"))
-    val bf = ids.stat.bloomFilter("item_id", math.max(1L, n), 0.03)
+    val bf = graft.core.Jobs.desc(spark, "ann:bloom:agg") {
+      ids.stat.bloomFilter("item_id", math.max(1L, n), 0.03)
+    }
     val p = new org.apache.hadoop.fs.Path(dir, IdBloomFile)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(p, true)
@@ -1341,12 +1381,22 @@ object Ann {
     }
   }
 
-  /** The stored centroid table of [[buildIvfIndex]], cell-ordered. */
+  /** Driver-cached load of a small metadata dir, keyed by the dir's
+    * file fingerprint — see [[graft.core.DirCache]] (the shared home of
+    * the mechanism; the text-index meta reads use the same one). */
+  private def cachedByDir[T <: AnyRef](spark: SparkSession, dir: String)(load: => T): T =
+    graft.core.DirCache.cached(spark, dir)(load)
+
+  /** The stored centroid table of [[buildIvfIndex]], cell-ordered.
+    * Cached per dir fingerprint: admission/drift/search re-load it per
+    * trigger, and the table is bounded (≤ ~1500 coarse cells). */
   def loadIvfCentroids(spark: SparkSession, path: String): Array[Array[Float]] =
-    spark.read.parquet(s"$path/centroids")
-      .orderBy(col("cell"))
-      .collect()
-      .map(_.getSeq[Float](1).toArray)
+    cachedByDir(spark, s"$path/centroids") {
+      spark.read.parquet(s"$path/centroids")
+        .orderBy(col("cell"))
+        .collect()
+        .map(_.getSeq[Float](1).toArray)
+    }
 
   /** Delta shard dirs of a persisted IVF index that hold committed
     * data (the `_SUCCESS` marker certifies a complete shard write; a
@@ -1421,8 +1471,17 @@ object Ann {
     // dir): an append must never invent its own quantizer
     val cents = loadIvfCentroids(spark, path)
     val safe = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(shard)
-    val assigned = spread(newVecs.select(col("vec_id").as("item_id"), col("embedding").as("item_vec")))
+    // CELL-keyed exchange instead of spread()'s round-robin one (same
+    // single-shuffle cost): a partitionBy("cell") write fans each task
+    // out across every cell it holds, so a round-robin layout writes
+    // O(tasks × cells) small files per shard — the cell-keyed layout
+    // writes ≤1 file per populated cell, the whole shard stays
+    // list-cheap, and the read-back (bloom sidecar, probes) scans a
+    // bounded file count. The assignment expression still evaluates
+    // map-side (before the exchange), in the source's own parallelism.
+    val assigned = newVecs.select(col("vec_id").as("item_id"), col("embedding").as("item_vec"))
       .withColumn("cell", nearestCentroidBc(col("item_vec"), bcastCentroids(spark, cents)))
+      .repartition(col("cell"))
     // family dispatch: an IVF-PQ index stores CODES, so its delta does
     // too — the new batch is encoded with the EXISTING codebooks (the
     // same one-narrow-pass discipline; code quality for drifted data
@@ -1430,17 +1489,25 @@ object Ann {
     // rules accuracy — the drift probe still owns the rebuild decision)
     if (deltaDirName(spark, path) == "codes_delta") {
       val codebooks = loadPqCodebooks(spark, path)
-      assigned
-        .withColumn("codes", pqEncodeBc(col("item_vec"), bcastCentroids3(spark, codebooks)))
-        .select(col("item_id"), col("codes"), col("cell"))
-        .write.mode("overwrite").partitionBy("cell")
-        .parquet(s"$path/codes_delta/shard=$safe")
-      writeIdBloom(spark, s"$path/codes_delta/shard=$safe")
+      graft.core.Jobs.desc(spark, "ann:append:encode+write") {
+        assigned
+          .withColumn("codes", pqEncodeBc(col("item_vec"), bcastCentroids3(spark, codebooks)))
+          .select(col("item_id"), col("codes"), col("cell"))
+          .write.mode("overwrite").partitionBy("cell")
+          .parquet(s"$path/codes_delta/shard=$safe")
+      }
+      graft.core.Jobs.desc(spark, "ann:append:bloom") {
+        writeIdBloom(spark, s"$path/codes_delta/shard=$safe")
+      }
     } else {
-      assigned
-        .write.mode("overwrite").partitionBy("cell")
-        .parquet(s"$path/assignments_delta/shard=$safe")
-      writeIdBloom(spark, s"$path/assignments_delta/shard=$safe")
+      graft.core.Jobs.desc(spark, "ann:append:assign+write") {
+        assigned
+          .write.mode("overwrite").partitionBy("cell")
+          .parquet(s"$path/assignments_delta/shard=$safe")
+      }
+      graft.core.Jobs.desc(spark, "ann:append:bloom") {
+        writeIdBloom(spark, s"$path/assignments_delta/shard=$safe")
+      }
     }
   }
 
@@ -1532,25 +1599,34 @@ object Ann {
         // shard and cell are both discovered and dataCols drops shard
         val deltaRows = spark.read.option("basePath", s"$path/$deltaDir")
           .parquet(snap.map(_.toString).toIndexedSeq: _*)
-        spark.read.parquet(s"$path/$baseDir")
-          .unionByName(deltaRows.select(dataCols: _*))
-          // a prior crash window may have merged rows whose shard dir
-          // survived; items are identity-keyed, duplicates collapse
-          .dropDuplicates(Seq("item_id"))
-          .write.mode("overwrite").partitionBy("cell").parquet(staging.toString)
+        graft.core.Jobs.desc(spark, "ann:promote:stage") {
+          spark.read.parquet(s"$path/$baseDir")
+            .unionByName(deltaRows.select(dataCols: _*))
+            // a prior crash window may have merged rows whose shard dir
+            // survived; items are identity-keyed, duplicates collapse
+            .dropDuplicates(Seq("item_id"))
+            .write.mode("overwrite").partitionBy("cell").parquet(staging.toString)
+        }
         val out = fs.create(foldedList, true)
         try out.write(snap.map(_.getName).mkString("\n").getBytes("UTF-8"))
         finally out.close()
         snap
       }
     afterStage()
-    spark.read.parquet(staging.toString)
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/$baseDir")
+    graft.core.Jobs.desc(spark, "ann:promote:base-rewrite") {
+      // the rewrite IS the compaction opportunity: cell-cluster the
+      // lasting base layout (≤1 file per cell — see buildIvfIndex)
+      spark.read.parquet(staging.toString)
+        .repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(s"$path/$baseDir")
+    }
     // the base overwrite wiped the old sidecar with the old data; the
     // fresh one must cover the folded ids before the shard dirs (and
     // their own sidecars) disappear — a crash in between leaves a
     // sidecar-less base, which probes fall back to scanning exactly
-    writeIdBloom(spark, s"$path/$baseDir")
+    graft.core.Jobs.desc(spark, "ann:promote:bloom") {
+      writeIdBloom(spark, s"$path/$baseDir")
+    }
     snapshot.foreach(p => fs.delete(p, true))
     fs.delete(staging, true)
   }
@@ -1583,7 +1659,9 @@ object Ann {
       .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
       .withColumn("cell",
         explode(nearestCentroidsBc(col("query_vec"), bcastCentroids(spark, cents), probes)))
-    val probeCells = queryProbes.select(col("cell")).distinct().collect().map(_.getInt(0))
+    val probeCells = graft.core.Jobs.desc(spark, "ann:search:probe-cells") {
+      queryProbes.select(col("cell")).distinct().collect().map(_.getInt(0))
+    }
     val cellFilter = col("cell").isin(probeCells.toIndexedSeq.map(Integer.valueOf): _*)
     val base = spark.read.parquet(s"$path/assignments").filter(cellFilter)
     val stored = deltaSide(spark, path, "assignments_delta",

@@ -1849,6 +1849,7 @@ object Dedup {
       .toDF("num_hashes", "bands", "shingle_size", "threshold", "miss_target")
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$path/meta")
+    putTextIndexMeta(spark, path, nh, b, shingleSize, threshold, missTarget)
   }
 
   /** Shard labels the index machinery owns: `__base` (the compacted
@@ -1868,6 +1869,48 @@ object Dedup {
    * one narrow signature pass over the shard; the base corpus is never
    * rewritten.
    */
+  /** The bucketed index's geometry row from `<table>_meta`, driver-
+    * cached by the table's storage dir fingerprint (saveAsTable
+    * overwrites land fresh part files there, so rebuilds miss) — each
+    * uncached read is a Spark job per probe/admission for ~6 scalars. */
+  private def readBucketedMeta(
+      spark: org.apache.spark.sql.SparkSession, tableName: String): org.apache.spark.sql.Row = {
+    val loc = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(s"${tableName}_meta"))
+      .location.toString
+    graft.core.DirCache.cached(spark, loc) {
+      spark.table(s"${tableName}_meta").collect()(0)
+    }
+  }
+
+  /** Seed [[readTextIndexMeta]]'s cache with the geometry row a build
+    * just wrote (same shape a parquet read returns, schema included) —
+    * the admission that follows a build pays no meta read-back job. */
+  private[graft] def putTextIndexMeta(
+      spark: org.apache.spark.sql.SparkSession, indexPath: String,
+      nh: Int, b: Int, shingleSize: Int, threshold: Double, missTarget: Double): Unit = {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("num_hashes", org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("bands", org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("shingle_size", org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("threshold", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("miss_target", org.apache.spark.sql.types.DoubleType)))
+    val row: org.apache.spark.sql.Row =
+      new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+        Array(nh, b, shingleSize, threshold, missTarget), schema)
+    graft.core.DirCache.put(spark, s"$indexPath/meta", row)
+  }
+
+  /** The index's one geometry row (num_hashes/bands/shingle/threshold),
+    * driver-cached by dir fingerprint ([[graft.core.DirCache]]): every
+    * admission/probe/compaction re-reads this immutable row, and each
+    * uncached read is a full Spark job for ~5 scalars. */
+  private[graft] def readTextIndexMeta(
+      spark: org.apache.spark.sql.SparkSession, indexPath: String): org.apache.spark.sql.Row =
+    graft.core.DirCache.cached(spark, s"$indexPath/meta") {
+      spark.read.parquet(s"$indexPath/meta").collect()(0)
+    }
+
   def appendToTextIndex(
       docs: DataFrame,
       indexPath: String,
@@ -1878,7 +1921,7 @@ object Dedup {
     require(shard.nonEmpty && !ReservedShards.contains(shard),
       s"shard name must be a non-empty label other than the reserved ${ReservedShards.mkString("/")}, got '$shard'")
     val spark = docs.sparkSession
-    val meta = spark.read.parquet(s"$indexPath/meta").collect()(0)
+    val meta = readTextIndexMeta(spark, indexPath)
     val nh = meta.getAs[Int]("num_hashes")
     val shingleSize = meta.getAs[Int]("shingle_size")
     // escapePathName: shard labels are user strings landing in a
@@ -2022,7 +2065,7 @@ object Dedup {
       maxBucket: Option[Int] = None
   ): DataFrame = {
     val spark = probe.sparkSession
-    val meta = spark.table(s"${tableName}_meta").collect()(0)
+    val meta = readBucketedMeta(spark, tableName)
     val nh = meta.getAs[Int]("num_hashes")
     val b = meta.getAs[Int]("bands")
     val shingleSize = meta.getAs[Int]("shingle_size")
@@ -2138,7 +2181,7 @@ object Dedup {
     // rows rode through sigs_compacting, which carries no sidecar, so
     // until this line the new base is bloom-less — read fully, never
     // wrongly skipped
-    val metaRow = spark.read.parquet(s"$path/meta").collect()(0)
+    val metaRow = readTextIndexMeta(spark, path)
     writeBandsBloom(spark, s"$sigsPath/shard=__base",
       metaRow.getAs[Int]("bands"),
       metaRow.getAs[Int]("num_hashes") / metaRow.getAs[Int]("bands"))
@@ -2216,7 +2259,7 @@ object Dedup {
       excludeShard: Option[String] = None
   ): DataFrame = {
     val spark = probe.sparkSession
-    val meta = spark.read.parquet(s"$indexPath/meta").collect()(0)
+    val meta = readTextIndexMeta(spark, indexPath)
     val nh = meta.getAs[Int]("num_hashes")
     val b = meta.getAs[Int]("bands")
     val shingleSize = meta.getAs[Int]("shingle_size")
@@ -2320,12 +2363,12 @@ object Dedup {
     * key cap (any stale sidecar cannot exist: overwrite wiped the dir). */
   private def writeBandsBloom(
       spark: org.apache.spark.sql.SparkSession, dir: String, bands: Int, rowsPerBand: Int): Unit = {
-    // cap check from parquet FOOTER metadata (row counts, no column
-    // decode): each signature row yields exactly `bands` band keys, so
-    // an over-cap dir is detected without the banding pass it would
-    // skip anyway (a corpus-sized base otherwise paid ~20 s just to
-    // learn it gets no sidecar)
-    val sigRows = spark.read.parquet(dir).count()
+    // cap check from parquet FOOTER metadata read DRIVER-SIDE (row
+    // counts, no column decode, no Spark job): each signature row
+    // yields exactly `bands` band keys, so an over-cap dir is detected
+    // without the banding pass it would skip anyway (a corpus-sized
+    // base otherwise paid ~20 s just to learn it gets no sidecar)
+    val sigRows = graft.core.DirCache.parquetRowCount(spark, dir)
     val n = sigRows * bands
     if (n == 0L || n > BandsBloomKeyCap) return
     val banded = bandedFromSigs(spark.read.parquet(dir).select(col("id"), col("sig")),
@@ -2461,7 +2504,7 @@ object Dedup {
     val marker = new org.apache.hadoop.fs.Path(s"$deltaPath/meta/_SUCCESS")
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(marker)) {
-      val m = spark.read.parquet(s"$deltaPath/meta").collect()(0)
+      val m = readTextIndexMeta(spark, deltaPath)
       require(
         m.getAs[Int]("num_hashes") == tableMeta.getAs[Int]("num_hashes") &&
           m.getAs[Int]("bands") == tableMeta.getAs[Int]("bands") &&
@@ -2475,6 +2518,10 @@ object Dedup {
         .toDF("num_hashes", "bands", "shingle_size", "threshold", "miss_target")
         .coalesce(1)
         .write.mode("overwrite").parquet(s"$deltaPath/meta")
+      putTextIndexMeta(spark, deltaPath,
+        tableMeta.getAs[Int]("num_hashes"), tableMeta.getAs[Int]("bands"),
+        tableMeta.getAs[Int]("shingle_size"), tableMeta.getAs[Double]("threshold"),
+        tableMeta.getAs[Double]("miss_target"))
     }
   }
 
@@ -2506,7 +2553,7 @@ object Dedup {
       maxBucket: Option[Int] = None
   ): DataFrame = {
     val spark = probe.sparkSession
-    ensureDeltaMeta(spark, deltaPath, spark.table(s"${tableName}_meta").collect()(0))
+    ensureDeltaMeta(spark, deltaPath, readBucketedMeta(spark, tableName))
     // materialized for the same two-consumer reason as [[admitShard]]
     val dupIds = crossJaccardPairsBucketedDelta(
       probe, tableName, deltaPath, ref, idCol, textCol, maxBucket, excludeShard = Some(shard))
@@ -2540,7 +2587,7 @@ object Dedup {
       excludeShard: Option[String] = None
   ): DataFrame = {
     val spark = probe.sparkSession
-    val meta = spark.table(s"${tableName}_meta").collect()(0)
+    val meta = readBucketedMeta(spark, tableName)
     val nh = meta.getAs[Int]("num_hashes")
     val b = meta.getAs[Int]("bands")
     val shingleSize = meta.getAs[Int]("shingle_size")
@@ -2623,7 +2670,7 @@ object Dedup {
       deltaPath: String,
       afterStage: () => Unit
   ): Unit = {
-    val meta = spark.table(s"${tableName}_meta").collect()(0)
+    val meta = readBucketedMeta(spark, tableName)
     val nh = meta.getAs[Int]("num_hashes")
     val b = meta.getAs[Int]("bands")
     val staging = new org.apache.hadoop.fs.Path(s"$deltaPath/promoting")
@@ -2661,7 +2708,9 @@ object Dedup {
       }
     afterStage()
     val merged = spark.read.parquet(staging.toString)
-    val buckets = textIndexBuckets(merged.count())
+    // bucket sizing from the staging dir's parquet footers (driver-side
+    // row counts — the dir was just written): one fewer corpus-read job
+    val buckets = textIndexBuckets(graft.core.DirCache.parquetRowCount(spark, staging.toString))
     writeBucketedBanded(merged, tableName, buckets)
     import spark.implicits._
     Seq((nh, b, meta.getAs[Int]("shingle_size"), meta.getAs[Double]("threshold"),

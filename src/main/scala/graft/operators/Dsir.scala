@@ -205,6 +205,10 @@ object Dsir {
     val countsDf = counts.toSeq.map { case (b, (ct, cr)) => (b, ct, cr) }
       .toDF("bucket", "ct", "cr")
     countsDf.coalesce(1).write.mode("overwrite").parquet(s"$dir/counts")
+    // seed the counts cache with the in-memory map (exactly what
+    // [[update]]'s loader reads back): the NEXT incremental update of a
+    // steady-state stream pays no counts read job
+    graft.core.DirCache.put(spark, s"$dir/counts", counts)
     countsDf
       .select(col("bucket"),
         ratioQ(col("ct"), col("cr"), lit(nt), lit(nr), buckets).as("ratio_q"))
@@ -213,6 +217,19 @@ object Dsir {
     Seq((buckets, nt, nr, defaultRatioQ(nt, nr, buckets), batch, g))
       .toDF("buckets", "nt", "nr", "default_q", "batch", "generation")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+    // seed the meta cache too (same row shape a parquet read returns):
+    // the post-commit readers (readMeta, the next update's replay
+    // check) skip the read-back job
+    val metaSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("buckets", org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("nt", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("nr", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("default_q", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("batch", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("generation", org.apache.spark.sql.types.LongType)))
+    graft.core.DirCache.put(spark, s"$dir/meta",
+      new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+        Array(buckets, nt, nr, defaultRatioQ(nt, nr, buckets), batch, g), metaSchema))
   }
 
   /** The batch's bucket counts as a bounded driver-side map
@@ -281,13 +298,17 @@ object Dsir {
     val g = latestGen(spark, path).getOrElse(
       throw new IllegalArgumentException(
         s"no complete DSIR model at $path (meta missing — fit crashed or never ran)"))
-    val m = spark.read.parquet(s"${genDir(path, g)}/meta").head()
+    val m = graft.core.DirCache.cached(spark, s"${genDir(path, g)}/meta") {
+      spark.read.parquet(s"${genDir(path, g)}/meta").head()
+    }
     if (m.getAs[String]("batch") == batch) return // replay of the applied batch
     val buckets = m.getAs[Int]("buckets")
-    val old = spark.read.parquet(s"${genDir(path, g)}/counts")
-      .collect()
-      .map(r => r.getAs[Long]("bucket") -> ((r.getAs[Long]("ct"), r.getAs[Long]("cr"))))
-      .toMap
+    val old = graft.core.DirCache.cached(spark, s"${genDir(path, g)}/counts") {
+      spark.read.parquet(s"${genDir(path, g)}/counts")
+        .collect()
+        .map(r => r.getAs[Long]("bucket") -> ((r.getAs[Long]("ct"), r.getAs[Long]("cr"))))
+        .toMap
+    }
     val add = collectCounts(docs, idCol, textCol, isTarget, buckets)
     val merged = (old.keySet ++ add.keySet).iterator.map { b =>
       val (ct0, cr0) = old.getOrElse(b, (0L, 0L))
@@ -318,7 +339,9 @@ object Dsir {
     val g = latestGen(spark, modelPath).getOrElse(
       throw new IllegalArgumentException(
         s"no complete DSIR model at $modelPath (meta missing — fit crashed or never ran)"))
-    spark.read.parquet(s"${genDir(modelPath, g)}/meta").head()
+    graft.core.DirCache.cached(spark, s"${genDir(modelPath, g)}/meta") {
+      spark.read.parquet(s"${genDir(modelPath, g)}/meta").head()
+    }
   }
 
   /** The servable generation's ratio table. */

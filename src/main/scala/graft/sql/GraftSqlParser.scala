@@ -556,7 +556,7 @@ case class ShowTextIndexCommand(indexPath: String) extends LeafRunnableCommand {
     val metaPath = new org.apache.hadoop.fs.Path(s"$indexPath/meta/_SUCCESS")
     val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(metaPath)) return Seq.empty
-    val meta = spark.read.parquet(s"$indexPath/meta").collect()(0)
+    val meta = graft.operators.Dedup.readTextIndexMeta(spark, indexPath)
     val sigs = spark.read.parquet(s"$indexPath/sigs")
     // pre-shard (flat) layout: the whole index is one unnamed base shard
     val byShard =

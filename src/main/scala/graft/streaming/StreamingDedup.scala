@@ -96,11 +96,6 @@ object StreamingDedup {
     math.max(4096L, (1L << 30) / perDoc)
   }
 
-  /** Is `df` (cached or cheap) within `bound` rows? Short-circuits at
-    * bound+1. */
-  private def withinRows(df: DataFrame, bound: Long): Boolean =
-    df.limit(bound.toInt + 1).count() <= bound
-
   /** Estimated jaccard between the joined `a.sig`/`b.sig` columns. */
   private def estJaccardExpr(numHashes: Int) =
     aggregate(
@@ -124,7 +119,7 @@ object StreamingDedup {
       .trigger(Trigger.ProcessingTime(0L))
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty) {
+        locally {
           val s = batch.sparkSession
           // Hadoop FS, not java.nio: the index is written through Spark,
           // so on a cluster whose default FS is HDFS/S3 a local-POSIX
@@ -142,13 +137,18 @@ object StreamingDedup {
           val haveMeta = fs.exists(new org.apache.hadoop.fs.Path(s"$indexPath/meta/_SUCCESS"))
           val (nh, b, shingle, thr) =
             if (haveMeta) {
-              val m = s.read.parquet(s"$indexPath/meta").collect()(0)
+              val m = Dedup.readTextIndexMeta(s, indexPath)
               (m.getAs[Int]("num_hashes"), m.getAs[Int]("bands"),
                 m.getAs[Int]("shingle_size"), m.getAs[Double]("threshold"))
             } else (numHashes, bands, shingleSize, threshold)
           val rowsPerBand = nh / b
           def banded(sigs: DataFrame): DataFrame = bandedSigs(sigs, b, rowsPerBand)
           val sigs = Dedup.minhashSigs(batch, "doc_id", "text", nh, shingle).cache()
+          // ONE count (materializing the cache) is both the empty-batch
+          // guard (the separate isEmpty probe job is gone) and the
+          // broadcast-bound decision below
+          val batchN = graft.core.Jobs.desc(s, "streamdedup:batch-count")(sigs.count())
+          if (batchN == 0L) sigs.unpersist() else {
           val probe = banded(sigs)
           val sigsDir = s"$indexPath/sigs"
           val haveIndex =
@@ -187,7 +187,7 @@ object StreamingDedup {
           // oversized-batch fallback: see bcastRowBound (covers the id
           // anti-join's broadcast too — same driving row count); banded
           // text rows carry the nh-int signature per band
-          val batchSmall = withinRows(sigs, bcastRowBound(b, 4L * nh))
+          val batchSmall = batchN <= bcastRowBound(b, 4L * nh)
           val viaIndex =
             if (haveIndex)
               cand(if (batchSmall) broadcast(probe) else probe,
@@ -205,9 +205,13 @@ object StreamingDedup {
           // match output). Writing each batch to its own shard/partition
           // with overwrite makes replays converge; partition discovery on
           // read reassembles the full index/matches set.
-          matches.write.mode("overwrite").parquet(s"$matchesPath/batch_id=$batchId")
-          sigs.select(col("id"), col("sig"))
-            .write.mode("overwrite").parquet(s"$sigsDir/shard=stream_$batchId")
+          graft.core.Jobs.desc(s, "streamdedup:matches-write") {
+            matches.write.mode("overwrite").parquet(s"$matchesPath/batch_id=$batchId")
+          }
+          graft.core.Jobs.desc(s, "streamdedup:sigs-write") {
+            sigs.select(col("id"), col("sig"))
+              .write.mode("overwrite").parquet(s"$sigsDir/shard=stream_$batchId")
+          }
           // meta LAST, and only when creating the index (first non-empty
           // batch): its presence certifies a complete, probe-able index —
           // the same written-last crash marker buildTextIndex uses. The
@@ -215,13 +219,15 @@ object StreamingDedup {
           // so the meta schema matches the batch builder's exactly.
           if (!haveMeta) {
             import s.implicits._
-            Seq((nh, b, shingle, thr,
-                math.pow(1.0 - math.pow(thr, rowsPerBand.toDouble), b.toDouble)))
+            val miss = math.pow(1.0 - math.pow(thr, rowsPerBand.toDouble), b.toDouble)
+            Seq((nh, b, shingle, thr, miss))
               .toDF("num_hashes", "bands", "shingle_size", "threshold", "miss_target")
               .coalesce(1)
               .write.mode("overwrite").parquet(s"$indexPath/meta")
+            Dedup.putTextIndexMeta(s, indexPath, nh, b, shingle, thr, miss)
           }
           sigs.unpersist()
+          }
         }
         ()
       }
@@ -319,6 +325,9 @@ object StreamingDedup {
       cents.zipWithIndex.map { case (v, i) => (i, v.toSeq) }.toSeq
         .toDF("cell", "centroid").coalesce(1)
         .write.mode("overwrite").parquet(centsPath.toString)
+      // seed the loader's cache with the table just trained — the next
+      // trigger's load is a listStatus, not a read job
+      graft.core.DirCache.put(s, centsPath.toString, cents)
       cents
     }
 
@@ -339,14 +348,23 @@ object StreamingDedup {
       val fs = centsPath.getFileSystem(s.sparkContext.hadoopConfiguration)
       if (!fs.exists(centsPath)) trainAndPersist(s, batch, centsPath)
       else {
-        val cents = s.read.parquet(centsPath.toString).orderBy(col("cell")).collect()
-          .map(_.getSeq[Float](1).toArray)
+        // centroids + train-time p95 driver-cached by dir fingerprint
+        // (graft.core.DirCache): a steady-state stream re-read both as
+        // Spark jobs EVERY trigger; a re-train's overwrite moves the
+        // fingerprint and reloads
+        val cents = graft.core.DirCache.cached(s, centsPath.toString) {
+          s.read.parquet(centsPath.toString).orderBy(col("cell")).collect()
+            .map(_.getSeq[Float](1).toArray)
+        }
         val statsPath = new org.apache.hadoop.fs.Path(s"$indexPath/_centroids_stats")
         // missing stats beside existing centroids (legacy index, or a
         // pre-fix partial write) = cannot judge drift → re-train and
         // heal rather than leave the trigger silently disabled
         val drifted = !fs.exists(statsPath) || {
-          val p95 = s.read.parquet(statsPath.toString).head().getDouble(0)
+          val p95 = graft.core.DirCache.cached(s, statsPath.toString) {
+            java.lang.Double.valueOf(
+              s.read.parquet(statsPath.toString).head().getDouble(0))
+          }.doubleValue()
           graft.operators.Ann.overP95Fraction(
             batch, "embedding", cents, p95) > driftRetrainFraction
         }
@@ -354,16 +372,16 @@ object StreamingDedup {
       }
     }
 
+    // measured vector width, cached across this stream's triggers
+    var dimSeen = -1
     vecs.writeStream
       .outputMode("append")
       .trigger(Trigger.ProcessingTime(0L))
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty) {
+        locally {
           val s = batch.sparkSession
           graft.sql.GraftFunctions.register(s)
-          val cents: Array[Array[Float]] =
-            if (lowThreshold) loadOrTrainCentroids(s, batch) else Array.empty
           // hyperplane bits are the BAND-mode signature only — the cell
           // mode keys by quantizer cell and never reads them, so the
           // low-threshold index stores (id, vec) without paying a
@@ -375,6 +393,14 @@ object StreamingDedup {
              else base.withColumn("bits", call_function("graft_hyperplane_bits", col("vec"), lit(planes1))))
               .cache()
           }
+          // ONE count (materializing the cache) is both the empty-batch
+          // guard (the isEmpty probe job is gone — and an empty first
+          // batch can no longer reach the quantizer trainer) and the
+          // broadcast-bound row count below
+          val batchN = graft.core.Jobs.desc(s, "vecdedup:batch-count")(sigs.count())
+          if (batchN == 0L) sigs.unpersist() else {
+          val cents: Array[Array[Float]] =
+            if (lowThreshold) loadOrTrainCentroids(s, batch) else Array.empty
           def keyed(d: DataFrame): DataFrame =
             if (lowThreshold) cellKeyed(d, cents) else banded(d)
           val probe = keyed(sigs)
@@ -407,9 +433,15 @@ object StreamingDedup {
           // batch), not an assumed one — a 1024-dim corpus broadcasts
           // ~16× fewer docs than a 64-dim one instead of failing at the
           // same row count
-          val dim = sigs.select(size(col("vec")).as("d")).head().getInt(0)
+          // vector width measured ONCE per stream (constant for a
+          // corpus): a per-trigger head() job bought nothing after the
+          // first batch
+          val dim = {
+            if (dimSeen < 0) dimSeen = sigs.select(size(col("vec")).as("d")).head().getInt(0)
+            dimSeen
+          }
           val fanOut = if (lowThreshold) ivfProbes else bands1
-          val batchSmall = withinRows(sigs, bcastRowBound(fanOut, 4L * dim))
+          val batchSmall = batchN <= bcastRowBound(fanOut, 4L * dim)
           val viaIndex =
             if (haveIndex)
               cand(if (batchSmall) broadcast(probe) else probe,
@@ -425,6 +457,7 @@ object StreamingDedup {
           matches.write.mode("overwrite").parquet(s"$matchesPath/batch_id=$batchId")
           sigs.write.mode("overwrite").parquet(s"$indexPath/batch_id=$batchId")
           sigs.unpersist()
+          }
         }
         ()
       }
@@ -501,7 +534,7 @@ object StreamingDedup {
     def estJaccard = estJaccardExpr(numHashes)
     // tombstone log lives beside the index (sibling dir, same FS)
     val retiredPath = indexPath + "_retired"
-    if (!batch.isEmpty) {
+    locally {
           val s = batch.sparkSession
           def haveParts(path: String): Boolean = {
             val p = new org.apache.hadoop.fs.Path(path)
@@ -514,6 +547,15 @@ object StreamingDedup {
           val scored = batch
             .withColumn("__score", when(!isnan(score.cast("double")), score.cast("double")))
             .cache()
+          // ONE batch-size count (materializes the cache it reads) serves
+          // every broadcast-bound decision below: the batch-ids anti-join
+          // bound directly, and the winner bound conservatively (winners
+          // ⊆ batch, so batch small ⇒ winners small) — replacing two
+          // limit-probe jobs per trigger
+          val batchN = graft.core.Jobs.desc(s, "keepbest:batch-count")(scored.count())
+          // the count doubles as the empty-batch guard — the separate
+          // isEmpty probe job this trigger used to pay is gone
+          if (batchN == 0L) { scored.unpersist(); return }
           val sigs = Dedup.minhashSigs(scored, "doc_id", "text", numHashes, 3)
             .join(scored.select(col("doc_id").as("id"), col("__score")), Seq("id"))
             .cache()
@@ -532,9 +574,11 @@ object StreamingDedup {
           // from it (the cluster resolution itself ran eagerly inside
           // connectedComponents' small-graph path, but the join-back
           // DAG would still re-execute per sink)
-          val local = Dedup.dedupKeepBest(
-            scored.select(col("doc_id"), col("__score")), "doc_id", col("__score"), batchPairs)
-            .cache()
+          val local = graft.core.Jobs.desc(s, "keepbest:local-cc") {
+            Dedup.dedupKeepBest(
+              scored.select(col("doc_id"), col("__score")), "doc_id", col("__score"), batchPairs)
+              .cache()
+          }
           val winners = local.filter(col("keep"))
             .select(col("doc_id").as("id"), col("score").as("new_score"))
             .join(sigs.select(col("id"), col("sig")), Seq("id"))
@@ -558,7 +602,7 @@ object StreamingDedup {
               val batchDocIds = scored.select(col("doc_id").as("id"))
               val idx = s.read.parquet(indexPath)
                 .join(
-                  if (withinRows(batchDocIds, 1L << 22)) broadcast(batchDocIds) else batchDocIds,
+                  if (batchN <= (1L << 22)) broadcast(batchDocIds) else batchDocIds,
                   Seq("id"), "left_anti")
               // tombstones EXCLUDING this batch's own partition: a
               // replayed batch whose failed attempt already tombstoned
@@ -579,8 +623,14 @@ object StreamingDedup {
                 if (haveParts(retiredPath)) {
                   val retired = s.read.parquet(retiredPath)
                     .filter(col("batch_id") =!= batchId).select(col("id"))
+                  // tombstone-log size from parquet FOOTERS (driver-side,
+                  // no job; one id row per retired rep). The count
+                  // includes this batch's own partition on a replay —
+                  // a conservative overcount that can only fall back to
+                  // the shuffled form early, never broadcast too much.
+                  val retiredN = graft.core.DirCache.parquetRowCount(s, retiredPath)
                   idx.join(
-                    if (withinRows(retired, 1L << 22)) broadcast(retired) else retired,
+                    if (retiredN <= (1L << 22)) broadcast(retired) else retired,
                     Seq("id"), "left_anti")
                 } else idx
               // broadcast-probe discipline (run()'s scaladoc): the banded
@@ -588,8 +638,7 @@ object StreamingDedup {
               // streams through with ZERO exchange per trigger
               // (oversized-batch fallback: see bcastRowBound; winner rows
               // carry the nh-int signature per band)
-              val winSmall = withinRows(winners.select(col("id")),
-                bcastRowBound(bands, 4L * numHashes))
+              val winSmall = batchN <= bcastRowBound(bands, 4L * numHashes)
               def maybeBcast(d: DataFrame): DataFrame =
                 if (winSmall) broadcast(d) else d
               val m = maybeBcast(banded(winners.select(col("id"), col("sig")))).as("a")
@@ -633,11 +682,17 @@ object StreamingDedup {
           val loserDecisions = losers
             .join(winnerDecisions.select(col("doc_id").as("keep_id"), col("rep_id")), Seq("keep_id"))
             .select(col("doc_id"), lit(false).as("kept"), col("rep_id"), col("score"))
-          winnerDecisions.unionByName(demotions).unionByName(loserDecisions)
-            .write.mode("overwrite").parquet(s"$decisionsPath/batch_id=$batchId")
-          replacing.select(col("rep_id").as("id"))
-            .write.mode("overwrite").parquet(s"$retiredPath/batch_id=$batchId")
-          newReps.write.mode("overwrite").parquet(s"$indexPath/batch_id=$batchId")
+          graft.core.Jobs.desc(s, "keepbest:decisions-write") {
+            winnerDecisions.unionByName(demotions).unionByName(loserDecisions)
+              .write.mode("overwrite").parquet(s"$decisionsPath/batch_id=$batchId")
+          }
+          graft.core.Jobs.desc(s, "keepbest:retired-write") {
+            replacing.select(col("rep_id").as("id"))
+              .write.mode("overwrite").parquet(s"$retiredPath/batch_id=$batchId")
+          }
+          graft.core.Jobs.desc(s, "keepbest:index-write") {
+            newReps.write.mode("overwrite").parquet(s"$indexPath/batch_id=$batchId")
+          }
           replacing.unpersist()
           matched.unpersist()
           local.unpersist()

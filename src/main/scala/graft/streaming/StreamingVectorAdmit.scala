@@ -81,8 +81,12 @@ object StreamingVectorAdmit {
       driftRetrainFraction: Double = 0.5,
       rebuildCells: Int = 0
   ): Boolean = {
-    if (batch.isEmpty) return false
     val s = batch.sparkSession
+    // ONE count is both the empty-batch guard and resolveNovel's
+    // broadcast-bound row count (the separate isEmpty probe and the
+    // lazy limit-count job inside resolveNovel are gone)
+    val batchN = graft.core.Jobs.desc(s, "vecadmit:batch-count")(batch.count())
+    if (batchN == 0L) return false
     val fs = new org.apache.hadoop.fs.Path(indexPath)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
     val stage = new org.apache.hadoop.fs.Path(s"$indexPath/rebuild_src")
@@ -95,8 +99,12 @@ object StreamingVectorAdmit {
     require(Ann.deltaDirName(s, indexPath) == "assignments_delta",
       "streaming admission targets the plain IVF family (a PQ index's rows are codes; " +
         "its rebuild needs the raw source and stays a batch-side action)")
-    val (novel, _) = resolveNovel(batch, indexPath, s"shard=stream_$batchId")
-    Ann.appendToIvfIndex(novel, indexPath, s"stream_$batchId")
+    val (novel, _) = graft.core.Jobs.desc(s, "vecadmit:resolve-novel") {
+      resolveNovel(batch, indexPath, s"shard=stream_$batchId", knownRows = batchN)
+    }
+    graft.core.Jobs.desc(s, "vecadmit:append") {
+      Ann.appendToIvfIndex(novel, indexPath, s"stream_$batchId")
+    }
     val drifted = Ann.ivfDriftFraction(s, indexPath, batch) > driftRetrainFraction
     if (drifted) {
       // stage base ∪ committed delta (identity-deduped) outside the
@@ -143,7 +151,8 @@ object StreamingVectorAdmit {
   private[graft] def resolveNovel(
       batch: DataFrame,
       indexPath: String,
-      ownShard: String
+      ownShard: String,
+      knownRows: Long = -1L // caller-counted batch rows (≥ distinct ids); <0 = unknown
   ): (DataFrame, String) = {
     val s = batch.sparkSession
     val batchIds = batch.select(col("vec_id").as("item_id")).distinct()
@@ -152,7 +161,11 @@ object StreamingVectorAdmit {
     // batch — force-broadcasting it would fail the trigger AND every
     // replay. Past ~4M ids fall back to the shuffled join: slower, but
     // the trigger completes (the StreamingDedup byte-bound discipline).
-    lazy val idsSmall = batchIds.limit((1 << 22) + 1).count() <= (1L << 22)
+    // The caller's batch count bounds the distinct ids from above, so a
+    // counted caller pays no probe job here.
+    lazy val idsSmall =
+      if (knownRows >= 0L) knownRows <= (1L << 22)
+      else batchIds.limit((1 << 22) + 1).count() <= (1L << 22)
     def maybeBcast(d: DataFrame): DataFrame = if (idsSmall) broadcast(d) else d
     val baseDir = s"$indexPath/assignments"
     val others = Ann.readableVecShardDirs(s, indexPath).filterNot(_.getName == ownShard)
@@ -186,19 +199,28 @@ object StreamingVectorAdmit {
         while (i < handles.length && !hit) { hit = handles(i).value.mightContainLong(id); i += 1 }
         hit
       }
-      // bounded: fp-rate + true-duplicate sized, never corpus-sized
-      val maybe = batchIds.filter(mightHold(col("item_id"))).localCheckpoint()
-      val maybeHead = maybe.select(col("item_id")).limit(1025).collect().map(_.getLong(0))
+      // bounded: fp-rate + true-duplicate sized, never corpus-sized.
+      // ONE collect resolves the common paths (≤1024 survivors): the
+      // collected ids themselves become the candidate frame, so the
+      // clean and small-verified paths pay no localCheckpoint job
+      val maybeHead = batchIds.filter(mightHold(col("item_id")))
+        .limit(1025).collect().map(_.getLong(0))
       if (maybeHead.isEmpty) (batch, "sidecar-clean")
-      else {
+      else if (maybeHead.length <= 1024) {
         // ≤1024 survivors ride as a pushed-down In filter (row-group
-        // pruning on the id column); bigger maybe-sets (a replayed
-        // post-promotion batch, a duplicate storm) verify by semi-join
+        // pruning on the id column) and as a driver-built candidate
+        // frame — the maybe-set was fully collected above
+        import s.implicits._
+        val maybeDf = maybeHead.toSeq.toDF("item_id")
         val scanFilter =
-          if (maybeHead.length <= 1024)
-            Some(col("item_id").isin(maybeHead.map(java.lang.Long.valueOf).toIndexedSeq: _*))
-          else None
-        (novelExcluding(heldAmong(maybe, scanFilter)), "sidecar-verified")
+          Some(col("item_id").isin(maybeHead.map(java.lang.Long.valueOf).toIndexedSeq: _*))
+        (novelExcluding(heldAmong(maybeDf, scanFilter)), "sidecar-verified")
+      } else {
+        // bigger maybe-sets (a replayed post-promotion batch, a
+        // duplicate storm) verify by semi-join on the recomputed filter
+        // — checkpointed so the UDF pass runs once, not per consumer
+        val maybe = batchIds.filter(mightHold(col("item_id"))).localCheckpoint()
+        (novelExcluding(heldAmong(maybe, None)), "sidecar-verified")
       }
     }
   }
@@ -206,9 +228,12 @@ object StreamingVectorAdmit {
   private def rebuildFromStage(
       s: org.apache.spark.sql.SparkSession, indexPath: String, rebuildCells: Int): Unit = {
     val staged = s.read.parquet(s"$indexPath/rebuild_src")
+    // corpus-derived cell count from the stage dir's parquet footers
+    // (driver-side row counts — the stage was just written): no count job
     val cells =
       if (rebuildCells > 0) rebuildCells
-      else math.max(16, (staged.count() / 2048L).toInt)
+      else math.max(16,
+        (graft.core.DirCache.parquetRowCount(s, s"$indexPath/rebuild_src") / 2048L).toInt)
     Ann.buildIvfIndex(s, staged, indexPath, numCells = cells)
     val stage = new org.apache.hadoop.fs.Path(s"$indexPath/rebuild_src")
     stage.getFileSystem(s.sparkContext.hadoopConfiguration).delete(stage, true)

@@ -18,4 +18,31 @@ object Jobs {
     sc.setJobDescription(d)
     try f finally sc.setJobDescription(prev)
   }
+
+  /**
+   * Run INDEPENDENT Spark actions concurrently from driver threads
+   * (optimization-guide §2.6): actions only serialize because the
+   * driver calls them sequentially, so a trigger's sink writes that
+   * share no lineage can back-fill each other's stage tails. Each
+   * thunk runs in its own named thread under its own job description
+   * (local properties are InheritableThreadLocal — children see the
+   * caller's session state). Joins ALL threads, then rethrows the
+   * first failure — a failed write must fail the trigger exactly as
+   * the sequential form did. Cached inputs shared across thunks are
+   * safe: block-level cache locks make concurrent first-use compute
+   * a partition once.
+   */
+  def par(s: SparkSession)(work: (String, () => Unit)*): Unit = {
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val ts = work.map { case (d, f) =>
+      val t = new Thread(
+        { () => try desc(s, d)(f()) catch { case e: Throwable => errs.add(e) } }: Runnable,
+        s"graft-par-$d")
+      t.setDaemon(true)
+      t.start()
+      t
+    }
+    ts.foreach(_.join())
+    if (!errs.isEmpty) throw errs.peek()
+  }
 }

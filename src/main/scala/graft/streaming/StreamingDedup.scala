@@ -205,13 +205,16 @@ object StreamingDedup {
           // match output). Writing each batch to its own shard/partition
           // with overwrite makes replays converge; partition discovery on
           // read reassembles the full index/matches set.
-          graft.core.Jobs.desc(s, "streamdedup:matches-write") {
-            matches.write.mode("overwrite").parquet(s"$matchesPath/batch_id=$batchId")
-          }
-          graft.core.Jobs.desc(s, "streamdedup:sigs-write") {
-            sigs.select(col("id"), col("sig"))
-              .write.mode("overwrite").parquet(s"$sigsDir/shard=stream_$batchId")
-          }
+          // independent sinks (matches ← probe joins, sigs ← the cached
+          // signature frame): overlapped driver threads — guide §2.6
+          graft.core.Jobs.par(s)(
+            "streamdedup:matches-write" -> { () =>
+              matches.write.mode("overwrite").parquet(s"$matchesPath/batch_id=$batchId")
+            },
+            "streamdedup:sigs-write" -> { () =>
+              sigs.select(col("id"), col("sig"))
+                .write.mode("overwrite").parquet(s"$sigsDir/shard=stream_$batchId")
+            })
           // meta LAST, and only when creating the index (first non-empty
           // batch): its presence certifies a complete, probe-able index —
           // the same written-last crash marker buildTextIndex uses. The
@@ -453,9 +456,15 @@ object StreamingDedup {
           val matches = inBatch.unionByName(viaIndex)
             .filter(col("cos") >= threshold)
             .distinct()
-          // replay-safe: see the batch_id-partition note in run() above
-          matches.write.mode("overwrite").parquet(s"$matchesPath/batch_id=$batchId")
-          sigs.write.mode("overwrite").parquet(s"$indexPath/batch_id=$batchId")
+          // replay-safe: see the batch_id-partition note in run() above.
+          // independent sinks overlapped (guide §2.6)
+          graft.core.Jobs.par(s)(
+            "vecdedup:matches-write" -> { () =>
+              matches.write.mode("overwrite").parquet(s"$matchesPath/batch_id=$batchId")
+            },
+            "vecdedup:sigs-write" -> { () =>
+              sigs.write.mode("overwrite").parquet(s"$indexPath/batch_id=$batchId")
+            })
           sigs.unpersist()
           }
         }
@@ -670,6 +679,10 @@ object StreamingDedup {
           val newReps = unmatched.select(col("id"), col("sig"), col("new_score").as("__score"))
             .unionByName(replacing.join(sigs.select(col("id"), col("sig")), Seq("id"))
               .select(col("id"), col("sig"), col("new_score").as("__score")))
+          // cached: this 3-way union of joins feeds the decisions output
+          // AND the loser join below — uncached, the whole subtree (the
+          // gate's widest plan) is planned and executed twice inside one
+          // write, which measured as ~10 AQE stage-jobs per trigger
           val winnerDecisions = unmatched
             .select(col("id").as("doc_id"), lit(true).as("kept"),
               col("id").as("rep_id"), col("new_score").as("score"))
@@ -677,22 +690,28 @@ object StreamingDedup {
               col("id").as("rep_id"), col("new_score").as("score")))
             .unionByName(losing.select(col("id").as("doc_id"), lit(false).as("kept"),
               col("rep_id"), col("new_score").as("score")))
+            .cache()
           val demotions = replacing.select(col("rep_id").as("doc_id"), lit(false).as("kept"),
             col("id").as("rep_id"), col("rep_score").as("score"))
           val loserDecisions = losers
             .join(winnerDecisions.select(col("doc_id").as("keep_id"), col("rep_id")), Seq("keep_id"))
             .select(col("doc_id"), lit(false).as("kept"), col("rep_id"), col("score"))
-          graft.core.Jobs.desc(s, "keepbest:decisions-write") {
-            winnerDecisions.unionByName(demotions).unionByName(loserDecisions)
-              .write.mode("overwrite").parquet(s"$decisionsPath/batch_id=$batchId")
-          }
-          graft.core.Jobs.desc(s, "keepbest:retired-write") {
-            replacing.select(col("rep_id").as("id"))
-              .write.mode("overwrite").parquet(s"$retiredPath/batch_id=$batchId")
-          }
-          graft.core.Jobs.desc(s, "keepbest:index-write") {
-            newReps.write.mode("overwrite").parquet(s"$indexPath/batch_id=$batchId")
-          }
+          // the three sinks share no lineage beyond cached frames —
+          // overlapped driver threads back-fill each other's stage
+          // tails instead of paying three sequential job latencies
+          graft.core.Jobs.par(s)(
+            "keepbest:decisions-write" -> { () =>
+              winnerDecisions.unionByName(demotions).unionByName(loserDecisions)
+                .write.mode("overwrite").parquet(s"$decisionsPath/batch_id=$batchId")
+            },
+            "keepbest:retired-write" -> { () =>
+              replacing.select(col("rep_id").as("id"))
+                .write.mode("overwrite").parquet(s"$retiredPath/batch_id=$batchId")
+            },
+            "keepbest:index-write" -> { () =>
+              newReps.write.mode("overwrite").parquet(s"$indexPath/batch_id=$batchId")
+            })
+          winnerDecisions.unpersist()
           replacing.unpersist()
           matched.unpersist()
           local.unpersist()

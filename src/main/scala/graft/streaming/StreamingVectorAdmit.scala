@@ -102,10 +102,20 @@ object StreamingVectorAdmit {
     val (novel, _) = graft.core.Jobs.desc(s, "vecadmit:resolve-novel") {
       resolveNovel(batch, indexPath, s"shard=stream_$batchId", knownRows = batchN)
     }
-    graft.core.Jobs.desc(s, "vecadmit:append") {
-      Ann.appendToIvfIndex(novel, indexPath, s"stream_$batchId")
-    }
-    val drifted = Ann.ivfDriftFraction(s, indexPath, batch) > driftRetrainFraction
+    // the shard append and the drift probe share no lineage (the probe
+    // reads the batch + cached centroids/p95; the append writes a NEW
+    // shard dir): overlapped driver threads — guide §2.6. The rebuild
+    // branch below runs only after BOTH complete (it folds the delta
+    // the append just committed).
+    @volatile var driftFrac = 0.0
+    graft.core.Jobs.par(s)(
+      "vecadmit:append" -> { () =>
+        Ann.appendToIvfIndex(novel, indexPath, s"stream_$batchId")
+      },
+      "vecadmit:drift" -> { () =>
+        driftFrac = Ann.ivfDriftFraction(s, indexPath, batch)
+      })
+    val drifted = driftFrac > driftRetrainFraction
     if (drifted) {
       // stage base ∪ committed delta (identity-deduped) outside the
       // index dirs, then re-quantize through the standard build

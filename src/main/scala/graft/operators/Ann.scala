@@ -1293,7 +1293,13 @@ object Ann {
     }
     val p = new org.apache.hadoop.fs.Path(dir, IdBloomFile)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(p, true)
+    // temp-write + rename: a crash mid-write must leave NO torn sidecar
+    // beside committed data (readFrom on a truncated file throws, which
+    // would fail probes instead of the documented sidecar-less
+    // fall-back-to-exact-scan). The dot-prefixed temp name is invisible
+    // to parquet dir listings; rename is atomic on local/HDFS.
+    val tmp = new org.apache.hadoop.fs.Path(dir, s".$IdBloomFile.tmp")
+    val out = fs.create(tmp, true)
     // 8-byte random nonce AFTER the filter bytes: BloomFilter.readFrom
     // reads its own length and ignores the tail, while the nonce gives
     // every write a distinct content fingerprint — readIdBloomBcast's
@@ -1306,6 +1312,9 @@ object Ann {
       new java.security.SecureRandom().nextBytes(nonce)
       out.write(nonce)
     } finally out.close()
+    fs.delete(p, false)
+    if (!fs.rename(tmp, p))
+      throw new java.io.IOException(s"sidecar rename failed: $tmp -> $p")
   }
 
   /** The sidecar of `dir`, if present (absent on pre-sidecar indexes

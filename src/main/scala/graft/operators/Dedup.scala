@@ -2377,7 +2377,10 @@ object Dedup {
     val bf = keys.stat.bloomFilter("k", n, BandsBloomFpp)
     val p = new org.apache.hadoop.fs.Path(dir, BandsBloomFile)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(p, true)
+    // temp-write + rename — the writeIdBloom tear-safety discipline: a
+    // crash mid-write leaves no torn sidecar beside committed data
+    val tmp = new org.apache.hadoop.fs.Path(dir, s".$BandsBloomFile.tmp")
+    val out = fs.create(tmp, true)
     // trailing 8-byte nonce = content fingerprint for the broadcast
     // cache (the writeIdBloom discipline): a same-length rebuild within
     // one mtime tick can never serve a stale bloom
@@ -2387,6 +2390,9 @@ object Dedup {
       new java.security.SecureRandom().nextBytes(nonce)
       out.write(nonce)
     } finally out.close()
+    fs.delete(p, false)
+    if (!fs.rename(tmp, p))
+      throw new java.io.IOException(s"sidecar rename failed: $tmp -> $p")
   }
 
   /** The probe's distinct band keys, driver-collected — or None when the

@@ -204,16 +204,25 @@ object Dsir {
     val nr = counts.valuesIterator.map(_._2).sum
     val countsDf = counts.toSeq.map { case (b, (ct, cr)) => (b, ct, cr) }
       .toDF("bucket", "ct", "cr")
-    countsDf.coalesce(1).write.mode("overwrite").parquet(s"$dir/counts")
+    // counts and ratios both derive from the driver-held map — two
+    // independent writes, overlapped (guide §2.6); meta stays LAST (the
+    // completion marker), so a crash during either leaves an invisible
+    // meta-less partial exactly as before
+    graft.core.Jobs.par(spark)(
+      "dsir:counts-write" -> { () =>
+        countsDf.coalesce(1).write.mode("overwrite").parquet(s"$dir/counts")
+      },
+      "dsir:ratios-write" -> { () =>
+        countsDf
+          .select(col("bucket"),
+            ratioQ(col("ct"), col("cr"), lit(nt), lit(nr), buckets).as("ratio_q"))
+          .coalesce(1) // ≤ buckets narrow rows — one file serves broadcast reads
+          .write.mode("overwrite").parquet(s"$dir/ratios")
+      })
     // seed the counts cache with the in-memory map (exactly what
     // [[update]]'s loader reads back): the NEXT incremental update of a
     // steady-state stream pays no counts read job
     graft.core.DirCache.put(spark, s"$dir/counts", counts)
-    countsDf
-      .select(col("bucket"),
-        ratioQ(col("ct"), col("cr"), lit(nt), lit(nr), buckets).as("ratio_q"))
-      .coalesce(1) // ≤ buckets narrow rows — one file serves broadcast reads
-      .write.mode("overwrite").parquet(s"$dir/ratios")
     Seq((buckets, nt, nr, defaultRatioQ(nt, nr, buckets), batch, g))
       .toDF("buckets", "nt", "nr", "default_q", "batch", "generation")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")

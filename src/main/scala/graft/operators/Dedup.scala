@@ -1841,14 +1841,20 @@ object Dedup {
     // rows on replay). meta is written LAST — its presence certifies a
     // complete build, so a crash between the two writes leaves a
     // probe-refusing index, not a silently geometry-less one.
-    minhashSigs(ref, idCol, textCol, nh, shingleSize)
-      .write.mode("overwrite").parquet(s"$path/sigs/shard=__base")
-    writeBandsBloom(spark, s"$path/sigs/shard=__base", b, nh / b)
+    graft.core.Jobs.desc(spark, "textindex:build:sigs") {
+      minhashSigs(ref, idCol, textCol, nh, shingleSize)
+        .write.mode("overwrite").parquet(s"$path/sigs/shard=__base")
+    }
+    graft.core.Jobs.desc(spark, "textindex:build:bloom") {
+      writeBandsBloom(spark, s"$path/sigs/shard=__base", b, nh / b)
+    }
     import spark.implicits._
-    Seq((nh, b, shingleSize, threshold, missTarget))
-      .toDF("num_hashes", "bands", "shingle_size", "threshold", "miss_target")
-      .coalesce(1)
-      .write.mode("overwrite").parquet(s"$path/meta")
+    graft.core.Jobs.desc(spark, "textindex:build:meta") {
+      Seq((nh, b, shingleSize, threshold, missTarget))
+        .toDF("num_hashes", "bands", "shingle_size", "threshold", "miss_target")
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$path/meta")
+    }
     putTextIndexMeta(spark, path, nh, b, shingleSize, threshold, missTarget)
   }
 
@@ -1929,12 +1935,16 @@ object Dedup {
     // structure); Spark's own partition-write escaping keeps discovery
     // able to read the value back verbatim
     val safe = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(shard)
-    minhashSigs(docs, idCol, textCol, nh, shingleSize)
-      .write.mode("overwrite").parquet(s"$indexPath/sigs/shard=$safe")
+    graft.core.Jobs.desc(spark, "textindex:append:sigs") {
+      minhashSigs(docs, idCol, textCol, nh, shingleSize)
+        .write.mode("overwrite").parquet(s"$indexPath/sigs/shard=$safe")
+    }
     // data first, sidecar second: a crash between the two leaves a
     // bloom-less (fully read, never skipped) shard
-    writeBandsBloom(spark, s"$indexPath/sigs/shard=$safe",
-      meta.getAs[Int]("bands"), nh / meta.getAs[Int]("bands"))
+    graft.core.Jobs.desc(spark, "textindex:append:bloom") {
+      writeBandsBloom(spark, s"$indexPath/sigs/shard=$safe",
+        meta.getAs[Int]("bands"), nh / meta.getAs[Int]("bands"))
+    }
   }
 
   /**
@@ -2226,10 +2236,12 @@ object Dedup {
     // anti-join below and — through the survivors' lineage — the
     // append's signature pass; unmaterialized, the whole probe+verify
     // pipeline re-runs per consumer
-    val dupIds = crossJaccardPairsIndexed(
-      probe, indexPath, ref, idCol, textCol, maxBucket, excludeShard = Some(shard))
-      .select(col("id_a").as("__dup_id")).distinct()
-      .localCheckpoint(true)
+    val dupIds = graft.core.Jobs.desc(probe.sparkSession, "textindex:admit:probe") {
+      crossJaccardPairsIndexed(
+        probe, indexPath, ref, idCol, textCol, maxBucket, excludeShard = Some(shard))
+        .select(col("id_a").as("__dup_id")).distinct()
+        .localCheckpoint(true)
+    }
     val survivors = probe.join(
       dupIds.hint("shuffle_hash"), col(idCol) === col("__dup_id"), "left_anti")
     appendToTextIndex(survivors, indexPath, idCol, textCol, shard)

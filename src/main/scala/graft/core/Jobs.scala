@@ -19,6 +19,19 @@ object Jobs {
     try f finally sc.setJobDescription(prev)
   }
 
+  /** Run `write` with a count Observation attached to `df` and return
+    * the written row count — a sizing count (bloom expectedNumItems,
+    * bucket counts) rides the write job instead of a separate count
+    * job or a footer pass. */
+  def observedWrite(
+      df: org.apache.spark.sql.DataFrame)(
+      write: org.apache.spark.sql.DataFrame => Unit): Long = {
+    val obs = org.apache.spark.sql.Observation()
+    write(df.observe(obs,
+      org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n")))
+    obs.get("n").asInstanceOf[Long]
+  }
+
   /**
    * Run INDEPENDENT Spark actions concurrently from driver threads
    * (optimization-guide §2.6): actions only serialize because the

@@ -903,7 +903,7 @@ object Ann {
     // (cell order = array index): seed the cache so the first append/
     // search after a build never pays the read job
     graft.core.DirCache.put(spark, s"$path/centroids", cents)
-    graft.core.Jobs.desc(spark, "ann:build:assign") {
+    val assignedRows = graft.core.Jobs.desc(spark, "ann:build:assign") {
       // cell-keyed exchange before the partitioned write (the Iceberg
       // hash write-distribution discipline): a scan-partitioned write
       // fans every task across every cell it holds — at corpus scale
@@ -911,14 +911,15 @@ object Ann {
       // n/2048 cells would write ~100k files PER TASK); clustered, the
       // base holds ≤1 file per cell. Assignment still computes
       // map-side, in the scan's parallelism, before the exchange.
-      corpus
+      graft.core.Jobs.observedWrite(corpus
         .select(col("vec_id").as("item_id"), col("embedding").as("item_vec"))
         .withColumn("cell", nearestCentroidBc(col("item_vec"), bcastCentroids(spark, cents)))
-        .repartition(col("cell"))
-        .write.mode("overwrite").partitionBy("cell").parquet(s"$path/assignments")
+        .repartition(col("cell"))) {
+        _.write.mode("overwrite").partitionBy("cell").parquet(s"$path/assignments")
+      }
     }
     graft.core.Jobs.desc(spark, "ann:build:bloom") {
-      writeIdBloom(spark, s"$path/assignments")
+      writeIdBloom(spark, s"$path/assignments", assignedRows)
     }
     // train-time dispersion: the p95 quantization error over the corpus
     // (approx_percentile — one mergeable pass; a heuristic threshold,
@@ -992,15 +993,17 @@ object Ann {
     // cell-keyed exchange replaces spread()'s round-robin one (same
     // single-shuffle cost, ≤1 file per cell instead of tasks × cells —
     // see buildIvfIndex); assign + encode still compute map-side
-    corpus.select(col("vec_id").as("item_id"), col("embedding").as("item_vec"))
-      .withColumn("cell", nearestCentroidBc(col("item_vec"), bcastCentroids(spark, cents)))
-      .withColumn("codes", pqEncodeBc(col("item_vec"), bcastCentroids3(spark, codebooks)))
-      .select(col("item_id"), col("codes"), col("cell"))
-      .repartition(col("cell"))
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes")
+    val codeRows = graft.core.Jobs.observedWrite(
+      corpus.select(col("vec_id").as("item_id"), col("embedding").as("item_vec"))
+        .withColumn("cell", nearestCentroidBc(col("item_vec"), bcastCentroids(spark, cents)))
+        .withColumn("codes", pqEncodeBc(col("item_vec"), bcastCentroids3(spark, codebooks)))
+        .select(col("item_id"), col("codes"), col("cell"))
+        .repartition(col("cell"))) {
+      _.write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes")
+    }
     // sidecar on the codes base too: one lifecycle across both index
     // families (promotion refreshes it family-agnostically)
-    writeIdBloom(spark, s"$path/codes")
+    writeIdBloom(spark, s"$path/codes", codeRows)
     dispersionStats(corpus, "embedding", cents)
       .write.mode("overwrite").parquet(s"$path/stats")
     Seq((m, codebookSize, numCells))
@@ -1274,7 +1277,8 @@ object Ann {
    * data — a crash between data and sidecar writes leaves a
    * sidecar-less dir, and the probe falls back to the exact full scan.
    */
-  private[graft] def writeIdBloom(spark: SparkSession, dir: String): Unit = {
+  private[graft] def writeIdBloom(
+      spark: SparkSession, dir: String, knownRows: Long = -1L): Unit = {
     // an admitted EMPTY batch commits _SUCCESS with zero data files —
     // such a dir cannot infer a schema (and is excluded from probes by
     // readableShardDirsUnder's same guard), so it gets no sidecar
@@ -1282,11 +1286,14 @@ object Ann {
     val rfs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!rfs.listStatus(root).exists(st => st.isDirectory && st.getPath.getName.startsWith("cell=")))
       return
-    // sizing count from the parquet FOOTERS, driver-side: exact row
-    // counts at zero Spark jobs (the dir was just written; file counts
-    // are bounded by the cell-clustered layout), so the only job here
-    // is the bloom aggregation's id-column read — the irreducible work
-    val n = graft.core.DirCache.parquetRowCount(spark, dir)
+    // sizing count: callers that just WROTE the dir pass the count
+    // their write observed (an Observation rides the write job — zero
+    // extra cost); anyone else pays one driver-side footer pass (exact
+    // row counts, no Spark job, ~15 ms/file). Either way the only job
+    // here is the bloom aggregation's id-column read — the
+    // irreducible work.
+    val n = if (knownRows >= 0L) knownRows
+            else graft.core.DirCache.parquetRowCount(spark, dir)
     val ids = spark.read.parquet(dir).select(col("item_id"))
     val bf = graft.core.Jobs.desc(spark, "ann:bloom:agg") {
       ids.stat.bloomFilter("item_id", math.max(1L, n), 0.03)
@@ -1498,24 +1505,26 @@ object Ann {
     // rules accuracy — the drift probe still owns the rebuild decision)
     if (deltaDirName(spark, path) == "codes_delta") {
       val codebooks = loadPqCodebooks(spark, path)
-      graft.core.Jobs.desc(spark, "ann:append:encode+write") {
-        assigned
+      val n = graft.core.Jobs.desc(spark, "ann:append:encode+write") {
+        graft.core.Jobs.observedWrite(assigned
           .withColumn("codes", pqEncodeBc(col("item_vec"), bcastCentroids3(spark, codebooks)))
-          .select(col("item_id"), col("codes"), col("cell"))
-          .write.mode("overwrite").partitionBy("cell")
-          .parquet(s"$path/codes_delta/shard=$safe")
+          .select(col("item_id"), col("codes"), col("cell"))) {
+          _.write.mode("overwrite").partitionBy("cell")
+            .parquet(s"$path/codes_delta/shard=$safe")
+        }
       }
       graft.core.Jobs.desc(spark, "ann:append:bloom") {
-        writeIdBloom(spark, s"$path/codes_delta/shard=$safe")
+        writeIdBloom(spark, s"$path/codes_delta/shard=$safe", n)
       }
     } else {
-      graft.core.Jobs.desc(spark, "ann:append:assign+write") {
-        assigned
-          .write.mode("overwrite").partitionBy("cell")
-          .parquet(s"$path/assignments_delta/shard=$safe")
+      val n = graft.core.Jobs.desc(spark, "ann:append:assign+write") {
+        graft.core.Jobs.observedWrite(assigned) {
+          _.write.mode("overwrite").partitionBy("cell")
+            .parquet(s"$path/assignments_delta/shard=$safe")
+        }
       }
       graft.core.Jobs.desc(spark, "ann:append:bloom") {
-        writeIdBloom(spark, s"$path/assignments_delta/shard=$safe")
+        writeIdBloom(spark, s"$path/assignments_delta/shard=$safe", n)
       }
     }
   }
@@ -1622,19 +1631,19 @@ object Ann {
         snap
       }
     afterStage()
-    graft.core.Jobs.desc(spark, "ann:promote:base-rewrite") {
+    val baseRows = graft.core.Jobs.desc(spark, "ann:promote:base-rewrite") {
       // the rewrite IS the compaction opportunity: cell-cluster the
       // lasting base layout (≤1 file per cell — see buildIvfIndex)
-      spark.read.parquet(staging.toString)
-        .repartition(col("cell"))
-        .write.mode("overwrite").partitionBy("cell").parquet(s"$path/$baseDir")
+      graft.core.Jobs.observedWrite(spark.read.parquet(staging.toString).repartition(col("cell"))) {
+        _.write.mode("overwrite").partitionBy("cell").parquet(s"$path/$baseDir")
+      }
     }
     // the base overwrite wiped the old sidecar with the old data; the
     // fresh one must cover the folded ids before the shard dirs (and
     // their own sidecars) disappear — a crash in between leaves a
     // sidecar-less base, which probes fall back to scanning exactly
     graft.core.Jobs.desc(spark, "ann:promote:bloom") {
-      writeIdBloom(spark, s"$path/$baseDir")
+      writeIdBloom(spark, s"$path/$baseDir", baseRows)
     }
     snapshot.foreach(p => fs.delete(p, true))
     fs.delete(staging, true)

@@ -1841,12 +1841,13 @@ object Dedup {
     // rows on replay). meta is written LAST — its presence certifies a
     // complete build, so a crash between the two writes leaves a
     // probe-refusing index, not a silently geometry-less one.
-    graft.core.Jobs.desc(spark, "textindex:build:sigs") {
-      minhashSigs(ref, idCol, textCol, nh, shingleSize)
-        .write.mode("overwrite").parquet(s"$path/sigs/shard=__base")
+    val baseRows = graft.core.Jobs.desc(spark, "textindex:build:sigs") {
+      graft.core.Jobs.observedWrite(minhashSigs(ref, idCol, textCol, nh, shingleSize)) {
+        _.write.mode("overwrite").parquet(s"$path/sigs/shard=__base")
+      }
     }
     graft.core.Jobs.desc(spark, "textindex:build:bloom") {
-      writeBandsBloom(spark, s"$path/sigs/shard=__base", b, nh / b)
+      writeBandsBloom(spark, s"$path/sigs/shard=__base", b, nh / b, baseRows)
     }
     import spark.implicits._
     graft.core.Jobs.desc(spark, "textindex:build:meta") {
@@ -1935,15 +1936,16 @@ object Dedup {
     // structure); Spark's own partition-write escaping keeps discovery
     // able to read the value back verbatim
     val safe = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(shard)
-    graft.core.Jobs.desc(spark, "textindex:append:sigs") {
-      minhashSigs(docs, idCol, textCol, nh, shingleSize)
-        .write.mode("overwrite").parquet(s"$indexPath/sigs/shard=$safe")
+    val shardRows = graft.core.Jobs.desc(spark, "textindex:append:sigs") {
+      graft.core.Jobs.observedWrite(minhashSigs(docs, idCol, textCol, nh, shingleSize)) {
+        _.write.mode("overwrite").parquet(s"$indexPath/sigs/shard=$safe")
+      }
     }
     // data first, sidecar second: a crash between the two leaves a
     // bloom-less (fully read, never skipped) shard
     graft.core.Jobs.desc(spark, "textindex:append:bloom") {
       writeBandsBloom(spark, s"$indexPath/sigs/shard=$safe",
-        meta.getAs[Int]("bands"), nh / meta.getAs[Int]("bands"))
+        meta.getAs[Int]("bands"), nh / meta.getAs[Int]("bands"), shardRows)
     }
   }
 
@@ -2174,13 +2176,15 @@ object Dedup {
     // see [[readableShardDirs]]).
     val snapshot = readableShardDirs(spark, path)
     if (snapshot.isEmpty) return // pre-shard flat layout or nothing to fold
-    spark.read.parquet(snapshot.map(_.toString).toIndexedSeq: _*)
-      .select(col("id"), col("sig"))
-      // collapse exact-duplicate rows: a crash in a previous run's
-      // step-2..3 window leaves migrated signatures twice (__compacted +
-      // stale shard dir); the re-run merges them back to one row
-      .dropDuplicates(Seq("id", "sig"))
-      .write.mode("overwrite").parquet(compacting.toString)
+    val mergedRows = graft.core.Jobs.observedWrite(
+      spark.read.parquet(snapshot.map(_.toString).toIndexedSeq: _*)
+        .select(col("id"), col("sig"))
+        // collapse exact-duplicate rows: a crash in a previous run's
+        // step-2..3 window leaves migrated signatures twice (__compacted +
+        // stale shard dir); the re-run merges them back to one row
+        .dropDuplicates(Seq("id", "sig"))) {
+      _.write.mode("overwrite").parquet(compacting.toString)
+    }
     if (!fs.rename(compacting, compacted))
       throw new java.io.IOException(s"compaction swap failed: rename $compacting -> $compacted")
     afterMerge()
@@ -2194,7 +2198,8 @@ object Dedup {
     val metaRow = readTextIndexMeta(spark, path)
     writeBandsBloom(spark, s"$sigsPath/shard=__base",
       metaRow.getAs[Int]("bands"),
-      metaRow.getAs[Int]("num_hashes") / metaRow.getAs[Int]("bands"))
+      metaRow.getAs[Int]("num_hashes") / metaRow.getAs[Int]("bands"),
+      mergedRows)
   }
 
   /**
@@ -2374,13 +2379,17 @@ object Dedup {
     * (read back — shard-scale), using the index geometry. No-op above the
     * key cap (any stale sidecar cannot exist: overwrite wiped the dir). */
   private def writeBandsBloom(
-      spark: org.apache.spark.sql.SparkSession, dir: String, bands: Int, rowsPerBand: Int): Unit = {
-    // cap check from parquet FOOTER metadata read DRIVER-SIDE (row
-    // counts, no column decode, no Spark job): each signature row
-    // yields exactly `bands` band keys, so an over-cap dir is detected
-    // without the banding pass it would skip anyway (a corpus-sized
-    // base otherwise paid ~20 s just to learn it gets no sidecar)
-    val sigRows = graft.core.DirCache.parquetRowCount(spark, dir)
+      spark: org.apache.spark.sql.SparkSession, dir: String, bands: Int, rowsPerBand: Int,
+      knownRows: Long = -1L): Unit = {
+    // cap check: callers that just WROTE the dir pass the count their
+    // write observed (rides the write job — zero extra cost); others
+    // pay one driver-side parquet-footer pass (row counts, no column
+    // decode, no Spark job). Each signature row yields exactly `bands`
+    // band keys, so an over-cap dir is detected without the banding
+    // pass it would skip anyway (a corpus-sized base otherwise paid
+    // ~20 s just to learn it gets no sidecar).
+    val sigRows = if (knownRows >= 0L) knownRows
+                  else graft.core.DirCache.parquetRowCount(spark, dir)
     val n = sigRows * bands
     if (n == 0L || n > BandsBloomKeyCap) return
     val banded = bandedFromSigs(spark.read.parquet(dir).select(col("id"), col("sig")),

@@ -13,9 +13,37 @@ import org.apache.spark.sql.SparkSession
  * the fingerprint and misses, so a stale value can never be served.
  */
 object DirCache {
-  // (appId, dir fingerprint, loaded value) per dir
+  // (appId, dir fingerprint, loaded value) per dir. SIZE-BOUNDED LRU:
+  // values are small (meta rows, centroid tables, counts maps) but the
+  // engine also runs as a long-lived multi-session server, and a
+  // path-churning workload (e.g. DSIR generation dirs — gen=N/meta,
+  // gen=N/counts per update) would otherwise grow the map forever.
+  // Eviction only costs the next access a reload; correctness never
+  // depends on residency. Access-ordered so hot index dirs survive.
+  private val MaxEntries = 512
   private val cache =
-    new java.util.concurrent.ConcurrentHashMap[String, (String, Long, AnyRef)]()
+    new java.util.LinkedHashMap[String, (String, Long, AnyRef)](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, (String, Long, AnyRef)]): Boolean =
+        size() > MaxEntries
+    }
+  private def get(dir: String): (String, Long, AnyRef) =
+    cache.synchronized(cache.get(dir))
+  private def putEntry(dir: String, v: (String, Long, AnyRef)): Unit =
+    cache.synchronized { cache.put(dir, v); () }
+
+  /** Drop every entry whose dir is `path` or lives under it — called by
+    * deleters (generation pruning, index wipes) so a deleted dir's
+    * entry does not linger until LRU eviction. Purely hygienic: a
+    * recreated dir would miss on fingerprint anyway. */
+  def invalidateUnder(path: String): Unit = cache.synchronized {
+    val prefix = if (path.endsWith("/")) path else path + "/"
+    val it = cache.keySet().iterator()
+    while (it.hasNext) {
+      val k = it.next()
+      if (k == path || k.startsWith(prefix)) it.remove()
+    }
+  }
 
   /** Fingerprint of a written-by-Spark dir: every child's (name,
     * length, mtime) folded into one hash. Overwrites produce fresh
@@ -43,13 +71,19 @@ object DirCache {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val fp =
       try fingerprint(fs, p)
-      catch { case _: java.io.FileNotFoundException => return load }
+      catch {
+        case _: java.io.FileNotFoundException =>
+          // deleted dir: drop any stale entry instead of leaving it to
+          // age out — keeps the map honest under dir-churning workloads
+          cache.synchronized { cache.remove(dir); () }
+          return load
+      }
     val appId = spark.sparkContext.applicationId
-    val cur = cache.get(dir)
+    val cur = get(dir)
     if (cur != null && cur._1 == appId && cur._2 == fp) cur._3.asInstanceOf[T]
     else {
       val v = load
-      cache.put(dir, (appId, fp, v))
+      putEntry(dir, (appId, fp, v))
       v
     }
   }
@@ -58,12 +92,16 @@ object DirCache {
     * in-memory value the write came from — the first post-write load
     * (e.g. an append reading back the centroids its build computed)
     * then hits without ever running the read job. Only sound when the
-    * value is exactly what the loader would produce; a concurrent
-    * rewrite is caught by the fingerprint as usual. */
+    * value is exactly what the loader would produce AND the caller is
+    * the dir's only writer between its write and this call (the
+    * engine's single-maintainer-per-index contract): the fingerprint is
+    * taken HERE, after the write, so a foreign rewrite inside that
+    * window would pair the new fingerprint with this stale value. A
+    * rewrite after the seed is caught by the fingerprint as usual. */
   def put(spark: SparkSession, dir: String, value: AnyRef): Unit = {
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    try cache.put(dir, (spark.sparkContext.applicationId, fingerprint(fs, p), value))
+    try putEntry(dir, (spark.sparkContext.applicationId, fingerprint(fs, p), value))
     catch { case _: java.io.FileNotFoundException => () }
   }
 

@@ -56,6 +56,13 @@ object Jobs {
       t
     }
     ts.foreach(_.join())
-    if (!errs.isEmpty) throw errs.peek()
+    if (!errs.isEmpty) {
+      // every sibling failure rides along as suppressed — a multi-sink
+      // trigger failure must not lose the other stack traces
+      val first = errs.poll()
+      var e = errs.poll()
+      while (e != null) { if (e ne first) first.addSuppressed(e); e = errs.poll() }
+      throw first
+    }
   }
 }

@@ -68,7 +68,16 @@ object Dedup {
    * formulations (nested transform 70s+, explode + 64 partial-agg mins
    * 11s, fused ~1s at sf0.1).
    */
-  def minhashSigs(df: DataFrame, idCol: String, textCol: String, numHashes: Int, shingleSize: Int): DataFrame = {
+  def minhashSigs(df: DataFrame, idCol: String, textCol: String, numHashes: Int, shingleSize: Int): DataFrame =
+    minhashSigsKeep(df, idCol, textCol, numHashes, shingleSize, Nil)
+
+  /** [[minhashSigs]] carrying `keep` columns of `df` through the
+    * signature pass — a caller that needs (sig, score) pays the narrow
+    * map only, not a post-hoc self-join to re-attach its own columns
+    * (one exchange per streaming trigger in keep-best). */
+  private[graft] def minhashSigsKeep(
+      df: DataFrame, idCol: String, textCol: String, numHashes: Int, shingleSize: Int,
+      keep: Seq[String]): DataFrame = {
     // One narrow pass via the fused TextMinHash expression (tokenize →
     // shingle-hash → k minima, no intermediate strings). Earlier shapes
     // measured at sf0.1: nested transform 70s+, explode + 64
@@ -76,8 +85,9 @@ object Dedup {
     // (interpreter warm-up dominates), fused ~1s.
     graft.sql.GraftFunctions.register(df.sparkSession)
     Ann.spread(df).select(
-      col(idCol).as("id"),
-      call_function("graft_text_minhash", col(textCol), lit(shingleSize), lit(numHashes)).as("sig")
+      col(idCol).as("id") +:
+        call_function("graft_text_minhash", col(textCol), lit(shingleSize), lit(numHashes)).as("sig") +:
+        keep.map(col): _*
     )
   }
 

@@ -188,8 +188,14 @@ object Dsir {
   private def pruneGensBelow(
       spark: SparkSession, modelPath: String, keep: Long): Unit = {
     val fs = fsOf(spark, modelPath)
-    listGenDirs(fs, modelPath).filter(_ < keep).foreach(k =>
-      fs.delete(new org.apache.hadoop.fs.Path(genDir(modelPath, k)), true))
+    listGenDirs(fs, modelPath).filter(_ < keep).foreach { k =>
+      val d = genDir(modelPath, k)
+      fs.delete(new org.apache.hadoop.fs.Path(d), true)
+      // drop the pruned generation's meta/counts cache entries with the
+      // dirs (a steady stream otherwise accretes one dead entry pair
+      // per generation until LRU eviction)
+      graft.core.DirCache.invalidateUnder(d)
+    }
   }
 
   /** Write one complete generation: counts, ratios (the same [[ratioQ]]

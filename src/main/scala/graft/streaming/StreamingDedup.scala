@@ -188,10 +188,24 @@ object StreamingDedup {
           // anti-join's broadcast too — same driving row count); banded
           // text rows carry the nh-int signature per band
           val batchSmall = batchN <= bcastRowBound(b, 4L * nh)
+          // own-shard partition filter, ON TOP of the id anti-join: the
+          // sigs-write below overwrites shard=stream_<batchId> while this
+          // frame's scan runs in a PARALLEL driver thread (Jobs.par). On a
+          // replayed batch the prior attempt's files are in the listed
+          // file set, and the overwrite's delete would fail the scan
+          // mid-flight (FileNotFoundException — on every replay, wedging
+          // the stream). Partition pruning drops those files from the
+          // scan at planning time; the rows it removes are a subset of
+          // what the anti-join removes (same ids), so results are
+          // unchanged. Cast: an all-numeric shard set would infer a
+          // numeric partition column, and comparing THAT to a string
+          // silently nulls the predicate.
           val viaIndex =
             if (haveIndex)
               cand(if (batchSmall) broadcast(probe) else probe,
-                banded(s.read.parquet(sigsDir).select(col("id"), col("sig"))
+                banded(s.read.parquet(sigsDir)
+                  .filter(col("shard").cast("string") =!= s"stream_$batchId")
+                  .select(col("id"), col("sig"))
                   .join(if (batchSmall) broadcast(batchIds) else batchIds,
                     Seq("id"), "left_anti")),
                 col("a.id") =!= col("b.id"))
@@ -445,10 +459,16 @@ object StreamingDedup {
           }
           val fanOut = if (lowThreshold) ivfProbes else bands1
           val batchSmall = batchN <= bcastRowBound(fanOut, 4L * dim)
+          // own-partition filter on top of the id anti-join: the parallel
+          // sigs-write overwrites batch_id=<batchId> while this scan runs
+          // (run()'s replay-race discipline — prunes the prior attempt's
+          // files from the scan; removed rows are a subset of the
+          // anti-joined ids, so results are unchanged)
           val viaIndex =
             if (haveIndex)
               cand(if (batchSmall) broadcast(probe) else probe,
                 keyed(s.read.parquet(indexPath)
+                  .filter(col("batch_id") =!= batchId)
                   .join(if (batchSmall) broadcast(batchIds) else batchIds,
                     Seq("id"), "left_anti")),
                 col("a.id") =!= col("b.id"))
@@ -565,9 +585,12 @@ object StreamingDedup {
           // the count doubles as the empty-batch guard — the separate
           // isEmpty probe job this trigger used to pay is gone
           if (batchN == 0L) { scored.unpersist(); return }
-          val sigs = Dedup.minhashSigs(scored, "doc_id", "text", numHashes, 3)
-            .join(scored.select(col("doc_id").as("id"), col("__score")), Seq("id"))
-            .cache()
+          // __score rides the signature pass (one narrow map) instead of
+          // a post-hoc join back onto `scored` — one less exchange per
+          // trigger; batch ids are unique per the stream contract, so the
+          // old 1:1 join attached exactly this column
+          val sigs = Dedup.minhashSigsKeep(scored, "doc_id", "text", numHashes, 3,
+            Seq("__score")).cache()
           val probe = banded(sigs)
 
           // 1. batch-local clusters → keep-best winners
@@ -579,14 +602,78 @@ object StreamingDedup {
             .filter(col("ej") >= threshold)
             .select(col("id_a"), col("id_b"))
             .distinct()
-          // cached: winners/losers and all three sinks below re-derive
-          // from it (the cluster resolution itself ran eagerly inside
-          // connectedComponents' small-graph path, but the join-back
-          // DAG would still re-execute per sink)
+          // Batch-local keep-best, DRIVER-RESOLVED for bounded batches
+          // (r17): the distributed dedupKeepBest already collects the
+          // edge list to the driver (connectedComponents' small-graph
+          // path) and then pays cluster-join + two aggregations + two
+          // joins of Spark stages per trigger to pick winners for a
+          // micro-batch-bounded doc set. With the batch count in hand,
+          // collect (doc_id, score) too — same pass the cache holds —
+          // and resolve clusters AND winners in one driver union-find,
+          // exactly the small-graph discipline. Past the bound (restart
+          // backlog, collision storm) the distributed operator runs
+          // unchanged, so an unbounded batch never ships to the driver.
+          // Policy is byte-identical to dedupKeepBest: union by min id,
+          // best = max non-NULL score, NULL loses to any real score,
+          // min-id tie-break, all-NULL clusters keep min id, singletons
+          // keep themselves.
+          val localBound = 1L << 20
           val local = graft.core.Jobs.desc(s, "keepbest:local-cc") {
-            Dedup.dedupKeepBest(
-              scored.select(col("doc_id"), col("__score")), "doc_id", col("__score"), batchPairs)
-              .cache()
+            val edges =
+              if (batchN <= localBound)
+                batchPairs.limit(localBound.toInt + 1).collect()
+              else Array.empty[org.apache.spark.sql.Row]
+            if (batchN <= localBound && edges.length <= localBound) {
+              val docs = scored.select(col("doc_id"), col("__score")).collect()
+              val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+              def find(x: Long): Long = {
+                var r = x
+                while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+                var c = x
+                while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+                r
+              }
+              edges.foreach { e =>
+                val (ru, rv) = (find(e.getLong(0)), find(e.getLong(1)))
+                if (ru != rv) { if (ru < rv) parent(rv) = ru else parent(ru) = rv }
+              }
+              // per cluster: best non-NULL score (None when all NULL),
+              // then min id among members whose score null-safe-equals it
+              case class Best(var score: Option[Double], var id: Long)
+              val best = scala.collection.mutable.HashMap.empty[Long, Best]
+              docs.foreach { d =>
+                val id = d.getLong(0)
+                val sc = if (d.isNullAt(1)) None else Some(d.getDouble(1))
+                val root = find(id)
+                best.get(root) match {
+                  case None => best(root) = Best(sc, id)
+                  case Some(b) =>
+                    val cmp = (sc, b.score) match {
+                      case (Some(a2), Some(b2)) => java.lang.Double.compare(a2, b2)
+                      case (Some(_), None) => 1
+                      case (None, Some(_)) => -1
+                      case (None, None) => 0
+                    }
+                    if (cmp > 0 || (cmp == 0 && id < b.id)) { b.score = sc; b.id = id }
+                }
+              }
+              val schema = org.apache.spark.sql.types.StructType(Seq(
+                org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType, nullable = false),
+                org.apache.spark.sql.types.StructField("keep_id", org.apache.spark.sql.types.LongType, nullable = false),
+                org.apache.spark.sql.types.StructField("keep", org.apache.spark.sql.types.BooleanType, nullable = false),
+                org.apache.spark.sql.types.StructField("score", org.apache.spark.sql.types.DoubleType, nullable = true)))
+              val rows = docs.map { d =>
+                val id = d.getLong(0)
+                val keepId = best(find(id)).id
+                org.apache.spark.sql.Row(
+                  id, keepId, id == keepId,
+                  if (d.isNullAt(1)) null else java.lang.Double.valueOf(d.getDouble(1)))
+              }
+              s.createDataFrame(s.sparkContext.parallelize(rows.toIndexedSeq, 1), schema)
+            } else
+              Dedup.dedupKeepBest(
+                scored.select(col("doc_id"), col("__score")), "doc_id", col("__score"), batchPairs)
+                .cache()
           }
           val winners = local.filter(col("keep"))
             .select(col("doc_id").as("id"), col("score").as("new_score"))
@@ -594,13 +681,11 @@ object StreamingDedup {
           val losers = local.filter(!col("keep"))
             .select(col("doc_id"), col("keep_id"), col("score"))
 
-          // 2. winners probe the ACTIVE rep index (index minus tombstones).
-          // Cached: replacing/losing/unmatched and all three sinks fan out
-          // from this one band-probe join — uncached it re-reads the index
-          // and re-runs the join once per sink write.
+          // 2. winners probe the ACTIVE rep index (index minus tombstones),
+          // producing each winner's best-matching rep (or nothing).
           val matched0 =
             if (!haveParts(indexPath)) winners.limit(0)
-              .select(col("id"), col("new_score"), lit(0L).as("rep_id"), lit(0.0).as("rep_score"))
+              .select(col("id"), lit(0L).as("rep_id"), lit(0.0).as("rep_score"))
             else {
               // minus tombstones, minus index copies of THIS batch's ids
               // (a replayed batch must not self-match the copies its
@@ -609,7 +694,16 @@ object StreamingDedup {
               // sides (8B/row); falls back to the shuffled anti-join on
               // a backlog-sized batch instead of failing the trigger
               val batchDocIds = scored.select(col("doc_id").as("id"))
+              // own-partition filter on top of the id anti-join: the
+              // parallel index-write overwrites batch_id=<batchId> while
+              // the decisions/retired sinks materialize this lineage
+              // (run()'s replay-race discipline — prunes the prior
+              // attempt's files from the scan; removed rows are a subset
+              // of the anti-joined ids, so results are unchanged; the
+              // retired read below is already pruned by its own
+              // batch_id =!= filter)
               val idx = s.read.parquet(indexPath)
+                .filter(col("batch_id") =!= batchId)
                 .join(
                   if (batchN <= (1L << 22)) broadcast(batchDocIds) else batchDocIds,
                   Seq("id"), "left_anti")
@@ -661,40 +755,60 @@ object StreamingDedup {
                 .partitionBy(col("id")).orderBy(col("ej").desc, col("rep_id").asc)
               // the matched set is winner-bounded — broadcast it so the
               // rep_score attach streams the index instead of shuffling it
+              // (new_score re-attaches via the wcat left join below, so
+              // the old winners re-join here is gone)
               maybeBcast(
-                m.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
-                  .join(winners.select(col("id"), col("new_score")), Seq("id")))
+                m.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1))
                 .join(active.select(col("id").as("rep_id"), col("__score").as("rep_score")),
                   Seq("rep_id"))
-                .select(col("id"), col("new_score"), col("rep_id"), col("rep_score"))
+                .select(col("id"), col("rep_id"), col("rep_score"))
             }
-          val matched = matched0.cache()
+          // 3. ONE decision pass (r17 fuse): each winner left-joins its
+          // best-matching rep and resolves to a category — `new` (no
+          // active rep matched), `replace` (beats its rep), `lose`. All
+          // three sinks below are filters/projections of this single
+          // cached frame. The previous shape re-derived unmatched/
+          // replacing/losing as an anti-join plus two filters over a
+          // cached `matched`, unioned three join subtrees per decision
+          // consumer, and re-joined sigs for the replacing reps —
+          // ~100 AQE stage-jobs per trigger, the round-16 profile's
+          // biggest remaining count. Semantics are unchanged: matched
+          // ids are winner-unique (row_number == 1 upstream), so the
+          // left join preserves the winner multiset; rep ids are never
+          // NULL, so `rep_id IS NULL` is exactly the old anti-join; a
+          // NULL-vs-NULL score comparison still loses (the old
+          // !coalesce(beats, false) branch).
           val beats = (col("rep_score").isNull && col("new_score").isNotNull) ||
             col("new_score") > col("rep_score")
-          val replacing = matched.filter(beats).cache()
-          val losing = matched.filter(!coalesce(beats, lit(false)))
-          val unmatched = winners.join(matched.select(col("id")), Seq("id"), "left_anti")
-
-          // 3. sinks — all batch_id-partitioned overwrites
-          val newReps = unmatched.select(col("id"), col("sig"), col("new_score").as("__score"))
-            .unionByName(replacing.join(sigs.select(col("id"), col("sig")), Seq("id"))
-              .select(col("id"), col("sig"), col("new_score").as("__score")))
-          // cached: this 3-way union of joins feeds the decisions output
-          // AND the loser join below — uncached, the whole subtree (the
-          // gate's widest plan) is planned and executed twice inside one
-          // write, which measured as ~10 AQE stage-jobs per trigger
-          val winnerDecisions = unmatched
-            .select(col("id").as("doc_id"), lit(true).as("kept"),
-              col("id").as("rep_id"), col("new_score").as("score"))
-            .unionByName(replacing.select(col("id").as("doc_id"), lit(true).as("kept"),
-              col("id").as("rep_id"), col("new_score").as("score")))
-            .unionByName(losing.select(col("id").as("doc_id"), lit(false).as("kept"),
-              col("rep_id"), col("new_score").as("score")))
+          // matched ⊆ winners ⊆ batch: the batch count bounds the
+          // broadcast (backlog-sized batches fall back to a shuffled join
+          // rather than failing the trigger)
+          val matchedSide = matched0
+          val wcat = winners
+            .join(if (batchN <= (1L << 22)) broadcast(matchedSide) else matchedSide,
+              Seq("id"), "left")
+            .withColumn("cat",
+              when(col("rep_id").isNull, lit("new"))
+                .when(beats, lit("replace"))
+                .otherwise(lit("lose")))
             .cache()
-          val demotions = replacing.select(col("rep_id").as("doc_id"), lit(false).as("kept"),
-            col("id").as("rep_id"), col("rep_score").as("score"))
+
+          // sinks — all batch_id-partitioned overwrites, all filters of wcat
+          val newReps = wcat.filter(col("cat") =!= "lose")
+            .select(col("id"), col("sig"), col("new_score").as("__score"))
+          val winnerDecisions = wcat.select(
+            col("id").as("doc_id"),
+            (col("cat") =!= "lose").as("kept"),
+            when(col("cat") === "lose", col("rep_id")).otherwise(col("id")).as("rep_id"),
+            col("new_score").as("score"))
+          val demotions = wcat.filter(col("cat") === "replace")
+            .select(col("rep_id").as("doc_id"), lit(false).as("kept"),
+              col("id").as("rep_id"), col("rep_score").as("score"))
           val loserDecisions = losers
-            .join(winnerDecisions.select(col("doc_id").as("keep_id"), col("rep_id")), Seq("keep_id"))
+            .join(wcat.select(
+              col("id").as("keep_id"),
+              when(col("cat") === "lose", col("rep_id")).otherwise(col("id")).as("rep_id")),
+              Seq("keep_id"))
             .select(col("doc_id"), lit(false).as("kept"), col("rep_id"), col("score"))
           // the three sinks share no lineage beyond cached frames —
           // overlapped driver threads back-fill each other's stage
@@ -705,15 +819,13 @@ object StreamingDedup {
                 .write.mode("overwrite").parquet(s"$decisionsPath/batch_id=$batchId")
             },
             "keepbest:retired-write" -> { () =>
-              replacing.select(col("rep_id").as("id"))
+              wcat.filter(col("cat") === "replace").select(col("rep_id").as("id"))
                 .write.mode("overwrite").parquet(s"$retiredPath/batch_id=$batchId")
             },
             "keepbest:index-write" -> { () =>
               newReps.write.mode("overwrite").parquet(s"$indexPath/batch_id=$batchId")
             })
-          winnerDecisions.unpersist()
-          replacing.unpersist()
-          matched.unpersist()
+          wcat.unpersist()
           local.unpersist()
           sigs.unpersist()
           scored.unpersist()

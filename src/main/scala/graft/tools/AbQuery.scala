@@ -26,7 +26,13 @@ object AbQuery {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     SparkEntry.setupFixtures(spark, sfDir)
-    val baseline = spark.conf.getOption(k).getOrElse("")
+    // a conf with no set/default value must be RESTORED by unset, not
+    // by setting "" (an empty string is not "unset" and can error or
+    // silently change the A-side plan)
+    val baseline: Option[String] = spark.conf.getOption(k)
+    def restoreA(): Unit =
+      baseline.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    val aLabel = baseline.getOrElse("<unset>")
     def med(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
     for (name <- names) {
       val fn = SparkEntry.queries(name)
@@ -35,12 +41,12 @@ object AbQuery {
       }
       timed(); spark.conf.set(k, v); timed() // warm both shapes
       val (as, bs) = (1 to pairs).map { _ =>
-        spark.conf.set(k, baseline); val a = timed()
+        restoreA(); val a = timed()
         spark.conf.set(k, v); val b = timed()
         (a, b)
       }.unzip
-      spark.conf.set(k, baseline)
-      println(f"[abquery] $name A(${baseline}): ${as.map(t => f"$t%.2f").mkString(",")} med=${med(as)}%.2f" +
+      restoreA()
+      println(f"[abquery] $name A(${aLabel}): ${as.map(t => f"$t%.2f").mkString(",")} med=${med(as)}%.2f" +
         f" | B($v): ${bs.map(t => f"$t%.2f").mkString(",")} med=${med(bs)}%.2f  B/A=${med(bs) / med(as)}%.2f")
     }
     spark.stop()

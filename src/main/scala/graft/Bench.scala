@@ -78,13 +78,37 @@ object Bench {
     calibrate()
     val cal0 = calibrate()
 
+    // PER-QUERY STRETCH PROBE (r17, additions-only): C0/C bracket the
+    // whole run, but this host's stretch arrives in minutes-scale
+    // windows — a degraded mid-run window poisoned 4 queries in the r16
+    // driver comparison while both end anchors read near-idle-ish. A
+    // single-threaded ~20 ms driver CPU loop timed right after EVERY
+    // query (untimed region — query seconds are untouched) makes a
+    // stalled sample attributable PER QUERY: full array in
+    // bench_full.json (`cq_ms`), and in the stdout line the median/p90
+    // plus the indices of queries whose probe exceeded 2× the run
+    // median (`cq_hot`, alphabetical q_ms order). A mid-suite full
+    // Spark calibration every 16 queries (`C_mid`) keeps the
+    // C0/C-comparable series too. First calls below JIT-warm the loop.
+    def cpuProbe(): Long = {
+      val t0 = System.nanoTime()
+      var h = 0x9E3779B97F4A7C15L
+      var i = 0L
+      while (i < 30000000L) { h ^= i; h *= 0xC2B2AE3D27D4EB4FL; h ^= (h >>> 29); i += 1 }
+      if (h == 42L) Console.err.println("") // keep the loop un-eliminable
+      math.round((System.nanoTime() - t0) / 1e6).max(1L)
+    }
+    cpuProbe(); cpuProbe()
+
     // Fixed alphabetical order + a per-query warm pass: Map iteration order
     // made round-over-round numbers incomparable (whichever query ran first
     // absorbed residual first-touch cost — a 10s q_topk at sf0.1 was pure
     // ordering noise), and steady-state per-query time is the number that
     // predicts cluster throughput.
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
-    val looped = ordered.map { case (name, fn) =>
+    val cqMs = new Array[Long](ordered.size)
+    val cMid = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val looped = ordered.zipWithIndex.map { case ((name, fn), qi) =>
       // a failed query must NOT record its (near-zero) elapsed time as
       // a legitimate result — a broken query would read as a 10x win
       def timed(): Double = {
@@ -111,6 +135,10 @@ object Bench {
             if (reps.exists(_ < 0)) -1.0 else reps.sorted.apply(1)
           } else t1
         }
+      // stretch probes ride BETWEEN queries (untimed): per-query CPU
+      // probe always, full Spark calibration every 16th query
+      cqMs(qi) = cpuProbe()
+      if ((qi + 1) % 16 == 0) cMid += calibrate()
       name -> t
     }
 
@@ -154,6 +182,23 @@ object Bench {
     }
     val total = looped.map(_._2).sum
     val cal1 = calibrate()
+    // per-query stretch summary for the budget-bound line: median/p90
+    // of the per-query CPU probes, the mid-suite Spark anchors, and
+    // the indices (alphabetical q_ms order) of queries probed at >2×
+    // the run median — the degraded samples a comparison should
+    // discard. cq_hot is capped at 32 indices for line budget;
+    // cq_hot_n carries the TRUE count (a big count = the whole run is
+    // degraded and C0/C/C_mid already tell that story); bench_full.json
+    // below holds the complete cq_ms array.
+    val cqSorted = cqMs.sorted
+    def cqPct(p: Double): Long =
+      if (cqSorted.isEmpty) 0L
+      else cqSorted(math.min((cqSorted.length * p).toInt, cqSorted.length - 1))
+    val cq50 = cqPct(0.5)
+    val cqHot = cqMs.zipWithIndex.filter(_._1 > 2 * cq50).map(_._2)
+    val stretchField =
+      s""""CQ50":$cq50,"CQ90":${cqPct(0.9)},"C_mid":${cMid.mkString("[", ",", "]")},""" +
+        s""""cq_hot_n":${cqHot.length},"cq_hot":${cqHot.take(32).mkString("[", ",", "]")},"""
     val load = java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
     val sfName = sfDir.split('/').last // basename: the path prefix is line budget
     def mkLine(withLoad: Boolean, withPair: Boolean, dp: Int = 2, stripQ: Boolean = false) = {
@@ -176,7 +221,9 @@ object Bench {
       def li(v: Double) = if (v < 0) -1L else math.round(v)
       // C0/C: the stretch anchor (ms) at run start/end — see calibrate()
       val loadField =
-        if (withLoad) s""""L0":${li(load0)},"L":${li(load)},"C0":$cal0,"C":$cal1,""" else ""
+        if (withLoad)
+          s""""L0":${li(load0)},"L":${li(load)},"C0":$cal0,"C":$cal1,""" + stretchField
+        else ""
       s"""{"metric":"total","value":${num(total, 2)},"unit":"sec",$loadField"queries":$qs,"sf":"$sfName"}"""
     }
     // MILLISECOND ARRAY tier: at 123 queries NO keyed dict fits the
@@ -207,7 +254,7 @@ object Bench {
         .map { case (k, v) => "\"" + k + "\":" + num(v, 2) }
         .mkString("{", ",", "}")
       s"""{"metric":"total","value":${num(total, 2)},"unit":"sec","L0":${li(load0)},"L":${li(load)},""" +
-        s""""C0":$cal0,"C":$cal1,""" +
+        s""""C0":$cal0,"C":$cal1,""" + stretchField +
         s""""queries":$slow,"q_note":"10 slowest; q_ms has all",""" +
         s""""q_ms_order":"alphabetical SparkEntry.queries keys",$pair"q_ms":$arr,"sf":"$sfName"}"""
     }
@@ -241,7 +288,8 @@ object Bench {
       val qs = (looped ++ routedPair).map { case (k, v) =>
         "\"" + k + "\":" + num(v, 4)
       }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","L0":${num(load0, 2)},"L":${num(load, 2)},"C0":$cal0,"C":$cal1,"queries":$qs,"sf":"$sfName"}"""
+      s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","L0":${num(load0, 2)},"L":${num(load, 2)},"C0":$cal0,"C":$cal1,""" +
+        stretchField + s""""cq_ms":${cqMs.mkString("[", ",", "]")},"queries":$qs,"sf":"$sfName"}"""
     }
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),

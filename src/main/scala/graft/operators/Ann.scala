@@ -904,17 +904,26 @@ object Ann {
     // search after a build never pays the read job
     graft.core.DirCache.put(spark, s"$path/centroids", cents)
     val assignedRows = graft.core.Jobs.desc(spark, "ann:build:assign") {
-      // cell-keyed exchange before the partitioned write (the Iceberg
+      // cell-keyed REBALANCE before the partitioned write (the Iceberg
       // hash write-distribution discipline): a scan-partitioned write
       // fans every task across every cell it holds — at corpus scale
       // O(splits × cells) near-empty files (a 10⁹-row corpus at
       // n/2048 cells would write ~100k files PER TASK); clustered, the
-      // base holds ≤1 file per cell. Assignment still computes
-      // map-side, in the scan's parallelism, before the exchange.
+      // base holds ~1 file per cell. Rebalance instead of a plain
+      // repartition(cell) (r17, guide §2.5): hash-by-cell routes each
+      // cell to exactly ONE task, so a hot cell of a skewed corpus
+      // becomes one straggler task writing one giant file — AQE's
+      // rebalance splits an oversized cell at the advisory partition
+      // size (bounded files per hot cell, bounded task times) and
+      // coalesces tiny cells into shared tasks (still one file per
+      // cell dir — partitionBy splits them on write). Without AQE it
+      // degrades to exactly the old hash exchange. Assignment still
+      // computes map-side, in the scan's parallelism, before the
+      // exchange.
       graft.core.Jobs.observedWrite(corpus
         .select(col("vec_id").as("item_id"), col("embedding").as("item_vec"))
         .withColumn("cell", nearestCentroidBc(col("item_vec"), bcastCentroids(spark, cents)))
-        .repartition(col("cell"))) {
+        .hint("rebalance", col("cell"))) {
         _.write.mode("overwrite").partitionBy("cell").parquet(s"$path/assignments")
       }
     }
@@ -990,15 +999,16 @@ object Ann {
     // search after a build pays no read-back jobs
     graft.core.DirCache.put(spark, s"$path/centroids", cents)
     graft.core.DirCache.put(spark, s"$path/codebooks", codebooks)
-    // cell-keyed exchange replaces spread()'s round-robin one (same
-    // single-shuffle cost, ≤1 file per cell instead of tasks × cells —
-    // see buildIvfIndex); assign + encode still compute map-side
+    // cell-keyed rebalance replaces spread()'s round-robin exchange
+    // (same single-shuffle cost, ~1 file per cell instead of
+    // tasks × cells, hot cells split at the advisory size — see
+    // buildIvfIndex); assign + encode still compute map-side
     val codeRows = graft.core.Jobs.observedWrite(
       corpus.select(col("vec_id").as("item_id"), col("embedding").as("item_vec"))
         .withColumn("cell", nearestCentroidBc(col("item_vec"), bcastCentroids(spark, cents)))
         .withColumn("codes", pqEncodeBc(col("item_vec"), bcastCentroids3(spark, codebooks)))
         .select(col("item_id"), col("codes"), col("cell"))
-        .repartition(col("cell"))) {
+        .hint("rebalance", col("cell"))) {
       _.write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes")
     }
     // sidecar on the codes base too: one lifecycle across both index
@@ -1487,17 +1497,20 @@ object Ann {
     // dir): an append must never invent its own quantizer
     val cents = loadIvfCentroids(spark, path)
     val safe = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(shard)
-    // CELL-keyed exchange instead of spread()'s round-robin one (same
-    // single-shuffle cost): a partitionBy("cell") write fans each task
-    // out across every cell it holds, so a round-robin layout writes
-    // O(tasks × cells) small files per shard — the cell-keyed layout
-    // writes ≤1 file per populated cell, the whole shard stays
+    // CELL-keyed rebalance instead of spread()'s round-robin exchange
+    // (same single-shuffle cost): a partitionBy("cell") write fans each
+    // task out across every cell it holds, so a round-robin layout
+    // writes O(tasks × cells) small files per shard — the cell-keyed
+    // layout writes ~1 file per populated cell, the whole shard stays
     // list-cheap, and the read-back (bloom sidecar, probes) scans a
-    // bounded file count. The assignment expression still evaluates
-    // map-side (before the exchange), in the source's own parallelism.
+    // bounded file count. Rebalance (not repartition — see
+    // buildIvfIndex) additionally splits a hot cell of a skewed batch
+    // instead of handing it to one straggler task. The assignment
+    // expression still evaluates map-side (before the exchange), in
+    // the source's own parallelism.
     val assigned = newVecs.select(col("vec_id").as("item_id"), col("embedding").as("item_vec"))
       .withColumn("cell", nearestCentroidBc(col("item_vec"), bcastCentroids(spark, cents)))
-      .repartition(col("cell"))
+      .hint("rebalance", col("cell"))
     // family dispatch: an IVF-PQ index stores CODES, so its delta does
     // too — the new batch is encoded with the EXISTING codebooks (the
     // same one-narrow-pass discipline; code quality for drifted data
@@ -1623,7 +1636,14 @@ object Ann {
             // a prior crash window may have merged rows whose shard dir
             // survived; items are identity-keyed, duplicates collapse
             .dropDuplicates(Seq("item_id"))
-            .write.mode("overwrite").partitionBy("cell").parquet(staging.toString)
+            // FLAT staging (r17): the stage is transient scratch that
+            // only the base-rewrite (and a crash resume) reads fully —
+            // a partitionBy("cell") here fanned every dedup task across
+            // every cell it held, O(tasks × cells) staging files at
+            // corpus scale for a dir that is deleted minutes later.
+            // Written flat, `cell` stays a data column (same rows) and
+            // the stage holds one file per task.
+            .write.mode("overwrite").parquet(staging.toString)
         }
         val out = fs.create(foldedList, true)
         try out.write(snap.map(_.getName).mkString("\n").getBytes("UTF-8"))
@@ -1633,8 +1653,10 @@ object Ann {
     afterStage()
     val baseRows = graft.core.Jobs.desc(spark, "ann:promote:base-rewrite") {
       // the rewrite IS the compaction opportunity: cell-cluster the
-      // lasting base layout (≤1 file per cell — see buildIvfIndex)
-      graft.core.Jobs.observedWrite(spark.read.parquet(staging.toString).repartition(col("cell"))) {
+      // lasting base layout (~1 file per cell, hot cells split at the
+      // advisory size — see buildIvfIndex)
+      graft.core.Jobs.observedWrite(
+        spark.read.parquet(staging.toString).hint("rebalance", col("cell"))) {
         _.write.mode("overwrite").partitionBy("cell").parquet(s"$path/$baseDir")
       }
     }

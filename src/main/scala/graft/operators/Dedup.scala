@@ -430,6 +430,29 @@ object Dedup {
       collapseExact: Boolean = true
   ): DataFrame = {
     val p = math.min(math.max(probeFraction, 0.001), 1.0)
+    // CONF-PINNED ROUTE (r17): `graft.dedup.ngram.route` ∈
+    // collapsed | dense | prefix skips the sampled route probes for a
+    // pipeline that already knows its corpus shape — a daily run over
+    // a stable corpus re-pays the dup probe, the postings probe and
+    // (when large) the prefix-volume probe every day to rediscover the
+    // same answer. Every route is result-identical (the spec pins
+    // route identity), so the pin can only cost speed when wrong.
+    // What each value skips: `collapsed` skips the dup-fraction probe
+    // (the representative pipeline underneath stays adaptive);
+    // `prefix` skips all sampled probes and takes the session's
+    // shuffle partitioning (set spark.sql.shuffle.partitions for the
+    // corpus — the adaptive path's volume-sized widening is skipped
+    // with the probe that sizes it); `dense` skips the dup and
+    // prefix-volume probes but KEEPS the sampled gf aggregate — it
+    // feeds heavy-gram salting and volume-sized partitioning, which
+    // are straggler/heap defenses, not routing. No route state is
+    // ever cached: unset = adaptive, every run re-probes.
+    val pinnedRoute = df.sparkSession.conf.getOption("graft.dedup.ngram.route")
+    pinnedRoute.foreach(v => require(Set("collapsed", "dense", "prefix").contains(v),
+      s"graft.dedup.ngram.route must be collapsed|dense|prefix, got '$v'"))
+    if (collapseExact && pinnedRoute.contains("collapsed"))
+      return ngramJaccardPairsCollapsed(df, idCol, textCol, groupCols, n, threshold,
+        maxExpansion, probeFraction)
     // dup probe (one narrow job over the sampled docs' 8-byte hashes):
     // the collapse pays a text-keyed grouping + membership joins, so it
     // must only run when the corpus actually carries exact-dup mass
@@ -437,7 +460,7 @@ object Dedup {
     // sf0.1 corpus). Both routes are result-identical, so a
     // sampling-noise flip near the 5% bound costs speed, never
     // correctness.
-    if (collapseExact) {
+    if (collapseExact && pinnedRoute.isEmpty) {
       val sampledDocs = (if (p >= 1.0) df
         else df.filter(pmod(xxhash64(col(idCol), lit(77)), lit(1000)) < lit((p * 1000).toInt)))
         .filter((col(textCol).isNotNull +: groupCols.map(col(_).isNotNull)).reduce(_ && _))
@@ -453,6 +476,10 @@ object Dedup {
           maxExpansion, probeFraction)
     }
     val ex = gramPostings(df, idCol, textCol, groupCols, n)
+    // pinned prefix route: no sampled machinery at all — the PPJoin
+    // path sizes its own work from the session's shuffle partitioning
+    if (pinnedRoute.contains("prefix"))
+      return prefixPairs(df, idCol, textCol, groupCols, n, threshold, numPartitions = None)
     // deterministic doc sample: stable across runs/retries (no RNG state)
     val sampled =
       if (p >= 1.0) ex
@@ -468,7 +495,9 @@ object Dedup {
     val probe = sampledGf
       .agg(sum(col("gf")).as("postings"), sum(col("gf") * col("gf")).as("joinrows"), max(col("gf")).as("maxgf"))
       .head()
-    val heavyTailed = !probe.isNullAt(0) && {
+    // a dense pin forces the else-branch below without the routing
+    // probes; the gf aggregate above still ran (salting + sizing)
+    val heavyTailed = pinnedRoute.isEmpty && !probe.isNullAt(0) && {
       val expansion = probe.getLong(1).toDouble / probe.getLong(0).toDouble
       expansion > maxExpansion * p || probe.getLong(2) > ((1L << 16) * p).toLong
     }
@@ -520,7 +549,8 @@ object Dedup {
         .head()
       if (r.isNullAt(0)) 0L else (r.getLong(0) / (p * p)).toLong
     }
-    val nearDupDense = estJoinRows > PrefixProbeBound && estPrefixRows * 2 < estJoinRows
+    val nearDupDense = pinnedRoute.isEmpty &&
+      estJoinRows > PrefixProbeBound && estPrefixRows * 2 < estJoinRows
     if (heavyTailed || nearDupDense) {
       // VOLUME-SIZED candidate-join partitioning, same discipline as
       // the dense route below: per-task memory tracks candidate rows /
@@ -1725,9 +1755,17 @@ object Dedup {
     * eliminate; the planner takes the bucket-fed sort-merge join. */
   private def crossCandidates(
       probeBanded: DataFrame, refBanded: DataFrame, maxBucket: Option[Int],
-      hintProbe: Boolean = true): DataFrame = {
+      hintProbe: Boolean = true, broadcastProbe: Boolean = false): DataFrame = {
     val probeSide = capBuckets(probeBanded, maxBucket).as("a")
-    (if (hintProbe) probeSide.hint("shuffle_hash") else probeSide)
+    // broadcastProbe: the banded probe rows are id-only (id, band, bh —
+    // no signature), so a bounded probe broadcasts in tens of MB and
+    // the corpus-sized reference side streams through the hash join
+    // with ZERO exchange and no sort — the StreamingDedup probe
+    // discipline applied to the batch admission path. Caller guards
+    // the bound; the shuffled-hash form remains the unbounded fallback.
+    (if (broadcastProbe) broadcast(probeSide)
+     else if (hintProbe) probeSide.hint("shuffle_hash")
+     else probeSide)
       .join(capBuckets(refBanded, maxBucket).as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
@@ -1780,7 +1818,10 @@ object Dedup {
       nh: Int, bands: Int, shingleSize: Int): DataFrame =
     bandedFromSigs(minhashSigs(df, idCol, textCol, nh, shingleSize), bands, nh / bands)
   private[graft] def profileCrossCandidates(pb: DataFrame, rb: DataFrame,
-      hintProbe: Boolean): DataFrame = crossCandidates(pb, rb, None, hintProbe)
+      hintProbe: Boolean, broadcastProbe: Boolean = false): DataFrame =
+    crossCandidates(pb, rb, None, hintProbe, broadcastProbe)
+  private[graft] def profileBandedFromSigs(sigs: DataFrame, bands: Int, rowsPerBand: Int): DataFrame =
+    bandedFromSigs(sigs, bands, rowsPerBand)
   private[graft] def profileCrossVerify(cands: DataFrame, probe: DataFrame, ref: DataFrame,
       idCol: String, textCol: String, shingleSize: Int): DataFrame =
     crossExactVerify(cands, probe, ref, idCol, textCol, shingleSize)
@@ -2251,9 +2292,18 @@ object Dedup {
     // anti-join below and — through the survivors' lineage — the
     // append's signature pass; unmaterialized, the whole probe+verify
     // pipeline re-runs per consumer
+    // one scan-only count of the shard (trivial next to the admission)
+    // buys the bounded-broadcast candidate join: the corpus-sized index
+    // side then pays NO exchange per admission — the per-admission cost
+    // that otherwise grows with the corpus (guide §2.4/§3.1; the
+    // StreamingDedup per-trigger discipline applied here)
+    val probeN = graft.core.Jobs.desc(probe.sparkSession, "textindex:admit:probe-count") {
+      probe.count()
+    }
     val dupIds = graft.core.Jobs.desc(probe.sparkSession, "textindex:admit:probe") {
       crossJaccardPairsIndexed(
-        probe, indexPath, ref, idCol, textCol, maxBucket, excludeShard = Some(shard))
+        probe, indexPath, ref, idCol, textCol, maxBucket, excludeShard = Some(shard),
+        probeRows = probeN)
         .select(col("id_a").as("__dup_id")).distinct()
         .localCheckpoint(true)
     }
@@ -2283,7 +2333,14 @@ object Dedup {
       idCol: String,
       textCol: String,
       maxBucket: Option[Int] = None,
-      excludeShard: Option[String] = None
+      excludeShard: Option[String] = None,
+      // caller-counted probe rows (admissions know their shard size):
+      // a bounded probe BROADCASTS its banded rows, so the corpus-sized
+      // index side streams through the candidate join with ZERO
+      // exchange — the one per-admission cost that grew with corpus
+      // size. <0 = unknown → the shuffled-hash form, exactly as before
+      // (every probe-only gate passes nothing and keeps its plan).
+      probeRows: Long = -1L
   ): DataFrame = {
     val spark = probe.sparkSession
     val meta = readTextIndexMeta(spark, indexPath)
@@ -2311,26 +2368,30 @@ object Dedup {
     // charging it the whole pruning pass was a measured ~0.5 s/probe
     // at sf0.1 for zero dirs skipped
     val willPrune = dirs1.nonEmpty && anySidecar(spark, dirs1)
+    // bounded-probe broadcast (see probeRows): banded probe rows are
+    // id-only (~24 B), so the byte target mirrors StreamingDedup's
+    // bcastRowBound — ~1 GiB of banded rows, floor 4096 docs
+    val bcastProbe = probeRows >= 0L &&
+      probeRows <= math.max(4096L, (1L << 30) / (b.toLong * 64L))
     // materialized only when the banded probe feeds BOTH the driver key
     // collect and the candidate join; single-consumer probes stay lazy
     val pb0 = bandedFromSigs(minhashSigs(probe, idCol, textCol, nh, shingleSize), b, nh / b)
     val pb = if (willPrune) pb0.localCheckpoint(true) else pb0
+    def cand(rb: DataFrame): DataFrame =
+      crossCandidates(pb, rb, maxBucket, hintProbe = !bcastProbe, broadcastProbe = bcastProbe)
     val cands =
       if (dirs0.isEmpty)
-        crossCandidates(pb,
-          bandedFromSigs(spark.read.parquet(s"$indexPath/sigs"), b, nh / b), maxBucket)
+        cand(bandedFromSigs(spark.read.parquet(s"$indexPath/sigs"), b, nh / b))
       else {
         val (readDirs, _) =
           if (willPrune) pruneShardDirs(spark, dirs1, probeBandKeys(pb))
           else (dirs1, Array.empty[org.apache.hadoop.fs.Path])
         if (readDirs.isEmpty) emptyCandidates(probe, ref, idCol)
-        else crossCandidates(pb,
-          bandedFromSigs(
-            spark.read.option("basePath", s"$indexPath/sigs")
-              .parquet(readDirs.map(_.toString).toIndexedSeq: _*)
-              .select(col("id"), col("sig")),
-            b, nh / b),
-          maxBucket)
+        else cand(bandedFromSigs(
+          spark.read.option("basePath", s"$indexPath/sigs")
+            .parquet(readDirs.map(_.toString).toIndexedSeq: _*)
+            .select(col("id"), col("sig")),
+          b, nh / b))
       }
     crossExactVerify(cands, probe, ref, idCol, textCol, shingleSize)
       .filter(col("jac") >= threshold)

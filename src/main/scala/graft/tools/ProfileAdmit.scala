@@ -89,6 +89,47 @@ object ProfileAdmit {
       val a = Dedup.admitShardBucketed(shard, tbl, delta, docs, "doc_id", "text", "p1")
       println(s"[profadmit] admitted=${a.count()}")
     }
+
+    // ---- parquet-path candidate join: shuffled-hash vs broadcast-probe
+    // A/B (same JVM, interleaved — the r17 question: the corpus-sized
+    // banded index re-EXCHANGES per admission under the shuffle_hash
+    // hint; a broadcast banded probe streams the index scan with zero
+    // exchange and no sort) ----
+    val idxPath = s"$scratch/pq_idx"
+    val fsP = new org.apache.hadoop.fs.Path(idxPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fsP.exists(new org.apache.hadoop.fs.Path(s"$idxPath/meta/_SUCCESS")))
+      timed(s"buildTextIndex($n)")(Dedup.buildTextIndex(docs, "doc_id", "text", idxPath))
+    val rb = {
+      val sigs = spark.read.parquet(s"$idxPath/sigs").select(col("id"), col("sig"))
+      Dedup.profileBandedFromSigs(sigs, b, nh / b)
+    }
+    for (rep <- 1 to 2) {
+      timed(s"parquet cands SHUFFLED rep$rep") {
+        val c = Dedup.profileCrossCandidates(pb, rb, hintProbe = true)
+        println(s"[profadmit] cands=${c.count()}")
+      }
+      timed(s"parquet cands BROADCAST rep$rep") {
+        val c = Dedup.profileCrossCandidates(pb, rb, hintProbe = false, broadcastProbe = true)
+        println(s"[profadmit] cands=${c.count()}")
+      }
+    }
+    // full parquet verify + end-to-end admit (the TextLifeScale
+    // admitShard number, stage-attributed)
+    val pqCands = timed("parquet cands (materialize)") {
+      val c = Dedup.profileCrossCandidates(pb, rb, hintProbe = true).localCheckpoint(true)
+      println(s"[profadmit] cands=${c.count()}")
+      c
+    }
+    timed("parquet exact verify") {
+      val v = Dedup.profileCrossVerify(pqCands, shard, docs, "doc_id", "text", shingleSize)
+        .filter(col("jac") >= threshold)
+      println(s"[profadmit] dup pairs=${v.count()}")
+    }
+    timed("admitShard parquet end-to-end") {
+      val a = Dedup.admitShard(shard, idxPath, docs, "doc_id", "text", s"p${System.nanoTime()}")
+      println(s"[profadmit] admitted=${a.count()}")
+    }
     spark.stop()
   }
 }

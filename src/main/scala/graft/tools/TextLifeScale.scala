@@ -24,10 +24,23 @@ object TextLifeScale {
       .config("spark.sql.warehouse.dir", s"$scratch/warehouse")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // machine-stretch anchor per STAGE (the Bench C0/C discipline —
+    // this host oscillates; an un-anchored scale wall is uninterpretable
+    // across rounds): fixed 100M-xxhash 32-core probe, near-idle
+    // ~200-330 ms, printed beside every stage wall
+    def calibrate(): Long = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 100000000L, 1L, 32)
+        .select(pmod(xxhash64(col("id")), lit(1000000L)).as("h")).agg(sum(col("h"))).head()
+      math.round((System.nanoTime() - t0) / 1e6).max(1L)
+    }
+    calibrate()
+    println(s"[textlife] C0=${calibrate()} ms")
     def timed[T](label: String)(f: => T): T = {
       val t0 = System.nanoTime()
       val r = f
-      println(f"[textlife] $label: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      val wall = (System.nanoTime() - t0) / 1e9
+      println(f"[textlife] $label: $wall%.1f s (C=${calibrate()} ms)")
       r
     }
     val docs = spark.read.parquet(s"$dir/documents.parquet")

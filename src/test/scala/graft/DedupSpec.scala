@@ -173,6 +173,24 @@ class DedupSpec extends SparkSpecBase {
     assert(forced == dense)
   }
 
+  test("conf-pinned ngram route skips the probes and is pair-identical on every value") {
+    val real = spark.read.parquet(s"$sfDir/documents.parquet")
+    def run(): Seq[(Long, Long, Double)] = Dedup
+      .ngramJaccardPairs(real, "doc_id", "text", Seq("lang", "source"), n = 4, threshold = 0.35,
+        probeFraction = 1.0)
+      .as[(Long, Long, Double)].collect().toSeq.sorted
+    val adaptive = run()
+    val key = "graft.dedup.ngram.route"
+    try {
+      for (route <- Seq("collapsed", "dense", "prefix")) {
+        spark.conf.set(key, route)
+        assert(run() == adaptive, s"pinned route '$route' must match the adaptive result")
+      }
+      spark.conf.set(key, "bogus")
+      intercept[IllegalArgumentException](run())
+    } finally spark.conf.unset(key)
+  }
+
   test("exact-dup collapse is pair-identical to the raw pipeline on a replica-saturated corpus") {
     // the sf0.5_synth straggler shape: dense replica clusters (identical
     // text) that melt the posting self-join, plus the edge cases the
@@ -892,6 +910,42 @@ class DedupSpec extends SparkSpecBase {
       spark.conf.set("spark.sql.adaptive.enabled", aqe)
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", abt)
     }
+  }
+
+  test("broadcast-probe candidate join: identical candidates, zero exchange on the index side") {
+    // the r17 admission shape: a bounded probe's banded rows broadcast,
+    // the corpus-sized index side streams through the join un-exchanged
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val probe = docs.filter(col("doc_id") < 200)
+      .select(col("doc_id"), concat(col("text"), lit(" probex")).as("text"))
+    val pb = Dedup.profileBanded(probe, "doc_id", "text", 64, 16, 3)
+    val rb = Dedup.profileBanded(docs, "doc_id", "text", 64, 16, 3)
+    val shuffled = Dedup.profileCrossCandidates(pb, rb, hintProbe = true)
+      .as[(Long, Long)].collect().toSet
+    val bcastDf = Dedup.profileCrossCandidates(pb, rb, hintProbe = false, broadcastProbe = true)
+    assert(bcastDf.as[(Long, Long)].collect().toSet == shuffled && shuffled.nonEmpty)
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan: SparkPlan = Dedup
+        .profileCrossCandidates(pb, rb, hintProbe = false, broadcastProbe = true)
+        .queryExecution.executedPlan
+      val join = plan.collectFirst { case j: BroadcastHashJoinExec => j }
+        .getOrElse(fail(s"no BroadcastHashJoin in the broadcast-probe plan:\n${plan.toString.take(3000)}"))
+      val streamed = if (join.buildSide == org.apache.spark.sql.catalyst.optimizer.BuildLeft)
+        join.right else join.left
+      // no JOIN-keyed (hash) exchange on the index side — the raw test
+      // frame's banding includes spread()'s round-robin exchange, which
+      // the real index read path (parquet sigs) does not have
+      val joinShuffles = streamed.collect { case e: ShuffleExchangeExec => e }.filter(
+        _.outputPartitioning.isInstanceOf[
+          org.apache.spark.sql.catalyst.plans.physical.HashPartitioning])
+      assert(joinShuffles.isEmpty,
+        s"the index side must stream with no join-key exchange:\n${streamed.toString.take(3000)}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
   }
 
   test("textIndexBuckets scales with corpus and floors for parallelism") {
